@@ -1,0 +1,244 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** The reference's relational surface (SURVEY.md §2), transplanted onto the
+  * test star schema. Every operator here is declarative DataFrame API so
+  * Catalyst plans it: partial aggregation, broadcast of small dims,
+  * parquet filter pushdown and column pruning all come for free and
+  * survive a 1000-executor scale-up.
+  */
+object Relational {
+
+  /** A3/A4 analog (multi-aggregate GROUP BY) in TPC-H Q1 shape.
+    * Maps `fifa_spark.py:80-98` (SUM/SUM/MAX/AVG-cast per group key).
+    * All money flows as exact integer cents; the discounted price is an
+    * exact integer in units of 1e-4 (cents × percent).
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("qty_c"),
+        cents(col("l_extendedprice")).as("price_c"),
+        pct(col("l_discount")).as("disc_pct"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("qty_c")).as("sum_qty_cents"),
+        sum(col("price_c")).as("sum_base_cents"),
+        sum(col("price_c") * (lit(100L) - col("disc_pct"))).as("sum_disc_e4"),
+        max(col("price_c")).as("max_price_cents"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty_cents", idiv(col("sum_qty_cents"), col("count_order")))
+      .withColumn("avg_price_cents", idiv(col("sum_base_cents"), col("count_order")))
+
+  /** A1 argmax step 1: latest order date per customer
+    * (`fifa_spark.py:34-39` — MAX(fifa_update) per fifa_version). */
+  def latestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(
+        max(col("o_orderdate").cast("date")).as("latest_odate"),
+        count(lit(1)).as("n_orders"))
+
+  /** A1+J1 argmax join-back: the reference's signature pattern
+    * (`fifa_spark.py:34-52`) — latest event(s) per user. The per-user max
+    * table is tiny relative to events, so Catalyst broadcasts it
+    * (BroadcastHashJoin), exactly like `fifa_versions` in the reference.
+    */
+  def latestEventJoinBack(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val latest = ev.groupBy("user_id")
+      .agg(max(col("ts")).as("max_ts"))
+      .withColumnRenamed("user_id", "latest_user_id")
+    ev.join(broadcast(latest),
+        col("user_id") === col("latest_user_id") && col("ts") === col("max_ts"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        cents(col("value")).as("value_cents"))
+  }
+
+  /** §2.5: the window-function equivalent of the argmax join-back —
+    * `row_number() OVER (PARTITION BY user ORDER BY ts DESC, id DESC)`.
+    * Deterministic tie-break on event_id so both engines agree.
+    */
+  def latestEventWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+  }
+
+  /** A2 canonical-name pick (`fifa_spark.py:72-77`): group-max of a name
+    * per key; the reference's redundant `DISTINCT(team_id)` collapses to a
+    * plain GROUP BY. */
+  def canonicalName(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_nationkey")
+      .agg(max(col("c_name")).as("canonical_name"),
+        count(lit(1)).as("n_customers"))
+
+  /** Flagship: the full team_view replica (`fifa_spark.py:80-98`) on the
+    * star schema. Orders ⋈ customer ⋈ nation ⋈ region with:
+    *   - P4 inequality filter (league_id != 78 → n_nationkey != 7)
+    *   - P5 null-rejection (player_id IS NOT NULL → o_custkey IS NOT NULL)
+    *   - F1 null-propagating CONCAT(league, ' - ', nation)
+    *   - A3 SUM/SUM/MAX/MAX/AVG-cast×3 aggregate
+    *   - A4 group on a 4-column key (raw columns, concat only displayed)
+    * nation/region are tiny dims → explicit broadcast, so the only
+    * shuffle is the final aggregation on the group key.
+    */
+  def teamView(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_custkey").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_c"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") =!= 7)
+      .select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).as("acctbal_c"))
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .withColumn("nation_region",
+        concat(col("n_name"), lit(" - "), col("r_name")))
+      .groupBy(col("order_month"), col("n_name"), col("r_name"),
+        col("nation_region"))
+      .agg(
+        sum(col("price_c")).as("total_value_cents"),
+        sum(col("acctbal_c")).as("total_bal_cents"),
+        max(col("price_c")).as("best_order_cents"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("avg_order_cents", idiv(col("total_value_cents"), col("n_orders")))
+  }
+
+  /** P1/P2/P4/P5 in one: explicit projection, casts, inequality filter,
+    * null rejection — the materialization SELECT of
+    * `etl_kaggle_to_big_query.py:88-110` as a Spark projection. */
+  def filterCastProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_nationkey") =!= 7 && col("c_name").isNotNull)
+      .select(
+        col("c_custkey").cast("int").as("c_custkey"),
+        col("c_name"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        cents(col("c_acctbal")).as("acctbal_cents"),
+        col("c_mktsegment"))
+
+  /** J3 analog: the big⋈big 3-way join — lineitem ⋈ orders ⋈ customer,
+    * aggregated per market segment. lineitem⋈orders shuffles on orderkey
+    * (sort-merge at scale); customer is the smaller side of the second
+    * join. */
+  def joinThreeWay(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_c"),
+        pct(col("l_discount")).as("disc_pct"))
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        sum(col("price_c") * (lit(100L) - col("disc_pct"))).as("revenue_e4"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  /** J1/J2 analog with explicit broadcast of the tiny dims: customer ⋈
+    * nation ⋈ region rolled up per region. */
+  def broadcastDimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(cents(col("c_acctbal"))).as("total_bal_cents"))
+  }
+
+  /** Left-semi join (EXISTS): customers having at least one order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_nationkey")
+  }
+
+  /** §2.6 (absent in reference, required for completeness): deterministic
+    * top-k — top 10 customers by exact revenue with key tie-break. */
+  def topKRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_c"))
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("price_c")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("o_custkey").asc)
+      .limit(10)
+  }
+
+  /** Exact distinct aggregation (COUNT(DISTINCT)) per segment. */
+  def distinctCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"))
+
+  /** ROLLUP over the region→nation hierarchy (grouping-set family).
+    * Expressed as temp views + spark.sql — the reference's own composition
+    * style (`fifa_spark.py:27-99`) and a workaround for a
+    * DetectAmbiguousSelfJoin false positive on DataFrame-API rollup (its
+    * Expand duplicates attributes carrying __dataset_id metadata). */
+  def rollupRegionNation(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("graft_region")
+    spark.sql(
+      """SELECT r_name, n_name, count(*) AS n_customers
+        |FROM graft_customer
+        |JOIN graft_nation ON c_nationkey = n_nationkey
+        |JOIN graft_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
+  }
+
+  /** Set operations: nations that have customers but no suppliers
+    * (EXCEPT) plus nations having both (INTERSECT), tagged. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val cn = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey")).distinct()
+    val sn = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")).distinct()
+    val onlyCust = cn.except(sn).withColumn("tag", lit("customers_only"))
+    val both = cn.intersect(sn).withColumn("tag", lit("both"))
+    onlyCust.unionByName(both)
+  }
+
+  /** Running total per customer over order dates (window frame op). */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("price_c"))
+      .withColumn("running_cents", sum(col("price_c")).over(w))
+      .select("o_custkey", "o_orderkey", "running_cents")
+  }
+}
