@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.Relational
+import graft.ops.{EventOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +38,15 @@ object SparkEntry {
     "q_rollup"           -> Relational.rollupRegionNation _,
     "q_set_ops"          -> Relational.setOps _,
     "q_running_total"    -> Relational.runningTotal _,
+    "q_json_extract"     -> EventOps.jsonExtract _,
+    "q_tumbling_hour"    -> EventOps.tumblingHour _,
+    "q_sliding_hour"     -> EventOps.slidingHour _,
+    "q_session_stats"    -> EventOps.sessionStats _,
+    "q_token_stats"      -> TextOps.tokenStats _,
+    "q_word_freq"        -> TextOps.wordFreq _,
+    "q_lang_stats"       -> TextOps.langStats _,
+    "q_fingerprint"      -> TextOps.fingerprint _,
+    "q_quality_score"    -> TextOps.qualityScore _,
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same column names, same exact
@@ -142,5 +151,66 @@ object SparkEntry {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
         |FROM orders""".stripMargin,
+    "q_json_extract" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k FROM events)
+        |SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
+        |  count(*) AS n FROM e GROUP BY 1""".stripMargin,
+    "q_tumbling_hour" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1,2""".stripMargin,
+    "q_sliding_hour" ->
+      """WITH w AS (SELECT
+        |  unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |          time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE]) AS s,
+        |  event_type, CAST(round(value*100) AS BIGINT) AS v FROM events)
+        |SELECT epoch_us(s) AS win_start_us, event_type, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS value_cents
+        |FROM w GROUP BY 1,2""".stripMargin,
+    "q_session_stats" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (SELECT user_id, sum(new_s) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+        |z AS (SELECT user_id, sid, count(*) AS n FROM y GROUP BY 1,2)
+        |SELECT user_id, count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events,
+        |  max(n) AS max_session FROM z GROUP BY 1""".stripMargin,
+    "q_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq,
+        |  CAST(CAST(len(list_distinct(string_split(text,' '))) AS BIGINT)*1000
+        |       // CAST(len(string_split(text,' ')) AS BIGINT) AS BIGINT) AS ttr_permille
+        |FROM documents""".stripMargin,
+    "q_word_freq" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text,' ')) AS word FROM documents)
+        |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+    "q_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(sum(n_chars)//count(*) AS BIGINT) AS avg_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp, substr(md5(text),1,2) AS bucket
+        |FROM documents""".stripMargin,
+    "q_quality_score" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text,' ') AS toks FROM documents),
+        |u AS (SELECT doc_id, n_chars,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS tok_chars,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','data','row','value','fast'))) AS BIGINT) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_tokens, tok_chars,
+        |  CAST(tok_chars*1000//n_tokens AS BIGINT) AS mean_tok_len_e3,
+        |  CAST(n_stop*1000//n_tokens AS BIGINT) AS stop_permille,
+        |  n_chars < 100 AS is_short
+        |FROM u""".stripMargin,
   )
 }

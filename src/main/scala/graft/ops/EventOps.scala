@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** Event-time operators over the `events` table — the batch forms of the
+  * north-star streaming semantics (SURVEY.md §7.5). Each op is expressed
+  * with Spark's native event-time primitives (`window`, `session_window`,
+  * `get_json_object`) so the same plan fragment lifts onto a readStream
+  * source unchanged (see graft.streaming.StreamOps).
+  */
+object EventOps {
+
+  /** JSON property extraction (north-star: events.props is a JSON string).
+    * Spark-side uses the real JSON path evaluator; the oracle mirrors it
+    * with a regexp — same extracted values. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        count(lit(1)).as("n"))
+
+  /** Tumbling 1-hour event-time windows (counts + exact cents). */
+  def tumblingHour(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("value_cents"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("value_cents"))
+
+  /** Sliding windows: 1 hour long, every 30 minutes — each event lands in
+    * exactly two windows. */
+  def slidingHour(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("value_cents"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("value_cents"))
+
+  /** Session windows with a 30-minute inactivity gap, rolled up per user.
+    * Spark's `session_window` plans a native SessionWindow aggregation;
+    * the oracle is the classic gaps-and-islands form (lag + cumulative
+    * sum), which is semantically identical for point events: a new
+    * session starts when ts - prev_ts >= gap. */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n")).as("n_events"),
+        max(col("n")).as("max_session"))
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents` (north-star: the text half of
+  * a training-data pipeline). Everything is built from codegen'd
+  * `functions._` primitives — split/explode/higher-order array functions —
+  * so the whole family stays inside WholeStageCodegen and scales linearly
+  * with document count (no driver-side loops, no UDFs).
+  */
+object TextOps {
+
+  /** Stopword list used by quality scoring (words present in the testdata
+    * vocabulary; the exact set is part of the operator contract). */
+  val Stopwords: Seq[String] = Seq("the", "a", "data", "row", "value", "fast")
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Per-document token counts + type-token ratio (lexical diversity). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+      .withColumn("ttr_permille", idiv(col("n_uniq") * 1000, col("n_tokens")))
+
+  /** Corpus-wide word frequency, deterministic top 20 (count desc, word). */
+  def wordFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(toks).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(20)
+
+  /** Per-language corpus facets. */
+  def langStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .withColumn("avg_chars", idiv(col("total_chars"), col("n_docs")))
+
+  /** Document fingerprinting: md5 content hash + 2-hex-char shard bucket.
+    * md5 is identical across engines, unlike xxhash64, so the fingerprint
+    * itself is oracle-checkable. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("bucket", substring(col("fp"), 1, 2))
+
+  /** Quality scoring: token-length and stopword-ratio heuristics, all in
+    * exact integer per-mille units. Uses higher-order array functions
+    * (aggregate/filter) — no UDF, stays codegen-friendly. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
+          .as("tok_chars"),
+        size(filter(col("toks"), x => x.isInCollection(Stopwords)))
+          .cast("long").as("n_stop"),
+        col("n_chars"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("tok_chars"),
+        idiv(col("tok_chars") * 1000, col("n_tokens")).as("mean_tok_len_e3"),
+        idiv(col("n_stop") * 1000, col("n_tokens")).as("stop_permille"),
+        (col("n_chars") < 100).as("is_short"))
+  }
+}
