@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{EventOps, Relational, TextOps}
+import graft.ops.{DedupOps, EventOps, Relational, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,6 +47,15 @@ object SparkEntry {
     "q_lang_stats"       -> TextOps.langStats _,
     "q_fingerprint"      -> TextOps.fingerprint _,
     "q_quality_score"    -> TextOps.qualityScore _,
+    "q_dedup_exact"      -> DedupOps.dedupExact _,
+    "q_minhash_lsh"      -> DedupOps.minhashLsh _,
+    "q_ngram_jaccard"    -> DedupOps.ngramJaccard _,
+    "q_simhash"          -> DedupOps.simhash _,
+    "q_knn_dot"          -> VectorOps.knnDot _,
+    "q_cosine_knn"       -> VectorOps.cosineKnn _,
+    "q_emb_near_dup"     -> VectorOps.embNearDup _,
+    "q_lsh_buckets"      -> VectorOps.lshBuckets _,
+    "q_label_centroid"   -> VectorOps.labelCentroid _,
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same column names, same exact
@@ -212,5 +221,89 @@ object SparkEntry {
         |  CAST(n_stop*1000//n_tokens AS BIGINT) AS stop_permille,
         |  n_chars < 100 AS is_short
         |FROM u""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS content_key,
+        |  count(*) AS n_docs, min(doc_id) AS canonical_doc
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_minhash_lsh" ->
+      """WITH sets AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS s FROM documents),
+        |tok AS (SELECT doc_id, unnest(s) AS tok FROM sets),
+        |mh AS (SELECT doc_id, h, min(substr(md5(h || ':' || tok),1,16)) AS mh
+        |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0,15)) AS h) AS hs(h) GROUP BY 1,2),
+        |band AS (SELECT doc_id, h//4 AS band,
+        |  string_agg(h || ':' || mh, '|' ORDER BY h) AS band_sig FROM mh GROUP BY 1,2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM band a JOIN band b ON a.band=b.band AND a.band_sig=b.band_sig AND a.doc_id < b.doc_id),
+        |j AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(x.s,y.s)) AS BIGINT) AS inter,
+        |  CAST(len(list_distinct(list_concat(x.s,y.s))) AS BIGINT) AS uni
+        |  FROM cand JOIN sets x ON doc_a=x.doc_id JOIN sets y ON doc_b=y.doc_id)
+        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/uni AS jaccard
+        |FROM j WHERE inter*10 >= uni*8""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH sh AS (SELECT doc_id, lang, source,
+        |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                 for i in generate_series(1, len(t)-2)]) AS sh
+        |  FROM (SELECT doc_id, lang, source, string_split(text,' ') AS t FROM documents)),
+        |p AS (SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh,b.sh)) AS BIGINT) AS inter,
+        |  CAST(len(list_distinct(list_concat(a.sh,b.sh))) AS BIGINT) AS uni
+        |  FROM sh a JOIN sh b ON a.lang=b.lang AND a.source=b.source AND a.doc_id<b.doc_id)
+        |SELECT lang, source, doc_a, doc_b, CAST(inter AS DOUBLE)/uni AS jaccard
+        |FROM p WHERE inter > 0""".stripMargin,
+    "q_simhash" -> {
+      def nib(c: Int) = s"(strpos('0123456789abcdef', substr(md5(tok), ${c + 1}, 1))-1)"
+      def vote(b: Int) = s"((((${nib(b / 4)} >> ${3 - b % 4}) % 2) * 2) - 1)"
+      val sums = (0 until 16).map(b => s"CAST(sum(${vote(b)}) AS BIGINT) AS s$b").mkString(", ")
+      val bucket = (0 until 16).map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+         |agg AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id)
+         |SELECT doc_id, CAST($bucket AS BIGINT) AS simhash FROM agg""".stripMargin
+    },
+    "q_knn_dot" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv FROM embeddings),
+        |p AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |  CAST(list_sum(list_transform(generate_series(1,len(a.qv)), i -> a.qv[i]*b.qv[i])) AS BIGINT) AS dot
+        |  FROM q a JOIN q b ON a.vec_id < 16 AND a.vec_id != b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS rank FROM p)
+        |SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, dot FROM r WHERE rank <= 5""".stripMargin,
+    "q_cosine_knn" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv FROM embeddings),
+        |n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x->x*x)) AS BIGINT) AS nrm FROM q),
+        |p AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |  CAST(list_sum(list_transform(generate_series(1,len(a.qv)), i -> a.qv[i]*b.qv[i])) AS BIGINT)
+        |    / sqrt(CAST(a.nrm*b.nrm AS DOUBLE)) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < 16 AND a.vec_id != b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM p)
+        |SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, cos FROM r WHERE rank <= 5""".stripMargin,
+    "q_emb_near_dup" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv FROM embeddings),
+        |n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x->x*x)) AS BIGINT) AS nrm FROM q),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  CAST(list_sum(list_transform(generate_series(1,len(a.qv)), i -> a.qv[i]*b.qv[i])) AS BIGINT)
+        |    / sqrt(CAST(a.nrm*b.nrm AS DOUBLE)) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""".stripMargin,
+    "q_lsh_buckets" ->
+      """WITH w AS (SELECT p, list_transform(generate_series(0,63),
+        |    i -> CASE WHEN strpos('89abcdef', substr(md5(p || ':' || i),1,1)) > 0 THEN 1 ELSE -1 END) AS wv
+        |  FROM (SELECT unnest(generate_series(0,7)) AS p)),
+        |q AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv FROM embeddings),
+        |s AS (SELECT vec_id, p, CAST(list_sum(list_transform(generate_series(1,64),
+        |    i -> wv[i]*qv[i])) AS BIGINT) AS sp FROM q CROSS JOIN w),
+        |b AS (SELECT vec_id, CAST(sum(CASE WHEN sp >= 0 THEN (1<<p) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM s GROUP BY 1)
+        |SELECT bucket, count(*) AS n_vecs FROM b GROUP BY 1""".stripMargin,
+    "q_label_centroid" ->
+      """WITH q AS (SELECT label, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv FROM embeddings),
+        |e AS (SELECT label, CAST(generate_subscripts(qv,1)-1 AS INTEGER) AS pos, unnest(qv) AS v FROM q)
+        |SELECT label, pos, CAST(sum(v) AS BIGINT) AS sum_q, count(*) AS n,
+        |  CAST(sum(v) AS DOUBLE)/count(*) AS centroid_e3
+        |FROM e GROUP BY 1,2""".stripMargin,
   )
 }

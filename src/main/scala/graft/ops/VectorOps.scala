@@ -1,0 +1,133 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over `embeddings` (north-star: ANN for training-data
+  * pipelines).
+  *
+  * Determinism design: embeddings are quantized to exact integer
+  * milli-units (round(x*1000)) so dot products and squared norms are
+  * exact int64; cosine = dot / sqrt(na*nb) is then a sqrt + one division
+  * over identical integers — bit-identical in any IEEE engine, so even
+  * double-valued similarities are oracle-checkable.
+  *
+  * Scale design: brute-force top-k is the correctness baseline (fine for
+  * a broadcastable query set); the LSH path (random-hyperplane signs →
+  * bucket) is the 100 TB route — bucketing turns the O(n·q) scan into a
+  * shuffle on bucket id.
+  */
+object VectorOps {
+
+  val NumQueries = 16 // vec_id < 16 act as the query set
+  val TopK = 5
+  val NumPlanes = 8
+
+  /** Quantize float embedding to exact integer milli-units. */
+  private def quantized: Column =
+    transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantized.as("qv"))
+      .withColumn("nrm", dot(col("qv"), col("qv")))
+
+  /** Brute-force top-k by integer inner product (MIPS baseline): the
+    * query set broadcasts, candidates stream — one pass over the corpus,
+    * no shuffle of the big side. */
+  def knnDot(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("query_v"))
+    val pairs = e.select(col("vec_id").as("cand_id"), col("qv").as("cand_v"))
+      .crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("dot", dot(col("query_v"), col("cand_v")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("cand_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "cand_id", "rank", "dot")
+  }
+
+  /** Brute-force cosine top-k: exact integer dot and norms, cosine as a
+    * single sqrt+division (bit-deterministic). */
+  def cosineKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("query_v"),
+        col("nrm").as("qn"))
+    val pairs = e.select(col("vec_id").as("cand_id"), col("qv").as("cand_v"),
+        col("nrm").as("cn"))
+      .crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("query_v"), col("cand_v")) /
+          sqrt((col("qn") * col("cn")).cast("double")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "cand_id", "rank", "cos")
+  }
+
+  /** Embedding near-duplicate mining: all pairs with cosine >= 0.45.
+    * Exact (all-pairs) here as the correctness baseline; the scale path
+    * is lshBuckets-then-within-bucket. */
+  def embNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("qv").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("qv").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        dot(col("va"), col("vb")) / sqrt((col("na") * col("nb")).cast("double")))
+      .filter(col("cos") >= 0.45)
+      .select("vec_a", "vec_b", "cos")
+  }
+
+  /** Deterministic ±1 hyperplane weights: sign p,i = +1 iff the first hex
+    * digit of md5("p:i") is >= 8. Matches the oracle's md5-based CASE. */
+  private[ops] def planeWeights: Seq[Seq[Long]] = {
+    val mdt = MessageDigest.getInstance("MD5")
+    (0 until NumPlanes).map { p =>
+      (0 until 64).map { i =>
+        val hex = mdt.digest(s"$p:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if ("89abcdef".contains(hex.charAt(0))) 1L else -1L
+      }
+    }
+  }
+
+  /** Random-hyperplane LSH bucket histogram: 8 md5-derived ±1 planes,
+    * bucket = sign-bit pattern of the 8 integer projections. The ANN
+    * scale path: vectors shuffle once on bucket id; probes only touch
+    * their own bucket. */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val weights = planeWeights
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), quantized.as("qv"))
+    val bucket = (0 until NumPlanes).map { p =>
+      val wv = array(weights(p).map(lit): _*)
+      when(dot(col("qv"), wv) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    e.withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
+  /** Per-label centroid, one row per (label, dim): exact integer sums,
+    * centroid as a single division. The posexplode → groupBy shape is the
+    * distributed vector aggregation (no vector ever sits on the driver). */
+  def labelCentroid(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(quantized).as(Seq("pos", "q")))
+      .groupBy("label", "pos")
+      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
+      .withColumn("centroid_e3", col("sum_q").cast("double") / col("n"))
+}
