@@ -226,9 +226,10 @@ object SparkEntry {
         |  count(*) AS n_docs, min(doc_id) AS canonical_doc
         |FROM documents GROUP BY 1""".stripMargin,
     "q_minhash_lsh" ->
-      """WITH sets AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS s FROM documents),
-        |tok AS (SELECT doc_id, unnest(s) AS tok FROM sets),
-        |mh AS (SELECT doc_id, h, min(substr(md5(h || ':' || tok),1,16)) AS mh
+      """WITH toks AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS t FROM documents),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(t, x -> substr(md5(x),1,15))) AS s FROM toks),
+        |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |mh AS (SELECT doc_id, h, min(substr(md5(h || ':' || tok),1,15)) AS mh
         |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0,15)) AS h) AS hs(h) GROUP BY 1,2),
         |band AS (SELECT doc_id, h//4 AS band,
         |  string_agg(h || ':' || mh, '|' ORDER BY h) AS band_sig FROM mh GROUP BY 1,2),
@@ -242,8 +243,10 @@ object SparkEntry {
         |FROM j WHERE inter*10 >= uni*8""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH sh AS (SELECT doc_id, lang, source,
-        |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                 for i in generate_series(1, len(t)-2)]) AS sh
+        |  list_distinct(list_transform(
+        |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |     for i in generate_series(1, len(t)-2)],
+        |    x -> substr(md5(x),1,15))) AS sh
         |  FROM (SELECT doc_id, lang, source, string_split(text,' ') AS t FROM documents)),
         |p AS (SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(len(list_intersect(a.sh,b.sh)) AS BIGINT) AS inter,

@@ -38,47 +38,69 @@ object DedupOps {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
 
   /** MinHash + LSH near-dup pairs: 16 md5-based minhashes, 4 bands of 4
-    * rows; docs sharing any full band signature become candidates; each
-    * candidate pair is then verified with exact token-set jaccard >= 0.8.
-    *
-    * Band signatures concatenate (h, minhash) sorted by NUMERIC h —
-    * sorting the strings would order "10:" before "8:" and diverge from
-    * the oracle's ORDER BY h.
-    */
+    * rows; docs sharing all 4 minhashes of any band become candidates;
+    * each candidate pair is then verified with exact token-set
+    * jaccard >= 0.8. */
+  /** Token-set as sorted distinct md5-hash longs: the verify stage merges
+    * primitive long arrays (zero allocation) instead of strings. The
+    * 15-hex-char md5 prefix is order-isomorphic to its numeric value, so
+    * intersection/union COUNTS equal the oracle's over the same hashed
+    * string sets. */
+  private def hashedTokenSet(c: Column): Column =
+    array_sort(array_distinct(transform(c,
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))))
+
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sets = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokenSet.as("s"))
+    val docs = Tables.documents(spark, dir)
+    val sets = docs.select(col("doc_id"), hashedTokenSet(tokenSet).as("s"))
+    val tokDocs = docs.select(col("doc_id"), tokenSet.as("toks"))
 
-    val minhashes = sets
-      .select(col("doc_id"), explode(col("s")).as("tok"))
+    // Numeric minhash: the first 15 hex chars of md5 as a 60-bit long.
+    // Fixed-length hex is order-isomorphic to its numeric value, so the
+    // per-hash minima — and therefore the LSH buckets — are identical to
+    // the oracle's string minima; min(long) plans as a pure HashAggregate
+    // while min(string) would force Sort + SortAggregate.
+    val bandMinhashes = tokDocs
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
       .withColumn("h", explode(sequence(lit(0), lit(NumHashes - 1))))
-      .select(col("doc_id"), col("h"),
-        substring(md5(concat(col("h").cast("string"), lit(":"), col("tok"))), 1, 16)
-          .as("hv"))
-      .groupBy("doc_id", "h")
-      .agg(min(col("hv")).as("mh"))
-
-    val bands = minhashes
-      .withColumn("band", expr(s"h div $RowsPerBand"))
+      .select(col("doc_id"),
+        expr(s"h div $RowsPerBand").as("band"),
+        (col("h") % RowsPerBand).as("r"),
+        conv(substring(md5(concat(col("h").cast("string"), lit(":"), col("tok"))), 1, 15), 16, 10)
+          .cast("long").as("hv"))
       .groupBy("doc_id", "band")
-      .agg(array_join(
-        transform(
-          array_sort(collect_list(struct(col("h"), col("mh")))),
-          s => concat(s.getField("h").cast("string"), lit(":"), s.getField("mh"))),
-        "|").as("band_sig"))
+      .agg(
+        min(when(col("r") === 0, col("hv"))).as("mh0"),
+        min(when(col("r") === 1, col("hv"))).as("mh1"),
+        min(when(col("r") === 2, col("hv"))).as("mh2"),
+        min(when(col("r") === 3, col("hv"))).as("mh3"))
 
-    val candidates = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("band_sig")),
-        Seq("band", "band_sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+    // Candidate pairs by grouping docs per bucket (band + 4 minhashes) and
+    // emitting in-bucket combinations — computes the minhash subtree ONCE
+    // (a self-join would re-evaluate it per side) and replaces the join
+    // with one shuffle on the bucket key. Two-step explode keeps per-row
+    // arrays bounded by bucket size.
+    val candidates = bandMinhashes
+      .groupBy("band", "mh0", "mh1", "mh2", "mh3")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
+      .select(col("doc_a"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc_b"))
       .distinct()
 
+    // Per-doc token sets are a few MB → broadcast both probe sides instead
+    // of shuffling millions of wide candidate rows through two joins; the
+    // union size is |A|+|B|-inter, saving a second array traversal.
+    val sized = sets.withColumn("sz", size(col("s")).cast("long"))
     candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("uni", size(array_union(col("sa"), col("sb"))).cast("long"))
+      .join(broadcast(sized.select(col("doc_id").as("doc_a"),
+        col("s").as("sa"), col("sz").as("za"))), Seq("doc_a"))
+      .join(broadcast(sized.select(col("doc_id").as("doc_b"),
+        col("s").as("sb"), col("sz").as("zb"))), Seq("doc_b"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize.sortedIntersectSize(col("sa"), col("sb")))
+      .withColumn("uni", col("za") + col("zb") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * 8)
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
@@ -93,20 +115,28 @@ object DedupOps {
     val sh = Tables.documents(spark, dir)
       .withColumn("t", split(col("text"), " "))
       .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(expr(
+        hashedTokenSet(expr(
           "transform(sequence(1, size(t)-2), i -> " +
             "concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))"))
           .as("sh"))
-    val a = sh.select(col("lang"), col("source"),
-      col("doc_id").as("doc_a"), col("sh").as("sha"))
-    val b = sh.select(col("lang"), col("source"),
-      col("doc_id").as("doc_b"), col("sh").as("shb"))
-    a.join(b, Seq("lang", "source"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+    // One shuffle on the block key, shingle subtree computed once; pairs
+    // are in-block combinations (sorted by doc_id, so doc_a < doc_b).
+    sh.groupBy("lang", "source")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh"), col("sz"))))
+        .as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(col("lang"), col("source"), col("docs"),
+        posexplode(col("docs")).as(Seq("i", "da")))
+      .select(col("lang"), col("source"), col("da"),
+        explode(slice(col("docs"), col("i") + 2, size(col("docs")))).as("db"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize.sortedIntersectSize(
+          col("da.sh"), col("db.sh")))
       .filter(col("inter") > 0)
-      .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("long"))
-      .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
+      .withColumn("uni", col("da.sz") + col("db.sz") - col("inter"))
+      .select(col("lang"), col("source"),
+        col("da.doc_id").as("doc_a"), col("db.doc_id").as("doc_b"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 

@@ -32,8 +32,11 @@ object VectorOps {
   private def quantized: Column =
     transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
 
+  /** Exact integer dot product — native codegen Expression (see
+    * [[graft.functions.LongDotProduct]]); numerically identical to
+    * `aggregate(zip_with(a, b, _*_), 0L, _+_)` but allocation-free. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.LongDotProduct.longDot(a, b)
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
