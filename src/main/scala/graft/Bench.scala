@@ -11,6 +11,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS); read as long, see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reference fidelity: BigQuery-era non-ANSI casts (null on garbage), SURVEY §7.4
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{DedupOps, EventOps, Relational, TextOps, VectorOps}
+import graft.ops.{DedupOps, EventOps, MultimodalOps, Relational, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -56,6 +56,8 @@ object SparkEntry {
     "q_emb_near_dup"     -> VectorOps.embNearDup _,
     "q_lsh_buckets"      -> VectorOps.lshBuckets _,
     "q_label_centroid"   -> VectorOps.labelCentroid _,
+    "q_multimodal_meta"  -> MultimodalOps.mediaMeta _,
+    "q_lang_id"          -> TextOps.langId _,
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same column names, same exact
@@ -308,5 +310,21 @@ object SparkEntry {
         |SELECT label, pos, CAST(sum(v) AS BIGINT) AS sum_q, count(*) AS n,
         |  CAST(sum(v) AS DOUBLE)/count(*) AS centroid_e3
         |FROM e GROUP BY 1,2""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(1 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+        |  CAST(1 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height,
+        |  CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS frames
+        |FROM documents""".stripMargin,
+    "q_lang_id" -> {
+      val profiles = TextOps.LangProfiles
+      val branches = profiles.map { case (l, ws) =>
+        val set = ws.map(w => s"'$w'").mkString(", ")
+        s"SELECT doc_id, '$l' AS cand, CAST(len(list_filter(string_split(text,' '), x -> x IN ($set))) AS BIGINT) AS score FROM documents"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH sc AS ($branches),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM sc)
+         |SELECT doc_id, cand AS pred_lang, score FROM r WHERE rn = 1""".stripMargin
+    },
   )
 }

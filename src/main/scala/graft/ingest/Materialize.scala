@@ -1,0 +1,82 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's ingest/materialization stage re-expressed as Spark
+  * stages (SURVEY.md §2.1 S3+S4):
+  *
+  *   CSV (schema-less) → external-table scan → CTAS with explicit casts,
+  *   a data-quality filter, and a date-partitioned columnar write
+  *   (`/root/reference/prefect/flows/etl_kaggle_to_big_query.py:65-163`).
+  *
+  * Cast semantics (SURVEY.md §7.4): the engine pins non-ANSI casts
+  * (`spark.sql.ansi.enabled=false`; Spark 4 defaults to ANSI). Divergence
+  * from BigQuery, documented and tested in IngestSpec: BigQuery CAST
+  * errors on any malformed cell; Spark non-ANSI nulls non-numeric
+  * garbage and TRUNCATES float-like strings ("1234.5" → 1234, the
+  * value_eur case).
+  */
+object Materialize {
+
+  /** FIFA teams source columns (from the reference's cast list,
+    * `etl_kaggle_to_big_query.py:91-107`) → target types. */
+  val TeamCasts: Seq[(String, DataType)] = Seq(
+    "team_id" -> IntegerType, "fifa_version" -> IntegerType,
+    "fifa_update" -> IntegerType, "fifa_update_date" -> DateType,
+    "team_name" -> StringType, "league_id" -> IntegerType,
+    "league_name" -> StringType, "league_level" -> IntegerType,
+    "nationality_id" -> IntegerType, "nationality_name" -> StringType,
+    "overall" -> IntegerType, "attack" -> IntegerType,
+    "midfield" -> IntegerType, "defence" -> IntegerType,
+    "international_prestige" -> IntegerType, "domestic_prestige" -> IntegerType)
+
+  /** FIFA players source columns (`etl_kaggle_to_big_query.py:140-159`). */
+  val PlayerCasts: Seq[(String, DataType)] = Seq(
+    "player_id" -> IntegerType, "fifa_version" -> IntegerType,
+    "fifa_update" -> IntegerType, "fifa_update_date" -> DateType,
+    "short_name" -> StringType, "overall" -> IntegerType,
+    "potential" -> IntegerType, "value_eur" -> IntegerType,
+    "wage_eur" -> IntegerType, "age" -> IntegerType,
+    "dob" -> DateType, "height_cm" -> IntegerType,
+    "weight_kg" -> IntegerType, "club_team_id" -> IntegerType,
+    "club_position" -> StringType, "nationality_id" -> IntegerType,
+    "nationality_name" -> StringType, "preferred_foot" -> StringType,
+    "international_reputation" -> IntegerType)
+
+  /** External-table analog: header CSV, every column untyped string
+    * (schema imposed later by the cast projection, like the CTAS). */
+  def readCsv(spark: SparkSession, path: String, columns: Seq[String]): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(StructType(columns.map(StructField(_, StringType, nullable = true))))
+      .csv(path)
+
+  /** CTAS cast projection (P1+P2): explicit column list, explicit casts,
+    * non-ANSI (malformed → NULL). */
+  def castProjection(df: DataFrame, casts: Seq[(String, DataType)]): DataFrame =
+    df.select(casts.map { case (name, t) => col(name).cast(t).as(name) }: _*)
+
+  /** Full teams materialization: casts + the league_id != 78 filter (P4). */
+  def materializeTeams(raw: DataFrame): DataFrame =
+    castProjection(raw, TeamCasts).filter(col("league_id") =!= 78)
+
+  /** Full players materialization: casts + player_id IS NOT NULL (P5). */
+  def materializePlayers(raw: DataFrame): DataFrame =
+    castProjection(raw, PlayerCasts).filter(col("player_id").isNotNull)
+
+  /** Partitioned columnar write — the `PARTITION BY fifa_update_date`
+    * analog. At scale this is what enables partition pruning downstream
+    * (`PruneFileSourcePartitions`). */
+  def writePartitioned(df: DataFrame, out: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(out)
+
+  /** Bucketed write — the `CLUSTER BY` analog: co-locates join keys so a
+    * downstream join on the bucket column needs no shuffle. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, n: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(n, bucketCol).sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+}

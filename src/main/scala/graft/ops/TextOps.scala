@@ -54,6 +54,34 @@ object TextOps {
       .select(col("doc_id"), md5(col("text")).as("fp"))
       .withColumn("bucket", substring(col("fp"), 1, 2))
 
+  /** Per-language token profiles for the language-ID heuristic. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "de", "est"),
+    "zh" -> Seq("de", "shi", "le", "he", "zai"))
+
+  /** Language identification via stopword-profile overlap: each candidate
+    * language scores the count of profile tokens present; argmax with
+    * (score desc, lang asc) tie-break. One narrow pass + a per-doc window
+    * over 5 candidate rows. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("cand", explode(array(LangProfiles.map { case (l, _) => lit(l) }: _*)))
+      .withColumn("score",
+        LangProfiles.map { case (l, words) =>
+          when(col("cand") === l,
+            size(filter(toks, x => x.isInCollection(words))).cast("long"))
+        }.reduceRight((w, rest) => w.otherwise(rest)))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand").as("pred_lang"), col("score"))
+  }
+
   /** Quality scoring: token-length and stopword-ratio heuristics, all in
     * exact integer per-mille units. Uses higher-order array functions
     * (aggregate/filter) — no UDF, stays codegen-friendly. */

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the event-time operators (SURVEY.md
+  * §7.5). Each transform takes a DataFrame and works unchanged on a
+  * batch or a `readStream` source — the batch forms in
+  * [[graft.ops.EventOps]] are the same plan fragments without watermark.
+  * StreamingSpec drives them through MemoryStream and asserts equality
+  * with the batch results.
+  */
+object StreamOps {
+
+  /** Event row for the typed stateful APIs. */
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  /** Per-user running state for mapGroupsWithState. */
+  case class UserAgg(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Tumbling event-time window with watermark (append-able sink state:
+    * windows finalize once the watermark passes). */
+  def tumblingCounts(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("value_cents"))
+
+  /** Session windows (30-min-style gap) per user with watermark. */
+  def sessionCounts(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("sess_start"), col("user_id"), col("n"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * the streaming form of DedupOps.dedupExact's hash-group. */
+  def dedupByEventId(events: DataFrame, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** Custom keyed state: running per-user event count + exact cents sum
+    * via mapGroupsWithState (Update mode). */
+  def runningUserTotals(events: Dataset[Ev]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserAgg, UserAgg](GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0L))
+          val next = evs.foldLeft(prev) { (acc, e) =>
+            UserAgg(uid, acc.n_events + 1,
+              acc.total_cents + math.round(e.value * 100))
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Required OutputMode for [[runningUserTotals]] sinks. */
+  val RunningTotalsOutputMode: OutputMode = OutputMode.Update()
+}

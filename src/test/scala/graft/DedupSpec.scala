@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DedupOps, TextOps, VectorOps}
+
+/** Dedup + similarity semantics on a synthetic corpus written to a temp
+  * table dir (the ops read `<dir>/<table>.parquet` like the real layout). */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Writes synthetic documents/embeddings to a temp dir in testdata layout. */
+  lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_dedup").toString
+    val docs = Seq(
+      // doc 1 and 2: same token set, different order/dups → exact dup group
+      (1L, "alpha beta gamma delta", "en", "s1", 22L),
+      (2L, "delta gamma beta alpha alpha", "en", "s1", 28L),
+      // doc 3: near-dup of 1 (3 of 5 union tokens shared)
+      (3L, "alpha beta gamma epsilon", "en", "s1", 24L),
+      // doc 4: unrelated, other block
+      (4L, "zeta eta theta iota kappa", "de", "s2", 25L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$d/documents.parquet")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.999f, 0.01f, 0.0f), 0), // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.0f, 0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    emb.write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("dedupExact groups identical normalized token sets") {
+    val groups = DedupOps.dedupExact(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet // (n_docs, canonical)
+    assert(groups.contains((2L, 1L))) // docs 1+2 collapse, canonical = min id
+    assert(groups.count(_._1 == 1L) == 2) // docs 3 and 4 stand alone
+  }
+
+  test("minhashLsh finds the exact-dup pair with jaccard 1.0") {
+    val pairs = DedupOps.minhashLsh(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(1.0))
+    // doc 3 vs 1: jaccard 3/5 = 0.6 < 0.8 threshold → absent
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("simhash: identical token sets share a simhash; disjoint sets differ") {
+    val sh = DedupOps.simhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(4L))
+    assert(sh.values.forall(v => v >= 0 && v < (1 << 16)))
+  }
+
+  test("embNearDup finds the near-identical vector pair only") {
+    val pairs = VectorOps.embNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L))) // orthogonal pairs have cos 0
+  }
+
+  test("knnDot ranks the closest candidate first") {
+    val top = VectorOps.knnDot(spark, dir).collect()
+      .filter(r => r.getLong(0) == 0L && r.getInt(2) == 1).head
+    assert(top.getLong(1) == 1L)
+  }
+
+  test("langId is deterministic and scores profile overlap") {
+    val out = TextOps.langId(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.size == 4)
+    // no profile word appears in the synthetic docs → all scores 0,
+    // tie-break picks the lexicographically first candidate ("de")
+    assert(out.values.forall { case (lang, score) => score == 0L && lang == "de" })
+  }
+}

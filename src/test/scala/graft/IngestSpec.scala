@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.Materialize
+
+/** CSV → cast/filter → partitioned parquet (the reference's S3+S4 path). */
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val csvPath: String = {
+    val d = Files.createTempDirectory("graft_ingest")
+    val cols = Materialize.PlayerCasts.map(_._1)
+    val rows = Seq(
+      // well-formed
+      "1,23,2,2023-01-15,A Player,80,85,100000,500,25,1998-01-01,180,75,10,ST,7,Spain,Left,3",
+      // float-like value_eur (BigQuery would error; Spark truncates) and
+      // garbage wage_eur (casts to NULL); last row: null player_id
+      "2,23,2,2023-01-15,B Player,70,75,1234.5,oops,30,1993-05-05,175,70,10,GK,7,Spain,Right,2",
+      ",23,2,2023-01-15,Ghost,60,65,50,100,20,2003-09-09,170,65,11,CB,8,France,Left,1")
+    val f = d.resolve("players.csv")
+    Files.writeString(f, (cols.mkString(",") +: rows).mkString("\n"))
+    f.toString
+  }
+
+  test("materializePlayers: explicit casts, null-on-garbage, null-id filter") {
+    val raw = Materialize.readCsv(spark, csvPath, Materialize.PlayerCasts.map(_._1))
+    val out = Materialize.materializePlayers(raw).collect()
+    assert(out.length == 2) // ghost row (null player_id) filtered (P5)
+    val byId = out.map(r => r.getInt(0) -> r).toMap
+    assert(byId(1).getInt(7) == 100000)             // value_eur cast
+    assert(byId(2).getInt(7) == 1234)               // "1234.5" truncated (non-ANSI)
+    assert(byId(2).isNullAt(8))                     // "oops" → NULL
+    assert(byId(1).getDate(3).toString == "2023-01-15")
+  }
+
+  test("partitioned write produces partition directories and reads back") {
+    val raw = Materialize.readCsv(spark, csvPath, Materialize.PlayerCasts.map(_._1))
+    val out = Files.createTempDirectory("graft_mat").toString + "/players"
+    Materialize.writePartitioned(Materialize.materializePlayers(raw), out, "fifa_update_date")
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    assert(files.exists(_.startsWith("fifa_update_date=")))
+    assert(spark.read.parquet(out).count() == 2)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Ev
+
+/** Structured Streaming semantics: the streaming transforms over a
+  * MemoryStream must agree with the same transform over the batch of all
+  * input, and stateful ops must accumulate across triggers. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  val batch1 = Seq(
+    Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(5), 1, "view", 2.0),
+    Ev(3, ts(20), 2, "click", 3.0))
+  val batch2 = Seq(
+    Ev(4, ts(35), 1, "view", 4.0), Ev(5, ts(59), 2, "click", 5.0))
+
+  test("tumbling window counts over MemoryStream == batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamOps.tumblingCounts(in.toDF(), "15 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .collect().map(_.toSeq).toSet
+      val batch = StreamOps.tumblingCounts(
+        (batch1 ++ batch2).toDF(), "15 minutes", "10 minutes")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("session windows split on the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamOps.sessionCounts(in.toDF(), "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(batch1 ++ batch2); q.processAllAvailable()
+      val sessions = spark.table("session_out")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toList.sorted
+      // user 1: events at 0,5 (one session) and 35 (another); user 2: 20 and 59
+      assert(sessions == List((1L, 1L), (1L, 2L), (2L, 1L), (2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user state across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamOps.runningUserTotals(in.toDS())
+      .writeStream.format("memory").queryName("running_out")
+      .outputMode(StreamOps.RunningTotalsOutputMode).start()
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      val last = spark.table("running_out")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_cents").as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(last == Set((1L, 3L, 700L), (2L, 2L, 800L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops re-delivered event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamOps.dedupByEventId(in.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch1); q.processAllAvailable() // exact re-delivery
+      assert(spark.table("dedup_out").count() == batch1.size)
+    } finally q.stop()
+  }
+}
