@@ -58,6 +58,8 @@ object SparkEntry {
     "q_label_centroid"   -> VectorOps.labelCentroid _,
     "q_multimodal_meta"  -> MultimodalOps.mediaMeta _,
     "q_lang_id"          -> TextOps.langId _,
+    "q_asof_join"        -> EventOps.asofLastOrder _,
+    "q_approx_distinct"  -> EventOps.approxDistinct _, // rows-only: HLL is engine-specific
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same column names, same exact
@@ -326,5 +328,10 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM sc)
          |SELECT doc_id, cand AS pred_lang, score FROM r WHERE rn = 1""".stripMargin
     },
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  epoch_us(o.o_orderdate) AS asof_order_us
+        |FROM events e ASOF JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
   )
 }

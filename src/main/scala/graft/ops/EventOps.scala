@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Exact._
@@ -44,6 +45,50 @@ object EventOps {
         sum(cents(col("value"))).as("value_cents"))
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("n"), col("value_cents"))
+
+  /** As-of join: for each event, the time of the user's most recent order
+    * at or before the event (DuckDB expresses this natively as ASOF JOIN;
+    * Spark has no such operator). Implemented with the scalable
+    * union+window pattern: tag both streams, union, sort within each key
+    * partition by (time, orders-first), and take the running max of the
+    * order-time column — one shuffle per side, no per-row probing, works
+    * at any key cardinality. Only the matched TIME is emitted: tied
+    * order rows at the same timestamp would make row identity
+    * engine-dependent, the as-of time itself is deterministic.
+    */
+  def asofLastOrder(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").as("k"), col("ts").cast("timestamp").as("t"),
+        col("event_id"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("k"), col("o_orderdate").cast("timestamp").as("t"))
+    val unioned = ev
+      .withColumn("ot", lit(null).cast("timestamp"))
+      .unionByName(ord
+        .withColumn("event_id", lit(null).cast("long"))
+        .withColumn("ot", col("t")))
+    // at equal t the order row sorts first (null event_id) → ts >= orderdate inclusive
+    val w = Window.partitionBy("k")
+      .orderBy(col("t").asc, col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("asof_t", max(col("ot")).over(w))
+      .filter(col("event_id").isNotNull && col("asof_t").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"),
+        unix_micros(col("t")).as("ts_us"),
+        unix_micros(col("asof_t")).as("asof_order_us"))
+  }
+
+  /** HLL sketch distinct counts next to the exact form — the approximate
+    * path for 100 TB cardinality estimation (no oracle: HLL++ internals
+    * are engine-specific, so the driver records a rows-only check). */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"))
 
   /** Session windows with a 30-minute inactivity gap, rolled up per user.
     * Spark's `session_window` plans a native SessionWindow aggregation;
