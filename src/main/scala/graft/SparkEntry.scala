@@ -60,6 +60,13 @@ object SparkEntry {
     "q_lang_id"          -> TextOps.langId _,
     "q_asof_join"        -> EventOps.asofLastOrder _,
     "q_approx_distinct"  -> EventOps.approxDistinct _, // rows-only: HLL is engine-specific
+    "q_outer_join"       -> Relational.outerJoin _,
+    "q_window_funcs"     -> Relational.windowFuncs _,
+    "q_subqueries"       -> Relational.subqueries _,
+    "q_scalar_funcs"     -> Relational.scalarFuncs _,
+    "q_pivot"            -> EventOps.pivotEventCounts _,
+    "q_cube"             -> EventOps.cubeEventDay _,
+    "q_ann_lsh"          -> VectorOps.annLsh _,
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same column names, same exact
@@ -333,5 +340,72 @@ object SparkEntry {
         |  epoch_us(o.o_orderdate) AS asof_order_us
         |FROM events e ASOF JOIN orders o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q_outer_join" ->
+      """WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT coalesce(ck, sk) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON ck = sk""".stripMargin,
+    "q_window_funcs" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS price_c FROM orders)
+        |SELECT o_custkey, o_orderkey, price_c,
+        |  lag(price_c, 1) OVER seq AS prev_cents,
+        |  lead(price_c, 1) OVER seq AS next_cents,
+        |  CAST(dense_rank() OVER pr AS INTEGER) AS price_rank,
+        |  CAST(ntile(4) OVER pr AS INTEGER) AS quartile
+        |FROM o
+        |WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       pr AS (PARTITION BY o_custkey ORDER BY price_c DESC, o_orderkey)""".stripMargin,
+    "q_subqueries" ->
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents
+        |FROM customer
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        |  AND CAST(round(c_acctbal*100) AS BIGINT) >
+        |      (SELECT CAST(round(max(s_acctbal)*100) AS BIGINT)
+        |       FROM supplier WHERE s_nationkey = c_nationkey)""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+        |  upper(o_orderpriority) AS pri_upper,
+        |  substr(o_orderpriority, 1, 1) AS pri1,
+        |  CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+        |  abs(CAST(round(o_totalprice*100) AS BIGINT) - 10000000) AS dist_from_100k,
+        |  CAST(greatest(year(o_orderdate), 1996) AS INTEGER) AS y_floor,
+        |  lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS okey_pad
+        |FROM orders""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_cube" ->
+      """SELECT event_type, CAST(dayofmonth(ts) AS INTEGER) AS dom, count(*) AS n
+        |FROM events GROUP BY CUBE(event_type, CAST(dayofmonth(ts) AS INTEGER))""".stripMargin,
+    "q_ann_lsh" ->
+      """WITH w AS (SELECT p, list_transform(generate_series(0,63),
+        |    i -> CASE WHEN strpos('89abcdef', substr(md5(p || ':' || i),1,1)) > 0 THEN 1 ELSE -1 END) AS wv
+        |  FROM (SELECT unnest(generate_series(0,7)) AS p)),
+        |q AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv FROM embeddings),
+        |n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x->x*x)) AS BIGINT) AS nrm FROM q),
+        |s AS (SELECT vec_id, p, CAST(list_sum(list_transform(generate_series(1,64),
+        |    i -> wv[i]*qv[i])) AS BIGINT) AS sp FROM q CROSS JOIN w),
+        |bk AS (SELECT vec_id, CAST(sum(CASE WHEN sp >= 0 THEN (1<<p) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM s GROUP BY 1),
+        |e AS (SELECT n.vec_id, qv, nrm, bucket FROM n JOIN bk ON n.vec_id = bk.vec_id),
+        |p AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, a.bucket,
+        |  CAST(list_sum(list_transform(generate_series(1,len(a.qv)), i -> a.qv[i]*b.qv[i])) AS BIGINT)
+        |    / sqrt(CAST(a.nrm*b.nrm AS DOUBLE)) AS cos
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < 16 AND a.vec_id != b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM p)
+        |SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, cos, bucket FROM r WHERE rank <= 3""".stripMargin,
   )
 }

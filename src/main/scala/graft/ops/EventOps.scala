@@ -90,6 +90,25 @@ object EventOps {
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
 
+  /** Pivot: per-user event-type counts as columns (explicit value list so
+    * the plan needs no discovery pass; absent combos fill 0). */
+  def pivotEventCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** CUBE over (event_type, day-of-month) — the full grouping-set lattice
+    * (rollup's sibling), via SQL like the reference composes queries. */
+  def cubeEventDay(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("graft_events")
+    spark.sql(
+      """SELECT event_type, dayofmonth(ts) AS dom, count(*) AS n
+        |FROM graft_events
+        |GROUP BY CUBE(event_type, dayofmonth(ts))""".stripMargin)
+  }
+
   /** Session windows with a 30-minute inactivity gap, rolled up per user.
     * Spark's `session_window` plans a native SessionWindow aggregation;
     * the oracle is the classic gaps-and-islands form (lag + cumulative

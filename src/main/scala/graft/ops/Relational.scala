@@ -230,6 +230,71 @@ object Relational {
     onlyCust.unionByName(both)
   }
 
+  /** Full outer join: per-nation customer vs supplier counts, keys
+    * surviving from either side via coalesce. */
+  def outerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("ck") === col("sk"), "full_outer")
+      .select(
+        coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  /** Window-function breadth: lag/lead over the order sequence, dense_rank
+    * and ntile over the price ranking — all with deterministic tie-breaks. */
+  def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val byPrice = Window.partitionBy("o_custkey")
+      .orderBy(col("price_c").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("price_c"))
+      .withColumn("prev_cents", lag(col("price_c"), 1).over(seq))
+      .withColumn("next_cents", lead(col("price_c"), 1).over(seq))
+      .withColumn("price_rank", dense_rank().over(byPrice))
+      .withColumn("quartile", ntile(4).over(byPrice))
+      .select("o_custkey", "o_orderkey", "price_c", "prev_cents",
+        "next_cents", "price_rank", "quartile")
+  }
+
+  /** Correlated subqueries (temp views + SQL, like the reference): IN
+    * subquery over a dim plus a correlated scalar MAX threshold. */
+  def subqueries(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_nation")
+    spark.sql(
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents
+        |FROM graft_customer
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM graft_nation WHERE n_regionkey = 2)
+        |  AND CAST(round(c_acctbal*100) AS BIGINT) >
+        |      (SELECT CAST(round(max(s_acctbal)*100) AS BIGINT)
+        |       FROM graft_supplier WHERE s_nationkey = c_nationkey)""".stripMargin)
+  }
+
+  /** Scalar-function breadth over cross-engine-identical functions:
+    * date parts, string ops, abs/greatest. */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        quarter(col("o_orderdate")).as("q"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        substring(col("o_orderpriority"), 1, 1).as("pri1"),
+        length(col("o_orderpriority")).cast("long").as("pri_len"),
+        abs(cents(col("o_totalprice")) - 10000000L).as("dist_from_100k"),
+        greatest(year(col("o_orderdate")), lit(1996)).as("y_floor"),
+        lpad(col("o_orderkey").cast("string"), 12, "0").as("okey_pad"))
+
   /** Running total per customer over order dates (window frame op). */
   def runningTotal(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")

@@ -112,16 +112,43 @@ object VectorOps {
     * bucket = sign-bit pattern of the 8 integer projections. The ANN
     * scale path: vectors shuffle once on bucket id; probes only touch
     * their own bucket. */
-  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
+  /** Embeddings with their quantized form, norm and LSH bucket id. */
+  private def bucketed(spark: SparkSession, dir: String): DataFrame = {
     val weights = planeWeights
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), quantized.as("qv"))
     val bucket = (0 until NumPlanes).map { p =>
       val wv = array(weights(p).map(lit): _*)
       when(dot(col("qv"), wv) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    e.withColumn("bucket", bucket)
+    emb(spark, dir).withColumn("bucket", bucket)
+  }
+
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    bucketed(spark, dir)
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"))
+
+  /** LSH-bucketed ANN (the scale path): probes only compare against
+    * candidates in their own hyperplane bucket — the corpus shuffles once
+    * on bucket id instead of every probe scanning everything. Approximate
+    * by construction (a true neighbor can land across a hyperplane);
+    * deterministic, so still oracle-checked. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val b = bucketed(spark, dir)
+    val q = b.filter(col("vec_id") < NumQueries)
+      .select(col("bucket"), col("vec_id").as("query_id"),
+        col("qv").as("query_v"), col("nrm").as("qn"))
+    val pairs = b
+      .select(col("bucket"), col("vec_id").as("cand_id"),
+        col("qv").as("cand_v"), col("nrm").as("cn"))
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("query_v"), col("cand_v")) /
+          sqrt((col("qn") * col("cn")).cast("double")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "cand_id", "rank", "cos", "bucket")
   }
 
   /** Per-label centroid, one row per (label, dim): exact integer sums,
