@@ -60,34 +60,53 @@ object DedupOps {
     // per-hash minima — and therefore the LSH buckets — are identical to
     // the oracle's string minima; min(long) plans as a pure HashAggregate
     // while min(string) would force Sort + SortAggregate.
-    val bandMinhashes = tokDocs
+    val sigAggs = (0 until NumHashes).map(j =>
+      min(when(col("h") === j, col("hv"))).as(s"m$j"))
+    val signatures = tokDocs
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .withColumn("h", explode(sequence(lit(0), lit(NumHashes - 1))))
-      .select(col("doc_id"),
-        expr(s"h div $RowsPerBand").as("band"),
-        (col("h") % RowsPerBand).as("r"),
+      .select(col("doc_id"), col("h"),
         conv(substring(md5(concat(col("h").cast("string"), lit(":"), col("tok"))), 1, 15), 16, 10)
           .cast("long").as("hv"))
-      .groupBy("doc_id", "band")
-      .agg(
-        min(when(col("r") === 0, col("hv"))).as("mh0"),
-        min(when(col("r") === 1, col("hv"))).as("mh1"),
-        min(when(col("r") === 2, col("hv"))).as("mh2"),
-        min(when(col("r") === 3, col("hv"))).as("mh3"))
+      .groupBy("doc_id")
+      .agg(sigAggs.head, sigAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(j => col(s"m$j")): _*).as("sig"))
 
-    // Candidate pairs by grouping docs per bucket (band + 4 minhashes) and
-    // emitting in-bucket combinations — computes the minhash subtree ONCE
-    // (a self-join would re-evaluate it per side) and replaces the join
-    // with one shuffle on the bucket key. Two-step explode keeps per-row
-    // arrays bounded by bucket size.
-    val candidates = bandMinhashes
-      .groupBy("band", "mh0", "mh1", "mh2", "mh3")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    val numBands = NumHashes / RowsPerBand
+    // b-th band of a signature (1-based element_at)
+    def bandKey(sig: Column, band: Column, k: Int): Column =
+      element_at(sig, band * RowsPerBand + k + 1)
+    // does band b of the two signatures fully match?
+    def bandMatches(a: Column, b: Column, band: Int): Column =
+      (0 until RowsPerBand).map(k =>
+        element_at(a, band * RowsPerBand + k + 1) ===
+          element_at(b, band * RowsPerBand + k + 1)).reduce(_ && _)
+
+    // Candidate pairs: group docs per bucket (band id + that band's
+    // minhashes), emit in-bucket combinations (doc list sorted → a < b),
+    // and keep a pair only in the FIRST band where the signatures match —
+    // pairs are unique by construction, so no 10M-row distinct shuffle.
+    // The full 16-hash signature rides along to evaluate "first band"
+    // locally. This computes the minhash subtree once (a self-join would
+    // re-evaluate it per side) and shuffles once, on the bucket key.
+    val firstMatchingBand = (a: Column, b: Column) =>
+      (0 until numBands - 1).foldRight(lit(numBands - 1): Column) {
+        (band, rest) => when(bandMatches(a, b, band), lit(band)).otherwise(rest)
+      }
+    val bandRows = signatures
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(numBands - 1))).as("band"))
+    val candidates = bandRows
+      .groupBy(col("band") +:
+        (0 until RowsPerBand).map(k => bandKey(col("sig"), col("band"), k).as(s"bk$k")): _*)
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
-      .select(col("doc_a"),
-        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc_b"))
-      .distinct()
+      .select(col("band"), posexplode(col("ds")).as(Seq("i", "da")), col("ds"))
+      .select(col("band"), col("da"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("db"))
+      .filter(firstMatchingBand(col("da.sig"), col("db.sig")) === col("band"))
+      .select(col("da.doc_id").as("doc_a"), col("db.doc_id").as("doc_b"))
 
     // Per-doc token sets are a few MB → broadcast both probe sides instead
     // of shuffling millions of wide candidate rows through two joins; the
