@@ -67,6 +67,7 @@ object SparkEntry {
     "q_pivot"            -> EventOps.pivotEventCounts _,
     "q_cube"             -> EventOps.cubeEventDay _,
     "q_ann_lsh"          -> VectorOps.annLsh _,
+    "q_salted_agg"       -> Relational.saltedAgg _,
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same column names, same exact
@@ -407,5 +408,11 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < 16 AND a.vec_id != b.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM p)
         |SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, cos, bucket FROM r WHERE rank <= 3""".stripMargin,
+    "q_salted_agg" -> // the oracle is the UNsalted direct form — salting must not change results
+      """SELECT c_nationkey,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SQL registration for the engine's custom Catalyst Expressions, so
+  * `spark.sql("SELECT long_dot(a, b) ...")` works next to the Column API.
+  *
+  * Two registration paths:
+  *   - [[GraftFunctions.register]] on a live session (FunctionRegistry);
+  *   - [[GraftExtensions]] for `SparkSession.builder().withExtensions`
+  *     or `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object GraftFunctions {
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "long_dot" -> { exprs => LongDotProduct(exprs(0), exprs(1)) },
+    "sorted_intersect_size" -> { exprs => SortedIntersectSize(exprs(0), exprs(1)) })
+
+  /** Register on an existing session's function registry. */
+  def register(spark: SparkSession): Unit = {
+    val registry = org.apache.spark.sql.graftbridge.Bridge.functionRegistry(spark)
+    all.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}
+
+/** Session-extension entry point (spark.sql.extensions). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}

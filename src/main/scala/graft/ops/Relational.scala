@@ -295,6 +295,25 @@ object Relational {
         greatest(year(col("o_orderdate")), lit(1996)).as("y_floor"),
         lpad(col("o_orderkey").cast("string"), 12, "0").as("okey_pad"))
 
+  /** Skew-resistant two-stage aggregation: salt the hot key space, do a
+    * partial aggregate per (key, salt), then merge per key. Exact-integer
+    * sums are associative, so the result equals the direct GROUP BY (the
+    * oracle IS the direct form). At 100 TB this is the pattern for a key
+    * whose group would otherwise overflow one task; locally AQE handles
+    * mild skew, salting handles the pathological case. */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("price_c"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .withColumn("salt", pmod(col("o_custkey"), lit(16)))
+      .groupBy("c_nationkey", "salt")
+      .agg(sum(col("price_c")).as("partial_cents"), count(lit(1)).as("partial_n"))
+      .groupBy("c_nationkey")
+      .agg(sum(col("partial_cents")).as("revenue_cents"),
+        sum(col("partial_n")).as("n_orders"))
+  }
+
   /** Running total per customer over order dates (window frame op). */
   def runningTotal(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")

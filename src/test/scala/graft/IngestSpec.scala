@@ -36,6 +36,24 @@ class IngestSpec extends AnyFunSuite {
     assert(byId(1).getDate(3).toString == "2023-01-15")
   }
 
+  test("bucketed tables join without a shuffle (CLUSTER BY analog)") {
+    val orders = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+    val customer = graft.sources.Tables.customer(spark, TestSpark.Sf0001)
+    Materialize.writeBucketed(orders.select("o_orderkey", "o_custkey"), "graft_b_orders", "o_custkey", 4)
+    Materialize.writeBucketed(customer.select("c_custkey", "c_nationkey"), "graft_b_customer", "c_custkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_b_orders")
+        .join(spark.table("graft_b_customer"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"), s"bucketed join shuffled:\n$plan")
+      assert(joined.count() == orders.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitioned write produces partition directories and reads back") {
     val raw = Materialize.readCsv(spark, csvPath, Materialize.PlayerCasts.map(_._1))
     val out = Files.createTempDirectory("graft_mat").toString + "/players"
