@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Deduplication operators over `documents` (north-star: the dedup half of
-  * a training-data pipeline).
+  * a training-data pipeline). MinHash resemblance sketching follows Broder
+  * ("On the resemblance and containment of documents", 1997) with banded
+  * LSH; SimHash follows Charikar ("Similarity estimation techniques from
+  * rounding algorithms", STOC 2002).
   *
   * Determinism design: every hash is md5 (identical across engines, unlike
   * xxhash64), minhash signatures are lexicographic minima of md5 hex
@@ -82,46 +85,40 @@ object DedupOps {
       (0 until RowsPerBand).map(k =>
         element_at(a, band * RowsPerBand + k + 1) ===
           element_at(b, band * RowsPerBand + k + 1)).reduce(_ && _)
-
-    // Candidate pairs: group docs per bucket (band id + that band's
-    // minhashes), emit in-bucket combinations (doc list sorted → a < b),
-    // and keep a pair only in the FIRST band where the signatures match —
-    // pairs are unique by construction, so no 10M-row distinct shuffle.
-    // The full 16-hash signature rides along to evaluate "first band"
-    // locally. This computes the minhash subtree once (a self-join would
-    // re-evaluate it per side) and shuffles once, on the bucket key.
     val firstMatchingBand = (a: Column, b: Column) =>
       (0 until numBands - 1).foldRight(lit(numBands - 1): Column) {
         (band, rest) => when(bandMatches(a, b, band), lit(band)).otherwise(rest)
       }
+
+    // One tiny per-doc join attaches the hashed token set to the signature
+    // BEFORE bucketing, so the exact-jaccard verify happens inline at pair
+    // emission — no multi-million-row candidate joins afterwards. Pairs
+    // are unique by construction: a pair is kept only in the FIRST band
+    // whose 4 minhashes match (the full 16-hash signature rides along),
+    // so there is no distinct shuffle either. The whole op is: one doc
+    // scan fan-out, two HashAggregates, one shuffle on the bucket key,
+    // pair explode, filter.
+    val docSets = sets.withColumn("sz", size(col("s")).cast("long"))
     val bandRows = signatures
-      .select(col("doc_id"), col("sig"),
+      .join(docSets, Seq("doc_id"))
+      .select(col("doc_id"), col("sig"), col("s"), col("sz"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"))
-    val candidates = bandRows
+    bandRows
       .groupBy(col("band") +:
         (0 until RowsPerBand).map(k => bandKey(col("sig"), col("band"), k).as(s"bk$k")): _*)
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("sig"), col("s"), col("sz")))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(col("band"), posexplode(col("ds")).as(Seq("i", "da")), col("ds"))
       .select(col("band"), col("da"),
         explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("db"))
       .filter(firstMatchingBand(col("da.sig"), col("db.sig")) === col("band"))
-      .select(col("da.doc_id").as("doc_a"), col("db.doc_id").as("doc_b"))
-
-    // Per-doc token sets are a few MB → broadcast both probe sides instead
-    // of shuffling millions of wide candidate rows through two joins; the
-    // union size is |A|+|B|-inter, saving a second array traversal.
-    val sized = sets.withColumn("sz", size(col("s")).cast("long"))
-    candidates
-      .join(broadcast(sized.select(col("doc_id").as("doc_a"),
-        col("s").as("sa"), col("sz").as("za"))), Seq("doc_a"))
-      .join(broadcast(sized.select(col("doc_id").as("doc_b"),
-        col("s").as("sb"), col("sz").as("zb"))), Seq("doc_b"))
       .withColumn("inter",
-        graft.functions.SortedIntersectSize.sortedIntersectSize(col("sa"), col("sb")))
-      .withColumn("uni", col("za") + col("zb") - col("inter"))
+        graft.functions.SortedIntersectSize.sortedIntersectSize(
+          col("da.s"), col("db.s")))
+      .withColumn("uni", col("da.sz") + col("db.sz") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * 8)
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("da.doc_id").as("doc_a"), col("db.doc_id").as("doc_b"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 
