@@ -37,6 +37,19 @@ class IngestSpec extends AnyFunSuite {
   }
 
   test("bucketed tables join without a shuffle (CLUSTER BY analog)") {
+    // a previous JVM's warehouse dirs survive while its in-memory
+    // metastore doesn't — drop both table and orphaned location
+    Seq("graft_b_orders", "graft_b_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     val orders = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
     val customer = graft.sources.Tables.customer(spark, TestSpark.Sf0001)
     Materialize.writeBucketed(orders.select("o_orderkey", "o_custkey"), "graft_b_orders", "o_custkey", 4)
