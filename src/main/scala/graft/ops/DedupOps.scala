@@ -54,7 +54,12 @@ object DedupOps {
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))))
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // documents is a small file → one input split, but the pipeline fans
+    // out 16× hashes per token before the first shuffle; spread the scan
+    // across the cluster first (cheap: the table is tiny relative to the
+    // fan-out work; at real scale the source already has many splits)
     val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
     val sets = docs.select(col("doc_id"), hashedTokenSet(tokenSet).as("s"))
     val tokDocs = docs.select(col("doc_id"), tokenSet.as("toks"))
 
@@ -129,6 +134,7 @@ object DedupOps {
     * its exact shingle-jaccard. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // spread shingling
       .withColumn("t", split(col("text"), " "))
       .select(col("doc_id"), col("lang"), col("source"),
         hashedTokenSet(expr(
@@ -169,6 +175,7 @@ object DedupOps {
       (shiftright(nib(b / 4), 3 - b % 4) % 2) * 2 - 1
     val aggs = (0 until 16).map(b => sum(vote(b)).as(s"s$b"))
     val votes = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // spread the vote fan-out
       .select(col("doc_id"), explode(tokenSet).as("tok"))
       .groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)

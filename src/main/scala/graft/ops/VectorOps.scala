@@ -39,7 +39,11 @@ object VectorOps {
     graft.functions.LongDotProduct.longDot(a, b)
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
+    // embeddings is one small file → one input split, but every pairwise
+    // scan below multiplies work per row; spread the corpus first so the
+    // dot-product loops run on all cores
     Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), quantized.as("qv"))
       .withColumn("nrm", dot(col("qv"), col("qv")))
 
