@@ -108,15 +108,32 @@ object DedupOps {
       .join(docSets, Seq("doc_id"))
       .select(col("doc_id"), col("sig"), col("s"), col("sz"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"))
+    // Skew guard: a hot bucket (data-dependent; 2.7k docs → 3.6M pairs at
+    // sf0.1) would generate and verify all its pairs inside ONE task.
+    // Split each bucket's sorted doc list into ≤FragSize fragments and
+    // emit fragment-pair blocks: the diagonal block (pj=0) yields i<j
+    // combinations, off-diagonal blocks the full cross product (sorted
+    // fragments ⇒ doc_a < doc_b holds). Blocks are repartitioned so one
+    // bucket's O(n²) work spreads over the whole cluster.
+    val FragSize = 256
     bandRows
       .groupBy(col("band") +:
         (0 until RowsPerBand).map(k => bandKey(col("sig"), col("band"), k).as(s"bk$k")): _*)
       .agg(sort_array(collect_list(
         struct(col("doc_id"), col("sig"), col("s"), col("sz")))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(col("band"), posexplode(col("ds")).as(Seq("i", "da")), col("ds"))
+      .withColumn("frags", expr(
+        s"transform(sequence(0, cast(ceil(size(ds) / $FragSize.0) AS INT) - 1), " +
+          s"f -> slice(ds, f * $FragSize + 1, $FragSize))"))
+      .select(col("band"), posexplode(col("frags")).as(Seq("fi", "ba")), col("frags"))
+      .select(col("band"), col("ba"),
+        posexplode(expr("slice(frags, fi + 1, size(frags))")).as(Seq("pj", "bb")))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("band"), posexplode(col("ba")).as(Seq("i", "da")),
+        col("bb"), (col("pj") === 0).as("diag"))
       .select(col("band"), col("da"),
-        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("db"))
+        explode(when(col("diag"), slice(col("bb"), col("i") + 2, size(col("bb"))))
+          .otherwise(col("bb"))).as("db"))
       .filter(firstMatchingBand(col("da.sig"), col("db.sig")) === col("band"))
       .withColumn("inter",
         graft.functions.SortedIntersectSize.sortedIntersectSize(
