@@ -391,7 +391,7 @@ object SparkEntry {
       """SELECT event_type, CAST(dayofmonth(ts) AS INTEGER) AS dom, count(*) AS n
         |FROM events GROUP BY CUBE(event_type, CAST(dayofmonth(ts) AS INTEGER))""".stripMargin,
     "q_ann_lsh" ->
-      """WITH w AS (SELECT p, list_transform(generate_series(0,63),
+      s"""WITH w AS (SELECT p, list_transform(generate_series(0,63),
         |    i -> CASE WHEN strpos('89abcdef', substr(md5(p || ':' || i),1,1)) > 0 THEN 1 ELSE -1 END) AS wv
         |  FROM (SELECT unnest(generate_series(0,7)) AS p)),
         |q AS (SELECT vec_id, list_transform(embedding,
@@ -407,7 +407,8 @@ object SparkEntry {
         |    / sqrt(CAST(a.nrm*b.nrm AS DOUBLE)) AS cos
         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < 16 AND a.vec_id != b.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM p)
-        |SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, cos, bucket FROM r WHERE rank <= 3""".stripMargin,
+        |SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, cos, bucket
+        |FROM r WHERE rank <= ${VectorOps.AnnTopK}""".stripMargin,
     "q_salted_agg" -> // the oracle is the UNsalted direct form — salting must not change results
       """SELECT c_nationkey,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,

@@ -15,9 +15,18 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 object GraftFunctions {
 
+  private def binary(name: String, make: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"$name expects exactly 2 arguments, got ${exprs.length}")
+    make(exprs(0), exprs(1))
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "long_dot" -> { exprs => LongDotProduct(exprs(0), exprs(1)) },
-    "sorted_intersect_size" -> { exprs => SortedIntersectSize(exprs(0), exprs(1)) })
+    "long_dot" -> binary("long_dot", LongDotProduct(_, _)),
+    "sorted_intersect_size" ->
+      binary("sorted_intersect_size", SortedIntersectSize(_, _)))
 
   /** Register on an existing session's function registry. */
   def register(spark: SparkSession): Unit = {

@@ -22,6 +22,17 @@ case class LongDotProduct(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "long_dot"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    import org.apache.spark.sql.types.ArrayType
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckSuccess
+      case (l, r) => TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got ($l, $r)")
+    }
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]

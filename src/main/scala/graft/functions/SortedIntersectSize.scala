@@ -25,6 +25,17 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_size"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckSuccess
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckSuccess
+      case (l, r) => TypeCheckFailure(
+        s"$prettyName requires two array<bigint> or two array<string> arguments, got ($l, $r)")
+    }
+  }
+
   private lazy val isLong: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == LongType
 

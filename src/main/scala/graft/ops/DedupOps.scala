@@ -154,9 +154,13 @@ object DedupOps {
       .repartition(spark.sparkContext.defaultParallelism) // spread shingling
       .withColumn("t", split(col("text"), " "))
       .select(col("doc_id"), col("lang"), col("source"),
+        // guard: sequence(1, size-2) on a <3-token doc would descend
+        // through index 0 and throw; the oracle's generate_series(1,0)
+        // is empty, so mirror that with an empty shingle set
         hashedTokenSet(expr(
-          "transform(sequence(1, size(t)-2), i -> " +
-            "concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))"))
+          "CASE WHEN size(t) >= 3 THEN transform(sequence(1, size(t)-2), i -> " +
+            "concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2))) " +
+            "ELSE array() END"))
           .as("sh"))
       .withColumn("sz", size(col("sh")).cast("long"))
     // One shuffle on the block key, shingle subtree computed once; pairs

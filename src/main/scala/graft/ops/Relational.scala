@@ -99,7 +99,7 @@ object Relational {
   def teamView(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .filter(col("o_custkey").isNotNull)
-      .select(col("o_custkey"), col("o_orderkey"),
+      .select(col("o_custkey"),
         cents(col("o_totalprice")).as("price_c"),
         date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
     val c = Tables.customer(spark, dir)

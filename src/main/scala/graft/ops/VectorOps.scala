@@ -26,6 +26,7 @@ object VectorOps {
 
   val NumQueries = 16 // vec_id < 16 act as the query set
   val TopK = 5
+  val AnnTopK = 3 // within-bucket k for the LSH path
   val NumPlanes = 8
 
   /** Quantize float embedding to exact integer milli-units. */
@@ -151,7 +152,7 @@ object VectorOps {
           sqrt((col("qn") * col("cn")).cast("double")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
     pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= AnnTopK)
       .select("query_id", "cand_id", "rank", "cos", "bucket")
   }
 

@@ -25,6 +25,11 @@ object Tables {
     * reader rejects. Read nanos as LongType (legacy conf) and truncate to
     * micros — the same ns→us truncation DuckDB applies, so oracle SQL over
     * the raw file agrees with us.
+    *
+    * NOTE the defensive `spark.conf.set` below mutates the session: it is
+    * a fallback for sessions not built by this library. All shipped entry
+    * points (Verify/Bench/Scratch/TestSpark) already pin the conf at
+    * builder time.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -27,7 +27,7 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum((col("value") * 100).cast("long")).as("value_cents"))
+        sum(graft.functions.Exact.cents(col("value"))).as("value_cents"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("value_cents"))
 
