@@ -68,6 +68,8 @@ object SparkEntry {
     "q_cube"             -> EventOps.cubeEventDay _,
     "q_ann_lsh"          -> VectorOps.annLsh _,
     "q_salted_agg"       -> Relational.saltedAgg _,
+    "q_regex_tokens"     -> TextOps.regexTokens _,
+    "q_rolling_fp"       -> TextOps.rollingFingerprint _,
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same column names, same exact
@@ -415,5 +417,26 @@ object SparkEntry {
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+    "q_regex_tokens" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS rt FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(rt) AS BIGINT) AS n_tokens_regex,
+        |  CAST(len(list_filter(rt, x -> regexp_matches(x, '^[A-Za-z]'))) AS BIGINT) AS n_word_tokens,
+        |  CAST(len(list_filter(rt, x -> regexp_matches(x, '^[0-9]'))) AS BIGINT) AS n_num_tokens
+        |FROM t""".stripMargin,
+    "q_rolling_fp" -> {
+      val terms = (0 until 8).map { j =>
+        val coef = math.pow(31.0, (7 - j).toDouble).toLong
+        s"CAST(ord(substr(text, i + $j, 1)) AS BIGINT) * $coef"
+      }.mkString(" + ")
+      s"""WITH h AS (SELECT doc_id,
+         |  CASE WHEN length(text) >= 8 THEN
+         |    list_transform(generate_series(1, length(text) - 7), i -> $terms)
+         |  ELSE CAST([] AS BIGINT[]) END AS hs FROM documents)
+         |SELECT doc_id, list_min(hs) AS min_h, list_max(hs) AS max_h,
+         |  CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct_win
+         |FROM h""".stripMargin
+    },
   )
 }

@@ -46,6 +46,43 @@ object TextOps {
         countDistinct(col("source")).as("n_sources"))
       .withColumn("avg_chars", idiv(col("total_chars"), col("n_docs")))
 
+  /** BPE-ish regex tokenization: letter runs, digit runs, and single
+    * punctuation marks as separate tokens (the usual pre-tokenizer shape),
+    * counted per class. The character-class pattern behaves identically
+    * under Java regex and the oracle's RE2. */
+  def regexTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("rt",
+        expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+      .select(
+        col("doc_id"),
+        size(col("rt")).cast("long").as("n_tokens_regex"),
+        size(expr("filter(rt, x -> x rlike '^[A-Za-z]')")).cast("long").as("n_word_tokens"),
+        size(expr("filter(rt, x -> x rlike '^[0-9]')")).cast("long").as("n_num_tokens"))
+
+  /** Rolling-hash fingerprinting: a degree-7 polynomial hash (base 31)
+    * over every 8-char window — exact int64, no modulus needed (max value
+    * ~3.4e12). Emits the winnowing-style summary per doc: min/max window
+    * hash and distinct window count. */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val B = 31L
+    val terms = (0 until K).map { j =>
+      val coef = math.pow(B.toDouble, (K - 1 - j).toDouble).toLong
+      s"CAST(ascii(substr(text, i + $j, 1)) AS BIGINT) * $coef"
+    }.mkString(" + ")
+    Tables.documents(spark, dir)
+      .withColumn("hs", expr(
+        s"CASE WHEN length(text) >= $K THEN " +
+          s"transform(sequence(1, length(text) - ${K - 1}), i -> $terms) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END"))
+      .select(
+        col("doc_id"),
+        array_min(col("hs")).as("min_h"),
+        array_max(col("hs")).as("max_h"),
+        size(array_distinct(col("hs"))).cast("long").as("n_distinct_win"))
+  }
+
   /** Document fingerprinting: md5 content hash + 2-hex-char shard bucket.
     * md5 is identical across engines, unlike xxhash64, so the fingerprint
     * itself is oracle-checkable. */

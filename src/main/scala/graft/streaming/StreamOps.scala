@@ -64,4 +64,30 @@ object StreamOps {
 
   /** Required OutputMode for [[runningUserTotals]] sinks. */
   val RunningTotalsOutputMode: OutputMode = OutputMode.Update()
+
+  /** A closed activity burst emitted by [[burstDetector]]. */
+  case class Burst(user_id: Long, n_events: Long, first_us: Long, last_us: Long)
+
+  /** flatMapGroupsWithState: emits a Burst row whenever a user's batch of
+    * events arrives while state already holds a prior burst — a 0..n
+    * output per group per trigger, which mapGroupsWithState cannot
+    * express. Append mode. */
+  def burstDetector(events: Dataset[Ev]): Dataset[Burst] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Burst, Burst](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Burst]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val closed = state.getOption.iterator
+            val burst = Burst(uid, sorted.size.toLong,
+              sorted.head.ts.getTime * 1000L, sorted.last.ts.getTime * 1000L)
+            state.update(burst)
+            closed
+          }
+      }
+  }
 }

@@ -74,6 +74,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits prior bursts on new activity") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamOps.burstDetector(in.toDS())
+      .writeStream.format("memory").queryName("burst_out")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      assert(spark.table("burst_out").count() == 0) // nothing closed yet
+      in.addData(batch2); q.processAllAvailable()
+      val bursts = spark.table("burst_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch2 touches users 1 and 2 → their batch1 bursts close
+      assert(bursts == Set((1L, 2L), (2L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
