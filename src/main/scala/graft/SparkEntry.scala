@@ -70,6 +70,8 @@ object SparkEntry {
     "q_salted_agg"       -> Relational.saltedAgg _,
     "q_regex_tokens"     -> TextOps.regexTokens _,
     "q_rolling_fp"       -> TextOps.rollingFingerprint _,
+    "q_range_join"       -> EventOps.rangeJoinPairs _,
+    "q_percentiles"      -> EventOps.percentiles _,
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same column names, same exact
@@ -438,5 +440,18 @@ object SparkEntry {
          |  CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct_win
          |FROM h""".stripMargin
     },
+    "q_range_join" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 300000000
+        | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+        |GROUP BY 1""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS median_cents,
+        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.9) AS p90_cents,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
   )
 }

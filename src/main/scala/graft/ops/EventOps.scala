@@ -79,6 +79,46 @@ object EventOps {
         unix_micros(col("asof_t")).as("asof_order_us"))
   }
 
+  /** Range (interval) self-join via time-bucketing: unordered pairs of
+    * same-user events at most 5 minutes apart. Spark has no native range
+    * join, and the naive key-only self-join explodes before its time
+    * filter; bucketing by the interval length and probing {bucket,
+    * bucket+1} bounds each join group to two 5-minute slices — each
+    * qualifying pair matches exactly one probe key, so no dedup pass.
+    */
+  def rangeJoinPairs(spark: SparkSession, dir: String): DataFrame = {
+    val IntervalUs = 5L * 60 * 1000000
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val a = ev
+      .withColumn("bucket",
+        explode(array(expr(s"ts_us div $IntervalUs"), expr(s"ts_us div $IntervalUs + 1"))))
+      .select(col("user_id"), col("bucket"),
+        col("event_id").as("id_a"), col("ts_us").as("ts_a"))
+    val b = ev
+      .withColumn("bucket", expr(s"ts_us div $IntervalUs"))
+      .select(col("user_id"), col("bucket"),
+        col("event_id").as("id_b"), col("ts_us").as("ts_b"))
+    a.join(b, Seq("user_id", "bucket"))
+      .filter((col("ts_b") - col("ts_a")).between(0L, IntervalUs) &&
+        (col("ts_a") < col("ts_b") ||
+          (col("ts_a") === col("ts_b") && col("id_a") < col("id_b"))))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Exact interpolated percentiles (median + p90) of order value per
+    * priority class — both engines use the (n-1)*p linear-interpolation
+    * definition over exact integer cents. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("price_c"))
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(price_c, 0.5)").as("median_cents"),
+        expr("percentile(price_c, 0.9)").as("p90_cents"),
+        count(lit(1)).as("n"))
+
   /** HLL sketch distinct counts next to the exact form — the approximate
     * path for 100 TB cardinality estimation (no oracle: HLL++ internals
     * are engine-specific, so the driver records a rows-only check). */
