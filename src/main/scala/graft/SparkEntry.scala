@@ -211,7 +211,7 @@ object SparkEntry {
         |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq,
         |  CAST(CAST(len(list_distinct(string_split(text,' '))) AS BIGINT)*1000
         |       // CAST(len(string_split(text,' ')) AS BIGINT) AS BIGINT) AS ttr_permille
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "q_word_freq" ->
       """SELECT word, count(*) AS cnt FROM (
         |  SELECT unnest(string_split(text,' ')) AS word FROM documents)
@@ -421,25 +421,31 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "q_regex_tokens" ->
       """WITH t AS (SELECT doc_id,
-        |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS rt FROM documents)
+        |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS rt
+        |  FROM documents WHERE text IS NOT NULL)
         |SELECT doc_id,
         |  CAST(len(rt) AS BIGINT) AS n_tokens_regex,
         |  CAST(len(list_filter(rt, x -> regexp_matches(x, '^[A-Za-z]'))) AS BIGINT) AS n_word_tokens,
         |  CAST(len(list_filter(rt, x -> regexp_matches(x, '^[0-9]'))) AS BIGINT) AS n_num_tokens
         |FROM t""".stripMargin,
-    "q_rolling_fp" -> {
-      val terms = (0 until 8).map { j =>
-        val coef = math.pow(31.0, (7 - j).toDouble).toLong
-        s"CAST(ord(substr(text, i + $j, 1)) AS BIGINT) * $coef"
-      }.mkString(" + ")
-      s"""WITH h AS (SELECT doc_id,
-         |  CASE WHEN length(text) >= 8 THEN
-         |    list_transform(generate_series(1, length(text) - 7), i -> $terms)
-         |  ELSE CAST([] AS BIGINT[]) END AS hs FROM documents)
-         |SELECT doc_id, list_min(hs) AS min_h, list_max(hs) AS max_h,
-         |  CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct_win
-         |FROM h""".stripMargin
-    },
+    // coefficients written out by hand (31^7 .. 31^0) so the oracle stays
+    // independent of the Scala loop that builds the Spark-side expression
+    "q_rolling_fp" ->
+      """WITH h AS (SELECT doc_id,
+        |  CASE WHEN length(text) >= 8 THEN
+        |    list_transform(generate_series(1, length(text) - 7), i ->
+        |      CAST(ord(substr(text, i + 0, 1)) AS BIGINT) * 27512614111
+        |    + CAST(ord(substr(text, i + 1, 1)) AS BIGINT) * 887503681
+        |    + CAST(ord(substr(text, i + 2, 1)) AS BIGINT) * 28629151
+        |    + CAST(ord(substr(text, i + 3, 1)) AS BIGINT) * 923521
+        |    + CAST(ord(substr(text, i + 4, 1)) AS BIGINT) * 29791
+        |    + CAST(ord(substr(text, i + 5, 1)) AS BIGINT) * 961
+        |    + CAST(ord(substr(text, i + 6, 1)) AS BIGINT) * 31
+        |    + CAST(ord(substr(text, i + 7, 1)) AS BIGINT))
+        |  ELSE CAST([] AS BIGINT[]) END AS hs FROM documents)
+        |SELECT doc_id, list_min(hs) AS min_h, list_max(hs) AS max_h,
+        |  CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct_win
+        |FROM h""".stripMargin,
     "q_range_join" ->
       """SELECT a.user_id, count(*) AS n_pairs
         |FROM events a JOIN events b
@@ -447,11 +453,16 @@ object SparkEntry {
         | AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 300000000
         | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
         |GROUP BY 1""".stripMargin,
-    "q_percentiles" ->
-      """SELECT o_orderpriority,
-        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS median_cents,
-        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.9) AS p90_cents,
+    "q_percentiles" -> // discrete: element at integer index (n-1)*p — no lerp doubles
+      """WITH o AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c FROM orders),
+        |r AS (SELECT o_orderpriority, price_c,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY price_c) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n FROM o)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rn = (n-1)//2 + 1 THEN price_c END) AS median_cents,
+        |  max(CASE WHEN rn = ((n-1)*9)//10 + 1 THEN price_c END) AS p90_cents,
         |  count(*) AS n
-        |FROM orders GROUP BY 1""".stripMargin,
+        |FROM r GROUP BY 1""".stripMargin,
   )
 }

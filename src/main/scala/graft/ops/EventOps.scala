@@ -107,17 +107,26 @@ object EventOps {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
-  /** Exact interpolated percentiles (median + p90) of order value per
-    * priority class — both engines use the (n-1)*p linear-interpolation
-    * definition over exact integer cents. */
-  def percentiles(spark: SparkSession, dir: String): DataFrame =
+  /** Exact discrete percentiles (median + p90) of order value per
+    * priority class: the sorted element at 0-based index (n-1)*p, with
+    * the index computed in INTEGER arithmetic — interpolated percentiles
+    * (Spark `percentile` vs DuckDB `quantile_cont`) differ by 1 ulp
+    * because the engines factor the lerp differently, so no doubles
+    * appear anywhere here. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("price_c").asc)
     Tables.orders(spark, dir)
       .select(col("o_orderpriority"), cents(col("o_totalprice")).as("price_c"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
       .groupBy("o_orderpriority")
       .agg(
-        expr("percentile(price_c, 0.5)").as("median_cents"),
-        expr("percentile(price_c, 0.9)").as("p90_cents"),
+        max(when(col("rn") === expr("(n-1) div 2") + 1, col("price_c")))
+          .as("median_cents"),
+        max(when(col("rn") === expr("((n-1)*9) div 10") + 1, col("price_c")))
+          .as("p90_cents"),
         count(lit(1)).as("n"))
+  }
 
   /** HLL sketch distinct counts next to the exact form — the approximate
     * path for 100 TB cardinality estimation (no oracle: HLL++ internals

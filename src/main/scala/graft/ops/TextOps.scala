@@ -23,6 +23,7 @@ object TextOps {
   /** Per-document token counts + type-token ratio (lexical diversity). */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .filter(col("text").isNotNull) // size(null) = -1 ≠ oracle NULL
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_uniq"))
@@ -52,6 +53,7 @@ object TextOps {
     * under Java regex and the oracle's RE2. */
   def regexTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .filter(col("text").isNotNull) // size(null) = -1 ≠ oracle NULL
       .withColumn("rt",
         expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
       .select(

@@ -79,12 +79,15 @@ object StreamOps {
       .flatMapGroupsWithState[Burst, Burst](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[Burst]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // full microseconds: getTime is millis, sub-ms lives in getNanos
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000) % 1000
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           if (sorted.isEmpty) Iterator.empty
           else {
             val closed = state.getOption.iterator
             val burst = Burst(uid, sorted.size.toLong,
-              sorted.head.ts.getTime * 1000L, sorted.last.ts.getTime * 1000L)
+              micros(sorted.head.ts), micros(sorted.last.ts))
             state.update(burst)
             closed
           }
