@@ -53,7 +53,9 @@ object SparkEntry {
     "q_simhash"          -> DedupOps.simhash _,
     "q_knn_dot"          -> VectorOps.knnDot _,
     "q_cosine_knn"       -> VectorOps.cosineKnn _,
-    "q_emb_near_dup"     -> VectorOps.embNearDup _,
+    // exact all-pairs embNearDup is a test-only recall yardstick (DedupSpec);
+    // the shipped near-dup operator is the LSH-bucketed scale path:
+    "q_emb_near_dup_lsh" -> VectorOps.embNearDupLsh _,
     "q_lsh_buckets"      -> VectorOps.lshBuckets _,
     "q_label_centroid"   -> VectorOps.labelCentroid _,
     "q_multimodal_meta"  -> MultimodalOps.mediaMeta _,
@@ -297,15 +299,30 @@ object SparkEntry {
         |  FROM n a JOIN n b ON a.vec_id < 16 AND a.vec_id != b.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM p)
         |SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, cos FROM r WHERE rank <= 5""".stripMargin,
-    "q_emb_near_dup" ->
-      """WITH q AS (SELECT vec_id, list_transform(embedding,
+    // Spark dedups multi-table collisions via first-matching-table (no
+    // distinct shuffle); the oracle's DISTINCT yields the same pair SET.
+    "q_emb_near_dup_lsh" -> {
+      val k = VectorOps.NearDupPlanes
+      val nPlanes = VectorOps.NearDupTables * VectorOps.NearDupPlanes
+      s"""WITH w AS (SELECT p, list_transform(generate_series(0,63),
+        |    i -> CASE WHEN strpos('89abcdef', substr(md5(p || ':' || i),1,1)) > 0 THEN 1 ELSE -1 END) AS wv
+        |  FROM (SELECT unnest(generate_series(0,${nPlanes - 1})) AS p)),
+        |q AS (SELECT vec_id, list_transform(embedding,
         |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv FROM embeddings),
         |n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x->x*x)) AS BIGINT) AS nrm FROM q),
-        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  CAST(list_sum(list_transform(generate_series(1,len(a.qv)), i -> a.qv[i]*b.qv[i])) AS BIGINT)
-        |    / sqrt(CAST(a.nrm*b.nrm AS DOUBLE)) AS cos
-        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""".stripMargin,
+        |s AS (SELECT vec_id, p, CAST(list_sum(list_transform(generate_series(1,64),
+        |    i -> wv[i]*qv[i])) AS BIGINT) AS sp FROM q CROSS JOIN w),
+        |bb AS (SELECT vec_id, p//$k AS tbl,
+        |    CAST(sum(CASE WHEN sp >= 0 THEN (1<<(p%$k)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM s GROUP BY 1,2),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bb a JOIN bb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |p AS (SELECT vec_a, vec_b,
+        |  CAST(list_sum(list_transform(generate_series(1,len(x.qv)), i -> x.qv[i]*y.qv[i])) AS BIGINT)
+        |    / sqrt(CAST(x.nrm*y.nrm AS DOUBLE)) AS cos
+        |  FROM cand JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id)
+        |SELECT vec_a, vec_b, cos FROM p WHERE cos >= ${VectorOps.NearDupCos}""".stripMargin
+    },
     "q_lsh_buckets" ->
       """WITH w AS (SELECT p, list_transform(generate_series(0,63),
         |    i -> CASE WHEN strpos('89abcdef', substr(md5(p || ':' || i),1,1)) > 0 THEN 1 ELSE -1 END) AS wv

@@ -95,18 +95,17 @@ object DedupOps {
         (band, rest) => when(bandMatches(a, b, band), lit(band)).otherwise(rest)
       }
 
-    // One tiny per-doc join attaches the hashed token set to the signature
-    // BEFORE bucketing, so the exact-jaccard verify happens inline at pair
-    // emission — no multi-million-row candidate joins afterwards. Pairs
-    // are unique by construction: a pair is kept only in the FIRST band
-    // whose 4 minhashes match (the full 16-hash signature rides along),
-    // so there is no distinct shuffle either. The whole op is: one doc
-    // scan fan-out, two HashAggregates, one shuffle on the bucket key,
-    // pair explode, filter.
-    val docSets = sets.withColumn("sz", size(col("s")).cast("long"))
+    // Buckets carry ONLY (doc_id, sig) — 17 longs per doc — never the
+    // token sets, so a hot bucket's aggregation row stays small even when
+    // millions of near-identical docs collide in one bucket at 100 TB.
+    // Pairs are unique by construction: a pair is kept only in the FIRST
+    // band whose 4 minhashes match (the full 16-hash signature rides
+    // along), so there is no distinct shuffle. The exact-jaccard verify
+    // joins the hashed token sets back onto surviving candidate pairs
+    // afterwards — an auto-broadcast hash join at this scale, a plain
+    // shuffle join on doc_id at 100 TB.
     val bandRows = signatures
-      .join(docSets, Seq("doc_id"))
-      .select(col("doc_id"), col("sig"), col("s"), col("sz"),
+      .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"))
     // Skew guard: a hot bucket (data-dependent; 2.7k docs → 3.6M pairs at
     // sf0.1) would generate and verify all its pairs inside ONE task.
@@ -116,11 +115,11 @@ object DedupOps {
     // fragments ⇒ doc_a < doc_b holds). Blocks are repartitioned so one
     // bucket's O(n²) work spreads over the whole cluster.
     val FragSize = 256
-    bandRows
+    val candidates = bandRows
       .groupBy(col("band") +:
         (0 until RowsPerBand).map(k => bandKey(col("sig"), col("band"), k).as(s"bk$k")): _*)
       .agg(sort_array(collect_list(
-        struct(col("doc_id"), col("sig"), col("s"), col("sz")))).as("ds"))
+        struct(col("doc_id"), col("sig")))).as("ds"))
       .filter(size(col("ds")) > 1)
       .withColumn("frags", expr(
         s"transform(sequence(0, cast(ceil(size(ds) / $FragSize.0) AS INT) - 1), " +
@@ -135,20 +134,32 @@ object DedupOps {
         explode(when(col("diag"), slice(col("bb"), col("i") + 2, size(col("bb"))))
           .otherwise(col("bb"))).as("db"))
       .filter(firstMatchingBand(col("da.sig"), col("db.sig")) === col("band"))
+      .select(col("da.doc_id").as("doc_a"), col("db.doc_id").as("doc_b"))
+    val docSets = sets.withColumn("sz", size(col("s")).cast("long"))
+    val setsA = docSets.select(col("doc_id").as("doc_a"),
+      col("s").as("s_a"), col("sz").as("sz_a"))
+    val setsB = docSets.select(col("doc_id").as("doc_b"),
+      col("s").as("s_b"), col("sz").as("sz_b"))
+    candidates
+      .join(setsA, Seq("doc_a"))
+      .join(setsB, Seq("doc_b"))
       .withColumn("inter",
         graft.functions.SortedIntersectSize.sortedIntersectSize(
-          col("da.s"), col("db.s")))
-      .withColumn("uni", col("da.sz") + col("db.sz") - col("inter"))
+          col("s_a"), col("s_b")))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * 8)
-      .select(col("da.doc_id").as("doc_a"), col("db.doc_id").as("doc_b"),
+      .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 
   /** Word 3-gram (shingle) jaccard pairs, blocked by (lang, source) —
     * the n-gram variant of near-dup mining. Blocking keys bound the pair
-    * space; at 100 TB the blocks shard across the cluster and no block is
-    * ever materialized on one node. Emits every intersecting pair with
-    * its exact shingle-jaccard. */
+    * space; in-block pairs come from a block-key SELF-JOIN (both sides
+    * shuffle on the key, the join's per-key buffers spill to disk, AQE
+    * splits skewed blocks) — no `collect_list` ever materializes a block
+    * in one aggregation row. The O(block²) pair count is inherent to the
+    * operator's all-pairs-within-block semantics. Emits every
+    * intersecting pair with its exact shingle-jaccard. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism) // spread shingling
@@ -163,23 +174,22 @@ object DedupOps {
             "ELSE array() END"))
           .as("sh"))
       .withColumn("sz", size(col("sh")).cast("long"))
-    // One shuffle on the block key, shingle subtree computed once; pairs
-    // are in-block combinations (sorted by doc_id, so doc_a < doc_b).
-    sh.groupBy("lang", "source")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh"), col("sz"))))
-        .as("docs"))
-      .filter(size(col("docs")) > 1)
-      .select(col("lang"), col("source"), col("docs"),
-        posexplode(col("docs")).as(Seq("i", "da")))
-      .select(col("lang"), col("source"), col("da"),
-        explode(slice(col("docs"), col("i") + 2, size(col("docs")))).as("db"))
+    // In-block pairs via self-join on the block key (the oracle's own
+    // shape): each side shuffles on (lang, source); the sort-merge join's
+    // same-key buffer is spillable, so per-task memory stays bounded no
+    // matter how large a block gets. doc_a < doc_b halves the pair space.
+    val a = sh.select(col("lang"), col("source"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sz").as("sz_a"))
+    val b = sh.select(col("lang"), col("source"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
       .withColumn("inter",
         graft.functions.SortedIntersectSize.sortedIntersectSize(
-          col("da.sh"), col("db.sh")))
+          col("sh_a"), col("sh_b")))
       .filter(col("inter") > 0)
-      .withColumn("uni", col("da.sz") + col("db.sz") - col("inter"))
-      .select(col("lang"), col("source"),
-        col("da.doc_id").as("doc_a"), col("db.doc_id").as("doc_b"),
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 

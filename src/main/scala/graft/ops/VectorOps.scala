@@ -85,9 +85,14 @@ object VectorOps {
       .select("query_id", "cand_id", "rank", "cos")
   }
 
-  /** Embedding near-duplicate mining: all pairs with cosine >= 0.45.
-    * Exact (all-pairs) here as the correctness baseline; the scale path
-    * is lshBuckets-then-within-bucket. */
+  /** Cosine threshold for near-duplicate embedding pairs. */
+  val NearDupCos = 0.45
+
+  /** EXACT embedding near-dup mining: all pairs with cosine >= 0.45 via
+    * an unguarded O(n²) crossJoin. NOT a headline query — this is the
+    * recall yardstick for [[embNearDupLsh]] (DedupSpec measures LSH
+    * recall against it); the shipped, scale-safe operator is the
+    * LSH-bucketed form below. */
   def embNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val a = e.select(col("vec_id").as("vec_a"), col("qv").as("va"), col("nrm").as("na"))
@@ -96,15 +101,61 @@ object VectorOps {
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos",
         dot(col("va"), col("vb")) / sqrt((col("na") * col("nb")).cast("double")))
-      .filter(col("cos") >= 0.45)
+      .filter(col("cos") >= NearDupCos)
+      .select("vec_a", "vec_b", "cos")
+  }
+
+  /** OR-amplified multi-table LSH for [[embNearDupLsh]]: a single k-plane
+    * table has recall ~(1-θ/π)^k — near zero at the 0.45 cosine threshold
+    * — so, exactly like minhash banding, candidates form in ANY of
+    * [[NearDupTables]] independent [[NearDupPlanes]]-plane tables
+    * (recall 1-(1-p^k)^L). */
+  val NearDupTables = 8
+  val NearDupPlanes = 6
+
+  /** LSH-bucketed embedding near-dup mining (the 100 TB path): candidate
+    * pairs only form inside a shared hyperplane bucket of one of the L
+    * hash tables, so the corpus shuffles L times on (table, bucket)
+    * instead of the O(n²) crossJoin of the exact form. A pair colliding
+    * in several tables is kept only in the FIRST matching table (the full
+    * bucket-key array rides along) — no distinct shuffle, the same dedup
+    * trick as [[graft.ops.DedupOps.minhashLsh]] bands. Approximate by
+    * construction (recall vs [[embNearDup]] is measured in DedupSpec);
+    * deterministic, so still oracle-checked. */
+  def embNearDupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val weights = planeWeights(NearDupTables * NearDupPlanes)
+    def tableBucket(t: Int): Column = (0 until NearDupPlanes).map { j =>
+      val wv = array(weights(t * NearDupPlanes + j).map(lit): _*)
+      when(dot(col("qv"), wv) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val e = emb(spark, dir)
+      .withColumn("bks", array((0 until NearDupTables).map(tableBucket): _*))
+    val rows = e.select(col("vec_id"), col("qv"), col("nrm"),
+      posexplode(col("bks")).as(Seq("tbl", "bucket")), col("bks"))
+    val a = rows.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"),
+      col("qv").as("va"), col("nrm").as("na"), col("bks").as("bks_a"))
+    val b = rows.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b"),
+      col("qv").as("vb"), col("nrm").as("nb"), col("bks").as("bks_b"))
+    // first table whose buckets agree (element_at is 1-based)
+    val firstMatch = (0 until NearDupTables - 1)
+      .foldRight(lit(NearDupTables - 1): Column) { (t, rest) =>
+        when(element_at(col("bks_a"), t + 1) === element_at(col("bks_b"), t + 1),
+          lit(t)).otherwise(rest)
+      }
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(firstMatch === col("tbl"))
+      .withColumn("cos",
+        dot(col("va"), col("vb")) / sqrt((col("na") * col("nb")).cast("double")))
+      .filter(col("cos") >= NearDupCos)
       .select("vec_a", "vec_b", "cos")
   }
 
   /** Deterministic ±1 hyperplane weights: sign p,i = +1 iff the first hex
     * digit of md5("p:i") is >= 8. Matches the oracle's md5-based CASE. */
-  private[ops] def planeWeights: Seq[Seq[Long]] = {
+  private[ops] def planeWeights(n: Int): Seq[Seq[Long]] = {
     val mdt = MessageDigest.getInstance("MD5")
-    (0 until NumPlanes).map { p =>
+    (0 until n).map { p =>
       (0 until 64).map { i =>
         val hex = mdt.digest(s"$p:$i".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
@@ -119,7 +170,7 @@ object VectorOps {
     * their own bucket. */
   /** Embeddings with their quantized form, norm and LSH bucket id. */
   private def bucketed(spark: SparkSession, dir: String): DataFrame = {
-    val weights = planeWeights
+    val weights = planeWeights(NumPlanes)
     val bucket = (0 until NumPlanes).map { p =>
       val wv = array(weights(p).map(lit): _*)
       when(dot(col("qv"), wv) >= 0, lit(1L << p)).otherwise(lit(0L))

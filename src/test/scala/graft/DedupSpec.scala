@@ -64,6 +64,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L))) // orthogonal pairs have cos 0
   }
 
+  test("embNearDupLsh: subset of exact pairs, and finds the near-identical pair") {
+    val lsh = VectorOps.embNearDupLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == Set((0L, 1L))) // near-identical vectors share every hyperplane sign
+  }
+
+  test("embNearDupLsh recall vs exact all-pairs on real testdata") {
+    val exact = VectorOps.embNearDup(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.embNearDupLsh(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH pairs must be a subset of exact pairs")
+    val recall = lsh.size.toDouble / math.max(exact.size, 1)
+    info(f"embNearDupLsh recall at sf0.001: $recall%.3f (${lsh.size}/${exact.size})")
+    // deterministic (fixed data, md5 planes): 4/7 today; the floor guards
+    // against an amplification regression, not sampling noise
+    assert(recall >= 0.3, f"recall $recall%.3f collapsed — OR-amplification broken?")
+  }
+
   test("knnDot ranks the closest candidate first") {
     val top = VectorOps.knnDot(spark, dir).collect()
       .filter(r => r.getLong(0) == 0L && r.getInt(2) == 1).head
