@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.ingest.Materialize
 import graft.ops.{DedupOps, EventOps, MultimodalOps, Relational, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -74,6 +75,8 @@ object SparkEntry {
     "q_rolling_fp"       -> TextOps.rollingFingerprint _,
     "q_range_join"       -> EventOps.rangeJoinPairs _,
     "q_percentiles"      -> EventOps.percentiles _,
+    "q_promo_share"      -> Relational.promoShare _,
+    "q_materialize"      -> Materialize.playersFromMalformedCsv _,
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same column names, same exact
@@ -470,6 +473,36 @@ object SparkEntry {
         | AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 300000000
         | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
         |GROUP BY 1""".stripMargin,
+    "q_promo_share" ->
+      """WITH li AS (SELECT l_partkey,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+        |  CAST(round(l_discount*100) AS BIGINT) AS disc_pct FROM lineitem)
+        |SELECT p_brand,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN price_c*(100-disc_pct) ELSE 0 END) AS BIGINT) AS promo_e4,
+        |  CAST(sum(price_c*(100-disc_pct)) AS BIGINT) AS revenue_e4,
+        |  count(*) AS n_lineitems,
+        |  CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN price_c*(100-disc_pct) ELSE 0 END) AS BIGINT)*1000
+        |    // CAST(sum(price_c*(100-disc_pct)) AS BIGINT) AS BIGINT) AS promo_permille
+        |FROM li JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+    // Spark non-ANSI string→int truncates toward zero ("1234.5" → 1234,
+    // "-7.9" → -7) and nulls garbage; DuckDB reproduces that as
+    // trunc(TRY_CAST(c AS DOUBLE)). The SQL is generated from the
+    // PlayerCasts contract (names+types only — the logic is spelled here).
+    "q_materialize" -> {
+      val exprs = Materialize.PlayerCasts.map {
+        case (c, org.apache.spark.sql.types.IntegerType) =>
+          s"CAST(trunc(TRY_CAST($c AS DOUBLE)) AS INTEGER) AS $c"
+        case (c, org.apache.spark.sql.types.DateType) =>
+          s"TRY_CAST($c AS DATE) AS $c"
+        case (c, _) => c
+      }.mkString(",\n|  ")
+      s"""WITH raw AS (SELECT * FROM read_csv('${Materialize.MalformedPlayersCsv}',
+        |    header=true, all_varchar=true)),
+        |c AS (SELECT $exprs
+        |FROM raw)
+        |SELECT * FROM c WHERE player_id IS NOT NULL""".stripMargin
+    },
     "q_percentiles" -> // discrete: element at integer index (n-1)*p — no lerp doubles
       """WITH o AS (SELECT o_orderpriority,
         |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c FROM orders),

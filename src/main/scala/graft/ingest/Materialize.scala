@@ -66,6 +66,20 @@ object Materialize {
   def materializePlayers(raw: DataFrame): DataFrame =
     castProjection(raw, PlayerCasts).filter(col("player_id").isNotNull)
 
+  /** Checked-in malformed-CSV fixture exercising every §7.4 cast landmine:
+    * float-like ints ("1234.5" → 1234, "-7.9" → -7: truncation toward
+    * zero, NOT BigQuery's error), garbage → NULL ("oops", "abc",
+    * "not-a-date"), empty → NULL, a quoted comma field, and a NULL
+    * player_id row that the quality filter drops. */
+  val MalformedPlayersCsv = "/root/repo/data/players_malformed.csv"
+
+  /** Driver-checkable ingest query (SURVEY §7.3 item 4): the full
+    * CSV → external scan → cast projection → filter path over the
+    * malformed fixture. Ignores `dir` — ingest reads a landed CSV file,
+    * not the star schema. */
+  def playersFromMalformedCsv(spark: SparkSession, dir: String): DataFrame =
+    materializePlayers(readCsv(spark, MalformedPlayersCsv, PlayerCasts.map(_._1)))
+
   /** Partitioned columnar write — the `PARTITION BY fifa_update_date`
     * analog. At scale this is what enables partition pruning downstream
     * (`PruneFileSourcePartitions`). */

@@ -314,6 +314,29 @@ object Relational {
         sum(col("partial_n")).as("n_orders"))
   }
 
+  /** Promo revenue share per brand (TPC-H Q14 shape): lineitem ⋈ part
+    * with conditional aggregation, all in exact e4 units (cents × pct)
+    * and an integral per-mille ratio. The join hint is deliberately
+    * absent: part is broadcastable at test SF and AQE picks BHJ; at
+    * 100 TB part outgrows the broadcast threshold and the same plan
+    * degrades gracefully to a shuffle join on p_partkey. */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        cents(col("l_extendedprice")).as("price_c"),
+        pct(col("l_discount")).as("disc_pct"))
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_type")
+    val promo = when(col("p_type") === "PROMO",
+      col("price_c") * (lit(100L) - col("disc_pct"))).otherwise(lit(0L))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        sum(promo).as("promo_e4"),
+        sum(col("price_c") * (lit(100L) - col("disc_pct"))).as("revenue_e4"),
+        count(lit(1)).as("n_lineitems"))
+      .withColumn("promo_permille", idiv(col("promo_e4") * 1000, col("revenue_e4")))
+  }
+
   /** Running total per customer over order dates (window frame op). */
   def runningTotal(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")

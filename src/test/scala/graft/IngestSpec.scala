@@ -61,10 +61,30 @@ class IngestSpec extends AnyFunSuite {
         .join(spark.table("graft_b_customer"),
           org.apache.spark.sql.functions.col("o_custkey") ===
             org.apache.spark.sql.functions.col("c_custkey"))
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("ShuffleExchange"), s"bucketed join shuffled:\n$plan")
+      // match on the node CLASS: ShuffleExchangeExec renders as "Exchange"
+      // in plan strings, so a substring check would be vacuously true
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed join shuffled:\n${joined.queryExecution.executedPlan}")
       assert(joined.count() == orders.count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("checked-in malformed fixture: q_materialize cast landmines") {
+    val out = Materialize.playersFromMalformedCsv(spark, "ignored").collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet == Set(1, 2, 4, 5)) // ghost row (null player_id) dropped
+    assert(out(2).getInt(7) == 1234)      // "1234.5" truncated toward zero
+    assert(out(2).isNullAt(8))            // "oops" → NULL
+    assert(out(4).isNullAt(3))            // "not-a-date" → NULL date
+    assert(out(4).getInt(6) == -7)        // "-7.9" truncated toward zero
+    assert(out(4).getString(4) == "Delta, Jr") // quoted comma field intact
+    assert(out(4).isNullAt(8))            // empty wage_eur → NULL
+    assert(out(5).isNullAt(1))            // "abc" fifa_version → NULL
+    assert(out(5).getInt(7) == 3)         // "3.99" → 3
+    assert(out(5).isNullAt(9))            // "xyz" age → NULL
   }
 
   test("partitioned write produces partition directories and reads back") {
