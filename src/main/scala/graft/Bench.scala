@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // median-of-N damps the ±50% VM noise on this box; odd N keeps the
+    // median a real observation
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,21 +27,30 @@ object Bench {
         graft.sources.Tables.load(spark, sfDir, t).count()
       }
     } catch { case _: Throwable => () }
-    // sorted order: deterministic timings comparable across rounds
-    val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // noop-format write evaluates every output expression (count() would
+    // let Catalyst prune the final projection and under-measure it)
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    // sorted order: deterministic timings comparable across rounds
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val runs = (1 to reps).map { _ => sorted.map { case (n, fn) => timeOne(n, fn) } }
+    val results = sorted.map(_._1).zipWithIndex.map { case (name, i) =>
+      val ts = runs.map(_(i)).sorted
+      name -> ts(ts.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -77,6 +77,9 @@ object SparkEntry {
     "q_percentiles"      -> EventOps.percentiles _,
     "q_promo_share"      -> Relational.promoShare _,
     "q_materialize"      -> Materialize.playersFromMalformedCsv _,
+    // executed by the Structured Streaming engine (MemoryStream → memory
+    // sink); oracle = the batch q_tumbling_hour SQL (stream ≡ batch)
+    "q_stream_tumbling"  -> graft.streaming.StreamOps.tumblingHourStreamed _,
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same column names, same exact
@@ -191,6 +194,11 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1,2""".stripMargin,
+    "q_stream_tumbling" -> // same SQL as q_tumbling_hour: stream ≡ batch
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1,2""".stripMargin,
     "q_sliding_hour" ->
       """WITH w AS (SELECT
         |  unnest([time_bucket(INTERVAL '30 minutes', ts),
@@ -236,7 +244,7 @@ object SparkEntry {
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
         |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS tok_chars,
         |  CAST(len(list_filter(toks, x -> x IN ('the','a','data','row','value','fast'))) AS BIGINT) AS n_stop
-        |  FROM t)
+        |  FROM t WHERE toks IS NOT NULL)
         |SELECT doc_id, n_tokens, tok_chars,
         |  CAST(tok_chars*1000//n_tokens AS BIGINT) AS mean_tok_len_e3,
         |  CAST(n_stop*1000//n_tokens AS BIGINT) AS stop_permille,
@@ -245,7 +253,7 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS content_key,
         |  count(*) AS n_docs, min(doc_id) AS canonical_doc
-        |FROM documents GROUP BY 1""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
     "q_minhash_lsh" ->
       """WITH toks AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS t FROM documents),
         |sets AS (SELECT doc_id, list_distinct(list_transform(t, x -> substr(md5(x),1,15))) AS s FROM toks),
@@ -349,12 +357,12 @@ object SparkEntry {
         |  CAST(1 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
         |  CAST(1 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height,
         |  CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS frames
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "q_lang_id" -> {
       val profiles = TextOps.LangProfiles
       val branches = profiles.map { case (l, ws) =>
         val set = ws.map(w => s"'$w'").mkString(", ")
-        s"SELECT doc_id, '$l' AS cand, CAST(len(list_filter(string_split(text,' '), x -> x IN ($set))) AS BIGINT) AS score FROM documents"
+        s"SELECT doc_id, '$l' AS cand, CAST(len(list_filter(string_split(text,' '), x -> x IN ($set))) AS BIGINT) AS score FROM documents WHERE text IS NOT NULL"
       }.mkString("\n  UNION ALL ")
       s"""WITH sc AS ($branches),
          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM sc)

@@ -33,13 +33,29 @@ case class LongDotProduct(left: Expression, right: Expression)
     }
   }
 
+  /** Null elements contribute 0 (the pair is skipped). The guard is only
+    * emitted when a child's ArrayType admits nulls, so non-null-element
+    * producers keep the unguarded tight loop. */
+  private lazy val anyNullableElements: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(_, n) => n
+      case _ => false
+    })
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0L
     var i = 0
-    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    if (anyNullableElements) {
+      while (i < n) {
+        if (!a.isNullAt(i) && !b.isNullAt(i)) acc += a.getLong(i) * b.getLong(i)
+        i += 1
+      }
+    } else {
+      while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    }
     acc
   }
 
@@ -47,11 +63,16 @@ case class LongDotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val add = s"${ev.value} += $a.getLong($i) * $b.getLong($i);"
+      val body =
+        if (anyNullableElements)
+          s"if (!$a.isNullAt($i) && !$b.isNullAt($i)) { $add }"
+        else add
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |${ev.value} = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += $a.getLong($i) * $b.getLong($i);
+         |  $body
          |}
        """.stripMargin
     })

@@ -39,11 +39,26 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   private lazy val isLong: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == LongType
 
+  /** `array_sort` places null elements LAST, and null never equals
+    * anything — so on the sorted-input contract, hitting a null on either
+    * side ends the merge. The guard is only emitted when a child's
+    * ArrayType admits nulls. */
+  private lazy val anyNullableElements: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, n) => n
+      case _ => false
+    })
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var c = 0L
-    val na = a.numElements(); val nb = b.numElements()
+    var na = a.numElements(); var nb = b.numElements()
+    if (anyNullableElements) {
+      // nulls sort last: truncate to the non-null prefix
+      while (na > 0 && a.isNullAt(na - 1)) na -= 1
+      while (nb > 0 && b.isNullAt(nb - 1)) nb -= 1
+    }
     if (isLong) {
       while (i < na && j < nb) {
         val x = a.getLong(i); val y = b.getLong(j)
@@ -84,9 +99,17 @@ case class SortedIntersectSize(left: Expression, right: Expression)
            |else if ($cmp < 0) { $i++; } else { $j++; }
          """.stripMargin
       }
+      val trim =
+        if (anyNullableElements)
+          s"""
+             |while ($na > 0 && $a.isNullAt($na - 1)) $na--;
+             |while ($nb > 0 && $b.isNullAt($nb - 1)) $nb--;
+           """.stripMargin
+        else ""
       s"""
          |int $i = 0, $j = 0;
          |int $na = $a.numElements(), $nb = $b.numElements();
+         |$trim
          |${ev.value} = 0L;
          |while ($i < $na && $j < $nb) {
          |  $body

@@ -35,6 +35,9 @@ object DedupOps {
     * A pure hash-groupBy — one shuffle, fully scalable. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // null text would md5 concat_ws's empty string while the oracle
+      // md5's NULL → NULL; a null doc has no content to dedup on
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         md5(concat_ws(" ", array_sort(tokenSet))).as("content_key"))
       .groupBy("content_key")

@@ -108,6 +108,7 @@ object TextOps {
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull) // size(filter(null)) = -1 ≠ oracle NULL
       .select(col("doc_id"), col("text"))
       .withColumn("cand", explode(array(LangProfiles.map { case (l, _) => lit(l) }: _*)))
       .withColumn("score",
@@ -126,6 +127,7 @@ object TextOps {
     * (aggregate/filter) — no UDF, stays codegen-friendly. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
+      .filter(col("text").isNotNull) // size/aggregate over null ≠ oracle NULL
       .select(col("doc_id"), col("n_chars"), toks.as("toks"))
       .select(
         col("doc_id"),

@@ -26,13 +26,17 @@ object Tables {
     * micros — the same ns→us truncation DuckDB applies, so oracle SQL over
     * the raw file agrees with us.
     *
-    * NOTE the defensive `spark.conf.set` below mutates the session: it is
-    * a fallback for sessions not built by this library. All shipped entry
-    * points (Verify/Bench/Scratch/TestSpark) already pin the conf at
-    * builder time.
+    * A table loader must not mutate session state, so the conf is
+    * REQUIRED at session build time (all shipped entry points —
+    * Verify/Bench/Scratch/TestSpark — pin it); fail fast with the fix
+    * spelled out rather than silently flipping it here.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet stores TIMESTAMP(NANOS): set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true on the SparkSession " +
+        "builder (see graft.Verify for the canonical config)")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType =>

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -30,6 +30,39 @@ object StreamOps {
         sum(graft.functions.Exact.cents(col("value"))).as("value_cents"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("value_cents"))
+
+  /** [[tumblingCounts]] executed BY THE STREAMING ENGINE end-to-end:
+    * events feed a MemoryStream in two micro-batches, the windowed
+    * aggregation runs incrementally with watermarked state, and the
+    * result is read back from the complete-mode memory sink. The
+    * driver-side `collect` is the MemoryStream test-harness contract
+    * (a source must be fed from the driver), not part of the operator —
+    * in production the source is Kafka/files and nothing collects.
+    * Oracle: identical SQL to the batch `q_tumbling_hour`, which is the
+    * stream ≡ batch guarantee the engine makes for complete mode. */
+  def tumblingHourStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = graft.sources.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect()
+    val source = MemoryStream[Ev]
+    val sinkName = "graft_stream_tumbling_sink"
+    val query = tumblingCounts(source.toDF(), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      source.addData(h1.toIndexedSeq)
+      query.processAllAvailable()
+      source.addData(h2.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table(sinkName)
+      .select(unix_micros(col("win_start")).as("win_start_us"),
+        col("event_type"), col("n"), col("value_cents"))
+  }
 
   /** Session windows (30-min-style gap) per user with watermark. */
   def sessionCounts(events: DataFrame, gap: String, watermark: String): DataFrame =
