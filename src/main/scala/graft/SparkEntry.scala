@@ -78,8 +78,11 @@ object SparkEntry {
     "q_promo_share"      -> Relational.promoShare _,
     "q_materialize"      -> Materialize.playersFromMalformedCsv _,
     // executed by the Structured Streaming engine (MemoryStream → memory
-    // sink); oracle = the batch q_tumbling_hour SQL (stream ≡ batch)
+    // sink); oracles are batch SQL (stream ≡ batch)
     "q_stream_tumbling"  -> graft.streaming.StreamOps.tumblingHourStreamed _,
+    "q_stream_session"   -> graft.streaming.StreamOps.sessionStreamed _,
+    "q_json_source"      -> Materialize.eventsFromJsonl _,
+    "q_sample_stratified" -> TextOps.stratifiedSample _,
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same column names, same exact
@@ -199,6 +202,22 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1,2""".stripMargin,
+    "q_stream_session" -> // per-session rows; same gaps-and-islands family as q_session_stats
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (SELECT user_id, ts, sum(new_s) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT epoch_us(min(ts)) AS sess_start_us, user_id, count(*) AS n
+        |FROM y GROUP BY user_id, sid""".stripMargin,
+    "q_json_source" ->
+      s"""SELECT id, kind, CAST(round(amount*100) AS BIGINT) AS amount_cents,
+        |  CAST(len(tags) AS BIGINT) AS n_tags, meta.k AS meta_k, meta.source AS meta_source
+        |FROM read_json('${Materialize.EventsJsonl}', format='newline_delimited',
+        |  columns={id:'BIGINT', kind:'VARCHAR', amount:'DOUBLE', tags:'VARCHAR[]',
+        |           meta:'STRUCT(k BIGINT, source VARCHAR)'})""".stripMargin,
     "q_sliding_hour" ->
       """WITH w AS (SELECT
         |  unnest([time_bucket(INTERVAL '30 minutes', ts),
@@ -250,6 +269,11 @@ object SparkEntry {
         |  CAST(n_stop*1000//n_tokens AS BIGINT) AS stop_permille,
         |  n_chars < 100 AS is_short
         |FROM u""".stripMargin,
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang, source, substr(md5(lang || ':' || doc_id), 1, 2) AS bucket
+        |FROM documents
+        |WHERE substr(md5(lang || ':' || doc_id), 1, 2) <
+        |  CASE WHEN lang = 'en' THEN '${TextOps.EnThreshold}' ELSE '${TextOps.DefaultThreshold}' END""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS content_key,
         |  count(*) AS n_docs, min(doc_id) AS canonical_doc

@@ -80,6 +80,32 @@ object Materialize {
   def playersFromMalformedCsv(spark: SparkSession, dir: String): DataFrame =
     materializePlayers(readCsv(spark, MalformedPlayersCsv, PlayerCasts.map(_._1)))
 
+  /** Checked-in JSONL fixture: nested object, array, explicit-null and
+    * MISSING fields (missing ≡ null under schema-on-read in both
+    * engines). */
+  val EventsJsonl = "/root/repo/data/events_sample.jsonl"
+
+  /** Schema imposed on the JSONL scan — schema-on-read, like the CSV
+    * external table, but with nested types. */
+  val EventJsonSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("kind", StringType),
+    StructField("amount", DoubleType),
+    StructField("tags", ArrayType(StringType)),
+    StructField("meta", StructType(Seq(
+      StructField("k", LongType), StructField("source", StringType))))))
+
+  /** JSONL external scan + nested flatten (S3-analog for the third
+    * source format after parquet and CSV): explicit schema, dotted-path
+    * struct extraction, exact cents, and a null-guarded array size
+    * (legacy `size(NULL)` is -1, the oracle's `len(NULL)` is NULL).
+    * Ignores `dir` — reads the landed fixture file. */
+  def eventsFromJsonl(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(EventJsonSchema).json(EventsJsonl)
+      .select(col("id"), col("kind"),
+        graft.functions.Exact.cents(col("amount")).as("amount_cents"),
+        when(col("tags").isNotNull, size(col("tags")).cast("long")).as("n_tags"),
+        col("meta.k").as("meta_k"), col("meta.source").as("meta_source"))
+
   /** Partitioned columnar write — the `PARTITION BY fifa_update_date`
     * analog. At scale this is what enables partition pruning downstream
     * (`PruneFileSourcePartitions`). */

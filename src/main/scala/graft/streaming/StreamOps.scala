@@ -72,6 +72,48 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("sess_start"), col("user_id"), col("n"))
 
+  /** [[sessionCounts]] executed by the streaming engine in APPEND mode —
+    * the strictest sink mode: a session row is emitted exactly once,
+    * when the watermark passes its close. Events feed in two
+    * event-time-ordered micro-batches (ordered feeding is the source
+    * contract here — the harness tests the operator, not late-data
+    * policy); two far-future sentinel batches then push the watermark
+    * past every real session's close (a watermark only advances on the
+    * NEXT batch, hence two). The sentinels' own session never finalizes
+    * and is filtered by user_id. Oracle: the same gaps-and-islands SQL
+    * family as the batch q_session_stats — session_window's merge rule
+    * (join if gap < 30 min) is exactly `new session iff gap >= 30 min`. */
+  def sessionStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    val evs = graft.sources.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().sortBy(e => (micros(e.ts), e.event_id))
+    val source = MemoryStream[Ev]
+    val sinkName = "graft_stream_session_sink"
+    val query = sessionCounts(source.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      source.addData(h1.toIndexedSeq)
+      query.processAllAvailable()
+      source.addData(h2.toIndexedSeq)
+      query.processAllAvailable()
+      val far = new java.sql.Timestamp(evs.last.ts.getTime + 30L * 24 * 3600 * 1000)
+      source.addData(Ev(-1L, far, -1L, "__sentinel", 0.0))
+      query.processAllAvailable()
+      source.addData(Ev(-2L, new java.sql.Timestamp(far.getTime + 1000), -1L, "__sentinel", 0.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table(sinkName).filter(col("user_id") >= 0)
+      .select(unix_micros(col("sess_start")).as("sess_start_us"),
+        col("user_id"), col("n"))
+  }
+
   /** Streaming exact dedup on event_id within the watermark horizon —
     * the streaming form of DedupOps.dedupExact's hash-group. */
   def dedupByEventId(events: DataFrame, watermark: String): DataFrame =

@@ -58,6 +58,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("append-mode sessionStreamed emits every session exactly once (== batch)") {
+    val streamed = StreamOps.sessionStreamed(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq)
+    val batch = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("session_window.start")).as("sess_start_us"),
+        col("user_id"), col("n"))
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.length == streamed.toSet.size, "duplicate session emission")
+    assert(streamed.toSet == batch.toSet)
+  }
+
   test("mapGroupsWithState accumulates per-user state across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
