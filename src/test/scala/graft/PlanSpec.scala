@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Relational, TextOps}
+
+/** Physical-plan audits: the scale claims in the op scaladocs — filter
+  * pushdown, broadcast joins, shuffle-free scans, rank-limit pushdown —
+  * asserted against the executed plan, so a Catalyst regression (or a
+  * refactor that silently de-optimizes a query) fails the build instead
+  * of only showing up in BENCH. Queries are executed first so AQE's
+  * final plan (not the initial guess) is what's audited. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Execute (so AdaptiveSparkPlan finalizes) and render the plan. */
+  def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_filter_cast: filters reach the parquet scan (PushedFilters)") {
+    val plan = finalPlan(Relational.filterCastProject(spark, TestSpark.Sf0001))
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("Not(EqualTo(c_nationkey,7"), s"nationkey filter not pushed:\n$plan")
+    assert(plan.contains("IsNotNull(c_name)"), s"null-rejection not pushed:\n$plan")
+  }
+
+  test("q_broadcast_join: dim chain broadcasts, never sort-merges") {
+    val plan = finalPlan(Relational.broadcastDimJoin(spark, TestSpark.Sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"dim join shuffled:\n$plan")
+  }
+
+  test("q_promo_share: AQE picks a broadcast join for the part dim") {
+    val plan = finalPlan(Relational.promoShare(spark, TestSpark.Sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"part dim join shuffled:\n$plan")
+  }
+
+  test("q_topk_revenue: top-k is TakeOrderedAndProject, not a global sort") {
+    val plan = finalPlan(Relational.topKRevenue(spark, TestSpark.Sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q_argmax_window: rank filter pushes down as WindowGroupLimit") {
+    val plan = finalPlan(Relational.latestEventWindow(spark, TestSpark.Sf0001))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("q_sample_stratified: pure scan+filter, zero shuffles") {
+    val df = TextOps.stratifiedSample(spark, TestSpark.Sf0001)
+    df.collect()
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty, df.queryExecution.executedPlan.toString)
+  }
+
+  test("q_pricing_summary: aggregation is two-phase (partial before shuffle)") {
+    val plan = finalPlan(Relational.pricingSummary(spark, TestSpark.Sf0001))
+    // partial + final HashAggregate pair = map-side combine happens
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("SortAggregate"), s"agg fell back to sort:\n$plan")
+  }
+}
