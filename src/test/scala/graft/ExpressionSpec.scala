@@ -45,6 +45,37 @@ class ExpressionSpec extends AnyFunSuite {
     assert(df.filter(col("fast") =!= col("ref")).count() == 0)
   }
 
+  test("null elements: LongDotProduct skips the pair, both eval paths") {
+    val rows: Seq[(Seq[Option[Long]], Seq[Option[Long]])] = Seq(
+      (Seq(Some(2L), None, Some(3L)), Seq(Some(10L), Some(100L), Some(5L))),
+      (Seq(Some(1L), Some(1L)), Seq(None, None)))
+    val df = rows.toDF("a", "b")
+      .withColumn("fast", LongDotProduct.longDot(col("a"), col("b")))
+    // codegen path
+    assert(df.select("fast").collect().map(_.getLong(0)).toSeq == Seq(35L, 0L))
+    // interpreted path (direct eval, bypassing codegen)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val lit1 = Literal.create(Seq[Any](2L, null, 3L), ArrayType(LongType, containsNull = true))
+    val lit2 = Literal.create(Seq[Any](10L, 100L, 5L), ArrayType(LongType, containsNull = true))
+    assert(graft.functions.LongDotProduct(lit1, lit2).eval(null) == 35L)
+  }
+
+  test("null elements: SortedIntersectSize ignores the nulls-last tail, both eval paths") {
+    // array_sort puts nulls last; intersect counts only the non-null prefix
+    val rows: Seq[(Seq[Option[Long]], Seq[Option[Long]])] = Seq(
+      (Seq(Some(1L), Some(2L), None), Seq(Some(2L), Some(3L), None)),
+      (Seq(None), Seq(Some(1L))))
+    val df = rows.toDF("a", "b")
+      .withColumn("fast", SortedIntersectSize.sortedIntersectSize(col("a"), col("b")))
+    assert(df.select("fast").collect().map(_.getLong(0)).toSeq == Seq(1L, 0L))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val lit1 = Literal.create(Seq[Any](1L, 2L, null), ArrayType(LongType, containsNull = true))
+    val lit2 = Literal.create(Seq[Any](2L, 3L, null), ArrayType(LongType, containsNull = true))
+    assert(graft.functions.SortedIntersectSize(lit1, lit2).eval(null) == 1L)
+  }
+
   test("non-ANSI cast semantics (SURVEY §7.4): garbage → null, float-like → truncated") {
     // BigQuery CAST would ERROR on '1.5' and 'abc'; Spark non-ANSI
     // truncates numeric strings and nulls non-numeric ones.
