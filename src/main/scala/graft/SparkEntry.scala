@@ -49,6 +49,7 @@ object SparkEntry {
     "q_fingerprint"      -> TextOps.fingerprint _,
     "q_quality_score"    -> TextOps.qualityScore _,
     "q_dedup_exact"      -> DedupOps.dedupExact _,
+    "q_dedup_clusters"   -> DedupOps.dedupClusters _,
     "q_minhash_lsh"      -> DedupOps.minhashLsh _,
     "q_ngram_jaccard"    -> DedupOps.ngramJaccard _,
     "q_simhash"          -> DedupOps.simhash _,
@@ -84,6 +85,23 @@ object SparkEntry {
     "q_json_source"      -> Materialize.eventsFromJsonl _,
     "q_sample_stratified" -> TextOps.stratifiedSample _,
   )
+
+  /** Shared CTE block for the minhash-family oracles: ends at `j`
+    * (candidate pairs with exact intersection/union counts). */
+  private val MinhashCtes: String =
+    """toks AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS t FROM documents),
+      |sets AS (SELECT doc_id, list_distinct(list_transform(t, x -> substr(md5(x),1,15))) AS s FROM toks),
+      |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+      |mh AS (SELECT doc_id, h, min(substr(md5(h || ':' || tok),1,15)) AS mh
+      |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0,15)) AS h) AS hs(h) GROUP BY 1,2),
+      |band AS (SELECT doc_id, h//4 AS band,
+      |  string_agg(h || ':' || mh, '|' ORDER BY h) AS band_sig FROM mh GROUP BY 1,2),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM band a JOIN band b ON a.band=b.band AND a.band_sig=b.band_sig AND a.doc_id < b.doc_id),
+      |j AS (SELECT doc_a, doc_b,
+      |  CAST(len(list_intersect(x.s,y.s)) AS BIGINT) AS inter,
+      |  CAST(len(list_distinct(list_concat(x.s,y.s))) AS BIGINT) AS uni
+      |  FROM cand JOIN sets x ON doc_a=x.doc_id JOIN sets y ON doc_b=y.doc_id)""".stripMargin
 
   /** DuckDB-runnable ANSI SQL equivalents (same column names, same exact
     * integer arithmetic: cents = CAST(round(x*100) AS BIGINT), integral
@@ -279,21 +297,23 @@ object SparkEntry {
         |  count(*) AS n_docs, min(doc_id) AS canonical_doc
         |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin,
     "q_minhash_lsh" ->
-      """WITH toks AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS t FROM documents),
-        |sets AS (SELECT doc_id, list_distinct(list_transform(t, x -> substr(md5(x),1,15))) AS s FROM toks),
-        |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-        |mh AS (SELECT doc_id, h, min(substr(md5(h || ':' || tok),1,15)) AS mh
-        |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0,15)) AS h) AS hs(h) GROUP BY 1,2),
-        |band AS (SELECT doc_id, h//4 AS band,
-        |  string_agg(h || ':' || mh, '|' ORDER BY h) AS band_sig FROM mh GROUP BY 1,2),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM band a JOIN band b ON a.band=b.band AND a.band_sig=b.band_sig AND a.doc_id < b.doc_id),
-        |j AS (SELECT doc_a, doc_b,
-        |  CAST(len(list_intersect(x.s,y.s)) AS BIGINT) AS inter,
-        |  CAST(len(list_distinct(list_concat(x.s,y.s))) AS BIGINT) AS uni
-        |  FROM cand JOIN sets x ON doc_a=x.doc_id JOIN sets y ON doc_b=y.doc_id)
+      s"""WITH $MinhashCtes
         |SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/uni AS jaccard
         |FROM j WHERE inter*10 >= uni*8""".stripMargin,
+    // closure of the same pair graph; min reachable doc_id per node — the
+    // recursive CTE is order-free, exactly like Spark's min-label loop
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $MinhashCtes,
+        |pairs AS (SELECT doc_a, doc_b FROM j WHERE inter*10 >= uni*8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS r FROM nodes
+        |  UNION
+        |  SELECT e.b AS doc_id, reach.r FROM reach JOIN edges e ON reach.doc_id = e.a
+        |)
+        |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH sh AS (SELECT doc_id, lang, source,
         |  list_distinct(list_transform(

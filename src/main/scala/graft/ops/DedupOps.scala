@@ -155,6 +155,64 @@ object DedupOps {
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 
+  /** Connected components over the [[minhashLsh]] near-dup graph — the
+    * step that turns pairwise similarity into dedup DECISIONS: every doc
+    * gets a cluster_id (the minimum doc_id reachable through near-dup
+    * edges; singletons map to themselves), so "keep one per cluster" is a
+    * filter. Min-label propagation with POINTER JUMPING (label ← label's
+    * label) per round: O(log diameter) rounds instead of O(diameter), the
+    * standard Spark CC shape (cf. large-star/small-star, Kiveris et al.).
+    * Each round is two joins + an aggregate over the edge list — fully
+    * distributed; the driver only checks the convergence counter.
+    * `localCheckpoint` truncates the growing lineage each round.
+    * Deterministic regardless of execution order (min is commutative),
+    * so DuckDB's recursive-CTE closure reproduces it exactly. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // persist pairs BEFORE the symmetrize union, or both union branches
+    // re-run the whole minhash pipeline
+    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).persist()
+    // pre-partition the cached edge list on the probe key: the cache
+    // retains outputPartitioning, so each round's join moves only the
+    // (tiny) label table — the edge list is shuffled ONCE for all rounds,
+    // which is the layout you'd want at 100 TB too
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .repartition(col("doc_a"))
+      .persist()
+    var labels = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    val MaxRounds = 25
+    while (changed > 0 && rounds < MaxRounds) {
+      val nbrMin = edges
+        .join(labels, col("doc_a") === col("doc_id"))
+        .groupBy(col("doc_b"))
+        .agg(min(col("label")).as("nbr_min"))
+      val stepped = labels
+        .join(nbrMin, col("doc_id") === col("doc_b"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      val byId = stepped.select(col("doc_id").as("pid"), col("label").as("plabel"))
+      val jumped = stepped
+        .join(byId, col("label") === col("pid"))
+        .select(col("doc_id"), col("plabel").as("label"))
+        .localCheckpoint(true)
+      changed = jumped
+        .join(labels.select(col("doc_id").as("oid"), col("label").as("old")),
+          col("doc_id") === col("oid"))
+        .filter(col("label") =!= col("old")).count()
+      labels = jumped
+      rounds += 1
+    }
+    edges.unpersist()
+    pairs.unpersist()
+    require(changed == 0, s"dedupClusters did not converge in $MaxRounds rounds")
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Word 3-gram (shingle) jaccard pairs, blocked by (lang, source) —
     * the n-gram variant of near-dup mining. Blocking keys bound the pair
     * space; in-block pairs come from a block-key SELF-JOIN (both sides

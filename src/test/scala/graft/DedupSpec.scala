@@ -50,6 +50,23 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("dedupClusters: near-dup pair collapses to min-id cluster, singletons stand") {
+    val clusters = DedupOps.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("dedupClusters on real testdata: labels are component minima") {
+    val pairs = DedupOps.minhashLsh(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = DedupOps.dedupClusters(spark, TestSpark.Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every edge's endpoints share a cluster, and each cluster id is a member
+    assert(pairs.forall { case (a, b) => clusters(a) == clusters(b) })
+    assert(clusters.forall { case (d, c) => c <= d })
+    assert(clusters.values.toSet.subsetOf(clusters.keySet))
+  }
+
   test("simhash: identical token sets share a simhash; disjoint sets differ") {
     val sh = DedupOps.simhash(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
