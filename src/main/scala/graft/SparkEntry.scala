@@ -84,6 +84,8 @@ object SparkEntry {
     "q_stream_session"   -> graft.streaming.StreamOps.sessionStreamed _,
     "q_json_source"      -> Materialize.eventsFromJsonl _,
     "q_sample_stratified" -> TextOps.stratifiedSample _,
+    "q_grouping_sets"    -> Relational.groupingSets _,
+    "q_range_frame"      -> EventOps.trailingHourFrame _,
   )
 
   /** Shared CTE block for the minhash-family oracles: ends at `j`
@@ -199,6 +201,19 @@ object SparkEntry {
         |SELECT nationkey, 'both' AS tag FROM (
         |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
         |  INTERSECT SELECT DISTINCT s_nationkey FROM supplier)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents,
+        |  CAST(grouping(c_mktsegment, c_nationkey) AS BIGINT) AS gid
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), (c_nationkey))""".stripMargin,
+    "q_range_frame" -> // RANGE frame over epoch seconds; floor on both sides
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)//1000000
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_running_total" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (

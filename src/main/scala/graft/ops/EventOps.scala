@@ -171,4 +171,25 @@ object EventOps {
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("n")).as("n_events"),
         max(col("n")).as("max_session"))
+
+  /** Time-interval window frame (RANGE, not ROWS): per event, the count
+    * and exact cents sum of the same user's events in the trailing hour.
+    * Ordering by epoch SECONDS (cast ts → long ≡ the oracle's
+    * `epoch_us//1_000_000`, both floor) makes same-second events RANGE
+    * peers in both engines; the frame [-3600, 0] is inclusive on both
+    * ends in both engines. One shuffle on user_id, sliding-frame
+    * evaluation within each partition. */
+  def trailingHourFrame(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600, 0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        graft.functions.Exact.cents(col("value")).as("v"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("v")).over(w).as("cents_1h"))
+  }
 }

@@ -220,6 +220,21 @@ object Relational {
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS — the general form ROLLUP/CUBE specialize:
+    * three grouping combinations in one pass, with `grouping_id` so a
+    * NULL group key is distinguishable from NULL data. Temp-view SQL like
+    * rollup/cube (the DataFrame grouping-sets API after joins trips
+    * DetectAmbiguousSelfJoin). */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer_gs")
+    spark.sql(
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents,
+        |  CAST(grouping_id(c_mktsegment, c_nationkey) AS BIGINT) AS gid
+        |FROM graft_customer_gs
+        |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), (c_nationkey))""".stripMargin)
+  }
+
   /** Set operations: nations that have customers but no suppliers
     * (EXCEPT) plus nations having both (INTERSECT), tagged. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
