@@ -86,6 +86,8 @@ object SparkEntry {
     "q_sample_stratified" -> TextOps.stratifiedSample _,
     "q_grouping_sets"    -> Relational.groupingSets _,
     "q_range_frame"      -> EventOps.trailingHourFrame _,
+    "q_string_funcs"     -> Relational.stringFuncs _,
+    "q_resample_hourly"  -> EventOps.resampleHourly _,
   )
 
   /** Shared CTE block for the minhash-family oracles: ends at `j`
@@ -214,6 +216,30 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)//1000000
         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_string_funcs" -> // initcap emulated: segments are single words
+      """SELECT c_custkey,
+        |  upper(substr(lower(c_mktsegment),1,1)) || substr(lower(c_mktsegment),2) AS seg_title,
+        |  reverse(c_name) AS name_rev,
+        |  replace(c_name, 'Customer#', 'C-') AS name_short,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+        |  CAST(instr(c_name, '#') AS BIGINT) AS hash_pos,
+        |  ltrim(substr(c_name, 10, 100), '0') AS id_digits,
+        |  repeat(substr(c_mktsegment, 1, 1), 3) AS seg3,
+        |  CAST(length(trim(c_name)) AS BIGINT) AS name_len,
+        |  lpad(ltrim(substr(c_name, 10, 100), '0'), 6, '*') AS id_pad,
+        |  concat_ws('|', c_mktsegment, c_name) AS joined
+        |FROM customer""".stripMargin,
+    "q_resample_hourly" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |    date_trunc('hour', max(ts)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT date_trunc('hour', ts) AS chour, event_type AS ctype, count(*) AS n
+        |  FROM events GROUP BY 1,2)
+        |SELECT epoch_us(spine.hour) AS hour_us, ty.event_type,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n
+        |FROM spine CROSS JOIN ty
+        |LEFT JOIN c ON c.chour = spine.hour AND c.ctype = ty.event_type""".stripMargin,
     "q_running_total" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (

@@ -172,6 +172,28 @@ object EventOps {
         sum(col("n")).as("n_events"),
         max(col("n")).as("max_session"))
 
+  /** Hourly resample with gap fill: a dense (hour × event_type) grid from
+    * a `sequence` spine between the corpus bounds, left-joined with the
+    * per-hour counts and zero-filled — the time-series regularization
+    * step before any windowed model sees the data. Fully distributed: the
+    * bounds are a 1-row aggregate, the spine explodes from it, and the
+    * count side is the usual two-phase hash aggregate; no collect. */
+  def resampleHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val spine = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    val types = ev.select(col("event_type")).distinct()
+    val counts = ev
+      .groupBy(date_trunc("hour", col("ts")).as("chour"), col("event_type").as("ctype"))
+      .agg(count(lit(1)).as("n"))
+    spine.crossJoin(types)
+      .join(counts, col("hour") === col("chour") && col("event_type") === col("ctype"), "left")
+      .select(unix_micros(col("hour")).as("hour_us"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Time-interval window frame (RANGE, not ROWS): per event, the count
     * and exact cents sum of the same user's events in the trailing hour.
     * Ordering by epoch SECONDS (cast ts → long ≡ the oracle's

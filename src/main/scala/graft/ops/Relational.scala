@@ -235,6 +235,25 @@ object Relational {
         |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), (c_nationkey))""".stripMargin)
   }
 
+  /** String-function battery (the F-family breadth a SQL user expects):
+    * case mapping, reverse, literal replace, translate, position, char
+    * trim, repeat, pad, multi-arg concat — all codegen'd built-ins, one
+    * narrow projection, no shuffle. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        initcap(lower(col("c_mktsegment"))).as("seg_title"),
+        reverse(col("c_name")).as("name_rev"),
+        expr("replace(c_name, 'Customer#', 'C-')").as("name_short"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"),
+        ltrim(substring(col("c_name"), 10, 100), "0").as("id_digits"),
+        repeat(substring(col("c_mktsegment"), 1, 1), 3).as("seg3"),
+        length(trim(col("c_name"))).cast("long").as("name_len"),
+        lpad(ltrim(substring(col("c_name"), 10, 100), "0"), 6, "*").as("id_pad"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"))
+
   /** Set operations: nations that have customers but no suppliers
     * (EXCEPT) plus nations having both (INTERSECT), tagged. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
