@@ -88,6 +88,7 @@ object SparkEntry {
     "q_range_frame"      -> EventOps.trailingHourFrame _,
     "q_string_funcs"     -> Relational.stringFuncs _,
     "q_resample_hourly"  -> EventOps.resampleHourly _,
+    "q_tfidf"            -> TextOps.tfIdf _,
   )
 
   /** Shared CTE block for the minhash-family oracles: ends at `j`
@@ -333,6 +334,20 @@ object SparkEntry {
         |FROM documents
         |WHERE substr(md5(lang || ':' || doc_id), 1, 2) <
         |  CASE WHEN lang = 'en' THEN '${TextOps.EnThreshold}' ELSE '${TextOps.DefaultThreshold}' END""".stripMargin,
+    "q_tfidf" -> // log-free rational tf-idf: tf*N*1000 // df, exact ints
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM d) GROUP BY 1,2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM d),
+        |s AS (SELECT doc_id, tf.term, tf, df,
+        |  CAST(tf*n_docs*1000 // df AS BIGINT) AS tfidf_e3
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY tfidf_e3 DESC, term) AS rank FROM s)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  tfidf_e3, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 3""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS content_key,
         |  count(*) AS n_docs, min(doc_id) AS canonical_doc

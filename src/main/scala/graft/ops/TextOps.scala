@@ -151,6 +151,33 @@ object TextOps {
         when(col("lang") === "en", lit(EnThreshold)).otherwise(lit(DefaultThreshold)))
       .select("doc_id", "lang", "source", "bucket")
 
+  /** Top-3 characteristic terms per document by raw tf-idf, entirely in
+    * exact integers: score = tf · N · 1000 // df (the log-free rational
+    * form — `ln` is not bit-identical across engines, integral division
+    * is). Shapes: one explode + two hash aggregations (term frequency,
+    * then document frequency), a shuffle join on term (vocabulary-sized
+    * right side — broadcastable here, plain shuffle at corpus scale), a
+    * 1-row corpus-count broadcast, and a WindowGroupLimit top-k. */
+  def tfIdf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val tf = docs
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf_e3").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(nDocs)
+      .withColumn("tfidf_e3", idiv(col("tf") * col("n_docs") * 1000, col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf_e3"), col("rank"))
+  }
+
   /** Quality scoring: token-length and stopword-ratio heuristics, all in
     * exact integer per-mille units. Uses higher-order array functions
     * (aggregate/filter) — no UDF, stays codegen-friendly. */
