@@ -89,6 +89,7 @@ object SparkEntry {
     "q_string_funcs"     -> Relational.stringFuncs _,
     "q_resample_hourly"  -> EventOps.resampleHourly _,
     "q_tfidf"            -> TextOps.tfIdf _,
+    "q_json_map"         -> EventOps.jsonMap _,
   )
 
   /** Shared CTE block for the minhash-family oracles: ends at `j`
@@ -252,6 +253,12 @@ object SparkEntry {
         |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k FROM events)
         |SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
         |  count(*) AS n FROM e GROUP BY 1""".stripMargin,
+    "q_json_map" ->
+      """SELECT event_id,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        |  CAST(props->>'k' AS BIGINT) AS k
+        |FROM events""".stripMargin,
     "q_tumbling_hour" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
         |  count(*) AS n,

@@ -194,6 +194,23 @@ object EventOps {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** MapType surface: props parsed with `from_json` into
+    * `map<string,bigint>`, then map_keys / size / element_at — the
+    * schema-flexible path for semi-structured payloads whose keys aren't
+    * known at compile time (vs [[jsonExtract]]'s fixed-field regex).
+    * Keys are emitted sorted-joined so the output stays scalar for the
+    * oracle compare. */
+  def jsonMap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("m", from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType)))
+      .select(col("event_id"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("keys"),
+        size(col("m")).cast("long").as("n_keys"),
+        element_at(col("m"), "k").as("k"))
+
   /** Time-interval window frame (RANGE, not ROWS): per event, the count
     * and exact cents sum of the same user's events in the trailing hour.
     * Ordering by epoch SECONDS (cast ts → long ≡ the oracle's
