@@ -40,7 +40,14 @@ object StreamOps {
     * in production the source is Kafka/files and nothing collects.
     * Oracle: identical SQL to the batch `q_tumbling_hour`, which is the
     * stream ≡ batch guarantee the engine makes for complete mode. */
-  def tumblingHourStreamed(spark: SparkSession, dir: String): DataFrame = {
+  def tumblingHourStreamed(parent: SparkSession, dir: String): DataFrame = {
+    // State stores are partitioned by shuffle.partitions AT QUERY START;
+    // a few thousand window keys don't need the batch engine's width, and
+    // every extra partition is a per-batch store open/commit. An isolated
+    // child session pins the stream-side value without mutating the
+    // caller's conf (same SparkContext, so the result stays usable).
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -83,7 +90,10 @@ object StreamOps {
     * and is filtered by user_id. Oracle: the same gaps-and-islands SQL
     * family as the batch q_session_stats — session_window's merge rule
     * (join if gap < 30 min) is exactly `new session iff gap >= 30 min`. */
-  def sessionStreamed(spark: SparkSession, dir: String): DataFrame = {
+  def sessionStreamed(parent: SparkSession, dir: String): DataFrame = {
+    // see tumblingHourStreamed: ~150 session keys → narrow state stores
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
