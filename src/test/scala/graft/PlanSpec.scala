@@ -57,6 +57,32 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles.isEmpty, df.queryExecution.executedPlan.toString)
   }
 
+  test("dynamic partition pruning fires on a partitioned-fact dim join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString + "/orders_part"
+    graft.ingest.Materialize.writePartitioned(
+      graft.sources.Tables.orders(spark, TestSpark.Sf0001), out, "o_orderpriority")
+    val fact = spark.read.parquet(out)
+    // two DPP preconditions worth documenting: the dim must be a real
+    // source relation (a literal Seq constant-folds to a LocalRelation,
+    // erasing the filter), and the dim predicate must be "likely
+    // selective" (EqualTo qualifies; a bare boolean attribute does not)
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString + "/dim"
+    Seq(("1-URGENT", "yes"), ("2-HIGH", "no"), ("3-MEDIUM", "no"),
+      ("4-NOT SPECIFIED", "no"), ("5-LOW", "no")).toDF("pri", "pick")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact.join(dim.filter(col("pick") === "yes"),
+      col("o_orderpriority") === col("pri"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // the fact scan's PartitionFilters must carry a runtime pruning
+    // subquery — at 100 TB this is what turns a full scan into one
+    // partition's worth of IO
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+  }
+
   test("q_pricing_summary: aggregation is two-phase (partial before shuffle)") {
     val plan = finalPlan(Relational.pricingSummary(spark, TestSpark.Sf0001))
     // partial + final HashAggregate pair = map-side combine happens
