@@ -90,6 +90,7 @@ object SparkEntry {
     "q_resample_hourly"  -> EventOps.resampleHourly _,
     "q_tfidf"            -> TextOps.tfIdf _,
     "q_json_map"         -> EventOps.jsonMap _,
+    "q_bucketed_join"    -> Materialize.bucketedJoin _,
   )
 
   /** Shared CTE block for the minhash-family oracles: ends at `j`
@@ -548,6 +549,12 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM p)
         |SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, cos, bucket
         |FROM r WHERE rank <= ${VectorOps.AnnTopK}""".stripMargin,
+    "q_bucketed_join" -> // oracle is the plain join — bucketing must not change results
+      """SELECT c_nationkey,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active_cust,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     "q_salted_agg" -> // the oracle is the UNsalted direct form — salting must not change results
       """SELECT c_nationkey,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,

@@ -119,4 +119,44 @@ object Materialize {
       .bucketBy(n, bucketCol).sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Bucketed co-located join under the driver's hard signal, the
+    * q_salted_agg pattern: a physical-layout variant must not change
+    * results, so the oracle is the PLAIN join SQL. Orders and customer
+    * are (re)written as 8-bucket tables on the join key — the join of the
+    * two bucketed sides then needs no shuffle of either big side
+    * (IngestSpec asserts the plan has no ShuffleExchange; this query
+    * asserts the semantics). Table names are sfDir-scoped so different
+    * scales never read each other's buckets. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val ot = s"graft_bkt_orders_$tag"
+    val ct = s"graft_bkt_customer_$tag"
+    Seq(ot, ct).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a previous JVM's in-memory catalog is gone but its managed files
+      // survive, and CTAS refuses to reuse the location — clear orphans
+      if (!spark.catalog.tableExists(t)) {
+        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        val loc = new java.io.File(wh, t)
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(loc)
+        }
+      }
+    }
+    writeBucketed(graft.sources.Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice")), ot, "o_custkey", 8)
+    writeBucketed(graft.sources.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey")), ct, "c_custkey", 8)
+    spark.table(ot)
+      .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_active_cust"),
+        sum(graft.functions.Exact.cents(col("o_totalprice"))).as("revenue_cents"))
+  }
 }
