@@ -91,6 +91,8 @@ object SparkEntry {
     "q_tfidf"            -> TextOps.tfIdf _,
     "q_json_map"         -> EventOps.jsonMap _,
     "q_bucketed_join"    -> Materialize.bucketedJoin _,
+    "q_lateral_topk"     -> Relational.lateralTopCustomers _,
+    "q_unpivot"          -> EventOps.unpivotEventCounts _,
   )
 
   /** Shared CTE block for the minhash-family oracles: ends at `j`
@@ -527,6 +529,22 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY 1""".stripMargin,
+    "q_lateral_topk" ->
+      """SELECT n_name, t.c_custkey, t.acctbal_cents
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents
+        |  FROM customer WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin,
+    "q_unpivot" ->
+      """WITH w AS (SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1)
+        |SELECT user_id, event_type, n
+        |FROM w UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))""".stripMargin,
     "q_cube" ->
       """SELECT event_type, CAST(dayofmonth(ts) AS INTEGER) AS dom, count(*) AS n
         |FROM events GROUP BY CUBE(event_type, CAST(dayofmonth(ts) AS INTEGER))""".stripMargin,

@@ -194,6 +194,15 @@ object EventOps {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** UNPIVOT (melt): the wide per-user event-count matrix back to long
+    * form — the inverse of [[pivotEventCounts]], keeping explicit zero
+    * cells (the grid semantics a feature matrix needs). */
+  def unpivotEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    pivotEventCounts(spark, dir)
+      .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+  }
+
   /** MapType surface: props parsed with `from_json` into
     * `map<string,bigint>`, then map_keys / size / element_at — the
     * schema-flexible path for semi-structured payloads whose keys aren't

@@ -254,6 +254,21 @@ object Relational {
         lpad(ltrim(substring(col("c_name"), 10, 100), "0"), 6, "*").as("id_pad"),
         concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"))
 
+  /** LATERAL correlated subquery with ORDER BY + LIMIT: top-2 customers
+    * by balance PER NATION ROW — the per-row-subquery form of top-k that
+    * Catalyst decorrelates into a join + per-group limit (vs the window
+    * form in topKRevenue). Deterministic tie-break on custkey. */
+  def lateralTopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_nation_lat")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer_lat")
+    spark.sql(
+      """SELECT n_name, t.c_custkey, t.acctbal_cents
+        |FROM graft_nation_lat, LATERAL (
+        |  SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents
+        |  FROM graft_customer_lat WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
+  }
+
   /** Set operations: nations that have customers but no suppliers
     * (EXCEPT) plus nations having both (INTERSECT), tagged. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
