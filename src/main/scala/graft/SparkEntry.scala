@@ -93,6 +93,7 @@ object SparkEntry {
     "q_bucketed_join"    -> Materialize.bucketedJoin _,
     "q_lateral_topk"     -> Relational.lateralTopCustomers _,
     "q_unpivot"          -> EventOps.unpivotEventCounts _,
+    "q_json_dropmalformed" -> Materialize.eventsFromCorruptJsonl _,
   )
 
   /** Shared CTE block for the minhash-family oracles: ends at `j`
@@ -288,6 +289,16 @@ object SparkEntry {
         |FROM read_json('${Materialize.EventsJsonl}', format='newline_delimited',
         |  columns={id:'BIGINT', kind:'VARCHAR', amount:'DOUBLE', tags:'VARCHAR[]',
         |           meta:'STRUCT(k BIGINT, source VARCHAR)'})""".stripMargin,
+    // Spark DROPMALFORMED drops the corrupt line, DuckDB ignore_errors
+    // nulls it; the shared null-id filter reconciles the two policies
+    "q_json_dropmalformed" ->
+      s"""SELECT id, kind, CAST(round(amount*100) AS BIGINT) AS amount_cents,
+        |  CAST(len(tags) AS BIGINT) AS n_tags, meta.k AS meta_k, meta.source AS meta_source
+        |FROM read_json('${Materialize.EventsCorruptJsonl}', format='newline_delimited',
+        |  ignore_errors=true,
+        |  columns={id:'BIGINT', kind:'VARCHAR', amount:'DOUBLE', tags:'VARCHAR[]',
+        |           meta:'STRUCT(k BIGINT, source VARCHAR)'})
+        |WHERE id IS NOT NULL""".stripMargin,
     "q_sliding_hour" ->
       """WITH w AS (SELECT
         |  unnest([time_bucket(INTERVAL '30 minutes', ts),

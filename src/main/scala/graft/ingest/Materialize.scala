@@ -100,11 +100,25 @@ object Materialize {
     * (legacy `size(NULL)` is -1, the oracle's `len(NULL)` is NULL).
     * Ignores `dir` — reads the landed fixture file. */
   def eventsFromJsonl(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(EventJsonSchema).json(EventsJsonl)
-      .select(col("id"), col("kind"),
-        graft.functions.Exact.cents(col("amount")).as("amount_cents"),
-        when(col("tags").isNotNull, size(col("tags")).cast("long")).as("n_tags"),
-        col("meta.k").as("meta_k"), col("meta.source").as("meta_source"))
+    flattenJson(spark.read.schema(EventJsonSchema).json(EventsJsonl))
+
+  private def flattenJson(df: DataFrame): DataFrame =
+    df.select(col("id"), col("kind"),
+      graft.functions.Exact.cents(col("amount")).as("amount_cents"),
+      when(col("tags").isNotNull, size(col("tags")).cast("long")).as("n_tags"),
+      col("meta.k").as("meta_k"), col("meta.source").as("meta_source"))
+
+  /** The same fixture plus a syntactically corrupt line. */
+  val EventsCorruptJsonl = "/root/repo/data/events_corrupt.jsonl"
+
+  /** Malformed-line POLICY for JSON sources: Spark's DROPMALFORMED drops
+    * the unparseable line; DuckDB's `ignore_errors` nulls it instead —
+    * the engines reconcile through the same null-id quality filter the
+    * CSV path uses, so the oracle stays exact. */
+  def eventsFromCorruptJsonl(spark: SparkSession, dir: String): DataFrame =
+    flattenJson(spark.read.schema(EventJsonSchema)
+        .option("mode", "DROPMALFORMED").json(EventsCorruptJsonl))
+      .filter(col("id").isNotNull)
 
   /** Partitioned columnar write — the `PARTITION BY fifa_update_date`
     * analog. At scale this is what enables partition pruning downstream
