@@ -5,8 +5,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // median-of-N damps the ±50% VM noise on this box; odd N keeps the
-    // median a real observation
+    // median a real observation (even N reports the upper-middle run)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,20 +31,27 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     // noop-format write evaluates every output expression (count() would
     // let Catalyst prune the final projection and under-measure it)
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     // sorted order: deterministic timings comparable across rounds
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val runs = (1 to reps).map { _ => sorted.map { case (n, fn) => timeOne(n, fn) } }
     val results = sorted.map(_._1).zipWithIndex.map { case (name, i) =>
-      val ts = runs.map(_(i)).sorted
+      // median over SUCCESSFUL runs only — a fast failure must not pose
+      // as a timing; a query with zero successes keeps its failure times
+      // (and is listed in failed[], which marks the number untrustworthy)
+      val all = runs.map(_(i))
+      val ts = { val ok = all.filter(_._2); if (ok.nonEmpty) ok else all }
+        .map(_._1).sorted
       name -> ts(ts.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -353,7 +353,8 @@ object SparkEntry {
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang, source, substr(md5(lang || ':' || doc_id), 1, 2) AS bucket
         |FROM documents
-        |WHERE substr(md5(lang || ':' || doc_id), 1, 2) <
+        |WHERE lang IS NOT NULL
+        |  AND substr(md5(lang || ':' || doc_id), 1, 2) <
         |  CASE WHEN lang = 'en' THEN '${TextOps.EnThreshold}' ELSE '${TextOps.DefaultThreshold}' END""".stripMargin,
     "q_tfidf" -> // log-free rational tf-idf: tf*N*1000 // df, exact ints
       """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),

@@ -150,16 +150,15 @@ object Materialize {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       // a previous JVM's in-memory catalog is gone but its managed files
       // survive, and CTAS refuses to reuse the location — clear orphans
-      if (!spark.catalog.tableExists(t)) {
-        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-        val loc = new java.io.File(wh, t)
-        if (loc.exists()) {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete()
-          }
-          rm(loc)
+      // (the DROP above already removed any current-catalog entry)
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = new java.io.File(wh, t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
         }
+        rm(loc)
       }
     }
     writeBucketed(graft.sources.Tables.orders(spark, dir)

@@ -183,34 +183,41 @@ object DedupOps {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
-    var changed = 1L
-    var rounds = 0
-    val MaxRounds = 25
-    while (changed > 0 && rounds < MaxRounds) {
-      val nbrMin = edges
-        .join(labels, col("doc_a") === col("doc_id"))
-        .groupBy(col("doc_b"))
-        .agg(min(col("label")).as("nbr_min"))
-      val stepped = labels
-        .join(nbrMin, col("doc_id") === col("doc_b"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-      val byId = stepped.select(col("doc_id").as("pid"), col("label").as("plabel"))
-      val jumped = stepped
-        .join(byId, col("label") === col("pid"))
-        .select(col("doc_id"), col("plabel").as("label"))
-        .localCheckpoint(true)
-      changed = jumped
-        .join(labels.select(col("doc_id").as("oid"), col("label").as("old")),
-          col("doc_id") === col("oid"))
-        .filter(col("label") =!= col("old")).count()
-      labels = jumped
-      rounds += 1
+    try {
+      var changed = 1L
+      var rounds = 0
+      val MaxRounds = 25
+      while (changed > 0 && rounds < MaxRounds) {
+        val nbrMin = edges
+          .join(labels, col("doc_a") === col("doc_id"))
+          .groupBy(col("doc_b"))
+          .agg(min(col("label")).as("nbr_min"))
+        val stepped = labels
+          .join(nbrMin, col("doc_id") === col("doc_b"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        val byId = stepped.select(col("doc_id").as("pid"), col("label").as("plabel"))
+        val jumped = stepped
+          .join(byId, col("label") === col("pid"))
+          .select(col("doc_id"), col("plabel").as("label"))
+          .localCheckpoint(true)
+        changed = jumped
+          .join(labels.select(col("doc_id").as("oid"), col("label").as("old")),
+            col("doc_id") === col("oid"))
+          .filter(col("label") =!= col("old")).count()
+        // superseded checkpoints lose their last reference here; the
+        // ContextCleaner reclaims their blocks asynchronously
+        labels = jumped
+        rounds += 1
+      }
+      require(changed == 0, s"dedupClusters did not converge in $MaxRounds rounds")
+      labels.select(col("doc_id"), col("label").as("cluster_id"))
+    } finally {
+      // the result reads the final labels checkpoint, not these caches —
+      // safe to release even on the success path
+      edges.unpersist()
+      pairs.unpersist()
     }
-    edges.unpersist()
-    pairs.unpersist()
-    require(changed == 0, s"dedupClusters did not converge in $MaxRounds rounds")
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
   /** Word 3-gram (shingle) jaccard pairs, blocked by (lang, source) —

@@ -204,21 +204,24 @@ object EventOps {
   }
 
   /** MapType surface: props parsed with `from_json` into
-    * `map<string,bigint>`, then map_keys / size / element_at — the
+    * `map<string,string>`, then map_keys / size / element_at — the
     * schema-flexible path for semi-structured payloads whose keys aren't
     * known at compile time (vs [[jsonExtract]]'s fixed-field regex).
-    * Keys are emitted sorted-joined so the output stays scalar for the
-    * oracle compare. */
+    * String values deliberately: a `map<string,bigint>` schema would
+    * null the ENTIRE map if any one value were non-integer, while the
+    * oracle's json functions parse per-key — so parse loosely and cast
+    * the key we need. Keys are emitted sorted-joined so the output stays
+    * scalar for the oracle compare. */
   def jsonMap(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("m", from_json(col("props"),
         org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
-          org.apache.spark.sql.types.LongType)))
+          org.apache.spark.sql.types.StringType)))
       .select(col("event_id"),
         concat_ws(",", array_sort(map_keys(col("m")))).as("keys"),
         size(col("m")).cast("long").as("n_keys"),
-        element_at(col("m"), "k").as("k"))
+        element_at(col("m"), "k").cast("long").as("k"))
 
   /** Time-interval window frame (RANGE, not ROWS): per event, the count
     * and exact cents sum of the same user's events in the trailing hour.

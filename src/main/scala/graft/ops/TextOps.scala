@@ -145,6 +145,9 @@ object TextOps {
     * no shuffle at all. */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // null lang: concat_ws would SKIP the null (bucket on doc_id only)
+      // while the oracle's || yields NULL → row dropped; exclude up front
+      .filter(col("lang").isNotNull)
       .withColumn("bucket",
         substring(md5(concat_ws(":", col("lang"), col("doc_id"))), 1, 2))
       .filter(col("bucket") <

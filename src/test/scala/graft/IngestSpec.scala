@@ -61,13 +61,7 @@ class IngestSpec extends AnyFunSuite {
         .join(spark.table("graft_b_customer"),
           org.apache.spark.sql.functions.col("o_custkey") ===
             org.apache.spark.sql.functions.col("c_custkey"))
-      // match on the node CLASS: ShuffleExchangeExec renders as "Exchange"
-      // in plan strings, so a substring check would be vacuously true
-      val shuffles = joined.queryExecution.executedPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-      }
-      assert(shuffles.isEmpty,
-        s"bucketed join shuffled:\n${joined.queryExecution.executedPlan}")
+      TestSpark.assertNoShuffle(joined)
       assert(joined.count() == orders.count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }

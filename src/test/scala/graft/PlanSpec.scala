@@ -49,12 +49,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q_sample_stratified: pure scan+filter, zero shuffles") {
-    val df = TextOps.stratifiedSample(spark, TestSpark.Sf0001)
-    df.collect()
-    val shuffles = df.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-    }
-    assert(shuffles.isEmpty, df.queryExecution.executedPlan.toString)
+    TestSpark.assertNoShuffle(TextOps.stratifiedSample(spark, TestSpark.Sf0001))
   }
 
   test("dynamic partition pruning fires on a partitioned-fact dim join") {

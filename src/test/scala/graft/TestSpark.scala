@@ -19,4 +19,23 @@ object TestSpark {
   }
 
   val Sf0001 = "/root/testdata/sf0.001"
+
+  /** Assert a fully-executed plan contains no shuffle exchange.
+    *
+    * NOT a `collect { case e: ShuffleExchangeLike }`: under AQE (default
+    * on) the executed tree is wrapped in `AdaptiveSparkPlanExec`, which
+    * is a LeafExecNode — a collect on the wrapper sees nothing, so the
+    * assertion would pass EXACTLY when a regression introduces a shuffle
+    * (shuffle → plan gets AQE-wrapped → collect returns empty). The
+    * rendered plan string shows shuffles in both the AQE-final and
+    * non-AQE forms. */
+  def assertNoShuffle(df: org.apache.spark.sql.DataFrame): Unit = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val markers = Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+      "Exchange SinglePartition", "ShuffleQueryStage")
+    markers.foreach { m =>
+      assert(!plan.contains(m), s"plan shuffles ($m):\n$plan")
+    }
+  }
 }
