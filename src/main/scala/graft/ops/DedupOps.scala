@@ -187,8 +187,31 @@ object DedupOps {
       var changed = 1L
       var rounds = 0
       val MaxRounds = 25
+      // after the first propagation most edges join two same-labelled
+      // nodes; CONTRACT the graph once — relabel endpoints to their
+      // current representatives and drop intra-cluster self-loops — so
+      // later rounds scan only the small inter-cluster remainder instead
+      // of the full edge list (the large-star/small-star idea applied as
+      // a one-shot shrink; components are preserved because a relabeled
+      // edge connects exactly the representatives its endpoints follow).
+      // Locally a wash (the shrink join ≈ the rounds it saves); at real
+      // scale it is the difference between re-scanning the full edge list
+      // every round and touching a sliver.
+      var liveEdges = edges
       while (changed > 0 && rounds < MaxRounds) {
-        val nbrMin = edges
+        if (rounds == 1) {
+          val la = labels.select(col("doc_id").as("doc_a"), col("label").as("la"))
+          val lb = labels.select(col("doc_id").as("doc_b"), col("label").as("lb"))
+          val contracted = edges
+            .join(la, "doc_a").join(lb, "doc_b")
+            .filter(col("la") =!= col("lb"))
+            .select(col("la").as("doc_a"), col("lb").as("doc_b"))
+            .distinct()
+            .localCheckpoint(true)
+          liveEdges = contracted
+          edges.unpersist()
+        }
+        val nbrMin = liveEdges
           .join(labels, col("doc_a") === col("doc_id"))
           .groupBy(col("doc_b"))
           .agg(min(col("label")).as("nbr_min"))
