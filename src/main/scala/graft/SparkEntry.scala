@@ -262,23 +262,31 @@ object SparkEntry {
         |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
         |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
         |  CAST(props->>'k' AS BIGINT) AS k
-        |FROM events""".stripMargin,
+        |FROM events WHERE props IS NOT NULL""".stripMargin,
     "q_tumbling_hour" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
-        |FROM events GROUP BY 1,2""".stripMargin,
-    "q_stream_tumbling" -> // same SQL as q_tumbling_hour: stream ≡ batch
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1,2""".stripMargin,
+    "q_stream_tumbling" -> // batch q_tumbling_hour SQL (stream ≡ batch) over
+      // COMPLETE events: the typed stream rejects null key/time/value fields
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
-        |FROM events GROUP BY 1,2""".stripMargin,
-    "q_stream_session" -> // per-session rows; same gaps-and-islands family as q_session_stats
+        |FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1,2""".stripMargin,
+    "q_stream_session" -> // per-session rows; same gaps-and-islands family as
+      // q_session_stats, over COMPLETE events (typed-stream contract)
       """WITH x AS (SELECT user_id, ts, event_id,
         |  CASE WHEN lag(ts) OVER w IS NULL
         |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
         |       THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL AND value IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |y AS (SELECT user_id, ts, sum(new_s) OVER (
         |  PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x)
         |SELECT epoch_us(min(ts)) AS sess_start_us, user_id, count(*) AS n
@@ -303,7 +311,8 @@ object SparkEntry {
       """WITH w AS (SELECT
         |  unnest([time_bucket(INTERVAL '30 minutes', ts),
         |          time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE]) AS s,
-        |  event_type, CAST(round(value*100) AS BIGINT) AS v FROM events)
+        |  event_type, CAST(round(value*100) AS BIGINT) AS v FROM events
+        |  WHERE ts IS NOT NULL)
         |SELECT epoch_us(s) AS win_start_us, event_type, count(*) AS n,
         |  CAST(sum(v) AS BIGINT) AS value_cents
         |FROM w GROUP BY 1,2""".stripMargin,
@@ -312,7 +321,8 @@ object SparkEntry {
         |  CASE WHEN lag(ts) OVER w IS NULL
         |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
         |       THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  FROM events WHERE ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |y AS (SELECT user_id, sum(new_s) OVER (
         |  PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x),
         |z AS (SELECT user_id, sid, count(*) AS n FROM y GROUP BY 1,2)
@@ -490,10 +500,10 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM sc)
          |SELECT doc_id, cand AS pred_lang, score FROM r WHERE rn = 1""".stripMargin
     },
-    "q_asof_join" ->
+    "q_asof_join" -> // null probe times excluded: ASOF on NULL is engine-defined
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
         |  epoch_us(o.o_orderdate) AS asof_order_us
-        |FROM events e ASOF JOIN orders o
+        |FROM (SELECT * FROM events WHERE ts IS NOT NULL) e ASOF JOIN orders o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
     "q_outer_join" ->
       """WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer GROUP BY 1),

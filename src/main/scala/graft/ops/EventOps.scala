@@ -27,9 +27,13 @@ object EventOps {
         max(col("k")).as("max_k"),
         count(lit(1)).as("n"))
 
-  /** Tumbling 1-hour event-time windows (counts + exact cents). */
+  /** Tumbling 1-hour event-time windows (counts + exact cents). A null
+    * timestamp cannot be windowed: Spark's window generator would drop
+    * the row while the oracle's date_trunc(NULL) groups it — exclude
+    * explicitly, mirrored in the oracle WHERE. */
   def tumblingHour(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(cents(col("value"))).as("value_cents"))
@@ -40,6 +44,7 @@ object EventOps {
     * exactly two windows. */
   def slidingHour(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      .filter(col("ts").isNotNull) // see tumblingHour
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(cents(col("value"))).as("value_cents"))
@@ -58,6 +63,9 @@ object EventOps {
     */
   def asofLastOrder(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
+      // an event without a time has no as-of point (DuckDB's ASOF on a
+      // NULL probe time is engine-defined — exclude on both sides)
+      .filter(col("ts").isNotNull)
       .select(col("user_id").as("k"), col("ts").cast("timestamp").as("t"),
         col("event_id"))
     val ord = Tables.orders(spark, dir)
@@ -146,7 +154,9 @@ object EventOps {
       .groupBy("user_id")
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
-      .na.fill(0L)
+      // fill ONLY the pivoted count cells: an unqualified na.fill(0)
+      // would also rewrite a NULL user_id group key to 0
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
 
   /** CUBE over (event_type, day-of-month) — the full grouping-set lattice
     * (rollup's sibling), via SQL like the reference composes queries. */
@@ -165,6 +175,7 @@ object EventOps {
     * session starts when ts - prev_ts >= gap. */
   def sessionStats(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      .filter(col("ts").isNotNull) // see tumblingHour
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n"))
       .groupBy("user_id")
@@ -214,6 +225,9 @@ object EventOps {
     * scalar for the oracle compare. */
   def jsonMap(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      // NULL props: legacy size(NULL) = -1 and concat_ws over a null
+      // array = "" while the oracle yields NULLs — no payload, no row
+      .filter(col("props").isNotNull)
       .withColumn("m", from_json(col("props"),
         org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,

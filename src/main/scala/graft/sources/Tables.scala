@@ -41,6 +41,11 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // a re-landed corpus may carry naive (isAdjustedToUTC=false)
+        // timestamps; the session runs in UTC, so reinterpreting as
+        // instants is lossless and keeps unix_micros/window ops working
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

@@ -52,6 +52,11 @@ object StreamOps {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val evs = graft.sources.Tables.events(spark, dir)
+      // Ev's primitive fields reject nulls, and an event without a
+      // time/key/value can't be windowed/keyed/summed — the stream
+      // ingests complete events only (oracle WHERE mirrors this)
+      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull && col("value").isNotNull)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[Ev].collect()
     val source = MemoryStream[Ev]
@@ -100,6 +105,8 @@ object StreamOps {
     def micros(t: java.sql.Timestamp): Long =
       t.getTime * 1000L + (t.getNanos / 1000) % 1000
     val evs = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull && col("value").isNotNull) // see tumblingHourStreamed
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[Ev].collect().sortBy(e => (micros(e.ts), e.event_id))
     val source = MemoryStream[Ev]

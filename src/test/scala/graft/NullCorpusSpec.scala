@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Every query must survive a null-riddled corpus: null text/lang/source
+  * documents, events with null ts/type/value/user/props, customers and
+  * orders with null keys and amounts. The DuckDB-parity of these rows is
+  * covered by the oracle WHERE clauses shipped with each query; this spec
+  * pins the no-crash / no-surprise property in CI (the round-1 advice
+  * flagged exactly this class: "a regenerated corpus with nulls would
+  * crash the query"). */
+class NullCorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** sf0.001 with null-injected rows, rebuilt through Spark writes (also
+    * exercises the plain-TIMESTAMP events path vs the nanos one). */
+  lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_nulls").toString
+    val src = TestSpark.Sf0001
+    def copy(t: String): Unit =
+      spark.read.parquet(s"$src/$t.parquet").write.parquet(s"$d/$t.parquet")
+    Seq("region", "nation", "supplier", "part", "lineitem", "embeddings").foreach(copy)
+
+    def extend(t: String, extra: Seq[Row]): Unit = {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val add = spark.createDataFrame(
+        spark.sparkContext.parallelize(extra), base.schema)
+      base.unionByName(add).write.parquet(s"$d/$t.parquet")
+    }
+    extend("documents", Seq(
+      Row(9001L, null, "en", "web", 0L),
+      Row(9002L, "some plain text here", null, null, 20L),
+      Row(9003L, "", "de", "web", 0L)))
+    // the source events table is TIMESTAMP(NANOS) → read as nanos longs
+    val tsNanos = 1704164645000000000L // 2024-01-02T03:04:05Z
+    extend("events", Seq(
+      Row(99001L, tsNanos, 1L, null, null, null),
+      Row(99002L, null, 2L, "click", 1.25, "{\"k\": 5}"),
+      Row(99003L, tsNanos, null, "view", 2.5, "{\"k\": 6}")))
+    extend("customer", Seq(
+      Row(99001L, null, 3, 12.34, "BUILDING"),
+      Row(99002L, "Customer#000099002", null, null, null)))
+    // o_orderdate is TIMESTAMP_NTZ → LocalDateTime externally
+    val odate = java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5)
+    extend("orders", Seq(
+      Row(999001L, null, "O", null, null, null),
+      Row(999002L, 5L, "F", 123.45, odate, "2-HIGH")))
+    d
+  }
+
+  test("every SparkEntry query runs to completion on the null corpus") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, dir).collect(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(200)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
