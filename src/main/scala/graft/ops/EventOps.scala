@@ -62,13 +62,15 @@ object EventOps {
     * engine-dependent, the as-of time itself is deterministic.
     */
   def asofLastOrder(spark: SparkSession, dir: String): DataFrame = {
+    // null keys/times excluded on both sides: ASOF equality never matches
+    // NULL, but the union+window emulation would co-partition NULL keys
+    // (partitionBy treats NULLs as equal) and fabricate a match
     val ev = Tables.events(spark, dir)
-      // an event without a time has no as-of point (DuckDB's ASOF on a
-      // NULL probe time is engine-defined — exclude on both sides)
-      .filter(col("ts").isNotNull)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id").as("k"), col("ts").cast("timestamp").as("t"),
         col("event_id"))
     val ord = Tables.orders(spark, dir)
+      .filter(col("o_custkey").isNotNull)
       .select(col("o_custkey").as("k"), col("o_orderdate").cast("timestamp").as("t"))
     val unioned = ev
       .withColumn("ot", lit(null).cast("timestamp"))
@@ -228,10 +230,16 @@ object EventOps {
       // NULL props: legacy size(NULL) = -1 and concat_ws over a null
       // array = "" while the oracle yields NULLs — no payload, no row
       .filter(col("props").isNotNull)
-      .withColumn("m", from_json(col("props"),
-        org.apache.spark.sql.types.MapType(
-          org.apache.spark.sql.types.StringType,
-          org.apache.spark.sql.types.StringType)))
+      .withColumn("m", coalesce(
+        from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)),
+        // non-object JSON (array/scalar): from_json yields a NULL map but
+        // the oracle's json_keys yields [] — normalize to the empty map.
+        // Contract: props is valid JSON or NULL (json_keys errors on
+        // malformed input, so there is no cross-engine malformed policy).
+        map()))
       .select(col("event_id"),
         concat_ws(",", array_sort(map_keys(col("m")))).as("keys"),
         size(col("m")).cast("long").as("n_keys"),

@@ -115,16 +115,18 @@ object StreamOps {
       .writeStream.format("memory").queryName(sinkName)
       .outputMode(OutputMode.Append()).start()
     try {
-      val (h1, h2) = evs.splitAt(evs.length / 2)
-      source.addData(h1.toIndexedSeq)
-      query.processAllAvailable()
-      source.addData(h2.toIndexedSeq)
-      query.processAllAvailable()
-      val far = new java.sql.Timestamp(evs.last.ts.getTime + 30L * 24 * 3600 * 1000)
-      source.addData(Ev(-1L, far, -1L, "__sentinel", 0.0))
-      query.processAllAvailable()
-      source.addData(Ev(-2L, new java.sql.Timestamp(far.getTime + 1000), -1L, "__sentinel", 0.0))
-      query.processAllAvailable()
+      if (evs.nonEmpty) { // an empty stream has no sessions to flush
+        val (h1, h2) = evs.splitAt(evs.length / 2)
+        source.addData(h1.toIndexedSeq)
+        query.processAllAvailable()
+        source.addData(h2.toIndexedSeq)
+        query.processAllAvailable()
+        val far = new java.sql.Timestamp(evs.last.ts.getTime + 30L * 24 * 3600 * 1000)
+        source.addData(Ev(-1L, far, -1L, "__sentinel", 0.0))
+        query.processAllAvailable()
+        source.addData(Ev(-2L, new java.sql.Timestamp(far.getTime + 1000), -1L, "__sentinel", 0.0))
+        query.processAllAvailable()
+      }
     } finally query.stop()
     spark.table(sinkName).filter(col("user_id") >= 0)
       .select(unix_micros(col("sess_start")).as("sess_start_us"),

@@ -25,22 +25,28 @@ class NullCorpusSpec extends AnyFunSuite {
       spark.read.parquet(s"$src/$t.parquet").write.parquet(s"$d/$t.parquet")
     Seq("region", "nation", "supplier", "part", "lineitem", "embeddings").foreach(copy)
 
-    def extend(t: String, extra: Seq[Row]): Unit = {
+    def extend(t: String, extra: Seq[Row],
+        post: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): Unit = {
       val base = spark.read.parquet(s"$src/$t.parquet")
       val add = spark.createDataFrame(
         spark.sparkContext.parallelize(extra), base.schema)
-      base.unionByName(add).write.parquet(s"$d/$t.parquet")
+      post(base.unionByName(add)).write.parquet(s"$d/$t.parquet")
     }
     extend("documents", Seq(
       Row(9001L, null, "en", "web", 0L),
       Row(9002L, "some plain text here", null, null, 20L),
       Row(9003L, "", "de", "web", 0L)))
-    // the source events table is TIMESTAMP(NANOS) → read as nanos longs
+    // the source events table is TIMESTAMP(NANOS) → read as nanos longs;
+    // re-land as TIMESTAMP_NTZ so the corpus also exercises the
+    // Tables.events NTZ normalization branch
     val tsNanos = 1704164645000000000L // 2024-01-02T03:04:05Z
     extend("events", Seq(
       Row(99001L, tsNanos, 1L, null, null, null),
       Row(99002L, null, 2L, "click", 1.25, "{\"k\": 5}"),
-      Row(99003L, tsNanos, null, "view", 2.5, "{\"k\": 6}")))
+      Row(99003L, tsNanos, null, "view", 2.5, "{\"k\": 6}")),
+      post = _.withColumn("ts",
+        org.apache.spark.sql.functions.expr(
+          "cast(timestamp_micros(ts div 1000) as timestamp_ntz)")))
     extend("customer", Seq(
       Row(99001L, null, 3, 12.34, "BUILDING"),
       Row(99002L, "Customer#000099002", null, null, null)))
@@ -55,7 +61,7 @@ class NullCorpusSpec extends AnyFunSuite {
   test("every SparkEntry query runs to completion on the null corpus") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, dir).collect(); None }
-      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(200)}") }
+      catch { case e: Throwable => Some(s"$name: ${e.toString.take(200)}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }

@@ -32,10 +32,12 @@ object TestSpark {
   def assertNoShuffle(df: org.apache.spark.sql.DataFrame): Unit = {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    val markers = Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
-      "Exchange SinglePartition", "ShuffleQueryStage")
-    markers.foreach { m =>
-      assert(!plan.contains(m), s"plan shuffles ($m):\n$plan")
+    // any Exchange except a broadcast is a shuffle (hash, range, single,
+    // round-robin, and whatever partitioning comes next), as is a
+    // materialized ShuffleQueryStage
+    val scrubbed = plan.replace("BroadcastExchange", "")
+    Seq("Exchange ", "ShuffleQueryStage").foreach { m =>
+      assert(!scrubbed.contains(m), s"plan shuffles ($m):\n$plan")
     }
   }
 }
