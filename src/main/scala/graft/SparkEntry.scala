@@ -94,6 +94,7 @@ object SparkEntry {
     "q_lateral_topk"     -> Relational.lateralTopCustomers _,
     "q_unpivot"          -> EventOps.unpivotEventCounts _,
     "q_json_dropmalformed" -> Materialize.eventsFromCorruptJsonl _,
+    "q_locf"             -> EventOps.locfValues _,
   )
 
   /** Shared CTE block for the minhash-family oracles: ends at `j`
@@ -247,9 +248,10 @@ object SparkEntry {
         |FROM spine CROSS JOIN ty
         |LEFT JOIN c ON c.chour = spine.hour AND c.ctype = ty.event_type""".stripMargin,
     "q_running_total" ->
+      // NULLS FIRST: Spark ASC sorts nulls first, DuckDB defaults last
       """SELECT o_custkey, o_orderkey,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
-        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
         |FROM orders""".stripMargin,
     "q_json_extract" ->
@@ -263,6 +265,14 @@ object SparkEntry {
         |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
         |  CAST(props->>'k' AS BIGINT) AS k
         |FROM events WHERE props IS NOT NULL""".stripMargin,
+    "q_locf" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(round(value*100) AS BIGINT) AS value_cents,
+        |  CAST(last_value(CAST(round(value*100) AS BIGINT) IGNORE NULLS) OVER w AS BIGINT) AS locf_cents,
+        |  CAST(first_value(CAST(round(value*100) AS BIGINT) IGNORE NULLS) OVER w AS BIGINT) AS first_cents
+        |FROM events WHERE ts IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING)""".stripMargin,
     "q_tumbling_hour" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
         |  count(*) AS n,
@@ -520,7 +530,7 @@ object SparkEntry {
         |  CAST(dense_rank() OVER pr AS INTEGER) AS price_rank,
         |  CAST(ntile(4) OVER pr AS INTEGER) AS quartile
         |FROM o
-        |WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey),
         |       pr AS (PARTITION BY o_custkey ORDER BY price_c DESC, o_orderkey)""".stripMargin,
     "q_subqueries" ->
       """SELECT c_custkey, c_nationkey,
@@ -669,7 +679,7 @@ object SparkEntry {
       """WITH o AS (SELECT o_orderpriority,
         |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c FROM orders),
         |r AS (SELECT o_orderpriority, price_c,
-        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY price_c) AS rn,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY price_c NULLS FIRST) AS rn,
         |    count(*) OVER (PARTITION BY o_orderpriority) AS n FROM o)
         |SELECT o_orderpriority,
         |  max(CASE WHEN rn = (n-1)//2 + 1 THEN price_c END) AS median_cents,

@@ -207,6 +207,27 @@ object EventOps {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Forward-fill (last observation carried forward) — the gap-repair
+    * primitive a sensor/feature pipeline runs before windowed models:
+    * per user in event order, a null value takes the most recent
+    * non-null one (`last(..., ignoreNulls)` / the oracle's
+    * `last_value(... IGNORE NULLS)`); first_cents is the backfill
+    * anchor. Null order keys are excluded (an unordered observation
+    * can't be filled); null values are the point and stay. */
+  def locfValues(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc) // us-epoch ≡ ts order
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        cents(col("value")).as("value_cents"))
+      .withColumn("locf_cents", last(col("value_cents"), ignoreNulls = true).over(w))
+      .withColumn("first_cents", first(col("value_cents"), ignoreNulls = true).over(w))
+  }
+
   /** UNPIVOT (melt): the wide per-user event-count matrix back to long
     * form — the inverse of [[pivotEventCounts]], keeping explicit zero
     * cells (the grid semantics a feature matrix needs). */

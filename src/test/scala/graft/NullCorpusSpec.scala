@@ -54,7 +54,11 @@ class NullCorpusSpec extends AnyFunSuite {
     val odate = java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5)
     extend("orders", Seq(
       Row(999001L, null, "O", null, null, null),
-      Row(999002L, 5L, "F", 123.45, odate, "2-HIGH")))
+      Row(999002L, 5L, "F", 123.45, odate, "2-HIGH"),
+      // null order date inside a MULTI-row partition: stresses the
+      // ASC null-ordering alignment (Spark NULLS FIRST vs DuckDB's
+      // NULLS LAST default) that the window oracles pin explicitly
+      Row(999003L, 5L, "F", 67.89, null, "1-URGENT")))
     d
   }
 
