@@ -17,9 +17,11 @@ object SparkEntry {
 
   /** Flagship query (the reference's team_view replica,
     * `/root/reference/prefect/spark/fifa_spark.py:80-98`);
-    * driver smoke-checks rows>0 on sf0.001. */
+    * driver smoke-checks rows>0 on sf0.001. Takes the sf dir from the
+    * same env var the other entry points use. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.teamView(spark, "/root/testdata/sf0.001")
+    Relational.teamView(spark,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -78,10 +80,14 @@ object SparkEntry {
     "q_percentiles"      -> EventOps.percentiles _,
     "q_promo_share"      -> Relational.promoShare _,
     "q_materialize"      -> Materialize.playersFromMalformedCsv _,
-    // executed by the Structured Streaming engine (MemoryStream → memory
-    // sink); oracles are batch SQL (stream ≡ batch)
+    // executed by the Structured Streaming engine over a FILE SOURCE
+    // (landing-zone parquet files → incremental triggers → memory sink;
+    // no driver-side data path); oracles are batch SQL (stream ≡ batch)
     "q_stream_tumbling"  -> graft.streaming.StreamOps.tumblingHourStreamed _,
     "q_stream_session"   -> graft.streaming.StreamOps.sessionStreamed _,
+    "q_stream_user_totals" -> graft.streaming.StreamOps.userTotalsStreamed _,
+    "q_stream_bursts"    -> graft.streaming.StreamOps.burstsStreamed _,
+    "q_stream_dedup"     -> graft.streaming.StreamOps.dedupStreamed _,
     "q_json_source"      -> Materialize.eventsFromJsonl _,
     "q_sample_stratified" -> TextOps.stratifiedSample _,
     "q_grouping_sets"    -> Relational.groupingSets _,
@@ -263,7 +269,7 @@ object SparkEntry {
       """SELECT event_id,
         |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
         |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
-        |  CAST(props->>'k' AS BIGINT) AS k
+        |  CAST(trunc(TRY_CAST(props->>'k' AS DOUBLE)) AS BIGINT) AS k
         |FROM events WHERE props IS NOT NULL""".stripMargin,
     "q_locf" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
@@ -271,7 +277,7 @@ object SparkEntry {
         |  CAST(last_value(CAST(round(value*100) AS BIGINT) IGNORE NULLS) OVER w AS BIGINT) AS locf_cents,
         |  CAST(first_value(CAST(round(value*100) AS BIGINT) IGNORE NULLS) OVER w AS BIGINT) AS first_cents
         |FROM events WHERE ts IS NOT NULL
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST
         |  ROWS UNBOUNDED PRECEDING)""".stripMargin,
     "q_tumbling_hour" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
@@ -287,6 +293,34 @@ object SparkEntry {
         |WHERE event_id IS NOT NULL AND ts IS NOT NULL
         |  AND user_id IS NOT NULL AND value IS NOT NULL
         |GROUP BY 1,2""".stripMargin,
+    "q_stream_user_totals" -> // final mapGroupsWithState state per user ==
+      // the batch per-user totals over complete events (stream ≡ batch)
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    "q_stream_bursts" -> // flatMapGroupsWithState closes a user's batch-1
+      // burst iff the user has batch-2 activity; the harness splits at the
+      // integer midpoint of the corpus time range, reproduced here with the
+      // same (min+max)//2 arithmetic (both engines truncate)
+      """WITH c AS (SELECT user_id, ts FROM events
+        |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL AND value IS NOT NULL),
+        |s AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts)))//2 AS split_us FROM c),
+        |b1 AS (SELECT user_id, ts FROM c, s WHERE epoch_us(ts) <= split_us),
+        |b2 AS (SELECT DISTINCT user_id FROM c, s WHERE epoch_us(ts) > split_us)
+        |SELECT b1.user_id, count(*) AS n_events,
+        |  epoch_us(min(b1.ts)) AS first_us, epoch_us(max(b1.ts)) AS last_us
+        |FROM b1 JOIN b2 ON b1.user_id = b2.user_id
+        |GROUP BY 1""".stripMargin,
+    "q_stream_dedup" -> // streaming dedup under redelivery emits each id
+      // exactly once; the id SET is the deterministic contract (the row
+      // picked among duplicates is arbitrary by definition)
+      """SELECT DISTINCT event_id FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND user_id IS NOT NULL AND value IS NOT NULL""".stripMargin,
     "q_stream_session" -> // per-session rows; same gaps-and-islands family as
       // q_session_stats, over COMPLETE events (typed-stream contract)
       """WITH x AS (SELECT user_id, ts, event_id,

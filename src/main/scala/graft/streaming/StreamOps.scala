@@ -1,15 +1,29 @@
 package graft.streaming
 
+import java.nio.file.{Files, Path, StandardCopyOption}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming forms of the event-time operators (SURVEY.md
   * §7.5). Each transform takes a DataFrame and works unchanged on a
   * batch or a `readStream` source — the batch forms in
   * [[graft.ops.EventOps]] are the same plan fragments without watermark.
-  * StreamingSpec drives them through MemoryStream and asserts equality
-  * with the batch results.
+  *
+  * The `*Streamed` entry points run the transforms BY THE STREAMING
+  * ENGINE end-to-end against a FILE SOURCE: micro-batches land as
+  * parquet files in a watched temp directory (the production shape — a
+  * landing zone fed by some upstream writer) and
+  * `readStream.parquet(...)` with `maxFilesPerTrigger=1` executes each
+  * file as one incremental trigger. No event data ever moves through
+  * the driver — batch boundaries are time-split filters planned on the
+  * source table, and the far-future sentinel rows that flush the
+  * append-mode watermark are 1-row AGGREGATES of the same table, so the
+  * whole feed path is distributed writes. (The round-2 harness fed a
+  * MemoryStream via a whole-table `collect()` — a driver bottleneck
+  * this replaces.)
   */
 object StreamOps {
 
@@ -31,51 +45,6 @@ object StreamOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("value_cents"))
 
-  /** [[tumblingCounts]] executed BY THE STREAMING ENGINE end-to-end:
-    * events feed a MemoryStream in two micro-batches, the windowed
-    * aggregation runs incrementally with watermarked state, and the
-    * result is read back from the complete-mode memory sink. The
-    * driver-side `collect` is the MemoryStream test-harness contract
-    * (a source must be fed from the driver), not part of the operator —
-    * in production the source is Kafka/files and nothing collects.
-    * Oracle: identical SQL to the batch `q_tumbling_hour`, which is the
-    * stream ≡ batch guarantee the engine makes for complete mode. */
-  def tumblingHourStreamed(parent: SparkSession, dir: String): DataFrame = {
-    // State stores are partitioned by shuffle.partitions AT QUERY START;
-    // a few thousand window keys don't need the batch engine's width, and
-    // every extra partition is a per-batch store open/commit. An isolated
-    // child session pins the stream-side value without mutating the
-    // caller's conf (same SparkContext, so the result stays usable).
-    val spark = parent.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val evs = graft.sources.Tables.events(spark, dir)
-      // Ev's primitive fields reject nulls, and an event without a
-      // time/key/value can't be windowed/keyed/summed — the stream
-      // ingests complete events only (oracle WHERE mirrors this)
-      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
-        col("user_id").isNotNull && col("value").isNotNull)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .as[Ev].collect()
-    val source = MemoryStream[Ev]
-    val sinkName = "graft_stream_tumbling_sink"
-    val query = tumblingCounts(source.toDF(), "1 hour", "1 hour")
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Complete()).start()
-    try {
-      val (h1, h2) = evs.splitAt(evs.length / 2)
-      source.addData(h1.toIndexedSeq)
-      query.processAllAvailable()
-      source.addData(h2.toIndexedSeq)
-      query.processAllAvailable()
-    } finally query.stop()
-    spark.table(sinkName)
-      .select(unix_micros(col("win_start")).as("win_start_us"),
-        col("event_type"), col("n"), col("value_cents"))
-  }
-
   /** Session windows (30-min-style gap) per user with watermark. */
   def sessionCounts(events: DataFrame, gap: String, watermark: String): DataFrame =
     events
@@ -83,55 +52,6 @@ object StreamOps {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("sess_start"), col("user_id"), col("n"))
-
-  /** [[sessionCounts]] executed by the streaming engine in APPEND mode —
-    * the strictest sink mode: a session row is emitted exactly once,
-    * when the watermark passes its close. Events feed in two
-    * event-time-ordered micro-batches (ordered feeding is the source
-    * contract here — the harness tests the operator, not late-data
-    * policy); two far-future sentinel batches then push the watermark
-    * past every real session's close (a watermark only advances on the
-    * NEXT batch, hence two). The sentinels' own session never finalizes
-    * and is filtered by user_id. Oracle: the same gaps-and-islands SQL
-    * family as the batch q_session_stats — session_window's merge rule
-    * (join if gap < 30 min) is exactly `new session iff gap >= 30 min`. */
-  def sessionStreamed(parent: SparkSession, dir: String): DataFrame = {
-    // see tumblingHourStreamed: ~150 session keys → narrow state stores
-    val spark = parent.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000) % 1000
-    val evs = graft.sources.Tables.events(spark, dir)
-      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
-        col("user_id").isNotNull && col("value").isNotNull) // see tumblingHourStreamed
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .as[Ev].collect().sortBy(e => (micros(e.ts), e.event_id))
-    val source = MemoryStream[Ev]
-    val sinkName = "graft_stream_session_sink"
-    val query = sessionCounts(source.toDF(), "30 minutes", "1 hour")
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Append()).start()
-    try {
-      if (evs.nonEmpty) { // an empty stream has no sessions to flush
-        val (h1, h2) = evs.splitAt(evs.length / 2)
-        source.addData(h1.toIndexedSeq)
-        query.processAllAvailable()
-        source.addData(h2.toIndexedSeq)
-        query.processAllAvailable()
-        val far = new java.sql.Timestamp(evs.last.ts.getTime + 30L * 24 * 3600 * 1000)
-        source.addData(Ev(-1L, far, -1L, "__sentinel", 0.0))
-        query.processAllAvailable()
-        source.addData(Ev(-2L, new java.sql.Timestamp(far.getTime + 1000), -1L, "__sentinel", 0.0))
-        query.processAllAvailable()
-      }
-    } finally query.stop()
-    spark.table(sinkName).filter(col("user_id") >= 0)
-      .select(unix_micros(col("sess_start")).as("sess_start_us"),
-        col("user_id"), col("n"))
-  }
 
   /** Streaming exact dedup on event_id within the watermark horizon —
     * the streaming form of DedupOps.dedupExact's hash-group. */
@@ -186,5 +106,203 @@ object StreamOps {
             closed
           }
       }
+  }
+
+  // ---------------------------------------------------------------------
+  // File-source harness
+  // ---------------------------------------------------------------------
+
+  /** Lands micro-batches for the file source: each land() writes the
+    * batch plan as ONE parquet part file (a distributed write, narrowed
+    * to a single task only to pin one-file-per-trigger boundaries) and
+    * atomically moves it into the watched directory. Zero rows cross the
+    * driver. */
+  private final class FileFeed(root: Path) {
+    val watch: Path = Files.createDirectories(root.resolve("watch"))
+    private val stage = Files.createDirectories(root.resolve("stage"))
+    private var n = 0
+    def land(df: DataFrame): Unit = {
+      n += 1
+      val out = stage.resolve(s"b$n")
+      df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+      // an empty batch writes no part file — and needs no trigger
+      val parts = Files.list(out)
+      val part =
+        try {
+          val it = parts.iterator()
+          var found: Option[Path] = None
+          while (found.isEmpty && it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.startsWith("part-")) found = Some(p)
+          }
+          found
+        } finally parts.close()
+      part.foreach(p => Files.move(p, watch.resolve(f"b$n%03d.parquet"),
+        StandardCopyOption.ATOMIC_MOVE))
+    }
+    def close(): Unit = rm(root)
+    private def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().forEachRemaining(rm(_)) finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+  }
+
+  /** State stores are partitioned by shuffle.partitions AT QUERY START;
+    * a few thousand keys don't need the batch engine's width, and every
+    * extra partition is a per-batch store open/commit. An isolated child
+    * session pins the stream-side value without mutating the caller's
+    * conf (same SparkContext, so the result stays usable). */
+  private def streamSession(parent: SparkSession): SparkSession = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark
+  }
+
+  /** COMPLETE events only: the typed stream's primitive fields reject
+    * nulls, and an event without a time/key/value can't be windowed/
+    * keyed/summed — every streamed oracle mirrors this WHERE. */
+  private def completeEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.events(spark, dir)
+      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull && col("value").isNotNull)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+  /** Two event-time-ordered halves, split at the integer midpoint of the
+    * corpus time range — all planned as filters against the source table
+    * (the 1-row bounds aggregate joins onto the scan; nothing collects).
+    * `(min+max) div 2` is reproducible in the oracle as
+    * `(epoch_us(min)+epoch_us(max))//2` (both truncate; epoch sums stay
+    * far below 2^63). Ties land in batch 1, so batch 2 is strictly later
+    * than every batch-1 event — ordered feeding, no late data. */
+  private def timeSplit(evs: DataFrame): (DataFrame, DataFrame) = {
+    val bounds = evs.agg(
+      expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").as("split_us"))
+    def half(cmp: org.apache.spark.sql.Column): DataFrame =
+      evs.crossJoin(bounds).filter(cmp).drop("split_us")
+    (half(unix_micros(col("ts")) <= col("split_us")),
+      half(unix_micros(col("ts")) > col("split_us")))
+  }
+
+  /** Far-future sentinel rows (1-row aggregates of the source — no
+    * driver-made data): land one per call AFTER the real batches to push
+    * the append-mode watermark past every real session's close. A
+    * watermark only advances on the NEXT batch, hence callers land two.
+    * An empty corpus yields no sentinel (nothing to flush). */
+  private def sentinel(evs: DataFrame, id: Long, offsetDays: Int): DataFrame =
+    evs.agg(max(col("ts")).as("mx")).filter(col("mx").isNotNull)
+      .select(lit(id).as("event_id"),
+        (col("mx") + expr(s"INTERVAL $offsetDays DAYS")).as("ts"),
+        lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+        lit(0.0).as("value"))
+
+  /** Start `transform(fileSource)` into a memory sink, land each batch
+    * plan as one file-trigger, drain, and return the sink table. */
+  private def runFileStream(spark: SparkSession, schema: StructType,
+    sinkName: String, mode: OutputMode, batches: Seq[DataFrame])(
+    transform: DataFrame => DataFrame): DataFrame = {
+    val feed = new FileFeed(Files.createTempDirectory("graft_stream"))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed.watch.toString)
+    val query = transform(src)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(mode).start()
+    try batches.foreach { b => feed.land(b); query.processAllAvailable() }
+    finally { query.stop(); feed.close() } // sink rows live in memory
+    spark.table(sinkName)
+  }
+
+  /** [[tumblingCounts]] executed by the streaming engine end-to-end over
+    * the file source: two time-split micro-batches, incremental
+    * watermarked state, result read from the complete-mode memory sink.
+    * Oracle: identical SQL to the batch `q_tumbling_hour`, which is the
+    * stream ≡ batch guarantee the engine makes for complete mode. */
+  def tumblingHourStreamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(parent)
+    val evs = completeEvents(spark, dir)
+    val (b1, b2) = timeSplit(evs)
+    runFileStream(spark, evs.schema, "graft_stream_tumbling_sink",
+      OutputMode.Complete(), Seq(b1, b2))(
+      tumblingCounts(_, "1 hour", "1 hour"))
+      .select(unix_micros(col("win_start")).as("win_start_us"),
+        col("event_type"), col("n"), col("value_cents"))
+  }
+
+  /** [[sessionCounts]] executed by the engine in APPEND mode — the
+    * strictest sink mode: a session row is emitted exactly once, when
+    * the watermark passes its close. Two event-time-ordered batches,
+    * then two far-future sentinel files flush the watermark (the
+    * sentinels' own session never finalizes and is filtered by
+    * user_id). Oracle: the same gaps-and-islands SQL family as the
+    * batch q_session_stats — session_window's merge rule (join if
+    * gap < 30 min) is exactly `new session iff gap >= 30 min`. */
+  def sessionStreamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(parent)
+    val evs = completeEvents(spark, dir)
+    val (b1, b2) = timeSplit(evs)
+    runFileStream(spark, evs.schema, "graft_stream_session_sink",
+      OutputMode.Append(),
+      Seq(b1, b2, sentinel(evs, -1L, 30), sentinel(evs, -2L, 31)))(
+      sessionCounts(_, "30 minutes", "1 hour"))
+      .filter(col("user_id") >= 0)
+      .select(unix_micros(col("sess_start")).as("sess_start_us"),
+        col("user_id"), col("n"))
+  }
+
+  /** [[runningUserTotals]] (mapGroupsWithState) under the engine: two
+    * time-split batches through the file source, Update-mode memory
+    * sink. The sink keeps every per-batch update; the FINAL state per
+    * user is the row with the largest n_events (strictly increasing —
+    * a user only appears in an update that added events), extracted
+    * with a deterministic struct-max. Oracle: the batch per-user
+    * totals over complete events. */
+  def userTotalsStreamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(parent)
+    import spark.implicits._
+    val evs = completeEvents(spark, dir)
+    val (b1, b2) = timeSplit(evs)
+    runFileStream(spark, evs.schema, "graft_stream_totals_sink",
+      RunningTotalsOutputMode, Seq(b1, b2))(
+      src => runningUserTotals(src.as[Ev]).toDF())
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total_cents"))).as("fin"))
+      .select(col("user_id"), col("fin.n_events").as("n_events"),
+        col("fin.total_cents").as("total_cents"))
+  }
+
+  /** [[burstDetector]] (flatMapGroupsWithState) under the engine: a
+    * user's batch-1 burst closes — and is emitted — exactly when the
+    * user has batch-2 activity. With the deterministic midpoint split,
+    * the output is the batch-1 per-user aggregate semi-joined to
+    * batch-2's user set, which the oracle reproduces with the same
+    * `(min+max)//2` split. */
+  def burstsStreamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(parent)
+    import spark.implicits._
+    val evs = completeEvents(spark, dir)
+    val (b1, b2) = timeSplit(evs)
+    runFileStream(spark, evs.schema, "graft_stream_bursts_sink",
+      OutputMode.Append(), Seq(b1, b2))(
+      src => burstDetector(src.as[Ev]).toDF())
+  }
+
+  /** [[dedupByEventId]] under the engine, with REDELIVERY: batch 1 is
+    * the first half, batch 2 the FULL table — an at-least-once source
+    * re-delivering everything it already sent. Each event_id is emitted
+    * exactly once (first occurrence; re-delivered rows are either
+    * state-deduped or watermark-late, both correctly silent). Only
+    * event_id is emitted: the operator contract picks an arbitrary row
+    * among duplicates, and the id SET is the deterministic part.
+    * Oracle: DISTINCT event_id over complete events. */
+  def dedupStreamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(parent)
+    val evs = completeEvents(spark, dir)
+    val (b1, _) = timeSplit(evs)
+    runFileStream(spark, evs.schema, "graft_stream_dedup_sink",
+      OutputMode.Append(), Seq(b1, evs))(
+      dedupByEventId(_, "1 hour"))
+      .select(col("event_id"))
   }
 }
