@@ -25,6 +25,24 @@ import graft.sources.Tables
   */
 object DedupOps {
 
+  /** Lineage-truncation point for the iterative operators. With
+    * `spark.graft.checkpointDir` set (session conf), blocks go to a
+    * RELIABLE checkpoint directory (HDFS/object store at scale) and
+    * survive executor loss; unset, `localCheckpoint(true)` keeps blocks
+    * in executor storage with truncated lineage — fast, but an executor
+    * loss kills the job unrecoverably, so local runs only. Both are
+    * eager: the superseded round's blocks become unreferenced
+    * immediately and the ContextCleaner reclaims them. */
+  private def ckpt(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(d) =>
+        val sc = df.sparkSession.sparkContext
+        // setCheckpointDir appends a per-context UUID subdir; set once
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+        df.checkpoint()
+      case None => df.localCheckpoint(true)
+    }
+
   val NumHashes = 16
   val RowsPerBand = 4 // 4 bands × 4 rows: P(candidate) = 1-(1-J^4)^4
 
@@ -164,7 +182,9 @@ object DedupOps {
     * standard Spark CC shape (cf. large-star/small-star, Kiveris et al.).
     * Each round is two joins + an aggregate over the edge list — fully
     * distributed; the driver only checks the convergence counter.
-    * `localCheckpoint` truncates the growing lineage each round.
+    * [[ckpt]] truncates the growing lineage each round (reliable
+    * checkpoint dir at scale via `spark.graft.checkpointDir`, else
+    * local).
     * Deterministic regardless of execution order (min is commutative),
     * so DuckDB's recursive-CTE closure reproduces it exactly. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
@@ -179,10 +199,9 @@ object DedupOps {
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .repartition(col("doc_a"))
       .persist()
-    var labels = Tables.documents(spark, dir)
+    var labels = ckpt(Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint(true)
+      .select(col("doc_id"), col("doc_id").as("label")))
     try {
       var changed = 1L
       var rounds = 0
@@ -202,12 +221,11 @@ object DedupOps {
         if (rounds == 1) {
           val la = labels.select(col("doc_id").as("doc_a"), col("label").as("la"))
           val lb = labels.select(col("doc_id").as("doc_b"), col("label").as("lb"))
-          val contracted = edges
+          val contracted = ckpt(edges
             .join(la, "doc_a").join(lb, "doc_b")
             .filter(col("la") =!= col("lb"))
             .select(col("la").as("doc_a"), col("lb").as("doc_b"))
-            .distinct()
-            .localCheckpoint(true)
+            .distinct())
           liveEdges = contracted
           edges.unpersist()
         }
@@ -220,10 +238,9 @@ object DedupOps {
           .select(col("doc_id"),
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         val byId = stepped.select(col("doc_id").as("pid"), col("label").as("plabel"))
-        val jumped = stepped
+        val jumped = ckpt(stepped
           .join(byId, col("label") === col("pid"))
-          .select(col("doc_id"), col("plabel").as("label"))
-          .localCheckpoint(true)
+          .select(col("doc_id"), col("plabel").as("label")))
         changed = jumped
           .join(labels.select(col("doc_id").as("oid"), col("label").as("old")),
             col("doc_id") === col("oid"))

@@ -56,6 +56,23 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("dedupClusters with spark.graft.checkpointDir: reliable checkpoints, same result") {
+    // the scale path (VERDICT r2): blocks go to a real checkpoint dir and
+    // survive executor loss, instead of localCheckpoint's unreplicated
+    // executor storage. Session-conf-gated so this child session is the
+    // only one affected.
+    val ckdir = Files.createTempDirectory("graft_ckpt").toString
+    val s = spark.newSession()
+    s.conf.set("spark.graft.checkpointDir", ckdir)
+    val clusters = DedupOps.dedupClusters(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+    // the checkpoints actually landed in the reliable dir
+    def files(p: java.io.File): Int =
+      if (p.isDirectory) p.listFiles.map(files).sum else 1
+    assert(files(new java.io.File(ckdir)) > 0, "no checkpoint files written")
+  }
+
   test("dedupClusters on real testdata: labels are component minima") {
     val pairs = DedupOps.minhashLsh(spark, TestSpark.Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -78,6 +78,43 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("dynamicpruning"), plan)
   }
 
+  test("dedupClusters edge layout: cached pre-partitioned edges join with no fresh shuffle") {
+    // The exact join shape dedupClusters runs every round
+    // (DedupOps.scala: liveEdges.join(labels, doc_a === doc_id)): the
+    // edge list is repartition(doc_a)+persist'ed ONCE, so each round's
+    // join must shuffle only the label side. A fresh shuffle inserted to
+    // satisfy the join renders as `Exchange ... ENSURE_REQUIREMENTS`
+    // (the cache-build shuffle is REPARTITION_BY_COL, and the
+    // InMemoryRelation rendering repeats it — so we key on the origin
+    // tag, not on exchange counts). Broadcast is disabled: at test scale
+    // AQE would broadcast the tiny label side and the assertion would be
+    // vacuous; at 100 TB labels has one row per document and shuffles.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("doc_a", "doc_b").repartition(col("doc_a")).persist()
+    try {
+      edges.count() // materialize the cache, as dedupClusters does
+      val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "label")
+      val joined = edges.join(labels, col("doc_a") === col("doc_id"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      val fresh = plan.linesIterator.filter(_.contains("ENSURE_REQUIREMENTS")).toSeq
+      assert(fresh.nonEmpty, s"label side should shuffle (check not vacuous):\n$plan")
+      assert(fresh.forall(_.contains("doc_id")), s"edge side re-shuffled:\n$plan")
+      // negative control: WITHOUT the pre-partitioned cache the same join
+      // does insert a fresh edge-side shuffle — the tag we key on is real
+      val naive = Seq((1L, 2L), (2L, 1L)).toDF("doc_a", "doc_b")
+        .join(labels, col("doc_a") === col("doc_id"))
+      naive.collect()
+      val naivePlan = naive.queryExecution.executedPlan.toString
+      assert(naivePlan.linesIterator.exists(l =>
+        l.contains("ENSURE_REQUIREMENTS") && l.contains("doc_a")), naivePlan)
+    } finally edges.unpersist()
+  }
+
   test("q_pricing_summary: aggregation is two-phase (partial before shuffle)") {
     val plan = finalPlan(Relational.pricingSummary(spark, TestSpark.Sf0001))
     // partial + final HashAggregate pair = map-side combine happens
