@@ -1,6 +1,12 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{CRC32, Deflater}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -9,87 +15,124 @@ import graft.sources.Tables
   * a training-data pipeline). Media travels as an opaque `binary` column
   * with typed metadata extracted by a per-partition batch decoder.
   *
-  * The container ships no image/audio libraries, so the payloads are
-  * SYNTHETIC — but they are real bytes in a real layout (PNG magic +
-  * IHDR + APNG acTL chunks), built with codegen'd binary Column algebra,
-  * and the decoder genuinely PARSES big-endian fields back out of the
-  * header (MultimodalSpec proves parsed-not-derived with a payload whose
-  * header contradicts its length). Swap [[decodePng]] for a real codec
-  * call and nothing else changes: the Spark-side shape — binary column,
-  * typed Dataset in/out, partition-parallel batch decode, constant
-  * memory per task — is the deliverable.
+  * The payloads are REAL PNGs: zlib-deflated grayscale scanlines with
+  * CRC32'd chunks (`java.util.zip` only — no new dependencies), decoded
+  * by the JDK's own codec (`javax.imageio.ImageIO`), so the decode path
+  * is a genuine third-party image library, not a parser written to match
+  * the encoder. Two extension chunks ride along in spec-legal ancillary
+  * form: APNG's public `acTL` (frame count; ImageIO ignores it, the
+  * chunk walk reads it) and a private `grAf` chunk carrying the source
+  * bytes (private ancillary chunk types are the PNG spec's extension
+  * mechanism). The Spark-side shape — binary column, typed Dataset
+  * in/out, partition-parallel batch decode, constant memory per task —
+  * is the deliverable; swapping PNG for JPEG/audio means swapping
+  * [[encodePng]]/[[decodePng]] only.
   */
 object MultimodalOps {
 
   /** Decoded media metadata. */
   case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int, frames: Int)
 
-  /** Bytes before the media data: PNG magic (8) + IHDR chunk (4 len +
-    * 4 type + 13 data) + acTL chunk (4 len + 4 type + 8 data). */
-  val HeaderLen = 45
+  private def be4(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
 
-  /** Synthetic APNG-shaped container, all in codegen'd Column algebra:
-    *
-    * {{{
-    * offset  0  PNG magic 89 50 4E 47 0D 0A 1A 0A
-    *         8  IHDR length (13) | 12 "IHDR"
-    *        16  width  (4, big-endian)  = 1 + n % 64
-    *        20  height (4, big-endian)  = 1 + (n/64) % 64
-    *        24  bit depth 8 | color type 6 | compression 0 | filter 0 | interlace 0
-    *        29  acTL length (8) | 33 "acTL"
-    *        37  num_frames (4, big-endian) = 1 + n % 8
-    *        41  num_plays  (4, big-endian) = 0
-    *        45  media data (the UTF-8 text bytes; n = their length)
-    * }}}
-    *
-    * The dimension FORMULAS mirror the oracle SQL; the decoder never
-    * evaluates them — it reads the bytes. */
-  def encodePayload(text: Column): Column = {
-    val data = text.cast("binary")
-    val n = length(data).cast("long")
-    def be4(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
-    concat(
-      unhex(lit("89504E470D0A1A0A")),
-      be4(lit(13L)), lit("IHDR").cast("binary"),
-      be4(lit(1L) + pmod(n, lit(64L))),
-      be4(lit(1L) + pmod(floor(n / 64).cast("long"), lit(64L))),
-      unhex(lit("0806000000")),
-      be4(lit(8L)), lit("acTL").cast("binary"),
-      be4(lit(1L) + pmod(n, lit(8L))),
-      be4(lit(0L)),
-      data)
+  /** One PNG chunk: length + type + data + CRC32(type ++ data). */
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes(StandardCharsets.US_ASCII)
+    val crc = new CRC32()
+    crc.update(t)
+    crc.update(data)
+    be4(data.length) ++ t ++ data ++ be4(crc.getValue.toInt)
   }
 
-  /** Header parser standing in for a real codec: checks the magic and
-    * reads the big-endian dimension fields at their chunk offsets. */
+  private val PngMagic =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** A complete valid PNG with the given geometry: 8-bit grayscale
+    * (color type 0), one IDAT of zlib-deflated filter-0 scanlines whose
+    * pixels cycle `data`, plus the `acTL` frame-count and `grAf`
+    * source-bytes extension chunks. Exposed separately from
+    * [[encodePng]] so tests can build a PNG whose fields CONTRADICT the
+    * length formulas (parsed-not-derived proof). */
+  def buildPng(width: Int, height: Int, frames: Int, data: Array[Byte]): Array[Byte] = {
+    val raw = new Array[Byte](height * (1 + width))
+    var idx = 0
+    var y = 0
+    while (y < height) {
+      raw(idx) = 0 // filter type None per scanline
+      idx += 1
+      var x = 0
+      while (x < width) {
+        raw(idx) = if (data.isEmpty) 0 else data((y * width + x) % data.length)
+        idx += 1
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val idat = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    PngMagic ++
+      chunk("IHDR", be4(width) ++ be4(height) ++ Array[Byte](8, 0, 0, 0, 0)) ++
+      chunk("acTL", be4(frames) ++ be4(0)) ++
+      chunk("grAf", data) ++
+      chunk("IDAT", idat.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Deterministic geometry from the source length (mirrored by the
+    * oracle SQL): n bytes → (1 + n%64) × (1 + (n/64)%64), 1 + n%8
+    * frames. The ENCODER evaluates these; the decoder reads the file. */
+  def encodePng(data: Array[Byte]): Array[Byte] = {
+    val n = data.length
+    buildPng(1 + n % 64, 1 + (n / 64) % 64, 1 + n % 8, data)
+  }
+
+  /** Real codec decode: ImageIO (the JDK PNG reader — zlib inflate,
+    * CRC checks, scanline unfiltering) yields the dimensions; a chunk
+    * walk reads the `acTL` frame count and the `grAf` source length
+    * that ImageIO (correctly) ignores as ancillary. */
   def decodePng(docId: Long, payload: Array[Byte]): MediaMeta = {
-    require(payload.length >= HeaderLen &&
-      (payload(0) & 0xFF) == 0x89 && payload(1) == 'P' &&
-      payload(2) == 'N' && payload(3) == 'G',
-      s"doc $docId: not a graft-PNG payload")
-    def be4(off: Int): Int =
+    require(payload.length >= 8 && (payload(0) & 0xFF) == 0x89 &&
+      payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G',
+      s"doc $docId: not a PNG payload")
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, s"doc $docId: ImageIO failed to decode payload")
+    def be4at(off: Int): Int =
       ((payload(off) & 0xFF) << 24) | ((payload(off + 1) & 0xFF) << 16) |
         ((payload(off + 2) & 0xFF) << 8) | (payload(off + 3) & 0xFF)
-    MediaMeta(
-      doc_id = docId,
-      n_bytes = (payload.length - HeaderLen).toLong,
-      width = be4(16),
-      height = be4(20),
-      frames = be4(37))
+    var frames = 1
+    var nBytes = 0L
+    var off = 8
+    while (off + 8 <= payload.length) {
+      val len = be4at(off)
+      val typ = new String(payload, off + 4, 4, StandardCharsets.US_ASCII)
+      if (typ == "acTL") frames = be4at(off + 8)
+      else if (typ == "grAf") nBytes = len.toLong
+      off += 12 + len // length + type + data + crc
+    }
+    MediaMeta(docId, nBytes, img.getWidth, img.getHeight, frames)
   }
 
-  /** Batch metadata extraction: text → APNG-shaped binary payload →
-    * mapPartitions header parse → typed metadata table. The encode stays
-    * inside WholeStageCodegen; the decode is partition-parallel with
-    * constant memory per task and no driver involvement — at 100 TB the
-    * codec cost rides the existing parquet partitioning. Null payloads
-    * are excluded up front (a NULL media cell has nothing to decode; the
-    * oracle filters identically). */
+  /** Batch metadata extraction: text → real PNG binary column →
+    * mapPartitions ImageIO decode → typed metadata table. Both codec
+    * hops are partition-parallel with constant memory per task and no
+    * driver involvement — at 100 TB the codec cost rides the existing
+    * parquet partitioning. Null payloads are excluded up front (a NULL
+    * media cell has nothing to decode; the oracle filters identically). */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), encodePayload(col("text")).as("payload"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, encodePng(text.getBytes(StandardCharsets.UTF_8))) }
+      .toDF("doc_id", "payload") // the opaque binary media column
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) => decodePng(id, payload) })
       .toDF()

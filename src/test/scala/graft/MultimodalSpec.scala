@@ -1,5 +1,9 @@
 package graft
 
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.MultimodalOps
@@ -7,22 +11,29 @@ import graft.ops.MultimodalOps
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  /** A well-formed header whose dimension fields CONTRADICT the formulas
-    * on the payload length — if the decoder derived instead of parsed,
-    * these assertions would fail. */
-  test("decodePng parses header fields, not length arithmetic") {
-    def be4(v: Int): Array[Byte] =
-      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
-        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
-    val magic = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
-    val payload = magic ++
-      be4(13) ++ "IHDR".getBytes ++ be4(123) ++ be4(45) ++
-      Array[Byte](8, 6, 0, 0, 0) ++
-      be4(8) ++ "acTL".getBytes ++ be4(6) ++ be4(0) ++
-      Array.fill(130)(0x41.toByte)
-    val m = MultimodalOps.decodePng(7L, payload)
+  /** A VALID PNG whose geometry fields CONTRADICT the length formulas —
+    * if the decoder derived dimensions from the payload length instead
+    * of decoding the file, these assertions would fail. */
+  test("decodePng decodes the file, not length arithmetic") {
+    val data = Array.fill(130)(0x41.toByte)
     // 130 % 64 + 1 = 3 ≠ 123; (130/64) % 64 + 1 = 3 ≠ 45; 130 % 8 + 1 = 3 ≠ 6
+    val payload = MultimodalOps.buildPng(123, 45, 6, data)
+    val m = MultimodalOps.decodePng(7L, payload)
     assert(m == MultimodalOps.MediaMeta(7L, 130L, 123, 45, 6))
+  }
+
+  test("the payload is a genuine PNG: ImageIO dims equal the IHDR fields") {
+    val payload = MultimodalOps.encodePng("some document text".getBytes("UTF-8"))
+    // independent decode by the JDK codec (zlib inflate + CRC checks)
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    assert(img != null, "ImageIO rejected the encoded PNG")
+    // header parse straight off the bytes: IHDR data starts at offset 16
+    def be4(off: Int): Int =
+      ((payload(off) & 0xFF) << 24) | ((payload(off + 1) & 0xFF) << 16) |
+        ((payload(off + 2) & 0xFF) << 8) | (payload(off + 3) & 0xFF)
+    assert(img.getWidth == be4(16) && img.getHeight == be4(20))
+    // and the pixels round-trip: pixel (0,0) is the first source byte
+    assert((img.getRaster.getSample(0, 0, 0) & 0xFF) == 's'.toInt)
   }
 
   test("decodePng rejects a payload without the PNG magic") {
@@ -31,17 +42,20 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("encodePayload → decodePng round-trips the oracle formulas") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
-    val df = Seq((1L, "hello world"), (2L, "x" * 200)).toDF("doc_id", "text")
-    val out = df.select(col("doc_id"), MultimodalOps.encodePayload(col("text")).as("p"))
-      .as[(Long, Array[Byte])]
-      .collect()
-      .map { case (id, p) => MultimodalOps.decodePng(id, p) }
-      .map(m => m.doc_id -> m).toMap
-    assert(out(1L) == MultimodalOps.MediaMeta(1L, 11L, 1 + 11 % 64, 1 + (11 / 64) % 64, 1 + 11 % 8))
-    assert(out(2L) == MultimodalOps.MediaMeta(2L, 200L, 1 + 200 % 64, 1 + (200 / 64) % 64, 1 + 200 % 8))
+  test("decodePng rejects a magic-only payload ImageIO cannot decode") {
+    val truncated = MultimodalOps.encodePng("abc".getBytes("UTF-8")).take(20)
+    intercept[Exception] {
+      MultimodalOps.decodePng(2L, truncated)
+    }
+  }
+
+  test("encodePng → decodePng round-trips the oracle formulas") {
+    for (n <- Seq(0, 11, 63, 64, 200, 4096)) {
+      val data = Array.tabulate(n)(i => (i % 251).toByte)
+      val m = MultimodalOps.decodePng(n.toLong, MultimodalOps.encodePng(data))
+      assert(m == MultimodalOps.MediaMeta(n.toLong, n.toLong,
+        1 + n % 64, 1 + (n / 64) % 64, 1 + n % 8), s"n=$n")
+    }
   }
 
   test("mediaMeta decodes per-partition and matches document byte lengths") {
