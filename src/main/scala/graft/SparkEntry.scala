@@ -97,6 +97,7 @@ object SparkEntry {
     "q_tfidf"            -> TextOps.tfIdf _,
     "q_json_map"         -> EventOps.jsonMap _,
     "q_bucketed_join"    -> Materialize.bucketedJoin _,
+    "q_partitioned_write" -> Materialize.partitionedRoundTrip _,
     "q_lateral_topk"     -> Relational.lateralTopCustomers _,
     "q_unpivot"          -> EventOps.unpivotEventCounts _,
     "q_json_dropmalformed" -> Materialize.eventsFromCorruptJsonl _,
@@ -638,6 +639,14 @@ object SparkEntry {
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active_cust,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    "q_partitioned_write" -> // oracle is the plain SQL over the ORIGINAL
+      // table — the partitioned write + pruned read-back must not change
+      // results
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY 1""".stripMargin,
     "q_salted_agg" -> // the oracle is the UNsalted direct form — salting must not change results
       """SELECT c_nationkey,

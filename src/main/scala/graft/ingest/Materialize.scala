@@ -126,6 +126,32 @@ object Materialize {
   def writePartitioned(df: DataFrame, out: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(out)
 
+  /** Partitioned-write round trip under the driver's hard signal — the
+    * missing half of the S4 pair (its sibling is [[bucketedJoin]]):
+    * orders are written partitioned on o_orderpriority, read back, and
+    * aggregated WITH a partition-column filter. A physical-layout
+    * variant must not change results, so the oracle is the plain SQL
+    * over the original table; the read-back scan prunes to the two
+    * matching partitions (IngestSpec asserts PartitionFilters on the
+    * plan — at 100 TB the pruning, not the rewrite, is the point).
+    * The output dir is sfDir-scoped so scales never read each other. */
+  def partitionedRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_part_orders_$tag").toString
+    writePartitioned(graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority")),
+      out, "o_orderpriority")
+    spark.read.parquet(out)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(graft.functions.Exact.cents(col("o_totalprice"))).as("revenue_cents"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+  }
+
   /** Bucketed write — the `CLUSTER BY` analog: co-locates join keys so a
     * downstream join on the bucket column needs no shuffle. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, n: Int): Unit =

@@ -89,4 +89,15 @@ class IngestSpec extends AnyFunSuite {
     assert(files.exists(_.startsWith("fifa_update_date=")))
     assert(spark.read.parquet(out).count() == 2)
   }
+
+  test("q_partitioned_write: read-back scan prunes on the partition filter") {
+    val df = Materialize.partitionedRoundTrip(spark, TestSpark.Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // static partition pruning: the IN filter must land in the scan's
+    // PartitionFilters (at 100 TB that is the difference between reading
+    // 2 partitions and all of them), and NOT remain a post-scan Filter
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
+    assert(pf.exists(_.contains("o_orderpriority")), s"no partition pruning:\n$plan")
+  }
 }
