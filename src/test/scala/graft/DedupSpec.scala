@@ -84,6 +84,25 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters.values.toSet.subsetOf(clusters.keySet))
   }
 
+  test("ngramJaccard size-band blocking: same+adjacent bands kept, far bands dropped") {
+    val d = Files.createTempDirectory("graft_ngram").toString
+    Seq(
+      (1L, "a b c d", "en", "s1", 7L),                 // 2 shingles → band 2
+      (2L, "a b c d e", "en", "s1", 9L),               // 3 shingles → band 2
+      (4L, "a b c d e f", "en", "s1", 11L),            // 4 shingles → band 3
+      (5L, "a b c d x", "en", "s1", 9L),               // 3 shingles → band 2
+      // 18 shingles → band 5: shares "a b c" with every doc above but is
+      // ≥2 bands away from all of them (size ratio ≥ 2 ⇒ jaccard ≤ 0.5)
+      (3L, "a b c " + (1 to 17).map(i => s"t$i").mkString(" "), "en", "s1", 50L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val pairs = DedupOps.ngramJaccard(spark, d).collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSet
+    // (4,5) pins the probe direction edge: the LARGER doc_id has the
+    // SMALLER band, found because the lower-band row probes upward
+    assert(pairs == Set((1L, 2L), (1L, 4L), (1L, 5L), (2L, 4L), (2L, 5L), (4L, 5L)))
+  }
+
   test("simhash: identical token sets share a simhash; disjoint sets differ") {
     val sh = DedupOps.simhash(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
