@@ -20,6 +20,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // clear orphan CTAS dirs a dead JVM's in-memory catalog left behind
+    graft.ingest.Materialize.resetBucketTables(spark, sfDir)
     // Warm-up: trigger codegen/JIT and prime the file-source cache so the
     // first timed query doesn't carry JVM start-up cost.
     try {

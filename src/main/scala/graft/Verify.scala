@@ -19,6 +19,8 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // clear orphan CTAS dirs a dead JVM's in-memory catalog left behind
+    graft.ingest.Materialize.resetBucketTables(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

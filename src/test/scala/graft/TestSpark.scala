@@ -34,8 +34,13 @@ object TestSpark {
     val plan = df.queryExecution.executedPlan.toString
     // any Exchange except a broadcast is a shuffle (hash, range, single,
     // round-robin, and whatever partitioning comes next), as is a
-    // materialized ShuffleQueryStage
-    val scrubbed = plan.replace("BroadcastExchange", "")
+    // materialized ShuffleQueryStage. "ReusedExchange" is scrubbed too:
+    // a REUSED broadcast renders as `ReusedExchange [...]`, whose text
+    // would otherwise false-positive the "Exchange " substring on a
+    // legitimately shuffle-free plan (ADVICE r2). A reused SHUFFLE can't
+    // hide behind the scrub: its materialization still renders as
+    // ShuffleQueryStage, which is asserted independently.
+    val scrubbed = plan.replace("BroadcastExchange", "").replace("ReusedExchange", "")
     Seq("Exchange ", "ShuffleQueryStage").foreach { m =>
       assert(!scrubbed.contains(m), s"plan shuffles ($m):\n$plan")
     }
