@@ -73,6 +73,7 @@ object SparkEntry {
     "q_pivot"            -> EventOps.pivotEventCounts _,
     "q_cube"             -> EventOps.cubeEventDay _,
     "q_ann_lsh"          -> VectorOps.annLsh _,
+    "q_ann_ivf"          -> VectorOps.annIvf _,
     "q_salted_agg"       -> Relational.saltedAgg _,
     "q_regex_tokens"     -> TextOps.regexTokens _,
     "q_rolling_fp"       -> TextOps.rollingFingerprint _,
@@ -640,6 +641,31 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < 16 AND a.vec_id != b.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM p)
         |SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, cos, bucket
+        |FROM r WHERE rank <= ${VectorOps.AnnTopK}""".stripMargin,
+    "q_ann_ivf" -> // IVF: deterministic seeded centroids (vec_id % stride),
+      // nearest-centroid assignment (cos DESC, cid ASC), top-nprobe list
+      // probe per query, exact cosine within probed lists only
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv FROM embeddings),
+        |n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x->x*x)) AS BIGINT) AS nrm FROM q),
+        |c AS (SELECT vec_id AS cid, qv AS cv, nrm AS cnrm FROM n WHERE vec_id % ${VectorOps.IvfStride} = 0),
+        |ac AS (SELECT vec_id, qv, nrm, cid,
+        |  CAST(list_sum(list_transform(generate_series(1,len(qv)), i -> qv[i]*cv[i])) AS BIGINT)
+        |    / sqrt(CAST(nrm*cnrm AS DOUBLE)) AS ccos
+        |  FROM n CROSS JOIN c),
+        |a AS (SELECT vec_id, qv, nrm, cid AS list_id FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ac)
+        |  WHERE rn = 1),
+        |pr AS (SELECT vec_id AS query_id, qv AS query_v, nrm AS qn, cid AS list_id FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |   FROM ac WHERE vec_id < ${VectorOps.NumQueries})
+        |  WHERE rn <= ${VectorOps.IvfProbes}),
+        |p AS (SELECT pr.query_id, a.vec_id AS cand_id, a.list_id,
+        |  CAST(list_sum(list_transform(generate_series(1,len(pr.query_v)), i -> pr.query_v[i]*a.qv[i])) AS BIGINT)
+        |    / sqrt(CAST(pr.qn*a.nrm AS DOUBLE)) AS cos
+        |  FROM pr JOIN a ON pr.list_id = a.list_id AND pr.query_id != a.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM p)
+        |SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, cos, list_id
         |FROM r WHERE rank <= ${VectorOps.AnnTopK}""".stripMargin,
     "q_bucketed_join" -> // oracle is the plain join — bucketing must not change results
       """SELECT c_nationkey,

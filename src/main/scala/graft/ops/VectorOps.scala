@@ -207,6 +207,80 @@ object VectorOps {
       .select("query_id", "cand_id", "rank", "cos", "bucket")
   }
 
+  /** IVF parameters: centroid seed stride (every 64th vec_id is a list
+    * centroid — corpus-proportional K with a deterministic, oracle-
+    * reproducible seed; k-means refinement would improve list quality
+    * but is orthogonal to the INDEX SHAPE, which is what scales) and the
+    * number of inverted lists each query probes. */
+  val IvfStride = 64
+  val IvfProbes = 2
+
+  /** IVF (inverted-file) ANN — the second scale path next to
+    * [[annLsh]], the IVF-flat shape of FAISS/Milvus re-expressed as
+    * dataframes:
+    *
+    *  1. ASSIGN (map-side, ZERO shuffle): the centroid set rides along
+    *     as one broadcast array row; each vector picks its nearest
+    *     centroid with a higher-order `aggregate` argmax — no
+    *     crossJoin row blowup, no shuffle of the corpus. At 100 TB
+    *     this pass is pure scan throughput.
+    *  2. PROBE: each query ranks centroids and keeps [[IvfProbes]]
+    *     lists (16 queries × K centroids — negligible).
+    *  3. SEARCH: probes broadcast-join onto their lists, exact cosine
+    *     within, top-[[AnnTopK]] per query. Only vectors in probed
+    *     lists are touched — the IVF pruning that replaces the full
+    *     scan.
+    *
+    * Approximate by construction (a true neighbor can live in an
+    * unprobed list); deterministic — integer dot products, cosine as
+    * one IEEE division, ties by centroid/candidate id — so still
+    * oracle-checked. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = e.filter(col("vec_id") % IvfStride === 0)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nrm").as("cnrm"))
+    // one row holding all centroids, sorted by cid so the strict-> fold
+    // keeps the LOWEST cid on a cosine tie (the oracle's cid ASC)
+    val centArr = cents
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv"), col("cnrm")))).as("cents"))
+    def cosTo(c: Column): Column =
+      dot(col("qv"), c.getField("cv")) /
+        sqrt((col("nrm") * c.getField("cnrm")).cast("double"))
+    val assigned = e.crossJoin(broadcast(centArr))
+      .withColumn("best", aggregate(col("cents"),
+        struct(lit(-2.0).as("cos"), lit(-1L).as("cid")),
+        (acc, c) => {
+          val cs = cosTo(c)
+          when(cs > acc.getField("cos"),
+            struct(cs.as("cos"), c.getField("cid").as("cid"))).otherwise(acc)
+        }))
+      .select(col("best.cid").as("list_id"), col("vec_id"), col("qv"), col("nrm"))
+    // probe lists per query: tiny (queries × centroids), window is fine
+    val probes = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("query_v"),
+        col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("query_v"), col("cv")) /
+          sqrt((col("qn") * col("cnrm")).cast("double")))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("prank") <= IvfProbes)
+      .select(col("cid").as("list_id"), col("query_id"), col("query_v"), col("qn"))
+    val pairs = assigned
+      .select(col("list_id"), col("vec_id").as("cand_id"),
+        col("qv").as("cand_v"), col("nrm").as("cn"))
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("query_v"), col("cand_v")) /
+          sqrt((col("qn") * col("cn")).cast("double")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= AnnTopK)
+      .select("query_id", "cand_id", "rank", "cos", "list_id")
+  }
+
   /** Per-label centroid, one row per (label, dim): exact integer sums,
     * centroid as a single division. The posexplode → groupBy shape is the
     * distributed vector aggregation (no vector ever sits on the driver). */

