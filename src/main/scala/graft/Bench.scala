@@ -44,8 +44,12 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    // sorted order: deterministic timings comparable across rounds
+    // sorted order: deterministic timings comparable across rounds;
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b narrows the set for iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val runs = (1 to reps).map { _ => sorted.map { case (n, fn) => timeOne(n, fn) } }
     val results = sorted.map(_._1).zipWithIndex.map { case (name, i) =>
       // median over SUCCESSFUL runs only — a fast failure must not pose
