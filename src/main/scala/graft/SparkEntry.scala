@@ -89,6 +89,8 @@ object SparkEntry {
     "q_stream_user_totals" -> graft.streaming.StreamOps.userTotalsStreamed _,
     "q_stream_bursts"    -> graft.streaming.StreamOps.burstsStreamed _,
     "q_stream_dedup"     -> graft.streaming.StreamOps.dedupStreamed _,
+    "q_stream_enrich"    -> graft.streaming.StreamOps.enrichStreamed _,
+    "q_stream_sliding"   -> graft.streaming.StreamOps.slidingStreamed _,
     "q_json_source"      -> Materialize.eventsFromJsonl _,
     "q_sample_stratified" -> TextOps.stratifiedSample _,
     "q_grouping_sets"    -> Relational.groupingSets _,
@@ -317,6 +319,26 @@ object SparkEntry {
         |  epoch_us(min(b1.ts)) AS first_us, epoch_us(max(b1.ts)) AS last_us
         |FROM b1 JOIN b2 ON b1.user_id = b2.user_id
         |GROUP BY 1""".stripMargin,
+    "q_stream_enrich" -> // stream-static join + window ≡ batch join+window
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, n_name,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |JOIN customer ON user_id = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1,2""".stripMargin,
+    "q_stream_sliding" -> // sliding windows streamed ≡ the batch unnest form
+      """WITH w AS (SELECT
+        |  unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |          time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE]) AS s,
+        |  event_type, CAST(round(value*100) AS BIGINT) AS v FROM events
+        |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL AND value IS NOT NULL)
+        |SELECT epoch_us(s) AS win_start_us, event_type, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS value_cents
+        |FROM w GROUP BY 1,2""".stripMargin,
     "q_stream_dedup" -> // streaming dedup under redelivery emits each id
       // exactly once; the id SET is the deterministic contract (the row
       // picked among duplicates is arbitrary by definition)

@@ -288,6 +288,55 @@ object StreamOps {
       src => burstDetector(src.as[Ev]).toDF())
   }
 
+  /** STREAM-STATIC JOIN under the engine: the event stream broadcast-
+    * joins a static dim (customer → nation name, planned fresh each
+    * micro-batch — the stream-static contract) before the windowed
+    * aggregation. At 100 TB the dim broadcasts once per trigger and the
+    * stream never shuffles for the join — the standard streaming
+    * enrichment shape. Oracle: the same join+window as batch SQL
+    * (stream ≡ batch for complete mode). */
+  def enrichStreamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(parent)
+    val evs = completeEvents(spark, dir)
+    val (b1, b2) = timeSplit(evs)
+    val dim = broadcast(
+      graft.sources.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(graft.sources.Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name")))
+    runFileStream(spark, evs.schema, "graft_stream_enrich_sink",
+      OutputMode.Complete(), Seq(b1, b2)) { src =>
+      src.withWatermark("ts", "1 hour")
+        .join(dim, col("user_id") === col("c_custkey")) // stream-static join
+        .groupBy(window(col("ts"), "1 hour"), col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.functions.Exact.cents(col("value"))).as("value_cents"))
+    }
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("n_name"), col("n"), col("value_cents"))
+  }
+
+  /** SLIDING windows (1 hour every 30 min) under the engine — each event
+    * lands in two overlapping windows; watermarked complete-mode
+    * incremental aggregation. Oracle: the batch q_sliding_hour SQL over
+    * complete events. */
+  def slidingStreamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(parent)
+    val evs = completeEvents(spark, dir)
+    val (b1, b2) = timeSplit(evs)
+    runFileStream(spark, evs.schema, "graft_stream_sliding_sink",
+      OutputMode.Complete(), Seq(b1, b2)) { src =>
+      src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.functions.Exact.cents(col("value"))).as("value_cents"))
+    }
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("value_cents"))
+  }
+
   /** [[dedupByEventId]] under the engine, with REDELIVERY: batch 1 is
     * the first half, batch 2 the FULL table — an at-least-once source
     * re-delivering everything it already sent. Each event_id is emitted
