@@ -90,6 +90,7 @@ object SparkEntry {
     "q_stream_bursts"    -> graft.streaming.StreamOps.burstsStreamed _,
     "q_stream_dedup"     -> graft.streaming.StreamOps.dedupStreamed _,
     "q_stream_enrich"    -> graft.streaming.StreamOps.enrichStreamed _,
+    "q_stream_ssjoin"    -> graft.streaming.StreamOps.intervalJoinStreamed _,
     "q_stream_sliding"   -> graft.streaming.StreamOps.slidingStreamed _,
     "q_json_source"      -> Materialize.eventsFromJsonl _,
     "q_sample_stratified" -> TextOps.stratifiedSample _,
@@ -329,6 +330,19 @@ object SparkEntry {
         |WHERE event_id IS NOT NULL AND ts IS NOT NULL
         |  AND user_id IS NOT NULL AND value IS NOT NULL
         |GROUP BY 1,2""".stripMargin,
+    "q_stream_ssjoin" -> // stream-stream interval join ≡ the batch
+      // self-join with the same predicate (inner join emits exactly the
+      // matched pairs; watermarks only bound state)
+      """SELECT c.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |  epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |WHERE c.event_id IS NOT NULL AND c.ts IS NOT NULL
+        |  AND c.user_id IS NOT NULL AND c.value IS NOT NULL
+        |  AND p.event_id IS NOT NULL AND p.ts IS NOT NULL
+        |  AND p.user_id IS NOT NULL AND p.value IS NOT NULL""".stripMargin,
     "q_stream_sliding" -> // sliding windows streamed ≡ the batch unnest form
       """WITH w AS (SELECT
         |  unnest([time_bucket(INTERVAL '30 minutes', ts),

@@ -198,21 +198,41 @@ object StreamOps {
         lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
         lit(0.0).as("value"))
 
-  /** Start `transform(fileSource)` into a memory sink, land each batch
-    * plan as one file-trigger, drain, and return the sink table. */
-  private def runFileStream(spark: SparkSession, schema: StructType,
-    sinkName: String, mode: OutputMode, batches: Seq[DataFrame])(
-    transform: DataFrame => DataFrame): DataFrame = {
-    val feed = new FileFeed(Files.createTempDirectory("graft_stream"))
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(feed.watch.toString)
-    val query = transform(src)
+  /** Start `transform(fileSources)` into a memory sink, land batches
+    * round-robin (round j lands file j of EVERY source, then drains a
+    * trigger), and return the sink table. One watched dir per source —
+    * the multi-landing-zone shape of a stream-stream topology. */
+  private def runFileStreams(spark: SparkSession, schema: StructType,
+    sinkName: String, mode: OutputMode, feeds: Seq[Seq[DataFrame]])(
+    transform: Seq[DataFrame] => DataFrame): DataFrame = {
+    val root = Files.createTempDirectory("graft_stream")
+    val fs = feeds.indices.map(i =>
+      new FileFeed(Files.createDirectories(root.resolve(s"src$i"))))
+    val srcs = fs.map(f => spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(f.watch.toString))
+    val query = transform(srcs)
       .writeStream.format("memory").queryName(sinkName)
       .outputMode(mode).start()
-    try batches.foreach { b => feed.land(b); query.processAllAvailable() }
-    finally { query.stop(); feed.close() } // sink rows live in memory
+    try {
+      val rounds = feeds.map(_.length).max
+      for (j <- 0 until rounds) {
+        feeds.lazyZip(fs).foreach((b, f) => if (j < b.length) f.land(b(j)))
+        query.processAllAvailable()
+      }
+    } finally { // sink rows live in memory
+      query.stop()
+      fs.foreach(_.close())
+      Files.deleteIfExists(root)
+    }
     spark.table(sinkName)
   }
+
+  /** Single-source form of [[runFileStreams]]. */
+  private def runFileStream(spark: SparkSession, schema: StructType,
+    sinkName: String, mode: OutputMode, batches: Seq[DataFrame])(
+    transform: DataFrame => DataFrame): DataFrame =
+    runFileStreams(spark, schema, sinkName, mode, Seq(batches))(
+      srcs => transform(srcs.head))
 
   /** [[tumblingCounts]] executed by the streaming engine end-to-end over
     * the file source: two time-split micro-batches, incremental
@@ -286,6 +306,40 @@ object StreamOps {
     runFileStream(spark, evs.schema, "graft_stream_bursts_sink",
       OutputMode.Append(), Seq(b1, b2))(
       src => burstDetector(src.as[Ev]).toDF())
+  }
+
+  /** STREAM-STREAM interval join under the engine: the click stream
+    * joins the purchase stream on user with `c_ts ∈ [p_ts − 1h, p_ts]`
+    * — two watermarked file sources, keyed state on both sides, inner
+    * join (pairs emit as soon as both rows have arrived; the watermark
+    * only bounds state, so no sentinel flush is needed). State safety
+    * with the ordered halves: a click is evicted once it can no longer
+    * match any future purchase (c_ts < watermark − 1h); batch-2
+    * purchases only need clicks within 1h before them, which the 1h
+    * watermark delay keeps alive across the batch boundary. Oracle: the
+    * batch self-join with the same interval predicate. */
+  def intervalJoinStreamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(parent)
+    val evs = completeEvents(spark, dir)
+    val (b1, b2) = timeSplit(evs)
+    def side(b: DataFrame, t: String): DataFrame =
+      b.filter(col("event_type") === t)
+    runFileStreams(spark, evs.schema, "graft_stream_ssjoin_sink",
+      OutputMode.Append(),
+      Seq(Seq(side(b1, "click"), side(b2, "click")),
+        Seq(side(b1, "purchase"), side(b2, "purchase")))) { srcs =>
+      val c = srcs(0).withWatermark("ts", "1 hour")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      val p = srcs(1).withWatermark("ts", "1 hour")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      c.join(p, expr(
+        "c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
+    }
+      .select(col("c_user").as("user_id"), col("purchase_id"), col("click_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"),
+        unix_micros(col("c_ts")).as("c_ts_us"))
   }
 
   /** STREAM-STATIC JOIN under the engine: the event stream broadcast-
