@@ -260,6 +260,44 @@ object DedupOps {
     }
   }
 
+  /** Banded SimHash near-dup pairs — the Manku/Charikar web-dedup shape
+    * (Manku et al., "Detecting near-duplicates for web crawling",
+    * WWW 2007) over [[simhash]]'s 16-bit hashes: the hash splits into
+    * [[SimhashBands]] bands of 4 bits, and by PIGEONHOLE any pair within
+    * hamming distance [[SimhashMaxHamming]] (= bands−1) agrees exactly
+    * on ≥1 band — so candidates form only inside shared (band, bits)
+    * buckets, a linear explode + one equality shuffle instead of
+    * all-pairs. Candidates verify with `bit_count(xor)`; a pair sharing
+    * several bands is kept where the FIRST matching band (a pure
+    * function of the xor, no extra shuffle) equals the bucket band —
+    * the same no-distinct dedup as [[minhashLsh]]. */
+  val SimhashBands = 4
+  val SimhashMaxHamming: Int = SimhashBands - 1
+
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhash(spark, dir)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimhashBands).map(b =>
+        shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L))): _*))
+        .as(Seq("band", "bits")))
+    val a = banded.select(col("band"), col("bits"),
+      col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val b = banded.select(col("band"), col("bits"),
+      col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    val x = col("ha").bitwiseXOR(col("hb"))
+    val firstBand = (0 until SimhashBands - 1)
+      .foldRight(lit(SimhashBands - 1): Column) { (bi, rest) =>
+        when(shiftright(x, bi * 4).bitwiseAND(lit(15L)) === 0, lit(bi))
+          .otherwise(rest)
+      }
+    a.join(b, Seq("band", "bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("band") === firstBand)
+      .withColumn("hamming", bit_count(x))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Word 3-gram (shingle) jaccard pairs, blocked by (lang, source,
     * size band) — the n-gram variant of near-dup mining. The primary
     * key (lang, source) has ~25 values, so alone it leaves O(block²)

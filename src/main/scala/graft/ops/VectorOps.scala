@@ -255,8 +255,11 @@ object VectorOps {
             struct(cs.as("cos"), c.getField("cid").as("cid"))).otherwise(acc)
         }))
       .select(col("best.cid").as("list_id"), col("vec_id"), col("qv"), col("nrm"))
-    // probe lists per query: tiny (queries × centroids), window is fine
-    val probes = assigned.filter(col("vec_id") < NumQueries)
+    // probe lists per query: tiny (queries × centroids), window is fine.
+    // Probes come from `e`, NOT `assigned` — a query's own list
+    // assignment is irrelevant to probing, and deriving from `assigned`
+    // would run the whole corpus argmax a second time for this branch.
+    val probes = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("query_v"),
         col("nrm").as("qn"))
       .crossJoin(broadcast(cents))

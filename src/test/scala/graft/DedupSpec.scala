@@ -111,6 +111,18 @@ class DedupSpec extends AnyFunSuite {
     assert(sh.values.forall(v => v >= 0 && v < (1 << 16)))
   }
 
+  test("simhashNearDup: identical sets pair at hamming 0, emitted exactly once") {
+    val rows = DedupOps.simhashNearDup(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    // docs 1+2 share a token set → equal simhash → hamming 0; they agree
+    // on ALL 4 bands, so this also pins the first-matching-band dedup
+    // (one row, not four)
+    assert(rows.count(_._1 == (1L, 2L)) == 1)
+    assert(rows.find(_._1 == (1L, 2L)).get._2 == 0)
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate pairs emitted")
+    assert(rows.forall(_._2 <= DedupOps.SimhashMaxHamming))
+  }
+
   test("embNearDup finds the near-identical vector pair only") {
     val pairs = VectorOps.embNearDup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
