@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Relational, TextOps}
+import graft.ops.{DedupOps, Relational, TextOps, VectorOps}
 
 /** Physical-plan audits: the scale claims in the op scaladocs — filter
   * pushdown, broadcast joins, shuffle-free scans, rank-limit pushdown —
@@ -113,6 +113,25 @@ class PlanSpec extends AnyFunSuite {
       assert(naivePlan.linesIterator.exists(l =>
         l.contains("ENSURE_REQUIREMENTS") && l.contains("doc_a")), naivePlan)
     } finally edges.unpersist()
+  }
+
+  test("q_ann_ivf: centroid set and probes broadcast; corpus never sort-merges") {
+    val plan = finalPlan(VectorOps.annIvf(spark, TestSpark.Sf0001))
+    // assignment joins the 1-row centroid array, search joins the probe
+    // set — both must broadcast; a SortMergeJoin would mean the corpus
+    // shuffled for a join that should be map-side
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for a join:\n$plan")
+  }
+
+  test("q_simhash_neardup: one aggregation shuffle + one band-bucket join shuffle") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // scale shape
+    val plan = finalPlan(DedupOps.simhashNearDup(s, TestSpark.Sf0001))
+    // the pair stage is a self-join on (band, bits) — an equality
+    // shuffle, never a cartesian fallback
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs fallback:\n$plan")
   }
 
   test("q_pricing_summary: aggregation is two-phase (partial before shuffle)") {
