@@ -67,6 +67,7 @@ object SparkEntry {
     "q_lang_id"          -> TextOps.langId _,
     "q_asof_join"        -> EventOps.asofLastOrder _,
     "q_approx_distinct"  -> EventOps.approxDistinct _, // rows-only: HLL is engine-specific
+    "q_approx_percentile" -> EventOps.approxPercentile _, // rows-only: GK sketch pick is engine-specific
     "q_outer_join"       -> Relational.outerJoin _,
     "q_window_funcs"     -> Relational.windowFuncs _,
     "q_subqueries"       -> Relational.subqueries _,

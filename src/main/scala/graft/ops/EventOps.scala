@@ -138,6 +138,25 @@ object EventOps {
         count(lit(1)).as("n"))
   }
 
+  /** Approximate-percentile sketch (Greenwald–Khanna summaries) next to
+    * the exact count — the second sketch family after [[approxDistinct]]
+    * for 100 TB quantile estimation in one pass with bounded memory
+    * (no oracle: the summary's pick is engine- and merge-order-specific;
+    * EntrySpec bounds its RANK ERROR to n/accuracy instead, so a broken
+    * sketch fails CI). */
+  def approxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), cents(col("value")).as("cents"))
+      .groupBy("event_type")
+      .agg(
+        percentile_approx(col("cents"), lit(0.5), lit(PctAccuracy))
+          .as("approx_p50_cents"),
+        count(lit(1)).as("n"))
+
+  /** GK accuracy: rank error ≤ n / accuracy. */
+  val PctAccuracy = 1000
+
   /** HLL sketch distinct counts next to the exact form — the approximate
     * path for 100 TB cardinality estimation (no oracle: HLL++ internals
     * are engine-specific, so the driver records a rows-only check). */

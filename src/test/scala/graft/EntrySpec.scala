@@ -6,8 +6,9 @@ package graft
 class EntrySpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  /** Queries intentionally without oracle SQL (engine-specific output). */
-  val RowsOnly = Set("q_approx_distinct")
+  /** Queries intentionally without oracle SQL (engine-specific output).
+    * Both carry spec-asserted error bounds below instead. */
+  val RowsOnly = Set("q_approx_distinct", "q_approx_percentile")
 
   test("every query has oracle SQL unless documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- RowsOnly
@@ -18,6 +19,29 @@ class EntrySpec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("flagship entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q_approx_percentile: sketch rank error within n/accuracy per group") {
+    // GK summaries guarantee rank error <= n/accuracy; the sketch returns
+    // an actual data value, so its rank interval [#(< v)+1, #(<= v)] must
+    // overlap [n/2 - n/acc, n/2 + n/acc] (+1 for the discrete midpoint)
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q_approx_percentile")(spark, TestSpark.Sf0001)
+    val cents = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type").as("et"), graft.functions.Exact.cents(col("value")).as("c"))
+    val rows = approx.join(cents, col("event_type") === col("et"))
+      .groupBy("event_type", "approx_p50_cents", "n")
+      .agg(sum(when(col("c") < col("approx_p50_cents"), 1L).otherwise(0L)).as("lo"),
+        sum(when(col("c") <= col("approx_p50_cents"), 1L).otherwise(0L)).as("hi"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val tol = n.toDouble / graft.ops.EventOps.PctAccuracy + 1
+      assert(lo <= n / 2.0 + tol && hi >= n / 2.0 - tol,
+        s"${r.getString(0)}: rank interval [${lo + 1},$hi] misses n/2=${n / 2.0}±$tol")
+    }
   }
 
   test("q_approx_distinct: HLL estimate within 3×rsd of the exact count per group") {
