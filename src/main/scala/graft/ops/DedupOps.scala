@@ -235,19 +235,19 @@ object DedupOps {
           .agg(min(col("label")).as("nbr_min"))
         val stepped = labels
           .join(nbrMin, col("doc_id") === col("doc_b"), "left")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("label").as("old_label"),
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         val byId = stepped.select(col("doc_id").as("pid"), col("label").as("plabel"))
+        // old_label rides through the jump so convergence is a SCAN of
+        // this round's checkpoint — not an extra join back to the
+        // previous labels (one fewer shuffle per round)
         val jumped = ckpt(stepped
           .join(byId, col("label") === col("pid"))
-          .select(col("doc_id"), col("plabel").as("label")))
-        changed = jumped
-          .join(labels.select(col("doc_id").as("oid"), col("label").as("old")),
-            col("doc_id") === col("oid"))
-          .filter(col("label") =!= col("old")).count()
+          .select(col("doc_id"), col("old_label"), col("plabel").as("label")))
+        changed = jumped.filter(col("label") =!= col("old_label")).count()
         // superseded checkpoints lose their last reference here; the
         // ContextCleaner reclaims their blocks asynchronously
-        labels = jumped
+        labels = jumped.select(col("doc_id"), col("label"))
         rounds += 1
       }
       require(changed == 0, s"dedupClusters did not converge in $MaxRounds rounds")
