@@ -93,6 +93,7 @@ object SparkEntry {
     "q_stream_dedup"     -> graft.streaming.StreamOps.dedupStreamed _,
     "q_stream_enrich"    -> graft.streaming.StreamOps.enrichStreamed _,
     "q_stream_ssjoin"    -> graft.streaming.StreamOps.intervalJoinStreamed _,
+    "q_stream_sink"      -> graft.streaming.StreamOps.tumblingSinkStreamed _,
     "q_stream_sliding"   -> graft.streaming.StreamOps.slidingStreamed _,
     "q_json_source"      -> Materialize.eventsFromJsonl _,
     "q_sample_stratified" -> TextOps.stratifiedSample _,
@@ -293,6 +294,15 @@ object SparkEntry {
         |FROM events WHERE ts IS NOT NULL GROUP BY 1,2""".stripMargin,
     "q_stream_tumbling" -> // batch q_tumbling_hour SQL (stream ≡ batch) over
       // COMPLETE events: the typed stream rejects null key/time/value fields
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1,2""".stripMargin,
+    "q_stream_sink" -> // append-mode parquet-sink content ≡ the batch
+      // tumbling SQL (exactly-once emission into the sink's commit log)
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us, event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents

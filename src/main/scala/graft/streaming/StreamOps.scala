@@ -234,6 +234,30 @@ object StreamOps {
     runFileStreams(spark, schema, sinkName, mode, Seq(batches))(
       srcs => transform(srcs.head))
 
+  /** File-source → transform → PARQUET FILE SINK (append mode, streaming
+    * checkpoint, exactly-once via the sink's `_spark_metadata` commit
+    * log), read back as a batch DataFrame. The durable-sink counterpart
+    * of [[runFileStream]]'s memory sink — the full landing-zone →
+    * incremental engine → lake-table round trip. */
+  private def runFileStreamToParquet(spark: SparkSession, schema: StructType,
+    batches: Seq[DataFrame])(transform: DataFrame => DataFrame): DataFrame = {
+    val root = Files.createTempDirectory("graft_stream_sink")
+    val feed = new FileFeed(Files.createDirectories(root.resolve("src")))
+    val out = root.resolve("out").toString
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed.watch.toString)
+    val query = transform(src)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode(OutputMode.Append()).start()
+    try batches.foreach { b => feed.land(b); query.processAllAvailable() }
+    finally query.stop()
+    // the sink dir outlives the query (it IS the result); the temp root
+    // is per-run and the OS reclaims it — do NOT feed.close() here
+    spark.read.parquet(out)
+  }
+
   /** [[tumblingCounts]] executed by the streaming engine end-to-end over
     * the file source: two time-split micro-batches, incremental
     * watermarked state, result read from the complete-mode memory sink.
@@ -306,6 +330,25 @@ object StreamOps {
     runFileStream(spark, evs.schema, "graft_stream_bursts_sink",
       OutputMode.Append(), Seq(b1, b2))(
       src => burstDetector(src.as[Ev]).toDF())
+  }
+
+  /** [[tumblingCounts]] in APPEND mode through the PARQUET FILE SINK:
+    * windows finalize as the watermark passes (two sentinel files flush
+    * the last real windows; the sentinels' own rows carry the sentinel
+    * event_type and are filtered from the read-back), each emitted
+    * exactly once into the sink's commit log, then read back as a lake
+    * table. Oracle: the batch tumbling SQL — append-mode sink content ≡
+    * the batch result is the engine's exactly-once guarantee. */
+  def tumblingSinkStreamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(parent)
+    val evs = completeEvents(spark, dir)
+    val (b1, b2) = timeSplit(evs)
+    runFileStreamToParquet(spark, evs.schema,
+      Seq(b1, b2, sentinel(evs, -1L, 30), sentinel(evs, -2L, 31)))(
+      tumblingCounts(_, "1 hour", "1 hour"))
+      .filter(col("event_type") =!= "__sentinel")
+      .select(unix_micros(col("win_start")).as("win_start_us"),
+        col("event_type"), col("n"), col("value_cents"))
   }
 
   /** STREAM-STREAM interval join under the engine: the click stream
