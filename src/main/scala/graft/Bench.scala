@@ -20,7 +20,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // clear orphan CTAS dirs a dead JVM's in-memory catalog left behind
+    // clear orphan CTAS dirs any previous JVM left behind (the in-memory
+    // catalog dies with its JVM; warehouse files survive a clean exit too)
     graft.ingest.Materialize.resetBucketTables(spark, sfDir)
     // Warm-up: trigger codegen/JIT and prime the file-source cache so the
     // first timed query doesn't carry JVM start-up cost.

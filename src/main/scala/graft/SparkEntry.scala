@@ -273,12 +273,24 @@ object SparkEntry {
         |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k FROM events)
         |SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
         |  count(*) AS n FROM e GROUP BY 1""".stripMargin,
-    "q_json_map" ->
-      """SELECT event_id,
+    "q_json_map" -> // k reproduces Spark's non-ANSI string→long EXACTLY
+      // (pinned in ExpressionSpec): integral strings parse exactly at any
+      // int64 magnitude (a DOUBLE round-trip would corrupt >2^53),
+      // decimals truncate at the dot ('.5'→0), exponent/Infinity/
+      // overflow/garbage → NULL — and the oracle can never hard-error on
+      // a driver-regenerated corpus (TRY_CAST throughout)
+      """WITH e AS (SELECT event_id, props,
+        |    trim(props->>'k') AS ks,
+        |    list_extract(string_split(trim(props->>'k'), '.'), 1) AS ki
+        |  FROM events WHERE props IS NOT NULL)
+        |SELECT event_id,
         |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
         |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
-        |  CAST(trunc(TRY_CAST(props->>'k' AS DOUBLE)) AS BIGINT) AS k
-        |FROM events WHERE props IS NOT NULL""".stripMargin,
+        |  CASE WHEN regexp_matches(ks, '^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)$')
+        |       THEN COALESCE(TRY_CAST(ki AS BIGINT),
+        |                     CASE WHEN ki IN ('', '+', '-') THEN 0 END)
+        |       END AS k
+        |FROM e""".stripMargin,
     "q_locf" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |  CAST(round(value*100) AS BIGINT) AS value_cents,

@@ -19,7 +19,8 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // clear orphan CTAS dirs a dead JVM's in-memory catalog left behind
+    // clear orphan CTAS dirs any previous JVM left behind (the in-memory
+    // catalog dies with its JVM; warehouse files survive a clean exit too)
     graft.ingest.Materialize.resetBucketTables(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

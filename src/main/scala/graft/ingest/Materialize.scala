@@ -169,25 +169,28 @@ object Materialize {
 
   /** Harness-side reset for [[bucketedJoin]]'s CTAS tables: drops any
     * current-catalog entries and clears ORPHAN managed-table directories
-    * — files left by a dead JVM whose in-memory catalog died with it,
-    * which CTAS then refuses to overwrite. This is a test/bench
+    * — files left by ANY previous JVM (clean exit included: the
+    * in-memory catalog always dies with its JVM while warehouse files
+    * survive), which CTAS then refuses to overwrite. A local-warehouse
     * environment artifact (a real deployment's metastore outlives its
-    * JVMs), so it lives in the harness entry points (Verify/Bench call
-    * it once per JVM), not in the query body. */
+    * JVMs): Verify/Bench call it once per JVM, and [[bucketedJoin]]
+    * self-heals through [[orphanedBucketTables]] for any other caller. */
   def resetBucketTables(spark: SparkSession, dir: String): Unit = {
     val (ot, ct) = bucketTableNames(dir)
     Seq(ot, ct).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val loc = new java.io.File(wh, t)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(loc)
-      }
+      graft.util.Fs.deleteRecursively(new java.io.File(wh, t))
     }
+  }
+
+  /** True iff a bucket-table location exists on disk WITHOUT a catalog
+    * entry — the previous-JVM orphan state that makes CTAS fail. */
+  private def orphanedBucketTables(spark: SparkSession, dir: String): Boolean = {
+    val (ot, ct) = bucketTableNames(dir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq(ot, ct).exists(t =>
+      !spark.catalog.tableExists(t) && new java.io.File(wh, t).exists())
   }
 
   /** Bucketed co-located join under the driver's hard signal, the
@@ -197,9 +200,12 @@ object Materialize {
     * two bucketed sides then needs no shuffle of either big side
     * (IngestSpec asserts the plan has no ShuffleExchange; this query
     * asserts the semantics). Overwrite-mode saveAsTable replaces
-    * same-JVM tables; fresh JVMs call [[resetBucketTables]] first. */
+    * same-JVM tables; the guarded reset below repairs the
+    * orphaned-location state any previous JVM leaves behind (no blanket
+    * deletion in the query body — it fires only when CTAS would fail). */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val (ot, ct) = bucketTableNames(dir)
+    if (orphanedBucketTables(spark, dir)) resetBucketTables(spark, dir)
     writeBucketed(graft.sources.Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_totalprice")), ot, "o_custkey", 8)
     writeBucketed(graft.sources.Tables.customer(spark, dir)

@@ -31,14 +31,21 @@ object DedupOps {
     * survive executor loss; unset, `localCheckpoint(true)` keeps blocks
     * in executor storage with truncated lineage — fast, but an executor
     * loss kills the job unrecoverably, so local runs only. Both are
-    * eager: the superseded round's blocks become unreferenced
-    * immediately and the ContextCleaner reclaims them. */
+    * eager. Reclamation differs: superseded LOCAL checkpoints are
+    * reclaimed by the ContextCleaner as they become unreferenced;
+    * RELIABLE checkpoint files persist for the application's lifetime
+    * unless the context was started with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` — durable
+    * recovery costs storage, so at scale point the dir at storage with
+    * a retention policy (or enable that flag). */
   private def ckpt(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
       case Some(d) =>
         val sc = df.sparkSession.sparkContext
-        // setCheckpointDir appends a per-context UUID subdir; set once
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+        // setCheckpointDir appends a per-context UUID subdir under d —
+        // (re)point the shared context only when it isn't already under
+        // THIS session's dir (sessions with different dirs coexist)
+        if (!sc.getCheckpointDir.exists(_.startsWith(d))) sc.setCheckpointDir(d)
         df.checkpoint()
       case None => df.localCheckpoint(true)
     }

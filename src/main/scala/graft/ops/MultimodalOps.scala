@@ -109,11 +109,18 @@ object MultimodalOps {
     var frames = 1
     var nBytes = 0L
     var off = 8
-    while (off + 8 <= payload.length) {
+    var done = false
+    while (!done && off + 8 <= payload.length) {
       val len = be4at(off)
       val typ = new String(payload, off + 4, 4, StandardCharsets.US_ASCII)
+      // the length field is untrusted input: a corrupt/hostile value
+      // must not stall (len ≤ -12 → zero/negative progress) or overrun
+      // the array — reject instead of looping
+      require(len >= 0 && off + 12L + len <= payload.length,
+        s"doc $docId: corrupt chunk $typ at $off (len=$len)")
       if (typ == "acTL") frames = be4at(off + 8)
       else if (typ == "grAf") nBytes = len.toLong
+      done = typ == "IEND" // trailing bytes after IEND are not chunks
       off += 12 + len // length + type + data + crc
     }
     MediaMeta(docId, nBytes, img.getWidth, img.getHeight, frames)

@@ -140,14 +140,7 @@ object StreamOps {
       part.foreach(p => Files.move(p, watch.resolve(f"b$n%03d.parquet"),
         StandardCopyOption.ATOMIC_MOVE))
     }
-    def close(): Unit = rm(root)
-    private def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        try s.iterator().forEachRemaining(rm(_)) finally s.close()
-      }
-      Files.deleteIfExists(p)
-    }
+    def close(): Unit = graft.util.Fs.deleteRecursively(root)
   }
 
   /** State stores are partitioned by shuffle.partitions AT QUERY START;
@@ -252,9 +245,13 @@ object StreamOps {
       .option("checkpointLocation", root.resolve("ckpt").toString)
       .outputMode(OutputMode.Append()).start()
     try batches.foreach { b => feed.land(b); query.processAllAvailable() }
-    finally query.stop()
-    // the sink dir outlives the query (it IS the result); the temp root
-    // is per-run and the OS reclaims it — do NOT feed.close() here
+    finally {
+      query.stop()
+      // the sink dir out/ outlives the query (it IS the result); the
+      // feed copy and the checkpoint log are dead weight once stopped
+      feed.close()
+      graft.util.Fs.deleteRecursively(root.resolve("ckpt"))
+    }
     spark.read.parquet(out)
   }
 

@@ -85,6 +85,20 @@ class ExpressionSpec extends AnyFunSuite {
     assert(got == Seq(Some(12), Some(1), None, None))
   }
 
+  test("non-ANSI string→long edges (the q_json_map oracle contract)") {
+    // the q_json_map oracle emulates exactly these semantics in DuckDB;
+    // if Spark's cast ever changes, this fails before the oracle diverges
+    val cases = Seq(
+      "9007199254740993" -> Some(9007199254740993L), // exact past 2^53
+      "Infinity" -> None, "1e3" -> None, // no exponent/inf parsing
+      "-7.9" -> Some(-7L), ".5" -> Some(0L), "5." -> Some(5L), // truncate at the dot
+      " 7 " -> Some(7L), "+7" -> Some(7L), // trim + sign
+      "--7" -> None, "9223372036854775808" -> None) // garbage, int64 overflow
+    val got = cases.map(_._1).toDF("s").withColumn("l", col("s").cast("long"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    cases.foreach { case (s, want) => assert(got(s) == want, s"[$s]") }
+  }
+
   test("cast(avg) truncates toward zero in Spark") {
     val v = Seq(1, 2).toDF("x").agg(avg("x").cast("int")).head().getInt(0)
     assert(v == 1) // 1.5 → 1 (DuckDB CAST would round; oracles use // instead)

@@ -41,14 +41,7 @@ class IngestSpec extends AnyFunSuite {
     // metastore doesn't — drop both table and orphaned location
     Seq("graft_b_orders", "graft_b_customer").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(s"spark-warehouse/$t")
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(loc)
-      }
+      graft.util.Fs.deleteRecursively(new java.io.File(s"spark-warehouse/$t"))
     }
     val orders = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
     val customer = graft.sources.Tables.customer(spark, TestSpark.Sf0001)

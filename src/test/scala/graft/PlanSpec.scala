@@ -124,7 +124,7 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for a join:\n$plan")
   }
 
-  test("q_simhash_neardup: one aggregation shuffle + one band-bucket join shuffle") {
+  test("q_simhash_neardup: pair stage is an equality join, no cartesian fallback") {
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // scale shape
     val plan = finalPlan(DedupOps.simhashNearDup(s, TestSpark.Sf0001))
