@@ -50,6 +50,7 @@ object SparkEntry {
     "q_lang_stats"       -> TextOps.langStats _,
     "q_fingerprint"      -> TextOps.fingerprint _,
     "q_quality_score"    -> TextOps.qualityScore _,
+    "q_repetition"       -> TextOps.repetitionScore _,
     "q_dedup_exact"      -> DedupOps.dedupExact _,
     "q_dedup_clusters"   -> DedupOps.dedupClusters _,
     "q_minhash_lsh"      -> DedupOps.minhashLsh _,
@@ -466,6 +467,26 @@ object SparkEntry {
         |  CAST(n_stop*1000//n_tokens AS BIGINT) AS stop_permille,
         |  n_chars < 100 AS is_short
         |FROM u""".stripMargin,
+    "q_repetition" -> // Gopher-style repetition signals: integer per-mille
+      // of repeated tokens / duplicated trigrams; keep = below both bounds
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |x AS (SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+        |  [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |   for i in generate_series(1, len(t)-2)] AS tri
+        |  FROM d),
+        |y AS (SELECT doc_id, n_tokens,
+        |  CAST((n_tokens - n_distinct)*1000 // greatest(n_tokens, 1) AS BIGINT) AS dup_token_permille,
+        |  CAST(len(tri) AS BIGINT) AS n_tri,
+        |  CAST(len(tri) - len(list_distinct(tri)) AS BIGINT) AS n_dup_tri
+        |  FROM x)
+        |SELECT doc_id, n_tokens, dup_token_permille, n_tri, n_dup_tri,
+        |  CAST(n_dup_tri*1000 // greatest(n_tri, 1) AS BIGINT) AS dup_tri_permille,
+        |  (n_dup_tri*1000 // greatest(n_tri, 1)) <= 300
+        |    AND dup_token_permille <= 700 AS keep
+        |FROM y""".stripMargin,
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang, source, substr(md5(lang || ':' || doc_id), 1, 2) AS bucket
         |FROM documents

@@ -181,6 +181,36 @@ object TextOps {
         col("tfidf_e3"), col("rank"))
   }
 
+  /** Repetition signals for corpus filtering — the duplicated-n-gram
+    * family of the Gopher quality rules (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", 2021,
+    * §A1.1): per-mille of repeated tokens and of duplicated word
+    * trigrams, plus the keep/drop verdict. Exact integer arithmetic,
+    * pure array ops per row (no UDF, no shuffle beyond the scan) —
+    * at 100 TB this is scan-throughput work like [[qualityScore]]. */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+        // non-distinct trigram list — duplicates are the signal here
+        expr("CASE WHEN size(t) >= 3 THEN transform(sequence(1, size(t)-2), i -> " +
+          "concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2))) " +
+          "ELSE array() END").as("tri"))
+      .select(col("doc_id"), col("n_tokens"),
+        idiv((col("n_tokens") - col("n_distinct")) * 1000,
+          greatest(col("n_tokens"), lit(1L))).as("dup_token_permille"),
+        size(col("tri")).cast("long").as("n_tri"),
+        (size(col("tri")) - size(array_distinct(col("tri"))))
+          .cast("long").as("n_dup_tri"))
+      .withColumn("dup_tri_permille",
+        idiv(col("n_dup_tri") * 1000, greatest(col("n_tri"), lit(1L))))
+      // Gopher-ish bounds: drop documents dominated by repetition
+      .withColumn("keep",
+        col("dup_tri_permille") <= 300 && col("dup_token_permille") <= 700)
+
   /** Quality scoring: token-length and stopword-ratio heuristics, all in
     * exact integer per-mille units. Uses higher-order array functions
     * (aggregate/filter) — no UDF, stays codegen-friendly. */
