@@ -180,10 +180,12 @@ object StreamOps {
   }
 
   /** Far-future sentinel rows (1-row aggregates of the source — no
-    * driver-made data): land one per call AFTER the real batches to push
-    * the append-mode watermark past every real session's close. A
-    * watermark only advances on the NEXT batch, hence callers land two.
-    * An empty corpus yields no sentinel (nothing to flush). */
+    * driver-made data) that push the append-mode watermark past every
+    * real window's close. A watermark only takes effect on the batch
+    * AFTER the one carrying the max event time, so callers ride the
+    * first sentinel along WITH the last real batch and land one more as
+    * its own trigger — two sentinels, one trigger fewer. An empty
+    * corpus yields no sentinel (nothing to flush). */
   private def sentinel(evs: DataFrame, id: Long, offsetDays: Int): DataFrame =
     evs.agg(max(col("ts")).as("mx")).filter(col("mx").isNotNull)
       .select(lit(id).as("event_id"),
@@ -285,7 +287,7 @@ object StreamOps {
     val (b1, b2) = timeSplit(evs)
     runFileStream(spark, evs.schema, "graft_stream_session_sink",
       OutputMode.Append(),
-      Seq(b1, b2, sentinel(evs, -1L, 30), sentinel(evs, -2L, 31)))(
+      Seq(b1, b2.union(sentinel(evs, -1L, 30)), sentinel(evs, -2L, 31)))(
       sessionCounts(_, "30 minutes", "1 hour"))
       .filter(col("user_id") >= 0)
       .select(unix_micros(col("sess_start")).as("sess_start_us"),
@@ -341,7 +343,7 @@ object StreamOps {
     val evs = completeEvents(spark, dir)
     val (b1, b2) = timeSplit(evs)
     runFileStreamToParquet(spark, evs.schema,
-      Seq(b1, b2, sentinel(evs, -1L, 30), sentinel(evs, -2L, 31)))(
+      Seq(b1, b2.union(sentinel(evs, -1L, 30)), sentinel(evs, -2L, 31)))(
       tumblingCounts(_, "1 hour", "1 hour"))
       .filter(col("event_type") =!= "__sentinel")
       .select(unix_micros(col("win_start")).as("win_start_us"),
