@@ -95,6 +95,7 @@ object SparkEntry {
     "q_stream_enrich"    -> graft.streaming.StreamOps.enrichStreamed _,
     "q_stream_ssjoin"    -> graft.streaming.StreamOps.intervalJoinStreamed _,
     "q_stream_sink"      -> graft.streaming.StreamOps.tumblingSinkStreamed _,
+    "q_stream_upsert"    -> graft.streaming.StreamOps.upsertStreamed _,
     "q_stream_sliding"   -> graft.streaming.StreamOps.slidingStreamed _,
     "q_json_source"      -> Materialize.eventsFromJsonl _,
     "q_sample_stratified" -> TextOps.stratifiedSample _,
@@ -325,6 +326,14 @@ object SparkEntry {
         |GROUP BY 1,2""".stripMargin,
     "q_stream_user_totals" -> // final mapGroupsWithState state per user ==
       // the batch per-user totals over complete events (stream ≡ batch)
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    "q_stream_upsert" -> // the final upsert-table version == the batch
+      // per-user totals (the exactly-once MERGE guarantee)
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events

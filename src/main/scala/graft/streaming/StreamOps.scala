@@ -350,6 +350,55 @@ object StreamOps {
         col("event_type"), col("n"), col("value_cents"))
   }
 
+  /** FOREACHBATCH upsert sink — the MERGE pattern for plain parquet (the
+    * Delta-MERGE shape without a table format): [[runningUserTotals]]
+    * runs in Update mode, and each micro-batch's updated per-user rows
+    * merge into a VERSIONED key-value table — previous version
+    * anti-joined on the batch's keys, unioned with the batch, published
+    * as the next version (write-new-then-repoint, never in-place). All
+    * merge work is batch DataFrame code inside foreachBatch —
+    * distributed, nothing through the driver. Oracle: the final version
+    * ≡ the batch per-user totals (exactly-once upsert guarantee). */
+  def upsertStreamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(parent)
+    import spark.implicits._
+    val evs = completeEvents(spark, dir)
+    val (b1, b2) = timeSplit(evs)
+    val root = Files.createTempDirectory("graft_stream_upsert")
+    val feed = new FileFeed(Files.createDirectories(root.resolve("src")))
+    val src = spark.readStream.schema(evs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed.watch.toString)
+    // driver-side POINTER to the current version (a path string, not
+    // data); foreachBatch bodies run on the driver by contract and
+    // plan distributed batch jobs
+    var current: Option[String] = None
+    var version = 0
+    val query = runningUserTotals(src.as[Ev]).toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val next = root.resolve(s"v$version").toString
+        version += 1
+        val merged = current match {
+          case Some(prev) =>
+            val old = spark.read.parquet(prev)
+            old.join(batch.select(col("user_id").as("uid")),
+                col("user_id") === col("uid"), "left_anti")
+              .unionByName(batch)
+          case None => batch
+        }
+        merged.write.mode("overwrite").parquet(next)
+        // the write above fully materialized `next`; the superseded
+        // version is dead once the pointer moves
+        current.foreach(p => graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(p)))
+        current = Some(next)
+        ()
+      }.start()
+    try Seq(b1, b2).foreach { b => feed.land(b); query.processAllAvailable() }
+    finally { query.stop(); feed.close() }
+    current.map(spark.read.parquet(_))
+      .getOrElse(spark.emptyDataset[UserAgg].toDF()) // empty corpus: no batches
+  }
+
   /** STREAM-STREAM interval join under the engine: the click stream
     * joins the purchase stream on user with `c_ts ∈ [p_ts − 1h, p_ts]`
     * — two watermarked file sources, keyed state on both sides, inner
