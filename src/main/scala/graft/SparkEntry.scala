@@ -281,18 +281,21 @@ object SparkEntry {
       // decimals truncate at the dot ('.5'→0), exponent/Infinity/
       // overflow/garbage → NULL — and the oracle can never hard-error on
       // a driver-regenerated corpus (TRY_CAST throughout)
-      """WITH e AS (SELECT event_id, props,
-        |    trim(props->>'k') AS ks,
-        |    list_extract(string_split(trim(props->>'k'), '.'), 1) AS ki
+      // Spark's numeric-string parse skips ALL leading/trailing bytes
+      // <= 0x20 (not just spaces) — the oracle trims the same 33 chars
+      { val ws = (0 to 32).map(i => s"chr($i)").mkString("||")
+      s"""WITH e AS (SELECT event_id, props,
+        |    trim(props->>'k', $ws) AS ks,
+        |    list_extract(string_split(trim(props->>'k', $ws), '.'), 1) AS ki
         |  FROM events WHERE props IS NOT NULL)
         |SELECT event_id,
         |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
         |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
-        |  CASE WHEN regexp_matches(ks, '^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)$')
+        |  CASE WHEN regexp_matches(ks, '^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)$$')
         |       THEN COALESCE(TRY_CAST(ki AS BIGINT),
         |                     CASE WHEN ki IN ('', '+', '-') THEN 0 END)
         |       END AS k
-        |FROM e""".stripMargin,
+        |FROM e""".stripMargin },
     "q_locf" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |  CAST(round(value*100) AS BIGINT) AS value_cents,

@@ -42,10 +42,19 @@ object DedupOps {
     df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
       case Some(d) =>
         val sc = df.sparkSession.sparkContext
-        // setCheckpointDir appends a per-context UUID subdir under d —
-        // (re)point the shared context only when it isn't already under
-        // THIS session's dir (sessions with different dirs coexist)
-        if (!sc.getCheckpointDir.exists(_.startsWith(d))) sc.setCheckpointDir(d)
+        // setCheckpointDir stores a QUALIFIED uri with a per-context
+        // UUID subdir appended under d — (re)point the shared context
+        // only when the current dir's PARENT isn't d (path-component
+        // compare, not a string prefix: raw-vs-qualified forms never
+        // string-match, and prefix matching would conflate /ck with
+        // /ck2). Sessions with different dirs coexist correctly.
+        val want = new org.apache.hadoop.fs.Path(d).toUri
+        val already = sc.getCheckpointDir.exists { cur =>
+          val parent = new org.apache.hadoop.fs.Path(cur).getParent.toUri
+          parent.getPath == want.getPath &&
+            (want.getScheme == null || want.getScheme == parent.getScheme)
+        }
+        if (!already) sc.setCheckpointDir(d)
         df.checkpoint()
       case None => df.localCheckpoint(true)
     }

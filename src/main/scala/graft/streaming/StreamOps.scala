@@ -241,7 +241,8 @@ object StreamOps {
     val out = root.resolve("out").toString
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(feed.watch.toString)
-    val query = transform(src)
+    val streamed = transform(src)
+    val query = streamed
       .writeStream.format("parquet")
       .option("path", out)
       .option("checkpointLocation", root.resolve("ckpt").toString)
@@ -254,7 +255,13 @@ object StreamOps {
       feed.close()
       graft.util.Fs.deleteRecursively(root.resolve("ckpt"))
     }
-    spark.read.parquet(out)
+    // zero triggers (an empty/fully-incomplete corpus lands no files)
+    // never create the sink dir — an empty result, not a read error
+    if (Files.exists(Path.of(out)))
+      spark.read.parquet(out)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        streamed.schema)
   }
 
   /** [[tumblingCounts]] executed by the streaming engine end-to-end over
@@ -345,7 +352,9 @@ object StreamOps {
     runFileStreamToParquet(spark, evs.schema,
       Seq(b1, b2.union(sentinel(evs, -1L, 30)), sentinel(evs, -2L, 31)))(
       tumblingCounts(_, "1 hour", "1 hour"))
-      .filter(col("event_type") =!= "__sentinel")
+      // drop ONLY the sentinel windows: a bare =!= would three-valued-NULL
+      // away a legitimate NULL-event_type group the oracle keeps
+      .filter(col("event_type").isNull || col("event_type") =!= "__sentinel")
       .select(unix_micros(col("win_start")).as("win_start_us"),
         col("event_type"), col("n"), col("value_cents"))
   }
@@ -378,15 +387,21 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val next = root.resolve(s"v$version").toString
         version += 1
-        val merged = current match {
-          case Some(prev) =>
-            val old = spark.read.parquet(prev)
-            old.join(batch.select(col("user_id").as("uid")),
-                col("user_id") === col("uid"), "left_anti")
-              .unionByName(batch)
-          case None => batch
-        }
-        merged.write.mode("overwrite").parquet(next)
+        // the batch DF appears twice in the merge plan (anti-join keys +
+        // union side); persist so the stateful micro-batch subtree runs
+        // once, not once per reference (the documented foreachBatch rule)
+        batch.persist()
+        try {
+          val merged = current match {
+            case Some(prev) =>
+              val old = spark.read.parquet(prev)
+              old.join(batch.select(col("user_id").as("uid")),
+                  col("user_id") === col("uid"), "left_anti")
+                .unionByName(batch)
+            case None => batch
+          }
+          merged.write.mode("overwrite").parquet(next)
+        } finally batch.unpersist()
         // the write above fully materialized `next`; the superseded
         // version is dead once the pointer moves
         current.foreach(p => graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(p)))

@@ -1,6 +1,6 @@
 package graft.util
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, LinkOption, Path}
 
 /** Tiny filesystem helpers shared by the test/bench harness paths (the
   * engine itself never deletes — only harness staging dirs and orphaned
@@ -8,10 +8,11 @@ import java.nio.file.{Files, Path}
 object Fs {
 
   /** Recursively delete a file tree; missing paths are a no-op. Does not
-    * follow symlinks (Files.list returns the link itself; deleting a
-    * link removes the link, not its target). */
+    * follow symlinks: a directory SYMLINK is detected as a link
+    * (NOFOLLOW), so only the link itself is removed, never the target's
+    * contents. */
   def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
+    if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) {
       val s = Files.list(p)
       try s.iterator().forEachRemaining(deleteRecursively(_))
       finally s.close()

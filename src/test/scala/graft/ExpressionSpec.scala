@@ -93,6 +93,7 @@ class ExpressionSpec extends AnyFunSuite {
       "Infinity" -> None, "1e3" -> None, // no exponent/inf parsing
       "-7.9" -> Some(-7L), ".5" -> Some(0L), "5." -> Some(5L), // truncate at the dot
       " 7 " -> Some(7L), "+7" -> Some(7L), // trim + sign
+      "\t7\n" -> Some(7L), // ALL bytes <= 0x20 trim, not just spaces
       "--7" -> None, "9223372036854775808" -> None) // garbage, int64 overflow
     val got = cases.map(_._1).toDF("s").withColumn("l", col("s").cast("long"))
       .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
