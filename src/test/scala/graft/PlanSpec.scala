@@ -134,6 +134,27 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs fallback:\n$plan")
   }
 
+  test("AQE splits a skewed join partition (the hot-key path ops lean on)") {
+    // several operator comments (ngramJaccard, salting docs) cite AQE
+    // skew-splitting as the backstop for hot keys — pin that the
+    // mechanism actually fires in this Spark build: a join with one
+    // giant key must render skew=true partitions in the AQE-final plan
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+    import s.implicits._
+    // hot key 0 holds half the rows; the rest spread over 10k keys
+    val left = (1 to 100000)
+      .map(i => (if (i % 2 == 0) 0L else (i % 10000).toLong, i.toLong))
+      .toDF("k", "v")
+    val right = (0 until 10000).map(i => (i.toLong, s"r$i")).toDF("k", "name")
+    val joined = left.join(right, "k")
+    val plan = finalPlan(joined)
+    assert(plan.contains("skew=true"), s"AQE skew split did not fire:\n$plan")
+  }
+
   test("q_pricing_summary: aggregation is two-phase (partial before shuffle)") {
     val plan = finalPlan(Relational.pricingSummary(spark, TestSpark.Sf0001))
     // partial + final HashAggregate pair = map-side combine happens
