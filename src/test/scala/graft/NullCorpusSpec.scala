@@ -19,7 +19,15 @@ class NullCorpusSpec extends AnyFunSuite {
   /** sf0.001 with null-injected rows, rebuilt through Spark writes (also
     * exercises the plain-TIMESTAMP events path vs the nanos one). */
   lazy val dir: String = {
-    val d = Files.createTempDirectory("graft_nulls").toString
+    // GRAFT_NULLCORPUS_OUT lets the harness land the corpus at a known
+    // path for an out-of-band full DuckDB compare (Verify + check on the
+    // null corpus — the end-to-end parity sweep the scaladoc cites)
+    val d = sys.env.get("GRAFT_NULLCORPUS_OUT") match {
+      case Some(p) =>
+        graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(p))
+        Files.createDirectories(java.nio.file.Paths.get(p)).toString
+      case None => Files.createTempDirectory("graft_nulls").toString
+    }
     val src = TestSpark.Sf0001
     def copy(t: String): Unit =
       spark.read.parquet(s"$src/$t.parquet").write.parquet(s"$d/$t.parquet")
