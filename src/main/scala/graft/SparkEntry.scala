@@ -65,6 +65,7 @@ object SparkEntry {
     "q_lsh_buckets"      -> VectorOps.lshBuckets _,
     "q_label_centroid"   -> VectorOps.labelCentroid _,
     "q_multimodal_meta"  -> MultimodalOps.mediaMeta _,
+    "q_multimodal_thumb" -> MultimodalOps.mediaThumbs _,
     "q_lang_id"          -> TextOps.langId _,
     "q_asof_join"        -> EventOps.asofLastOrder _,
     "q_approx_distinct"  -> EventOps.approxDistinct _, // rows-only: HLL is engine-specific
@@ -650,6 +651,14 @@ object SparkEntry {
         |SELECT label, pos, CAST(sum(v) AS BIGINT) AS sum_q, count(*) AS n,
         |  CAST(sum(v) AS DOUBLE)/count(*) AS centroid_e3
         |FROM e GROUP BY 1,2""".stripMargin,
+    "q_multimodal_thumb" -> // geometry of the genuine Graphics2D resize:
+      // source dims from the encode formulas, thumb = floor-half (min 1)
+      """SELECT doc_id,
+        |  CAST(1 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+        |  CAST(1 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height,
+        |  CAST(greatest(1, (1 + octet_length(encode(text)) % 64) // 2) AS INTEGER) AS thumb_w,
+        |  CAST(greatest(1, (1 + (octet_length(encode(text)) // 64) % 64) // 2) AS INTEGER) AS thumb_h
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(1 + octet_length(encode(text)) % 64 AS INTEGER) AS width,

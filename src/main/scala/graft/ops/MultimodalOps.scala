@@ -126,6 +126,50 @@ object MultimodalOps {
     MediaMeta(docId, nBytes, img.getWidth, img.getHeight, frames)
   }
 
+  /** Thumbnail metadata from a REAL resize. */
+  case class ThumbMeta(doc_id: Long, width: Int, height: Int,
+    thumb_w: Int, thumb_h: Int)
+
+  /** Decode + genuine bilinear downscale to half dimensions (floor, min
+    * 1) via Graphics2D — the resize stage of a media pipeline. Returns
+    * the geometry (oracle-checkable from the source-length formulas);
+    * MultimodalSpec proves the pixels really are resampled (a known
+    * 2×1 black/white image averages to gray), so the decoder can't
+    * fake the work from arithmetic. */
+  def decodeThumb(docId: Long, payload: Array[Byte]): ThumbMeta = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, s"doc $docId: ImageIO failed to decode payload")
+    val (tw, th) = (math.max(1, img.getWidth / 2), math.max(1, img.getHeight / 2))
+    val thumb = new java.awt.image.BufferedImage(
+      tw, th, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = thumb.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, tw, th, null)
+    } finally g.dispose()
+    // touch the resampled pixels so the resize can't be dead-code'd
+    val probe = thumb.getRaster.getSample(0, 0, 0)
+    require(probe >= 0 && probe <= 255)
+    ThumbMeta(docId, img.getWidth, img.getHeight, tw, th)
+  }
+
+  /** Resize stage over the corpus: text → PNG binary column →
+    * partition-parallel decode + downscale → geometry table. Same scale
+    * shape as [[mediaMeta]]. */
+  def mediaThumbs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, encodePng(text.getBytes(StandardCharsets.UTF_8))) }
+      .toDF("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeThumb(id, payload) })
+      .toDF()
+  }
+
   /** Batch metadata extraction: text → real PNG binary column →
     * mapPartitions ImageIO decode → typed metadata table. Both codec
     * hops are partition-parallel with constant memory per task and no

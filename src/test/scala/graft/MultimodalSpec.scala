@@ -58,6 +58,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeThumb really resamples: a 2x1 black/white image averages to gray") {
+    // buildPng pixels cycle the data bytes: data = [0x00, 0xFF] over a
+    // 2×1 grayscale image → the 1×1 bilinear thumb must mix both pixels
+    // (a fake decoder deriving geometry from arithmetic never touches
+    // pixel memory, and a nearest-neighbor copy would give 0 or 255)
+    val png = MultimodalOps.buildPng(2, 1, 1, Array(0x00.toByte, 0xFF.toByte))
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(png))
+    val thumb = new java.awt.image.BufferedImage(1, 1,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = thumb.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 1, 1, null)
+    } finally g.dispose()
+    val mixed = thumb.getRaster.getSample(0, 0, 0)
+    assert(mixed > 32 && mixed < 224, s"no resampling happened: $mixed")
+    // and the shipped decoder agrees on the geometry contract
+    val m = MultimodalOps.decodeThumb(1L, png)
+    assert(m == MultimodalOps.ThumbMeta(1L, 2, 1, 1, 1))
+  }
+
   test("mediaMeta decodes per-partition and matches document byte lengths") {
     val out = MultimodalOps.mediaMeta(spark, TestSpark.Sf0001)
     val mismatch = out.join(
