@@ -6,7 +6,7 @@ import java.util.zip.{CRC32, Deflater}
 
 import javax.imageio.ImageIO
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -126,16 +126,18 @@ object MultimodalOps {
     MediaMeta(docId, nBytes, img.getWidth, img.getHeight, frames)
   }
 
-  /** Thumbnail metadata from a REAL resize. */
+  /** Thumbnail metadata from a REAL resize. `thumb_gray0` is the
+    * RESAMPLED pixel at (0,0) — a value that only exists if the
+    * downscale actually ran (the spec asserts it mixes source pixels;
+    * the query drops it, since no oracle can recompute a codec's
+    * resampling). */
   case class ThumbMeta(doc_id: Long, width: Int, height: Int,
-    thumb_w: Int, thumb_h: Int)
+    thumb_w: Int, thumb_h: Int, thumb_gray0: Int)
 
   /** Decode + genuine bilinear downscale to half dimensions (floor, min
-    * 1) via Graphics2D — the resize stage of a media pipeline. Returns
-    * the geometry (oracle-checkable from the source-length formulas);
-    * MultimodalSpec proves the pixels really are resampled (a known
-    * 2×1 black/white image averages to gray), so the decoder can't
-    * fake the work from arithmetic. */
+    * 1) via Graphics2D — the resize stage of a media pipeline. Geometry
+    * is oracle-checkable from the source-length formulas; the
+    * resampled-pixel field is the proof-of-work the spec checks. */
   def decodeThumb(docId: Long, payload: Array[Byte]): ThumbMeta = {
     val img = ImageIO.read(new ByteArrayInputStream(payload))
     require(img != null, s"doc $docId: ImageIO failed to decode payload")
@@ -148,26 +150,32 @@ object MultimodalOps {
         java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
       g.drawImage(img, 0, 0, tw, th, null)
     } finally g.dispose()
-    // touch the resampled pixels so the resize can't be dead-code'd
-    val probe = thumb.getRaster.getSample(0, 0, 0)
-    require(probe >= 0 && probe <= 255)
-    ThumbMeta(docId, img.getWidth, img.getHeight, tw, th)
+    ThumbMeta(docId, img.getWidth, img.getHeight, tw, th,
+      thumb.getRaster.getSample(0, 0, 0))
   }
 
-  /** Resize stage over the corpus: text → PNG binary column →
-    * partition-parallel decode + downscale → geometry table. Same scale
-    * shape as [[mediaMeta]]. */
-  def mediaThumbs(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared encode stage: documents → (doc_id, PNG payload). */
+  private def payloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) => (id, encodePng(text.getBytes(StandardCharsets.UTF_8))) }
-      .toDF("doc_id", "payload")
+      .toDF("doc_id", "payload") // the opaque binary media column
       .as[(Long, Array[Byte])]
+  }
+
+  /** Resize stage over the corpus: text → PNG binary column →
+    * partition-parallel decode + downscale → geometry table. Same scale
+    * shape as [[mediaMeta]]; the resampled-pixel proof-of-work column
+    * stays spec-side (not oracle-recomputable). */
+  def mediaThumbs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    payloads(spark, dir)
       .mapPartitions(_.map { case (id, payload) => decodeThumb(id, payload) })
       .toDF()
+      .drop("thumb_gray0")
   }
 
   /** Batch metadata extraction: text → real PNG binary column →
@@ -178,13 +186,7 @@ object MultimodalOps {
     * media cell has nothing to decode; the oracle filters identically). */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) => (id, encodePng(text.getBytes(StandardCharsets.UTF_8))) }
-      .toDF("doc_id", "payload") // the opaque binary media column
-      .as[(Long, Array[Byte])]
+    payloads(spark, dir)
       .mapPartitions(_.map { case (id, payload) => decodePng(id, payload) })
       .toDF()
   }

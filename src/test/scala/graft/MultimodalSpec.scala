@@ -60,24 +60,15 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("decodeThumb really resamples: a 2x1 black/white image averages to gray") {
     // buildPng pixels cycle the data bytes: data = [0x00, 0xFF] over a
-    // 2×1 grayscale image → the 1×1 bilinear thumb must mix both pixels
-    // (a fake decoder deriving geometry from arithmetic never touches
-    // pixel memory, and a nearest-neighbor copy would give 0 or 255)
+    // 2×1 grayscale image → the SHIPPED decoder's 1×1 bilinear thumb
+    // must mix both pixels; a fake deriving geometry from arithmetic
+    // never touches pixel memory (thumb_gray0 wouldn't exist), and a
+    // nearest-neighbor copy would give 0 or 255
     val png = MultimodalOps.buildPng(2, 1, 1, Array(0x00.toByte, 0xFF.toByte))
-    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(png))
-    val thumb = new java.awt.image.BufferedImage(1, 1,
-      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val g = thumb.createGraphics()
-    try {
-      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-      g.drawImage(img, 0, 0, 1, 1, null)
-    } finally g.dispose()
-    val mixed = thumb.getRaster.getSample(0, 0, 0)
-    assert(mixed > 32 && mixed < 224, s"no resampling happened: $mixed")
-    // and the shipped decoder agrees on the geometry contract
     val m = MultimodalOps.decodeThumb(1L, png)
-    assert(m == MultimodalOps.ThumbMeta(1L, 2, 1, 1, 1))
+    assert((m.doc_id, m.width, m.height, m.thumb_w, m.thumb_h) == ((1L, 2, 1, 1, 1)))
+    assert(m.thumb_gray0 > 32 && m.thumb_gray0 < 224,
+      s"no resampling happened: ${m.thumb_gray0}")
   }
 
   test("mediaMeta decodes per-partition and matches document byte lengths") {

@@ -24,8 +24,15 @@ class NullCorpusSpec extends AnyFunSuite {
     // null corpus — the end-to-end parity sweep the scaladoc cites)
     val d = sys.env.get("GRAFT_NULLCORPUS_OUT") match {
       case Some(p) =>
-        graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(p))
-        Files.createDirectories(java.nio.file.Paths.get(p)).toString
+        val path = java.nio.file.Paths.get(p)
+        // the path gets recursively CLEARED — refuse anything that
+        // doesn't look like this spec's staging dir, so a typo'd or
+        // stale export can't silently destroy an unrelated tree
+        require(path.getFileName != null &&
+          path.getFileName.toString.startsWith("graft_null"),
+          s"refusing to clear $p: GRAFT_NULLCORPUS_OUT must name a graft_null* dir")
+        graft.util.Fs.deleteRecursively(path)
+        Files.createDirectories(path).toString
       case None => Files.createTempDirectory("graft_nulls").toString
     }
     val src = TestSpark.Sf0001

@@ -46,27 +46,25 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming ops run unchanged on the RocksDB state store (the at-scale provider)") {
     // local runs default to the in-memory HDFS-backed store; a real
     // cluster holding billions of keys runs RocksDB — prove the
-    // operators are provider-agnostic (same results, no API coupling)
-    implicit val sqlCtx = spark.sqlContext
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key,
+    // operators are provider-agnostic (same results, no API coupling).
+    // A child session isolates the provider conf from the shared one.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamOps.tumblingCounts(in.toDF(), "15 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("rocksdb_out")
+      .outputMode("complete").start()
     try {
-      val in = MemoryStream[Ev]
-      val q = StreamOps.tumblingCounts(in.toDF(), "15 minutes", "10 minutes")
-        .writeStream.format("memory").queryName("rocksdb_out")
-        .outputMode("complete").start()
-      try {
-        in.addData(batch1); q.processAllAvailable()
-        in.addData(batch2); q.processAllAvailable()
-        val streamed = spark.table("rocksdb_out").collect().map(_.toSeq).toSet
-        val batch = StreamOps.tumblingCounts(
-          (batch1 ++ batch2).toDF(), "15 minutes", "10 minutes")
-          .collect().map(_.toSeq).toSet
-        assert(streamed == batch && streamed.nonEmpty)
-      } finally q.stop()
-    } finally spark.conf.set(key, prev)
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      val streamed = s.table("rocksdb_out").collect().map(_.toSeq).toSet
+      val batch = StreamOps.tumblingCounts(
+        (batch1 ++ batch2).toDF(), "15 minutes", "10 minutes")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
   }
 
   test("session windows split on the gap") {
