@@ -73,6 +73,26 @@ class DedupSpec extends AnyFunSuite {
     assert(files(new java.io.File(ckdir)) > 0, "no checkpoint files written")
   }
 
+  test("two sessions with different checkpoint dirs each get their own") {
+    // pins the ckpt() repoint guard: the context-global checkpoint dir
+    // is compared by PARENT path components (raw conf vs qualified-uri
+    // forms never string-match), so the second session must repoint and
+    // land its checkpoints under ITS dir, not the first session's
+    val dirs = Seq("graft_ckpt_a", "graft_ckpt_b").map(p =>
+      Files.createTempDirectory(p).toString)
+    def files(p: java.io.File): Int =
+      if (p.isDirectory) Option(p.listFiles).map(_.map(files).sum).getOrElse(0)
+      else 1
+    dirs.foreach { d =>
+      val s = spark.newSession()
+      s.conf.set("spark.graft.checkpointDir", d)
+      val clusters = DedupOps.dedupClusters(s, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+      assert(files(new java.io.File(d)) > 0, s"no checkpoints under $d")
+    }
+  }
+
   test("dedupClusters on real testdata: labels are component minima") {
     val pairs = DedupOps.minhashLsh(spark, TestSpark.Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
