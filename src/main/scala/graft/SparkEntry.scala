@@ -68,8 +68,8 @@ object SparkEntry {
     "q_multimodal_thumb" -> MultimodalOps.mediaThumbs _,
     "q_lang_id"          -> TextOps.langId _,
     "q_asof_join"        -> EventOps.asofLastOrder _,
-    "q_approx_distinct"  -> EventOps.approxDistinct _, // rows-only: HLL is engine-specific
-    "q_approx_percentile" -> EventOps.approxPercentile _, // rows-only: GK sketch pick is engine-specific
+    "q_approx_distinct"  -> EventOps.approxDistinct _,
+    "q_approx_percentile" -> EventOps.approxPercentile _,
     "q_outer_join"       -> Relational.outerJoin _,
     "q_window_funcs"     -> Relational.windowFuncs _,
     "q_subqueries"       -> Relational.subqueries _,
@@ -873,6 +873,24 @@ object SparkEntry {
         |FROM raw)
         |SELECT * FROM c WHERE player_id IS NOT NULL""".stripMargin
     },
+    "q_approx_distinct" -> // the sketch estimate itself is engine-specific;
+      // the hash-checked surface is the exact count + the sketch's error
+      // bound holding (within_bound TRUE) — a broken HLL flips the boolean
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  count(*) AS n, TRUE AS within_bound
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_approx_percentile" -> // exact discrete median (no-lerp integer index)
+      // + the GK rank-error bound holding on the sketch's pick
+      """WITH b AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM b)
+        |SELECT event_type,
+        |  max(CASE WHEN rn = (n-1)//2 + 1 THEN cents END) AS median_cents,
+        |  count(*) AS n, TRUE AS within_bound
+        |FROM r GROUP BY 1""".stripMargin,
     "q_percentiles" -> // discrete: element at integer index (n-1)*p — no lerp doubles
       """WITH o AS (SELECT o_orderpriority,
         |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c FROM orders),

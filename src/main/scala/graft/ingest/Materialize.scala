@@ -20,6 +20,10 @@ import org.apache.spark.sql.types._
   */
 object Materialize {
 
+  /** Per-JVM tmp-path component (pid): keeps concurrent processes'
+    * scratch output directories disjoint. */
+  private val ProcessTag: String = java.lang.ProcessHandle.current().pid().toString
+
   /** FIFA teams source columns (from the reference's cast list,
     * `etl_kaggle_to_big_query.py:91-107`) → target types. */
   val TeamCasts: Seq[(String, DataType)] = Seq(
@@ -136,7 +140,10 @@ object Materialize {
     * plan — at 100 TB the pruning, not the rewrite, is the point).
     * The output dir is sfDir-scoped so scales never read each other. */
   def partitionedRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    // per-process component: two JVMs on the same sfDir (Bench ∥ Verify)
+    // must not race overwrite-vs-read on one directory, and distinct dirs
+    // must not collide via hashCode alone
+    val tag = java.lang.Integer.toHexString(dir.hashCode) + "_" + ProcessTag
     val out = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_part_orders_$tag").toString
     writePartitioned(graft.sources.Tables.orders(spark, dir)

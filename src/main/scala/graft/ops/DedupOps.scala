@@ -48,14 +48,22 @@ object DedupOps {
         // compare, not a string prefix: raw-vs-qualified forms never
         // string-match, and prefix matching would conflate /ck with
         // /ck2). Sessions with different dirs coexist correctly.
-        val want = new org.apache.hadoop.fs.Path(d).toUri
-        val already = sc.getCheckpointDir.exists { cur =>
-          val parent = new org.apache.hadoop.fs.Path(cur).getParent.toUri
-          parent.getPath == want.getPath &&
-            (want.getScheme == null || want.getScheme == parent.getScheme)
+        // The repoint-then-checkpoint pair is synchronized on the shared
+        // SparkContext: concurrent sessions with DIFFERENT dirs would
+        // otherwise repoint each other mid-run and land checkpoint files
+        // under the other session's dir (results stay correct — each RDD
+        // remembers its own path — but retention/cleanup would cross
+        // dirs).
+        sc.synchronized {
+          val want = new org.apache.hadoop.fs.Path(d).toUri
+          val already = sc.getCheckpointDir.exists { cur =>
+            val parent = new org.apache.hadoop.fs.Path(cur).getParent.toUri
+            parent.getPath == want.getPath &&
+              (want.getScheme == null || want.getScheme == parent.getScheme)
+          }
+          if (!already) sc.setCheckpointDir(d)
+          df.checkpoint()
         }
-        if (!already) sc.setCheckpointDir(d)
-        df.checkpoint()
       case None => df.localCheckpoint(true)
     }
 

@@ -138,28 +138,57 @@ object EventOps {
         count(lit(1)).as("n"))
   }
 
-  /** Approximate-percentile sketch (Greenwald–Khanna summaries) next to
-    * the exact count — the second sketch family after [[approxDistinct]]
-    * for 100 TB quantile estimation in one pass with bounded memory
-    * (no oracle: the summary's pick is engine- and merge-order-specific;
-    * EntrySpec bounds its RANK ERROR to n/accuracy instead, so a broken
-    * sketch fails CI). */
-  def approxPercentile(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+  /** Approximate-percentile sketch (Greenwald–Khanna summaries) — the
+    * second sketch family after [[approxDistinct]] for 100 TB quantile
+    * estimation in one pass with bounded memory. The raw sketch pick is
+    * engine- and merge-order-specific, so the query emits the EXACT
+    * discrete median plus `within_bound`: the GK guarantee (rank error
+    * ≤ n/accuracy) evaluated against the sketch's actual pick, in
+    * integer arithmetic. The oracle recomputes the exact side and
+    * asserts the boolean TRUE — a broken sketch flips the column and
+    * fails the hash gate, not just a spec. */
+  def approxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
       .filter(col("value").isNotNull && col("event_type").isNotNull)
       .select(col("event_type"), cents(col("value")).as("cents"))
-      .groupBy("event_type")
-      .agg(
-        percentile_approx(col("cents"), lit(0.5), lit(PctAccuracy))
-          .as("approx_p50_cents"),
+    val sk = base.groupBy(col("event_type").as("et"))
+      .agg(percentile_approx(col("cents"), lit(0.5), lit(PctAccuracy)).as("approx"),
         count(lit(1)).as("n"))
+    // exact discrete median: the value at 0-based integer index (n-1)/2
+    // (same no-lerp rule as [[percentiles]]; ties share a value, so the
+    // picked VALUE is deterministic even though row order among equal
+    // cents is not)
+    val w = Window.partitionBy("event_type").orderBy(col("cents").asc)
+    val ex = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy(col("event_type").as("et2"))
+      .agg(max(when(col("rn") === expr("(cnt-1) div 2") + 1, col("cents")))
+        .as("median_cents"))
+    // rank interval of the sketch's pick: [#(< v), #(<= v)] must overlap
+    // n/2 ± (n/accuracy + 1); scaled by 2*accuracy to stay in exact ints
+    val bounds = base.join(sk, col("event_type") === col("et"))
+      .groupBy("et", "approx", "n")
+      .agg(sum(when(col("cents") < col("approx"), 1L).otherwise(0L)).as("lo"),
+        sum(when(col("cents") <= col("approx"), 1L).otherwise(0L)).as("hi"))
+    bounds.join(ex, col("et") === col("et2"))
+      .select(col("et").as("event_type"), col("median_cents"), col("n"),
+        (col("lo") * (2 * PctAccuracy) <= col("n") * (PctAccuracy + 2) + 2 * PctAccuracy &&
+          col("hi") * (2 * PctAccuracy) >= col("n") * (PctAccuracy - 2) - 2 * PctAccuracy)
+          .as("within_bound"))
+  }
 
   /** GK accuracy: rank error ≤ n / accuracy. */
   val PctAccuracy = 1000
 
   /** HLL sketch distinct counts next to the exact form — the approximate
-    * path for 100 TB cardinality estimation (no oracle: HLL++ internals
-    * are engine-specific, so the driver records a rows-only check). */
+    * path for 100 TB cardinality estimation. HLL++ internals are
+    * engine-specific, so the raw estimate stays out of the output:
+    * the query emits the exact count plus `within_bound` — the sketch's
+    * relative error vs the exact count held under 3×rsd (rsd 0.05,
+    * ~99.7% of sketches), in exact integer arithmetic. The oracle
+    * recomputes the exact side and asserts the boolean TRUE, putting
+    * the sketch under the driver's hash gate. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
@@ -167,6 +196,9 @@ object EventOps {
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
+      .select(col("event_type"), col("exact_users"), col("n"),
+        (abs(col("approx_users") - col("exact_users")) * 100 <=
+          col("exact_users") * 15).as("within_bound"))
 
   /** Pivot: per-user event-type counts as columns (explicit value list so
     * the plan needs no discovery pass; absent combos fill 0). */

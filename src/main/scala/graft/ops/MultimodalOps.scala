@@ -118,8 +118,12 @@ object MultimodalOps {
       // the array — reject instead of looping
       require(len >= 0 && off + 12L + len <= payload.length,
         s"doc $docId: corrupt chunk $typ at $off (len=$len)")
-      if (typ == "acTL") frames = be4at(off + 8)
-      else if (typ == "grAf") nBytes = len.toLong
+      if (typ == "acTL") {
+        // an acTL shorter than its 8-byte payload would read CRC/next-
+        // chunk bytes as the frame count — reject malformed, don't misread
+        require(len >= 8, s"doc $docId: acTL chunk too short (len=$len)")
+        frames = be4at(off + 8)
+      } else if (typ == "grAf") nBytes = len.toLong
       done = typ == "IEND" // trailing bytes after IEND are not chunks
       off += 12 + len // length + type + data + crc
     }

@@ -129,6 +129,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsertMerge rewrites only touched buckets; untouched files stay byte-identical") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_upsert_spec")
+    val table = root.resolve("t").toString
+    try {
+      // find two user ids in DIFFERENT buckets (bucket = pmod(hash, n))
+      val probe = spark.range(0, 64)
+        .select(col("id"), pmod(hash(col("id")), lit(StreamOps.UpsertBuckets)).as("b"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      val (uA, bkA) = probe.head
+      val (uB, _) = probe.find(_._2 != bkA).get
+      def batch(rows: (Long, Long, Long)*) =
+        rows.toDF("user_id", "n_events", "total_cents")
+      StreamOps.upsertMerge(spark, table,
+        batch((uA, 1L, 100L), (uB, 1L, 200L)), "user_id", StreamOps.UpsertBuckets)
+      def filesOf(bk: Int): Map[String, Array[Byte]] = {
+        val d = Paths.get(table, s"bucket=$bk")
+        val s = Files.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("part-"))
+            .map(p => p.getFileName.toString -> Files.readAllBytes(p)).toMap
+        } finally s.close()
+      }
+      val before = filesOf(bkA)
+      assert(before.nonEmpty)
+      // second batch touches ONLY uB's bucket
+      StreamOps.upsertMerge(spark, table,
+        batch((uB, 2L, 500L)), "user_id", StreamOps.UpsertBuckets)
+      val after = filesOf(bkA)
+      assert(after.keySet == before.keySet, "untouched bucket's file set changed")
+      before.foreach { case (name, bytes) =>
+        assert(java.util.Arrays.equals(bytes, after(name)),
+          s"untouched bucket file $name was rewritten")
+      }
+      // and the merge itself upserted: uB replaced, uA untouched
+      val rows = spark.read.parquet(table).drop("bucket")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((uA, 1L, 100L), (uB, 2L, 500L)))
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
