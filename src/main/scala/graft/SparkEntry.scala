@@ -764,17 +764,40 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM p)
         |SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, cos, bucket
         |FROM r WHERE rank <= ${VectorOps.AnnTopK}""".stripMargin,
-    "q_ann_ivf" -> // IVF: deterministic seeded centroids (vec_id % stride),
-      // nearest-centroid assignment (cos DESC, cid ASC), top-nprobe list
-      // probe per query, exact cosine within probed lists only
+    "q_ann_ivf" -> { // IVF with a TRAINED coarse quantizer: strided seeds
+      // refined by IvfIters unrolled Lloyd's iterations (assign by max
+      // cosine, update = elementwise integer mean `//` — truncating like
+      // Spark's `div`, negatives included), then nearest-centroid
+      // assignment (cos DESC, cid ASC), top-nprobe probe, exact cosine
+      // within probed lists only
+      def dotOf(a: String, b: String) =
+        s"CAST(list_sum(list_transform(generate_series(1,len($a)), i -> $a[i]*$b[i])) AS BIGINT)"
+      def assignCte(cIn: String, aOut: String) =
+        s"""$aOut AS (SELECT vec_id, qv, list_id FROM (
+           |  SELECT n.vec_id, n.qv, c.cid AS list_id,
+           |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+           |      ${dotOf("n.qv", "c.cv")} / sqrt(CAST(n.nrm*c.cnrm AS DOUBLE)) DESC, c.cid) AS rn
+           |  FROM n CROSS JOIN $cIn c) WHERE rn = 1)""".stripMargin
+      def updateCte(aIn: String, cOut: String) =
+        s"""$cOut AS (SELECT cid, cv,
+           |  CAST(list_sum(list_transform(cv, x->x*x)) AS BIGINT) AS cnrm FROM (
+           |  SELECT list_id AS cid, list(m ORDER BY pos) AS cv FROM (
+           |    SELECT list_id, pos, CAST(CAST(sum(v) AS BIGINT) // count(*) AS BIGINT) AS m
+           |    FROM (SELECT list_id, generate_subscripts(qv,1) AS pos, unnest(qv) AS v FROM $aIn)
+           |    GROUP BY 1,2) GROUP BY 1))""".stripMargin
+      val lloyd = (1 to VectorOps.IvfIters).map { t =>
+        assignCte(s"c${t - 1}", s"tr$t") + ",\n" + updateCte(s"tr$t", s"c$t")
+      }.mkString(",\n")
+      val cFin = s"c${VectorOps.IvfIters}"
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
         |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv FROM embeddings),
         |n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x->x*x)) AS BIGINT) AS nrm FROM q),
-        |c AS (SELECT vec_id AS cid, qv AS cv, nrm AS cnrm FROM n WHERE vec_id % ${VectorOps.IvfStride} = 0),
+        |c0 AS (SELECT vec_id AS cid, qv AS cv, nrm AS cnrm FROM n WHERE vec_id % ${VectorOps.IvfStride} = 0),
+        |$lloyd,
         |ac AS (SELECT vec_id, qv, nrm, cid,
-        |  CAST(list_sum(list_transform(generate_series(1,len(qv)), i -> qv[i]*cv[i])) AS BIGINT)
+        |  ${dotOf("qv", "cv")}
         |    / sqrt(CAST(nrm*cnrm AS DOUBLE)) AS ccos
-        |  FROM n CROSS JOIN c),
+        |  FROM n CROSS JOIN $cFin),
         |a AS (SELECT vec_id, qv, nrm, cid AS list_id FROM
         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ac)
         |  WHERE rn = 1),
@@ -788,7 +811,8 @@ object SparkEntry {
         |  FROM pr JOIN a ON pr.list_id = a.list_id AND pr.query_id != a.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM p)
         |SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, cos, list_id
-        |FROM r WHERE rank <= ${VectorOps.AnnTopK}""".stripMargin,
+        |FROM r WHERE rank <= ${VectorOps.AnnTopK}""".stripMargin
+    },
     "q_bucketed_join" -> // oracle is the plain join — bucketing must not change results
       """SELECT c_nationkey,
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active_cust,

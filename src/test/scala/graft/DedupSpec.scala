@@ -177,8 +177,10 @@ class DedupSpec extends AnyFunSuite {
     val ivf = topk(VectorOps.annIvf(spark, sf))
     val recall = (exact & ivf).size.toDouble / exact.size
     info(f"annIvf recall at sf0.001: $recall%.3f (${(exact & ivf).size}/${exact.size})")
-    // seeded (unrefined) centroids with nprobe=2 — a floor, not a target
-    assert(recall >= 0.3, s"IVF recall collapsed: $recall")
+    // Lloyd-trained centroids (IvfIters rounds) with nprobe=2:
+    // deterministic 0.625 today (up from 0.46 with raw strided seeds);
+    // the floor guards the training path against regression
+    assert(recall >= 0.6, s"IVF recall collapsed: $recall")
     // every returned candidate genuinely sits in a probed list
     assert(ivf.nonEmpty)
   }
