@@ -66,6 +66,7 @@ object SparkEntry {
     "q_label_centroid"   -> VectorOps.labelCentroid _,
     "q_multimodal_meta"  -> MultimodalOps.mediaMeta _,
     "q_multimodal_thumb" -> MultimodalOps.mediaThumbs _,
+    "q_phash_neardup"    -> MultimodalOps.phashNearDup _,
     "q_lang_id"          -> TextOps.langId _,
     "q_asof_join"        -> EventOps.asofLastOrder _,
     "q_approx_distinct"  -> EventOps.approxDistinct _,
@@ -665,6 +666,34 @@ object SparkEntry {
         |  CAST(1 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height,
         |  CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS frames
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    "q_phash_neardup" -> // recompute the 8×8 aHash from the encode
+      // formulas: pixel (y,x) of the PNG is source byte (y·w+x) mod n,
+      // and the corpus is pure ASCII (verified: octet_length == length
+      // at every sf), so ord(substr) IS the byte. The banded Spark plan
+      // is exact for hamming <= 7 by pigeonhole (8 bands), so the
+      // oracle is the plain all-pairs filter. Bit 63 can't be built as
+      // 1<<63 in DuckDB (overflow) — its set-value is the min-BIGINT
+      // literal, identical to Spark's 1L<<63 wrap.
+      """WITH g AS (SELECT doc_id, text,
+        |    octet_length(encode(text)) AS n,
+        |    1 + octet_length(encode(text)) % 64 AS w,
+        |    1 + (octet_length(encode(text)) // 64) % 64 AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, i,
+        |    CASE WHEN n = 0 THEN 0
+        |         ELSE ord(substr(text, ((((i//8) * h) // 8) * w + (((i%8) * w) // 8)) % n + 1, 1))
+        |    END AS v
+        |  FROM g, (SELECT unnest(generate_series(0,63)) AS i) AS gi(i)),
+        |m AS (SELECT doc_id, CAST(sum(v) AS BIGINT) // 64 AS mean FROM s GROUP BY 1),
+        |hsh AS (SELECT s.doc_id,
+        |    bit_or(CASE WHEN v >= mean THEN
+        |        CASE WHEN i = 63 THEN -9223372036854775808 ELSE 1::BIGINT << i END
+        |      ELSE 0 END) AS phash
+        |  FROM s JOIN m ON s.doc_id = m.doc_id GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 7""".stripMargin,
     "q_lang_id" -> {
       val profiles = TextOps.LangProfiles
       val branches = profiles.map { case (l, ws) =>

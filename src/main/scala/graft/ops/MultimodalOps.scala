@@ -6,7 +6,7 @@ import java.util.zip.{CRC32, Deflater}
 
 import javax.imageio.ImageIO
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -193,5 +193,79 @@ object MultimodalOps {
     payloads(spark, dir)
       .mapPartitions(_.map { case (id, payload) => decodePng(id, payload) })
       .toDF()
+  }
+
+  /** Perceptual-hash banding parameters: 64-bit aHash split into 8
+    * 8-bit bands — by pigeonhole, any pair within [[PhashMaxHamming]]
+    * (< 8) Hamming distance agrees on at least one band, so the banded
+    * candidate stage finds EVERY qualifying pair (Manku's trick, the
+    * [[graft.ops.DedupOps.simhashNearDup]] shape reapplied to images). */
+  val PhashBands = 8
+  val PhashMaxHamming = 7
+
+  /** 8×8 average-hash (aHash) of a DECODED image: 64 nearest-neighbor
+    * grid samples of the grayscale raster (sample (y,x) reads pixel
+    * (y·h/8, x·w/8), integer division), bit i set iff sample i ≥ the
+    * integer mean. Runs on the codec's raster, not the source bytes —
+    * the pixel values happen to be a deterministic function of the
+    * source, which is what lets the oracle recompute the hash in SQL. */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val r = img.getRaster
+    val s = new Array[Int](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      s(i) = r.getSample((i % 8) * w / 8, (i / 8) * h / 8, 0)
+      sum += s(i)
+      i += 1
+    }
+    val mean = sum / 64
+    var hash = 0L
+    i = 0
+    while (i < 64) { if (s(i) >= mean) hash |= 1L << i; i += 1 }
+    hash
+  }
+
+  /** Image near-duplicate pairs by perceptual hash — multimodal joined
+    * into the dedup story: encode → partition-parallel ImageIO decode →
+    * [[aHash64]] over the raster → Hamming-banded self-join. Candidates
+    * only form inside a shared (band, bits) bucket (8 shuffle rows per
+    * image, never all-pairs); a pair colliding in several bands is kept
+    * only at its FIRST matching band (the band array rides along — no
+    * distinct shuffle); survivors verify bit_count(xor) ≤
+    * [[PhashMaxHamming]]. Exact for the threshold by pigeonhole, so the
+    * oracle is the plain all-pairs Hamming filter. */
+  def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = payloads(spark, dir)
+      .mapPartitions(_.map { case (id, payload) =>
+        val img = ImageIO.read(new ByteArrayInputStream(payload))
+        require(img != null, s"doc $id: ImageIO failed to decode payload")
+        (id, aHash64(img))
+      })
+      .toDF("doc_id", "phash")
+    val bandBits = array((0 until PhashBands).map(b =>
+      shiftright(col("phash"), b * 8).bitwiseAND(lit(255L))): _*)
+    val k = hashed.withColumn("bb", bandBits)
+      .select(col("doc_id"), col("phash"),
+        posexplode(col("bb")).as(Seq("band", "bits")), col("bb"))
+    val a = k.select(col("band"), col("bits"), col("doc_id").as("doc_a"),
+      col("phash").as("ha"), col("bb").as("bb_a"))
+    val b = k.select(col("band"), col("bits"), col("doc_id").as("doc_b"),
+      col("phash").as("hb"), col("bb").as("bb_b"))
+    // first band whose bits agree (element_at is 1-based)
+    val firstMatch = (0 until PhashBands - 1)
+      .foldRight(lit(PhashBands - 1): Column) { (t, rest) =>
+        when(element_at(col("bb_a"), t + 1) === element_at(col("bb_b"), t + 1),
+          lit(t)).otherwise(rest)
+      }
+    a.join(b, Seq("band", "bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(firstMatch === col("band"))
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .select("doc_a", "doc_b", "hamming")
   }
 }

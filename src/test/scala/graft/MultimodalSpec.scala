@@ -71,6 +71,28 @@ class MultimodalSpec extends AnyFunSuite {
       s"no resampling happened: ${m.thumb_gray0}")
   }
 
+  test("aHash64 reads the decoded raster: uniform image → all bits, bright half → split bits") {
+    // uniform pixels: every sample == mean → every bit set → hash -1
+    val flat = ImageIO.read(new ByteArrayInputStream(
+      MultimodalOps.buildPng(16, 16, 1, Array(0x40.toByte))))
+    assert(MultimodalOps.aHash64(flat) == -1L)
+    // bottom half bright: exactly grid rows 4..7 (bits 32..63) set —
+    // a hash only a real pixel read can produce
+    val data = Array.tabulate(16 * 16)(i => if (i < 8 * 16) 0x00.toByte else 0xFF.toByte)
+    val split = ImageIO.read(new ByteArrayInputStream(
+      MultimodalOps.buildPng(16, 16, 1, data)))
+    assert(MultimodalOps.aHash64(split) == 0xFFFFFFFF00000000L)
+  }
+
+  test("phashNearDup: unique pairs, hamming bounded, ordered ids") {
+    val rows = MultimodalOps.phashNearDup(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length,
+      "a pair surfaced from more than one band")
+    assert(rows.forall(p => p._3 <= MultimodalOps.PhashMaxHamming && p._1 < p._2))
+  }
+
   test("mediaMeta decodes per-partition and matches document byte lengths") {
     val out = MultimodalOps.mediaMeta(spark, TestSpark.Sf0001)
     val mismatch = out.join(
