@@ -113,6 +113,8 @@ object SparkEntry {
     "q_unpivot"          -> EventOps.unpivotEventCounts _,
     "q_json_dropmalformed" -> Materialize.eventsFromCorruptJsonl _,
     "q_locf"             -> EventOps.locfValues _,
+    "q_orc_roundtrip"    -> Materialize.orcRoundTrip _,
+    "q_heavy_hitters"    -> TextOps.heavyHitters _,
   )
 
   /** Shared CTE block for the minhash-family oracles: ends at `j`
@@ -460,6 +462,23 @@ object SparkEntry {
       """SELECT word, count(*) AS cnt FROM (
         |  SELECT unnest(string_split(text,' ')) AS word FROM documents)
         |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+    "q_heavy_hitters" -> // exact top-20 + the CMS guarantee holding
+      // (estimate never below truth, at most eps*N above) — the sketch
+      // side is Spark's; the oracle recomputes the exact side and
+      // asserts within_bound TRUE, same pattern as the HLL/GK rows
+      """SELECT word, cnt, TRUE AS within_bound FROM (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text,' ')) AS word
+        |    FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY 1 ORDER BY cnt DESC, word LIMIT 20)""".stripMargin,
+    "q_orc_roundtrip" -> // oracle is the plain SQL over the ORIGINAL
+      // table — the ORC write + read-back must be value-invisible
+      """SELECT l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem WHERE l_linestatus = 'F'
+        |GROUP BY 1""".stripMargin,
     "q_lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -159,6 +159,30 @@ object Materialize {
         countDistinct(col("o_custkey")).as("n_cust"))
   }
 
+  /** ORC round trip — the second columnar format next to parquet (a
+    * lake migrates formats without changing results): lineitem columns
+    * written as ORC, read back with a pushable filter, aggregated with
+    * exact cents. The oracle is the plain SQL over the ORIGINAL table —
+    * a storage-format variant must be value-invisible; IngestSpec
+    * asserts the ORC scan pushes the filter (at 100 TB the format's
+    * predicate pushdown + column pruning carry the same scan economics
+    * as parquet's). */
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_orc_li_${java.lang.Integer.toHexString(dir.hashCode)}_$ProcessTag").toString
+    graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_quantity"),
+        col("l_extendedprice"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .filter(col("l_linestatus") === "F")
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.Exact.cents(col("l_extendedprice"))).as("price_cents"),
+        sum(graft.functions.Exact.cents(col("l_quantity"))).as("qty_cents"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
   /** Bucketed write — the `CLUSTER BY` analog: co-locates join keys so a
     * downstream join on the bucket column needs no shuffle. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, n: Int): Unit =

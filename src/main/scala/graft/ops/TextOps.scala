@@ -38,6 +38,51 @@ object TextOps {
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(20)
 
+  /** Count-min sketch parameters: overestimate ≤ [[CmsEps]]·N with
+    * probability [[CmsConfidence]]; CMS never underestimates. */
+  val CmsEps = 0.001
+  val CmsConfidence = 0.99
+  val CmsSeed = 42
+
+  /** Heavy hitters with a count-min sketch check — the third sketch
+    * family (after HLL and GK) under the hash gate: the exact top-20
+    * words ship alongside `within_bound` = the CMS estimate honoring
+    * its guarantee (never below the true count, at most εN above).
+    * The sketch is ONE aggregate row of bounded model metadata (w·d
+    * counters) — the centroid-collect pattern, not a data collect; at
+    * 100 TB the sketch aggregates in one pass with map-side merge.
+    * Deserializing the sketch is a library call Catalyst cannot
+    * express, so the 20-row verdict stage runs in `mapPartitions`
+    * (the same clause as the ImageIO codec hops). */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(toks).as("word"))
+    val row = words.agg(
+        expr(s"count_min_sketch(word, ${CmsEps}d, ${CmsConfidence}d, $CmsSeed)").as("sk"),
+        count(lit(1)).as("n_total"))
+      .collect()(0)
+    val (skBytes, nTotal) =
+      (if (row.isNullAt(0)) null else row.getAs[Array[Byte]](0), row.getLong(1))
+    val bc = spark.sparkContext.broadcast(skBytes)
+    words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(20)
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        // lazy: an empty corpus broadcasts a null sketch but also has
+        // zero rows to check — never deserialize unless a row arrives
+        lazy val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(bc.value))
+        it.map { case (w, c) =>
+          val est = cms.estimateCount(w)
+          (w, c, est >= c && est - c <= (CmsEps * nTotal).toLong)
+        }
+      }
+      .toDF("word", "cnt", "within_bound")
+  }
+
   /** Per-language corpus facets. */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -83,6 +83,16 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("q_orc_roundtrip: the ORC read-back scan pushes the status filter") {
+    val df = Materialize.orcRoundTrip(spark, TestSpark.Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the second columnar format must keep the same scan economics:
+    // the equality filter lands in the ORC scan's PushedFilters
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(l_linestatus,F"), s"ORC pushdown missing:\n$plan")
+  }
+
   test("q_partitioned_write: read-back scan prunes on the partition filter") {
     val df = Materialize.partitionedRoundTrip(spark, TestSpark.Sf0001)
     df.collect()

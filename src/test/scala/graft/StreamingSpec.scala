@@ -169,6 +169,14 @@ class StreamingSpec extends AnyFunSuite {
       val rows = spark.read.parquet(table).drop("bucket")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(rows == Set((uA, 1L, 100L), (uB, 2L, 500L)))
+      // the layout the merge's read prune relies on: a bucket IN (...)
+      // filter must reach the scan as a PartitionFilter (pruning — at
+      // scale the untouched buckets are never even opened for reading)
+      val pruned = spark.read.parquet(table).filter(col("bucket") === bkA)
+      pruned.collect()
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+        s"bucket filter did not prune partitions:\n$plan")
     } finally graft.util.Fs.deleteRecursively(root)
   }
 
