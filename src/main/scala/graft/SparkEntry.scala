@@ -115,6 +115,7 @@ object SparkEntry {
     "q_locf"             -> EventOps.locfValues _,
     "q_orc_roundtrip"    -> Materialize.orcRoundTrip _,
     "q_heavy_hitters"    -> TextOps.heavyHitters _,
+    "q_funnel"           -> EventOps.funnel _,
   )
 
   /** Shared CTE block for the minhash-family oracles: ends at `j`
@@ -471,6 +472,19 @@ object SparkEntry {
         |    SELECT unnest(string_split(text,' ')) AS word
         |    FROM documents WHERE text IS NOT NULL)
         |  GROUP BY 1 ORDER BY cnt DESC, word LIMIT 20)""".stripMargin,
+    "q_funnel" -> // view → click → purchase stage minima per user;
+      // 'at or after' is >= on exact epoch-µs, deterministic throughout
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |v AS (SELECT user_id, min(us) AS view_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.us) AS click_us FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.us >= v.view_us GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.us) AS purchase_us FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= c.click_us GROUP BY 1)
+        |SELECT v.user_id, view_us, click_us, purchase_us
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
     "q_orc_roundtrip" -> // oracle is the plain SQL over the ORIGINAL
       // table — the ORC write + read-back must be value-invisible
       """SELECT l_linestatus, count(*) AS n,

@@ -200,6 +200,33 @@ object EventOps {
         (abs(col("approx_users") - col("exact_users")) * 100 <=
           col("exact_users") * 15).as("within_bound"))
 
+  /** Conversion funnel (view → click → purchase): per user, the first
+    * view, the first click AT OR AFTER that view, and the first purchase
+    * at or after that click — the sequential-pattern analytics a product
+    * pipeline runs daily. Three stage-filtered min-aggregations joined
+    * on user_id: every shuffle is on the same key, so after the first
+    * exchange the stages co-partition (no repeated wide shuffles), and
+    * each stage's input is pre-filtered to its event type before the
+    * join. Times are exact epoch-µs minima — fully deterministic. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("view_us"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("us") >= col("view_us"))
+      .groupBy("user_id").agg(min(col("us")).as("click_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("us") >= col("click_us"))
+      .groupBy("user_id").agg(min(col("us")).as("purchase_us"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select("user_id", "view_us", "click_us", "purchase_us")
+  }
+
   /** Pivot: per-user event-type counts as columns (explicit value list so
     * the plan needs no discovery pass; absent combos fill 0). */
   def pivotEventCounts(spark: SparkSession, dir: String): DataFrame =

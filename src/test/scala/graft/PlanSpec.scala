@@ -155,6 +155,39 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("skew=true"), s"AQE skew split did not fire:\n$plan")
   }
 
+  test("runtime bloom-filter join injection fires (the shuffle-join row-prune path)") {
+    // For non-broadcastable shuffle joins, Spark can inject a bloom
+    // filter built from the selective side into the big side's scan —
+    // rows that can't join are dropped BEFORE the shuffle. At 100 TB
+    // this is the row-level sibling of dynamic partition pruning; pin
+    // that the mechanism fires in this build (hair-trigger thresholds,
+    // same approach as the AQE skew test).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1B")
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom")
+    try {
+      val dimPath = root.resolve("dim").toString
+      val factPath = root.resolve("fact").toString
+      (1 to 100).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+        .write.mode("overwrite").parquet(dimPath)
+      (1 to 200000).map(i => ((i % 5000).toLong, i.toLong)).toDF("k", "v")
+        .write.mode("overwrite").parquet(factPath)
+      // the creation side needs a selective filter (same precondition
+      // family as DPP: a bare scan isn't worth building a bloom for)
+      val dim = s.read.parquet(dimPath).filter(col("name") > "d0")
+      val joined = s.read.parquet(factPath).join(dim, "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloom"),
+        s"runtime bloom filter did not inject:\n$plan")
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
   test("q_pricing_summary: aggregation is two-phase (partial before shuffle)") {
     val plan = finalPlan(Relational.pricingSummary(spark, TestSpark.Sf0001))
     // partial + final HashAggregate pair = map-side combine happens
