@@ -49,15 +49,9 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b narrows the set for iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    // a misspelled name would silently filter to nothing and "succeed"
-    // having measured nothing — fail loudly instead
-    only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(",")}")
-    }
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // subset() rejects misspelled names loudly — a typo must not filter
+    // to nothing and "succeed" having measured nothing
+    val sorted = SparkEntry.subset(only)
     val runs = (1 to reps).map { _ => sorted.map { case (n, fn) => timeOne(n, fn) } }
     val results = sorted.map(_._1).zipWithIndex.map { case (name, i) =>
       // median over SUCCESSFUL runs only — a fast failure must not pose
@@ -75,10 +69,16 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"reps":$reps,"sf":"$sfDir"}"""
     println(line)
     // stdout captures get tail-truncated past ~66 queries; the full
-    // per-query map also lands in a file so every query stays comparable
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // per-query map also lands in a file so every query stays comparable.
+    // Only FULL runs write the default artifact — a BENCH_ONLY iteration
+    // run must not clobber the last full-surface record (an explicit
+    // SPARK_GRAFT_BENCH_OUT always writes)
+    val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("/root/repo/BENCH_FULL.json") else None)
+    outFile.foreach { f =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), line + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] could not write $f: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

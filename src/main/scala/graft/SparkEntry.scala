@@ -118,6 +118,17 @@ object SparkEntry {
     "q_funnel"           -> EventOps.funnel _,
   )
 
+  /** The query set narrowed to `names` (None = all), with unknown names
+    * rejected loudly — shared by Verify's arg filter and Bench's
+    * SPARK_GRAFT_BENCH_ONLY so the two subset mechanisms can't drift. */
+  def subset(names: Option[Set[String]]): Seq[(String, (SparkSession, String) => DataFrame)] = {
+    names.foreach { ns =>
+      val unknown = ns -- queries.keySet
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    }
+    queries.toSeq.sortBy(_._1).filter { case (n, _) => names.forall(_.contains(n)) }
+  }
+
   /** Shared CTE block for the minhash-family oracles: ends at `j`
     * (candidate pairs with exact intersection/union counts). */
   private val MinhashCtes: String =

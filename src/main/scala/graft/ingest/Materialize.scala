@@ -24,6 +24,20 @@ object Materialize {
     * scratch output directories disjoint. */
   private val ProcessTag: String = java.lang.ProcessHandle.current().pid().toString
 
+  /** A per-process tmp scratch dir that is DELETED when this JVM exits:
+    * pid-suffixed names never collide across concurrent processes, and
+    * the shutdown hook keeps a day of per-commit iteration (every sbt
+    * run is a fresh pid) from strewing orphaned dataset copies over
+    * java.io.tmpdir. */
+  private val registeredScratch = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def processScratchDir(name: String): String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"), s"${name}_$ProcessTag")
+    if (registeredScratch.add(f.toString)) // one hook per dir, not per call
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.util.Fs.deleteRecursively(f.toPath)))
+    f.toString
+  }
+
   /** FIFA teams source columns (from the reference's cast list,
     * `etl_kaggle_to_big_query.py:91-107`) → target types. */
   val TeamCasts: Seq[(String, DataType)] = Seq(
@@ -142,10 +156,9 @@ object Materialize {
   def partitionedRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     // per-process component: two JVMs on the same sfDir (Bench ∥ Verify)
     // must not race overwrite-vs-read on one directory, and distinct dirs
-    // must not collide via hashCode alone
-    val tag = java.lang.Integer.toHexString(dir.hashCode) + "_" + ProcessTag
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_part_orders_$tag").toString
+    // must not collide via hashCode alone; deleted at JVM exit
+    val out = processScratchDir(
+      s"graft_part_orders_${java.lang.Integer.toHexString(dir.hashCode)}")
     writePartitioned(graft.sources.Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderpriority")),
@@ -168,8 +181,8 @@ object Materialize {
     * predicate pushdown + column pruning carry the same scan economics
     * as parquet's). */
   def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_orc_li_${java.lang.Integer.toHexString(dir.hashCode)}_$ProcessTag").toString
+    val out = processScratchDir(
+      s"graft_orc_li_${java.lang.Integer.toHexString(dir.hashCode)}")
     graft.sources.Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linestatus"), col("l_quantity"),
         col("l_extendedprice"))

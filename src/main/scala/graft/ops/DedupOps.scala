@@ -48,20 +48,28 @@ object DedupOps {
         // compare, not a string prefix: raw-vs-qualified forms never
         // string-match, and prefix matching would conflate /ck with
         // /ck2). Sessions with different dirs coexist correctly.
-        // The repoint-then-checkpoint pair is synchronized on the shared
+        // Repointing is guarded by a double-checked lock on the shared
         // SparkContext: concurrent sessions with DIFFERENT dirs would
         // otherwise repoint each other mid-run and land checkpoint files
         // under the other session's dir (results stay correct — each RDD
         // remembers its own path — but retention/cleanup would cross
-        // dirs).
-        sc.synchronized {
+        // dirs). The common already-pointed path takes no lock, so
+        // same-dir sessions checkpoint concurrently; only a session that
+        // actually repoints serializes its (repoint + capture) pair. A
+        // cross-dir session repointing between an unlocked check and the
+        // capture can still cross-place files — the documented residual,
+        // correctness unaffected.
+        def pointedAt: Boolean = {
           val want = new org.apache.hadoop.fs.Path(d).toUri
-          val already = sc.getCheckpointDir.exists { cur =>
+          sc.getCheckpointDir.exists { cur =>
             val parent = new org.apache.hadoop.fs.Path(cur).getParent.toUri
             parent.getPath == want.getPath &&
               (want.getScheme == null || want.getScheme == parent.getScheme)
           }
-          if (!already) sc.setCheckpointDir(d)
+        }
+        if (pointedAt) df.checkpoint()
+        else sc.synchronized {
+          if (!pointedAt) sc.setCheckpointDir(d)
           df.checkpoint()
         }
       case None => df.localCheckpoint(true)

@@ -56,9 +56,14 @@ object TextOps {
     * (the same clause as the ImageIO codec hops). */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the tokenized corpus feeds two aggregates (sketch + exact top-20);
+    // persist so the scan+split+explode runs once, not per consumer —
+    // cache-hot after the sketch collect below, LRU-evicted like the
+    // trained-centroid cache in VectorOps.annIvf
     val words = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(explode(toks).as("word"))
+      .persist()
     val row = words.agg(
         expr(s"count_min_sketch(word, ${CmsEps}d, ${CmsConfidence}d, $CmsSeed)").as("sk"),
         count(lit(1)).as("n_total"))
