@@ -79,6 +79,7 @@ object SparkEntry {
     "q_cube"             -> EventOps.cubeEventDay _,
     "q_ann_lsh"          -> VectorOps.annLsh _,
     "q_ann_ivf"          -> VectorOps.annIvf _,
+    "q_ann_pq"           -> VectorOps.annPq _,
     "q_salted_agg"       -> Relational.saltedAgg _,
     "q_regex_tokens"     -> TextOps.regexTokens _,
     "q_rolling_fp"       -> TextOps.rollingFingerprint _,
@@ -885,6 +886,58 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM p)
         |SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, cos, list_id
         |FROM r WHERE rank <= ${VectorOps.AnnTopK}""".stripMargin
+    },
+    "q_ann_pq" -> { // product quantization + ADC, all exact int64: per-
+      // subspace codebooks (stride seeds + unrolled Lloyd rounds under
+      // L2), corpus encoded to nearest codewords, query×codeword
+      // distance table, candidate score = sum of M table lookups.
+      // Oracle L2 is the direct Σ(a-b)² — mathematically identical in
+      // exact integers to Spark's ‖a‖²+‖b‖²−2a·b form.
+      val M = VectorOps.PqSubspaces
+      val D = VectorOps.PqSubDim
+      def l2(a: String, b: String) =
+        s"CAST(list_sum(list_transform(generate_series(1,$D), i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+      def l2Full(a: String, b: String) =
+        s"CAST(list_sum(list_transform(generate_series(1,${M * D}), i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+      def assignCte(cIn: String, aOut: String) =
+        s"""$aOut AS (SELECT vec_id, m, sv, cid FROM (
+           |  SELECT s.vec_id, s.m, s.sv, c.cid,
+           |    row_number() OVER (PARTITION BY s.vec_id, s.m
+           |      ORDER BY ${l2("s.sv", "c.cv")} ASC, c.cid) AS rn
+           |  FROM sub s JOIN $cIn c ON s.m = c.m) WHERE rn = 1)""".stripMargin
+      def updateCte(aIn: String, cOut: String) =
+        s"""$cOut AS (SELECT m, cid, list(v ORDER BY pos) AS cv FROM (
+           |    SELECT m, cid, pos, CAST(CAST(sum(x) AS BIGINT) // count(*) AS BIGINT) AS v
+           |    FROM (SELECT m, cid, generate_subscripts(sv,1) AS pos, unnest(sv) AS x FROM $aIn)
+           |    GROUP BY 1,2,3) GROUP BY 1,2)""".stripMargin
+      val lloyd = (1 to VectorOps.PqIters).map { t =>
+        assignCte(s"cb${t - 1}", s"pa$t") + ",\n" + updateCte(s"pa$t", s"cb$t")
+      }.mkString(",\n")
+      val cbFin = s"cb${VectorOps.PqIters}"
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv FROM embeddings),
+        |sub AS (SELECT vec_id, m, qv[m*$D+1 : m*$D+$D] AS sv
+        |  FROM q, (SELECT unnest(generate_series(0,${M - 1})) AS m) AS ms(m)),
+        |cb0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id % ${VectorOps.PqSeedStride} = 0),
+        |$lloyd,
+        |${assignCte(cbFin, "fa")},
+        |codes AS (SELECT vec_id, m, cid FROM fa),
+        |dt AS (SELECT s.vec_id AS query_id, c.m, c.cid, ${l2("s.sv", "c.cv")} AS d
+        |  FROM sub s JOIN $cbFin c ON s.m = c.m WHERE s.vec_id < ${VectorOps.NumQueries}),
+        |p AS (SELECT dt.query_id, codes.vec_id AS cand_id, CAST(sum(d) AS BIGINT) AS approx_l2
+        |  FROM codes JOIN dt ON codes.m = dt.m AND codes.cid = dt.cid AND codes.vec_id != dt.query_id
+        |  GROUP BY 1,2),
+        |sl AS (SELECT query_id, cand_id FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY approx_l2 ASC, cand_id) AS prank FROM p)
+        |  WHERE prank <= ${VectorOps.PqShortlist}),
+        |rr AS (SELECT sl.query_id, sl.cand_id,
+        |  ${l2Full("a.qv", "b.qv")} AS l2
+        |  FROM sl JOIN q a ON sl.query_id = a.vec_id JOIN q b ON sl.cand_id = b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY l2 ASC, cand_id) AS rank FROM rr)
+        |SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, l2
+        |FROM r WHERE rank <= ${VectorOps.TopK}""".stripMargin
     },
     "q_bucketed_join" -> // oracle is the plain join — bucketing must not change results
       """SELECT c_nationkey,

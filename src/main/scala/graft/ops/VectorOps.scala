@@ -322,6 +322,130 @@ object VectorOps {
       .select("query_id", "cand_id", "rank", "cos", "list_id")
   }
 
+  /** Product-quantization parameters: the 64-dim space splits into
+    * [[PqSubspaces]] blocks of [[PqSubDim]] dims; each subspace gets its
+    * own codebook (seeded by the [[IvfStride]] stride, refined by
+    * [[PqIters]] Lloyd rounds under L2); a vector's code is its nearest
+    * codeword per subspace. */
+  val PqSubspaces = 4
+  val PqSubDim = 16
+  val PqIters = 2
+  val PqSeedStride = 4 // much denser than the IVF stride: codebook resolution drives ADC fidelity
+  val PqShortlist = 64 // ADC-ranked candidates kept for the exact re-rank
+
+  /** Corpus split into per-subspace rows: (vec_id, m, sv, snrm). */
+  private def pqSub(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(array((0 until PqSubspaces).map(m =>
+        slice(col("qv"), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "sv")))
+      .withColumn("snrm", dot(col("sv"), col("sv")))
+
+  /** Nearest-codeword assignment under EXACT integer L2
+    * (‖a−b‖² = ‖a‖² + ‖b‖² − 2a·b — three integer terms, no doubles
+    * anywhere in the PQ path): all M codebooks ride along as ONE
+    * broadcast (m, cid)-sorted array row; the fold skips other
+    * subspaces' codewords and keeps the lowest cid on a tie (strict <
+    * over the sorted array ≡ the oracle's `d ASC, cid ASC`). Zero
+    * shuffle of the corpus — the same scan-side shape as the IVF
+    * coarse quantizer. */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val cbArr = cb.agg(sort_array(collect_list(
+      struct(col("m"), col("cid"), col("cv"), col("cnrm")))).as("cbs"))
+    sub.crossJoin(broadcast(cbArr))
+      .withColumn("best", aggregate(col("cbs"),
+        struct(lit(Long.MaxValue).as("d"), lit(-1L).as("cid")),
+        (acc, c) => {
+          val d = col("snrm") + c.getField("cnrm") -
+            dot(col("sv"), c.getField("cv")) * 2
+          when(c.getField("m") === col("m") && d < acc.getField("d"),
+            struct(d.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
+        }))
+      .select(col("vec_id"), col("m"), col("sv"), col("snrm"),
+        col("best.cid").as("cid"))
+  }
+
+  /** Per-subspace codebooks: stride-seeded, then [[PqIters]] Lloyd
+    * rounds (L2 assignment + elementwise truncating integer mean) — the
+    * same distributed training loop as the IVF quantizer, once per
+    * subspace, all subspaces in one pass. */
+  private def pqCodebooks(sub: DataFrame): DataFrame = {
+    val seeds = sub.filter(col("vec_id") % PqSeedStride === 0)
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"),
+        col("snrm").as("cnrm"))
+    (1 to PqIters).foldLeft(seeds) { (cb, _) =>
+      pqAssign(sub, cb)
+        .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("m", "cid", "pos")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .withColumn("v", expr("s div n"))
+        .groupBy("m", "cid")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v")).as("cv"))
+        .withColumn("cnrm", dot(col("cv"), col("cv")))
+    }
+  }
+
+  /** PQ-compressed ANN with asymmetric distance computation (ADC) — the
+    * FAISS IVF-PQ memory-side trick as dataframes: the corpus is stored
+    * as M small codes per vector (here M=4 codes ≈ 32 bytes of ids vs
+    * 512 bytes of raw dims — at 100 TB the compressed index is what
+    * fits in cluster memory), and each query precomputes a DISTANCE
+    * TABLE to every codeword (queries × M × K rows — tiny, broadcast),
+    * so scoring a candidate is M table lookups + a sum, never a raw
+    * vector read:
+    *
+    *  1. TRAIN [[pqCodebooks]] (per-subspace Lloyd under L2);
+    *  2. ENCODE the corpus — zero-shuffle broadcast argmin;
+    *  3. ADC: codes join the broadcast distance table on (m, cid),
+    *     sum the M partial distances → [[PqShortlist]] candidates
+    *     per query;
+    *  4. RE-RANK: the shortlist (queries × R ids — tiny, broadcast)
+    *     joins raw vectors back by id and re-scores with EXACT L2 —
+    *     the standard ADC+refine step: quantized distances prune,
+    *     exact distances decide, and only R raw vectors per query are
+    *     ever fetched.
+    *
+    * Every distance is exact int64 (L2 via norms + codegen dot), so the
+    * whole path — training included — is hash-oracled with no doubles
+    * at all. Approximate by construction (a true neighbor can fall off
+    * the ADC shortlist); DedupSpec measures recall vs the exact L2
+    * top-k. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val sub = pqSub(e)
+    // K·M·dim model metadata, persisted: encode + distance-table both
+    // derive from it (the annIvf branch-sharing lesson)
+    val cb = pqCodebooks(sub).persist()
+    val codes = pqAssign(sub, cb).select(col("vec_id"), col("m"), col("cid"))
+    val dt = sub.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv"), col("snrm"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("cid"),
+        (col("snrm") + col("cnrm") - dot(col("sv"), col("cv")) * 2).as("d"))
+    val pairs = codes.join(broadcast(dt), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(sum(col("d")).as("approx_l2"))
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx_l2").asc, col("cand_id").asc)
+    val shortlist = pairs.withColumn("prank", row_number().over(wApprox))
+      .filter(col("prank") <= PqShortlist)
+      .select("query_id", "cand_id")
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("query_v"),
+        col("nrm").as("qn"))
+    val rer = e.select(col("vec_id").as("cand_id"), col("qv").as("cand_v"),
+        col("nrm").as("cn"))
+      .join(broadcast(shortlist), Seq("cand_id")) // only R ids per query fetch raw vectors
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("l2",
+        col("qn") + col("cn") - dot(col("query_v"), col("cand_v")) * 2)
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("l2").asc, col("cand_id").asc)
+    rer.withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "cand_id", "rank", "l2")
+  }
+
   /** Per-label centroid, one row per (label, dim): exact integer sums,
     * centroid as a single division. The posexplode → groupBy shape is the
     * distributed vector aggregation (no vector ever sits on the driver). */

@@ -185,6 +185,36 @@ class DedupSpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
   }
 
+  test("annPq: ADC recall vs exact L2 top-k on real testdata") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val sf = TestSpark.Sf0001
+    // exact L2 top-k over the same quantized vectors — test-only yardstick
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("qv"))
+    val a = e.filter(col("vec_id") < VectorOps.NumQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"))
+    val b = e.select(col("vec_id").as("cand_id"), col("qv").as("qb"))
+    val l2 = expr("aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+    val exact = a.crossJoin(b).filter(col("cand_id") =!= col("query_id"))
+      .withColumn("d", l2)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d").asc, col("cand_id").asc)))
+      .filter(col("rank") <= VectorOps.TopK)
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = VectorOps.annPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(f"annPq recall at sf0.001: $recall%.3f (${(exact & pq).size}/${exact.size})")
+    // deterministic (fixed data, stride seeds, fixed rounds): 0.863
+    // today — ADC alone ranks at ~0.2 on this distance-concentrated
+    // corpus, the exact re-rank of the R=64 shortlist is what buys the
+    // rest; the floor guards codebook + ADC + re-rank together
+    assert(recall >= 0.8, s"PQ recall collapsed: $recall")
+  }
+
   test("knnDot ranks the closest candidate first") {
     val top = VectorOps.knnDot(spark, dir).collect()
       .filter(r => r.getLong(0) == 0L && r.getInt(2) == 1).head
