@@ -51,7 +51,7 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     // subset() rejects misspelled names loudly — a typo must not filter
     // to nothing and "succeed" having measured nothing
-    val sorted = SparkEntry.subset(only)
+    val sorted = SparkEntry.subset(only, "SPARK_GRAFT_BENCH_ONLY")
     val runs = (1 to reps).map { _ => sorted.map { case (n, fn) => timeOne(n, fn) } }
     val results = sorted.map(_._1).zipWithIndex.map { case (name, i) =>
       // median over SUCCESSFUL runs only — a fast failure must not pose

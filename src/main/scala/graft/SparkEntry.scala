@@ -122,10 +122,10 @@ object SparkEntry {
   /** The query set narrowed to `names` (None = all), with unknown names
     * rejected loudly — shared by Verify's arg filter and Bench's
     * SPARK_GRAFT_BENCH_ONLY so the two subset mechanisms can't drift. */
-  def subset(names: Option[Set[String]]): Seq[(String, (SparkSession, String) => DataFrame)] = {
+  def subset(names: Option[Set[String]], source: String): Seq[(String, (SparkSession, String) => DataFrame)] = {
     names.foreach { ns =>
       val unknown = ns -- queries.keySet
-      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+      require(unknown.isEmpty, s"$source names unknown queries: ${unknown.mkString(",")}")
     }
     queries.toSeq.sortBy(_._1).filter { case (n, _) => names.forall(_.contains(n)) }
   }
@@ -918,7 +918,7 @@ object SparkEntry {
         |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv FROM embeddings),
         |sub AS (SELECT vec_id, m, qv[m*$D+1 : m*$D+$D] AS sv
         |  FROM q, (SELECT unnest(generate_series(0,${M - 1})) AS m) AS ms(m)),
-        |cb0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id % ${VectorOps.PqSeedStride} = 0),
+        |cb0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < ${VectorOps.PqK}),
         |$lloyd,
         |${assignCte(cbFin, "fa")},
         |codes AS (SELECT vec_id, m, cid FROM fa),

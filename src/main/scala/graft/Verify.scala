@@ -9,7 +9,7 @@ object Verify {
     // aid — the driver always runs the full surface)
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).headOption.map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.subset(only)
+    val selected = SparkEntry.subset(only, "Verify arg 3")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -48,44 +48,44 @@ object TextOps {
     * family (after HLL and GK) under the hash gate: the exact top-20
     * words ship alongside `within_bound` = the CMS estimate honoring
     * its guarantee (never below the true count, at most εN above).
-    * The sketch is ONE aggregate row of bounded model metadata (w·d
-    * counters) — the centroid-collect pattern, not a data collect; at
-    * 100 TB the sketch aggregates in one pass with map-side merge.
-    * Deserializing the sketch is a library call Catalyst cannot
-    * express, so the 20-row verdict stage runs in `mapPartitions`
-    * (the same clause as the ImageIO codec hops). */
+    *
+    * Distribution shape: tokenize + count + one-pass CMS aggregate all
+    * run on the cluster (the tokenized corpus is persisted only across
+    * the two aggregates and UNpersisted before returning — a corpus-
+    * scale cache must not outlive the call). What reaches the driver is
+    * bounded RESULT data: the sketch (w·d counters, KBs) and the final
+    * top-20 rows, where the verdict is plain Scala over 20 tuples —
+    * deserializing a sketch is a library call Catalyst cannot express
+    * anyway. */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // the tokenized corpus feeds two aggregates (sketch + exact top-20);
-    // persist so the scan+split+explode runs once, not per consumer —
-    // cache-hot after the sketch collect below, LRU-evicted like the
-    // trained-centroid cache in VectorOps.annIvf
     val words = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(explode(toks).as("word"))
       .persist()
-    val row = words.agg(
-        expr(s"count_min_sketch(word, ${CmsEps}d, ${CmsConfidence}d, $CmsSeed)").as("sk"),
-        count(lit(1)).as("n_total"))
-      .collect()(0)
-    val (skBytes, nTotal) =
-      (if (row.isNullAt(0)) null else row.getAs[Array[Byte]](0), row.getLong(1))
-    val bc = spark.sparkContext.broadcast(skBytes)
-    words.groupBy("word").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("word").asc)
-      .limit(20)
-      .as[(String, Long)]
-      .mapPartitions { it =>
-        // lazy: an empty corpus broadcasts a null sketch but also has
-        // zero rows to check — never deserialize unless a row arrives
-        lazy val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-          new java.io.ByteArrayInputStream(bc.value))
-        it.map { case (w, c) =>
-          val est = cms.estimateCount(w)
-          (w, c, est >= c && est - c <= (CmsEps * nTotal).toLong)
+    try {
+      val row = words.agg(
+          expr(s"count_min_sketch(word, ${CmsEps}d, ${CmsConfidence}d, $CmsSeed)").as("sk"),
+          count(lit(1)).as("n_total"))
+        .collect()(0)
+      val nTotal = row.getLong(1)
+      val top = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc)
+        .limit(20)
+        .as[(String, Long)]
+        .collect()
+      val verdicts =
+        if (top.isEmpty) Seq.empty[(String, Long, Boolean)]
+        else {
+          val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+          top.toSeq.map { case (w, c) =>
+            val est = cms.estimateCount(w)
+            (w, c, est >= c && est - c <= (CmsEps * nTotal).toLong)
+          }
         }
-      }
-      .toDF("word", "cnt", "within_bound")
+      verdicts.toDF("word", "cnt", "within_bound")
+    } finally words.unpersist()
   }
 
   /** Per-language corpus facets. */

@@ -253,15 +253,8 @@ object VectorOps {
     val seeds = e.filter(col("vec_id") % IvfStride === 0)
       .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nrm").as("cnrm"))
     (1 to IvfIters).foldLeft(seeds) { (cents, _) =>
-      assignToLists(e, cents)
-        .select(col("list_id").as("cid"), posexplode(col("qv")).as(Seq("pos", "q")))
-        .groupBy("cid", "pos")
-        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-        .withColumn("m", expr("s div n"))
-        .groupBy("cid")
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("cv"))
-        .withColumn("cnrm", dot(col("cv"), col("cv")))
+      lloydMean(assignToLists(e, cents)
+        .select(col("list_id").as("cid"), col("qv")), Seq("cid"), "qv")
     }
   }
 
@@ -324,13 +317,16 @@ object VectorOps {
 
   /** Product-quantization parameters: the 64-dim space splits into
     * [[PqSubspaces]] blocks of [[PqSubDim]] dims; each subspace gets its
-    * own codebook (seeded by the [[IvfStride]] stride, refined by
-    * [[PqIters]] Lloyd rounds under L2); a vector's code is its nearest
-    * codeword per subspace. */
+    * own FIXED-SIZE codebook (seeded by the first [[PqK]] vectors —
+    * K stays constant as the corpus grows, exactly like FAISS's
+    * K=256-per-subspace convention, so the codebook is genuine model
+    * metadata: M·K·dim longs, ~64 KB, whatever the corpus size),
+    * refined by [[PqIters]] Lloyd rounds under L2; a vector's code is
+    * its nearest codeword per subspace. */
   val PqSubspaces = 4
   val PqSubDim = 16
   val PqIters = 2
-  val PqSeedStride = 4 // much denser than the IVF stride: codebook resolution drives ADC fidelity
+  val PqK = 128 // codewords per subspace — fixed, corpus-size-independent
   val PqShortlist = 64 // ADC-ranked candidates kept for the exact re-rank
 
   /** Corpus split into per-subspace rows: (vec_id, m, sv, snrm). */
@@ -363,24 +359,33 @@ object VectorOps {
         col("best.cid").as("cid"))
   }
 
-  /** Per-subspace codebooks: stride-seeded, then [[PqIters]] Lloyd
-    * rounds (L2 assignment + elementwise truncating integer mean) — the
-    * same distributed training loop as the IVF quantizer, once per
-    * subspace, all subspaces in one pass. */
+  /** The shared Lloyd UPDATE step: elementwise truncating integer mean
+    * (`sum div n` — DuckDB `//` agrees on negatives) of the vectors
+    * grouped by `keys`, rebuilt into an ordered array with its norm.
+    * ONE site for the arithmetic both quantizer trainings (IVF's
+    * cosine k-means and PQ's per-subspace L2 k-means) must keep
+    * bit-aligned with the oracle's CTEs. */
+  private def lloydMean(assigned: DataFrame, keys: Seq[String], vecCol: String): DataFrame =
+    assigned
+      .select(keys.map(col) :+ posexplode(col(vecCol)).as(Seq("pos", "x")): _*)
+      .groupBy((keys :+ "pos").map(col): _*)
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("v", expr("s div n"))
+      .groupBy(keys.map(col): _*)
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
+        x => x.getField("v")).as("cv"))
+      .withColumn("cnrm", dot(col("cv"), col("cv")))
+
+  /** Per-subspace codebooks: seeded by the first [[PqK]] vectors'
+    * subvectors, then [[PqIters]] Lloyd rounds (L2 assignment +
+    * [[lloydMean]]) — the same distributed training loop as the IVF
+    * quantizer, once per subspace, all subspaces in one pass. */
   private def pqCodebooks(sub: DataFrame): DataFrame = {
-    val seeds = sub.filter(col("vec_id") % PqSeedStride === 0)
+    val seeds = sub.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"),
         col("snrm").as("cnrm"))
     (1 to PqIters).foldLeft(seeds) { (cb, _) =>
-      pqAssign(sub, cb)
-        .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("m", "cid", "pos")
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .withColumn("v", expr("s div n"))
-        .groupBy("m", "cid")
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
-          x => x.getField("v")).as("cv"))
-        .withColumn("cnrm", dot(col("cv"), col("cv")))
+      lloydMean(pqAssign(sub, cb).select("m", "cid", "sv"), Seq("m", "cid"), "sv")
     }
   }
 
@@ -425,8 +430,12 @@ object VectorOps {
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("cand_id"))
       .agg(sum(col("d")).as("approx_l2"))
+    // asc_nulls_last: the first ASC-ranked vector windows in this file —
+    // Spark defaults nulls FIRST on ASC while DuckDB ranks them last, so
+    // a null distance (possible only on a null-riddled embedding corpus)
+    // must not silently win rank 1 on the Spark side only
     val wApprox = Window.partitionBy("query_id")
-      .orderBy(col("approx_l2").asc, col("cand_id").asc)
+      .orderBy(col("approx_l2").asc_nulls_last, col("cand_id").asc)
     val shortlist = pairs.withColumn("prank", row_number().over(wApprox))
       .filter(col("prank") <= PqShortlist)
       .select("query_id", "cand_id")
@@ -440,7 +449,7 @@ object VectorOps {
       .withColumn("l2",
         col("qn") + col("cn") - dot(col("query_v"), col("cand_v")) * 2)
     val wExact = Window.partitionBy("query_id")
-      .orderBy(col("l2").asc, col("cand_id").asc)
+      .orderBy(col("l2").asc_nulls_last, col("cand_id").asc)
     rer.withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= TopK)
       .select("query_id", "cand_id", "rank", "l2")
