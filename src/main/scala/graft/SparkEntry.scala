@@ -117,6 +117,9 @@ object SparkEntry {
     "q_orc_roundtrip"    -> Materialize.orcRoundTrip _,
     "q_heavy_hitters"    -> TextOps.heavyHitters _,
     "q_funnel"           -> EventOps.funnel _,
+    "q_substring_dedup"  -> DedupOps.substringDedup _,
+    "q_seq_pack"         -> TextOps.seqPack _,
+    "q_inverted_index"   -> TextOps.invertedIndex _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -1041,6 +1044,45 @@ object SparkEntry {
         |  max(CASE WHEN rn = (n-1)//2 + 1 THEN cents END) AS median_cents,
         |  count(*) AS n, TRUE AS within_bound
         |FROM r GROUP BY 1""".stripMargin,
+    "q_substring_dedup" -> { // K-token window hashes (15-hex md5 prefix ≡
+      // Spark's 60-bit numeric form); a hash in ≥2 docs marks duplicated
+      // text; <K-token docs have no windows in either engine
+      val k = DedupOps.SubstrWindow
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT doc_id, list_distinct(
+        |    [substr(md5(array_to_string(t[i:i+${k - 1}], ' ')),1,15)
+        |     for i in generate_series(1, len(t)-${k - 1})]) AS ws FROM d),
+        |e AS (SELECT doc_id, unnest(ws) AS wh FROM w),
+        |g AS (SELECT wh, count(DISTINCT doc_id) AS nd FROM e GROUP BY 1)
+        |SELECT e.doc_id, count(*) AS n_win,
+        |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_win,
+        |  CAST(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)*1000
+        |    // count(*) AS BIGINT) AS dup_permille
+        |FROM e JOIN g USING (wh) GROUP BY 1""".stripMargin
+    },
+    "q_seq_pack" -> // concat-then-chunk packing per source stratum; a doc
+      // lands in the bin where its start offset falls (cum - n) // cap
+      s"""WITH d AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d)
+        |SELECT source, CAST((cum - n_tokens) // ${TextOps.PackCapacity} AS BIGINT) AS bin,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS first_doc
+        |FROM c GROUP BY 1,2""".stripMargin,
+    "q_inverted_index" -> // df + first-P posting list; the [1:P] slice is
+      // 1-based inclusive, matching Spark's rank guard rn <= P
+      s"""WITH e AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS term
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT term, count(*) AS df,
+        |  array_to_string(list_transform(
+        |    (list(doc_id ORDER BY doc_id))[1:${TextOps.PostingsCap}],
+        |    d -> CAST(d AS VARCHAR)), ',') AS postings
+        |FROM e GROUP BY 1""".stripMargin,
     "q_percentiles" -> // discrete: element at integer index (n-1)*p — no lerp doubles
       """WITH o AS (SELECT o_orderpriority,
         |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c FROM orders),

@@ -389,6 +389,49 @@ object DedupOps {
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 
+  /** Window length (tokens) for [[substringDedup]] — the granularity at
+    * which duplicated text is detected, the knob Lee et al. set to 50. */
+  val SubstrWindow = 8
+
+  /** Duplicated-substring detection — the exact-substring dedup family
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022) at fixed window granularity: every
+    * [[SubstrWindow]]-token window is content-hashed; a window hash that
+    * occurs in ≥2 distinct documents marks duplicated text in ALL of
+    * them. Emits per-document duplicated-window counts + per-mille — the
+    * signal a pipeline thresholds to drop or trim boilerplate-heavy docs.
+    *
+    * Scale shape (the suffix-array-free formulation that distributes):
+    * shingle (map-only fan-out, ~n_tokens rows/doc) → hash-groupBy on the
+    * window hash for cross-doc counts → shuffle join back onto the
+    * exploded windows → per-doc aggregate. Three key-partitioned
+    * shuffles, no all-pairs stage, no driver data path; a window shared
+    * by millions of docs is one aggregation row joined back, never a
+    * pair explosion. Windows are 60-bit numeric md5 prefixes, keeping
+    * both aggregates pure HashAggregates (the min(string) lesson). */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val K = SubstrWindow
+    val terms = (0 until K).map(j => s"element_at(t, i + $j)").mkString(", ")
+    val windows = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // spread shingling
+      .withColumn("t", split(col("text"), " "))
+      // <K-token docs have no windows (empty list, not a 0/0 row); the
+      // oracle's generate_series(1, len-K+1) is empty the same way
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(t) >= $K THEN array_distinct(transform(" +
+          s"sequence(1, size(t) - ${K - 1}), " +
+          s"i -> cast(conv(substring(md5(concat_ws(' ', $terms)), 1, 15), 16, 10) AS BIGINT))) " +
+          "ELSE array() END")).as("wh"))
+    val byWindow = windows.groupBy("wh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    windows.join(byWindow, "wh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_win"))
+      .withColumn("dup_permille",
+        graft.functions.Exact.idiv(col("n_dup_win") * 1000, col("n_win")))
+  }
+
   /** 16-bit SimHash per document from md5 nibbles: for bit b, every
     * distinct token votes ±1 with bit b of its md5's first 16 bits; the
     * sign of the vote sum sets the bit. One explode + one groupBy —

@@ -261,6 +261,67 @@ object TextOps {
       .withColumn("keep",
         col("dup_tri_permille") <= 300 && col("dup_token_permille") <= 700)
 
+  /** Token budget of one packed training sequence for [[seqPack]]. */
+  val PackCapacity = 256L
+
+  /** Sequence packing — the batch-construction step of a training
+    * pipeline: documents are concatenated in a deterministic order and
+    * chunked into [[PackCapacity]]-token sequences (the GPT-style
+    * concat-then-split packing); each document is attributed to the bin
+    * where it STARTS. Emits per-bin occupancy — the table a data loader
+    * reads to locate its shards, and the fill-rate signal packing exists
+    * to maximize.
+    *
+    * Scale shape: packing is per-(source) stratum — the running token
+    * sum is a window over `PARTITION BY source ORDER BY doc_id`, so
+    * strata pack in parallel and nothing is globally ordered (a single
+    * global cumsum would serialize the corpus through one task). One
+    * shuffle on source for the window; the bin aggregate reuses the same
+    * partitioning (bins never straddle sources). */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // the doc starts at token offset (cum - n_tokens) in its stratum's
+      // concatenated stream; integer division locates the bin
+      .withColumn("bin", idiv(col("cum") - col("n_tokens"), lit(PackCapacity)))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
+  /** Posting-list cap for [[invertedIndex]]: only the first
+    * [[PostingsCap]] doc_ids per term are materialized. */
+  val PostingsCap = 10
+
+  /** Inverted index build: term → document frequency + the first
+    * [[PostingsCap]] postings (doc_ids ascending, comma-joined). The
+    * postings CAP is the scale contract: a stopword's full posting list
+    * is corpus-sized, so the collected list is bounded by a rank filter
+    * BEFORE any aggregation buffers it — `collect_list` never sees more
+    * than [[PostingsCap]] values per term (collect_list skips the
+    * nulls the rank guard leaves). One shuffle: the rank window and the
+    * term aggregate share the same `term` partitioning. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", transform(sort_array(collect_list(
+          when(col("rn") <= PostingsCap, col("doc_id")))),
+          d => d.cast("string"))).as("postings"))
+  }
+
   /** Quality scoring: token-length and stopword-ratio heuristics, all in
     * exact integer per-mille units. Uses higher-order array functions
     * (aggregate/filter) — no UDF, stays codegen-friendly. */

@@ -229,4 +229,60 @@ class DedupSpec extends AnyFunSuite {
     // tie-break picks the lexicographically first candidate ("de")
     assert(out.values.forall { case (lang, score) => score == 0L && lang == "de" })
   }
+
+  /** Corpus sized for the window/packing operators (the shared `dir`
+    * docs are all shorter than one substring window). */
+  lazy val winDir: String = {
+    val d = Files.createTempDirectory("graft_win").toString
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8" // one full window, shared below
+    Seq(
+      (1L, s"$eight tail", "en", "s1", 30L),  // windows: [w1..w8], [w2..tail]
+      (2L, s"head $eight", "en", "s1", 30L),  // windows: [head..w7], [w1..w8]
+      (3L, "a b c d e f g h i", "en", "s1", 17L), // 2 windows, none shared
+      (4L, "too short", "en", "s1", 9L)       // < K tokens → no windows
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("substringDedup marks the shared window in both docs, and only it") {
+    val out = DedupOps.substringDedup(spark, winDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((2L, 1L, 500L))) // 1 of 2 windows duplicated
+    assert(out(2L) == ((2L, 1L, 500L)))
+    assert(out(3L) == ((2L, 0L, 0L)))
+    assert(!out.contains(4L)) // sub-window doc has no windows at all
+  }
+
+  test("seqPack bins docs by start offset within their source stratum") {
+    val d = Files.createTempDirectory("graft_pack").toString
+    val hundred = (1 to 100).map(i => s"t$i").mkString(" ")
+    // four 100-token docs in one stratum: starts 0,100,200,300 → bins
+    // 0,0,0,1 at capacity 256; a second stratum packs independently
+    (Seq((1L, hundred, "en", "sA", 1L), (2L, hundred, "en", "sA", 1L),
+      (3L, hundred, "en", "sA", 1L), (4L, hundred, "en", "sA", 1L),
+      (5L, hundred, "en", "sB", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = TextOps.seqPack(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("sA", 0L)) == ((3L, 300L, 1L)))
+    assert(out(("sA", 1L)) == ((1L, 100L, 4L)))
+    assert(out(("sB", 0L)) == ((1L, 100L, 5L)))
+    assert(out.size == 3)
+  }
+
+  test("invertedIndex: df is exact, postings cap at PostingsCap ascending ids") {
+    val d = Files.createTempDirectory("graft_inv").toString
+    // "hot" appears in 12 docs (ids 1..12), "cold" in docs 3 and 7 only
+    (1L to 12L).map(i =>
+      (i, if (i == 3 || i == 7) "hot cold" else "hot", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = TextOps.invertedIndex(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out("cold") == ((2L, "3,7")))
+    // df counts ALL 12 docs; the posting list stops at the cap
+    assert(out("hot") == ((12L, (1 to 10).mkString(","))))
+  }
 }
