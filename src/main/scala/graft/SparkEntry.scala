@@ -120,6 +120,7 @@ object SparkEntry {
     "q_substring_dedup"  -> DedupOps.substringDedup _,
     "q_seq_pack"         -> TextOps.seqPack _,
     "q_inverted_index"   -> TextOps.invertedIndex _,
+    "q_audio_meta"       -> MultimodalOps.audioMeta _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -742,6 +743,23 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
         |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 7""".stripMargin,
+    "q_audio_meta" -> // recompute the WAV header fields from the encode
+      // formulas and the loudness feature from the PCM synthesis rule:
+      // sample j is (byte[j mod n] - 128)·256, and the corpus is pure
+      // ASCII so ord(substr) IS the byte (same basis as q_phash_neardup)
+      """WITH g AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT doc_id, text, n,
+        |  CAST(8000 + (n%4)*4000 AS INTEGER) AS sample_rate,
+        |  CAST(1 + n%2 AS INTEGER) AS channels,
+        |  CAST(64 + n%192 AS BIGINT) AS n_frames FROM g)
+        |SELECT doc_id, sample_rate, channels, n_frames,
+        |  CAST(n_frames*1000 // sample_rate AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN n = 0 THEN 0 ELSE
+        |      list_sum(list_transform(generate_series(0, n_frames*channels - 1),
+        |        j -> abs((ord(substr(text, CAST(j % n AS INTEGER) + 1, 1)) - 128) * 256)))
+        |    END // (n_frames*channels) AS BIGINT) AS mean_abs
+        |FROM f""".stripMargin,
     "q_lang_id" -> {
       val profiles = TextOps.LangProfiles
       val branches = profiles.map { case (l, ws) =>

@@ -195,6 +195,98 @@ object MultimodalOps {
       .toDF()
   }
 
+  private def le2(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le4(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  /** A complete valid RIFF/WAVE file: PCM 16-bit little-endian with the
+    * given format, sample j (frame-major, channel-minor) cycling
+    * `(data[j mod n] − 128) · 256`. Exposed separately from
+    * [[encodeWav]] so tests can build a WAV whose header CONTRADICTS
+    * the length formulas (parsed-not-derived proof, like [[buildPng]]). */
+  def buildWav(sampleRate: Int, channels: Int, frames: Int, data: Array[Byte]): Array[Byte] = {
+    val n = data.length
+    val cnt = frames * channels
+    val pcm = new Array[Byte](cnt * 2)
+    var j = 0
+    while (j < cnt) {
+      val s = if (n == 0) 0 else ((data(j % n) & 0xFF) - 128) * 256
+      pcm(2 * j) = (s & 0xFF).toByte
+      pcm(2 * j + 1) = ((s >> 8) & 0xFF).toByte
+      j += 1
+    }
+    val blockAlign = channels * 2
+    "RIFF".getBytes(StandardCharsets.US_ASCII) ++ le4(36 + pcm.length) ++
+      "WAVE".getBytes(StandardCharsets.US_ASCII) ++
+      "fmt ".getBytes(StandardCharsets.US_ASCII) ++ le4(16) ++
+      le2(1) ++ le2(channels) ++ le4(sampleRate) ++
+      le4(sampleRate * blockAlign) ++ le2(blockAlign) ++ le2(16) ++
+      "data".getBytes(StandardCharsets.US_ASCII) ++ le4(pcm.length) ++ pcm
+  }
+
+  /** Deterministic audio format from the source length (mirrored by the
+    * oracle SQL): n bytes → 8/12/16/20 kHz, 1 + n%2 channels,
+    * 64 + n%192 frames. The ENCODER evaluates these; the decoder reads
+    * the file. */
+  def encodeWav(data: Array[Byte]): Array[Byte] = {
+    val n = data.length
+    buildWav(8000 + (n % 4) * 4000, 1 + n % 2, 64 + n % 192, data)
+  }
+
+  /** Decoded audio metadata + a decoded-sample feature (mean |amplitude|
+    * over all samples, integer division — the loudness feature a filter
+    * stage thresholds on). */
+  case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+    n_frames: Long, duration_ms: Long, mean_abs: Long)
+
+  /** Real codec decode: `javax.sound.sampled.AudioSystem` (the JDK's
+    * RIFF/WAVE reader) parses the fmt header and frames the PCM stream;
+    * the feature pass folds over the DECODED little-endian samples. */
+  def decodeWav(docId: Long, payload: Array[Byte]): AudioMeta = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      val frames = in.getFrameLength
+      val channels = fmt.getChannels
+      val rate = fmt.getSampleRate.toInt
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"doc $docId: unexpected PCM layout $fmt")
+      val pcm = in.readAllBytes()
+      require(pcm.length == frames * channels * 2,
+        s"doc $docId: short PCM read (${pcm.length} bytes for $frames frames)")
+      var sum = 0L
+      var j = 0
+      while (j < pcm.length) {
+        val s = ((pcm(j) & 0xFF) | (pcm(j + 1) << 8)).toShort.toInt
+        sum += math.abs(s)
+        j += 2
+      }
+      val cnt = frames * channels
+      AudioMeta(docId, rate, channels, frames,
+        frames * 1000L / rate, if (cnt == 0) 0L else sum / cnt)
+    } finally in.close()
+  }
+
+  /** Audio pipeline stage: text → real WAV binary column → partition-
+    * parallel AudioSystem decode → typed metadata + loudness feature.
+    * Identical scale shape to [[mediaMeta]] (constant memory per task,
+    * no driver data path); the third modality next to PNG images. */
+  def audioMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, encodeWav(text.getBytes(StandardCharsets.UTF_8))) }
+      .toDF("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeWav(id, payload) })
+      .toDF()
+  }
+
   /** Perceptual-hash banding parameters: 64-bit aHash split into 8
     * 8-bit bands — by pigeonhole, any pair within [[PhashMaxHamming]]
     * (< 8) Hamming distance agrees on at least one band, so the banded

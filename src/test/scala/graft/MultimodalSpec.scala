@@ -102,4 +102,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(mismatch == 0)
     assert(out.count() == 500)
   }
+
+  /** A VALID WAV whose header CONTRADICTS the length formulas — if the
+    * decoder derived the format from the payload length instead of
+    * parsing the RIFF header, these assertions would fail. */
+  test("decodeWav decodes the file, not length arithmetic") {
+    val data = "abcd".getBytes("UTF-8") // n=4 → formulas say 8000 Hz, 1 ch, 68 frames
+    val payload = MultimodalOps.buildWav(11025, 2, 10, data)
+    val m = MultimodalOps.decodeWav(3L, payload)
+    assert(m.sample_rate == 11025 && m.channels == 2 && m.n_frames == 10L)
+    assert(m.duration_ms == 10L * 1000L / 11025L)
+    // 20 samples cycling (ord - 128)*256 over "abcd": |s| = (128-ord)*256
+    val abs = data.map(b => (128 - b).toLong * 256)
+    val expected = (0 until 20).map(j => abs(j % 4)).sum / 20
+    assert(m.mean_abs == expected)
+  }
+
+  test("the payload is a genuine WAV: AudioSystem parses format and frames") {
+    val payload = MultimodalOps.encodeWav("some document text".getBytes("UTF-8")) // n=18
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(payload))
+    try {
+      assert(in.getFormat.getSampleRate.toInt == 8000 + (18 % 4) * 4000)
+      assert(in.getFormat.getChannels == 1 + 18 % 2)
+      assert(in.getFrameLength == 64 + 18 % 192)
+    } finally in.close()
+  }
+
+  test("audioMeta runs over the corpus with the formula geometry") {
+    val out = MultimodalOps.audioMeta(spark, TestSpark.Sf0001)
+    val bad = out.join(
+        graft.sources.Tables.documents(spark, TestSpark.Sf0001), "doc_id")
+      .filter(org.apache.spark.sql.functions.expr(
+        "sample_rate != 8000 + (octet_length(text) % 4) * 4000" +
+          " OR n_frames != 64 + octet_length(text) % 192"))
+      .count()
+    assert(bad == 0)
+    assert(out.count() == 500)
+  }
 }
