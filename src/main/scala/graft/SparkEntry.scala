@@ -121,6 +121,8 @@ object SparkEntry {
     "q_seq_pack"         -> TextOps.seqPack _,
     "q_inverted_index"   -> TextOps.invertedIndex _,
     "q_audio_meta"       -> MultimodalOps.audioMeta _,
+    "q_fuzzy_match"      -> graft.ops.MatchOps.fuzzyMatch _,
+    "q_scd2"             -> Relational.scd2 _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -743,6 +745,32 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
         |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 7""".stripMargin,
+    "q_fuzzy_match" -> // deterministic one-char-drop corruption (never
+      // char 1, so the first-char block key survives), then best
+      // same-block catalog name by levenshtein (ties → name asc)
+      """WITH base AS (SELECT p_partkey, p_name FROM part
+        |  WHERE p_name IS NOT NULL AND length(p_name) >= 2),
+        |names AS (SELECT DISTINCT p_name AS matched_name FROM base),
+        |dirty AS (SELECT p_partkey,
+        |    substr(p_name, 1, CAST(1 + p_partkey % (length(p_name) - 1) AS INTEGER))
+        |    || substr(p_name, CAST(3 + p_partkey % (length(p_name) - 1) AS INTEGER))
+        |    AS dirty_name FROM base),
+        |c AS (SELECT p_partkey, dirty_name, matched_name,
+        |    levenshtein(dirty_name, matched_name) AS dist
+        |  FROM dirty JOIN names ON substr(dirty_name,1,1) = substr(matched_name,1,1)),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY p_partkey ORDER BY dist, matched_name) AS rn FROM c)
+        |SELECT p_partkey, dirty_name, matched_name, CAST(dist AS INTEGER) AS dist
+        |FROM r WHERE rn = 1""".stripMargin,
+    "q_scd2" -> // versioned dimension rows from the order log: valid_to
+      // = next change's valid_from, NULL (and is_current) on the last
+      """SELECT o_custkey, CAST(row_number() OVER w AS INTEGER) AS version,
+        |  o_orderkey, o_orderpriority AS pri,
+        |  epoch_us(o_orderdate) AS valid_from_us,
+        |  epoch_us(lead(o_orderdate, 1) OVER w) AS valid_to_us,
+        |  lead(o_orderdate, 1) OVER w IS NULL AS is_current
+        |FROM orders WHERE o_orderdate IS NOT NULL
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q_audio_meta" -> // recompute the WAV header fields from the encode
       // formulas and the loudness feature from the PCM synthesis rule:
       // sample j is (byte[j mod n] - 128)·256, and the corpus is pure

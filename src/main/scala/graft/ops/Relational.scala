@@ -386,6 +386,32 @@ object Relational {
       .withColumn("promo_permille", idiv(col("promo_e4") * 1000, col("revenue_e4")))
   }
 
+  /** Slowly-changing-dimension type-2 history build — the batch CDC
+    * step that turns an event log into a versioned dimension: each
+    * customer's orders, ordered by time, become versioned rows with
+    * `[valid_from, valid_to)` ranges (open-ended for the current one).
+    * One window shuffle on the entity key; version, the closing
+    * timestamp and the is_current flag are all `lead`/`row_number` over
+    * the same partitioning, so the whole history build is a single
+    * exchange regardless of table size. Records without an event time
+    * cannot be versioned and are excluded (both engines). */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderpriority").as("pri"), col("o_orderdate"))
+      // NTZ → session-UTC timestamp, same micros as the oracle's epoch_us
+      .withColumn("ts", col("o_orderdate").cast("timestamp"))
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us", unix_micros(lead(col("ts"), 1).over(w)))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select("o_custkey", "version", "o_orderkey", "pri",
+        "valid_from_us", "valid_to_us", "is_current")
+  }
+
   /** Running total per customer over order dates (window frame op). */
   def runningTotal(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
