@@ -123,6 +123,7 @@ object SparkEntry {
     "q_audio_meta"       -> MultimodalOps.audioMeta _,
     "q_fuzzy_match"      -> graft.ops.MatchOps.fuzzyMatch _,
     "q_scd2"             -> Relational.scd2 _,
+    "q_zorder_box"       -> Materialize.zorderBox _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -745,6 +746,16 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
         |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 7""".stripMargin,
+    "q_zorder_box" -> // the z-ordered rewrite must be value-invisible:
+      // the oracle is the plain 2-d box aggregate over the ORIGINAL table
+      """WITH b AS (SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL),
+        |m AS (SELECT max(o_custkey) AS mk, max(cents) AS mc FROM b)
+        |SELECT count(*) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |FROM b, m WHERE o_custkey <= mk//4 AND cents <= mc//4""".stripMargin,
     "q_fuzzy_match" -> // deterministic one-char-drop corruption (never
       // char 1, so the first-char block key survives), then best
       // same-block catalog name by levenshtein (ties → name asc)

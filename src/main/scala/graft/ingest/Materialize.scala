@@ -196,6 +196,61 @@ object Materialize {
         countDistinct(col("l_orderkey")).as("n_orders"))
   }
 
+  /** 16-bit Morton (Z-order) code of two 8-bit dimension buckets — the
+    * multi-dimensional clustering key: sorting by z keeps BOTH source
+    * dimensions range-bounded within every file, which is what makes
+    * min/max data skipping work for filters on either dimension. */
+  def morton16(zx: org.apache.spark.sql.Column, zy: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).map { b =>
+      shiftleft(shiftright(zx, b).bitwiseAND(lit(1L)), 2 * b + 1) +
+        shiftleft(shiftright(zy, b).bitwiseAND(lit(1L)), 2 * b)
+    }.reduce(_ + _)
+
+  /** Z-order clustered write: dims scaled to 8-bit buckets against their
+    * maxima, rows range-partitioned + sorted by the interleaved code.
+    * `nFiles` bounds the file count (one sorted file per range). */
+  def zorderWrite(df: DataFrame, keyCol: String, valCol: String,
+      nFiles: Int, out: String): Unit = {
+    val mx = df.agg(max(col(keyCol)).as("mk"), max(col(valCol)).as("mc"))
+    df.crossJoin(broadcast(mx))
+      .withColumn("zx", graft.functions.Exact.idiv(col(keyCol) * 256, col("mk") + 1))
+      .withColumn("zy", graft.functions.Exact.idiv(col(valCol) * 256, col("mc") + 1))
+      .withColumn("z", morton16(col("zx"), col("zy")))
+      .repartitionByRange(nFiles, col("z"))
+      .sortWithinPartitions("z")
+      .drop("mk", "mc", "zx", "zy", "z")
+      .write.mode("overwrite").parquet(out)
+  }
+
+  /** Z-order round trip under the driver's hard signal — the data-LAYOUT
+    * operator for multi-dimensional scans: orders are rewritten clustered
+    * by the Morton interleave of (customer key, price), then a 2-d box
+    * query (both dims ≤ their max/4) runs over the read-back. A layout
+    * variant must not change results, so the oracle is the plain box SQL
+    * over the original table; the VALUE of the layout is that every file
+    * is range-bounded in BOTH dims, so the box prunes most files via
+    * parquet min/max stats where a single-dim sort prunes only its own
+    * dim (IngestSpec proves the per-file envelopes vs an unsorted
+    * layout). At 100 TB this is the difference between scanning the
+    * whole table and the O(box) corner of it. */
+  def zorderBox(spark: SparkSession, dir: String): DataFrame = {
+    val out = processScratchDir(
+      s"graft_zorder_${java.lang.Integer.toHexString(dir.hashCode)}")
+    val base = graft.sources.Tables.orders(spark, dir)
+      .filter(col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
+      .select(col("o_orderkey"), col("o_custkey"),
+        graft.functions.Exact.cents(col("o_totalprice")).as("cents"))
+    zorderWrite(base, "o_custkey", "cents", 8, out)
+    val mx = base.agg(max(col("o_custkey")).as("mk"), max(col("cents")).as("mc"))
+    spark.read.parquet(out)
+      .crossJoin(broadcast(mx))
+      .filter(col("o_custkey") <= graft.functions.Exact.idiv(col("mk"), lit(4)) &&
+        col("cents") <= graft.functions.Exact.idiv(col("mc"), lit(4)))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("cents_sum"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+  }
+
   /** Bucketed write — the `CLUSTER BY` analog: co-locates join keys so a
     * downstream join on the bucket column needs no shuffle. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, n: Int): Unit =

@@ -93,6 +93,48 @@ class IngestSpec extends AnyFunSuite {
       plan.contains("EqualTo(l_linestatus,F"), s"ORC pushdown missing:\n$plan")
   }
 
+  test("z-order layout bounds BOTH dims per file; a 2-d box skips most files") {
+    import org.apache.spark.sql.functions._
+    val base = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+      .filter(col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
+      .select(col("o_orderkey"), col("o_custkey"),
+        graft.functions.Exact.cents(col("o_totalprice")).as("cents"))
+    val (mk, mc) = {
+      val r = base.agg(max("o_custkey"), max("cents")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // how many FILES a bottom-left box query must touch = files whose
+    // per-file min/max envelope intersects it (exactly the parquet
+    // footer stats an engine consults for data skipping)
+    def filesTouched(out: String): (Int, Int) = {
+      val files = new java.io.File(out).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      val touched = files.count { f =>
+        val s = spark.read.parquet(f.toString)
+          .agg(min("o_custkey"), min("cents")).collect()(0)
+        s.getLong(0) <= mk / 4 && s.getLong(1) <= mc / 4
+      }
+      (touched, files.length)
+    }
+    val zDir = Files.createTempDirectory("graft_z").toString + "/t"
+    Materialize.zorderWrite(base, "o_custkey", "cents", 8, zDir)
+    val (zTouched, zFiles) = filesTouched(zDir)
+    val flatDir = Files.createTempDirectory("graft_flat").toString + "/t"
+    base.repartition(8).write.parquet(flatDir) // round-robin: no clustering
+    val (fTouched, fFiles) = filesTouched(flatDir)
+    assert(zFiles == 8 && fFiles == 8)
+    assert(fTouched == 8, "unsorted layout should leave every file touchable")
+    // z-clustering keeps both dims bounded: the quarter-by-quarter box
+    // intersects only the low-z files (~1/16 of z space ⇒ ≤ 2 of 8 files)
+    assert(zTouched <= 2, s"z-order box touched $zTouched of $zFiles files")
+    // and the layout is value-invisible: same box rows either way
+    val zRows = spark.read.parquet(zDir)
+      .filter(col("o_custkey") <= mk / 4 && col("cents") <= mc / 4).count()
+    val bRows = base
+      .filter(col("o_custkey") <= mk / 4 && col("cents") <= mc / 4).count()
+    assert(zRows == bRows)
+  }
+
   test("q_partitioned_write: read-back scan prunes on the partition filter") {
     val df = Materialize.partitionedRoundTrip(spark, TestSpark.Sf0001)
     df.collect()
