@@ -124,6 +124,7 @@ object SparkEntry {
     "q_fuzzy_match"      -> graft.ops.MatchOps.fuzzyMatch _,
     "q_scd2"             -> Relational.scd2 _,
     "q_zorder_box"       -> Materialize.zorderBox _,
+    "q_triangles"        -> graft.ops.GraphOps.triangleCount _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -746,6 +747,22 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
         |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 7""".stripMargin,
+    "q_triangles" -> // same triangle SET via the plain a<b<c three-way
+      // join — the Spark side's degree orientation is execution
+      // strategy, not semantics
+      """WITH pp AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+        |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  JOIN pp x ON a.l_partkey = x.p_partkey
+        |  JOIN pp y ON b.l_partkey = y.p_partkey),
+        |n AS (SELECT count(DISTINCT v) AS n_nodes FROM
+        |  (SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+        |tri AS (SELECT count(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT n_nodes, (SELECT count(*) FROM e) AS n_edges, n_triangles
+        |FROM n, tri""".stripMargin,
     "q_zorder_box" -> // the z-ordered rewrite must be value-invisible:
       // the oracle is the plain 2-d box aggregate over the ORIGINAL table
       """WITH b AS (SELECT o_orderkey, o_custkey,

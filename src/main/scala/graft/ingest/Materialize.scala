@@ -30,7 +30,7 @@ object Materialize {
     * run is a fresh pid) from strewing orphaned dataset copies over
     * java.io.tmpdir. */
   private val registeredScratch = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def processScratchDir(name: String): String = {
+  private[graft] def processScratchDir(name: String): String = {
     val f = new java.io.File(sys.props("java.io.tmpdir"), s"${name}_$ProcessTag")
     if (registeredScratch.add(f.toString)) // one hook per dir, not per call
       Runtime.getRuntime.addShutdownHook(new Thread(() =>

@@ -1,0 +1,32 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.GraphOps
+
+/** Triangle-count semantics on a hand-built co-purchase graph. */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("triangleCount: one triangle + a pendant edge, duplicates collapse") {
+    val d = Files.createTempDirectory("graft_graph").toString
+    // order 10 buys {1,2,3} → triangle; order 11 buys {3,4} → pendant
+    // edge; order 12 re-buys {1,2} → duplicate edge must not double-count;
+    // part 5 is non-PROMO, so order 13's {4,5} contributes nothing new
+    Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 3L), (11L, 4L),
+      (12L, 1L), (12L, 2L), (13L, 4L), (13L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$d/lineitem.parquet")
+    Seq((1L, "PROMO"), (2L, "PROMO"), (3L, "PROMO"), (4L, "PROMO"),
+      (5L, "STANDARD"))
+      .toDF("p_partkey", "p_type")
+      .write.parquet(s"$d/part.parquet")
+    val r = GraphOps.triangleCount(spark, d).collect()(0)
+    assert(r.getLong(0) == 4L) // nodes 1..4
+    assert(r.getLong(1) == 4L) // 1-2, 1-3, 2-3, 3-4
+    assert(r.getLong(2) == 1L) // the single 1-2-3 triangle
+  }
+}
