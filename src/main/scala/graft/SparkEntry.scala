@@ -125,6 +125,8 @@ object SparkEntry {
     "q_scd2"             -> Relational.scd2 _,
     "q_zorder_box"       -> Materialize.zorderBox _,
     "q_triangles"        -> graft.ops.GraphOps.triangleCount _,
+    "q_cdc_merge"        -> Materialize.cdcMerge _,
+    "q_redact"           -> TextOps.redactNumbers _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -747,6 +749,25 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
         |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 7""".stripMargin,
+    "q_cdc_merge" -> // rebuild the deterministic changeset and apply the
+      // same MERGE: delete keys ≡1 (mod 10), bump keys ≡0, insert fresh
+      // keys past max for keys ≡2
+      """WITH base AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+        |m AS (SELECT max(o_orderkey) AS mk FROM base)
+        |SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN price_c + 500 ELSE price_c END AS price_c
+        |FROM base WHERE o_orderkey % 10 != 1
+        |UNION ALL
+        |SELECT o_orderkey + mk + 1 AS o_orderkey, price_c
+        |FROM base, m WHERE o_orderkey % 10 = 2""".stripMargin,
+    "q_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_masked,
+        |  md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_fp
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "q_triangles" -> // same triangle SET via the plain a<b<c three-way
       // join — the Spark side's degree orientation is execution
       // strategy, not semantics

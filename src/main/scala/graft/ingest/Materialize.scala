@@ -251,6 +251,44 @@ object Materialize {
         countDistinct(col("o_custkey")).as("n_cust"))
   }
 
+  /** Batch CDC MERGE — apply a changeset (updates, deletes, inserts) to
+    * a keyed snapshot, the `MERGE INTO` semantics every lakehouse
+    * maintenance job needs (the batch sibling of the streaming upsert
+    * sink). The changeset here is derived deterministically from the
+    * snapshot itself (keys ≡ 0 mod 10 get a 5-unit price bump, ≡ 1 are
+    * deleted, ≡ 2 spawn an insert under a fresh key past the current
+    * max) so the oracle can rebuild the identical changeset in SQL;
+    * a real deployment feeds a landed change table instead — the merge
+    * plan is the same.
+    *
+    * Scale shape: one anti join (deletes) + one left join (updates) on
+    * the snapshot key, then a union with the inserts — all key-
+    * partitioned shuffles AQE can co-plan; nothing touches the driver.
+    * Rows whose key never appears in the changeset flow through
+    * untouched — MERGE moves O(changes), not O(table), which is the
+    * whole point at 100 TB. */
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.sources.Tables.orders(spark, dir)
+      .filter(col("o_orderkey").isNotNull && col("o_totalprice").isNotNull)
+      .select(col("o_orderkey"),
+        graft.functions.Exact.cents(col("o_totalprice")).as("price_c"))
+    val mx = base.agg(max(col("o_orderkey")).as("mk"))
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), (col("price_c") + 500L).as("new_price"))
+    val deletes = base.filter(col("o_orderkey") % 10 === 1)
+      .select(col("o_orderkey"))
+    val inserts = base.filter(col("o_orderkey") % 10 === 2)
+      .crossJoin(broadcast(mx))
+      .select((col("o_orderkey") + col("mk") + 1L).as("o_orderkey"),
+        col("price_c"))
+    base
+      .join(deletes, Seq("o_orderkey"), "left_anti")
+      .join(updates, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("new_price"), col("price_c")).as("price_c"))
+      .unionByName(inserts)
+  }
+
   /** Bucketed write — the `CLUSTER BY` analog: co-locates join keys so a
     * downstream join on the bucket column needs no shuffle. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, n: Int): Unit =

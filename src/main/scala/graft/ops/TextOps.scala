@@ -322,6 +322,23 @@ object TextOps {
           d => d.cast("string"))).as("postings"))
   }
 
+  /** Redaction / text-cleaning stage — the masking pass a corpus runs
+    * before training (PII scrubbing is this exact shape with heavier
+    * patterns): digit runs are replaced by a sentinel token, and the
+    * stage reports what it did (mask count + the cleaned fingerprint)
+    * so downstream dedup keys on the CLEANED text. Pure per-row
+    * `regexp_replace`/`regexp_extract_all` over simple character
+    * classes (identical under Java regex and the oracle's engine) —
+    * scan-throughput work, no shuffle at all. */
+  def redactNumbers(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "[0-9]+", "<NUM>").as("redacted"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)"))
+          .cast("long").as("n_masked"))
+      .withColumn("redacted_fp", md5(col("redacted")))
+
   /** Quality scoring: token-length and stopword-ratio heuristics, all in
     * exact integer per-mille units. Uses higher-order array functions
     * (aggregate/filter) — no UDF, stays codegen-friendly. */

@@ -93,6 +93,19 @@ class IngestSpec extends AnyFunSuite {
       plan.contains("EqualTo(l_linestatus,F"), s"ORC pushdown missing:\n$plan")
   }
 
+  test("cdcMerge applies update, delete, and insert actions exactly") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_cdc").toString
+    // keys: 20 → update (+500), 21 → delete, 22 → insert clone at
+    // 22+max(23)+1=46, 23 → untouched passthrough
+    Seq((20L, 1.00), (21L, 2.00), (22L, 3.00), (23L, 4.00))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.parquet(s"$d/orders.parquet")
+    val out = Materialize.cdcMerge(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(20L -> 600L, 22L -> 300L, 23L -> 400L, 46L -> 300L))
+  }
+
   test("z-order layout bounds BOTH dims per file; a 2-d box skips most files") {
     import org.apache.spark.sql.functions._
     val base = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
