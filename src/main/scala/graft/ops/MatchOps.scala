@@ -23,12 +23,14 @@ object MatchOps {
     *
     * Scale shape: the catalog side is the DISTINCT name dimension
     * (tiny → broadcast; Catalyst picks that up automatically), so the
-    * record side never shuffles at all — levenshtein runs inside the
-    * scan's codegen stage. Determinism: best = min distance, ties to
-    * the lexicographically smallest name; `levenshtein` is exact
-    * integer edit distance in both engines. */
+    * candidate rows are generated map-side, and the per-record argmin
+    * is a `min(struct(dist, name))` AGGREGATE — partial aggregation
+    * collapses each record's candidates before the only shuffle (a
+    * rank window here would instead shuffle and sort every candidate
+    * row). Determinism: best = min distance, ties to the
+    * lexicographically smallest name (exactly the struct ordering);
+    * `levenshtein` is exact integer edit distance in both engines. */
   def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = Tables.part(spark, dir)
       .filter(col("p_name").isNotNull && length(col("p_name")) >= 2)
     // drop 1-based char at 2 + key mod (len-1) ∈ [2, len]
@@ -38,13 +40,12 @@ object MatchOps {
       .as("dirty_name"))
     val catalog = base.select(col("p_name").as("matched_name")).distinct()
       .withColumn("blk", substring(col("matched_name"), 1, 1))
-    val w = Window.partitionBy("p_partkey")
-      .orderBy(col("dist").asc, col("matched_name").asc)
     dirty.withColumn("blk", substring(col("dirty_name"), 1, 1))
       .join(catalog, "blk")
       .withColumn("dist", levenshtein(col("dirty_name"), col("matched_name")).cast("int"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("p_partkey", "dirty_name", "matched_name", "dist")
+      .groupBy("p_partkey", "dirty_name")
+      .agg(min(struct(col("dist"), col("matched_name"))).as("best"))
+      .select(col("p_partkey"), col("dirty_name"),
+        col("best.matched_name").as("matched_name"), col("best.dist").as("dist"))
   }
 }

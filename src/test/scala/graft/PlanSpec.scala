@@ -194,4 +194,38 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
     assert(!plan.contains("SortAggregate"), s"agg fell back to sort:\n$plan")
   }
+
+  test("q_fuzzy_match: catalog broadcasts; argmin is a partial-agg, not a rank window") {
+    val plan = finalPlan(graft.ops.MatchOps.fuzzyMatch(spark, TestSpark.Sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"catalog dim shuffled:\n$plan")
+    // min(struct) argmin: two-phase hash aggregation, no Window operator
+    assert(!plan.contains("Window"), s"argmin fell back to a rank window:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  /** The FINAL-plan section only — the rendered AdaptiveSparkPlan
+    * repeats every exchange in its "== Initial Plan ==" echo, which
+    * would double any occurrence count. */
+  def finalSection(plan: String): String = plan.split("== Initial Plan ==")(0)
+
+  test("q_seq_pack: the bin aggregate reuses the window's source partitioning") {
+    val plan = finalSection(finalPlan(TextOps.seqPack(spark, TestSpark.Sf0001)))
+    // one exchange for PARTITION BY source; groupBy(source, bin) must
+    // NOT add a second (hash(source) already clusters (source, bin))
+    val fresh = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+    assert(fresh == 1, s"expected exactly 1 required exchange, got $fresh:\n$plan")
+  }
+
+  test("q_inverted_index: rank guard and term aggregate share one shuffle") {
+    val plan = finalSection(finalPlan(TextOps.invertedIndex(spark, TestSpark.Sf0001)))
+    val fresh = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+    assert(fresh == 1, s"expected exactly 1 required exchange, got $fresh:\n$plan")
+  }
+
+  test("q_substring_dedup: hash aggregates only (numeric window keys)") {
+    val plan = finalPlan(DedupOps.substringDedup(spark, TestSpark.Sf0001))
+    assert(!plan.contains("SortAggregate"), s"agg fell back to sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
