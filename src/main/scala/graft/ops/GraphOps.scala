@@ -43,6 +43,11 @@ object GraphOps {
       .filter(col("p_type") === "PROMO")
       .select(col("p_partkey"))
     val baskets = Tables.lineitem(spark, dir)
+      // a null order key is not a basket: the oracle's equality self-
+      // join never matches NULL, but a groupBy would happily build one
+      // null-keyed mega-basket — drop them up front (null part keys
+      // vanish inside collect_set either way)
+      .filter(col("l_orderkey").isNotNull)
       .select(col("l_orderkey"), col("l_partkey"))
       .join(promo, col("l_partkey") === col("p_partkey"))
       .groupBy("l_orderkey")
