@@ -206,19 +206,20 @@ object Materialize {
         shiftleft(shiftright(zy, b).bitwiseAND(lit(1L)), 2 * b)
     }.reduce(_ + _)
 
-  /** Z-order clustered write: dims scaled to 8-bit buckets against their
-    * maxima, rows range-partitioned + sorted by the interleaved code.
-    * `nFiles` bounds the file count (one sorted file per range). */
+  /** Z-order clustered write: dims scaled to 8-bit buckets against the
+    * given maxima (collected once by the caller — table stats in a real
+    * deployment; threading a maxima SUBTREE through both the write and
+    * the read-back would re-run the aggregation per use), rows
+    * range-partitioned + sorted by the interleaved code. `nFiles`
+    * bounds the file count (one sorted file per range). */
   def zorderWrite(df: DataFrame, keyCol: String, valCol: String,
-      nFiles: Int, out: String): Unit = {
-    val mx = df.agg(max(col(keyCol)).as("mk"), max(col(valCol)).as("mc"))
-    df.crossJoin(broadcast(mx))
-      .withColumn("zx", graft.functions.Exact.idiv(col(keyCol) * 256, col("mk") + 1))
-      .withColumn("zy", graft.functions.Exact.idiv(col(valCol) * 256, col("mc") + 1))
+      maxKey: Long, maxVal: Long, nFiles: Int, out: String): Unit = {
+    df.withColumn("zx", graft.functions.Exact.idiv(col(keyCol) * 256, lit(maxKey + 1)))
+      .withColumn("zy", graft.functions.Exact.idiv(col(valCol) * 256, lit(maxVal + 1)))
       .withColumn("z", morton16(col("zx"), col("zy")))
       .repartitionByRange(nFiles, col("z"))
       .sortWithinPartitions("z")
-      .drop("mk", "mc", "zx", "zy", "z")
+      .drop("zx", "zy", "z")
       .write.mode("overwrite").parquet(out)
   }
 
@@ -240,12 +241,19 @@ object Materialize {
       .filter(col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
       .select(col("o_orderkey"), col("o_custkey"),
         graft.functions.Exact.cents(col("o_totalprice")).as("cents"))
-    zorderWrite(base, "o_custkey", "cents", 8, out)
-    val mx = base.agg(max(col("o_custkey")).as("mk"), max(col("cents")).as("mc"))
+    // the 2-scalar stats row is collected ONCE and flows as literals into
+    // both the layout write and the box bounds (a maxima subtree in each
+    // plan would re-run the same scan+aggregate per use)
+    val mxRow = base.agg(max(col("o_custkey")), max(col("cents"))).collect()(0)
+    // all-null input (possible on a degraded corpus) has no layout to
+    // build; an empty read-back aggregates to the oracle's same
+    // (0, NULL, 0) row
+    val (mk, mc) =
+      if (mxRow.isNullAt(0)) (0L, 0L)
+      else (mxRow.getLong(0), mxRow.getLong(1))
+    zorderWrite(base, "o_custkey", "cents", mk, mc, 8, out)
     spark.read.parquet(out)
-      .crossJoin(broadcast(mx))
-      .filter(col("o_custkey") <= graft.functions.Exact.idiv(col("mk"), lit(4)) &&
-        col("cents") <= graft.functions.Exact.idiv(col("mc"), lit(4)))
+      .filter(col("o_custkey") <= lit(mk / 4) && col("cents") <= lit(mc / 4))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("cents")).as("cents_sum"),
         countDistinct(col("o_custkey")).as("n_cust"))

@@ -408,11 +408,18 @@ object DedupOps {
     * shuffles, no all-pairs stage, no driver data path; a window shared
     * by millions of docs is one aggregation row joined back, never a
     * pair explosion. Windows are 60-bit numeric md5 prefixes, keeping
-    * both aggregates pure HashAggregates (the min(string) lesson). */
+    * both aggregates pure HashAggregates (the min(string) lesson).
+    * The exploded windows feed two branches (the cross-doc counts and
+    * the join-back probe), so they are MATERIALIZED once to process
+    * scratch — otherwise each branch re-runs the shingle+md5 fan-out,
+    * the most expensive stage of the query (the self-join
+    * re-evaluation lesson, same fix as GraphOps.triangleCount). */
   def substringDedup(spark: SparkSession, dir: String): DataFrame = {
     val K = SubstrWindow
     val terms = (0 until K).map(j => s"element_at(t, i + $j)").mkString(", ")
-    val windows = Tables.documents(spark, dir)
+    val winOut = graft.ingest.Materialize.processScratchDir(
+      s"graft_substr_win_${java.lang.Integer.toHexString(dir.hashCode)}")
+    Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism) // spread shingling
       .withColumn("t", split(col("text"), " "))
       // <K-token docs have no windows (empty list, not a 0/0 row); the
@@ -422,6 +429,8 @@ object DedupOps {
           s"sequence(1, size(t) - ${K - 1}), " +
           s"i -> cast(conv(substring(md5(concat_ws(' ', $terms)), 1, 15), 16, 10) AS BIGINT))) " +
           "ELSE array() END")).as("wh"))
+      .write.mode("overwrite").parquet(winOut)
+    val windows = spark.read.parquet(winOut)
     val byWindow = windows.groupBy("wh")
       .agg(countDistinct(col("doc_id")).as("nd"))
     windows.join(byWindow, "wh")

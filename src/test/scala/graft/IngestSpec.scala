@@ -130,7 +130,7 @@ class IngestSpec extends AnyFunSuite {
       (touched, files.length)
     }
     val zDir = Files.createTempDirectory("graft_z").toString + "/t"
-    Materialize.zorderWrite(base, "o_custkey", "cents", 8, zDir)
+    Materialize.zorderWrite(base, "o_custkey", "cents", mk, mc, 8, zDir)
     val (zTouched, zFiles) = filesTouched(zDir)
     val flatDir = Files.createTempDirectory("graft_flat").toString + "/t"
     base.repartition(8).write.parquet(flatDir) // round-robin: no clustering
