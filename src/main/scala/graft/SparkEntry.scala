@@ -127,6 +127,9 @@ object SparkEntry {
     "q_triangles"        -> graft.ops.GraphOps.triangleCount _,
     "q_cdc_merge"        -> Materialize.cdcMerge _,
     "q_redact"           -> TextOps.redactNumbers _,
+    "q_pagerank"         -> graft.ops.GraphOps.pageRank _,
+    "q_bigram_next"      -> TextOps.bigramNext _,
+    "q_group_sample"     -> TextOps.groupSample _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -749,6 +752,53 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
         |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 7""".stripMargin,
+    "q_pagerank" -> { // unrolled integer-fixpoint iterations: rank' =
+      // 150000 + (85·Σ(rank//deg))//100, bit-identical to the Spark loop
+      val scale = graft.ops.GraphOps.PrScale
+      def iter(prev: String, out: String) =
+        s"""$out AS (SELECT s.dst AS v,
+           |  CAST(${15 * scale / 100} + (85 * CAST(sum(r.rank // d.deg) AS BIGINT)) // 100 AS BIGINT) AS rank
+           |  FROM sym s JOIN $prev r ON s.src = r.v JOIN deg d ON s.src = d.src
+           |  GROUP BY 1)""".stripMargin
+      val rounds = (1 to graft.ops.GraphOps.PrIters)
+        .map(t => iter(s"r${t - 1}", s"r$t")).mkString(",\n")
+      s"""WITH pp AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+        |e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  JOIN pp x ON a.l_partkey = x.p_partkey
+        |  JOIN pp y ON b.l_partkey = y.p_partkey),
+        |sym AS (SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+        |r0 AS (SELECT src AS v, CAST($scale AS BIGINT) AS rank FROM deg),
+        |$rounds
+        |SELECT v AS p_partkey, rank AS rank_e6
+        |FROM r${graft.ops.GraphOps.PrIters}""".stripMargin
+    },
+    "q_bigram_next" -> // adjacent-pair counts + per-context top-3 next
+      // words; tokens never contain spaces, so the pair round-trips
+      // through a space-joined string
+      s"""WITH d AS (SELECT string_split(text,' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT split_part(pr, ' ', 1) AS w1, split_part(pr, ' ', 2) AS w2
+        |  FROM (SELECT unnest([t[i] || ' ' || t[i+1]
+        |    for i in generate_series(1, len(t)-1)]) AS pr FROM d)),
+        |c AS (SELECT w1, w2, count(*) AS cnt FROM p GROUP BY 1,2),
+        |tot AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS total FROM c GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY w1 ORDER BY cnt DESC, w2) AS rank FROM c)
+        |SELECT r.w1, w2, cnt, CAST(cnt*1000 // total AS BIGINT) AS cond_permille,
+        |  CAST(rank AS INTEGER) AS rank
+        |FROM r JOIN tot ON r.w1 = tot.w1 WHERE rank <= ${TextOps.BigramTopK}""".stripMargin,
+    "q_group_sample" -> // exact-k per stratum under a keyed-hash order:
+      // the same rows on every run, any cluster size
+      s"""SELECT lang, doc_id, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5('gs:' || CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents WHERE lang IS NOT NULL)
+        |WHERE rank <= ${TextOps.GroupSampleK}""".stripMargin,
     "q_cdc_merge" -> // rebuild the deterministic changeset and apply the
       // same MERGE: delete keys ≡1 (mod 10), bump keys ≡0, insert fresh
       // keys past max for keys ≡2

@@ -38,7 +38,13 @@ object GraphOps {
     * Output is the one-row graph summary (nodes, edges, triangles);
     * the orientation is internal, so the oracle counts the same
     * triangles with the plain a<b<c three-way join. */
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+  /** The distinct undirected co-purchase edge list (a < b), materialized
+    * once to process scratch: it feeds several branches in every caller
+    * (degrees, wedges, rank iterations), and re-deriving it would re-run
+    * the basket grouping per branch. Basket building groups items
+    * in-order (orders are tiny baskets; the pair fan-out happens inside
+    * the row, never a self-join that rescans lineitem). */
+  private[ops] def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val promo = Tables.part(spark, dir)
       .filter(col("p_type") === "PROMO")
       .select(col("p_partkey"))
@@ -54,13 +60,17 @@ object GraphOps {
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .filter(size(col("ps")) >= 2)
     val edgesOut = graft.ingest.Materialize.processScratchDir(
-      s"graft_tri_edges_${java.lang.Integer.toHexString(dir.hashCode)}")
+      s"graft_copurchase_${java.lang.Integer.toHexString(dir.hashCode)}")
     baskets
       .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
       .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
       .distinct()
       .write.mode("overwrite").parquet(edgesOut)
-    val edges = spark.read.parquet(edgesOut)
+    spark.read.parquet(edgesOut)
+  }
+
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(spark, dir)
 
     val deg = edges.select(col("a").as("v"))
       .unionByName(edges.select(col("b").as("v")))
@@ -87,5 +97,47 @@ object GraphOps {
     deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  /** Fixed-point scale of [[pageRank]] ranks (1.0 ≡ 1 000 000) and the
+    * iteration count — both part of the operator contract the oracle
+    * unrolls. */
+  val PrScale = 1000000L
+  val PrIters = 5
+
+  /** PageRank over the co-purchase graph — the iterative-fixpoint graph
+    * operator next to [[triangleCount]] (one-shot) and
+    * [[DedupOps.dedupClusters]] (converging label propagation). Exact
+    * INTEGER arithmetic throughout: ranks live at [[PrScale]] fixed
+    * point, each step is `150000 + (85 · Σ incoming (rank // deg)) //
+    * 100` (damping 0.85 as integer ops in a pinned order), so
+    * [[PrIters]] iterations are bit-identical to the oracle's unrolled
+    * CTEs — no float drift, no convergence-threshold ambiguity.
+    *
+    * Scale shape: each iteration joins the (node, rank) table to the
+    * symmetric edge list and re-aggregates by destination — the edge
+    * list is the scratch-materialized parquet (scanned per round, never
+    * recomputed), the rank table is nodes-sized, and the whole loop is
+    * one lazily-built plan of depth [[PrIters]] (5 chained shuffles;
+    * no per-round driver sync, nothing collected). The symmetric graph
+    * has no dangling nodes (every endpoint has degree ≥ 1), so the
+    * damping term needs no dangling-mass correction. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(spark, dir)
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = deg.select(col("src").as("v"), lit(PrScale).as("rank"))
+    for (_ <- 1 to PrIters) {
+      val contrib = sym
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("v"),
+          graft.functions.Exact.idiv(col("rank"), col("deg")).as("c"))
+      ranks = contrib.groupBy("v")
+        .agg((lit(15L * PrScale / 100) +
+          graft.functions.Exact.idiv(sum(col("c")) * 85L, lit(100L))).as("rank"))
+    }
+    ranks.select(col("v").as("p_partkey"), col("rank").as("rank_e6"))
   }
 }

@@ -322,6 +322,59 @@ object TextOps {
           d => d.cast("string"))).as("postings"))
   }
 
+  /** Next-words kept per context word by [[bigramNext]]. */
+  val BigramTopK = 3
+
+  /** Bigram language-model table build — the count statistics a
+    * count-based LM (or a tokenizer-merge pass: BPE's pair-frequency
+    * step is exactly the bigram count) reads: for every context word,
+    * the top-[[BigramTopK]] next words with conditional probability in
+    * integer per-mille. Non-distinct adjacent pairs explode map-side;
+    * pair counts, context totals and the rank window all cluster on
+    * `w1`, so after the pair aggregate's exchange the rest reuses its
+    * partitioning. */
+  def bigramNext(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .withColumn("t", toks)
+      .select(explode(expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t)-1), " +
+          "i -> struct(element_at(t,i) AS w1, element_at(t,i+1) AS w2)) " +
+          "ELSE array() END")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("w1").agg(sum(col("cnt")).as("total"))
+    val w = Window.partitionBy("w1").orderBy(col("cnt").desc, col("w2").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= BigramTopK)
+      .join(totals, "w1")
+      .select(col("w1"), col("w2"), col("cnt"),
+        idiv(col("cnt") * 1000, col("total")).as("cond_permille"), col("rank"))
+  }
+
+  /** Rows kept per stratum by [[groupSample]]. */
+  val GroupSampleK = 5
+
+  /** Exact-k-per-group deterministic sampling — the fixed-budget sibling
+    * of [[stratifiedSample]]'s rate sampling (a reservoir sample whose
+    * "random" order is a pure hash of the row key, so re-runs and
+    * retries pick the SAME k rows): rank docs per language by
+    * md5("gs:" + doc_id) and keep the first [[GroupSampleK]]. One rank
+    * window per stratum; the rank guard is a WindowGroupLimit, so no
+    * stratum ever sorts more than its top-k heap per partition. */
+  def groupSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hk = md5(concat(lit("gs:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("lang").orderBy(hk.asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .filter(col("lang").isNotNull)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= GroupSampleK)
+      .select(col("lang"), col("doc_id"), col("rank"))
+  }
+
   /** Redaction / text-cleaning stage — the masking pass a corpus runs
     * before training (PII scrubbing is this exact shape with heavier
     * patterns): digit runs are replaced by a sentinel token, and the

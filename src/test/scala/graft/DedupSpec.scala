@@ -272,6 +272,36 @@ class DedupSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("bigramNext: conditional counts, rank order, and the permille math") {
+    val d = Files.createTempDirectory("graft_bigram").toString
+    Seq((1L, "a b a b c", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = TextOps.bigramNext(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    // pairs: (a,b)×2, (b,a), (b,c) → a's only successor is b at 1000‰;
+    // b splits 500/500, tie broken by w2 ascending
+    assert(out(("a", "b")) == ((2L, 1000L, 1)))
+    assert(out(("b", "a")) == ((1L, 500L, 1)))
+    assert(out(("b", "c")) == ((1L, 500L, 2)))
+    assert(out.size == 3)
+  }
+
+  test("groupSample: exactly k per stratum, stable across runs") {
+    val d = Files.createTempDirectory("graft_gsample").toString
+    ((1L to 12L).map(i => (i, "txt", "en", "s", 3L)) ++
+      Seq((100L, "txt", "de", "s", 3L), (101L, "txt", "de", "s", 3L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val a = TextOps.groupSample(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a.count(_._1 == "en") == TextOps.GroupSampleK) // 12 → exactly k
+    assert(a.count(_._1 == "de") == 2) // short stratum keeps all
+    val b = TextOps.groupSample(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b) // hash order ⇒ same rows every run
+  }
+
   test("invertedIndex: df is exact, postings cap at PostingsCap ascending ids") {
     val d = Files.createTempDirectory("graft_inv").toString
     // "hot" appears in 12 docs (ids 1..12), "cold" in docs 3 and 7 only

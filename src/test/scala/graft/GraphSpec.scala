@@ -28,5 +28,15 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getLong(0) == 4L) // nodes 1..4
     assert(r.getLong(1) == 4L) // 1-2, 1-3, 2-3, 3-4
     assert(r.getLong(2) == 1L) // the single 1-2-3 triangle
+
+    // pageRank on the same graph: the hub (3, degree 3) outranks all;
+    // the structurally symmetric nodes 1 and 2 get IDENTICAL integer
+    // ranks; every rank carries at least the damping floor
+    val pr = GraphOps.pageRank(spark, d).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(pr.size == 4)
+    assert(pr(3L) == pr.values.max)
+    assert(pr(1L) == pr(2L))
+    assert(pr.values.forall(_ >= 15L * GraphOps.PrScale / 100))
   }
 }
