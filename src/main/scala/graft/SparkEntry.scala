@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ingest.Materialize
-import graft.ops.{DedupOps, EventOps, MultimodalOps, Relational, TextOps, VectorOps}
+import graft.ops.{DedupOps, EventOps, MultimodalOps, ProfileOps, Relational, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -130,6 +130,11 @@ object SparkEntry {
     "q_pagerank"         -> graft.ops.GraphOps.pageRank _,
     "q_bigram_next"      -> TextOps.bigramNext _,
     "q_group_sample"     -> TextOps.groupSample _,
+    "q_dedup_survivors"  -> DedupOps.dedupSurvivors _,
+    "q_cohort_retention" -> EventOps.cohortRetention _,
+    "q_data_profile"     -> ProfileOps.dataProfile _,
+    "q_histogram"        -> ProfileOps.priceHistogram _,
+    "q_iqr_outliers"     -> ProfileOps.iqrOutliers _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -1239,5 +1244,98 @@ object SparkEntry {
         |  max(CASE WHEN rn = ((n-1)*9)//10 + 1 THEN price_c END) AS p90_cents,
         |  count(*) AS n
         |FROM r GROUP BY 1""".stripMargin,
+    "q_dedup_survivors" -> // CC over the verified ngram-jaccard ≥ 0.5 pair
+      // graph (the recursive closure is order-free, exactly like Spark's
+      // min-label loop), then one kept doc per cluster by
+      // (n_tokens DESC, doc_id); the 0.5 test compares the same
+      // int→double division both engines compute
+      """WITH RECURSIVE sh0 AS (SELECT doc_id, lang, source,
+         |  list_distinct(list_transform(
+         |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |     for i in generate_series(1, len(t)-2)],
+         |    x -> substr(md5(x),1,15))) AS sh
+         |  FROM (SELECT doc_id, lang, source, string_split(text,' ') AS t FROM documents)),
+         |shb AS (SELECT *, length(bin(CAST(len(sh) AS BIGINT))) AS band FROM sh0),
+         |p0 AS (SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b,
+         |  CAST(len(list_intersect(a.sh,b.sh)) AS BIGINT) AS inter,
+         |  CAST(len(list_distinct(list_concat(a.sh,b.sh))) AS BIGINT) AS uni
+         |  FROM shb a JOIN shb b ON a.lang=b.lang AND a.source=b.source
+         |    AND (b.band = a.band + 1 OR (b.band = a.band AND a.doc_id < b.doc_id))),
+         |p AS (SELECT doc_a, doc_b FROM p0
+         |  WHERE inter > 0 AND CAST(inter AS DOUBLE)/uni >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |nodes AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS r FROM nodes
+         |  UNION
+         |  SELECT e.b AS doc_id, reach.r FROM reach JOIN edges e ON reach.doc_id = e.a
+         |),
+         |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |st AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |rr AS (SELECT cl.cluster_id, st.doc_id, st.n_tokens,
+         |  row_number() OVER (PARTITION BY cl.cluster_id
+         |    ORDER BY st.n_tokens DESC, st.doc_id ASC) AS rn
+         |  FROM cl JOIN st ON cl.doc_id = st.doc_id)
+         |SELECT cluster_id, count(*) AS n_docs,
+         |  max(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+         |  max(CASE WHEN rn = 1 THEN n_tokens END) AS kept_tokens
+         |FROM rr GROUP BY 1""".stripMargin,
+    "q_cohort_retention" -> // integer epoch weeks: epoch_µs // week_µs
+      """WITH e AS (SELECT user_id, epoch_us(ts)//604800000000 AS week FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |u AS (SELECT DISTINCT user_id, week FROM e),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM u GROUP BY 1),
+        |a AS (SELECT c.cohort_week, u.week - c.cohort_week AS week_offset,
+        |    count(*) AS n_active
+        |  FROM u JOIN c USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort_week, n_active AS cohort_users FROM a WHERE week_offset = 0)
+        |SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_users,
+        |  (a.n_active*1000)//s.cohort_users AS retained_permille
+        |FROM a JOIN s USING (cohort_week)""".stripMargin,
+    "q_data_profile" -> { // same single-aggregate-then-unpivot shape: min/
+      // max computed on the typed (cents/µs) value, stringified after
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice_c", "o_orderdate_us", "o_orderpriority")
+      val aggs = cols.map(c =>
+        s"count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c, " +
+          s"CAST(min($c) AS VARCHAR) AS mn_$c, CAST(max($c) AS VARCHAR) AS mx_$c")
+        .mkString(", ")
+      val rows = cols.map(c =>
+        s"SELECT '$c' AS col_name, nn_$c AS n_nonnull, n_rows - nn_$c AS n_null, " +
+          s"nd_$c AS n_distinct, mn_$c AS min_str, mx_$c AS max_str FROM a")
+        .mkString("\n", "\nUNION ALL ", "")
+      s"""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+         |    CAST(round(o_totalprice*100) AS BIGINT) AS o_totalprice_c,
+         |    epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority FROM orders),
+         |a AS (SELECT count(*) AS n_rows, $aggs FROM o)$rows""".stripMargin
+    },
+    "q_histogram" ->
+      s"""WITH o AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |b AS (SELECT price_c//${ProfileOps.HistBinCents} AS bin, count(*) AS n,
+        |    min(price_c) AS min_cents, max(price_c) AS max_cents,
+        |    CAST(sum(price_c) AS BIGINT) AS sum_cents
+        |  FROM o GROUP BY 1)
+        |SELECT bin, n, min_cents, max_cents, sum_cents,
+        |  bin*${ProfileOps.HistBinCents} AS bin_lo_cents FROM b""".stripMargin,
+    "q_iqr_outliers" -> // discrete quartiles + Tukey fences in half-cents
+      """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |q AS (SELECT event_type, max(n) AS n,
+        |    max(CASE WHEN rn = (n-1)//4 + 1 THEN cents END) AS q1_cents,
+        |    max(CASE WHEN rn = ((n-1)*3)//4 + 1 THEN cents END) AS q3_cents
+        |  FROM r GROUP BY 1),
+        |o AS (SELECT e.event_type, q.q1_cents, q.q3_cents, q.n,
+        |    CAST(sum(CASE WHEN e.cents*2 < q.q1_cents*2 - (q.q3_cents-q.q1_cents)*3
+        |      OR e.cents*2 > q.q3_cents*2 + (q.q3_cents-q.q1_cents)*3
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |  FROM e JOIN q USING (event_type) GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, q1_cents, q3_cents, n, n_outliers,
+        |  n - n_outliers AS n_kept FROM o""".stripMargin,
   )
 }

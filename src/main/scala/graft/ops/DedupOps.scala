@@ -223,6 +223,22 @@ object DedupOps {
     // persist pairs BEFORE the symmetrize union, or both union branches
     // re-run the whole minhash pipeline
     val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).persist()
+    try
+      minLabelComponents(
+        Tables.documents(spark, dir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id")),
+        pairs)
+    finally pairs.unpersist()
+  }
+
+  /** The CC engine behind [[dedupClusters]] and [[dedupSurvivors]]:
+    * min-label propagation with pointer jumping over an undirected pair
+    * graph. `nodes` is one `doc_id` column (every node gets a label,
+    * singletons map to themselves); `pairs` is `(doc_a, doc_b)` and
+    * SHOULD be persisted by the caller (both symmetrize branches read
+    * it). Returns `(doc_id, cluster_id)`. */
+  private def minLabelComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     // pre-partition the cached edge list on the probe key: the cache
     // retains outputPartitioning, so each round's join moves only the
     // (tiny) label table — the edge list is shuffled ONCE for all rounds,
@@ -231,9 +247,7 @@ object DedupOps {
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .repartition(col("doc_a"))
       .persist()
-    var labels = ckpt(Tables.documents(spark, dir)
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("doc_id").as("label")))
+    var labels = ckpt(nodes.select(col("doc_id"), col("doc_id").as("label")))
     try {
       var changed = 1L
       var rounds = 0
@@ -282,14 +296,49 @@ object DedupOps {
         labels = jumped.select(col("doc_id"), col("label"))
         rounds += 1
       }
-      require(changed == 0, s"dedupClusters did not converge in $MaxRounds rounds")
+      require(changed == 0, s"minLabelComponents did not converge in $MaxRounds rounds")
       labels.select(col("doc_id"), col("label").as("cluster_id"))
     } finally {
-      // the result reads the final labels checkpoint, not these caches —
+      // the result reads the final labels checkpoint, not this cache —
       // safe to release even on the success path
       edges.unpersist()
-      pairs.unpersist()
     }
+  }
+
+  /** Dedup SURVIVORS — the decision step that turns near-dup clusters
+    * into the output corpus: connected components over the VERIFIED
+    * [[ngramJaccard]] pair graph (shingle jaccard ≥ 0.5 — a verified
+    * similarity edge, not a raw banded candidate: the 16-bit simhash
+    * candidate graph is so dense it collapses a corpus into a handful
+    * of giant clusters), then ONE kept document per cluster by quality
+    * argmax (most tokens, ties to the smallest doc_id — a deterministic
+    * partial-aggregate `max(struct)`, never a rank window). Emits one
+    * row per cluster: size, the kept doc, and its token count — "drop
+    * everything not in `kept_doc`" is the corpus a training run
+    * actually reads. The 0.5 threshold compares the SAME int→double
+    * division both engines compute, so the edge set is oracle-exact.
+    *
+    * Scale shape: the pair stage is the size-banded block join (never
+    * all-pairs), CC is the shared pointer-jumping loop (edge list
+    * shuffled once, O(log d) rounds), and the keep decision is one
+    * hash aggregate over (cluster_id) — nothing new materializes
+    * beyond the label table. */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b")).persist()
+    try {
+      val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      val clusters = minLabelComponents(docs.select(col("doc_id")), pairs)
+      val stats = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      clusters.join(stats, "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id"))).as("k"))
+        .select(col("cluster_id"), col("n_docs"),
+          (-col("k.neg_id")).as("kept_doc"), col("k.n_tokens").as("kept_tokens"))
+    } finally pairs.unpersist()
   }
 
   /** Banded SimHash near-dup pairs — the Manku/Charikar web-dedup shape

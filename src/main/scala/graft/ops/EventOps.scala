@@ -227,6 +227,41 @@ object EventOps {
       .select("user_id", "view_us", "click_us", "purchase_us")
   }
 
+  /** Cohort retention: users cohorted by first-active epoch week, then
+    * for each (cohort, week offset) the count of still-active users and
+    * the retention per-mille — the triangle matrix every growth
+    * dashboard draws. Weeks are exact integer `epoch_µs div week_µs`
+    * (no calendar arithmetic to diverge on).
+    *
+    * Scale shape: ONE shuffle on user_id computes both the cohort week
+    * (min) and the distinct active-week set per user (`collect_set` is
+    * bounded by the corpus duration in weeks — a few hundred even for a
+    * decade — so the aggregation row can never blow up the way a
+    * per-event list would); the exploded (cohort, offset) pairs then
+    * aggregate on the cohort key. Cohort sizes fall out of the same
+    * user-level aggregate (offset 0 is the cohort by construction —
+    * every user is active in their own first week). */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val WeekUs = 7L * 86400 * 1000000
+    val perUser = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        idiv(unix_micros(col("ts")), lit(WeekUs)).as("week"))
+      .groupBy("user_id")
+      .agg(min(col("week")).as("cohort_week"),
+        collect_set(col("week")).as("weeks"))
+    val active = perUser
+      .select(col("user_id"), col("cohort_week"),
+        explode(col("weeks")).as("week"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = active.filter(col("week_offset") === 0L)
+      .select(col("cohort_week"), col("n_active").as("cohort_users"))
+    active.join(sizes, "cohort_week")
+      .withColumn("retained_permille",
+        idiv(col("n_active") * 1000, col("cohort_users")))
+  }
+
   /** Pivot: per-user event-type counts as columns (explicit value list so
     * the plan needs no discovery pass; absent combos fill 0). */
   def pivotEventCounts(spark: SparkSession, dir: String): DataFrame =

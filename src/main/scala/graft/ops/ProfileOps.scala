@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** Data-profiling / data-quality operators (the Deequ-style validation
+  * family a pipeline runs BEFORE training ever sees the data): per-column
+  * profiles, value histograms, and robust outlier fences. Everything is
+  * exact integer arithmetic over [[graft.functions.Exact]] units so the
+  * whole family sits under the DuckDB hash gate.
+  */
+object ProfileOps {
+
+  /** Per-column profile of `orders` — row count, null count, distinct
+    * count, min/max — the table a data-quality gate diffs run-over-run
+    * to catch schema drift and null floods. Non-string columns are
+    * profiled in their canonical exact unit (money → cents, timestamps
+    * → epoch micros) and min/max are stringified AFTER the typed
+    * aggregation, so ordering is native, never lexicographic.
+    *
+    * Scale shape: ONE aggregation pass over the scan produces every
+    * column's stats simultaneously; the per-column rows come from a
+    * `stack` unpivot of that single 1-row result (driver never sees
+    * data, and the table is not rescanned per column). The exact
+    * distinct counts make Catalyst plan Expand (one duplicate of each
+    * input row per distinct aggregate) — the price of exactness; a
+    * 100 TB profile would flip to approx_count_distinct and drop the
+    * Expand, trading the hash gate for HLL bounds. */
+  def dataProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      cents(col("o_totalprice")).as("o_totalprice_c"),
+      // o_orderdate is TIMESTAMP_NTZ; the UTC session makes the instant
+      // cast lossless (same reinterpretation as Tables.events)
+      unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+      col("o_orderpriority"))
+    val cols = o.columns.toSeq
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c"))) :+ count(lit(1)).as("n_rows")
+    o.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${cols.length}, " + cols.map(c =>
+          s"'$c', nn_$c, n_rows - nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ") +
+          ") AS (col_name, n_nonnull, n_null, n_distinct, min_str, max_str)"))
+  }
+
+  /** Histogram bin width: $50k of order value in cents. */
+  val HistBinCents = 5000000L
+
+  /** Equi-width value histogram of order totals — the distribution
+    * profile behind skew decisions (salting thresholds, partition
+    * sizing) and drift monitoring. The bin key is a pure integer
+    * division of exact cents, so the whole query is one map-side-
+    * combinable hash aggregate on a derived key: scan-bound at 100 TB,
+    * output bounded by the value range, never the row count. */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_totalprice").isNotNull)
+      .select(cents(col("o_totalprice")).as("price_c"))
+      .groupBy(idiv(col("price_c"), lit(HistBinCents)).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("price_c")).as("min_cents"),
+        max(col("price_c")).as("max_cents"),
+        sum(col("price_c")).as("sum_cents"))
+      .withColumn("bin_lo_cents", col("bin") * HistBinCents)
+
+  /** Robust outlier detection per event type: discrete quartiles (exact
+    * rank picks, same no-lerp discipline as [[EventOps.percentiles]]),
+    * Tukey fences at 1.5·IQR, and the kept/outlier split a feature
+    * pipeline applies before normalization. The 1.5 factor stays in
+    * integers by testing in HALF-cent units: keep iff
+    * `2·q1 − 3·IQR ≤ 2·x ≤ 2·q3 + 3·IQR`.
+    *
+    * Scale shape: one exchange on event_type serves the rank window,
+    * the quartile picks (max-over-partition windows on the same
+    * partitioning), and the final aggregate — no self-join back onto
+    * the events. */
+  def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val part = Window.partitionBy("event_type")
+    val w = part.orderBy(col("cents").asc)
+    val ranked = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), cents(col("value")).as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("q1",
+        max(when(col("rn") === expr("(n-1) div 4") + 1, col("cents"))).over(part))
+      .withColumn("q3",
+        max(when(col("rn") === expr("((n-1)*3) div 4") + 1, col("cents"))).over(part))
+    val iqr3 = (col("q3") - col("q1")) * 3
+    val isOut = col("cents") * 2 < col("q1") * 2 - iqr3 ||
+      col("cents") * 2 > col("q3") * 2 + iqr3
+    ranked
+      .groupBy(col("event_type"), col("q1").as("q1_cents"),
+        col("q3").as("q3_cents"), col("n"))
+      .agg(sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"))
+      .withColumn("n_kept", col("n") - col("n_outliers"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{EventOps, ProfileOps}
+
+/** Profiling / data-quality operator semantics on synthetic tables in the
+  * testdata layout. */
+class ProfileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Orders with one null custkey / status / price / date row and a
+    * second-bin price. */
+  lazy val ordersDir: String = {
+    val d = Files.createTempDirectory("graft_profile").toString
+    val t1 = Timestamp.valueOf("2023-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2023-02-01 00:00:00")
+    Seq(
+      (1L, Option(10L), Option("O"), Option(100.0), Option(t1), "1-URGENT"),
+      (2L, Option(10L), Option("F"), Option(200.0), Option(t2), "2-HIGH"),
+      (3L, None: Option[Long], Option("O"), Option(300.0), Option(t1), "1-URGENT"),
+      (4L, Option(20L), None: Option[String], None: Option[Double],
+        None: Option[Timestamp], "3-MEDIUM"),
+      (5L, Option(30L), Option("O"), Option(60000.0), Option(t2), "5-LOW")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$d/orders.parquet")
+    d
+  }
+
+  test("dataProfile: null, distinct, and typed min/max per column") {
+    val rows = ProfileOps.dataProfile(spark, ordersDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(rows.keySet.size == 6)
+    assert(rows("o_orderkey") == ((5L, 0L, 5L, "1", "5")))
+    assert(rows("o_custkey") == ((4L, 1L, 3L, "10", "30")))
+    assert(rows("o_orderstatus") == ((4L, 1L, 2L, "F", "O")))
+    // min/max on CENTS, stringified after the typed aggregation
+    assert(rows("o_totalprice_c") == ((4L, 1L, 4L, "10000", "6000000")))
+    assert(rows("o_orderpriority")._2 == 0L)
+  }
+
+  test("priceHistogram: equi-width cent bins with exact stats") {
+    val bins = ProfileOps.priceHistogram(spark, ordersDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // 100/200/300 dollars land in bin 0; 60k dollars in bin 1
+    assert(bins(0L) == ((3L, 10000L, 30000L, 60000L, 0L)))
+    assert(bins(1L) == ((1L, 6000000L, 6000000L, 6000000L,
+      ProfileOps.HistBinCents)))
+  }
+
+  /** Events for the IQR test: 1.00..8.00 plus one 1000.00 outlier. */
+  lazy val iqrDir: String = {
+    val d = Files.createTempDirectory("graft_iqr").toString
+    val base = Timestamp.valueOf("2023-01-01 00:00:00")
+    ((1 to 8).map(i => (i.toLong, base, 1L, "a", i.toDouble, "{}")) :+
+      (9L, base, 1L, "a", 1000.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("iqrOutliers: discrete quartiles and Tukey fences in half-cents") {
+    val r = ProfileOps.iqrOutliers(spark, iqrDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // n=9: q1 at rank (8)//4+1 = 3 → 300c, q3 at rank 24//4+1 = 7 → 700c
+    assert(row.getAs[Long]("q1_cents") == 300L)
+    assert(row.getAs[Long]("q3_cents") == 700L)
+    assert(row.getAs[Long]("n") == 9L)
+    // fences: [-300, 1300] cents — only the 100000c row is outside
+    assert(row.getAs[Long]("n_outliers") == 1L)
+    assert(row.getAs[Long]("n_kept") == 8L)
+  }
+
+  /** Events for the cohort test: u1 active weeks 0+1, u2 week 0 only,
+    * u3 first seen week 1. */
+  lazy val cohortDir: String = {
+    val d = Files.createTempDirectory("graft_cohort").toString
+    val wk = 604800000L // week in ms
+    Seq(
+      (1L, new Timestamp(1000L), 1L, "view", 1.0, "{}"),
+      (2L, new Timestamp(wk + 5), 1L, "view", 1.0, "{}"),
+      (3L, new Timestamp(2000L), 2L, "view", 1.0, "{}"),
+      (4L, new Timestamp(wk + 10), 3L, "view", 1.0, "{}"),
+      // duplicate activity in an already-counted week must not double-count
+      (5L, new Timestamp(3000L), 1L, "click", 2.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("cohortRetention: week cohorts, offsets, and exact per-mille") {
+    val rows = EventOps.cohortRetention(spark, cohortDir).collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset")) ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("cohort_users"),
+          r.getAs[Long]("retained_permille"))).toMap
+    assert(rows((0L, 0L)) == ((2L, 2L, 1000L)))
+    assert(rows((0L, 1L)) == ((1L, 2L, 500L)))
+    assert(rows((1L, 0L)) == ((1L, 1L, 1000L)))
+    assert(rows.size == 3)
+  }
+}
