@@ -1290,10 +1290,11 @@ object SparkEntry {
         |a AS (SELECT c.cohort_week, u.week - c.cohort_week AS week_offset,
         |    count(*) AS n_active
         |  FROM u JOIN c USING (user_id) GROUP BY 1, 2),
-        |s AS (SELECT cohort_week, n_active AS cohort_users FROM a WHERE week_offset = 0)
-        |SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_users,
-        |  (a.n_active*1000)//s.cohort_users AS retained_permille
-        |FROM a JOIN s USING (cohort_week)""".stripMargin,
+        |w AS (SELECT cohort_week, week_offset, n_active,
+        |    max(CASE WHEN week_offset = 0 THEN n_active END)
+        |      OVER (PARTITION BY cohort_week) AS cohort_users FROM a)
+        |SELECT cohort_week, week_offset, n_active, cohort_users,
+        |  (n_active*1000)//cohort_users AS retained_permille FROM w""".stripMargin,
     "q_data_profile" -> { // same single-aggregate-then-unpivot shape: min/
       // max computed on the typed (cents/µs) value, stringified after
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

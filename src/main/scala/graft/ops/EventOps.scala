@@ -238,26 +238,28 @@ object EventOps {
     * bounded by the corpus duration in weeks — a few hundred even for a
     * decade — so the aggregation row can never blow up the way a
     * per-event list would); the exploded (cohort, offset) pairs then
-    * aggregate on the cohort key. Cohort sizes fall out of the same
-    * user-level aggregate (offset 0 is the cohort by construction —
-    * every user is active in their own first week). */
+    * aggregate on the cohort key. Cohort sizes come from a window over
+    * the ALREADY-AGGREGATED matrix (offset 0 is the cohort by
+    * construction — every user is active in their own first week), not
+    * a self-join: no branch recomputes the user-level aggregate, and
+    * the window's exchange moves only matrix-sized data. */
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val WeekUs = 7L * 86400 * 1000000
-    val perUser = Tables.events(spark, dir)
+    val active = Tables.events(spark, dir)
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"),
         idiv(unix_micros(col("ts")), lit(WeekUs)).as("week"))
       .groupBy("user_id")
       .agg(min(col("week")).as("cohort_week"),
         collect_set(col("week")).as("weeks"))
-    val active = perUser
-      .select(col("user_id"), col("cohort_week"),
-        explode(col("weeks")).as("week"))
+      .select(col("cohort_week"), explode(col("weeks")).as("week"))
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_active"))
-    val sizes = active.filter(col("week_offset") === 0L)
-      .select(col("cohort_week"), col("n_active").as("cohort_users"))
-    active.join(sizes, "cohort_week")
+    active
+      .withColumn("cohort_users",
+        max(when(col("week_offset") === 0L, col("n_active")))
+          .over(Window.partitionBy("cohort_week")))
       .withColumn("retained_permille",
         idiv(col("n_active") * 1000, col("cohort_users")))
   }

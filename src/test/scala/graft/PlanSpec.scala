@@ -228,4 +228,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortAggregate"), s"agg fell back to sort:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q_histogram: one two-phase hash aggregate on the derived bin key") {
+    val plan = finalSection(finalPlan(
+      graft.ops.ProfileOps.priceHistogram(spark, TestSpark.Sf0001)))
+    val fresh = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+    assert(fresh == 1, s"expected exactly 1 required exchange, got $fresh:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("SortAggregate"), s"agg fell back to sort:\n$plan")
+  }
+
+  test("q_iqr_outliers: quartile windows and final aggregate share one exchange") {
+    val plan = finalSection(finalPlan(
+      graft.ops.ProfileOps.iqrOutliers(spark, TestSpark.Sf0001)))
+    // rank window, count window, two quartile-pick windows, and the
+    // outlier aggregate all cluster on event_type — exactly one shuffle
+    val fresh = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+    assert(fresh == 1, s"expected exactly 1 required exchange, got $fresh:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"fence check must not self-join the events:\n$plan")
+  }
+
+  test("q_cohort_retention: no self-join — cohort sizes come from a matrix window") {
+    val plan = finalSection(finalPlan(
+      graft.ops.EventOps.cohortRetention(spark, TestSpark.Sf0001)))
+    // user agg, (cohort, offset) agg, and the matrix-sized cohort window:
+    // three exchanges, none of them a join back onto the user aggregate
+    assert(!plan.contains("Join"), s"cohort sizes joined instead of windowed:\n$plan")
+    val fresh = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+    assert(fresh == 3, s"expected exactly 3 required exchanges, got $fresh:\n$plan")
+  }
+
+  test("q_data_profile: every column profiled off a single scan") {
+    val plan = finalSection(finalPlan(
+      graft.ops.ProfileOps.dataProfile(spark, TestSpark.Sf0001)))
+    // one aggregation pass over one FileScan; the exact distinct counts
+    // plan as an Expand (the documented cost of exactness)
+    assert("FileScan".r.findAllIn(plan).size == 1,
+      s"profile rescans the table per column:\n$plan")
+    assert(plan.contains("Expand"), plan)
+  }
 }
