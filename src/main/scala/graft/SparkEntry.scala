@@ -135,6 +135,9 @@ object SparkEntry {
     "q_data_profile"     -> ProfileOps.dataProfile _,
     "q_histogram"        -> ProfileOps.priceHistogram _,
     "q_iqr_outliers"     -> ProfileOps.iqrOutliers _,
+    "q_minmax_norm"      -> ProfileOps.minMaxNorm _,
+    "q_vocab_coverage"   -> TextOps.vocabCoverage _,
+    "q_lm_score"         -> TextOps.lmScore _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -1338,5 +1341,39 @@ object SparkEntry {
         |  FROM e JOIN q USING (event_type) GROUP BY 1, 2, 3, 4)
         |SELECT event_type, q1_cents, q3_cents, n, n_outliers,
         |  n - n_outliers AS n_kept FROM o""".stripMargin,
+    "q_minmax_norm" -> // (x-min)*1000 // (max-min) over cents, exact
+      """WITH e AS (SELECT event_id, event_type, CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |m AS (SELECT event_id, event_type, cents,
+        |    min(cents) OVER (PARTITION BY event_type) AS mn,
+        |    max(cents) OVER (PARTITION BY event_type) AS mx FROM e)
+        |SELECT event_id, event_type, cents,
+        |  CASE WHEN mx = mn THEN 0 ELSE ((cents-mn)*1000)//(mx-mn) END AS scaled_permille
+        |FROM m""".stripMargin,
+    "q_vocab_coverage" ->
+      s"""WITH w AS (SELECT unnest(string_split(text,' ')) AS word FROM documents
+        |  WHERE text IS NOT NULL),
+        |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM c),
+        |top AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT ${TextOps.VocabTopK}),
+        |r AS (SELECT word, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INTEGER) AS rank,
+        |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, word ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+        |  FROM top)
+        |SELECT word, cnt, total_tokens, rank, cum_cnt,
+        |  (cum_cnt*1000)//total_tokens AS coverage_permille FROM r, t""".stripMargin,
+    "q_lm_score" -> // pair identity is the md5 prefix in BOTH engines, so
+      // collisions (if any) collide identically
+      s"""WITH tt AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+        |  WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id, unnest([substr(md5(t[i] || ' ' || t[i+1]),1,15)
+        |    for i in generate_series(1, len(t)-1)]) AS ph FROM tt),
+        |c AS (SELECT ph, count(*) AS cnt FROM p GROUP BY 1),
+        |d AS (SELECT p.doc_id, count(*) AS n_pairs,
+        |    CAST(sum(CASE WHEN c.cnt >= ${TextOps.KnownPairMin} THEN 1 ELSE 0 END) AS BIGINT) AS n_known
+        |  FROM p JOIN c USING (ph) GROUP BY 1)
+        |SELECT doc_id, n_pairs, n_known, (n_known*1000)//n_pairs AS known_permille
+        |FROM d""".stripMargin,
   )
 }

@@ -82,6 +82,26 @@ object ProfileOps {
     * the quartile picks (max-over-partition windows on the same
     * partitioning), and the final aggregate — no self-join back onto
     * the events. */
+  /** Per-group min-max feature normalization to integer per-mille — the
+    * scaling pass a feature pipeline runs before training, kept exact:
+    * `(x − min) · 1000 // (max − min)` over cents (a constant group
+    * degenerates to 0). One exchange on event_type serves both extrema
+    * windows and the projection — the same single-shuffle discipline as
+    * [[iqrOutliers]]. */
+  def minMaxNorm(spark: SparkSession, dir: String): DataFrame = {
+    val part = Window.partitionBy("event_type")
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("cents"))
+      .withColumn("mn", min(col("cents")).over(part))
+      .withColumn("mx", max(col("cents")).over(part))
+      .withColumn("scaled_permille",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(idiv((col("cents") - col("mn")) * 1000, col("mx") - col("mn"))))
+      .select("event_id", "event_type", "cents", "scaled_permille")
+  }
+
   def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
     val part = Window.partitionBy("event_type")
     val w = part.orderBy(col("cents").asc)

@@ -375,6 +375,74 @@ object TextOps {
       .select(col("lang"), col("doc_id"), col("rank"))
   }
 
+  /** Vocabulary ranks kept by [[vocabCoverage]]. */
+  val VocabTopK = 20
+
+  /** Tokenizer-vocabulary coverage — the truncation analysis behind a
+    * vocab-size decision: the top-[[VocabTopK]] words by frequency with
+    * the CUMULATIVE per-mille of all corpus tokens a vocab cut at that
+    * rank would cover. The word counts are materialized once to process
+    * scratch (they feed both the top-k pick and the grand total — the
+    * shared-subtree rule); the cumulative window runs over the LIMITED
+    * top-k only, so its single partition holds a constant [[VocabTopK]]
+    * rows, never the vocabulary. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cntOut = graft.ingest.Materialize.processScratchDir(
+      s"graft_vocab_${java.lang.Integer.toHexString(dir.hashCode)}")
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(cntOut)
+    val counts = spark.read.parquet(cntOut)
+    val total = counts.agg(sum(col("cnt")).as("total_tokens"))
+    val w = Window.orderBy(col("cnt").desc, col("word").asc)
+    counts.orderBy(col("cnt").desc, col("word").asc).limit(VocabTopK)
+      .crossJoin(total) // 1-row total rides along
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_cnt", sum(col("cnt"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("coverage_permille",
+        idiv(col("cum_cnt") * 1000, col("total_tokens")))
+  }
+
+  /** Minimum corpus count for a bigram to be "known" in [[lmScore]]. */
+  val KnownPairMin = 2
+
+  /** Count-LM quality scoring — the doc-level application of the
+    * [[bigramNext]] statistics (a cheap perplexity proxy): per document,
+    * the share of adjacent word pairs that are corpus-frequent (count ≥
+    * [[KnownPairMin]]). A document whose transitions are mostly unseen
+    * is gibberish/OCR noise; one whose transitions are all corpus-common
+    * is boilerplate — both ends of `known_permille` are filter signals.
+    *
+    * Same distributed shape as [[DedupOps.substringDedup]] at window
+    * size 2: explode pairs (materialized once to scratch — they feed
+    * the corpus counts AND the join-back), hash-aggregate on the 60-bit
+    * numeric pair hash, shuffle join back, per-doc aggregate. Pair
+    * identity is the md5 prefix in BOTH engines, so hash collisions
+    * (if any) collide identically in the oracle. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val pairOut = graft.ingest.Materialize.processScratchDir(
+      s"graft_lmscore_${java.lang.Integer.toHexString(dir.hashCode)}")
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .withColumn("t", toks)
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t)-1), i -> " +
+          "cast(conv(substring(md5(concat(element_at(t,i), ' ', element_at(t,i+1))), 1, 15), 16, 10) AS BIGINT)) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END")).as("ph"))
+      .write.mode("overwrite").parquet(pairOut)
+    val pairs = spark.read.parquet(pairOut)
+    val byPair = pairs.groupBy("ph").agg(count(lit(1)).as("cnt"))
+    pairs.join(byPair, "ph")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cnt") >= KnownPairMin, 1L).otherwise(0L)).as("n_known"))
+      .withColumn("known_permille", idiv(col("n_known") * 1000, col("n_pairs")))
+  }
+
   /** Redaction / text-cleaning stage — the masking pass a corpus runs
     * before training (PII scrubbing is this exact shape with heavier
     * patterns): digit runs are replaced by a sentinel token, and the

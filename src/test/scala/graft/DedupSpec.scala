@@ -56,6 +56,30 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("vocabCoverage: rank order and cumulative coverage permille") {
+    // corpus totals 18 tokens over 10 words; alpha=4, beta=gamma=3 ...
+    val rows = TextOps.vocabCoverage(spark, dir).collect()
+      .map(r => r.getAs[Int]("rank") ->
+        (r.getAs[String]("word"), r.getAs[Long]("cnt"),
+          r.getAs[Long]("cum_cnt"), r.getAs[Long]("coverage_permille"))).toMap
+    assert(rows(1) == (("alpha", 4L, 4L, 222L)))   // 4000 // 18
+    assert(rows(2) == (("beta", 3L, 7L, 388L)))    // 7000 // 18
+    assert(rows(10)._3 == 18L)                     // full vocab covers all
+    assert(rows(10)._4 == 1000L)
+    assert(rows.size == 10)
+  }
+
+  test("lmScore: corpus-frequent transitions score, unseen ones don't") {
+    // "alpha beta" and "beta gamma" appear in docs 1 and 3 (cnt 2 ≥ min);
+    // every doc-2 and doc-4 pair is unique in the corpus
+    val rows = TextOps.lmScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(1L) == ((3L, 2L, 666L)))
+    assert(rows(2L) == ((4L, 0L, 0L)))
+    assert(rows(3L) == ((3L, 2L, 666L)))
+    assert(rows(4L) == ((4L, 0L, 0L)))
+  }
+
   test("dedupSurvivors: one kept doc per verified-jaccard cluster, quality argmax") {
     // own mini-corpus: 10↔11 share 3 of 5 shingles (J=0.6 ≥ 0.5); 12 is a
     // singleton. Kept doc: most tokens, ties to the smallest doc_id.

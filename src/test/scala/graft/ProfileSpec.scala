@@ -79,6 +79,15 @@ class ProfileSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_kept") == 8L)
   }
 
+  test("minMaxNorm: exact permille scaling, constant group degenerates to 0") {
+    val rows = ProfileOps.minMaxNorm(spark, iqrDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("scaled_permille")).toMap
+    // range [100c, 100000c]: (x-100)*1000 // 99900
+    assert(rows(1L) == 0L)     // the minimum
+    assert(rows(9L) == 1000L)  // the maximum
+    assert(rows(5L) == 4L)     // 400*1000 // 99900
+  }
+
   /** Events for the cohort test: u1 active weeks 0+1, u2 week 0 only,
     * u3 first seen week 1. */
   lazy val cohortDir: String = {
