@@ -136,6 +136,7 @@ object SparkEntry {
     "q_histogram"        -> ProfileOps.priceHistogram _,
     "q_iqr_outliers"     -> ProfileOps.iqrOutliers _,
     "q_minmax_norm"      -> ProfileOps.minMaxNorm _,
+    "q_bloom_filter"     -> ProfileOps.bloomFilter _,
     "q_vocab_coverage"   -> TextOps.vocabCoverage _,
     "q_lm_score"         -> TextOps.lmScore _,
   )
@@ -1341,6 +1342,38 @@ object SparkEntry {
         |  FROM e JOIN q USING (event_type) GROUP BY 1, 2, 3, 4)
         |SELECT event_type, q1_cents, q3_cents, n, n_outliers,
         |  n - n_outliers AS n_kept FROM o""".stripMargin,
+    "q_bloom_filter" -> { // md5-nibble bit positions: the ORACLE rebuilds
+      // the identical bitset, so build + probe are fully hash-gated
+      def nib(h: String, c: Int) =
+        s"(strpos('0123456789abcdef', substr($h, $c, 1))-1)"
+      def pos(j: Int, key: String) = {
+        val h = s"md5('$j:' || CAST($key AS VARCHAR))"
+        s"(((${nib(h, 1)})*256 + (${nib(h, 2)})*16 + (${nib(h, 3)})) % ${ProfileOps.BloomBits})"
+      }
+      val buildPos = (0 until ProfileOps.BloomHashes).map(j => pos(j, "key")).mkString(", ")
+      val probeHit = (0 until ProfileOps.BloomHashes)
+        .map(j => s"list_contains(b.bloom, ${pos(j, "pkey")})").mkString(" AND ")
+      s"""WITH m AS (SELECT c_nationkey AS nationkey, c_custkey AS key FROM customer
+         |  WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL),
+         |bloomt AS (SELECT nationkey, list_sort(list(DISTINCT pos)) AS bloom
+         |  FROM (SELECT nationkey, unnest([$buildPos]) AS pos FROM m) GROUP BY 1),
+         |cnts AS (SELECT nationkey, count(DISTINCT key) AS n_members FROM m GROUP BY 1),
+         |p AS (SELECT s_nationkey AS nationkey, s_suppkey AS pkey FROM supplier
+         |  WHERE s_suppkey IS NOT NULL AND s_nationkey IS NOT NULL),
+         |ph AS (SELECT p.nationkey, p.pkey, ($probeHit) AS hit
+         |  FROM p JOIN bloomt b USING (nationkey)),
+         |tm AS (SELECT DISTINCT nationkey, key FROM m),
+         |pj AS (SELECT ph.nationkey, ph.hit, (tm.key IS NOT NULL) AS member
+         |  FROM ph LEFT JOIN tm ON ph.nationkey = tm.nationkey AND ph.pkey = tm.key),
+         |g AS (SELECT nationkey, count(*) AS n_probes,
+         |    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+         |    CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_true_members,
+         |    CAST(sum(CASE WHEN member AND NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+         |  FROM pj GROUP BY 1)
+         |SELECT g.nationkey, g.n_probes, g.n_bloom_hits, g.n_true_members, g.n_missed,
+         |  CAST(len(b.bloom) AS BIGINT) AS n_bits_set, c.n_members
+         |FROM g JOIN bloomt b USING (nationkey) JOIN cnts c USING (nationkey)""".stripMargin
+    },
     "q_minmax_norm" -> // (x-min)*1000 // (max-min) over cents, exact
       """WITH e AS (SELECT event_id, event_type, CAST(round(value*100) AS BIGINT) AS cents
         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,6 +82,66 @@ object ProfileOps {
     * the quartile picks (max-over-partition windows on the same
     * partitioning), and the final aggregate — no self-join back onto
     * the events. */
+  /** Bloom filter geometry: m bits, k hash functions. */
+  val BloomBits = 1024
+  val BloomHashes = 4
+
+  /** Hash j's bit position for a key: the first 3 hex chars of
+    * `md5("j:key")` mod [[BloomBits]] — reproducible nibble-for-nibble
+    * in the oracle, unlike xxhash/murmur. */
+  private def bloomPos(key: Column, j: Int): Column =
+    conv(substring(md5(concat(lit(s"$j:"), key.cast("string"))), 1, 3), 16, 10)
+      .cast("long") % BloomBits
+
+  /** Bloom-filter build + probe — the fourth sketch family (after HLL,
+    * GK and CMS) and the only one whose every bit is hard-oracled: each
+    * nation's customer-key set builds an m=[[BloomBits]],
+    * k=[[BloomHashes]] filter (md5-derived positions, so DuckDB
+    * reconstructs the identical bitset), then the supplier keys of the
+    * same nation probe it. Emits per nation: probe count, bloom hits,
+    * exact true members, `n_missed` (members the bloom rejected — MUST
+    * be 0, the no-false-negatives guarantee; a broken build/probe flips
+    * it and fails the hash gate), set-bit count, and member count.
+    *
+    * Scale shape: the filter is a `collect_set` of bit positions whose
+    * aggregation row is bounded by m (ints), NEVER by member count —
+    * the point of a bloom; the filter table (groups × ≤m ints) then
+    * BROADCASTS, so probing is map-side — the pre-join row-prune
+    * pattern (Spark's own runtime bloom join is PlanSpec-pinned; this
+    * is the explicit, persistable form a pipeline keys by tenant). */
+  def bloomFilter(spark: SparkSession, dir: String): DataFrame = {
+    val members = Tables.customer(spark, dir)
+      .filter(col("c_custkey").isNotNull && col("c_nationkey").isNotNull)
+      .select(col("c_nationkey").as("nationkey"), col("c_custkey").as("key"))
+    val bloom = members
+      .select(col("nationkey"), explode(array(
+        (0 until BloomHashes).map(j => bloomPos(col("key"), j)): _*)).as("pos"))
+      .groupBy("nationkey")
+      .agg(sort_array(collect_set(col("pos"))).as("bloom"))
+    val counts = members.groupBy("nationkey")
+      .agg(countDistinct(col("key")).as("n_members"))
+    val probes = Tables.supplier(spark, dir)
+      .filter(col("s_suppkey").isNotNull && col("s_nationkey").isNotNull)
+      .select(col("s_nationkey").as("nationkey"), col("s_suppkey").as("pkey"))
+    val hit = (0 until BloomHashes)
+      .map(j => array_contains(col("bloom"), bloomPos(col("pkey"), j)))
+      .reduce(_ && _)
+    val truth = members.distinct()
+      .select(col("nationkey"), col("key").as("pkey"), lit(true).as("is_member"))
+    probes
+      .join(broadcast(bloom), Seq("nationkey"))
+      .withColumn("hit", hit)
+      .join(truth, Seq("nationkey", "pkey"), "left")
+      .withColumn("member", coalesce(col("is_member"), lit(false)))
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(when(col("member"), 1L).otherwise(0L)).as("n_true_members"),
+        sum(when(col("member") && !col("hit"), 1L).otherwise(0L)).as("n_missed"),
+        max(size(col("bloom"))).cast("long").as("n_bits_set"))
+      .join(broadcast(counts), "nationkey")
+  }
+
   /** Per-group min-max feature normalization to integer per-mille — the
     * scaling pass a feature pipeline runs before training, kept exact:
     * `(x − min) · 1000 // (max − min)` over cents (a constant group

@@ -79,6 +79,25 @@ class ProfileSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_kept") == 8L)
   }
 
+  test("bloomFilter: no false negatives, bounded bits, exact member counts") {
+    val d = Files.createTempDirectory("graft_bloom").toString
+    Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 2L))
+      .toDF("c_custkey", "c_nationkey").write.parquet(s"$d/customer.parquet")
+    Seq((1L, 1L), (99L, 1L), (10L, 2L))
+      .toDF("s_suppkey", "s_nationkey").write.parquet(s"$d/supplier.parquet")
+    val rows = ProfileOps.bloomFilter(spark, d).collect()
+      .map(r => r.getAs[Long]("nationkey") ->
+        (r.getAs[Long]("n_probes"), r.getAs[Long]("n_bloom_hits"),
+          r.getAs[Long]("n_true_members"), r.getAs[Long]("n_missed"),
+          r.getAs[Long]("n_bits_set"), r.getAs[Long]("n_members"))).toMap
+    val (p1, h1, t1, miss1, bits1, m1) = rows(1L)
+    assert((p1, t1, miss1, m1) == ((2L, 1L, 0L, 3L)))
+    assert(h1 >= t1 && h1 <= p1) // member always hits; 99 may false-positive
+    assert(bits1 <= 3L * ProfileOps.BloomHashes && bits1 >= 1L)
+    val (p2, h2, t2, miss2, _, m2) = rows(2L)
+    assert((p2, h2, t2, miss2, m2) == ((1L, 1L, 1L, 0L, 1L)))
+  }
+
   test("minMaxNorm: exact permille scaling, constant group degenerates to 0") {
     val rows = ProfileOps.minMaxNorm(spark, iqrDir).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("scaled_permille")).toMap
