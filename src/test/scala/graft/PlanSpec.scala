@@ -259,6 +259,12 @@ class PlanSpec extends AnyFunSuite {
     assert(fresh == 3, s"expected exactly 3 required exchanges, got $fresh:\n$plan")
   }
 
+  test("q_bloom_filter: filter table broadcasts — probing never shuffles the probe side") {
+    val plan = finalPlan(graft.ops.ProfileOps.bloomFilter(spark, TestSpark.Sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"bloom probe shuffled:\n$plan")
+  }
+
   test("q_data_profile: every column profiled off a single scan") {
     val plan = finalSection(finalPlan(
       graft.ops.ProfileOps.dataProfile(spark, TestSpark.Sf0001)))
