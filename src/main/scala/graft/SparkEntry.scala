@@ -137,6 +137,7 @@ object SparkEntry {
     "q_iqr_outliers"     -> ProfileOps.iqrOutliers _,
     "q_minmax_norm"      -> ProfileOps.minMaxNorm _,
     "q_bloom_filter"     -> ProfileOps.bloomFilter _,
+    "q_drift_profile"    -> ProfileOps.driftProfile _,
     "q_vocab_coverage"   -> TextOps.vocabCoverage _,
     "q_lm_score"         -> TextOps.lmScore _,
   )
@@ -1373,6 +1374,24 @@ object SparkEntry {
          |SELECT g.nationkey, g.n_probes, g.n_bloom_hits, g.n_true_members, g.n_missed,
          |  CAST(len(b.bloom) AS BIGINT) AS n_bits_set, c.n_members
          |FROM g JOIN bloomt b USING (nationkey) JOIN cnts c USING (nationkey)""".stripMargin
+    },
+    "q_drift_profile" -> { // two time halves profiled in one pass; the
+      // midpoint split is the same (min+max)//2 the streaming oracles use
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice_c", "o_orderdate_us", "o_orderpriority")
+      val aggs = cols.map(c =>
+        s"count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c").mkString(", ")
+      val rows = cols.map(c =>
+        s"SELECT half, '$c' AS col_name, n_rows, nn_$c AS n_nonnull, nd_$c AS n_distinct, " +
+          s"((n_rows - nn_$c)*1000)//n_rows AS null_permille FROM a")
+        .mkString("\n", "\nUNION ALL ", "")
+      s"""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+         |    CAST(round(o_totalprice*100) AS BIGINT) AS o_totalprice_c,
+         |    epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority FROM orders),
+         |b AS (SELECT (min(o_orderdate_us) + max(o_orderdate_us))//2 AS split_us FROM o),
+         |h AS (SELECT o.*, CASE WHEN o_orderdate_us <= b.split_us THEN 'a' ELSE 'b' END AS half
+         |  FROM o, b),
+         |a AS (SELECT half, count(*) AS n_rows, $aggs FROM h GROUP BY 1)$rows""".stripMargin
     },
     "q_minmax_norm" -> // (x-min)*1000 // (max-min) over cents, exact
       """WITH e AS (SELECT event_id, event_type, CAST(round(value*100) AS BIGINT) AS cents

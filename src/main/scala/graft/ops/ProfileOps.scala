@@ -51,6 +51,42 @@ object ProfileOps {
           ") AS (col_name, n_nonnull, n_null, n_distinct, min_str, max_str)"))
   }
 
+  /** Distribution-drift profile — the run-over-run monitoring a pipeline
+    * diffs to catch schema rot and null floods BEFORE a bad batch trains:
+    * the table splits at the integer midpoint of its time range (the
+    * same `(min+max) div 2` discipline as the streaming harness — a
+    * 1-row bounds aggregate rides along as a literal, nothing collects)
+    * and ONE aggregation pass profiles every column per half; rows with
+    * no timestamp land in the recent half. Emits per (column, half):
+    * row/non-null/distinct counts and the null rate in per-mille — the
+    * two-row-per-column table a drift alert thresholds.
+    *
+    * Same single-scan + `stack` shape as [[dataProfile]], with the same
+    * documented Expand cost for exact distincts. */
+  def driftProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      cents(col("o_totalprice")).as("o_totalprice_c"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+      col("o_orderpriority"))
+    val bounds = o.agg(
+      expr("(min(o_orderdate_us) + max(o_orderdate_us)) div 2").as("split_us"))
+    val halved = o.crossJoin(bounds)
+      .withColumn("half",
+        when(col("o_orderdate_us") <= col("split_us"), lit("a")).otherwise(lit("b")))
+    val cols = o.columns.toSeq
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"))) :+ count(lit(1)).as("n_rows")
+    halved.groupBy("half").agg(aggs.head, aggs.tail: _*)
+      .select(col("half"), expr(
+        s"stack(${cols.length}, " + cols.map(c =>
+          s"'$c', n_rows, nn_$c, nd_$c").mkString(", ") +
+          ") AS (col_name, n_rows, n_nonnull, n_distinct)"))
+      .withColumn("null_permille",
+        idiv((col("n_rows") - col("n_nonnull")) * 1000, col("n_rows")))
+  }
+
   /** Histogram bin width: $50k of order value in cents. */
   val HistBinCents = 5000000L
 

@@ -79,6 +79,18 @@ class ProfileSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_kept") == 8L)
   }
 
+  test("driftProfile: per-half completeness and cardinality, null dates land in half b") {
+    // split = mid-January: orders 1,3 (Jan) → half a; 2,5 (Feb) + the
+    // null-date order 4 → half b
+    val rows = ProfileOps.driftProfile(spark, ordersDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows(("a", "o_custkey")) == ((2L, 1L, 1L, 500L)))   // order 3's null custkey
+    assert(rows(("b", "o_custkey")) == ((3L, 3L, 3L, 0L)))
+    assert(rows(("b", "o_orderdate_us")) == ((3L, 2L, 1L, 333L))) // the null date itself
+    assert(rows.size == 12)
+  }
+
   test("bloomFilter: no false negatives, bounded bits, exact member counts") {
     val d = Files.createTempDirectory("graft_bloom").toString
     Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 2L))
