@@ -67,6 +67,7 @@ object SparkEntry {
     "q_multimodal_meta"  -> MultimodalOps.mediaMeta _,
     "q_multimodal_thumb" -> MultimodalOps.mediaThumbs _,
     "q_phash_neardup"    -> MultimodalOps.phashNearDup _,
+    "q_frame_sample"     -> MultimodalOps.frameSample _,
     "q_lang_id"          -> TextOps.langId _,
     "q_asof_join"        -> EventOps.asofLastOrder _,
     "q_approx_distinct"  -> EventOps.approxDistinct _,
@@ -1375,6 +1376,16 @@ object SparkEntry {
          |  CAST(len(b.bloom) AS BIGINT) AS n_bits_set, c.n_members
          |FROM g JOIN bloomt b USING (nationkey) JOIN cnts c USING (nationkey)""".stripMargin
     },
+    "q_frame_sample" -> // frames PARSED from the acTL chunk Spark-side;
+      // the oracle derives the same count from the generator formula
+      // (parsed ≡ derived is MultimodalSpec's contradiction-proof), and
+      // the frame fingerprint is the documented deterministic stub
+      s"""WITH m AS (SELECT doc_id, 1 + octet_length(encode(text)) % 8 AS frames
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT doc_id, unnest(generate_series(0, frames - 1, ${MultimodalOps.FrameStep})) AS frame_idx
+        |  FROM m)
+        |SELECT doc_id, frame_idx, md5(doc_id || ':' || frame_idx) AS frame_fp
+        |FROM f""".stripMargin,
     "q_drift_profile" -> { // two time halves profiled in one pass; the
       // midpoint split is the same (min+max)//2 the streaming oracles use
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

@@ -195,6 +195,29 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** Every [[FrameStep]]-th frame is kept by [[frameSample]]. */
+  val FrameStep = 2
+
+  /** Frame-sampling stage — the video/animation analog of row sampling:
+    * each media document's PARSED frame count (the real `acTL` chunk
+    * walk behind [[mediaMeta]], parsed-not-derived per MultimodalSpec)
+    * fans out to the sampled frame indices `0, step, 2·step, …` a
+    * training loader would extract. The per-frame content hash is a
+    * CLEARLY-DOCUMENTED deterministic stub (`md5("doc:idx")`): the
+    * harness payloads are single-raster APNGs, so there is no per-frame
+    * raster to decode — a real deployment swaps the stub for a frame
+    * decode inside the same `explode` plumbing, which is the part that
+    * has to scale (fan-out is map-side, no shuffle at all; the codec
+    * cost rides the source partitioning like the other media ops). */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    mediaMeta(spark, dir)
+      .select(col("doc_id"),
+        // long-typed sequence (a cast AROUND explode won't plan)
+        explode(expr("sequence(CAST(0 AS BIGINT), CAST(frames - 1 AS BIGINT), " +
+          s"CAST($FrameStep AS BIGINT))")).as("frame_idx"))
+      .withColumn("frame_fp", md5(concat(
+        col("doc_id").cast("string"), lit(":"), col("frame_idx").cast("string"))))
+
   private def le2(v: Int): Array[Byte] =
     Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
   private def le4(v: Int): Array[Byte] =

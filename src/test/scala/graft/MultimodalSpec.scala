@@ -103,6 +103,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.count() == 500)
   }
 
+  test("frameSample: every FrameStep-th frame of the PARSED count, nothing else") {
+    import org.apache.spark.sql.functions.col
+    val meta = MultimodalOps.mediaMeta(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("frames")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sampled = MultimodalOps.frameSample(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = sampled.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byDoc.keySet == meta.keySet)
+    byDoc.foreach { case (id, idxs) =>
+      assert(idxs == (0L until meta(id).toLong by MultimodalOps.FrameStep.toLong).toSeq,
+        s"doc $id: sampled $idxs from ${meta(id)} frames")
+    }
+  }
+
   /** A VALID WAV whose header CONTRADICTS the length formulas — if the
     * decoder derived the format from the payload length instead of
     * parsing the RIFF header, these assertions would fail. */
