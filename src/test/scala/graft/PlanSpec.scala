@@ -265,13 +265,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"bloom probe shuffled:\n$plan")
   }
 
-  test("q_data_profile: every column profiled off a single scan") {
+  test("q_data_profile: two bounded passes, no sort of the expanded table") {
     val plan = finalSection(finalPlan(
       graft.ops.ProfileOps.dataProfile(spark, TestSpark.Sf0001)))
-    // one aggregation pass over one FileScan; the exact distinct counts
-    // plan as an Expand (the documented cost of exactness)
-    assert("FileScan".r.findAllIn(plan).size == 1,
-      s"profile rescans the table per column:\n$plan")
+    // one pass per buffer type (distinct counts + min/max fold), never
+    // one per column; the exact distincts still plan as Expand, and
+    // splitting them from the string-buffered fold keeps the whole
+    // query sortless (fused, the SortAggregate would sort the
+    // 7×-expanded table — the regression this pins against)
+    assert("FileScan".r.findAllIn(plan).size == 2,
+      s"expected exactly the two profile passes:\n$plan")
     assert(plan.contains("Expand"), plan)
+    assert(!plan.contains("Sort ["), s"profile sorted a corpus-sized input:\n$plan")
   }
 }
