@@ -141,6 +141,12 @@ object SparkEntry {
     "q_drift_profile"    -> ProfileOps.driftProfile _,
     "q_vocab_coverage"   -> TextOps.vocabCoverage _,
     "q_lm_score"         -> TextOps.lmScore _,
+    "q_decontam"         -> DedupOps.decontaminate _,
+    "q_ewma"             -> EventOps.ewmaPerUser _,
+    "q_transitions"      -> EventOps.transitionCounts _,
+    "q_incr_agg"         -> Materialize.incrementalAggRefresh _,
+    "q_compact_files"    -> Materialize.compactRoundTrip _,
+    "q_stream_lojoin"    -> graft.streaming.StreamOps.leftOuterJoinStreamed _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -1438,5 +1444,75 @@ object SparkEntry {
         |  FROM p JOIN c USING (ph) GROUP BY 1)
         |SELECT doc_id, n_pairs, n_known, (n_known*1000)//n_pairs AS known_permille
         |FROM d""".stripMargin,
+    "q_decontam" -> { // eval set = every DecontamModulus-th doc_id; a train
+      // doc sharing any K-token window hash with it is contaminated
+      val k = DedupOps.SubstrWindow
+      val m = DedupOps.DecontamModulus
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |w AS (SELECT doc_id, list_distinct(
+        |    [substr(md5(array_to_string(t[i:i+${k - 1}], ' ')),1,15)
+        |     for i in generate_series(1, len(t)-${k - 1})]) AS ws FROM d),
+        |e AS (SELECT doc_id, unnest(ws) AS wh FROM w),
+        |ev AS (SELECT DISTINCT wh FROM e WHERE doc_id % $m = 0),
+        |tr AS (SELECT doc_id, wh FROM e WHERE doc_id % $m != 0)
+        |SELECT tr.doc_id, count(*) AS n_win,
+        |  CAST(sum(CASE WHEN ev.wh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(CAST(sum(CASE WHEN ev.wh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)*1000
+        |    // count(*) AS BIGINT) AS contam_permille
+        |FROM tr LEFT JOIN ev ON tr.wh = ev.wh
+        |GROUP BY 1
+        |HAVING CAST(sum(CASE WHEN ev.wh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) > 0""".stripMargin
+    },
+    "q_ewma" -> // the recursive CTE states the sequential fold directly:
+      // rn → rn+1, s := (s + c) // 2, exactly Spark's aggregate() HOF
+      """WITH RECURSIVE t AS (SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    CAST(round(value*100) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL AND value >= 0),
+        |r AS (
+        |  SELECT user_id, rn, c AS s FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.user_id, t.rn, (r.s + t.c) // 2 FROM r JOIN t
+        |    ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+        |SELECT r.user_id, r.rn AS n_events, r.s AS ewma_cents
+        |FROM r JOIN (SELECT user_id, max(rn) AS mr FROM r GROUP BY 1) m
+        |  ON r.user_id = m.user_id AND r.rn = m.mr""".stripMargin,
+    "q_transitions" -> // tail events (lead = NULL) drop in both engines
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_id IS NOT NULL AND event_type IS NOT NULL)
+        |SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        |FROM s WHERE next_type IS NOT NULL GROUP BY 1,2""".stripMargin,
+    "q_incr_agg" -> // maintenance must be result-invisible: the oracle is
+      // the FULL-table aggregate the merged partials must reproduce
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  max(CAST(round(value*100) AS BIGINT)) AS max_cents
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_compact_files" -> // a layout operator is value-invisible: the oracle
+      // aggregates the ORIGINAL table
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |  min(epoch_us(ts)) AS min_ts_us,
+        |  max(epoch_us(ts)) AS max_ts_us
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_stream_lojoin" -> // left outer: unmatched clicks null-pad exactly
+      // once after the watermark proves no purchase can still arrive
+      """WITH e AS (SELECT * FROM events
+        |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL AND value IS NOT NULL),
+        |c AS (SELECT user_id, ts AS c_ts, event_id AS click_id FROM e
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, purchase_id,
+        |  epoch_us(c_ts) AS c_ts_us, epoch_us(p_ts) AS p_ts_us
+        |FROM c LEFT JOIN p ON c.user_id = p.p_user
+        |  AND p_ts BETWEEN c_ts AND c_ts + INTERVAL 1 HOUR""".stripMargin,
   )
 }

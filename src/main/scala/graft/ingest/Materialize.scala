@@ -196,6 +196,78 @@ object Materialize {
         countDistinct(col("l_orderkey")).as("n_orders"))
   }
 
+  /** Merge rule for the event-type aggregate MV: partials from the
+    * stored view and a fresh delta combine by their aggregates' own
+    * merge functions (count → sum, sum → sum, max → max) — the
+    * algebraic-aggregate property that makes incremental maintenance
+    * sound. Kept public so maintenance can run cycle after cycle
+    * (IngestSpec drives two refresh cycles against a full recompute). */
+  def mergeAggPartials(mv: DataFrame, delta: DataFrame): DataFrame =
+    mv.unionByName(delta)
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_cents")).as("sum_cents"),
+        max(col("max_cents")).as("max_cents"))
+
+  /** Incremental MATERIALIZED-VIEW refresh — the maintenance operator
+    * that keeps a standing aggregate current without recomputing it:
+    * the stored view holds per-event_type partials over the base half
+    * of the table (split at the integer time midpoint, the
+    * `(min+max) div 2` discipline; null-timestamp rows ride the delta),
+    * and a refresh aggregates ONLY the delta and merges it in via
+    * [[mergeAggPartials]]. Refresh cost is O(delta) + O(|view|) — at
+    * 100 TB the difference between re-scanning the table per refresh
+    * and touching just the new partition. The oracle is the full-table
+    * aggregate: maintenance must be result-invisible. */
+  def incrementalAggRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val evs = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        graft.functions.Exact.cents(col("value")).as("c"))
+    val bounds = evs.agg(
+      expr("(min(ts_us) + max(ts_us)) div 2").as("split_us"))
+    val halved = evs.crossJoin(bounds)
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_cents"),
+        max(col("c")).as("max_cents"))
+    val mv = processScratchDir(
+      s"graft_mv_evagg_${java.lang.Integer.toHexString(dir.hashCode)}")
+    partials(halved.filter(col("ts_us") <= col("split_us")))
+      .write.mode("overwrite").parquet(mv)
+    mergeAggPartials(spark.read.parquet(mv),
+      partials(halved.filter(col("ts_us") > col("split_us") || col("ts_us").isNull)))
+  }
+
+  /** Small-file COMPACTION round trip — the lake-maintenance operator
+    * that rescues a landing zone from death-by-tiny-files: events
+    * scattered across 64 round-robin part files are rewritten as ≤ 8
+    * range-partitioned files SORTED by event time, so every compacted
+    * file carries a disjoint ts envelope (parquet min/max stats turn
+    * time filters into file skips — at 100 TB the scan economics of a
+    * time-series table live or die on this layout). A layout operator
+    * must be value-invisible, so the oracle aggregates the ORIGINAL
+    * table; IngestSpec proves the file count drops 64 → ≤ 8 and the
+    * per-file envelopes are pairwise disjoint. */
+  def compactRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val hex = java.lang.Integer.toHexString(dir.hashCode)
+    val scatter = processScratchDir(s"graft_scatter_ev_$hex")
+    val compact = processScratchDir(s"graft_compact_ev_$hex")
+    graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(scatter)
+    spark.read.parquet(scatter)
+      .repartitionByRange(8, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(compact)
+    spark.read.parquet(compact)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.Exact.cents(col("value"))).as("value_cents"),
+        min(unix_micros(col("ts"))).as("min_ts_us"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+  }
+
   /** 16-bit Morton (Z-order) code of two 8-bit dimension buckets — the
     * multi-dimensional clustering key: sorting by z keeps BOTH source
     * dimensions range-bounded within every file, which is what makes

@@ -490,6 +490,52 @@ object DedupOps {
         graft.functions.Exact.idiv(col("n_dup_win") * 1000, col("n_win")))
   }
 
+  /** Every [[DecontamModulus]]-th doc_id forms the held-out eval set —
+    * a deterministic stand-in for the benchmark suite a real pipeline
+    * loads from a manifest (both engines derive the identical split). */
+  val DecontamModulus = 7
+
+  /** Benchmark DECONTAMINATION — the training-pipeline gate that keeps
+    * eval data out of the training corpus (the n-gram overlap check of
+    * GPT-3 appendix C / PaLM §6.1, at [[SubstrWindow]]-token
+    * granularity): a training doc sharing any K-token window with an
+    * eval-set doc is flagged with its overlap count and per-mille, the
+    * signal thresholded to drop or quarantine the doc.
+    *
+    * Scale shape: the eval side is benchmark-sized — tiny relative to
+    * the corpus BY CONSTRUCTION — so its distinct window hashes
+    * BROADCAST, and the corpus side stays one map-only shingle fan-out
+    * + broadcast probe + per-doc hash aggregate: ZERO shuffles of
+    * corpus-sized data (the per-doc aggregate partials combine
+    * map-side). Window hashes are the same 60-bit md5 prefixes as
+    * [[substringDedup]], so the probe is a long-equality hash lookup.
+    * Output is bounded by contaminated docs only. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val K = SubstrWindow
+    val terms = (0 until K).map(j => s"element_at(t, i + $j)").mkString(", ")
+    // per-doc DISTINCT window hashes (multiplicity is dedup's concern,
+    // not decontamination's), <K-token docs have no windows
+    def windows(docs: DataFrame): DataFrame = docs
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(t) >= $K THEN array_distinct(transform(" +
+          s"sequence(1, size(t) - ${K - 1}), " +
+          s"i -> cast(conv(substring(md5(concat_ws(' ', $terms)), 1, 15), 16, 10) AS BIGINT))) " +
+          "ELSE array() END")).as("wh"))
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+    val evalWh = windows(docs.filter(col("doc_id") % DecontamModulus === 0))
+      .select(col("wh"), lit(1L).as("hit")).distinct()
+    windows(docs.filter(col("doc_id") % DecontamModulus =!= 0))
+      .join(broadcast(evalWh), Seq("wh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_win"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .withColumn("contam_permille",
+        graft.functions.Exact.idiv(col("n_hits") * 1000, col("n_win")))
+  }
+
   /** 16-bit SimHash per document from md5 nibbles: for bit b, every
     * distinct token votes ±1 with bit b of its md5's first 16 bits; the
     * sign of the vote sum sets the bit. One explode + one groupBy —

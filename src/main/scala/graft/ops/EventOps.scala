@@ -401,4 +401,58 @@ object EventOps {
         count(lit(1)).over(w).as("n_1h"),
         sum(col("v")).over(w).as("cents_1h"))
   }
+
+  /** Exponentially-weighted moving average per user — the sequential
+    * per-key FOLD family (smoothing, decay features) that no window
+    * frame can express: each step depends on the previous step's
+    * output, `s := (s + x) div 2` (α = 1/2 kept in exact integer cents,
+    * so both engines truncate identically instead of accumulating FP
+    * error). Spark shape: ONE hash shuffle on user_id collects each
+    * user's (ts, event_id, cents) triples, `array_sort` orders them by
+    * event time (event_id breaks ts ties), and the `aggregate` HOF runs
+    * the fold as codegen'd array work — no UDF, no driver path. Per-key
+    * state is the user's own event list, the irreducible working set of
+    * any order-dependent fold (the same bound mapGroupsWithState carries
+    * in streaming); keys are independent, so 1000 executors each fold
+    * their own users. Oracle: a recursive CTE stepping rn → rn+1 — the
+    * sequential semantics stated directly. Only the FINAL smoothed value
+    * per user is emitted (output is key-bounded, never event-bounded).
+    * Negative-value rows are excluded up front: keeping cents ≥ 0 makes
+    * Spark's `div` and DuckDB's `//` (both truncate toward zero) agree
+    * with floor division, removing the one operand regime where integral
+    * division semantics could drift. */
+  def ewmaPerUser(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_id").isNotNull && col("value").isNotNull && col("value") >= 0)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id"),
+          cents(col("value")).as("c")).as("s"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(col("s"))).as("xs"))
+      .select(col("user_id"), size(col("xs")).cast("long").as("n_events"),
+        // -1 sentinel = "no previous state"; first element seeds the fold
+        expr("aggregate(xs, CAST(-1 AS BIGINT)," +
+          " (acc, x) -> IF(acc < 0, x.c, (acc + x.c) div 2))").as("ewma_cents"))
+
+  /** First-order Markov transitions over user event sequences — the
+    * user-journey / sequence-mining shape (what follows a click?): for
+    * each user's time-ordered stream, count (event_type → next
+    * event_type) pairs corpus-wide. One shuffle partitions by user, the
+    * `lead` window walks each sequence in place, and the transition
+    * aggregate is map-side combinable over a |types|² -bounded result.
+    * Tail events (no successor) are the row the lead drops in both
+    * engines. */
+  def transitionCounts(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -491,6 +491,47 @@ object StreamOps {
         unix_micros(col("c_ts")).as("c_ts_us"))
   }
 
+  /** STREAM-STREAM LEFT OUTER interval join under the engine — the
+    * missing-match side of [[intervalJoinStreamed]]: every click emits,
+    * paired with the purchases in the hour AFTER it, or null-padded
+    * once the watermark proves no purchase can still arrive (the
+    * engine holds an unmatched click in state until the global
+    * watermark passes `c_ts + 1h`, then emits it with nulls exactly
+    * once — the outer-join contract append mode adds on top of the
+    * inner join's state story). Both sources carry far-future sentinel
+    * rows (1-row aggregates, no driver-made data): the global watermark
+    * is the MIN across sources, so both must advance for the tail
+    * clicks' null rows to flush; the sentinels pair with each other
+    * (same ts, same -1 user) and are filtered by user_id sign. Oracle:
+    * the batch LEFT JOIN with the same interval predicate. */
+  def leftOuterJoinStreamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(parent)
+    val evs = completeEvents(spark, dir)
+    val (b1, b2) = timeSplit(evs)
+    def side(b: DataFrame, t: String): DataFrame =
+      b.filter(col("event_type") === t)
+    runFileStreams(spark, evs.schema, "graft_stream_lojoin_sink",
+      OutputMode.Append(),
+      Seq(Seq(side(b1, "click"), side(b2, "click").union(sentinel(evs, -1L, 30)),
+          sentinel(evs, -3L, 31)),
+        Seq(side(b1, "purchase"), side(b2, "purchase").union(sentinel(evs, -2L, 30)),
+          sentinel(evs, -4L, 31)))) { srcs =>
+      val c = srcs(0).withWatermark("ts", "1 hour")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      val p = srcs(1).withWatermark("ts", "1 hour")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      c.join(p, expr(
+        "c_user = p_user AND p_ts BETWEEN c_ts AND c_ts + INTERVAL 1 HOUR"),
+        "left_outer")
+    }
+      .filter(col("c_user") >= 0) // the sentinels' own (matched) pairs
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        unix_micros(col("c_ts")).as("c_ts_us"),
+        unix_micros(col("p_ts")).as("p_ts_us"))
+  }
+
   /** STREAM-STATIC JOIN under the engine: the event stream broadcast-
     * joins a static dim (customer → nation name, planned fresh each
     * micro-batch — the stream-static contract) before the windowed

@@ -356,4 +356,29 @@ class DedupSpec extends AnyFunSuite {
     // df counts ALL 12 docs; the posting list stops at the cap
     assert(out("hot") == ((12L, (1 to 10).mkString(","))))
   }
+
+  test("decontaminate flags exactly the train docs sharing a K-token window with the eval set") {
+    import org.apache.spark.sql.functions._
+    val m = DedupOps.DecontamModulus
+    val flagged = DedupOps.decontaminate(spark, TestSpark.Sf0001).collect()
+    assert(flagged.nonEmpty, "no contamination signal in the corpus")
+    assert(flagged.forall(r => r.getLong(r.fieldIndex("doc_id")) % m != 0),
+      "an eval doc flagged itself")
+    // independent recomputation on RAW token windows — no hashing, so a
+    // (hypothetical) md5 collision in the shipped path would surface here
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    def wins(t: Seq[String]): Set[String] =
+      if (t.length < DedupOps.SubstrWindow) Set.empty
+      else t.sliding(DedupOps.SubstrWindow).map(_.mkString(" ")).toSet
+    val evalWins = docs.filter(_._1 % m == 0).flatMap(d => wins(d._2)).toSet
+    val expect = docs.filter(_._1 % m != 0)
+      .map { case (id, t) => id -> wins(t).count(evalWins).toLong }
+      .filter(_._2 > 0).toMap
+    val got = flagged.map(r =>
+      r.getLong(r.fieldIndex("doc_id")) -> r.getLong(r.fieldIndex("n_hits"))).toMap
+    assert(got == expect)
+  }
 }

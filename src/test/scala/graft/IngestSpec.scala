@@ -158,4 +158,48 @@ class IngestSpec extends AnyFunSuite {
     val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
     assert(pf.exists(_.contains("o_orderpriority")), s"no partition pruning:\n$plan")
   }
+
+  test("compaction: scattered files collapse to ≤8 sorted files with disjoint ts envelopes") {
+    import org.apache.spark.sql.functions._
+    Materialize.compactRoundTrip(spark, TestSpark.Sf0001).collect() // drive the writes
+    val hex = java.lang.Integer.toHexString(TestSpark.Sf0001.hashCode)
+    def parts(d: String): Int =
+      new java.io.File(d).listFiles().count(_.getName.startsWith("part-"))
+    val nScatter = parts(Materialize.processScratchDir(s"graft_scatter_ev_$hex"))
+    val compactDir = Materialize.processScratchDir(s"graft_compact_ev_$hex")
+    val nCompact = parts(compactDir)
+    assert(nCompact <= 8 && nCompact < nScatter,
+      s"no compaction: scatter=$nScatter compact=$nCompact")
+    // range partitioning + in-file sort ⇒ pairwise-disjoint ts envelopes,
+    // the property parquet min/max stats need to skip files on time filters
+    val env = spark.read.parquet(compactDir)
+      .select(input_file_name().as("f"), col("ts"))
+      .filter(col("ts").isNotNull)
+      .groupBy("f").agg(min("ts").as("lo"), max("ts").as("hi"))
+      .orderBy("lo").collect()
+    env.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getTimestamp(2).compareTo(b.getTimestamp(1)) < 0,
+          s"file envelopes overlap: ${a.mkString(",")} vs ${b.mkString(",")}")
+      case _ =>
+    }
+  }
+
+  test("mergeAggPartials: refresh cycle after cycle ≡ full recompute") {
+    import org.apache.spark.sql.functions._
+    val evs = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+      .select(col("event_type"), col("event_id"),
+        graft.functions.Exact.cents(col("value")).as("c"))
+    def partials(df: org.apache.spark.sql.DataFrame) = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_cents"),
+        max(col("c")).as("max_cents"))
+    def third(i: Int) = evs.filter(pmod(col("event_id"), lit(3)) === i)
+    // two successive delta merges over three disjoint slices
+    val maintained = Materialize.mergeAggPartials(
+      Materialize.mergeAggPartials(partials(third(0)), partials(third(1))),
+      partials(third(2)))
+    val full = partials(evs)
+    assert(maintained.exceptAll(full).isEmpty && full.exceptAll(maintained).isEmpty,
+      "incremental maintenance diverged from the full recompute")
+  }
 }

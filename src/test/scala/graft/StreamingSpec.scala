@@ -192,4 +192,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("dedup_out").count() == batch1.size)
     } finally q.stop()
   }
+
+  test("left-outer stream-stream join ≡ batch; unmatched clicks null-pad exactly once") {
+    val streamed = StreamOps.leftOuterJoinStreamed(spark, TestSpark.Sf0001)
+      .collect()
+    val e = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull && col("value").isNotNull)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = c.join(p,
+      expr("user_id = p_user AND p_ts BETWEEN c_ts AND c_ts + INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_micros(col("c_ts")).as("c_ts_us"), unix_micros(col("p_ts")).as("p_ts_us"))
+      .collect()
+    assert(streamed.length == streamed.map(_.toSeq).toSet.size,
+      "a click's null row emitted more than once")
+    assert(streamed.map(_.toSeq).toSet == batch.map(_.toSeq).toSet)
+    // the OUTER path is genuinely exercised: some click matched nothing
+    val pi = streamed.head.fieldIndex("purchase_id")
+    assert(streamed.exists(_.isNullAt(pi)), "no null-padded row — inner ≡ outer here")
+  }
 }
