@@ -265,6 +265,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"bloom probe shuffled:\n$plan")
   }
 
+  test("q_decontam: eval windows broadcast; one doc-bounded exchange only") {
+    val plan = finalSection(finalPlan(
+      DedupOps.decontaminate(spark, TestSpark.Sf0001)))
+    // the eval side is benchmark-sized → its window hashes broadcast;
+    // the two required exchanges are the eval-side distinct (eval-
+    // bounded) and the per-doc aggregate partials (doc-bounded) — the
+    // corpus-sized window fan-out itself never shuffles
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"eval probe shuffled the corpus:\n$plan")
+    val fresh = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+    assert(fresh == 2, s"expected the 2 bounded exchanges, got $fresh:\n$plan")
+    assert("Exchange hashpartitioning\\(doc_id".r.findFirstIn(plan).isDefined &&
+      "Exchange hashpartitioning\\(wh".r.findFirstIn(plan).isDefined,
+      s"unexpected exchange keys:\n$plan")
+  }
+
+  test("q_ewma: the sequential fold costs exactly one key shuffle") {
+    val plan = finalSection(finalPlan(
+      graft.ops.EventOps.ewmaPerUser(spark, TestSpark.Sf0001)))
+    // collect_list partials combine per-partition, the fold itself is
+    // array-expression work after ONE user_id exchange — no global sort,
+    // no join, no second shuffle
+    val fresh = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+    assert(fresh == 1, s"expected exactly 1 required exchange, got $fresh:\n$plan")
+    assert(!plan.contains("Join"), s"fold should not join:\n$plan")
+  }
+
+  test("q_transitions: sequence walk + transition aggregate, two-phase agg") {
+    val plan = finalSection(finalPlan(
+      graft.ops.EventOps.transitionCounts(spark, TestSpark.Sf0001)))
+    // one exchange partitions users for the lead() walk; the (from, to)
+    // aggregate re-keys but combines map-side first (|types|²-bounded)
+    val fresh = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+    assert(fresh == 2, s"expected exactly 2 required exchanges, got $fresh:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"transition aggregate is not two-phase:\n$plan")
+  }
+
   test("q_data_profile: two bounded passes, no sort of the expanded table") {
     val plan = finalSection(finalPlan(
       graft.ops.ProfileOps.dataProfile(spark, TestSpark.Sf0001)))
