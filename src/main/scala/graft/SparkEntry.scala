@@ -147,6 +147,8 @@ object SparkEntry {
     "q_incr_agg"         -> Materialize.incrementalAggRefresh _,
     "q_compact_files"    -> Materialize.compactRoundTrip _,
     "q_stream_lojoin"    -> graft.streaming.StreamOps.leftOuterJoinStreamed _,
+    "q_schema_evolution" -> Materialize.schemaEvolution _,
+    "q_retention_delete" -> Materialize.retentionDelete _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -1514,5 +1516,22 @@ object SparkEntry {
         |  epoch_us(c_ts) AS c_ts_us, epoch_us(p_ts) AS p_ts_us
         |FROM c LEFT JOIN p ON c.user_id = p.p_user
         |  AND p_ts BETWEEN c_ts AND c_ts + INTERVAL 1 HOUR""".stripMargin,
+    "q_schema_evolution" -> // generation 1 (even keys) predates the
+      // priority column; the mergeSchema read null-fills it at scan time
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END)
+        |    AS n_with_priority
+        |FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1""".stripMargin,
+    "q_retention_delete" -> // partition drop ≡ a day-floor cutoff WHERE;
+      // null-ts rows sit in the default partition and are retained
+      """WITH b AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS m
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events, b
+        |WHERE ts IS NULL
+        |   OR date_trunc('day', ts) >= date_trunc('day', make_timestamp(m))
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -268,6 +268,78 @@ object Materialize {
         max(unix_micros(col("ts"))).as("max_ts_us"))
   }
 
+  /** SCHEMA EVOLUTION read — the lake reality that files written before
+    * a column existed must coexist with files written after: generation
+    * 1 (even order keys) lacks `o_orderpriority`, generation 2 carries
+    * it; a `mergeSchema` read unions the footers and null-fills the
+    * missing column for old files, entirely at scan time — no rewrite
+    * of the old generation (at 100 TB, rewriting history for every
+    * added column is the non-starter this replaces). The oracle
+    * reconstructs the same view from the original table with a CASE on
+    * the generation split. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = processScratchDir(
+      s"graft_schemaevo_${java.lang.Integer.toHexString(dir.hashCode)}")
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .filter(col("o_orderkey").isNotNull)
+    orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$out/gen1")
+    orders.filter(pmod(col("o_orderkey"), lit(2)) =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/gen2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$out/gen1", s"$out/gen2")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.Exact.cents(col("o_totalprice"))).as("revenue_cents"),
+        count(col("o_orderpriority")).as("n_with_priority"))
+  }
+
+  /** RETENTION by partition drop — the delete path that never rewrites
+    * a row: events land day-partitioned, and expiring everything before
+    * the corpus-midpoint day is a METADATA operation (unlink the
+    * partition directories, O(dropped partitions)) instead of a
+    * row-level delete (O(table) read+rewrite). Null-timestamp rows live
+    * in the default partition and are retained — retention policies
+    * key on a time the row must actually have. The oracle applies the
+    * same cutoff as a WHERE over the original table; IngestSpec proves
+    * dropped dirs are gone and SURVIVING files are byte-identical
+    * (nothing was rewritten). */
+  def retentionDelete(spark: SparkSession, dir: String): DataFrame = {
+    val out = processScratchDir(
+      s"graft_retention_${java.lang.Integer.toHexString(dir.hashCode)}")
+    val evs = graft.sources.Tables.events(spark, dir)
+    evs.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    // cutoff day from the same (min+max) div 2 midpoint discipline as
+    // the drift/stream splits — a 1-row bounds aggregate; collecting ONE
+    // date literal to plan a metadata delete is bounded driver work
+    val cutoff = Option(evs
+      .agg(expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").as("m"))
+      .select(date_format(timestamp_micros(col("m")), "yyyy-MM-dd"))
+      .collect().head.getString(0)) // None ⇔ no timestamped rows: keep all
+    cutoff.foreach(retentionPrune(out, _))
+    spark.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.Exact.cents(col("value"))).as("value_cents"))
+  }
+
+  /** The metadata half of [[retentionDelete]]: unlink day partitions
+    * strictly before `cutoffDay` (ISO strings order like dates). Never
+    * touches surviving partitions' files — IngestSpec proves bytes are
+    * identical across a prune. The default (null-day) partition is
+    * always retained. */
+  def retentionPrune(out: String, cutoffDay: String): Unit =
+    for (f <- new java.io.File(out).listFiles()) {
+      val n = f.getName
+      if (n.startsWith("day=") && !n.endsWith("__HIVE_DEFAULT_PARTITION__")
+          && n.stripPrefix("day=") < cutoffDay)
+        graft.util.Fs.deleteRecursively(f.toPath)
+    }
+
   /** 16-bit Morton (Z-order) code of two 8-bit dimension buckets — the
     * multi-dimensional clustering key: sorting by z keeps BOTH source
     * dimensions range-bounded within every file, which is what makes

@@ -185,6 +185,55 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution: old generation lacks the column; merged read null-fills it") {
+    Materialize.schemaEvolution(spark, TestSpark.Sf0001).collect() // drive the writes
+    val hex = java.lang.Integer.toHexString(TestSpark.Sf0001.hashCode)
+    val root = Materialize.processScratchDir(s"graft_schemaevo_$hex")
+    // generation 1 alone has no priority column at all
+    assert(!spark.read.parquet(s"$root/gen1").columns.contains("o_orderpriority"))
+    // the merged read surfaces it, null for every old-generation row
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/gen1", s"$root/gen2")
+    assert(merged.columns.contains("o_orderpriority"))
+    import org.apache.spark.sql.functions._
+    val gen1Rows = merged.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+    assert(gen1Rows.count() > 0)
+    assert(gen1Rows.filter(col("o_orderpriority").isNotNull).count() == 0,
+      "old-generation rows must null-fill the late-added column")
+  }
+
+  test("retention delete: expired partitions unlink; surviving files are untouched") {
+    import org.apache.spark.sql.functions._
+    // rebuild the day-partitioned table the operator writes, capture a
+    // surviving file's bytes, then prune — proving the delete is pure
+    // metadata (dirs unlink, no surviving file rewritten)
+    val evs = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+    val out = Files.createTempDirectory("graft_retention_spec").toString
+    evs.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    val cutoff = evs
+      .agg(expr("date_format(timestamp_micros((unix_micros(min(ts)) + unix_micros(max(ts))) div 2), 'yyyy-MM-dd')"))
+      .collect().head.getString(0)
+    val root = new java.io.File(out)
+    def dayDirs = root.listFiles().map(_.getName).filter(_.startsWith("day=")).sorted
+    val before = dayDirs
+    assert(before.exists(_.stripPrefix("day=") < cutoff), "nothing to expire")
+    val survivorFiles = root.listFiles()
+      .filter(f => f.getName.startsWith("day=") && f.getName.stripPrefix("day=") >= cutoff)
+      .flatMap(_.listFiles().filter(_.getName.startsWith("part-")))
+      .map(p => p.toPath -> java.nio.file.Files.readAllBytes(p.toPath))
+    assert(survivorFiles.nonEmpty)
+    Materialize.retentionPrune(out, cutoff)
+    val after = dayDirs
+    assert(after.forall(_.stripPrefix("day=") >= cutoff), after.mkString(","))
+    assert(after.length < before.length, "no partition was dropped")
+    survivorFiles.foreach { case (p, bytes) =>
+      assert(java.util.Arrays.equals(bytes, java.nio.file.Files.readAllBytes(p)),
+        s"surviving file $p was rewritten by the prune")
+    }
+    graft.util.Fs.deleteRecursively(root.toPath)
+  }
+
   test("mergeAggPartials: refresh cycle after cycle ≡ full recompute") {
     import org.apache.spark.sql.functions._
     val evs = graft.sources.Tables.events(spark, TestSpark.Sf0001)
