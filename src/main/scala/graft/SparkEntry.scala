@@ -149,6 +149,7 @@ object SparkEntry {
     "q_stream_lojoin"    -> graft.streaming.StreamOps.leftOuterJoinStreamed _,
     "q_schema_evolution" -> Materialize.schemaEvolution _,
     "q_retention_delete" -> Materialize.retentionDelete _,
+    "q_sketch_union"     -> EventOps.sketchUnion _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -1533,5 +1534,11 @@ object SparkEntry {
         |WHERE ts IS NULL
         |   OR date_trunc('day', ts) >= date_trunc('day', make_timestamp(m))
         |GROUP BY 1""".stripMargin,
+    "q_sketch_union" -> // sketch bytes are engine-specific; the oracle
+      // recomputes the exact union cardinality and asserts the bound
+      """SELECT count(DISTINCT event_type) AS n_sketches,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL""".stripMargin,
   )
 }

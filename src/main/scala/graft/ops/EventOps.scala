@@ -200,6 +200,33 @@ object EventOps {
         (abs(col("approx_users") - col("exact_users")) * 100 <=
           col("exact_users") * 15).as("within_bound"))
 
+  /** MERGEABLE-sketch re-aggregation — the property that makes
+    * pre-aggregated OLAP cubes work at 100 TB: per-event_type
+    * DataSketches HLL sketches of the user set are built once
+    * (each a few KB, whatever the group size), then UNIONED into the
+    * global cardinality WITHOUT re-touching the rows — a max-merge of
+    * register arrays, lossless for HLL. Re-aggregation is what plain
+    * `approx_count_distinct` cannot do (its estimate is terminal); a
+    * sketch column rolls up along any dimension hierarchy. Sketch
+    * internals stay out of the output (engine-specific bytes): the row
+    * emits the exact union cardinality + `within_bound` (union estimate
+    * within 3×rse ≈ 5% of exact at lgK=12; +1 absorbs tiny-corpus
+    * rounding), and DedupSpec pins the lossless-merge property —
+    * union-of-parts estimate ≡ single-sketch estimate. */
+  def sketchUnion(spark: SparkSession, dir: String): DataFrame = {
+    val evs = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+    val perType = evs.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val merged = perType.agg(count(lit(1)).as("n_sketches"),
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+    val exact = evs.agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.crossJoin(exact) // two 1-row aggregates
+      .select(col("n_sketches"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) * 100 <=
+          col("exact_users") * 5 + 100).as("within_bound"))
+  }
+
   /** Conversion funnel (view → click → purchase): per user, the first
     * view, the first click AT OR AFTER that view, and the first purchase
     * at or after that click — the sequential-pattern analytics a product

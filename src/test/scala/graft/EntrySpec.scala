@@ -43,4 +43,26 @@ class EntrySpec extends org.scalatest.funsuite.AnyFunSuite {
         s"${r.getString(0)}: HLL estimate drifted >15% from exact=${r.getLong(1)}")
     }
   }
+
+  test("q_sketch_union: merging per-group sketches is lossless (≡ one direct sketch)") {
+    import org.apache.spark.sql.functions._
+    // the re-aggregation property the operator sells: HLL union is a
+    // max-merge of register arrays, so union-of-parts must equal the
+    // sketch built over the whole set in one pass — exactly, not ±ε
+    val evs = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+    val unionOfParts = evs.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("e"))
+      .collect().head.getLong(0)
+    val direct = evs
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("e"))
+      .collect().head.getLong(0)
+    assert(unionOfParts == direct,
+      s"union-of-parts $unionOfParts != direct sketch $direct")
+    // and the shipped row's bound holds
+    val row = SparkEntry.queries("q_sketch_union")(spark, TestSpark.Sf0001)
+      .collect().head
+    assert(row.getBoolean(row.fieldIndex("within_bound")))
+  }
 }
