@@ -23,10 +23,19 @@ object GraftFunctions {
     make(exprs(0), exprs(1))
   }
 
+  private def unary(name: String, make: Expression => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(
+        s"$name expects exactly 1 argument, got ${exprs.length}")
+    make(exprs(0))
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "long_dot" -> binary("long_dot", LongDotProduct(_, _)),
     "sorted_intersect_size" ->
-      binary("sorted_intersect_size", SortedIntersectSize(_, _)))
+      binary("sorted_intersect_size", SortedIntersectSize(_, _)),
+    "minhash_sigs" -> unary("minhash_sigs", MinHashSigs(_)))
 
   /** Register on an existing session's function registry. */
   def register(spark: SparkSession): Unit = {

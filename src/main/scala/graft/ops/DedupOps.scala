@@ -107,6 +107,9 @@ object DedupOps {
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))))
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // the band layout below is built on the expression's K
+    require(graft.functions.MinHashSigs.NumHashes == NumHashes,
+      "MinHashSigs.NumHashes must match DedupOps.NumHashes")
     // documents is a small file → one input split, but the pipeline fans
     // out 16× hashes per token before the first shuffle; spread the scan
     // across the cluster first (cheap: the table is tiny relative to the
@@ -116,23 +119,19 @@ object DedupOps {
     val sets = docs.select(col("doc_id"), hashedTokenSet(tokenSet).as("s"))
     val tokDocs = docs.select(col("doc_id"), tokenSet.as("toks"))
 
-    // Numeric minhash: the first 15 hex chars of md5 as a 60-bit long.
-    // Fixed-length hex is order-isomorphic to its numeric value, so the
-    // per-hash minima — and therefore the LSH buckets — are identical to
-    // the oracle's string minima; min(long) plans as a pure HashAggregate
-    // while min(string) would force Sort + SortAggregate.
-    val sigAggs = (0 until NumHashes).map(j =>
-      min(when(col("h") === j, col("hv"))).as(s"m$j"))
+    // Numeric minhash: the first 15 hex chars of md5 as a 60-bit long
+    // (order-isomorphic to the oracle's string minima). All 16 minima
+    // come from ONE custom codegen Expression pass over the token array
+    // (graft.functions.MinHashSigs) — a map-only PROJECTION, replacing
+    // the 16×-token explode + corpus-wide hash aggregate this stage
+    // used to shuffle (the largest exchange of the dedup pipeline at
+    // scale, deleted outright; ExpressionSpec proves value-equality to
+    // the grouped form). Null-token-set docs yield a null sig, exactly
+    // the docs the grouped form never emitted a row for.
     val signatures = tokDocs
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .withColumn("h", explode(sequence(lit(0), lit(NumHashes - 1))))
-      .select(col("doc_id"), col("h"),
-        conv(substring(md5(concat(col("h").cast("string"), lit(":"), col("tok"))), 1, 15), 16, 10)
-          .cast("long").as("hv"))
-      .groupBy("doc_id")
-      .agg(sigAggs.head, sigAggs.tail: _*)
       .select(col("doc_id"),
-        array((0 until NumHashes).map(j => col(s"m$j")): _*).as("sig"))
+        graft.functions.MinHashSigs.minhashSigs(col("toks")).as("sig"))
+      .where(col("sig").isNotNull)
 
     val numBands = NumHashes / RowsPerBand
     // b-th band of a signature (1-based element_at)

@@ -104,4 +104,42 @@ class ExpressionSpec extends AnyFunSuite {
     val v = Seq(1, 2).toDF("x").agg(avg("x").cast("int")).head().getInt(0)
     assert(v == 1) // 1.5 → 1 (DuckDB CAST would round; oracles use // instead)
   }
+
+  test("MinHashSigs ≡ the composable explode+groupBy signature stage") {
+    import graft.functions.MinHashSigs
+    val k = MinHashSigs.NumHashes
+    // the real corpus (sf0.001), not synthetic strings: every token the
+    // shipped pipeline hashes must hash identically in the expression
+    val toks = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val viaExpr = toks
+      .select(col("doc_id"), MinHashSigs.minhashSigs(col("toks")).as("sig"))
+      .where(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sigAggs = (0 until k).map(j =>
+      min(when(col("h") === j, col("hv"))).as(s"m$j"))
+    val viaGroup = toks
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", explode(sequence(lit(0), lit(k - 1))))
+      .select(col("doc_id"), col("h"),
+        conv(substring(md5(concat(col("h").cast("string"), lit(":"), col("tok"))), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+      .groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr.nonEmpty)
+    assert(viaExpr == viaGroup)
+  }
+
+  test("MinHashSigs null semantics: null array → null; only-null tokens → null") {
+    import graft.functions.MinHashSigs
+    val df = Seq(
+      (1L, Some(Seq(Some("a"), Some("b")))),
+      (2L, Some(Seq[Option[String]](None))),
+      (3L, None: Option[Seq[Option[String]]]))
+      .toDF("id", "toks")
+      .select(col("id"), MinHashSigs.minhashSigs(col("toks")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(df == Map(1L -> false, 2L -> true, 3L -> true))
+  }
 }
