@@ -150,6 +150,7 @@ object SparkEntry {
     "q_schema_evolution" -> Materialize.schemaEvolution _,
     "q_retention_delete" -> Materialize.retentionDelete _,
     "q_sketch_union"     -> EventOps.sketchUnion _,
+    "q_skyline"          -> Relational.skyline _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -1540,5 +1541,16 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_bound
         |FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL""".stripMargin,
+    "q_skyline" -> // the dominance DEFINITION itself — independent of the
+      // window-based frontier algorithm the engine runs
+      """WITH t AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS d_us
+        |  FROM orders WHERE o_orderkey IS NOT NULL
+        |    AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL)
+        |SELECT o_orderkey, price_cents, d_us FROM t r
+        |WHERE NOT EXISTS (SELECT 1 FROM t s
+        |  WHERE s.price_cents >= r.price_cents AND s.d_us >= r.d_us
+        |    AND (s.price_cents > r.price_cents OR s.d_us > r.d_us))""".stripMargin,
   )
 }

@@ -412,6 +412,45 @@ object Relational {
         "valid_from_us", "valid_to_us", "is_current")
   }
 
+  /** 2-d SKYLINE (Pareto frontier) of orders — the preference-query
+    * family: every order not DOMINATED on (price, recency), i.e. no
+    * other order is ≥ on both dims and > on at least one. Ties are
+    * mutual non-dominators, so the emitted SET is deterministic.
+    *
+    * Scale shape — never the O(n²) dominance join: per 2-d subset, a
+    * row survives iff (a) no strictly-higher-price row has date ≥ its
+    * own (a `RANGE 1 FOLLOWING .. ∞` running max over integer cents —
+    * strictness for free from integer ordering) and (b) it carries the
+    * max date among its exact price peers. Pass 1 applies that filter
+    * WITHIN each input partition (local skylines; any subset's skyline
+    * contains every global-skyline member in it, so pruning is safe) —
+    * corpus-sized data sees only partition-local sort work. Pass 2
+    * re-applies the same filter globally over the surviving frontier
+    * candidates (frontier-sized, bounded). The oracle is the dominance
+    * definition itself (NOT EXISTS). */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    def frontier(df: DataFrame, part: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val byPrice = Window.partitionBy(part: _*).orderBy(col("price_cents").asc)
+        .rangeBetween(1L, Window.unboundedFollowing)
+      val peers = Window.partitionBy(part :+ col("price_cents"): _*)
+      df.withColumn("mx_higher", max(col("d_us")).over(byPrice))
+        .withColumn("mx_peer", max(col("d_us")).over(peers))
+        .filter((col("mx_higher").isNull || col("mx_higher") < col("d_us")) &&
+          col("d_us") === col("mx_peer"))
+        .drop("mx_higher", "mx_peer")
+    }
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey").isNotNull && col("o_totalprice").isNotNull &&
+        col("o_orderdate").isNotNull)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("d_us"))
+    // partition-local prune (cheap, partition-invariant result) → tiny
+    // global pass; spark_partition_id only steers pruning, never values
+    val local = frontier(base.withColumn("pid", spark_partition_id()),
+      Seq(col("pid"))).drop("pid")
+    frontier(local, Seq.empty)
+  }
+
   /** Running total per customer over order dates (window frame op). */
   def runningTotal(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
