@@ -151,6 +151,7 @@ object SparkEntry {
     "q_retention_delete" -> Materialize.retentionDelete _,
     "q_sketch_union"     -> EventOps.sketchUnion _,
     "q_skyline"          -> Relational.skyline _,
+    "q_bfs"              -> graft.ops.GraphOps.bfsHops _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -1552,5 +1553,22 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM t s
         |  WHERE s.price_cents >= r.price_cents AND s.d_us >= r.d_us
         |    AND (s.price_cents > r.price_cents OR s.d_us > r.d_us))""".stripMargin,
+    "q_bfs" -> // recursive closure with the same hop cap; min(hops) per
+      // vertex IS the BFS distance (UNION dedups (v,hops) pairs)
+      s"""WITH RECURSIVE pp AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+        |e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  JOIN pp x ON a.l_partkey = x.p_partkey
+        |  JOIN pp y ON b.l_partkey = y.p_partkey),
+        |sym AS (SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |s0 AS (SELECT min(src) AS s FROM sym),
+        |r AS (
+        |  SELECT s AS v, CAST(0 AS BIGINT) AS hops FROM s0 WHERE s IS NOT NULL
+        |  UNION
+        |  SELECT sym.dst, r.hops + 1 FROM r JOIN sym ON sym.src = r.v
+        |  WHERE r.hops < ${graft.ops.GraphOps.BfsMaxHops})
+        |SELECT v AS p_partkey, min(hops) AS hops FROM r GROUP BY 1""".stripMargin,
   )
 }

@@ -38,7 +38,7 @@ object DedupOps {
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true` — durable
     * recovery costs storage, so at scale point the dir at storage with
     * a retention policy (or enable that flag). */
-  private def ckpt(df: DataFrame): DataFrame =
+  private[ops] def ckpt(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
       case Some(d) =>
         val sc = df.sparkSession.sparkContext

@@ -140,4 +140,46 @@ object GraphOps {
     }
     ranks.select(col("v").as("p_partkey"), col("rank").as("rank_e6"))
   }
+
+  /** Hop cap for [[bfsHops]] — bounds both engines' exploration. */
+  val BfsMaxHops = 8
+
+  /** Single-source BFS (shortest hop counts) over the co-purchase
+    * graph, from the minimum vertex id (deterministic in both engines)
+    * — the reachability/radius primitive next to [[pageRank]]'s
+    * centrality and CC's partitioning. Classic frontier expansion:
+    * each round joins the CURRENT frontier (not the visited set) to
+    * the edge list, anti-joins out already-visited vertices, and tags
+    * survivors with the round number — every vertex is expanded exactly
+    * once, total work O(E) across all rounds, not O(E·rounds).
+    * Frontier and visited are CHECKPOINTED per round ([[DedupOps.ckpt]]
+    * — reliable dir at scale via the same conf): visited appears in
+    * two branches of the next round's plan, so without materialization
+    * the lineage doubles per hop. The loop drains early when the
+    * frontier empties (the count is the materialization action, driver
+    * sees only a number). Oracle: a recursive CTE with the same hop cap
+    * + `min(hops)` per vertex — the BFS-distance definition. */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(spark, dir)
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+    var visited = DedupOps.ckpt(
+      sym.agg(min(col("src")).as("v")).filter(col("v").isNotNull)
+        .withColumn("hops", lit(0L)))
+    var frontier = visited
+    var h = 1
+    var frontierSize = frontier.count()
+    while (h <= BfsMaxHops && frontierSize > 0) {
+      frontier = DedupOps.ckpt(sym
+        .join(frontier.select(col("v").as("src")), "src")
+        .select(col("dst").as("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+        .withColumn("hops", lit(h.toLong)))
+      frontierSize = frontier.count()
+      if (frontierSize > 0)
+        visited = DedupOps.ckpt(visited.unionByName(frontier))
+      h += 1
+    }
+    visited.select(col("v").as("p_partkey"), col("hops"))
+  }
 }
