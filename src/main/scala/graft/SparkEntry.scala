@@ -152,6 +152,7 @@ object SparkEntry {
     "q_sketch_union"     -> EventOps.sketchUnion _,
     "q_skyline"          -> Relational.skyline _,
     "q_bfs"              -> graft.ops.GraphOps.bfsHops _,
+    "q_quarantine"       -> ProfileOps.qualityQuarantine _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -1570,5 +1571,23 @@ object SparkEntry {
         |  SELECT sym.dst, r.hops + 1 FROM r JOIN sym ON sym.src = r.v
         |  WHERE r.hops < ${graft.ops.GraphOps.BfsMaxHops})
         |SELECT v AS p_partkey, min(hops) AS hops FROM r GROUP BY 1""".stripMargin,
+    "q_quarantine" -> // a row violating several rules counts under each;
+      // CASE WHEN value < 0 is ELSE-0 for null values in both engines
+      """WITH c AS (SELECT
+        |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+        |  CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_value,
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_type,
+        |  CAST(sum(CASE WHEN ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL AND value >= 0 AND event_type IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS valid
+        |  FROM events)
+        |SELECT 'null_ts' AS rule, null_ts AS n FROM c
+        |UNION ALL SELECT 'null_user', null_user FROM c
+        |UNION ALL SELECT 'null_value', null_value FROM c
+        |UNION ALL SELECT 'negative_value', negative_value FROM c
+        |UNION ALL SELECT 'null_type', null_type FROM c
+        |UNION ALL SELECT 'valid', valid FROM c""".stripMargin,
   )
 }

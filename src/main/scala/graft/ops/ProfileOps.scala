@@ -91,6 +91,31 @@ object ProfileOps {
         idiv((col("n_rows") - col("n_nonnull")) * 1000, col("n_rows")))
   }
 
+  /** Validation / QUARANTINE accounting — the dead-letter stage of a
+    * load: each rule's violation count plus the count of fully-valid
+    * rows, from ONE map-side-combinable aggregation pass (a row can
+    * violate several rules and is counted under each; the quarantine
+    * split itself is the same predicates as a filter). The 6-row output
+    * is what a load-gate alerts on; at 100 TB it is one scan, no
+    * shuffle beyond the single aggregate row. */
+  def qualityQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val rules: Seq[(String, Column)] = Seq(
+      "null_ts" -> col("ts").isNull,
+      "null_user" -> col("user_id").isNull,
+      "null_value" -> col("value").isNull,
+      "negative_value" -> (col("value") < 0),
+      "null_type" -> col("event_type").isNull)
+    val valid = rules.map { case (_, c) => !coalesce(c, lit(false)) }.reduce(_ && _)
+    val aggs = rules.map { case (n, c) =>
+      sum(when(coalesce(c, lit(false)), 1L).otherwise(0L)).as(n)
+    } :+ sum(when(valid, 1L).otherwise(0L)).as("valid")
+    val names = rules.map(_._1) :+ "valid"
+    Tables.events(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${names.length}, " +
+        names.map(n => s"'$n', $n").mkString(", ") + ") AS (rule, n)"))
+  }
+
   /** Histogram bin width: $50k of order value in cents. */
   val HistBinCents = 5000000L
 

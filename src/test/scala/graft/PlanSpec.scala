@@ -303,6 +303,15 @@ class PlanSpec extends AnyFunSuite {
       s"transition aggregate is not two-phase:\n$plan")
   }
 
+  test("q_skyline: window frontier, never the O(n²) dominance join") {
+    val plan = finalSection(finalPlan(
+      Relational.skyline(spark, TestSpark.Sf0001)))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"skyline fell back to an all-pairs dominance join:\n$plan")
+    assert(plan.contains("Window"), s"frontier windows missing:\n$plan")
+  }
+
   test("q_data_profile: two bounded passes, no sort of the expanded table") {
     val plan = finalSection(finalPlan(
       graft.ops.ProfileOps.dataProfile(spark, TestSpark.Sf0001)))
