@@ -39,4 +39,20 @@ class GraphSpec extends AnyFunSuite {
     assert(pr(1L) == pr(2L))
     assert(pr.values.forall(_ >= 15L * GraphOps.PrScale / 100))
   }
+
+  test("bfsHops: known hop counts on a path + unreachable component") {
+    val d = Files.createTempDirectory("graft_bfs").toString
+    // path 1-2, 2-3, 3-4 (source = min vertex 1 → hops 0,1,2,3) plus a
+    // DISCONNECTED promo pair {8,9} that must never appear
+    Seq((10L, 1L), (10L, 2L), (11L, 2L), (11L, 3L), (12L, 3L), (12L, 4L),
+      (13L, 8L), (13L, 9L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$d/lineitem.parquet")
+    Seq(1L, 2L, 3L, 4L, 8L, 9L).map(p => (p, "PROMO"))
+      .toDF("p_partkey", "p_type")
+      .write.parquet(s"$d/part.parquet")
+    val hops = GraphOps.bfsHops(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hops == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
 }
