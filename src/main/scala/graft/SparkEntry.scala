@@ -153,6 +153,7 @@ object SparkEntry {
     "q_skyline"          -> Relational.skyline _,
     "q_bfs"              -> graft.ops.GraphOps.bfsHops _,
     "q_quarantine"       -> ProfileOps.qualityQuarantine _,
+    "q_train_split"      -> TextOps.trainSplit _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -1589,5 +1590,14 @@ object SparkEntry {
         |UNION ALL SELECT 'negative_value', negative_value FROM c
         |UNION ALL SELECT 'null_type', null_type FROM c
         |UNION ALL SELECT 'valid', valid FROM c""".stripMargin,
+    "q_train_split" -> // split = pure function of doc_id (md5 hex bucket);
+      // null lang is its own manifest row in both engines
+      s"""SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < '${TextOps.TrainThreshold}' THEN 'train'
+        |  WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < '${TextOps.ValThreshold}' THEN 'val'
+        |  ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_tokens
+        |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |GROUP BY 1,2""".stripMargin,
   )
 }

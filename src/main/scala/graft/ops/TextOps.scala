@@ -204,6 +204,32 @@ object TextOps {
         when(col("lang") === "en", lit(EnThreshold)).otherwise(lit(DefaultThreshold)))
       .select("doc_id", "lang", "source", "bucket")
 
+  /** Train/val/test hex-bucket boundaries: buckets 00..cb → train
+    * (204/256 ≈ 80%), cc..e5 → val (26/256 ≈ 10%), e6..ff → test. */
+  val TrainThreshold = "cc"
+  val ValThreshold = "e6"
+
+  /** Deterministic TRAIN/VAL/TEST split — the canonical dataset-freeze
+    * step before a training run: assignment is a pure function of
+    * doc_id via an md5 hex bucket (same discipline as
+    * [[stratifiedSample]] — re-runs, retries and different cluster
+    * sizes assign identically; no rand(), no seed plumbing, and the
+    * lexicographic hex compare needs no integer conversion). Emits the
+    * per-(split, lang) manifest counts + token totals a run records
+    * next to its config; the split itself is the same expression as a
+    * filter. One narrow scan + one bounded aggregate. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .withColumn("split",
+        when(col("bucket") < TrainThreshold, "train")
+          .when(col("bucket") < ValThreshold, "val")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"))
+
   /** Top-3 characteristic terms per document by raw tf-idf, entirely in
     * exact integers: score = tf · N · 1000 // df (the log-free rational
     * form — `ln` is not bit-identical across engines, integral division
