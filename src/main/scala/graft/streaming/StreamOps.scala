@@ -192,11 +192,14 @@ object StreamOps {
 
   /** Far-future sentinel rows (1-row aggregates of the source — no
     * driver-made data) that push the append-mode watermark past every
-    * real window's close. A watermark only takes effect on the batch
-    * AFTER the one carrying the max event time, so callers ride the
-    * first sentinel along WITH the last real batch and land one more as
-    * its own trigger — two sentinels, one trigger fewer. An empty
-    * corpus yields no sentinel (nothing to flush). */
+    * real window's close. ONE sentinel riding along with the last real
+    * batch suffices: the watermark it raises takes effect after that
+    * batch, and the engine's no-data micro-batch (fired on watermark
+    * advancement, drained by processAllAvailable) finalizes and emits
+    * the remaining state — no dedicated sentinel trigger (verified
+    * stable across repeated spec runs for the memory, parquet-commit-
+    * log, and outer-join paths). An empty corpus yields no sentinel
+    * (nothing to flush). */
   private def sentinel(evs: DataFrame, id: Long, offsetDays: Int): DataFrame =
     evs.agg(max(col("ts")).as("mx")).filter(col("mx").isNotNull)
       .select(lit(id).as("event_id"),
@@ -294,9 +297,9 @@ object StreamOps {
   /** [[sessionCounts]] executed by the engine in APPEND mode — the
     * strictest sink mode: a session row is emitted exactly once, when
     * the watermark passes its close. Two event-time-ordered batches,
-    * then two far-future sentinel files flush the watermark (the
-    * sentinels' own session never finalizes and is filtered by
-    * user_id). Oracle: the same gaps-and-islands SQL family as the
+    * the second carrying a ride-along far-future sentinel that flushes
+    * the watermark (the sentinel's own session never finalizes and is
+    * filtered by user_id). Oracle: the same gaps-and-islands SQL family as the
     * batch q_session_stats — session_window's merge rule (join if
     * gap < 30 min) is exactly `new session iff gap >= 30 min`. */
   def sessionStreamed(parent: SparkSession, dir: String): DataFrame = {
@@ -305,7 +308,7 @@ object StreamOps {
     val (b1, b2) = timeSplit(evs)
     runFileStream(spark, evs.schema, "graft_stream_session_sink",
       OutputMode.Append(),
-      Seq(b1, b2.union(sentinel(evs, -1L, 30)), sentinel(evs, -2L, 31)))(
+      Seq(b1, b2.union(sentinel(evs, -1L, 30))))(
       sessionCounts(_, "30 minutes", "1 hour"))
       .filter(col("user_id") >= 0)
       .select(unix_micros(col("sess_start")).as("sess_start_us"),
@@ -350,9 +353,9 @@ object StreamOps {
   }
 
   /** [[tumblingCounts]] in APPEND mode through the PARQUET FILE SINK:
-    * windows finalize as the watermark passes (two sentinel files flush
-    * the last real windows; the sentinels' own rows carry the sentinel
-    * event_type and are filtered from the read-back), each emitted
+    * windows finalize as the watermark passes (a ride-along sentinel
+    * flushes the last real windows; the sentinel's own rows carry the
+    * sentinel event_type and are filtered from the read-back), each emitted
     * exactly once into the sink's commit log, then read back as a lake
     * table. Oracle: the batch tumbling SQL — append-mode sink content ≡
     * the batch result is the engine's exactly-once guarantee. */
@@ -361,7 +364,7 @@ object StreamOps {
     val evs = completeEvents(spark, dir)
     val (b1, b2) = timeSplit(evs)
     runFileStreamToParquet(spark, evs.schema,
-      Seq(b1, b2.union(sentinel(evs, -1L, 30)), sentinel(evs, -2L, 31)))(
+      Seq(b1, b2.union(sentinel(evs, -1L, 30))))(
       tumblingCounts(_, "1 hour", "1 hour"))
       // drop ONLY the sentinel windows: a bare =!= would three-valued-NULL
       // away a legitimate NULL-event_type group the oracle keeps
