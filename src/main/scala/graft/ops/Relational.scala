@@ -417,27 +417,36 @@ object Relational {
     * other order is ≥ on both dims and > on at least one. Ties are
     * mutual non-dominators, so the emitted SET is deterministic.
     *
-    * Scale shape — never the O(n²) dominance join: per 2-d subset, a
-    * row survives iff (a) no strictly-higher-price row has date ≥ its
-    * own (a `RANGE 1 FOLLOWING .. ∞` running max over integer cents —
-    * strictness for free from integer ordering) and (b) it carries the
-    * max date among its exact price peers. Pass 1 applies that filter
+    * Scale shape — never the O(n²) dominance join, and never a
+    * per-row re-aggregated window frame either (a `RANGE k FOLLOWING ..
+    * ∞` max LOOKS declarative but WindowExec recomputes the aggregate
+    * per row — O(n²), measured at 447 s on 150k rows): rows collapse to
+    * per-price groups (hash aggregate), a plain GROWING-frame running
+    * max over the descending distinct prices gives "max date among
+    * strictly higher prices" incrementally in O(groups), and rows join
+    * back on price to keep exactly those carrying their group's max
+    * date and beating the higher-price max. Pass 1 applies that filter
     * WITHIN each input partition (local skylines; any subset's skyline
     * contains every global-skyline member in it, so pruning is safe) —
-    * corpus-sized data sees only partition-local sort work. Pass 2
+    * corpus-sized data sees only partition-local work. Pass 2
     * re-applies the same filter globally over the surviving frontier
     * candidates (frontier-sized, bounded). The oracle is the dominance
     * definition itself (NOT EXISTS). */
   def skyline(spark: SparkSession, dir: String): DataFrame = {
-    def frontier(df: DataFrame, part: Seq[org.apache.spark.sql.Column]): DataFrame = {
-      val byPrice = Window.partitionBy(part: _*).orderBy(col("price_cents").asc)
-        .rangeBetween(1L, Window.unboundedFollowing)
-      val peers = Window.partitionBy(part :+ col("price_cents"): _*)
-      df.withColumn("mx_higher", max(col("d_us")).over(byPrice))
-        .withColumn("mx_peer", max(col("d_us")).over(peers))
-        .filter((col("mx_higher").isNull || col("mx_higher") < col("d_us")) &&
-          col("d_us") === col("mx_peer"))
-        .drop("mx_higher", "mx_peer")
+    def frontier(df: DataFrame, part: Seq[String]): DataFrame = {
+      val keys = part :+ "price_cents"
+      val w = Window.partitionBy(part.map(col): _*)
+        .orderBy(col("price_cents").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val groups = df.groupBy(keys.map(col): _*)
+        .agg(max(col("d_us")).as("dmax"))
+        // preceding rows in desc price order are exactly the strictly
+        // higher price groups; growing frames accumulate incrementally
+        .withColumn("mx_higher", max(col("dmax")).over(w))
+      df.join(groups, keys)
+        .filter(col("d_us") === col("dmax") &&
+          (col("mx_higher").isNull || col("mx_higher") < col("d_us")))
+        .drop("dmax", "mx_higher")
     }
     val base = Tables.orders(spark, dir)
       .filter(col("o_orderkey").isNotNull && col("o_totalprice").isNotNull &&
@@ -447,8 +456,9 @@ object Relational {
     // partition-local prune (cheap, partition-invariant result) → tiny
     // global pass; spark_partition_id only steers pruning, never values
     val local = frontier(base.withColumn("pid", spark_partition_id()),
-      Seq(col("pid"))).drop("pid")
+      Seq("pid")).drop("pid")
     frontier(local, Seq.empty)
+      .select("o_orderkey", "price_cents", "d_us")
   }
 
   /** Running total per customer over order dates (window frame op). */
