@@ -37,22 +37,30 @@ object GraftFunctions {
       binary("sorted_intersect_size", SortedIntersectSize(_, _)),
     "minhash_sigs" -> unary("minhash_sigs", MinHashSigs(_)))
 
-  /** Register on an existing session's function registry. */
+  /** Register on an existing session's function registry, and install
+    * the engine's optimizer rewrites ([[graft.plans.RewriteLongDot]])
+    * via the experimental-methods hook — the live-session counterpart
+    * of [[GraftExtensions]]' injectOptimizerRule. */
   def register(spark: SparkSession): Unit = {
     val registry = org.apache.spark.sql.graftbridge.Bridge.functionRegistry(spark)
     all.foreach { case (name, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteLongDot))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteLongDot
   }
 }
 
 /** Session-extension entry point (spark.sql.extensions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.RewriteLongDot)
+  }
 }
