@@ -154,6 +154,9 @@ object SparkEntry {
     "q_bfs"              -> graft.ops.GraphOps.bfsHops _,
     "q_quarantine"       -> ProfileOps.qualityQuarantine _,
     "q_train_split"      -> TextOps.trainSplit _,
+    "q_stream_cascade"   -> graft.streaming.StreamOps.cascadeStreamed _,
+    "q_rank_funcs"       -> Relational.rankFuncs _,
+    "q_array_funcs"      -> Relational.arrayFuncs _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -1599,5 +1602,40 @@ object SparkEntry {
         |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_tokens
         |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |GROUP BY 1,2""".stripMargin,
+    "q_stream_cascade" -> // chained stateful ops ≡ the batch double
+      // aggregation: hours first, then hours rolled up to days
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr, event_type,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1,2)
+        |SELECT epoch_us(date_trunc('day', hr)) AS day_start_us, event_type,
+        |  CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(sum(value_cents) AS BIGINT) AS value_cents,
+        |  count(*) AS n_hours
+        |FROM h GROUP BY 1,2""".stripMargin,
+    "q_rank_funcs" -> // percent_rank/cume_dist: one IEEE division of
+      // exact ints in both engines; ties share values
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM orders
+        |WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY CAST(round(o_totalprice*100) AS BIGINT))""".stripMargin,
+    "q_array_funcs" -> // list-function battery; slice is 1-based
+      // inclusive in both engines, element_at(-1) ≡ the last (max) token
+      """WITH t AS (SELECT doc_id,
+        |    list_sort(list_distinct(string_split(text, ' '))) AS toks
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_distinct,
+        |  array_to_string(toks[1:3], ',') AS first3,
+        |  list_contains(toks, 'the') AS has_the,
+        |  toks[-1] AS max_tok,
+        |  CAST(len(list_intersect(toks, ['the', 'a', 'of'])) AS BIGINT) AS n_stop
+        |FROM t""".stripMargin,
   )
 }

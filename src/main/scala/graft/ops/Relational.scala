@@ -461,6 +461,39 @@ object Relational {
       .select("o_orderkey", "price_cents", "d_us")
   }
 
+  /** Rank-function battery (percent_rank / cume_dist next to
+    * q_window_funcs' lag/lead/dense_rank/ntile): relative standing of
+    * every order within its priority class. Both metrics are ONE IEEE
+    * division of exact integers — (rank−1)/(n−1) and peers/n — so they
+    * are bit-identical across engines (the Exact discipline for emitted
+    * doubles); ties share a value, making every row deterministic. One
+    * shuffle on the partition key. */
+  def rankFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("cents").asc)
+    Tables.orders(spark, dir)
+      .filter(col("o_orderpriority").isNotNull && col("o_totalprice").isNotNull)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("cents"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+  }
+
+  /** Array-function battery over the token arrays (the collection
+    * surface next to q_scalar_funcs / q_string_funcs): distinct size,
+    * sorted prefix, membership, max token, stopword intersection — all
+    * map-side expression work, zero shuffles. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .withColumn("toks", array_sort(array_distinct(split(col("text"), " "))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_distinct"),
+        concat_ws(",", slice(col("toks"), 1, 3)).as("first3"),
+        array_contains(col("toks"), "the").as("has_the"),
+        element_at(col("toks"), -1).as("max_tok"),
+        size(array_intersect(col("toks"),
+          array(lit("the"), lit("a"), lit("of")))).cast("long").as("n_stop"))
+
   /** Running total per customer over order dates (window frame op). */
   def runningTotal(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")

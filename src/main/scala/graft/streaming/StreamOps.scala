@@ -538,6 +538,37 @@ object StreamOps {
         unix_micros(col("p_ts")).as("p_ts_us"))
   }
 
+  /** CHAINED STATEFUL OPERATORS under the engine (the multi-stateful
+    * pipeline Spark supports since 3.4): a watermarked 1-hour tumbling
+    * aggregation feeds a SECOND windowed aggregation that rolls the
+    * hourly partials up to days — both stateful, both incremental, in
+    * ONE streaming query. `window_time()` re-exposes the first
+    * window's event time so the second `window()` can re-window it;
+    * the day row emits exactly once (append mode) when the watermark
+    * passes its close. This is the streaming form of the
+    * pre-aggregation cascade (hourly → daily rollup) a 100 TB metrics
+    * pipeline runs without re-reading raw events. Oracle: the batch
+    * double aggregation — group to hours, then group hours to days. */
+  def cascadeStreamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(parent)
+    val evs = completeEvents(spark, dir)
+    val (b1, b2) = timeSplit(evs)
+    runFileStream(spark, evs.schema, "graft_stream_cascade_sink",
+      OutputMode.Append(), Seq(b1, b2.union(sentinel(evs, -1L, 30)))) { src =>
+      val hourly = src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.functions.Exact.cents(col("value"))).as("value_cents"))
+      hourly
+        .groupBy(window(window_time(col("window")), "1 day"), col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("value_cents")).as("value_cents"),
+          count(lit(1)).as("n_hours"))
+    }
+      .filter(col("event_type").isNull || col("event_type") =!= "__sentinel")
+      .select(unix_micros(col("window.start")).as("day_start_us"),
+        col("event_type"), col("n"), col("value_cents"), col("n_hours"))
+  }
+
   /** STREAM-STATIC JOIN under the engine: the event stream broadcast-
     * joins a static dim (customer → nation name, planned fresh each
     * micro-batch — the stream-static contract) before the windowed
