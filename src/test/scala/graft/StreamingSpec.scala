@@ -193,6 +193,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chained stateful cascade emits each day exactly once (≡ batch double agg)") {
+    val streamed = StreamOps.cascadeStreamed(spark, TestSpark.Sf0001).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.length == streamed.map(_.toSeq).toSet.size,
+      "a day row emitted more than once")
+    val batch = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull && col("value").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.Exact.cents(col("value"))).as("value_cents"))
+      .groupBy(window(window_time(col("window")), "1 day"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("value_cents")).as("value_cents"),
+        count(lit(1)).as("n_hours"))
+      .select(unix_micros(col("window.start")).as("day_start_us"),
+        col("event_type"), col("n"), col("value_cents"), col("n_hours"))
+      .collect()
+    assert(streamed.map(_.toSeq).toSet == batch.map(_.toSeq).toSet)
+  }
+
   test("left-outer stream-stream join ≡ batch; unmatched clicks null-pad exactly once") {
     val streamed = StreamOps.leftOuterJoinStreamed(spark, TestSpark.Sf0001)
       .collect()
