@@ -312,6 +312,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"frontier windows missing:\n$plan")
   }
 
+  test("q_incr_agg: refresh reads the stored view + the delta, never the full table twice") {
+    val plan = finalSection(finalPlan(
+      graft.ingest.Materialize.incrementalAggRefresh(spark, TestSpark.Sf0001)))
+    // exactly three scans: the materialized partials (graft_mv_evagg),
+    // the events delta, and the 1-row ts-bounds aggregate (pruned to the
+    // ts column — table stats in a real deployment). The refresh never
+    // re-aggregates the base half: that work comes from the stored view.
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 3, s"expected MV + delta + bounds scans, got $scans:\n$plan")
+    assert(plan.contains("graft_mv_evagg"), s"stored view not read:\n$plan")
+  }
+
+  test("q_quarantine and q_train_split: one bounded exchange each") {
+    for ((name, df) <- Seq(
+      "q_quarantine" -> graft.ops.ProfileOps.qualityQuarantine(spark, TestSpark.Sf0001),
+      "q_train_split" -> graft.ops.TextOps.trainSplit(spark, TestSpark.Sf0001))) {
+      val plan = finalSection(finalPlan(df))
+      val fresh = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+      assert(fresh == 1, s"$name: expected 1 required exchange, got $fresh:\n$plan")
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$name: aggregate is not two-phase (map-side combine missing):\n$plan")
+    }
+  }
+
   test("q_data_profile: two bounded passes, no sort of the expanded table") {
     val plan = finalSection(finalPlan(
       graft.ops.ProfileOps.dataProfile(spark, TestSpark.Sf0001)))
