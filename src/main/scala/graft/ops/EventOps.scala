@@ -448,19 +448,26 @@ object EventOps {
     * Spark's `div` and DuckDB's `//` (both truncate toward zero) agree
     * with floor division, removing the one operand regime where integral
     * division semantics could drift. */
-  def ewmaPerUser(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
-        col("event_id").isNotNull && col("value").isNotNull && col("value") >= 0)
+  /** The fold core over any `(user_id, us, event_id, c)` set (c ≥ 0) —
+    * package-visible so the property spec can drive generated sequences
+    * against a plain sequential Scala fold. */
+  private[graft] def ewmaOf(rows: DataFrame): DataFrame =
+    rows
       .select(col("user_id"),
-        struct(unix_micros(col("ts")).as("us"), col("event_id"),
-          cents(col("value")).as("c")).as("s"))
+        struct(col("us"), col("event_id"), col("c")).as("s"))
       .groupBy("user_id")
       .agg(array_sort(collect_list(col("s"))).as("xs"))
       .select(col("user_id"), size(col("xs")).cast("long").as("n_events"),
         // -1 sentinel = "no previous state"; first element seeds the fold
         expr("aggregate(xs, CAST(-1 AS BIGINT)," +
           " (acc, x) -> IF(acc < 0, x.c, (acc + x.c) div 2))").as("ewma_cents"))
+
+  def ewmaPerUser(spark: SparkSession, dir: String): DataFrame =
+    ewmaOf(Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_id").isNotNull && col("value").isNotNull && col("value") >= 0)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), cents(col("value")).as("c")))
 
   /** First-order Markov transitions over user event sequences — the
     * user-journey / sequence-mining shape (what follows a click?): for

@@ -432,7 +432,10 @@ object Relational {
     * re-applies the same filter globally over the surviving frontier
     * candidates (frontier-sized, bounded). The oracle is the dominance
     * definition itself (NOT EXISTS). */
-  def skyline(spark: SparkSession, dir: String): DataFrame = {
+  /** The skyline core over any `(o_orderkey, price_cents, d_us)` set —
+    * package-visible so the property spec can drive generated point
+    * sets against a brute-force dominance reference. */
+  private[graft] def skylineOf(base: DataFrame): DataFrame = {
     def frontier(df: DataFrame, part: Seq[String]): DataFrame = {
       val keys = part :+ "price_cents"
       val w = Window.partitionBy(part.map(col): _*)
@@ -448,11 +451,6 @@ object Relational {
           (col("mx_higher").isNull || col("mx_higher") < col("d_us")))
         .drop("dmax", "mx_higher")
     }
-    val base = Tables.orders(spark, dir)
-      .filter(col("o_orderkey").isNotNull && col("o_totalprice").isNotNull &&
-        col("o_orderdate").isNotNull)
-      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("d_us"))
     // partition-local prune (cheap, partition-invariant result) → tiny
     // global pass; spark_partition_id only steers pruning, never values
     val local = frontier(base.withColumn("pid", spark_partition_id()),
@@ -460,6 +458,13 @@ object Relational {
     frontier(local, Seq.empty)
       .select("o_orderkey", "price_cents", "d_us")
   }
+
+  def skyline(spark: SparkSession, dir: String): DataFrame =
+    skylineOf(Tables.orders(spark, dir)
+      .filter(col("o_orderkey").isNotNull && col("o_totalprice").isNotNull &&
+        col("o_orderdate").isNotNull)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("d_us")))
 
   /** Rank-function battery (percent_rank / cume_dist next to
     * q_window_funcs' lag/lead/dense_rank/ntile): relative standing of
