@@ -1454,18 +1454,21 @@ object SparkEntry {
         |  FROM p JOIN c USING (ph) GROUP BY 1)
         |SELECT doc_id, n_pairs, n_known, (n_known*1000)//n_pairs AS known_permille
         |FROM d""".stripMargin,
-    "q_decontam" -> { // eval set = every DecontamModulus-th doc_id; a train
-      // doc sharing any K-token window hash with it is contaminated
+    "q_decontam" -> { // eval set = every DecontamModulus-th doc_id below
+      // the id cap (a fixed benchmark manifest's deterministic stand-in);
+      // a train doc sharing any K-token window hash with it is contaminated
       val k = DedupOps.SubstrWindow
       val m = DedupOps.DecontamModulus
+      val cap = DedupOps.DecontamEvalCap
       s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t
         |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
         |w AS (SELECT doc_id, list_distinct(
         |    [substr(md5(array_to_string(t[i:i+${k - 1}], ' ')),1,15)
         |     for i in generate_series(1, len(t)-${k - 1})]) AS ws FROM d),
         |e AS (SELECT doc_id, unnest(ws) AS wh FROM w),
-        |ev AS (SELECT DISTINCT wh FROM e WHERE doc_id % $m = 0),
-        |tr AS (SELECT doc_id, wh FROM e WHERE doc_id % $m != 0)
+        |ev AS (SELECT DISTINCT wh FROM e WHERE doc_id % $m = 0 AND doc_id < $cap),
+        |tr AS (SELECT doc_id, wh FROM e
+        |  WHERE NOT (doc_id % $m = 0 AND doc_id < $cap))
         |SELECT tr.doc_id, count(*) AS n_win,
         |  CAST(sum(CASE WHEN ev.wh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
         |  CAST(CAST(sum(CASE WHEN ev.wh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)*1000

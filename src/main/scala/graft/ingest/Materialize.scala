@@ -311,8 +311,8 @@ object Materialize {
     val out = processScratchDir(
       s"graft_retention_${java.lang.Integer.toHexString(dir.hashCode)}")
     val evs = graft.sources.Tables.events(spark, dir)
-    evs.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-      .write.mode("overwrite").partitionBy("day").parquet(out)
+    val dayed = evs.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    dayed.write.mode("overwrite").partitionBy("day").parquet(out)
     // cutoff day from the same (min+max) div 2 midpoint discipline as
     // the drift/stream splits — a 1-row bounds aggregate; collecting ONE
     // date literal to plan a metadata delete is bounded driver work
@@ -321,7 +321,10 @@ object Materialize {
       .select(date_format(timestamp_micros(col("m")), "yyyy-MM-dd"))
       .collect().head.getString(0)) // None ⇔ no timestamped rows: keep all
     cutoff.foreach(retentionPrune(out, _))
-    spark.read.parquet(out)
+    // explicit schema: an EMPTY partitioned write creates no part files
+    // (only _SUCCESS), and a schema-less read of that dir would throw
+    // instead of returning the empty result the oracle produces
+    spark.read.schema(dayed.schema).parquet(out)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(graft.functions.Exact.cents(col("value"))).as("value_cents"))

@@ -489,10 +489,16 @@ object DedupOps {
         graft.functions.Exact.idiv(col("n_dup_win") * 1000, col("n_win")))
   }
 
-  /** Every [[DecontamModulus]]-th doc_id forms the held-out eval set —
-    * a deterministic stand-in for the benchmark suite a real pipeline
-    * loads from a manifest (both engines derive the identical split). */
+  /** Every [[DecontamModulus]]-th doc_id BELOW [[DecontamEvalCap]]
+    * forms the held-out eval set — a deterministic stand-in for the
+    * benchmark suite a real pipeline loads from a manifest (both
+    * engines derive the identical split). The id cap is what makes the
+    * eval side BOUNDED by construction (a real benchmark is a fixed
+    * list, not a corpus-proportional slice): however large the corpus
+    * grows, at most `cap / modulus` documents are eval — which is what
+    * licenses broadcasting their window hashes in [[decontaminate]]. */
   val DecontamModulus = 7
+  val DecontamEvalCap = 1L << 20
 
   /** Benchmark DECONTAMINATION — the training-pipeline gate that keeps
     * eval data out of the training corpus (the n-gram overlap check of
@@ -501,14 +507,15 @@ object DedupOps {
     * eval-set doc is flagged with its overlap count and per-mille, the
     * signal thresholded to drop or quarantine the doc.
     *
-    * Scale shape: the eval side is benchmark-sized — tiny relative to
-    * the corpus BY CONSTRUCTION — so its distinct window hashes
-    * BROADCAST, and the corpus side stays one map-only shingle fan-out
-    * + broadcast probe + per-doc hash aggregate: ZERO shuffles of
-    * corpus-sized data (the per-doc aggregate partials combine
-    * map-side). Window hashes are the same 60-bit md5 prefixes as
-    * [[substringDedup]], so the probe is a long-equality hash lookup.
-    * Output is bounded by contaminated docs only. */
+    * Scale shape: the eval side is benchmark-sized — BOUNDED by the
+    * [[DecontamEvalCap]] id cap, not corpus-proportional — so its
+    * distinct window hashes BROADCAST, and the corpus side stays one
+    * map-only shingle fan-out + broadcast probe + per-doc hash
+    * aggregate: ZERO shuffles of corpus-sized data (the per-doc
+    * aggregate partials combine map-side). Window hashes are the same
+    * 60-bit md5 prefixes as [[substringDedup]], so the probe is a
+    * long-equality hash lookup. Output is bounded by contaminated docs
+    * only. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val K = SubstrWindow
     val terms = (0 until K).map(j => s"element_at(t, i + $j)").mkString(", ")
@@ -523,9 +530,11 @@ object DedupOps {
           "ELSE array() END")).as("wh"))
     val docs = Tables.documents(spark, dir)
       .filter(col("text").isNotNull && col("doc_id").isNotNull)
-    val evalWh = windows(docs.filter(col("doc_id") % DecontamModulus === 0))
+    val isEval = col("doc_id") % DecontamModulus === 0 &&
+      col("doc_id") < DecontamEvalCap
+    val evalWh = windows(docs.filter(isEval))
       .select(col("wh"), lit(1L).as("hit")).distinct()
-    windows(docs.filter(col("doc_id") % DecontamModulus =!= 0))
+    windows(docs.filter(!isEval))
       .join(broadcast(evalWh), Seq("wh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_win"),

@@ -219,7 +219,11 @@ object EventOps {
     val perType = evs.groupBy("event_type")
       .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
     val merged = perType.agg(count(lit(1)).as("n_sketches"),
-      hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+      // zero sketch rows (empty/all-null input) union to a NULL sketch;
+      // estimate 0 keeps within_bound TRUE like the oracle's constant
+      // (est can only be null when no valid row existed, so exact is 0)
+      coalesce(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))),
+        lit(0L)).as("est"))
     val exact = evs.agg(countDistinct(col("user_id")).as("exact_users"))
     merged.crossJoin(exact) // two 1-row aggregates
       .select(col("n_sketches"), col("exact_users"),

@@ -360,9 +360,10 @@ class DedupSpec extends AnyFunSuite {
   test("decontaminate flags exactly the train docs sharing a K-token window with the eval set") {
     import org.apache.spark.sql.functions._
     val m = DedupOps.DecontamModulus
+    def isEval(id: Long): Boolean = id % m == 0 && id < DedupOps.DecontamEvalCap
     val flagged = DedupOps.decontaminate(spark, TestSpark.Sf0001).collect()
     assert(flagged.nonEmpty, "no contamination signal in the corpus")
-    assert(flagged.forall(r => r.getLong(r.fieldIndex("doc_id")) % m != 0),
+    assert(flagged.forall(r => !isEval(r.getLong(r.fieldIndex("doc_id")))),
       "an eval doc flagged itself")
     // independent recomputation on RAW token windows — no hashing, so a
     // (hypothetical) md5 collision in the shipped path would surface here
@@ -373,8 +374,8 @@ class DedupSpec extends AnyFunSuite {
     def wins(t: Seq[String]): Set[String] =
       if (t.length < DedupOps.SubstrWindow) Set.empty
       else t.sliding(DedupOps.SubstrWindow).map(_.mkString(" ")).toSet
-    val evalWins = docs.filter(_._1 % m == 0).flatMap(d => wins(d._2)).toSet
-    val expect = docs.filter(_._1 % m != 0)
+    val evalWins = docs.filter(d => isEval(d._1)).flatMap(d => wins(d._2)).toSet
+    val expect = docs.filter(d => !isEval(d._1))
       .map { case (id, t) => id -> wins(t).count(evalWins).toLong }
       .filter(_._2 > 0).toMap
     val got = flagged.map(r =>

@@ -234,6 +234,23 @@ class IngestSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(root.toPath)
   }
 
+  test("empty events corpus: retention delete and sketch union degrade gracefully") {
+    import org.apache.spark.sql.types._
+    // an empty PARTITIONED write creates no part files at all — the
+    // read-back must return the empty result, not a schema-infer error;
+    // and a zero-sketch union must keep within_bound TRUE like its oracle
+    val d = Files.createTempDirectory("graft_empty").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.parquet(s"$d/events.parquet")
+    assert(Materialize.retentionDelete(spark, d).collect().isEmpty)
+    val r = graft.ops.EventOps.sketchUnion(spark, d).collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getBoolean(2))
+  }
+
   test("mergeAggPartials: refresh cycle after cycle ≡ full recompute") {
     import org.apache.spark.sql.functions._
     val evs = graft.sources.Tables.events(spark, TestSpark.Sf0001)
