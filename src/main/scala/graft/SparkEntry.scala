@@ -157,6 +157,8 @@ object SparkEntry {
     "q_stream_cascade"   -> graft.streaming.StreamOps.cascadeStreamed _,
     "q_rank_funcs"       -> Relational.rankFuncs _,
     "q_array_funcs"      -> Relational.arrayFuncs _,
+    "q_interval_merge"   -> EventOps.intervalMerge _,
+    "q_mix_rebalance"    -> TextOps.mixRebalance _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -1640,5 +1642,45 @@ object SparkEntry {
         |  toks[-1] AS max_tok,
         |  CAST(len(list_intersect(toks, ['the', 'a', 'of'])) AS BIGINT) AS n_stop
         |FROM t""".stripMargin,
+    "q_interval_merge" -> // interval union via the cumulative-max sweep;
+      // duration is an exact-integer function of value, so span bounds
+      // are integer-identical; ties on (s,e) broken by event_id
+      s"""WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + (abs(CAST(round(value*100) AS BIGINT))
+        |      % ${EventOps.IvDurModulusS} + ${EventOps.IvDurFloorS}) * 1000000 AS e_us
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL AND event_id IS NOT NULL),
+        |f AS (SELECT *, max(e_us) OVER (PARTITION BY user_id
+        |    ORDER BY s_us, e_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM iv),
+        |g AS (SELECT *, CASE WHEN prev_end IS NULL OR s_us > prev_end
+        |    THEN 1 ELSE 0 END AS new_span FROM f),
+        |h AS (SELECT *, CAST(sum(new_span) OVER (PARTITION BY user_id
+        |    ORDER BY s_us, e_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+        |      AS span_id FROM g)
+        |SELECT user_id, span_id, min(s_us) AS span_start_us,
+        |  max(e_us) AS span_end_us, count(*) AS n_events,
+        |  max(e_us) - min(s_us) AS covered_us
+        |FROM h GROUP BY 1,2""".stripMargin,
+    "q_mix_rebalance" -> // same hash-ordered pick under the same
+      // per-mille budgets; fingerprint = md5 of the doc_id set in
+      // numeric order, so both engines must select identical rows
+      s"""WITH w(lang, w_permille) AS (VALUES
+        |    ${TextOps.MixWeights.map { case (l, p) => s"('$l',$p)" }.mkString(",")}),
+        |r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rank,
+        |    count(*) OVER (PARTITION BY lang) AS n_source
+        |  FROM documents WHERE lang IS NOT NULL AND doc_id IS NOT NULL),
+        |t AS (SELECT r.*, w.w_permille,
+        |    CAST(least(n_source, ${TextOps.MixBudget}*w.w_permille//1000) AS BIGINT)
+        |      AS n_target
+        |  FROM r JOIN w USING (lang))
+        |SELECT lang, w_permille, n_source, n_target, count(*) AS n_sel,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS sample_fp
+        |FROM t WHERE rank <= n_target
+        |GROUP BY 1,2,3,4""".stripMargin,
   )
 }

@@ -493,4 +493,55 @@ object EventOps {
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Synthetic per-event interval durations for [[intervalMerge]]:
+    * 60..600 s, an exact-integer function of the value column (prime
+    * modulus so durations spread). */
+  val IvDurModulusS = 541
+  val IvDurFloorS = 60
+
+  /** Interval union — merge each user's overlapping [start, end]
+    * intervals into maximal covered spans (the coverage/availability
+    * primitive: machine uptime from lease intervals, listener-hours
+    * from play spans). Distinct from [[sessionStats]]'s point-gap
+    * sessionization: intervals have extent, so a long interval can
+    * swallow many later short ones and a fixed inactivity gap gets the
+    * span boundaries wrong — the classic form is the cumulative-max
+    * sweep: a new span starts where an interval's start exceeds the
+    * running max end of everything before it. Both window frames are
+    * GROWING (`UNBOUNDED PRECEDING .. -1/CURRENT`), which Spark
+    * evaluates incrementally — O(n) per user, never the O(n²)
+    * re-aggregation a moving-start frame would plan. One shuffle on
+    * user_id serves both windows and the final span aggregate. */
+  def intervalMerge(spark: SparkSession, dir: String): DataFrame =
+    intervalSpansOf(Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull && col("event_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) +
+          (abs(cents(col("value"))) % IvDurModulusS + IvDurFloorS) *
+            lit(1000000L)).as("e_us")))
+
+  /** The sweep itself over prepared `(user_id, event_id, s_us, e_us)`
+    * rows — split out so property tests can drive it on generated
+    * interval sets (OpsPropertySpec checks it against a sequential
+    * merge). */
+  def intervalSpansOf(iv: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("s_us"), col("e_us"), col("event_id"))
+    iv.withColumn("prev_end",
+        max(col("e_us")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("s_us") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("span_id",
+        sum(col("new_span"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      .groupBy("user_id", "span_id")
+      .agg(min(col("s_us")).as("span_start_us"),
+        max(col("e_us")).as("span_end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("covered_us", col("span_end_us") - col("span_start_us"))
+  }
 }

@@ -401,6 +401,60 @@ object TextOps {
       .select(col("lang"), col("doc_id"), col("rank"))
   }
 
+  /** Total sampled budget and per-mille mixture weights for
+    * [[mixRebalance]] (weights sum to 1000). */
+  val MixBudget = 300
+  val MixWeights: Seq[(String, Int)] =
+    Seq("en" -> 350, "zh" -> 200, "es" -> 175, "de" -> 150, "fr" -> 125)
+
+  /** Domain-mixture rebalancing — the "data mixing" freeze step of a
+    * training run: given target per-mille weights over domains (here
+    * languages), pick a deterministic sample per domain sized
+    * `min(available, budget·weight/1000)` and emit the per-domain
+    * manifest (source/target counts plus an md5 fingerprint of the
+    * selected doc_id set, so a re-run can prove it froze the SAME
+    * sample). Selection order is a pure md5 of the row key — the same
+    * reservoir-by-hash discipline as [[groupSample]], but with
+    * data-dependent per-group budgets instead of a fixed k. One scan,
+    * one shuffle: the rank and group-size windows share the `lang`
+    * partitioning (one Exchange+Sort), the weight spec is a broadcast
+    * literal table, and the manifest aggregate is bounded by the
+    * budget. */
+  def mixRebalance(spark: SparkSession, dir: String): DataFrame =
+    mixRebalanceOf(
+      Tables.documents(spark, dir)
+        .filter(col("lang").isNotNull && col("doc_id").isNotNull)
+        .select(col("lang"), col("doc_id")),
+      MixBudget, MixWeights)
+
+  /** The rebalance itself over prepared `(lang, doc_id)` rows with an
+    * explicit budget/weight spec — split out so property tests can
+    * drive it on generated corpora and weight vectors (OpsPropertySpec
+    * checks budget math, determinism, and hash-order selection against
+    * a sequential reference). */
+  def mixRebalanceOf(docs: DataFrame, budget: Int,
+      weightSpec: Seq[(String, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val weights = weightSpec.toDF("lang", "w_permille")
+    val hk = md5(concat(lit("mix:"), col("doc_id").cast("string")))
+    val wOrd = Window.partitionBy("lang").orderBy(hk.asc, col("doc_id").asc)
+    val wAll = Window.partitionBy("lang")
+    docs
+      .withColumn("rank", row_number().over(wOrd))
+      .withColumn("n_source", count(lit(1)).over(wAll))
+      .join(broadcast(weights), "lang")
+      .withColumn("n_target",
+        least(col("n_source"), idiv(lit(budget) * col("w_permille"), lit(1000))))
+      .filter(col("rank") <= col("n_target"))
+      .groupBy("lang", "w_permille", "n_source", "n_target")
+      .agg(count(lit(1)).as("n_sel"),
+        md5(array_join(
+          transform(sort_array(collect_list(col("doc_id"))), _.cast("string")),
+          ",")).as("sample_fp"))
+  }
+
   /** Vocabulary ranks kept by [[vocabCoverage]]. */
   val VocabTopK = 20
 

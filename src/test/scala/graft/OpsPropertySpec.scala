@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.ops.{EventOps, Relational}
+import graft.ops.{EventOps, Relational, TextOps}
 
 /** Property checks for the algorithmic operators against brute-force /
   * sequential references on generated inputs (fixed scalacheck seeds —
@@ -60,6 +60,80 @@ class OpsPropertySpec extends AnyFunSuite {
         u -> (cs.length.toLong, cs.tail.foldLeft(cs.head)((s, x) => (s + x) / 2))
       }
       assert(got == want, s"seed=$seed evs=$evs")
+    }
+  }
+
+  // short, heavily-overlapping intervals on a tiny time domain: spans
+  // swallow later intervals, ties on (s,e) are frequent — the regime
+  // where an off-by-one in the strict `s > prev_end` test shows up
+  val ivGen: Gen[(Long, Long, Long)] = for {
+    user <- Gen.choose(1L, 3L)
+    s <- Gen.choose(0L, 30L)
+    len <- Gen.choose(0L, 8L) // zero-length and point-touching intervals
+  } yield (user, s, s + len)
+  val ivsGen: Gen[List[(Long, Long, Long, Long)]] =
+    Gen.nonEmptyListOf(ivGen).map(_.take(60).zipWithIndex
+      .map { case ((u, s, e), i) => (u, i.toLong, s, e) })
+
+  test("interval sweep ≡ sequential merge on generated interval sets") {
+    (1L to 25L).foreach { seed =>
+      val ivs = ivsGen.pureApply(Gen.Parameters.default, Seed(seed))
+      val df = ivs.toDF("user_id", "event_id", "s_us", "e_us")
+      val got = EventOps.intervalSpansOf(df).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      // sequential reference: sort per user, sweep, merge on s <= maxEnd
+      val want = ivs.groupBy(_._1).flatMap { case (u, rows) =>
+        val sorted = rows.map { case (_, id, s, e) => (s, e, id) }.sorted
+        val spans = scala.collection.mutable.ListBuffer
+          .empty[(Long, Long, Long)] // (start, maxEnd, n)
+        sorted.foreach { case (s, e, _) =>
+          if (spans.nonEmpty && s <= spans.last._2) {
+            val (st, en, n) = spans.last
+            spans(spans.length - 1) = (st, math.max(en, e), n + 1)
+          } else spans += ((s, e, 1L))
+        }
+        spans.zipWithIndex.map { case ((st, en, n), i) =>
+          (u, i + 1, st, en, n, en - st)
+        }
+      }.toSet
+      assert(got == want, s"seed=$seed ivs=$ivs")
+    }
+  }
+
+  val docGen: Gen[(String, Long)] = for {
+    lang <- Gen.oneOf("aa", "bb", "cc", "dd")
+    id <- Gen.choose(0L, 500L)
+  } yield (lang, id)
+  val docsGen: Gen[List[(String, Long)]] =
+    Gen.nonEmptyListOf(docGen).map(_.take(80).distinct)
+
+  test("mix rebalance ≡ sequential hash-ordered pick under per-mille budgets") {
+    val weights = Seq("aa" -> 400, "bb" -> 300, "cc" -> 200, "dd" -> 100)
+    val budget = 40
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    (1L to 15L).foreach { seed =>
+      val docs = docsGen.pureApply(Gen.Parameters.default, Seed(seed))
+      val df = docs.toDF("lang", "doc_id")
+      val got = TextOps.mixRebalanceOf(df, budget, weights).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getString(5))).toSet
+      val want = docs.groupBy(_._1).flatMap { case (lang, rows) =>
+        val w = weights.toMap.getOrElse(lang, 0)
+        val nSource = rows.length.toLong
+        val nTarget = math.min(nSource, budget.toLong * w / 1000)
+        if (nTarget == 0) None
+        else {
+          val sel = rows.map(_._2)
+            .sortBy(id => (md5hex(s"mix:$id"), id)).take(nTarget.toInt)
+          Some((lang, w, nSource, nTarget, sel.length.toLong,
+            md5hex(sel.sorted.mkString(","))))
+        }
+      }.toSet
+      assert(got == want, s"seed=$seed docs=$docs")
     }
   }
 }
