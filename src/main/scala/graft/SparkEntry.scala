@@ -159,6 +159,7 @@ object SparkEntry {
     "q_array_funcs"      -> Relational.arrayFuncs _,
     "q_interval_merge"   -> EventOps.intervalMerge _,
     "q_mix_rebalance"    -> TextOps.mixRebalance _,
+    "q_semdedup"         -> VectorOps.semDedup _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -1682,5 +1683,53 @@ object SparkEntry {
         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS sample_fp
         |FROM t WHERE rank <= n_target
         |GROUP BY 1,2,3,4""".stripMargin,
+    "q_semdedup" -> { // SemDeDup: the IVF oracle's Lloyd chain verbatim
+      // (same seeds, same integer-mean update, same cos DESC, cid ASC
+      // assignment), then within-cluster pairs at cos >= threshold drop
+      // every non-min-id similar vector; per-cluster manifest with an
+      // md5 fingerprint of the kept id set (string_agg skips the
+      // NULL-masked dropped rows, exactly like collect_list)
+      def dotOf(a: String, b: String) =
+        s"CAST(list_sum(list_transform(generate_series(1,len($a)), i -> $a[i]*$b[i])) AS BIGINT)"
+      def assignCte(cIn: String, aOut: String) =
+        s"""$aOut AS (SELECT vec_id, qv, list_id FROM (
+           |  SELECT n.vec_id, n.qv, c.cid AS list_id,
+           |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+           |      ${dotOf("n.qv", "c.cv")} / sqrt(CAST(n.nrm*c.cnrm AS DOUBLE)) DESC, c.cid) AS rn
+           |  FROM n CROSS JOIN $cIn c) WHERE rn = 1)""".stripMargin
+      def updateCte(aIn: String, cOut: String) =
+        s"""$cOut AS (SELECT cid, cv,
+           |  CAST(list_sum(list_transform(cv, x->x*x)) AS BIGINT) AS cnrm FROM (
+           |  SELECT list_id AS cid, list(m ORDER BY pos) AS cv FROM (
+           |    SELECT list_id, pos, CAST(CAST(sum(v) AS BIGINT) // count(*) AS BIGINT) AS m
+           |    FROM (SELECT list_id, generate_subscripts(qv,1) AS pos, unnest(qv) AS v FROM $aIn)
+           |    GROUP BY 1,2) GROUP BY 1))""".stripMargin
+      val lloyd = (1 to VectorOps.IvfIters).map { t =>
+        assignCte(s"c${t - 1}", s"tr$t") + ",\n" + updateCte(s"tr$t", s"c$t")
+      }.mkString(",\n")
+      val cFin = s"c${VectorOps.IvfIters}"
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv FROM embeddings),
+        |n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x->x*x)) AS BIGINT) AS nrm FROM q),
+        |c0 AS (SELECT vec_id AS cid, qv AS cv, nrm AS cnrm FROM n WHERE vec_id % ${VectorOps.IvfStride} = 0),
+        |$lloyd,
+        |ac AS (SELECT vec_id, qv, nrm, cid,
+        |  ${dotOf("qv", "cv")}
+        |    / sqrt(CAST(nrm*cnrm AS DOUBLE)) AS ccos
+        |  FROM n CROSS JOIN $cFin),
+        |a AS (SELECT vec_id, qv, nrm, cid AS list_id FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ac)
+        |  WHERE rn = 1),
+        |d AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y
+        |  ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+        |  AND ${dotOf("x.qv", "y.qv")}
+        |    / sqrt(CAST(x.nrm*y.nrm AS DOUBLE)) >= ${VectorOps.SemDedupCos})
+        |SELECT a.list_id, count(*) AS n_members,
+        |  count(d.vec_id) AS n_dropped,
+        |  count(*) - count(d.vec_id) AS n_kept,
+        |  md5(string_agg(CASE WHEN d.vec_id IS NULL
+        |    THEN CAST(a.vec_id AS VARCHAR) END, ',' ORDER BY a.vec_id)) AS kept_fp
+        |FROM a LEFT JOIN d ON a.vec_id = d.vec_id GROUP BY 1""".stripMargin
+    },
   )
 }

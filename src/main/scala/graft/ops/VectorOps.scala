@@ -464,4 +464,53 @@ object VectorOps {
       .groupBy("label", "pos")
       .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
       .withColumn("centroid_e3", col("sum_q").cast("double") / col("n"))
+
+  /** Cosine threshold for SEMANTIC duplicates — looser than
+    * [[NearDupCos]] (semantic dedup prunes "same meaning", not
+    * near-identical vectors). */
+  val SemDedupCos = 0.30
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication by cluster-then-compare: train the coarse quantizer
+    * (the SAME [[trainedCentroids]] Lloyd's k-means the IVF index
+    * uses), assign every vector to its nearest centroid with the
+    * zero-shuffle broadcast argmax, then compute pairwise cosine ONLY
+    * within a cluster and drop every vector that has a same-cluster
+    * neighbor with cosine ≥ [[SemDedupCos]] and a smaller vec_id (the
+    * min-id member of any similar pair always survives — a
+    * deterministic stand-in for the paper's random keeper). This is
+    * what makes semantic dedup feasible at 100 TB: the O(n²) compare
+    * is confined to clusters (Σ c_i² ≪ n²), the cluster id is the
+    * shuffle key, and the model (K·dim centroids) stays broadcast-
+    * sized. Output is the per-cluster manifest — members / dropped /
+    * kept counts plus an md5 fingerprint of the kept id set (the
+    * freeze-proof discipline of [[graft.ops.TextOps.mixRebalance]]) —
+    * bounded by K, never corpus-sized. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = trainedCentroids(e).persist()
+    // the assignment feeds three consumers (both self-join sides + the
+    // manifest); persist so the training+argmax subtree runs once. At
+    // 100 TB this materialization is the checkpoint any multi-pass
+    // dedup stage pays; rows are (cid, id, vec) — no pair blowup.
+    val a = assignToLists(e, cents)
+      .select(col("list_id"), col("vec_id"), col("qv"), col("nrm")).persist()
+    val x = a.select(col("list_id"), col("vec_id").as("ia"),
+      col("qv").as("va"), col("nrm").as("na"))
+    val y = a.select(col("list_id"), col("vec_id").as("ib"),
+      col("qv").as("vb"), col("nrm").as("nb"))
+    val dropped = x.join(y, Seq("list_id"))
+      .filter(col("ia") < col("ib"))
+      .filter(dot(col("va"), col("vb")) /
+        sqrt((col("na") * col("nb")).cast("double")) >= SemDedupCos)
+      .select(col("ib").as("vec_id")).distinct()
+    a.join(dropped.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left_outer")
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dropped"),
+        count(lit(1)).minus(sum(coalesce(col("is_dup"), lit(0L)))).as("n_kept"),
+        md5(array_join(transform(
+          sort_array(collect_list(when(col("is_dup").isNull, col("vec_id")))),
+          _.cast("string")), ",")).as("kept_fp"))
+  }
 }

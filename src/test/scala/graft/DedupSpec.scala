@@ -382,4 +382,19 @@ class DedupSpec extends AnyFunSuite {
       r.getLong(r.fieldIndex("doc_id")) -> r.getLong(r.fieldIndex("n_hits"))).toMap
     assert(got == expect)
   }
+
+  test("semDedup manifest: partition of the corpus, kept+dropped add up, real drops") {
+    val rows = VectorOps.semDedup(spark, TestSpark.Sf0001).collect()
+    val total = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001).count()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_members"))).sum == total,
+      "clusters must partition the corpus")
+    rows.foreach { r =>
+      val (m, d, k) = (r.getLong(r.fieldIndex("n_members")),
+        r.getLong(r.fieldIndex("n_dropped")), r.getLong(r.fieldIndex("n_kept")))
+      assert(m == d + k)
+      assert(k >= 1, "the min-id member of every similar pair survives")
+    }
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_dropped"))).sum > 0,
+      "no semantic duplicates found at the configured threshold")
+  }
 }
