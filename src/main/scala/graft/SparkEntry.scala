@@ -160,6 +160,7 @@ object SparkEntry {
     "q_interval_merge"   -> EventOps.intervalMerge _,
     "q_mix_rebalance"    -> TextOps.mixRebalance _,
     "q_semdedup"         -> VectorOps.semDedup _,
+    "q_chunk_overlap"    -> TextOps.chunkOverlap _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -1731,5 +1732,19 @@ object SparkEntry {
         |    THEN CAST(a.vec_id AS VARCHAR) END, ',' ORDER BY a.vec_id)) AS kept_fp
         |FROM a LEFT JOIN d ON a.vec_id = d.vec_id GROUP BY 1""".stripMargin
     },
+    "q_chunk_overlap" -> // same stride grid (generate_series inclusive
+      // stop ≡ Spark sequence), same 1-based clamped list slice, same
+      // space-joined md5 chunk identity
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |c AS (SELECT doc_id, t,
+        |    unnest(generate_series(0, len(t) - 1, ${TextOps.ChunkStride})) AS s
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(s // ${TextOps.ChunkStride} AS BIGINT) AS chunk_id,
+        |  CAST(s AS BIGINT) AS start_tok,
+        |  CAST(len(t[s + 1 : s + ${TextOps.ChunkLen}]) AS BIGINT) AS n_chunk_tok,
+        |  md5(array_to_string(t[s + 1 : s + ${TextOps.ChunkLen}], ' ')) AS chunk_fp
+        |FROM c""".stripMargin,
   )
 }

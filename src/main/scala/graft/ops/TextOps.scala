@@ -455,6 +455,39 @@ object TextOps {
           ",")).as("sample_fp"))
   }
 
+  /** Chunk length and stride (tokens) for [[chunkOverlap]]; stride <
+    * length so consecutive chunks share `ChunkLen - ChunkStride`
+    * tokens of context. */
+  val ChunkLen = 64
+  val ChunkStride = 48
+
+  /** Overlapping token chunking — the context-window splitter a
+    * retrieval/embedding stage runs before indexing: every document is
+    * cut into [[ChunkLen]]-token windows starting every
+    * [[ChunkStride]] tokens (the tail chunk may be short; a doc
+    * shorter than one stride yields exactly one chunk). The sibling of
+    * [[seqPack]]: packing concatenates whole docs into fixed bins,
+    * chunking SPLITS long docs with deliberate overlap. Emits one row
+    * per chunk with its token extent and an md5 fingerprint of the
+    * chunk text — the identity a downstream embedding cache or chunk
+    * dedup keys on. Plan: explode + projection only, ZERO shuffles —
+    * pure scan throughput at 100 TB, and chunk rows are
+    * ~n_tokens/stride per doc, never quadratic. */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("s",
+        explode(sequence(lit(0L), size(col("t")).cast("long") - 1,
+          lit(ChunkStride.toLong))))
+      .withColumn("ctoks",
+        slice(col("t"), (col("s") + 1).cast("int"), lit(ChunkLen)))
+      .select(col("doc_id"),
+        idiv(col("s"), lit(ChunkStride.toLong)).as("chunk_id"),
+        col("s").as("start_tok"),
+        size(col("ctoks")).cast("long").as("n_chunk_tok"),
+        md5(array_join(col("ctoks"), " ")).as("chunk_fp"))
+
   /** Vocabulary ranks kept by [[vocabCoverage]]. */
   val VocabTopK = 20
 

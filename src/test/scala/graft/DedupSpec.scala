@@ -383,6 +383,32 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("chunkOverlap: stride grid, shared context, short tail, one-chunk doc") {
+    val d = Files.createTempDirectory("graft_chunk").toString
+    val long = (0 until 100).map(i => s"w$i").mkString(" ")
+    Seq((1L, long, "en", "s", 100L), (2L, "a b c", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = TextOps.chunkOverlap(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // 100 tokens, stride 48: starts 0/48/96, lengths 64/52/4
+    assert(rows((1L, 0L))._1 == 0L && rows((1L, 0L))._2 == 64L)
+    assert(rows((1L, 1L))._1 == 48L && rows((1L, 1L))._2 == 52L)
+    assert(rows((1L, 2L))._1 == 96L && rows((1L, 2L))._2 == 4L)
+    // consecutive chunks share ChunkLen - ChunkStride = 16 tokens:
+    // chunk 0 ends at w63, chunk 1 starts at w48
+    assert(rows((1L, 1L))._3 ==
+      md5Hex((48 until 100).map(i => s"w$i").mkString(" ")))
+    // a doc shorter than one stride is exactly one (short) chunk
+    assert(rows((2L, 0L)) == ((0L, 3L, md5Hex("a b c"))))
+    assert(rows.size == 4)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("semDedup manifest: partition of the corpus, kept+dropped add up, real drops") {
     val rows = VectorOps.semDedup(spark, TestSpark.Sf0001).collect()
     val total = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001).count()
