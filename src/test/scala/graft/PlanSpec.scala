@@ -349,4 +349,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Expand"), plan)
     assert(!plan.contains("Sort ["), s"profile sorted a corpus-sized input:\n$plan")
   }
+
+  test("q_chunk_overlap: explode + projection only, zero shuffles") {
+    TestSpark.assertNoShuffle(TextOps.chunkOverlap(spark, TestSpark.Sf0001))
+  }
+
+  test("q_interval_merge: both windows and the span aggregate share one exchange") {
+    val plan = finalSection(finalPlan(
+      graft.ops.EventOps.intervalMerge(spark, TestSpark.Sf0001)))
+    // growing frames sort once behind ONE user_id exchange; the
+    // (user_id, span_id) aggregate reuses that clustering
+    val fresh = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+    assert(fresh == 1, s"expected exactly 1 required exchange, got $fresh:\n$plan")
+    assert(!plan.contains("Join"), s"sweep should not join:\n$plan")
+  }
+
+  test("q_mix_rebalance: one lang exchange, weight spec broadcasts") {
+    val plan = finalSection(finalPlan(
+      TextOps.mixRebalance(spark, TestSpark.Sf0001)))
+    // rank + group-size windows cluster on lang; the weight join must
+    // broadcast (never re-shuffle the ranked rows); the manifest
+    // aggregate adds the only other exchange (4-column key)
+    assert(plan.contains("BroadcastHashJoin"), s"weights not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"weight join shuffled:\n$plan")
+    val fresh = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+    assert(fresh <= 2, s"expected at most 2 required exchanges, got $fresh:\n$plan")
+  }
 }
