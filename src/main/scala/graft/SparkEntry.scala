@@ -161,6 +161,10 @@ object SparkEntry {
     "q_mix_rebalance"    -> TextOps.mixRebalance _,
     "q_semdedup"         -> VectorOps.semDedup _,
     "q_chunk_overlap"    -> TextOps.chunkOverlap _,
+    "q_tokenize_ids"     -> TextOps.tokenizeIds _,
+    "q_kanon"            -> ProfileOps.kAnonymity _,
+    "q_dataset_checksum" -> ProfileOps.datasetChecksum _,
+    "q_rendezvous_shard" -> Materialize.rendezvousShard _,
   )
 
   /** The query set narrowed to `names` (None = all), with unknown names
@@ -1746,5 +1750,61 @@ object SparkEntry {
         |  CAST(len(t[s + 1 : s + ${TextOps.ChunkLen}]) AS BIGINT) AS n_chunk_tok,
         |  md5(array_to_string(t[s + 1 : s + ${TextOps.ChunkLen}], ' ')) AS chunk_fp
         |FROM c""".stripMargin,
+    "q_tokenize_ids" -> // same rank tie-break (cnt DESC, word) and same
+      // 1-based positions; OOV id 0 via the left-join coalesce
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |e AS (SELECT doc_id, unnest(t) AS word,
+        |    generate_subscripts(t, 1) AS pos FROM d),
+        |c AS (SELECT word, count(*) AS cnt FROM e GROUP BY 1),
+        |v AS (SELECT word, id FROM (SELECT word,
+        |    row_number() OVER (ORDER BY cnt DESC, word) AS id FROM c)
+        |  WHERE id <= ${TextOps.TokVocabSize}),
+        |enc AS (SELECT e.doc_id, e.pos, coalesce(v.id, 0) AS id
+        |  FROM e LEFT JOIN v USING (word))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  coalesce(string_agg(CASE WHEN pos <= ${TextOps.TokEncLen}
+        |      THEN CAST(id AS VARCHAR) END, ' ' ORDER BY pos), '') AS ids
+        |FROM enc GROUP BY 1""".stripMargin,
+    "q_kanon" -> // k-anonymity: QI classes below k emit suppressed
+      s"""WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    count(*) AS class_size FROM customer GROUP BY 1, 2)
+        |SELECT c.c_custkey,
+        |  CASE WHEN g.class_size >= ${ProfileOps.AnonK}
+        |    THEN c.c_nationkey END AS nation_q,
+        |  CASE WHEN g.class_size >= ${ProfileOps.AnonK}
+        |    THEN c.c_mktsegment END AS segment_q,
+        |  g.class_size < ${ProfileOps.AnonK} AS suppressed,
+        |  g.class_size
+        |FROM customer c JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin,
+    "q_dataset_checksum" -> // same null sentinels, same 60-bit md5
+      // prefix (0x-cast ≡ Spark's conv(..,16,10)), same XOR fold
+      """WITH h AS (SELECT source,
+        |    ('0x' || substr(md5(concat_ws('|',
+        |      coalesce(CAST(doc_id AS VARCHAR), '<null>'),
+        |      coalesce(text, '<null>'),
+        |      coalesce(lang, '<null>'),
+        |      coalesce(source, '<null>'),
+        |      coalesce(CAST(n_chars AS VARCHAR), '<null>'))), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT count(*) AS n_rows, bit_xor(h) AS xor_fp,
+        |  min(h) AS min_h, max(h) AS max_h,
+        |  CASE WHEN GROUPING(source) = 1 THEN 'TOTAL' ELSE source END AS scope
+        |FROM h GROUP BY GROUPING SETS ((source), ())""".stripMargin,
+    "q_rendezvous_shard" -> // HRW argmax over the same 15-hex score
+      // strings; list_position ≡ array_position (1-based, first match)
+      s"""WITH s AS (SELECT doc_id,
+        |    [substr(md5(doc_id || ':' || x), 1, 15)
+        |     for x in generate_series(0, ${Materialize.RvShards - 1})] AS s8,
+        |    [substr(md5(doc_id || ':' || x), 1, 15)
+        |     for x in generate_series(0, ${Materialize.RvShards})] AS s9
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST(list_position(s8, list_max(s8)) - 1 AS INTEGER) AS shard_n,
+        |  CAST(list_position(s9, list_max(s9)) - 1 AS INTEGER) AS shard_n1,
+        |  list_position(s8, list_max(s8)) != list_position(s9, list_max(s9))
+        |    AS moved
+        |FROM s""".stripMargin,
   )
 }

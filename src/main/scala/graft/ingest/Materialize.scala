@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -508,5 +508,41 @@ object Materialize {
       .agg(
         countDistinct(col("o_custkey")).as("n_active_cust"),
         sum(graft.functions.Exact.cents(col("o_totalprice"))).as("revenue_cents"))
+  }
+
+  /** Shard count for [[rendezvousShard]]'s initial placement. */
+  val RvShards = 8
+
+  /** Rendezvous (highest-random-weight) shard placement — how a 100 TB
+    * corpus is spread over storage shards so that GROWING the shard set
+    * moves only the minimum of data: each doc scores every shard with a
+    * keyed hash and lands on its argmax shard. When a shard is added,
+    * a doc moves iff the NEW shard wins its score race — expectation
+    * 1/(n+1) of the corpus — while docs that stay keep their exact
+    * placement (HRW's minimal-disruption property; consistent hashing
+    * without the ring). Emits each doc's placement at [[RvShards]] and
+    * [[RvShards]]+1 shards plus the moved flag; MaterializeSpec asserts
+    * the movement fraction and that no doc moves between two OLD shards.
+    *
+    * Scale shape: pure map-side projection — the per-doc score list is
+    * a constant-width array of md5 prefixes (15-hex strings compare
+    * identically to their 60-bit numeric forms), argmax is
+    * `array_position(.., array_max(..))`. Zero shuffles, scan
+    * throughput; the shard count only widens the per-row constant. */
+  def rendezvousShard(spark: SparkSession, dir: String): DataFrame = {
+    def scores(n: Int): Column = transform(
+      sequence(lit(0), lit(n - 1)),
+      s => substring(
+        md5(concat(col("doc_id").cast("string"), lit(":"), s.cast("string"))),
+        1, 15))
+    def argmax(sc: Column): Column =
+      (array_position(sc, array_max(sc)) - 1).cast("int")
+    graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), scores(RvShards).as("s8"),
+        scores(RvShards + 1).as("s9"))
+      .select(col("doc_id"), argmax(col("s8")).as("shard_n"),
+        argmax(col("s9")).as("shard_n1"))
+      .withColumn("moved", col("shard_n") =!= col("shard_n1"))
   }
 }

@@ -248,4 +248,75 @@ object ProfileOps {
       .agg(sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"))
       .withColumn("n_kept", col("n") - col("n_outliers"))
   }
+
+  /** Anonymity threshold for [[kAnonymity]]: a quasi-identifier group
+    * smaller than this is suppressed. */
+  val AnonK = 8
+
+  /** K-anonymity suppression — the privacy gate a dataset passes before
+    * release: rows are grouped by their quasi-identifier combination
+    * (here nation × market segment on `customer`); any combination
+    * shared by fewer than [[AnonK]] individuals is re-identifying, so
+    * those rows emit with the quasi-identifiers SUPPRESSED (nulled) and
+    * flagged. Every row also carries its equivalence-class size — the
+    * k each individual actually enjoys in the released table.
+    *
+    * Scale shape: class sizes are a two-phase hash aggregate on the
+    * quasi-identifier key; the size table is bounded by the QI DOMAIN
+    * (|nations| × |segments|, not row count) so it broadcasts back onto
+    * the table — the release pass is map-side, the corpus never
+    * shuffles. At 100 TB with a high-cardinality QI the broadcast
+    * flips to a shuffle join on the same key; nothing else changes. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    val classes = cust
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("class_size"))
+    cust.join(broadcast(classes), Seq("c_nationkey", "c_mktsegment"))
+      .select(
+        col("c_custkey"),
+        when(col("class_size") >= AnonK, col("c_nationkey"))
+          .as("nation_q"),
+        when(col("class_size") >= AnonK, col("c_mktsegment"))
+          .as("segment_q"),
+        (col("class_size") < AnonK).as("suppressed"),
+        col("class_size"))
+  }
+
+  /** Order-independent dataset fingerprint — the integrity manifest a
+    * 100 TB corpus publishes per snapshot: per source (plus a grand
+    * total row), the row count and an XOR fold of each row's 60-bit
+    * content hash, with min/max row hashes as a spot-check range. Two
+    * snapshots are byte-identical iff their manifests match; a single
+    * flipped row flips the XOR. The fold is COMMUTATIVE by design —
+    * checksum(dataset) needs no global order, so the aggregate is a
+    * plain two-phase hash agg that never sorts (an md5-of-concat
+    * manifest would need a total sort of the corpus). Row content is
+    * hashed over ALL columns with null sentinels, so null and empty
+    * text hash differently. */
+  def datasetChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val rowHash = expr(
+      "CAST(conv(substr(md5(concat_ws('|', " +
+        "coalesce(cast(doc_id AS string), '<null>'), " +
+        "coalesce(text, '<null>'), " +
+        "coalesce(lang, '<null>'), " +
+        "coalesce(source, '<null>'), " +
+        "coalesce(cast(n_chars AS string), '<null>'))), 1, 15), 16, 10) " +
+        "AS BIGINT)")
+    Tables.documents(spark, dir)
+      .select(col("source"), rowHash.as("h"))
+      .groupingSets(Seq(Seq(col("source")), Seq()), col("source"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_fp"),
+        min(col("h")).as("min_h"),
+        max(col("h")).as("max_h"),
+        // grouping() distinguishes the total row from a hypothetical
+        // null source value — never trust the null itself
+        expr("grouping(source)").as("g"))
+      .withColumn("scope",
+        when(col("g") === 1, lit("TOTAL")).otherwise(col("source")))
+      .drop("source", "g")
+  }
 }

@@ -594,4 +594,62 @@ object TextOps {
         idiv(col("n_stop") * 1000, col("n_tokens")).as("stop_permille"),
         (col("n_chars") < 100).as("is_short"))
   }
+
+  /** Vocabulary budget for [[tokenizeIds]] — ids 1..[[TokVocabSize]] are
+    * in-vocab, 0 is the OOV/UNK id (the testdata vocabulary is larger,
+    * so OOV genuinely occurs). */
+  val TokVocabSize = 32
+
+  /** Context length for [[tokenizeIds]]' encoded prefix. */
+  val TokEncLen = 24
+
+  /** Tokenizer-id encoding — the step that turns a text corpus into the
+    * integer sequences a trainer consumes: build a frequency-ranked
+    * vocabulary (id = rank by corpus count, ties broken by word; OOV →
+    * id 0), then encode each document as the id sequence of its first
+    * [[TokEncLen]] tokens (context-length truncation), plus full-doc
+    * token and OOV counts.
+    *
+    * Scale shape: word counts are a two-phase hash aggregate; the
+    * rank window runs over the AGGREGATED vocabulary only (bounded —
+    * a tokenizer vocab is ~10⁵ even at 100 TB, so the single-partition
+    * window holds the vocab, never the corpus); the vocab then
+    * BROADCASTS onto the exploded tokens (map-side join, no shuffle of
+    * the corpus), and the per-doc re-assembly shuffles once on doc_id.
+    * The ordered prefix is collected as (pos,id) structs and sorted
+    * per row — `collect_list` drops the null entries the `when` leaves
+    * for pos > [[TokEncLen]], so the agg buffer holds ≤ [[TokEncLen]]
+    * elements per doc, never the document. Ids are emitted space-joined
+    * (a string) so the row stays flat for the hash gate. */
+  def tokenizeIds(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    // (doc_id, 1-based pos, word) — feeds the vocab counts AND the
+    // encode join; the explode is cheap relative to a scratch round-trip
+    // at this width, so the two branches re-scan rather than materialize
+    def exploded = docs
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos0", "word")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("word"))
+    val vocab = exploded
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("word").asc)))
+      .filter(col("id") <= TokVocabSize)
+      .select(col("word"), col("id"))
+    exploded
+      .join(broadcast(vocab), Seq("word"), "left")
+      .withColumn("id", coalesce(col("id"), lit(0)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_oov"),
+        array_join(
+          transform(
+            sort_array(collect_list(
+              when(col("pos") <= TokEncLen,
+                struct(col("pos"), col("id"))))),
+            s => s.getField("id").cast("string")),
+          " ").as("ids"))
+  }
 }

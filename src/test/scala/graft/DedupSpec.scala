@@ -69,6 +69,39 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.size == 10)
   }
 
+  test("tokenizeIds: frequency-ranked ids, OOV id 0, context truncation") {
+    // shared fixture: 10 distinct words, all in-vocab. Ranks: cnt desc
+    // then word asc → alpha(4)=1 beta(3)=2 gamma(3)=3 delta(2)=4, then
+    // the five singletons alphabetically: epsilon=5 eta=6 iota=7
+    // kappa=8 theta=9 zeta=10
+    val rows = TextOps.tokenizeIds(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[String]("ids"))).toMap
+    assert(rows(1L) == ((4L, 0L, "1 2 3 4")))
+    assert(rows(4L) == ((5L, 0L, "10 6 9 7 8")))
+    // OOV + truncation need a corpus wider than the vocab budget and a
+    // doc longer than the context: 35 singleton words (3 past the 32
+    // budget rank OOV) and a 30-token doc
+    val d2 = Files.createTempDirectory("graft_tok").toString
+    val words = (0 until 35).map(i => f"w$i%02d")
+    Seq(
+      (1L, words.mkString(" "), "en", "s", 100L),
+      (2L, Seq.fill(30)("w00").mkString(" "), "en", "s", 100L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d2/documents.parquet")
+    val r2 = TextOps.tokenizeIds(spark, d2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[String]("ids"))).toMap
+    // w00 is the top word (31 occurrences) → id 1; the 35 - 32 = 3
+    // rank-worst singletons (w32 w33 w34) fall out of vocab → id 0
+    assert(r2(1L)._1 == 35L && r2(1L)._2 == 3L)
+    assert(r2(1L)._3.split(" ").take(3).toSeq == Seq("1", "2", "3"))
+    assert(r2(1L)._3.split(" ").length == TextOps.TokEncLen) // truncated
+    assert(r2(2L) == ((30L, 0L, Seq.fill(TextOps.TokEncLen)("1").mkString(" "))))
+  }
+
   test("lmScore: corpus-frequent transitions score, unseen ones don't") {
     // "alpha beta" and "beta gamma" appear in docs 1 and 3 (cnt 2 ≥ min);
     // every doc-2 and doc-4 pair is unique in the corpus

@@ -268,4 +268,21 @@ class IngestSpec extends AnyFunSuite {
     assert(maintained.exceptAll(full).isEmpty && full.exceptAll(maintained).isEmpty,
       "incremental maintenance diverged from the full recompute")
   }
+
+  test("rendezvousShard: minimal movement — every moved doc lands on the " +
+    "NEW shard, movement ≈ 1/(n+1), placements stay in range") {
+    val rows = Materialize.rendezvousShard(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard_n"),
+        r.getAs[Int]("shard_n1"), r.getAs[Boolean]("moved")))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, s8, s9, _) =>
+      s8 >= 0 && s8 < Materialize.RvShards && s9 >= 0 && s9 <= Materialize.RvShards })
+    // HRW's defining property: adding a shard never reshuffles data
+    // BETWEEN old shards — a doc moves only TO the new shard
+    assert(rows.forall { case (_, s8, s9, moved) =>
+      if (moved) s9 == Materialize.RvShards else s9 == s8 })
+    // expectation 1/(n+1) ≈ 11%; wide deterministic band for the small corpus
+    val frac = rows.count(_._4).toDouble / rows.length
+    assert(frac > 0.02 && frac < 0.30, s"moved fraction $frac")
+  }
 }

@@ -375,4 +375,31 @@ class PlanSpec extends AnyFunSuite {
     val fresh = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
     assert(fresh <= 2, s"expected at most 2 required exchanges, got $fresh:\n$plan")
   }
+
+  test("q_rendezvous_shard: pure map-side projection, zero shuffles") {
+    TestSpark.assertNoShuffle(
+      graft.ingest.Materialize.rendezvousShard(spark, TestSpark.Sf0001))
+  }
+
+  test("q_kanon: class sizes broadcast back — the corpus never shuffles " +
+    "for the release pass") {
+    val plan = finalSection(finalPlan(
+      graft.ops.ProfileOps.kAnonymity(spark, TestSpark.Sf0001)))
+    assert(plan.contains("BroadcastHashJoin"), s"class join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"release pass shuffled:\n$plan")
+  }
+
+  test("q_dataset_checksum and q_tokenize_ids: hash aggregates with " +
+    "map-side partials; vocab broadcasts onto the token stream") {
+    val ck = finalSection(finalPlan(
+      graft.ops.ProfileOps.datasetChecksum(spark, TestSpark.Sf0001)))
+    // the XOR fold is commutative → partial_bit_xor before the exchange
+    assert(ck.contains("partial_bit_xor") || ck.contains("partial_bitxor"),
+      s"checksum fold not partial-aggregated:\n$ck")
+    assert(!ck.contains("SortAggregate"), s"checksum fold sorted:\n$ck")
+    val tk = finalSection(finalPlan(
+      TextOps.tokenizeIds(spark, TestSpark.Sf0001)))
+    assert(tk.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$tk")
+    assert(!tk.contains("SortMergeJoin"), s"encode join shuffled the corpus:\n$tk")
+  }
 }

@@ -146,4 +146,48 @@ class ProfileSpec extends AnyFunSuite {
     assert(rows((1L, 0L)) == ((1L, 1L, 1000L)))
     assert(rows.size == 3)
   }
+
+  test("kAnonymity: small QI classes suppress, every row keeps its k") {
+    val d = Files.createTempDirectory("graft_kanon").toString
+    // class (1,A): 9 members (≥ k=8, released); class (2,B): 2 (suppressed)
+    ((1L to 9L).map(i => (i, 1L, "A")) ++ Seq((10L, 2L, "B"), (11L, 2L, "B")))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .write.parquet(s"$d/customer.parquet")
+    val rows = ProfileOps.kAnonymity(spark, d).collect()
+      .map(r => r.getAs[Long]("c_custkey") ->
+        (Option(r.getAs[java.lang.Long]("nation_q")),
+          Option(r.getAs[String]("segment_q")),
+          r.getAs[Boolean]("suppressed"), r.getAs[Long]("class_size"))).toMap
+    assert(rows.size == 11)
+    assert(rows(1L) == ((Some(1L), Some("A"), false, 9L)))
+    assert(rows(10L) == ((None, None, true, 2L)))
+    // the released table is k-anonymous: no unsuppressed class below k
+    assert(rows.values.filter(!_._3).forall(_._4 >= ProfileOps.AnonK))
+  }
+
+  test("datasetChecksum: total row folds the per-source fingerprints; " +
+    "a one-row edit flips the fingerprint") {
+    def write(docs: Seq[(Long, String, String, String, Long)]): String = {
+      val d = Files.createTempDirectory("graft_cksum").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$d/documents.parquet")
+      d
+    }
+    val base = Seq((1L, "a b", "en", "s1", 3L), (2L, "c d", "en", "s1", 3L),
+      (3L, "e f", "de", "s2", 3L))
+    val rows = ProfileOps.datasetChecksum(spark, write(base)).collect()
+      .map(r => r.getAs[String]("scope") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("xor_fp"))).toMap
+    assert(rows("s1")._1 == 2L && rows("s2")._1 == 1L)
+    assert(rows("TOTAL")._1 == 3L)
+    // XOR is commutative/associative: total ≡ fold of the source folds
+    assert(rows("TOTAL")._2 == (rows("s1")._2 ^ rows("s2")._2))
+    // tamper-evidence: one changed char in one row flips the manifest
+    val edited = ProfileOps.datasetChecksum(spark,
+      write(base.updated(1, (2L, "c D", "en", "s1", 3L)))).collect()
+      .map(r => r.getAs[String]("scope") -> r.getAs[Long]("xor_fp")).toMap
+    assert(edited("TOTAL") != rows("TOTAL")._2)
+    assert(edited("s1") != rows("s1")._2)
+    assert(edited("s2") == rows("s2")._2) // untouched source unchanged
+  }
 }
