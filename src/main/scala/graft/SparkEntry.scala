@@ -162,6 +162,7 @@ object SparkEntry {
     "q_semdedup"         -> VectorOps.semDedup _,
     "q_chunk_overlap"    -> TextOps.chunkOverlap _,
     "q_tokenize_ids"     -> TextOps.tokenizeIds _,
+    "q_asof_exec"        -> EventOps.asofLastOrderExec _,
     "q_kanon"            -> ProfileOps.kAnonymity _,
     "q_dataset_checksum" -> ProfileOps.datasetChecksum _,
     "q_rendezvous_shard" -> Materialize.rendezvousShard _,
@@ -1750,6 +1751,12 @@ object SparkEntry {
         |  CAST(len(t[s + 1 : s + ${TextOps.ChunkLen}]) AS BIGINT) AS n_chunk_tok,
         |  md5(array_to_string(t[s + 1 : s + ${TextOps.ChunkLen}], ' ')) AS chunk_fp
         |FROM c""".stripMargin,
+    "q_asof_exec" -> // the custom merge exec must agree with DuckDB's
+      // native ASOF JOIN (same inclusive ≤ semantics, inner form)
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  epoch_us(o.o_orderdate) AS asof_order_us
+        |FROM (SELECT * FROM events WHERE ts IS NOT NULL) e ASOF JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
     "q_tokenize_ids" -> // same rank tie-break (cnt DESC, word) and same
       // 1-based positions; OOV id 0 via the left-join coalesce
       s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t

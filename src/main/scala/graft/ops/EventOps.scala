@@ -89,6 +89,31 @@ object EventOps {
         unix_micros(col("asof_t")).as("asof_order_us"))
   }
 
+  /** [[asofLastOrder]] recomputed through the engine's OWN physical
+    * operator — [[graft.plans.AsOfMergeJoinExec]], the custom
+    * LogicalPlan → Strategy → SparkPlan path registered via
+    * `SparkSessionExtensions` — instead of the union+window emulation.
+    * Same result set, same one-exchange-per-side plan, but the merge
+    * consumes the per-key sort orders in a single O(1)-state pass
+    * rather than sorting and windowing the UNION of both inputs.
+    * Unmatched probes drop (`asof_t IS NOT NULL`) to mirror the
+    * oracle's inner ASOF JOIN; the operator itself emits them as NULL
+    * so a left-as-of caller keeps them. */
+  def asofLastOrderExec(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull) // oracle excludes null probe times
+      .select(col("user_id"), col("ts").cast("timestamp").as("t"),
+        col("event_id"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("ot"))
+    graft.plans.AsOfJoinOp(ev, "user_id", "t", ord, "o_custkey", "ot")
+      .filter(col("asof_t").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("t")).as("ts_us"),
+        unix_micros(col("asof_t")).as("asof_order_us"))
+  }
+
   /** Range (interval) self-join via time-bucketing: unordered pairs of
     * same-user events at most 5 minutes apart. Spark has no native range
     * join, and the naive key-only self-join explodes before its time
