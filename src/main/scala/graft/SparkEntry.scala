@@ -166,7 +166,45 @@ object SparkEntry {
     "q_kanon"            -> ProfileOps.kAnonymity _,
     "q_dataset_checksum" -> ProfileOps.datasetChecksum _,
     "q_rendezvous_shard" -> Materialize.rendezvousShard _,
+    "q_incr_dedup"       -> DedupOps.incrementalDedup _,
+    "q_snapshot_diff"    -> Materialize.snapshotDiff _,
+    "q_bpe_merges"       -> TextOps.bpeMerges _,
   )
+
+  /** DuckDB oracle for q_bpe_merges: [[TextOps.BpeRounds]] unrolled
+    * rounds — pair counts from the weighted vocabulary, argmax with the
+    * (cnt DESC, a, b) tie-break, greedy merge via `list_reduce` (the
+    * same fold semantics as the Spark `aggregate` HOF). */
+  private def bpeOracle: String = {
+    val rounds = (1 to TextOps.BpeRounds).map { r =>
+      s"""p$r AS (SELECT u.a AS a, u.b AS b, CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM s${r - 1}, unnest(CASE WHEN len(s) >= 2
+        |    THEN [{'a': s[i], 'b': s[i + 1]} for i in generate_series(1, len(s) - 1)]
+        |    ELSE [] END) AS t(u)
+        |  GROUP BY 1, 2),
+        |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+        |s$r AS (SELECT c, list_reduce(list_transform(s, x -> [x]),
+        |    (acc, x) -> CASE WHEN acc[-1] = b$r.a AND x[1] = b$r.b
+        |      THEN list_concat(acc[1:len(acc) - 1], [b$r.a || b$r.b])
+        |      ELSE list_concat(acc, x) END) AS s
+        |  FROM s${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to TextOps.BpeRounds).map { r =>
+      s"""SELECT CAST($r AS INTEGER) AS round, b$r.a AS lhs, b$r.b AS rhs,
+        |  b$r.cnt AS pair_count,
+        |  (SELECT CAST(sum(c * len(s)) AS BIGINT) FROM s$r) AS symbols_after
+        |FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w AS (SELECT word, count(*) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word
+      |    FROM documents WHERE text IS NOT NULL)
+      |  WHERE length(word) > 0 GROUP BY 1),
+      |s0 AS (SELECT c,
+      |  [substr(word, i, 1) for i in generate_series(1, length(word))] AS s
+      |  FROM w),
+      |$rounds
+      |$rows""".stripMargin
+  }
 
   /** The query set narrowed to `names` (None = all), with unknown names
     * rejected loudly — shared by Verify's arg filter and Bench's
@@ -1799,6 +1837,60 @@ object SparkEntry {
         |  min(h) AS min_h, max(h) AS max_h,
         |  CASE WHEN GROUPING(source) = 1 THEN 'TOTAL' ELSE source END AS scope
         |FROM h GROUP BY GROUPING SETS ((source), ())""".stripMargin,
+    "q_bpe_merges" -> bpeOracle,
+    "q_incr_dedup" -> // asymmetric probe-vs-index LSH: same 16 md5
+      // minhashes and 4-row bands as the self-join family; DISTINCT
+      // pairs ≡ Spark's first-matching-band uniqueness; jaccard ≥ 0.8
+      // via the integer cross-multiplication
+      s"""WITH toks AS (SELECT doc_id, source,
+        |    list_distinct(string_split(text,' ')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |sets AS (SELECT doc_id,
+        |    list_distinct(list_transform(t, x -> substr(md5(x),1,15))) AS s
+        |  FROM toks),
+        |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |mh AS (SELECT doc_id, h, min(substr(md5(h || ':' || tok),1,15)) AS mh
+        |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0,15)) AS h) AS hs(h)
+        |  GROUP BY 1,2),
+        |band AS (SELECT doc_id, h//4 AS band,
+        |  string_agg(h || ':' || mh, '|' ORDER BY h) AS band_sig
+        |  FROM mh GROUP BY 1,2),
+        |cand AS (SELECT DISTINCT p.doc_id AS pd, i.doc_id AS idx
+        |  FROM band p JOIN band i ON p.band = i.band AND p.band_sig = i.band_sig
+        |  JOIN toks tp ON p.doc_id = tp.doc_id
+        |  JOIN toks ti ON i.doc_id = ti.doc_id
+        |  WHERE tp.source = '${DedupOps.IncomingSource}'
+        |    AND ti.source <> '${DedupOps.IncomingSource}'),
+        |j AS (SELECT pd, idx FROM cand
+        |  JOIN sets x ON pd = x.doc_id JOIN sets y ON idx = y.doc_id
+        |  WHERE CAST(len(list_intersect(x.s, y.s)) AS BIGINT) * 10 >=
+        |    CAST(len(list_distinct(list_concat(x.s, y.s))) AS BIGINT) * 8),
+        |agg AS (SELECT pd, count(*) AS n, min(idx) AS fm FROM j GROUP BY 1)
+        |SELECT t.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_dup_matches,
+        |  agg.fm AS first_match, agg.n IS NOT NULL AS is_dup
+        |FROM toks t LEFT JOIN agg ON t.doc_id = agg.pd
+        |WHERE t.source = '${DedupOps.IncomingSource}'""".stripMargin,
+    "q_snapshot_diff" -> // same key-derived previous snapshot, same
+      // null-sentineled md5 content identity
+      """WITH cur AS (SELECT doc_id, md5(coalesce(text, '<null>')) AS cur_h
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |base AS (SELECT * FROM documents WHERE doc_id IS NOT NULL),
+        |prev AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 17 = 5
+        |      THEN md5(coalesce(substr(text, 1, 10), '<null>'))
+        |      ELSE md5(coalesce(text, '<null>')) END AS prev_h
+        |    FROM base WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, md5(coalesce(text, '<null>'))
+        |    FROM base WHERE doc_id % 17 = 7)
+        |SELECT doc_id, status FROM (
+        |  SELECT coalesce(cur.doc_id, prev.doc_id) AS doc_id,
+        |    CASE WHEN prev_h IS NULL THEN 'added'
+        |      WHEN cur_h IS NULL THEN 'removed'
+        |      WHEN cur_h <> prev_h THEN 'changed'
+        |      ELSE 'unchanged' END AS status
+        |  FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id)
+        |WHERE status <> 'unchanged'""".stripMargin,
     "q_rendezvous_shard" -> // HRW argmax over the same 15-hex score
       // strings; list_position ≡ array_position (1-based, first match)
       s"""WITH s AS (SELECT doc_id,

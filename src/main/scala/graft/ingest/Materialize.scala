@@ -529,6 +529,49 @@ object Materialize {
     * identically to their 60-bit numeric forms), argmax is
     * `array_position(.., array_max(..))`. Zero shuffles, scan
     * throughput; the shard count only widens the per-row constant. */
+  /** Snapshot diff — the audit step between two dataset versions (what a
+    * lakehouse surfaces as table history): rows present only in the new
+    * snapshot are `added`, only in the previous one `removed`, present
+    * in both with different content `changed`; unchanged rows are
+    * suppressed from the report. Content identity is an md5 over the
+    * null-sentineled text, so the diff never compares full rows twice.
+    *
+    * The "previous" snapshot is derived key-deterministically from the
+    * current table (the [[cdcMerge]] convention, so the oracle rebuilds
+    * it): docs ≡3 (mod 17) are missing from prev (→ added), docs ≡5
+    * kept a truncated text in prev (→ changed), and prev carries
+    * offset-keyed extra rows for docs ≡7 (→ removed).
+    *
+    * Scale shape: one full-outer shuffle join on the key, hash compare
+    * in the join output — O(n) network, no sort of content, and the
+    * unchanged majority is filtered before anything downstream. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(coalesce(col("text"), lit("<null>")))
+    val cur = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), h.as("cur_h"))
+    val base = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
+    val prevKept = base
+      .filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 5,
+          md5(coalesce(substring(col("text"), 1, 10), lit("<null>"))))
+          .otherwise(h).as("prev_h"))
+    val prevOnly = base
+      .filter(col("doc_id") % 17 === 7)
+      .select((col("doc_id") + 10000000L).as("doc_id"), h.as("prev_h"))
+    val prev = prevKept.unionByName(prevOnly)
+    cur.join(prev, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("prev_h").isNull, lit("added"))
+          .when(col("cur_h").isNull, lit("removed"))
+          .when(col("cur_h") =!= col("prev_h"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"))
+  }
+
   def rendezvousShard(spark: SparkSession, dir: String): DataFrame = {
     def scores(n: Int): Column = transform(
       sequence(lit(0), lit(n - 1)),

@@ -566,4 +566,79 @@ object DedupOps {
         when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
   }
+
+  /** The source stratum [[incrementalDedup]] treats as the INCOMING
+    * batch; everything else is the already-ingested corpus. */
+  val IncomingSource = "src0"
+
+  /** Incremental (index-vs-probe) near-dup detection — the shape a
+    * production pipeline actually runs day over day: the standing corpus
+    * is LSH-indexed ONCE; each incoming batch probes that index instead
+    * of re-deduping the world against itself. Asymmetric by
+    * construction: candidates are probe-band × index-band equi-joins
+    * (hot buckets are ordinary join skew — AQE's skew split applies,
+    * no fragment machinery needed), verified with exact token-set
+    * jaccard ≥ 0.8. Every incoming doc emits: its match count against
+    * the corpus, the smallest matching corpus doc (deterministic
+    * representative), and the keep/drop verdict.
+    *
+    * Scale: the index side is O(corpus × bands) rows of 17 longs,
+    * built once and (in a real deployment) persisted; the probe side
+    * is O(batch). Nothing is quadratic in the corpus, and the verify
+    * join touches only surviving candidate pairs. Pair uniqueness is
+    * the first-matching-band rule ([[minhashLsh]]) — no distinct
+    * shuffle. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val numBands = NumHashes / RowsPerBand
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val sigs = docs
+      .select(col("doc_id"), col("source"),
+        graft.functions.MinHashSigs.minhashSigs(tokenSet).as("sig"))
+      .where(col("sig").isNotNull)
+    def bands(df: DataFrame, tag: String): DataFrame = df
+      .select(col("doc_id").as(s"${tag}_doc"), col("sig").as(s"${tag}_sig"),
+        explode(sequence(lit(0), lit(numBands - 1))).as("band"))
+      .select(Seq(col(s"${tag}_doc"), col(s"${tag}_sig"), col("band")) ++
+        (0 until RowsPerBand).map(k =>
+          element_at(col(s"${tag}_sig"),
+            col("band") * RowsPerBand + k + 1).as(s"bk$k")): _*)
+    val probe = bands(sigs.filter(col("source") === IncomingSource), "p")
+    val index = bands(sigs.filter(col("source") =!= IncomingSource), "i")
+    def bandMatches(a: Column, b: Column, band: Int): Column =
+      (0 until RowsPerBand).map(k =>
+        element_at(a, band * RowsPerBand + k + 1) ===
+          element_at(b, band * RowsPerBand + k + 1)).reduce(_ && _)
+    val firstBand = (0 until numBands - 1)
+      .foldRight(lit(numBands - 1): Column) { (band, rest) =>
+        when(bandMatches(col("p_sig"), col("i_sig"), band), lit(band))
+          .otherwise(rest)
+      }
+    val pairs = probe
+      .join(index, Seq("band") ++ (0 until RowsPerBand).map(k => s"bk$k"))
+      .filter(firstBand === col("band"))
+      .select(col("p_doc"), col("i_doc"))
+    val hashed = docs.select(col("doc_id"), hashedTokenSet(tokenSet).as("s"))
+      .withColumn("sz", size(col("s")).cast("long"))
+    val verified = pairs
+      .join(hashed.select(col("doc_id").as("p_doc"), col("s").as("s_p"),
+        col("sz").as("sz_p")), Seq("p_doc"))
+      .join(hashed.select(col("doc_id").as("i_doc"), col("s").as("s_i"),
+        col("sz").as("sz_i")), Seq("i_doc"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize.sortedIntersectSize(
+          col("s_p"), col("s_i")))
+      .filter(col("inter") * 10 >= (col("sz_p") + col("sz_i") - col("inter")) * 8)
+      .groupBy(col("p_doc"))
+      .agg(count(lit(1)).as("n_dup_matches"), min(col("i_doc")).as("first_match"))
+    docs.filter(col("source") === IncomingSource)
+      .select(col("doc_id"))
+      .join(verified.withColumnRenamed("p_doc", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
+        col("first_match"),
+        coalesce(col("n_dup_matches"), lit(0L)) > 0).toDF(
+        "doc_id", "n_dup_matches", "first_match", "is_dup")
+  }
 }

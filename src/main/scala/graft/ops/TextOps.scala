@@ -595,6 +595,83 @@ object TextOps {
         (col("n_chars") < 100).as("is_short"))
   }
 
+  /** Merge rounds [[bpeMerges]] trains. */
+  val BpeRounds = 3
+
+  /** BPE merge training — the actual "train the tokenizer" loop (Sennrich
+    * et al., "Neural Machine Translation of Rare Words with Subword
+    * Units", ACL 2016): each round counts adjacent symbol pairs across
+    * the corpus (weighted by word frequency), merges the most frequent
+    * pair everywhere (greedy left-to-right, ties broken lexicographically
+    * so both engines pick the same pair), and records the learned merge
+    * rule. Emits one row per round: the merged pair, its weighted count,
+    * and the corpus symbol total after applying the merge.
+    *
+    * Scale shape — why BPE training is cheap at 100 TB: after the ONE
+    * corpus-wide word count (two-phase hash agg), every round runs on
+    * the VOCABULARY table (distinct words × counts), never the corpus.
+    * Per round: one hash agg over exploded vocab pairs + one map-side
+    * fold applying the merge. The driver sees exactly one argmax row
+    * per round (the learned rule — bounded metadata, the same contract
+    * as dedupClusters' convergence counter). The greedy application is
+    * a higher-order `aggregate` fold over the symbol array — identical
+    * semantics to the oracle's `list_reduce` (DedupSpec pins the
+    * consecutive-run case: aaaa + (a,a) → [aa][aa], not [aa][a][a]). */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val vocab = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(toks).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .withColumn("s", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .select(col("c"), col("s"))
+    var syms = vocab.persist()
+    val learned = scala.collection.mutable.Buffer.empty[(Int, String, String, Long, Long)]
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= BpeRounds && !exhausted) {
+        // Spark's sequence(1, 0) DESCENDS — guard short symbol lists
+        val best = syms
+          .select(col("c"), explode(expr(
+            "CASE WHEN size(s) >= 2 THEN transform(sequence(1, size(s) - 1), " +
+              "i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b)) " +
+              "ELSE array() END")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("c")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+          .limit(1).collect() // ONE row: the learned rule (bounded metadata)
+        if (best.isEmpty) exhausted = true
+        else {
+          val (a, b, cnt) = (best(0).getString(0), best(0).getString(1),
+            best(0).getLong(2))
+          val aL = lit(a); val bL = lit(b)
+          val applied = syms.withColumn("s",
+            aggregate(
+              transform(col("s"), x => array(x)),
+              lit(Array.empty[String]).cast(ArrayType(StringType)),
+              (acc, x) =>
+                when(size(acc) > 0 && element_at(acc, -1) === aL &&
+                    element_at(x, 1) === bL,
+                  concat(slice(acc, lit(1), size(acc) - 1),
+                    array(concat(aL, bL))))
+                  .otherwise(concat(acc, x))))
+            .persist()
+          val symbolsAfter = applied
+            .agg(sum(col("c") * size(col("s"))).as("n")).collect()(0).getLong(0)
+          syms.unpersist()
+          syms = applied
+          learned += ((r, a, b, cnt, symbolsAfter))
+          r += 1
+        }
+      }
+    } finally syms.unpersist()
+    learned.toSeq.toDF("round", "lhs", "rhs", "pair_count", "symbols_after")
+  }
+
   /** Vocabulary budget for [[tokenizeIds]] — ids 1..[[TokVocabSize]] are
     * in-vocab, 0 is the OOV/UNK id (the testdata vocabulary is larger,
     * so OOV genuinely occurs). */

@@ -69,6 +69,71 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.size == 10)
   }
 
+  test("incrementalDedup: incoming batch probes the corpus index — dup " +
+    "flagged with its corpus representative, fresh docs pass") {
+    val d = Files.createTempDirectory("graft_incr").toString
+    Seq(
+      // corpus (index side)
+      (1L, "alpha beta gamma delta", "en", "s1", 22L),
+      (2L, "zeta eta theta iota", "en", "s1", 19L),
+      // incoming batch (probe side = IncomingSource)
+      (10L, "alpha beta gamma delta", "en", DedupOps.IncomingSource, 22L),
+      (11L, "completely different words here", "en", DedupOps.IncomingSource, 31L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = DedupOps.incrementalDedup(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_matches"),
+          Option(r.getAs[java.lang.Long]("first_match")),
+          r.getAs[Boolean]("is_dup"))).toMap
+    assert(rows.keySet == Set(10L, 11L)) // every incoming doc reports
+    assert(rows(10L) == ((1L, Some(1L), true)))  // exact dup of corpus doc 1
+    assert(rows(11L) == ((0L, None, false)))     // fresh content passes
+  }
+
+  test("snapshotDiff: added/removed/changed classification on testdata") {
+    import org.apache.spark.sql.functions.{col, length}
+    val dir = TestSpark.Sf0001
+    val diff = graft.ingest.Materialize.snapshotDiff(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), length(col("text")).as("len")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString.toLong))
+    val added = docs.collect { case (id, _) if id % 17 == 3 => id }.toSet
+    val removed = docs.collect { case (id, _) if id % 17 == 7 => id + 10000000L }.toSet
+    val changed = docs.collect {
+      case (id, Some(len)) if id % 17 == 5 && len > 10 => id }.toSet
+    assert(diff.filter(_._2 == "added").keySet == added)
+    assert(diff.filter(_._2 == "removed").keySet == removed)
+    assert(diff.filter(_._2 == "changed").keySet == changed)
+    assert(diff.size == added.size + removed.size + changed.size)
+    assert(added.nonEmpty && removed.nonEmpty && changed.nonEmpty)
+  }
+
+  test("bpeMerges: greedy left-to-right application, lexicographic " +
+    "tie-break, early stop when no pairs remain") {
+    def learn(text: String): Seq[(Int, String, String, Long, Long)] = {
+      val d = Files.createTempDirectory("graft_bpe").toString
+      Seq((1L, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$d/documents.parquet")
+      TextOps.bpeMerges(spark, d).collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+          r.getLong(4))).sortBy(_._1).toSeq
+    }
+    // consecutive run: aaaa + merge (a,a) must give [aa][aa] (greedy
+    // restart after a merge), NOT [aa][a][a]; round 2 merges (aa,aa);
+    // round 3 finds no pairs → 2 rows, not 3
+    assert(learn("aaaa aaaa") == Seq(
+      (1, "a", "a", 6L, 4L),    // 3 pairs × word count 2; 2 syms × c 2
+      (2, "aa", "aa", 2L, 2L)))
+    // equal counts: (a,b) beats (c,d) lexicographically
+    assert(learn("ab cd") == Seq(
+      (1, "a", "b", 1L, 3L),
+      (2, "c", "d", 1L, 2L)))
+  }
+
   test("tokenizeIds: frequency-ranked ids, OOV id 0, context truncation") {
     // shared fixture: 10 distinct words, all in-vocab. Ranks: cnt desc
     // then word asc → alpha(4)=1 beta(3)=2 gamma(3)=3 delta(2)=4, then

@@ -376,6 +376,14 @@ class PlanSpec extends AnyFunSuite {
     assert(fresh <= 2, s"expected at most 2 required exchanges, got $fresh:\n$plan")
   }
 
+  test("q_incr_dedup: probe-vs-index candidates are an equality join — " +
+    "no cartesian fallback, no corpus self-pairing") {
+    val plan = finalSection(finalPlan(
+      DedupOps.incrementalDedup(spark, TestSpark.Sf0001)))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q_rendezvous_shard: pure map-side projection, zero shuffles") {
     TestSpark.assertNoShuffle(
       graft.ingest.Materialize.rendezvousShard(spark, TestSpark.Sf0001))
