@@ -416,7 +416,11 @@ object VectorOps {
     * top-k. */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val sub = pqSub(e)
+    // the subspace split feeds every training round PLUS encode and the
+    // distance table — persist it once instead of re-scanning the corpus
+    // per consumer (corpus × M rows of subDim ints: safely cacheable at
+    // any SF where the raw vectors already fit the executors)
+    val sub = pqSub(e).persist()
     // K·M·dim model metadata, persisted: encode + distance-table both
     // derive from it (the annIvf branch-sharing lesson)
     val cb = pqCodebooks(sub).persist()
