@@ -122,6 +122,7 @@ object SparkEntry {
     "q_seq_pack"         -> TextOps.seqPack _,
     "q_inverted_index"   -> TextOps.invertedIndex _,
     "q_audio_meta"       -> MultimodalOps.audioMeta _,
+    "q_audio_energy"     -> MultimodalOps.audioEnergy _,
     "q_fuzzy_match"      -> graft.ops.MatchOps.fuzzyMatch _,
     "q_scd2"             -> Relational.scd2 _,
     "q_zorder_box"       -> Materialize.zorderBox _,
@@ -961,6 +962,31 @@ object SparkEntry {
         |        j -> abs((ord(substr(text, CAST(j % n AS INTEGER) + 1, 1)) - 128) * 256)))
         |    END // (n_frames*channels) AS BIGINT) AS mean_abs
         |FROM f""".stripMargin,
+    "q_audio_energy" -> // same PCM synthesis rule as q_audio_meta, cut
+      // into 16-frame windows (last ragged): per window Σs², Σ|s| div n,
+      // and the VAD verdict at the fixed threshold
+      s"""WITH g AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT doc_id, text, n,
+        |  CAST(1 + n%2 AS BIGINT) AS ch,
+        |  CAST(64 + n%192 AS BIGINT) AS frames FROM g),
+        |w AS (SELECT doc_id, text, n, ch, frames,
+        |  unnest(generate_series(0, (frames + ${MultimodalOps.AudioWinFrames} - 1)
+        |    // ${MultimodalOps.AudioWinFrames} - 1)) AS win_idx FROM f),
+        |s AS (SELECT doc_id, win_idx,
+        |  [CASE WHEN n = 0 THEN 0
+        |     ELSE (ord(substr(text, CAST(j % n AS INTEGER) + 1, 1)) - 128) * 256 END
+        |   for j in generate_series(win_idx * ${MultimodalOps.AudioWinFrames} * ch,
+        |     least((win_idx + 1) * ${MultimodalOps.AudioWinFrames}, frames) * ch - 1)]
+        |  AS samples FROM w)
+        |SELECT doc_id, CAST(win_idx AS INTEGER) AS win_idx,
+        |  CAST(len(samples) AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(samples, x -> x * x)) AS BIGINT) AS sum_sq,
+        |  CAST(list_sum(list_transform(samples, x -> abs(x))) // len(samples)
+        |    AS BIGINT) AS mean_abs,
+        |  list_sum(list_transform(samples, x -> abs(x))) // len(samples) >=
+        |    ${MultimodalOps.AudioVadThreshold} AS is_active
+        |FROM s""".stripMargin,
     "q_lang_id" -> {
       val profiles = TextOps.LangProfiles
       val branches = profiles.map { case (l, ws) =>

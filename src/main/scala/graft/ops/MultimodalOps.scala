@@ -310,6 +310,75 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** Frames per analysis window for [[audioEnergy]] (a short-time
+    * energy hop, the classic VAD frame). */
+  val AudioWinFrames = 16
+  /** Mean-|amplitude| threshold above which a window counts as active.
+    * Chosen inside the corpus' sample range (ASCII text bytes map to
+    * |s| ∈ [512, 24576]) so both verdicts genuinely occur. */
+  val AudioVadThreshold = 12000L
+
+  /** One short-time analysis window of a decoded audio stream. */
+  case class AudioWindow(doc_id: Long, win_idx: Int, n_samples: Long,
+    sum_sq: Long, mean_abs: Long, is_active: Boolean)
+
+  /** Windowed short-time energy over the DECODED samples: the stream is
+    * cut into [[AudioWinFrames]]-frame windows (last one ragged) and each
+    * window reports its exact integer energy (Σs², Σ|s| div n) plus the
+    * [[AudioVadThreshold]] activity verdict — the voice-activity shape a
+    * speech pipeline uses to segment and filter silence before ASR. All
+    * arithmetic is int64 (s ≤ 2¹⁵ so a window's Σs² ≤ 2³⁵), hence
+    * hash-oracled like the rest of the audio path. */
+  def decodeWavWindows(docId: Long, payload: Array[Byte]): Iterator[AudioWindow] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      val frames = in.getFrameLength
+      val channels = fmt.getChannels
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"doc $docId: unexpected PCM layout $fmt")
+      val pcm = in.readAllBytes()
+      require(pcm.length == frames * channels * 2,
+        s"doc $docId: short PCM read (${pcm.length} bytes for $frames frames)")
+      val nWins = ((frames + AudioWinFrames - 1) / AudioWinFrames).toInt
+      (0 until nWins).iterator.map { w =>
+        val s0 = w.toLong * AudioWinFrames * channels
+        val s1 = math.min((w.toLong + 1) * AudioWinFrames, frames) * channels
+        var sumAbs = 0L
+        var sumSq = 0L
+        var j = s0.toInt
+        while (j < s1) {
+          val s = ((pcm(2 * j) & 0xFF) | (pcm(2 * j + 1) << 8)).toShort.toInt
+          sumAbs += math.abs(s)
+          sumSq += s.toLong * s
+          j += 1
+        }
+        val n = s1 - s0
+        val meanAbs = if (n == 0) 0L else sumAbs / n
+        AudioWindow(docId, w, n, sumSq, meanAbs, meanAbs >= AudioVadThreshold)
+      }
+    } finally in.close()
+  }
+
+  /** Audio feature extraction: encode → partition-parallel codec decode →
+    * one row per analysis window ([[decodeWavWindows]]). Completes the
+    * multimodal quartet (metadata, feature-extract, resize, frame-sample)
+    * for the audio modality; same constant-memory, no-driver-path shape
+    * as [[audioMeta]]. */
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, encodeWav(text.getBytes(StandardCharsets.UTF_8))) }
+      .toDF("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) => decodeWavWindows(id, payload) })
+      .toDF()
+  }
+
   /** Perceptual-hash banding parameters: 64-bit aHash split into 8
     * 8-bit bands — by pigeonhole, any pair within [[PhashMaxHamming]]
     * (< 8) Hamming distance agrees on at least one band, so the banded

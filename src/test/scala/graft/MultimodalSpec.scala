@@ -144,6 +144,40 @@ class MultimodalSpec extends AnyFunSuite {
     } finally in.close()
   }
 
+  test("decodeWavWindows: ragged tail window, exact integer energy, " +
+    "VAD verdict on both sides of the threshold") {
+    // 20-frame mono stream → window 0 = frames 0-15 (full),
+    // window 1 = frames 16-19 (ragged, 4 samples)
+    val loud = Array.fill(4)(' '.toByte) // |s| = 96*256 = 24576 ≥ threshold
+    val win = MultimodalOps.decodeWavWindows(7L,
+      MultimodalOps.buildWav(8000, 1, 20, loud)).toSeq
+    assert(win.map(w => (w.win_idx, w.n_samples)) == Seq((0, 16L), (1, 4L)))
+    val s = 24576L
+    assert(win(0).sum_sq == 16 * s * s && win(1).sum_sq == 4 * s * s)
+    assert(win.forall(w => w.mean_abs == s && w.is_active))
+    // quiet content: '~' (126) → |s| = 2*256 = 512 < threshold
+    val quiet = MultimodalOps.decodeWavWindows(8L,
+      MultimodalOps.buildWav(8000, 1, 16, Array('~'.toByte))).toSeq
+    assert(quiet.map(_.is_active) == Seq(false) && quiet.head.mean_abs == 512L)
+  }
+
+  test("audioEnergy: window count and sample accounting match the " +
+    "decoded geometry corpus-wide") {
+    import org.apache.spark.sql.functions.{col, sum => fsum, countDistinct}
+    val out = MultimodalOps.audioEnergy(spark, TestSpark.Sf0001)
+    val perDoc = out.groupBy("doc_id")
+      .agg(fsum("n_samples").as("samples"), countDistinct("win_idx").as("wins"))
+      .join(graft.sources.Tables.documents(spark, TestSpark.Sf0001), "doc_id")
+    // every doc's windows account for exactly frames × channels samples
+    val bad = perDoc.filter(org.apache.spark.sql.functions.expr(
+      "samples != CAST(64 + octet_length(text) % 192 AS BIGINT) * (1 + octet_length(text) % 2)" +
+        " OR wins != CAST((64 + octet_length(text) % 192 + 15) DIV 16 AS BIGINT)")).count()
+    assert(bad == 0)
+    // the threshold genuinely splits the corpus
+    val verdicts = out.select("is_active").distinct().count()
+    assert(verdicts == 2)
+  }
+
   test("audioMeta runs over the corpus with the formula geometry") {
     val out = MultimodalOps.audioMeta(spark, TestSpark.Sf0001)
     val bad = out.join(
