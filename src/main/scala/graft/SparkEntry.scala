@@ -37,6 +37,7 @@ object SparkEntry {
     "q_semi_join"        -> Relational.semiJoin _,
     "q_anti_join"        -> Relational.antiJoin _,
     "q_topk_revenue"     -> Relational.topKRevenue _,
+    "q_topk_agg"         -> Relational.topkAgg _,
     "q_distinct_count"   -> Relational.distinctCount _,
     "q_rollup"           -> Relational.rollupRegionNation _,
     "q_set_ops"          -> Relational.setOps _,
@@ -315,6 +316,17 @@ object SparkEntry {
         |  SELECT o_custkey, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1)
         |ORDER BY revenue_cents DESC, o_custkey LIMIT 10""".stripMargin,
+    "q_topk_agg" -> // the window the TopKPairs aggregate replaces: same
+      // (score DESC, id ASC) order, same k, same null-key exclusions
+      """SELECT segment, CAST(rn AS INTEGER) AS rank, price_cents, o_orderkey
+        |FROM (SELECT c_mktsegment AS segment,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS price_cents, o_orderkey,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey)
+        |      AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL)
+        |WHERE rn <= 3""".stripMargin,
     "q_distinct_count" ->
       """SELECT c_mktsegment, CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
         |  count(*) AS n_customers FROM customer GROUP BY 1""".stripMargin,

@@ -31,11 +31,26 @@ object GraftFunctions {
     make(exprs(0))
   }
 
+  /** `topk_pairs(score, id, k)` — k must fold to an int literal (the
+    * aggregate's buffer bound is fixed at plan time). */
+  private def topkBuilder: Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 3)
+      throw new IllegalArgumentException(
+        s"topk_pairs expects exactly 3 arguments, got ${exprs.length}")
+    val k = exprs(2) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"topk_pairs k must be an integer literal, got $other")
+    }
+    TopKPairs(exprs(0), exprs(1), k).toAggregateExpression()
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "long_dot" -> binary("long_dot", LongDotProduct(_, _)),
     "sorted_intersect_size" ->
       binary("sorted_intersect_size", SortedIntersectSize(_, _)),
-    "minhash_sigs" -> unary("minhash_sigs", MinHashSigs(_)))
+    "minhash_sigs" -> unary("minhash_sigs", MinHashSigs(_)),
+    "topk_pairs" -> topkBuilder)
 
   /** Register on an existing session's function registry, and install
     * the engine's optimizer rewrites ([[graft.plans.RewriteLongDot]])

@@ -196,6 +196,28 @@ object Relational {
       .limit(10)
   }
 
+  /** Top-k rows PER GROUP via the custom [[graft.functions.TopKPairs]]
+    * TypedImperativeAggregate — the map-side-combining alternative to the
+    * `row_number` window: each task reduces its slice to ≤ k pairs per
+    * group before the exchange, so the shuffle carries O(groups × k)
+    * rows, not O(orders) (PlanSpec pins the two-phase ObjectHashAggregate
+    * and the absence of any Window). Exploded back to rows for the
+    * driver compare; the oracle replays it as the window it replaces. */
+  def topkAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_totalprice").isNotNull && col("o_orderkey").isNotNull)
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderkey"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(graft.functions.TopKPairs.topkPairs(
+        col("price_c"), col("o_orderkey"), 3).as("top"))
+      .select(col("segment"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("segment"), (col("i") + 1).cast("integer").as("rank"),
+        col("p.score").as("price_cents"), col("p.id").as("o_orderkey"))
+  }
+
   /** Exact distinct aggregation (COUNT(DISTINCT)) per segment. */
   def distinctCount(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)

@@ -76,6 +76,47 @@ class ExpressionSpec extends AnyFunSuite {
     assert(graft.functions.SortedIntersectSize(lit1, lit2).eval(null) == 1L)
   }
 
+  test("TopKPairs ≡ the row_number window it replaces, on random grouped data") {
+    import graft.functions.TopKPairs.topkPairs
+    import org.apache.spark.sql.expressions.Window
+    val rows = Seq.tabulate(2000)(i =>
+      (rnd.nextInt(20), rnd.nextInt(50).toLong, i.toLong)) // dup scores → tie-breaks exercised
+    val df = rows.toDF("g", "s", "id")
+    val viaAgg = df.groupBy("g")
+      .agg(topkPairs(col("s"), col("id"), 5).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("g"), (col("i") + 1).as("rank"),
+        col("p.score").as("s"), col("p.id").as("id"))
+    val viaWindow = df.withColumn("rank", row_number().over(
+        Window.partitionBy("g").orderBy(col("s").desc, col("id").asc)).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("g", "rank", "s", "id")
+    assert(viaAgg.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(viaAgg).count() == 0)
+    assert(viaAgg.count() == 100) // 20 groups × 5
+  }
+
+  test("TopKPairs: null score or id rows are skipped; groups smaller " +
+    "than k emit what they have; SQL registration works") {
+    import graft.functions.TopKPairs.topkPairs
+    val df = Seq[(Int, Option[Long], Option[Long])](
+      (1, Some(10L), Some(100L)), (1, None, Some(101L)),
+      (1, Some(30L), None), (1, Some(20L), Some(102L)),
+      (2, Some(7L), Some(200L))).toDF("g", "s", "id")
+    val out = df.groupBy("g").agg(topkPairs(col("s"), col("id"), 3).as("top"))
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getLong(0), p.getLong(1))))
+      .toMap
+    assert(out(1) == Seq((20L, 102L), (10L, 100L))) // null rows dropped
+    assert(out(2) == Seq((7L, 200L)))
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("topk_in")
+    val viaSql = spark.sql(
+      "SELECT g, topk_pairs(s, id, 3) AS top FROM topk_in GROUP BY g")
+      .collect().map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1).length).toMap
+    assert(viaSql == Map(1 -> 2, 2 -> 1))
+  }
+
   test("non-ANSI cast semantics (SURVEY §7.4): garbage → null, float-like → truncated") {
     // BigQuery CAST would ERROR on '1.5' and 'abc'; Spark non-ANSI
     // truncates numeric strings and nulls non-numeric ones.

@@ -384,6 +384,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q_topk_agg: TopKPairs plans as a TWO-PHASE ObjectHashAggregate " +
+    "(map-side k-bounded partials) with no Window operator") {
+    val plan = finalSection(finalPlan(
+      graft.ops.Relational.topkAgg(spark, TestSpark.Sf0001)))
+    val phases = "ObjectHashAggregate".r.findAllIn(plan).length
+    assert(phases >= 2, s"expected partial+final ObjectHashAggregate:\n$plan")
+    assert(plan.contains("partial_topk_pairs"),
+      s"no map-side partial aggregation:\n$plan")
+    assert(!plan.contains("Window"), s"window fallback crept in:\n$plan")
+  }
+
   test("q_rendezvous_shard: pure map-side projection, zero shuffles") {
     TestSpark.assertNoShuffle(
       graft.ingest.Materialize.rendezvousShard(spark, TestSpark.Sf0001))
