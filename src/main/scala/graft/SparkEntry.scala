@@ -48,6 +48,7 @@ object SparkEntry {
     "q_session_stats"    -> EventOps.sessionStats _,
     "q_token_stats"      -> TextOps.tokenStats _,
     "q_word_freq"        -> TextOps.wordFreq _,
+    "q_shingle_profile"  -> TextOps.shingleProfile _,
     "q_lang_stats"       -> TextOps.langStats _,
     "q_fingerprint"      -> TextOps.fingerprint _,
     "q_quality_score"    -> TextOps.qualityScore _,
@@ -575,6 +576,21 @@ object SparkEntry {
       """SELECT word, count(*) AS cnt FROM (
         |  SELECT unnest(string_split(text,' ')) AS word FROM documents)
         |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+    "q_shingle_profile" -> // same half-overlapping 8-char windows the
+      // ShingleGen generator streams (substr is 1-based; pos is 0-based
+      // codepoints — the corpus character set makes them agree)
+      s"""WITH sh AS (SELECT lang,
+        |    substr(text, p + 1, ${TextOps.ShingleK}) AS shingle
+        |  FROM documents,
+        |    unnest(generate_series(0, length(text) - ${TextOps.ShingleK},
+        |      ${TextOps.ShingleStep})) AS g(p)
+        |  WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |c AS (SELECT lang, shingle, count(*) AS cnt FROM sh GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY cnt DESC, shingle) AS rn FROM c)
+        |SELECT lang, CAST(rn AS INTEGER) AS rank, shingle,
+        |  CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rn <= ${TextOps.ShingleTopN}""".stripMargin,
     "q_heavy_hitters" -> // exact top-20 + the CMS guarantee holding
       // (estimate never below truth, at most eps*N above) — the sketch
       // side is Spark's; the oracle recomputes the exact side and

@@ -45,12 +45,27 @@ object GraftFunctions {
     TopKPairs(exprs(0), exprs(1), k).toAggregateExpression()
   }
 
+  /** `shingle_gen(text, k, step)` — k and step must fold to int
+    * literals (the window geometry is fixed at plan time). */
+  private def shingleBuilder: Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 3)
+      throw new IllegalArgumentException(
+        s"shingle_gen expects exactly 3 arguments, got ${exprs.length}")
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"shingle_gen $what must be an integer literal, got $other")
+    }
+    ShingleGen(exprs(0), intLit(exprs(1), "k"), intLit(exprs(2), "step"))
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "long_dot" -> binary("long_dot", LongDotProduct(_, _)),
     "sorted_intersect_size" ->
       binary("sorted_intersect_size", SortedIntersectSize(_, _)),
     "minhash_sigs" -> unary("minhash_sigs", MinHashSigs(_)),
-    "topk_pairs" -> topkBuilder)
+    "topk_pairs" -> topkBuilder,
+    "shingle_gen" -> shingleBuilder)
 
   /** Register on an existing session's function registry, and install
     * the engine's optimizer rewrites ([[graft.plans.RewriteLongDot]])

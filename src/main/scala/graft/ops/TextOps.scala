@@ -595,6 +595,39 @@ object TextOps {
         (col("n_chars") < 100).as("is_short"))
   }
 
+  /** Window geometry for [[shingleProfile]]: 8-codepoint shingles every
+    * 4 codepoints (half-overlapping — every position is covered twice,
+    * the usual near-dup shingling density). */
+  val ShingleK = 8
+  val ShingleStep = 4
+  /** Shingles reported per language. */
+  val ShingleTopN = 5
+
+  /** Per-language frequent-shingle profile — the boilerplate detector: a
+    * shingle that dominates a language's corpus is template text (nav
+    * chrome, license headers) a cleaning pass should strip. The
+    * shingling stage is the custom [[graft.functions.ShingleGen]]
+    * Catalyst Generator (UDTF surface): documents stream through
+    * `GenerateExec` one window at a time — no per-document shingle array
+    * is ever materialized, so peak task memory is O(k) even on multi-MB
+    * documents. Counting is an ordinary two-phase hash agg on
+    * (lang, shingle); the top-N cut runs on the AGGREGATED table
+    * (bounded), never the corpus. */
+  def shingleProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("lang"),
+        graft.functions.ShingleGen.shingleGen(col("text"), ShingleK, ShingleStep))
+      .groupBy("lang", "shingle")
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rank", row_number().over(Window.partitionBy("lang")
+        .orderBy(col("cnt").desc, col("shingle").asc)).cast("integer"))
+      .filter(col("rank") <= ShingleTopN)
+      .select("lang", "rank", "shingle", "cnt")
+  }
+
   /** Merge rounds [[bpeMerges]] trains. */
   val BpeRounds = 3
 

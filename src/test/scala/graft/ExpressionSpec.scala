@@ -117,6 +117,32 @@ class ExpressionSpec extends AnyFunSuite {
     assert(viaSql == Map(1 -> 2, 2 -> 1))
   }
 
+  test("ShingleGen ≡ the explode(transform(sequence)) form it streams past") {
+    import graft.functions.ShingleGen.shingleGen
+    val texts = Seq("abcdefghijk", "ab", "", "exactly8", "ασδφghjklm", null)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val viaGen = df.select(col("id"), shingleGen(col("text"), 8, 4))
+    val viaExplode = df
+      .filter(col("text").isNotNull && length(col("text")) >= 8)
+      .select(col("id"), explode(expr(
+        "transform(sequence(0, length(text) - 8, 4), " +
+          "p -> struct(p AS pos, substring(text, p + 1, 8) AS shingle))")).as("s"))
+      .select(col("id"), col("s.pos").as("pos"), col("s.shingle").as("shingle"))
+    assert(viaGen.exceptAll(viaExplode).count() == 0)
+    assert(viaExplode.exceptAll(viaGen).count() == 0)
+    // geometry: 11 chars → pos 0 only? no: 0 and... 0+4+8=12 > 11 → pos {0}
+    // "abcdefghijk"(11) → pos 0; "exactly8"(8) → pos 0; greek 10 cps → pos 0
+    assert(viaGen.count() == 3)
+    // SQL registration: LATERAL VIEW over the generator
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("shingle_in")
+    val viaSql = spark.sql(
+      "SELECT id, pos, shingle FROM shingle_in " +
+        "LATERAL VIEW shingle_gen(text, 8, 4) t AS pos, shingle")
+    assert(viaSql.exceptAll(viaGen).count() == 0 &&
+      viaGen.exceptAll(viaSql).count() == 0)
+  }
+
   test("non-ANSI cast semantics (SURVEY §7.4): garbage → null, float-like → truncated") {
     // BigQuery CAST would ERROR on '1.5' and 'abc'; Spark non-ANSI
     // truncates numeric strings and nulls non-numeric ones.
