@@ -49,6 +49,7 @@ object SparkEntry {
     "q_token_stats"      -> TextOps.tokenStats _,
     "q_word_freq"        -> TextOps.wordFreq _,
     "q_shingle_profile"  -> TextOps.shingleProfile _,
+    "q_curriculum"       -> TextOps.curriculumOrder _,
     "q_lang_stats"       -> TextOps.langStats _,
     "q_fingerprint"      -> TextOps.fingerprint _,
     "q_quality_score"    -> TextOps.qualityScore _,
@@ -576,6 +577,16 @@ object SparkEntry {
       """SELECT word, count(*) AS cnt FROM (
         |  SELECT unnest(string_split(text,' ')) AS word FROM documents)
         |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+    "q_curriculum" -> // the window the two-pass range-sort ranking
+      // replaces; same token banding (split keeps empty tokens in both
+      // engines), 0-based position
+      s"""SELECT doc_id, CAST(band AS INTEGER) AS band,
+        |  CAST(row_number() OVER (ORDER BY band, doc_id) - 1 AS BIGINT)
+        |    AS position
+        |FROM (SELECT doc_id,
+        |    least(len(string_split(text, ' ')) // ${TextOps.CurriculumBandTokens},
+        |      ${TextOps.CurriculumMaxBand}) AS band
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)""".stripMargin,
     "q_shingle_profile" -> // same half-overlapping 8-char windows the
       // ShingleGen generator streams (substr is 1-based; pos is 0-based
       // codepoints — the corpus character set makes them agree)

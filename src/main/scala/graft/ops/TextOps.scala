@@ -595,6 +595,64 @@ object TextOps {
         (col("n_chars") < 100).as("is_short"))
   }
 
+  /** Tokens-per-band divisor and band cap for [[curriculumOrder]]. */
+  val CurriculumBandTokens = 64
+  val CurriculumMaxBand = 7
+
+  /** Curriculum training order — every document gets its GLOBAL position
+    * in the easy→hard schedule (short documents first: band =
+    * n_tokens div [[CurriculumBandTokens]] capped at [[CurriculumMaxBand]],
+    * ordered by (band, doc_id)) — the manifest a trainer consumes row by
+    * row.
+    *
+    * The point is HOW the global position is computed. The naive form —
+    * `row_number() OVER (ORDER BY band, doc_id)` — has an empty
+    * PARTITION BY: Spark funnels the entire corpus through ONE task
+    * (WindowExec warns exactly this), and partitioning by the 8-value
+    * band is the same bottleneck wearing stripes. The scale-correct
+    * primitive is the two-pass range-sort ranking (what RDD.zipWithIndex
+    * does, spelled out):
+    *
+    *  1. `repartitionByRange(band, doc_id)` + sortWithinPartitions —
+    *     a real P-way distributed sort;
+    *  2. pass 1 counts rows per partition (P longs to the driver —
+    *     bounded metadata, the [[bpeMerges]] contract);
+    *  3. prefix-sum those counts → each partition's global offset;
+    *  4. pass 2 streams each partition once, assigning
+    *     offset + local index.
+    *
+    * Range boundaries come from sampling and are not themselves
+    * deterministic — but (band, doc_id) is a UNIQUE key, so position ≡
+    * global rank regardless of where the boundaries fall, and the output
+    * is exact (the oracle replays it as the window this replaces). The
+    * per-partition imperative step is genuine mapPartitions territory —
+    * Catalyst has no operator for "running count across a fixed
+    * partition layout". */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        expr(s"least(size(split(text, ' ')) div $CurriculumBandTokens, " +
+          s"$CurriculumMaxBand)").cast("int").as("band"))
+      .as[(Long, Int)]
+    val sorted = docs
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("band"), col("doc_id"))
+      .sortWithinPartitions(col("band"), col("doc_id"))
+    val rdd = sorted.rdd
+    // pass 1: P counts — bounded metadata, never row data
+    val counts = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      Iterator((pid, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _) // offsets(pid) = rows before pid
+    val positioned = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var pos = offsets(pid)
+      it.map { case (id, band) => val r = (id, band, pos); pos += 1; r }
+    }
+    spark.createDataFrame(positioned).toDF("doc_id", "band", "position")
+  }
+
   /** Window geometry for [[shingleProfile]]: 8-codepoint shingles every
     * 4 codepoints (half-overlapping — every position is covered twice,
     * the usual near-dup shingling density). */

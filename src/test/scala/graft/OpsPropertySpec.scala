@@ -136,4 +136,21 @@ class OpsPropertySpec extends AnyFunSuite {
       assert(got == want, s"seed=$seed docs=$docs")
     }
   }
+
+  test("curriculumOrder ≡ the global row_number window it replaces " +
+    "(dense 0-based positions in (band, doc_id) order), on testdata") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val got = TextOps.curriculumOrder(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val expected = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), expr(
+        s"least(size(split(text, ' ')) div ${TextOps.CurriculumBandTokens}, " +
+          s"${TextOps.CurriculumMaxBand})").cast("int").as("band"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy { case (id, band) => (band, id) }
+      .zipWithIndex.map { case ((id, band), i) => (id, band, i.toLong) }
+    assert(got.length == expected.length && got.length > 0)
+    assert(got.sortBy(_._3).toSeq == expected.toSeq)
+  }
 }
