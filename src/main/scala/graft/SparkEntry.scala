@@ -154,6 +154,7 @@ object SparkEntry {
     "q_schema_evolution" -> Materialize.schemaEvolution _,
     "q_retention_delete" -> Materialize.retentionDelete _,
     "q_sketch_union"     -> EventOps.sketchUnion _,
+    "q_sketch_intersect" -> EventOps.sketchIntersect _,
     "q_skyline"          -> Relational.skyline _,
     "q_bfs"              -> graft.ops.GraphOps.bfsHops _,
     "q_quarantine"       -> ProfileOps.qualityQuarantine _,
@@ -1656,6 +1657,23 @@ object SparkEntry {
         |WHERE ts IS NULL
         |   OR date_trunc('day', ts) >= date_trunc('day', make_timestamp(m))
         |GROUP BY 1""".stripMargin,
+    "q_sketch_intersect" -> // exact overlap by inclusion-exclusion over
+      // a distinct (type, user) self-join; the sketch-side verdict is
+      // asserted TRUE (approxDistinct discipline)
+      """WITH e AS (SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM t a, t b WHERE a.event_type < b.event_type),
+        |i AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    count(*) AS c
+        |  FROM e x JOIN e y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b,
+        |  CAST(coalesce(i.c, 0) AS BIGINT) AS exact_intersect,
+        |  TRUE AS within_bound
+        |FROM p LEFT JOIN i ON p.type_a = i.type_a AND p.type_b = i.type_b""".stripMargin,
     "q_sketch_union" -> // sketch bytes are engine-specific; the oracle
       // recomputes the exact union cardinality and asserts the bound
       """SELECT count(DISTINCT event_type) AS n_sketches,

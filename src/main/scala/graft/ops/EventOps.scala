@@ -256,6 +256,51 @@ object EventOps {
           col("exact_users") * 5 + 100).as("within_bound"))
   }
 
+  /** Sketch SET ALGEBRA — audience overlap |A ∩ B| for every unordered
+    * pair of event types by inclusion–exclusion (|A|+|B|−|A∪B|) over
+    * HLL estimates: the segment-overlap question every analytics stack
+    * answers from pre-built sketches because the exact self-join is a
+    * second full pass. Pairs come from the bounded type domain (tiny
+    * broadcast cross, never row data); each event fans out only to the
+    * pairs containing its type, then ONE hash agg computes exact and
+    * sketch cardinalities for A, B, and A∪B per pair side by side.
+    * Output follows the [[approxDistinct]] oracle discipline: the exact
+    * intersection (inclusion–exclusion over exact counts — itself exact)
+    * plus `within_bound` = sketch-derived intersection within 3×rsd of
+    * each of the three contributing estimates (error budget
+    * 15% × (|A|+|B|+|A∪B|), +1 for tiny-corpus rounding); DuckDB
+    * recomputes the exact side and asserts the boolean TRUE. */
+  def sketchIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val evs = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+    val types = evs.select(col("event_type")).distinct()
+    val pairs = types.select(col("event_type").as("type_a"))
+      .crossJoin(types.select(col("event_type").as("type_b")))
+      .filter(col("type_a") < col("type_b")) // domain × domain, broadcast-tiny
+    evs.join(broadcast(pairs),
+        col("event_type") === col("type_a") ||
+          col("event_type") === col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(
+        countDistinct(col("user_id")).as("exact_u"),
+        approx_count_distinct(col("user_id")).as("est_u"),
+        countDistinct(when(col("event_type") === col("type_a"),
+          col("user_id"))).as("exact_a"),
+        approx_count_distinct(when(col("event_type") === col("type_a"),
+          col("user_id"))).as("est_a"),
+        countDistinct(when(col("event_type") === col("type_b"),
+          col("user_id"))).as("exact_b"),
+        approx_count_distinct(when(col("event_type") === col("type_b"),
+          col("user_id"))).as("est_b"))
+      .select(col("type_a"), col("type_b"),
+        (col("exact_a") + col("exact_b") - col("exact_u"))
+          .as("exact_intersect"),
+        (abs((col("est_a") + col("est_b") - col("est_u")) -
+          (col("exact_a") + col("exact_b") - col("exact_u"))) * 100 <=
+          (col("exact_a") + col("exact_b") + col("exact_u")) * 15 + 100)
+          .as("within_bound"))
+  }
+
   /** Conversion funnel (view → click → purchase): per user, the first
     * view, the first click AT OR AFTER that view, and the first purchase
     * at or after that click — the sequential-pattern analytics a product

@@ -65,4 +65,29 @@ class EntrySpec extends org.scalatest.funsuite.AnyFunSuite {
       .collect().head
     assert(row.getBoolean(row.fieldIndex("within_bound")))
   }
+
+  test("q_sketch_intersect: inclusion-exclusion exact overlap ≡ a direct " +
+    "distinct self-join; sketch bound holds on every pair") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_sketch_intersect")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (pair, (_, ok)) =>
+      assert(ok, s"$pair: sketch intersection outside the 3-rsd budget") }
+    // exact side cross-checked against the direct pairwise overlap
+    val e = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select("event_type", "user_id").distinct()
+    val direct = e.as("x").join(e.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("a"), col("y.event_type").as("b"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (pair, (exact, _)) =>
+      assert(direct.getOrElse(pair, 0L) == exact,
+        s"$pair: inclusion-exclusion $exact != direct ${direct.get(pair)}")
+    }
+  }
 }
