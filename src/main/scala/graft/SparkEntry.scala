@@ -171,6 +171,7 @@ object SparkEntry {
     "q_kanon"            -> ProfileOps.kAnonymity _,
     "q_dataset_checksum" -> ProfileOps.datasetChecksum _,
     "q_rendezvous_shard" -> Materialize.rendezvousShard _,
+    "q_dsv2_scan"        -> Materialize.dsv2Scan _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
     "q_snapshot_diff"    -> Materialize.snapshotDiff _,
     "q_bpe_merges"       -> TextOps.bpeMerges _,
@@ -1974,6 +1975,13 @@ object SparkEntry {
         |      ELSE 'unchanged' END AS status
         |  FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id)
         |WHERE status <> 'unchanged'""".stripMargin,
+    "q_dsv2_scan" -> // regenerate the synthetic source's integer
+      // formulas over the pushed id range [25000, 75000)
+      """SELECT 't' || CAST(i % 5 AS VARCHAR) AS event_type,
+        |  CAST(sum((i * 48271) % 100000) AS BIGINT) AS sum_cents,
+        |  count(*) AS n
+        |FROM (SELECT unnest(generate_series(25000, 74999)) AS i)
+        |GROUP BY 1""".stripMargin,
     "q_rendezvous_shard" -> // HRW argmax over the same 15-hex score
       // strings; list_position ≡ array_position (1-based, first match)
       s"""WITH s AS (SELECT doc_id,

@@ -572,6 +572,21 @@ object Materialize {
       .select(col("doc_id"), col("status"))
   }
 
+  /** The custom DataSource V2 connector under a real query: scan
+    * [[graft.sources.SyntheticSource]] with an id-range filter (pushed
+    * down → half the key space is never planned into partitions) and a
+    * projection (pruned → readers never generate the dropped columns),
+    * then aggregate. `dir` is unused — the source IS the data (pure
+    * integer formulas the oracle regenerates with generate_series).
+    * IngestSpec asserts the pushdown/pruning/planning facts the
+    * connector records. */
+  def dsv2Scan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 100000L).option("slices", 16).load()
+      .filter(col("id") >= 25000 && col("id") < 75000)
+      .groupBy("event_type")
+      .agg(sum(col("value_cents")).as("sum_cents"), count(lit(1)).as("n"))
+
   def rendezvousShard(spark: SparkSession, dir: String): DataFrame = {
     def scores(n: Int): Column = transform(
       sequence(lit(0), lit(n - 1)),

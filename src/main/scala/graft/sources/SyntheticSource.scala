@@ -1,0 +1,173 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A complete DataSource V2 batch connector — the extension surface a
+  * Spark-native engine uses to make ANY system look like a table. The
+  * source is a deterministic synthetic event generator (pure integer
+  * formulas of the row id, so the DuckDB oracle regenerates it with
+  * `generate_series` — no files involved), but the connector machinery
+  * is the real thing a JDBC/Kafka/REST source needs:
+  *
+  *  - `TableProvider` → `Table` → `ScanBuilder` → `Scan` → `Batch` →
+  *    `PartitionReaderFactory` → `PartitionReader[InternalRow]`;
+  *  - **filter pushdown** (`SupportsPushDownFilters`): id-range
+  *    predicates narrow the generated key space BEFORE partition
+  *    planning, so the filtered-out key space is never scheduled (the
+  *    slices re-split the SURVIVING range — parallelism stays even) —
+  *    the connector-level analog of parquet row-group skipping. Pushed
+  *    filters are also left in the residual (returned back to Spark)
+  *    exactly like the parquet source: skipping is an optimization,
+  *    re-evaluation is the safety net;
+  *  - **column pruning** (`SupportsPushDownRequiredColumns`): readers
+  *    materialize only the requested fields in the requested order —
+  *    a projection that never reaches the generator is work never done;
+  *  - **partition planning**: the (possibly narrowed) id range splits
+  *    into `slices` even `InputPartition`s — the parallelism contract a
+  *    1000-executor cluster schedules against.
+  *
+  * Usage: `spark.read.format("graft.sources.SyntheticSource")
+  * .option("rows", n).option("slices", p).load()`. Schema:
+  * (id, user_id, value_cents bigint; event_type string), with
+  * user_id = (id·2654435761) mod 1000, value_cents = (id·48271) mod
+  * 100000, event_type = 't' ∥ (id mod 5) — Knuth/Lehmer multipliers,
+  * all int64-exact. */
+class SyntheticSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyntheticSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    SyntheticTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("slices", "8").toInt)
+}
+
+object SyntheticSource {
+  val Schema: StructType = new StructType()
+    .add("id", LongType, nullable = false)
+    .add("user_id", LongType, nullable = false)
+    .add("value_cents", LongType, nullable = false)
+    .add("event_type", StringType, nullable = false)
+
+  /** Row formulas — ONE definition shared by every reader (and mirrored
+    * literally in the q_dsv2_scan oracle SQL). */
+  def userId(id: Long): Long = (id * 2654435761L) % 1000L
+  def valueCents(id: Long): Long = (id * 48271L) % 100000L
+  def eventType(id: Long): String = "t" + (id % 5L)
+
+  /** Last scan's planning facts, for observability and tests: what was
+    * pushed, what survived pruning, how many partitions were planned.
+    * Driver-side only (planning happens on the driver). */
+  @volatile var lastScan: Option[ScanInfo] = None
+  final case class ScanInfo(pushedIdLo: Long, pushedIdHi: Long,
+    columns: Seq[String], partitions: Int)
+}
+
+case class SyntheticTable(rows: Long, slices: Int) extends Table with SupportsRead {
+  require(rows >= 0 && slices > 0, s"bad synthetic geometry ($rows, $slices)")
+  override def name(): String = s"synthetic($rows)"
+  override def schema(): StructType = SyntheticSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SyntheticScanBuilder(rows, slices)
+}
+
+/** Accumulates pushdown state, then freezes into the immutable Scan. */
+class SyntheticScanBuilder(rows: Long, slices: Int) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo = 0L
+  private var hi = rows // [lo, hi)
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = SyntheticSource.Schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (handled, rest) = filters.partition {
+      case EqualTo("id", _: Long) => true
+      case GreaterThan("id", _: Long) => true
+      case GreaterThanOrEqual("id", _: Long) => true
+      case LessThan("id", _: Long) => true
+      case LessThanOrEqual("id", _: Long) => true
+      case _ => false
+    }
+    handled.foreach {
+      case EqualTo(_, v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case GreaterThan(_, v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual(_, v: Long) => lo = math.max(lo, v)
+      case LessThan(_, v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual(_, v: Long) => hi = math.min(hi, v + 1)
+      case _ =>
+    }
+    accepted = handled
+    // the parquet convention: report what was pushed, but hand EVERY
+    // filter back as residual — skipping saves work, Spark's
+    // re-evaluation keeps boundary bugs from becoming wrong answers
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    SyntheticScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), slices, required)
+}
+
+case class SyntheticScan(lo: Long, hi: Long, slices: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-synthetic [$lo, $hi) cols=${required.fieldNames.mkString(",")}"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = hi - lo
+    val parts =
+      if (n <= 0) Array.empty[InputPartition]
+      else (0 until slices).iterator.map { s =>
+        // even split of [lo, hi): slice s gets [lo + s·n/P, lo + (s+1)·n/P)
+        SyntheticPartition(lo + s * n / slices, lo + (s + 1) * n / slices)
+      }.collect { case p if p.hi > p.lo => p: InputPartition }.toArray
+    SyntheticSource.lastScan = Some(SyntheticSource.ScanInfo(
+      lo, hi, required.fieldNames.toSeq, parts.length))
+    parts
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    SyntheticReaderFactory(required.fieldNames)
+}
+
+case class SyntheticPartition(lo: Long, hi: Long) extends InputPartition
+
+case class SyntheticReaderFactory(columns: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SyntheticPartition]
+    new PartitionReader[InternalRow] {
+      private var id = p.lo - 1
+      override def next(): Boolean = { id += 1; id < p.hi }
+      override def get(): InternalRow =
+        new GenericInternalRow(columns.map[Any] {
+          case "id" => id
+          case "user_id" => SyntheticSource.userId(id)
+          case "value_cents" => SyntheticSource.valueCents(id)
+          case "event_type" => UTF8String.fromString(SyntheticSource.eventType(id))
+          case other => throw new IllegalArgumentException(s"no column $other")
+        })
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -285,4 +285,45 @@ class IngestSpec extends AnyFunSuite {
     val frac = rows.count(_._4).toDouble / rows.length
     assert(frac > 0.02 && frac < 0.30, s"moved fraction $frac")
   }
+
+  test("SyntheticSource (DSv2): rows follow the formulas; full scan plans " +
+    "all slices") {
+    val df = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 50L).option("slices", 4).load()
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getString(3))).sortBy(_._1)
+    assert(rows.length == 50)
+    rows.foreach { case (id, u, v, t) =>
+      assert(u == graft.sources.SyntheticSource.userId(id))
+      assert(v == graft.sources.SyntheticSource.valueCents(id))
+      assert(t == graft.sources.SyntheticSource.eventType(id))
+    }
+    assert(rows.map(_._1).toSeq == (0L until 50L).toSeq)
+    val info = graft.sources.SyntheticSource.lastScan.get
+    assert(info.partitions == 4 && info.pushedIdLo == 0 && info.pushedIdHi == 50)
+  }
+
+  test("SyntheticSource (DSv2): id-range filters push down and NARROW " +
+    "partition planning; projections prune the generated columns") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 100000L).option("slices", 16).load()
+    // 1/16th of the key space: planning narrows to [0, 6250) and the 16
+    // slices re-split the SURVIVING range (reader work ∝ 6250, not 100k)
+    val narrow = df.filter(col("id") < 6250).select("id")
+    assert(narrow.count() == 6250)
+    val info = graft.sources.SyntheticSource.lastScan.get
+    assert(info.pushedIdHi == 6250, s"filter not pushed: $info")
+    assert(info.partitions == 16, s"surviving range should still split: $info")
+    assert(info.columns == Seq("id"), s"projection not pruned: $info")
+    // conjunctive range + equality
+    val one = df.filter(col("id") === 42L)
+    assert(one.count() == 1)
+    val info2 = graft.sources.SyntheticSource.lastScan.get
+    assert(info2.pushedIdLo == 42 && info2.pushedIdHi == 43 &&
+      info2.partitions == 1)
+    // empty range plans nothing
+    assert(df.filter(col("id") < 0).count() == 0)
+    assert(graft.sources.SyntheticSource.lastScan.get.partitions == 0)
+  }
 }
