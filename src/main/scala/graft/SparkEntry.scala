@@ -160,6 +160,7 @@ object SparkEntry {
     "q_quarantine"       -> ProfileOps.qualityQuarantine _,
     "q_train_split"      -> TextOps.trainSplit _,
     "q_stream_cascade"   -> graft.streaming.StreamOps.cascadeStreamed _,
+    "q_stream_dsv2"      -> graft.streaming.StreamOps.dsv2Streamed _,
     "q_rank_funcs"       -> Relational.rankFuncs _,
     "q_array_funcs"      -> Relational.arrayFuncs _,
     "q_interval_merge"   -> EventOps.intervalMerge _,
@@ -1736,6 +1737,13 @@ object SparkEntry {
         |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_tokens
         |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |GROUP BY 1,2""".stripMargin,
+    "q_stream_dsv2" -> // the streamed complete-mode aggregate over the
+      // custom source ≡ the batch form over the same (filtered) id space
+      """SELECT 't' || CAST(i % 5 AS VARCHAR) AS event_type,
+        |  CAST(sum((i * 48271) % 100000) AS BIGINT) AS sum_cents,
+        |  count(*) AS n
+        |FROM (SELECT unnest(generate_series(5000, 14999)) AS i)
+        |GROUP BY 1""".stripMargin,
     "q_stream_cascade" -> // chained stateful ops ≡ the batch double
       // aggregation: hours first, then hours rolled up to days
       """WITH h AS (SELECT date_trunc('hour', ts) AS hr, event_type,

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -51,7 +52,8 @@ class SyntheticSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     SyntheticTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("slices", "8").toInt)
+      properties.getOrDefault("slices", "8").toInt,
+      properties.getOrDefault("batchRows", "1000").toLong)
 }
 
 object SyntheticSource {
@@ -73,20 +75,28 @@ object SyntheticSource {
   @volatile var lastScan: Option[ScanInfo] = None
   final case class ScanInfo(pushedIdLo: Long, pushedIdHi: Long,
     columns: Seq[String], partitions: Int)
+
+  /** Micro-batch ranges the streaming side planned — driver-side
+    * observability for the offset-contract tests (each entry is one
+    * trigger's [start, end)). */
+  val plannedBatches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
 }
 
-case class SyntheticTable(rows: Long, slices: Int) extends Table with SupportsRead {
-  require(rows >= 0 && slices > 0, s"bad synthetic geometry ($rows, $slices)")
+case class SyntheticTable(rows: Long, slices: Int, batchRows: Long)
+    extends Table with SupportsRead {
+  require(rows >= 0 && slices > 0 && batchRows > 0,
+    s"bad synthetic geometry ($rows, $slices, $batchRows)")
   override def name(): String = s"synthetic($rows)"
   override def schema(): StructType = SyntheticSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticScanBuilder(rows, slices)
+    new SyntheticScanBuilder(rows, slices, batchRows)
 }
 
 /** Accumulates pushdown state, then freezes into the immutable Scan. */
-class SyntheticScanBuilder(rows: Long, slices: Int) extends ScanBuilder
+class SyntheticScanBuilder(rows: Long, slices: Int, batchRows: Long)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo = 0L
@@ -124,15 +134,25 @@ class SyntheticScanBuilder(rows: Long, slices: Int) extends ScanBuilder
     required = requiredSchema
 
   override def build(): Scan =
-    SyntheticScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), slices, required)
+    SyntheticScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), slices,
+      batchRows, required)
 }
 
-case class SyntheticScan(lo: Long, hi: Long, slices: Int, required: StructType)
-    extends Scan with Batch {
+case class SyntheticScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
+    required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-synthetic [$lo, $hi) cols=${required.fieldNames.mkString(",")}"
   override def toBatch: Batch = this
+
+  /** The streaming face of the same scan: offsets are positions in the
+    * (pushdown-narrowed) id space, each trigger admits up to `batchRows`
+    * new ids, and a trigger's [start, end) range splits over the same
+    * slice planning as the batch path. The checkpointed offset IS the
+    * exactly-once contract: a restarted query resumes from the committed
+    * id, and ranges are deterministic functions of offsets. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SyntheticMicroBatchStream(lo, hi, slices, batchRows, required.fieldNames)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = hi - lo
@@ -151,6 +171,40 @@ case class SyntheticScan(lo: Long, hi: Long, slices: Int, required: StructType)
 }
 
 case class SyntheticPartition(lo: Long, hi: Long) extends InputPartition
+
+/** Offset = position in the id space (json-serialized into the
+  * streaming checkpoint like any production source's offset log). */
+case class IdOffset(id: Long) extends Offset {
+  override def json(): String = id.toString
+}
+
+class SyntheticMicroBatchStream(lo: Long, hi: Long, slices: Int,
+    batchRows: Long, columns: Array[String]) extends MicroBatchStream {
+  // driver-side cursor: each latestOffset call admits up to batchRows
+  // more ids (monotone, capped at hi) — the rate-source admission shape
+  @volatile private var current = lo
+
+  override def initialOffset(): Offset = IdOffset(lo)
+  override def latestOffset(): Offset = {
+    current = math.min(current + batchRows, hi)
+    IdOffset(current)
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[IdOffset].id
+    val e = end.asInstanceOf[IdOffset].id
+    SyntheticSource.plannedBatches.add((s, e))
+    val n = e - s
+    if (n <= 0) Array.empty
+    else (0 until slices).iterator.map { k =>
+      SyntheticPartition(s + k * n / slices, s + (k + 1) * n / slices)
+    }.collect { case p if p.hi > p.lo => p: InputPartition }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    SyntheticReaderFactory(columns)
+  override def deserializeOffset(json: String): Offset = IdOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 case class SyntheticReaderFactory(columns: Array[String])
     extends PartitionReaderFactory {

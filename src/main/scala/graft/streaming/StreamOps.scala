@@ -569,6 +569,35 @@ object StreamOps {
         col("event_type"), col("n"), col("value_cents"), col("n_hours"))
   }
 
+  /** The CUSTOM DSv2 SOURCE driving the streaming engine — no file
+    * harness anywhere: [[graft.sources.SyntheticSource]]'s
+    * `MicroBatchStream` admits up to `batchRows` ids per trigger through
+    * its checkpointed offset log, each trigger's [start, end) range
+    * plans into slice partitions, and readers generate only the pruned
+    * columns. The query aggregates the whole stream in complete mode;
+    * drained triggers must together cover the id space exactly once
+    * (the offset contract), so the result equals the batch form — which
+    * is exactly what the oracle replays with generate_series. Note the
+    * id filter runs as a residual after the streaming scan (Spark
+    * applies V2 filter pushdown on the batch face only) — correctness
+    * is the offset log's job, and StreamingSpec pins it: distinct
+    * per-trigger ranges are disjoint, contiguous, and span [0, rows). */
+  def dsv2Streamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(parent)
+    graft.sources.SyntheticSource.plannedBatches.clear()
+    val agg = spark.readStream.format("graft.sources.SyntheticSource")
+      .option("rows", 20000L).option("slices", 4).option("batchRows", 2500L)
+      .load()
+      .filter(col("id") >= 5000 && col("id") < 15000)
+      .groupBy("event_type")
+      .agg(sum(col("value_cents")).as("sum_cents"), count(lit(1)).as("n"))
+    val query = agg.writeStream.format("memory")
+      .queryName("graft_dsv2_stream_sink").outputMode(OutputMode.Complete())
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    spark.table("graft_dsv2_stream_sink")
+  }
+
   /** STREAM-STATIC JOIN under the engine: the event stream broadcast-
     * joins a static dim (customer → nation name, planned fresh each
     * micro-batch — the stream-static contract) before the windowed

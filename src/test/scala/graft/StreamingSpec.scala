@@ -276,4 +276,31 @@ class StreamingSpec extends AnyFunSuite {
     val pi = streamed.head.fieldIndex("purchase_id")
     assert(streamed.exists(_.isNullAt(pi)), "no null-padded row — inner ≡ outer here")
   }
+
+  test("dsv2Streamed: the custom MicroBatchStream's triggers cover the " +
+    "id space exactly once (disjoint, contiguous) across several batches") {
+    import scala.jdk.CollectionConverters._
+    val out = graft.streaming.StreamOps.dsv2Streamed(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // ≡ the batch aggregate over the same filtered id space
+    val expected = (5000L until 15000L).toSeq
+      .groupBy(i => graft.sources.SyntheticSource.eventType(i))
+      .map { case (t, ids) =>
+        t -> (ids.map(graft.sources.SyntheticSource.valueCents).sum, ids.size.toLong) }
+    assert(out == expected)
+    // the offset contract: each trigger's range may be (re)planned
+    // several times (logical planning + execution), but the DISTINCT
+    // ranges must be disjoint, contiguous, and cover the whole id space
+    // (the stream sees filters as residuals — pushdown is the batch
+    // face — so the offset log spans [0, rows))
+    val ranges = graft.sources.SyntheticSource.plannedBatches.asScala.toSeq
+      .filter { case (s, e) => e > s }.distinct.sortBy(_._1)
+    assert(ranges.length >= 2, s"expected several micro-batches, got $ranges")
+    ranges.sliding(2).foreach {
+      case Seq((_, e1), (s2, _)) => assert(e1 == s2, s"gap/overlap in $ranges")
+      case _ =>
+    }
+    assert(ranges.head._1 == 0L && ranges.last._2 == 20000L,
+      s"offset log does not cover the id space: $ranges")
+  }
 }
