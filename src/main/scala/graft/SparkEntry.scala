@@ -173,6 +173,7 @@ object SparkEntry {
     "q_dataset_checksum" -> ProfileOps.datasetChecksum _,
     "q_rendezvous_shard" -> Materialize.rendezvousShard _,
     "q_dsv2_scan"        -> Materialize.dsv2Scan _,
+    "q_dsv2_sink"        -> Materialize.dsv2SinkRoundTrip _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
     "q_snapshot_diff"    -> Materialize.snapshotDiff _,
     "q_bpe_merges"       -> TextOps.bpeMerges _,
@@ -1983,6 +1984,13 @@ object SparkEntry {
         |      ELSE 'unchanged' END AS status
         |  FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id)
         |WHERE status <> 'unchanged'""".stripMargin,
+    "q_dsv2_sink" -> // the manifest-committed sink round trip is
+      // value-invisible: oracle over the original table
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "q_dsv2_scan" -> // regenerate the synthetic source's integer
       // formulas over the pushed id range [25000, 75000)
       """SELECT 't' || CAST(i % 5 AS VARCHAR) AS event_type,

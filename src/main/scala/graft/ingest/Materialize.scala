@@ -580,6 +580,31 @@ object Materialize {
     * integer formulas the oracle regenerates with generate_series).
     * IngestSpec asserts the pushdown/pruning/planning facts the
     * connector records. */
+  /** The custom DSv2 manifest-committed SINK under a real query: write
+    * the (null-complete) document stats through
+    * [[graft.sources.ManifestSink]]'s two-phase commit, then read back
+    * EXACTLY the manifest-listed files and aggregate. The sink round
+    * trip must be value-invisible, so the oracle is the same aggregate
+    * over the original table (the orc/partitioned round-trip
+    * convention). Re-runs atomically supersede the manifest — stale
+    * part files in the directory stay invisible, which is the property
+    * IngestSpec pins directly. */
+  def dsv2SinkRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = processScratchDir(
+      s"graft_manifest_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", out).mode("append").save()
+    val files = graft.sources.ManifestSink.committedFiles(out)
+    spark.read.schema("doc_id LONG, lang STRING, n_chars LONG")
+      .csv(files: _*)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   def dsv2Scan(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("graft.sources.SyntheticSource")
       .option("rows", 100000L).option("slices", 16).load()

@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.io.{BufferedWriter, IOException}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DataSource V2 SINK with a manifest-based two-phase commit — the
+  * atomic-visibility primitive every lake table format is built on,
+  * spelled out as connector code:
+  *
+  *  1. each task's [[DataWriter]] writes its partition to a uniquely
+  *     named data file and returns the name in its [[WriterCommitMessage]]
+  *     (nothing is visible yet — a file on disk is NOT data);
+  *  2. the driver's [[BatchWrite.commit]] collects every task's message
+  *     and publishes the file list as ONE manifest, written to a temp
+  *     name and ATOMIC_MOVE'd into place — the single metadata operation
+  *     that flips the whole multi-file write visible at once (REPLACE
+  *     semantics: a re-run atomically supersedes the previous manifest,
+  *     and readers of the old manifest keep a consistent snapshot);
+  *  3. [[BatchWrite.abort]] deletes the orphaned task files — a failed
+  *     job leaves no visible trace because visibility IS the manifest.
+  *
+  * Readers list the manifest (bounded metadata) and load exactly those
+  * files; uncommitted/orphaned part files in the same directory are
+  * invisible by construction. The row format is deliberately plain CSV
+  * of longs/strings — the COMMIT PROTOCOL is the deliverable, the same
+  * way `upsertMerge`'s bucket overwrite and the parquet sink's
+  * `_spark_metadata` log carry the exactly-once story elsewhere in the
+  * engine. IngestSpec drives write→read round trips, manifest-miss
+  * invisibility, and abort cleanup. */
+class ManifestSink extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new UnsupportedOperationException(
+      "graft manifest sink is write-only; read the manifest-listed files")
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "manifest sink needs a path option")
+    ManifestTable(path, schema)
+  }
+}
+
+object ManifestSink {
+  val ManifestName = "MANIFEST"
+
+  /** The committed file list (absolute paths), i.e. the current visible
+    * snapshot — empty if no commit ever published. */
+  def committedFiles(path: String): Seq[String] = {
+    val m = Paths.get(path, ManifestName)
+    if (!Files.exists(m)) Seq.empty
+    else Files.readAllLines(m, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map(f => Paths.get(path, "data", f).toString)
+  }
+}
+
+case class ManifestTable(path: String, writeSchema: StructType)
+    extends Table with SupportsWrite {
+  override def name(): String = s"manifest($path)"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE).asJava
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = ManifestBatchWrite(path, info.schema())
+      }
+    }
+}
+
+/** One task's contribution: the data file it wrote (name only — the
+  * driver owns the directory) and its row count. */
+case class CommittedFile(name: String, rows: Long) extends WriterCommitMessage
+
+case class ManifestBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    ManifestWriterFactory(path, schema.fields.map(_.dataType.typeName))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Files.createDirectories(Paths.get(path))
+    val names = messages.collect { case CommittedFile(n, _) => n }.sorted
+    val tmp = dir.resolve(s".${ManifestSink.ManifestName}.tmp")
+    Files.write(tmp, names.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(ManifestSink.ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case CommittedFile(n, _) =>
+        Files.deleteIfExists(Paths.get(path, "data", n))
+      case _ =>
+    }
+}
+
+case class ManifestWriterFactory(path: String, fieldTypes: Array[String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      // taskId is unique across the application, so re-runs into the
+      // same directory never collide — superseded files become
+      // manifest-invisible orphans
+      private val name = f"part-$partitionId%05d-$taskId.csv"
+      private val file: Path = {
+        val d = Files.createDirectories(Paths.get(path, "data"))
+        d.resolve(name)
+      }
+      private val out: BufferedWriter =
+        Files.newBufferedWriter(file, StandardCharsets.UTF_8)
+      private var rows = 0L
+
+      override def write(row: InternalRow): Unit = {
+        val line = fieldTypes.indices.map { i =>
+          fieldTypes(i) match {
+            case "long" => row.getLong(i).toString
+            case "string" => row.getUTF8String(i).toString
+            case other => throw new IOException(
+              s"manifest sink supports long/string columns, got $other")
+          }
+        }.mkString(",")
+        out.write(line)
+        out.newLine()
+        rows += 1
+      }
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        CommittedFile(name, rows)
+      }
+      override def abort(): Unit = {
+        out.close()
+        Files.deleteIfExists(file)
+      }
+      override def close(): Unit = ()
+    }
+}

@@ -286,6 +286,43 @@ class IngestSpec extends AnyFunSuite {
     assert(frac > 0.02 && frac < 0.30, s"moved fraction $frac")
   }
 
+  test("ManifestSink (DSv2 write): round trip preserves values; a re-run " +
+    "atomically supersedes the manifest; uncommitted files are invisible") {
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.{Files, Paths}
+    val base = Materialize.dsv2SinkRoundTrip(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .groupBy("lang").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("n_chars")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(base == direct)
+    // re-run: the directory now holds BOTH runs' part files, but the
+    // manifest lists only the latest run's — stale parts are invisible
+    val rerun = Materialize.dsv2SinkRoundTrip(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rerun == direct, "superseded part files leaked into the snapshot")
+    // uncommitted task files are invisible: a writer commits its FILE,
+    // but without the driver's manifest commit nothing is visible
+    val lone = Files.createTempDirectory("graft_manifest_lone").toString
+    val w = graft.sources.ManifestWriterFactory(lone, Array("long"))
+      .createWriter(0, 999999L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(42L))
+    val msg = w.commit()
+    assert(Files.list(Paths.get(lone, "data")).count() == 1)
+    assert(graft.sources.ManifestSink.committedFiles(lone).isEmpty,
+      "file visible without a manifest commit")
+    // and the job-level abort removes the orphan
+    graft.sources.ManifestBatchWrite(lone,
+      new org.apache.spark.sql.types.StructType().add("v", "long"))
+      .abort(Array(msg))
+    assert(Files.list(Paths.get(lone, "data")).count() == 0)
+  }
+
   test("SyntheticSource (DSv2): rows follow the formulas; full scan plans " +
     "all slices") {
     val df = spark.read.format("graft.sources.SyntheticSource")
