@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -178,17 +178,35 @@ case class IdOffset(id: Long) extends Offset {
   override def json(): String = id.toString
 }
 
+/** STATELESS admission: Spark hands `latestOffset(start, limit)` the
+  * last committed offset, so the next batch is a pure function of the
+  * checkpoint — a restart (even against a source that has since grown)
+  * resumes exactly at the committed id with nothing re-read and nothing
+  * skipped. This is the [[SupportsAdmissionControl]] contract real rate-
+  * limited sources (Kafka's maxOffsetsPerTrigger) implement; a mutable
+  * driver-side cursor is NOT recovery-safe, because the engine may probe
+  * for availability before the offset log has been replayed. */
 class SyntheticMicroBatchStream(lo: Long, hi: Long, slices: Int,
-    batchRows: Long, columns: Array[String]) extends MicroBatchStream {
-  // driver-side cursor: each latestOffset call admits up to batchRows
-  // more ids (monotone, capped at hi) — the rate-source admission shape
-  @volatile private var current = lo
+    batchRows: Long, columns: Array[String])
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = IdOffset(lo)
-  override def latestOffset(): Offset = {
-    current = math.min(current + batchRows, hi)
-    IdOffset(current)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[IdOffset].id
+    val step = limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case _ => batchRows
+    }
+    IdOffset(math.min(math.max(s, lo) + step, hi))
   }
+  override def reportLatestOffset(): Offset = IdOffset(hi)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft synthetic stream is admission-controlled; " +
+        "latestOffset(start, limit) is the only valid form")
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[IdOffset].id
     val e = end.asInstanceOf[IdOffset].id

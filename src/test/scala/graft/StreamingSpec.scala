@@ -303,4 +303,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(ranges.head._1 == 0L && ranges.last._2 == 20000L,
       s"offset log does not cover the id space: $ranges")
   }
+
+  test("dsv2 MicroBatchStream recovery: a restart over the checkpoint " +
+    "resumes AT the committed offset — the grown source's new ids are " +
+    "read exactly once, nothing is re-read") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val cp = java.nio.file.Files.createTempDirectory("graft_dsv2_cp").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_dsv2_rec").toString
+    def run(rows: Long, name: String): Unit = {
+      // append-mode parquet sink: every emitted row lands durably, so a
+      // re-read after restart would show up as duplicate ids
+      val q = spark.readStream.format("graft.sources.SyntheticSource")
+        .option("rows", rows).option("slices", 4).option("batchRows", 1500L)
+        .load()
+        .select("id", "value_cents")
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", cp).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    graft.sources.SyntheticSource.plannedBatches.clear()
+    run(10000L, "first")   // drains [0, 10000), commits offset 10000
+    run(20000L, "second")  // source GREW; must resume at 10000, not 0
+    val ids = spark.read.parquet(sink).select("id").collect().map(_.getLong(0))
+    assert(ids.length == 20000, s"expected exactly-once ids, got ${ids.length}")
+    assert(ids.toSet == (0L until 20000L).toSet)
+    // and the second run's planned ranges all start at or after the
+    // committed offset — the deserializeOffset fold did its job
+    val afterRestart = graft.sources.SyntheticSource.plannedBatches.asScala
+      .toSeq.filter { case (s, e) => e > s && s >= 10000L }
+    assert(afterRestart.nonEmpty)
+    assert(graft.sources.SyntheticSource.plannedBatches.asScala
+      .count { case (s, e) => e > s && e > 10000L && s < 10000L } == 0,
+      "a post-restart batch straddled the committed offset")
+  }
 }
