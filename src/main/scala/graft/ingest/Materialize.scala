@@ -607,7 +607,9 @@ object Materialize {
 
   def dsv2Scan(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("graft.sources.SyntheticSource")
-      .option("rows", 100000L).option("slices", 16).load()
+      .option("rows", 100000L).option("slices", 16)
+      .option("columnar", true) // the vectorized reader path, under the oracle
+      .load()
       .filter(col("id") >= 25000 && col("id") < 75000)
       .groupBy("event_type")
       .agg(sum(col("value_cents")).as("sum_cents"), count(lit(1)).as("n"))

@@ -340,6 +340,27 @@ class IngestSpec extends AnyFunSuite {
     assert(info.partitions == 4 && info.pushedIdLo == 0 && info.pushedIdHi == 50)
   }
 
+  test("SyntheticSource (DSv2): the columnar path returns exactly the " +
+    "row path's data and plans a ColumnarToRow transition") {
+    import org.apache.spark.sql.functions.col
+    def read(columnar: Boolean) =
+      spark.read.format("graft.sources.SyntheticSource")
+        .option("rows", 20000L).option("slices", 8)
+        .option("columnar", columnar).load()
+    val row = read(false)
+    val vec = read(true)
+    assert(vec.exceptAll(row).count() == 0 && row.exceptAll(vec).count() == 0)
+    // vectorized scan feeds codegen through a ColumnarToRow transition;
+    // the row path has none
+    val vecPlan = vec.queryExecution.executedPlan.toString
+    val rowPlan = row.queryExecution.executedPlan.toString
+    assert(vecPlan.contains("ColumnarToRow"), vecPlan)
+    assert(!rowPlan.contains("ColumnarToRow"), rowPlan)
+    // pruning holds on the vectorized path too
+    assert(vec.select("event_type").distinct().count() == 5)
+    assert(graft.sources.SyntheticSource.lastScan.get.columns == Seq("event_type"))
+  }
+
   test("SyntheticSource (DSv2): id-range filters push down and NARROW " +
     "partition planning; projections prune the generated columns") {
     import org.apache.spark.sql.functions.col
