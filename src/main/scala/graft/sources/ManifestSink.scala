@@ -32,7 +32,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Readers list the manifest (bounded metadata) and load exactly those
   * files; uncommitted/orphaned part files in the same directory are
-  * invisible by construction. The row format is deliberately plain CSV
+  * invisible by construction. Task files are named by the
+  * application-unique taskId, so a speculative/retried attempt writes a
+  * DIFFERENT file and the commit coordinator decides which one the
+  * manifest publishes — the loser is aborted and deleted. The path must
+  * be storage shared by driver and executors (local-fs under local[*];
+  * an object-store/NFS path on a cluster), the same assumption every
+  * file-based sink makes. The row format is deliberately plain CSV
   * of longs/strings — the COMMIT PROTOCOL is the deliverable, the same
   * way `upsertMerge`'s bucket overwrite and the parquet sink's
   * `_spark_metadata` log carry the exactly-once story elsewhere in the
