@@ -384,6 +384,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q_shingle_profile: the custom Generator runs in GenerateExec " +
+    "ahead of a two-phase hash aggregate; the top-N window sees only " +
+    "the aggregated table") {
+    val plan = finalSection(finalPlan(
+      graft.ops.TextOps.shingleProfile(spark, TestSpark.Sf0001)))
+    assert(plan.contains("Generate shingle_gen"), s"generator not planned:\n$plan")
+    // partial aggregation below the exchange: counting combines map-side
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    // exactly one Window (the bounded top-N cut), after the aggregate
+    assert("Window".r.findAllIn(plan).length >= 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q_topk_agg: TopKPairs plans as a TWO-PHASE ObjectHashAggregate " +
     "(map-side k-bounded partials) with no Window operator") {
     val plan = finalSection(finalPlan(
