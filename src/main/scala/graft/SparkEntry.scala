@@ -173,6 +173,7 @@ object SparkEntry {
     "q_dataset_checksum" -> ProfileOps.datasetChecksum _,
     "q_rendezvous_shard" -> Materialize.rendezvousShard _,
     "q_dsv2_scan"        -> Materialize.dsv2Scan _,
+    "q_dsv2_agg"         -> Materialize.dsv2Agg _,
     "q_dsv2_sink"        -> Materialize.dsv2SinkRoundTrip _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
     "q_snapshot_diff"    -> Materialize.snapshotDiff _,
@@ -1997,6 +1998,15 @@ object SparkEntry {
         |  CAST(sum((i * 48271) % 100000) AS BIGINT) AS sum_cents,
         |  count(*) AS n
         |FROM (SELECT unnest(generate_series(25000, 74999)) AS i)
+        |GROUP BY 1""".stripMargin,
+    "q_dsv2_agg" -> // the aggregate-pushdown scan: same integer
+      // formulas, aggregation over the full 200k id space
+      """SELECT 't' || CAST(i % 5 AS VARCHAR) AS event_type,
+        |  count(*) AS n,
+        |  CAST(sum((i * 48271) % 100000) AS BIGINT) AS sum_cents,
+        |  CAST(min((i * 2654435761) % 1000) AS BIGINT) AS min_uid,
+        |  CAST(max((i * 2654435761) % 1000) AS BIGINT) AS max_uid
+        |FROM (SELECT unnest(generate_series(0, 199999)) AS i)
         |GROUP BY 1""".stripMargin,
     "q_rendezvous_shard" -> // HRW argmax over the same 15-hex score
       // strings; list_position ≡ array_position (1-based, first match)

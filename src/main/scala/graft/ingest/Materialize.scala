@@ -614,6 +614,32 @@ object Materialize {
       .groupBy("event_type")
       .agg(sum(col("value_cents")).as("sum_cents"), count(lit(1)).as("n"))
 
+  /** DSv2 AGGREGATE pushdown ([[graft.sources.SyntheticSource]],
+    * `SupportsPushDownAggregates`): the aggregation executes AT the
+    * source — each of the 16 partitions streams its id slice once and
+    * emits one partial row per group, so 16×5 = 80 rows cross the scan
+    * boundary instead of 200 000; Spark's final aggregate merges the
+    * partials (sum-of-counts, min-of-mins, …). This is the reference's
+    * own shape — its CTAS aggregations run inside the warehouse, not in
+    * the pipeline process (reference:
+    * prefect/flows/etl_kaggle_to_big_query.py:88-110) — and the single
+    * biggest scan-side reduction a 100 TB reader has: at 1000 executors
+    * the exchange input is O(partitions × groups), independent of table
+    * size. The query is deliberately filterless: like the file sources,
+    * our connector reports pushed filters as residual, and Spark only
+    * offers an Aggregation when zero post-scan filters remain.
+    * IngestSpec pins `PushedAggregates` in the executed plan and the
+    * narrowed scan schema. */
+  def dsv2Agg(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 200000L).option("slices", 16)
+      .load()
+      .groupBy("event_type")
+      .agg(count(col("id")).as("n"),
+        sum(col("value_cents")).as("sum_cents"),
+        min(col("user_id")).as("min_uid"),
+        max(col("user_id")).as("max_uid"))
+
   def rendezvousShard(spark: SparkSession, dir: String): DataFrame = {
     def scores(n: Int): Column = transform(
       sequence(lit(0), lit(n - 1)),

@@ -7,11 +7,12 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => VExpression}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -75,7 +76,30 @@ object SyntheticSource {
     * Driver-side only (planning happens on the driver). */
   @volatile var lastScan: Option[ScanInfo] = None
   final case class ScanInfo(pushedIdLo: Long, pushedIdHi: Long,
-    columns: Seq[String], partitions: Int)
+    columns: Seq[String], partitions: Int, pushedAggs: Seq[String] = Nil)
+
+  /** One aggregate call accepted by [[SupportsPushDownAggregates]]:
+    * `op` ∈ count|sum|min|max, `col` = None for COUNT(*). */
+  final case class PushedAggCall(op: String, col: Option[String]) {
+    def sqlName: String = s"$op(${col.getOrElse("*")})"
+  }
+  /** A pushed (partial) aggregation: the scan's output becomes one row
+    * per (partition, group) — group columns first, then one column per
+    * call, which is the order `V2ScanRelationPushDown` zips the rewritten
+    * plan's attributes against. */
+  final case class PushedAgg(groupCols: Seq[String], calls: Seq[PushedAggCall]) {
+    def schema: StructType = StructType(
+      groupCols.map(c => Schema(Schema.fieldIndex(c))) ++
+        calls.map { c =>
+          val dt = c.col match {
+            case _ if c.op == "count" => LongType
+            case Some(f) => Schema(Schema.fieldIndex(f)).dataType
+            case None => LongType
+          }
+          // sum/min/max are null for the zero-row global-aggregate case
+          StructField(c.sqlName, dt, nullable = c.op != "count")
+        })
+  }
 
   /** Micro-batch ranges the streaming side planned — driver-side
     * observability for the offset-contract tests (each entry is one
@@ -98,12 +122,20 @@ case class SyntheticTable(rows: Long, slices: Int, batchRows: Long,
 /** Accumulates pushdown state, then freezes into the immutable Scan. */
 class SyntheticScanBuilder(rows: Long, slices: Int, batchRows: Long,
     columnar: Boolean) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = rows // [lo, hi)
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = SyntheticSource.Schema
+  private var agg: Option[SyntheticSource.PushedAgg] = None
+
+  // v + 1 saturating at Long.MaxValue: an EqualTo/LessThanOrEqual on
+  // Long.MaxValue must not wrap hi negative and plan an empty scan —
+  // the residual filter can only REMOVE rows, never restore them
+  private def succ(v: Long): Long =
+    if (v == Long.MaxValue) v else v + 1
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, rest) = filters.partition {
@@ -116,17 +148,20 @@ class SyntheticScanBuilder(rows: Long, slices: Int, batchRows: Long,
     }
     handled.foreach {
       case EqualTo(_, v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1)
-      case GreaterThan(_, v: Long) => lo = math.max(lo, v + 1)
+        lo = math.max(lo, v); hi = math.min(hi, succ(v))
+      case GreaterThan(_, v: Long) => lo = math.max(lo, succ(v))
       case GreaterThanOrEqual(_, v: Long) => lo = math.max(lo, v)
       case LessThan(_, v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual(_, v: Long) => hi = math.min(hi, v + 1)
+      case LessThanOrEqual(_, v: Long) => hi = math.min(hi, succ(v))
       case _ =>
     }
     accepted = handled
     // the parquet convention: report what was pushed, but hand EVERY
     // filter back as residual — skipping saves work, Spark's
-    // re-evaluation keeps boundary bugs from becoming wrong answers
+    // re-evaluation keeps boundary bugs from becoming wrong answers.
+    // (Consequence, same as the file sources: aggregate pushdown only
+    // composes with a FILTERLESS query, because Spark requires zero
+    // post-scan filters before it offers an Aggregation to the source.)
     filters
   }
   override def pushedFilters(): Array[Filter] = accepted
@@ -134,16 +169,65 @@ class SyntheticScanBuilder(rows: Long, slices: Int, batchRows: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Partial-aggregate pushdown ([[SupportsPushDownAggregates]]): the
+    * warehouse-side-aggregation contract — accept count/sum/min/max with
+    * any subset of the generated columns as group keys, and emit one
+    * partial row per (partition, group) instead of the raw rows. Spark
+    * plans its own FINAL aggregate on top (sum-of-counts, sum-of-sums,
+    * min-of-mins, max-of-maxes), so per-partition partials are exactly
+    * the map-side-combine shape — what crosses the scan boundary drops
+    * from O(rows) to O(partitions × groups). `supportCompletePushDown`
+    * stays false: partials merge correctly on ANY partitioning, complete
+    * pushdown would claim each group lives in one partition (untrue for
+    * our id-sliced layout). DISTINCT variants are refused — a distinct
+    * partial is not mergeable without shipping the distinct sets. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    def fieldOf(e: VExpression): Option[String] = e match {
+      case n: NamedReference if n.fieldNames.length == 1 &&
+          SyntheticSource.Schema.fieldNames.contains(n.fieldNames()(0)) =>
+        Some(n.fieldNames()(0))
+      case _ => None
+    }
+    val groups = aggregation.groupByExpressions.toSeq.map(fieldOf)
+    val calls = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(SyntheticSource.PushedAggCall("count", None))
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).map(f => SyntheticSource.PushedAggCall("count", Some(f)))
+      case s: Sum if !s.isDistinct =>
+        // sum over the string column would be a cast Spark didn't ask for
+        fieldOf(s.column).filter(_ != "event_type")
+          .map(f => SyntheticSource.PushedAggCall("sum", Some(f)))
+      case m: Min => fieldOf(m.column).map(f => SyntheticSource.PushedAggCall("min", Some(f)))
+      case m: Max => fieldOf(m.column).map(f => SyntheticSource.PushedAggCall("max", Some(f)))
+      case _ => None
+    }
+    if (groups.exists(_.isEmpty) || calls.isEmpty || calls.exists(_.isEmpty)) false
+    else {
+      agg = Some(SyntheticSource.PushedAgg(groups.flatten, calls.flatten))
+      true
+    }
+  }
+
   override def build(): Scan =
     SyntheticScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), slices,
-      batchRows, columnar, required)
+      batchRows, columnar, required, agg)
 }
 
 case class SyntheticScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
-    columnar: Boolean, required: StructType) extends Scan with Batch {
-  override def readSchema(): StructType = required
-  override def description(): String =
-    s"graft-synthetic [$lo, $hi) cols=${required.fieldNames.mkString(",")}"
+    columnar: Boolean, required: StructType,
+    agg: Option[SyntheticSource.PushedAgg] = None) extends Scan with Batch {
+  override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
+  override def description(): String = {
+    val base = s"graft-synthetic [$lo, $hi) cols=${readSchema().fieldNames.mkString(",")}"
+    agg match {
+      case Some(a) => base +
+        s" PushedAggregates: [${a.calls.map(_.sqlName).mkString(", ")}]" +
+        s", PushedGroupByExpressions: [${a.groupCols.mkString(", ")}]"
+      case None => base
+    }
+  }
   override def toBatch: Batch = this
 
   /** The streaming face of the same scan: offsets are positions in the
@@ -152,23 +236,37 @@ case class SyntheticScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
     * slice planning as the batch path. The checkpointed offset IS the
     * exactly-once contract: a restarted query resumes from the committed
     * id, and ranges are deterministic functions of offsets. */
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // Spark never offers an Aggregation to a streaming scan; guard the
+    // invariant rather than silently dropping the pushed aggregate
+    require(agg.isEmpty, "aggregate pushdown is a batch-only contract")
     new SyntheticMicroBatchStream(lo, hi, slices, batchRows, required.fieldNames)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = hi - lo
-    val parts =
+    val split =
       if (n <= 0) Array.empty[InputPartition]
       else (0 until slices).iterator.map { s =>
         // even split of [lo, hi): slice s gets [lo + s·n/P, lo + (s+1)·n/P)
         SyntheticPartition(lo + s * n / slices, lo + (s + 1) * n / slices)
       }.collect { case p if p.hi > p.lo => p: InputPartition }.toArray
+    // a GLOBAL pushed aggregate must emit a partial row even over an
+    // empty range (SQL: SELECT count(*) FROM empty is one row, 0) —
+    // plan one degenerate partition so the zero/null partial exists
+    val parts =
+      if (split.isEmpty && agg.exists(_.groupCols.isEmpty))
+        Array[InputPartition](SyntheticPartition(0, 0))
+      else split
     SyntheticSource.lastScan = Some(SyntheticSource.ScanInfo(
-      lo, hi, required.fieldNames.toSeq, parts.length))
+      lo, hi, readSchema().fieldNames.toSeq, parts.length,
+      agg.toSeq.flatMap(_.calls.map(_.sqlName))))
     parts
   }
-  override def createReaderFactory(): PartitionReaderFactory =
-    SyntheticReaderFactory(required.fieldNames, columnar)
+  override def createReaderFactory(): PartitionReaderFactory = agg match {
+    case Some(a) => SyntheticAggReaderFactory(a)
+    case None => SyntheticReaderFactory(required.fieldNames, columnar)
+  }
 }
 
 case class SyntheticPartition(lo: Long, hi: Long) extends InputPartition
@@ -302,6 +400,101 @@ case class SyntheticReaderFactory(columns: Array[String], columnar: Boolean)
       override def get(): ColumnarBatch = batch
       override def close(): Unit =
         if (batch != null) { batch.close(); batch = null }
+    }
+  }
+}
+
+/** Reader for a scan with a pushed (partial) aggregation: streams the
+  * partition's id range ONCE through a per-group state table and emits
+  * one row per surviving group — the source-side half of a map-side
+  * combine. Memory is O(distinct groups in this partition), the same
+  * bound Spark's own partial hash aggregate has (bounded here by
+  * construction: user_id < 1000, event_type 5 values; a general
+  * connector would spill or refuse the pushdown for unbounded keys).
+  * Group keys keep raw JVM values (Long/String) until emission, then
+  * convert to internal form (UTF8String) exactly once per output row. */
+case class SyntheticAggReaderFactory(agg: SyntheticSource.PushedAgg)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SyntheticPartition]
+    new PartitionReader[InternalRow] {
+      private var it: Iterator[InternalRow] = _
+      private var cur: InternalRow = _
+
+      private def valueOf(col: String, id: Long): Any = col match {
+        case "id" => id
+        case "user_id" => SyntheticSource.userId(id)
+        case "value_cents" => SyntheticSource.valueCents(id)
+        case "event_type" => SyntheticSource.eventType(id)
+        case other => throw new IllegalArgumentException(s"no column $other")
+      }
+
+      /** state(i) for calls(i): count → Long; sum → Long (valid iff
+        * seen); min/max → Any (valid iff seen); seen tracks the
+        * zero-row global group, whose sum/min/max are null. */
+      private def compute(): Iterator[InternalRow] = {
+        val groups = scala.collection.mutable.LinkedHashMap
+          .empty[List[Any], (Array[Long], Array[Any], Array[Boolean])]
+        def newState() = (Array.fill(agg.calls.length)(0L),
+          Array.fill[Any](agg.calls.length)(null),
+          Array.fill(agg.calls.length)(false))
+        if (agg.groupCols.isEmpty) groups(Nil) = newState()
+        var id = p.lo
+        while (id < p.hi) {
+          val key = agg.groupCols.map(c => valueOf(c, id)).toList
+          val (longs, anys, seen) = groups.getOrElseUpdate(key, newState())
+          var i = 0
+          while (i < agg.calls.length) {
+            val call = agg.calls(i)
+            call.op match {
+              case "count" => longs(i) += 1L
+              case "sum" => longs(i) += valueOf(call.col.get, id)
+                .asInstanceOf[Long]
+              case "min" | "max" =>
+                val v = valueOf(call.col.get, id)
+                val better = !seen(i) || ((v, anys(i)) match {
+                  case (a: Long, b: Long) =>
+                    if (call.op == "min") a < b else a > b
+                  case (a: String, b: String) =>
+                    if (call.op == "min") a < b else a > b
+                  case _ => false
+                })
+                if (better) anys(i) = v
+            }
+            seen(i) = true
+            i += 1
+          }
+          id += 1
+        }
+        groups.iterator.map { case (key, (longs, anys, seen)) =>
+          val out = new Array[Any](agg.groupCols.length + agg.calls.length)
+          var j = 0
+          key.foreach { v => out(j) = toInternal(v); j += 1 }
+          var i = 0
+          while (i < agg.calls.length) {
+            out(j) = agg.calls(i).op match {
+              case "count" => longs(i)
+              case "sum" => if (seen(i)) longs(i) else null
+              case _ => if (seen(i)) toInternal(anys(i)) else null
+            }
+            i += 1; j += 1
+          }
+          new GenericInternalRow(out)
+        }
+      }
+
+      private def toInternal(v: Any): Any = v match {
+        case s: String => UTF8String.fromString(s)
+        case other => other
+      }
+
+      override def next(): Boolean = {
+        if (it == null) it = compute()
+        if (it.hasNext) { cur = it.next(); true } else false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
     }
   }
 }

@@ -384,4 +384,46 @@ class IngestSpec extends AnyFunSuite {
     assert(df.filter(col("id") < 0).count() == 0)
     assert(graft.sources.SyntheticSource.lastScan.get.partitions == 0)
   }
+
+  test("SyntheticSource (DSv2): count/sum/min/max push INTO the source — " +
+    "the scan emits per-partition partials, and the plan says so") {
+    import graft.sources.SyntheticSource
+    val df = Materialize.dsv2Agg(spark, TestSpark.Sf0001)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // brute-force recompute of the generator formulas
+    val expect = (0L until 200000L).groupBy(SyntheticSource.eventType)
+      .map { case (t, ids) =>
+        (t, ids.size.toLong, ids.map(SyntheticSource.valueCents).sum,
+          ids.map(SyntheticSource.userId).min, ids.map(SyntheticSource.userId).max)
+      }.toArray.sortBy(_._1)
+    assert(got.toSeq == expect.toSeq)
+    // the executed plan carries the pushed aggregation...
+    // (catalyst rewrites count over a non-nullable column to COUNT(*))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [count(*), sum(value_cents), " +
+      "min(user_id), max(user_id)]"), plan)
+    // ...and the scan's output schema IS the partial-aggregate schema
+    // (5 narrow columns, one row per partition×group), not raw rows
+    val info = SyntheticSource.lastScan.get
+    assert(info.pushedAggs == Seq("count(*)", "sum(value_cents)",
+      "min(user_id)", "max(user_id)"), info)
+    assert(info.columns == Seq("event_type", "count(*)", "sum(value_cents)",
+      "min(user_id)", "max(user_id)"), info)
+    assert(info.partitions == 16)
+  }
+
+  test("SyntheticSource (DSv2): a GLOBAL pushed aggregate over an empty " +
+    "range still returns the SQL one-row answer (count 0, sum null)") {
+    import org.apache.spark.sql.functions.{count, col, sum}
+    val df = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 0L).option("slices", 4).load()
+      .agg(count(col("id")).as("n"), sum(col("value_cents")).as("s"))
+    val row = df.collect().head
+    assert(row.getLong(0) == 0L && row.isNullAt(1), row)
+    val info = graft.sources.SyntheticSource.lastScan.get
+    assert(info.pushedAggs.nonEmpty, s"global aggregate not pushed: $info")
+    // one degenerate partition carries the zero/null partial
+    assert(info.partitions == 1, info)
+  }
 }
