@@ -76,12 +76,12 @@ object GraftFunctions {
     all.foreach { case (name, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteLongDot))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.RewriteLongDot
-    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteLongDot))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.RewriteLongDot
+    }
+    graft.plans.AsOfJoinOp.registerStrategy(spark)
   }
 }
 

@@ -339,6 +339,12 @@ object MultimodalOps {
       require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
         s"doc $docId: unexpected PCM layout $fmt")
       val pcm = in.readAllBytes()
+      // sample indices below are Ints; a byte[] can't exceed
+      // Int.MaxValue anyway, but make the bound explicit rather than
+      // let s0.toInt silently wrap for a >2^31-sample stream
+      require(frames * channels <= Int.MaxValue / 2,
+        s"doc $docId: stream too long for in-memory window decode " +
+          s"($frames frames x $channels ch)")
       require(pcm.length == frames * channels * 2,
         s"doc $docId: short PCM read (${pcm.length} bytes for $frames frames)")
       val nWins = ((frames + AudioWinFrames - 1) / AudioWinFrames).toInt

@@ -81,13 +81,23 @@ object AsOfJoinStrategy extends SparkStrategy {
   * NULL when no right row qualifies). Registers [[AsOfJoinStrategy]] on
   * the session idempotently — callers need no builder config. */
 object AsOfJoinOp {
+  /** Idempotent strategy registration. Synchronized on the session's
+    * `ExperimentalMethods` instance: two concurrent first calls would
+    * otherwise both pass the contains-check and append the strategy
+    * twice (harmless but avoidable; the extensions path
+    * [[graft.functions.GraftExtensions]] has no such race). */
+  def registerStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+
   def apply(left: org.apache.spark.sql.DataFrame, leftKey: String,
       leftTime: String, right: org.apache.spark.sql.DataFrame,
       rightKey: String, rightTime: String): org.apache.spark.sql.DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    AsOfJoinOp.registerStrategy(spark)
     def attr(df: org.apache.spark.sql.DataFrame, name: String): Attribute = {
       val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
         .queryExecution.analyzed

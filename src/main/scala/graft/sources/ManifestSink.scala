@@ -129,7 +129,15 @@ case class ManifestWriterFactory(path: String, fieldTypes: Array[String])
         val line = fieldTypes.indices.map { i =>
           fieldTypes(i) match {
             case "long" => row.getLong(i).toString
-            case "string" => row.getUTF8String(i).toString
+            case "string" =>
+              val s = row.getUTF8String(i).toString
+              // the sink's CSV lines are read back unquoted; refuse a
+              // value that would silently shift columns rather than
+              // corrupt the round trip
+              if (s.exists(c => c == ',' || c == '\n' || c == '\r' || c == '"'))
+                throw new IOException(
+                  s"manifest sink cannot encode delimiter/quote/newline in: $s")
+              s
             case other => throw new IOException(
               s"manifest sink supports long/string columns, got $other")
           }
