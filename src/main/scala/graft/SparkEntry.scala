@@ -114,6 +114,7 @@ object SparkEntry {
     "q_json_map"         -> EventOps.jsonMap _,
     "q_bucketed_join"    -> Materialize.bucketedJoin _,
     "q_partitioned_write" -> Materialize.partitionedRoundTrip _,
+    "q_dpp_join"         -> Materialize.dppJoin _,
     "q_lateral_topk"     -> Relational.lateralTopCustomers _,
     "q_unpivot"          -> EventOps.unpivotEventCounts _,
     "q_json_dropmalformed" -> Materialize.eventsFromCorruptJsonl _,
@@ -1244,6 +1245,13 @@ object SparkEntry {
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1""".stripMargin,
+    "q_dpp_join" -> // oracle is the plain join over the ORIGINAL tables —
+      // the partitioned layout + dynamic pruning must not change results
+      """SELECT n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey = 1
         |GROUP BY 1""".stripMargin,
     "q_salted_agg" -> // the oracle is the UNsalted direct form — salting must not change results
       """SELECT c_nationkey,

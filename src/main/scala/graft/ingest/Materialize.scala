@@ -172,6 +172,38 @@ object Materialize {
         countDistinct(col("o_custkey")).as("n_cust"))
   }
 
+  /** Dynamic partition pruning over the partitioned layout — the
+    * query-time half of the reference's `PARTITION BY fifa_update_date`
+    * story (etl_kaggle_to_big_query.py:89,138): the static case
+    * ([[partitionedRoundTrip]]) prunes on a literal predicate, but a
+    * star-schema fact is filtered through a DIM — here customer is
+    * partitioned by c_nationkey and the only selective predicate lives
+    * on nation (`n_regionkey = 1`), so the fact scan cannot be pruned at
+    * plan time. Spark's DPP closes that gap: the broadcast exchange of
+    * the dim side is reused as an IN-subquery partition filter
+    * (`dynamicpruningexpression` in the scan's PartitionFilters), so the
+    * fact read touches only the ~1/5 of partitions whose nation survives
+    * — at 100 TB the difference between scanning one region's files and
+    * all of them. IngestSpec pins both the plan shape and the
+    * partitions-read metric. Oracle = the plain join over the original
+    * tables (a physical-layout + pruning variant must be value-
+    * invisible). */
+  def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val out = processScratchDir(
+      s"graft_dpp_cust_${java.lang.Integer.toHexString(dir.hashCode)}")
+    writePartitioned(graft.sources.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey")),
+      out, "c_nationkey")
+    val fact = spark.read.parquet(out)
+    val dim = graft.sources.Tables.nation(spark, dir)
+      .filter(col("n_regionkey") === 1L)
+    fact.join(dim, fact("c_nationkey") === dim("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(graft.functions.Exact.cents(col("c_acctbal"))).as("acctbal_cents"))
+  }
+
   /** ORC round trip — the second columnar format next to parquet (a
     * lake migrates formats without changing results): lineitem columns
     * written as ORC, read back with a pushable filter, aggregated with

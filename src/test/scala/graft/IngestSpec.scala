@@ -159,6 +159,40 @@ class IngestSpec extends AnyFunSuite {
     assert(pf.exists(_.contains("o_orderpriority")), s"no partition pruning:\n$plan")
   }
 
+  test("q_dpp_join: fact scan is pruned at runtime by the dim filter") {
+    val df = Materialize.dppJoin(spark, TestSpark.Sf0001)
+    df.collect()
+    // the dim predicate (n_regionkey = 1) cannot prune the fact at plan
+    // time — only a dynamicpruningexpression in the scan's
+    // PartitionFilters proves the broadcast result flowed back into the
+    // fact read (at 100 TB: one region's partitions scanned, not all 25)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning in:\n$plan")
+    // and the pruning must have HAPPENED, not just been planned: the
+    // scan's partitions-read metric stays below the partition count on
+    // disk (region 1 holds 5 of the 25 nations)
+    val hex = java.lang.Integer.toHexString(TestSpark.Sf0001.hashCode)
+    val dppDir = Materialize.processScratchDir(s"graft_dpp_cust_$hex")
+    val onDisk = new java.io.File(dppDir).listFiles()
+      .count(_.getName.startsWith("c_nationkey="))
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val factScan = scans(df.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("graft_dpp_cust")))
+      .getOrElse(fail(s"no fact scan found in:\n$plan"))
+    val read = factScan.metrics("numPartitions").value
+    assert(read < onDisk && read > 0,
+      s"no runtime pruning: read $read of $onDisk partitions")
+  }
+
   test("compaction: scattered files collapse to ≤8 sorted files with disjoint ts envelopes") {
     import org.apache.spark.sql.functions._
     Materialize.compactRoundTrip(spark, TestSpark.Sf0001).collect() // drive the writes
