@@ -12,6 +12,7 @@ object Scratch {
     val mode = if (args.length > 2) args(2) else "formatted"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // reference fidelity: BigQuery-era non-ANSI casts (null on garbage), SURVEY §7.4

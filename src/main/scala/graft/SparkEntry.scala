@@ -170,10 +170,12 @@ object SparkEntry {
     "q_chunk_overlap"    -> TextOps.chunkOverlap _,
     "q_tokenize_ids"     -> TextOps.tokenizeIds _,
     "q_asof_exec"        -> EventOps.asofLastOrderExec _,
+    "q_asof_sql"         -> EventOps.asofLastOrderSql _,
     "q_kanon"            -> ProfileOps.kAnonymity _,
     "q_dataset_checksum" -> ProfileOps.datasetChecksum _,
     "q_rendezvous_shard" -> Materialize.rendezvousShard _,
     "q_dsv2_scan"        -> Materialize.dsv2Scan _,
+    "q_catalog_sql"      -> Materialize.catalogSql _,
     "q_dsv2_agg"         -> Materialize.dsv2Agg _,
     "q_dsv2_sink"        -> Materialize.dsv2SinkRoundTrip _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
@@ -1897,6 +1899,13 @@ object SparkEntry {
         |  epoch_us(o.o_orderdate) AS asof_order_us
         |FROM (SELECT * FROM events WHERE ts IS NOT NULL) e ASOF JOIN orders o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q_asof_sql" -> // the ASOF JOIN *syntax* under the oracle: DuckDB
+      // parses its native ASOF JOIN, our parser extension parses ours —
+      // both lower to the same inclusive-≤ backward as-of semantics
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  epoch_us(o.o_orderdate) AS asof_order_us
+        |FROM (SELECT * FROM events WHERE ts IS NOT NULL) e ASOF JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
     "q_tokenize_ids" -> // same rank tie-break (cnt DESC, word) and same
       // 1-based positions; OOV id 0 via the left-join coalesce
       s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t
@@ -2015,6 +2024,15 @@ object SparkEntry {
         |  CAST(min((i * 2654435761) % 1000) AS BIGINT) AS min_uid,
         |  CAST(max((i * 2654435761) % 1000) AS BIGINT) AS max_uid
         |FROM (SELECT unnest(generate_series(0, 199999)) AS i)
+        |GROUP BY 1""".stripMargin,
+    "q_catalog_sql" -> // oracle is the identical star join over the raw
+      // tables — the TableCatalog naming layer must be value-invisible
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1""".stripMargin,
     "q_rendezvous_shard" -> // HRW argmax over the same 15-hex score
       // strings; list_position ≡ array_position (1-based, first match)

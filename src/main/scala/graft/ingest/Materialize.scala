@@ -672,6 +672,28 @@ object Materialize {
         min(col("user_id")).as("min_uid"),
         max(col("user_id")).as("max_uid"))
 
+  /** Pure-SQL star join resolved entirely through the [[graft.sources
+    * .GraftCatalog]] TableCatalog plugin — zero temp views, zero path
+    * literals in the query text: `graft.sf.<table>` names resolve via
+    * Spark's CatalogManager to the same parquet DSv2 scans every
+    * path-based read uses (pushdown/pruning intact — IngestSpec pins
+    * the catalog plan ≡ the path plan). The Spark-native form of the
+    * reference's external-table registration
+    * (etl_kaggle_to_big_query.py:70-78): register once, query by name.
+    * Oracle = the identical join over the raw tables; a naming layer
+    * must be value-invisible. */
+  def catalogSql(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.sql(
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM graft.sf.orders
+        |JOIN graft.sf.customer ON o_custkey = c_custkey
+        |JOIN graft.sf.nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
+  }
+
   def rendezvousShard(spark: SparkSession, dir: String): DataFrame = {
     def scores(n: Int): Column = transform(
       sequence(lit(0), lit(n - 1)),

@@ -114,6 +114,33 @@ object EventOps {
         unix_micros(col("asof_t")).as("asof_order_us"))
   }
 
+  /** The SAME as-of join through the SQL front end: `ASOF JOIN` syntax
+    * parsed by [[graft.plans.GraftSqlParser]] (injectParser), lowered
+    * onto the identical [[graft.plans.AsOfJoin]] logical node, planned
+    * by the identical strategy into [[graft.plans.AsOfMergeJoinExec]] —
+    * AsOfJoinSpec pins plan equality with [[asofLastOrderExec]]'s
+    * DataFrame path. One operator, two front ends; the oracle is
+    * DuckDB's native `ASOF JOIN`, making this the rare extension whose
+    * SYNTAX is oracle-checkable too. */
+  def asofLastOrderSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts").cast("timestamp").as("t"),
+        col("event_id"))
+      .createOrReplaceTempView("graft_asof_ev")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("ot"))
+      .createOrReplaceTempView("graft_asof_ord")
+    spark.sql(
+      """SELECT event_id, user_id, unix_micros(t) AS ts_us,
+        |  unix_micros(asof_t) AS asof_order_us
+        |FROM graft_asof_ev ASOF JOIN graft_asof_ord
+        |  ON graft_asof_ev.user_id = graft_asof_ord.o_custkey
+        |  AND graft_asof_ev.t >= graft_asof_ord.ot
+        |WHERE asof_t IS NOT NULL""".stripMargin)
+  }
+
   /** Range (interval) self-join via time-bucketing: unordered pairs of
     * same-user events at most 5 minutes apart. Spark has no native range
     * join, and the naive key-only self-join explodes before its time

@@ -47,10 +47,15 @@ case class AsOfJoin(
     rightTime: Expression,
     asofAttr: AttributeReference)
   extends BinaryNode {
-  require(leftKey.dataType == LongType && rightKey.dataType == LongType,
-    s"as-of keys must be LongType, got ${leftKey.dataType}/${rightKey.dataType}")
-  require(leftTime.dataType == TimestampType && rightTime.dataType == TimestampType,
-    s"as-of times must be TimestampType, got ${leftTime.dataType}/${rightTime.dataType}")
+  // the SQL path ([[GraftSqlParser]]) constructs this node with
+  // UNRESOLVED attributes (dataType would throw); the checks re-run on
+  // every analyzer copy, so the final resolved instance still validates
+  private def typeOk(e: Expression, t: org.apache.spark.sql.types.DataType) =
+    !e.resolved || e.dataType == t
+  require(typeOk(leftKey, LongType) && typeOk(rightKey, LongType),
+    s"as-of keys must be LongType, got $leftKey/$rightKey")
+  require(typeOk(leftTime, TimestampType) && typeOk(rightTime, TimestampType),
+    s"as-of times must be TimestampType, got $leftTime/$rightTime")
 
   override def output: Seq[Attribute] = left.output :+ asofAttr
 
@@ -70,7 +75,21 @@ case class AsOfJoin(
   * ([[graft.functions.GraftExtensions]]). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, out) =>
+    case AsOfJoin(l, r, lk0, rk0, lt, rt, out) =>
+      // the SQL path writes the key equality in either order (equality
+      // is symmetric, so normalizing here is safe); the TIME inequality
+      // is NOT symmetric — `l.t >= r.t` is the backward as-of this
+      // operator implements, `r.t >= l.t` would be a forward as-of —
+      // so a swapped time side is an error, never a silent swap
+      val (lk, rk) =
+        if (lk0.references.subsetOf(l.outputSet)) (lk0, rk0) else (rk0, lk0)
+      require(lk.references.subsetOf(l.outputSet) &&
+        rk.references.subsetOf(r.outputSet),
+        s"ASOF key equality must relate one column per side: $lk0 = $rk0")
+      require(lt.references.subsetOf(l.outputSet) &&
+        rt.references.subsetOf(r.outputSet),
+        "only backward ASOF is supported: the time condition must be " +
+          s"<left>.time >= <right>.time, got $lt >= $rt")
       AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, out) :: Nil
     case _ => Nil
   }

@@ -1,0 +1,132 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetDataSourceV2
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A `TableCatalog` plugin naming the engine's tables so pure SQL works
+  * with no temp-view registration — the Spark-native form of the
+  * reference's external-table catalog (BigQuery datasets registered once,
+  * queried by name: reference
+  * `prefect/flows/etl_kaggle_to_big_query.py:70-78`).
+  *
+  * Registration is one session conf —
+  * `spark.sql.catalog.graft = graft.sources.GraftCatalog` — after which
+  * `SELECT … FROM graft.sf.orders` resolves through Spark's
+  * CatalogManager. Two namespaces:
+  *
+  *  - `sf`: the scale-factor parquet tables. Resolution DELEGATES to the
+  *    built-in parquet DSv2 provider (`ParquetDataSourceV2.getTable`), so
+  *    a catalog read carries the exact scan machinery every path-based
+  *    read has — filter pushdown, column pruning, partition pruning,
+  *    vectorized reader. The catalog adds naming, not a read path: at
+  *    100 TB this is the difference between "a catalog entry per table"
+  *    and "every query hard-codes storage layout".
+  *  - `gen`: the synthetic DSv2 connector ([[SyntheticTable]]) under a
+  *    name, geometry taken from catalog options
+  *    (`spark.sql.catalog.graft.gen.rows` etc.) — showing a catalog can
+  *    mix storage-backed and computed tables, the federation shape.
+  *
+  * The sf directory is read LIVE from the session conf
+  * (`spark.sql.catalog.graft.dir`) on every table load, falling back to
+  * the options snapshot Spark passed at `initialize`: CatalogManager
+  * caches the plugin instance per session, and a live read lets one
+  * session re-point scales (tests do) without a stale-snapshot surprise.
+  *
+  * Read-only by design: DDL (`CREATE/ALTER/DROP/RENAME TABLE`) throws —
+  * the lake's layout is owned by the materialization stage
+  * ([[graft.ingest.Materialize]]), not by query-side DDL.
+  */
+class GraftCatalog extends TableCatalog {
+  import GraftCatalog._
+
+  private var catalogName: String = _
+  private var initOptions: CaseInsensitiveStringMap = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    initOptions = options
+  }
+
+  override def name(): String = catalogName
+
+  /** Catalog option `key`, preferring the live session conf
+    * (`spark.sql.catalog.<name>.<key>`) over the initialize-time
+    * snapshot. */
+  private def option(key: String): Option[String] =
+    SparkSession.getActiveSession
+      .flatMap(_.conf.getOption(s"spark.sql.catalog.$catalogName.$key"))
+      .orElse(Option(initOptions.get(key)))
+
+  private def sfDir: String = option("dir").getOrElse(
+    throw new IllegalArgumentException(
+      s"set spark.sql.catalog.$catalogName.dir to a testdata sf directory"))
+
+  private def sfPath(table: String): java.io.File =
+    new java.io.File(s"$sfDir/$table.parquet")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    namespace.toSeq match {
+      case Seq(SfNs) =>
+        SfTables.filter(sfPath(_).exists())
+          .map(Identifier.of(namespace, _)).toArray
+      case Seq(GenNs) => Array(Identifier.of(namespace, GenTable))
+      case _ => throw new NoSuchNamespaceException(namespace)
+    }
+
+  override def loadTable(ident: Identifier): Table = ident.namespace().toSeq match {
+    case Seq(SfNs) if SfTables.contains(ident.name()) && sfPath(ident.name()).exists() =>
+      // fresh provider per load: FileDataSourceV2 memoizes its Table, and
+      // a re-pointed dir must not serve the previous scale's files
+      new ParquetDataSourceV2().getTable(new CaseInsensitiveStringMap(
+        Map("path" -> sfPath(ident.name()).toString).asJava))
+    case Seq(GenNs) if ident.name() == GenTable =>
+      SyntheticTable(
+        option("gen.rows").getOrElse("1000").toLong,
+        option("gen.slices").getOrElse("8").toInt,
+        option("gen.batchRows").getOrElse("1000").toLong,
+        option("gen.columnar").getOrElse("false").toBoolean)
+    case _ => throw new NoSuchTableException(ident)
+  }
+
+  override def createTable(ident: Identifier, schema: org.apache.spark.sql.types.StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(s"$catalogName is read-only: no CREATE TABLE")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(s"$catalogName is read-only: no ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(s"$catalogName is read-only: no DROP TABLE")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(s"$catalogName is read-only: no RENAME TABLE")
+}
+
+object GraftCatalog {
+  val SfNs = "sf"
+  val GenNs = "gen"
+  val GenTable = "numbers"
+
+  /** The driver-generated scale-factor tables ([[Tables]]). `events` is
+    * deliberately absent: its TIMESTAMP(NANOS) parquet needs the
+    * session-level `nanosAsLong` normalization [[Tables.events]] applies —
+    * a bare catalog read would surface the raw physical type and quietly
+    * diverge from every other events query. */
+  val SfTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "documents", "embeddings")
+
+  /** Install the catalog on a session (idempotent; conf-only). */
+  def register(spark: SparkSession, dir: String): Unit = {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.dir", dir)
+  }
+}

@@ -66,4 +66,54 @@ class AsOfJoinSpec extends AnyFunSuite {
     val exchanges = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
   }
+
+  test("q_asof_sql: the ASOF JOIN syntax plans the SAME AsOfMergeJoinExec " +
+    "as the DataFrame path and agrees row-for-row") {
+    val sql = EventOps.asofLastOrderSql(spark, TestSpark.Sf0001)
+    sql.collect()
+    val plan = sql.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("AsOfMergeJoin"), s"SQL path missed the exec:\n$plan")
+    assert(!plan.contains("graft_asof_marker"), s"marker leaked:\n$plan")
+    val exec = EventOps.asofLastOrderExec(spark, TestSpark.Sf0001)
+    assert(sql.exceptAll(exec).isEmpty && exec.exceptAll(sql).isEmpty,
+      "SQL front end diverged from the DataFrame front end")
+  }
+
+  test("ASOF JOIN syntax: swapped key equality normalizes; reversed time " +
+    "inequality (a forward as-of) is rejected, not silently flipped") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Tables
+    Tables.events(spark, TestSpark.Sf0001).filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts").cast("timestamp").as("t"),
+        col("event_id"))
+      .createOrReplaceTempView("graft_asof_ev")
+    Tables.orders(spark, TestSpark.Sf0001)
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("ot"))
+      .createOrReplaceTempView("graft_asof_ord")
+    // key equality written right-side-first: equality is symmetric, the
+    // strategy normalizes, and the result matches the canonical order
+    val swapped = spark.sql(
+      """SELECT event_id, unix_micros(asof_t) AS a FROM graft_asof_ev
+        |ASOF JOIN graft_asof_ord
+        |  ON graft_asof_ord.o_custkey = graft_asof_ev.user_id
+        |  AND graft_asof_ev.t >= graft_asof_ord.ot""".stripMargin)
+    val canonical = spark.sql(
+      """SELECT event_id, unix_micros(asof_t) AS a FROM graft_asof_ev
+        |ASOF JOIN graft_asof_ord
+        |  ON graft_asof_ev.user_id = graft_asof_ord.o_custkey
+        |  AND graft_asof_ev.t >= graft_asof_ord.ot""".stripMargin)
+    assert(swapped.exceptAll(canonical).isEmpty &&
+      canonical.exceptAll(swapped).isEmpty)
+    // reversed inequality = forward as-of: hard error at plan time
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT event_id FROM graft_asof_ev ASOF JOIN graft_asof_ord
+          |  ON graft_asof_ev.user_id = graft_asof_ord.o_custkey
+          |  AND graft_asof_ord.ot >= graft_asof_ev.t""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("backward ASOF") ||
+      Option(e.getCause).exists(_.getMessage.contains("backward ASOF")),
+      s"wrong failure: $e")
+  }
 }

@@ -460,4 +460,46 @@ class IngestSpec extends AnyFunSuite {
     // one degenerate partition carries the zero/null partial
     assert(info.partitions == 1, info)
   }
+
+  test("GraftCatalog: q_catalog_sql resolves by name to the SAME scan " +
+    "machinery a path read gets (pushdown + pruned columns)") {
+    val df = Materialize.catalogSql(spark, TestSpark.Sf0001)
+    assert(df.collect().length == 25)
+    // the catalog must add naming, not a read path: each catalog scan is
+    // the parquet DSv2 BatchScan with the join filters pushed and the
+    // read schema pruned to the referenced columns
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan parquet"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_custkey)]"), plan)
+    assert(plan.contains("ReadSchema: struct<o_custkey:bigint,o_totalprice:double>"),
+      s"orders scan not pruned to 2 columns:\n$plan")
+  }
+
+  test("GraftCatalog: SHOW TABLES lists the sf namespace; the gen " +
+    "namespace serves the synthetic connector by name") {
+    graft.sources.GraftCatalog.register(spark, TestSpark.Sf0001)
+    val names = spark.sql("SHOW TABLES IN graft.sf")
+      .collect().map(_.getString(1)).toSet
+    assert(names == graft.sources.GraftCatalog.SfTables.toSet, names)
+    // a computed (non-storage) table under the same catalog: the
+    // synthetic DSv2 connector with conf-provided geometry
+    spark.conf.set("spark.sql.catalog.graft.gen.rows", "2000")
+    val Array(n, sumId) = spark.sql(
+      "SELECT count(*), CAST(sum(id) AS BIGINT) FROM graft.gen.numbers")
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(n == 2000L && sumId == 1999L * 2000 / 2, s"$n, $sumId")
+  }
+
+  test("GraftCatalog: read-only — DDL refuses; unknown tables fail " +
+    "resolution cleanly") {
+    graft.sources.GraftCatalog.register(spark, TestSpark.Sf0001)
+    val ddl = intercept[Exception](spark.sql("DROP TABLE graft.sf.orders"))
+    assert(ddl.getMessage.contains("read-only"), ddl.getMessage)
+    // events is deliberately uncataloged (TIMESTAMP(NANOS) needs the
+    // Tables-side normalization); its absence must be a clean miss
+    val miss = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT * FROM graft.sf.events"))
+    assert(miss.getMessage.toLowerCase.contains("cannot be found") ||
+      miss.getMessage.toLowerCase.contains("not found"), miss.getMessage)
+  }
 }
