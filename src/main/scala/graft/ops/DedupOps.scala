@@ -262,6 +262,24 @@ object DedupOps {
       // scale it is the difference between re-scanning the full edge list
       // every round and touching a sliver.
       var liveEdges = edges
+      // one propagate+jump step over (doc_id, orig, label): `orig` (the
+      // label at CYCLE start) rides through untouched so convergence is a
+      // scan of the cycle's one checkpoint — not an extra join back to
+      // the previous labels (one fewer shuffle per cycle)
+      def step(lbl: DataFrame): DataFrame = {
+        val nbrMin = liveEdges
+          .join(lbl, col("doc_a") === col("doc_id"))
+          .groupBy(col("doc_b"))
+          .agg(min(col("label")).as("nbr_min"))
+        val stepped = lbl
+          .join(nbrMin, col("doc_id") === col("doc_b"), "left")
+          .select(col("doc_id"), col("orig"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        val byId = stepped.select(col("doc_id").as("pid"), col("label").as("plabel"))
+        stepped
+          .join(byId, col("label") === col("pid"))
+          .select(col("doc_id"), col("orig"), col("plabel").as("label"))
+      }
       while (changed > 0 && rounds < MaxRounds) {
         if (rounds == 1) {
           val la = labels.select(col("doc_id").as("doc_a"), col("label").as("la"))
@@ -274,22 +292,18 @@ object DedupOps {
           liveEdges = contracted
           edges.unpersist()
         }
-        val nbrMin = liveEdges
-          .join(labels, col("doc_a") === col("doc_id"))
-          .groupBy(col("doc_b"))
-          .agg(min(col("label")).as("nbr_min"))
-        val stepped = labels
-          .join(nbrMin, col("doc_id") === col("doc_b"), "left")
-          .select(col("doc_id"), col("label").as("old_label"),
-            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        val byId = stepped.select(col("doc_id").as("pid"), col("label").as("plabel"))
-        // old_label rides through the jump so convergence is a SCAN of
-        // this round's checkpoint — not an extra join back to the
-        // previous labels (one fewer shuffle per round)
-        val jumped = ckpt(stepped
-          .join(byId, col("label") === col("pid"))
-          .select(col("doc_id"), col("old_label"), col("plabel").as("label")))
-        changed = jumped.filter(col("label") =!= col("old_label")).count()
+        val start = labels.select(col("doc_id"), col("label").as("orig"),
+          col("label"))
+        // cycle 0 runs ONE step against the full edge list; once the
+        // graph is contracted the per-step data is a sliver and the
+        // sequential latency is all driver-side job/checkpoint overhead,
+        // so each later cycle chains TWO steps into the one checkpoint +
+        // one convergence count — half the actions for the same
+        // fixpoint (a cycle whose two steps both change nothing counts
+        // zero and terminates; MaxRounds bounds cycles, conservatively)
+        val cycled = if (rounds == 0) step(start) else step(step(start))
+        val jumped = ckpt(cycled)
+        changed = jumped.filter(col("label") =!= col("orig")).count()
         // superseded checkpoints lose their last reference here; the
         // ContextCleaner reclaims their blocks asynchronously
         labels = jumped.select(col("doc_id"), col("label"))

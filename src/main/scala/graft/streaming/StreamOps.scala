@@ -134,21 +134,38 @@ object StreamOps {
       val out = stage.resolve(s"b$n")
       df.coalesce(1).write.mode("overwrite").parquet(out.toString)
       // an empty batch writes no part file — and needs no trigger
-      val parts = Files.list(out)
-      val part =
-        try {
-          val it = parts.iterator()
-          var found: Option[Path] = None
-          while (found.isEmpty && it.hasNext) {
-            val p = it.next()
-            if (p.getFileName.toString.startsWith("part-")) found = Some(p)
-          }
-          found
-        } finally parts.close()
-      part.foreach(p => Files.move(p, watch.resolve(f"b$n%03d.parquet"),
-        StandardCopyOption.ATOMIC_MOVE))
+      StreamOps.partFile(out).foreach(p =>
+        Files.move(p, watch.resolve(f"b$n%03d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE))
+    }
+    /** Land a [[StreamOps.staged]] batch: byte-copy the staged part into
+      * the local stage dir, then the same atomic-move visibility as
+      * [[land]]. A `None` (empty staged batch) lands nothing — and needs
+      * no trigger — exactly like land() of an empty frame. */
+    def landStaged(part: Option[Path]): Unit = {
+      n += 1
+      part.foreach { p =>
+        val tmp = stage.resolve(s"c$n.parquet")
+        Files.copy(p, tmp)
+        Files.move(tmp, watch.resolve(f"b$n%03d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
     }
     def close(): Unit = graft.util.Fs.deleteRecursively(root)
+  }
+
+  /** First parquet part file of a written directory, if any. */
+  private def partFile(out: Path): Option[Path] = {
+    val parts = Files.list(out)
+    try {
+      val it = parts.iterator()
+      var found: Option[Path] = None
+      while (found.isEmpty && it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith("part-")) found = Some(p)
+      }
+      found
+    } finally parts.close()
   }
 
   /** State stores are partitioned by shuffle.partitions AT QUERY START;
@@ -207,12 +224,68 @@ object StreamOps {
         lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
         lit(0.0).as("value"))
 
-  /** Start `transform(fileSources)` into a memory sink, land batches
-    * round-robin (round j lands file j of EVERY source, then drains a
-    * trigger), and return the sink table. One watched dir per source —
-    * the multi-landing-zone shape of a stream-stream topology. */
+  // ---- shared staged feeds -------------------------------------------
+  /** Bench hygiene at zero coverage cost: thirteen streaming queries over
+    * the same corpus each landed their OWN copy of the time-split feed —
+    * re-running the split-and-write job up to ~28 times per pass. A feed
+    * batch is now STAGED once per (sfDir, shape) by the same distributed
+    * coalesce(1) write, and every query's [[FileFeed]] lands a BYTE-COPY
+    * of the staged part file (same atomic-move visibility; no rows
+    * through the driver — the copy is file plumbing, like the move it
+    * already did). Only the redundant feed writes are shared: each query
+    * still builds its own session, checkpoint, triggers and state. */
+  private lazy val stagedRoot: Path = {
+    val p = Files.createTempDirectory("graft_staged_feeds")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.util.Fs.deleteRecursively(p)))
+    p
+  }
+  private val stagedParts =
+    scala.collection.concurrent.TrieMap[String, Option[Path]]()
+  private val stagedN = new java.util.concurrent.atomic.AtomicInteger
+
+  private def staged(dir: String, tag: String)(mk: => DataFrame): Option[Path] =
+    stagedParts.getOrElseUpdate(s"$dir|$tag", {
+      val out = stagedRoot.resolve(s"${stagedN.incrementAndGet}_$tag")
+      mk.coalesce(1).write.mode("overwrite").parquet(out.toString)
+      partFile(out)
+    })
+
+  /** Half `i` (1 or 2) of the time-split corpus, staged. */
+  private def stagedHalf(spark: SparkSession, dir: String, i: Int): Option[Path] =
+    staged(dir, s"b$i") {
+      val (b1, b2) = timeSplit(completeEvents(spark, dir))
+      if (i == 1) b1 else b2
+    }
+
+  /** Half 2 plus the ride-along watermark-flush sentinel, staged. */
+  private def stagedHalf2Sentinel(spark: SparkSession, dir: String): Option[Path] =
+    staged(dir, "b2s") {
+      val evs = completeEvents(spark, dir)
+      timeSplit(evs)._2.union(sentinel(evs, -1L, 30))
+    }
+
+  /** The full complete-events corpus (the redelivery batch), staged. */
+  private def stagedFull(spark: SparkSession, dir: String): Option[Path] =
+    staged(dir, "full")(completeEvents(spark, dir))
+
+  /** One event-type side of half `i`, staged (stream-stream feeds);
+    * optionally with a per-side sentinel (left-outer watermark flush). */
+  private def stagedSide(spark: SparkSession, dir: String, t: String, i: Int,
+      sentinelId: Option[Long] = None): Option[Path] =
+    staged(dir, s"$t$i${if (sentinelId.isDefined) "s" else ""}") {
+      val evs = completeEvents(spark, dir)
+      val half = (if (i == 1) timeSplit(evs)._1 else timeSplit(evs)._2)
+        .filter(col("event_type") === t)
+      sentinelId.fold(half)(id => half.union(sentinel(evs, id, 30)))
+    }
+
+  /** Start `transform(fileSources)` into a memory sink, land staged
+    * batches round-robin (round j lands file j of EVERY source, then
+    * drains a trigger), and return the sink table. One watched dir per
+    * source — the multi-landing-zone shape of a stream-stream topology. */
   private def runFileStreams(spark: SparkSession, schema: StructType,
-    sinkName: String, mode: OutputMode, feeds: Seq[Seq[DataFrame]])(
+    sinkName: String, mode: OutputMode, feeds: Seq[Seq[Option[Path]]])(
     transform: Seq[DataFrame] => DataFrame): DataFrame = {
     val root = Files.createTempDirectory("graft_stream")
     val fs = feeds.indices.map(i =>
@@ -225,7 +298,7 @@ object StreamOps {
     try {
       val rounds = feeds.map(_.length).max
       for (j <- 0 until rounds) {
-        feeds.lazyZip(fs).foreach((b, f) => if (j < b.length) f.land(b(j)))
+        feeds.lazyZip(fs).foreach((b, f) => if (j < b.length) f.landStaged(b(j)))
         query.processAllAvailable()
       }
     } finally { // sink rows live in memory
@@ -238,7 +311,7 @@ object StreamOps {
 
   /** Single-source form of [[runFileStreams]]. */
   private def runFileStream(spark: SparkSession, schema: StructType,
-    sinkName: String, mode: OutputMode, batches: Seq[DataFrame])(
+    sinkName: String, mode: OutputMode, batches: Seq[Option[Path]])(
     transform: DataFrame => DataFrame): DataFrame =
     runFileStreams(spark, schema, sinkName, mode, Seq(batches))(
       srcs => transform(srcs.head))
@@ -249,7 +322,7 @@ object StreamOps {
     * of [[runFileStream]]'s memory sink — the full landing-zone →
     * incremental engine → lake-table round trip. */
   private def runFileStreamToParquet(spark: SparkSession, schema: StructType,
-    batches: Seq[DataFrame])(transform: DataFrame => DataFrame): DataFrame = {
+    batches: Seq[Option[Path]])(transform: DataFrame => DataFrame): DataFrame = {
     val root = Files.createTempDirectory("graft_stream_sink")
     val feed = new FileFeed(Files.createDirectories(root.resolve("src")))
     val out = root.resolve("out").toString
@@ -261,7 +334,7 @@ object StreamOps {
       .option("path", out)
       .option("checkpointLocation", root.resolve("ckpt").toString)
       .outputMode(OutputMode.Append()).start()
-    try batches.foreach { b => feed.land(b); query.processAllAvailable() }
+    try batches.foreach { b => feed.landStaged(b); query.processAllAvailable() }
     finally {
       query.stop()
       // the sink dir out/ outlives the query (it IS the result); the
@@ -285,10 +358,10 @@ object StreamOps {
     * stream ≡ batch guarantee the engine makes for complete mode. */
   def tumblingHourStreamed(parent: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(parent)
-    val evs = completeEvents(spark, dir)
-    val (b1, b2) = timeSplit(evs)
-    runFileStream(spark, evs.schema, "graft_stream_tumbling_sink",
-      OutputMode.Complete(), Seq(b1, b2))(
+    val schema = completeEvents(spark, dir).schema
+    runFileStream(spark, schema, "graft_stream_tumbling_sink",
+      OutputMode.Complete(),
+      Seq(stagedHalf(spark, dir, 1), stagedHalf(spark, dir, 2)))(
       tumblingCounts(_, "1 hour", "1 hour"))
       .select(unix_micros(col("win_start")).as("win_start_us"),
         col("event_type"), col("n"), col("value_cents"))
@@ -304,11 +377,10 @@ object StreamOps {
     * gap < 30 min) is exactly `new session iff gap >= 30 min`. */
   def sessionStreamed(parent: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(parent)
-    val evs = completeEvents(spark, dir)
-    val (b1, b2) = timeSplit(evs)
-    runFileStream(spark, evs.schema, "graft_stream_session_sink",
+    val schema = completeEvents(spark, dir).schema
+    runFileStream(spark, schema, "graft_stream_session_sink",
       OutputMode.Append(),
-      Seq(b1, b2.union(sentinel(evs, -1L, 30))))(
+      Seq(stagedHalf(spark, dir, 1), stagedHalf2Sentinel(spark, dir)))(
       sessionCounts(_, "30 minutes", "1 hour"))
       .filter(col("user_id") >= 0)
       .select(unix_micros(col("sess_start")).as("sess_start_us"),
@@ -325,10 +397,10 @@ object StreamOps {
   def userTotalsStreamed(parent: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(parent)
     import spark.implicits._
-    val evs = completeEvents(spark, dir)
-    val (b1, b2) = timeSplit(evs)
-    runFileStream(spark, evs.schema, "graft_stream_totals_sink",
-      RunningTotalsOutputMode, Seq(b1, b2))(
+    val schema = completeEvents(spark, dir).schema
+    runFileStream(spark, schema, "graft_stream_totals_sink",
+      RunningTotalsOutputMode,
+      Seq(stagedHalf(spark, dir, 1), stagedHalf(spark, dir, 2)))(
       src => runningUserTotals(src.as[Ev]).toDF())
       .groupBy(col("user_id"))
       .agg(max(struct(col("n_events"), col("total_cents"))).as("fin"))
@@ -345,10 +417,10 @@ object StreamOps {
   def burstsStreamed(parent: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(parent)
     import spark.implicits._
-    val evs = completeEvents(spark, dir)
-    val (b1, b2) = timeSplit(evs)
-    runFileStream(spark, evs.schema, "graft_stream_bursts_sink",
-      OutputMode.Append(), Seq(b1, b2))(
+    val schema = completeEvents(spark, dir).schema
+    runFileStream(spark, schema, "graft_stream_bursts_sink",
+      OutputMode.Append(),
+      Seq(stagedHalf(spark, dir, 1), stagedHalf(spark, dir, 2)))(
       src => burstDetector(src.as[Ev]).toDF())
   }
 
@@ -361,10 +433,9 @@ object StreamOps {
     * the batch result is the engine's exactly-once guarantee. */
   def tumblingSinkStreamed(parent: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(parent)
-    val evs = completeEvents(spark, dir)
-    val (b1, b2) = timeSplit(evs)
-    runFileStreamToParquet(spark, evs.schema,
-      Seq(b1, b2.union(sentinel(evs, -1L, 30))))(
+    val schema = completeEvents(spark, dir).schema
+    runFileStreamToParquet(spark, schema,
+      Seq(stagedHalf(spark, dir, 1), stagedHalf2Sentinel(spark, dir)))(
       tumblingCounts(_, "1 hour", "1 hour"))
       // drop ONLY the sentinel windows: a bare =!= would three-valued-NULL
       // away a legitimate NULL-event_type group the oracle keeps
@@ -440,19 +511,19 @@ object StreamOps {
   def upsertStreamed(parent: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(parent)
     import spark.implicits._
-    val evs = completeEvents(spark, dir)
-    val (b1, b2) = timeSplit(evs)
+    val schema = completeEvents(spark, dir).schema
     val root = Files.createTempDirectory("graft_stream_upsert")
     val feed = new FileFeed(Files.createDirectories(root.resolve("src")))
     val table = root.resolve("totals").toString
-    val src = spark.readStream.schema(evs.schema)
+    val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(feed.watch.toString)
     val query = runningUserTotals(src.as[Ev]).toDF()
       .writeStream.outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         upsertMerge(spark, table, batch, "user_id", UpsertBuckets)
       }.start()
-    try Seq(b1, b2).foreach { b => feed.land(b); query.processAllAvailable() }
+    try Seq(stagedHalf(spark, dir, 1), stagedHalf(spark, dir, 2))
+      .foreach { b => feed.landStaged(b); query.processAllAvailable() }
     finally { query.stop(); feed.close() }
     // the table dir outlives the query — it IS the result
     if (Files.exists(Path.of(table)))
@@ -472,14 +543,12 @@ object StreamOps {
     * batch self-join with the same interval predicate. */
   def intervalJoinStreamed(parent: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(parent)
-    val evs = completeEvents(spark, dir)
-    val (b1, b2) = timeSplit(evs)
-    def side(b: DataFrame, t: String): DataFrame =
-      b.filter(col("event_type") === t)
-    runFileStreams(spark, evs.schema, "graft_stream_ssjoin_sink",
+    val schema = completeEvents(spark, dir).schema
+    runFileStreams(spark, schema, "graft_stream_ssjoin_sink",
       OutputMode.Append(),
-      Seq(Seq(side(b1, "click"), side(b2, "click")),
-        Seq(side(b1, "purchase"), side(b2, "purchase")))) { srcs =>
+      Seq(Seq(stagedSide(spark, dir, "click", 1), stagedSide(spark, dir, "click", 2)),
+        Seq(stagedSide(spark, dir, "purchase", 1),
+          stagedSide(spark, dir, "purchase", 2)))) { srcs =>
       val c = srcs(0).withWatermark("ts", "1 hour")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
           col("event_id").as("click_id"))
@@ -514,14 +583,13 @@ object StreamOps {
     * the same interval predicate. */
   def leftOuterJoinStreamed(parent: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(parent)
-    val evs = completeEvents(spark, dir)
-    val (b1, b2) = timeSplit(evs)
-    def side(b: DataFrame, t: String): DataFrame =
-      b.filter(col("event_type") === t)
-    runFileStreams(spark, evs.schema, "graft_stream_lojoin_sink",
+    val schema = completeEvents(spark, dir).schema
+    runFileStreams(spark, schema, "graft_stream_lojoin_sink",
       OutputMode.Append(),
-      Seq(Seq(side(b1, "click"), side(b2, "click").union(sentinel(evs, -1L, 30))),
-        Seq(side(b1, "purchase"), side(b2, "purchase").union(sentinel(evs, -2L, 30))))) { srcs =>
+      Seq(Seq(stagedSide(spark, dir, "click", 1),
+          stagedSide(spark, dir, "click", 2, Some(-1L))),
+        Seq(stagedSide(spark, dir, "purchase", 1),
+          stagedSide(spark, dir, "purchase", 2, Some(-2L))))) { srcs =>
       val c = srcs(0).withWatermark("ts", "1 hour")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
           col("event_id").as("click_id"))
@@ -551,10 +619,10 @@ object StreamOps {
     * double aggregation — group to hours, then group hours to days. */
   def cascadeStreamed(parent: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(parent)
-    val evs = completeEvents(spark, dir)
-    val (b1, b2) = timeSplit(evs)
-    runFileStream(spark, evs.schema, "graft_stream_cascade_sink",
-      OutputMode.Append(), Seq(b1, b2.union(sentinel(evs, -1L, 30)))) { src =>
+    val schema = completeEvents(spark, dir).schema
+    runFileStream(spark, schema, "graft_stream_cascade_sink",
+      OutputMode.Append(),
+      Seq(stagedHalf(spark, dir, 1), stagedHalf2Sentinel(spark, dir))) { src =>
       val hourly = src.withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -607,8 +675,7 @@ object StreamOps {
     * (stream ≡ batch for complete mode). */
   def enrichStreamed(parent: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(parent)
-    val evs = completeEvents(spark, dir)
-    val (b1, b2) = timeSplit(evs)
+    val schema = completeEvents(spark, dir).schema
     val dim = broadcast(
       graft.sources.Tables.customer(spark, dir)
         .select(col("c_custkey"), col("c_nationkey"))
@@ -616,8 +683,9 @@ object StreamOps {
           .select(col("n_nationkey"), col("n_name")),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("n_name")))
-    runFileStream(spark, evs.schema, "graft_stream_enrich_sink",
-      OutputMode.Complete(), Seq(b1, b2)) { src =>
+    runFileStream(spark, schema, "graft_stream_enrich_sink",
+      OutputMode.Complete(),
+      Seq(stagedHalf(spark, dir, 1), stagedHalf(spark, dir, 2))) { src =>
       src.withWatermark("ts", "1 hour")
         .join(dim, col("user_id") === col("c_custkey")) // stream-static join
         .groupBy(window(col("ts"), "1 hour"), col("n_name"))
@@ -634,10 +702,10 @@ object StreamOps {
     * complete events. */
   def slidingStreamed(parent: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(parent)
-    val evs = completeEvents(spark, dir)
-    val (b1, b2) = timeSplit(evs)
-    runFileStream(spark, evs.schema, "graft_stream_sliding_sink",
-      OutputMode.Complete(), Seq(b1, b2)) { src =>
+    val schema = completeEvents(spark, dir).schema
+    runFileStream(spark, schema, "graft_stream_sliding_sink",
+      OutputMode.Complete(),
+      Seq(stagedHalf(spark, dir, 1), stagedHalf(spark, dir, 2))) { src =>
       src.withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -657,10 +725,10 @@ object StreamOps {
     * Oracle: DISTINCT event_id over complete events. */
   def dedupStreamed(parent: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(parent)
-    val evs = completeEvents(spark, dir)
-    val (b1, _) = timeSplit(evs)
-    runFileStream(spark, evs.schema, "graft_stream_dedup_sink",
-      OutputMode.Append(), Seq(b1, evs))(
+    val schema = completeEvents(spark, dir).schema
+    runFileStream(spark, schema, "graft_stream_dedup_sink",
+      OutputMode.Append(),
+      Seq(stagedHalf(spark, dir, 1), stagedFull(spark, dir)))(
       dedupByEventId(_, "1 hour"))
       .select(col("event_id"))
   }
