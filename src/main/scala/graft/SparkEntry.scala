@@ -177,6 +177,7 @@ object SparkEntry {
     "q_dsv2_scan"        -> Materialize.dsv2Scan _,
     "q_catalog_sql"      -> Materialize.catalogSql _,
     "q_dsv2_agg"         -> Materialize.dsv2Agg _,
+    "q_dsv2_runtime_filter" -> Materialize.dsv2RuntimeFilter _,
     "q_dsv2_sink"        -> Materialize.dsv2SinkRoundTrip _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
     "q_snapshot_diff"    -> Materialize.snapshotDiff _,
@@ -2025,6 +2026,14 @@ object SparkEntry {
         |  CAST(max((i * 2654435761) % 1000) AS BIGINT) AS max_uid
         |FROM (SELECT unnest(generate_series(0, 199999)) AS i)
         |GROUP BY 1""".stripMargin,
+    "q_dsv2_runtime_filter" -> // the runtime-filtered scan must equal
+      // the plain dim join over the regenerated id formulas
+      """SELECT n_name, i AS id,
+        |  CAST((i * 2654435761) % 1000 AS BIGINT) AS user_id,
+        |  CAST((i * 48271) % 100000 AS BIGINT) AS value_cents
+        |FROM (SELECT unnest(generate_series(0, 199999)) AS i)
+        |JOIN nation ON i = n_nationkey
+        |WHERE n_regionkey = 1""".stripMargin,
     "q_catalog_sql" -> // oracle is the identical star join over the raw
       // tables — the TableCatalog naming layer must be value-invisible
       """SELECT n_name, count(*) AS n_orders,

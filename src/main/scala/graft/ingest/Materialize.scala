@@ -694,6 +694,28 @@ object Materialize {
         |GROUP BY n_name""".stripMargin)
   }
 
+  /** DSv2 RUNTIME FILTERING ([[graft.sources.SyntheticSource]],
+    * `SupportsRuntimeFiltering`) — the connector-side sibling of
+    * [[dppJoin]]: the 200k-row synthetic fact joins a dim whose only
+    * selective predicate (`n_regionkey = 1`) lives on the dim, so no
+    * static pushdown can narrow the fact; at execution Spark broadcasts
+    * the dim, hands its 5 distinct join keys to the scan as an
+    * `In("id", …)` runtime filter, and the re-planned scan reads 1 of
+    * 16 slices. At 100 TB this is a remote system scanning one shard
+    * instead of all of them — from information that only exists at
+    * run time. IngestSpec pins the runtime-filter plan shape AND the
+    * observed partition count. Oracle: the dim join over the
+    * regenerated id formulas. */
+  def dsv2RuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    val syn = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 200000L).option("slices", 16)
+      .load()
+    val dim = graft.sources.Tables.nation(spark, dir)
+      .filter(col("n_regionkey") === 1L)
+    syn.join(dim, col("id") === col("n_nationkey"))
+      .select(col("n_name"), col("id"), col("user_id"), col("value_cents"))
+  }
+
   def rendezvousShard(spark: SparkSession, dir: String): DataFrame = {
     def scores(n: Int): Column = transform(
       sequence(lit(0), lit(n - 1)),

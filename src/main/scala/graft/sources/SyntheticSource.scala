@@ -9,9 +9,9 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => VExpression}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -76,7 +76,8 @@ object SyntheticSource {
     * Driver-side only (planning happens on the driver). */
   @volatile var lastScan: Option[ScanInfo] = None
   final case class ScanInfo(pushedIdLo: Long, pushedIdHi: Long,
-    columns: Seq[String], partitions: Int, pushedAggs: Seq[String] = Nil)
+    columns: Seq[String], partitions: Int, pushedAggs: Seq[String] = Nil,
+    runtimeFilterIds: Option[Int] = None)
 
   /** One aggregate call accepted by [[SupportsPushDownAggregates]]:
     * `op` ∈ count|sum|min|max, `col` = None for COUNT(*). */
@@ -217,8 +218,35 @@ class SyntheticScanBuilder(rows: Long, slices: Int, batchRows: Long,
 
 case class SyntheticScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
     columnar: Boolean, required: StructType,
-    agg: Option[SyntheticSource.PushedAgg] = None) extends Scan with Batch {
+    agg: Option[SyntheticSource.PushedAgg] = None)
+  extends Scan with Batch with SupportsRuntimeFiltering {
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
+
+  /** RUNTIME filtering ([[SupportsRuntimeFiltering]]) — the DSv2 face of
+    * dynamic partition pruning: when this scan probes a join whose other
+    * side is broadcast, Spark evaluates the build side FIRST, translates
+    * its distinct join keys into an `In("id", …)` filter, and calls
+    * [[filter]] on the executed scan before ([[planInputPartitions]] is
+    * re-run and) any reader starts — so a 16-slice scan whose join can
+    * only match 5 ids plans the one slice containing them. Partition-
+    * granular by design: the contract is best-effort (Spark re-applies
+    * the join), so pruning whole slices is sound and row-level work
+    * stays in the join where codegen handles it. Declared only for the
+    * raw-row scan — a pushed aggregate's output rows are (group,
+    * partial) pairs, not id-addressable. */
+  private var runtimeIds: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (agg.isEmpty && readSchema().fieldNames.contains("id"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach {
+      case In("id", vals) =>
+        runtimeIds = Some(vals.collect { case v: Long => v }.sorted)
+      case _ => // best-effort: unusable runtime filters are ignored
+    }
   override def description(): String = {
     val base = s"graft-synthetic [$lo, $hi) cols=${readSchema().fieldNames.mkString(",")}"
     agg match {
@@ -254,13 +282,22 @@ case class SyntheticScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
     // a GLOBAL pushed aggregate must emit a partial row even over an
     // empty range (SQL: SELECT count(*) FROM empty is one row, 0) —
     // plan one degenerate partition so the zero/null partial exists
-    val parts =
+    val base =
       if (split.isEmpty && agg.exists(_.groupCols.isEmpty))
         Array[InputPartition](SyntheticPartition(0, 0))
       else split
+    // runtime join-key filter: drop every slice containing none of the
+    // ids the probe can match (set semantics of In — sound to prune)
+    val parts = runtimeIds.fold(base) { ids =>
+      base.collect {
+        case p: SyntheticPartition if ids.exists(v => v >= p.lo && v < p.hi) =>
+          p: InputPartition
+      }
+    }
     SyntheticSource.lastScan = Some(SyntheticSource.ScanInfo(
       lo, hi, readSchema().fieldNames.toSeq, parts.length,
-      agg.toSeq.flatMap(_.calls.map(_.sqlName))))
+      agg.toSeq.flatMap(_.calls.map(_.sqlName)),
+      runtimeIds.map(_.length)))
     parts
   }
   override def createReaderFactory(): PartitionReaderFactory = agg match {

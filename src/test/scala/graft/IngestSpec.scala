@@ -461,6 +461,22 @@ class IngestSpec extends AnyFunSuite {
     assert(info.partitions == 1, info)
   }
 
+  test("SyntheticSource (DSv2): runtime join-key filtering prunes slices " +
+    "at execution (SupportsRuntimeFiltering)") {
+    val df = Materialize.dsv2RuntimeFilter(spark, TestSpark.Sf0001)
+    assert(df.collect().length == 5) // the 5 nations of region 1
+    // the executed plan must carry the runtime pruning subquery on the
+    // connector scan — the DSv2 face of dynamic partition pruning
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruningexpression"),
+      s"no runtime filter on the BatchScan:\n$plan")
+    // and it must have ACTED: the scan saw the dim's 5 join keys and
+    // re-planned 1 of 16 slices (ids 0..24 all fall in [0, 12500))
+    val info = graft.sources.SyntheticSource.lastScan.get
+    assert(info.runtimeFilterIds.contains(5), s"filter not delivered: $info")
+    assert(info.partitions == 1, s"slices not pruned: $info")
+  }
+
   test("GraftCatalog: q_catalog_sql resolves by name to the SAME scan " +
     "machinery a path read gets (pushdown + pruned columns)") {
     val df = Materialize.catalogSql(spark, TestSpark.Sf0001)
