@@ -178,6 +178,7 @@ object SparkEntry {
     "q_catalog_sql"      -> Materialize.catalogSql _,
     "q_dsv2_agg"         -> Materialize.dsv2Agg _,
     "q_dsv2_runtime_filter" -> Materialize.dsv2RuntimeFilter _,
+    "q_dsv2_keyed_agg"   -> Materialize.dsv2KeyedAgg _,
     "q_dsv2_sink"        -> Materialize.dsv2SinkRoundTrip _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
     "q_snapshot_diff"    -> Materialize.snapshotDiff _,
@@ -2024,6 +2025,14 @@ object SparkEntry {
         |  CAST(sum((i * 48271) % 100000) AS BIGINT) AS sum_cents,
         |  CAST(min((i * 2654435761) % 1000) AS BIGINT) AS min_uid,
         |  CAST(max((i * 2654435761) % 1000) AS BIGINT) AS max_uid
+        |FROM (SELECT unnest(generate_series(0, 199999)) AS i)
+        |GROUP BY 1""".stripMargin,
+    "q_dsv2_keyed_agg" -> // the keyed (storage-partitioned) layout is a
+      // physical contract only — values must equal the regenerated SQL
+      """SELECT 't' || CAST(i % 5 AS VARCHAR) AS event_type,
+        |  count(*) AS n,
+        |  CAST(sum((i * 48271) % 100000) AS BIGINT) AS sum_cents,
+        |  CAST(min((i * 2654435761) % 1000) AS BIGINT) AS min_uid
         |FROM (SELECT unnest(generate_series(0, 199999)) AS i)
         |GROUP BY 1""".stripMargin,
     "q_dsv2_runtime_filter" -> // the runtime-filtered scan must equal

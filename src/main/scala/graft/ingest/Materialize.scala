@@ -694,6 +694,28 @@ object Materialize {
         |GROUP BY n_name""".stripMargin)
   }
 
+  /** DSv2 REPORTED PARTITIONING ([[graft.sources.SyntheticSource]],
+    * `SupportsReportPartitioning`) — the storage-partitioned contract:
+    * `partitionBy=event_type` keys the generator's partitions by type
+    * and reports `KeyGroupedPartitioning(identity(event_type), 5)`, so
+    * this `groupBy(event_type)` aggregation satisfies its distribution
+    * straight off the scan — the executed plan has ZERO exchanges
+    * (IngestSpec pins it with the no-shuffle assert). The DSv2 face of
+    * bucketing: at 100 TB the source's layout replaces the aggregation
+    * shuffle the way a bucketed table replaces a join shuffle. Oracle:
+    * the regenerated-formula SQL — a layout contract must be
+    * value-invisible. */
+  def dsv2KeyedAgg(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 200000L).option("partitionBy", "event_type")
+      .load()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value_cents")).as("sum_cents"),
+        min(col("user_id")).as("min_uid"))
+  }
+
   /** DSv2 RUNTIME FILTERING ([[graft.sources.SyntheticSource]],
     * `SupportsRuntimeFiltering`) — the connector-side sibling of
     * [[dppJoin]]: the 200k-row synthetic fact joins a dim whose only

@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => VExpression}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -50,12 +51,17 @@ class SyntheticSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SyntheticSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    val partitionBy = properties.getOrDefault("partitionBy", "")
+    require(partitionBy.isEmpty || partitionBy == "event_type",
+      s"partitionBy supports only event_type, got $partitionBy")
     SyntheticTable(
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("slices", "8").toInt,
       properties.getOrDefault("batchRows", "1000").toLong,
-      properties.getOrDefault("columnar", "false").toBoolean)
+      properties.getOrDefault("columnar", "false").toBoolean,
+      keyed = partitionBy.nonEmpty)
+  }
 }
 
 object SyntheticSource {
@@ -70,6 +76,8 @@ object SyntheticSource {
   def userId(id: Long): Long = (id * 2654435761L) % 1000L
   def valueCents(id: Long): Long = (id * 48271L) % 100000L
   def eventType(id: Long): String = "t" + (id % 5L)
+  /** Distinct event_type values — the keyed layout's partition count. */
+  val NumTypes = 5
 
   /** Last scan's planning facts, for observability and tests: what was
     * pushed, what survived pruning, how many partitions were planned.
@@ -109,7 +117,7 @@ object SyntheticSource {
 }
 
 case class SyntheticTable(rows: Long, slices: Int, batchRows: Long,
-    columnar: Boolean) extends Table with SupportsRead {
+    columnar: Boolean, keyed: Boolean = false) extends Table with SupportsRead {
   require(rows >= 0 && slices > 0 && batchRows > 0,
     s"bad synthetic geometry ($rows, $slices, $batchRows)")
   override def name(): String = s"synthetic($rows)"
@@ -117,12 +125,12 @@ case class SyntheticTable(rows: Long, slices: Int, batchRows: Long,
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticScanBuilder(rows, slices, batchRows, columnar)
+    new SyntheticScanBuilder(rows, slices, batchRows, columnar, keyed)
 }
 
 /** Accumulates pushdown state, then freezes into the immutable Scan. */
 class SyntheticScanBuilder(rows: Long, slices: Int, batchRows: Long,
-    columnar: Boolean) extends ScanBuilder
+    columnar: Boolean, keyed: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -185,6 +193,10 @@ class SyntheticScanBuilder(rows: Long, slices: Int, batchRows: Long,
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    // the keyed layout serves GROUP-LOCALITY instead: reporting
+    // KeyGroupedPartitioning lets the whole aggregate run shuffle-free
+    // at the engine; mixing both surfaces would leave neither provable
+    if (keyed) return false
     def fieldOf(e: VExpression): Option[String] = e match {
       case n: NamedReference if n.fieldNames.length == 1 &&
           SyntheticSource.Schema.fieldNames.contains(n.fieldNames()(0)) =>
@@ -213,14 +225,36 @@ class SyntheticScanBuilder(rows: Long, slices: Int, batchRows: Long,
 
   override def build(): Scan =
     SyntheticScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), slices,
-      batchRows, columnar, required, agg)
+      batchRows, columnar, required, agg, keyed)
 }
 
 case class SyntheticScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
     columnar: Boolean, required: StructType,
-    agg: Option[SyntheticSource.PushedAgg] = None)
-  extends Scan with Batch with SupportsRuntimeFiltering {
+    agg: Option[SyntheticSource.PushedAgg] = None,
+    keyed: Boolean = false)
+  extends Scan with Batch
+  with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
+
+  /** REPORTED partitioning ([[SupportsReportPartitioning]]) — the
+    * storage-partitioned contract: with `partitionBy=event_type` the
+    * generator keys its partitions by event_type (one partition per
+    * type, ids striding by 5) and REPORTS
+    * `KeyGroupedPartitioning(identity(event_type), 5)`, so a
+    * `groupBy(event_type)` aggregation satisfies its ClusteredDistribution
+    * straight off the scan — ZERO exchanges in the whole plan (gated by
+    * `spark.sql.sources.v2.bucketing.enabled`; IngestSpec pins the
+    * shuffle-free plan). This is the DSv2 face of bucketing: at 100 TB
+    * the source's physical layout replaces the aggregation shuffle the
+    * way a bucketed table replaces a join shuffle. Reported only while
+    * event_type survives column pruning and no aggregate was pushed
+    * (a pushed aggregate's rows are already (group, partial) pairs). */
+  override def outputPartitioning(): Partitioning =
+    if (keyed && agg.isEmpty && readSchema().fieldNames.contains("event_type"))
+      new KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity("event_type")), SyntheticSource.NumTypes)
+    else new UnknownPartitioning(0)
 
   /** RUNTIME filtering ([[SupportsRuntimeFiltering]]) — the DSv2 face of
     * dynamic partition pruning: when this scan probes a join whose other
@@ -274,7 +308,13 @@ case class SyntheticScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
   override def planInputPartitions(): Array[InputPartition] = {
     val n = hi - lo
     val split =
-      if (n <= 0) Array.empty[InputPartition]
+      if (keyed)
+        // one partition per event_type over the (possibly pushdown-
+        // narrowed) id range; ids stride by NumTypes inside each
+        (0 until SyntheticSource.NumTypes).iterator
+          .map(k => SyntheticKeyedPartition(lo, hi, k))
+          .collect { case p if p.count > 0 => p: InputPartition }.toArray
+      else if (n <= 0) Array.empty[InputPartition]
       else (0 until slices).iterator.map { s =>
         // even split of [lo, hi): slice s gets [lo + s·n/P, lo + (s+1)·n/P)
         SyntheticPartition(lo + s * n / slices, lo + (s + 1) * n / slices)
@@ -286,11 +326,15 @@ case class SyntheticScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
       if (split.isEmpty && agg.exists(_.groupCols.isEmpty))
         Array[InputPartition](SyntheticPartition(0, 0))
       else split
-    // runtime join-key filter: drop every slice containing none of the
-    // ids the probe can match (set semantics of In — sound to prune)
+    // runtime join-key filter: drop every partition containing none of
+    // the ids the probe can match (set semantics of In — sound to prune)
     val parts = runtimeIds.fold(base) { ids =>
       base.collect {
         case p: SyntheticPartition if ids.exists(v => v >= p.lo && v < p.hi) =>
+          p: InputPartition
+        case p: SyntheticKeyedPartition
+            if ids.exists(v => v >= p.lo && v < p.hi &&
+              v % SyntheticSource.NumTypes == p.k) =>
           p: InputPartition
       }
     }
@@ -307,6 +351,25 @@ case class SyntheticScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
 }
 
 case class SyntheticPartition(lo: Long, hi: Long) extends InputPartition
+
+/** One event_type's rows of [lo, hi): ids ≡ k (mod NumTypes). Carries
+  * its key ([[HasPartitionKey]]) so Spark can group/sort partitions by
+  * value — the half of the storage-partitioned contract the engine
+  * needs to trust [[KeyGroupedPartitioning]]. */
+case class SyntheticKeyedPartition(lo: Long, hi: Long, k: Int)
+    extends InputPartition with HasPartitionKey {
+  /** Smallest id ≥ lo with id mod NumTypes = k. */
+  def first: Long = {
+    val m = SyntheticSource.NumTypes
+    lo + ((k - lo % m + m) % m)
+  }
+  def count: Long =
+    if (hi <= first) 0L
+    else (hi - first + SyntheticSource.NumTypes - 1) / SyntheticSource.NumTypes
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString("t" + k)))
+}
 
 /** Offset = position in the id space (json-serialized into the
   * streaming checkpoint like any production source's offset log). */
@@ -364,10 +427,15 @@ case class SyntheticReaderFactory(columns: Array[String], columnar: Boolean)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[SyntheticPartition]
+    // keyed partitions stride NumTypes; plain slices stride 1
+    val (start, limit, stride) = partition match {
+      case p: SyntheticPartition => (p.lo, p.hi, 1L)
+      case p: SyntheticKeyedPartition =>
+        (p.first, p.hi, SyntheticSource.NumTypes.toLong)
+    }
     new PartitionReader[InternalRow] {
-      private var id = p.lo - 1
-      override def next(): Boolean = { id += 1; id < p.hi }
+      private var id = start - stride
+      override def next(): Boolean = { id += stride; id < limit }
       override def get(): InternalRow =
         new GenericInternalRow(columns.map[Any] {
           case "id" => id
@@ -388,7 +456,8 @@ case class SyntheticReaderFactory(columns: Array[String], columnar: Boolean)
     * `get()` call), which is what keeps wide scans CPU-bound instead of
     * allocation-bound at 100 TB. Results are bitwise-identical to the
     * row path (IngestSpec proves both, plus the plan's ColumnarToRow). */
-  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && partition.isInstanceOf[SyntheticPartition] // keyed → row path
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {

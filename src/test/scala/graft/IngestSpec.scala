@@ -477,6 +477,25 @@ class IngestSpec extends AnyFunSuite {
     assert(info.partitions == 1, s"slices not pruned: $info")
   }
 
+  test("SyntheticSource (DSv2): reported KeyGroupedPartitioning makes " +
+    "groupBy(event_type) SHUFFLE-FREE; values match the unkeyed scan") {
+    val keyed = Materialize.dsv2KeyedAgg(spark, TestSpark.Sf0001)
+    // the storage-partitioned contract: the scan's reported partitioning
+    // satisfies the aggregation's distribution — zero exchanges anywhere
+    TestSpark.assertNoShuffle(keyed)
+    val info = graft.sources.SyntheticSource.lastScan.get
+    assert(info.partitions == graft.sources.SyntheticSource.NumTypes, info)
+    // the layout is physical only: same values as the plain sliced scan
+    import org.apache.spark.sql.functions.{count, lit, min, sum, col}
+    val plain = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 200000L).option("slices", 16).load()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"),
+        min(col("user_id")).as("min_uid"))
+    assert(keyed.exceptAll(plain).isEmpty && plain.exceptAll(keyed).isEmpty,
+      "keyed layout changed values")
+  }
+
   test("GraftCatalog: q_catalog_sql resolves by name to the SAME scan " +
     "machinery a path read gets (pushdown + pruned columns)") {
     val df = Materialize.catalogSql(spark, TestSpark.Sf0001)
