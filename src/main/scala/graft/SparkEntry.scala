@@ -178,6 +178,7 @@ object SparkEntry {
     "q_catalog_sql"      -> Materialize.catalogSql _,
     "q_dsv2_agg"         -> Materialize.dsv2Agg _,
     "q_dsv2_runtime_filter" -> Materialize.dsv2RuntimeFilter _,
+    "q_dsv2_topn"        -> Materialize.dsv2TopN _,
     "q_dsv2_keyed_agg"   -> Materialize.dsv2KeyedAgg _,
     "q_dsv2_sink"        -> Materialize.dsv2SinkRoundTrip _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
@@ -2035,6 +2036,14 @@ object SparkEntry {
         |  CAST(min((i * 2654435761) % 1000) AS BIGINT) AS min_uid
         |FROM (SELECT unnest(generate_series(0, 199999)) AS i)
         |GROUP BY 1""".stripMargin,
+    "q_dsv2_topn" -> // the pushed ORDER BY id DESC LIMIT 42 must equal
+      // the same top-N over the regenerated id formulas
+      """SELECT i AS id,
+        |  CAST((i * 2654435761) % 1000 AS BIGINT) AS user_id,
+        |  CAST((i * 48271) % 100000 AS BIGINT) AS value_cents,
+        |  't' || CAST(i % 5 AS VARCHAR) AS event_type
+        |FROM (SELECT unnest(generate_series(0, 199999)) AS i)
+        |ORDER BY i DESC LIMIT 42""".stripMargin,
     "q_dsv2_runtime_filter" -> // the runtime-filtered scan must equal
       // the plain dim join over the regenerated id formulas
       """SELECT n_name, i AS id,

@@ -738,6 +738,27 @@ object Materialize {
       .select(col("n_name"), col("id"), col("user_id"), col("value_cents"))
   }
 
+  /** DSv2 TOP-N pushdown ([[graft.sources.SyntheticSource]],
+    * `SupportsPushDownTopN` — with `SupportsPushDownLimit` and
+    * `SupportsPushDownOffset` on the same builder): `ORDER BY id DESC
+    * LIMIT 42` narrows the PLANNED id range to the 42 highest ids before
+    * any reader starts, so per-partition generation is capped at k — the
+    * last scan-boundary-reduction interface Spark offers, and one the
+    * reference's warehouse performs server-side as a matter of course
+    * (a LIMIT never ships the table; reference:
+    * prefect/flows/etl_kaggle_to_big_query.py:88-110 runs entirely
+    * warehouse-side). The push is PARTIAL by design — Spark keeps its
+    * TakeOrderedAndProject as the safety net, the scan just stops
+    * generating rows the limit would discard; at 100 TB that is k rows
+    * crossing the boundary instead of the table. IngestSpec pins
+    * `PushedTopN` in the executed plan and the ≤ k planned range. */
+  def dsv2TopN(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 200000L).option("slices", 16)
+      .load()
+      .orderBy(col("id").desc)
+      .limit(42)
+
   def rendezvousShard(spark: SparkSession, dir: String): DataFrame = {
     def scores(n: Int): Column = transform(
       sequence(lit(0), lit(n - 1)),

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => VExpression}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.expressions.SortDirection
+import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
@@ -86,7 +86,7 @@ object SyntheticSource {
   @volatile var lastScan: Option[ScanInfo] = None
   final case class ScanInfo(pushedIdLo: Long, pushedIdHi: Long,
     columns: Seq[String], partitions: Int, pushedAggs: Seq[String] = Nil,
-    runtimeFilterIds: Option[Int] = None)
+    runtimeFilterIds: Option[Int] = None, limitInfo: Seq[String] = Nil)
 
   /** One aggregate call accepted by [[SupportsPushDownAggregates]]:
     * `op` ∈ count|sum|min|max, `col` = None for COUNT(*). */
@@ -133,7 +133,8 @@ case class SyntheticTable(rows: Long, slices: Int, batchRows: Long,
 class SyntheticScanBuilder(rows: Long, slices: Int, batchRows: Long,
     columnar: Boolean, keyed: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN with SupportsPushDownOffset {
 
   private var lo = 0L
   private var hi = rows // [lo, hi)
@@ -224,15 +225,91 @@ class SyntheticScanBuilder(rows: Long, slices: Int, batchRows: Long,
     }
   }
 
-  override def build(): Scan =
-    SyntheticScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), slices,
-      batchRows, columnar, required, agg, keyed)
+  /** LIMIT / top-N / OFFSET pushdown — the scan-boundary ROW-COUNT
+    * reduction ([[SupportsPushDownLimit]] / [[SupportsPushDownTopN]] /
+    * [[SupportsPushDownOffset]]): ids generate dense-ascending over
+    * [lo, hi), so `ORDER BY id` IS the generation order and limit/offset
+    * are pure range arithmetic — top-k ascending = [lo, lo+k), top-k
+    * descending = [hi-k, hi), skip-m advances an endpoint by m. The
+    * warehouse the reference reads does this server-side as a matter of
+    * course (a LIMIT never ships the full table); at 100 TB it is the
+    * difference between generating k rows and generating everything so
+    * an executor-side Limit can discard it.
+    *
+    * Limit and top-N report PARTIALLY pushed (the same convention as our
+    * residual filters): the scan generates ≤ k rows per partition, and
+    * Spark's own Sort/Limit stays on top as the safety net — the
+    * connector never has to promise a global order across partitions.
+    * OFFSET is the one all-or-nothing contract (accepting it DELETES the
+    * Offset operator), and Spark only offers it where the source can be
+    * exact: a bare OFFSET over the clean relation — there, dropping the
+    * m lowest ids is exact. The fully-pushed-limit path can't reach
+    * [[pushOffset]] because our limit stays partial; the guard keeps the
+    * invariant explicit. */
+  private var limitK: Option[Int] = None
+  private var topNDesc: Option[Boolean] = None
+  private var offsetM: Int = 0
+
+  override def pushLimit(limit: Int): Boolean =
+    if (agg.nonEmpty || limit < 0) false
+    else { limitK = Some(limit); true }
+
+  // one answer for both the limit and top-N faces: always partial —
+  // Spark keeps its own (Take)Ordered/Limit on top as the safety net
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    val onId = agg.isEmpty && limit >= 0 && orders.length == 1 &&
+      (orders(0).expression() match {
+        case n: NamedReference => n.fieldNames.sameElements(Array("id"))
+        case _ => false
+      })
+    // id is non-nullable, so the order's null placement is irrelevant
+    if (onId) {
+      topNDesc = Some(orders(0).direction() == SortDirection.DESCENDING)
+      limitK = Some(limit)
+    }
+    onId
+  }
+
+  override def pushOffset(offset: Int): Boolean =
+    if (agg.nonEmpty || limitK.nonEmpty || offset < 0) false
+    else { offsetM = offset; true }
+
+  // a + b saturating at Long.MaxValue (lo can already sit at MaxValue
+  // after an id = Long.MaxValue pushed filter)
+  private def satAdd(a: Long, b: Long): Long =
+    if (a > Long.MaxValue - b) Long.MaxValue else a + b
+
+  override def build(): Scan = {
+    var l = math.max(lo, 0L)
+    var h = math.max(hi, l)
+    val desc = topNDesc.getOrElse(false)
+    limitK.foreach { k =>
+      if (desc) l = math.max(l, h - k) else h = math.min(h, satAdd(l, k))
+    }
+    if (offsetM > 0) {
+      if (desc) h = math.max(l, h - offsetM)
+      else l = math.min(h, satAdd(l, offsetM))
+    }
+    val limitInfo =
+      limitK.map { k =>
+        topNDesc match {
+          case Some(d) =>
+            s"PushedTopN: ORDER BY id ${if (d) "DESC" else "ASC"} LIMIT $k"
+          case None => s"PushedLimit: LIMIT $k"
+        }
+      }.toSeq ++
+        (if (offsetM > 0) Seq(s"PushedOffset: OFFSET $offsetM") else Nil)
+    SyntheticScan(l, h, slices, batchRows, columnar, required, agg, keyed,
+      limitInfo)
+  }
 }
 
 case class SyntheticScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
     columnar: Boolean, required: StructType,
     agg: Option[SyntheticSource.PushedAgg] = None,
-    keyed: Boolean = false)
+    keyed: Boolean = false, limitInfo: Seq[String] = Nil)
   extends Scan with Batch
   with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
@@ -284,12 +361,14 @@ case class SyntheticScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
     }
   override def description(): String = {
     val base = s"graft-synthetic [$lo, $hi) cols=${readSchema().fieldNames.mkString(",")}"
-    agg match {
+    val withAgg = agg match {
       case Some(a) => base +
         s" PushedAggregates: [${a.calls.map(_.sqlName).mkString(", ")}]" +
         s", PushedGroupByExpressions: [${a.groupCols.mkString(", ")}]"
       case None => base
     }
+    if (limitInfo.isEmpty) withAgg
+    else withAgg + limitInfo.mkString(" ", ", ", "")
   }
   override def toBatch: Batch = this
 
@@ -300,9 +379,10 @@ case class SyntheticScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
     * exactly-once contract: a restarted query resumes from the committed
     * id, and ranges are deterministic functions of offsets. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-    // Spark never offers an Aggregation to a streaming scan; guard the
-    // invariant rather than silently dropping the pushed aggregate
+    // Spark never offers an Aggregation (or limit/offset) to a streaming
+    // scan; guard the invariants rather than silently dropping them
     require(agg.isEmpty, "aggregate pushdown is a batch-only contract")
+    require(limitInfo.isEmpty, "limit/offset pushdown is a batch-only contract")
     new SyntheticMicroBatchStream(lo, hi, slices, batchRows, required.fieldNames)
   }
 
@@ -342,7 +422,7 @@ case class SyntheticScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
     SyntheticSource.lastScan = Some(SyntheticSource.ScanInfo(
       lo, hi, readSchema().fieldNames.toSeq, parts.length,
       agg.toSeq.flatMap(_.calls.map(_.sqlName)),
-      runtimeIds.map(_.length)))
+      runtimeIds.map(_.length), limitInfo))
     parts
   }
   override def createReaderFactory(): PartitionReaderFactory = agg match {

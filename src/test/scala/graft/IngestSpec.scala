@@ -477,6 +477,60 @@ class IngestSpec extends AnyFunSuite {
     assert(info.partitions == 1, s"slices not pruned: $info")
   }
 
+  test("SyntheticSource (DSv2): ORDER BY id LIMIT k pushes as TopN and " +
+    "caps the PLANNED range at k rows (SupportsPushDownTopN)") {
+    import org.apache.spark.sql.functions.col
+    val df = Materialize.dsv2TopN(spark, TestSpark.Sf0001)
+    val ids = df.collect().map(_.getLong(0)).toSeq
+    assert(ids == (199999L to 199958L by -1L).toSeq, ids)
+    // the executed plan carries the pushed top-N on the connector scan,
+    // and Spark's own TakeOrderedAndProject stays on top (partial push)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN: ORDER BY id DESC LIMIT 42"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the planning effect: the scan's id range IS the top-42 — no
+    // partition can generate a row the limit would discard
+    val info = graft.sources.SyntheticSource.lastScan.get
+    assert(info.pushedIdHi - info.pushedIdLo == 42, info)
+    assert(info.limitInfo == Seq("PushedTopN: ORDER BY id DESC LIMIT 42"), info)
+    // ascending flavor narrows from the low end
+    val asc = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 100000L).option("slices", 16).load()
+      .orderBy(col("id")).limit(7)
+    assert(asc.collect().map(_.getLong(0)).toSeq == (0L until 7L).toSeq)
+    val ascInfo = graft.sources.SyntheticSource.lastScan.get
+    assert(ascInfo.pushedIdLo == 0 && ascInfo.pushedIdHi == 7, ascInfo)
+    // a sort the generator can't serve (not the id order) is refused —
+    // the scan plans the full range and Spark's sort does the work
+    val other = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 1000L).option("slices", 4).load()
+      .orderBy(col("value_cents")).limit(3)
+    assert(other.count() == 3)
+    assert(graft.sources.SyntheticSource.lastScan.get.limitInfo.isEmpty)
+  }
+
+  test("SyntheticSource (DSv2): bare LIMIT and bare OFFSET push into the " +
+    "scan (SupportsPushDownLimit / SupportsPushDownOffset)") {
+    val df = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 200000L).option("slices", 16).load()
+    // plain limit (no order): any k rows satisfy it; the scan generates
+    // exactly k and Spark's GlobalLimit stays as the safety net
+    assert(df.limit(9).count() == 9)
+    val limInfo = graft.sources.SyntheticSource.lastScan.get
+    assert(limInfo.pushedIdHi - limInfo.pushedIdLo == 9, limInfo)
+    assert(limInfo.limitInfo == Seq("PushedLimit: LIMIT 9"), limInfo)
+    // bare offset is the all-or-nothing contract: accepting it DELETES
+    // the Offset operator, so the scan must skip exactly m rows — it
+    // advances the low endpoint by m
+    val off = df.offset(12345)
+    assert(off.count() == 200000L - 12345L)
+    val offInfo = graft.sources.SyntheticSource.lastScan.get
+    assert(offInfo.pushedIdLo == 12345, offInfo)
+    assert(offInfo.limitInfo == Seq("PushedOffset: OFFSET 12345"), offInfo)
+    assert(!off.queryExecution.executedPlan.toString.contains("Offset"),
+      "Offset operator should be deleted after an exact push")
+  }
+
   test("SyntheticSource (DSv2): reported KeyGroupedPartitioning makes " +
     "groupBy(event_type) SHUFFLE-FREE; values match the unkeyed scan") {
     val keyed = Materialize.dsv2KeyedAgg(spark, TestSpark.Sf0001)
