@@ -85,6 +85,7 @@ object SparkEntry {
     "q_ann_ivf"          -> VectorOps.annIvf _,
     "q_ann_pq"           -> VectorOps.annPq _,
     "q_salted_agg"       -> Relational.saltedAgg _,
+    "q_skew_join"        -> Relational.skewJoin _,
     "q_regex_tokens"     -> TextOps.regexTokens _,
     "q_rolling_fp"       -> TextOps.rollingFingerprint _,
     "q_range_join"       -> EventOps.rangeJoinPairs _,
@@ -102,6 +103,7 @@ object SparkEntry {
     "q_stream_enrich"    -> graft.streaming.StreamOps.enrichStreamed _,
     "q_stream_ssjoin"    -> graft.streaming.StreamOps.intervalJoinStreamed _,
     "q_stream_sink"      -> graft.streaming.StreamOps.tumblingSinkStreamed _,
+    "q_stream_dsv2_sink" -> graft.streaming.StreamOps.dsv2SinkStreamed _,
     "q_stream_upsert"    -> graft.streaming.StreamOps.upsertStreamed _,
     "q_stream_sliding"   -> graft.streaming.StreamOps.slidingStreamed _,
     "q_json_source"      -> Materialize.eventsFromJsonl _,
@@ -162,6 +164,7 @@ object SparkEntry {
     "q_train_split"      -> TextOps.trainSplit _,
     "q_stream_cascade"   -> graft.streaming.StreamOps.cascadeStreamed _,
     "q_stream_dsv2"      -> graft.streaming.StreamOps.dsv2Streamed _,
+    "q_catalog_events"   -> Materialize.catalogEvents _,
     "q_rank_funcs"       -> Relational.rankFuncs _,
     "q_array_funcs"      -> Relational.arrayFuncs _,
     "q_interval_merge"   -> EventOps.intervalMerge _,
@@ -457,6 +460,13 @@ object SparkEntry {
         |WHERE event_id IS NOT NULL AND ts IS NOT NULL
         |  AND user_id IS NOT NULL AND value IS NOT NULL
         |GROUP BY 1,2""".stripMargin,
+    "q_stream_dsv2_sink" -> // DSv2 streaming sink: the union of per-epoch
+      // manifest commits ≡ the input projection, row for row (exactly-once
+      // append through the atomic epoch-manifest publish)
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND user_id IS NOT NULL AND value IS NOT NULL
+        |  AND event_type IS NOT NULL""".stripMargin,
     "q_stream_user_totals" -> // final mapGroupsWithState state per user ==
       // the batch per-user totals over complete events (stream ≡ batch)
       """SELECT user_id, count(*) AS n_events,
@@ -1264,6 +1274,17 @@ object SparkEntry {
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+    "q_skew_join" -> // AQE's runtime skew split must be value-invisible:
+      // the oracle is the same skewed-key join + aggregate, planned flat
+      """WITH s AS (SELECT
+        |    CASE WHEN user_id % 20 <> 0 THEN 1 ELSE user_id END AS k,
+        |    event_type, CAST(round(value*100) AS BIGINT) AS value_c
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(c_nationkey) AS BIGINT) AS sum_nation,
+        |  CAST(sum(value_c) AS BIGINT) AS value_cents
+        |FROM s JOIN customer ON s.k = c_custkey
+        |GROUP BY 1""".stripMargin,
     "q_regex_tokens" ->
       """WITH t AS (SELECT doc_id,
         |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS rt
@@ -2061,6 +2082,14 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1""".stripMargin,
+    "q_catalog_events" -> // catalog-served events with the ts normalization
+      // must be value-identical to the raw table (DuckDB reads the
+      // timestamp[us] column natively)
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
+        |  event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     "q_rendezvous_shard" -> // HRW argmax over the same 15-hex score
       // strings; list_position ≡ array_position (1-based, first match)
       s"""WITH s AS (SELECT doc_id,

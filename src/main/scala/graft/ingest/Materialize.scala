@@ -694,6 +694,26 @@ object Materialize {
         |GROUP BY n_name""".stripMargin)
   }
 
+  /** The `events` table served BY NAME through [[graft.sources
+    * .GraftCatalog]] — the one table whose raw physical type needs the
+    * [[graft.sources.Tables.events]] normalization, applied by the
+    * catalog as a user-specified schema on the same parquet DSv2 scan
+    * (value-identity on the stored micros in the UTC session, so
+    * pushdown/pruning/vectorization survive untouched — IngestSpec pins
+    * catalog-read ≡ Tables.events). The query is a windowed profile a
+    * monitoring job would run by name: hourly event counts and distinct
+    * users per type. Oracle: the same SQL over the raw table (DuckDB
+    * reads timestamp[us] natively). */
+  def catalogEvents(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.sql(
+      """SELECT unix_micros(date_trunc('HOUR', ts)) AS win_start_us,
+        |  event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM graft.sf.events
+        |WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin)
+  }
+
   /** DSv2 REPORTED PARTITIONING ([[graft.sources.SyntheticSource]],
     * `SupportsReportPartitioning`) — the storage-partitioned contract:
     * `partitionBy=event_type` keys the generator's partitions by type

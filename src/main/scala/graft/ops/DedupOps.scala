@@ -219,12 +219,24 @@ object DedupOps {
     * Deterministic regardless of execution order (min is commutative),
     * so DuckDB's recursive-CTE closure reproduces it exactly. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // CC state is a one-row-per-doc label table and the post-contraction
+    // graph is a sliver: the loop's latency is per-stage scheduling, not
+    // data. A child session pins CC-sized shuffle width without mutating
+    // the caller's conf (the streamSession convention — a real
+    // deployment sizes this to component count, and AQE still coalesces
+    // below it).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // newSession starts from the builder conf — carry the caller's
+    // checkpoint-dir choice across (reliable-recovery mode must survive)
+    spark.conf.getOption("spark.graft.checkpointDir")
+      .foreach(s.conf.set("spark.graft.checkpointDir", _))
     // persist pairs BEFORE the symmetrize union, or both union branches
     // re-run the whole minhash pipeline
-    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).persist()
+    val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b")).persist()
     try
       minLabelComponents(
-        Tables.documents(spark, dir)
+        Tables.documents(s, dir)
           .filter(col("text").isNotNull)
           .select(col("doc_id")),
         pairs)
@@ -246,7 +258,25 @@ object DedupOps {
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .repartition(col("doc_a"))
       .persist()
-    var labels = ckpt(nodes.select(col("doc_id"), col("doc_id").as("label")))
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"CC $tag: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    var labels = timed("labels-ckpt")(
+      ckpt(nodes.select(col("doc_id"), col("doc_id").as("label"))))
+    // per-cycle lineage truncation: under the default LOCAL checkpoint a
+    // LAZY checkpoint lets the cycle's convergence count do the
+    // materializing — ONE job per cycle instead of checkpoint-job +
+    // count-job (halves the sequential driver latency the loop is made
+    // of). A configured reliable dir keeps the eager form: its lazy
+    // variant would recompute the plan in the separate checkpoint job.
+    val lazyLocal =
+      nodes.sparkSession.conf.getOption("spark.graft.checkpointDir").isEmpty
+    def cycleCkpt(df: DataFrame): DataFrame =
+      if (lazyLocal) df.localCheckpoint(false) else ckpt(df)
     try {
       var changed = 1L
       var rounds = 0
@@ -262,48 +292,59 @@ object DedupOps {
       // scale it is the difference between re-scanning the full edge list
       // every round and touching a sliver.
       var liveEdges = edges
-      // one propagate+jump step over (doc_id, orig, label): `orig` (the
-      // label at CYCLE start) rides through untouched so convergence is a
-      // scan of the cycle's one checkpoint — not an extra join back to
-      // the previous labels (one fewer shuffle per cycle)
-      def step(lbl: DataFrame): DataFrame = {
+      // one propagate+jump step; `carry` columns (the convergence
+      // markers) ride through untouched so convergence is a scan of the
+      // cycle's one checkpoint — not an extra join back to the previous
+      // labels (one fewer shuffle per cycle)
+      def step(lbl: DataFrame, carry: Seq[String]): DataFrame = {
+        val keep = carry.map(col)
         val nbrMin = liveEdges
           .join(lbl, col("doc_a") === col("doc_id"))
           .groupBy(col("doc_b"))
           .agg(min(col("label")).as("nbr_min"))
         val stepped = lbl
           .join(nbrMin, col("doc_id") === col("doc_b"), "left")
-          .select(col("doc_id"), col("orig"),
-            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          .select(col("doc_id") +: keep :+
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"): _*)
         val byId = stepped.select(col("doc_id").as("pid"), col("label").as("plabel"))
         stepped
           .join(byId, col("label") === col("pid"))
-          .select(col("doc_id"), col("orig"), col("plabel").as("label"))
+          .select(col("doc_id") +: keep :+ col("plabel").as("label"): _*)
       }
       while (changed > 0 && rounds < MaxRounds) {
         if (rounds == 1) {
           val la = labels.select(col("doc_id").as("doc_a"), col("label").as("la"))
           val lb = labels.select(col("doc_id").as("doc_b"), col("label").as("lb"))
-          val contracted = ckpt(edges
+          val contracted = timed("contraction")(ckpt(edges
             .join(la, "doc_a").join(lb, "doc_b")
             .filter(col("la") =!= col("lb"))
             .select(col("la").as("doc_a"), col("lb").as("doc_b"))
-            .distinct())
+            .distinct()))
           liveEdges = contracted
           edges.unpersist()
         }
-        val start = labels.select(col("doc_id"), col("label").as("orig"),
-          col("label"))
+        val start = labels.select(col("doc_id"), col("label"))
         // cycle 0 runs ONE step against the full edge list; once the
         // graph is contracted the per-step data is a sliver and the
-        // sequential latency is all driver-side job/checkpoint overhead,
-        // so each later cycle chains TWO steps into the one checkpoint +
-        // one convergence count — half the actions for the same
-        // fixpoint (a cycle whose two steps both change nothing counts
-        // zero and terminates; MaxRounds bounds cycles, conservatively)
-        val cycled = if (rounds == 0) step(start) else step(step(start))
-        val jumped = ckpt(cycled)
-        changed = jumped.filter(col("label") =!= col("orig")).count()
+        // sequential latency is per-stage scheduling, so each later
+        // cycle chains TWO steps into the one materialization + one
+        // convergence count. The LAST step of a cycle records its input
+        // label as `prev`: a full propagate+jump step that maps every
+        // label to itself IS the fixpoint (label(b) ≤ label(a) across
+        // every symmetric edge ⇒ labels constant per component, and
+        // labels only ever take component doc_ids ⇒ the constant is the
+        // min), so convergence is detected the moment a step is an
+        // identity — the typical post-contraction cycle does its real
+        // work in step one and its step two doubles as the confirmation,
+        // ending the loop with no separate confirming cycle. MaxRounds
+        // bounds cycles, conservatively.
+        val pre = if (rounds == 0) start else step(start, Nil)
+        val last = step(pre.withColumn("prev", col("label")), Seq("prev"))
+        val jumped = timed(s"ckpt-$rounds")(cycleCkpt(last))
+        val t0 = System.nanoTime()
+        changed = jumped.filter(col("label") =!= col("prev")).count()
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          println(f"CC cycle $rounds: changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2fs")
         // superseded checkpoints lose their last reference here; the
         // ContextCleaner reclaims their blocks asynchronously
         labels = jumped.select(col("doc_id"), col("label"))

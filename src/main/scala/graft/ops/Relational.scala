@@ -385,6 +385,51 @@ object Relational {
         sum(col("partial_n")).as("n_orders"))
   }
 
+  /** AQE SKEW-JOIN — the RUNTIME complement of [[saltedAgg]]'s manual
+    * salting: a sort-merge join whose left shuffle is deliberately
+    * skewed (a CASE collapses ~95% of events onto key 0), left to
+    * Spark's `OptimizeSkewedJoin` to fix AT RUNTIME from the measured
+    * partition sizes — the oversized partition is split into chunks and
+    * the matching right rows replicated to each (no rewrite of the
+    * query, no salt columns in user code). The child session pins the
+    * demo at test scale: broadcast disabled (skew handling only applies
+    * to shuffle joins) and the skew thresholds lowered to local-corpus
+    * bytes; a 100 TB deployment keeps the defaults and gets the same
+    * plan when a real key is hot. PlanSpec pins `skew=true` in the
+    * final adaptive plan. Oracle: the same join+aggregate — runtime
+    * re-planning must be value-invisible. */
+  def skewJoin(parent: SparkSession, dir: String): DataFrame = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    // shuffle blocks are compressed: the hot partition is only a few KB
+    // at the smallest test scale, so the demo thresholds sit at 2KB
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+    // the classic hot-customer shape: ~95% of events collapse onto
+    // customer 1. Both join children are plain scans, so both sides get
+    // ENSURE_REQUIREMENTS exchanges — the only shuffle origin
+    // OptimizeSkewedJoin may re-split (an aggregate or user repartition
+    // between scan and join would satisfy the join's distribution and
+    // take the pattern out of the rule's reach)
+    val s = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(
+        when(col("user_id") % 20 =!= 0, lit(1L)).otherwise(col("user_id")).as("k"),
+        col("event_type"), cents(col("value")).as("value_c"))
+      // skew splits cut along MAPPER boundaries: the local corpus is one
+      // parquet file = one map task, which makes the hot partition a
+      // single indivisible chunk. Spread the fact side over 8 mappers —
+      // exactly what a real multi-file 100 TB scan has for free.
+      .repartition(8)
+    val d = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    s.join(d, col("k") === col("c_custkey"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c_nationkey")).as("sum_nation"),
+        sum(col("value_c")).as("value_cents"))
+  }
+
   /** Promo revenue share per brand (TPC-H Q14 shape): lineitem ⋈ part
     * with conditional aggregation, all in exact e4 units (cents × pct)
     * and an integral per-mille ratio. The join hint is deliberately

@@ -81,6 +81,35 @@ class GraftCatalog extends TableCatalog {
     }
 
   override def loadTable(ident: Identifier): Table = ident.namespace().toSeq match {
+    case Seq(SfNs) if ident.name() == EventsTable && sfPath(EventsTable).exists() =>
+      // events needs the [[Tables.events]] ts normalization. The live
+      // corpus stores timestamp[us] (isAdjustedToUTC=false → inferred
+      // TIMESTAMP_NTZ); the session runs in UTC, so declaring the column
+      // as TIMESTAMP via a user-specified schema is VALUE-IDENTITY on
+      // the stored micros — the plain parquet DSv2 table serves it with
+      // pushdown/pruning/vectorization intact, zero custom scan code
+      // (IngestSpec pins catalog-read ≡ Tables.events values).
+      val path = sfPath(EventsTable).toString
+      val spark = SparkSession.active
+      val inferred = spark.read.parquet(path).schema
+      inferred("ts").dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.TimestampType =>
+          val normalized = org.apache.spark.sql.types.StructType(inferred.map(f =>
+            if (f.name == "ts")
+              f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+            else f))
+          new ParquetDataSourceV2().getTable(
+            new CaseInsensitiveStringMap(Map("path" -> path).asJava), normalized)
+        case other =>
+          // a TIMESTAMP(NANOS) corpus reads as nanos LONGS under the
+          // pinned nanosAsLong conf; a schema override cannot divide
+          // values, so refuse loudly rather than serve nanos under a
+          // micros-typed name
+          throw new UnsupportedOperationException(
+            s"graft.sf.events: cannot catalog-serve ts of type $other " +
+              "(TIMESTAMP(NANOS) corpus); read via graft.sources.Tables.events")
+      }
     case Seq(SfNs) if SfTables.contains(ident.name()) && sfPath(ident.name()).exists() =>
       // fresh provider per load: FileDataSourceV2 memoizes its Table, and
       // a re-pointed dir must not serve the previous scale's files
@@ -116,13 +145,13 @@ object GraftCatalog {
   val GenTable = "numbers"
 
   /** The driver-generated scale-factor tables ([[Tables]]). `events` is
-    * deliberately absent: its TIMESTAMP(NANOS) parquet needs the
-    * session-level `nanosAsLong` normalization [[Tables.events]] applies —
-    * a bare catalog read would surface the raw physical type and quietly
-    * diverge from every other events query. */
+    * served through its own load branch that applies the
+    * [[Tables.events]] ts normalization as a user-specified schema on
+    * the same parquet DSv2 table (see loadTable). */
+  val EventsTable = "events"
   val SfTables: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "documents", "embeddings")
+    "lineitem", "documents", "embeddings", EventsTable)
 
   /** Install the catalog on a session (idempotent; conf-only). */
   def register(spark: SparkSession, dir: String): Unit = {

@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -60,6 +61,9 @@ class ManifestSink extends TableProvider {
 object ManifestSink {
   val ManifestName = "MANIFEST"
 
+  /** Zero-padded so lexicographic directory order IS epoch order. */
+  private[sources] def epochName(epochId: Long): String = f"epoch-$epochId%020d"
+
   /** The committed file list (absolute paths), i.e. the current visible
     * snapshot — empty if no commit ever published. */
   def committedFiles(path: String): Seq[String] = {
@@ -68,6 +72,16 @@ object ManifestSink {
     else Files.readAllLines(m, StandardCharsets.UTF_8).asScala.toSeq
       .filter(_.nonEmpty).map(f => Paths.get(path, "data", f).toString)
   }
+
+  /** Committed epoch-manifest files of a streaming sink dir, in epoch
+    * order (bounded metadata: one small file per committed epoch). */
+  private[sources] def epochManifests(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("epoch-"))
+      .sortBy(_.getFileName.toString)
+    finally s.close()
+  }
 }
 
 case class ManifestTable(path: String, writeSchema: StructType)
@@ -75,11 +89,13 @@ case class ManifestTable(path: String, writeSchema: StructType)
   override def name(): String = s"manifest($path)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = ManifestBatchWrite(path, info.schema())
+        override def toStreaming: StreamingWrite =
+          ManifestStreamingWrite(path, info.schema())
       }
     }
 }
@@ -109,14 +125,87 @@ case class ManifestBatchWrite(path: String, schema: StructType) extends BatchWri
     }
 }
 
+/** The STREAMING face of the same manifest contract: each micro-batch
+  * (epoch) commits by publishing its task-file list as ONE epoch
+  * manifest via atomic move, then re-deriving the top-level MANIFEST as
+  * the union of all committed epochs — so batch readers
+  * ([[ManifestSink.committedFiles]]) see streaming commits through the
+  * identical snapshot mechanism. The engine's delivery to the sink is
+  * at-least-once (a crash between the sink commit and the engine's own
+  * commit log replays the epoch on restart), so EXACTLY-ONCE table
+  * content is the sink's job: an epoch whose manifest already exists is
+  * a replay — the first commit won, and the replay attempt's files are
+  * deleted so it leaves no trace. StreamingSpec restarts a checkpointed
+  * query with the engine commit marker removed and pins that the
+  * replayed epoch changes nothing. */
+case class ManifestStreamingWrite(path: String, schema: StructType)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    ManifestStreamingWriterFactory(path, schema.fields.map(_.dataType.typeName))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Files.createDirectories(Paths.get(path))
+    val epoch = dir.resolve(ManifestSink.epochName(epochId))
+    if (Files.exists(epoch)) {
+      // replayed epoch: the first commit already published this epoch's
+      // files; discard the replay's output (idempotence)
+      messages.foreach {
+        case CommittedFile(n, _) => Files.deleteIfExists(Paths.get(path, "data", n))
+        case _ =>
+      }
+      return
+    }
+    val names = messages.collect { case CommittedFile(n, _) => n }.sorted
+    val tmp = dir.resolve(s".${ManifestSink.epochName(epochId)}.tmp")
+    Files.write(tmp, names.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, epoch, StandardCopyOption.ATOMIC_MOVE)
+    // union of committed epochs → the same MANIFEST batch readers use;
+    // REPLACE is safe because epoch manifests are append-only, so the
+    // union only grows and old-manifest readers keep a consistent
+    // (merely stale) snapshot
+    val all = ManifestSink.epochManifests(dir)
+      .flatMap(f => Files.readAllLines(f, StandardCharsets.UTF_8).asScala)
+      .filter(_.nonEmpty)
+    val mtmp = dir.resolve(s".${ManifestSink.ManifestName}.tmp")
+    Files.write(mtmp, all.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(mtmp, dir.resolve(ManifestSink.ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case CommittedFile(n, _) =>
+        Files.deleteIfExists(Paths.get(path, "data", n))
+      case _ =>
+    }
+}
+
+case class ManifestStreamingWriterFactory(path: String, fieldTypes: Array[String])
+    extends StreamingDataWriterFactory {
+  // the epoch is baked into the file name so replayed-epoch files are
+  // recognizable on disk; taskId still guarantees attempt uniqueness
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    ManifestWriters.create(path, fieldTypes,
+      f"${ManifestSink.epochName(epochId)}-part-$partitionId%05d-$taskId.csv")
+}
+
 case class ManifestWriterFactory(path: String, fieldTypes: Array[String])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    // taskId is unique across the application, so re-runs into the
+    // same directory never collide — superseded files become
+    // manifest-invisible orphans
+    ManifestWriters.create(path, fieldTypes, f"part-$partitionId%05d-$taskId.csv")
+}
+
+/** One task-file writer, shared by the batch and streaming factories —
+  * the factories differ only in how they NAME the file. */
+private[sources] object ManifestWriters {
+  def create(path: String, fieldTypes: Array[String],
+      fileName: String): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      // taskId is unique across the application, so re-runs into the
-      // same directory never collide — superseded files become
-      // manifest-invisible orphans
-      private val name = f"part-$partitionId%05d-$taskId.csv"
+      private val name = fileName
       private val file: Path = {
         val d = Files.createDirectories(Paths.get(path, "data"))
         d.resolve(name)

@@ -289,8 +289,11 @@ class SyntheticScanBuilder(rows: Long, slices: Int, batchRows: Long,
       if (desc) l = math.max(l, h - k) else h = math.min(h, satAdd(l, k))
     }
     if (offsetM > 0) {
-      if (desc) h = math.max(l, h - offsetM)
-      else l = math.min(h, satAdd(l, offsetM))
+      // pushOffset refuses when limitK is set and topNDesc is only ever
+      // set together with limitK, so an accepted offset is always an
+      // ascending skip from the low end
+      assert(topNDesc.isEmpty, "offset pushed alongside a TopN")
+      l = math.min(h, satAdd(l, offsetM))
     }
     val limitInfo =
       limitK.map { k =>

@@ -527,8 +527,11 @@ class IngestSpec extends AnyFunSuite {
     val offInfo = graft.sources.SyntheticSource.lastScan.get
     assert(offInfo.pushedIdLo == 12345, offInfo)
     assert(offInfo.limitInfo == Seq("PushedOffset: OFFSET 12345"), offInfo)
-    assert(!off.queryExecution.executedPlan.toString.contains("Offset"),
-      "Offset operator should be deleted after an exact push")
+    // assert on the logical OPERATOR, not the plan string — the scan's
+    // own description legitimately prints "PushedOffset: OFFSET 12345"
+    assert(off.queryExecution.optimizedPlan.collect {
+      case o: org.apache.spark.sql.catalyst.plans.logical.Offset => o
+    }.isEmpty, "Offset operator should be deleted after an exact push")
   }
 
   test("SyntheticSource (DSv2): reported KeyGroupedPartitioning makes " +
@@ -584,11 +587,32 @@ class IngestSpec extends AnyFunSuite {
     graft.sources.GraftCatalog.register(spark, TestSpark.Sf0001)
     val ddl = intercept[Exception](spark.sql("DROP TABLE graft.sf.orders"))
     assert(ddl.getMessage.contains("read-only"), ddl.getMessage)
-    // events is deliberately uncataloged (TIMESTAMP(NANOS) needs the
-    // Tables-side normalization); its absence must be a clean miss
+    // an unknown table must be a clean resolution miss, not a crash
     val miss = intercept[org.apache.spark.sql.AnalysisException](
-      spark.sql("SELECT * FROM graft.sf.events"))
+      spark.sql("SELECT * FROM graft.sf.no_such_table"))
     assert(miss.getMessage.toLowerCase.contains("cannot be found") ||
       miss.getMessage.toLowerCase.contains("not found"), miss.getMessage)
+  }
+
+  test("GraftCatalog: events serves BY NAME with the ts normalization — " +
+    "schema says TIMESTAMP and values ≡ Tables.events, pushdown intact") {
+    graft.sources.GraftCatalog.register(spark, TestSpark.Sf0001)
+    val cat = spark.table("graft.sf.events")
+    assert(cat.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType, cat.schema)
+    val base = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+    assert(cat.schema.fieldNames.sameElements(base.schema.fieldNames))
+    assert(cat.exceptAll(base).isEmpty && base.exceptAll(cat).isEmpty,
+      "catalog events diverged from Tables.events")
+    // the user-specified schema must not cost the scan its machinery:
+    // filters still push, the read schema still prunes
+    val q = cat.filter(org.apache.spark.sql.functions.col("user_id") === 7L)
+      .select("event_id", "user_id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan parquet"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]"),
+      plan)
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,user_id:bigint>"),
+      s"events scan not pruned:\n$plan")
   }
 }

@@ -51,17 +51,27 @@ class NullCorpusSpec extends AnyFunSuite {
       Row(9001L, null, "en", "web", 0L),
       Row(9002L, "some plain text here", null, null, 20L),
       Row(9003L, "", "de", "web", 0L)))
-    // the source events table is TIMESTAMP(NANOS) → read as nanos longs;
-    // re-land as TIMESTAMP_NTZ so the corpus also exercises the
-    // Tables.events NTZ normalization branch
-    val tsNanos = 1704164645000000000L // 2024-01-02T03:04:05Z
+    // the source events table is either TIMESTAMP(NANOS) (read as nanos
+    // longs under nanosAsLong) or timestamp[us] (read as TIMESTAMP_NTZ,
+    // the driver's regenerated corpus). Branch on the landed dtype the
+    // same way Tables.events does, so either generation lands as
+    // TIMESTAMP_NTZ and exercises the NTZ normalization branch.
+    val (tsVal, reland): (Any, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      spark.read.parquet(s"$src/events.parquet").schema("ts").dataType match {
+        case LongType =>
+          (1704164645000000000L, // 2024-01-02T03:04:05Z as nanos
+            _.withColumn("ts", org.apache.spark.sql.functions.expr(
+              "cast(timestamp_micros(ts div 1000) as timestamp_ntz)")))
+        case TimestampNTZType =>
+          (java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5), identity _)
+        case _ => // TimestampType: external type is Instant
+          (java.time.Instant.parse("2024-01-02T03:04:05Z"), identity _)
+      }
     extend("events", Seq(
-      Row(99001L, tsNanos, 1L, null, null, null),
+      Row(99001L, tsVal, 1L, null, null, null),
       Row(99002L, null, 2L, "click", 1.25, "{\"k\": 5}"),
-      Row(99003L, tsNanos, null, "view", 2.5, "{\"k\": 6}")),
-      post = _.withColumn("ts",
-        org.apache.spark.sql.functions.expr(
-          "cast(timestamp_micros(ts div 1000) as timestamp_ntz)")))
+      Row(99003L, tsVal, null, "view", 2.5, "{\"k\": 6}")),
+      post = reland)
     extend("customer", Seq(
       Row(99001L, null, 3, 12.34, "BUILDING"),
       Row(99002L, "Customer#000099002", null, null, null)))

@@ -115,6 +115,25 @@ class PlanSpec extends AnyFunSuite {
     } finally edges.unpersist()
   }
 
+  test("q_skew_join: AQE detects the hot key at RUNTIME and splits the " +
+    "skewed partition — skew=true in the final adaptive plan") {
+    val df = Relational.skewJoin(spark, TestSpark.Sf0001)
+    val plan = finalPlan(df)
+    assert(plan.contains("skew=true"), s"no skew split in:\n$plan")
+    // and runtime re-planning is value-invisible: the joined row count
+    // equals the flat semi-join count (~95% of events on hot customer 1)
+    import org.apache.spark.sql.functions.{col, when, lit, sum}
+    val total = df.agg(sum("n")).collect()(0).getLong(0)
+    val expected = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+      .filter("user_id IS NOT NULL AND value IS NOT NULL")
+      .select(when(col("user_id") % 20 =!= 0, lit(1L))
+        .otherwise(col("user_id")).as("k"))
+      .join(graft.sources.Tables.customer(spark, TestSpark.Sf0001),
+        col("k") === col("c_custkey"), "left_semi")
+      .count()
+    assert(total == expected, s"$total != $expected")
+  }
+
   test("q_ann_ivf: centroid set and probes broadcast; corpus never sort-merges") {
     val plan = finalPlan(VectorOps.annIvf(spark, TestSpark.Sf0001))
     // assignment joins the 1-row centroid array, search joins the probe

@@ -219,6 +219,69 @@ class StreamingSpec extends AnyFunSuite {
       s"restart lost state or re-read offsets: $resumed vs $batch")
   }
 
+  test("ManifestSink StreamingWrite: per-epoch atomic publish — and a " +
+    "REPLAYED epoch after a checkpoint restart re-commits idempotently " +
+    "(first commit wins, the replay leaves no trace)") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_stream_manifest")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt")
+    def land(evs: Seq[Ev]): Unit =
+      evs.toDF().coalesce(1).write.mode("append").parquet(srcDir.toString)
+    val schema = Seq.empty[Ev].toDF().schema
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .writeStream.format("graft.sources.ManifestSink")
+      .option("path", out)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    land(batch1)
+    val q1 = start(); try q1.processAllAvailable() finally q1.stop()
+    land(batch2)
+    val q2 = start(); try q2.processAllAvailable() finally q2.stop()
+    def readBack(): Set[(Long, Long, String)] = {
+      val files = graft.sources.ManifestSink.committedFiles(out)
+      spark.read.schema("event_id LONG, user_id LONG, event_type STRING")
+        .csv(files: _*)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    }
+    def dataFiles(): Set[String] = {
+      val s = Files.list(Paths.get(out, "data"))
+      try s.iterator().asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    val expected = (batch1 ++ batch2)
+      .map(e => (e.event_id, e.user_id, e.event_type)).toSet
+    val committed = graft.sources.ManifestSink.committedFiles(out).toSet
+    assert(readBack() == expected, "epoch-union manifest lost or duped rows")
+    assert(dataFiles() == committed.map(f => Paths.get(f).getFileName.toString),
+      "uncommitted files left in data/")
+    // force an epoch REPLAY: drop the engine's newest commit marker so a
+    // restarted query re-runs the last micro-batch under the SAME epochId
+    // (the engine's delivery to the sink is at-least-once by design —
+    // exactly-once content is the sink's job)
+    val commits = Files.list(ckpt.resolve("commits"))
+    val newest =
+      try commits.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toLong)
+      finally commits.close()
+    Files.delete(newest)
+    // the local checkpoint FS is checksummed: drop the crc sidecar too,
+    // or the replay's atomic rename into the same name is blocked
+    Files.deleteIfExists(
+      newest.resolveSibling(s".${newest.getFileName}.crc"))
+    val q3 = start(); try q3.processAllAvailable() finally q3.stop()
+    assert(graft.sources.ManifestSink.committedFiles(out).toSet == committed,
+      "replayed epoch changed the committed snapshot")
+    assert(readBack() == expected, "replayed epoch duped or lost rows")
+    assert(dataFiles() == committed.map(f => Paths.get(f).getFileName.toString),
+      "replayed epoch left orphan files in data/")
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
