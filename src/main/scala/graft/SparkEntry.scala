@@ -43,6 +43,7 @@ object SparkEntry {
     "q_set_ops"          -> Relational.setOps _,
     "q_running_total"    -> Relational.runningTotal _,
     "q_json_extract"     -> EventOps.jsonExtract _,
+    "q_variant"          -> EventOps.variantExtract _,
     "q_tumbling_hour"    -> EventOps.tumblingHour _,
     "q_sliding_hour"     -> EventOps.slidingHour _,
     "q_session_stats"    -> EventOps.sessionStats _,
@@ -98,6 +99,7 @@ object SparkEntry {
     "q_stream_tumbling"  -> graft.streaming.StreamOps.tumblingHourStreamed _,
     "q_stream_session"   -> graft.streaming.StreamOps.sessionStreamed _,
     "q_stream_user_totals" -> graft.streaming.StreamOps.userTotalsStreamed _,
+    "q_stream_tws"       -> graft.streaming.StreamOps.userTotalsTwsStreamed _,
     "q_stream_bursts"    -> graft.streaming.StreamOps.burstsStreamed _,
     "q_stream_dedup"     -> graft.streaming.StreamOps.dedupStreamed _,
     "q_stream_enrich"    -> graft.streaming.StreamOps.enrichStreamed _,
@@ -408,6 +410,15 @@ object SparkEntry {
         |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k FROM events)
         |SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
         |  count(*) AS n FROM e GROUP BY 1""".stripMargin,
+    "q_variant" -> // typed VARIANT path extraction ≡ DuckDB JSON extraction
+      // over the same strings; the absent path must be NULL (0 hits)
+      """WITH e AS (SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract(props, '$.missing') AS BIGINT) AS m
+        |  FROM events WHERE props IS NOT NULL)
+        |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k, count(m) AS n_miss_hits
+        |FROM e GROUP BY 1""".stripMargin,
     "q_json_map" -> // k reproduces Spark's non-ANSI string→long EXACTLY
       // (pinned in ExpressionSpec): integral strings parse exactly at any
       // int64 magnitude (a DOUBLE round-trip would corrupt >2^53),
@@ -469,6 +480,15 @@ object SparkEntry {
         |  AND event_type IS NOT NULL""".stripMargin,
     "q_stream_user_totals" -> // final mapGroupsWithState state per user ==
       // the batch per-user totals over complete events (stream ≡ batch)
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    "q_stream_tws" -> // transformWithState (the mapGroupsWithState
+      // successor, RocksDB-backed): same per-user fold, same oracle —
+      // the API migration must be result-invisible
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events

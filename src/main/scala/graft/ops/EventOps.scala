@@ -27,6 +27,29 @@ object EventOps {
         max(col("k")).as("max_k"),
         count(lit(1)).as("n"))
 
+  /** Semi-structured props through Spark 4's VARIANT type: `parse_json`
+    * turns the JSON string into the binary variant encoding ONCE, and
+    * typed `variant_get` paths extract from it without re-parsing — the
+    * open-format answer to a JSON column read many times (shredded
+    * variant parquet pushes these extractions into the scan itself:
+    * the parquet reader here already reports `PushedVariantExtractions`
+    * for stored VARIANT columns). `try_variant_get` on an absent path
+    * is NULL, never an error — counted to pin the miss semantics.
+    * Oracle: DuckDB's JSON extraction over the same strings. */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("props").isNotNull)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'bigint')").as("m"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(col("m")).as("n_miss_hits"))
+
   /** Tumbling 1-hour event-time windows (counts + exact cents). A null
     * timestamp cannot be windowed: Spark's window generator would drop
     * the row while the oracle's date_trunc(NULL) groups it — exclude

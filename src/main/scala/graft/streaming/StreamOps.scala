@@ -87,6 +87,33 @@ object StreamOps {
   /** Required OutputMode for [[runningUserTotals]] sinks. */
   val RunningTotalsOutputMode: OutputMode = OutputMode.Update()
 
+  /** [[runningUserTotals]] re-expressed on Spark 4's transformWithState
+    * — the arbitrary-state API that SUPERSEDES mapGroupsWithState:
+    * state is named TYPED handles acquired in init (value/list/map per
+    * key, independently evolvable and TTL-able) instead of one opaque
+    * GroupState blob, and the operator requires the RocksDB provider —
+    * the store that actually holds billions of keys at 100 TB. Same
+    * per-user fold, same emissions, so [[userTotalsTwsStreamed]] shares
+    * q_stream_user_totals' oracle shape. */
+  class TotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserAgg] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[UserAgg] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserAgg]("totals",
+        org.apache.spark.sql.Encoders.product[UserAgg],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserAgg] = {
+      val prev = if (totals.exists()) totals.get() else UserAgg(uid, 0L, 0L)
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        UserAgg(uid, acc.n_events + 1, acc.total_cents + math.round(e.value * 100))
+      }
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
   /** A closed activity burst emitted by [[burstDetector]]. */
   case class Burst(user_id: Long, n_events: Long, first_us: Long, last_us: Long)
 
@@ -410,6 +437,33 @@ object StreamOps {
       RunningTotalsOutputMode,
       Seq(stagedHalf(spark, dir, 1), stagedHalf(spark, dir, 2)))(
       src => runningUserTotals(src.as[Ev]).toDF())
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total_cents"))).as("fin"))
+      .select(col("user_id"), col("fin.n_events").as("n_events"),
+        col("fin.total_cents").as("total_cents"))
+  }
+
+  /** [[TotalsProcessor]] (transformWithState) under the engine: the
+    * modern arbitrary-state operator over the same two time-split
+    * batches, Update-mode memory sink, RocksDB state store (required by
+    * the operator; its own child session isolates the provider conf).
+    * Extraction and oracle are identical to [[userTotalsStreamed]] —
+    * the API migration must be result-invisible. */
+  def userTotalsTwsStreamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val schema = completeEvents(spark, dir).schema
+    runFileStream(spark, schema, "graft_stream_tws_sink",
+      RunningTotalsOutputMode,
+      Seq(stagedHalf(spark, dir, 1), stagedHalf(spark, dir, 2)))(
+      src => src.as[Ev].groupByKey(_.user_id)
+        .transformWithState(new TotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          RunningTotalsOutputMode)
+        .toDF())
       .groupBy(col("user_id"))
       .agg(max(struct(col("n_events"), col("total_cents"))).as("fin"))
       .select(col("user_id"), col("fin.n_events").as("n_events"),

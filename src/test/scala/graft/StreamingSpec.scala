@@ -282,6 +282,14 @@ class StreamingSpec extends AnyFunSuite {
       "replayed epoch left orphan files in data/")
   }
 
+  test("transformWithState ≡ mapGroupsWithState: the API migration is " +
+    "result-invisible (same per-user totals, row for row)") {
+    val tws = StreamOps.userTotalsTwsStreamed(spark, TestSpark.Sf0001)
+    val mgws = StreamOps.userTotalsStreamed(spark, TestSpark.Sf0001)
+    assert(tws.exceptAll(mgws).isEmpty && mgws.exceptAll(tws).isEmpty,
+      "transformWithState diverged from mapGroupsWithState")
+  }
+
   test("streaming dedup drops re-delivered event ids") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
