@@ -100,6 +100,7 @@ object SparkEntry {
     "q_stream_session"   -> graft.streaming.StreamOps.sessionStreamed _,
     "q_stream_user_totals" -> graft.streaming.StreamOps.userTotalsStreamed _,
     "q_stream_tws"       -> graft.streaming.StreamOps.userTotalsTwsStreamed _,
+    "q_state_reader"     -> graft.streaming.StreamOps.stateReader _,
     "q_stream_bursts"    -> graft.streaming.StreamOps.burstsStreamed _,
     "q_stream_dedup"     -> graft.streaming.StreamOps.dedupStreamed _,
     "q_stream_enrich"    -> graft.streaming.StreamOps.enrichStreamed _,
@@ -486,6 +487,12 @@ object SparkEntry {
         |WHERE event_id IS NOT NULL AND ts IS NOT NULL
         |  AND user_id IS NOT NULL AND value IS NOT NULL
         |GROUP BY 1""".stripMargin,
+    "q_state_reader" -> // the state store's key set after an unwatermarked
+      // streaming dedup IS the distinct-id set (state content ≡ the
+      // semantic the operator maintains)
+      """SELECT DISTINCT event_id FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND user_id IS NOT NULL AND value IS NOT NULL""".stripMargin,
     "q_stream_tws" -> // transformWithState (the mapGroupsWithState
       // successor, RocksDB-backed): same per-user fold, same oracle —
       // the API migration must be result-invisible

@@ -795,6 +795,41 @@ object StreamOps {
       .select(col("event_id"))
   }
 
+  /** The STATE DATA SOURCE (Spark 4 `format("statestore")`): a
+    * checkpoint's state store read back as a BATCH table — the
+    * ops/debugging face of the streaming engine (state audits, backfill
+    * reconciliation, "what does the store hold right now" without
+    * touching the running query). A streaming exact-dedup runs over the
+    * two halves with NO watermark, so its state is exactly one key per
+    * distinct event_id; the reader then loads the last committed
+    * batch's store and the KEY SET is the result. Oracle: DISTINCT
+    * event_id over complete events — state content ≡ the semantic the
+    * operator maintains. (Unbounded-state dedup is deliberate here —
+    * the reader needs a store whose content is exactly characterizable;
+    * the production dedup path with watermark eviction is
+    * q_stream_dedup.) */
+  def stateReader(parent: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(parent)
+    val schema = completeEvents(spark, dir).schema
+    val root = Files.createTempDirectory("graft_state_read")
+    val feed = new FileFeed(Files.createDirectories(root.resolve("src")))
+    val ckpt = root.resolve("ckpt").toString
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed.watch.toString)
+    val query = src.dropDuplicates("event_id")
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    try Seq(stagedHalf(spark, dir, 1), stagedHalf(spark, dir, 2)).foreach { b =>
+      feed.landStaged(b); query.processAllAvailable()
+    } finally {
+      query.stop()
+      feed.close()
+    }
+    spark.read.format("statestore").option("path", ckpt).load()
+      .select(col("key.event_id").as("event_id"))
+  }
+
   /** The custom DSv2 MANIFEST SINK as a STREAMING sink
     * ([[graft.sources.ManifestSink]]'s `StreamingWrite`): a stateless
     * projection of complete events streams through the file source, and
