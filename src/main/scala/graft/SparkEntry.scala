@@ -101,6 +101,7 @@ object SparkEntry {
     "q_stream_user_totals" -> graft.streaming.StreamOps.userTotalsStreamed _,
     "q_stream_tws"       -> graft.streaming.StreamOps.userTotalsTwsStreamed _,
     "q_state_reader"     -> graft.streaming.StreamOps.stateReader _,
+    "q_stream_timers"    -> graft.streaming.StreamOps.timerTotalsStreamed _,
     "q_stream_bursts"    -> graft.streaming.StreamOps.burstsStreamed _,
     "q_stream_dedup"     -> graft.streaming.StreamOps.dedupStreamed _,
     "q_stream_enrich"    -> graft.streaming.StreamOps.enrichStreamed _,
@@ -493,6 +494,14 @@ object SparkEntry {
       """SELECT DISTINCT event_id FROM events
         |WHERE event_id IS NOT NULL AND ts IS NOT NULL
         |  AND user_id IS NOT NULL AND value IS NOT NULL""".stripMargin,
+    "q_stream_timers" -> // inactivity-timer flush emits each user's totals
+      // exactly once; the emitted set ≡ the batch per-user totals
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "q_stream_tws" -> // transformWithState (the mapGroupsWithState
       // successor, RocksDB-backed): same per-user fold, same oracle —
       // the API migration must be result-invisible

@@ -443,6 +443,87 @@ object StreamOps {
         col("fin.total_cents").as("total_cents"))
   }
 
+  /** EVENT-TIME TIMERS on transformWithState: per-user totals
+    * accumulate silently and are emitted ONCE by an inactivity timer —
+    * the push-based "flush on quiet" shape (abandoned-cart, session
+    * finalize) that pull-based aggregation can't express. Each batch
+    * re-arms the user's single timer at `last event + 30 min`
+    * (deleteTimer of the previous arm keeps exactly one live timer per
+    * key, so expiry emits exactly once); the far-future sentinel in the
+    * last feed batch drives the watermark past every real timer, and
+    * [[StatefulProcessor.handleExpiredTimer]] emits and clears the
+    * user's state. Deterministic because everything is event-time. */
+  class TimerTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserAgg] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[UserAgg] = _
+    @transient private var armed: org.apache.spark.sql.streaming.ValueState[Long] = _
+    private val GapMs = 30L * 60 * 1000
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      totals = getHandle.getValueState[UserAgg]("totals",
+        org.apache.spark.sql.Encoders.product[UserAgg],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserAgg] = {
+      val prev = if (totals.exists()) totals.get() else UserAgg(uid, 0L, 0L)
+      var lastMs = 0L
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        lastMs = math.max(lastMs, e.ts.getTime)
+        UserAgg(uid, acc.n_events + 1, acc.total_cents + math.round(e.value * 100))
+      }
+      totals.update(next)
+      // one live timer per key: re-arm at the new inactivity deadline
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      val deadline = lastMs + GapMs
+      getHandle.registerTimer(deadline)
+      armed.update(deadline)
+      Iterator.empty // emission is the timer's job
+    }
+    override def handleExpiredTimer(uid: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[UserAgg] = {
+      val out = if (totals.exists()) Iterator.single(totals.get()) else Iterator.empty
+      totals.clear(); armed.clear()
+      out
+    }
+  }
+
+  /** [[TimerTotalsProcessor]] under the engine: batch 1 then
+    * sentinel-carrying batch 2 — the sentinel pushes the watermark past
+    * every real user's inactivity deadline and the remaining timers
+    * fire. A user whose mid-corpus quiet spell outlasts the deadline
+    * (watermark permitting) flushes MORE than once — each flush clears
+    * state, so emissions cover disjoint event slices and their sums
+    * TELESCOPE to the user's totals; the read-back sums per user, which
+    * is exact for any corpus and any flush pattern. Oracle: batch
+    * per-user totals over complete events, the q_stream_user_totals
+    * SQL. */
+  def timerTotalsStreamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val schema = completeEvents(spark, dir).schema
+    runFileStream(spark, schema, "graft_stream_tws_timer_sink",
+      OutputMode.Append(),
+      Seq(stagedHalf(spark, dir, 1), stagedHalf2Sentinel(spark, dir)))(
+      src => src.withWatermark("ts", "1 hour").as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(new TimerTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF())
+      .filter(col("user_id") >= 0) // drop a flushed sentinel row, if any
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("total_cents")).as("total_cents"))
+  }
+
   /** [[TotalsProcessor]] (transformWithState) under the engine: the
     * modern arbitrary-state operator over the same two time-split
     * batches, Update-mode memory sink, RocksDB state store (required by
