@@ -44,6 +44,7 @@ object SparkEntry {
     "q_running_total"    -> Relational.runningTotal _,
     "q_json_extract"     -> EventOps.jsonExtract _,
     "q_variant"          -> EventOps.variantExtract _,
+    "q_recursive_cte"    -> EventOps.recursiveSessionWalk _,
     "q_tumbling_hour"    -> EventOps.tumblingHour _,
     "q_sliding_hour"     -> EventOps.slidingHour _,
     "q_session_stats"    -> EventOps.sessionStats _,
@@ -412,6 +413,29 @@ object SparkEntry {
         |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k FROM events)
         |SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
         |  count(*) AS n FROM e GROUP BY 1""".stripMargin,
+    "q_recursive_cte" -> // the identical linear recursion in DuckDB —
+      // session heads anchor, next-within-30min links extend, depth
+      // caps at 50 in both engines
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_id,
+        |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts_us,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts_us
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL),
+        |walk AS (
+        |  SELECT user_id, event_id, ts_us, next_id, next_ts_us,
+        |    event_id AS session_head, CAST(0 AS BIGINT) AS depth
+        |  FROM e
+        |  WHERE prev_ts_us IS NULL OR ts_us - prev_ts_us > 1800000000
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.ts_us, e.next_id, e.next_ts_us,
+        |    w.session_head, w.depth + 1
+        |  FROM walk w JOIN e ON e.user_id = w.user_id AND e.event_id = w.next_id
+        |  WHERE w.next_ts_us - w.ts_us <= 1800000000 AND w.depth < 50)
+        |SELECT session_head, user_id, count(*) AS n_events,
+        |  CAST(max(depth) AS BIGINT) AS max_depth
+        |FROM walk GROUP BY 1, 2""".stripMargin,
     "q_variant" -> // typed VARIANT path extraction ≡ DuckDB JSON extraction
       // over the same strings; the absent path must be NULL (0 hits)
       """WITH e AS (SELECT event_type,

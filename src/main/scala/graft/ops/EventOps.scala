@@ -27,6 +27,44 @@ object EventOps {
         max(col("k")).as("max_k"),
         count(lit(1)).as("n"))
 
+  /** RECURSIVE CTE (Spark 4 `WITH RECURSIVE`): sessionization as a
+    * recursive WALK — session heads (first event, or a >30 min gap from
+    * the previous) anchor the recursion, and each level follows the
+    * `next event within 30 min` link precomputed by a window, so the
+    * recursion is LINEAR (out-degree 1 — rows bounded by events, never
+    * path-exploding; Spark's recursive CTEs are UNION ALL-only, so
+    * shapes must be chosen with that bound in mind). Depth caps at 50,
+    * mirrored in the oracle: both engines orphan the tail of a longer
+    * chain identically. One join per level is the recursive-SQL
+    * execution model — the engine's SCALE path for sessionization is
+    * the single-pass gaps-and-islands window (q_session_stats); this
+    * pins the SQL surface agrees with it. Oracle: the identical
+    * recursion in DuckDB. */
+  def recursiveSessionWalk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("graft_rec_events")
+    spark.sql(
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, unix_micros(ts) AS ts_us,
+        |    LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_id,
+        |    LEAD(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts_us,
+        |    LAG(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts_us
+        |  FROM graft_rec_events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL),
+        |walk AS (
+        |  SELECT user_id, event_id, ts_us, next_id, next_ts_us,
+        |    event_id AS session_head, CAST(0 AS BIGINT) AS depth
+        |  FROM e
+        |  WHERE prev_ts_us IS NULL OR ts_us - prev_ts_us > 1800000000
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.ts_us, e.next_id, e.next_ts_us,
+        |    w.session_head, w.depth + 1
+        |  FROM walk w JOIN e ON e.user_id = w.user_id AND e.event_id = w.next_id
+        |  WHERE w.next_ts_us - w.ts_us <= 1800000000 AND w.depth < 50)
+        |SELECT session_head, user_id, count(*) AS n_events,
+        |  max(depth) AS max_depth
+        |FROM walk GROUP BY 1, 2""".stripMargin)
+  }
+
   /** Semi-structured props through Spark 4's VARIANT type: `parse_json`
     * turns the JSON string into the binary variant encoding ONCE, and
     * typed `variant_get` paths extract from it without re-parsing — the
