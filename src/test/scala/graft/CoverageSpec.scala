@@ -29,6 +29,14 @@ class CoverageSpec extends AnyFunSuite {
       s"COVERAGE.md names queries that do not exist: ${stale.mkString(", ")}")
   }
 
+  test("the header's query count equals the live query count") {
+    val header = "— (\\d+) as of round".r.findFirstMatchIn(coverage)
+      .map(_.group(1).toInt)
+    assert(header.contains(SparkEntry.queries.size),
+      s"COVERAGE.md header says ${header.orNull}, " +
+        s"SparkEntry.queries has ${SparkEntry.queries.size}")
+  }
+
   test("every query has oracle SQL (the round-4 'none rows-only' claim)") {
     val unoracled = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
       .toSeq.sorted
