@@ -75,6 +75,20 @@ object DedupOps {
       case None => df.localCheckpoint(true)
     }
 
+  /** LAZY lineage truncation for iterative loops: under the default
+    * LOCAL checkpoint the caller's next ACTION does the materializing —
+    * one job per round instead of a checkpoint job + an action job
+    * (with AQE the call still executes the intermediate stages; only
+    * the final stage defers). A configured reliable dir keeps the eager
+    * [[ckpt]]: its lazy variant would recompute the plan in the
+    * separate checkpoint job. Callers MUST run an action on (or
+    * downstream of) the result before branching the plan. */
+  private[ops] def ckptLazy(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(_) => ckpt(df)
+      case None => df.localCheckpoint(false)
+    }
+
   val NumHashes = 16
   val RowsPerBand = 4 // 4 bands × 4 rows: P(candidate) = 1-(1-J^4)^4
 
@@ -267,16 +281,10 @@ object DedupOps {
     }
     var labels = timed("labels-ckpt")(
       ckpt(nodes.select(col("doc_id"), col("doc_id").as("label"))))
-    // per-cycle lineage truncation: under the default LOCAL checkpoint a
-    // LAZY checkpoint lets the cycle's convergence count do the
-    // materializing — ONE job per cycle instead of checkpoint-job +
-    // count-job (halves the sequential driver latency the loop is made
-    // of). A configured reliable dir keeps the eager form: its lazy
-    // variant would recompute the plan in the separate checkpoint job.
-    val lazyLocal =
-      nodes.sparkSession.conf.getOption("spark.graft.checkpointDir").isEmpty
-    def cycleCkpt(df: DataFrame): DataFrame =
-      if (lazyLocal) df.localCheckpoint(false) else ckpt(df)
+    // per-cycle lineage truncation: [[ckptLazy]] lets the cycle's
+    // convergence count do the materializing — one job per cycle
+    // instead of checkpoint-job + count-job
+    def cycleCkpt(df: DataFrame): DataFrame = ckptLazy(df)
     try {
       var changed = 1L
       var rounds = 0

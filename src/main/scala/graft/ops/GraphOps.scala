@@ -170,14 +170,17 @@ object GraphOps {
     var h = 1
     var frontierSize = frontier.count()
     while (h <= BfsMaxHops && frontierSize > 0) {
-      frontier = DedupOps.ckpt(sym
+      // LAZY checkpoints: the frontier count is the round's one
+      // materializing action; the visited union's final stage rides
+      // into the next round's anti-join (or the final read)
+      frontier = DedupOps.ckptLazy(sym
         .join(frontier.select(col("v").as("src")), "src")
         .select(col("dst").as("v")).distinct()
         .join(visited, Seq("v"), "left_anti")
         .withColumn("hops", lit(h.toLong)))
       frontierSize = frontier.count()
       if (frontierSize > 0)
-        visited = DedupOps.ckpt(visited.unionByName(frontier))
+        visited = DedupOps.ckptLazy(visited.unionByName(frontier))
       h += 1
     }
     visited.select(col("v").as("p_partkey"), col("hops"))
