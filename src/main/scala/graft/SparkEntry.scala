@@ -45,6 +45,7 @@ object SparkEntry {
     "q_json_extract"     -> EventOps.jsonExtract _,
     "q_variant"          -> EventOps.variantExtract _,
     "q_recursive_cte"    -> EventOps.recursiveSessionWalk _,
+    "q_sql_udf"          -> EventOps.sqlUdf _,
     "q_tumbling_hour"    -> EventOps.tumblingHour _,
     "q_sliding_hour"     -> EventOps.slidingHour _,
     "q_session_stats"    -> EventOps.sessionStats _,
@@ -413,6 +414,20 @@ object SparkEntry {
         |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k FROM events)
         |SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
         |  count(*) AS n FROM e GROUP BY 1""".stripMargin,
+    "q_sql_udf" -> // the SQL-function bodies inlined by hand — function
+      // abstraction must be value-invisible
+      """WITH totals AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1
+        |  HAVING sum(CAST(round(value * 100) AS BIGINT)) >= 200000)
+        |SELECT user_id, total_cents,
+        |  CASE WHEN total_cents % 10000 < 2500 THEN 'low'
+        |       WHEN total_cents % 10000 < 7500 THEN 'mid'
+        |       ELSE 'high' END AS cents_bucket
+        |FROM totals""".stripMargin,
     "q_recursive_cte" -> // the identical linear recursion in DuckDB —
       // session heads anchor, next-within-30min links extend, depth
       // caps at 50 in both engines

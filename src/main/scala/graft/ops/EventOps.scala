@@ -27,6 +27,34 @@ object EventOps {
         max(col("k")).as("max_k"),
         count(lit(1)).as("n"))
 
+  /** SQL-DEFINED FUNCTIONS (Spark 4 `CREATE FUNCTION … RETURN`): a
+    * scalar UDF and a TABLE function written in SQL — Catalyst INLINES
+    * the body at plan time (no JVM closure, no codegen boundary, full
+    * pushdown through the function), which is the engine's answer to
+    * "users need abstractions" without the classic UDF black-box tax.
+    * `graft_cents` is the cents discipline as a reusable function,
+    * `graft_bucket` composes over it, and the table function
+    * `graft_hot_users(min_cents)` parameterizes a HAVING aggregate.
+    * Oracle: the same SQL with every function body inlined by hand. */
+  def sqlUdf(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("graft_udf_events")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(x DOUBLE)
+      RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_bucket(v BIGINT)
+      RETURNS STRING RETURN
+      CASE WHEN v < 2500 THEN 'low' WHEN v < 7500 THEN 'mid' ELSE 'high' END""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_hot_users(min_cents BIGINT)
+      RETURNS TABLE(user_id BIGINT, total_cents BIGINT) RETURN
+      SELECT user_id, CAST(sum(graft_cents(value)) AS BIGINT)
+      FROM graft_udf_events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1 HAVING sum(graft_cents(value)) >= min_cents""")
+    spark.sql(
+      """SELECT user_id, total_cents,
+        |  graft_bucket(total_cents % 10000) AS cents_bucket
+        |FROM graft_hot_users(200000)""".stripMargin)
+  }
+
   /** RECURSIVE CTE (Spark 4 `WITH RECURSIVE`): sessionization as a
     * recursive WALK — session heads (first event, or a >30 min gap from
     * the previous) anchor the recursion, and each level follows the
