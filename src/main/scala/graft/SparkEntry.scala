@@ -104,6 +104,7 @@ object SparkEntry {
     "q_stream_tws"       -> graft.streaming.StreamOps.userTotalsTwsStreamed _,
     "q_state_reader"     -> graft.streaming.StreamOps.stateReader _,
     "q_stream_timers"    -> graft.streaming.StreamOps.timerTotalsStreamed _,
+    "q_stream_tws_map"   -> graft.streaming.StreamOps.typeCountsStreamed _,
     "q_stream_bursts"    -> graft.streaming.StreamOps.burstsStreamed _,
     "q_stream_dedup"     -> graft.streaming.StreamOps.dedupStreamed _,
     "q_stream_enrich"    -> graft.streaming.StreamOps.enrichStreamed _,
@@ -533,6 +534,13 @@ object SparkEntry {
       """SELECT DISTINCT event_id FROM events
         |WHERE event_id IS NOT NULL AND ts IS NOT NULL
         |  AND user_id IS NOT NULL AND value IS NOT NULL""".stripMargin,
+    "q_stream_tws_map" -> // MapState per-user type counts; counts only
+      // grow, so max over the Update-mode emissions is the final table
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     "q_stream_timers" -> // inactivity-timer flush emits each user's totals
       // exactly once; the emitted set ≡ the batch per-user totals
       """SELECT user_id, count(*) AS n_events,

@@ -443,6 +443,70 @@ object StreamOps {
         col("fin.total_cents").as("total_cents"))
   }
 
+  /** One (user, event_type) count emission from [[TypeCountsProcessor]]. */
+  case class UserTypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** MAP STATE on transformWithState: per-user `event_type → count` as
+    * a keyed MapState — the per-key sub-keyed container that a
+    * ValueState-of-whole-map would rewrite wholesale on every update
+    * (MapState reads/writes only the touched sub-keys, which is the
+    * difference between O(types-touched) and O(types-held) per trigger
+    * at 100 TB key cardinalities). Each batch updates the touched types
+    * and emits their NEW counts; counts only grow, so max-per-(user,
+    * type) over the Update-mode sink is the final table. */
+  class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserTypeCount] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("type_counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashMap[String, Long]()
+      rows.foreach { e =>
+        val t = if (e.event_type == null) "" else e.event_type
+        val cur = touched.getOrElse(t,
+          if (counts.containsKey(t)) counts.getValue(t) else 0L)
+        touched.update(t, cur + 1)
+      }
+      touched.foreach { case (t, n) => counts.updateValue(t, n) }
+      touched.iterator.map { case (t, n) => UserTypeCount(uid, t, n) }
+    }
+  }
+
+  /** [[TypeCountsProcessor]] under the engine: two time-split batches,
+    * Update-mode memory sink; per-(user, type) counts only grow, so the
+    * max over the sink's per-batch emissions is the final table.
+    * Oracle: the batch per-user per-type counts over complete events
+    * (the null event_type group rides as '' and is re-landed as NULL to
+    * match the SQL's grouping). */
+  def typeCountsStreamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val schema = completeEvents(spark, dir).schema
+    runFileStream(spark, schema, "graft_stream_tws_map_sink",
+      RunningTotalsOutputMode,
+      Seq(stagedHalf(spark, dir, 1), stagedHalf(spark, dir, 2)))(
+      src => src.as[Ev].groupByKey(_.user_id)
+        .transformWithState(new TypeCountsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          RunningTotalsOutputMode)
+        .toDF())
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n"))
+      .select(col("user_id"),
+        when(col("event_type") === "", lit(null)).otherwise(col("event_type"))
+          .as("event_type"),
+        col("n"))
+  }
+
   /** EVENT-TIME TIMERS on transformWithState: per-user totals
     * accumulate silently and are emitted ONCE by an inactivity timer —
     * the push-based "flush on quiet" shape (abandoned-cart, session
