@@ -105,6 +105,7 @@ object SparkEntry {
     "q_state_reader"     -> graft.streaming.StreamOps.stateReader _,
     "q_stream_timers"    -> graft.streaming.StreamOps.timerTotalsStreamed _,
     "q_stream_tws_map"   -> graft.streaming.StreamOps.typeCountsStreamed _,
+    "q_stream_tws_list"  -> graft.streaming.StreamOps.recentEventsStreamed _,
     "q_stream_bursts"    -> graft.streaming.StreamOps.burstsStreamed _,
     "q_stream_dedup"     -> graft.streaming.StreamOps.dedupStreamed _,
     "q_stream_enrich"    -> graft.streaming.StreamOps.enrichStreamed _,
@@ -534,6 +535,21 @@ object SparkEntry {
       """SELECT DISTINCT event_id FROM events
         |WHERE event_id IS NOT NULL AND ts IS NOT NULL
         |  AND user_id IS NOT NULL AND value IS NOT NULL""".stripMargin,
+    "q_stream_tws_list" -> // ListState last-3 buffer; the final snapshot
+      // per user ≡ the batch rank-3 pivot (top-3 merge is closed under
+      // batching: an evicted pair can never re-enter the true top 3)
+      """WITH e AS (SELECT user_id, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS r,
+        |    count(*) OVER (PARTITION BY user_id) AS n_seen
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL AND value IS NOT NULL)
+        |SELECT user_id, CAST(max(n_seen) AS BIGINT) AS n_seen,
+        |  max(CASE WHEN r = 1 THEN event_id END) AS id1,
+        |  max(CASE WHEN r = 2 THEN event_id END) AS id2,
+        |  max(CASE WHEN r = 3 THEN event_id END) AS id3
+        |FROM e GROUP BY 1""".stripMargin,
     "q_stream_tws_map" -> // MapState per-user type counts; counts only
       // grow, so max over the Update-mode emissions is the final table
       """SELECT user_id, event_type, count(*) AS n

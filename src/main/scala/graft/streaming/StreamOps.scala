@@ -446,6 +446,83 @@ object StreamOps {
   /** One (user, event_type) count emission from [[TypeCountsProcessor]]. */
   case class UserTypeCount(user_id: Long, event_type: String, n: Long)
 
+  /** A (ts, id) pair held in [[RecentEventsProcessor]]'s ListState. */
+  case class TsId(ts_us: Long, event_id: Long)
+
+  /** Per-user snapshot emitted by [[RecentEventsProcessor]]: the 3 most
+    * recent event ids (by (ts, id) desc; absent slots null) plus the
+    * MONOTONE events-seen count that lets the sink pick the final
+    * snapshot deterministically. */
+  case class RecentEvents(user_id: Long, n_seen: Long,
+    id1: Option[Long], id2: Option[Long], id3: Option[Long])
+
+  /** LIST STATE on transformWithState — the third container of the
+    * Spark 4 state API (ValueState: q_stream_tws; MapState:
+    * q_stream_tws_map): a bounded per-user BUFFER of the 3 most recent
+    * (ts, id) pairs, the recommendation-feature shape ("last N items").
+    * Each batch merges its events into the buffer and rewrites it
+    * (clear + put — a real deployment sizes N so the rewrite is a few
+    * rows; the buffer is BOUNDED by construction, never the full
+    * history). Emissions carry the monotone n_seen so the Update-mode
+    * sink's max-by-n_seen row per user is the final snapshot. */
+  class RecentEventsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, RecentEvents] {
+    @transient private var recent:
+      org.apache.spark.sql.streaming.ListState[TsId] = _
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      recent = getHandle.getListState[TsId]("recent",
+        org.apache.spark.sql.Encoders.product[TsId],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[RecentEvents] = {
+      def micros(t: java.sql.Timestamp): Long =
+        t.getTime * 1000L + (t.getNanos / 1000) % 1000
+      var n = 0L
+      val batch = rows.map { e => n += 1; TsId(micros(e.ts), e.event_id) }.toSeq
+      val merged = (recent.get().toSeq ++ batch)
+        .sortBy(p => (-p.ts_us, -p.event_id)).take(3)
+      recent.put(merged.toArray)
+      val total = (if (seen.exists()) seen.get() else 0L) + n
+      seen.update(total)
+      val ids = merged.map(_.event_id)
+      Iterator.single(RecentEvents(uid, total,
+        ids.lift(0), ids.lift(1), ids.lift(2)))
+    }
+  }
+
+  /** [[RecentEventsProcessor]] under the engine: two time-split
+    * batches, Update-mode memory sink, max-by-n_seen final snapshot per
+    * user. Oracle: rank-3 pivot over complete events. */
+  def recentEventsStreamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val schema = completeEvents(spark, dir).schema
+    runFileStream(spark, schema, "graft_stream_tws_list_sink",
+      RunningTotalsOutputMode,
+      Seq(stagedHalf(spark, dir, 1), stagedHalf(spark, dir, 2)))(
+      src => src.as[Ev].groupByKey(_.user_id)
+        .transformWithState(new RecentEventsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          RunningTotalsOutputMode)
+        .toDF())
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_seen"), col("id1"), col("id2"), col("id3")))
+        .as("fin"))
+      .select(col("user_id"), col("fin.n_seen").as("n_seen"),
+        col("fin.id1").as("id1"), col("fin.id2").as("id2"),
+        col("fin.id3").as("id3"))
+  }
+
   /** MAP STATE on transformWithState: per-user `event_type → count` as
     * a keyed MapState — the per-key sub-keyed container that a
     * ValueState-of-whole-map would rewrite wholesale on every update
