@@ -148,21 +148,34 @@ case class ManifestStreamingWrite(path: String, schema: StructType)
     val epoch = dir.resolve(ManifestSink.epochName(epochId))
     if (Files.exists(epoch)) {
       // replayed epoch: the first commit already published this epoch's
-      // files; discard the replay's output (idempotence)
+      // files; discard the replay's output (idempotence), then still
+      // re-derive MANIFEST — a crash BETWEEN the epoch move and the
+      // manifest move leaves the epoch durable but unlisted, and the
+      // replay is exactly the moment to self-heal that window instead
+      // of waiting for the next live epoch
       messages.foreach {
         case CommittedFile(n, _) => Files.deleteIfExists(Paths.get(path, "data", n))
         case _ =>
       }
+      republish(dir)
       return
     }
     val names = messages.collect { case CommittedFile(n, _) => n }.sorted
     val tmp = dir.resolve(s".${ManifestSink.epochName(epochId)}.tmp")
     Files.write(tmp, names.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, epoch, StandardCopyOption.ATOMIC_MOVE)
-    // union of committed epochs → the same MANIFEST batch readers use;
-    // REPLACE is safe because epoch manifests are append-only, so the
-    // union only grows and old-manifest readers keep a consistent
-    // (merely stale) snapshot
+    republish(dir)
+  }
+
+  /** Re-derive the top-level MANIFEST as the union of committed epoch
+    * manifests — the same file batch readers use. REPLACE is safe
+    * because epoch manifests are append-only: the union only grows, so
+    * old-manifest readers keep a consistent (merely stale) snapshot.
+    * O(epochs) small metadata reads per commit; a long-running
+    * deployment would compact epoch manifests the way the parquet
+    * sink's `_spark_metadata` log compacts — same contract, fewer
+    * files. */
+  private def republish(dir: Path): Unit = {
     val all = ManifestSink.epochManifests(dir)
       .flatMap(f => Files.readAllLines(f, StandardCharsets.UTF_8).asScala)
       .filter(_.nonEmpty)

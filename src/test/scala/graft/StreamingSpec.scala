@@ -280,6 +280,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(readBack() == expected, "replayed epoch duped or lost rows")
     assert(dataFiles() == committed.map(f => Paths.get(f).getFileName.toString),
       "replayed epoch left orphan files in data/")
+    // crash-window self-heal: a crash BETWEEN the epoch move and the
+    // MANIFEST move leaves the epoch durable but unlisted — the next
+    // replay must re-derive MANIFEST from the epoch manifests
+    Files.delete(Paths.get(out, graft.sources.ManifestSink.ManifestName))
+    val commits2 = Files.list(ckpt.resolve("commits"))
+    val newest2 =
+      try commits2.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toLong)
+      finally commits2.close()
+    Files.delete(newest2)
+    Files.deleteIfExists(
+      newest2.resolveSibling(s".${newest2.getFileName}.crc"))
+    val q4 = start(); try q4.processAllAvailable() finally q4.stop()
+    assert(graft.sources.ManifestSink.committedFiles(out).toSet == committed,
+      "replay did not self-heal the lost MANIFEST")
+    assert(readBack() == expected, "self-healed manifest diverged")
   }
 
   test("transformWithState ≡ mapGroupsWithState: the API migration is " +
