@@ -52,17 +52,35 @@ class ManifestSink extends TableProvider {
       "graft manifest sink is write-only; read the manifest-listed files")
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = properties.get("path")
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = opts.get("path")
     require(path != null && path.nonEmpty, "manifest sink needs a path option")
-    ManifestTable(path, schema)
+    val interval = Option(opts.get("compactInterval"))
+      .map(_.toInt).getOrElse(ManifestSink.DefaultCompactInterval)
+    require(interval >= 2, s"compactInterval must be >= 2, got $interval")
+    ManifestTable(path, schema, interval)
   }
 }
 
 object ManifestSink {
   val ManifestName = "MANIFEST"
 
+  /** Compact once this many LOOSE epoch manifests accumulate (table
+    * option `compactInterval`). Keeps `republish` at O(epochs/N)
+    * metadata reads instead of O(epochs) — the `_spark_metadata`
+    * compaction pattern of the built-in file sink. */
+  val DefaultCompactInterval = 10
+
   /** Zero-padded so lexicographic directory order IS epoch order. */
   private[sources] def epochName(epochId: Long): String = f"epoch-$epochId%020d"
+
+  /** A compacted manifest carrying the union of every epoch manifest
+    * with id <= epochId; its id ordering is name ordering, same as
+    * epochs. */
+  private[sources] def compactName(epochId: Long): String = f"compact-$epochId%020d"
+
+  private def idOf(p: Path): Long =
+    p.getFileName.toString.dropWhile(!_.isDigit).toLong
 
   /** The committed file list (absolute paths), i.e. the current visible
     * snapshot — empty if no commit ever published. */
@@ -73,18 +91,46 @@ object ManifestSink {
       .filter(_.nonEmpty).map(f => Paths.get(path, "data", f).toString)
   }
 
-  /** Committed epoch-manifest files of a streaming sink dir, in epoch
-    * order (bounded metadata: one small file per committed epoch). */
-  private[sources] def epochManifests(dir: Path): Seq[Path] = {
+  private def listPrefixed(dir: Path, prefix: String): Seq[Path] = {
     val s = Files.list(dir)
     try s.iterator().asScala.toSeq
-      .filter(_.getFileName.toString.startsWith("epoch-"))
+      .filter(_.getFileName.toString.startsWith(prefix))
       .sortBy(_.getFileName.toString)
     finally s.close()
   }
+
+  /** Newest compacted manifest and the max epoch id it covers. */
+  private[sources] def latestCompact(dir: Path): Option[(Long, Path)] =
+    listPrefixed(dir, "compact-").lastOption.map(p => (idOf(p), p))
+
+  /** Loose (not-yet-compacted) epoch manifests NEWER than the compaction
+    * horizon, in epoch order. Stale loose files at or below the horizon
+    * (a crash mid-compaction) are subsets of the compact file and are
+    * ignored here, then swept by the next compaction. */
+  private[sources] def looseEpochs(dir: Path, compactedThrough: Long): Seq[(Long, Path)] =
+    listPrefixed(dir, "epoch-").map(p => (idOf(p), p))
+      .filter(_._1 > compactedThrough)
+
+  /** The manifest FRAGMENTS whose union is the committed snapshot: the
+    * newest compact file (if any) plus the loose epochs after it —
+    * O(epochs/compactInterval) files, not O(epochs). */
+  private[sources] def manifestFragments(dir: Path): Seq[Path] = {
+    val compact = latestCompact(dir)
+    val horizon = compact.map(_._1).getOrElse(-1L)
+    compact.map(_._2).toSeq ++ looseEpochs(dir, horizon).map(_._2)
+  }
+
+  /** Union of the fragment contents. `distinct` guards the one crash
+    * window where a loose epoch survives alongside the compact file
+    * that already absorbed it. */
+  private[sources] def fragmentUnion(dir: Path): Seq[String] =
+    manifestFragments(dir)
+      .flatMap(f => Files.readAllLines(f, StandardCharsets.UTF_8).asScala)
+      .filter(_.nonEmpty).distinct
 }
 
-case class ManifestTable(path: String, writeSchema: StructType)
+case class ManifestTable(path: String, writeSchema: StructType,
+    compactInterval: Int = ManifestSink.DefaultCompactInterval)
     extends Table with SupportsWrite {
   override def name(): String = s"manifest($path)"
   override def schema(): StructType = writeSchema
@@ -94,8 +140,14 @@ case class ManifestTable(path: String, writeSchema: StructType)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = ManifestBatchWrite(path, info.schema())
+        // one StreamingWrite per query RUN, so the token is run-unique:
+        // a post-restart replay writes under a different token and can
+        // never collide with (and thus never truncate or delete) a file
+        // the original run committed — taskId alone does NOT guarantee
+        // that, because taskIds restart from 0 in a new SparkContext
         override def toStreaming: StreamingWrite =
-          ManifestStreamingWrite(path, info.schema())
+          ManifestStreamingWrite(path, info.schema(), compactInterval,
+            java.util.UUID.randomUUID.toString.take(8))
       }
     }
 }
@@ -138,23 +190,35 @@ case class ManifestBatchWrite(path: String, schema: StructType) extends BatchWri
   * deleted so it leaves no trace. StreamingSpec restarts a checkpointed
   * query with the engine commit marker removed and pins that the
   * replayed epoch changes nothing. */
-case class ManifestStreamingWrite(path: String, schema: StructType)
-    extends StreamingWrite {
+case class ManifestStreamingWrite(path: String, schema: StructType,
+    compactInterval: Int, runToken: String) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    ManifestStreamingWriterFactory(path, schema.fields.map(_.dataType.typeName))
+    ManifestStreamingWriterFactory(path, schema.fields.map(_.dataType.typeName),
+      runToken)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = Files.createDirectories(Paths.get(path))
     val epoch = dir.resolve(ManifestSink.epochName(epochId))
-    if (Files.exists(epoch)) {
+    val compactedThrough =
+      ManifestSink.latestCompact(dir).map(_._1).getOrElse(-1L)
+    // an epoch is already committed if its manifest exists OR it was
+    // folded into a compact file (epochs commit in strictly increasing
+    // order, so id <= horizon means a prior run published it)
+    if (Files.exists(epoch) || epochId <= compactedThrough) {
       // replayed epoch: the first commit already published this epoch's
       // files; discard the replay's output (idempotence), then still
       // re-derive MANIFEST — a crash BETWEEN the epoch move and the
       // manifest move leaves the epoch durable but unlisted, and the
       // replay is exactly the moment to self-heal that window instead
-      // of waiting for the next live epoch
+      // of waiting for the next live epoch. NEVER delete a name the
+      // committed union lists: run-unique tokens make a collision
+      // impossible among this sink's own files, and the guard keeps a
+      // foreign file (or a future naming bug) from turning the replay
+      // cleanup into committed-data loss.
+      val published = ManifestSink.fragmentUnion(dir).toSet
       messages.foreach {
-        case CommittedFile(n, _) => Files.deleteIfExists(Paths.get(path, "data", n))
+        case CommittedFile(n, _) if !published.contains(n) =>
+          Files.deleteIfExists(Paths.get(path, "data", n))
         case _ =>
       }
       republish(dir)
@@ -165,42 +229,84 @@ case class ManifestStreamingWrite(path: String, schema: StructType)
     Files.write(tmp, names.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, epoch, StandardCopyOption.ATOMIC_MOVE)
     republish(dir)
+    maybeCompact(dir, epochId, compactedThrough)
   }
 
-  /** Re-derive the top-level MANIFEST as the union of committed epoch
-    * manifests — the same file batch readers use. REPLACE is safe
-    * because epoch manifests are append-only: the union only grows, so
-    * old-manifest readers keep a consistent (merely stale) snapshot.
-    * O(epochs) small metadata reads per commit; a long-running
-    * deployment would compact epoch manifests the way the parquet
-    * sink's `_spark_metadata` log compacts — same contract, fewer
-    * files. */
+  /** Re-derive the top-level MANIFEST as the union of committed
+    * manifest fragments — the same file batch readers use. REPLACE is
+    * safe because the committed set is append-only: the union only
+    * grows, so old-manifest readers keep a consistent (merely stale)
+    * snapshot. O(epochs/compactInterval) small metadata reads per
+    * commit thanks to [[maybeCompact]]. */
   private def republish(dir: Path): Unit = {
-    val all = ManifestSink.epochManifests(dir)
-      .flatMap(f => Files.readAllLines(f, StandardCharsets.UTF_8).asScala)
-      .filter(_.nonEmpty)
+    val all = ManifestSink.fragmentUnion(dir)
     val mtmp = dir.resolve(s".${ManifestSink.ManifestName}.tmp")
     Files.write(mtmp, all.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(mtmp, dir.resolve(ManifestSink.ManifestName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  /** Fold the loose epoch manifests into ONE compact file once
+    * `compactInterval` of them accumulate — the `_spark_metadata`
+    * compaction pattern. Durability order makes every crash window
+    * benign: (1) the compact file lands by atomic move FIRST, so the
+    * union is never less than the committed set; (2) only then are the
+    * absorbed fragments deleted — a crash in between leaves duplicates
+    * that [[ManifestSink.fragmentUnion]] de-dupes and the NEXT
+    * compaction sweeps (any epoch at-or-below / compact below the new
+    * horizon). */
+  private def maybeCompact(dir: Path, epochId: Long, priorHorizon: Long): Unit = {
+    val loose = ManifestSink.looseEpochs(dir, priorHorizon)
+    if (loose.size < compactInterval) return
+    val prior = ManifestSink.latestCompact(dir)
+    val names = (prior.map(_._2).toSeq ++ loose.map(_._2))
+      .flatMap(f => Files.readAllLines(f, StandardCharsets.UTF_8).asScala)
+      .filter(_.nonEmpty).distinct
+    val upTo = loose.map(_._1).max
+    val ctmp = dir.resolve(s".${ManifestSink.compactName(upTo)}.tmp")
+    Files.write(ctmp, names.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(ctmp, dir.resolve(ManifestSink.compactName(upTo)),
+      StandardCopyOption.ATOMIC_MOVE)
+    // superseded fragments: every loose epoch now covered, every older
+    // compact, and any stale leftovers from a previously-crashed sweep
+    ManifestSink.looseEpochs(dir, -1L).filter(_._1 <= upTo)
+      .foreach(p => Files.deleteIfExists(p._2))
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("compact-"))
+      .sortBy(_.getFileName.toString).dropRight(1)
+      .foreach(Files.deleteIfExists(_))
+    finally s.close()
+  }
+
+  /** Abort must clean THIS attempt's orphans without ever touching
+    * committed data: if commit fails after the epoch-manifest move
+    * (e.g. a republish IO error), Spark calls abort with messages whose
+    * files the durable epoch manifest already lists — deleting those
+    * would leave the manifest pointing at nothing. */
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    val published =
+      if (Files.exists(dir)) ManifestSink.fragmentUnion(dir).toSet
+      else Set.empty[String]
     messages.foreach {
-      case CommittedFile(n, _) =>
+      case CommittedFile(n, _) if !published.contains(n) =>
         Files.deleteIfExists(Paths.get(path, "data", n))
       case _ =>
     }
+  }
 }
 
-case class ManifestStreamingWriterFactory(path: String, fieldTypes: Array[String])
-    extends StreamingDataWriterFactory {
+case class ManifestStreamingWriterFactory(path: String, fieldTypes: Array[String],
+    runToken: String) extends StreamingDataWriterFactory {
   // the epoch is baked into the file name so replayed-epoch files are
-  // recognizable on disk; taskId still guarantees attempt uniqueness
+  // recognizable on disk; taskId distinguishes attempts within a run,
+  // and the run token distinguishes RUNS — a replay in a fresh JVM
+  // (taskIds reset to 0) still cannot collide with committed files
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     ManifestWriters.create(path, fieldTypes,
-      f"${ManifestSink.epochName(epochId)}-part-$partitionId%05d-$taskId.csv")
+      f"${ManifestSink.epochName(epochId)}-part-$partitionId%05d-$taskId-$runToken.csv")
 }
 
 case class ManifestWriterFactory(path: String, fieldTypes: Array[String])

@@ -236,6 +236,7 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("event_id"), col("user_id"), col("event_type"))
       .writeStream.format("graft.sources.ManifestSink")
       .option("path", out)
+      .option("compactInterval", "3") // cross a compaction boundary in-test
       .option("checkpointLocation", ckpt.toString)
       .outputMode("append").start()
     land(batch1)
@@ -297,6 +298,110 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.sources.ManifestSink.committedFiles(out).toSet == committed,
       "replay did not self-heal the lost MANIFEST")
     assert(readBack() == expected, "self-healed manifest diverged")
+
+    // ——— epoch-manifest COMPACTION: a third epoch reaches the
+    // compactInterval=3 threshold, so the three loose epoch manifests
+    // fold into ONE compact file (O(epochs/N) republish reads), with
+    // the committed snapshot unchanged by the fold
+    def sinkFiles(prefix: String): Seq[String] = {
+      val s = Files.list(Paths.get(out))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(prefix)).toSeq.sorted
+      finally s.close()
+    }
+    val batch3 = Seq(Ev(6, ts(40), 3, "view", 6.0))
+    land(batch3)
+    val q5 = start(); try q5.processAllAvailable() finally q5.stop()
+    val expected3 = expected ++ batch3.map(e => (e.event_id, e.user_id, e.event_type))
+    assert(sinkFiles("epoch-").isEmpty,
+      s"loose epoch manifests not swept by compaction: ${sinkFiles("epoch-")}")
+    assert(sinkFiles("compact-").size == 1,
+      s"expected exactly one compact file: ${sinkFiles("compact-")}")
+    assert(readBack() == expected3, "compaction changed the committed snapshot")
+    val committed3 = graft.sources.ManifestSink.committedFiles(out).toSet
+    assert(dataFiles() == committed3.map(f => Paths.get(f).getFileName.toString),
+      "compaction orphaned or lost data files")
+    // ——— replay ACROSS the compaction boundary: epoch 2's own manifest
+    // is gone (folded into the compact file), yet the replayed commit
+    // must still detect it as committed and leave no trace
+    val commits3 = Files.list(ckpt.resolve("commits"))
+    val newest3 =
+      try commits3.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toLong)
+      finally commits3.close()
+    Files.delete(newest3)
+    Files.deleteIfExists(
+      newest3.resolveSibling(s".${newest3.getFileName}.crc"))
+    val q6 = start(); try q6.processAllAvailable() finally q6.stop()
+    assert(graft.sources.ManifestSink.committedFiles(out).toSet == committed3,
+      "replay across the compaction boundary changed the snapshot")
+    assert(readBack() == expected3,
+      "replay across the compaction boundary duped or lost rows")
+    assert(dataFiles() == committed3.map(f => Paths.get(f).getFileName.toString),
+      "replay across the compaction boundary left orphans")
+    // run-unique token in every streaming task-file name: a replay in a
+    // fresh JVM (taskIds reset) can never collide with committed files
+    assert(dataFiles().forall(
+      _.matches("""epoch-\d{20}-part-\d{5}-\d+-[0-9a-f]{8}\.csv""")),
+      s"streaming file names missing the run token: ${dataFiles()}")
+  }
+
+  test("ManifestSink streaming guards: abort and replay never delete a " +
+    "file the committed manifests list, even under adversarial name " +
+    "collisions; compaction folds fragments without changing the snapshot") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import graft.sources.{CommittedFile, ManifestSink, ManifestStreamingWrite}
+    val dir = Files.createTempDirectory("graft_manifest_guards")
+    val schema = StructType(Seq(StructField("v", LongType)))
+    val w = ManifestStreamingWrite(dir.toString, schema, 3, "run00001")
+    val data = Files.createDirectories(dir.resolve("data"))
+    def fake(name: String): Unit =
+      Files.write(data.resolve(name), "1\n".getBytes)
+    def names(): Set[String] =
+      ManifestSink.committedFiles(dir.toString)
+        .map(f => Paths.get(f).getFileName.toString).toSet
+
+    fake("f0"); w.commit(0L, Array(CommittedFile("f0", 1)))
+    assert(names() == Set("f0"))
+    // post-epoch-move crash: Spark aborts with messages naming a file
+    // the durable epoch manifest lists — abort must NOT delete it
+    w.abort(0L, Array(CommittedFile("f0", 1)))
+    assert(Files.exists(data.resolve("f0")),
+      "abort deleted a committed file listed in an epoch manifest")
+    // replayed epoch whose message names a committed file (the taskId-
+    // collision scenario): the committed file survives, the replay's
+    // own orphan is cleaned
+    fake("g0")
+    w.commit(0L, Array(CommittedFile("f0", 1), CommittedFile("g0", 1)))
+    assert(Files.exists(data.resolve("f0")),
+      "replay deleted a committed file it collided with")
+    assert(!Files.exists(data.resolve("g0")), "replay left its orphan")
+    assert(names() == Set("f0"))
+    // two more epochs hit compactInterval=3 → one compact file, no
+    // loose epochs, snapshot unchanged
+    fake("f1"); w.commit(1L, Array(CommittedFile("f1", 1)))
+    fake("f2"); w.commit(2L, Array(CommittedFile("f2", 1)))
+    def top(prefix: String): Seq[String] = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(prefix)).toSeq.sorted
+      finally s.close()
+    }
+    assert(top("epoch-").isEmpty && top("compact-").size == 1,
+      s"compaction did not fold: ${top("epoch-")} ${top("compact-")}")
+    assert(names() == Set("f0", "f1", "f2"))
+    // replay of an epoch that only exists inside the compact file
+    fake("g1"); w.commit(1L, Array(CommittedFile("g1", 1)))
+    assert(!Files.exists(data.resolve("g1")),
+      "replay of a compacted epoch republished its orphan")
+    assert(names() == Set("f0", "f1", "f2"))
+    // abort after compaction still honors the published set
+    w.abort(2L, Array(CommittedFile("f2", 1)))
+    assert(Files.exists(data.resolve("f2")),
+      "abort deleted a committed file listed only in the compact file")
   }
 
   test("transformWithState ≡ mapGroupsWithState: the API migration is " +
