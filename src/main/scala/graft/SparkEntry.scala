@@ -102,6 +102,7 @@ object SparkEntry {
     "q_stream_session"   -> graft.streaming.StreamOps.sessionStreamed _,
     "q_stream_user_totals" -> graft.streaming.StreamOps.userTotalsStreamed _,
     "q_stream_tws"       -> graft.streaming.StreamOps.userTotalsTwsStreamed _,
+    "q_stream_tws_ttl"   -> graft.streaming.StreamOps.userTotalsTwsTtlStreamed _,
     "q_state_reader"     -> graft.streaming.StreamOps.stateReader _,
     "q_stream_timers"    -> graft.streaming.StreamOps.timerTotalsStreamed _,
     "q_stream_tws_map"   -> graft.streaming.StreamOps.typeCountsStreamed _,
@@ -568,6 +569,16 @@ object SparkEntry {
     "q_stream_tws" -> // transformWithState (the mapGroupsWithState
       // successor, RocksDB-backed): same per-user fold, same oracle —
       // the API migration must be result-invisible
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    "q_stream_tws_ttl" -> // TTL'd ValueState (processing-time eviction,
+      // the unbounded-key answer): TTL ≫ run length, so nothing expires
+      // mid-run and totals match the un-TTL'd oracle; real eviction is
+      // wall-clock and pinned in StreamingSpec via the statestore reader
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events

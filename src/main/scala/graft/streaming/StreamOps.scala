@@ -95,14 +95,15 @@ object StreamOps {
     * the store that actually holds billions of keys at 100 TB. Same
     * per-user fold, same emissions, so [[userTotalsTwsStreamed]] shares
     * q_stream_user_totals' oracle shape. */
-  class TotalsProcessor
+  class TotalsProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserAgg] {
     @transient private var totals: org.apache.spark.sql.streaming.ValueState[UserAgg] = _
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       totals = getHandle.getValueState[UserAgg]("totals",
-        org.apache.spark.sql.Encoders.product[UserAgg],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[UserAgg], ttl)
     override def handleInputRows(uid: Long, rows: Iterator[Ev],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserAgg] = {
       val prev = if (totals.exists()) totals.get() else UserAgg(uid, 0L, 0L)
@@ -690,6 +691,73 @@ object StreamOps {
       .agg(max(struct(col("n_events"), col("total_cents"))).as("fin"))
       .select(col("user_id"), col("fin.n_events").as("n_events"),
         col("fin.total_cents").as("total_cents"))
+  }
+
+  /** [[TotalsProcessor]] with STATE TTL — the unbounded-key-cardinality
+    * answer: at 100 TB the per-user store only stays bounded if idle
+    * keys AGE OUT, and `TTLConfig` is Spark's own eviction for that
+    * (values expire `ttl` after their last update; expired values read
+    * as absent and are physically removed by the engine's per-batch TTL
+    * cleanup — no user-written timer bookkeeping). TTL is PROCESSING-
+    * time by definition, so a deterministic oracle requires a TTL far
+    * longer than the run: this query pins the full TTL'd plumbing
+    * (ttl column family, `TimeMode.ProcessingTime`, expiration-aware
+    * reads) with nothing expiring mid-run — totals match the un-TTL'd
+    * oracle. REAL eviction (state present before the deadline, gone
+    * after) is wall-clock by nature and is pinned in StreamingSpec's
+    * TTL test via the statestore reader, not here.
+    *
+    * Harness note: under `TimeMode.ProcessingTime` the operator's
+    * `shouldRunAnotherBatch` is permanently true (timers/TTL may fire
+    * with no input), so the query NEVER goes idle: `processAllAvailable`
+    * blocks forever and even `Trigger.AvailableNow` keeps scheduling
+    * no-data batches (measured, not theorized). The one bounded way to
+    * drive it is `Trigger.Once` — exactly one micro-batch per run, then
+    * stop — so this query is two Once RUNS resuming from one
+    * checkpoint: the same land→batch→land→batch shape as the shared
+    * loop, with an engine restart between batches thrown in for free.
+    * The RESULT is the final `totals` state read back through the
+    * statestore source (a memory sink would reset between runs and
+    * drop batch-1-only users): with nothing expired, state content ≡
+    * the batch per-user totals — the same state-content-is-the-
+    * semantic contract as q_state_reader, now over a TTL'd variable. */
+  def userTotalsTwsTtlStreamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val schema = completeEvents(spark, dir).schema
+    val root = Files.createTempDirectory("graft_stream_tws_ttl")
+    val feed = new FileFeed(Files.createDirectories(root.resolve("src")))
+    val ckpt = root.resolve("ckpt").toString
+    try {
+      for (half <- 1 to 2) {
+        feed.landStaged(stagedHalf(spark, dir, half))
+        val query = spark.readStream.schema(schema)
+          .parquet(feed.watch.toString)
+          .as[Ev].groupByKey(_.user_id)
+          .transformWithState(
+            new TotalsProcessor(org.apache.spark.sql.streaming.TTLConfig(
+              java.time.Duration.ofHours(1))),
+            org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+            RunningTotalsOutputMode)
+          .toDF()
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckpt)
+          .outputMode(RunningTotalsOutputMode)
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        require(query.awaitTermination(300000),
+          "Trigger.Once tws-ttl run did not terminate")
+      }
+    } finally feed.close() // the checkpoint IS the result; the feed is dead weight
+    // a TTL'd variable's value nests as {value: <payload>, ttlExpirationMs}
+    spark.read.format("statestore").option("path", ckpt)
+      .option("stateVarName", "totals").load()
+      .select(col("value.value.user_id").as("user_id"),
+        col("value.value.n_events").as("n_events"),
+        col("value.value.total_cents").as("total_cents"))
   }
 
   /** [[burstDetector]] (flatMapGroupsWithState) under the engine: a

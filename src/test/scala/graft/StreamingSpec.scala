@@ -404,6 +404,58 @@ class StreamingSpec extends AnyFunSuite {
       "abort deleted a committed file listed only in the compact file")
   }
 
+  test("transformWithState TTL: state live before the deadline, EVICTED " +
+    "after it (the statestore reader proves both sides)") {
+    // TimeMode.ProcessingTime makes shouldRunAnotherBatch permanently
+    // true (TTL/timers may fire with no input), so the query never goes
+    // idle — processAllAvailable blocks forever and even AvailableNow
+    // keeps scheduling no-data batches. Each phase is therefore a
+    // bounded Trigger.Once RUN resuming from the same checkpoint.
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, Trigger}
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_tws_ttl")
+    val watch = Files.createDirectories(root.resolve("watch"))
+    val ckpt = root.resolve("ckpt").toString
+    val ttl = java.time.Duration.ofSeconds(3)
+    def land(e: Ev): Unit =
+      Seq(e).toDF().coalesce(1).write.mode("append").parquet(watch.toString)
+    def runOnce(): Unit = {
+      val q = s.readStream.schema(Seq.empty[Ev].toDF().schema)
+        .parquet(watch.toString)
+        .as[Ev].groupByKey(_.user_id)
+        .transformWithState(new StreamOps.TotalsProcessor(TTLConfig(ttl)),
+          TimeMode.ProcessingTime(), StreamOps.RunningTotalsOutputMode)
+        .toDF()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.Once()).start()
+      assert(q.awaitTermination(120000), "Trigger.Once run did not terminate")
+    }
+    def stateUsers(): Set[Long] =
+      s.read.format("statestore").option("path", ckpt)
+        .option("stateVarName", "totals").load()
+        .select("key.value").collect().map(_.getLong(0)).toSet
+    land(Ev(1, ts(0), 1, "view", 1.0))
+    runOnce()
+    assert(stateUsers() == Set(1L),
+      "user 1's state missing before its TTL deadline")
+    // sleep past the TTL, then run another batch: the engine's per-batch
+    // TTL cleanup must physically remove user 1's expired value (its
+    // store partition runs a task even with no new data for it) while
+    // landing user 2's fresh one
+    Thread.sleep(ttl.toMillis + 1500)
+    land(Ev(2, ts(5), 2, "view", 2.0))
+    runOnce()
+    assert(stateUsers() == Set(2L),
+      s"TTL did not evict user 1's expired state: ${stateUsers()}")
+  }
+
   test("transformWithState ≡ mapGroupsWithState: the API migration is " +
     "result-invisible (same per-user totals, row for row)") {
     val tws = StreamOps.userTotalsTwsStreamed(spark, TestSpark.Sf0001)
