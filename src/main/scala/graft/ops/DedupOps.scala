@@ -233,6 +233,18 @@ object DedupOps {
     * Deterministic regardless of execution order (min is commutative),
     * so DuckDB's recursive-CTE closure reproduces it exactly. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val tEntry = System.nanoTime()
+    // stage-level profile of the CC pipeline (dev-only, like CC_DEBUG)
+    if (sys.env.contains("GRAFT_CC_STAGES"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo
+          val d = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+          println(f"CC-STAGE ${si.stageId}%4d ${d / 1000.0}%6.2fs " +
+            f"tasks=${si.numTasks}%3d ${si.name.takeWhile(_ != '\n').take(70)}")
+        }
+      })
     // CC state is a one-row-per-doc label table and the post-contraction
     // graph is a sliver: the loop's latency is per-stage scheduling, not
     // data. A child session pins CC-sized shuffle width without mutating
@@ -240,13 +252,19 @@ object DedupOps {
     // deployment sizes this to component count, and AQE still coalesces
     // below it).
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "8")
     // newSession starts from the builder conf — carry the caller's
     // checkpoint-dir choice across (reliable-recovery mode must survive)
     spark.conf.getOption("spark.graft.checkpointDir")
       .foreach(s.conf.set("spark.graft.checkpointDir", _))
     // persist pairs BEFORE the symmetrize union, or both union branches
-    // re-run the whole minhash pipeline
+    // re-run the whole minhash pipeline. The pair stage is the HEAVY
+    // part (the hot-bucket verify join) and runs INSIDE cycle 0's job:
+    // the session stays at full cluster width until the loop narrows
+    // itself post-contraction (shuffle.partitions is read at planning
+    // time), so the verify keeps its parallelism with no extra
+    // materialization barrier.
+    s.conf.set("spark.sql.shuffle.partitions",
+      s.sparkContext.defaultParallelism.toString)
     val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b")).persist()
     try
       minLabelComponents(
@@ -254,7 +272,11 @@ object DedupOps {
           .filter(col("text").isNotNull)
           .select(col("doc_id")),
         pairs)
-    finally pairs.unpersist()
+    finally {
+      pairs.unpersist()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"CC inner-total: ${(System.nanoTime() - tEntry) / 1e9}%.2fs")
+    }
   }
 
   /** The CC engine behind [[dedupClusters]] and [[dedupSurvivors]]:
@@ -264,13 +286,16 @@ object DedupOps {
     * SHOULD be persisted by the caller (both symmetrize branches read
     * it). Returns `(doc_id, cluster_id)`. */
   private def minLabelComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
-    // pre-partition the cached edge list on the probe key: the cache
-    // retains outputPartitioning, so each round's join moves only the
-    // (tiny) label table — the edge list is shuffled ONCE for all rounds,
-    // which is the layout you'd want at 100 TB too
+    // the symmetrized edge list is CACHED as-is (lazily — it first
+    // materializes inside cycle 0's job) but NOT pre-shuffled: its
+    // consumers are round 0's neighbor-min (groups on doc_b) and the
+    // one-shot contraction (joins on doc_a then doc_b) — no single
+    // partitioning serves all three, so an up-front repartition would
+    // pay a 2×|pairs| shuffle to co-locate exactly one of them. After
+    // contraction the loop touches only the sliver and the cache is
+    // dropped.
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .repartition(col("doc_a"))
       .persist()
     def timed[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -279,6 +304,11 @@ object DedupOps {
         println(f"CC $tag: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       r
     }
+    val sess = nodes.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = sess.conf.get(aqeKey, "true")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val partsWas = sess.conf.get(partsKey)
     var labels = timed("labels-ckpt")(
       ckpt(nodes.select(col("doc_id"), col("doc_id").as("label"))))
     // per-cycle lineage truncation: [[ckptLazy]] lets the cycle's
@@ -303,54 +333,94 @@ object DedupOps {
       // one propagate+jump step; `carry` columns (the convergence
       // markers) ride through untouched so convergence is a scan of the
       // cycle's one checkpoint — not an extra join back to the previous
-      // labels (one fewer shuffle per cycle)
-      def step(lbl: DataFrame, carry: Seq[String]): DataFrame = {
+      // labels (one fewer shuffle per cycle). `identity = true` (round
+      // 0 only) skips the edges⋈labels join outright: with label(a) ≡ a
+      // the neighbor minimum is just min(doc_a) grouped on doc_b — the
+      // full-edge-list join against the label table never happens.
+      // `jump = false` drops the pointer-jump self-join (2 exchanges):
+      // a plain propagate step suffices for the CONFIRMATION role,
+      // because the identity⇒fixpoint argument below never uses the
+      // jump — while every cycle's first step keeps it, so diameter
+      // coverage stays exponential in cycles.
+      def step(lbl: DataFrame, carry: Seq[String],
+          identity: Boolean = false, jump: Boolean = true): DataFrame = {
         val keep = carry.map(col)
-        val nbrMin = liveEdges
-          .join(lbl, col("doc_a") === col("doc_id"))
+        val nbrMin = (
+          if (identity) liveEdges.select(col("doc_b"), col("doc_a").as("label"))
+          else liveEdges.join(lbl, col("doc_a") === col("doc_id"))
+          )
           .groupBy(col("doc_b"))
           .agg(min(col("label")).as("nbr_min"))
         val stepped = lbl
           .join(nbrMin, col("doc_id") === col("doc_b"), "left")
           .select(col("doc_id") +: keep :+
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"): _*)
-        val byId = stepped.select(col("doc_id").as("pid"), col("label").as("plabel"))
-        stepped
-          .join(byId, col("label") === col("pid"))
-          .select(col("doc_id") +: keep :+ col("plabel").as("label"): _*)
+        if (!jump) stepped
+        else {
+          val byId = stepped.select(col("doc_id").as("pid"), col("label").as("plabel"))
+          stepped
+            .join(byId, col("label") === col("pid"))
+            .select(col("doc_id") +: keep :+ col("plabel").as("label"): _*)
+        }
       }
       while (changed > 0 && rounds < MaxRounds) {
         if (rounds == 1) {
           val la = labels.select(col("doc_id").as("doc_a"), col("label").as("la"))
           val lb = labels.select(col("doc_id").as("doc_b"), col("label").as("lb"))
-          val contracted = timed("contraction")(ckpt(edges
+          // LAZY checkpoint: the contraction job folds into cycle 1's
+          // convergence count (both step branches read the same
+          // materialized RDD within that one job) instead of paying a
+          // separate eager-checkpoint job wait
+          val contracted = timed("contraction")(ckptLazy(edges
             .join(la, "doc_a").join(lb, "doc_b")
             .filter(col("la") =!= col("lb"))
             .select(col("la").as("doc_a"), col("lb").as("doc_b"))
             .distinct()))
           liveEdges = contracted
-          edges.unpersist()
+          // post-contraction the per-step tables are slivers where AQE
+          // inverts: each exchange becomes its own query-stage JOB
+          // (planning + barrier ≈ 0.1 s each, ~a dozen per cycle) for
+          // joins too small to ever need a runtime re-plan; and the
+          // full cluster width is pure task overhead. Narrow + static
+          // planning pipelines a whole cycle into ONE job of 8-task
+          // stages. Both flips are scoped to the loop session and
+          // restored in the finally — the heavy phases above (pairs,
+          // round 0, the contraction plan itself) were already planned
+          // under AQE at full width and keep its runtime broadcasts.
+          sess.conf.set(aqeKey, "false")
+          sess.conf.set("spark.sql.shuffle.partitions", "8")
         }
         val start = labels.select(col("doc_id"), col("label"))
-        // cycle 0 runs ONE step against the full edge list; once the
-        // graph is contracted the per-step data is a sliver and the
-        // sequential latency is per-stage scheduling, so each later
-        // cycle chains TWO steps into the one materialization + one
-        // convergence count. The LAST step of a cycle records its input
-        // label as `prev`: a full propagate+jump step that maps every
-        // label to itself IS the fixpoint (label(b) ≤ label(a) across
+        // Cycle 0 is ONE propagate+jump step against the full edge list
+        // (with the identity shortcut — no edges⋈labels join). Each
+        // later cycle chains a propagate+jump step and then a cheap
+        // jump-less CONFIRMATION step into one materialization + one
+        // convergence count. The confirmation step records its input
+        // label as `prev`: a propagate step that maps every label to
+        // itself IS the fixpoint (identity ⇒ label(b) ≤ label(a) across
         // every symmetric edge ⇒ labels constant per component, and
-        // labels only ever take component doc_ids ⇒ the constant is the
-        // min), so convergence is detected the moment a step is an
-        // identity — the typical post-contraction cycle does its real
-        // work in step one and its step two doubles as the confirmation,
-        // ending the loop with no separate confirming cycle. MaxRounds
-        // bounds cycles, conservatively.
-        val pre = if (rounds == 0) start else step(start, Nil)
-        val last = step(pre.withColumn("prev", col("label")), Seq("prev"))
+        // labels only ever take component doc_ids ⇒ the constant is
+        // the min — an argument that never needs the jump), so
+        // convergence is detected the moment a step is an identity: the
+        // typical post-contraction cycle fixes its stragglers in step
+        // one and its step two doubles as the confirmation. Every
+        // cycle's FIRST step keeps the jump, so reachable diameter
+        // stays exponential in cycles; MaxRounds bounds them.
+        val pre =
+          if (rounds == 0) start else step(start, Nil)
+        val last = step(pre.withColumn("prev", col("label")), Seq("prev"),
+          identity = rounds == 0, jump = rounds == 0)
         val jumped = timed(s"ckpt-$rounds")(cycleCkpt(last))
         val t0 = System.nanoTime()
-        changed = jumped.filter(col("label") =!= col("prev")).count()
+        // cycle 0 is never the fixpoint on a non-empty edge set (its one
+        // step against the raw graph always relabels something, and an
+        // EMPTY graph costs one cheap confirming cycle) — skip its count
+        // so nothing materializes until cycle 1's, which then runs
+        // step-0 + contraction + the sliver steps as ONE job; the
+        // shared cycle-0 checkpoint RDD is computed once within it
+        changed =
+          if (rounds == 0) Long.MaxValue
+          else jumped.filter(col("label") =!= col("prev")).count()
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           println(f"CC cycle $rounds: changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2fs")
         // superseded checkpoints lose their last reference here; the
@@ -361,8 +431,9 @@ object DedupOps {
       require(changed == 0, s"minLabelComponents did not converge in $MaxRounds rounds")
       labels.select(col("doc_id"), col("label").as("cluster_id"))
     } finally {
-      // the result reads the final labels checkpoint, not this cache —
-      // safe to release even on the success path
+      sess.conf.set(aqeKey, aqeWas)
+      sess.conf.set(partsKey, partsWas)
+      // the result reads the final labels checkpoint, not this cache
       edges.unpersist()
     }
   }
