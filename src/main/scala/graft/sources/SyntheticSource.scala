@@ -259,7 +259,12 @@ class SyntheticScanBuilder(rows: Long, slices: Int, batchRows: Long,
   override def isPartiallyPushed(): Boolean = true
 
   override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
-    val onId = agg.isEmpty && limit >= 0 && orders.length == 1 &&
+    // mirror pushOffset's limit guard: if an offset was already
+    // accepted, REFUSE the top-N rather than trip build()'s invariant
+    // assert, should a future Spark pushdown ordering ever offer topN
+    // after offset
+    val onId = agg.isEmpty && offsetM == 0 && limit >= 0 &&
+      orders.length == 1 &&
       (orders(0).expression() match {
         case n: NamedReference => n.fieldNames.sameElements(Array("id"))
         case _ => false

@@ -208,13 +208,40 @@ object StreamOps {
     * streaming queries each paid a fresh session-state build (catalog,
     * conf clone, codegen caches) for an identical session — sharing one
     * warmed child trims that fixed cost while queries stay isolated
-    * where it matters (own checkpoints, own sink names, own feeds). */
+    * where it matters (own checkpoints, own sink names, own feeds).
+    *
+    * CONTRACT: the returned session is SHARED — callers must NOT set
+    * conf on it (a mutation would silently leak into every other
+    * streaming query for the process lifetime). A query family that
+    * needs different conf uses its own memoized child under the same
+    * contract ([[rocksSession]] for transformWithState) or a fresh
+    * `parent.newSession()` (the CC loop's width). The map also retains
+    * parent→child pairs (and memory-sink temp views registered on the
+    * child) for the process lifetime by design: parents here are
+    * long-lived driver sessions (Verify/Bench/tests), one child each. */
   private val streamSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
   private def streamSession(parent: SparkSession): SparkSession =
     streamSessions.computeIfAbsent(parent, p => {
       val spark = p.newSession()
       spark.conf.set("spark.sql.shuffle.partitions", "2")
+      spark
+    })
+
+  /** The RocksDB sibling of [[streamSession]], with the same memoized-
+    * child convention and the same no-conf-mutation CONTRACT: the
+    * transformWithState family (five queries) needs the identical
+    * provider conf, so they share ONE warmed child instead of paying
+    * five session-state builds — each query still has its own
+    * checkpoints, sink names and feeds. */
+  private val rocksSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def rocksSession(parent: SparkSession): SparkSession =
+    rocksSessions.computeIfAbsent(parent, p => {
+      val spark = p.newSession()
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       spark
     })
 
@@ -502,10 +529,7 @@ object StreamOps {
     * batches, Update-mode memory sink, max-by-n_seen final snapshot per
     * user. Oracle: rank-3 pivot over complete events. */
   def recentEventsStreamed(parent: SparkSession, dir: String): DataFrame = {
-    val spark = parent.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = rocksSession(parent)
     import spark.implicits._
     val schema = completeEvents(spark, dir).schema
     runFileStream(spark, schema, "graft_stream_tws_list_sink",
@@ -546,7 +570,11 @@ object StreamOps {
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTypeCount] = {
       val touched = scala.collection.mutable.LinkedHashMap[String, Long]()
       rows.foreach { e =>
-        val t = if (e.event_type == null) "" else e.event_type
+        // collision-free encoding: MapState keys can't be null, and a
+        // bare "" sentinel would conflate a genuine empty-string type
+        // with the NULL group — prefix real values with 'v' and encode
+        // null as "n"; the sink extraction decodes
+        val t = if (e.event_type == null) "n" else "v" + e.event_type
         val cur = touched.getOrElse(t,
           if (counts.containsKey(t)) counts.getValue(t) else 0L)
         touched.update(t, cur + 1)
@@ -560,13 +588,11 @@ object StreamOps {
     * Update-mode memory sink; per-(user, type) counts only grow, so the
     * max over the sink's per-batch emissions is the final table.
     * Oracle: the batch per-user per-type counts over complete events
-    * (the null event_type group rides as '' and is re-landed as NULL to
-    * match the SQL's grouping). */
+    * (the null event_type group rides under the collision-free "n" key
+    * — real types are "v"-prefixed — and is re-landed as NULL to match
+    * the SQL's grouping). */
   def typeCountsStreamed(parent: SparkSession, dir: String): DataFrame = {
-    val spark = parent.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = rocksSession(parent)
     import spark.implicits._
     val schema = completeEvents(spark, dir).schema
     runFileStream(spark, schema, "graft_stream_tws_map_sink",
@@ -580,8 +606,10 @@ object StreamOps {
       .groupBy(col("user_id"), col("event_type"))
       .agg(max(col("n")).as("n"))
       .select(col("user_id"),
-        when(col("event_type") === "", lit(null)).otherwise(col("event_type"))
-          .as("event_type"),
+        // decode the processor's collision-free key: "n" → NULL,
+        // "v<type>" → <type>
+        when(col("event_type") === "n", lit(null))
+          .otherwise(expr("substring(event_type, 2)")).as("event_type"),
         col("n"))
   }
 
@@ -645,10 +673,7 @@ object StreamOps {
     * per-user totals over complete events, the q_stream_user_totals
     * SQL. */
   def timerTotalsStreamed(parent: SparkSession, dir: String): DataFrame = {
-    val spark = parent.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = rocksSession(parent)
     import spark.implicits._
     val schema = completeEvents(spark, dir).schema
     runFileStream(spark, schema, "graft_stream_tws_timer_sink",
@@ -669,14 +694,12 @@ object StreamOps {
   /** [[TotalsProcessor]] (transformWithState) under the engine: the
     * modern arbitrary-state operator over the same two time-split
     * batches, Update-mode memory sink, RocksDB state store (required by
-    * the operator; its own child session isolates the provider conf).
+    * the operator; the shared [[rocksSession]] child isolates the
+    * provider conf from the parent).
     * Extraction and oracle are identical to [[userTotalsStreamed]] —
     * the API migration must be result-invisible. */
   def userTotalsTwsStreamed(parent: SparkSession, dir: String): DataFrame = {
-    val spark = parent.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = rocksSession(parent)
     import spark.implicits._
     val schema = completeEvents(spark, dir).schema
     runFileStream(spark, schema, "graft_stream_tws_sink",
@@ -722,10 +745,7 @@ object StreamOps {
     * the batch per-user totals — the same state-content-is-the-
     * semantic contract as q_state_reader, now over a TTL'd variable. */
   def userTotalsTwsTtlStreamed(parent: SparkSession, dir: String): DataFrame = {
-    val spark = parent.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = rocksSession(parent)
     import spark.implicits._
     val schema = completeEvents(spark, dir).schema
     val root = Files.createTempDirectory("graft_stream_tws_ttl")
