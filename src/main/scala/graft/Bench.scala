@@ -25,6 +25,7 @@ object Bench {
     // clear orphan CTAS dirs any previous JVM left behind (the in-memory
     // catalog dies with its JVM; warehouse files survive a clean exit too)
     graft.ingest.Materialize.resetBucketTables(spark, sfDir)
+    graft.ingest.Materialize.resetCboTables(spark, sfDir)
     // Warm-up: trigger codegen/JIT and prime the file-source cache so the
     // first timed query doesn't carry JVM start-up cost.
     try {

@@ -124,6 +124,7 @@ object SparkEntry {
     "q_tfidf"            -> TextOps.tfIdf _,
     "q_json_map"         -> EventOps.jsonMap _,
     "q_bucketed_join"    -> Materialize.bucketedJoin _,
+    "q_cbo_join"         -> Materialize.cboJoin _,
     "q_partitioned_write" -> Materialize.partitionedRoundTrip _,
     "q_dpp_join"         -> Materialize.dppJoin _,
     "q_lateral_topk"     -> Relational.lateralTopCustomers _,
@@ -1357,6 +1358,15 @@ object SparkEntry {
         |SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, l2
         |FROM r WHERE rank <= ${VectorOps.TopK}""".stripMargin
     },
+    "q_cbo_join" -> // oracle is the plain SQL — catalog statistics must
+      // be value-invisible (CBO only re-plans, never re-answers)
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 480000
+        |GROUP BY 1""".stripMargin,
     "q_bucketed_join" -> // oracle is the plain join — bucketing must not change results
       """SELECT c_nationkey,
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active_cust,

@@ -28,6 +28,7 @@ object Verify {
     // clear orphan CTAS dirs any previous JVM left behind (the in-memory
     // catalog dies with its JVM; warehouse files survive a clean exit too)
     graft.ingest.Materialize.resetBucketTables(spark, sfDir)
+    graft.ingest.Materialize.resetCboTables(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -542,6 +542,108 @@ object Materialize {
         sum(graft.functions.Exact.cents(col("o_totalprice"))).as("revenue_cents"))
   }
 
+  /** The sfDir-scoped CTAS table names [[cboJoin]] writes (scoped so
+    * different scales never read each other's stats). */
+  def cboTableNames(dir: String): (String, String, String) = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    (s"graft_cbo_li_$tag", s"graft_cbo_ord_$tag", s"graft_cbo_cust_$tag")
+  }
+
+  /** Harness-side reset for [[cboJoin]]'s CTAS tables — same
+    * orphan-location contract as [[resetBucketTables]]. */
+  def resetCboTables(spark: SparkSession, dir: String): Unit = {
+    val (liT, oT, cT) = cboTableNames(dir)
+    Seq(liT, oT, cT).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      graft.util.Fs.deleteRecursively(new java.io.File(wh, t))
+    }
+  }
+
+  /** True iff a CBO-table location exists on disk WITHOUT a catalog
+    * entry — the previous-JVM orphan state that makes CTAS fail. */
+  private def orphanedCboTables(spark: SparkSession, dir: String): Boolean = {
+    val (liT, oT, cT) = cboTableNames(dir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq(liT, oT, cT).exists(t =>
+      !spark.catalog.tableExists(t) && new java.io.File(wh, t).exists())
+  }
+
+  /** CTAS the three CBO demo tables and `ANALYZE .. FOR ALL COLUMNS`
+    * them, once per JVM: catalog stats live with the table entry (the
+    * SharedState external catalog), so a same-JVM re-run reuses both
+    * the data and the statistics instead of rewriting per call. */
+  private[graft] def ensureCboTables(spark: SparkSession, dir: String): Unit = {
+    val (liT, oT, cT) = cboTableNames(dir)
+    if (orphanedCboTables(spark, dir)) resetCboTables(spark, dir)
+    val all = Seq(liT, oT, cT)
+    if (all.forall(spark.catalog.tableExists)) return
+    def ctas(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").format("parquet").saveAsTable(t)
+    ctas(graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice")), liT)
+    ctas(graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")), oT)
+    ctas(graft.sources.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment")), cT)
+    all.foreach(t => spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+  }
+
+  /** Selectivity knob for [[cboJoin]]'s order filter: only the top
+    * slice of o_totalprice survives, so the stats'd row-count estimate
+    * collapses far below the raw table size. */
+  private[graft] val CboHighValue = 480000.0
+
+  /** The CBO demo query, ASSUMING the stats'd tables already exist:
+    * high-value orders ⋈ lineitem ⋈ customer, revenue by market
+    * segment. Written DELIBERATELY in the worst join order (big
+    * lineitem first) — with `spark.sql.cbo.joinReorder.enabled` and
+    * row counts on every item, Catalyst's CostBasedJoinReorder is
+    * free to start from the filtered-orders ⋈ customer sliver instead.
+    * Split from [[cboJoin]] so PlanSpec can plan the identical tree
+    * under stats-on and stats-off sessions and pin the flip. */
+  private[graft] def cboQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (liT, oT, cT) = cboTableNames(dir)
+    val hi = spark.table(oT).filter(col("o_totalprice") > CboHighValue)
+    spark.table(liT)
+      .join(hi, col("l_orderkey") === col("o_orderkey"))
+      .join(spark.table(cT), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(graft.functions.Exact.cents(col("l_extendedprice"))).as("revenue_cents"))
+  }
+
+  /** COST-BASED OPTIMIZATION surface (`ANALYZE TABLE` + CBO planning) —
+    * the one vanilla-Spark optimizer face AQE does not subsume: AQE
+    * re-plans from RUNTIME shuffle statistics, CBO plans from CATALOG
+    * statistics before a single task runs. The demo: without column
+    * stats the size-only estimator propagates the orders table's full
+    * size through the `o_totalprice > ...` filter (filters don't shrink
+    * size-only estimates), so the join of the filtered slice into
+    * lineitem plans as a sort-merge join under a low broadcast
+    * threshold; with `ANALYZE .. FOR ALL COLUMNS` + `spark.sql.cbo
+    * .enabled`, FilterEstimation's min/max range math collapses the
+    * estimate and the SAME query broadcasts the sliver instead (and
+    * CostBasedJoinReorder may rewrite the deliberately-bad user join
+    * order outright). PlanSpec pins the stats-driven flip both ways;
+    * the oracle is the plain SQL — stats must be value-invisible. At
+    * 100 TB this is the difference between shuffling a fact table to
+    * meet a 0.1% dimension slice and shipping the slice to the fact
+    * rows. Conf scoping: a child session pins the CBO flags + demo
+    * threshold without touching the caller's planner. */
+  def cboJoin(parent: SparkSession, dir: String): DataFrame = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    // between the filtered-estimate (~2KB with stats: a ~4% min/max
+    // range selectivity on orders) and the size-only estimate of the
+    // same slice (the full orders table width-scaled, ~15KB at the
+    // smallest test scale — size-only filters don't shrink)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "8KB")
+    ensureCboTables(spark, dir)
+    cboQuery(spark, dir)
+  }
+
   /** Shard count for [[rendezvousShard]]'s initial placement. */
   val RvShards = 8
 

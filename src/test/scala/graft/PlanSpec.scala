@@ -440,6 +440,50 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"release pass shuffled:\n$plan")
   }
 
+  test("q_cbo_join: catalog stats + CBO flip the plan — broadcast of the " +
+    "filtered sliver AND a rewritten join order; size-only planning " +
+    "sort-merges the same tree in the user's order") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import graft.ingest.Materialize
+    val dir = TestSpark.Sf0001
+    /** Bottom-most join of the optimized tree (no Join beneath it) —
+      * whose relations reveal which pair the optimizer joins FIRST. */
+    def innermostJoin(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if !j.children.exists(_.exists(_.isInstanceOf[Join])) => j
+      }.head.toString
+    val (liT, _, cT) = Materialize.cboTableNames(dir)
+
+    val on = spark.newSession() // cboJoin's own conf, via the public entry
+    val dfOn = Materialize.cboJoin(on, dir)
+    val planOn = dfOn.queryExecution.sparkPlan.toString
+    assert(!planOn.contains("SortMergeJoin"),
+      s"stats'd plan still sort-merges:\n$planOn")
+    assert(planOn.contains("BroadcastHashJoin"), planOn)
+    // CostBasedJoinReorder rewrote the deliberately-bad user order:
+    // the filtered-orders ⋈ customer sliver is joined FIRST, the big
+    // lineitem probe last — not the user's lineitem-first tree
+    val innerOn = innermostJoin(dfOn)
+    assert(innerOn.contains(cT) && !innerOn.contains(liT),
+      s"join order not stats-rewritten (innermost join):\n$innerOn")
+
+    val off = spark.newSession() // same threshold, stats ignored
+    off.conf.set("spark.sql.cbo.enabled", "false")
+    off.conf.set("spark.sql.autoBroadcastJoinThreshold", "8KB")
+    val dfOff = Materialize.cboQuery(off, dir)
+    val planOff = dfOff.queryExecution.sparkPlan.toString
+    // size-only estimation can't see through the filter (the orders
+    // table's full size survives it, ~15KB after width-scaling the
+    // 23KB table down to the projected columns), so the joins that
+    // touch it sort-merge
+    assert(planOff.contains("SortMergeJoin"),
+      s"control plan should sort-merge without stats:\n$planOff")
+    assert(innermostJoin(dfOff).contains(liT),
+      "user join order should survive when reorder is off")
+    // and the stats must be value-invisible: identical rows either way
+    assert(dfOn.collect().toSet == dfOff.collect().toSet)
+  }
+
   test("q_dataset_checksum and q_tokenize_ids: hash aggregates with " +
     "map-side partials; vocab broadcasts onto the token stream") {
     val ck = finalSection(finalPlan(
