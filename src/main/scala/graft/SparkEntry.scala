@@ -193,6 +193,7 @@ object SparkEntry {
     "q_dsv2_runtime_filter" -> Materialize.dsv2RuntimeFilter _,
     "q_dsv2_topn"        -> Materialize.dsv2TopN _,
     "q_dsv2_keyed_agg"   -> Materialize.dsv2KeyedAgg _,
+    "q_spj_join"         -> Materialize.spjJoin _,
     "q_dsv2_sink"        -> Materialize.dsv2SinkRoundTrip _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
     "q_snapshot_diff"    -> Materialize.snapshotDiff _,
@@ -2177,6 +2178,21 @@ object SparkEntry {
         |  CAST(min((i * 2654435761) % 1000) AS BIGINT) AS min_uid
         |FROM (SELECT unnest(generate_series(0, 199999)) AS i)
         |GROUP BY 1""".stripMargin,
+    "q_spj_join" -> // the storage-partitioned join is a physical
+      // contract only — values must equal the regenerated two-sided SQL
+      """WITH a AS (
+        |  SELECT 't' || CAST(i % 5 AS VARCHAR) AS event_type,
+        |    count(*) AS n_full,
+        |    CAST(sum((i * 48271) % 100000) AS BIGINT) AS cents_full
+        |  FROM (SELECT unnest(generate_series(0, 199999)) AS i)
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT 't' || CAST(i % 5 AS VARCHAR) AS event_type,
+        |    CAST(sum((i * 48271) % 100000) AS BIGINT) AS cents_recent
+        |  FROM (SELECT unnest(generate_series(0, 49999)) AS i)
+        |  GROUP BY 1)
+        |SELECT a.event_type, n_full, cents_full, cents_recent
+        |FROM a JOIN b ON a.event_type = b.event_type""".stripMargin,
     "q_dsv2_topn" -> // the pushed ORDER BY id DESC LIMIT 42 must equal
       // the same top-N over the regenerated id formulas
       """SELECT i AS id,

@@ -838,6 +838,40 @@ object Materialize {
         min(col("user_id")).as("min_uid"))
   }
 
+  /** STORAGE-PARTITIONED JOIN (Spark's v2-bucketing join over two
+    * [[graft.sources.SyntheticSource]] keyed scans) — the join-side
+    * completion of [[dsv2KeyedAgg]]'s storage-partitioned contract: both
+    * sides report `KeyGroupedPartitioning(identity(event_type), 5)` with
+    * identical partition values, so the per-type aggregates AND the
+    * sort-merge join between them all satisfy their distributions
+    * straight off the two scans — the executed plan has ZERO exchanges
+    * end to end (IngestSpec pins no-shuffle and the SortMergeJoin
+    * operator; the merge hint only rules out broadcast, which would
+    * trivialize the demo). This is the DSv2 answer to the big⋈big
+    * shuffle at 100 TB: when both sides' storage layouts already agree
+    * on the join key — two Iceberg tables bucketed alike, two Kafka
+    * topics keyed alike — the engine joins co-located partitions 1:1
+    * and the O(data) exchange never happens. Oracle: both sides
+    * regenerated with `generate_series` and joined in SQL — a layout
+    * contract must be value-invisible. */
+  def spjJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    def keyed(rows: Long) = spark.read
+      .format("graft.sources.SyntheticSource")
+      .option("rows", rows).option("partitionBy", "event_type")
+      .load()
+    // full corpus vs the first-50k prefix: same key space (t0..t4),
+    // different per-type totals — the "fact vs recent-slice" shape
+    val full = keyed(200000L).groupBy("event_type")
+      .agg(count(lit(1)).as("n_full"),
+        sum(col("value_cents")).as("cents_full"))
+    val recent = keyed(50000L).groupBy("event_type")
+      .agg(sum(col("value_cents")).as("cents_recent"))
+    full.hint("merge").join(recent, "event_type")
+      .select(col("event_type"), col("n_full"), col("cents_full"),
+        col("cents_recent"))
+  }
+
   /** DSv2 RUNTIME FILTERING ([[graft.sources.SyntheticSource]],
     * `SupportsRuntimeFiltering`) — the connector-side sibling of
     * [[dppJoin]]: the 200k-row synthetic fact joins a dim whose only

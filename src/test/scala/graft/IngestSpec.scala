@@ -553,6 +553,23 @@ class IngestSpec extends AnyFunSuite {
       "keyed layout changed values")
   }
 
+  test("SyntheticSource (DSv2): storage-partitioned JOIN — two keyed " +
+    "scans, two aggs, one sort-merge join, ZERO exchanges") {
+    val df = Materialize.spjJoin(spark, TestSpark.Sf0001)
+    TestSpark.assertNoShuffle(df)
+    // the join must be a real SortMergeJoin over the co-located
+    // partitions — a broadcast would make no-shuffle trivially true
+    // (plan-string match: under AQE the wrapper is a leaf, so an
+    // operator collect sees nothing — same rationale as assertNoShuffle)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a SortMergeJoin:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"join got broadcast:\n$plan")
+    // the whole pipeline ran at the storage partitioning: the join
+    // output is exactly the 5 co-located event_type partitions
+    assert(df.rdd.getNumPartitions == graft.sources.SyntheticSource.NumTypes,
+      s"join did not run at the keyed width: ${df.rdd.getNumPartitions}")
+  }
+
   test("GraftCatalog: q_catalog_sql resolves by name to the SAME scan " +
     "machinery a path read gets (pushdown + pruned columns)") {
     val df = Materialize.catalogSql(spark, TestSpark.Sf0001)
