@@ -194,6 +194,7 @@ object SparkEntry {
     "q_dsv2_topn"        -> Materialize.dsv2TopN _,
     "q_dsv2_keyed_agg"   -> Materialize.dsv2KeyedAgg _,
     "q_spj_join"         -> Materialize.spjJoin _,
+    "q_catalog_fn"       -> Materialize.catalogFunctions _,
     "q_dsv2_sink"        -> Materialize.dsv2SinkRoundTrip _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
     "q_snapshot_diff"    -> Materialize.snapshotDiff _,
@@ -2177,6 +2178,15 @@ object SparkEntry {
         |  CAST(sum((i * 48271) % 100000) AS BIGINT) AS sum_cents,
         |  CAST(min((i * 2654435761) % 1000) AS BIGINT) AS min_uid
         |FROM (SELECT unnest(generate_series(0, 199999)) AS i)
+        |GROUP BY 1""".stripMargin,
+    "q_catalog_fn" -> // catalog-provided band/xsum must equal DuckDB's
+      // floor-band and bit_xor (both integer-exact; see CatalogFunctions)
+      """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT)
+        |    AS price_band,
+        |  count(*) AS n,
+        |  bit_xor(o_orderkey) AS key_xor
+        |FROM orders
+        |WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
         |GROUP BY 1""".stripMargin,
     "q_spj_join" -> // the storage-partitioned join is a physical
       // contract only — values must equal the regenerated two-sided SQL

@@ -816,6 +816,29 @@ object Materialize {
         |GROUP BY 1, 2""".stripMargin)
   }
 
+  /** Catalog-PROVIDED FUNCTIONS ([[graft.sources.GraftCatalog]]'s
+    * `FunctionCatalog` face, [[graft.sources.CatalogFunctions]]) — the
+    * connector ships its own functions, resolved by NAME through the
+    * catalog (`graft.fn.band`, `graft.fn.xsum`) with zero session
+    * registration: the scalar one carries the magic `invoke` method so
+    * the call site compiles into whole-stage codegen as a direct
+    * primitive JVM call (IngestSpec pins the codegen'd Invoke — NOT the
+    * row-boxed ApplyFunctionExpression fallback); the aggregate one is
+    * a V2 AggregateFunction Spark plans with map-side partial merge
+    * like a builtin sum. The query is a price-band histogram with an
+    * XOR content fingerprint per band. Oracle: `floor(/)*` and
+    * `bit_xor` — both integer-exact. */
+  def catalogFunctions(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.sql(
+      """SELECT graft.fn.band(o_totalprice, 50000L) AS price_band,
+        |  count(*) AS n,
+        |  graft.fn.xsum(o_orderkey) AS key_xor
+        |FROM graft.sf.orders
+        |WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+        |GROUP BY 1""".stripMargin)
+  }
+
   /** DSv2 REPORTED PARTITIONING ([[graft.sources.SyntheticSource]],
     * `SupportsReportPartitioning`) — the storage-partitioned contract:
     * `partitionBy=event_type` keys the generator's partitions by type

@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetDataSourceV2
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -43,7 +44,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the lake's layout is owned by the materialization stage
   * ([[graft.ingest.Materialize]]), not by query-side DDL.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog {
   import GraftCatalog._
 
   private var catalogName: String = _
@@ -124,6 +125,26 @@ class GraftCatalog extends TableCatalog {
     case _ => throw new NoSuchTableException(ident)
   }
 
+  /** The `FunctionCatalog` face: connector-shipped functions under the
+    * `fn` namespace, resolvable by name with zero session registration
+    * (`SELECT graft.fn.band(…)`) — see [[CatalogFunctions]] for why the
+    * scalar one codegens like a builtin. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    namespace.toSeq match {
+      case Seq(FnNs) =>
+        FnNames.map(Identifier.of(namespace, _)).toArray
+      case Seq(SfNs) | Seq(GenNs) => Array.empty
+      case _ => throw new NoSuchNamespaceException(namespace)
+    }
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    ident.namespace().toSeq match {
+      case Seq(FnNs) if ident.name() == "band" => CatalogFunctions.BandFn
+      case Seq(FnNs) if ident.name() == "xsum" => CatalogFunctions.XorAggFn
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
+
   override def createTable(ident: Identifier, schema: org.apache.spark.sql.types.StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: util.Map[String, String]): Table =
@@ -143,6 +164,8 @@ object GraftCatalog {
   val SfNs = "sf"
   val GenNs = "gen"
   val GenTable = "numbers"
+  val FnNs = "fn"
+  val FnNames: Seq[String] = Seq("band", "xsum")
 
   /** The driver-generated scale-factor tables ([[Tables]]). `events` is
     * served through its own load branch that applies the

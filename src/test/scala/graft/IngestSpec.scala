@@ -570,6 +570,26 @@ class IngestSpec extends AnyFunSuite {
       s"join did not run at the keyed width: ${df.rdd.getNumPartitions}")
   }
 
+  test("GraftCatalog: catalog-provided functions resolve by name; the " +
+    "scalar compiles to the magic-method Invoke, the agg to v2aggregator") {
+    val df = Materialize.catalogFunctions(spark, TestSpark.Sf0001)
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    // magic-method codegen path, NOT the row-boxed produceResult fallback
+    assert(plan.contains("invoke(graft.sources.CatalogFunctions"),
+      s"band did not take the magic-method Invoke path:\n$plan")
+    assert(plan.contains("v2aggregator"),
+      s"xsum did not plan as a V2 aggregate:\n$plan")
+    // the catalog lists its functions; unknown names miss cleanly
+    val listed = spark.sql("SHOW FUNCTIONS IN graft.fn")
+      .collect().map(_.getString(0)).toSet
+    assert(graft.sources.GraftCatalog.FnNames.forall(f =>
+      listed.exists(_.endsWith(f))), listed)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft.fn.nope(1)").collect()
+    }
+  }
+
   test("GraftCatalog: q_catalog_sql resolves by name to the SAME scan " +
     "machinery a path read gets (pushdown + pruned columns)") {
     val df = Materialize.catalogSql(spark, TestSpark.Sf0001)
