@@ -195,6 +195,7 @@ object SparkEntry {
     "q_dsv2_keyed_agg"   -> Materialize.dsv2KeyedAgg _,
     "q_spj_join"         -> Materialize.spjJoin _,
     "q_catalog_fn"       -> Materialize.catalogFunctions _,
+    "q_dsv2_meta"        -> Materialize.dsv2Meta _,
     "q_dsv2_sink"        -> Materialize.dsv2SinkRoundTrip _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
     "q_snapshot_diff"    -> Materialize.snapshotDiff _,
@@ -2177,6 +2178,14 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum((i * 48271) % 100000) AS BIGINT) AS sum_cents,
         |  CAST(min((i * 2654435761) % 1000) AS BIGINT) AS min_uid
+        |FROM (SELECT unnest(generate_series(0, 199999)) AS i)
+        |GROUP BY 1""".stripMargin,
+    "q_dsv2_meta" -> // the _slice metadata column is the planned
+      // partition ordinal; the 16-way even split of 200k ids is
+      // 12500-id blocks, so DuckDB regenerates it as i // 12500
+      """SELECT CAST(i // 12500 AS INT) AS slice,
+        |  count(*) AS n,
+        |  CAST(sum((i * 48271) % 100000) AS BIGINT) AS sum_cents
         |FROM (SELECT unnest(generate_series(0, 199999)) AS i)
         |GROUP BY 1""".stripMargin,
     "q_catalog_fn" -> // catalog-provided band/xsum must equal DuckDB's

@@ -816,6 +816,27 @@ object Materialize {
         |GROUP BY 1, 2""".stripMargin)
   }
 
+  /** DSv2 METADATA COLUMNS ([[graft.sources.SyntheticSource]],
+    * `SupportsMetadataColumns`) — the connector's hidden provenance
+    * columns, the connector face of the file source's `_metadata`:
+    * `_slice` (the planned partition ordinal) is invisible to
+    * `SELECT *` but resolves when named and is served by the same
+    * readers as data columns (IngestSpec pins hidden-by-default,
+    * row/columnar parity, and the pruned read schema). The query is the
+    * per-shard profile a 100 TB skew investigation starts with: rows
+    * and value mass per input partition — lineage without widening the
+    * table or taxing queries that don't ask. Oracle: the even-split
+    * arithmetic is deterministic (16 slices of 200k ids = 12500-id
+    * blocks), so DuckDB regenerates `_slice` as `i // 12500`. */
+  def dsv2Meta(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 200000L).option("slices", 16)
+      .load()
+      .select(col("_slice").as("slice"), col("value_cents"))
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("sum_cents"))
+  }
+
   /** Catalog-PROVIDED FUNCTIONS ([[graft.sources.GraftCatalog]]'s
     * `FunctionCatalog` face, [[graft.sources.CatalogFunctions]]) — the
     * connector ships its own functions, resolved by NAME through the

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => VExpression}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
@@ -115,10 +115,23 @@ object SyntheticSource {
     * observability for the offset-contract tests (each entry is one
     * trigger's [start, end)). */
   val plannedBatches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+
+  /** The `_slice` metadata column: planned partition ordinal (see
+    * [[SyntheticTable.metadataColumns]]). */
+  val SliceColName = "_slice"
+  object SliceMetadataColumn extends MetadataColumn {
+    override def name(): String = SliceColName
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.IntegerType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "ordinal of the planned input partition that produced the row"
+  }
 }
 
 case class SyntheticTable(rows: Long, slices: Int, batchRows: Long,
-    columnar: Boolean, keyed: Boolean = false) extends Table with SupportsRead {
+    columnar: Boolean, keyed: Boolean = false) extends Table with SupportsRead
+    with SupportsMetadataColumns {
   require(rows >= 0 && slices > 0 && batchRows > 0,
     s"bad synthetic geometry ($rows, $slices, $batchRows)")
   override def name(): String = s"synthetic($rows)"
@@ -127,6 +140,17 @@ case class SyntheticTable(rows: Long, slices: Int, batchRows: Long,
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SyntheticScanBuilder(rows, slices, batchRows, columnar, keyed)
+
+  /** METADATA COLUMNS ([[SupportsMetadataColumns]]) — the connector's
+    * hidden provenance columns, the DSv2 face of the file source's
+    * `_metadata`: absent from the table schema (a `SELECT *` never sees
+    * them), resolved only when named, and served by the SAME readers as
+    * data columns once the pruned schema requests them. `_slice` is the
+    * planned partition ordinal a row came from — the lineage a 100 TB
+    * debugging session needs ("which shard produced this row?") without
+    * widening the table or paying for it on any query that doesn't ask. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(SyntheticSource.SliceMetadataColumn)
 }
 
 /** Accumulates pushdown state, then freezes into the immutable Scan. */
@@ -406,7 +430,7 @@ case class SyntheticScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
       else if (n <= 0) Array.empty[InputPartition]
       else (0 until slices).iterator.map { s =>
         // even split of [lo, hi): slice s gets [lo + s·n/P, lo + (s+1)·n/P)
-        SyntheticPartition(lo + s * n / slices, lo + (s + 1) * n / slices)
+        SyntheticPartition(lo + s * n / slices, lo + (s + 1) * n / slices, s)
       }.collect { case p if p.hi > p.lo => p: InputPartition }.toArray
     // a GLOBAL pushed aggregate must emit a partial row even over an
     // empty range (SQL: SELECT count(*) FROM empty is one row, 0) —
@@ -439,7 +463,12 @@ case class SyntheticScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
   }
 }
 
-case class SyntheticPartition(lo: Long, hi: Long) extends InputPartition
+/** `sliceIdx` is the planning-time ordinal served by the `_slice`
+  * metadata column; stable under runtime-filter pruning (assigned at
+  * split, not renumbered), -1 on paths that never serve metadata
+  * (streaming, the degenerate empty-scan partition). */
+case class SyntheticPartition(lo: Long, hi: Long, sliceIdx: Int = -1)
+    extends InputPartition
 
 /** One event_type's rows of [lo, hi): ids ≡ k (mod NumTypes). Carries
   * its key ([[HasPartitionKey]]) so Spark can group/sort partitions by
@@ -517,11 +546,14 @@ case class SyntheticReaderFactory(columns: Array[String], columnar: Boolean)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     // keyed partitions stride NumTypes; plain slices stride 1
-    val (start, limit, stride) = partition match {
-      case p: SyntheticPartition => (p.lo, p.hi, 1L)
+    val (start, limit, stride, slice) = partition match {
+      case p: SyntheticPartition => (p.lo, p.hi, 1L, p.sliceIdx)
       case p: SyntheticKeyedPartition =>
-        (p.first, p.hi, SyntheticSource.NumTypes.toLong)
+        (p.first, p.hi, SyntheticSource.NumTypes.toLong, p.k)
     }
+    require(slice >= 0 ||
+      !columns.contains(SyntheticSource.SliceColName),
+      "_slice requested on a partition planned without an ordinal")
     new PartitionReader[InternalRow] {
       private var id = start - stride
       override def next(): Boolean = { id += stride; id < limit }
@@ -531,6 +563,7 @@ case class SyntheticReaderFactory(columns: Array[String], columnar: Boolean)
           case "user_id" => SyntheticSource.userId(id)
           case "value_cents" => SyntheticSource.valueCents(id)
           case "event_type" => UTF8String.fromString(SyntheticSource.eventType(id))
+          case SyntheticSource.SliceColName => slice
           case other => throw new IllegalArgumentException(s"no column $other")
         })
       override def close(): Unit = ()
@@ -562,9 +595,11 @@ case class SyntheticReaderFactory(columns: Array[String], columnar: Boolean)
         if (pos >= p.hi) false
         else {
           val n = math.min(VecRows.toLong, p.hi - pos).toInt
-          val vecs = columns.map { c =>
-            new OnHeapColumnVector(n,
-              if (c == "event_type") StringType else LongType)
+          val vecs = columns.map {
+            case "event_type" => new OnHeapColumnVector(n, StringType)
+            case SyntheticSource.SliceColName =>
+              new OnHeapColumnVector(n, org.apache.spark.sql.types.IntegerType)
+            case _ => new OnHeapColumnVector(n, LongType)
           }
           var i = 0
           while (i < n) {
@@ -580,6 +615,10 @@ case class SyntheticReaderFactory(columns: Array[String], columnar: Boolean)
                   val b = SyntheticSource.eventType(id)
                     .getBytes(java.nio.charset.StandardCharsets.UTF_8)
                   vecs(j).putByteArray(i, b, 0, b.length)
+                case SyntheticSource.SliceColName =>
+                  require(p.sliceIdx >= 0,
+                    "_slice requested on a partition planned without an ordinal")
+                  vecs(j).putInt(i, p.sliceIdx)
                 case other =>
                   throw new IllegalArgumentException(s"no column $other")
               }

@@ -570,6 +570,32 @@ class IngestSpec extends AnyFunSuite {
       s"join did not run at the keyed width: ${df.rdd.getNumPartitions}")
   }
 
+  test("SyntheticSource (DSv2): _slice metadata column is hidden from " +
+    "SELECT *, resolves when named, identical on row and columnar paths") {
+    val load = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 200000L).option("slices", 16).load()
+    // hidden: the metadata column never widens the table schema
+    assert(!load.columns.contains("_slice"), load.columns.toSeq)
+    val df = Materialize.dsv2Meta(spark, TestSpark.Sf0001)
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    // 16 even slices of 12500 ids each
+    assert(rows == (0 until 16).map(s => s -> 12500L).toMap, rows)
+    // the scan prunes to exactly the referenced columns + the metadata col
+    val info = graft.sources.SyntheticSource.lastScan.get
+    assert(info.columns.toSet == Set("value_cents", "_slice"), info)
+    // the vectorized path serves the same values
+    val vec = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 200000L).option("slices", 16).option("columnar", "true")
+      .load()
+      .select(org.apache.spark.sql.functions.col("_slice").as("slice"),
+        org.apache.spark.sql.functions.col("value_cents"))
+      .groupBy("slice")
+      .agg(org.apache.spark.sql.functions.sum("value_cents").as("sum_cents"))
+    assert(vec.exceptAll(df.select("slice", "sum_cents")).isEmpty &&
+      df.select("slice", "sum_cents").exceptAll(vec).isEmpty,
+      "columnar _slice diverged from the row path")
+  }
+
   test("GraftCatalog: catalog-provided functions resolve by name; the " +
     "scalar compiles to the magic-method Invoke, the agg to v2aggregator") {
     val df = Materialize.catalogFunctions(spark, TestSpark.Sf0001)
