@@ -196,6 +196,7 @@ object SparkEntry {
     "q_spj_join"         -> Materialize.spjJoin _,
     "q_catalog_fn"       -> Materialize.catalogFunctions _,
     "q_dsv2_meta"        -> Materialize.dsv2Meta _,
+    "q_dsv2_window"      -> Materialize.dsv2Window _,
     "q_dsv2_sink"        -> Materialize.dsv2SinkRoundTrip _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
     "q_snapshot_diff"    -> Materialize.snapshotDiff _,
@@ -2180,6 +2181,15 @@ object SparkEntry {
         |  CAST(min((i * 2654435761) % 1000) AS BIGINT) AS min_uid
         |FROM (SELECT unnest(generate_series(0, 199999)) AS i)
         |GROUP BY 1""".stripMargin,
+    "q_dsv2_window" -> // the zero-exchange zero-sort window is a
+      // physical contract only — values must equal the same window
+      // over the regenerated formulas
+      """SELECT id, event_type, run_cents FROM (
+        |  SELECT i AS id, 't' || CAST(i % 5 AS VARCHAR) AS event_type,
+        |    CAST(sum((i * 48271) % 100000)
+        |      OVER (PARTITION BY i % 5 ORDER BY i) AS BIGINT) AS run_cents
+        |  FROM (SELECT unnest(generate_series(0, 199999)) AS i))
+        |WHERE id % 9999 = 0""".stripMargin,
     "q_dsv2_meta" -> // the _slice metadata column is the planned
       // partition ordinal; the 16-way even split of 200k ids is
       // 12500-id blocks, so DuckDB regenerates it as i // 12500

@@ -816,6 +816,30 @@ object Materialize {
         |GROUP BY 1, 2""".stripMargin)
   }
 
+  /** DSv2 REPORTED ORDERING ([[graft.sources.SyntheticSource]],
+    * `SupportsReportOrdering`) — the ordering half of the
+    * storage-partitioned contract: the keyed scan generates each
+    * event_type partition with ids ascending and reports
+    * (event_type, id) sorted, so this running-total window satisfies
+    * its distribution from the reported partitioning AND its ordering
+    * from the reported sort — the executed plan has ZERO exchanges and
+    * ZERO sort operators (IngestSpec pins both). At 100 TB this is a
+    * windowed scan over storage that already keeps key order (Kafka
+    * per-partition offsets, Iceberg sorted files) paying neither the
+    * shuffle nor the per-partition sort. Oracle: the same window over
+    * the regenerated formulas. */
+  def dsv2Window(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("id")
+    spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 200000L).option("partitionBy", "event_type")
+      .load()
+      .withColumn("run_cents", sum(col("value_cents")).over(w))
+      .filter(col("id") % 9999 === 0)
+      .select(col("id"), col("event_type"), col("run_cents"))
+  }
+
   /** DSv2 METADATA COLUMNS ([[graft.sources.SyntheticSource]],
     * `SupportsMetadataColumns`) — the connector's hidden provenance
     * columns, the connector face of the file source's `_metadata`:

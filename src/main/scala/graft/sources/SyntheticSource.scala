@@ -343,8 +343,36 @@ case class SyntheticScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
     agg: Option[SyntheticSource.PushedAgg] = None,
     keyed: Boolean = false, limitInfo: Seq[String] = Nil)
   extends Scan with Batch
-  with SupportsRuntimeFiltering with SupportsReportPartitioning {
+  with SupportsRuntimeFiltering with SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
+
+  /** REPORTED ordering ([[org.apache.spark.sql.connector.read
+    * .SupportsReportOrdering]]) — the ordering half of the
+    * storage-partitioned contract: a keyed partition generates its ids
+    * ascending (stride NumTypes) with event_type constant, so every
+    * partition is trivially sorted by (event_type, id) and the scan
+    * REPORTS it. A window over (PARTITION BY event_type ORDER BY id)
+    * then satisfies BOTH its distribution (from the reported
+    * partitioning) and its ordering (from here) straight off the scan —
+    * zero exchanges AND zero sorts (IngestSpec pins the plan). At
+    * 100 TB the eliminated per-partition sort is the dominant cost of
+    * every windowed scan over data that storage already keeps in key
+    * order (Kafka per-partition offsets, Iceberg sorted files). Only
+    * reported while both columns survive pruning and no aggregate was
+    * pushed — a pushed aggregate's output rows have no id order. */
+  override def outputOrdering(): Array[SortOrder] =
+    if (keyed && agg.isEmpty &&
+        readSchema().fieldNames.contains("event_type") &&
+        readSchema().fieldNames.contains("id"))
+      Array(
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions
+            .identity("event_type"), SortDirection.ASCENDING),
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions
+            .identity("id"), SortDirection.ASCENDING))
+    else Array.empty
 
   /** REPORTED partitioning ([[SupportsReportPartitioning]]) — the
     * storage-partitioned contract: with `partitionBy=event_type` the

@@ -570,6 +570,18 @@ class IngestSpec extends AnyFunSuite {
       s"join did not run at the keyed width: ${df.rdd.getNumPartitions}")
   }
 
+  test("SyntheticSource (DSv2): reported ordering — the keyed window " +
+    "plans with ZERO exchanges and ZERO sorts") {
+    val df = Materialize.dsv2Window(spark, TestSpark.Sf0001)
+    TestSpark.assertNoShuffle(df)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window "), s"expected a Window operator:\n$plan")
+    // reported (event_type, id) ordering must eliminate the sort the
+    // window would otherwise insert ("Sort [" is the operator's render;
+    // SortMergeJoin et al. don't match)
+    assert(!plan.contains("Sort ["), s"window inserted a sort:\n$plan")
+  }
+
   test("SyntheticSource (DSv2): _slice metadata column is hidden from " +
     "SELECT *, resolves when named, identical on row and columnar paths") {
     val load = spark.read.format("graft.sources.SyntheticSource")
