@@ -103,6 +103,7 @@ object SparkEntry {
     "q_stream_user_totals" -> graft.streaming.StreamOps.userTotalsStreamed _,
     "q_stream_tws"       -> graft.streaming.StreamOps.userTotalsTwsStreamed _,
     "q_stream_tws_ttl"   -> graft.streaming.StreamOps.userTotalsTwsTtlStreamed _,
+    "q_stream_tws_init"  -> graft.streaming.StreamOps.userTotalsTwsInitStreamed _,
     "q_state_reader"     -> graft.streaming.StreamOps.stateReader _,
     "q_stream_timers"    -> graft.streaming.StreamOps.timerTotalsStreamed _,
     "q_stream_tws_map"   -> graft.streaming.StreamOps.typeCountsStreamed _,
@@ -584,6 +585,16 @@ object SparkEntry {
       // the unbounded-key answer): TTL ≫ run length, so nothing expires
       // mid-run and totals match the un-TTL'd oracle; real eviction is
       // wall-clock and pinned in StreamingSpec via the statestore reader
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    "q_stream_tws_init" -> // warm-start migration: batch snapshot of
+      // half 1 as initial state + streamed half 2; final state content
+      // must equal the FULL-corpus totals (migration is
+      // result-invisible, so the oracle is q_stream_tws's)
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events

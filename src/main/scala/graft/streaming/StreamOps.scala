@@ -115,6 +115,38 @@ object StreamOps {
     }
   }
 
+  /** [[TotalsProcessor]] with INITIAL STATE
+    * (`StatefulProcessorWithInitialState`) — the state-MIGRATION face of
+    * transformWithState: a new streaming query warm-starts from a batch
+    * snapshot (the previous system's per-user totals) instead of
+    * replaying all history. `handleInitialState` runs once per snapshot
+    * key before any input, seeding the same `totals` handle the fold
+    * then updates — so snapshot + streamed delta ≡ full history, which
+    * is the whole contract. At 100 TB this is the difference between
+    * re-reading a year of events and shipping one aggregate table. */
+  class TotalsProcessorWithInit
+      extends org.apache.spark.sql.streaming
+        .StatefulProcessorWithInitialState[Long, Ev, UserAgg, UserAgg] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[UserAgg] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserAgg]("totals",
+        org.apache.spark.sql.Encoders.product[UserAgg],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInitialState(key: Long, initialState: UserAgg,
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      totals.update(initialState)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserAgg] = {
+      val prev = if (totals.exists()) totals.get() else UserAgg(uid, 0L, 0L)
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        UserAgg(uid, acc.n_events + 1, acc.total_cents + math.round(e.value * 100))
+      }
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
   /** A closed activity burst emitted by [[burstDetector]]. */
   case class Burst(user_id: Long, n_events: Long, first_us: Long, last_us: Long)
 
@@ -778,6 +810,60 @@ object StreamOps {
       .select(col("value.value.user_id").as("user_id"),
         col("value.value.n_events").as("n_events"),
         col("value.value.total_cents").as("total_cents"))
+  }
+
+  /** [[TotalsProcessorWithInit]] under the engine — warm-start
+    * migration: the initial state is the BATCH per-user totals of
+    * half 1 (computed with the identical typed fold, so snapshot
+    * semantics ≡ processor semantics by construction), and only half 2
+    * streams. The RESULT is the final `totals` state read back through
+    * the statestore source — it must equal the FULL-corpus per-user
+    * totals: untouched keys prove the snapshot landed and persisted;
+    * touched keys prove the fold continued from it, not from zero
+    * (a memory sink would only show half-2 users, hiding the first
+    * half of the contract). Same oracle as q_stream_tws — migration
+    * must be result-invisible. */
+  def userTotalsTwsInitStreamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = rocksSession(parent)
+    import spark.implicits._
+    val schema = completeEvents(spark, dir).schema
+    val half1 = stagedHalf(spark, dir, 1)
+      .getOrElse(throw new IllegalStateException("half 1 staged empty"))
+    val root = Files.createTempDirectory("graft_stream_tws_init")
+    val feed = new FileFeed(Files.createDirectories(root.resolve("src")))
+    val ckpt = root.resolve("ckpt").toString
+    val init = spark.read.parquet(half1.toString).as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroups { (uid, rows) =>
+        rows.foldLeft(UserAgg(uid, 0L, 0L)) { (acc, e) =>
+          UserAgg(uid, acc.n_events + 1,
+            acc.total_cents + math.round(e.value * 100))
+        }
+      }
+      .groupByKey(_.user_id)
+    val query = spark.readStream.schema(schema)
+      .parquet(feed.watch.toString)
+      .as[Ev].groupByKey(_.user_id)
+      .transformWithState(new TotalsProcessorWithInit,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        RunningTotalsOutputMode, init)
+      .toDF()
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .outputMode(RunningTotalsOutputMode)
+      .start()
+    try {
+      feed.landStaged(stagedHalf(spark, dir, 2))
+      query.processAllAvailable()
+    } finally {
+      query.stop()
+      feed.close()
+    }
+    spark.read.format("statestore").option("path", ckpt)
+      .option("stateVarName", "totals").load()
+      .select(col("value.user_id").as("user_id"),
+        col("value.n_events").as("n_events"),
+        col("value.total_cents").as("total_cents"))
   }
 
   /** [[burstDetector]] (flatMapGroupsWithState) under the engine: a

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.streaming.StreamOps
-import graft.streaming.StreamOps.Ev
+import graft.streaming.StreamOps.{Ev, UserAgg}
 
 /** Structured Streaming semantics: the streaming transforms over a
   * MemoryStream must agree with the same transform over the batch of all
@@ -454,6 +454,45 @@ class StreamingSpec extends AnyFunSuite {
     runOnce()
     assert(stateUsers() == Set(2L),
       s"TTL did not evict user 1's expired state: ${stateUsers()}")
+  }
+
+  test("transformWithState INITIAL STATE: snapshot seeds the store — " +
+    "untouched keys persist, touched keys fold on from the snapshot") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.TimeMode
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_tws_init")
+    val watch = Files.createDirectories(root.resolve("watch"))
+    val ckpt = root.resolve("ckpt").toString
+    // the previous system's snapshot: users 1 and 2 with prior totals
+    val snapshot = Seq(UserAgg(1L, 5L, 500L), UserAgg(2L, 3L, 300L))
+      .toDS().groupByKey(_.user_id)
+    // the stream touches user 2 and introduces user 3; user 1 never appears
+    Seq(Ev(10, ts(0), 2, "view", 1.0), Ev(11, ts(1), 3, "view", 2.0))
+      .toDF().coalesce(1).write.mode("append").parquet(watch.toString)
+    val q = s.readStream.schema(Seq.empty[Ev].toDF().schema)
+      .parquet(watch.toString)
+      .as[Ev].groupByKey(_.user_id)
+      .transformWithState(new StreamOps.TotalsProcessorWithInit,
+        TimeMode.None(), StreamOps.RunningTotalsOutputMode, snapshot)
+      .toDF()
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val state = s.read.format("statestore").option("path", ckpt)
+      .option("stateVarName", "totals").load()
+      .select("value.user_id", "value.n_events", "value.total_cents")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(state == Map(
+      1L -> ((5L, 500L)),   // untouched: the snapshot landed and persisted
+      2L -> ((4L, 400L)),   // folded ON from the snapshot, not from zero
+      3L -> ((1L, 200L))),  // no snapshot entry: folded from zero
+      state)
   }
 
   test("transformWithState ≡ mapGroupsWithState: the API migration is " +
