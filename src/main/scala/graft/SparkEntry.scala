@@ -187,6 +187,7 @@ object SparkEntry {
     "q_asof_sql"         -> EventOps.asofLastOrderSql _,
     "q_kanon"            -> ProfileOps.kAnonymity _,
     "q_dataset_checksum" -> ProfileOps.datasetChecksum _,
+    "q_observe"          -> ProfileOps.observeGate _,
     "q_rendezvous_shard" -> Materialize.rendezvousShard _,
     "q_dsv2_scan"        -> Materialize.dsv2Scan _,
     "q_catalog_sql"      -> Materialize.catalogSql _,
@@ -198,6 +199,7 @@ object SparkEntry {
     "q_catalog_fn"       -> Materialize.catalogFunctions _,
     "q_dsv2_meta"        -> Materialize.dsv2Meta _,
     "q_dsv2_window"      -> Materialize.dsv2Window _,
+    "q_meta_delete"      -> Materialize.metaDelete _,
     "q_dsv2_sink"        -> Materialize.dsv2SinkRoundTrip _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
     "q_snapshot_diff"    -> Materialize.snapshotDiff _,
@@ -2107,6 +2109,16 @@ object SparkEntry {
         |  min(h) AS min_h, max(h) AS max_h,
         |  CASE WHEN GROUPING(source) = 1 THEN 'TOTAL' ELSE source END AS scope
         |FROM h GROUP BY GROUPING SETS ((source), ())""".stripMargin,
+    "q_observe" -> // the gate's observed metrics must equal the same
+      // aggregates computed directly over the table it rode along
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS null_flags,
+        |  min(CAST(l_quantity AS BIGINT)) AS min_qty
+        |FROM lineitem
+        |WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL""".stripMargin,
     "q_bpe_merges" -> bpeOracle,
     "q_incr_dedup" -> // asymmetric probe-vs-index LSH: same 16 md5
       // minhashes and 4-row bands as the self-join family; DISTINCT
@@ -2191,6 +2203,16 @@ object SparkEntry {
         |  CAST(sum((i * 48271) % 100000) AS BIGINT) AS sum_cents,
         |  CAST(min((i * 2654435761) % 1000) AS BIGINT) AS min_uid
         |FROM (SELECT unnest(generate_series(0, 199999)) AS i)
+        |GROUP BY 1""".stripMargin,
+    "q_meta_delete" -> // after the metadata-only partition delete, the
+      // table is the raw events minus the dropped type (and minus the
+      // write-time null guards)
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events
+        |WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |  AND event_type <> 'error'
         |GROUP BY 1""".stripMargin,
     "q_dsv2_window" -> // the zero-exchange zero-sort window is a
       // physical contract only — values must equal the same window

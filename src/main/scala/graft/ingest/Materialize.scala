@@ -816,6 +816,39 @@ object Materialize {
         |GROUP BY 1, 2""".stripMargin)
   }
 
+  /** METADATA-ONLY DELETE ([[graft.sources.MutableTable]],
+    * `SupportsDeleteV2`, the `mut` catalog namespace) — `DELETE FROM`
+    * as an O(partitions) catalog operation: events land
+    * hive-partitioned by event_type, SQL `DELETE … WHERE event_type =
+    * 'error'` resolves entirely in partition metadata, and
+    * `deleteWhere` removes the one partition directory without opening
+    * a single data file (IngestSpec pins survivors byte-identical and
+    * the refusal of a non-partition predicate — a row-level delete must
+    * be REFUSED and priced as a rewrite, never silently performed; the
+    * rewrite path is q_cdc_merge). At 100 TB this is the GDPR/retention
+    * delete: drop day-partitions by name, not by scanning them. Oracle:
+    * the surviving per-type profile over the raw table. */
+  def metaDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_mut_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val tbl = new java.io.File(root, "events")
+    // rebuild per call: DELETE mutates, and the query must be rerunnable
+    graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(tbl.toString)
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.mut.dir", root.toString)
+    spark.sql("DELETE FROM graft.mut.events WHERE event_type = 'error'")
+    spark.sql(
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM graft.mut.events
+        |GROUP BY 1""".stripMargin)
+  }
+
   /** DSv2 REPORTED ORDERING ([[graft.sources.SyntheticSource]],
     * `SupportsReportOrdering`) — the ordering half of the
     * storage-partitioned contract: the keyed scan generates each

@@ -15,6 +15,42 @@ import graft.sources.Tables
   */
 object ProfileOps {
 
+  /** IN-FLIGHT metrics via `Dataset.observe` — the data-quality gate
+    * that rides along a REAL pass instead of paying a second scan: the
+    * production pattern is `df.observe(gate, …)` on the pipeline's own
+    * write, then a listener (or `Observation.get`) checks the metrics
+    * and fails the job on a null flood or row-count collapse. Here the
+    * observed pipeline is a per-flag revenue rollup of `lineitem`
+    * driven once through a noop write; the observation accumulates its
+    * four metrics on the SAME task pass (an `AggregatingAccumulator`
+    * riding the rows — zero extra jobs, zero extra scans; only the
+    * 1-row metric struct crosses to the driver, same bound as any
+    * 1-row aggregate). Returned table = the gate's metrics row, so the
+    * DuckDB oracle re-derives exactly what the gate saw. */
+  def observeGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val gate = Observation()
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey").isNotNull && col("l_extendedprice").isNotNull)
+    val observed = li.observe(gate,
+      count(lit(1)).as("n_rows"),
+      sum(cents(col("l_extendedprice"))).as("price_cents"),
+      sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("null_flags"),
+      min(col("l_quantity").cast("long")).as("min_qty"))
+    // the observed frame does the pipeline's real work exactly once;
+    // metrics accumulate on this pass
+    observed.groupBy("l_returnflag")
+      .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"))
+      .write.format("noop").mode("overwrite").save()
+    val row = gate.get
+    import spark.implicits._
+    Seq((row("n_rows").asInstanceOf[Long],
+      row("price_cents").asInstanceOf[Long],
+      row("null_flags").asInstanceOf[Long],
+      row("min_qty").asInstanceOf[Long]))
+      .toDF("n_rows", "price_cents", "null_flags", "min_qty")
+  }
+
   /** Per-column profile of `orders` — row count, null count, distinct
     * count, min/max — the table a data-quality gate diffs run-over-run
     * to catch schema drift and null floods. Non-string columns are

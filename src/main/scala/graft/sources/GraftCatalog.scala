@@ -40,9 +40,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * caches the plugin instance per session, and a live read lets one
   * session re-point scales (tests do) without a stale-snapshot surprise.
   *
-  * Read-only by design: DDL (`CREATE/ALTER/DROP/RENAME TABLE`) throws —
-  * the lake's layout is owned by the materialization stage
-  * ([[graft.ingest.Materialize]]), not by query-side DDL.
+  *  - `mut`: the one WRITABLE namespace — hive-partitioned parquet
+  *    tables under `spark.sql.catalog.graft.mut.dir` served through
+  *    [[MutableTable]], whose `SupportsDeleteV2` face answers
+  *    partition-predicate `DELETE FROM` in metadata only (and refuses
+  *    row-level predicates).
+  *
+  * DDL stays read-only by design: `CREATE/ALTER/DROP/RENAME TABLE`
+  * throws — the lake's layout is owned by the materialization stage
+  * ([[graft.ingest.Materialize]]), not by query-side DDL. Functions are
+  * served through the `FunctionCatalog` face (`fn` namespace,
+  * [[CatalogFunctions]]).
   */
 class GraftCatalog extends TableCatalog with FunctionCatalog {
   import GraftCatalog._
@@ -78,6 +86,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         SfTables.filter(sfPath(_).exists())
           .map(Identifier.of(namespace, _)).toArray
       case Seq(GenNs) => Array(Identifier.of(namespace, GenTable))
+      case Seq(MutNs) =>
+        option(s"$MutNs.dir").map(new java.io.File(_)) match {
+          case Some(d) if d.isDirectory =>
+            d.listFiles().filter(_.isDirectory)
+              .map(f => Identifier.of(namespace, f.getName))
+          case _ => Array.empty[Identifier]
+        }
       case _ => throw new NoSuchNamespaceException(namespace)
     }
 
@@ -116,6 +131,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       // a re-pointed dir must not serve the previous scale's files
       new ParquetDataSourceV2().getTable(new CaseInsensitiveStringMap(
         Map("path" -> sfPath(ident.name()).toString).asJava))
+    case Seq(MutNs) =>
+      // the writable (delete-capable) namespace: hive-partitioned
+      // parquet under <mut.dir>/<table>, partition column from
+      // <mut.partcol> (default event_type) — see [[MutableTable]]
+      val dir = option(s"$MutNs.dir").getOrElse(
+        throw new NoSuchTableException(ident))
+      val root = new java.io.File(dir, ident.name())
+      if (!root.isDirectory) throw new NoSuchTableException(ident)
+      MutableTable(root.toString,
+        option(s"$MutNs.partcol").getOrElse("event_type"))
     case Seq(GenNs) if ident.name() == GenTable =>
       SyntheticTable(
         option("gen.rows").getOrElse("1000").toLong,
@@ -166,6 +191,7 @@ object GraftCatalog {
   val GenTable = "numbers"
   val FnNs = "fn"
   val FnNames: Seq[String] = Seq("band", "xsum")
+  val MutNs = "mut"
 
   /** The driver-generated scale-factor tables ([[Tables]]). `events` is
     * served through its own load branch that applies the

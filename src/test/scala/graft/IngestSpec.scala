@@ -608,6 +608,45 @@ class IngestSpec extends AnyFunSuite {
       "columnar _slice diverged from the row path")
   }
 
+  test("GraftCatalog mut: DELETE WHERE on the partition column is " +
+    "METADATA-ONLY (survivors byte-identical); row predicates refused") {
+    import java.nio.file.{Files => JFiles}
+    val root = JFiles.createTempDirectory("graft_mut_spec").toFile
+    val tbl = new java.io.File(root, "events")
+    graft.sources.Tables.events(spark, TestSpark.Sf0001)
+      .filter(org.apache.spark.sql.functions.col("event_type").isNotNull)
+      .select("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(tbl.toString)
+    graft.sources.GraftCatalog.register(spark, TestSpark.Sf0001)
+    spark.conf.set("spark.sql.catalog.graft.mut.dir", root.toString)
+    def files(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(tbl).map(f => f.getPath ->
+        ((f.length, f.lastModified))).toMap
+    }
+    val before = files()
+    assert(before.keys.exists(_.contains("event_type=error")), before.keys)
+    val nBefore = spark.sql("SELECT count(*) FROM graft.mut.events")
+      .head().getLong(0)
+    spark.sql("DELETE FROM graft.mut.events WHERE event_type = 'error'")
+    // survivors untouched byte-for-byte (same length, same mtime — no
+    // rewrite happened); the dropped partition's files are gone
+    val after = files()
+    assert(after == before.filter(!_._1.contains("event_type=error")),
+      "delete rewrote surviving files")
+    val nAfter = spark.sql("SELECT count(*) FROM graft.mut.events")
+      .head().getLong(0)
+    assert(nAfter < nBefore && nAfter > 0, s"$nBefore -> $nAfter")
+    // a row-level predicate cannot be answered in metadata: REFUSE,
+    // don't silently rewrite
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DELETE FROM graft.mut.events WHERE user_id = 3")
+    }
+    assert(files() == after, "refused delete still mutated the table")
+  }
+
   test("GraftCatalog: catalog-provided functions resolve by name; the " +
     "scalar compiles to the magic-method Invoke, the agg to v2aggregator") {
     val df = Materialize.catalogFunctions(spark, TestSpark.Sf0001)
