@@ -337,13 +337,22 @@ object DedupOps {
       // 0 only) skips the edges⋈labels join outright: with label(a) ≡ a
       // the neighbor minimum is just min(doc_a) grouped on doc_b — the
       // full-edge-list join against the label table never happens.
-      // `jump = false` drops the pointer-jump self-join (2 exchanges):
-      // a plain propagate step suffices for the CONFIRMATION role,
-      // because the identity⇒fixpoint argument below never uses the
-      // jump — while every cycle's first step keeps it, so diameter
-      // coverage stays exponential in cycles.
+      // EVERY step keeps the pointer jump — including the confirmation
+      // step. A jump-less confirmation is UNSOUND post-contraction:
+      // follower nodes (docs with no incident edge in the contracted
+      // graph) are only ever moved by the jump, so a propagate-only
+      // step is identity on them even while they lag one jump behind
+      // their representative — convergence would be declared with
+      // stale followers (observed: a follower frozen at a superseded
+      // representative id while the representative itself had moved
+      // on). With the jump inside the counted step, total-step
+      // identity ⇒ propagate identity (labels constant per contracted
+      // component = the min) AND jump identity (every label is a
+      // fixpoint), which together pin follower labels to their
+      // component minimum — all label updates are non-increasing, so
+      // neither half can mask the other.
       def step(lbl: DataFrame, carry: Seq[String],
-          identity: Boolean = false, jump: Boolean = true): DataFrame = {
+          identity: Boolean = false): DataFrame = {
         val keep = carry.map(col)
         val nbrMin = (
           if (identity) liveEdges.select(col("doc_b"), col("doc_a").as("label"))
@@ -355,13 +364,10 @@ object DedupOps {
           .join(nbrMin, col("doc_id") === col("doc_b"), "left")
           .select(col("doc_id") +: keep :+
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"): _*)
-        if (!jump) stepped
-        else {
-          val byId = stepped.select(col("doc_id").as("pid"), col("label").as("plabel"))
-          stepped
-            .join(byId, col("label") === col("pid"))
-            .select(col("doc_id") +: keep :+ col("plabel").as("label"): _*)
-        }
+        val byId = stepped.select(col("doc_id").as("pid"), col("label").as("plabel"))
+        stepped
+          .join(byId, col("label") === col("pid"))
+          .select(col("doc_id") +: keep :+ col("plabel").as("label"): _*)
       }
       while (changed > 0 && rounds < MaxRounds) {
         if (rounds == 1) {
@@ -393,23 +399,23 @@ object DedupOps {
         val start = labels.select(col("doc_id"), col("label"))
         // Cycle 0 is ONE propagate+jump step against the full edge list
         // (with the identity shortcut — no edges⋈labels join). Each
-        // later cycle chains a propagate+jump step and then a cheap
-        // jump-less CONFIRMATION step into one materialization + one
-        // convergence count. The confirmation step records its input
-        // label as `prev`: a propagate step that maps every label to
-        // itself IS the fixpoint (identity ⇒ label(b) ≤ label(a) across
-        // every symmetric edge ⇒ labels constant per component, and
-        // labels only ever take component doc_ids ⇒ the constant is
-        // the min — an argument that never needs the jump), so
-        // convergence is detected the moment a step is an identity: the
-        // typical post-contraction cycle fixes its stragglers in step
-        // one and its step two doubles as the confirmation. Every
-        // cycle's FIRST step keeps the jump, so reachable diameter
-        // stays exponential in cycles; MaxRounds bounds them.
+        // later cycle chains two propagate+jump steps into one
+        // materialization + one convergence count; the second records
+        // its input label as `prev` and doubles as the CONFIRMATION. A
+        // counted step that is a total identity IS the fixpoint: the
+        // propagate half identity ⇒ label(b) ≤ label(a) across every
+        // contracted edge ⇒ vertex labels constant per component (= the
+        // component min, since labels only take component doc_ids); the
+        // jump half identity ⇒ every label is its own fixpoint, which
+        // pins FOLLOWER nodes (no incident contracted edge — the jump
+        // is the only thing that moves them; see the step scaladoc for
+        // why dropping it mis-converges) to that same minimum. Two
+        // jumps per cycle keep reachable diameter exponential in
+        // cycles; MaxRounds bounds them.
         val pre =
           if (rounds == 0) start else step(start, Nil)
         val last = step(pre.withColumn("prev", col("label")), Seq("prev"),
-          identity = rounds == 0, jump = rounds == 0)
+          identity = rounds == 0)
         val jumped = timed(s"ckpt-$rounds")(cycleCkpt(last))
         val t0 = System.nanoTime()
         // cycle 0 is never the fixpoint on a non-empty edge set (its one
