@@ -285,7 +285,7 @@ object DedupOps {
     * singletons map to themselves); `pairs` is `(doc_a, doc_b)` and
     * SHOULD be persisted by the caller (both symmetrize branches read
     * it). Returns `(doc_id, cluster_id)`. */
-  private def minLabelComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def minLabelComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     // the symmetrized edge list is CACHED as-is (lazily — it first
     // materializes inside cycle 0's job) but NOT pre-shuffled: its
     // consumers are round 0's neighbor-min (groups on doc_b) and the

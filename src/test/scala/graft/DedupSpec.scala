@@ -521,4 +521,31 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(rows.head.fieldIndex("n_dropped"))).sum > 0,
       "no semantic duplicates found at the configured threshold")
   }
+
+  test("minLabelComponents: the follower-staleness graph converges to " +
+    "the true component min (the round-9 jump-less-confirmation bug)") {
+    // This exact graph mis-converges under a jump-less confirmation
+    // step (verified by simulating both variants off-line): after
+    // cycle 0 and contraction, nodes 6 and 8 are FOLLOWERS — no
+    // incident contracted edge, so only the pointer jump ever moves
+    // them; the buggy loop declared convergence with {6→2, 8→2} while
+    // the component (all of 1..9) has min 1. A second component and
+    // singletons pin that labels never leak across.
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val biting = Seq((1L, 7L), (2L, 5L), (2L, 7L), (2L, 9L), (3L, 6L),
+      (4L, 9L), (6L, 8L), (8L, 9L))
+    val other = Seq((20L, 22L), (21L, 22L))
+    val pairs = (biting ++ other).toDF("doc_a", "doc_b").persist()
+    val nodes = ((1L to 9L) ++ (20L to 22L) ++ Seq(777L, 888L))
+      .toDF("doc_id")
+    val got = ops.DedupOps.minLabelComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.unpersist()
+    val want = ((1L to 9L).map(_ -> 1L) ++ (20L to 22L).map(_ -> 20L) ++
+      Seq(777L -> 777L, 888L -> 888L)).toMap
+    assert(got == want,
+      s"mislabeled: ${got.filter { case (k, v) => want(k) != v }}")
+  }
 }
