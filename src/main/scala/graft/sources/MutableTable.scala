@@ -72,6 +72,14 @@ case class MutableTable(root: String, partCol: String) extends Table
     }
   }
 
+  // TruncatableTable is deliberately NOT implemented: a schema-on-
+  // directory table cannot represent "empty but typed" — after dropping
+  // every partition dir the next load would have no schema source,
+  // which is exactly the problem a metastore entry solves and this
+  // namespace (directory-defined by design) doesn't have. A full wipe
+  // is a caller-side directory drop; partial deletes below stay
+  // well-typed because the surviving partitions carry the schema.
+
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     predicates.forall(partValues(_).isDefined)
 
