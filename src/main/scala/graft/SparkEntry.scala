@@ -200,6 +200,7 @@ object SparkEntry {
     "q_dsv2_meta"        -> Materialize.dsv2Meta _,
     "q_dsv2_window"      -> Materialize.dsv2Window _,
     "q_meta_delete"      -> Materialize.metaDelete _,
+    "q_dsv2_join_push"   -> Materialize.dsv2JoinPush _,
     "q_dsv2_sink"        -> Materialize.dsv2SinkRoundTrip _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
     "q_snapshot_diff"    -> Materialize.snapshotDiff _,
@@ -2203,6 +2204,20 @@ object SparkEntry {
         |  CAST(sum((i * 48271) % 100000) AS BIGINT) AS sum_cents,
         |  CAST(min((i * 2654435761) % 1000) AS BIGINT) AS min_uid
         |FROM (SELECT unnest(generate_series(0, 199999)) AS i)
+        |GROUP BY 1""".stripMargin,
+    "q_dsv2_join_push" -> // the connector-answered join must equal the
+      // same join-then-aggregate over two regenerated id ranges
+      """WITH l AS (SELECT i AS id,
+        |    CAST((i * 48271) % 100000 AS BIGINT) AS value_cents
+        |  FROM (SELECT unnest(generate_series(0, 199999)) AS i)),
+        |r AS (SELECT i AS id,
+        |    CAST((i * 48271) % 100000 AS BIGINT) AS value_cents,
+        |    't' || CAST(i % 5 AS VARCHAR) AS event_type
+        |  FROM (SELECT unnest(generate_series(0, 119999)) AS i))
+        |SELECT r.event_type, count(*) AS n,
+        |  CAST(sum(l.value_cents) AS BIGINT) AS cents_l,
+        |  CAST(sum(r.value_cents) AS BIGINT) AS cents_r
+        |FROM l JOIN r ON l.id = r.id
         |GROUP BY 1""".stripMargin,
     "q_meta_delete" -> // after the metadata-only partition delete, the
       // table is the raw events minus the dropped type (and minus the

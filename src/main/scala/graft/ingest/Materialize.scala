@@ -816,6 +816,39 @@ object Materialize {
         |GROUP BY 1, 2""".stripMargin)
   }
 
+  /** DSv2 JOIN PUSHDOWN ([[graft.sources.SyntheticSource]],
+    * `SupportsPushDownJoin` — Spark 4's newest connector face; upstream
+    * only JDBC implements it): an INNER equi-join of two relations of
+    * the same source on `id` is answered BY the source — the key is
+    * dense and shared, so the join of the 200k and 120k relations IS
+    * one generated relation over the intersected range, and the Join
+    * operator vanishes from Spark's plan (IngestSpec pins the single
+    * `PushedJoin` BatchScan, no Join operator, and row/value parity
+    * with the unpushed plan). The per-type aggregate stays in the
+    * engine above the one scan. This is the federation contract: a
+    * warehouse joins its own tables server-side and ships the answer,
+    * not the operands — at 100 TB the difference between moving two
+    * tables across the scan boundary and moving one result. Gated by
+    * `spark.sql.optimizer.datasourceV2JoinPushdown`. Oracle: the same
+    * join-then-aggregate over two regenerated ranges (which DuckDB's
+    * own optimizer is free to collapse the same way). */
+  def dsv2JoinPush(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    def syn(rows: Long) = spark.read
+      .format("graft.sources.SyntheticSource")
+      .option("rows", rows).option("slices", 16).load()
+    val l = syn(200000L)
+    val r = syn(120000L)
+    // the join must stay BARE for the connector to see it (any predicate
+    // Spark can sink below the join splits it back into two scans); the
+    // aggregate above is the engine's share of the work
+    l.join(r, l("id") === r("id"))
+      .groupBy(r("event_type").as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(l("value_cents")).as("cents_l"),
+        sum(r("value_cents")).as("cents_r"))
+  }
+
   /** METADATA-ONLY DELETE ([[graft.sources.MutableTable]],
     * `SupportsDeleteV2`, the `mut` catalog namespace) — `DELETE FROM`
     * as an O(partitions) catalog operation: events land

@@ -86,7 +86,8 @@ object SyntheticSource {
   @volatile var lastScan: Option[ScanInfo] = None
   final case class ScanInfo(pushedIdLo: Long, pushedIdHi: Long,
     columns: Seq[String], partitions: Int, pushedAggs: Seq[String] = Nil,
-    runtimeFilterIds: Option[Int] = None, limitInfo: Seq[String] = Nil)
+    runtimeFilterIds: Option[Int] = None, limitInfo: Seq[String] = Nil,
+    pushedJoin: Boolean = false)
 
   /** One aggregate call accepted by [[SupportsPushDownAggregates]]:
     * `op` ∈ count|sum|min|max, `col` = None for COUNT(*). */
@@ -158,13 +159,90 @@ class SyntheticScanBuilder(rows: Long, slices: Int, batchRows: Long,
     columnar: Boolean, keyed: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
-    with SupportsPushDownTopN with SupportsPushDownOffset {
+    with SupportsPushDownTopN with SupportsPushDownOffset
+    with org.apache.spark.sql.connector.read.SupportsPushDownJoin {
 
   private var lo = 0L
   private var hi = rows // [lo, hi)
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = SyntheticSource.Schema
   private var agg: Option[SyntheticSource.PushedAgg] = None
+
+  import org.apache.spark.sql.connector.read.SupportsPushDownJoin.ColumnWithAlias
+
+  /** JOIN PUSHDOWN ([[org.apache.spark.sql.connector.read
+    * .SupportsPushDownJoin]], Spark 4's newest connector face — upstream
+    * only JDBC implements it): an INNER equi-join of two relations of
+    * THIS source on `id` is answered by the source itself. The key is
+    * dense and shared (both sides generate the same id space), so the
+    * join of [loL, hiL) ⋈ [loR, hiR) IS the one generated relation over
+    * the intersected range, serving both sides' columns — the join
+    * operator vanishes from Spark's plan and the scan boundary carries
+    * |intersection| rows instead of |left| + |right|. This is the
+    * federation contract: a warehouse joins its own tables server-side
+    * and ships the result, not the operands — at 100 TB the difference
+    * between moving two tables and moving one answer. Output columns
+    * keep Spark's de-duplicated names (`ColumnWithAlias`: right-side
+    * duplicates arrive aliased, e.g. `id_1`); the reader maps each
+    * output name back to its source formula via `srcOf`.
+    *
+    * Acceptance is deliberately narrow and total: INNER only, both
+    * sides plain (no pushed aggregate/limit/offset, not keyed, not
+    * already joined), condition exactly `leftId = rightId` (either
+    * orientation). Anything else returns false and Spark keeps the
+    * join — refusal over approximation, as everywhere in this
+    * connector. */
+  private var joinedCols: Option[Seq[(String, String)]] = None // out → src
+
+  private def srcCol(name: String): String =
+    joinedCols.flatMap(_.collectFirst { case (out, src) if out == name => src })
+      .getOrElse(name)
+
+  private def plainForJoin: Boolean =
+    agg.isEmpty && limitK.isEmpty && topNDesc.isEmpty && offsetM == 0 &&
+      !keyed && joinedCols.isEmpty
+
+  override def isOtherSideCompatibleForJoin(
+      other: org.apache.spark.sql.connector.read.SupportsPushDownJoin): Boolean =
+    other match {
+      case o: SyntheticScanBuilder => plainForJoin && o.plainForJoin
+      case _ => false
+    }
+
+  override def pushDownJoin(
+      other: org.apache.spark.sql.connector.read.SupportsPushDownJoin,
+      joinType: org.apache.spark.sql.connector.join.JoinType,
+      leftReq: Array[ColumnWithAlias],
+      rightReq: Array[ColumnWithAlias],
+      condition: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean = {
+    val o = other match {
+      case b: SyntheticScanBuilder if plainForJoin && b.plainForJoin => b
+      case _ => return false
+    }
+    if (joinType != org.apache.spark.sql.connector.join.JoinType.INNER_JOIN)
+      return false
+    def outName(c: ColumnWithAlias): String = Option(c.alias).getOrElse(c.colName)
+    val leftId = leftReq.find(_.colName == "id").map(outName)
+    val rightId = rightReq.find(_.colName == "id").map(outName)
+    val keyEquality = (leftId, rightId) match {
+      case (Some(l), Some(r)) if condition.name() == "=" =>
+        val names = condition.children().toSeq.collect {
+          case n: NamedReference if n.fieldNames.length == 1 => n.fieldNames()(0)
+        }
+        names.length == 2 &&
+          ((names(0) == l && names(1) == r) || (names(0) == r && names(1) == l))
+      case _ => false
+    }
+    if (!keyEquality) return false
+    // INNER equi-join on the shared dense key ⇒ the intersected range
+    lo = math.max(lo, o.lo)
+    hi = math.min(hi, o.hi)
+    joinedCols = Some((leftReq ++ rightReq).toSeq.map(c => outName(c) -> c.colName))
+    required = StructType(joinedCols.get.map { case (out, src) =>
+      SyntheticSource.Schema(SyntheticSource.Schema.fieldIndex(src)).copy(name = out)
+    })
+    true
+  }
 
   // v + 1 saturating at Long.MaxValue: an EqualTo/LessThanOrEqual on
   // Long.MaxValue must not wrap hi negative and plan an empty scan —
@@ -173,12 +251,15 @@ class SyntheticScanBuilder(rows: Long, slices: Int, batchRows: Long,
     if (v == Long.MaxValue) v else v + 1
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // match via srcCol so a post-join filter on either side's id column
+    // (possibly aliased, e.g. id_1) still narrows the merged range —
+    // sound because the pushed join equates the two id columns
     val (handled, rest) = filters.partition {
-      case EqualTo("id", _: Long) => true
-      case GreaterThan("id", _: Long) => true
-      case GreaterThanOrEqual("id", _: Long) => true
-      case LessThan("id", _: Long) => true
-      case LessThanOrEqual("id", _: Long) => true
+      case EqualTo(c, _: Long) if srcCol(c) == "id" => true
+      case GreaterThan(c, _: Long) if srcCol(c) == "id" => true
+      case GreaterThanOrEqual(c, _: Long) if srcCol(c) == "id" => true
+      case LessThan(c, _: Long) if srcCol(c) == "id" => true
+      case LessThanOrEqual(c, _: Long) if srcCol(c) == "id" => true
       case _ => false
     }
     handled.foreach {
@@ -221,8 +302,12 @@ class SyntheticScanBuilder(rows: Long, slices: Int, batchRows: Long,
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     // the keyed layout serves GROUP-LOCALITY instead: reporting
     // KeyGroupedPartitioning lets the whole aggregate run shuffle-free
-    // at the engine; mixing both surfaces would leave neither provable
-    if (keyed) return false
+    // at the engine; mixing both surfaces would leave neither provable.
+    // A pushed JOIN likewise refuses further aggregate pushdown: the
+    // aliased output names don't map through the Schema-based call
+    // translation, and one provable contract per scan beats two
+    // entangled ones.
+    if (keyed || joinedCols.nonEmpty) return false
     def fieldOf(e: VExpression): Option[String] = e match {
       case n: NamedReference if n.fieldNames.length == 1 &&
           SyntheticSource.Schema.fieldNames.contains(n.fieldNames()(0)) =>
@@ -275,7 +360,7 @@ class SyntheticScanBuilder(rows: Long, slices: Int, batchRows: Long,
   private var offsetM: Int = 0
 
   override def pushLimit(limit: Int): Boolean =
-    if (agg.nonEmpty || limit < 0) false
+    if (agg.nonEmpty || joinedCols.nonEmpty || limit < 0) false
     else { limitK = Some(limit); true }
 
   // one answer for both the limit and top-N faces: always partial —
@@ -287,7 +372,7 @@ class SyntheticScanBuilder(rows: Long, slices: Int, batchRows: Long,
     // accepted, REFUSE the top-N rather than trip build()'s invariant
     // assert, should a future Spark pushdown ordering ever offer topN
     // after offset
-    val onId = agg.isEmpty && offsetM == 0 && limit >= 0 &&
+    val onId = agg.isEmpty && joinedCols.isEmpty && offsetM == 0 && limit >= 0 &&
       orders.length == 1 &&
       (orders(0).expression() match {
         case n: NamedReference => n.fieldNames.sameElements(Array("id"))
@@ -302,7 +387,7 @@ class SyntheticScanBuilder(rows: Long, slices: Int, batchRows: Long,
   }
 
   override def pushOffset(offset: Int): Boolean =
-    if (agg.nonEmpty || limitK.nonEmpty || offset < 0) false
+    if (agg.nonEmpty || joinedCols.nonEmpty || limitK.nonEmpty || offset < 0) false
     else { offsetM = offset; true }
 
   // a + b saturating at Long.MaxValue (lo can already sit at MaxValue
@@ -334,14 +419,16 @@ class SyntheticScanBuilder(rows: Long, slices: Int, batchRows: Long,
       }.toSeq ++
         (if (offsetM > 0) Seq(s"PushedOffset: OFFSET $offsetM") else Nil)
     SyntheticScan(l, h, slices, batchRows, columnar, required, agg, keyed,
-      limitInfo)
+      limitInfo,
+      srcOf = joinedCols.map(_.toMap).getOrElse(Map.empty))
   }
 }
 
 case class SyntheticScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
     columnar: Boolean, required: StructType,
     agg: Option[SyntheticSource.PushedAgg] = None,
-    keyed: Boolean = false, limitInfo: Seq[String] = Nil)
+    keyed: Boolean = false, limitInfo: Seq[String] = Nil,
+    srcOf: Map[String, String] = Map.empty)
   extends Scan with Batch
   with SupportsRuntimeFiltering with SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -421,11 +508,14 @@ case class SyntheticScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
     }
   override def description(): String = {
     val base = s"graft-synthetic [$lo, $hi) cols=${readSchema().fieldNames.mkString(",")}"
+    val withJoin =
+      if (srcOf.isEmpty) base
+      else base + " PushedJoin: INNER ON id"
     val withAgg = agg match {
-      case Some(a) => base +
+      case Some(a) => withJoin +
         s" PushedAggregates: [${a.calls.map(_.sqlName).mkString(", ")}]" +
         s", PushedGroupByExpressions: [${a.groupCols.mkString(", ")}]"
-      case None => base
+      case None => withJoin
     }
     if (limitInfo.isEmpty) withAgg
     else withAgg + limitInfo.mkString(" ", ", ", "")
@@ -482,12 +572,16 @@ case class SyntheticScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
     SyntheticSource.lastScan = Some(SyntheticSource.ScanInfo(
       lo, hi, readSchema().fieldNames.toSeq, parts.length,
       agg.toSeq.flatMap(_.calls.map(_.sqlName)),
-      runtimeIds.map(_.length), limitInfo))
+      runtimeIds.map(_.length), limitInfo, pushedJoin = srcOf.nonEmpty))
     parts
   }
   override def createReaderFactory(): PartitionReaderFactory = agg match {
     case Some(a) => SyntheticAggReaderFactory(a)
-    case None => SyntheticReaderFactory(required.fieldNames, columnar)
+    case None =>
+      // a pushed join's output names map back to their source formulas
+      // (readSchema order is preserved — readers emit by position)
+      SyntheticReaderFactory(
+        required.fieldNames.map(n => srcOf.getOrElse(n, n)), columnar)
   }
 }
 

@@ -608,6 +608,40 @@ class IngestSpec extends AnyFunSuite {
       "columnar _slice diverged from the row path")
   }
 
+  test("SyntheticSource (DSv2): JOIN PUSHDOWN — the inner equi-join on " +
+    "id collapses into ONE PushedJoin scan; values match the unpushed plan") {
+    val df = Materialize.dsv2JoinPush(spark, TestSpark.Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedJoin: INNER ON id"),
+      s"join not pushed into the scan:\n$plan")
+    Seq("SortMergeJoin", "HashJoin", "NestedLoopJoin").foreach(op =>
+      assert(!plan.contains(op), s"a $op operator survived:\n$plan"))
+    assert(graft.sources.SyntheticSource.lastScan.exists(_.pushedJoin))
+    // the pushed plan is a physical contract only: same values as the
+    // engine-joined plan with pushdown disabled (same query inlined —
+    // dsv2JoinPush itself re-enables the conf)
+    spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "false")
+    try {
+      import org.apache.spark.sql.functions.{count, lit, sum}
+      def syn(rows: Long) = spark.read
+        .format("graft.sources.SyntheticSource")
+        .option("rows", rows).option("slices", 16).load()
+      val l = syn(200000L)
+      val r = syn(120000L)
+      val unpushed = l.join(r, l("id") === r("id"))
+        .groupBy(r("event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(l("value_cents")).as("cents_l"),
+          sum(r("value_cents")).as("cents_r"))
+      val up = unpushed.collect()
+      val upPlan = unpushed.queryExecution.executedPlan.toString
+      assert(!upPlan.contains("PushedJoin"), upPlan)
+      assert(up.toSet == df.collect().toSet, "pushed join changed values")
+    } finally
+      spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "false")
+  }
+
   test("GraftCatalog mut: DELETE WHERE on the partition column is " +
     "METADATA-ONLY (survivors byte-identical); row predicates refused") {
     import java.nio.file.{Files => JFiles}
