@@ -133,6 +133,8 @@ object SparkEntry {
     "q_json_dropmalformed" -> Materialize.eventsFromCorruptJsonl _,
     "q_locf"             -> EventOps.locfValues _,
     "q_orc_roundtrip"    -> Materialize.orcRoundTrip _,
+    "q_avro_roundtrip"   -> Materialize.avroRoundTrip _,
+    "q_xml_roundtrip"    -> Materialize.xmlRoundTrip _,
     "q_heavy_hitters"    -> TextOps.heavyHitters _,
     "q_funnel"           -> EventOps.funnel _,
     "q_substring_dedup"  -> DedupOps.substringDedup _,
@@ -774,6 +776,21 @@ object SparkEntry {
         |SELECT v.user_id, view_us, click_us, purchase_us
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "q_xml_roundtrip" -> // oracle is the plain SQL over the ORIGINAL
+      // table — the XML write + read-back must be value-invisible
+      """SELECT n_regionkey, count(*) AS n_nations,
+        |  min(n_name) AS first_nation,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation
+        |GROUP BY 1""".stripMargin,
+    "q_avro_roundtrip" -> // oracle is the plain SQL over the ORIGINAL
+      // table — the avro write + read-back must be value-invisible
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1""".stripMargin,
     "q_orc_roundtrip" -> // oracle is the plain SQL over the ORIGINAL
       // table — the ORC write + read-back must be value-invisible
       """SELECT l_linestatus, count(*) AS n,

@@ -228,6 +228,66 @@ object Materialize {
         countDistinct(col("l_orderkey")).as("n_orders"))
   }
 
+  /** AVRO round trip — the ROW-oriented interchange format next to the
+    * two columnar ones (the Kafka/schema-registry wire format; a lake's
+    * landing zone is often avro before columnar compaction): orders
+    * columns written as avro, read back, aggregated with exact cents.
+    * Avro carries its writer schema in-file, so the read-back needs no
+    * user schema; being row-oriented it has NO predicate pushdown or
+    * column pruning at the storage layer — the engine filters after
+    * decode, which is exactly why a 100 TB lake compacts avro landings
+    * into parquet/ORC before analytics (the scaladoc IS the trade-off
+    * note). Oracle: plain SQL over the ORIGINAL table — a storage
+    * format must be value-invisible.
+    *
+    * Addressed by CLASS name: this Spark distribution ships the avro
+    * format classes inside spark-sql but not avro's
+    * `DataSourceRegister` service entry, so the short alias "avro"
+    * doesn't resolve — the class-name form is the documented DSv1
+    * fallback and uses the identical code path. */
+  def avroRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = processScratchDir(
+      s"graft_avro_ord_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .write.mode("overwrite")
+      .format("org.apache.spark.sql.avro.AvroFileFormat").save(out)
+    spark.read.format("org.apache.spark.sql.avro.AvroFileFormat").load(out)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.Exact.cents(col("o_totalprice"))).as("price_cents"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+  }
+
+  /** XML round trip — the DOCUMENT interchange format (feeds, EDI,
+    * legacy enterprise exports land as XML): nation written as XML
+    * (rowTag-framed), read back under an explicit schema (XML is
+    * schema-on-read text — without one everything lands as strings),
+    * aggregated per region. Row-oriented text: no pushdown, no
+    * pruning, decode-then-filter — same landing-zone economics as
+    * avro, compact to columnar before analytics. Oracle: plain SQL
+    * over the ORIGINAL table. */
+  def xmlRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = processScratchDir(
+      s"graft_xml_nat_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.sources.Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").format("xml")
+      .option("rootTag", "nations").option("rowTag", "nation").save(out)
+    spark.read.format("xml").option("rowTag", "nation")
+      .schema(StructType(Seq(
+        StructField("n_nationkey", LongType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", LongType))))
+      .load(out)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"),
+        min(col("n_name")).as("first_nation"),
+        sum(col("n_nationkey")).as("key_sum"))
+  }
+
   /** Merge rule for the event-type aggregate MV: partials from the
     * stored view and a fresh delta combine by their aggregates' own
     * merge functions (count → sum, sum → sum, max → max) — the

@@ -608,6 +608,19 @@ class IngestSpec extends AnyFunSuite {
       "columnar _slice diverged from the row path")
   }
 
+  test("avro + xml round trips really write their formats (row-oriented " +
+    "landing files on disk) and aggregate to the original values") {
+    assert(Materialize.avroRoundTrip(spark, TestSpark.Sf0001).collect().nonEmpty)
+    assert(Materialize.xmlRoundTrip(spark, TestSpark.Sf0001).count() == 5)
+    def landed(prefix: String, ext: String): Boolean = {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      tmp.listFiles().filter(_.getName.startsWith(prefix))
+        .flatMap(_.listFiles()).exists(_.getName.endsWith(ext))
+    }
+    assert(landed("graft_avro_ord_", ".avro"), "no .avro part files landed")
+    assert(landed("graft_xml_nat_", ".xml"), "no .xml part files landed")
+  }
+
   test("SyntheticSource (DSv2): JOIN PUSHDOWN — the inner equi-join on " +
     "id collapses into ONE PushedJoin scan; values match the unpushed plan") {
     val df = Materialize.dsv2JoinPush(spark, TestSpark.Sf0001)
