@@ -167,6 +167,7 @@ object SparkEntry {
     "q_incr_agg"         -> Materialize.incrementalAggRefresh _,
     "q_compact_files"    -> Materialize.compactRoundTrip _,
     "q_stream_lojoin"    -> graft.streaming.StreamOps.leftOuterJoinStreamed _,
+    "q_stream_fojoin"    -> graft.streaming.StreamOps.fullOuterJoinStreamed _,
     "q_schema_evolution" -> Materialize.schemaEvolution _,
     "q_retention_delete" -> Materialize.retentionDelete _,
     "q_sketch_union"     -> EventOps.sketchUnion _,
@@ -1832,6 +1833,19 @@ object SparkEntry {
         |SELECT c.user_id, click_id, purchase_id,
         |  epoch_us(c_ts) AS c_ts_us, epoch_us(p_ts) AS p_ts_us
         |FROM c LEFT JOIN p ON c.user_id = p.p_user
+        |  AND p_ts BETWEEN c_ts AND c_ts + INTERVAL 1 HOUR""".stripMargin,
+    "q_stream_fojoin" -> // full outer: unmatched rows on BOTH sides
+      // null-pad exactly once after the watermark closes their window
+      """WITH e AS (SELECT * FROM events
+        |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL AND value IS NOT NULL),
+        |c AS (SELECT user_id AS c_user, ts AS c_ts, event_id AS click_id
+        |  FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT COALESCE(c_user, p_user) AS user_id, click_id, purchase_id,
+        |  epoch_us(c_ts) AS c_ts_us, epoch_us(p_ts) AS p_ts_us
+        |FROM c FULL JOIN p ON c_user = p_user
         |  AND p_ts BETWEEN c_ts AND c_ts + INTERVAL 1 HOUR""".stripMargin,
     "q_schema_evolution" -> // generation 1 (even keys) predates the
       // priority column; the mergeSchema read null-fills it at scan time

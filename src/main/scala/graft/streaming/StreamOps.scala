@@ -1064,6 +1064,45 @@ object StreamOps {
         unix_micros(col("p_ts")).as("p_ts_us"))
   }
 
+  /** STREAM-STREAM FULL OUTER interval join — the third member of the
+    * join family ([[intervalJoinStreamed]] inner,
+    * [[leftOuterJoinStreamed]] left): pairs emit on match, unmatched
+    * CLICKS null-pad once the watermark proves no purchase can still
+    * arrive, and unmatched PURCHASES null-pad symmetrically once no
+    * click can — both sides' state evicts on the same global watermark,
+    * so the append-mode contract holds in both directions at once. Same
+    * ride-along far-future sentinels as the left join (one per source;
+    * the global watermark is the min across sources), with BOTH
+    * sentinel rows surfacing as unmatched outer rows (different
+    * sentinel users never pair) — filtered by the sign of the coalesced
+    * user. Oracle: the batch FULL JOIN with the same interval
+    * predicate. */
+  def fullOuterJoinStreamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(parent)
+    val schema = completeEvents(spark, dir).schema
+    runFileStreams(spark, schema, "graft_stream_fojoin_sink",
+      OutputMode.Append(),
+      Seq(Seq(stagedSide(spark, dir, "click", 1),
+          stagedSide(spark, dir, "click", 2, Some(-1L))),
+        Seq(stagedSide(spark, dir, "purchase", 1),
+          stagedSide(spark, dir, "purchase", 2, Some(-2L))))) { srcs =>
+      val c = srcs(0).withWatermark("ts", "1 hour")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      val p = srcs(1).withWatermark("ts", "1 hour")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      c.join(p, expr(
+        "c_user = p_user AND p_ts BETWEEN c_ts AND c_ts + INTERVAL 1 HOUR"),
+        "full_outer")
+    }
+      .filter(coalesce(col("c_user"), col("p_user")) >= 0)
+      .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("click_id"), col("purchase_id"),
+        unix_micros(col("c_ts")).as("c_ts_us"),
+        unix_micros(col("p_ts")).as("p_ts_us"))
+  }
+
   /** CHAINED STATEFUL OPERATORS under the engine (the multi-stateful
     * pipeline Spark supports since 3.4): a watermarked 1-hour tumbling
     * aggregation feeds a SECOND windowed aggregation that rolls the
