@@ -67,6 +67,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("RocksDB CHANGELOG checkpointing: state recovers across a query " +
+    "restart through changelog replay (the at-scale checkpoint economics)") {
+    // Full-snapshot checkpointing uploads every changed SST file per
+    // commit; changelog checkpointing uploads only the batch's change
+    // set and replays it over the last snapshot on recovery — at 100 TB
+    // of state this is the difference between checkpoint cost scaling
+    // with STATE SIZE and scaling with BATCH CHANGE VOLUME. Prove the
+    // recovery path actually works: run a stateful fold, stop, restart
+    // from the same checkpoint (recovery = snapshot + changelog
+    // replay), feed more data, and the totals must continue from the
+    // recovered state.
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.TimeMode
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_changelog")
+    val watch = Files.createDirectories(root.resolve("watch"))
+    val ckpt = root.resolve("ckpt").toString
+    def land(evs: Ev*): Unit =
+      evs.toDF().coalesce(1).write.mode("append").parquet(watch.toString)
+    def run(): Unit = {
+      val q = s.readStream.schema(Seq.empty[Ev].toDF().schema)
+        .parquet(watch.toString)
+        .as[Ev].groupByKey(_.user_id)
+        .transformWithState(new StreamOps.TotalsProcessor,
+          TimeMode.None(), StreamOps.RunningTotalsOutputMode)
+        .toDF()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    land(Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(1), 2, "view", 2.0))
+    run() // first run commits via changelog
+    land(Ev(3, ts(2), 1, "view", 0.5))
+    run() // RESTART: recovery replays the changelog over the snapshot
+    val state = s.read.format("statestore").option("path", ckpt)
+      .option("stateVarName", "totals").load()
+      .select("value.user_id", "value.n_events", "value.total_cents")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(state == Map(1L -> ((2L, 150L)), 2L -> ((1L, 200L))),
+      s"state did not survive the changelog-checkpointed restart: $state")
+  }
+
   test("session windows split on the gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
