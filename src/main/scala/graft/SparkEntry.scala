@@ -204,6 +204,7 @@ object SparkEntry {
     "q_dsv2_window"      -> Materialize.dsv2Window _,
     "q_meta_delete"      -> Materialize.metaDelete _,
     "q_dsv2_join_push"   -> Materialize.dsv2JoinPush _,
+    "q_dsv2_stats"       -> Materialize.dsv2Stats _,
     "q_dsv2_sink"        -> Materialize.dsv2SinkRoundTrip _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
     "q_snapshot_diff"    -> Materialize.snapshotDiff _,
@@ -2235,6 +2236,17 @@ object SparkEntry {
         |  CAST(sum((i * 48271) % 100000) AS BIGINT) AS sum_cents,
         |  CAST(min((i * 2654435761) % 1000) AS BIGINT) AS min_uid
         |FROM (SELECT unnest(generate_series(0, 199999)) AS i)
+        |GROUP BY 1""".stripMargin,
+    "q_dsv2_stats" -> // reported statistics are a planner contract
+      // only — values must equal the regenerated range joined to
+      // customer
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum((i * 48271) % 100000) AS BIGINT) AS cents,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS acctbal_cents
+        |FROM (SELECT unnest(generate_series(0, 1999)) AS i)
+        |JOIN customer ON i = c_custkey
+        |WHERE c_custkey IS NOT NULL
         |GROUP BY 1""".stripMargin,
     "q_dsv2_join_push" -> // the connector-answered join must equal the
       // same join-then-aggregate over two regenerated id ranges

@@ -909,6 +909,31 @@ object Materialize {
         sum(r("value_cents")).as("cents_r"))
   }
 
+  /** DSv2 REPORTED STATISTICS ([[graft.sources.SyntheticSource]],
+    * `SupportsReportStatistics`) — the size truth static join planning
+    * runs on: without reported stats a DSv2 relation costs
+    * `defaultSizeInBytes` ("huge"), so even a pushdown-narrowed
+    * 2000-row scan looks unbroadcastable until AQE measures it at
+    * runtime. The scan reports post-pushdown rows × width, so the
+    * planner broadcasts the narrowed synthetic side against customer at
+    * ANALYSIS time (IngestSpec pins the logical stats ≈ rows × width —
+    * not the default — and the static BroadcastHashJoin under AQE off).
+    * At 100 TB this is every warehouse dim-scan joining with its true
+    * size instead of a worst-case constant. Oracle: the regenerated
+    * range joined to customer. */
+  def dsv2Stats(spark: SparkSession, dir: String): DataFrame = {
+    val syn = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 200000L).option("slices", 16).load()
+      .filter(col("id") < 2000L) // pushed: the scan itself narrows
+    val cust = graft.sources.Tables.customer(spark, dir)
+      .filter(col("c_custkey").isNotNull)
+    syn.join(cust, col("id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value_cents")).as("cents"),
+        sum(graft.functions.Exact.cents(col("c_acctbal"))).as("acctbal_cents"))
+  }
+
   /** METADATA-ONLY DELETE ([[graft.sources.MutableTable]],
     * `SupportsDeleteV2`, the `mut` catalog namespace) — `DELETE FROM`
     * as an O(partitions) catalog operation: events land

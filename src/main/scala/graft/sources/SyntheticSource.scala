@@ -431,8 +431,37 @@ case class SyntheticScan(lo: Long, hi: Long, slices: Int, batchRows: Long,
     srcOf: Map[String, String] = Map.empty)
   extends Scan with Batch
   with SupportsRuntimeFiltering with SupportsReportPartitioning
-  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
+
+  /** REPORTED statistics ([[org.apache.spark.sql.connector.read
+    * .SupportsReportStatistics]]) — the size truth the PLANNER needs:
+    * without them a DSv2 relation costs `defaultSizeInBytes`
+    * (effectively "huge"), so a pushdown-narrowed scan of a few
+    * thousand rows still looks unbroadcastable and the static planner
+    * reaches for a shuffle join. Reporting POST-pushdown row count ×
+    * row width (the contract: statistics describe the scan as built,
+    * after filters/limit narrowed it) lets the same query plan a
+    * broadcast join at analysis time instead of waiting for AQE to
+    * discover the size at runtime — at 100 TB that is every warehouse
+    * dim-scan participating in join planning with its true size
+    * (IngestSpec pins the static broadcast with AQE off). */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    // honest only for raw scans: a pushed aggregate's output cardinality
+    // is the group count, which the generator doesn't know — report
+    // unknown rather than a wrong number the planner would trust
+    val n: Option[Long] =
+      if (agg.isEmpty) Some(math.max(0L, hi - lo)) else None
+    val rowBytes = readSchema().fields.map(_.dataType.defaultSize + 8L).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        n.fold(java.util.OptionalLong.empty())(v =>
+          java.util.OptionalLong.of(v * rowBytes))
+      override def numRows(): java.util.OptionalLong =
+        n.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
+  }
 
   /** REPORTED ordering ([[org.apache.spark.sql.connector.read
     * .SupportsReportOrdering]]) — the ordering half of the

@@ -608,6 +608,29 @@ class IngestSpec extends AnyFunSuite {
       "columnar _slice diverged from the row path")
   }
 
+  test("SyntheticSource (DSv2): reported statistics — the narrowed scan " +
+    "costs rows×width (not the default 'huge') and broadcasts STATICALLY") {
+    // a child session with AQE off: only static planning can pick the
+    // broadcast, so the choice provably came from the reported stats
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = Materialize.dsv2Stats(s, TestSpark.Sf0001)
+    // logical stats: the narrowed scan (2000 rows) reports ~rows×width,
+    // orders of magnitude under defaultSizeInBytes
+    val scanStats = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.scan.isInstanceOf[graft.sources.SyntheticScan] =>
+        r.stats.sizeInBytes
+    }
+    assert(scanStats.nonEmpty, df.queryExecution.optimizedPlan.toString)
+    assert(scanStats.head < BigInt(1000000),
+      s"narrowed scan did not report its true size: ${scanStats.head}")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats did not drive a static broadcast:\n$plan")
+  }
+
   test("avro + xml round trips really write their formats (row-oriented " +
     "landing files on disk) and aggregate to the original values") {
     assert(Materialize.avroRoundTrip(spark, TestSpark.Sf0001).collect().nonEmpty)
