@@ -67,6 +67,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow: the backfill trigger drains what exists, " +
+    "terminates by itself, and a second run catches up from the checkpoint") {
+    // THE production backfill/catch-up shape: process everything
+    // available under the source's own rate limits, then stop — no
+    // processAllAvailable babysitting, no always-on cluster; the
+    // checkpoint makes the next scheduled run incremental.
+    import java.nio.file.Files
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_avail_now")
+    val watch = Files.createDirectories(root.resolve("watch"))
+    val ckpt = root.resolve("ckpt").toString
+    def land(evs: Ev*): Unit =
+      evs.toDF().coalesce(1).write.mode("append").parquet(watch.toString)
+    def runAvailableNow(): Unit = {
+      val q = s.readStream.schema(Seq.empty[Ev].toDF().schema)
+        .option("maxFilesPerTrigger", "1") // rate limit still honored
+        .parquet(watch.toString)
+        .groupBy("user_id").count()
+        .writeStream.format("memory").queryName("avail_now_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // the trigger's contract IS self-termination after draining
+      assert(q.awaitTermination(120000), "AvailableNow run did not terminate")
+    }
+    land(Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(1), 2, "view", 2.0))
+    land(Ev(3, ts(2), 1, "view", 3.0))
+    runAvailableNow()
+    assert(s.table("avail_now_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 2L, 2L -> 1L))
+    // files landed AFTER the run are untouched until the NEXT run
+    land(Ev(4, ts(3), 2, "view", 4.0))
+    runAvailableNow() // resumes from the checkpoint, reads only the delta
+    assert(s.table("avail_now_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 2L, 2L -> 2L))
+  }
+
   test("RocksDB CHANGELOG checkpointing: state recovers across a query " +
     "restart through changelog replay (the at-scale checkpoint economics)") {
     // Full-snapshot checkpointing uploads every changed SST file per
