@@ -45,6 +45,7 @@ object SparkEntry {
     "q_json_extract"     -> EventOps.jsonExtract _,
     "q_variant"          -> EventOps.variantExtract _,
     "q_recursive_cte"    -> EventOps.recursiveSessionWalk _,
+    "q_sql_script"       -> EventOps.sqlScript _,
     "q_sql_udf"          -> EventOps.sqlUdf _,
     "q_tumbling_hour"    -> EventOps.tumblingHour _,
     "q_sliding_hour"     -> EventOps.slidingHour _,
@@ -444,6 +445,19 @@ object SparkEntry {
         |       WHEN total_cents % 10000 < 7500 THEN 'mid'
         |       ELSE 'high' END AS cents_bucket
         |FROM totals""".stripMargin,
+    "q_sql_script" -> // the script's variable inlines as a scalar
+      // subquery; the block's result is its last statement's result
+      """WITH top AS (SELECT c_mktsegment AS seg FROM customer
+        |  WHERE c_mktsegment IS NOT NULL
+        |  GROUP BY 1 ORDER BY count(*) DESC, c_mktsegment LIMIT 1)
+        |SELECT n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS acctbal_cents
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_mktsegment = (SELECT seg FROM top)
+        |  AND c_acctbal IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "q_recursive_cte" -> // the identical linear recursion in DuckDB —
       // session heads anchor, next-within-30min links extend, depth
       // caps at 50 in both engines

@@ -55,6 +55,43 @@ object EventOps {
         |FROM graft_hot_users(200000)""".stripMargin)
   }
 
+  /** SQL SCRIPTING (Spark 4 `BEGIN … END` blocks,
+    * `spark.sql.scripting.enabled`): session variables + control flow
+    * in pure SQL — the stored-procedure-shaped orchestration a
+    * warehouse migration carries over without a driver program. The
+    * script DECLAREs a variable, fills it from a query (the dominant
+    * market segment), branches on it, and the block's result is the
+    * last statement's result set: the per-nation rollup of that
+    * segment. Control flow runs on the DRIVER (each statement is its
+    * own distributed plan; the loop never touches rows), so the scale
+    * shape is identical to issuing the statements separately — the
+    * feature is surface, not a new execution model. A WHILE-loop
+    * variant is pinned in RelationalSpec (its iteration count is
+    * checked against a Scala-computed expectation; loops don't oracle
+    * to one DuckDB query). Oracle: the same logic as one static SQL
+    * query — variable inlined as a scalar subquery. */
+  def sqlScript(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_script_cust")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_script_nat")
+    spark.sql(
+      """BEGIN
+        |  DECLARE top_seg STRING;
+        |  SET top_seg = (SELECT c_mktsegment FROM graft_script_cust
+        |    WHERE c_mktsegment IS NOT NULL
+        |    GROUP BY 1 ORDER BY count(*) DESC, c_mktsegment LIMIT 1);
+        |  IF top_seg IS NOT NULL THEN
+        |    SELECT n_name, count(*) AS n_cust,
+        |      CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |        AS acctbal_cents
+        |    FROM graft_script_cust
+        |    JOIN graft_script_nat ON c_nationkey = n_nationkey
+        |    WHERE c_mktsegment = top_seg AND c_acctbal IS NOT NULL
+        |    GROUP BY 1;
+        |  END IF;
+        |END""".stripMargin)
+  }
+
   /** RECURSIVE CTE (Spark 4 `WITH RECURSIVE`): sessionization as a
     * recursive WALK — session heads (first event, or a >30 min gap from
     * the previous) anchor the recursion, and each level follows the

@@ -17,6 +17,39 @@ class EntrySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("SQL scripting WHILE loop: iteration count and result match the " +
+    "Scala-computed expectation (loops don't oracle to one DuckDB query)") {
+    val s = spark
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    // double a cutoff until fewer than 10 customers sit above it; the
+    // loop runs on the driver, each COUNT is its own distributed plan
+    graft.sources.Tables.customer(s, TestSpark.Sf0001)
+      .createOrReplaceTempView("graft_while_cust")
+    val row = s.sql(
+      """BEGIN
+        |  DECLARE k BIGINT DEFAULT 100;
+        |  DECLARE iters INT DEFAULT 0;
+        |  WHILE (SELECT count(*) FROM graft_while_cust
+        |         WHERE CAST(round(c_acctbal * 100) AS BIGINT) > k) >= 10 DO
+        |    SET k = k * 2;
+        |    SET iters = iters + 1;
+        |  END WHILE;
+        |  SELECT k, iters,
+        |    (SELECT count(*) FROM graft_while_cust
+        |     WHERE CAST(round(c_acctbal * 100) AS BIGINT) > k) AS n_above;
+        |END""".stripMargin).head()
+    // replay the loop in Scala over the same data
+    val cents = graft.sources.Tables.customer(s, TestSpark.Sf0001)
+      .select(org.apache.spark.sql.functions
+        .expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("c"))
+      .collect().map(_.getLong(0))
+    var k = 100L; var iters = 0
+    while (cents.count(_ > k) >= 10) { k *= 2; iters += 1 }
+    assert((row.getLong(0), row.getInt(1), row.getLong(2)) ==
+      ((k, iters, cents.count(_ > k).toLong)), row)
+    assert(iters > 0, "degenerate corpus: the loop never ran")
+  }
+
   test("q_approx_percentile: GK rank-error bound holds (within_bound all true)") {
     // The query ships the bound itself: within_bound = the sketch's pick
     // has rank interval overlapping n/2 ± (n/accuracy + 1). The oracle
