@@ -46,6 +46,7 @@ object SparkEntry {
     "q_variant"          -> EventOps.variantExtract _,
     "q_recursive_cte"    -> EventOps.recursiveSessionWalk _,
     "q_sql_script"       -> EventOps.sqlScript _,
+    "q_sql_params"       -> EventOps.sqlParams _,
     "q_sql_udf"          -> EventOps.sqlUdf _,
     "q_tumbling_hour"    -> EventOps.tumblingHour _,
     "q_sliding_hour"     -> EventOps.slidingHour _,
@@ -445,6 +446,15 @@ object SparkEntry {
         |       WHEN total_cents % 10000 < 7500 THEN 'mid'
         |       ELSE 'high' END AS cents_bucket
         |FROM totals""".stripMargin,
+    "q_sql_params" -> // the bound parameters inline as literals — the
+      // parameterized plan must equal the hand-written query
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0
+        |  AND o_orderpriority IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "q_sql_script" -> // the script's variable inlines as a scalar
       // subquery; the block's result is its last statement's result
       """WITH top AS (SELECT c_mktsegment AS seg FROM customer

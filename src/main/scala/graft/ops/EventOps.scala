@@ -55,6 +55,27 @@ object EventOps {
         |FROM graft_hot_users(200000)""".stripMargin)
   }
 
+  /** PARAMETERIZED SQL (`spark.sql(text, args)`): named parameter
+    * binds — the injection-safe templating face every SQL-fronting
+    * service needs (values enter the PLAN as literals through the
+    * parser's parameter substitution, never through string
+    * concatenation; a malicious segment string is just an unmatched
+    * value). Constant-folding and pushdown see real literals, so the
+    * bound plan is byte-identical to the hand-written one. Oracle: the
+    * same query with the parameters inlined. */
+  def sqlParams(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_param_orders")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM graft_param_orders
+        |WHERE o_orderstatus = :status AND o_totalprice > :floor
+        |  AND o_orderpriority IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+      Map("status" -> "O", "floor" -> 1000.0))
+  }
+
   /** SQL SCRIPTING (Spark 4 `BEGIN … END` blocks,
     * `spark.sql.scripting.enabled`): session variables + control flow
     * in pure SQL — the stored-procedure-shaped orchestration a

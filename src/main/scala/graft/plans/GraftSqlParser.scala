@@ -48,6 +48,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       lower(delegate.parsePlan(rewrite(sqlText)))
     else delegate.parsePlan(sqlText)
 
+  /** Parameterized SQL (`spark.sql(text, args)`) routes through THIS
+    * entry point since Spark 4.1 — it is a DEFAULT interface method, so
+    * a delegating wrapper that doesn't override it silently swaps the
+    * real parser's parameter threading for the parameter-less default
+    * and every bind dies with UNBOUND_SQL_PARAMETER (found the hard
+    * way; EntrySpec pins binds-with-extensions). Same ASOF rewrite
+    * treatment as parsePlan. */
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
+    if (AsofRe.findFirstIn(sqlText).isDefined)
+      lower(delegate.parsePlanWithParameters(rewrite(sqlText), ctx))
+    else delegate.parsePlanWithParameters(sqlText, ctx)
+
   // views/CTEs parse through parseQuery — same treatment
   override def parseQuery(sqlText: String): LogicalPlan =
     if (AsofRe.findFirstIn(sqlText).isDefined)

@@ -17,6 +17,18 @@ class EntrySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("parameterized SQL binds through the injected ASOF parser (the " +
+    "parsePlanWithParameters delegation — a wrapper without it loses binds)") {
+    // TestSpark's session carries graft.functions.GraftExtensions, so
+    // this exercises exactly the wrapper path that used to fail with
+    // UNBOUND_SQL_PARAMETER
+    spark.range(10).createOrReplaceTempView("graft_param_probe")
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM graft_param_probe WHERE id > :lo",
+      Map[String, Any]("lo" -> 5L)).head().getLong(0)
+    assert(n == 4L)
+  }
+
   test("SQL scripting WHILE loop: iteration count and result match the " +
     "Scala-computed expectation (loops don't oracle to one DuckDB query)") {
     val s = spark
