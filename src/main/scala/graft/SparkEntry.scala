@@ -47,6 +47,7 @@ object SparkEntry {
     "q_recursive_cte"    -> EventOps.recursiveSessionWalk _,
     "q_sql_script"       -> EventOps.sqlScript _,
     "q_sql_params"       -> EventOps.sqlParams _,
+    "q_sql_variables"    -> EventOps.sqlVariables _,
     "q_sql_udf"          -> EventOps.sqlUdf _,
     "q_tumbling_hour"    -> EventOps.tumblingHour _,
     "q_sliding_hour"     -> EventOps.slidingHour _,
@@ -446,6 +447,14 @@ object SparkEntry {
         |       WHEN total_cents % 10000 < 7500 THEN 'mid'
         |       ELSE 'high' END AS cents_bucket
         |FROM totals""".stripMargin,
+    "q_sql_variables" -> // the variable-chosen column and threshold
+      // inline — session state must be value-invisible
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS metric_cents
+        |FROM lineitem
+        |WHERE l_quantity >= 25.0 AND l_returnflag IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "q_sql_params" -> // the bound parameters inline as literals — the
       // parameterized plan must equal the hand-written query
       """SELECT o_orderpriority, count(*) AS n,

@@ -55,6 +55,30 @@ object EventOps {
         |FROM graft_hot_users(200000)""".stripMargin)
   }
 
+  /** SESSION VARIABLES + `IDENTIFIER()` (Spark 4 `DECLARE VARIABLE` /
+    * `SET VAR`): SQL-level state that outlives a statement — the
+    * session-parameterization face scripting builds on, usable from
+    * plain `spark.sql` with no BEGIN…END block. The variable picks the
+    * metric COLUMN by name and `IDENTIFIER(var)` turns that string into
+    * a resolved column reference at plan time — dynamic SQL without
+    * string concatenation (the identifier is validated by the resolver,
+    * not spliced as text). Oracle: the same query with the choice
+    * inlined. */
+  def sqlVariables(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_var_li")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_metric_col STRING")
+    spark.sql("SET VAR graft_metric_col = 'l_extendedprice'")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_min_qty DOUBLE")
+    spark.sql("SET VAR graft_min_qty = 25.0")
+    spark.sql(
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(round(IDENTIFIER(graft_metric_col) * 100)
+        |    AS BIGINT)) AS BIGINT) AS metric_cents
+        |FROM graft_var_li
+        |WHERE l_quantity >= graft_min_qty AND l_returnflag IS NOT NULL
+        |GROUP BY 1""".stripMargin)
+  }
+
   /** PARAMETERIZED SQL (`spark.sql(text, args)`): named parameter
     * binds — the injection-safe templating face every SQL-fronting
     * service needs (values enter the PLAN as literals through the

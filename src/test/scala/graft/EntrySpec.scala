@@ -29,6 +29,22 @@ class EntrySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(n == 4L)
   }
 
+  test("EXECUTE IMMEDIATE: SQL-level dynamic statement with USING binds " +
+    "and INTO a session variable") {
+    spark.range(20).createOrReplaceTempView("graft_ei_probe")
+    // USING binds parameters into the dynamic text (same substitution
+    // machinery as spark.sql(text, args), driven from SQL itself)
+    val n = spark.sql(
+      "EXECUTE IMMEDIATE 'SELECT count(*) AS n FROM graft_ei_probe " +
+        "WHERE id > ?' USING 12").head().getLong(0)
+    assert(n == 7L)
+    // INTO lands the result in a session variable for later statements
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_ei_out BIGINT")
+    spark.sql("EXECUTE IMMEDIATE 'SELECT max(id) FROM graft_ei_probe' " +
+      "INTO graft_ei_out")
+    assert(spark.sql("SELECT graft_ei_out").head().getLong(0) == 19L)
+  }
+
   test("SQL scripting WHILE loop: iteration count and result match the " +
     "Scala-computed expectation (loops don't oracle to one DuckDB query)") {
     val s = spark
