@@ -48,6 +48,7 @@ object SparkEntry {
     "q_sql_script"       -> EventOps.sqlScript _,
     "q_sql_params"       -> EventOps.sqlParams _,
     "q_sql_variables"    -> EventOps.sqlVariables _,
+    "q_collation"        -> EventOps.collation _,
     "q_sql_udf"          -> EventOps.sqlUdf _,
     "q_tumbling_hour"    -> EventOps.tumblingHour _,
     "q_sliding_hour"     -> EventOps.slidingHour _,
@@ -447,6 +448,21 @@ object SparkEntry {
         |       WHEN total_cents % 10000 < 7500 THEN 'mid'
         |       ELSE 'high' END AS cents_bucket
         |FROM totals""".stripMargin,
+    "q_collation" -> // case-insensitive collation grouping must equal
+      // the manual lower() normalization it replaces
+      """WITH mixed AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END
+        |      AS lang_mixed,
+        |    n_chars
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+        |    AND n_chars IS NOT NULL)
+        |SELECT lower(lang_mixed) AS lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN lower(lang_mixed) = 'en' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_en
+        |FROM mixed
+        |GROUP BY 1""".stripMargin,
     "q_sql_variables" -> // the variable-chosen column and threshold
       // inline — session state must be value-invisible
       """SELECT l_returnflag, count(*) AS n,

@@ -55,6 +55,37 @@ object EventOps {
         |FROM graft_hot_users(200000)""".stripMargin)
   }
 
+  /** COLLATIONS (Spark 4 `COLLATE UTF8_LCASE`): case-insensitive
+    * equality/grouping as a TYPE property instead of `lower()`
+    * normalization scattered through every predicate — the engine
+    * compares under the collation everywhere the value flows (grouping,
+    * equality, joins), which is the governed way to make "EN" and "en"
+    * one language. A mixed-case view is manufactured deterministically
+    * (even doc_ids upper-cased), grouped under the collation, and the
+    * group key is re-lowered + cast back to a plain string for the
+    * cross-engine compare (a collated string TYPE in the output schema
+    * would be a Spark-only artifact). Oracle: the same grouping via
+    * explicit `lower()` — collation semantics must equal the manual
+    * normalization it replaces. */
+  def collation(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("graft_coll_docs")
+    spark.sql(
+      """WITH mixed AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END
+        |      AS lang_mixed,
+        |    n_chars
+        |  FROM graft_coll_docs
+        |  WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+        |    AND n_chars IS NOT NULL)
+        |SELECT CAST(lower(lang_mixed COLLATE UTF8_LCASE) AS STRING) AS lang,
+        |  count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN lang_mixed = ('en' COLLATE UTF8_LCASE)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+        |FROM mixed
+        |GROUP BY lang_mixed COLLATE UTF8_LCASE""".stripMargin)
+  }
+
   /** SESSION VARIABLES + `IDENTIFIER()` (Spark 4 `DECLARE VARIABLE` /
     * `SET VAR`): SQL-level state that outlives a statement — the
     * session-parameterization face scripting builds on, usable from
