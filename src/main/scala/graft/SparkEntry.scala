@@ -34,6 +34,7 @@ object SparkEntry {
     "q_filter_cast"      -> Relational.filterCastProject _,
     "q_join3"            -> Relational.joinThreeWay _,
     "q_broadcast_join"   -> Relational.broadcastDimJoin _,
+    "q_shuffle_hash_join" -> Relational.shuffleHashJoin _,
     "q_semi_join"        -> Relational.semiJoin _,
     "q_anti_join"        -> Relational.antiJoin _,
     "q_topk_revenue"     -> Relational.topKRevenue _,
@@ -342,6 +343,15 @@ object SparkEntry {
         |  count(*) AS n_lineitems
         |FROM li JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
+    "q_shuffle_hash_join" -> // the join ALGORITHM is a physical choice
+      // only — values must equal the plain join
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey IS NOT NULL AND o_orderkey IS NOT NULL
+        |  AND o_orderpriority IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "q_broadcast_join" ->
       """SELECT r_name, count(*) AS n_customers,
         |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS total_bal_cents

@@ -167,6 +167,31 @@ object Relational {
         sum(cents(col("c_acctbal"))).as("total_bal_cents"))
   }
 
+  /** SHUFFLED HASH JOIN — the third physical join algorithm next to
+    * broadcast ([[broadcastDimJoin]]) and sort-merge (the default for
+    * big⋈big, and the storage-partitioned q_spj_join): both sides
+    * shuffle on the key, then each partition builds an in-memory hash
+    * map of its SMALLER side and probes with the larger — no sort on
+    * either side. The sweet spot at 100 TB is big ⋈ medium where the
+    * medium side exceeds the broadcast threshold but one partition of
+    * it fits in executor memory: SMJ would pay two full sorts purely to
+    * merge, SHJ pays a per-partition build instead (the trade: an OOM
+    * risk SMJ doesn't have, which is why Spark defaults to SMJ and
+    * takes SHUFFLE_HASH as an explicit hint). lineitem ⋈ orders per
+    * order-priority; PlanSpec pins the ShuffledHashJoin operator and
+    * the absence of sorts. Oracle: the plain join. */
+  def shuffleHashJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey").isNotNull)
+      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_c"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderkey").isNotNull && col("o_orderpriority").isNotNull)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(o.hint("shuffle_hash"), li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("price_c")).as("price_cents"))
+  }
+
   /** Left-semi join (EXISTS): customers having at least one order. */
   def semiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)

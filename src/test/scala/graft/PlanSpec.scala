@@ -32,6 +32,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"dim join shuffled:\n$plan")
   }
 
+  test("q_shuffle_hash_join: the hinted join is a ShuffledHashJoin — " +
+    "no sorts, no broadcast, no sort-merge") {
+    val plan = finalSection(finalPlan(
+      Relational.shuffleHashJoin(spark, TestSpark.Sf0001)))
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"fell back to SMJ:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"got broadcast:\n$plan")
+    // the algorithm's whole point: neither side sorts
+    assert(!plan.contains("Sort ["), s"SHJ plan sorted a side:\n$plan")
+  }
+
   test("q_promo_share: AQE picks a broadcast join for the part dim") {
     val plan = finalPlan(Relational.promoShare(spark, TestSpark.Sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)
