@@ -153,4 +153,41 @@ class OpsPropertySpec extends AnyFunSuite {
     assert(got.length == expected.length && got.length > 0)
     assert(got.sortBy(_._3).toSeq == expected.toSeq)
   }
+
+  test("minLabelComponents ≡ union-find on random graphs (the property " +
+    "sweep that exposed the round-9 follower-staleness bug)") {
+    // random sparse graphs over small node sets, several per seed —
+    // the shapes (multi-hop chains through contraction, follower nodes
+    // with no incident contracted edge) arise naturally and caught the
+    // jump-less-confirmation mis-convergence off-line before this test
+    // pinned it in-repo. Reference: sequential union-find with min
+    // labeling.
+    val edgeGen: Gen[(Long, Long)] = for {
+      a <- Gen.choose(1L, 9L)
+      b <- Gen.choose(1L, 9L) if a != b
+    } yield (a, b)
+    val graphGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(8, edgeGen)
+    (1L to 15L).foreach { seed =>
+      val edges = graphGen.pureApply(Gen.Parameters.default, Seed(seed))
+        .distinct
+      val nodes = (1L to 9L).toSeq
+      // union-find reference
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = nodes.map(n => n -> find(n)).toMap
+      val pairs = edges.toDF("doc_a", "doc_b").persist()
+      val got =
+        try ops.DedupOps.minLabelComponents(nodes.toDF("doc_id"), pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        finally pairs.unpersist()
+      assert(got == want,
+        s"seed $seed, edges $edges: ${got.filter { case (k, v) => want(k) != v }}")
+    }
+  }
 }
