@@ -29,6 +29,22 @@ class EntrySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(n == 4L)
   }
 
+  test("lateral column aliases and GROUP BY ALL resolve (the SQL sugar " +
+    "migrating warehouse queries lean on)") {
+    spark.range(10).selectExpr("id", "id % 3 AS g")
+      .createOrReplaceTempView("graft_sugar_probe")
+    // lateral alias: x is visible to y in the SAME select list
+    val r = spark.sql(
+      "SELECT id + 1 AS x, x * 2 AS y FROM graft_sugar_probe WHERE id = 4")
+      .head()
+    assert((r.getLong(0), r.getLong(1)) == ((5L, 10L)))
+    // GROUP BY ALL: every non-aggregate select item becomes a group key
+    val g = spark.sql(
+      "SELECT g, count(*) AS n FROM graft_sugar_probe GROUP BY ALL")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(g == Map(0L -> 4L, 1L -> 3L, 2L -> 3L), g)
+  }
+
   test("EXECUTE IMMEDIATE: SQL-level dynamic statement with USING binds " +
     "and INTO a session variable") {
     spark.range(20).createOrReplaceTempView("graft_ei_probe")
