@@ -892,7 +892,10 @@ object Materialize {
     * `spark.sql.optimizer.datasourceV2JoinPushdown`. Oracle: the same
     * join-then-aggregate over two regenerated ranges (which DuckDB's
     * own optimizer is free to collapse the same way). */
-  def dsv2JoinPush(spark: SparkSession, dir: String): DataFrame = {
+  def dsv2JoinPush(parent: SparkSession, dir: String): DataFrame = {
+    // child session: the pushdown flag must not leak into the caller's
+    // planner (later queries on the shared session would plan under it)
+    val spark = parent.newSession()
     spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
     def syn(rows: Long) = spark.read
       .format("graft.sources.SyntheticSource")
@@ -979,7 +982,8 @@ object Materialize {
     * per-partition offsets, Iceberg sorted files) paying neither the
     * shuffle nor the per-partition sort. Oracle: the same window over
     * the regenerated formulas. */
-  def dsv2Window(spark: SparkSession, dir: String): DataFrame = {
+  def dsv2Window(parent: SparkSession, dir: String): DataFrame = {
+    val spark = parent.newSession() // scope the bucketing flag
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy("id")
@@ -1046,7 +1050,8 @@ object Materialize {
     * shuffle the way a bucketed table replaces a join shuffle. Oracle:
     * the regenerated-formula SQL — a layout contract must be
     * value-invisible. */
-  def dsv2KeyedAgg(spark: SparkSession, dir: String): DataFrame = {
+  def dsv2KeyedAgg(parent: SparkSession, dir: String): DataFrame = {
+    val spark = parent.newSession() // scope the bucketing flag
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.read.format("graft.sources.SyntheticSource")
       .option("rows", 200000L).option("partitionBy", "event_type")
@@ -1073,7 +1078,8 @@ object Materialize {
     * and the O(data) exchange never happens. Oracle: both sides
     * regenerated with `generate_series` and joined in SQL — a layout
     * contract must be value-invisible. */
-  def spjJoin(spark: SparkSession, dir: String): DataFrame = {
+  def spjJoin(parent: SparkSession, dir: String): DataFrame = {
+    val spark = parent.newSession() // scope the bucketing flag
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     def keyed(rows: Long) = spark.read
       .format("graft.sources.SyntheticSource")

@@ -146,7 +146,9 @@ object EventOps {
     * checked against a Scala-computed expectation; loops don't oracle
     * to one DuckDB query). Oracle: the same logic as one static SQL
     * query — variable inlined as a scalar subquery. */
-  def sqlScript(spark: SparkSession, dir: String): DataFrame = {
+  def sqlScript(parent: SparkSession, dir: String): DataFrame = {
+    // child session: scripting.enabled (and the temp views) stay scoped
+    val spark = parent.newSession()
     spark.conf.set("spark.sql.scripting.enabled", "true")
     Tables.customer(spark, dir).createOrReplaceTempView("graft_script_cust")
     Tables.nation(spark, dir).createOrReplaceTempView("graft_script_nat")

@@ -49,7 +49,10 @@ object CatalogFunctions {
     override def resultType(): DataType = LongType
     override def name(): String = "band"
     override def canonicalName(): String = "graft.fn.band"
-    override def isResultNullable: Boolean = false
+    // inputs are nullable DOUBLE/BIGINT columns: a NULL argument yields
+    // NULL, so the declared result type must admit it (a false here
+    // would let null-aware rewrites miscompile IS NULL over the result)
+    override def isResultNullable: Boolean = true
     /** The magic method the resolver compiles into codegen. */
     def invoke(x: Double, w: Long): Long = (math.floor(x / w) * w).toLong
     override def produceResult(input: InternalRow): java.lang.Long =

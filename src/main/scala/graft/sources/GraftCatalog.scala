@@ -158,7 +158,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     namespace.toSeq match {
       case Seq(FnNs) =>
         FnNames.map(Identifier.of(namespace, _)).toArray
-      case Seq(SfNs) | Seq(GenNs) => Array.empty
+      case Seq(SfNs) | Seq(GenNs) | Seq(MutNs) => Array.empty
       case _ => throw new NoSuchNamespaceException(namespace)
     }
 

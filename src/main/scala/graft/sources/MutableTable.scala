@@ -81,9 +81,15 @@ case class MutableTable(root: String, partCol: String) extends Table
   // well-typed because the surviving partitions carry the schema.
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
-    predicates.forall(partValues(_).isDefined)
+    // an empty conjunction means "delete every row" — a full wipe is a
+    // caller-side directory drop (see the TruncatableTable note above),
+    // so refuse it here and Spark surfaces a clean unsupported-delete
+    predicates.nonEmpty && predicates.forall(partValues(_).isDefined)
 
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    if (predicates.isEmpty) throw new IllegalArgumentException(
+      "deleteWhere offered an empty (delete-all) predicate set — " +
+        "canDeleteWhere must have refused; wipe the directory instead")
     // conjunction across the array (Spark's contract): intersect
     val hit = predicates.map(p => partValues(p).getOrElse(
       throw new IllegalArgumentException(

@@ -637,8 +637,9 @@ class IngestSpec extends AnyFunSuite {
     assert(Materialize.xmlRoundTrip(spark, TestSpark.Sf0001).count() == 5)
     def landed(prefix: String, ext: String): Boolean = {
       val tmp = new java.io.File(sys.props("java.io.tmpdir"))
-      tmp.listFiles().filter(_.getName.startsWith(prefix))
-        .flatMap(_.listFiles()).exists(_.getName.endsWith(ext))
+      tmp.listFiles().filter(f => f.isDirectory && f.getName.startsWith(prefix))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .exists(_.getName.endsWith(ext))
     }
     assert(landed("graft_avro_ord_", ".avro"), "no .avro part files landed")
     assert(landed("graft_xml_nat_", ".xml"), "no .xml part files landed")
