@@ -208,6 +208,7 @@ object SparkEntry {
     "q_dsv2_meta"        -> Materialize.dsv2Meta _,
     "q_dsv2_window"      -> Materialize.dsv2Window _,
     "q_meta_delete"      -> Materialize.metaDelete _,
+    "q_variant_store"    -> Materialize.variantStore _,
     "q_dsv2_join_push"   -> Materialize.dsv2JoinPush _,
     "q_dsv2_stats"       -> Materialize.dsv2Stats _,
     "q_dsv2_sink"        -> Materialize.dsv2SinkRoundTrip _,
@@ -2321,6 +2322,16 @@ object SparkEntry {
         |  CAST(sum(r.value_cents) AS BIGINT) AS cents_r
         |FROM l JOIN r ON l.id = r.id
         |GROUP BY 1""".stripMargin,
+    "q_variant_store" -> // stored shredded VARIANT round trip: the
+      // storage format must be value-invisible, so the oracle is the
+      // q_variant JSON extraction over the ORIGINAL strings
+      """WITH e AS (SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract(props, '$.missing') AS BIGINT) AS m
+        |  FROM events WHERE props IS NOT NULL)
+        |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k, count(m) AS n_miss_hits
+        |FROM e GROUP BY 1""".stripMargin,
     "q_meta_delete" -> // after the metadata-only partition delete, the
       // table is the raw events minus the dropped type (and minus the
       // write-time null guards)

@@ -11,8 +11,15 @@ object Verify {
     val only = args.drop(2).headOption.map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.subset(only, "Verify arg 3")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER lets the same main run under a multi-process
+    // master — `local-cluster[2,4,4096]` exercises REAL executor JVMs
+    // (closure serialization, executor-side classloading of the custom
+    // expressions/connector/state stores) that local[N]'s single JVM
+    // never does. Requires spark-submit with the packaged jar so
+    // executors can load graft classes.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       // full extension suite (functions, optimizer rule, AsOf strategy, ASOF JOIN parser)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

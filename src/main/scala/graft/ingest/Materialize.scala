@@ -288,6 +288,53 @@ object Materialize {
         sum(col("n_nationkey")).as("key_sum"))
   }
 
+  /** STORED VARIANT with extraction pushdown — the storage half of
+    * [[graft.ops.EventOps.variantExtract]] (q_variant parses JSON
+    * strings at query time; COVERAGE.md names this as its next step):
+    * `events.props` lands in parquet AS a VARIANT column, written
+    * SHREDDED (`spark.sql.variant.writeShredding.enabled` +
+    * `inferShreddingSchema` — the writer samples the data and stores
+    * typed subcolumns alongside the binary), and the read-back's typed
+    * `variant_get` paths are rewritten INTO the scan by Spark's
+    * `PushVariantIntoScan` rule (`spark.sql.variant.pushVariantIntoScan`)
+    * — the scan reads a struct of the requested fields instead of
+    * materializing the full variant binary per row (IngestSpec pins the
+    * rewritten scan schema and value parity with the rule off). At
+    * 100 TB this is the semi-structured-scan economics: a shredded
+    * VARIANT column serves `$.k` from a typed parquet subcolumn with
+    * min/max stats and never re-parses JSON, while the query keeps
+    * schema-on-read flexibility. Conf scoping: child session — the
+    * rewrite flags must not leak into the caller's planner. Oracle:
+    * DuckDB JSON extraction over the ORIGINAL strings (storage format
+    * must be value-invisible), same shape as q_variant. */
+  def variantStore(parent: SparkSession, dir: String): DataFrame = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+    spark.conf.set("spark.sql.variant.inferShreddingSchema", "true")
+    spark.conf.set("spark.sql.variant.pushVariantIntoScan", "true")
+    val out = processScratchDir(
+      s"graft_var_ev_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.sources.Tables.events(spark, dir)
+      .filter(col("props").isNotNull)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .write.mode("overwrite").parquet(out)
+    variantStoreRead(spark, out)
+  }
+
+  /** The read-back half of [[variantStore]], split out so IngestSpec can
+    * pin its plan under both rule settings on an existing directory. */
+  private[graft] def variantStoreRead(spark: SparkSession, out: String): DataFrame =
+    spark.read.parquet(out)
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'bigint')").as("m"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(col("m")).as("n_miss_hits"))
+
   /** Merge rule for the event-type aggregate MV: partials from the
     * stored view and a fresh delta combine by their aggregates' own
     * merge functions (count → sum, sum → sum, max → max) — the

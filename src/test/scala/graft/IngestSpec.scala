@@ -800,4 +800,52 @@ class IngestSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<event_id:bigint,user_id:bigint>"),
       s"events scan not pruned:\n$plan")
   }
+
+  test("stored VARIANT: files land SHREDDED (typed_value subcolumns in " +
+    "the parquet footer), variant_get paths rewrite INTO the scan, and " +
+    "values match the rule-off read") {
+    import org.apache.spark.sql.functions.col
+    // materialize once (writes the shredded parquet), keep the child
+    // session that carries the variant confs
+    val pushed = graft.ingest.Materialize.variantStore(spark, TestSpark.Sf0001)
+    val out = new java.io.File(sys.props("java.io.tmpdir")).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_var_ev_"))
+      .maxBy(_.lastModified).toString
+    // 1) the files are SHREDDED: the parquet schema of the variant group
+    // carries a typed_value subcolumn next to metadata/value (that typed
+    // subcolumn — with its min/max stats — is what the scan serves
+    // extractions from at 100 TB, never re-parsing JSON)
+    val part = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.toString),
+        spark.sessionState.newHadoopConf()))
+    val fileSchema =
+      try footer.getFooter.getFileMetaData.getSchema.toString
+      finally footer.close()
+    assert(fileSchema.contains("typed_value"),
+      s"variant column not shredded on disk:\n$fileSchema")
+    // 2) extraction pushdown: the scan's ReadSchema replaces the variant
+    // binary with a struct of the two requested typed fields
+    val s = pushed.sparkSession
+    assert(s.conf.get("spark.sql.variant.pushVariantIntoScan") == "true")
+    val pushedPlan = graft.ingest.Materialize.variantStoreRead(s, out)
+      .queryExecution.executedPlan.toString
+    assert(pushedPlan.contains("v:struct<0:bigint,1:bigint>"),
+      s"variant_get not pushed into the scan:\n$pushedPlan")
+    assert(!pushedPlan.contains("v:variant"), pushedPlan)
+    // 3) rule off: the scan reads the variant binary and extracts above
+    // it — and the VALUES are identical either way
+    val off = spark.newSession()
+    off.conf.set("spark.sql.variant.pushVariantIntoScan", "false")
+    val offDf = graft.ingest.Materialize.variantStoreRead(off, out)
+    val offPlan = offDf.queryExecution.executedPlan.toString
+    assert(offPlan.contains("v:variant"),
+      s"rule-off scan should read the variant column:\n$offPlan")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("event_type")).collect().map(_.toSeq).toSeq
+    assert(rows(pushed) == rows(offDf),
+      "pushdown changed values — the rewrite must be value-invisible")
+  }
 }
