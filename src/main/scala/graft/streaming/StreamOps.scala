@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -253,10 +253,38 @@ object StreamOps {
     * long-lived driver sessions (Verify/Bench/tests), one child each. */
   private val streamSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
-  private def streamSession(parent: SparkSession): SparkSession =
+  private[graft] def streamSession(parent: SparkSession): SparkSession =
     streamSessions.computeIfAbsent(parent, p => {
       val spark = p.newSession()
       spark.conf.set("spark.sql.shuffle.partitions", "2")
+      spark
+    })
+
+  /** The no-watermark-flush sibling of [[streamSession]] (same memoized-
+    * child convention, same no-conf-mutation CONTRACT):
+    * `noDataMicroBatches.enabled=false` skips the engine's extra
+    * zero-row trigger after a watermark advance. That trigger exists so
+    * stateful operators can EMIT on the new watermark — so this session
+    * is ONLY for queries whose results never depend on it: complete-mode
+    * aggregations (state re-emitted whole every data batch), inner
+    * stream-stream joins (matches emit in the data batch that completes
+    * them), passthrough dedup (rows emit on arrival; the skipped batch
+    * only delayed state EVICTION, which is invisible to results), and
+    * NoTimeout map/flatMapGroupsWithState (the function only runs on
+    * data). Append-mode window/session aggs, outer joins, and
+    * event-time timers NEED the flush batch and stay on
+    * [[streamSession]]. Probe-measured: the skipped batches cost
+    * 0.2–0.65 s each (state machinery over zero rows), 1–2 per
+    * watermarked query — pure fixed cost at bench scale, and at 100 TB
+    * scale a real deployment's continuous triggers amortize eviction
+    * into data batches anyway. */
+  private val noFlushSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private[graft] def noFlushSession(parent: SparkSession): SparkSession =
+    noFlushSessions.computeIfAbsent(parent, p => {
+      val spark = p.newSession()
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       spark
     })
 
@@ -268,7 +296,7 @@ object StreamOps {
     * checkpoints, sink names and feeds. */
   private val rocksSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
-  private def rocksSession(parent: SparkSession): SparkSession =
+  private[graft] def rocksSession(parent: SparkSession): SparkSession =
     rocksSessions.computeIfAbsent(parent, p => {
       val spark = p.newSession()
       spark.conf.set("spark.sql.shuffle.partitions", "2")
@@ -329,12 +357,35 @@ object StreamOps {
     * through the driver — the copy is file plumbing, like the move it
     * already did). Only the redundant feed writes are shared: each query
     * still builds its own session, checkpoint, triggers and state. */
-  private lazy val stagedRoot: Path = {
-    val p = Files.createTempDirectory("graft_staged_feeds")
+  // ---- fast ephemeral scratch ----------------------------------------
+  /** Root for streaming feeds/checkpoints/sink dirs. These are
+    * RE-CREATABLE per-run scratch (every query builds its own feed and
+    * checkpoint from the batch corpus), so they belong on the fastest
+    * local medium available: a micro-batch pays offset-log + commit-log
+    * + state-snapshot fsyncs EVERY trigger, and on a disk-backed /tmp
+    * that per-trigger fixed cost dominates small benches. Preference:
+    * `SPARK_GRAFT_SCRATCH` (a real deployment points this at NVMe),
+    * else `/dev/shm` (RAM-backed tmpfs), else java.io.tmpdir. This is
+    * deliberately NOT where durable checkpoints live at scale — a
+    * production stream checkpoints to reliable storage and pays that
+    * latency for exactly-once recovery (the RocksDB changelog-checkpoint
+    * recovery spec pins that path); the bench measures operator cost,
+    * not ext4 fsync. Every scratch root self-cleans at JVM exit. */
+  private lazy val scratchBase: Path = {
+    val pick = sys.env.get("SPARK_GRAFT_SCRATCH").map(Paths.get(_))
+      .orElse(Option(Paths.get("/dev/shm"))
+        .filter(p => Files.isDirectory(p) && Files.isWritable(p)))
+      .getOrElse(Paths.get(sys.props("java.io.tmpdir")))
+    Files.createDirectories(pick)
+  }
+  private def scratchTmp(prefix: String): Path = {
+    val p = Files.createTempDirectory(scratchBase, prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       graft.util.Fs.deleteRecursively(p)))
     p
   }
+
+  private lazy val stagedRoot: Path = scratchTmp("graft_staged_feeds")
   private val stagedParts =
     scala.collection.concurrent.TrieMap[String, Option[Path]]()
   private val stagedN = new java.util.concurrent.atomic.AtomicInteger
@@ -382,7 +433,7 @@ object StreamOps {
   private def runFileStreams(spark: SparkSession, schema: StructType,
     sinkName: String, mode: OutputMode, feeds: Seq[Seq[Option[Path]]])(
     transform: Seq[DataFrame] => DataFrame): DataFrame = {
-    val root = Files.createTempDirectory("graft_stream")
+    val root = scratchTmp("graft_stream")
     val fs = feeds.indices.map(i =>
       new FileFeed(Files.createDirectories(root.resolve(s"src$i"))))
     val srcs = fs.map(f => spark.readStream.schema(schema)
@@ -418,7 +469,7 @@ object StreamOps {
     * incremental engine → lake-table round trip. */
   private def runFileStreamToParquet(spark: SparkSession, schema: StructType,
     batches: Seq[Option[Path]])(transform: DataFrame => DataFrame): DataFrame = {
-    val root = Files.createTempDirectory("graft_stream_sink")
+    val root = scratchTmp("graft_stream_sink")
     val feed = new FileFeed(Files.createDirectories(root.resolve("src")))
     val out = root.resolve("out").toString
     val src = spark.readStream.schema(schema)
@@ -452,7 +503,7 @@ object StreamOps {
     * Oracle: identical SQL to the batch `q_tumbling_hour`, which is the
     * stream ≡ batch guarantee the engine makes for complete mode. */
   def tumblingHourStreamed(parent: SparkSession, dir: String): DataFrame = {
-    val spark = streamSession(parent)
+    val spark = noFlushSession(parent)
     val schema = completeEvents(spark, dir).schema
     runFileStream(spark, schema, "graft_stream_tumbling_sink",
       OutputMode.Complete(),
@@ -490,7 +541,7 @@ object StreamOps {
     * with a deterministic struct-max. Oracle: the batch per-user
     * totals over complete events. */
   def userTotalsStreamed(parent: SparkSession, dir: String): DataFrame = {
-    val spark = streamSession(parent)
+    val spark = noFlushSession(parent)
     import spark.implicits._
     val schema = completeEvents(spark, dir).schema
     runFileStream(spark, schema, "graft_stream_totals_sink",
@@ -780,7 +831,7 @@ object StreamOps {
     val spark = rocksSession(parent)
     import spark.implicits._
     val schema = completeEvents(spark, dir).schema
-    val root = Files.createTempDirectory("graft_stream_tws_ttl")
+    val root = scratchTmp("graft_stream_tws_ttl")
     val feed = new FileFeed(Files.createDirectories(root.resolve("src")))
     val ckpt = root.resolve("ckpt").toString
     try {
@@ -829,7 +880,7 @@ object StreamOps {
     val schema = completeEvents(spark, dir).schema
     val half1 = stagedHalf(spark, dir, 1)
       .getOrElse(throw new IllegalStateException("half 1 staged empty"))
-    val root = Files.createTempDirectory("graft_stream_tws_init")
+    val root = scratchTmp("graft_stream_tws_init")
     val feed = new FileFeed(Files.createDirectories(root.resolve("src")))
     val ckpt = root.resolve("ckpt").toString
     val init = spark.read.parquet(half1.toString).as[Ev]
@@ -873,7 +924,7 @@ object StreamOps {
     * batch-2's user set, which the oracle reproduces with the same
     * `(min+max)//2` split. */
   def burstsStreamed(parent: SparkSession, dir: String): DataFrame = {
-    val spark = streamSession(parent)
+    val spark = noFlushSession(parent)
     import spark.implicits._
     val schema = completeEvents(spark, dir).schema
     runFileStream(spark, schema, "graft_stream_bursts_sink",
@@ -970,7 +1021,7 @@ object StreamOps {
     val spark = streamSession(parent)
     import spark.implicits._
     val schema = completeEvents(spark, dir).schema
-    val root = Files.createTempDirectory("graft_stream_upsert")
+    val root = scratchTmp("graft_stream_upsert")
     val feed = new FileFeed(Files.createDirectories(root.resolve("src")))
     val table = root.resolve("totals").toString
     val src = spark.readStream.schema(schema)
@@ -1000,7 +1051,7 @@ object StreamOps {
     * watermark delay keeps alive across the batch boundary. Oracle: the
     * batch self-join with the same interval predicate. */
   def intervalJoinStreamed(parent: SparkSession, dir: String): DataFrame = {
-    val spark = streamSession(parent)
+    val spark = noFlushSession(parent)
     val schema = completeEvents(spark, dir).schema
     runFileStreams(spark, schema, "graft_stream_ssjoin_sink",
       OutputMode.Append(),
@@ -1171,7 +1222,7 @@ object StreamOps {
     * enrichment shape. Oracle: the same join+window as batch SQL
     * (stream ≡ batch for complete mode). */
   def enrichStreamed(parent: SparkSession, dir: String): DataFrame = {
-    val spark = streamSession(parent)
+    val spark = noFlushSession(parent)
     val schema = completeEvents(spark, dir).schema
     val dim = broadcast(
       graft.sources.Tables.customer(spark, dir)
@@ -1198,7 +1249,7 @@ object StreamOps {
     * incremental aggregation. Oracle: the batch q_sliding_hour SQL over
     * complete events. */
   def slidingStreamed(parent: SparkSession, dir: String): DataFrame = {
-    val spark = streamSession(parent)
+    val spark = noFlushSession(parent)
     val schema = completeEvents(spark, dir).schema
     runFileStream(spark, schema, "graft_stream_sliding_sink",
       OutputMode.Complete(),
@@ -1221,7 +1272,7 @@ object StreamOps {
     * among duplicates, and the id SET is the deterministic part.
     * Oracle: DISTINCT event_id over complete events. */
   def dedupStreamed(parent: SparkSession, dir: String): DataFrame = {
-    val spark = streamSession(parent)
+    val spark = noFlushSession(parent)
     val schema = completeEvents(spark, dir).schema
     runFileStream(spark, schema, "graft_stream_dedup_sink",
       OutputMode.Append(),
@@ -1246,7 +1297,7 @@ object StreamOps {
   def stateReader(parent: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(parent)
     val schema = completeEvents(spark, dir).schema
-    val root = Files.createTempDirectory("graft_state_read")
+    val root = scratchTmp("graft_state_read")
     val feed = new FileFeed(Files.createDirectories(root.resolve("src")))
     val ckpt = root.resolve("ckpt").toString
     val src = spark.readStream.schema(schema)
@@ -1280,7 +1331,7 @@ object StreamOps {
   def dsv2SinkStreamed(parent: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(parent)
     val schema = completeEvents(spark, dir).schema
-    val root = Files.createTempDirectory("graft_stream_dsv2_sink")
+    val root = scratchTmp("graft_stream_dsv2_sink")
     val feed = new FileFeed(Files.createDirectories(root.resolve("src")))
     val out = root.resolve("out").toString
     val src = spark.readStream.schema(schema)

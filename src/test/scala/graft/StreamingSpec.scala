@@ -711,4 +711,56 @@ class StreamingSpec extends AnyFunSuite {
       .count { case (s, e) => e > s && e > 10000L && s < 10000L } == 0,
       "a post-restart batch straddled the committed offset")
   }
+
+  test("TRIGGER-COUNT structural pin: each streaming query runs exactly " +
+    "its semantic minimum of micro-batches (data batches + required " +
+    "watermark-flush batches, and nothing else)") {
+    // The streaming share's wall-clock is per-trigger fixed cost
+    // (incremental re-planning 80–350 ms + state machinery 400–800 ms
+    // per batch, probe-measured) × trigger count — so the DETERMINISTIC
+    // thing to pin is the trigger count, per the round-10 protocol
+    // (wall-clock on a shared VM is an observation, not a target).
+    // Expected counts: 2 data batches per single-source query (the
+    // time-split halves) or per join side (landed round-robin), PLUS
+    // one engine no-data batch per watermark advance ONLY where results
+    // depend on it (append-mode session windows, outer-join null
+    // flushes). The noFlushSession queries pin that the engine runs NO
+    // extra trigger beyond the data itself.
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val counts = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        counts.merge(e.progress.name, 1, Integer.sum(_, _))
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    val children = Seq(
+      graft.streaming.StreamOps.streamSession(spark),
+      graft.streaming.StreamOps.noFlushSession(spark))
+    children.foreach(_.streams.addListener(listener))
+    try {
+      val expect = Map(
+        // noFlushSession: data batches ONLY
+        "q_stream_ssjoin" -> ("graft_stream_ssjoin_sink", 2),
+        "q_stream_dedup" -> ("graft_stream_dedup_sink", 2),
+        "q_stream_tumbling" -> ("graft_stream_tumbling_sink", 2),
+        // streamSession: + the load-bearing flush batches
+        "q_stream_fojoin" -> ("graft_stream_fojoin_sink", 4),
+        "q_stream_session" -> ("graft_stream_session_sink", 4))
+      for ((q, _) <- expect) SparkEntry.queries(q)(spark, TestSpark.Sf0001).count()
+      // listener delivery is async — wait for the bus to drain
+      var waited = 0
+      def total = expect.valuesIterator.map(v => counts.getOrDefault(v._1, 0)).sum
+      val want = expect.valuesIterator.map(_._2).sum
+      while (total < want && waited < 10000) { Thread.sleep(100); waited += 100 }
+      for ((q, (sink, n)) <- expect)
+        assert(counts.getOrDefault(sink, 0) == n,
+          s"$q ran ${counts.getOrDefault(sink, 0)} triggers, pinned $n — " +
+            "an extra trigger is wasted fixed cost, a missing one is " +
+            "missing semantics")
+    } finally children.foreach(_.streams.removeListener(listener))
+  }
 }
