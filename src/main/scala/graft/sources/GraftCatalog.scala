@@ -147,7 +147,55 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         option("gen.slices").getOrElse("8").toInt,
         option("gen.batchRows").getOrElse("1000").toLong,
         option("gen.columnar").getOrElse("false").toBoolean)
+    case Seq(SnapNs) => snapTable(ident, None)
     case _ => throw new NoSuchTableException(ident)
+  }
+
+  /** TIME TRAVEL (`SELECT … FROM graft.snap.t VERSION AS OF n`): Spark
+    * routes the AS OF clause here, and the snapshot IS the
+    * [[ManifestSink]] epoch log — version n = the union of epoch
+    * manifests 0..n, reconstructed by [[ManifestSink.committedFilesAsOf]]
+    * (refused below the compaction-sweep horizon, the log-retention
+    * contract). Only the `snap` namespace is versioned; everything else
+    * keeps the default refusal. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    ident.namespace().toSeq match {
+      case Seq(SnapNs) =>
+        val v = try version.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.snap versions are epoch ids (integers), got '$version'")
+        }
+        snapTable(ident, Some(v))
+      case _ => super.loadTable(ident, version)
+    }
+
+  /** A [[ManifestSink]]-committed table under `<snap.dir>/<name>`,
+    * served read-only at its current or an as-of snapshot. The sink's
+    * data files are schema-less CSV rows (the landing format), so the
+    * read schema comes from the `snap.schema` catalog conf (DDL string)
+    * and the scan DELEGATES to the builtin CSV DSv2 provider — the same
+    * naming-not-a-read-path contract as the `sf` namespace. */
+  private def snapTable(ident: Identifier, asOf: Option[Long]): Table = {
+    val root = option(s"$SnapNs.dir").getOrElse(
+      throw new NoSuchTableException(ident))
+    val tdir = new java.io.File(root, ident.name())
+    if (!tdir.isDirectory) throw new NoSuchTableException(ident)
+    val files = asOf match {
+      case Some(v) => ManifestSink.committedFilesAsOf(tdir.toString, v)
+      case None => ManifestSink.committedFiles(tdir.toString)
+    }
+    val ddl = option(s"$SnapNs.schema").getOrElse(
+      throw new IllegalArgumentException(
+        s"set spark.sql.catalog.$catalogName.$SnapNs.schema to the " +
+          "manifest table's DDL (the sink lands schema-less CSV rows)"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    // JSON-encode the path list ("paths" is the multi-path option every
+    // file DSv2 source takes); manifest file names are uuid-safe
+    val paths = files.map(f => "\"" + f.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
+    new org.apache.spark.sql.execution.datasources.v2.csv.CSVDataSourceV2()
+      .getTable(new CaseInsensitiveStringMap(
+        Map("paths" -> paths).asJava), schema)
   }
 
   /** The `FunctionCatalog` face: connector-shipped functions under the
@@ -158,7 +206,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     namespace.toSeq match {
       case Seq(FnNs) =>
         FnNames.map(Identifier.of(namespace, _)).toArray
-      case Seq(SfNs) | Seq(GenNs) | Seq(MutNs) => Array.empty
+      case Seq(SfNs) | Seq(GenNs) | Seq(MutNs) | Seq(SnapNs) => Array.empty
       case _ => throw new NoSuchNamespaceException(namespace)
     }
 
@@ -192,6 +240,7 @@ object GraftCatalog {
   val FnNs = "fn"
   val FnNames: Seq[String] = Seq("band", "xsum")
   val MutNs = "mut"
+  val SnapNs = "snap"
 
   /** The driver-generated scale-factor tables ([[Tables]]). `events` is
     * served through its own load branch that applies the

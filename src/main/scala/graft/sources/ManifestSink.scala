@@ -127,6 +127,50 @@ object ManifestSink {
     manifestFragments(dir)
       .flatMap(f => Files.readAllLines(f, StandardCharsets.UTF_8).asScala)
       .filter(_.nonEmpty).distinct
+
+  /** TIME TRAVEL: the table's committed file list AS OF epoch
+    * `version` — the union of epoch manifests with id <= version. The
+    * epoch manifests ARE the snapshot log (each one is an atomic
+    * commit), so every historical snapshot is reconstructible for free
+    * as long as its epochs survive: a compact file serves any version
+    * >= its horizon exactly (it is the union through the horizon, plus
+    * the loose epochs up to the version); versions BELOW the horizon
+    * need the swept loose epochs and are REFUSED with the retention
+    * boundary spelled out — the Delta/Iceberg contract that log
+    * retention bounds time travel, surfaced instead of silently
+    * serving a wrong snapshot. A version beyond the newest commit is
+    * refused too (it names a snapshot that never existed). */
+  def committedFilesAsOf(path: String, version: Long): Seq[String] = {
+    require(version >= 0, s"version must be >= 0, got $version")
+    val dir = Paths.get(path)
+    val loose = listPrefixed(dir, "epoch-").map(p => (idOf(p), p))
+    val compact = latestCompact(dir)
+    val horizon = compact.map(_._1).getOrElse(-1L)
+    val newest = (horizon +: loose.map(_._1)).max
+    if (newest < 0 || version > newest)
+      throw new IllegalArgumentException(
+        s"manifest table $path has no version $version " +
+          s"(newest committed epoch: ${if (newest < 0) "none" else newest})")
+    def read(p: Path): Seq[String] =
+      Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq.filter(_.nonEmpty)
+    val names =
+      if (version >= horizon)
+        (compact.map(_._2).toSeq ++
+          loose.filter(e => e._1 > horizon && e._1 <= version).map(_._2))
+          .flatMap(read).distinct
+      else {
+        // below the horizon only the pre-sweep window can serve: every
+        // epoch 0..version must still be present as a loose manifest
+        val have = loose.filter(_._1 <= version)
+        if ((0L to version).forall(have.map(_._1).toSet))
+          have.sortBy(_._1).map(_._2).flatMap(read).distinct
+        else throw new IllegalStateException(
+          s"version $version predates the compaction horizon $horizon " +
+            "and its epoch manifests were swept — retained time travel " +
+            s"starts at epoch $horizon")
+      }
+    names.map(f => Paths.get(path, "data", f).toString)
+  }
 }
 
 case class ManifestTable(path: String, writeSchema: StructType,
