@@ -119,6 +119,7 @@ object SparkEntry {
     "q_stream_ssjoin"    -> graft.streaming.StreamOps.intervalJoinStreamed _,
     "q_stream_sink"      -> graft.streaming.StreamOps.tumblingSinkStreamed _,
     "q_stream_dsv2_sink" -> graft.streaming.StreamOps.dsv2SinkStreamed _,
+    "q_time_travel"      -> graft.streaming.StreamOps.timeTravel _,
     "q_stream_upsert"    -> graft.streaming.StreamOps.upsertStreamed _,
     "q_stream_sliding"   -> graft.streaming.StreamOps.slidingStreamed _,
     "q_json_source"      -> Materialize.eventsFromJsonl _,
@@ -595,6 +596,17 @@ object SparkEntry {
         |WHERE event_id IS NOT NULL AND ts IS NOT NULL
         |  AND user_id IS NOT NULL AND value IS NOT NULL
         |  AND event_type IS NOT NULL""".stripMargin,
+    "q_time_travel" -> // VERSION AS OF 2 over the 4-epoch manifest log,
+      // where epoch i carries exactly the event_id%4=i slice — so the
+      // historical snapshot IS the residue-prefix of the append log
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND user_id IS NOT NULL AND value IS NOT NULL
+        |  AND event_type IS NOT NULL AND event_id % 4 <= 2
+        |GROUP BY event_type""".stripMargin,
     "q_stream_user_totals" -> // final mapGroupsWithState state per user ==
       // the batch per-user totals over complete events (stream ≡ batch)
       """SELECT user_id, count(*) AS n_events,

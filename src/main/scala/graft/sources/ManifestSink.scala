@@ -159,11 +159,26 @@ object ManifestSink {
           loose.filter(e => e._1 > horizon && e._1 <= version).map(_._2))
           .flatMap(read).distinct
       else {
-        // below the horizon only the pre-sweep window can serve: every
-        // epoch 0..version must still be present as a loose manifest
-        val have = loose.filter(_._1 <= version)
-        if ((0L to version).forall(have.map(_._1).toSet))
-          have.sortBy(_._1).map(_._2).flatMap(read).distinct
+        // below the horizon, ONLY the pre-sweep crash window can serve:
+        // the sweep deletes absorbed epoch manifests AFTER the compact
+        // move, so if the loose epochs at-or-below the horizon still
+        // union to EXACTLY the compact's content, the loose log is
+        // provably complete (every task file is listed by exactly one
+        // epoch manifest, so a missing non-empty epoch shrinks the
+        // union) and any prefix of it is an exact snapshot — including
+        // tables whose first epoch is > 0 (a checkpointed query
+        // restarted into a fresh dir; advisor r10). Each fragment is
+        // read ONCE (the old 0..version∀-over-a-rebuilt-Set was O(n²)
+        // and hard-required epoch 0). Once the sweep lands, the union
+        // shrinks below the compact set and the version is refused:
+        // log retention bounds time travel (the Delta/Iceberg
+        // contract), surfaced instead of silently serving a wrong
+        // snapshot.
+        val compactContent = compact.map(_._2).toSeq.flatMap(read).toSet
+        val looseBelow = loose.filter(_._1 <= horizon)
+        if (looseBelow.flatMap(e => read(e._2)).toSet == compactContent)
+          loose.filter(_._1 <= version).sortBy(_._1)
+            .flatMap(e => read(e._2)).distinct
         else throw new IllegalStateException(
           s"version $version predates the compaction horizon $horizon " +
             "and its epoch manifests were swept — retained time travel " +

@@ -372,10 +372,25 @@ object StreamOps {
     * recovery spec pins that path); the bench measures operator cost,
     * not ext4 fsync. Every scratch root self-cleans at JVM exit. */
   private lazy val scratchBase: Path = {
-    val pick = sys.env.get("SPARK_GRAFT_SCRATCH").map(Paths.get(_))
-      .orElse(Option(Paths.get("/dev/shm"))
-        .filter(p => Files.isDirectory(p) && Files.isWritable(p)))
-      .getOrElse(Paths.get(sys.props("java.io.tmpdir")))
+    val pick = sys.env.get("SPARK_GRAFT_SCRATCH") match {
+      case Some(p) =>
+        // explicit override fails FAST with a clear message rather than
+        // erroring late inside the first query's checkpoint setup
+        val path = Paths.get(p)
+        require(Files.isDirectory(path) && Files.isWritable(path),
+          s"SPARK_GRAFT_SCRATCH=$p is not a writable directory")
+        path
+      case None =>
+        // /dev/shm is RAM-backed tmpfs (default cap ~half of RAM):
+        // right for this scratch because feeds/checkpoints here are
+        // SMALL re-creatable per-query state at test SFs, and the
+        // shutdown hooks delete every tree at JVM exit. A deployment
+        // with big staged feeds sets SPARK_GRAFT_SCRATCH to NVMe to
+        // opt out of tmpfs entirely.
+        Option(Paths.get("/dev/shm"))
+          .filter(p => Files.isDirectory(p) && Files.isWritable(p))
+          .getOrElse(Paths.get(sys.props("java.io.tmpdir")))
+    }
     Files.createDirectories(pick)
   }
   private def scratchTmp(prefix: String): Path = {
@@ -410,6 +425,15 @@ object StreamOps {
       val evs = completeEvents(spark, dir)
       timeSplit(evs)._2.union(sentinel(evs, -1L, 30))
     }
+
+  /** Slice `q` (0..3) of the complete corpus by `event_id mod 4`,
+    * staged — the deterministic epoch partition for the time-travel
+    * query (epoch i of the manifest log carries exactly slice i, so an
+    * AS-OF prefix is reconstructible by the oracle as a residue
+    * filter). */
+  private def stagedQuarter(spark: SparkSession, dir: String, q: Int): Option[Path] =
+    staged(dir, s"tt$q")(
+      completeEvents(spark, dir).filter(pmod(col("event_id"), lit(4)) === q))
 
   /** The full complete-events corpus (the redelivery batch), staged. */
   private def stagedFull(spark: SparkSession, dir: String): Option[Path] =
@@ -1359,5 +1383,59 @@ object StreamOps {
     else
       spark.read.schema("event_id LONG, user_id LONG, event_type STRING")
         .csv(files: _*)
+  }
+
+  /** TIME TRAVEL end-to-end (`SELECT … FROM graft.snap.ev VERSION AS OF
+    * 2`): a streaming [[graft.sources.ManifestSink]] write lands FOUR
+    * deterministic epochs — epoch i carries exactly the `event_id mod 4
+    * = i` slice of complete events ([[stagedQuarter]], one staged file
+    * per trigger) — then the PARENT session reads an INTERMEDIATE
+    * snapshot through pure SQL: Spark routes the `VERSION AS OF` clause
+    * to [[graft.sources.GraftCatalog.loadTable(ident,version)]], which
+    * reconstructs snapshot 2 as the union of epoch manifests 0..2
+    * ([[graft.sources.ManifestSink.committedFilesAsOf]]). This is the
+    * lake-table "reproduce yesterday's training set" contract: version
+    * n is a durable prefix of the append log, served by the same
+    * pushdown-capable CSV DSv2 scan as a current-snapshot read — the
+    * catalog resolves WHICH files, never a different read path. The
+    * oracle reconstructs the same prefix as the residue filter
+    * `event_id % 4 <= 2`. Refusal paths (below the compaction horizon,
+    * beyond the newest epoch) and compaction-boundary equivalence are
+    * pinned in SnapshotSpec. */
+  def timeTravel(parent: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(parent)
+    val schema = completeEvents(spark, dir).schema
+    val root = scratchTmp("graft_snap_tt")
+    val snapRoot = Files.createDirectories(root.resolve("snap"))
+    val out = snapRoot.resolve("ev").toString
+    val feed = new FileFeed(Files.createDirectories(root.resolve("src")))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed.watch.toString)
+    val streamed = src.filter(col("event_type").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val query = streamed.writeStream
+      .format("graft.sources.ManifestSink")
+      .option("path", out)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .queryName("graft_snap_tt_sink")
+      .outputMode(OutputMode.Append()).start()
+    try (0 until 4).foreach { q =>
+      feed.landStaged(stagedQuarter(spark, dir, q)); query.processAllAvailable()
+    } finally {
+      query.stop()
+      feed.close()
+      graft.util.Fs.deleteRecursively(root.resolve("ckpt"))
+    }
+    // the AS-OF read runs on the PARENT session (catalog confs are
+    // session-scoped there; the shared streaming child stays conf-clean)
+    graft.sources.GraftCatalog.register(parent, dir)
+    parent.conf.set("spark.sql.catalog.graft.snap.dir", snapRoot.toString)
+    parent.conf.set("spark.sql.catalog.graft.snap.ev.schema",
+      "event_id LONG, user_id LONG, event_type STRING")
+    parent.sql(
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users, sum(event_id) AS id_sum
+        |FROM graft.snap.ev VERSION AS OF 2
+        |GROUP BY event_type""".stripMargin)
   }
 }

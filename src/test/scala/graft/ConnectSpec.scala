@@ -50,7 +50,11 @@ class ConnectSpec extends AnyFunSuite {
   private def rows(df: DataFrame): Seq[Seq[Any]] = {
     val cols = df.columns.sorted.toSeq
     df.selectExpr(cols.map(c => s"`$c`"): _*).collect()
-      .map(_.toSeq).toSeq.sortBy(_.mkString(""))
+      // sort by the NUL-joined stringified value sequence: separator-free
+      // concatenation is collision-prone ((ab,c) vs (a,bc)), and even a
+      // rare-separator join collides if a value contains it; stringify
+      // each cell so nulls and non-strings key stably -- advisor r10
+      .map(_.toSeq).toSeq.sortBy(_.map(String.valueOf).mkString("\u0000"))
   }
 
   test("flagship teamView runs on the Connect client session UNCHANGED " +

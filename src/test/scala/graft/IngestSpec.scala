@@ -808,9 +808,11 @@ class IngestSpec extends AnyFunSuite {
     // materialize once (writes the shredded parquet), keep the child
     // session that carries the variant confs
     val pushed = graft.ingest.Materialize.variantStore(spark, TestSpark.Sf0001)
-    val out = new java.io.File(sys.props("java.io.tmpdir")).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("graft_var_ev_"))
-      .maxBy(_.lastModified).toString
+    // recompute the exact output path (same process → same pid suffix)
+    // instead of scanning tmpdir by mtime, which a concurrent/stale run
+    // from another pid could win — advisor r10
+    val out = graft.ingest.Materialize.processScratchDir(
+      s"graft_var_ev_${java.lang.Integer.toHexString(TestSpark.Sf0001.hashCode)}")
     // 1) the files are SHREDDED: the parquet schema of the variant group
     // carries a typed_value subcolumn next to metadata/value (that typed
     // subcolumn — with its min/max stats — is what the scan serves

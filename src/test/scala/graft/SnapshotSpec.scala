@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** TIME TRAVEL over the [[graft.sources.ManifestSink]] epoch log — the
+  * gate the round-10 verdict demanded for the `snap` surface
+  * (`GraftCatalog.loadTable(ident, version)` +
+  * `ManifestSink.committedFilesAsOf`): every epoch manifest is an
+  * atomic commit, so snapshot n = the union of epochs 0..n, and log
+  * retention (compaction) bounds how far back a version is servable —
+  * refused loudly past the horizon, never silently wrong. */
+class SnapshotSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def epochName(id: Long): String = f"epoch-$id%020d"
+  private def compactName(id: Long): String = f"compact-$id%020d"
+
+  /** Hand-build a manifest log: each (kind, id) -> listed file names. */
+  private def mkLog(dir: Path, entries: Seq[(String, Long, Seq[String])]): Unit = {
+    Files.createDirectories(dir)
+    entries.foreach { case (kind, id, names) =>
+      val f = if (kind == "epoch") epochName(id) else compactName(id)
+      Files.write(dir.resolve(f),
+        names.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  private def asOfNames(dir: Path, v: Long): Seq[String] =
+    graft.sources.ManifestSink.committedFilesAsOf(dir.toString, v)
+      .map(p => Paths.get(p).getFileName.toString).sorted
+
+  test("committedFilesAsOf: first-epoch>0 logs (a checkpointed query " +
+    "restarted into a fresh dir) serve exact prefixes; the pre-sweep " +
+    "crash window still serves below the horizon; a swept or " +
+    "incomplete log refuses") {
+    val base = Files.createTempDirectory("graft_asof_unit")
+    // A: loose 5,6,7 — no compact. Prefixes are exact; a version before
+    // the first commit is the empty snapshot.
+    val a = base.resolve("a")
+    mkLog(a, Seq(("epoch", 5L, Seq("f5")), ("epoch", 6L, Seq("f6a", "f6b")),
+      ("epoch", 7L, Seq("f7"))))
+    assert(asOfNames(a, 6) == Seq("f5", "f6a", "f6b"))
+    assert(asOfNames(a, 7) == Seq("f5", "f6a", "f6b", "f7"))
+    assert(asOfNames(a, 4).isEmpty, "before the first commit = empty snapshot")
+    // B: crash window — compact-7 landed but the absorbed loose epochs
+    // were not yet swept. The loose log unions to exactly the compact
+    // content, which PROVES it complete (every task file is listed by
+    // exactly one epoch), so a below-horizon prefix is exact even
+    // though the first epoch is 5 (advisor r10: the old check
+    // hard-required epoch 0).
+    val b = base.resolve("b")
+    mkLog(b, Seq(("epoch", 5L, Seq("f5")), ("epoch", 6L, Seq("f6a", "f6b")),
+      ("epoch", 7L, Seq("f7")),
+      ("compact", 7L, Seq("f5", "f6a", "f6b", "f7"))))
+    assert(asOfNames(b, 6) == Seq("f5", "f6a", "f6b"))
+    // C: post-sweep — the loose epochs are gone; below-horizon must
+    // refuse with the retention boundary spelled out.
+    val c = base.resolve("c")
+    mkLog(c, Seq(("compact", 7L, Seq("f5", "f6a", "f6b", "f7"))))
+    val eC = intercept[IllegalStateException](asOfNames(c, 6))
+    assert(eC.getMessage.contains("predates the compaction horizon 7"), eC)
+    assert(asOfNames(c, 7) == Seq("f5", "f6a", "f6b", "f7"),
+      "the horizon itself is always servable from the compact file")
+    // D: INCOMPLETE crash window — epoch 5 already swept (its f5 lives
+    // only in the compact). Serving loose 6 as 'as of 6' would DROP f5;
+    // the completeness proof fails and the version is refused.
+    val d = base.resolve("d")
+    mkLog(d, Seq(("epoch", 6L, Seq("f6a", "f6b")), ("epoch", 7L, Seq("f7")),
+      ("compact", 7L, Seq("f5", "f6a", "f6b", "f7"))))
+    intercept[IllegalStateException](asOfNames(d, 6))
+    // beyond-newest and empty-log refusals
+    val eA = intercept[IllegalArgumentException](asOfNames(a, 8))
+    assert(eA.getMessage.contains("has no version 8"), eA)
+    val empty = base.resolve("empty"); Files.createDirectories(empty)
+    intercept[IllegalArgumentException](asOfNames(empty, 0))
+    graft.util.Fs.deleteRecursively(base)
+  }
+
+  test("streaming sink across a COMPACTION boundary: AS-OF versions at " +
+    "and above the horizon equal the exact epoch prefix of the input; " +
+    "below-horizon and beyond-newest are refused; the SQL catalog face " +
+    "(VERSION AS OF + per-table snap schemas) serves the same snapshots") {
+    val root = Files.createTempDirectory("graft_snap_gate")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    val snapDir = root.resolve("snap"); Files.createDirectories(snapDir)
+    val out = snapDir.resolve("ev").toString
+    // epoch i carries rows with event_id in {10i, 10i+1, 10i+2}
+    def slice(i: Int): Seq[(Long, Long, String)] =
+      (0 to 2).map(j => (i * 10L + j, i.toLong, s"t$i"))
+    def land(i: Int): Unit =
+      slice(i).toDF("event_id", "user_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(srcDir.toString)
+    val schema = Seq.empty[(Long, Long, String)]
+      .toDF("event_id", "user_id", "event_type").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .writeStream.format("graft.sources.ManifestSink")
+      .option("path", out)
+      .option("compactInterval", "2") // force TWO compactions in 5 epochs
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try (0 until 5).foreach { i => land(i); q.processAllAvailable() }
+    finally q.stop()
+    // compactions fired at epochs 1 and 3 → compact-3 is the horizon,
+    // epoch-4 is the one loose survivor
+    val names = {
+      val s = Files.list(Paths.get(out))
+      try s.iterator().asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    assert(names.exists(_.startsWith("compact-")), s"no compaction ran: $names")
+    assert(names.contains(compactName(3)), s"horizon not at epoch 3: $names")
+    assert(!names.contains(epochName(0)) && !names.contains(epochName(3)),
+      s"absorbed loose epochs not swept: $names")
+    def asOfIds(v: Long): Set[Long] = {
+      val files = graft.sources.ManifestSink.committedFilesAsOf(out, v)
+      spark.read.schema("event_id LONG, user_id LONG, event_type STRING")
+        .csv(files: _*).collect().map(_.getLong(0)).toSet
+    }
+    def prefixIds(v: Int): Set[Long] =
+      (0 to v).flatMap(slice(_).map(_._1)).toSet
+    assert(asOfIds(3) == prefixIds(3), "as-of at the horizon diverged")
+    assert(asOfIds(4) == prefixIds(4), "as-of above the horizon diverged")
+    assert(graft.sources.ManifestSink.committedFiles(out).toSet ==
+      graft.sources.ManifestSink.committedFilesAsOf(out, 4).toSet,
+      "newest snapshot != current committed snapshot")
+    val below = intercept[IllegalStateException](asOfIds(2))
+    assert(below.getMessage.contains("predates the compaction horizon 3"), below)
+    val beyond = intercept[IllegalArgumentException](asOfIds(5))
+    assert(beyond.getMessage.contains("has no version 5"), beyond)
+
+    // ——— the SQL catalog face, on a child session so the shared one
+    // stays conf-clean. Two snap tables with DIFFERENT schemas under
+    // one snap.dir prove the per-table `snap.<name>.schema` contract
+    // (round-10 verdict: one catalog-wide conf was a single-table
+    // limit).
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", snapDir.toString)
+    s.conf.set("spark.sql.catalog.graft.snap.ev.schema",
+      "event_id LONG, user_id LONG, event_type STRING")
+    val viaSql = s.sql(
+      "SELECT event_id FROM graft.snap.ev VERSION AS OF 3")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaSql == prefixIds(3),
+      "SQL VERSION AS OF diverged from the helper's snapshot")
+    val current = s.sql("SELECT event_id FROM graft.snap.ev")
+      .collect().map(_.getLong(0)).toSet
+    assert(current == prefixIds(4), "current SQL read != newest snapshot")
+    // second table, two columns, batch-committed (the batch face writes
+    // MANIFEST directly — current-snapshot reads only)
+    Seq((100L, "x"), (200L, "y")).toDF("k", "name")
+      .write.format("graft.sources.ManifestSink").mode("append")
+      .option("path", snapDir.resolve("t2").toString).save()
+    s.conf.set("spark.sql.catalog.graft.snap.t2.schema", "k LONG, name STRING")
+    val t2 = s.sql("SELECT k, name FROM graft.snap.t2")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(t2 == Set((100L, "x"), (200L, "y")), s"t2 read diverged: $t2")
+    // and ev still resolves its OWN schema next to t2's
+    assert(s.sql("SELECT event_id FROM graft.snap.ev").count() == 15)
+    // a non-integer version is refused with the documented message
+    val bad = intercept[Exception](
+      s.sql("SELECT * FROM graft.snap.ev VERSION AS OF 'abc'").collect())
+    assert(bad.toString.contains("epoch ids (integers)"), bad.toString)
+    graft.util.Fs.deleteRecursively(root)
+  }
+}

@@ -749,7 +749,10 @@ class StreamingSpec extends AnyFunSuite {
         "q_stream_tumbling" -> ("graft_stream_tumbling_sink", 2),
         // streamSession: + the load-bearing flush batches
         "q_stream_fojoin" -> ("graft_stream_fojoin_sink", 4),
-        "q_stream_session" -> ("graft_stream_session_sink", 4))
+        "q_stream_session" -> ("graft_stream_session_sink", 4),
+        // 4 deterministic epochs (one per residue slice), stateless, no
+        // watermark → exactly 4 data triggers and nothing else
+        "q_time_travel" -> ("graft_snap_tt_sink", 4))
       for ((q, _) <- expect) SparkEntry.queries(q)(spark, TestSpark.Sf0001).count()
       // listener delivery is async — wait for the bus to drain
       var waited = 0
