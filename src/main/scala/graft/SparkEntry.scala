@@ -976,25 +976,33 @@ object SparkEntry {
         |    AND (b.band = a.band + 1 OR (b.band = a.band AND a.doc_id < b.doc_id)))
         |SELECT lang, source, doc_a, doc_b, CAST(inter AS DOUBLE)/uni AS jaccard
         |FROM p WHERE inter > 0""".stripMargin,
-    "q_simhash_neardup" -> { // banded simhash near-dup: candidates share a
-      // 4-bit band bucket; kept where the bucket band is the FIRST
-      // matching band (a pure function of the xor); verified hamming <= 3
+    "q_simhash_neardup" -> { // SCALE-AWARE banded simhash near-dup: band
+      // width bb = bitLength(corpus size) clamped to [4,15] (bucket space
+      // 2^bb >= n keeps random bucket population O(1) — the r10 ladder
+      // showed fixed 4-bit bands densify 4.87x on 3x data); 4 bands
+      // ALWAYS, so the pigeonhole hamming<=3 guarantee holds at every
+      // scale. The oracle derives the same bb via length(bin(count(*)))
+      // (integer-exact both engines) and masks a 60-bit vote table down
+      // to the live 4*bb hash bits.
       def nib(c: Int) = s"(strpos('0123456789abcdef', substr(md5(tok), ${c + 1}, 1))-1)"
       def vote(b: Int) = s"((((${nib(b / 4)} >> ${3 - b % 4}) % 2) * 2) - 1)"
-      val sums = (0 until 16).map(b => s"CAST(sum(${vote(b)}) AS BIGINT) AS s$b").mkString(", ")
-      val bucket = (0 until 16).map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-      val firstBand = "CASE WHEN (x & 15) = 0 THEN 0 WHEN ((x >> 4) & 15) = 0 THEN 1" +
-        " WHEN ((x >> 8) & 15) = 0 THEN 2 ELSE 3 END"
-      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+      val sums = (0 until 60).map(b => s"CAST(sum(${vote(b)}) AS BIGINT) AS s$b").mkString(", ")
+      val bucket = (0 until 60).map(b =>
+        s"(CASE WHEN $b < 4*bb AND s$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      val msk = "((CAST(1 AS BIGINT) << bb) - 1)"
+      val firstBand = s"CASE WHEN (x & $msk) = 0 THEN 0 WHEN ((x >> bb) & $msk) = 0 THEN 1" +
+        s" WHEN ((x >> (2*bb)) & $msk) = 0 THEN 2 ELSE 3 END"
+      s"""WITH nb AS (SELECT GREATEST(4, LEAST(15, length(bin(count(*))))) AS bb FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
          |agg AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
-         |sh AS (SELECT doc_id, CAST($bucket AS BIGINT) AS simhash FROM agg),
-         |k AS (SELECT doc_id, simhash, band, (simhash >> (band*4)) & 15 AS bits
-         |  FROM sh, (SELECT unnest(generate_series(0,3)) AS band)),
+         |sh AS (SELECT doc_id, CAST($bucket AS BIGINT) AS simhash FROM agg CROSS JOIN nb),
+         |k AS (SELECT doc_id, simhash, band, (simhash >> (band*bb)) & $msk AS bits
+         |  FROM sh CROSS JOIN nb CROSS JOIN (SELECT unnest(generate_series(0,3)) AS band)),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band,
          |    xor(a.simhash, b.simhash) AS x
          |  FROM k a JOIN k b ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(x) AS INTEGER) AS hamming
-         |FROM p WHERE band = ($firstBand) AND bit_count(x) <= ${DedupOps.SimhashMaxHamming}""".stripMargin
+         |FROM p CROSS JOIN nb WHERE band = ($firstBand) AND bit_count(x) <= ${DedupOps.SimhashMaxHamming}""".stripMargin
     },
     "q_simhash" -> {
       def nib(c: Int) = s"(strpos('0123456789abcdef', substr(md5(tok), ${c + 1}, 1))-1)"

@@ -494,11 +494,45 @@ object DedupOps {
   val SimhashBands = 4
   val SimhashMaxHamming: Int = SimhashBands - 1
 
+  /** Bits per band, chosen from the corpus size (SCALE-AWARE banding —
+    * round-10 ladder finding: at a FIXED 4-bit band width, 3× data
+    * produced 4.87× candidate pairs by birthday densification, because
+    * the 16 buckets per band collapse once n ≫ 2^bandBits; at 100 TB
+    * fixed-width buckets are all-pairs in disguise). The cure is to
+    * grow the BUCKET SPACE with the corpus: bandBits = bitLength(n)
+    * keeps 2^bandBits ≥ n, so the expected RANDOM same-bucket
+    * population stays O(1) per doc and candidate volume stays linear
+    * in n (+ the genuine near-dup clusters, which no banding should
+    * drop). The band COUNT stays [[SimhashBands]] = 4, so the
+    * pigeonhole guarantee is UNCHANGED at every scale: hamming ≤ 3 <
+    * 4 bands forces exact agreement on ≥ 1 band. The hash itself
+    * widens to 4·bandBits (more md5 nibbles vote), which also tightens
+    * what "hamming ≤ 3" means — 3 bits of a 52-bit hash is a far
+    * sharper near-dup test than 3 bits of 16. bitLength is
+    * integer-exact in both engines (`length(bin(n))` in the oracle —
+    * the [[ngramJaccard]] band trick); clamped to [4, 15] so the hash
+    * spans 16..60 bits (never the BIGINT sign bit). */
+  def simhashBandBits(nDocs: Long): Int = {
+    val bitLength = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nDocs))
+    math.max(4, math.min(15, bitLength))
+  }
+
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhash(spark, dir)
+    // 1-row count (bounded metadata): the corpus size that picks the
+    // band width. A production pipeline reads this from table stats.
+    val nDocs = Tables.documents(spark, dir).count()
+    simhashNearDupBanded(spark, dir, simhashBandBits(nDocs))
+  }
+
+  /** [[simhashNearDup]] at an explicit band width (exposed so DedupSpec
+    * can pin adaptive-vs-fixed candidate volume on the same corpus). */
+  private[graft] def simhashNearDupBanded(spark: SparkSession, dir: String,
+      bandBits: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val sh = simhashBits(spark, dir, SimhashBands * bandBits)
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until SimhashBands).map(b =>
-        shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L))): _*))
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bits")))
     val a = banded.select(col("band"), col("bits"),
       col("doc_id").as("doc_a"), col("simhash").as("ha"))
@@ -507,7 +541,7 @@ object DedupOps {
     val x = col("ha").bitwiseXOR(col("hb"))
     val firstBand = (0 until SimhashBands - 1)
       .foldRight(lit(SimhashBands - 1): Column) { (bi, rest) =>
-        when(shiftright(x, bi * 4).bitwiseAND(lit(15L)) === 0, lit(bi))
+        when(shiftright(x, bi * bandBits).bitwiseAND(lit(mask)) === 0, lit(bi))
           .otherwise(rest)
       }
     a.join(b, Seq("band", "bits"))
@@ -516,6 +550,21 @@ object DedupOps {
       .withColumn("hamming", bit_count(x))
       .filter(col("hamming") <= SimhashMaxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Banded candidate PAIR COUNT at a given band width (pre-verify
+    * volume — what densification inflates; DedupSpec pins it). */
+  private[graft] def simhashCandidateCount(spark: SparkSession, dir: String,
+      bandBits: Int): Long = {
+    val mask = (1L << bandBits) - 1
+    val banded = simhashBits(spark, dir, SimhashBands * bandBits)
+      .select(col("doc_id"),
+        posexplode(array((0 until SimhashBands).map(b =>
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "bits")))
+    banded.groupBy("band", "bits").agg(count(lit(1)).as("p"))
+      .agg(sum(col("p") * (col("p") - 1) / 2).cast("long"))
+      .collect()(0).getLong(0)
   }
 
   /** Word 3-gram (shingle) jaccard pairs, blocked by (lang, source,
@@ -684,25 +733,35 @@ object DedupOps {
         graft.functions.Exact.idiv(col("n_hits") * 1000, col("n_win")))
   }
 
-  /** 16-bit SimHash per document from md5 nibbles: for bit b, every
-    * distinct token votes ±1 with bit b of its md5's first 16 bits; the
-    * sign of the vote sum sets the bit. One explode + one groupBy —
-    * linear in corpus size. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    // nibble value of hex char #(c+1) of md5(tok), 0-based c in 0..3
+  /** 16-bit SimHash per document (the compact signature face —
+    * [[simhashNearDup]] mines with the scale-aware wide form). */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashBits(spark, dir, 16)
+
+  /** `bits`-wide SimHash per document from md5 nibbles: for bit b,
+    * every distinct token votes ±1 with bit b of its md5's first
+    * `bits` bits; the sign of the vote sum sets the bit. One explode +
+    * one groupBy — linear in corpus size at ANY width (the vote row is
+    * the same; only the aggregate grows columns), bits ≤ 60 so the
+    * hash never reaches the BIGINT sign bit (md5 supplies 32 nibbles;
+    * we use the first bits/4 ≤ 15). */
+  private[graft] def simhashBits(spark: SparkSession, dir: String,
+      bits: Int): DataFrame = {
+    require(bits % 4 == 0 && bits >= 4 && bits <= 60, s"bad simhash width $bits")
+    // nibble value of hex char #(c+1) of md5(tok), 0-based c
     def nib(c: Int): Column =
       conv(substring(md5(col("tok")), c + 1, 1), 16, 10).cast("long")
     // vote for bit b: +1 if bit (b%4) of nibble (b/4) is set, else -1
     def vote(b: Int): Column =
       (shiftright(nib(b / 4), 3 - b % 4) % 2) * 2 - 1
-    val aggs = (0 until 16).map(b => sum(vote(b)).as(s"s$b"))
+    val aggs = (0 until bits).map(b => sum(vote(b)).as(s"s$b"))
     val votes = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism) // spread the vote fan-out
       .select(col("doc_id"), explode(tokenSet).as("tok"))
       .groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
     votes.select(col("doc_id"),
-      (0 until 16).map(b =>
+      (0 until bits).map(b =>
         when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
   }
