@@ -16,24 +16,45 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
   * regression in any of them is a real plan regression regardless of
   * machine load.
   *
+  * SCOPED to one measured run (advisor r10): the listener hears ALL
+  * SparkContext activity, so `groupId` filters jobs by
+  * `spark.jobGroup.id` and stages/tasks by membership in a counted
+  * job's declared stage set — a concurrent suite or session on the
+  * shared context can no longer pollute the counts. Spark propagates
+  * the job-group local property into AQE stage-materialization and
+  * broadcast threads (`SQLExecution.withThreadLocalCaptured`), so
+  * adaptive sub-jobs are counted with their query.
+  *
   * Listener delivery is async; [[drainAndRead]] polls until the counts
   * stop moving before returning them. */
-class StructuralCounter extends SparkListener {
+class StructuralCounter(groupId: Option[String] = None) extends SparkListener {
   val jobs = new AtomicInteger
   val stages = new AtomicInteger
   val tasks = new AtomicInteger
   private val shuffleIds =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  private val memberStages =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
-  override def onJobStart(e: SparkListenerJobStart): Unit =
-    jobs.incrementAndGet()
-  override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
-    stages.incrementAndGet()
-    org.apache.spark.scheduler.GraftStageInfoAccess
-      .shuffleDepId(e.stageInfo).foreach(id => shuffleIds.add(id))
+  private def inScope(stageId: Int): Boolean =
+    groupId.isEmpty || memberStages.contains(stageId)
+
+  override def onJobStart(e: SparkListenerJobStart): Unit = {
+    val grp = Option(e.properties)
+      .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+    if (groupId.forall(grp.contains)) {
+      jobs.incrementAndGet()
+      e.stageIds.foreach(id => memberStages.add(id))
+    }
   }
+  override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+    if (inScope(e.stageInfo.stageId)) {
+      stages.incrementAndGet()
+      org.apache.spark.scheduler.GraftStageInfoAccess
+        .shuffleDepId(e.stageInfo).foreach(id => shuffleIds.add(id))
+    }
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-    tasks.incrementAndGet()
+    if (inScope(e.stageId)) tasks.incrementAndGet()
 
   def shuffles: Int = shuffleIds.size
 
@@ -56,19 +77,43 @@ class StructuralCounter extends SparkListener {
 }
 
 object CcStructure {
-  /** Run `dedupClusters` under a [[StructuralCounter]] (plus one collect
-    * of the result — the caller's consumption is part of the run's
-    * shape) and return the counts. */
-  def measure(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Int, Int, Int, Int) = {
-    val c = new StructuralCounter
+  private val seq = new AtomicInteger
+
+  /** Pinned counts are only valid for the baselined session geometry
+    * (local[4], shuffle.partitions=4, AQE on) — a different master or
+    * partition count legitimately re-shapes every plan, so the specs
+    * `assume` this instead of failing (advisor r10: Verify honors
+    * SPARK_GRAFT_MASTER overrides). */
+  def baselineGeometry(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.sparkContext.master == "local[4]" &&
+      spark.conf.get("spark.sql.shuffle.partitions") == "4"
+
+  /** Run `body` under a fresh job group and a [[StructuralCounter]]
+    * scoped to it; return (jobs, stages, shuffles, tasks) of exactly
+    * that run. The caller's consumption (count/collect) belongs inside
+    * `body` — it is part of the run's shape. */
+  def measureRun(spark: org.apache.spark.sql.SparkSession, tag: String)(
+      body: => Unit): (Int, Int, Int, Int) = {
+    val group = s"graft-struct-$tag-${seq.incrementAndGet()}"
+    val c = new StructuralCounter(Some(group))
     spark.sparkContext.addSparkListener(c)
-    try {
+    spark.sparkContext.setJobGroup(group, s"structural measurement: $tag")
+    try { body; c.drainAndRead() }
+    finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(c)
+    }
+  }
+
+  /** Run `dedupClusters` under a scoped counter (plus one collect of
+    * the result — the caller's consumption is part of the run's shape)
+    * and return the counts. */
+  def measure(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int, Int, Int) =
+    measureRun(spark, "cc") {
       val n = graft.ops.DedupOps.dedupClusters(spark, dir).collect().length
       require(n > 0, "empty CC result")
-      c.drainAndRead()
-    } finally spark.sparkContext.removeSparkListener(c)
-  }
+    }
 }
 
 /** Dev probe: print the structural counts twice per scale to establish
@@ -83,6 +128,31 @@ object CcStructureProbe {
       val (j, s, sh, t) = CcStructure.measure(spark, dir)
       println(f"CC-STRUCT $dir run$i: jobs=$j stages=$s shuffles=$sh " +
         f"tasks=$t wall=${(System.nanoTime() - t0) / 1e9}%.2fs " +
+        s"loadavg=${scala.io.Source.fromFile("/proc/loadavg").mkString.trim}")
+    }
+    spark.stop()
+  }
+}
+
+/** Dev probe for the OTHER four heavy queries' scheduler shapes (the
+  * r10 ladder measured them; StructureSpec pins them). Prints twice per
+  * scale. `Test/runMain graft.HeavyStructProbe [dirs...]` */
+object HeavyStructProbe {
+  val Heavies: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Long)] = Seq(
+    "minhash" -> ((s, d) => graft.ops.DedupOps.minhashLsh(s, d).count()),
+    "simhash" -> ((s, d) => graft.ops.DedupOps.simhashNearDup(s, d).count()),
+    "bfs" -> ((s, d) => graft.ops.GraphOps.bfsHops(s, d).count()),
+    "pagerank" -> ((s, d) => graft.ops.GraphOps.pageRank(s, d).count()))
+
+  def main(args: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq(TestSpark.Sf0001, "/root/testdata/sf0.01")
+    for (dir <- dirs; (name, run) <- Heavies; i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val counts = CcStructure.measureRun(spark, name)(require(run(spark, dir) > 0))
+      println(f"HEAVY-STRUCT $name $dir run$i: $counts " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%.2fs " +
         s"loadavg=${scala.io.Source.fromFile("/proc/loadavg").mkString.trim}")
     }
     spark.stop()

@@ -628,6 +628,9 @@ class DedupSpec extends AnyFunSuite {
     // THIS session geometry (local[4], shuffle.partitions=4, AQE on);
     // re-baseline via `Test/runMain graft.CcStructureProbe` if the
     // loop's structure legitimately changes.
+    assume(CcStructure.baselineGeometry(spark),
+      "pins are baselined for local[4]/partitions=4 — skipped under " +
+        s"${spark.sparkContext.master}")
     val expected = Map(
       TestSpark.Sf0001 -> ((25, 36, 21, 146)),
       "/root/testdata/sf0.01" -> ((26, 48, 32, 228)),

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** STRUCTURAL COST PINS for the heavy-query family beyond CC (whose pin
+  * lives next to its operator in DedupSpec): jobs/stages/shuffles/tasks
+  * per run are exact, deterministic scheduler facts — the round-10
+  * protocol's replacement for VM wall-clock targets, extended to the
+  * other four heavies the r10 ladder measured. Counts come from
+  * [[CcStructure.measureRun]] (job-group-scoped listener, so a
+  * concurrent suite on the shared context cannot pollute them) and are
+  * only asserted under the baselined geometry (local[4],
+  * shuffle.partitions=4, AQE on). Re-baseline via
+  * `Test/runMain graft.HeavyStructProbe` ONLY on a legitimate
+  * plan-shape change. */
+class StructureSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // (query, sf0.001 counts, sf0.01 counts) — probe-measured twice per
+  // scale, identical across runs (HeavyStructProbe, round 11). The
+  // 100 TB story in the numbers: minhash/simhash/pagerank cost ZERO
+  // additional jobs/stages/shuffles on 10x data (per-task data grows
+  // instead — the property that survives a 1000-executor scale-up);
+  // BFS adds rounds only because the corpus graph's reachable depth
+  // grows (29->35 jobs), never because the plan degraded.
+  private val pins = Seq(
+    ("minhash", (8, 8, 5, 17), (8, 8, 5, 17)),
+    ("simhash", (9, 9, 4, 12), (9, 9, 4, 12)),
+    ("bfs", (29, 29, 12, 38), (35, 35, 15, 49)),
+    ("pagerank", (18, 18, 9, 22), (18, 18, 9, 22)))
+
+  test("heavy-query STRUCTURAL COST PINS: jobs/stages/shuffles/tasks " +
+    "are exact at sf0.001 and sf0.01 for minhash LSH, scale-aware " +
+    "simhash, BFS and pagerank (plan regressions fail deterministically; " +
+    "wall-clock stays an observation)") {
+    assume(CcStructure.baselineGeometry(spark),
+      "pins are baselined for local[4]/partitions=4 — skipped under " +
+        s"${spark.sparkContext.master}")
+    val runs = HeavyStructProbe.Heavies.toMap
+    for ((name, want001, want01) <- pins;
+         (dir, want) <- Seq(TestSpark.Sf0001 -> want001,
+           "/root/testdata/sf0.01" -> want01)) {
+      val got = CcStructure.measureRun(spark, name)(
+        require(runs(name)(spark, dir) > 0, s"$name empty at $dir"))
+      assert(got == want,
+        s"$name @ $dir structural cost (jobs, stages, shuffles, tasks): " +
+          s"got $got, pinned $want — a drift here is a real plan-shape " +
+          "change, not load noise; re-probe (HeavyStructProbe) before " +
+          "re-baselining")
+    }
+  }
+}
