@@ -64,6 +64,45 @@ object ScaleLadder {
   val Five = Seq("q_dedup_clusters", "q_minhash_lsh", "q_simhash_neardup",
     "q_bfs", "q_pagerank")
 
+  /** 10× rung (round 11): same content-disjoint construction, shifts
+    * 0..9 (all distinct Caesar bijections on a 26-letter alphabet, so
+    * cross-replica jaccard ≈ 0 still holds) — an order of magnitude
+    * over sf0.1 for the three text-heavy queries. This is the rung
+    * that exercises the round-11 scale-aware simhash bands BEYOND
+    * their calibration point: at n=50 000 docs bits-per-band =
+    * bitLength(n) clamps to 15, so bucket space (2^15 per band)
+    * tracks the corpus and candidate volume must stay
+    * output-proportional instead of densifying birthday-style. */
+  val Out10 = "/tmp/graft_sf1.0"
+
+  def build10(spark: SparkSession): Unit = {
+    val docs = spark.read.parquet(s"$Src/documents.parquet")
+    val docs10 = (0 to 9).map { k =>
+      docs.select(
+        (col("doc_id") + lit(10000000L * k)).as("doc_id"),
+        shifted(col("text"), k).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    docs10.write.mode("overwrite").parquet(s"$Out10/documents.parquet")
+    println(s"LADDER-10 built $Out10: docs=${docs10.count()}")
+  }
+
+  def run10(spark: SparkSession): Unit = {
+    for (dir <- Seq(Src, Out10);
+         q <- Seq("q_minhash_lsh", "q_simhash_neardup", "q_dedup_clusters")) {
+      val c = new StructuralCounter
+      spark.sparkContext.addSparkListener(c)
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, dir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (j, s, sh, t) = c.drainAndRead()
+      spark.sparkContext.removeSparkListener(c)
+      println(f"LADDER-10 $dir $q rows=$n wall=$wall%.2fs jobs=$j stages=$s " +
+        f"shuffles=$sh tasks=$t " +
+        s"loadavg=${scala.io.Source.fromFile("/proc/loadavg").mkString.trim}")
+    }
+  }
+
   /** CONNECTED rung (VERDICT r10 item 5): the disjoint replicas make
     * single-source BFS scale-invariant (it reaches only its own
     * component) — the one uninformative ladder row. This variant keeps
@@ -220,6 +259,9 @@ object ScaleLadder {
       case Some("buildc") => buildConnected(spark)
       case Some("runc") => runConnected(spark)
       case Some("connected") => buildConnected(spark); runConnected(spark)
+      case Some("build10") => build10(spark)
+      case Some("run10") => run10(spark)
+      case Some("x10") => build10(spark); run10(spark)
       case _ => build(spark); run(spark)
     }
     spark.stop()
