@@ -38,8 +38,40 @@ object DedupOps {
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true` — durable
     * recovery costs storage, so at scale point the dir at storage with
     * a retention policy (or enable that flag). */
+
+  /** The reliable-checkpoint decision, MASTER-AWARE (round 11: the
+    * executor-kill fault probe proved the hole — an unset conf under
+    * `local-cluster` silently picked localCheckpoint, whose blocks die
+    * with the executor: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, job dead,
+    * while every non-checkpointed stage recovered via normal task
+    * retry). Policy: `spark.graft.checkpointDir` wins when set; a
+    * single-JVM `local[…]` master needs no durability (there is no
+    * executor process to lose) and keeps the fast local mode; a
+    * `local-cluster[…]` master has real executor JVMs but they share
+    * this host's filesystem, so a per-process scratch dir is a correct
+    * reliable store; any OTHER master (spark://, yarn, k8s) is a real
+    * multi-node cluster where a silent local-FS fallback would be
+    * wrong on a different host — fail fast and name the conf. */
+  private[graft] def reliableDirFor(master: String, conf: Option[String],
+      sameHostScratch: => String): Option[String] =
+    conf.orElse {
+      if (master.startsWith("local-cluster")) Some(sameHostScratch)
+      else if (master.startsWith("local")) None
+      else throw new IllegalStateException(
+        s"master $master has multi-node executors: set " +
+          "spark.graft.checkpointDir to a SHARED filesystem path " +
+          "(HDFS/object store) — the localCheckpoint fallback's blocks " +
+          "die with their executor and the iterative operators would " +
+          "fail unrecoverably on the first executor loss")
+    }
+
+  private def reliableDir(ss: SparkSession): Option[String] =
+    reliableDirFor(ss.sparkContext.master,
+      ss.conf.getOption("spark.graft.checkpointDir"),
+      graft.ingest.Materialize.processScratchDir("graft_ckpt"))
+
   private[ops] def ckpt(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
+    reliableDir(df.sparkSession) match {
       case Some(d) =>
         val sc = df.sparkSession.sparkContext
         // setCheckpointDir stores a QUALIFIED uri with a per-context
@@ -84,7 +116,7 @@ object DedupOps {
     * separate checkpoint job. Callers MUST run an action on (or
     * downstream of) the result before branching the plan. */
   private[ops] def ckptLazy(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
+    reliableDir(df.sparkSession) match {
       case Some(_) => ckpt(df)
       case None => df.localCheckpoint(false)
     }

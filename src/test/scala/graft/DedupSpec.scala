@@ -643,4 +643,27 @@ class DedupSpec extends AnyFunSuite {
           "change, not load noise; re-probe before re-baselining")
     }
   }
+
+  test("master-aware checkpoint policy (round-11 fault probe: an unset " +
+    "conf under local-cluster silently picked localCheckpoint, whose " +
+    "blocks die with their executor — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND " +
+    "killed q_dedup_clusters on the first SIGKILLed executor while " +
+    "every non-checkpointed stage recovered by normal task retry)") {
+    def policy(m: String, conf: Option[String] = None) =
+      DedupOps.reliableDirFor(m, conf, "/scratch")
+    // explicit conf always wins — it IS the production contract
+    for (m <- Seq("local[4]", "local-cluster[2,4,4096]", "spark://h:7077"))
+      assert(policy(m, Some("/shared/ck")).contains("/shared/ck"))
+    // single-JVM local[…]: no executor process to lose — fast local mode
+    for (m <- Seq("local", "local[4]", "local[*]", "local[32,2]"))
+      assert(policy(m).isEmpty, m)
+    // local-cluster: real executor JVMs, same host — scratch is reliable
+    assert(policy("local-cluster[2,4,4096]").contains("/scratch"))
+    // real multi-node masters must NOT silently write to a local path
+    // (each host has its own /tmp); fail fast naming the conf
+    for (m <- Seq("spark://host:7077", "yarn", "k8s://https://api:6443")) {
+      val e = intercept[IllegalStateException](policy(m))
+      assert(e.getMessage.contains("spark.graft.checkpointDir"), e)
+    }
+  }
 }
