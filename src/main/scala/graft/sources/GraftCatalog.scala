@@ -180,10 +180,6 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       throw new NoSuchTableException(ident))
     val tdir = new java.io.File(root, ident.name())
     if (!tdir.isDirectory) throw new NoSuchTableException(ident)
-    val files = asOf match {
-      case Some(v) => ManifestSink.committedFilesAsOf(tdir.toString, v)
-      case None => ManifestSink.committedFiles(tdir.toString)
-    }
     // per-TABLE schema conf (`snap.<name>.schema`), falling back to the
     // catalog-wide `snap.schema` — two manifest tables with different
     // shapes can both be served (judge r10: one catalog-level conf was
@@ -195,13 +191,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
             s"(or the catalog-wide $SnapNs.schema) to the manifest " +
             "table's DDL (the sink lands schema-less CSV rows)"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-    // JSON-encode the path list ("paths" is the multi-path option every
-    // file DSv2 source takes); manifest file names are uuid-safe
-    val paths = files.map(f => "\"" + f.replace("\\", "\\\\")
-      .replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
-    new org.apache.spark.sql.execution.datasources.v2.csv.CSVDataSourceV2()
-      .getTable(new CaseInsensitiveStringMap(
-        Map("paths" -> paths).asJava), schema)
+    new SnapTable(ident.name(), tdir.toString, schema, asOf)
   }
 
   /** The `FunctionCatalog` face: connector-shipped functions under the
@@ -261,5 +251,64 @@ object GraftCatalog {
   def register(spark: SparkSession, dir: String): Unit = {
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft.dir", dir)
+  }
+}
+
+/** A [[ManifestSink]]-committed table under `<snap.dir>/<name>`, served
+  * read-only with the committed-file list resolved at SCAN-BUILD time —
+  * which is what lets one catalog table serve three read shapes off the
+  * same epoch log:
+  *
+  *  - current snapshot: plain `SELECT … FROM graft.snap.t`
+  *  - time travel: `VERSION AS OF n` (SQL routes through
+  *    `loadTable(ident, version)`, which bakes `asOf` here), or its
+  *    DataFrame twin `spark.read.option("asOfVersion", n).table(…)`
+  *  - INCREMENTAL read (round 11, the lake-CDC primitive):
+  *    `spark.read.option("sinceVersion", s).table(…)` → the files
+  *    appended by epochs (s, asOfVersion|newest] via
+  *    [[ManifestSink.committedFilesBetween]] — "process only what
+  *    landed since the last run"; refused when the window crosses the
+  *    compaction sweep (per-epoch deltas are unrecoverable from the
+  *    compact union), mirroring Delta CDF's log-retention contract.
+  *
+  * The sink's data files are schema-less CSV rows (the landing format),
+  * so the read schema comes from the `snap.<name>.schema` /
+  * `snap.schema` catalog conf and the scan DELEGATES to the builtin CSV
+  * DSv2 provider — the same naming-not-a-read-path contract as the `sf`
+  * namespace (pushdown, pruning and the vectorized reader ride along). */
+private[sources] class SnapTable(tname: String, dir: String,
+    tschema: org.apache.spark.sql.types.StructType, asOf: Option[Long])
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  override def name(): String = s"snap($tname)"
+  override def schema(): org.apache.spark.sql.types.StructType = tschema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    def longOpt(k: String): Option[Long] =
+      Option(options.get(k)).map { v =>
+        try v.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$k must be an epoch id (integer), got '$v'")
+        }
+      }
+    val upTo = longOpt("asOfVersion").orElse(asOf)
+    val files = (longOpt("sinceVersion"), upTo) match {
+      case (Some(s), Some(v)) => ManifestSink.committedFilesBetween(dir, s, v)
+      case (Some(s), None) =>
+        ManifestSink.committedFilesBetween(dir, s, ManifestSink.newestVersion(dir))
+      case (None, Some(v)) => ManifestSink.committedFilesAsOf(dir, v)
+      case (None, None) => ManifestSink.committedFiles(dir)
+    }
+    // JSON-encode the path list ("paths" is the multi-path option every
+    // file DSv2 source takes); manifest file names are uuid-safe
+    val paths = files.map(f => "\"" + f.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
+    new org.apache.spark.sql.execution.datasources.v2.csv.CSVDataSourceV2()
+      .getTable(new CaseInsensitiveStringMap(
+        Map("paths" -> paths).asJava), tschema)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(options)
   }
 }

@@ -1402,10 +1402,18 @@ object StreamOps {
     * `event_id % 4 <= 2`. Refusal paths (below the compaction horizon,
     * beyond the newest epoch) and compaction-boundary equivalence are
     * pinned in SnapshotSpec. */
-  def timeTravel(parent: SparkSession, dir: String): DataFrame = {
+  /** Shared epoch pipeline for the snap read-shape queries: stream the
+    * four deterministic event quarters (epoch i = the `event_id%4=i`
+    * slice) into a [[graft.sources.ManifestSink]] table `ev` under a
+    * fresh scratch root, one epoch per trigger, and point the PARENT
+    * session's `graft.snap` catalog at it (catalog confs are
+    * session-scoped there; the shared streaming child stays
+    * conf-clean). Returns nothing the caller needs beyond the catalog
+    * being ready. */
+  private def runSnapEpochs(parent: SparkSession, dir: String, tag: String): Unit = {
     val spark = streamSession(parent)
     val schema = completeEvents(spark, dir).schema
-    val root = scratchTmp("graft_snap_tt")
+    val root = scratchTmp(tag)
     val snapRoot = Files.createDirectories(root.resolve("snap"))
     val out = snapRoot.resolve("ev").toString
     val feed = new FileFeed(Files.createDirectories(root.resolve("src")))
@@ -1417,7 +1425,7 @@ object StreamOps {
       .format("graft.sources.ManifestSink")
       .option("path", out)
       .option("checkpointLocation", root.resolve("ckpt").toString)
-      .queryName("graft_snap_tt_sink")
+      .queryName(s"${tag}_sink")
       .outputMode(OutputMode.Append()).start()
     try (0 until 4).foreach { q =>
       feed.landStaged(stagedQuarter(spark, dir, q)); query.processAllAvailable()
@@ -1426,16 +1434,36 @@ object StreamOps {
       feed.close()
       graft.util.Fs.deleteRecursively(root.resolve("ckpt"))
     }
-    // the AS-OF read runs on the PARENT session (catalog confs are
-    // session-scoped there; the shared streaming child stays conf-clean)
     graft.sources.GraftCatalog.register(parent, dir)
     parent.conf.set("spark.sql.catalog.graft.snap.dir", snapRoot.toString)
     parent.conf.set("spark.sql.catalog.graft.snap.ev.schema",
       "event_id LONG, user_id LONG, event_type STRING")
+  }
+
+  def timeTravel(parent: SparkSession, dir: String): DataFrame = {
+    runSnapEpochs(parent, dir, "graft_snap_tt")
     parent.sql(
       """SELECT event_type, count(*) AS n,
         |  count(DISTINCT user_id) AS n_users, sum(event_id) AS id_sum
         |FROM graft.snap.ev VERSION AS OF 2
         |GROUP BY event_type""".stripMargin)
+  }
+
+  /** INCREMENTAL read off the same epoch log (the lake-CDC shape a
+    * training pipeline consumes — "process only the epochs that landed
+    * since the last run"): `sinceVersion`/`asOfVersion` read options
+    * resolve the (1, 3] epoch window at scan-build time through the
+    * catalog ([[graft.sources.SnapTable]] →
+    * [[graft.sources.ManifestSink.committedFilesBetween]]), so the
+    * consumed rows are exactly the `event_id%4 ∈ {2,3}` slices. */
+  def incrementalRead(parent: SparkSession, dir: String): DataFrame = {
+    runSnapEpochs(parent, dir, "graft_snap_ir")
+    parent.read
+      .option("sinceVersion", 1L).option("asOfVersion", 3L)
+      .table("graft.snap.ev")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("id_sum"))
   }
 }

@@ -169,6 +169,75 @@ class SnapshotSpec extends AnyFunSuite {
     val bad = intercept[Exception](
       s.sql("SELECT * FROM graft.snap.ev VERSION AS OF 'abc'").collect())
     assert(bad.toString.contains("epoch ids (integers)"), bad.toString)
+
+    // ——— INCREMENTAL read (round 11): sinceVersion/asOfVersion options
+    // resolve an epoch window through the same catalog table. With the
+    // horizon at 3 (epochs 0..3 swept into compact-3, epoch 4 loose):
+    // (3, 4] serves epoch 4's delta exactly …
+    val delta = s.read.option("sinceVersion", 3L)
+      .table("graft.snap.ev").collect().map(_.getLong(0)).toSet
+    assert(delta == slice(4).map(_._1).toSet, s"(3,4] delta diverged: $delta")
+    // (asOfVersion defaulting to newest ≡ explicit asOfVersion=4)
+    val deltaExplicit = s.read.option("sinceVersion", 3L)
+      .option("asOfVersion", 4L).table("graft.snap.ev")
+      .collect().map(_.getLong(0)).toSet
+    assert(deltaExplicit == delta)
+    // … (1, 3] needs swept epochs 2,3 → refused naming them (per-epoch
+    // deltas are unrecoverable from the compact union) …
+    val swept = intercept[Exception](
+      s.read.option("sinceVersion", 1L).option("asOfVersion", 3L)
+        .table("graft.snap.ev").collect())
+    assert(swept.toString.contains("re-read the full snapshot"), swept.toString)
+    // … a window beyond the newest epoch names a snapshot that never
+    // existed, and an inverted window is an error, not empty
+    val beyondW = intercept[Exception](
+      s.read.option("sinceVersion", 4L).option("asOfVersion", 9L)
+        .table("graft.snap.ev").collect())
+    assert(beyondW.toString.contains("no version 9"), beyondW.toString)
+    intercept[Exception](
+      s.read.option("sinceVersion", 4L).option("asOfVersion", 2L)
+        .table("graft.snap.ev").collect())
+    // an empty window (since == asOf) is a valid zero-row read
+    assert(s.read.option("sinceVersion", 4L).option("asOfVersion", 4L)
+      .table("graft.snap.ev").count() == 0)
+    assert(graft.sources.ManifestSink.newestVersion(out) == 4)
     graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("committedFilesBetween: epoch windows are exact deltas; windows " +
+    "crossing swept epochs are refused; pre-sweep loose history still " +
+    "serves") {
+    val base = Files.createTempDirectory("graft_between_unit")
+    def betweenNames(dir: Path, s: Long, a: Long): Seq[String] =
+      graft.sources.ManifestSink.committedFilesBetween(dir.toString, s, a)
+        .map(p => Paths.get(p).getFileName.toString).sorted
+    // loose 5,6,7 — every window is its manifest concatenation
+    val a = base.resolve("a")
+    mkLog(a, Seq(("epoch", 5L, Seq("f5")), ("epoch", 6L, Seq("f6a", "f6b")),
+      ("epoch", 7L, Seq("f7"))))
+    assert(betweenNames(a, 5, 7) == Seq("f6a", "f6b", "f7"))
+    assert(betweenNames(a, 6, 7) == Seq("f7"))
+    assert(betweenNames(a, -1, 7) == Seq("f5", "f6a", "f6b", "f7"),
+      "since=-1 ≡ the full snapshot")
+    assert(betweenNames(a, 7, 7).isEmpty, "empty window")
+    intercept[IllegalArgumentException](betweenNames(a, 5, 8)) // beyond newest
+    intercept[IllegalArgumentException](betweenNames(a, 7, 6)) // inverted
+    // pre-sweep crash window: compact-7 landed, loose epochs not yet
+    // swept — deltas still come straight off the loose manifests
+    val b = base.resolve("b")
+    mkLog(b, Seq(("epoch", 5L, Seq("f5")), ("epoch", 6L, Seq("f6a", "f6b")),
+      ("epoch", 7L, Seq("f7")),
+      ("compact", 7L, Seq("f5", "f6a", "f6b", "f7"))))
+    assert(betweenNames(b, 5, 7) == Seq("f6a", "f6b", "f7"))
+    // post-sweep: epoch 6's delta is gone — refused naming it, even
+    // though snapshot 7 itself is servable from the compact
+    val c = base.resolve("c")
+    mkLog(c, Seq(("epoch", 7L, Seq("f7")),
+      ("compact", 6L, Seq("f5", "f6a", "f6b"))))
+    assert(betweenNames(c, 6, 7) == Seq("f7"), "loose-only window still fine")
+    val e = intercept[IllegalStateException](betweenNames(c, 5, 7))
+    assert(e.getMessage.contains("6") &&
+      e.getMessage.contains("re-read the full snapshot"), e)
+    graft.util.Fs.deleteRecursively(base)
   }
 }

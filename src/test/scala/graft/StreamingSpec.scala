@@ -752,7 +752,8 @@ class StreamingSpec extends AnyFunSuite {
         "q_stream_session" -> ("graft_stream_session_sink", 4),
         // 4 deterministic epochs (one per residue slice), stateless, no
         // watermark → exactly 4 data triggers and nothing else
-        "q_time_travel" -> ("graft_snap_tt_sink", 4))
+        "q_time_travel" -> ("graft_snap_tt_sink", 4),
+        "q_incr_read" -> ("graft_snap_ir_sink", 4))
       for ((q, _) <- expect) SparkEntry.queries(q)(spark, TestSpark.Sf0001).count()
       // listener delivery is async — wait for the bus to drain
       var waited = 0
