@@ -833,6 +833,11 @@ object Materialize {
   def dsv2SinkRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val out = processScratchDir(
       s"graft_manifest_${java.lang.Integer.toHexString(dir.hashCode)}")
+    // batch manifest commits are VERSIONED APPENDS (round 11): a re-run
+    // in the same JVM (bench reps) would otherwise union both runs'
+    // epochs — this query's contract is one run's snapshot, so start
+    // from an empty log
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(out))
     graft.sources.Tables.documents(spark, dir)
       .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
         col("n_chars").isNotNull)

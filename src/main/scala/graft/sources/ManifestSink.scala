@@ -23,11 +23,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     named data file and returns the name in its [[WriterCommitMessage]]
   *     (nothing is visible yet — a file on disk is NOT data);
   *  2. the driver's [[BatchWrite.commit]] collects every task's message
-  *     and publishes the file list as ONE manifest, written to a temp
-  *     name and ATOMIC_MOVE'd into place — the single metadata operation
-  *     that flips the whole multi-file write visible at once (REPLACE
-  *     semantics: a re-run atomically supersedes the previous manifest,
-  *     and readers of the old manifest keep a consistent snapshot);
+  *     and publishes the file list as ONE epoch manifest, written to a
+  *     temp name and ATOMIC_MOVE'd into place — the single metadata
+  *     operation that flips the whole multi-file write visible at once.
+  *     Batch and streaming commits share the SAME append-only epoch log
+  *     (round 11): each batch append claims the next epoch id with
+  *     optimistic concurrency, so `mode("append")` really appends (the
+  *     pre-r11 replace-the-manifest behavior silently dropped earlier
+  *     appends from the listing) and batch-written tables get time
+  *     travel / incremental reads for free; readers of a stale MANIFEST
+  *     keep a consistent (merely older) snapshot;
   *  3. [[BatchWrite.abort]] deletes the orphaned task files — a failed
   *     job leaves no visible trace because visibility IS the manifest.
   *
@@ -187,6 +192,59 @@ object ManifestSink {
     names.map(f => Paths.get(path, "data", f).toString)
   }
 
+  /** Re-derive the top-level MANIFEST as the union of committed
+    * manifest fragments — the same file batch readers use. REPLACE is
+    * safe because the committed set is append-only: the union only
+    * grows, so old-manifest readers keep a consistent (merely stale)
+    * snapshot. O(epochs/compactInterval) small metadata reads per
+    * commit thanks to [[maybeCompact]]. */
+  private[sources] def republish(dir: Path): Unit = {
+    val all = fragmentUnion(dir)
+    val mtmp = dir.resolve(s".$ManifestName.tmp")
+    Files.write(mtmp, all.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(mtmp, dir.resolve(ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Fold the loose epoch manifests into ONE compact file once
+    * `compactInterval` of them accumulate — the `_spark_metadata`
+    * compaction pattern. Durability order makes every crash window
+    * benign: (1) the compact file lands by atomic move FIRST, so the
+    * union is never less than the committed set; (2) only then are the
+    * absorbed fragments deleted — a crash in between leaves duplicates
+    * that [[ManifestSink.fragmentUnion]] de-dupes and the NEXT
+    * compaction sweeps (any epoch at-or-below / compact below the new
+    * horizon). */
+  private[sources] def maybeCompact(dir: Path, priorHorizon: Long,
+      compactInterval: Int): Unit = {
+    val loose = looseEpochs(dir, priorHorizon)
+    if (loose.size < compactInterval) return
+    val prior = latestCompact(dir)
+    val names = (prior.map(_._2).toSeq ++ loose.map(_._2))
+      .flatMap(f => Files.readAllLines(f, StandardCharsets.UTF_8).asScala)
+      .filter(_.nonEmpty).distinct
+    val upTo = loose.map(_._1).max
+    val ctmp = dir.resolve(s".${compactName(upTo)}.tmp")
+    Files.write(ctmp, names.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(ctmp, dir.resolve(compactName(upTo)),
+      StandardCopyOption.ATOMIC_MOVE)
+    // superseded fragments: every loose epoch now covered, every older
+    // compact, and any stale leftovers from a previously-crashed sweep
+    looseEpochs(dir, -1L).filter(_._1 <= upTo)
+      .foreach(p => Files.deleteIfExists(p._2))
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("compact-"))
+      .sortBy(_.getFileName.toString).dropRight(1)
+      .foreach(Files.deleteIfExists(_))
+    finally s.close()
+  }
+
+  /** The next unclaimed epoch id (one past the newest committed). */
+  private[sources] def nextEpochId(dir: Path): Long =
+    (latestCompact(dir).map(_._1).getOrElse(-1L) +:
+      listPrefixed(dir, "epoch-").map(idOf)).max + 1
+
   /** Newest committed epoch id — the current snapshot's version. */
   def newestVersion(path: String): Long = {
     val dir = Paths.get(path)
@@ -255,7 +313,7 @@ case class ManifestTable(path: String, writeSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = ManifestBatchWrite(path, info.schema())
+        override def toBatch: BatchWrite = ManifestBatchWrite(path, info.schema(), compactInterval)
         // one StreamingWrite per query RUN, so the token is run-unique:
         // a post-restart replay writes under a different token and can
         // never collide with (and thus never truncate or delete) a file
@@ -272,17 +330,45 @@ case class ManifestTable(path: String, writeSchema: StructType,
   * driver owns the directory) and its row count. */
 case class CommittedFile(name: String, rows: Long) extends WriterCommitMessage
 
-case class ManifestBatchWrite(path: String, schema: StructType) extends BatchWrite {
+case class ManifestBatchWrite(path: String, schema: StructType,
+    compactInterval: Int = ManifestSink.DefaultCompactInterval) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     ManifestWriterFactory(path, schema.fields.map(_.dataType.typeName))
 
+  /** Batch appends are VERSIONED commits on the same epoch log the
+    * streaming face writes (round 11) — before this, each batch commit
+    * REPLACED the top-level MANIFEST with only its own files, which (a)
+    * silently dropped every earlier append from the listing despite
+    * `mode("append")` semantics and (b) left batch-written tables
+    * outside time travel / incremental reads. Now a batch commit CLAIMS
+    * the next epoch id by atomic move — optimistic concurrency: when a
+    * concurrent committer wins the same id, the move fails on the
+    * existing target and the loser retries against the refreshed newest
+    * (the filesystem analog of a conditional put; an object-store
+    * committer would use if-none-match). The residual is the
+    * local-filesystem TOCTOU window inside Files.move's existence
+    * check — same-host writers in practice, a real lock service at
+    * multi-writer scale. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Files.createDirectories(Paths.get(path))
     val names = messages.collect { case CommittedFile(n, _) => n }.sorted
-    val tmp = dir.resolve(s".${ManifestSink.ManifestName}.tmp")
-    Files.write(tmp, names.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve(ManifestSink.ManifestName),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    var claimed = -1L
+    while (claimed < 0) {
+      val next = ManifestSink.nextEpochId(dir)
+      val tmp = Files.createTempFile(dir, ".batch-epoch", ".tmp")
+      Files.write(tmp, names.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.move(tmp, dir.resolve(ManifestSink.epochName(next)),
+          StandardCopyOption.ATOMIC_MOVE)
+        claimed = next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp) // lost the race; retry at the new tip
+      }
+    }
+    ManifestSink.republish(dir)
+    ManifestSink.maybeCompact(dir,
+      ManifestSink.latestCompact(dir).map(_._1).getOrElse(-1L), compactInterval)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -348,52 +434,10 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
     maybeCompact(dir, epochId, compactedThrough)
   }
 
-  /** Re-derive the top-level MANIFEST as the union of committed
-    * manifest fragments — the same file batch readers use. REPLACE is
-    * safe because the committed set is append-only: the union only
-    * grows, so old-manifest readers keep a consistent (merely stale)
-    * snapshot. O(epochs/compactInterval) small metadata reads per
-    * commit thanks to [[maybeCompact]]. */
-  private def republish(dir: Path): Unit = {
-    val all = ManifestSink.fragmentUnion(dir)
-    val mtmp = dir.resolve(s".${ManifestSink.ManifestName}.tmp")
-    Files.write(mtmp, all.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(mtmp, dir.resolve(ManifestSink.ManifestName),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def republish(dir: Path): Unit = ManifestSink.republish(dir)
 
-  /** Fold the loose epoch manifests into ONE compact file once
-    * `compactInterval` of them accumulate — the `_spark_metadata`
-    * compaction pattern. Durability order makes every crash window
-    * benign: (1) the compact file lands by atomic move FIRST, so the
-    * union is never less than the committed set; (2) only then are the
-    * absorbed fragments deleted — a crash in between leaves duplicates
-    * that [[ManifestSink.fragmentUnion]] de-dupes and the NEXT
-    * compaction sweeps (any epoch at-or-below / compact below the new
-    * horizon). */
-  private def maybeCompact(dir: Path, epochId: Long, priorHorizon: Long): Unit = {
-    val loose = ManifestSink.looseEpochs(dir, priorHorizon)
-    if (loose.size < compactInterval) return
-    val prior = ManifestSink.latestCompact(dir)
-    val names = (prior.map(_._2).toSeq ++ loose.map(_._2))
-      .flatMap(f => Files.readAllLines(f, StandardCharsets.UTF_8).asScala)
-      .filter(_.nonEmpty).distinct
-    val upTo = loose.map(_._1).max
-    val ctmp = dir.resolve(s".${ManifestSink.compactName(upTo)}.tmp")
-    Files.write(ctmp, names.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(ctmp, dir.resolve(ManifestSink.compactName(upTo)),
-      StandardCopyOption.ATOMIC_MOVE)
-    // superseded fragments: every loose epoch now covered, every older
-    // compact, and any stale leftovers from a previously-crashed sweep
-    ManifestSink.looseEpochs(dir, -1L).filter(_._1 <= upTo)
-      .foreach(p => Files.deleteIfExists(p._2))
-    val s = Files.list(dir)
-    try s.iterator().asScala.toSeq
-      .filter(_.getFileName.toString.startsWith("compact-"))
-      .sortBy(_.getFileName.toString).dropRight(1)
-      .foreach(Files.deleteIfExists(_))
-    finally s.close()
-  }
+  private def maybeCompact(dir: Path, epochId: Long, priorHorizon: Long): Unit =
+    ManifestSink.maybeCompact(dir, priorHorizon, compactInterval)
 
   /** Abort must clean THIS attempt's orphans without ever touching
     * committed data: if commit fails after the epoch-manifest move

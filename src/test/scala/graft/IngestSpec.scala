@@ -335,11 +335,34 @@ class IngestSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.sum(col("n_chars")).as("s"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(base == direct)
-    // re-run: the directory now holds BOTH runs' part files, but the
-    // manifest lists only the latest run's — stale parts are invisible
+    // re-run: the query starts from an empty log (its contract is one
+    // run's snapshot), so the result is unchanged
     val rerun = Materialize.dsv2SinkRoundTrip(spark, TestSpark.Sf0001)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(rerun == direct, "superseded part files leaked into the snapshot")
+    // VERSIONED batch appends (round 11): two mode("append") writes to
+    // ONE manifest dir are two epochs — the visible set is their union
+    // (pre-r11 the second commit replaced the manifest, silently
+    // dropping the first append), and each epoch is a servable version
+    val vdir = Files.createTempDirectory("graft_manifest_ver").toString
+    def appendOnce(ids: Seq[Long]): Unit = {
+      import spark.implicits._
+      ids.toDF("v").coalesce(1).write
+        .format("graft.sources.ManifestSink")
+        .option("path", vdir).mode("append").save()
+    }
+    appendOnce(Seq(1L, 2L))
+    appendOnce(Seq(3L))
+    def idsOf(files: Seq[String]): Set[Long] =
+      spark.read.schema("v LONG").csv(files: _*)
+        .collect().map(_.getLong(0)).toSet
+    assert(idsOf(graft.sources.ManifestSink.committedFiles(vdir)) ==
+      Set(1L, 2L, 3L), "append did not union")
+    assert(idsOf(graft.sources.ManifestSink.committedFilesAsOf(vdir, 0)) ==
+      Set(1L, 2L), "version 0 is the first append alone")
+    assert(idsOf(graft.sources.ManifestSink.committedFilesBetween(vdir, 0, 1)) ==
+      Set(3L), "the (0,1] delta is the second append alone")
+    graft.util.Fs.deleteRecursively(Paths.get(vdir))
     // uncommitted task files are invisible: a writer commits its FILE,
     // but without the driver's manifest commit nothing is visible
     val lone = Files.createTempDirectory("graft_manifest_lone").toString

@@ -154,8 +154,8 @@ class SnapshotSpec extends AnyFunSuite {
     val current = s.sql("SELECT event_id FROM graft.snap.ev")
       .collect().map(_.getLong(0)).toSet
     assert(current == prefixIds(4), "current SQL read != newest snapshot")
-    // second table, two columns, batch-committed (the batch face writes
-    // MANIFEST directly — current-snapshot reads only)
+    // second table, two columns, batch-committed (batch appends share
+    // the versioned epoch log since round 11 — this one is epoch 0)
     Seq((100L, "x"), (200L, "y")).toDF("k", "name")
       .write.format("graft.sources.ManifestSink").mode("append")
       .option("path", snapDir.resolve("t2").toString).save()
