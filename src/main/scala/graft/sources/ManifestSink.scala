@@ -125,13 +125,25 @@ object ManifestSink {
     compact.map(_._2).toSeq ++ looseEpochs(dir, horizon).map(_._2)
   }
 
+  /** Bounded retry for metadata reads racing a concurrent compaction
+    * sweep (round 11, concurrent batch committers): a listed fragment
+    * vanishing mid-read means a compaction just absorbed it — the
+    * committed union only grows, so re-deriving from a fresh listing is
+    * always a consistent (newer) snapshot. */
+  private def retryVanish[T](attempts: Int = 8)(f: => T): T =
+    try f catch {
+      case _: java.nio.file.NoSuchFileException if attempts > 1 =>
+        retryVanish(attempts - 1)(f)
+    }
+
   /** Union of the fragment contents. `distinct` guards the one crash
     * window where a loose epoch survives alongside the compact file
     * that already absorbed it. */
-  private[sources] def fragmentUnion(dir: Path): Seq[String] =
+  private[sources] def fragmentUnion(dir: Path): Seq[String] = retryVanish() {
     manifestFragments(dir)
       .flatMap(f => Files.readAllLines(f, StandardCharsets.UTF_8).asScala)
       .filter(_.nonEmpty).distinct
+  }
 
   /** TIME TRAVEL: the table's committed file list AS OF epoch
     * `version` — the union of epoch manifests with id <= version. The
@@ -145,7 +157,7 @@ object ManifestSink {
     * retention bounds time travel, surfaced instead of silently
     * serving a wrong snapshot. A version beyond the newest commit is
     * refused too (it names a snapshot that never existed). */
-  def committedFilesAsOf(path: String, version: Long): Seq[String] = {
+  def committedFilesAsOf(path: String, version: Long): Seq[String] = retryVanish() {
     require(version >= 0, s"version must be >= 0, got $version")
     val dir = Paths.get(path)
     val loose = listPrefixed(dir, "epoch-").map(p => (idOf(p), p))
@@ -200,7 +212,13 @@ object ManifestSink {
     * commit thanks to [[maybeCompact]]. */
   private[sources] def republish(dir: Path): Unit = {
     val all = fragmentUnion(dir)
-    val mtmp = dir.resolve(s".$ManifestName.tmp")
+    // a UNIQUE temp name per call: concurrent committers republishing
+    // under one shared `.MANIFEST.tmp` raced each other's move (the
+    // round-11 concurrent-append test caught the loser's
+    // NoSuchFileException); with per-call temps both moves land and
+    // last-writer-wins is fine — the union only grows, so either
+    // result is a consistent snapshot and the next commit re-derives
+    val mtmp = Files.createTempFile(dir, s".$ManifestName", ".tmp")
     Files.write(mtmp, all.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(mtmp, dir.resolve(ManifestName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -216,7 +234,10 @@ object ManifestSink {
     * compaction sweeps (any epoch at-or-below / compact below the new
     * horizon). */
   private[sources] def maybeCompact(dir: Path, priorHorizon: Long,
-      compactInterval: Int): Unit = {
+      compactInterval: Int): Unit = retryVanish() {
+    // retryVanish: a concurrent committer's sweep can delete a listed
+    // fragment mid-read here; re-running from a fresh listing is always
+    // consistent (and usually a no-op — the racer compacted for us)
     val loose = looseEpochs(dir, priorHorizon)
     if (loose.size < compactInterval) return
     val prior = latestCompact(dir)
@@ -224,10 +245,15 @@ object ManifestSink {
       .flatMap(f => Files.readAllLines(f, StandardCharsets.UTF_8).asScala)
       .filter(_.nonEmpty).distinct
     val upTo = loose.map(_._1).max
-    val ctmp = dir.resolve(s".${compactName(upTo)}.tmp")
+    // unique temp per attempt (concurrent committers can both trigger
+    // this compaction); the compact-<upTo> content is deterministic —
+    // the union through upTo — so when a racer already landed it, the
+    // loser's work is simply done
+    val ctmp = Files.createTempFile(dir, s".${compactName(upTo)}", ".tmp")
     Files.write(ctmp, names.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(ctmp, dir.resolve(compactName(upTo)),
-      StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(dir.resolve(compactName(upTo)), ctmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => }
+    finally Files.deleteIfExists(ctmp)
     // superseded fragments: every loose epoch now covered, every older
     // compact, and any stale leftovers from a previously-crashed sweep
     looseEpochs(dir, -1L).filter(_._1 <= upTo)
@@ -267,7 +293,7 @@ object ManifestSink {
     * the sweep is REFUSED naming the missing epochs (log retention
     * bounds incremental reads exactly as it bounds time travel;
     * consumers that fall too far behind re-read the full snapshot). */
-  def committedFilesBetween(path: String, since: Long, asOf: Long): Seq[String] = {
+  def committedFilesBetween(path: String, since: Long, asOf: Long): Seq[String] = retryVanish() {
     require(since >= -1, s"since must be >= -1 (exclusive lower bound), got $since")
     require(since <= asOf, s"empty window: since $since > asOf $asOf")
     val dir = Paths.get(path)
@@ -341,31 +367,30 @@ case class ManifestBatchWrite(path: String, schema: StructType,
     * silently dropped every earlier append from the listing despite
     * `mode("append")` semantics and (b) left batch-written tables
     * outside time travel / incremental reads. Now a batch commit CLAIMS
-    * the next epoch id by atomic move — optimistic concurrency: when a
-    * concurrent committer wins the same id, the move fails on the
-    * existing target and the loser retries against the refreshed newest
-    * (the filesystem analog of a conditional put; an object-store
-    * committer would use if-none-match). The residual is the
-    * local-filesystem TOCTOU window inside Files.move's existence
-    * check — same-host writers in practice, a real lock service at
-    * multi-writer scale. */
+    * the next epoch id with `Files.createLink` — link(2) is
+    * atomic-EXCLUSIVE (fails on an existing target, no TOCTOU window,
+    * unlike a rename's check-then-move) and the link carries the fully
+    * written content, so the claim and the publish are one operation.
+    * A committer losing the race retries against the refreshed newest —
+    * the filesystem analog of a conditional put (an object-store
+    * committer would use if-none-match). */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Files.createDirectories(Paths.get(path))
     val names = messages.collect { case CommittedFile(n, _) => n }.sorted
-    var claimed = -1L
-    while (claimed < 0) {
-      val next = ManifestSink.nextEpochId(dir)
-      val tmp = Files.createTempFile(dir, ".batch-epoch", ".tmp")
-      Files.write(tmp, names.mkString("\n").getBytes(StandardCharsets.UTF_8))
-      try {
-        Files.move(tmp, dir.resolve(ManifestSink.epochName(next)),
-          StandardCopyOption.ATOMIC_MOVE)
-        claimed = next
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp) // lost the race; retry at the new tip
+    val tmp = Files.createTempFile(dir, ".batch-epoch", ".tmp")
+    Files.write(tmp, names.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try {
+      var claimed = -1L
+      while (claimed < 0) {
+        val next = ManifestSink.nextEpochId(dir)
+        try {
+          Files.createLink(dir.resolve(ManifestSink.epochName(next)), tmp)
+          claimed = next
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => // lost; retry
+        }
       }
-    }
+    } finally Files.deleteIfExists(tmp)
     ManifestSink.republish(dir)
     ManifestSink.maybeCompact(dir,
       ManifestSink.latestCompact(dir).map(_._1).getOrElse(-1L), compactInterval)

@@ -363,6 +363,31 @@ class IngestSpec extends AnyFunSuite {
     assert(idsOf(graft.sources.ManifestSink.committedFilesBetween(vdir, 0, 1)) ==
       Set(3L), "the (0,1] delta is the second append alone")
     graft.util.Fs.deleteRecursively(Paths.get(vdir))
+    // CONCURRENT committers: the link(2)-exclusive epoch claim means
+    // racing appends serialize onto distinct ids with nothing lost —
+    // 4 threads x 5 appends of disjoint ids must all be visible and
+    // the log must hold exactly 20 versions (0..19)
+    val cdir = Files.createTempDirectory("graft_manifest_conc").toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 4).map { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit = (0 until 5).foreach { i =>
+            val id = t * 5L + i
+            import spark.implicits._
+            Seq(id).toDF("v").coalesce(1).write
+              .format("graft.sources.ManifestSink")
+              .option("path", cdir).mode("append").save()
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(idsOf(graft.sources.ManifestSink.committedFiles(cdir)) ==
+      (0L until 20L).toSet, "a racing append was lost")
+    assert(graft.sources.ManifestSink.newestVersion(cdir) == 19,
+      "racing appends did not serialize onto 20 distinct epochs")
+    graft.util.Fs.deleteRecursively(Paths.get(cdir))
     // uncommitted task files are invisible: a writer commits its FILE,
     // but without the driver's manifest commit nothing is visible
     val lone = Files.createTempDirectory("graft_manifest_lone").toString
