@@ -121,6 +121,7 @@ object SparkEntry {
     "q_stream_dsv2_sink" -> graft.streaming.StreamOps.dsv2SinkStreamed _,
     "q_time_travel"      -> graft.streaming.StreamOps.timeTravel _,
     "q_incr_read"        -> graft.streaming.StreamOps.incrementalRead _,
+    "q_stream_tail"      -> graft.streaming.StreamOps.streamTail _,
     "q_stream_upsert"    -> graft.streaming.StreamOps.upsertStreamed _,
     "q_stream_sliding"   -> graft.streaming.StreamOps.slidingStreamed _,
     "q_json_source"      -> Materialize.eventsFromJsonl _,
@@ -617,6 +618,16 @@ object SparkEntry {
         |WHERE event_id IS NOT NULL AND ts IS NOT NULL
         |  AND user_id IS NOT NULL AND value IS NOT NULL
         |  AND event_type IS NOT NULL AND event_id % 4 IN (2, 3)
+        |GROUP BY event_type""".stripMargin,
+    "q_stream_tail" -> // tailing the whole 4-epoch log == the batch view
+      // of every complete event (streaming write -> log -> streaming read)
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND user_id IS NOT NULL AND value IS NOT NULL
+        |  AND event_type IS NOT NULL
         |GROUP BY event_type""".stripMargin,
     "q_stream_user_totals" -> // final mapGroupsWithState state per user ==
       // the batch per-user totals over complete events (stream ≡ batch)

@@ -331,11 +331,38 @@ object ManifestSink {
 
 case class ManifestTable(path: String, writeSchema: StructType,
     compactInterval: Int = ManifestSink.DefaultCompactInterval)
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String = s"manifest($path)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ).asJava
+
+  /** TABLE-AS-A-STREAM (round 11): `spark.readStream` on the SAME
+    * format/path TAILS the epoch log — offsets are epoch ids, each
+    * micro-batch is [[ManifestSink.committedFilesBetween]] of its
+    * offset window, so replay-from-checkpoint is exactly the committed
+    * append deltas (the Delta "streaming from a table" shape: batch
+    * writers, streaming writers and streaming readers all share one
+    * log). `maxEpochsPerTrigger` rate-limits admission; a tailing
+    * consumer that falls behind a compaction sweep gets the same loud
+    * window refusal as any incremental reader. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    val maxEpochs = options.getInt("maxEpochsPerTrigger", Int.MaxValue)
+    require(maxEpochs >= 1, s"maxEpochsPerTrigger must be >= 1, got $maxEpochs")
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = writeSchema
+          override def toMicroBatchStream(checkpointLocation: String)
+              : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+            new ManifestMicroBatchStream(path,
+              writeSchema.fields.map(_.dataType.typeName), maxEpochs)
+        }
+    }
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
@@ -549,4 +576,97 @@ private[sources] object ManifestWriters {
       }
       override def close(): Unit = ()
     }
+}
+
+/** Stream offset = the newest epoch id INCLUDED so far (-1 before the
+  * first batch), json-serialized into the streaming checkpoint. */
+case class EpochOffset(id: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = id.toString
+}
+
+/** One committed data file of the batch's epoch window. */
+case class ManifestFilePartition(file: String)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+/** The epoch log as a micro-batch SOURCE. STATELESS admission (the
+  * [[graft.sources.SyntheticSource]] convention): Spark hands
+  * `latestOffset(start, limit)` the last committed offset, so the next
+  * batch is a pure function of the checkpoint + the log — a restart
+  * resumes at the committed epoch with nothing re-read and nothing
+  * skipped, because `planInputPartitions` resolves the SAME
+  * (start, end] window through [[ManifestSink.committedFilesBetween]]
+  * every time (epoch manifests are immutable once published). */
+class ManifestMicroBatchStream(path: String, fieldTypes: Array[String],
+    maxEpochs: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+
+  private def newest: Long =
+    try ManifestSink.newestVersion(path)
+    catch { case _: IllegalArgumentException => -1L } // no commits yet
+
+  override def initialOffset(): Offset = EpochOffset(-1L)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[EpochOffset].id
+    val capped =
+      if (maxEpochs == Int.MaxValue) newest
+      else math.min(newest, s + maxEpochs)
+    EpochOffset(math.max(s, capped)) // never regress past the checkpoint
+  }
+  override def reportLatestOffset(): Offset = EpochOffset(newest)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft manifest stream is admission-controlled; " +
+        "latestOffset(start, limit) is the only valid form")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[EpochOffset].id
+    val e = end.asInstanceOf[EpochOffset].id
+    if (e <= s) Array.empty
+    else ManifestSink.committedFilesBetween(path, s, e)
+      .map(f => ManifestFilePartition(f): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    ManifestReadFactory(fieldTypes)
+  override def deserializeOffset(json: String): Offset = EpochOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Reads back the sink's own unquoted CSV lines (the writer refuses
+  * delimiter/quote/newline characters, so `split` is exact). */
+case class ManifestReadFactory(fieldTypes: Array[String])
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[ManifestFilePartition].file
+    new PartitionReader[InternalRow] {
+      private val in = Files.newBufferedReader(
+        Paths.get(file), StandardCharsets.UTF_8)
+      private var line: String = _
+      override def next(): Boolean = { line = in.readLine(); line != null }
+      override def get(): InternalRow = {
+        val cells = line.split(",", -1)
+        require(cells.length == fieldTypes.length,
+          s"manifest row arity ${cells.length} != schema ${fieldTypes.length}: $line")
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          fieldTypes.indices.map[Any] { i =>
+            fieldTypes(i) match {
+              case "long" => cells(i).toLong
+              case "string" =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(cells(i))
+              case other => throw new IllegalArgumentException(
+                s"manifest stream supports long/string columns, got $other")
+            }
+          }.toArray)
+      }
+      override def close(): Unit = in.close()
+    }
+  }
 }

@@ -1408,9 +1408,10 @@ object StreamOps {
     * fresh scratch root, one epoch per trigger, and point the PARENT
     * session's `graft.snap` catalog at it (catalog confs are
     * session-scoped there; the shared streaming child stays
-    * conf-clean). Returns nothing the caller needs beyond the catalog
-    * being ready. */
-  private def runSnapEpochs(parent: SparkSession, dir: String, tag: String): Unit = {
+    * conf-clean). Returns the snap ROOT (the `ev` table lives under
+    * it). */
+  private def runSnapEpochs(parent: SparkSession, dir: String,
+      tag: String): java.nio.file.Path = {
     val spark = streamSession(parent)
     val schema = completeEvents(spark, dir).schema
     val root = scratchTmp(tag)
@@ -1438,6 +1439,7 @@ object StreamOps {
     parent.conf.set("spark.sql.catalog.graft.snap.dir", snapRoot.toString)
     parent.conf.set("spark.sql.catalog.graft.snap.ev.schema",
       "event_id LONG, user_id LONG, event_type STRING")
+    snapRoot
   }
 
   def timeTravel(parent: SparkSession, dir: String): DataFrame = {
@@ -1461,6 +1463,40 @@ object StreamOps {
     parent.read
       .option("sinceVersion", 1L).option("asOfVersion", 3L)
       .table("graft.snap.ev")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("id_sum"))
+  }
+
+  /** TABLE-AS-A-STREAM: after the 4-epoch pipeline lands, a SECOND
+    * streaming query TAILS the same manifest log — `readStream` on the
+    * sink's own format, offsets = epoch ids, `maxEpochsPerTrigger=1` ⇒
+    * exactly one micro-batch per committed epoch (trigger pin 4) —
+    * and relays it into a parquet sink. The aggregated relay must
+    * equal the batch view of all four slices: the lake loop closed
+    * (streaming write → log → streaming read), the Delta
+    * "stream from a table" shape. */
+  def streamTail(parent: SparkSession, dir: String): DataFrame = {
+    val snapRoot = runSnapEpochs(parent, dir, "graft_snap_tl")
+    val logDir = snapRoot.resolve("ev").toString
+    val spark = streamSession(parent)
+    val root = scratchTmp("graft_snap_tl_read")
+    val outDir = root.resolve("out").toString
+    val tail = spark.readStream.format("graft.sources.ManifestSink")
+      .schema("event_id LONG, user_id LONG, event_type STRING")
+      .option("path", logDir)
+      .option("maxEpochsPerTrigger", "1").load()
+    val q = tail.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .queryName("graft_snap_tail")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      graft.util.Fs.deleteRecursively(root.resolve("ckpt"))
+    }
+    spark.read.parquet(outDir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("n_users"),

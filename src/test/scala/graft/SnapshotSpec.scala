@@ -204,6 +204,37 @@ class SnapshotSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(root)
   }
 
+  test("TABLE-AS-A-STREAM: a readStream tails the epoch log one epoch " +
+    "per trigger; a restart from checkpoint resumes at the committed " +
+    "epoch with nothing re-read and nothing skipped (batch appends are " +
+    "the writer — the lake loop closed in the other direction)") {
+    val root = Files.createTempDirectory("graft_tail_gate")
+    val log = root.resolve("t").toString
+    def appendEpoch(ids: Seq[Long]): Unit =
+      ids.map(i => (i, s"v$i")).toDF("k", "name").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.ManifestSink")
+        .schema("k LONG, name STRING")
+        .option("path", log).option("maxEpochsPerTrigger", "1").load()
+        .writeStream.format("parquet")
+        .option("path", root.resolve("out").toString)
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    appendEpoch(Seq(1L, 2L)); appendEpoch(Seq(3L))
+    drain() // reads epochs 0 and 1, checkpoint now at offset 1
+    appendEpoch(Seq(4L)); appendEpoch(Seq(5L, 6L))
+    drain() // a NEW query instance resumes from the checkpoint
+    val got = spark.read.parquet(root.resolve("out").toString)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      s"restart re-read or skipped an epoch: $got")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("committedFilesBetween: epoch windows are exact deltas; windows " +
     "crossing swept epochs are refused; pre-sweep loose history still " +
     "serves") {

@@ -753,7 +753,11 @@ class StreamingSpec extends AnyFunSuite {
         // 4 deterministic epochs (one per residue slice), stateless, no
         // watermark → exactly 4 data triggers and nothing else
         "q_time_travel" -> ("graft_snap_tt_sink", 4),
-        "q_incr_read" -> ("graft_snap_ir_sink", 4))
+        "q_incr_read" -> ("graft_snap_ir_sink", 4),
+        // the tail query runs TWO streaming queries: the 4-epoch writer
+        // and the log-tailing reader (maxEpochsPerTrigger=1 ⇒ exactly
+        // one micro-batch per committed epoch)
+        "q_stream_tail" -> ("graft_snap_tail", 4))
       for ((q, _) <- expect) SparkEntry.queries(q)(spark, TestSpark.Sf0001).count()
       // listener delivery is async — wait for the bus to drain
       var waited = 0
