@@ -271,6 +271,35 @@ object ManifestSink {
     (latestCompact(dir).map(_._1).getOrElse(-1L) +:
       listPrefixed(dir, "epoch-").map(idOf)).max + 1
 
+  /** STORAGE RECLAMATION (the VACUUM contract): delete data files NOT
+    * referenced by any committed manifest fragment AND older than
+    * `olderThanMs`. Age-gating is what makes this safe next to live
+    * writers — an unlisted file younger than the cutoff may belong to
+    * an epoch still committing (task files land before the manifest
+    * flips them visible), while crash orphans (a driver that died
+    * before abort(), a replaced speculative attempt) only ever age.
+    * Committed files are NEVER candidates regardless of age, and since
+    * time travel serves only epochs the log retains, nothing a
+    * servable version references is reclaimed. Returns the deleted
+    * names. */
+  def vacuum(path: String, olderThanMs: Long): Seq[String] = {
+    require(olderThanMs >= 0, s"olderThanMs must be >= 0, got $olderThanMs")
+    val dir = Paths.get(path)
+    val dataDir = dir.resolve("data")
+    if (!Files.isDirectory(dataDir)) return Seq.empty
+    val keep = fragmentUnion(dir).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val victims = {
+      val s = Files.list(dataDir)
+      try s.iterator().asScala.toSeq
+        .filter(p => !keep.contains(p.getFileName.toString) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff)
+      finally s.close()
+    }
+    victims.foreach(Files.deleteIfExists(_))
+    victims.map(_.getFileName.toString).sorted
+  }
+
   /** Newest committed epoch id — the current snapshot's version. */
   def newestVersion(path: String): Long = {
     val dir = Paths.get(path)

@@ -232,6 +232,24 @@ class SnapshotSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq.sorted
     assert(got == Seq(1L, 2L, 3L, 4L, 5L, 6L),
       s"restart re-read or skipped an epoch: $got")
+
+    // ——— VACUUM: an unlisted (crash-orphan) data file is reclaimed
+    // once aged; committed files are never candidates; a FRESH orphan
+    // survives an age-gated vacuum (it may be an in-flight commit)
+    val dataDir = Paths.get(log, "data")
+    val orphan = dataDir.resolve("part-orphan-crashed.csv")
+    Files.write(orphan, "99,vX\n".getBytes(StandardCharsets.UTF_8))
+    assert(graft.sources.ManifestSink.vacuum(log, 3600000L).isEmpty,
+      "age-gated vacuum reclaimed a fresh file (could be mid-commit)")
+    assert(Files.exists(orphan))
+    val before = graft.sources.ManifestSink.committedFiles(log).toSet
+    assert(graft.sources.ManifestSink.vacuum(log, 0L) ==
+      Seq("part-orphan-crashed.csv"), "vacuum(0) must reclaim the orphan")
+    assert(!Files.exists(orphan))
+    assert(graft.sources.ManifestSink.committedFiles(log).toSet == before,
+      "vacuum touched the committed snapshot")
+    assert(before.forall(f => Files.exists(Paths.get(f))),
+      "vacuum deleted a committed data file")
     graft.util.Fs.deleteRecursively(root)
   }
 
