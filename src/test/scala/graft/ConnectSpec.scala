@@ -88,4 +88,37 @@ class ConnectSpec extends AnyFunSuite {
     assert(viaConnect.nonEmpty)
     assert(viaConnect == classic, "catalog-via-Connect diverged")
   }
+
+  test("snap time travel + incremental-read options resolve through " +
+    "Connect — VERSION AS OF in client SQL, sinceVersion/asOfVersion " +
+    "as DataFrameReader options over the proto wire") {
+    import java.nio.file.Files
+    val snapDir = Files.createTempDirectory("graft_connect_snap")
+    val log = snapDir.resolve("t").toString
+    def appendEpoch(ids: Seq[Long]): Unit = {
+      import spark.implicits._
+      ids.map(i => (i, s"v$i")).toDF("k", "name").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    appendEpoch(Seq(1L, 2L)); appendEpoch(Seq(3L)); appendEpoch(Seq(4L))
+    for (s <- Seq[org.apache.spark.sql.SparkSession](spark, remote)) {
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.dir", dir)
+      s.conf.set("spark.sql.catalog.graft.snap.dir", snapDir.toString)
+      s.conf.set("spark.sql.catalog.graft.snap.t.schema", "k LONG, name STRING")
+    }
+    val asOfSql = "SELECT k, name FROM graft.snap.t VERSION AS OF 1"
+    assert(rows(remote.sql(asOfSql)) == rows(spark.sql(asOfSql)),
+      "VERSION AS OF via Connect diverged")
+    assert(rows(remote.sql(asOfSql)).size == 3, "as-of 1 must be epochs 0..1")
+    def incr(s: org.apache.spark.sql.SparkSession): DataFrame =
+      s.read.option("sinceVersion", 0L).option("asOfVersion", 2L)
+        .table("graft.snap.t")
+    assert(rows(incr(remote)) == rows(incr(spark)),
+      "incremental window via Connect diverged")
+    assert(rows(incr(remote)).map(_.head) == Seq(3L, 4L),
+      "the (0,2] window must be epochs 1 and 2 exactly")
+    graft.util.Fs.deleteRecursively(snapDir)
+  }
 }
