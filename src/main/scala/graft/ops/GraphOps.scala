@@ -65,6 +65,13 @@ object GraphOps {
       .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
       .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
       .distinct()
+      // canonical within-partition order: the distinct shuffle delivers
+      // each partition as a SET whose arrival order varies run-to-run,
+      // and unordered parquet encodes marginally different byte sizes —
+      // enough to flip a downstream AQE coalesce boundary (the round-11
+      // pagerank structural pin was bimodal over it). Sorted runs also
+      // compress better; the sort is per-partition (no extra shuffle)
+      .sortWithinPartitions("a", "b")
       .write.mode("overwrite").parquet(edgesOut)
     spark.read.parquet(edgesOut)
   }
