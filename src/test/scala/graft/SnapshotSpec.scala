@@ -253,6 +253,156 @@ class SnapshotSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(root)
   }
 
+  test("MIXED WRITERS (the r11 confirmed data-loss defect): a batch " +
+    "append between two runs of a streaming query claims its own log " +
+    "epoch, and the restarted stream's next micro-batch commits as NEW " +
+    "data — never mis-read as a replay — because replay detection is " +
+    "per-writer (#txn records), not epoch-file existence") {
+    val root = Files.createTempDirectory("graft_mixed_writers")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    val log = root.resolve("t").toString
+    def slice(i: Int): Seq[(Long, Long, String)] =
+      (0 to 2).map(j => (i * 10L + j, i.toLong, s"t$i"))
+    def land(i: Int): Unit =
+      slice(i).toDF("event_id", "user_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(srcDir.toString)
+    val schema = Seq.empty[(Long, Long, String)]
+      .toDF("event_id", "user_id", "event_type").schema
+    def run(feeds: Seq[Int]): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+        .writeStream.format("graft.sources.ManifestSink")
+        .option("path", log)
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .outputMode("append").start()
+      try feeds.foreach { i => land(i); q.processAllAvailable() }
+      finally q.stop()
+    }
+    run(Seq(0, 1)) // stream commits engine epochs 0,1 -> log epochs 0,1
+    // a batch append interleaves: claims LOG epoch 2 — the id the r11
+    // scheme would have collided with the restarted stream's engine
+    // epoch 2 (its commit was deleted as a "replay"; event_id=20 lost)
+    Seq((500L, 99L, "batch"), (501L, 99L, "batch"))
+      .toDF("event_id", "user_id", "event_type").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", log).mode("append").save()
+    run(Seq(2)) // restart: engine epoch 2 must land as LOG epoch 3
+    def ids(): Set[Long] = {
+      val files = graft.sources.ManifestSink.committedFiles(log)
+      spark.read.schema("event_id LONG, user_id LONG, event_type STRING")
+        .csv(files: _*).collect().map(_.getLong(0)).toSet
+    }
+    val expected = (0 to 2).flatMap(slice(_).map(_._1)).toSet ++ Set(500L, 501L)
+    assert(ids() == expected,
+      s"mixed batch+streaming writers lost rows: ${expected -- ids()}")
+    assert(graft.sources.ManifestSink.newestVersion(log) == 3,
+      "four commits must occupy four distinct log epochs")
+    // the (2, 3] delta is exactly the restarted stream's micro-batch —
+    // engine epochs were REMAPPED onto claimed log ids, not reused
+    val delta = spark.read
+      .schema("event_id LONG, user_id LONG, event_type STRING")
+      .csv(graft.sources.ManifestSink.committedFilesBetween(log, 2, 3): _*)
+      .collect().map(_.getLong(0)).toSet
+    assert(delta == slice(2).map(_._1).toSet,
+      s"restarted stream's epoch is not log epoch 3: $delta")
+
+    // ——— CONCURRENT stream-vs-batch race (next to IngestSpec's 4-thread
+    // batch race): batch appends fire WHILE the stream is committing,
+    // under an aggressive compactInterval=3 so claim/compaction races
+    // are exercised too. Every commit from both faces must be visible.
+    val root2 = Files.createTempDirectory("graft_mixed_race")
+    val src2 = root2.resolve("src"); Files.createDirectories(src2)
+    val log2 = root2.resolve("t").toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src2.toString)
+      .writeStream.format("graft.sources.ManifestSink")
+      .option("path", log2).option("compactInterval", "3")
+      .option("checkpointLocation", root2.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      (0 until 5).foreach { i =>
+        val batchIds = Seq(1000L + 2 * i, 1001L + 2 * i)
+        val f = pool.submit(new Runnable {
+          override def run(): Unit =
+            batchIds.map((_, 99L, "batch"))
+              .toDF("event_id", "user_id", "event_type").coalesce(1)
+              .write.format("graft.sources.ManifestSink")
+              .option("path", log2).option("compactInterval", "3")
+              .mode("append").save()
+        })
+        slice(i).toDF("event_id", "user_id", "event_type")
+          .coalesce(1).write.mode("append").parquet(src2.toString)
+        q.processAllAvailable()
+        f.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      }
+    } finally { q.stop(); pool.shutdown() }
+    def ids2(): Set[Long] = {
+      val files = graft.sources.ManifestSink.committedFiles(log2)
+      spark.read.schema("event_id LONG, user_id LONG, event_type STRING")
+        .csv(files: _*).collect().map(_.getLong(0)).toSet
+    }
+    val expected2 = (0 until 5).flatMap(slice(_).map(_._1)).toSet ++
+      (0 until 10).map(1000L + _).toSet
+    assert(ids2() == expected2,
+      s"concurrent stream-vs-batch race lost rows: ${expected2 -- ids2()}")
+    assert(graft.sources.ManifestSink.newestVersion(log2) == 9,
+      "10 racing commits must serialize onto 10 distinct log epochs")
+    graft.util.Fs.deleteRecursively(root)
+    graft.util.Fs.deleteRecursively(root2)
+  }
+
+  test("ReadLimit admission (advisor r11): the tailing stream honors " +
+    "engine-provided maxRows/maxFiles/composite limits, sized from the " +
+    "#stats records the epoch manifests carry; at least one epoch " +
+    "always admits; missing-table reads stay friendly") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = Files.createTempDirectory("graft_readlimit")
+    val log = root.resolve("t").toString
+    // four single-file epochs of 3 rows each
+    (0 until 4).foreach { i =>
+      (0 to 2).map(j => (i * 10L + j, s"v$i")).toDF("k", "name").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    val ms = new graft.sources.ManifestMicroBatchStream(
+      log, Array("long", "string"), Int.MaxValue)
+    def off(startId: Long, l: ReadLimit): Long =
+      ms.latestOffset(graft.sources.EpochOffset(startId), l)
+        .asInstanceOf[graft.sources.EpochOffset].id
+    assert(off(-1, ReadLimit.allAvailable()) == 3)
+    assert(off(-1, ReadLimit.maxFiles(2)) == 1,
+      "maxFiles(2) must admit exactly the two 1-file epochs")
+    assert(off(-1, ReadLimit.maxFiles(1)) == 0)
+    // whole epochs admit until the row budget is crossed (the built-in
+    // file source's crossing-file convention)
+    assert(off(-1, ReadLimit.maxRows(5)) == 1,
+      "maxRows(5) admits epochs 0 (3 rows) and 1 (crosses at 6)")
+    assert(off(-1, ReadLimit.maxRows(100)) == 3)
+    assert(off(1, ReadLimit.maxRows(1)) == 2, "at least one epoch admits")
+    assert(off(-1, ReadLimit.compositeLimit(
+      Array(ReadLimit.maxRows(100), ReadLimit.maxFiles(1)))) == 0,
+      "composite takes the tightest limit")
+    assert(off(3, ReadLimit.maxFiles(1)) == 3, "caught up: no progress")
+    // the maxEpochsPerTrigger table option still caps on top
+    val ms1 = new graft.sources.ManifestMicroBatchStream(
+      log, Array("long", "string"), 1)
+    assert(ms1.latestOffset(graft.sources.EpochOffset(-1L),
+      ReadLimit.maxFiles(3)).asInstanceOf[graft.sources.EpochOffset].id == 0)
+
+    // ——— missing table dir (advisor r11): friendly refusals/empties,
+    // not a raw NoSuchFileException after 8 futile vanish-retries
+    val ghost = root.resolve("nope").toString
+    assert(graft.sources.ManifestSink.committedFiles(ghost).isEmpty)
+    val eA = intercept[IllegalArgumentException](
+      graft.sources.ManifestSink.committedFilesAsOf(ghost, 0))
+    assert(eA.getMessage.contains("no version"), eA)
+    val eB = intercept[IllegalArgumentException](
+      graft.sources.ManifestSink.committedFilesBetween(ghost, -1, 0))
+    assert(eB.getMessage.contains("no version"), eB)
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("committedFilesBetween: epoch windows are exact deltas; windows " +
     "crossing swept epochs are refused; pre-sweep loose history still " +
     "serves") {

@@ -371,23 +371,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(readBack() == expected, "replayed epoch duped or lost rows")
     assert(dataFiles() == committed.map(f => Paths.get(f).getFileName.toString),
       "replayed epoch left orphan files in data/")
-    // crash-window self-heal: a crash BETWEEN the epoch move and the
-    // MANIFEST move leaves the epoch durable but unlisted — the next
-    // replay must re-derive MANIFEST from the epoch manifests
-    Files.delete(Paths.get(out, graft.sources.ManifestSink.ManifestName))
-    val commits2 = Files.list(ckpt.resolve("commits"))
-    val newest2 =
-      try commits2.iterator().asScala.toSeq
-        .filter(_.getFileName.toString.forall(_.isDigit))
-        .maxBy(_.getFileName.toString.toLong)
-      finally commits2.close()
-    Files.delete(newest2)
-    Files.deleteIfExists(
-      newest2.resolveSibling(s".${newest2.getFileName}.crc"))
-    val q4 = start(); try q4.processAllAvailable() finally q4.stop()
-    assert(graft.sources.ManifestSink.committedFiles(out).toSet == committed,
-      "replay did not self-heal the lost MANIFEST")
-    assert(readBack() == expected, "self-healed manifest diverged")
+    // the snapshot is derived purely from the log fragments (round 12
+    // dropped the per-commit derived MANIFEST rewrite — O(total files)
+    // metadata bytes per epoch): the table dir holds ONLY epoch/compact
+    // manifests and data/, nothing mutable to go stale or get lost
+    val topLevel = {
+      val s = Files.list(Paths.get(out))
+      try s.iterator().asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    assert(topLevel.forall(n => n == "data" || n.startsWith("epoch-") ||
+      n.startsWith("compact-")), s"unexpected derived state: $topLevel")
 
     // ——— epoch-manifest COMPACTION: a third epoch reaches the
     // compactInterval=3 threshold, so the three loose epoch manifests
@@ -446,7 +440,7 @@ class StreamingSpec extends AnyFunSuite {
     import graft.sources.{CommittedFile, ManifestSink, ManifestStreamingWrite}
     val dir = Files.createTempDirectory("graft_manifest_guards")
     val schema = StructType(Seq(StructField("v", LongType)))
-    val w = ManifestStreamingWrite(dir.toString, schema, 3, "run00001")
+    val w = ManifestStreamingWrite(dir.toString, schema, 3, "q_guard", "run00001")
     val data = Files.createDirectories(dir.resolve("data"))
     def fake(name: String): Unit =
       Files.write(data.resolve(name), "1\n".getBytes)
