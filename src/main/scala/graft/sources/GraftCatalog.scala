@@ -273,9 +273,17 @@ object GraftCatalog {
   *
   * The sink's data files are schema-less CSV rows (the landing format),
   * so the read schema comes from the `snap.<name>.schema` /
-  * `snap.schema` catalog conf and the scan DELEGATES to the builtin CSV
-  * DSv2 provider — the same naming-not-a-read-path contract as the `sf`
-  * namespace (pushdown, pruning and the vectorized reader ride along). */
+  * `snap.schema` catalog conf — VERIFIED against the `#schema` records
+  * the log carries for its committed epochs (round 12): a writer-side
+  * schema change is refused loudly instead of silently served under the
+  * old DDL. The scan DELEGATES to the builtin CSV DSv2 provider — the
+  * same naming-not-a-read-path contract as the `sf` namespace
+  * (pushdown, pruning and the vectorized reader ride along) — behind a
+  * DATA-SKIPPING wrapper ([[SnapScanBuilder]]) that prunes committed
+  * files whose recorded `#stats` min/max exclude the pushed predicates
+  * BEFORE the CSV scan ever sees them: the Delta/Iceberg file-skipping
+  * contract, and at 100 TB the difference between a pruned scan and a
+  * full pass. */
 private[sources] class SnapTable(tname: String, dir: String,
     tschema: org.apache.spark.sql.types.StructType, asOf: Option[Long])
     extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
@@ -301,14 +309,129 @@ private[sources] class SnapTable(tname: String, dir: String,
       case (None, Some(v)) => ManifestSink.committedFilesAsOf(dir, v)
       case (None, None) => ManifestSink.committedFiles(dir)
     }
+    // SCHEMA-IN-LOG verification: every epoch records the DDL it was
+    // written under; a declared schema that disagrees (count, names, or
+    // types — nullability aside) is refused with both DDLs spelled out.
+    // Logs predating the records (or hand-built fixtures) carry none
+    // and are served on the conf's authority, the pre-r12 contract.
+    ManifestSink.recordedSchemas(dir).foreach { ddl =>
+      val recorded = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      val ok = recorded.length == tschema.length &&
+        recorded.fields.zip(tschema.fields).forall { case (a, b) =>
+          a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType }
+      if (!ok) throw new IllegalArgumentException(
+        s"graft.snap.$tname: declared schema '${tschema.toDDL}' does not " +
+          s"match the schema the log records for committed epochs " +
+          s"('$ddl') — update the snap.$tname.schema catalog conf to " +
+          "the writer's schema (the log refuses rather than serve rows " +
+          "under a stale DDL)")
+    }
+    new SnapScanBuilder(tname, files, ManifestSink.fileStats(dir),
+      tschema, options)
+  }
+}
+
+private[graft] object SnapTable {
+  /** (table, filesListed, filesPlanned) of the most recent scan build in
+    * this JVM — observability for the file-skipping contract.
+    * SnapshotSpec pins that a filtered read plans strictly fewer files
+    * than the snapshot lists. */
+  @volatile private[graft] var lastPrune: (String, Int, Int) = ("", 0, 0)
+}
+
+/** Data-skipping scan builder over a resolved committed-file list: holds
+  * the pushed v1 filters, prunes files whose `#stats` (row count +
+  * per-long-column min/max, recorded at write time) cannot satisfy
+  * them, then delegates the pruned path list to the builtin CSV DSv2
+  * builder — forwarding the same filters (CSV row-level pushdown still
+  * applies) and the required-column pruning. All filters are reported
+  * as residual (`pushFilters` returns them, `pushedFilters` is empty),
+  * so Spark re-applies every predicate post-scan: file skipping is a
+  * strict optimization, never a correctness dependency — a file with no
+  * recorded stats simply cannot be skipped. */
+private[sources] class SnapScanBuilder(tname: String, files: Seq[String],
+    stats: Map[String, FileStat],
+    tschema: org.apache.spark.sql.types.StructType,
+    options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources._
+
+  private var filters: Array[Filter] = Array.empty
+  private var required: Option[org.apache.spark.sql.types.StructType] = None
+
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs; fs // all residual: Spark re-applies, skipping is bonus
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+  override def pruneColumns(requiredSchema: org.apache.spark.sql.types.StructType): Unit =
+    required = Some(requiredSchema)
+
+  private def longLit(v: Any): Option[Long] = v match {
+    case n: java.lang.Long => Some(n.longValue)
+    case n: java.lang.Integer => Some(n.longValue)
+    case n: java.lang.Short => Some(n.longValue)
+    case n: java.lang.Byte => Some(n.longValue)
+    case _ => None // non-integral comparand: never prune on it
+  }
+
+  private def range(st: FileStat, col: String): Option[(Long, Long)] =
+    st.cols.collectFirst { case (c, r) if c.equalsIgnoreCase(col) => r }
+
+  /** May ANY row of a file with stats `st` satisfy `f`? Conservative:
+    * unknown columns, non-integral comparands and unmodeled predicate
+    * shapes all answer true. */
+  private def mayMatch(st: FileStat, f: Filter): Boolean = {
+    def cmp(col: String, v: Any)(p: (Long, Long, Long) => Boolean): Boolean =
+      (range(st, col), longLit(v)) match {
+        case (Some((mn, mx)), Some(x)) => p(mn, mx, x)
+        case _ => true
+      }
+    f match {
+      case EqualTo(c, v) => cmp(c, v)((mn, mx, x) => x >= mn && x <= mx)
+      case EqualNullSafe(c, v) if v != null =>
+        cmp(c, v)((mn, mx, x) => x >= mn && x <= mx)
+      case GreaterThan(c, v) => cmp(c, v)((_, mx, x) => mx > x)
+      case GreaterThanOrEqual(c, v) => cmp(c, v)((_, mx, x) => mx >= x)
+      case LessThan(c, v) => cmp(c, v)((mn, _, x) => mn < x)
+      case LessThanOrEqual(c, v) => cmp(c, v)((mn, _, x) => mn <= x)
+      case In(c, vs) =>
+        vs.exists(v => cmp(c, v)((mn, mx, x) => x >= mn && x <= mx))
+      case And(l, r) => mayMatch(st, l) && mayMatch(st, r)
+      case Or(l, r) => mayMatch(st, l) || mayMatch(st, r)
+      case _ => true
+    }
+  }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val kept = files.filter { f =>
+      stats.get(java.nio.file.Paths.get(f).getFileName.toString) match {
+        case None => true // no stats recorded: cannot skip
+        case Some(st) => st.rows > 0 && filters.forall(mayMatch(st, _))
+      }
+    }
+    SnapTable.lastPrune = (tname, files.size, kept.size)
     // JSON-encode the path list ("paths" is the multi-path option every
     // file DSv2 source takes); manifest file names are uuid-safe
-    val paths = files.map(f => "\"" + f.replace("\\", "\\\\")
+    val paths = kept.map(f => "\"" + f.replace("\\", "\\\\")
       .replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
-    new org.apache.spark.sql.execution.datasources.v2.csv.CSVDataSourceV2()
+    val delegate = new org.apache.spark.sql.execution.datasources.v2.csv
+      .CSVDataSourceV2()
       .getTable(new CaseInsensitiveStringMap(
         Map("paths" -> paths).asJava), tschema)
       .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
       .newScanBuilder(options)
+    delegate match {
+      case p: org.apache.spark.sql.connector.read.SupportsPushDownFilters =>
+        p.pushFilters(filters)
+      case _ =>
+    }
+    delegate match {
+      case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+        required.foreach(p.pruneColumns)
+      case _ =>
+    }
+    delegate.build()
   }
 }

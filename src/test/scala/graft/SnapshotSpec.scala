@@ -352,6 +352,87 @@ class SnapshotSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(root2)
   }
 
+  test("DATA SKIPPING: a filtered snap read plans strictly fewer files " +
+    "than the snapshot lists (pruned by the #stats min/max the writers " +
+    "recorded), with values identical to the unpruned read; SCHEMA-IN-" +
+    "LOG: an epoch landed under a different schema makes reads refuse " +
+    "loudly instead of serving rows under a stale DDL") {
+    val root = Files.createTempDirectory("graft_snap_skip")
+    val snapDir = root.resolve("snap"); Files.createDirectories(snapDir)
+    val log = snapDir.resolve("kv").toString
+    // four single-file epochs with DISJOINT k ranges — the stats index
+    // makes each range filter resolvable to exactly one file
+    (0 until 4).foreach { i =>
+      (0 to 2).map(j => (i * 100L + j, s"v$i$j")).toDF("k", "name")
+        .coalesce(1).write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", snapDir.toString)
+    s.conf.set("spark.sql.catalog.graft.snap.kv.schema", "k LONG, name STRING")
+    def prune(): (Int, Int) = {
+      val (t, listed, planned) = graft.sources.SnapTable.lastPrune
+      assert(t == "kv", s"prune recorder saw table '$t'")
+      (listed, planned)
+    }
+    // unfiltered: all four files plan
+    assert(s.sql("SELECT k FROM graft.snap.kv").count() == 12)
+    assert(prune() == (4, 4))
+    // equality: one file
+    val eq = s.sql("SELECT k, name FROM graft.snap.kv WHERE k = 101")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(eq == Set((101L, "v11")))
+    assert(prune() == (4, 1), s"k=101 should plan 1 of 4 files: ${prune()}")
+    // range: two files (k >= 200)
+    assert(s.sql("SELECT count(*) AS n FROM graft.snap.kv WHERE k >= 200")
+      .collect().head.getLong(0) == 6)
+    assert(prune() == (4, 2))
+    // conjunction and IN
+    assert(s.sql(
+      "SELECT count(*) AS n FROM graft.snap.kv WHERE k > 150 AND k < 250")
+      .collect().head.getLong(0) == 3)
+    assert(prune() == (4, 1))
+    assert(s.sql(
+      "SELECT count(*) AS n FROM graft.snap.kv WHERE k IN (2, 302)")
+      .collect().head.getLong(0) == 2)
+    assert(prune() == (4, 2))
+    // impossible predicate: ZERO files plan, empty (not failing) scan
+    assert(s.sql("SELECT k FROM graft.snap.kv WHERE k = 5000").count() == 0)
+    assert(prune() == (4, 0))
+    // string-column predicates don't prune (no stats for strings), and
+    // results stay correct — skipping is an optimization, never load-bearing
+    assert(s.sql(
+      "SELECT count(*) AS n FROM graft.snap.kv WHERE name = 'v22'")
+      .collect().head.getLong(0) == 1)
+    assert(prune() == (4, 4))
+    // time travel composes with skipping: snapshot 1 lists 2 files,
+    // the filter keeps one
+    assert(s.sql(
+      "SELECT count(*) AS n FROM graft.snap.kv VERSION AS OF 1 WHERE k < 100")
+      .collect().head.getLong(0) == 3)
+    assert(prune() == (2, 1))
+
+    // ——— SCHEMA-IN-LOG: land an epoch under a WIDENED schema; every
+    // read now refuses (one table serves one schema — CSV rows of mixed
+    // arity under a single DDL would misparse, so the log refuses
+    // rather than mask), naming both DDLs
+    (0 to 1).map(j => (900L + j, s"w$j", j.toLong))
+      .toDF("k", "name", "extra").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", log).mode("append").save()
+    val refuse = intercept[Exception](
+      s.sql("SELECT k FROM graft.snap.kv").collect())
+    assert(refuse.toString.contains("does not match") &&
+      refuse.toString.contains("extra"), refuse.toString)
+    // the widened conf ALSO refuses (the old epochs recorded the narrow
+    // schema): evolution means a new table, never silent reinterpretation
+    s.conf.set("spark.sql.catalog.graft.snap.kv.schema",
+      "k LONG, name STRING, extra LONG")
+    intercept[Exception](s.sql("SELECT k FROM graft.snap.kv").collect())
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("ReadLimit admission (advisor r11): the tailing stream honors " +
     "engine-provided maxRows/maxFiles/composite limits, sized from the " +
     "#stats records the epoch manifests carry; at least one epoch " +
