@@ -215,6 +215,8 @@ object SparkEntry {
     "q_dsv2_join_push"   -> Materialize.dsv2JoinPush _,
     "q_dsv2_stats"       -> Materialize.dsv2Stats _,
     "q_dsv2_sink"        -> Materialize.dsv2SinkRoundTrip _,
+    "q_snap_skipping"    -> Materialize.snapSkippingRead _,
+    "q_vacuum_sql"       -> Materialize.vacuumSql _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
     "q_snapshot_diff"    -> Materialize.snapshotDiff _,
     "q_bpe_merges"       -> TextOps.bpeMerges _,
@@ -2315,6 +2317,22 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
         |GROUP BY 1""".stripMargin,
+    "q_snap_skipping" -> // the filtered snap read plans ONLY the files
+      // whose recorded #stats admit epoch_tag=2 (SnapshotSpec pins the
+      // planned-file count); values are the event_id%4=2 residue slice
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND user_id IS NOT NULL AND value IS NOT NULL
+        |  AND event_type IS NOT NULL AND event_id % 4 = 2
+        |GROUP BY event_type""".stripMargin,
+    "q_vacuum_sql" -> // CALL graft.sys.vacuum reclaims exactly the two
+      // planted, back-dated orphans (committed files are never
+      // candidates — re-counted in the query; age-gating spec-pinned)
+      """SELECT * FROM (VALUES ('orphan-a.csv'), ('orphan-b.csv'))
+        |  AS t(deleted) ORDER BY deleted""".stripMargin,
     "q_dsv2_scan" -> // regenerate the synthetic source's integer
       // formulas over the pushed id range [25000, 75000)
       """SELECT 't' || CAST(i % 5 AS VARCHAR) AS event_type,

@@ -851,6 +851,85 @@ object Materialize {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** DATA SKIPPING end-to-end (`q_snap_skipping`): four batch appends
+    * land the complete events as four epochs of a manifest table, each
+    * epoch tagged with its residue (`epoch_tag = event_id % 4`, a
+    * constant per epoch — so the per-file `#stats` min/max the writers
+    * record make `WHERE epoch_tag = 2` resolvable to exactly that
+    * epoch's files). The filtered catalog read then PLANS only the
+    * pruned files ([[graft.sources.SnapScanBuilder]]): the
+    * Delta/Iceberg file-skipping contract under an oracled query — at
+    * 100 TB, the difference between scanning one epoch and scanning the
+    * table. The oracle reproduces the slice as the residue filter.
+    * SnapshotSpec pins the planned-file counts directly. */
+  def snapSkippingRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_skip_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val log = new java.io.File(root, "evskip").toString
+    val complete = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    (0 until 4).foreach { k =>
+      complete.filter(col("event_id") % 4 === k)
+        .withColumn("epoch_tag", lit(k.toLong))
+        .coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    spark.conf.set("spark.sql.catalog.graft.snap.evskip.schema",
+      "event_id LONG, user_id LONG, event_type STRING, epoch_tag LONG")
+    spark.sql(
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users, sum(event_id) AS id_sum
+        |FROM graft.snap.evskip WHERE epoch_tag = 2
+        |GROUP BY event_type""".stripMargin)
+  }
+
+  /** VACUUM from pure SQL (`q_vacuum_sql`): a manifest table gets two
+    * committed epochs plus two planted crash orphans (unreferenced data
+    * files, back-dated past any retention window), then
+    * `CALL graft.sys.vacuum(table, older_than_ms)` reclaims exactly the
+    * orphans through the catalog's `ProcedureCatalog` face
+    * ([[graft.sources.VacuumProcedure]]) and returns their names — the
+    * query's deterministic result. An age-gated pre-call (young cutoff)
+    * proves fresh files survive, and the committed snapshot is
+    * re-counted after the reclaim to pin that vacuum never touches
+    * committed data. */
+  def vacuumSql(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val root = processScratchDir(
+      s"graft_vacuum_sql_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(Paths.get(root))
+    val log = new java.io.File(root, "vt").toString
+    val rows = spark.range(0, 100).selectExpr("id AS k", "repeat('x', 8) AS name")
+    rows.coalesce(1).write.format("graft.sources.ManifestSink")
+      .option("path", log).mode("append").save()
+    rows.coalesce(1).write.format("graft.sources.ManifestSink")
+      .option("path", log).mode("append").save()
+    val orphans = Seq("orphan-a.csv", "orphan-b.csv")
+    orphans.foreach { n =>
+      val p = Paths.get(log, "data", n)
+      Files.write(p, "9,z\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(0))
+    }
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    spark.conf.set("spark.sql.catalog.graft.snap.vt.schema", "k LONG, name STRING")
+    // age gate: nothing younger than a day is reclaimable — the planted
+    // orphans are back-dated, live task files would not be
+    val aged = spark.sql("CALL graft.sys.vacuum('vt', 86400000)")
+    val committedAfter = spark.sql("SELECT count(*) FROM graft.snap.vt")
+      .collect().head.getLong(0)
+    require(committedAfter == 200,
+      s"vacuum touched the committed snapshot: $committedAfter rows left")
+    aged.orderBy("deleted")
+  }
+
   def dsv2Scan(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("graft.sources.SyntheticSource")
       .option("rows", 100000L).option("slices", 16)

@@ -52,7 +52,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * served through the `FunctionCatalog` face (`fn` namespace,
   * [[CatalogFunctions]]).
   */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   import GraftCatalog._
 
   private var catalogName: String = _
@@ -214,6 +215,30 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         .NoSuchFunctionException(ident)
     }
 
+  /** The `ProcedureCatalog` face: operational commands under the `sys`
+    * namespace, invoked as `CALL graft.sys.vacuum(table, older_than_ms)`
+    * — storage reclamation for `snap` manifest tables from pure SQL
+    * ([[VacuumProcedure]]), the Delta-VACUUM shape. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    namespace.toSeq match {
+      case Seq(SysNs) => Array(Identifier.of(namespace, "vacuum"))
+      case Seq(SfNs) | Seq(GenNs) | Seq(MutNs) | Seq(SnapNs) | Seq(FnNs) =>
+        Array.empty
+      case _ => throw new NoSuchNamespaceException(namespace)
+    }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    ident.namespace().toSeq match {
+      case Seq(SysNs) if ident.name() == "vacuum" =>
+        new VacuumProcedure(() => option(s"$SnapNs.dir").getOrElse(
+          throw new IllegalArgumentException(
+            s"set spark.sql.catalog.$catalogName.$SnapNs.dir before " +
+              s"CALL $catalogName.$SysNs.vacuum")))
+      case _ => throw new UnsupportedOperationException(
+        s"$catalogName has no procedure $ident (available: $SysNs.vacuum)")
+    }
+
   override def createTable(ident: Identifier, schema: org.apache.spark.sql.types.StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: util.Map[String, String]): Table =
@@ -237,6 +262,7 @@ object GraftCatalog {
   val FnNames: Seq[String] = Seq("band", "xsum")
   val MutNs = "mut"
   val SnapNs = "snap"
+  val SysNs = "sys"
 
   /** The driver-generated scale-factor tables ([[Tables]]). `events` is
     * served through its own load branch that applies the

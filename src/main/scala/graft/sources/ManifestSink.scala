@@ -600,7 +600,7 @@ case class ManifestBatchWrite(path: String, schema: StructType,
     * fragment listing keep a consistent (merely older) snapshot. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Files.createDirectories(Paths.get(path))
-    val files = messages.collect { case m: CommittedFile => m }.sortBy(_.name)
+    val files = messages.collect { case m: CommittedFile => m }.sortBy(_.name).toSeq
     val content = s"#schema ${schema.toDDL}" +:
       (files.map(ManifestSink.statsLine) ++ files.map(_.name))
     ManifestSink.claimEpoch(dir, content)
@@ -658,7 +658,7 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
       }
       return
     }
-    val files = messages.collect { case m: CommittedFile => m }.sortBy(_.name)
+    val files = messages.collect { case m: CommittedFile => m }.sortBy(_.name).toSeq
     val content = Seq(s"#txn $writerId $epochId", s"#schema ${schema.toDDL}") ++
       files.map(ManifestSink.statsLine) ++ files.map(_.name)
     ManifestSink.claimEpoch(dir, content)

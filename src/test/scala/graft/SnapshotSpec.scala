@@ -484,6 +484,54 @@ class SnapshotSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(root)
   }
 
+  test("VACUUM through SQL (CALL graft.sys.vacuum): the age gate holds " +
+    "on the SQL path (fresh orphans survive a day-long cutoff), " +
+    "committed files are never reclaimed, and procedure resolution " +
+    "errors are loud; q_snap_skipping really plans fewer files than " +
+    "the snapshot lists") {
+    val root = Files.createTempDirectory("graft_vacuum_face")
+    val log = root.resolve("vt").toString
+    (1L to 3L).map(i => (i, s"r$i")).toDF("k", "name").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", log).mode("append").save()
+    val fresh = Paths.get(log, "data", "orphan-fresh.csv")
+    Files.write(fresh, "9,z\n".getBytes(StandardCharsets.UTF_8))
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.conf.set("spark.sql.catalog.graft.snap.vt.schema", "k LONG, name STRING")
+    // age gate through SQL: a fresh unreferenced file may be mid-commit
+    assert(s.sql("CALL graft.sys.vacuum('vt', 86400000)").count() == 0,
+      "SQL vacuum reclaimed a fresh file (could be mid-commit)")
+    assert(Files.exists(fresh))
+    // zero cutoff reclaims it; the committed snapshot is untouched
+    val deleted = s.sql("CALL graft.sys.vacuum('vt', 0)")
+      .collect().map(_.getString(0)).toSeq
+    assert(deleted == Seq("orphan-fresh.csv"), deleted)
+    assert(s.sql("SELECT count(*) FROM graft.snap.vt")
+      .collect().head.getLong(0) == 3, "SQL vacuum touched committed data")
+    // resolution errors: unknown procedure, missing table, absent conf
+    val noProc = intercept[Exception](s.sql("CALL graft.sys.nope()").collect())
+    assert(noProc.toString.contains("Failed to load routine") &&
+      noProc.toString.contains("nope"), noProc.toString)
+    val noTable = intercept[Exception](
+      s.sql("CALL graft.sys.vacuum('ghost', 0)").collect())
+    assert(noTable.toString.contains("no manifest table"), noTable.toString)
+    graft.util.Fs.deleteRecursively(root)
+
+    // ——— q_snap_skipping (the oracled query): after it runs, the
+    // recorder must show a strict prune — the filter names one of the
+    // four residue epochs, so at most a quarter of the files plan
+    val q = graft.SparkEntry.queries("q_snap_skipping")(spark, TestSpark.Sf0001)
+    assert(q.collect().nonEmpty)
+    val (t, listed, planned) = graft.sources.SnapTable.lastPrune
+    assert(t == "evskip", s"prune recorder saw '$t'")
+    assert(planned >= 1 && planned < listed,
+      s"q_snap_skipping did not skip files: $planned of $listed planned")
+    assert(listed == 4 && planned == 1,
+      s"four residue epochs, one matching: expected (4,1), got ($listed,$planned)")
+  }
+
   test("committedFilesBetween: epoch windows are exact deltas; windows " +
     "crossing swept epochs are refused; pre-sweep loose history still " +
     "serves") {
