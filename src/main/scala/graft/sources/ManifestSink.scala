@@ -191,12 +191,30 @@ object ManifestSink {
   /** This streaming writer's committed ENGINE-epoch watermark: the max
     * `#txn <writerId> <e>` record across the live fragments, -1 if the
     * writer never committed. Compaction folds the max forward, so the
-    * watermark survives sweeps exactly like the data it describes. */
+    * watermark survives sweeps exactly like the data it describes.
+    *
+    * `#txn` records LEAD every fragment (writers emit them first;
+    * compaction re-emits them first), so the read stops at the first
+    * non-txn line — O(writers) bytes per fragment, never O(committed
+    * files). This is what keeps the per-commit replay check flat as the
+    * table ages (LakeLadder measures it at 1,000 epochs). */
   private[sources] def txnWatermark(dir: Path, writerId: String): Long = retryVanish() {
     manifestFragments(dir)
-      .flatMap(readHeaders)
+      .flatMap(readTxnLines)
       .collect { case TxnLine(w, e) if w == writerId => e }
       .maxOption.getOrElse(-1L)
+  }
+
+  private def readTxnLines(p: Path): Seq[String] = {
+    val in = Files.newBufferedReader(p, java.nio.charset.StandardCharsets.UTF_8)
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      var line = in.readLine()
+      while (line != null && line.startsWith("#txn")) {
+        buf += line; line = in.readLine()
+      }
+      buf.toSeq
+    } finally in.close()
   }
 
   private object TxnLine {

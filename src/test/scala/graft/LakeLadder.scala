@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.sources.{ColStat, CommittedFile, ManifestBatchWrite, ManifestSink, ManifestStreamingWrite}
+
+/** Scale rung for the LAKE surface (VERDICT r11 item 5): the text/graph
+  * ladder proves the QUERY side; this drives the epoch LOG itself to
+  * 1,000 commits — two streaming writers interleaved with batch appends,
+  * the exact mixed-writer traffic the round-12 identity protocol
+  * serves — and measures what a long-lived table costs:
+  *
+  *  - per-commit metadata bytes (non-compacting commits must stay FLAT
+  *    as the table ages; only the every-interval compaction pays the
+  *    union — the r11 scheme re-wrote the union on EVERY commit),
+  *  - AS-OF snapshot reconstruction and incremental-window reads at
+  *    age 1,000 (O(fragments) = O(epochs/interval) metadata reads),
+  *  - the streaming replay check (txnWatermark) at age 1,000 — #txn
+  *    records lead every fragment, so it reads O(writers) bytes,
+  *  - a filtered snap SQL read whose `#stats` prune 999 of 1,000 files
+  *    at scan build (the data-skipping economics at table age),
+  *  - VACUUM over a 5,000-file orphan set next to 1,000 committed files.
+  *
+  * Commits drive the connector protocol directly (the commit path is
+  * driver-side metadata by design — no cluster needed to exercise it);
+  * the final reads go through the real catalog SQL face. Results are
+  * recorded in COVERAGE.md's round-12 ledger.
+  *
+  * `Test/runMain graft.LakeLadder [epochs]` */
+object LakeLadder {
+  private def nowS(t0: Long): Double = (System.nanoTime() - t0) / 1e9
+
+  def main(args: Array[String]): Unit = {
+    // default 1005: five epochs stay loose past the last compaction, so
+    // the incremental-window probe has a servable tail (a multiple of
+    // the interval leaves everything compacted — windows then refuse,
+    // which is itself asserted below)
+    val epochs = args.headOption.map(_.toInt).getOrElse(1005)
+    val root = Files.createTempDirectory("graft_lake_ladder")
+    val log = root.resolve("big").toString
+    val dataDir = Files.createDirectories(Paths.get(log, "data"))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("name", StringType)))
+    val batch = ManifestBatchWrite(log, schema)
+    val streamA = ManifestStreamingWrite(log, schema, 10, "ladderA", "runA")
+    val streamB = ManifestStreamingWrite(log, schema, 10, "ladderB", "runB")
+    var (engineA, engineB) = (-1L, -1L)
+
+    // ——— 1,000 mixed commits: ~1/3 stream A, ~1/7 stream B, rest batch
+    val deltas = new Array[Long](epochs)
+    var (batchN, streamN) = (0, 0)
+    val t0 = System.nanoTime()
+    (0 until epochs).foreach { i =>
+      val name = f"f$i%06d.csv"
+      Files.write(dataDir.resolve(name),
+        s"$i,x\n".getBytes(StandardCharsets.UTF_8))
+      val msg = CommittedFile(name, 1, Seq(ColStat("k", i, i)))
+      val before = ManifestSink.metadataBytes.get()
+      if (i % 3 == 2) { engineA += 1; streamA.commit(engineA, Array(msg)); streamN += 1 }
+      else if (i % 7 == 6) { engineB += 1; streamB.commit(engineB, Array(msg)); streamN += 1 }
+      else { batch.commit(Array(msg)); batchN += 1 }
+      deltas(i) = ManifestSink.metadataBytes.get() - before
+    }
+    val buildWall = nowS(t0)
+    val flat = deltas.zipWithIndex.filterNot(_._2 % 10 == 9).map(_._1)
+    val compacting = deltas.zipWithIndex.filter(_._2 % 10 == 9).map(_._1)
+    def count(prefix: String): Int = {
+      val s = Files.list(Paths.get(log))
+      try s.iterator().asScala.count(_.getFileName.toString.startsWith(prefix))
+      finally s.close()
+    }
+    require(count("compact-") == 1 && count("epoch-") == epochs % 10,
+      s"fragment shape: ${count("compact-")} compacts ${count("epoch-")} loose")
+    require(ManifestSink.newestVersion(log) == epochs - 1,
+      s"mixed commits must serialize onto $epochs distinct epochs")
+    println(f"LAKE build epochs=$epochs (batch=$batchN stream=$streamN) " +
+      f"wall=$buildWall%.2fs metaBytesPerCommit[noncompact min/median/max]=" +
+      f"${flat.min}/${flat.sorted.apply(flat.length / 2)}/${flat.max} " +
+      f"compactBytes[first/last]=${compacting.head}/${compacting.last} " +
+      s"fragments=${1 + epochs % 10}")
+    require(flat.max <= flat.min + 24,
+      s"non-compacting commit metadata grew with age: ${flat.min}..${flat.max}")
+
+    // ——— reads at table age: AS-OF, incremental window, replay check
+    val t1 = System.nanoTime()
+    val full = ManifestSink.committedFilesAsOf(log, epochs - 1)
+    val asOfWall = nowS(t1)
+    require(full.size == epochs, s"as-of newest lists ${full.size}")
+    val t2 = System.nanoTime()
+    val window = ManifestSink.committedFilesBetween(log, epochs - 6, epochs - 1)
+    val incrWall = nowS(t2)
+    require(window.size == 5, s"(n-6, n-1] window lists ${window.size}")
+    // a window reaching past the sweep refuses loudly (retention bounds
+    // incremental reads — never a silently-wrong delta)
+    val swept = try { ManifestSink.committedFilesBetween(log, 0, 20); false }
+    catch { case e: IllegalStateException =>
+      e.getMessage.contains("re-read the full snapshot") }
+    require(swept, "swept incremental window did not refuse")
+    // the replay check: commit engineA's CURRENT watermark again — a
+    // replay — with a planted orphan; the log must not change
+    val t3 = System.nanoTime()
+    val orphan = "replay-orphan.csv"
+    Files.write(dataDir.resolve(orphan), "0,z\n".getBytes(StandardCharsets.UTF_8))
+    val sizeBefore = ManifestSink.committedFiles(log).size
+    streamA.commit(engineA, Array(CommittedFile(orphan, 1, Seq())))
+    val replayWall = nowS(t3)
+    require(ManifestSink.committedFiles(log).size == sizeBefore &&
+      !Files.exists(dataDir.resolve(orphan)),
+      "replayed epoch at age 1000 changed the snapshot or left its orphan")
+    println(f"LAKE reads asOf(newest)=$asOfWall%.3fs incrWindow=$incrWall%.3fs " +
+      f"replayCheck+cleanup=$replayWall%.3fs (txn read is O(writers): " +
+      "#txn records lead each fragment)")
+
+    // ——— the SQL face at age 1,000: full count + a stats-pruned point read
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.sources.GraftCatalog.register(spark, "/root/testdata/sf0.001")
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    spark.conf.set("spark.sql.catalog.graft.snap.big.schema", "k LONG, name STRING")
+    val t4 = System.nanoTime()
+    val n = spark.sql("SELECT count(*) FROM graft.snap.big").collect().head.getLong(0)
+    val fullReadWall = nowS(t4)
+    require(n == epochs, s"SQL count $n != $epochs")
+    val t5 = System.nanoTime()
+    val one = spark.sql(s"SELECT k FROM graft.snap.big WHERE k = ${epochs / 2}")
+      .collect()
+    val pointWall = nowS(t5)
+    val (_, listed, planned) = graft.sources.SnapTable.lastPrune
+    require(one.length == 1 && one.head.getLong(0) == epochs / 2)
+    require(listed == epochs && planned == 1,
+      s"stats skipping at age $epochs: planned $planned of $listed")
+    println(f"LAKE sql fullCount=$fullReadWall%.2fs pointRead=$pointWall%.2fs " +
+      s"filesPlanned=$planned/$listed (#stats prune at scan build)")
+
+    // ——— VACUUM over a big orphan set next to the committed files
+    (0 until 5000).foreach { i =>
+      val p = dataDir.resolve(f"orphan-$i%05d.csv")
+      Files.write(p, "9,z\n".getBytes(StandardCharsets.UTF_8))
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(0))
+    }
+    val t6 = System.nanoTime()
+    val reclaimed = ManifestSink.vacuum(log, 60000)
+    val vacWall = nowS(t6)
+    require(reclaimed.size == 5000, s"vacuum reclaimed ${reclaimed.size}")
+    require(ManifestSink.committedFiles(log).size == epochs &&
+      Files.exists(dataDir.resolve(f"f${epochs / 2}%06d.csv")),
+      "vacuum touched committed data")
+    println(f"LAKE vacuum orphans=5000 committedKept=$epochs wall=$vacWall%.2fs " +
+      s"loadavg=${scala.io.Source.fromFile("/proc/loadavg").mkString.trim}")
+    spark.stop()
+    graft.util.Fs.deleteRecursively(root)
+    println("LAKE-LADDER ALL GREEN")
+  }
+}

@@ -532,6 +532,50 @@ class SnapshotSpec extends AnyFunSuite {
       s"four residue epochs, one matching: expected (4,1), got ($listed,$planned)")
   }
 
+  test("METADATA COST PIN (round 12): across a 100-epoch log, a " +
+    "non-compacting commit writes metadata proportional to ITS OWN " +
+    "delta — independent of table age (r11 rewrote the full union per " +
+    "commit: O(total files) bytes per epoch, cumulatively quadratic); " +
+    "only the every-interval compaction pays O(union)") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import graft.sources.{ColStat, CommittedFile, ManifestBatchWrite, ManifestSink}
+    val dir = Files.createTempDirectory("graft_meta_cost")
+    val w = ManifestBatchWrite(dir.toString,
+      StructType(Seq(StructField("k", LongType)))) // compactInterval 10
+    val deltas = (0 until 100).map { i =>
+      val before = graft.sources.ManifestSink.metadataBytes.get()
+      w.commit(Array(CommittedFile(f"f$i%03d.csv", 1, Seq(ColStat("k", i, i)))))
+      graft.sources.ManifestSink.metadataBytes.get() - before
+    }
+    // non-compacting commits: one epoch manifest of one file — flat
+    // across the log's whole life (the id-width slack is a few chars)
+    val flat = deltas.zipWithIndex.filterNot(_._2 % 10 == 9).map(_._1)
+    assert(flat.max <= flat.min + 16,
+      s"non-compacting commit metadata grew with table age: " +
+        s"min=${flat.min} max=${flat.max}")
+    val early = deltas.zipWithIndex.filter(e => e._2 % 10 != 9 && e._2 < 10)
+    val late = deltas.zipWithIndex.filter(e => e._2 % 10 != 9 && e._2 >= 90)
+    assert(late.map(_._1).max <= early.map(_._1).max + 16,
+      s"late commits cost more than early: $early vs $late")
+    // compacting commits (every 10th) pay the union — strictly growing,
+    // and the ONLY place O(total) is paid
+    val compacting = deltas.zipWithIndex.filter(_._2 % 10 == 9).map(_._1)
+    assert(compacting == compacting.sorted && compacting.last > flat.max,
+      s"compaction cost not the growing O(union) term: $compacting")
+    // after 100 epochs at interval 10: exactly one compact fragment
+    // remains and zero loose epochs — fragments-read is O(N/interval)
+    def top(prefix: String): Int = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.count(_.getFileName.toString.startsWith(prefix))
+      finally s.close()
+    }
+    assert(top("compact-") == 1 && top("epoch-") == 0,
+      s"fragment shape off: ${top("compact-")} compacts, ${top("epoch-")} loose")
+    assert(ManifestSink.newestVersion(dir.toString) == 99)
+    assert(ManifestSink.committedFiles(dir.toString).size == 100)
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("committedFilesBetween: epoch windows are exact deltas; windows " +
     "crossing swept epochs are refused; pre-sweep loose history still " +
     "serves") {
