@@ -920,6 +920,14 @@ object Materialize {
     graft.sources.GraftCatalog.register(spark, dir)
     spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
     spark.conf.set("spark.sql.catalog.graft.snap.vt.schema", "k LONG, name STRING")
+    // age-gate pre-call (advisor r12: the doc promised it; now it runs):
+    // a retention window far in the future reclaims NOTHING — even the
+    // back-dated orphans are younger than a ~30-year cutoff — proving
+    // the gate itself, not just the happy path
+    val young = spark.sql("CALL graft.sys.vacuum('vt', 999999999999999)")
+    require(young.count() == 0,
+      s"young-cutoff vacuum reclaimed ${young.count()} files; the age " +
+        "gate must protect everything inside the retention window")
     // age gate: nothing younger than a day is reclaimable — the planted
     // orphans are back-dated, live task files would not be
     val aged = spark.sql("CALL graft.sys.vacuum('vt', 86400000)")

@@ -358,11 +358,19 @@ private[sources] class SnapTable(tname: String, dir: String,
 }
 
 private[graft] object SnapTable {
-  /** (table, filesListed, filesPlanned) of the most recent scan build in
-    * this JVM — observability for the file-skipping contract.
+  /** (filesListed, filesPlanned) of the most recent scan build PER
+    * TABLE in this JVM — observability for the file-skipping contract.
     * SnapshotSpec pins that a filtered read plans strictly fewer files
-    * than the snapshot lists. */
-  @volatile private[graft] var lastPrune: (String, Int, Int) = ("", 0, 0)
+    * than the snapshot lists. Keyed by table name (advisor r12: one
+    * JVM-global slot raced under concurrent snap scans, and an
+    * asserting test could silently observe another table's prune). */
+  private val prunes =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  private[sources] def recordPrune(table: String, listed: Int, planned: Int): Unit =
+    prunes.put(table, (listed, planned))
+  /** Most recent (listed, planned) for `table`; (0, 0) if never scanned. */
+  private[graft] def lastPruneOf(table: String): (Int, Int) =
+    Option(prunes.get(table)).getOrElse((0, 0))
 }
 
 /** Data-skipping scan builder over a resolved committed-file list: holds
@@ -437,7 +445,7 @@ private[sources] class SnapScanBuilder(tname: String, files: Seq[String],
         case Some(st) => st.rows > 0 && filters.forall(mayMatch(st, _))
       }
     }
-    SnapTable.lastPrune = (tname, files.size, kept.size)
+    SnapTable.recordPrune(tname, files.size, kept.size)
     // JSON-encode the path list ("paths" is the multi-path option every
     // file DSv2 source takes); manifest file names are uuid-safe
     val paths = kept.map(f => "\"" + f.replace("\\", "\\\\")

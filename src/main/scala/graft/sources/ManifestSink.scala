@@ -243,7 +243,14 @@ object ManifestSink {
     manifestFragments(Paths.get(path))
       .flatMap(readHeaders)
       .flatMap(parseStats)
-      .toMap // duplicates across a crash window carry identical content
+      .groupBy(_._1)
+      // duplicates across a crash window carry identical content; a
+      // CONFLICTING duplicate (two writers claiming one name — a naming
+      // bug the run tokens are designed out of) must never feed the
+      // skipping index, so its name simply loses its stats: an unpruned
+      // file is a slow read, a mispruned file is a wrong answer
+      .collect { case (n, recs) if recs.map(_._2).distinct.size == 1 =>
+        n -> recs.head._2 }
   }
 
   private def parseStats(line: String): Option[(String, FileStat)] = {
@@ -287,10 +294,30 @@ object ManifestSink {
     * because the only way the id space passes N without our link is a
     * prior epoch-N absorbed by a compact that LANDED before our link
     * could succeed (sweep strictly follows the compact move), so
-    * re-reading the horizon after the link always sees it. */
+    * re-reading the horizon after the link always sees it.
+    *
+    * The trip has a second, BENIGN cause (advisor r12): our OWN freshly
+    * linked epoch-N was legitimately first at N and a racing committer's
+    * compaction absorbed it between the link and the re-check — horizon
+    * >= N, but the commit IS published (inside the compact). Retrying
+    * there would republish identical content under a new id: snapshot
+    * reads dedupe by name, but incremental windows would deliver the
+    * same files in two epoch deltas. So on a trip the fragment union is
+    * consulted first: if it already carries this commit's file names (or
+    * its `#txn` watermark — the empty-streaming-epoch case), the claim
+    * is PUBLISHED and no retry happens. Sound because a genuinely stale
+    * claim's epoch sits below the horizon where no compaction ever reads
+    * it, and its run-unique file names exist in no other manifest. */
   private[sources] def claimEpoch(dir: Path, content: Seq[String]): Long = {
     val bytes = content.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val dataNames = content.filterNot(_.startsWith("#"))
+    val txn = content.collectFirst { case TxnLine(w, e) => (w, e) }
+    def absorbedByCompact: Boolean =
+      (dataNames.nonEmpty && {
+        val union = fragmentUnion(dir).toSet
+        dataNames.forall(union.contains)
+      }) || txn.exists { case (w, e) => txnWatermark(dir, w) >= e }
     val tmp = Files.createTempFile(dir, ".epoch", ".tmp")
     Files.write(tmp, bytes)
     try {
@@ -299,7 +326,8 @@ object ManifestSink {
         val next = nextEpochId(dir)
         try {
           Files.createLink(dir.resolve(epochName(next)), tmp)
-          if (latestCompact(dir).map(_._1).getOrElse(-1L) >= next) {
+          if (latestCompact(dir).map(_._1).getOrElse(-1L) >= next
+              && !absorbedByCompact) {
             // stale claim raced a compaction sweep: unpublishable — retry
             Files.deleteIfExists(dir.resolve(epochName(next)))
           } else {
@@ -395,7 +423,19 @@ object ManifestSink {
       .toSeq.sortBy(_._1).map { case (w, e) => s"#txn $w $e" }
     val schemas = headers.filter(_.startsWith("#schema ")).distinct
     val nameSet = names.toSet
-    val stats = headers.flatMap(parseStats).distinctBy(_._1)
+    val statRecords = headers.flatMap(parseStats)
+    // refuse to fold CONFLICTING stats for one name into the compact:
+    // first-seen-wins would freeze stats that may describe different
+    // bytes than the file holds, and skipping would silently go wrong
+    // (advisor r12) — run-unique file names make this unreachable, so a
+    // conflict here is a naming bug that must surface, not be absorbed
+    val conflicted = statRecords.groupBy(_._1)
+      .collect { case (n, recs) if recs.map(_._2).distinct.size > 1 => n }
+    if (conflicted.nonEmpty) throw new IllegalStateException(
+      s"conflicting #stats records for file(s) ${conflicted.mkString(", ")} " +
+        "in the manifest log — two writers claimed one data-file name; " +
+        "refusing to compact a skipping index that could prune live rows")
+    val stats = statRecords.distinctBy(_._1)
       .collect { case (f, st) if nameSet.contains(f) =>
         statsLine(CommittedFile(f, st.rows,
           st.cols.toSeq.sortBy(_._1).map { case (c, (a, b)) => ColStat(c, a, b) })) }
@@ -446,19 +486,38 @@ object ManifestSink {
   def vacuum(path: String, olderThanMs: Long): Seq[String] = {
     require(olderThanMs >= 0, s"olderThanMs must be >= 0, got $olderThanMs")
     val dir = Paths.get(path)
-    val dataDir = dir.resolve("data")
-    if (!Files.isDirectory(dataDir)) return Seq.empty
-    val keep = fragmentUnion(dir).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val victims = {
-      val s = Files.list(dataDir)
-      try s.iterator().asScala.toSeq
-        .filter(p => !keep.contains(p.getFileName.toString) &&
-          Files.getLastModifiedTime(p).toMillis <= cutoff)
-      finally s.close()
-    }
-    victims.foreach(Files.deleteIfExists(_))
-    victims.map(_.getFileName.toString).sorted
+    // metadata-dir temp litter first (advisor r12): a committer that
+    // crashes between createTempFile and its finally-cleanup leaks
+    // .epoch*.tmp / .compact-*.tmp in the table root, which no data-dir
+    // sweep would ever reach. Age-gating protects a LIVE committer's
+    // temp (its link source) exactly as it protects in-flight task files
+    val litter =
+      if (!Files.isDirectory(dir)) Seq.empty[Path]
+      else listPrefixed(dir, ".").filter { p =>
+        val n = p.getFileName.toString
+        (n.startsWith(".epoch") || n.startsWith(".compact-")) &&
+          n.endsWith(".tmp") && Files.getLastModifiedTime(p).toMillis <= cutoff
+      }
+    litter.foreach(Files.deleteIfExists(_))
+    val dataDir = dir.resolve("data")
+    if (!Files.isDirectory(dataDir))
+      return litter.map(_.getFileName.toString).sorted
+    val keep = fragmentUnion(dir).toSet
+    // the listing STREAMS (no toSeq materialization of the directory):
+    // driver memory stays O(committed snapshot) — the keep set — not
+    // O(total files in the dir); walltime is one flat-directory pass,
+    // measured at the 50k-orphan LakeLadder rung
+    val victims = scala.collection.mutable.ArrayBuffer[String]()
+    val s = Files.list(dataDir)
+    try s.iterator().asScala.foreach { p =>
+      if (!keep.contains(p.getFileName.toString) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff) {
+        Files.deleteIfExists(p)
+        victims += p.getFileName.toString
+      }
+    } finally s.close()
+    (litter.map(_.getFileName.toString) ++ victims).sorted
   }
 
   /** Newest committed epoch id — the current snapshot's version. */
@@ -608,7 +667,8 @@ case class ManifestBatchWrite(path: String, schema: StructType,
     compactInterval: Int = ManifestSink.DefaultCompactInterval) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     ManifestWriterFactory(path, schema.fields.map(_.name),
-      schema.fields.map(_.dataType.typeName))
+      schema.fields.map(_.dataType.typeName),
+      java.util.UUID.randomUUID.toString.take(8))
 
   /** Batch appends are VERSIONED commits on the same epoch log the
     * streaming face writes: the commit claims the next epoch id through
@@ -715,13 +775,19 @@ case class ManifestStreamingWriterFactory(path: String, fieldNames: Array[String
 }
 
 case class ManifestWriterFactory(path: String, fieldNames: Array[String],
-    fieldTypes: Array[String]) extends DataWriterFactory {
+    fieldTypes: Array[String], runToken: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    // taskId is unique across the application, so re-runs into the
-    // same directory never collide — superseded files become
-    // manifest-invisible orphans
+    // taskId distinguishes attempts WITHIN the application; the run
+    // token (advisor r12) distinguishes APPLICATIONS — taskIds restart
+    // at 0 in a new SparkContext, so without it a second app appending
+    // to the same table could reuse a committed file's name, truncate
+    // its content, and leave the name's first-seen `#stats` describing
+    // the old bytes (data skipping would then prune a file that holds
+    // matching rows — silently wrong results). With both, every write
+    // lands under a fresh name and superseded files become
+    // manifest-invisible orphans for VACUUM
     ManifestWriters.create(path, fieldNames, fieldTypes,
-      f"part-$partitionId%05d-$taskId.csv")
+      f"part-$partitionId%05d-$taskId-$runToken.csv")
 }
 
 /** One task-file writer, shared by the batch and streaming factories —

@@ -391,7 +391,7 @@ class IngestSpec extends AnyFunSuite {
     // uncommitted task files are invisible: a writer commits its FILE,
     // but without the driver's manifest commit nothing is visible
     val lone = Files.createTempDirectory("graft_manifest_lone").toString
-    val w = graft.sources.ManifestWriterFactory(lone, Array("v"), Array("long"))
+    val w = graft.sources.ManifestWriterFactory(lone, Array("v"), Array("long"), "t0ken")
       .createWriter(0, 999999L)
     w.write(org.apache.spark.sql.catalyst.InternalRow(42L))
     val msg = w.commit()

@@ -136,7 +136,7 @@ object LakeLadder {
     val one = spark.sql(s"SELECT k FROM graft.snap.big WHERE k = ${epochs / 2}")
       .collect()
     val pointWall = nowS(t5)
-    val (_, listed, planned) = graft.sources.SnapTable.lastPrune
+    val (listed, planned) = graft.sources.SnapTable.lastPruneOf("big")
     require(one.length == 1 && one.head.getLong(0) == epochs / 2)
     require(listed == epochs && planned == 1,
       s"stats skipping at age $epochs: planned $planned of $listed")

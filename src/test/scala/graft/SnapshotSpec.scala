@@ -371,11 +371,7 @@ class SnapshotSpec extends AnyFunSuite {
     graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
     s.conf.set("spark.sql.catalog.graft.snap.dir", snapDir.toString)
     s.conf.set("spark.sql.catalog.graft.snap.kv.schema", "k LONG, name STRING")
-    def prune(): (Int, Int) = {
-      val (t, listed, planned) = graft.sources.SnapTable.lastPrune
-      assert(t == "kv", s"prune recorder saw table '$t'")
-      (listed, planned)
-    }
+    def prune(): (Int, Int) = graft.sources.SnapTable.lastPruneOf("kv")
     // unfiltered: all four files plan
     assert(s.sql("SELECT k FROM graft.snap.kv").count() == 12)
     assert(prune() == (4, 4))
@@ -524,8 +520,7 @@ class SnapshotSpec extends AnyFunSuite {
     // four residue epochs, so at most a quarter of the files plan
     val q = graft.SparkEntry.queries("q_snap_skipping")(spark, TestSpark.Sf0001)
     assert(q.collect().nonEmpty)
-    val (t, listed, planned) = graft.sources.SnapTable.lastPrune
-    assert(t == "evskip", s"prune recorder saw '$t'")
+    val (listed, planned) = graft.sources.SnapTable.lastPruneOf("evskip")
     assert(planned >= 1 && planned < listed,
       s"q_snap_skipping did not skip files: $planned of $listed planned")
     assert(listed == 4 && planned == 1,
