@@ -846,7 +846,7 @@ object Materialize {
       .option("path", out).mode("append").save()
     val files = graft.sources.ManifestSink.committedFiles(out)
     spark.read.schema("doc_id LONG, lang STRING, n_chars LONG")
-      .csv(files: _*)
+      .parquet(files: _*)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }

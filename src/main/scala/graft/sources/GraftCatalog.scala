@@ -373,32 +373,43 @@ private[graft] object SnapTable {
     Option(prunes.get(table)).getOrElse((0, 0))
 }
 
-/** Data-skipping scan builder over a resolved committed-file list: holds
-  * the pushed v1 filters, prunes files whose `#stats` (row count +
-  * per-long-column min/max, recorded at write time) cannot satisfy
-  * them, then delegates the pruned path list to the builtin CSV DSv2
-  * builder — forwarding the same filters (CSV row-level pushdown still
-  * applies) and the required-column pruning. All filters are reported
-  * as residual (`pushFilters` returns them, `pushedFilters` is empty),
-  * so Spark re-applies every predicate post-scan: file skipping is a
-  * strict optimization, never a correctness dependency — a file with no
+/** Data-skipping scan builder over a resolved committed-file list:
+  * receives the pushed CATALYST filters (the interface Spark 4's
+  * planner offers first, and the one the builtin file sources consume),
+  * translates them to v1 `Filter`s to prune files whose `#stats` (row
+  * count + per-long-column min/max, recorded at write time) cannot
+  * satisfy them, then delegates the pruned path list to the builtin
+  * parquet DSv2 builder — forwarding the SAME catalyst filters (so
+  * parquet row-group/page stats pruning engages inside each file) and
+  * the required-column pruning. All filters are reported as residual
+  * (`pushFilters` returns them, `pushedFilters` is empty), so Spark
+  * re-applies every predicate post-scan: file skipping is a strict
+  * optimization, never a correctness dependency — a file with no
   * recorded stats simply cannot be skipped. */
 private[sources] class SnapScanBuilder(tname: String, files: Seq[String],
     stats: Map[String, FileStat],
     tschema: org.apache.spark.sql.types.StructType,
     options: CaseInsensitiveStringMap)
     extends org.apache.spark.sql.connector.read.ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.graftbridge.GraftCatalystFilterPushdown
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources._
 
+  private var catalystFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
   private var filters: Array[Filter] = Array.empty
   private var required: Option[org.apache.spark.sql.types.StructType] = None
 
-  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
-    filters = fs; fs // all residual: Spark re-applies, skipping is bonus
+  override def pushFilters(
+      fs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    catalystFilters = fs
+    filters = fs.flatMap(org.apache.spark.sql.graftbridge.Bridge.translateFilter)
+      .toArray
+    fs // all residual: Spark re-applies, skipping is bonus
   }
-  override def pushedFilters(): Array[Filter] = Array.empty
+  override def pushedFilters()
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
   override def pruneColumns(requiredSchema: org.apache.spark.sql.types.StructType): Unit =
     required = Some(requiredSchema)
 
@@ -447,20 +458,20 @@ private[sources] class SnapScanBuilder(tname: String, files: Seq[String],
     }
     SnapTable.recordPrune(tname, files.size, kept.size)
     // JSON-encode the path list ("paths" is the multi-path option every
-    // file DSv2 source takes); manifest file names are uuid-safe
+    // file DSv2 source takes); manifest file names are uuid-safe. The
+    // delegate is the builtin PARQUET DSv2 (round 13 — the sink's data
+    // plane is parquet), so a snap read gets the vectorized reader,
+    // within-file column pruning and row-group stats on top of the
+    // manifest-level #stats skipping above
     val paths = kept.map(f => "\"" + f.replace("\\", "\\\\")
       .replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
-    val delegate = new org.apache.spark.sql.execution.datasources.v2.csv
-      .CSVDataSourceV2()
+    val delegate = new ParquetDataSourceV2()
       .getTable(new CaseInsensitiveStringMap(
         Map("paths" -> paths).asJava), tschema)
       .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
       .newScanBuilder(options)
-    delegate match {
-      case p: org.apache.spark.sql.connector.read.SupportsPushDownFilters =>
-        p.pushFilters(filters)
-      case _ =>
-    }
+    org.apache.spark.sql.graftbridge.Bridge
+      .pushCatalystFilters(delegate, catalystFilters)
     delegate match {
       case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
         required.foreach(p.pruneColumns)

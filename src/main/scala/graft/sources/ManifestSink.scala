@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedWriter, IOException}
+import java.io.IOException
 import java.nio.file.{Files, Path, Paths}
 import java.util
 
@@ -70,12 +70,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    difference between a pruned scan and a full pass. Compaction keeps
   *    the stats of every file still in the union.
   *
-  * Task files are named by the application-unique taskId (plus a
-  * run-unique token on the streaming face), so a speculative/retried
-  * attempt writes a DIFFERENT file and the loser is aborted and deleted.
-  * The path must be storage shared by driver and executors. The row
-  * format is deliberately plain CSV of longs/strings — the COMMIT
-  * PROTOCOL is the deliverable. IngestSpec drives write→read round
+  * Task files are named by taskId plus a RUN-unique token on both
+  * faces, so a speculative/retried attempt — or a second application
+  * appending to the same table — writes a DIFFERENT file and the loser
+  * is aborted and deleted. The path must be storage shared by driver
+  * and executors. The DATA PLANE is parquet (round 13;
+  * [[ManifestWriters]]) — columnar, compressed, self-describing — so
+  * committed files read back through Spark's vectorized parquet scan
+  * with column pruning and row-group stats, the reference's own
+  * materialization shape. IngestSpec drives write→read round
   * trips, manifest-miss invisibility, abort cleanup and the 4-thread
   * concurrent-append race; SnapshotSpec drives time travel, incremental
   * windows, mixed batch+streaming interleavings and VACUUM. */
@@ -625,6 +628,7 @@ case class ManifestTable(path: String, writeSchema: StructType,
           override def toMicroBatchStream(checkpointLocation: String)
               : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
             new ManifestMicroBatchStream(path,
+              writeSchema.fields.map(_.name),
               writeSchema.fields.map(_.dataType.typeName), maxEpochs)
         }
     }
@@ -771,7 +775,7 @@ case class ManifestStreamingWriterFactory(path: String, fieldNames: Array[String
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     ManifestWriters.create(path, fieldNames, fieldTypes,
-      f"${ManifestSink.epochName(epochId)}-part-$partitionId%05d-$taskId-$runToken.csv")
+      f"${ManifestSink.epochName(epochId)}-part-$partitionId%05d-$taskId-$runToken.parquet")
 }
 
 case class ManifestWriterFactory(path: String, fieldNames: Array[String],
@@ -787,14 +791,60 @@ case class ManifestWriterFactory(path: String, fieldNames: Array[String],
     // lands under a fresh name and superseded files become
     // manifest-invisible orphans for VACUUM
     ManifestWriters.create(path, fieldNames, fieldTypes,
-      f"part-$partitionId%05d-$taskId-$runToken.csv")
+      f"part-$partitionId%05d-$taskId-$runToken.parquet")
 }
 
 /** One task-file writer, shared by the batch and streaming factories —
-  * the factories differ only in how they NAME the file. Tracks min/max
-  * per long column as rows stream through (free at write time; priceless
-  * at read time — the data-skipping stats). */
-private[sources] object ManifestWriters {
+  * the factories differ only in how they NAME the file. The data plane
+  * is PARQUET (round 13; rounds ≤12 landed row-CSV, which at 100 TB
+  * forfeits compression, within-file column pruning and page-level
+  * stats — the reference's own materialization target is columnar,
+  * `etl_kaggle_to_big_query.py:88-110`). Files are written through the
+  * public parquet-java Group API against a [[LocalOutputFile]] (no
+  * Hadoop FileSystem, so no `.crc` siblings), snappy-compressed, with
+  * proper logical types — any parquet reader, including Spark's
+  * vectorized DSv2 scan the snap face delegates to, reads them as
+  * first-class columnar data. The commit protocol is format-agnostic
+  * and unchanged: the writer still tracks per-column min/max as rows
+  * stream through (free at write time; priceless at read time — the
+  * `#stats` data-skipping index). */
+private[graft] object ManifestWriters {
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.hadoop.metadata.CompressionCodecName
+  import org.apache.parquet.io.api.Binary
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  /** Column types the sink encodes, keyed by Spark `DataType.typeName`.
+    * The long family (long/integer/timestamp/date) all carry long-valued
+    * stats: timestamps are UTC micros and dates are epoch days in
+    * `InternalRow`, so their min/max order IS value order. */
+  private val LongFamily = Set("long", "integer", "timestamp", "date")
+
+  private[sources] def parquetType(fieldNames: Array[String],
+      fieldTypes: Array[String]): MessageType = {
+    val b = Types.buildMessage()
+    fieldTypes.indices.foreach { i =>
+      val n = fieldNames(i)
+      fieldTypes(i) match {
+        case "long" => b.addField(Types.optional(INT64).named(n))
+        case "integer" => b.addField(Types.optional(INT32).named(n))
+        case "string" => b.addField(Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(n))
+        case "timestamp" => b.addField(Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(n))
+        case "date" => b.addField(Types.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(n))
+        case other => throw new IOException(
+          "manifest sink supports long/integer/string/timestamp/date " +
+            s"columns, got $other")
+      }
+    }
+    b.named("graft_manifest_row")
+  }
+
   def create(path: String, fieldNames: Array[String], fieldTypes: Array[String],
       fileName: String): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -803,47 +853,52 @@ private[sources] object ManifestWriters {
         val d = Files.createDirectories(Paths.get(path, "data"))
         d.resolve(name)
       }
-      private val out: BufferedWriter =
-        Files.newBufferedWriter(file, java.nio.charset.StandardCharsets.UTF_8)
+      private val msgType = parquetType(fieldNames, fieldTypes)
+      private val groups = new SimpleGroupFactory(msgType)
+      private val out = ExampleParquetWriter.builder(
+          new org.apache.parquet.io.LocalOutputFile(file))
+        .withType(msgType)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
       private var rows = 0L
-      private val longCols = fieldTypes.indices.filter(fieldTypes(_) == "long")
+      private val longCols =
+        fieldTypes.indices.filter(i => LongFamily.contains(fieldTypes(i)))
       private val mins = Array.fill(fieldTypes.length)(Long.MaxValue)
       private val maxs = Array.fill(fieldTypes.length)(Long.MinValue)
+      private def observe(i: Int, v: Long): Unit = {
+        if (v < mins(i)) mins(i) = v
+        if (v > maxs(i)) maxs(i) = v
+      }
 
       override def write(row: InternalRow): Unit = {
-        val line = fieldTypes.indices.map { i =>
-          fieldTypes(i) match {
-            case "long" =>
-              val v = row.getLong(i)
-              if (v < mins(i)) mins(i) = v
-              if (v > maxs(i)) maxs(i) = v
-              v.toString
+        val g = groups.newGroup()
+        fieldTypes.indices.foreach { i =>
+          if (!row.isNullAt(i)) fieldTypes(i) match {
+            case "long" | "timestamp" =>
+              val v = row.getLong(i); observe(i, v); g.add(i, v)
+            case "integer" | "date" =>
+              val v = row.getInt(i); observe(i, v.toLong); g.add(i, v)
             case "string" =>
-              val s = row.getUTF8String(i).toString
-              // the sink's CSV lines are read back unquoted; refuse a
-              // value that would silently shift columns rather than
-              // corrupt the round trip
-              if (s.exists(c => c == ',' || c == '\n' || c == '\r' || c == '"'))
-                throw new IOException(
-                  s"manifest sink cannot encode delimiter/quote/newline in: $s")
-              s
+              g.add(i, Binary.fromString(row.getUTF8String(i).toString))
             case other => throw new IOException(
-              s"manifest sink supports long/string columns, got $other")
+              s"manifest sink cannot encode a $other column")
           }
-        }.mkString(",")
-        out.write(line)
-        out.newLine()
+        }
+        out.write(g)
         rows += 1
       }
       override def commit(): WriterCommitMessage = {
         out.close()
         val stats =
           if (rows == 0) Seq.empty
-          else longCols.map(i => ColStat(fieldNames(i), mins(i), maxs(i))).toSeq
+          else longCols.collect {
+            // an all-null column observed nothing — no stats for it
+            case i if mins(i) <= maxs(i) => ColStat(fieldNames(i), mins(i), maxs(i))
+          }.toSeq
         CommittedFile(name, rows, stats)
       }
       override def abort(): Unit = {
-        out.close()
+        try out.close() catch { case _: Exception => }
         Files.deleteIfExists(file)
       }
       override def close(): Unit = ()
@@ -879,8 +934,8 @@ case class ManifestFilePartition(file: String)
   * convention). A limit kind the source cannot meter (no stats recorded,
   * or an unknown ReadLimit subclass) admits everything available rather
   * than silently stalling. */
-class ManifestMicroBatchStream(path: String, fieldTypes: Array[String],
-    maxEpochs: Int)
+class ManifestMicroBatchStream(path: String, fieldNames: Array[String],
+    fieldTypes: Array[String], maxEpochs: Int)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows}
@@ -950,37 +1005,49 @@ class ManifestMicroBatchStream(path: String, fieldTypes: Array[String],
       .map(f => ManifestFilePartition(f): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    ManifestReadFactory(fieldTypes)
+    ManifestReadFactory(fieldNames, fieldTypes)
   override def deserializeOffset(json: String): Offset = EpochOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-/** Reads back the sink's own unquoted CSV lines (the writer refuses
-  * delimiter/quote/newline characters, so `split` is exact). */
-case class ManifestReadFactory(fieldTypes: Array[String])
+/** Reads back the sink's own parquet task files for the table-as-a-
+  * stream face, resolving columns BY NAME against each file's embedded
+  * schema (a file written before an additive schema change simply
+  * serves null for the appended column — the same by-name contract the
+  * snap face gets from the parquet DSv2 delegate). Timestamps are UTC
+  * micros and dates epoch days in both parquet and `InternalRow`, so
+  * the long/int payloads pass through unconverted. */
+case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[String])
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[ManifestFilePartition].file
     new PartitionReader[InternalRow] {
-      private val in = Files.newBufferedReader(
-        Paths.get(file), java.nio.charset.StandardCharsets.UTF_8)
-      private var line: String = _
-      override def next(): Boolean = { line = in.readLine(); line != null }
+      private val in = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(file))
+        .build()
+      private var cur: org.apache.parquet.example.data.Group = _
+      override def next(): Boolean = { cur = in.read(); cur != null }
       override def get(): InternalRow = {
-        val cells = line.split(",", -1)
-        require(cells.length == fieldTypes.length,
-          s"manifest row arity ${cells.length} != schema ${fieldTypes.length}: $line")
+        val fileType = cur.getType
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           fieldTypes.indices.map[Any] { i =>
-            fieldTypes(i) match {
-              case "long" => cells(i).toLong
-              case "string" =>
-                org.apache.spark.unsafe.types.UTF8String.fromString(cells(i))
-              case other => throw new IllegalArgumentException(
-                s"manifest stream supports long/string columns, got $other")
+            if (!fileType.containsField(fieldNames(i))) null // pre-evolution file
+            else {
+              val fi = fileType.getFieldIndex(fieldNames(i))
+              if (cur.getFieldRepetitionCount(fi) == 0) null
+              else fieldTypes(i) match {
+                case "long" | "timestamp" => cur.getLong(fi, 0)
+                case "integer" | "date" => cur.getInteger(fi, 0)
+                case "string" => org.apache.spark.unsafe.types.UTF8String
+                  .fromBytes(cur.getBinary(fi, 0).getBytes)
+                case other => throw new IllegalArgumentException(
+                  "manifest stream supports long/integer/string/timestamp/" +
+                    s"date columns, got $other")
+              }
             }
           }.toArray)
       }

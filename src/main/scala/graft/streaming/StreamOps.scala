@@ -1382,7 +1382,7 @@ object StreamOps {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], streamed.schema)
     else
       spark.read.schema("event_id LONG, user_id LONG, event_type STRING")
-        .csv(files: _*)
+        .parquet(files: _*)
   }
 
   /** TIME TRAVEL end-to-end (`SELECT … FROM graft.snap.ev VERSION AS OF

@@ -27,4 +27,33 @@ object Bridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Forward catalyst filter expressions to a builtin file ScanBuilder.
+    * Spark 4's file sources (FileScanBuilder) take pushdown through
+    * `private[sql] SupportsPushDownCatalystFilters` — NOT the public v1
+    * `SupportsPushDownFilters` — so a wrapping connector that delegates
+    * its scan (graft's snap tables) must hand filters over inside the
+    * sql package namespace or the file-level pushdown silently no-ops. */
+  def pushCatalystFilters(b: org.apache.spark.sql.connector.read.ScanBuilder,
+      filters: Seq[Expression]): Unit = b match {
+    case p: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+      p.pushFilters(filters)
+    case _ =>
+  }
+
+  /** Catalyst predicate → public v1 `Filter` (the translation
+    * `DataSourceStrategy` applies for v1 pushdown), for connectors that
+    * evaluate predicates against their own metadata (graft's `#stats`
+    * file skipping). */
+  def translateFilter(e: Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
 }
+
+/** Public face of `private[sql] SupportsPushDownCatalystFilters`, so a
+  * connector outside the sql namespace can RECEIVE catalyst-expression
+  * pushdown from V2ScanRelationPushDown (which offers this interface
+  * first and falls back to translated v1 filters otherwise). */
+trait GraftCatalystFilterPushdown
+  extends org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters

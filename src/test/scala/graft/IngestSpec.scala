@@ -354,7 +354,7 @@ class IngestSpec extends AnyFunSuite {
     appendOnce(Seq(1L, 2L))
     appendOnce(Seq(3L))
     def idsOf(files: Seq[String]): Set[Long] =
-      spark.read.schema("v LONG").csv(files: _*)
+      spark.read.schema("v LONG").parquet(files: _*)
         .collect().map(_.getLong(0)).toSet
     assert(idsOf(graft.sources.ManifestSink.committedFiles(vdir)) ==
       Set(1L, 2L, 3L), "append did not union")

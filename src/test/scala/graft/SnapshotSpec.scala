@@ -122,7 +122,7 @@ class SnapshotSpec extends AnyFunSuite {
     def asOfIds(v: Long): Set[Long] = {
       val files = graft.sources.ManifestSink.committedFilesAsOf(out, v)
       spark.read.schema("event_id LONG, user_id LONG, event_type STRING")
-        .csv(files: _*).collect().map(_.getLong(0)).toSet
+        .parquet(files: _*).collect().map(_.getLong(0)).toSet
     }
     def prefixIds(v: Int): Set[Long] =
       (0 to v).flatMap(slice(_).map(_._1)).toSet
@@ -290,7 +290,7 @@ class SnapshotSpec extends AnyFunSuite {
     def ids(): Set[Long] = {
       val files = graft.sources.ManifestSink.committedFiles(log)
       spark.read.schema("event_id LONG, user_id LONG, event_type STRING")
-        .csv(files: _*).collect().map(_.getLong(0)).toSet
+        .parquet(files: _*).collect().map(_.getLong(0)).toSet
     }
     val expected = (0 to 2).flatMap(slice(_).map(_._1)).toSet ++ Set(500L, 501L)
     assert(ids() == expected,
@@ -301,7 +301,7 @@ class SnapshotSpec extends AnyFunSuite {
     // engine epochs were REMAPPED onto claimed log ids, not reused
     val delta = spark.read
       .schema("event_id LONG, user_id LONG, event_type STRING")
-      .csv(graft.sources.ManifestSink.committedFilesBetween(log, 2, 3): _*)
+      .parquet(graft.sources.ManifestSink.committedFilesBetween(log, 2, 3): _*)
       .collect().map(_.getLong(0)).toSet
     assert(delta == slice(2).map(_._1).toSet,
       s"restarted stream's epoch is not log epoch 3: $delta")
@@ -340,7 +340,7 @@ class SnapshotSpec extends AnyFunSuite {
     def ids2(): Set[Long] = {
       val files = graft.sources.ManifestSink.committedFiles(log2)
       spark.read.schema("event_id LONG, user_id LONG, event_type STRING")
-        .csv(files: _*).collect().map(_.getLong(0)).toSet
+        .parquet(files: _*).collect().map(_.getLong(0)).toSet
     }
     val expected2 = (0 until 5).flatMap(slice(_).map(_._1)).toSet ++
       (0 until 10).map(1000L + _).toSet
@@ -443,7 +443,7 @@ class SnapshotSpec extends AnyFunSuite {
         .option("path", log).mode("append").save()
     }
     val ms = new graft.sources.ManifestMicroBatchStream(
-      log, Array("long", "string"), Int.MaxValue)
+      log, Array("k", "name"), Array("long", "string"), Int.MaxValue)
     def off(startId: Long, l: ReadLimit): Long =
       ms.latestOffset(graft.sources.EpochOffset(startId), l)
         .asInstanceOf[graft.sources.EpochOffset].id
@@ -463,7 +463,7 @@ class SnapshotSpec extends AnyFunSuite {
     assert(off(3, ReadLimit.maxFiles(1)) == 3, "caught up: no progress")
     // the maxEpochsPerTrigger table option still caps on top
     val ms1 = new graft.sources.ManifestMicroBatchStream(
-      log, Array("long", "string"), 1)
+      log, Array("k", "name"), Array("long", "string"), 1)
     assert(ms1.latestOffset(graft.sources.EpochOffset(-1L),
       ReadLimit.maxFiles(3)).asInstanceOf[graft.sources.EpochOffset].id == 0)
 

@@ -336,7 +336,7 @@ class StreamingSpec extends AnyFunSuite {
     def readBack(): Set[(Long, Long, String)] = {
       val files = graft.sources.ManifestSink.committedFiles(out)
       spark.read.schema("event_id LONG, user_id LONG, event_type STRING")
-        .csv(files: _*)
+        .parquet(files: _*)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     }
     def dataFiles(): Set[String] = {
@@ -427,7 +427,7 @@ class StreamingSpec extends AnyFunSuite {
     // run-unique token in every streaming task-file name: a replay in a
     // fresh JVM (taskIds reset) can never collide with committed files
     assert(dataFiles().forall(
-      _.matches("""epoch-\d{20}-part-\d{5}-\d+-[0-9a-f]{8}\.csv""")),
+      _.matches("""epoch-\d{20}-part-\d{5}-\d+-[0-9a-f]{8}\.parquet""")),
       s"streaming file names missing the run token: ${dataFiles()}")
   }
 
