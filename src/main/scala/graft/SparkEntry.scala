@@ -216,6 +216,9 @@ object SparkEntry {
     "q_dsv2_stats"       -> Materialize.dsv2Stats _,
     "q_dsv2_sink"        -> Materialize.dsv2SinkRoundTrip _,
     "q_snap_skipping"    -> Materialize.snapSkippingRead _,
+    "q_snap_skip_str"    -> Materialize.snapSkipString _,
+    "q_snap_skip_time"   -> Materialize.snapSkipTime _,
+    "q_snap_evolution"   -> Materialize.snapEvolution _,
     "q_vacuum_sql"       -> Materialize.vacuumSql _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
     "q_snapshot_diff"    -> Materialize.snapshotDiff _,
@@ -2328,6 +2331,38 @@ object SparkEntry {
         |  AND user_id IS NOT NULL AND value IS NOT NULL
         |  AND event_type IS NOT NULL AND event_id % 4 = 2
         |GROUP BY event_type""".stripMargin,
+    "q_snap_skip_str" -> // per-language epochs: the truncated-ASCII
+      // string #stats resolve lang='de' to ONE of five files at scan
+      // build (SnapshotSpec pins the planned count); values match the
+      // source slice
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL AND lang = 'de'
+        |GROUP BY lang""".stripMargin,
+    "q_snap_skip_time" -> // per-week epochs: the micros ts #stats prune
+      // the three earlier weeks for ts >= Jan 22 (SnapshotSpec pins the
+      // planned count); values match the source time window
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  min(ts) AS first_ts
+        |FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND event_type IS NOT NULL
+        |  AND ts >= TIMESTAMP '2024-01-22 00:00:00'
+        |GROUP BY event_type""".stripMargin,
+    "q_snap_evolution" -> // the widened DDL serves the union: files
+      // written before the n_chars column existed null-fill it, so the
+      // evolved aggregates see only odd-doc_id rows
+      """SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_evolved,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+        |    AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
+        |GROUP BY lang""".stripMargin,
     "q_vacuum_sql" -> // CALL graft.sys.vacuum reclaims exactly the two
       // planted, back-dated orphans (committed files are never
       // candidates — re-counted in the query; age-gating spec-pinned)

@@ -890,6 +890,114 @@ object Materialize {
         |GROUP BY event_type""".stripMargin)
   }
 
+  /** STRING-stats data skipping (`q_snap_skip_str`, round 13): five
+    * batch appends land the documents as one epoch PER LANGUAGE, so each
+    * committed file's `#stats` carry a single-value string envelope
+    * (truncated-ASCII bounds, [[graft.sources.StrColStat]]) and
+    * `WHERE lang = 'de'` resolves to exactly one file at scan build —
+    * the partition-like string column every real lake filters on
+    * (Delta keeps the same truncated string bounds). SnapshotSpec pins
+    * the planned-file count (1 of 5). */
+  def snapSkipString(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_str_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val log = new java.io.File(root, "docskip").toString
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Seq("de", "en", "es", "fr", "zh").foreach { l =>
+      complete.filter(col("lang") === l)
+        .coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    spark.conf.set("spark.sql.catalog.graft.snap.docskip.schema",
+      "doc_id LONG, lang STRING, n_chars LONG")
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  min(doc_id) AS min_doc
+        |FROM graft.snap.docskip WHERE lang = 'de'
+        |GROUP BY lang""".stripMargin)
+  }
+
+  /** TIMESTAMP-stats data skipping (`q_snap_skip_time`, round 13): the
+    * events land as four epochs sliced by contiguous January weeks, so
+    * each file's `#stats` carry a disjoint ts envelope (UTC micros) and
+    * `WHERE ts >= TIMESTAMP '2024-01-22'` prunes the three earlier
+    * weeks at scan build — the time-windowed read that dominates an
+    * events lake (the reference's own tables are date-partitioned for
+    * exactly this, `etl_kaggle_to_big_query.py:89`). SnapshotSpec pins
+    * the planned-file count (1 of 4). */
+  def snapSkipTime(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_time_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val log = new java.io.File(root, "evtime").toString
+    val complete = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_id"), col("ts"), col("event_type"))
+    (0 until 4).foreach { k =>
+      val lo = 1 + 7 * k
+      val hi = if (k == 3) 31 else 7 * k + 7
+      complete.filter(dayofmonth(col("ts")).between(lo, hi))
+        .coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    spark.conf.set("spark.sql.catalog.graft.snap.evtime.schema",
+      "event_id LONG, ts TIMESTAMP, event_type STRING")
+    spark.sql(
+      """SELECT event_type, count(*) AS n, sum(event_id) AS id_sum,
+        |  min(ts) AS first_ts
+        |FROM graft.snap.evtime
+        |WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+        |GROUP BY event_type""".stripMargin)
+  }
+
+  /** ADDITIVE SCHEMA EVOLUTION on snap reads (`q_snap_evolution`,
+    * round 13): the even-doc_id half of documents lands under a 2-column
+    * schema, the odd half under the 3-column evolution (`n_chars`
+    * appended); the widened declared DDL then serves the WHOLE union —
+    * pre-evolution files null-fill the new column (the parquet by-name
+    * read), so `sum(n_chars)`/`count(n_chars)` see exactly the
+    * post-evolution rows. A narrow DDL over the same log refuses
+    * (SnapshotSpec pins that half of the contract). */
+  def snapEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_ev_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val log = new java.io.File(root, "docev").toString
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+    complete.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", log).mode("append").save()
+    complete.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", log).mode("append").save()
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    spark.conf.set("spark.sql.catalog.graft.snap.docev.schema",
+      "doc_id LONG, lang STRING, n_chars LONG")
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, count(n_chars) AS n_evolved,
+        |  sum(n_chars) AS sum_chars
+        |FROM graft.snap.docev
+        |GROUP BY lang""".stripMargin)
+  }
+
   /** VACUUM from pure SQL (`q_vacuum_sql`): a manifest table gets two
     * committed epochs plus two planted crash orphans (unreferenced data
     * files, back-dated past any retention window), then

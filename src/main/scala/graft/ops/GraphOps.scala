@@ -133,12 +133,35 @@ object GraphOps {
     val edges = copurchaseEdges(spark, dir)
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    // Degrees and the degree-annotated symmetric adjacency are
+    // MATERIALIZED once to process scratch before the loop (round 13,
+    // the canonical pagerank input layout). Two reasons. Scale: the
+    // per-iteration `join(deg)` repeats a nodes-sized join five times —
+    // folding it into the adjacency pays it once. Determinism: the
+    // round-12 pagerank pin flake was an AQE broadcast-stage reuse MISS
+    // under concurrent load — `deg` appeared in all five iterations, so
+    // its broadcast build raced the stage cache and an extra build job
+    // appeared (probe-identified: a duplicated skipped-map broadcast
+    // job, same shuffles) — while after the fold, no exchange subtree
+    // is shared between iterations, so there is nothing for stage
+    // reuse to win or lose. The sortWithinPartitions keeps the scratch
+    // bytes deterministic (the r11 contract).
+    val degOut = graft.ingest.Materialize.processScratchDir(
+      s"graft_pagerank_deg_${java.lang.Integer.toHexString(dir.hashCode)}")
+    sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .sortWithinPartitions("src")
+      .write.mode("overwrite").parquet(degOut)
+    val deg = spark.read.parquet(degOut)
+    val adjOut = graft.ingest.Materialize.processScratchDir(
+      s"graft_pagerank_adj_${java.lang.Integer.toHexString(dir.hashCode)}")
+    sym.join(deg, "src")
+      .sortWithinPartitions("src", "dst")
+      .write.mode("overwrite").parquet(adjOut)
+    val adj = spark.read.parquet(adjOut)
     var ranks = deg.select(col("src").as("v"), lit(PrScale).as("rank"))
     for (_ <- 1 to PrIters) {
-      val contrib = sym
+      val contrib = adj
         .join(ranks.withColumnRenamed("v", "src"), "src")
-        .join(deg, "src")
         .select(col("dst").as("v"),
           graft.functions.Exact.idiv(col("rank"), col("deg")).as("c"))
       ranks = contrib.groupBy("v")

@@ -300,9 +300,12 @@ object GraftCatalog {
   * The sink's data files are schema-less CSV rows (the landing format),
   * so the read schema comes from the `snap.<name>.schema` /
   * `snap.schema` catalog conf — VERIFIED against the `#schema` records
-  * the log carries for its committed epochs (round 12): a writer-side
-  * schema change is refused loudly instead of silently served under the
-  * old DDL. The scan DELEGATES to the builtin CSV DSv2 provider — the
+  * the log carries for its committed epochs (round 12): a declared
+  * schema missing a recorded column (or changing its type) is refused
+  * loudly instead of silently dropping data, while DECLARED columns no
+  * epoch recorded are served as nulls from pre-evolution files
+  * (round 13 — additive schema evolution, the parquet by-name read's
+  * native null-fill). The scan DELEGATES to the builtin CSV DSv2 provider — the
   * same naming-not-a-read-path contract as the `sf` namespace
   * (pushdown, pruning and the vectorized reader ride along) — behind a
   * DATA-SKIPPING wrapper ([[SnapScanBuilder]]) that prunes committed
@@ -335,22 +338,30 @@ private[sources] class SnapTable(tname: String, dir: String,
       case (None, Some(v)) => ManifestSink.committedFilesAsOf(dir, v)
       case (None, None) => ManifestSink.committedFiles(dir)
     }
-    // SCHEMA-IN-LOG verification: every epoch records the DDL it was
-    // written under; a declared schema that disagrees (count, names, or
-    // types — nullability aside) is refused with both DDLs spelled out.
-    // Logs predating the records (or hand-built fixtures) carry none
-    // and are served on the conf's authority, the pre-r12 contract.
+    // SCHEMA-IN-LOG verification with ADDITIVE EVOLUTION (round 13):
+    // every epoch records the DDL it was written under, and the
+    // declared schema must CONTAIN every recorded field (case-
+    // insensitive name, equal type — nullability aside). Declared
+    // fields no epoch recorded are the evolution: files written before
+    // the column existed simply serve null for it (the parquet by-name
+    // read's native behavior — Delta's additive-evolution contract).
+    // A recorded field the declared schema LACKS, or a type change,
+    // still refuses with both DDLs spelled out: serving those would
+    // silently drop or reinterpret committed data. Logs predating the
+    // records (or hand-built fixtures) carry none and are served on
+    // the conf's authority, the pre-r12 contract.
     ManifestSink.recordedSchemas(dir).foreach { ddl =>
       val recorded = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-      val ok = recorded.length == tschema.length &&
-        recorded.fields.zip(tschema.fields).forall { case (a, b) =>
-          a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType }
+      val ok = recorded.fields.forall(rf => tschema.fields.exists(df =>
+        df.name.equalsIgnoreCase(rf.name) && df.dataType == rf.dataType))
       if (!ok) throw new IllegalArgumentException(
         s"graft.snap.$tname: declared schema '${tschema.toDDL}' does not " +
           s"match the schema the log records for committed epochs " +
-          s"('$ddl') — update the snap.$tname.schema catalog conf to " +
-          "the writer's schema (the log refuses rather than serve rows " +
-          "under a stale DDL)")
+          s"('$ddl') — every recorded column must appear in the declared " +
+          s"schema with its recorded type (appending NEW nullable " +
+          s"columns is the one supported evolution); update the " +
+          s"snap.$tname.schema catalog conf (the log refuses rather " +
+          "than drop or reinterpret committed data)")
     }
     new SnapScanBuilder(tname, files, ManifestSink.fileStats(dir),
       tschema, options)
@@ -413,36 +424,82 @@ private[sources] class SnapScanBuilder(tname: String, files: Seq[String],
   override def pruneColumns(requiredSchema: org.apache.spark.sql.types.StructType): Unit =
     required = Some(requiredSchema)
 
+  /** Comparands of the long-stat family, normalized to the stats'
+    * payload scale: integrals as-is, timestamps to UTC micros, dates to
+    * epoch days — the exact values the writer observed in InternalRow,
+    * so numeric comparison is value comparison. */
   private def longLit(v: Any): Option[Long] = v match {
     case n: java.lang.Long => Some(n.longValue)
     case n: java.lang.Integer => Some(n.longValue)
     case n: java.lang.Short => Some(n.longValue)
     case n: java.lang.Byte => Some(n.longValue)
-    case _ => None // non-integral comparand: never prune on it
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case d: java.sql.Date =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+    case ld: java.time.LocalDate => Some(ld.toEpochDay)
+    case _ => None // unmodeled comparand kind: never prune on it
   }
 
   private def range(st: FileStat, col: String): Option[(Long, Long)] =
     st.cols.collectFirst { case (c, r) if c.equalsIgnoreCase(col) => r }
 
+  private def strRange(st: FileStat, col: String): Option[(String, Option[String])] =
+    st.strCols.collectFirst { case (c, r) if c.equalsIgnoreCase(col) => r }
+
   /** May ANY row of a file with stats `st` satisfy `f`? Conservative:
-    * unknown columns, non-integral comparands and unmodeled predicate
-    * shapes all answer true. */
+    * unknown columns, unmodeled comparands and unmodeled predicate
+    * shapes all answer true. String bounds are recorded only for
+    * all-ASCII files ([[StrColStat]]), where JVM string order equals
+    * Spark's UTF8String binary order against ANY comparand (the first
+    * differing position decides identically whenever one side is
+    * ASCII); `max` is None when truncation left the file unbounded
+    * above. */
   private def mayMatch(st: FileStat, f: Filter): Boolean = {
-    def cmp(col: String, v: Any)(p: (Long, Long, Long) => Boolean): Boolean =
+    // each predicate shape gets its long-bounds form and its
+    // string-bounds form; a column with neither stat kind (or an
+    // unmodeled comparand) answers true. String bounds: `mn` may be a
+    // truncated PREFIX of the true minimum (a valid lower bound) and
+    // `mx` a bumped strict upper bound or None — both forms below stay
+    // conservative under that (a truncated bound can only widen the
+    // envelope, never shrink it).
+    def cmp(col: String, v: Any)(pl: (Long, Long, Long) => Boolean)(
+        ps: (String, Option[String], String) => Boolean): Boolean =
       (range(st, col), longLit(v)) match {
-        case (Some((mn, mx)), Some(x)) => p(mn, mx, x)
-        case _ => true
+        case (Some((mn, mx)), Some(x)) => pl(mn, mx, x)
+        case _ => (strRange(st, col), v) match {
+          case (Some((mn, mx)), x: String) => ps(mn, mx, x)
+          case _ => true
+        }
       }
+    def sEq(mn: String, mx: Option[String], x: String): Boolean =
+      x.compareTo(mn) >= 0 && mx.forall(x.compareTo(_) <= 0)
     f match {
-      case EqualTo(c, v) => cmp(c, v)((mn, mx, x) => x >= mn && x <= mx)
+      case EqualTo(c, v) =>
+        cmp(c, v)((mn, mx, x) => x >= mn && x <= mx)(sEq)
       case EqualNullSafe(c, v) if v != null =>
-        cmp(c, v)((mn, mx, x) => x >= mn && x <= mx)
-      case GreaterThan(c, v) => cmp(c, v)((_, mx, x) => mx > x)
-      case GreaterThanOrEqual(c, v) => cmp(c, v)((_, mx, x) => mx >= x)
-      case LessThan(c, v) => cmp(c, v)((mn, _, x) => mn < x)
-      case LessThanOrEqual(c, v) => cmp(c, v)((mn, _, x) => mn <= x)
+        cmp(c, v)((mn, mx, x) => x >= mn && x <= mx)(sEq)
+      case GreaterThan(c, v) =>
+        cmp(c, v)((_, mx, x) => mx > x)((_, mx, x) => mx.forall(_.compareTo(x) > 0))
+      case GreaterThanOrEqual(c, v) =>
+        cmp(c, v)((_, mx, x) => mx >= x)((_, mx, x) => mx.forall(_.compareTo(x) >= 0))
+      case LessThan(c, v) =>
+        cmp(c, v)((mn, _, x) => mn < x)((mn, _, x) => mn.compareTo(x) < 0)
+      case LessThanOrEqual(c, v) =>
+        cmp(c, v)((mn, _, x) => mn <= x)((mn, _, x) => mn.compareTo(x) <= 0)
       case In(c, vs) =>
-        vs.exists(v => cmp(c, v)((mn, mx, x) => x >= mn && x <= mx))
+        vs.exists(v => cmp(c, v)((mn, mx, x) => x >= mn && x <= mx)(sEq))
+      case StringStartsWith(c, prefix) =>
+        // strings with prefix p occupy [p, bump(p)); overlap with the
+        // file's [mn, mx] envelope needs mx >= p and mn inside/below
+        (strRange(st, c), prefix) match {
+          case (Some((mn, mx)), p) =>
+            mx.forall(_.compareTo(p) >= 0) &&
+              (mn.startsWith(p) || mn.compareTo(p) <= 0)
+          case _ => true
+        }
       case And(l, r) => mayMatch(st, l) && mayMatch(st, r)
       case Or(l, r) => mayMatch(st, l) || mayMatch(st, r)
       case _ => true

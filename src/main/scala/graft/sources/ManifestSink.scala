@@ -63,12 +63,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    actually carries ([[SnapTable]] refuses on mismatch) instead of
   *    trusting a catalog conf blindly. Compaction keeps the distinct set.
   *  - `#stats <file> <rows>[ <col>:<min>:<max>(;…)]` — per-file row
-  *    count and min/max for every long column, written by the task that
-  *    produced the file. This is the Delta/Iceberg data-skipping
-  *    contract: a filtered snap read prunes files whose stats exclude
-  *    the predicate BEFORE the scan plans them — at 100 TB the
-  *    difference between a pruned scan and a full pass. Compaction keeps
-  *    the stats of every file still in the union.
+  *    count and min/max per column, written by the task that produced
+  *    the file: the long family (long/int/timestamp-micros/date-days)
+  *    as plain integers, strings (round 13) as hex-encoded
+  *    truncated bounds per [[StrColStat]] (`s<hex>`; `-` = unbounded
+  *    max after truncation), recorded only for all-ASCII files so one
+  *    ordering serves both the JVM and UTF8String comparisons. This is
+  *    the Delta/Iceberg data-skipping contract: a filtered snap read
+  *    prunes files whose stats exclude the predicate BEFORE the scan
+  *    plans them — at 100 TB (where events lakes filter on time and
+  *    partition-like string columns) the difference between a pruned
+  *    scan and a full pass. Compaction keeps the stats of every file
+  *    still in the union.
   *
   * Task files are named by taskId plus a RUN-unique token on both
   * faces, so a speculative/retried attempt — or a second application
@@ -256,28 +262,52 @@ object ManifestSink {
         n -> recs.head._2 }
   }
 
+  private def hexOf(s: String): String =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02x").mkString
+  private def unhex(h: String): Option[String] =
+    if (h.length % 2 != 0 || !h.forall(c => c.isDigit || (c >= 'a' && c <= 'f')))
+      None
+    else Some(new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+      java.nio.charset.StandardCharsets.UTF_8))
+
   private def parseStats(line: String): Option[(String, FileStat)] = {
     if (!line.startsWith("#stats ")) return None
     val parts = line.stripPrefix("#stats ").split(" ", 3)
     if (parts.length < 2) return None
     for (rows <- parts(1).toLongOption) yield {
-      val cols =
-        if (parts.length < 3 || parts(2).isEmpty) Map.empty[String, (Long, Long)]
-        else parts(2).split(";").toSeq.flatMap { c =>
-          c.split(":") match {
-            case Array(name, mn, mx) =>
-              for (a <- mn.toLongOption; b <- mx.toLongOption) yield name -> (a, b)
-            case _ => None
-          }
-        }.toMap
-      parts(0) -> FileStat(rows, cols)
+      val tokens =
+        if (parts.length < 3 || parts(2).isEmpty) Seq.empty[Array[String]]
+        else parts(2).split(";").toSeq.map(_.split(":", -1))
+      val cols = tokens.flatMap {
+        case Array(name, mn, mx) =>
+          for (a <- mn.toLongOption; b <- mx.toLongOption) yield name -> (a, b)
+        case _ => None
+      }.toMap
+      // string stats: `name:s<hexmin>:s<hexmax>` with `-` for an
+      // unbounded max (the truncated-upper-bound case)
+      val strCols = tokens.flatMap {
+        case Array(name, mn, mx) if mn.startsWith("s") =>
+          for {
+            a <- unhex(mn.tail)
+            b <- if (mx == "-") Some(None)
+                 else if (mx.startsWith("s")) unhex(mx.tail).map(Some(_))
+                 else None
+          } yield name -> (a, b)
+        case _ => None
+      }.toMap
+      parts(0) -> FileStat(rows, cols, strCols)
     }
   }
 
   private[sources] def statsLine(m: CommittedFile): String = {
-    val cols = m.stats
-      .filter(s => !s.col.exists(c => c == ' ' || c == ':' || c == ';'))
-      .map(s => s"${s.col}:${s.min}:${s.max}").mkString(";")
+    def safe(c: String) = !c.exists(ch => ch == ' ' || ch == ':' || ch == ';')
+    val longs = m.stats.filter(s => safe(s.col))
+      .map(s => s"${s.col}:${s.min}:${s.max}")
+    val strs = m.strStats.filter(s => safe(s.col))
+      .map(s => s"${s.col}:s${hexOf(s.min)}:" +
+        s.max.map("s" + hexOf(_)).getOrElse("-"))
+    val cols = (longs ++ strs).mkString(";")
     s"#stats ${m.name} ${m.rows}" + (if (cols.isEmpty) "" else s" $cols")
   }
 
@@ -441,7 +471,9 @@ object ManifestSink {
     val stats = statRecords.distinctBy(_._1)
       .collect { case (f, st) if nameSet.contains(f) =>
         statsLine(CommittedFile(f, st.rows,
-          st.cols.toSeq.sortBy(_._1).map { case (c, (a, b)) => ColStat(c, a, b) })) }
+          st.cols.toSeq.sortBy(_._1).map { case (c, (a, b)) => ColStat(c, a, b) },
+          st.strCols.toSeq.sortBy(_._1)
+            .map { case (c, (mn, mx)) => StrColStat(c, mn, mx) })) }
     val upTo = loose.map(_._1).max
     // unique temp per attempt (concurrent committers can both trigger
     // this compaction); the compact-<upTo> content is deterministic —
@@ -595,8 +627,12 @@ object ManifestSink {
     }
 }
 
-/** Row count plus per-long-column (min, max) for one committed file. */
-case class FileStat(rows: Long, cols: Map[String, (Long, Long)])
+/** Row count plus per-column bounds for one committed file: `cols` is
+  * the long family's (min, max) — longs, ints, timestamps as UTC
+  * micros, dates as epoch days — and `strCols` the string columns'
+  * (min, optional max), truncated per [[StrColStat]]'s contract. */
+case class FileStat(rows: Long, cols: Map[String, (Long, Long)],
+    strCols: Map[String, (String, Option[String])] = Map.empty)
 
 case class ManifestTable(path: String, writeSchema: StructType,
     compactInterval: Int = ManifestSink.DefaultCompactInterval)
@@ -659,13 +695,52 @@ case class ManifestTable(path: String, writeSchema: StructType,
 }
 
 /** One task's contribution: the data file it wrote (name only — the
-  * driver owns the directory), its row count, and min/max per long
-  * column (the data-skipping stats the epoch manifest records). */
+  * driver owns the directory), its row count, and per-column bounds
+  * (the data-skipping stats the epoch manifest records): `stats` for
+  * the long family, `strStats` for string columns. */
 case class CommittedFile(name: String, rows: Long,
-    stats: Seq[ColStat] = Seq.empty) extends WriterCommitMessage
+    stats: Seq[ColStat] = Seq.empty,
+    strStats: Seq[StrColStat] = Seq.empty) extends WriterCommitMessage
 
-/** Min/max of one long column within one committed file. */
+/** Min/max of one long-family column within one committed file
+  * (timestamps as UTC micros, dates as epoch days — the InternalRow
+  * payloads, whose numeric order is value order). */
 case class ColStat(col: String, min: Long, max: Long)
+
+/** Bounds of one STRING column within one committed file, recorded
+  * only when every observed value is pure ASCII — that is what makes
+  * one ordering serve both the JVM's UTF-16 comparisons here and
+  * Spark's UTF8String binary comparisons (they agree whenever at least
+  * one side is ASCII, and diverge only between two non-ASCII strings).
+  * `min` may be truncated to [[StrColStat.Truncate]] chars (a prefix
+  * is always a valid lower bound); `max`, when the true maximum was
+  * truncated, is the prefix with its last bumpable char incremented
+  * (Delta's convention) — a strict upper bound — or None when no char
+  * could be bumped (an unbounded max: the column can't prune above). */
+case class StrColStat(col: String, min: String, max: Option[String])
+
+object StrColStat {
+  /** Delta's 32-char stats-truncation convention. */
+  val Truncate = 32
+
+  /** Upper-bound a string that was cut to [[Truncate]] chars: bump the
+    * rightmost char that stays ASCII when incremented, drop the rest.
+    * "abc" truncated from "abcdef..." becomes "abd" > every "abc…". */
+  private[sources] def bumpedPrefix(prefix: String): Option[String] = {
+    val i = prefix.lastIndexWhere(_ < '\u007f') // bumped char stays ASCII
+    if (i < 0) None
+    else Some(prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar)
+  }
+
+  /** (min, max) bounds for an observed [lo, hi] value range, applying
+    * truncation on both ends. */
+  private[sources] def bounds(lo: String, hi: String): (String, Option[String]) = {
+    val mn = if (lo.length <= Truncate) lo else lo.substring(0, Truncate)
+    val mx = if (hi.length <= Truncate) Some(hi)
+             else bumpedPrefix(hi.substring(0, Truncate))
+    (mn, mx)
+  }
+}
 
 case class ManifestBatchWrite(path: String, schema: StructType,
     compactInterval: Int = ManifestSink.DefaultCompactInterval) extends BatchWrite {
@@ -692,7 +767,7 @@ case class ManifestBatchWrite(path: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case CommittedFile(n, _, _) =>
+      case CommittedFile(n, _, _, _) =>
         Files.deleteIfExists(Paths.get(path, "data", n))
       case _ =>
     }
@@ -734,7 +809,7 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
       // committed-data loss.
       val published = ManifestSink.fragmentUnion(dir).toSet
       messages.foreach {
-        case CommittedFile(n, _, _) if !published.contains(n) =>
+        case CommittedFile(n, _, _, _) if !published.contains(n) =>
           Files.deleteIfExists(Paths.get(path, "data", n))
         case _ =>
       }
@@ -759,7 +834,7 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
       if (Files.exists(dir)) ManifestSink.fragmentUnion(dir).toSet
       else Set.empty[String]
     messages.foreach {
-      case CommittedFile(n, _, _) if !published.contains(n) =>
+      case CommittedFile(n, _, _, _) if !published.contains(n) =>
         Files.deleteIfExists(Paths.get(path, "data", n))
       case _ =>
     }
@@ -869,6 +944,22 @@ private[graft] object ManifestWriters {
         if (v < mins(i)) mins(i) = v
         if (v > maxs(i)) maxs(i) = v
       }
+      // string bounds, tracked only while every observed value is pure
+      // ASCII (StrColStat's ordering contract); one non-ASCII value
+      // drops the column's stats for this file — an unpruned file is a
+      // slow read, a mispruned one a wrong answer
+      private val strMin = Array.fill[String](fieldTypes.length)(null)
+      private val strMax = Array.fill[String](fieldTypes.length)(null)
+      private val strAscii = Array.fill(fieldTypes.length)(true)
+      private def observeStr(i: Int, s: String): Unit = if (strAscii(i)) {
+        var j = 0
+        while (j < s.length && s.charAt(j) < '\u0080') j += 1
+        if (j < s.length) { strAscii(i) = false; strMin(i) = null; strMax(i) = null }
+        else {
+          if (strMin(i) == null || s.compareTo(strMin(i)) < 0) strMin(i) = s
+          if (strMax(i) == null || s.compareTo(strMax(i)) > 0) strMax(i) = s
+        }
+      }
 
       override def write(row: InternalRow): Unit = {
         val g = groups.newGroup()
@@ -879,7 +970,9 @@ private[graft] object ManifestWriters {
             case "integer" | "date" =>
               val v = row.getInt(i); observe(i, v.toLong); g.add(i, v)
             case "string" =>
-              g.add(i, Binary.fromString(row.getUTF8String(i).toString))
+              val s = row.getUTF8String(i).toString
+              observeStr(i, s)
+              g.add(i, Binary.fromString(s))
             case other => throw new IOException(
               s"manifest sink cannot encode a $other column")
           }
@@ -895,7 +988,14 @@ private[graft] object ManifestWriters {
             // an all-null column observed nothing — no stats for it
             case i if mins(i) <= maxs(i) => ColStat(fieldNames(i), mins(i), maxs(i))
           }.toSeq
-        CommittedFile(name, rows, stats)
+        val strStats =
+          if (rows == 0) Seq.empty
+          else fieldTypes.indices.collect {
+            case i if fieldTypes(i) == "string" && strMin(i) != null =>
+              val (mn, mx) = StrColStat.bounds(strMin(i), strMax(i))
+              StrColStat(fieldNames(i), mn, mx)
+          }.toSeq
+        CommittedFile(name, rows, stats, strStats)
       }
       override def abort(): Unit = {
         try out.close() catch { case _: Exception => }

@@ -48,19 +48,24 @@ object PagerankFlakeProbe {
     val iters = args.headOption.map(_.toInt).getOrElse(30)
     val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.01")
     val spark = TestSpark.spark
-    val pinned = (18, 18, 9, 22)
+    val pinned = (20, 20, 9, 25)
     var deviations = 0
+    val seen = scala.collection.mutable.Map[(Int, Int, Int, Int), Int]()
     (1 to iters).foreach { i =>
       val group = s"graft-pr-probe-$i"
       val detail = new DetailListener(group)
+      val counter = new StructuralCounter(Some(group))
       spark.sparkContext.addSparkListener(detail)
-      val counts = CcStructure.measureRun(spark, s"prflake$i") {
-        // measureRun sets its own group; override with ours for detail
-        spark.sparkContext.setJobGroup(group, "pagerank flake probe")
+      spark.sparkContext.addSparkListener(counter)
+      spark.sparkContext.setJobGroup(group, "pagerank flake probe")
+      val counts = try {
         require(graft.ops.GraphOps.pageRank(spark, dir).count() > 0)
-      }
+        counter.drainAndRead()
+      } finally spark.sparkContext.clearJobGroup()
+      seen(counts) = seen.getOrElse(counts, 0) + 1
       Thread.sleep(600) // let the detail listener drain
       spark.sparkContext.removeSparkListener(detail)
+      spark.sparkContext.removeSparkListener(counter)
       val tag = if (counts == pinned) "OK " else { deviations += 1; "DEV" }
       println(s"PR-PROBE run$i $tag counts=$counts " +
         s"loadavg=${scala.io.Source.fromFile("/proc/loadavg").mkString.trim}")
@@ -77,7 +82,7 @@ object PagerankFlakeProbe {
         }
       }
     }
-    println(s"PR-PROBE DONE deviations=$deviations/$iters")
+    println(s"PR-PROBE DONE deviations=$deviations/$iters shapes=$seen")
     spark.stop()
   }
 }

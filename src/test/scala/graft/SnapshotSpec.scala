@@ -396,12 +396,26 @@ class SnapshotSpec extends AnyFunSuite {
     // impossible predicate: ZERO files plan, empty (not failing) scan
     assert(s.sql("SELECT k FROM graft.snap.kv WHERE k = 5000").count() == 0)
     assert(prune() == (4, 0))
-    // string-column predicates don't prune (no stats for strings), and
-    // results stay correct — skipping is an optimization, never load-bearing
+    // string-column predicates prune too (round 13: truncated-ASCII
+    // string #stats): each epoch's name envelope is disjoint
+    // ([v00,v02], [v10,v12], …), so an equality resolves to one file
+    // and a LIKE-prefix to its epoch
     assert(s.sql(
       "SELECT count(*) AS n FROM graft.snap.kv WHERE name = 'v22'")
       .collect().head.getLong(0) == 1)
-    assert(prune() == (4, 4))
+    assert(prune() == (4, 1), s"name='v22' should plan 1 of 4: ${prune()}")
+    assert(s.sql(
+      "SELECT count(*) AS n FROM graft.snap.kv WHERE name LIKE 'v3%'")
+      .collect().head.getLong(0) == 3)
+    assert(prune() == (4, 1), s"LIKE 'v3%' should plan 1 of 4: ${prune()}")
+    assert(s.sql(
+      "SELECT count(*) AS n FROM graft.snap.kv WHERE name >= 'v20'")
+      .collect().head.getLong(0) == 6)
+    assert(prune() == (4, 2))
+    // an impossible string predicate plans zero files
+    assert(s.sql(
+      "SELECT count(*) AS n FROM graft.snap.kv WHERE name = 'zzz'").count() == 1)
+    assert(prune() == (4, 0))
     // time travel composes with skipping: snapshot 1 lists 2 files,
     // the filter keeps one
     assert(s.sql(
@@ -409,10 +423,10 @@ class SnapshotSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 3)
     assert(prune() == (2, 1))
 
-    // ——— SCHEMA-IN-LOG: land an epoch under a WIDENED schema; every
-    // read now refuses (one table serves one schema — CSV rows of mixed
-    // arity under a single DDL would misparse, so the log refuses
-    // rather than mask), naming both DDLs
+    // ——— SCHEMA-IN-LOG + ADDITIVE EVOLUTION (round 13): land an epoch
+    // under a WIDENED schema. Reads under the old NARROW conf refuse
+    // (the new epoch recorded a column the declared DDL lacks — serving
+    // it would silently drop committed data), naming both DDLs …
     (0 to 1).map(j => (900L + j, s"w$j", j.toLong))
       .toDF("k", "name", "extra").coalesce(1)
       .write.format("graft.sources.ManifestSink")
@@ -421,10 +435,20 @@ class SnapshotSpec extends AnyFunSuite {
       s.sql("SELECT k FROM graft.snap.kv").collect())
     assert(refuse.toString.contains("does not match") &&
       refuse.toString.contains("extra"), refuse.toString)
-    // the widened conf ALSO refuses (the old epochs recorded the narrow
-    // schema): evolution means a new table, never silent reinterpretation
+    // … while the WIDENED conf serves the whole union: pre-evolution
+    // files null-fill the appended column (the parquet by-name read),
+    // new-epoch rows carry their values
     s.conf.set("spark.sql.catalog.graft.snap.kv.schema",
       "k LONG, name STRING, extra LONG")
+    val evolved = s.sql(
+      "SELECT count(*) AS n, count(extra) AS with_extra, " +
+        "sum(extra) AS extra_sum FROM graft.snap.kv").collect().head
+    assert(evolved.getLong(0) == 14 && evolved.getLong(1) == 2 &&
+      evolved.getLong(2) == 1L,
+      s"additive evolution misread the union: $evolved")
+    // and a TYPE change still refuses under any conf
+    s.conf.set("spark.sql.catalog.graft.snap.kv.schema",
+      "k LONG, name STRING, extra STRING")
     intercept[Exception](s.sql("SELECT k FROM graft.snap.kv").collect())
     graft.util.Fs.deleteRecursively(root)
   }
@@ -525,6 +549,22 @@ class SnapshotSpec extends AnyFunSuite {
       s"q_snap_skipping did not skip files: $planned of $listed planned")
     assert(listed == 4 && planned == 1,
       s"four residue epochs, one matching: expected (4,1), got ($listed,$planned)")
+
+    // ——— q_snap_skip_str (round 13): per-language epochs, string
+    // #stats resolve lang='de' to exactly one of the five files
+    val qs = graft.SparkEntry.queries("q_snap_skip_str")(spark, TestSpark.Sf0001)
+    assert(qs.collect().nonEmpty)
+    val (sListed, sPlanned) = graft.sources.SnapTable.lastPruneOf("docskip")
+    assert(sListed == 5 && sPlanned == 1,
+      s"five language epochs, one matching: expected (5,1), got ($sListed,$sPlanned)")
+
+    // ——— q_snap_skip_time (round 13): per-week epochs, micros ts
+    // #stats prune the three pre-Jan-22 weeks
+    val qt = graft.SparkEntry.queries("q_snap_skip_time")(spark, TestSpark.Sf0001)
+    assert(qt.collect().nonEmpty)
+    val (tListed, tPlanned) = graft.sources.SnapTable.lastPruneOf("evtime")
+    assert(tListed == 4 && tPlanned == 1,
+      s"four week epochs, one matching: expected (4,1), got ($tListed,$tPlanned)")
   }
 
   test("METADATA COST PIN (round 12): across a 100-epoch log, a " +
