@@ -895,7 +895,8 @@ private[graft] object ManifestWriters {
     * The long family (long/integer/timestamp/date) all carry long-valued
     * stats: timestamps are UTC micros and dates are epoch days in
     * `InternalRow`, so their min/max order IS value order. */
-  private val LongFamily = Set("long", "integer", "timestamp", "date")
+  private val LongFamily = Set("long", "integer", "short", "byte",
+    "timestamp", "date")
 
   private[sources] def parquetType(fieldNames: Array[String],
       fieldTypes: Array[String]): MessageType = {
@@ -905,6 +906,13 @@ private[graft] object ManifestWriters {
       fieldTypes(i) match {
         case "long" => b.addField(Types.optional(INT64).named(n))
         case "integer" => b.addField(Types.optional(INT32).named(n))
+        case "short" => b.addField(Types.optional(INT32)
+          .as(LogicalTypeAnnotation.intType(16, true)).named(n))
+        case "byte" => b.addField(Types.optional(INT32)
+          .as(LogicalTypeAnnotation.intType(8, true)).named(n))
+        case "double" => b.addField(Types.optional(DOUBLE).named(n))
+        case "float" => b.addField(Types.optional(FLOAT).named(n))
+        case "boolean" => b.addField(Types.optional(BOOLEAN).named(n))
         case "string" => b.addField(Types.optional(BINARY)
           .as(LogicalTypeAnnotation.stringType()).named(n))
         case "timestamp" => b.addField(Types.optional(INT64)
@@ -913,8 +921,8 @@ private[graft] object ManifestWriters {
         case "date" => b.addField(Types.optional(INT32)
           .as(LogicalTypeAnnotation.dateType()).named(n))
         case other => throw new IOException(
-          "manifest sink supports long/integer/string/timestamp/date " +
-            s"columns, got $other")
+          "manifest sink supports long/integer/short/byte/double/float/" +
+            s"boolean/string/timestamp/date columns, got $other")
       }
     }
     b.named("graft_manifest_row")
@@ -969,6 +977,16 @@ private[graft] object ManifestWriters {
               val v = row.getLong(i); observe(i, v); g.add(i, v)
             case "integer" | "date" =>
               val v = row.getInt(i); observe(i, v.toLong); g.add(i, v)
+            case "short" =>
+              val v = row.getShort(i); observe(i, v.toLong); g.add(i, v.toInt)
+            case "byte" =>
+              val v = row.getByte(i); observe(i, v.toLong); g.add(i, v.toInt)
+            // floating/boolean columns carry no stats (IEEE NaN breaks
+            // total-order bounds; boolean envelopes never prune) —
+            // unpruned files are merely slower, never wrong
+            case "double" => g.add(i, row.getDouble(i))
+            case "float" => g.add(i, row.getFloat(i))
+            case "boolean" => g.add(i, row.getBoolean(i))
             case "string" =>
               val s = row.getUTF8String(i).toString
               observeStr(i, s)
@@ -1142,11 +1160,16 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
               else fieldTypes(i) match {
                 case "long" | "timestamp" => cur.getLong(fi, 0)
                 case "integer" | "date" => cur.getInteger(fi, 0)
+                case "short" => cur.getInteger(fi, 0).toShort
+                case "byte" => cur.getInteger(fi, 0).toByte
+                case "double" => cur.getDouble(fi, 0)
+                case "float" => cur.getFloat(fi, 0)
+                case "boolean" => cur.getBoolean(fi, 0)
                 case "string" => org.apache.spark.unsafe.types.UTF8String
                   .fromBytes(cur.getBinary(fi, 0).getBytes)
                 case other => throw new IllegalArgumentException(
-                  "manifest stream supports long/integer/string/timestamp/" +
-                    s"date columns, got $other")
+                  "manifest stream supports long/integer/short/byte/double/" +
+                    s"float/boolean/string/timestamp/date columns, got $other")
               }
             }
           }.toArray)

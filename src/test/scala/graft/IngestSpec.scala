@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -403,6 +403,41 @@ class IngestSpec extends AnyFunSuite {
       new org.apache.spark.sql.types.StructType().add("v", "long"))
       .abort(Array(msg))
     assert(Files.list(Paths.get(lone, "data")).count() == 0)
+  }
+
+  test("manifest parquet plane: the full scalar surface round-trips " +
+    "(long/int/short/byte/double/float/boolean/string/timestamp/date) " +
+    "with nulls, and the long-family #stats carry micros/days payloads") {
+    val dir = Files.createTempDirectory("graft_manifest_types").toString
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 10, CAST(3 AS SHORT), CAST(4 AS TINYINT), 1.5D,
+        |   CAST(2.5 AS FLOAT), true, 'alpha',
+        |   TIMESTAMP '2024-01-05 06:07:08.123456', DATE '2024-02-03'),
+        |  (2L, CAST(NULL AS INT), CAST(NULL AS SHORT),
+        |   CAST(NULL AS TINYINT), CAST(NULL AS DOUBLE),
+        |   CAST(NULL AS FLOAT), CAST(NULL AS BOOLEAN),
+        |   CAST(NULL AS STRING), CAST(NULL AS TIMESTAMP),
+        |   CAST(NULL AS DATE))
+        |AS t(l, i, s, b, d, f, bo, str, ts, dt)""".stripMargin)
+    df.coalesce(1).write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("append").save()
+    val files = graft.sources.ManifestSink.committedFiles(dir)
+    assert(files.size == 1)
+    val back = spark.read.schema(df.schema).parquet(files: _*)
+    assert(back.count() == 2)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+      "parquet round trip changed values")
+    val st = graft.sources.ManifestSink.fileStats(dir)
+      .apply(java.nio.file.Paths.get(files.head).getFileName.toString)
+    assert(st.rows == 2)
+    // long family only (floating/boolean carry no bounds); null row ignored
+    assert(st.cols.keySet == Set("l", "i", "s", "b", "ts", "dt"), st.cols)
+    assert(st.cols("ts") == ((1704434828123456L, 1704434828123456L)), st.cols)
+    assert(st.cols("dt")._1 == java.time.LocalDate.of(2024, 2, 3).toEpochDay)
+    assert(st.strCols.keySet == Set("str") &&
+      st.strCols("str") == (("alpha", Some("alpha"))), st.strCols)
+    graft.util.Fs.deleteRecursively(Paths.get(dir))
   }
 
   test("SyntheticSource (DSv2): rows follow the formulas; full scan plans " +
