@@ -567,6 +567,49 @@ class SnapshotSpec extends AnyFunSuite {
       s"four week epochs, one matching: expected (4,1), got ($tListed,$tPlanned)")
   }
 
+  test("string #stats truncation (round 13): >32-char values record a " +
+    "prefix lower bound and a BUMPED strict upper bound, exact-match " +
+    "predicates on the full values still find their rows (truncation " +
+    "never misprunes), and a non-ASCII value drops its FILE's string " +
+    "stats without losing the row") {
+    val root = Files.createTempDirectory("graft_snap_trunc")
+    val log = root.resolve("tt").toString
+    val longA = "a" * 40 // both exceed StrColStat.Truncate = 32
+    val longZ = "z" * 40
+    Seq((1L, longA), (2L, longZ), (3L, "mid"))
+      .toDF("k", "name").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", log).mode("append").save()
+    val st = graft.sources.ManifestSink.fileStats(log).values.head
+    assert(st.strCols("name")._1 == "a" * 32, st.strCols) // prefix min
+    assert(st.strCols("name")._2.contains("z" * 31 + "{"), // 'z'+1 bump
+      st.strCols)
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.conf.set("spark.sql.catalog.graft.snap.tt.schema", "k LONG, name STRING")
+    assert(s.sql(s"SELECT k FROM graft.snap.tt WHERE name = '$longA'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "truncated min pruned the row holding the true minimum")
+    assert(s.sql(s"SELECT k FROM graft.snap.tt WHERE name = '$longZ'")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "bumped max pruned the row holding the true maximum")
+    // beyond the bumped upper bound: zero files plan, result correct
+    assert(s.sql("SELECT k FROM graft.snap.tt WHERE name = '~~~'").count() == 0)
+    assert(graft.sources.SnapTable.lastPruneOf("tt") == ((1, 0)))
+    // a non-ASCII value lands a second epoch whose file carries no
+    // string stats (the ASCII ordering contract) — and still serves
+    Seq((9L, "café")).toDF("k", "name").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", log).mode("append").save()
+    val sts = graft.sources.ManifestSink.fileStats(log)
+    assert(sts.values.count(_.strCols.contains("name")) == 1,
+      s"non-ASCII file must carry no string stats: $sts")
+    assert(s.sql("SELECT k FROM graft.snap.tt WHERE name = 'café'")
+      .collect().map(_.getLong(0)).toSeq == Seq(9L))
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("METADATA COST PIN (round 12): across a 100-epoch log, a " +
     "non-compacting commit writes metadata proportional to ITS OWN " +
     "delta — independent of table age (r11 rewrote the full union per " +
