@@ -320,7 +320,7 @@ private[sources] class SnapTable(tname: String, dir: String,
   override def name(): String = s"snap($tname)"
   override def schema(): org.apache.spark.sql.types.StructType = tschema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder = {
     def longOpt(k: String): Option[Long] =
@@ -364,7 +364,29 @@ private[sources] class SnapTable(tname: String, dir: String,
           "than drop or reinterpret committed data)")
     }
     new SnapScanBuilder(tname, files, ManifestSink.fileStats(dir),
-      tschema, options)
+      tschema, options,
+      streamSource = Some(readSchema => {
+        // STREAMING the catalog table (round 13): `readStream.table
+        // ("graft.snap.t")` tails the SAME epoch log the path-based
+        // format face tails — one catalog name serves the current
+        // snapshot, time travel, incremental windows AND the stream.
+        // A pinned historical window cannot be tailed (the stream's
+        // offsets are live epoch ids), so version options refuse.
+        if (asOf.isDefined || options.containsKey("asOfVersion") ||
+            options.containsKey("sinceVersion"))
+          throw new IllegalArgumentException(
+            s"graft.snap.$tname: streaming reads tail the LIVE log — " +
+              "asOfVersion/sinceVersion/VERSION AS OF do not apply " +
+              "(use maxEpochsPerTrigger to rate-limit admission)")
+        val maxEpochs = options.getInt("maxEpochsPerTrigger", Int.MaxValue)
+        require(maxEpochs >= 1,
+          s"maxEpochsPerTrigger must be >= 1, got $maxEpochs")
+        // the tail reader resolves columns BY NAME, so a pruned read
+        // schema simply reads fewer columns per file
+        new ManifestMicroBatchStream(dir,
+          readSchema.fields.map(_.name),
+          readSchema.fields.map(_.dataType.typeName), maxEpochs)
+      }))
   }
 }
 
@@ -400,7 +422,9 @@ private[graft] object SnapTable {
 private[sources] class SnapScanBuilder(tname: String, files: Seq[String],
     stats: Map[String, FileStat],
     tschema: org.apache.spark.sql.types.StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    streamSource: Option[org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.graftbridge.GraftCatalystFilterPushdown
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -534,6 +558,22 @@ private[sources] class SnapScanBuilder(tname: String, files: Seq[String],
         required.foreach(p.pruneColumns)
       case _ =>
     }
-    delegate.build()
+    val dscan = delegate.build()
+    streamSource match {
+      case None => dscan
+      case Some(mk) =>
+        // batch reads delegate untouched; a streaming read swaps in the
+        // epoch-log tail (the same MicroBatchStream the path face uses)
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): org.apache.spark.sql.types.StructType =
+            dscan.readSchema()
+          override def description(): String = dscan.description()
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            dscan.toBatch
+          override def toMicroBatchStream(checkpointLocation: String)
+              : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+            mk(dscan.readSchema())
+        }
+    }
   }
 }

@@ -610,6 +610,54 @@ class SnapshotSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(root)
   }
 
+  test("STREAMING the catalog table (round 13): readStream.table" +
+    "('graft.snap.t') tails the epoch log — one catalog name serves " +
+    "batch, time travel, incremental windows AND the stream; version " +
+    "options refuse for streams (offsets are live epoch ids)") {
+    val root = Files.createTempDirectory("graft_snap_stream")
+    val log = root.resolve("st").toString
+    (0 until 4).foreach { i =>
+      (0 to 2).map(j => (i * 100L + j, s"v$i$j")).toDF("k", "name")
+        .coalesce(1).write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.conf.set("spark.sql.catalog.graft.snap.st.schema", "k LONG, name STRING")
+    val q = s.readStream.option("maxEpochsPerTrigger", 2)
+      .table("graft.snap.st")
+      .groupBy().agg(count(lit(1)).as("n"), sum(col("k")).as("ks"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("snap_st_tail").start()
+    try {
+      q.processAllAvailable()
+      val r = s.sql("SELECT n, ks FROM snap_st_tail").collect().head
+      val want = (0 until 4).flatMap(i => (0 to 2).map(j => i * 100L + j))
+      assert(r.getLong(0) == 12 && r.getLong(1) == want.sum,
+        s"catalog stream tail misread the log: $r")
+      // a LIVE append lands in the same running stream — the tail is
+      // the log, not a startup snapshot
+      Seq((900L, "late")).toDF("k", "name").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+      q.processAllAvailable()
+      val r2 = s.sql("SELECT n, ks FROM snap_st_tail").collect().head
+      assert(r2.getLong(0) == 13 && r2.getLong(1) == want.sum + 900L,
+        s"late epoch did not flow into the catalog stream: $r2")
+    } finally q.stop()
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .flatMap(e => Option(e.getMessage)).toSeq
+    val bad = intercept[Exception] {
+      val qq = s.readStream.option("asOfVersion", 1).table("graft.snap.st")
+        .writeStream.format("noop").start()
+      try qq.processAllAvailable() finally qq.stop()
+    }
+    assert(msgs(bad).exists(_.contains("tail the LIVE log")), bad.toString)
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("METADATA COST PIN (round 12): across a 100-epoch log, a " +
     "non-compacting commit writes metadata proportional to ITS OWN " +
     "delta — independent of table age (r11 rewrote the full union per " +
