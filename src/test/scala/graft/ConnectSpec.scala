@@ -32,12 +32,24 @@ class ConnectSpec extends AnyFunSuite {
   private val dir = TestSpark.Sf0001
 
   /** One server on the shared context + one client session, configured
-    * like the classic one (these are per-session confs server-side). */
+    * like the classic one (these are per-session confs server-side).
+    * The gRPC service binds a FRESH free port instead of the default
+    * 15002 (round 13: two concurrent test runs on one box — the
+    * deflake gate runs the suite under a full-suite load copy —
+    * collided on the fixed port and failed the whole Connect family). */
   private lazy val remote: ConnectSession = {
+    val port = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
+    }
+    // the service reads the binding port from the context's live
+    // SparkConf (SparkEnv); sc.conf itself is private[spark]
+    org.apache.spark.SparkEnv.get.conf
+      .set("spark.connect.grpc.binding.port", port.toString)
     org.apache.spark.sql.connect.service.SparkConnectService
       .start(spark.sparkContext)
     val s = ConnectSession.builder()
-      .remote("sc://localhost:15002").create()
+      .remote(s"sc://localhost:$port").create()
     Seq(
       "spark.sql.session.timeZone" -> "UTC",
       "spark.sql.ansi.enabled" -> "false",

@@ -48,7 +48,7 @@ object PagerankFlakeProbe {
     val iters = args.headOption.map(_.toInt).getOrElse(30)
     val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.01")
     val spark = TestSpark.spark
-    val pinned = (20, 20, 9, 25)
+    val pinned = (23, 23, 9, 28) // StructureSpec's round-13 pagerank pin
     var deviations = 0
     val seen = scala.collection.mutable.Map[(Int, Int, Int, Int), Int]()
     (1 to iters).foreach { i =>
