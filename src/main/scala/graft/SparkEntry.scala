@@ -219,6 +219,7 @@ object SparkEntry {
     "q_snap_skip_str"    -> Materialize.snapSkipString _,
     "q_snap_skip_time"   -> Materialize.snapSkipTime _,
     "q_snap_evolution"   -> Materialize.snapEvolution _,
+    "q_snap_delete"      -> Materialize.snapDelete _,
     "q_vacuum_sql"       -> Materialize.vacuumSql _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
     "q_snapshot_diff"    -> Materialize.snapshotDiff _,
@@ -2362,6 +2363,16 @@ object SparkEntry {
         |    AS sum_chars
         |FROM documents
         |WHERE doc_id IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
+        |GROUP BY lang""".stripMargin,
+    "q_snap_delete" -> // post-DELETE snapshot aggregate: the oracle
+      // applies the complement of the deleted predicate to the source
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL
+        |  AND NOT (lang = 'es' AND doc_id < 300)
         |GROUP BY lang""".stripMargin,
     "q_vacuum_sql" -> // CALL graft.sys.vacuum reclaims exactly the two
       // planted, back-dated orphans (committed files are never

@@ -998,6 +998,42 @@ object Materialize {
         |GROUP BY lang""".stripMargin)
   }
 
+  /** ROW-LEVEL DELETE from pure SQL (`q_snap_delete`, round 13): the
+    * documents land as one epoch per language, then
+    * `DELETE FROM graft.snap.docdel WHERE lang = 'es' AND doc_id < 300`
+    * runs the copy-on-write path — the string+long `#stats` envelopes
+    * admit ONLY the 'es' file (SnapshotSpec pins filesRewritten = 1 of
+    * 5), its survivors and the `#remove` land as one atomic epoch, and
+    * the aggregate over the post-delete snapshot oracles against the
+    * complement filter. The Delta DELETE shape on the manifest lake. */
+  def snapDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_del_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val log = new java.io.File(root, "docdel").toString
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Seq("de", "en", "es", "fr", "zh").foreach { l =>
+      complete.filter(col("lang") === l)
+        .coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    spark.conf.set("spark.sql.catalog.graft.snap.docdel.schema",
+      "doc_id LONG, lang STRING, n_chars LONG")
+    spark.sql(
+      "DELETE FROM graft.snap.docdel WHERE lang = 'es' AND doc_id < 300")
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  min(doc_id) AS min_doc
+        |FROM graft.snap.docdel
+        |GROUP BY lang""".stripMargin)
+  }
+
   /** VACUUM from pure SQL (`q_vacuum_sql`): a manifest table gets two
     * committed epochs plus two planted crash orphans (unreferenced data
     * files, back-dated past any retention window), then

@@ -315,12 +315,109 @@ object GraftCatalog {
   * full pass. */
 private[sources] class SnapTable(tname: String, dir: String,
     tschema: org.apache.spark.sql.types.StructType, asOf: Option[Long])
-    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.sources._
   override def name(): String = s"snap($tname)"
   override def schema(): org.apache.spark.sql.types.StructType = tschema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+
+  private def hasCol(c: String): Boolean =
+    tschema.fields.exists(_.name.equalsIgnoreCase(c))
+
+  /** Predicate shapes the COW rewrite can evaluate (re-expressed as
+    * Columns over the survivor scan); anything else refuses at analysis
+    * time through `canDeleteWhere` rather than mis-deleting. */
+  private def deletable(f: Filter): Boolean = f match {
+    case EqualTo(c, _) => hasCol(c)
+    case EqualNullSafe(c, _) => hasCol(c)
+    case GreaterThan(c, _) => hasCol(c)
+    case GreaterThanOrEqual(c, _) => hasCol(c)
+    case LessThan(c, _) => hasCol(c)
+    case LessThanOrEqual(c, _) => hasCol(c)
+    case In(c, _) => hasCol(c)
+    case IsNull(c) => hasCol(c)
+    case IsNotNull(c) => hasCol(c)
+    case StringStartsWith(c, _) => hasCol(c)
+    case StringEndsWith(c, _) => hasCol(c)
+    case StringContains(c, _) => hasCol(c)
+    case And(l, r) => deletable(l) && deletable(r)
+    case Or(l, r) => deletable(l) && deletable(r)
+    case Not(x) => deletable(x)
+    case _: AlwaysTrue => true
+    case _: AlwaysFalse => true
+    case _ => false
+  }
+
+  private def toColumn(f: Filter): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    f match {
+      case EqualTo(c, v) => col(c) === lit(v)
+      case EqualNullSafe(c, v) => col(c) <=> lit(v)
+      case GreaterThan(c, v) => col(c) > lit(v)
+      case GreaterThanOrEqual(c, v) => col(c) >= lit(v)
+      case LessThan(c, v) => col(c) < lit(v)
+      case LessThanOrEqual(c, v) => col(c) <= lit(v)
+      case In(c, vs) => col(c).isin(vs.toIndexedSeq: _*)
+      case IsNull(c) => col(c).isNull
+      case IsNotNull(c) => col(c).isNotNull
+      case StringStartsWith(c, p) => col(c).startsWith(p)
+      case StringEndsWith(c, p) => col(c).endsWith(p)
+      case StringContains(c, p) => col(c).contains(p)
+      case And(l, r) => toColumn(l) && toColumn(r)
+      case Or(l, r) => toColumn(l) || toColumn(r)
+      case Not(x) => not(toColumn(x))
+      case _: AlwaysTrue => lit(true)
+      case _: AlwaysFalse => lit(false)
+      case other => throw new IllegalStateException(
+        s"unreachable: canDeleteWhere admitted $other")
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOf.isEmpty && filters.forall(deletable)
+
+  /** Row-level DELETE by COPY-ON-WRITE (round 13, the Delta shape):
+    * resolve which committed files MAY hold matching rows (the same
+    * conservative `#stats` envelope test the scan builder prunes
+    * with — a file the stats exclude provably holds no matching row
+    * and is left untouched), rewrite ONLY those files' surviving rows
+    * through a distributed scan-filter-write job, and commit survivors
+    * + `#remove`s of the rewritten files as ONE atomic epoch. Rows
+    * where the predicate is NULL survive (SQL DELETE removes only
+    * predicate-TRUE rows). Concurrency contract: concurrent APPENDS
+    * serialize safely against a delete (the claim race only orders
+    * epochs); two concurrent DELETEs over the same files are the
+    * writer's responsibility to serialize — the log has no
+    * compare-and-swap on file liveness yet (Delta aborts these via
+    * commit-time conflict checking; a future round's item). */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val files = ManifestSink.committedFiles(dir)
+    if (files.isEmpty) return
+    val stats = ManifestSink.fileStats(dir)
+    val affected = files.filter { f =>
+      stats.get(java.nio.file.Paths.get(f).getFileName.toString) match {
+        case None => true // no stats: must assume it may match
+        case Some(st) => st.rows > 0 && filters.forall(SnapStats.mayMatch(st, _))
+      }
+    }
+    SnapTable.recordDelete(tname, files.size, affected.size)
+    if (affected.isEmpty) return
+    val pred = filters.map(toColumn).reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val survivors = spark.read.schema(tschema).parquet(affected: _*)
+      .filter(org.apache.spark.sql.functions.not(
+        pred <=> org.apache.spark.sql.functions.lit(true)))
+    survivors.write.format("graft.sources.ManifestSink")
+      .option("path", dir)
+      .option("removeFiles", affected
+        .map(f => java.nio.file.Paths.get(f).getFileName.toString)
+        .mkString(","))
+      .mode("append").save()
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder = {
     def longOpt(k: String): Option[Long] =
@@ -404,55 +501,30 @@ private[graft] object SnapTable {
   /** Most recent (listed, planned) for `table`; (0, 0) if never scanned. */
   private[graft] def lastPruneOf(table: String): (Int, Int) =
     Option(prunes.get(table)).getOrElse((0, 0))
+
+  /** Most recent COW delete's (committedFiles, filesRewritten) per
+    * table — SnapshotSpec pins that a stats-prunable predicate
+    * rewrites strictly fewer files than the snapshot holds. */
+  private val deletes =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  private[sources] def recordDelete(table: String, total: Int, rewritten: Int): Unit =
+    deletes.put(table, (total, rewritten))
+  private[graft] def lastDeleteOf(table: String): (Int, Int) =
+    Option(deletes.get(table)).getOrElse((0, 0))
 }
 
-/** Data-skipping scan builder over a resolved committed-file list:
-  * receives the pushed CATALYST filters (the interface Spark 4's
-  * planner offers first, and the one the builtin file sources consume),
-  * translates them to v1 `Filter`s to prune files whose `#stats` (row
-  * count + per-long-column min/max, recorded at write time) cannot
-  * satisfy them, then delegates the pruned path list to the builtin
-  * parquet DSv2 builder — forwarding the SAME catalyst filters (so
-  * parquet row-group/page stats pruning engages inside each file) and
-  * the required-column pruning. All filters are reported as residual
-  * (`pushFilters` returns them, `pushedFilters` is empty), so Spark
-  * re-applies every predicate post-scan: file skipping is a strict
-  * optimization, never a correctness dependency — a file with no
-  * recorded stats simply cannot be skipped. */
-private[sources] class SnapScanBuilder(tname: String, files: Seq[String],
-    stats: Map[String, FileStat],
-    tschema: org.apache.spark.sql.types.StructType,
-    options: CaseInsensitiveStringMap,
-    streamSource: Option[org.apache.spark.sql.types.StructType =>
-      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
-    extends org.apache.spark.sql.connector.read.ScanBuilder
-    with org.apache.spark.sql.graftbridge.GraftCatalystFilterPushdown
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+/** Stats-vs-predicate envelope tests shared by the data-skipping scan
+  * builder and the copy-on-write DELETE's affected-file resolution —
+  * ONE conservative `mayMatch` so the two faces can never disagree
+  * about which files a predicate may touch. */
+private[sources] object SnapStats {
   import org.apache.spark.sql.sources._
-
-  private var catalystFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
-  private var filters: Array[Filter] = Array.empty
-  private var required: Option[org.apache.spark.sql.types.StructType] = None
-
-  override def pushFilters(
-      fs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    catalystFilters = fs
-    filters = fs.flatMap(org.apache.spark.sql.graftbridge.Bridge.translateFilter)
-      .toArray
-    fs // all residual: Spark re-applies, skipping is bonus
-  }
-  override def pushedFilters()
-      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
-    Array.empty
-  override def pruneColumns(requiredSchema: org.apache.spark.sql.types.StructType): Unit =
-    required = Some(requiredSchema)
 
   /** Comparands of the long-stat family, normalized to the stats'
     * payload scale: integrals as-is, timestamps to UTC micros, dates to
     * epoch days — the exact values the writer observed in InternalRow,
     * so numeric comparison is value comparison. */
-  private def longLit(v: Any): Option[Long] = v match {
+  def longLit(v: Any): Option[Long] = v match {
     case n: java.lang.Long => Some(n.longValue)
     case n: java.lang.Integer => Some(n.longValue)
     case n: java.lang.Short => Some(n.longValue)
@@ -467,10 +539,10 @@ private[sources] class SnapScanBuilder(tname: String, files: Seq[String],
     case _ => None // unmodeled comparand kind: never prune on it
   }
 
-  private def range(st: FileStat, col: String): Option[(Long, Long)] =
+  def range(st: FileStat, col: String): Option[(Long, Long)] =
     st.cols.collectFirst { case (c, r) if c.equalsIgnoreCase(col) => r }
 
-  private def strRange(st: FileStat, col: String): Option[(String, Option[String])] =
+  def strRange(st: FileStat, col: String): Option[(String, Option[String])] =
     st.strCols.collectFirst { case (c, r) if c.equalsIgnoreCase(col) => r }
 
   /** May ANY row of a file with stats `st` satisfy `f`? Conservative:
@@ -481,7 +553,7 @@ private[sources] class SnapScanBuilder(tname: String, files: Seq[String],
     * differing position decides identically whenever one side is
     * ASCII); `max` is None when truncation left the file unbounded
     * above. */
-  private def mayMatch(st: FileStat, f: Filter): Boolean = {
+  def mayMatch(st: FileStat, f: Filter): Boolean = {
     // each predicate shape gets its long-bounds form and its
     // string-bounds form; a column with neither stat kind (or an
     // unmodeled comparand) answers true. String bounds: `mn` may be a
@@ -530,11 +602,55 @@ private[sources] class SnapScanBuilder(tname: String, files: Seq[String],
     }
   }
 
+}
+
+/** Data-skipping scan builder over a resolved committed-file list:
+  * receives the pushed CATALYST filters (the interface Spark 4's
+  * planner offers first, and the one the builtin file sources consume),
+  * translates them to v1 `Filter`s to prune files whose `#stats` (row
+  * count + per-long-column min/max, recorded at write time) cannot
+  * satisfy them, then delegates the pruned path list to the builtin
+  * parquet DSv2 builder — forwarding the SAME catalyst filters (so
+  * parquet row-group/page stats pruning engages inside each file) and
+  * the required-column pruning. All filters are reported as residual
+  * (`pushFilters` returns them, `pushedFilters` is empty), so Spark
+  * re-applies every predicate post-scan: file skipping is a strict
+  * optimization, never a correctness dependency — a file with no
+  * recorded stats simply cannot be skipped. */
+private[sources] class SnapScanBuilder(tname: String, files: Seq[String],
+    stats: Map[String, FileStat],
+    tschema: org.apache.spark.sql.types.StructType,
+    options: CaseInsensitiveStringMap,
+    streamSource: Option[org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.graftbridge.GraftCatalystFilterPushdown
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources._
+
+  private var catalystFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
+  private var filters: Array[Filter] = Array.empty
+  private var required: Option[org.apache.spark.sql.types.StructType] = None
+
+  override def pushFilters(
+      fs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    catalystFilters = fs
+    filters = fs.flatMap(org.apache.spark.sql.graftbridge.Bridge.translateFilter)
+      .toArray
+    fs // all residual: Spark re-applies, skipping is bonus
+  }
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+  override def pruneColumns(requiredSchema: org.apache.spark.sql.types.StructType): Unit =
+    required = Some(requiredSchema)
+
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     val kept = files.filter { f =>
       stats.get(java.nio.file.Paths.get(f).getFileName.toString) match {
         case None => true // no stats recorded: cannot skip
-        case Some(st) => st.rows > 0 && filters.forall(mayMatch(st, _))
+        case Some(st) => st.rows > 0 && filters.forall(SnapStats.mayMatch(st, _))
       }
     }
     SnapTable.recordPrune(tname, files.size, kept.size)

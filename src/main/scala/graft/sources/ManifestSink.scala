@@ -101,7 +101,16 @@ class ManifestSink extends TableProvider {
     val interval = Option(opts.get("compactInterval"))
       .map(_.toInt).getOrElse(ManifestSink.DefaultCompactInterval)
     require(interval >= 2, s"compactInterval must be >= 2, got $interval")
-    ManifestTable(path, schema, interval)
+    // a copy-on-write rewrite (row-level DELETE) passes the files its
+    // survivors REPLACE; the commit publishes adds + removes as ONE
+    // atomic epoch (batch face only)
+    val removes = Option(opts.get("removeFiles"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    removes.foreach(n => require(
+      !n.exists(c => c == ' ' || c == '\n' || c == '\r' || c == '/'),
+      s"removeFiles entries must be bare data-file names, got '$n'"))
+    ManifestTable(path, schema, interval, removes)
   }
 }
 
@@ -190,11 +199,29 @@ object ManifestSink {
         retryVanish(attempts - 1)(f)
     }
 
-  /** Union of the fragment contents (committed file names). `distinct`
-    * guards the one crash window where a loose epoch survives alongside
-    * the compact file that already absorbed it. */
+  /** `#remove <name>` records of one fragment — a row-level DELETE's
+    * copy-on-write epoch (round 13) lists the files it REPLACES here,
+    * next to the survivor files it adds, so the swap is one atomic
+    * commit. Compact files never carry removes (compaction resolves
+    * them into the union). */
+  private def readRemoves(p: Path): Seq[String] =
+    readHeaders(p).collect {
+      case l if l.startsWith("#remove ") => l.stripPrefix("#remove ") }
+
+  /** Union of the fragment contents (committed file names), applying
+    * each epoch's adds and `#remove`s IN EPOCH ORDER (a remove always
+    * targets a file added strictly earlier; removing an absent name is
+    * a no-op, which makes the crash window where a loose epoch
+    * survives alongside the compact that absorbed it idempotent —
+    * re-applying its adds dedupes, re-applying its removes does
+    * nothing). */
   private[sources] def fragmentUnion(dir: Path): Seq[String] = retryVanish() {
-    manifestFragments(dir).flatMap(readData).distinct
+    val acc = scala.collection.mutable.LinkedHashSet[String]()
+    manifestFragments(dir).foreach { p =>
+      readData(p).foreach(acc.add)
+      readRemoves(p).foreach(acc.remove)
+    }
+    acc.toSeq
   }
 
   /** This streaming writer's committed ENGINE-epoch watermark: the max
@@ -398,11 +425,19 @@ object ManifestSink {
       throw new IllegalArgumentException(
         s"manifest table $path has no version $version " +
           s"(newest committed epoch: ${if (newest < 0) "none" else newest})")
+    def applyInOrder(fragments: Seq[Path]): Seq[String] = {
+      val acc = scala.collection.mutable.LinkedHashSet[String]()
+      fragments.foreach { p =>
+        readData(p).foreach(acc.add)
+        readRemoves(p).foreach(acc.remove)
+      }
+      acc.toSeq
+    }
     val names =
       if (version >= horizon)
-        (compact.map(_._2).toSeq ++
-          loose.filter(e => e._1 > horizon && e._1 <= version).map(_._2))
-          .flatMap(readData).distinct
+        applyInOrder(compact.map(_._2).toSeq ++
+          loose.filter(e => e._1 > horizon && e._1 <= version)
+            .sortBy(_._1).map(_._2))
       else {
         // below the horizon, ONLY the pre-sweep crash window can serve:
         // the sweep deletes absorbed epoch manifests AFTER the compact
@@ -418,10 +453,16 @@ object ManifestSink {
         // time travel (the Delta/Iceberg contract), surfaced instead of
         // silently serving a wrong snapshot.
         val compactContent = compact.map(_._2).toSeq.flatMap(readData).toSet
-        val looseBelow = loose.filter(_._1 <= horizon)
-        if (looseBelow.flatMap(e => readData(e._2)).toSet == compactContent)
-          loose.filter(_._1 <= version).sortBy(_._1)
-            .flatMap(e => readData(e._2)).distinct
+        val looseBelow = loose.filter(_._1 <= horizon).sortBy(_._1)
+        // the completeness proof needs ADD-ONLY epochs: with a remove
+        // below the horizon, a partially-swept log can resolve to the
+        // compact content while missing an add epoch whose file the
+        // remove later covered (the prefix would silently lack it) —
+        // so a remove anywhere below the horizon refuses instead
+        val removesBelow = looseBelow.exists(e => readRemoves(e._2).nonEmpty)
+        if (!removesBelow &&
+            applyInOrder(looseBelow.map(_._2)).toSet == compactContent)
+          applyInOrder(loose.filter(_._1 <= version).sortBy(_._1).map(_._2))
         else throw new IllegalStateException(
           s"version $version predates the compaction horizon $horizon " +
             "and its epoch manifests were swept — retained time travel " +
@@ -448,8 +489,19 @@ object ManifestSink {
     val loose = looseEpochs(dir, priorHorizon)
     if (loose.size < compactInterval) return
     val prior = latestCompact(dir)
-    val fragments = prior.map(_._2).toSeq ++ loose.map(_._2)
-    val names = fragments.flatMap(readData).distinct
+    val fragments = prior.map(_._2).toSeq ++ loose.sortBy(_._1).map(_._2)
+    // resolve adds and `#remove`s in epoch order: the compact carries
+    // the RESOLVED union (and no remove records — a removed file below
+    // the horizon is simply gone from the log, which is also what lets
+    // VACUUM reclaim its bytes once aged)
+    val names = {
+      val acc = scala.collection.mutable.LinkedHashSet[String]()
+      fragments.foreach { p =>
+        readData(p).foreach(acc.add)
+        readRemoves(p).foreach(acc.remove)
+      }
+      acc.toSeq
+    }
     val headers = fragments.flatMap(readHeaders)
     val txns = headers.collect { case TxnLine(w, e) => (w, e) }
       .groupMapReduce(_._1)(_._2)(math.max)
@@ -605,6 +657,17 @@ object ManifestSink {
           s"(compaction horizon $horizon) — per-epoch deltas are " +
           "unrecoverable from the compact union; re-read the full " +
           "snapshot instead")
+    // a row-level DELETE epoch is NOT an append delta — it swaps files
+    // (its adds duplicate surviving rows of the files it removes), so
+    // an incremental consumer crossing one would double-count; refuse
+    // loudly, the same contract Delta CDF applies to non-CDF rewrites
+    val removing = window.filter(e => readRemoves(e._2).nonEmpty).map(_._1)
+    if (removing.nonEmpty)
+      throw new IllegalStateException(
+        s"incremental read ($since, $asOf] crosses row-level DELETE " +
+          s"epoch(s) ${removing.mkString(", ")} — a delete REWRITES " +
+          "files rather than appending; re-read the full snapshot " +
+          "instead")
     window.flatMap(e => readData(e._2)).distinct
       .map(f => Paths.get(path, "data", f).toString)
   }
@@ -635,7 +698,8 @@ case class FileStat(rows: Long, cols: Map[String, (Long, Long)],
     strCols: Map[String, (String, Option[String])] = Map.empty)
 
 case class ManifestTable(path: String, writeSchema: StructType,
-    compactInterval: Int = ManifestSink.DefaultCompactInterval)
+    compactInterval: Int = ManifestSink.DefaultCompactInterval,
+    removeFiles: Seq[String] = Seq.empty)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String = s"manifest($path)"
@@ -672,7 +736,8 @@ case class ManifestTable(path: String, writeSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = ManifestBatchWrite(path, info.schema(), compactInterval)
+        override def toBatch: BatchWrite =
+          ManifestBatchWrite(path, info.schema(), compactInterval, removeFiles)
         // writerId = the STREAMING QUERY's stable id (Spark passes
         // checkpoint-metadata `id`, not the per-run runId, as the
         // streaming LogicalWriteInfo.queryId) — the txn records it keys
@@ -743,7 +808,8 @@ object StrColStat {
 }
 
 case class ManifestBatchWrite(path: String, schema: StructType,
-    compactInterval: Int = ManifestSink.DefaultCompactInterval) extends BatchWrite {
+    compactInterval: Int = ManifestSink.DefaultCompactInterval,
+    removeFiles: Seq[String] = Seq.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     ManifestWriterFactory(path, schema.fields.map(_.name),
       schema.fields.map(_.dataType.typeName),
@@ -754,12 +820,17 @@ case class ManifestBatchWrite(path: String, schema: StructType,
     * [[ManifestSink.claimEpoch]] (link(2)-exclusive, horizon-verified),
     * so `mode("append")` really appends and batch-written tables get
     * time travel / incremental reads for free; readers holding an older
-    * fragment listing keep a consistent (merely older) snapshot. */
+    * fragment listing keep a consistent (merely older) snapshot. A
+    * copy-on-write rewrite additionally publishes `#remove` records for
+    * the files its survivors replace — adds and removes flip visibility
+    * in the SAME atomic link(2), so no reader ever sees both the old
+    * files and their rewritten survivors. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Files.createDirectories(Paths.get(path))
     val files = messages.collect { case m: CommittedFile => m }.sortBy(_.name).toSeq
     val content = s"#schema ${schema.toDDL}" +:
-      (files.map(ManifestSink.statsLine) ++ files.map(_.name))
+      (files.map(ManifestSink.statsLine) ++
+        removeFiles.sorted.map(n => s"#remove $n") ++ files.map(_.name))
     ManifestSink.claimEpoch(dir, content)
     ManifestSink.maybeCompact(dir,
       ManifestSink.latestCompact(dir).map(_._1).getOrElse(-1L), compactInterval)

@@ -565,6 +565,15 @@ class SnapshotSpec extends AnyFunSuite {
     val (tListed, tPlanned) = graft.sources.SnapTable.lastPruneOf("evtime")
     assert(tListed == 4 && tPlanned == 1,
       s"four week epochs, one matching: expected (4,1), got ($tListed,$tPlanned)")
+
+    // ——— q_snap_delete (round 13): the COW delete rewrites ONLY the
+    // one file whose string+long stats admit the predicate
+    val qd = graft.SparkEntry.queries("q_snap_delete")(spark, TestSpark.Sf0001)
+    assert(qd.collect().nonEmpty)
+    val (dTotal, dRewritten) = graft.sources.SnapTable.lastDeleteOf("docdel")
+    assert(dTotal == 5 && dRewritten == 1,
+      s"five language epochs, one admitting the delete: expected " +
+        s"(5,1), got ($dTotal,$dRewritten)")
   }
 
   test("string #stats truncation (round 13): >32-char values record a " +
@@ -655,6 +664,64 @@ class SnapshotSpec extends AnyFunSuite {
       try qq.processAllAvailable() finally qq.stop()
     }
     assert(msgs(bad).exists(_.contains("tail the LIVE log")), bad.toString)
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("row-level DELETE (round 13): copy-on-write over the stats-" +
+    "affected files only, committed as ONE atomic adds+removes epoch; " +
+    "time travel still serves the pre-delete snapshot; incremental " +
+    "windows crossing the delete refuse; removed files become vacuum " +
+    "candidates; predicate-NULL rows survive") {
+    val root = Files.createTempDirectory("graft_snap_delete")
+    val log = root.resolve("dt").toString
+    // epochs 0..3 with disjoint k ranges; epoch 3 carries a null name
+    (0 until 4).foreach { i =>
+      val rows =
+        if (i == 3) Seq((300L, "v30"), (301L, null.asInstanceOf[String]), (302L, "v32"))
+        else (0 to 2).map(j => (i * 100L + j, s"v$i$j"))
+      rows.toDF("k", "name").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.conf.set("spark.sql.catalog.graft.snap.dt.schema", "k LONG, name STRING")
+    // partial delete inside ONE file: only epoch 1's k-envelope admits
+    s.sql("DELETE FROM graft.snap.dt WHERE k = 101")
+    assert(graft.sources.SnapTable.lastDeleteOf("dt") == ((4, 1)),
+      "COW must rewrite only the stats-affected file")
+    assert(s.sql("SELECT count(*) AS n FROM graft.snap.dt")
+      .collect().head.getLong(0) == 11)
+    assert(s.sql("SELECT k FROM graft.snap.dt WHERE k >= 100 AND k < 200")
+      .collect().map(_.getLong(0)).toSet == Set(100L, 102L),
+      "survivors of the rewritten file must persist")
+    // the delete is ONE epoch: 4 appends -> epoch ids 0..3, delete = 4
+    assert(graft.sources.ManifestSink.newestVersion(log) == 4)
+    // time travel: the pre-delete snapshot still serves all 12 rows
+    assert(s.sql("SELECT count(*) AS n FROM graft.snap.dt VERSION AS OF 3")
+      .collect().head.getLong(0) == 12)
+    // an incremental window CROSSING the delete epoch refuses loudly
+    val crossed = intercept[IllegalStateException](
+      graft.sources.ManifestSink.committedFilesBetween(log, 3, 4))
+    assert(crossed.getMessage.contains("row-level DELETE"), crossed.getMessage)
+    // windows before the delete still serve
+    assert(graft.sources.ManifestSink.committedFilesBetween(log, 2, 3).size == 1)
+    // the removed (pre-rewrite) file is now unlisted -> vacuum reclaims
+    // exactly it, and the snapshot is untouched
+    val before = graft.sources.ManifestSink.committedFiles(log).toSet
+    val reclaimed = graft.sources.ManifestSink.vacuum(log, 0L)
+    assert(reclaimed.size == 1, s"vacuum after delete: $reclaimed")
+    assert(graft.sources.ManifestSink.committedFiles(log).toSet == before)
+    // NULL-predicate rows survive a delete (SQL deletes TRUE rows only)
+    s.sql("DELETE FROM graft.snap.dt WHERE name = 'v30'")
+    assert(s.sql("SELECT k FROM graft.snap.dt WHERE k >= 300")
+      .collect().map(_.getLong(0)).toSet == Set(301L, 302L),
+      "the null-name row must survive a name-predicate delete")
+    // deleting with an envelope no file admits rewrites NOTHING
+    s.sql("DELETE FROM graft.snap.dt WHERE k = 5000")
+    assert(graft.sources.SnapTable.lastDeleteOf("dt")._2 == 0,
+      "an impossible predicate must not rewrite any file")
     graft.util.Fs.deleteRecursively(root)
   }
 
