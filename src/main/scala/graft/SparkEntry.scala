@@ -220,6 +220,7 @@ object SparkEntry {
     "q_snap_skip_time"   -> Materialize.snapSkipTime _,
     "q_snap_evolution"   -> Materialize.snapEvolution _,
     "q_snap_delete"      -> Materialize.snapDelete _,
+    "q_snap_compact"     -> Materialize.snapCompact _,
     "q_vacuum_sql"       -> Materialize.vacuumSql _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
     "q_snapshot_diff"    -> Materialize.snapshotDiff _,
@@ -2374,6 +2375,15 @@ object SparkEntry {
         |  AND n_chars IS NOT NULL
         |  AND NOT (lang = 'es' AND doc_id < 300)
         |GROUP BY lang""".stripMargin,
+    "q_snap_compact" -> // the procedure's result row, derived by the
+      // oracle from the source: five undersized language files pack
+      // into ceil(rows/5000) files
+      """SELECT CAST(5 AS BIGINT) AS compacted_files,
+        |  CAST(ceil(count(*) / 5000.0) AS BIGINT) AS new_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL""".stripMargin,
     "q_vacuum_sql" -> // CALL graft.sys.vacuum reclaims exactly the two
       // planted, back-dated orphans (committed files are never
       // candidates — re-counted in the query; age-gating spec-pinned)

@@ -1034,6 +1034,42 @@ object Materialize {
         |GROUP BY lang""".stripMargin)
   }
 
+  /** Small-file COMPACTION from pure SQL (`q_snap_compact`, round 13):
+    * the per-language epochs land five small files, then
+    * `CALL graft.sys.compact_data('docpack', 5000)` bin-packs them into
+    * `ceil(rows/5000)` combined files behind one atomic adds+removes
+    * epoch ([[graft.sources.CompactProcedure]]). The query returns the
+    * procedure's (compacted_files, new_files, n_rows) row — which the
+    * oracle derives from the source counts — and re-verifies inside
+    * that the compacted table still holds every row. */
+  def snapCompact(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_pack_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val log = new java.io.File(root, "docpack").toString
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Seq("de", "en", "es", "fr", "zh").foreach { l =>
+      complete.filter(col("lang") === l)
+        .coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    spark.conf.set("spark.sql.catalog.graft.snap.docpack.schema",
+      "doc_id LONG, lang STRING, n_chars LONG")
+    val expected = complete.count()
+    val res = spark.sql("CALL graft.sys.compact_data('docpack', 5000)")
+    val after = spark.sql("SELECT count(*) FROM graft.snap.docpack")
+      .collect().head.getLong(0)
+    require(after == expected,
+      s"compaction changed the row count: $after != $expected")
+    res
+  }
+
   /** VACUUM from pure SQL (`q_vacuum_sql`): a manifest table gets two
     * committed epochs plus two planted crash orphans (unreferenced data
     * files, back-dated past any retention window), then

@@ -221,22 +221,36 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     * ([[VacuumProcedure]]), the Delta-VACUUM shape. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     namespace.toSeq match {
-      case Seq(SysNs) => Array(Identifier.of(namespace, "vacuum"))
+      case Seq(SysNs) => Array(
+        Identifier.of(namespace, "vacuum"),
+        Identifier.of(namespace, "compact_data"))
       case Seq(SfNs) | Seq(GenNs) | Seq(MutNs) | Seq(SnapNs) | Seq(FnNs) =>
         Array.empty
       case _ => throw new NoSuchNamespaceException(namespace)
     }
 
+  private def snapDirOrFail(proc: String): String =
+    option(s"$SnapNs.dir").getOrElse(
+      throw new IllegalArgumentException(
+        s"set spark.sql.catalog.$catalogName.$SnapNs.dir before " +
+          s"CALL $catalogName.$SysNs.$proc"))
+
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
     ident.namespace().toSeq match {
       case Seq(SysNs) if ident.name() == "vacuum" =>
-        new VacuumProcedure(() => option(s"$SnapNs.dir").getOrElse(
-          throw new IllegalArgumentException(
-            s"set spark.sql.catalog.$catalogName.$SnapNs.dir before " +
-              s"CALL $catalogName.$SysNs.vacuum")))
+        new VacuumProcedure(() => snapDirOrFail("vacuum"))
+      case Seq(SysNs) if ident.name() == "compact_data" =>
+        new CompactProcedure(() => snapDirOrFail("compact_data"),
+          table => org.apache.spark.sql.types.StructType.fromDDL(
+            option(s"$SnapNs.$table.schema")
+              .orElse(option(s"$SnapNs.schema")).getOrElse(
+                throw new IllegalArgumentException(
+                  s"set spark.sql.catalog.$catalogName.$SnapNs.$table.schema " +
+                    s"before CALL $catalogName.$SysNs.compact_data"))))
       case _ => throw new UnsupportedOperationException(
-        s"$catalogName has no procedure $ident (available: $SysNs.vacuum)")
+        s"$catalogName has no procedure $ident " +
+          s"(available: $SysNs.vacuum, $SysNs.compact_data)")
     }
 
   override def createTable(ident: Identifier, schema: org.apache.spark.sql.types.StructType,

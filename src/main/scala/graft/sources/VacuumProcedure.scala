@@ -23,6 +23,84 @@ import org.apache.spark.unsafe.types.UTF8String
   * invariants through this SQL path). This is the Delta `VACUUM`
   * shape: storage reclamation is an operator-invoked, retention-gated
   * command, not a side effect of reads or writes. */
+/** Small-file COMPACTION as a catalog STORED PROCEDURE (round 13) —
+  * the bin-packing maintenance op a long-lived streaming table needs
+  * (every micro-batch lands a file; a year of 1-minute triggers is
+  * half a million tiny files whose per-file open/footer cost dominates
+  * the scan at 100 TB):
+  *
+  * {{{ CALL graft.sys.compact_data('ev', 1000000) }}}
+  *
+  * rewrites every committed file whose `#stats` row count is below
+  * `target_rows` into `ceil(totalRows / target_rows)` combined files
+  * via a distributed read→repartition→write job, and publishes the
+  * new files + `#remove`s of the old ones as ONE atomic epoch — the
+  * same copy-on-write commit a row-level DELETE uses, so readers never
+  * see both layouts, time travel keeps serving the pre-compaction
+  * snapshot, incremental windows crossing the rewrite refuse, and the
+  * dead small files age into VACUUM candidates. Content is
+  * value-invisible (SnapshotSpec pins row-set equality across the
+  * call). Files without stats are left alone (they cannot be sized);
+  * fewer than two undersized files is a no-op. Returns one row:
+  * (compacted_files, new_files, n_rows). */
+class CompactProcedure(snapDir: () => String,
+    schemaOf: String => StructType) extends UnboundProcedure {
+  override def name(): String = "compact_data"
+  override def description(): String =
+    "bin-pack committed data files smaller than target_rows into " +
+      "combined files, swapped in as one atomic epoch; returns " +
+      "(compacted_files, new_files, n_rows)"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = CompactProcedure.this.name()
+    override def description(): String = CompactProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under the snap.dir catalog conf").build(),
+      ProcedureParameter.in("target_rows", LongType)
+        .comment("files below this row count are rewritten; also the " +
+          "packing size of the combined files").build())
+    override def isDeterministic: Boolean = false // rewrites files
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        "compact_data(table, target_rows): arguments must not be null")
+      val table = input.getUTF8String(0).toString
+      val target = input.getLong(1)
+      require(target >= 1, s"target_rows must be >= 1, got $target")
+      val dir = new java.io.File(snapDir(), table)
+      require(dir.isDirectory, s"graft.snap.$table: no manifest table at $dir")
+      val files = ManifestSink.committedFiles(dir.toString)
+      val stats = ManifestSink.fileStats(dir.toString)
+      def fname(f: String) = java.nio.file.Paths.get(f).getFileName.toString
+      val small = files.filter(f => stats.get(fname(f)).exists(_.rows < target))
+      val result: (Long, Long, Long) =
+        if (small.size < 2) (0L, 0L, 0L)
+        else {
+          val totalRows = small.map(f => stats(fname(f)).rows).sum
+          val parts = math.max(1L, (totalRows + target - 1) / target).toInt
+          val spark = org.apache.spark.sql.SparkSession.active
+          spark.read.schema(schemaOf(table)).parquet(small: _*)
+            .repartition(parts)
+            .write.format("graft.sources.ManifestSink")
+            .option("path", dir.toString)
+            .option("removeFiles", small.map(fname).mkString(","))
+            .mode("append").save()
+          (small.size.toLong, parts.toLong, totalRows)
+        }
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType = new StructType()
+          .add("compacted_files", LongType, nullable = false)
+          .add("new_files", LongType, nullable = false)
+          .add("n_rows", LongType, nullable = false)
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(result._1, result._2, result._3))
+      }
+      java.util.List.of(scan).iterator()
+    }
+  }
+}
+
 class VacuumProcedure(snapDir: () => String) extends UnboundProcedure {
   override def name(): String = "vacuum"
   override def description(): String =

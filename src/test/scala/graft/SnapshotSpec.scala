@@ -725,6 +725,46 @@ class SnapshotSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(root)
   }
 
+  test("compact_data (round 13): small files bin-pack into one atomic " +
+    "adds+removes epoch, value-invisibly; pre-compaction snapshots " +
+    "still serve; the dead small files vacuum away; a packed table " +
+    "re-compacts as a no-op") {
+    val root = Files.createTempDirectory("graft_snap_pack")
+    val log = root.resolve("ct").toString
+    (0 until 4).foreach { i =>
+      (0 to 2).map(j => (i * 100L + j, s"v$i$j")).toDF("k", "name")
+        .coalesce(1).write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.conf.set("spark.sql.catalog.graft.snap.ct.schema", "k LONG, name STRING")
+    def content(): Set[(Long, String)] =
+      s.sql("SELECT k, name FROM graft.snap.ct").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val before = content()
+    assert(before.size == 12)
+    val res = s.sql("CALL graft.sys.compact_data('ct', 100)")
+      .collect().head
+    assert((res.getLong(0), res.getLong(1), res.getLong(2)) == ((4L, 1L, 12L)),
+      s"compact_data result: $res")
+    assert(content() == before, "compaction must be value-invisible")
+    assert(graft.sources.ManifestSink.committedFiles(log).size == 1,
+      "four small files must pack into one")
+    // the pre-compaction snapshot still serves through time travel
+    assert(s.sql("SELECT count(*) AS n FROM graft.snap.ct VERSION AS OF 3")
+      .collect().head.getLong(0) == 12)
+    // dead small files are unlisted now -> vacuum reclaims exactly them
+    assert(graft.sources.ManifestSink.vacuum(log, 0L).size == 4)
+    assert(content() == before, "vacuum after compaction touched data")
+    // idempotence: one packed file is never re-compacted (< 2 small)
+    val again = s.sql("CALL graft.sys.compact_data('ct', 100)")
+      .collect().head
+    assert((again.getLong(0), again.getLong(1), again.getLong(2)) == ((0L, 0L, 0L)))
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("METADATA COST PIN (round 12): across a 100-epoch log, a " +
     "non-compacting commit writes metadata proportional to ITS OWN " +
     "delta — independent of table age (r11 rewrote the full union per " +
