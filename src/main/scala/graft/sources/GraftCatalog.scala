@@ -401,14 +401,23 @@ private[sources] class SnapTable(tname: String, dir: String,
     * through a distributed scan-filter-write job, and commit survivors
     * + `#remove`s of the rewritten files as ONE atomic epoch. Rows
     * where the predicate is NULL survive (SQL DELETE removes only
-    * predicate-TRUE rows). Concurrency contract: concurrent APPENDS
-    * serialize safely against a delete (the claim race only orders
-    * epochs); two concurrent DELETEs over the same files are the
-    * writer's responsibility to serialize — the log has no
-    * compare-and-swap on file liveness yet (Delta aborts these via
-    * commit-time conflict checking; a future round's item). */
+    * predicate-TRUE rows). Concurrency contract (round 14): concurrent
+    * APPENDS serialize safely against a delete (the claim race only
+    * orders epochs), and two COW operations racing over shared files —
+    * delete vs delete, delete vs compaction — are fenced at COMMIT
+    * time: [[ManifestSink.claimEpoch]] verifies every `#remove` target
+    * is still live in the union it is committing against and aborts
+    * the loser with a retryable [[ManifestConflictException]] naming
+    * the conflicting files (the Delta optimistic-concurrency shape),
+    * so the loser publishes nothing and no deleted row is ever
+    * resurrected through a stale rewrite. The rewrite itself reads
+    * under the declared conf schema, which is VERIFIED against the
+    * log's `#schema` records first (advisor r13): a stale narrow conf
+    * on this destructive path would otherwise silently drop an evolved
+    * column from the survivor files it commits. */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
+    ManifestSink.verifyDeclaredSchema(dir, s"graft.snap.$tname DELETE", tschema)
     val files = ManifestSink.committedFiles(dir)
     if (files.isEmpty) return
     val stats = ManifestSink.fileStats(dir)
@@ -460,20 +469,11 @@ private[sources] class SnapTable(tname: String, dir: String,
     // still refuses with both DDLs spelled out: serving those would
     // silently drop or reinterpret committed data. Logs predating the
     // records (or hand-built fixtures) carry none and are served on
-    // the conf's authority, the pre-r12 contract.
-    ManifestSink.recordedSchemas(dir).foreach { ddl =>
-      val recorded = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-      val ok = recorded.fields.forall(rf => tschema.fields.exists(df =>
-        df.name.equalsIgnoreCase(rf.name) && df.dataType == rf.dataType))
-      if (!ok) throw new IllegalArgumentException(
-        s"graft.snap.$tname: declared schema '${tschema.toDDL}' does not " +
-          s"match the schema the log records for committed epochs " +
-          s"('$ddl') — every recorded column must appear in the declared " +
-          s"schema with its recorded type (appending NEW nullable " +
-          s"columns is the one supported evolution); update the " +
-          s"snap.$tname.schema catalog conf (the log refuses rather " +
-          "than drop or reinterpret committed data)")
-    }
+    // the conf's authority, the pre-r12 contract. ONE shared check
+    // ([[ManifestSink.verifyDeclaredSchema]], round 14) guards this
+    // read face and every copy-on-write REWRITE face (DELETE,
+    // compaction, MERGE) identically.
+    ManifestSink.verifyDeclaredSchema(dir, s"graft.snap.$tname", tschema)
     new SnapScanBuilder(tname, files, ManifestSink.fileStats(dir),
       tschema, options,
       streamSource = Some(readSchema => {
@@ -559,6 +559,24 @@ private[sources] object SnapStats {
   def strRange(st: FileStat, col: String): Option[(String, Option[String])] =
     st.strCols.collectFirst { case (c, r) if c.equalsIgnoreCase(col) => r }
 
+  def nullsOf(st: FileStat, col: String): Option[Long] =
+    st.nulls.collectFirst { case (c, n) if c.equalsIgnoreCase(col) => n }
+
+  /** Is `col` PROVABLY all-null in this file? Either its recorded null
+    * count equals the row count, or — in a file whose stats carry null
+    * accounting at all (the records are exhaustive over the written
+    * schema) — a stats-safe-named column with NO record was not in the
+    * file's written schema: the pre-evolution file, where the parquet
+    * by-name read serves null for every row. All value predicates and
+    * `IS NOT NULL` skip such a file; `IS NULL` matches it. Files
+    * without null accounting (pre-r14 logs) answer false —
+    * conservative, never-prune-on-unknowns. */
+  def knownAllNull(st: FileStat, col: String): Boolean =
+    nullsOf(st, col) match {
+      case Some(n) => n == st.rows
+      case None => st.nulls.nonEmpty && ManifestSink.statSafeName(col)
+    }
+
   /** May ANY row of a file with stats `st` satisfy `f`? Conservative:
     * unknown columns, unmodeled comparands and unmodeled predicate
     * shapes all answer true. String bounds are recorded only for
@@ -586,30 +604,44 @@ private[sources] object SnapStats {
       }
     def sEq(mn: String, mx: Option[String], x: String): Boolean =
       x.compareTo(mn) >= 0 && mx.forall(x.compareTo(_) <= 0)
+    // value predicates (everything below except IS NULL and the null-
+    // safe-equals-null form) match only NON-NULL values, so a column
+    // provably all-null in this file admits no row regardless of bounds
     f match {
-      case EqualTo(c, v) =>
+      case EqualTo(c, v) => !knownAllNull(st, c) &&
         cmp(c, v)((mn, mx, x) => x >= mn && x <= mx)(sEq)
-      case EqualNullSafe(c, v) if v != null =>
+      case EqualNullSafe(c, null) =>
+        // `c <=> NULL` matches exactly the null rows: prune iff the
+        // file records zero nulls for c
+        nullsOf(st, c).forall(_ > 0)
+      case EqualNullSafe(c, v) => !knownAllNull(st, c) &&
         cmp(c, v)((mn, mx, x) => x >= mn && x <= mx)(sEq)
-      case GreaterThan(c, v) =>
+      case GreaterThan(c, v) => !knownAllNull(st, c) &&
         cmp(c, v)((_, mx, x) => mx > x)((_, mx, x) => mx.forall(_.compareTo(x) > 0))
-      case GreaterThanOrEqual(c, v) =>
+      case GreaterThanOrEqual(c, v) => !knownAllNull(st, c) &&
         cmp(c, v)((_, mx, x) => mx >= x)((_, mx, x) => mx.forall(_.compareTo(x) >= 0))
-      case LessThan(c, v) =>
+      case LessThan(c, v) => !knownAllNull(st, c) &&
         cmp(c, v)((mn, _, x) => mn < x)((mn, _, x) => mn.compareTo(x) < 0)
-      case LessThanOrEqual(c, v) =>
+      case LessThanOrEqual(c, v) => !knownAllNull(st, c) &&
         cmp(c, v)((mn, _, x) => mn <= x)((mn, _, x) => mn.compareTo(x) <= 0)
-      case In(c, vs) =>
+      case In(c, vs) => !knownAllNull(st, c) &&
         vs.exists(v => cmp(c, v)((mn, mx, x) => x >= mn && x <= mx)(sEq))
+      case IsNull(c) =>
+        // prune iff the file records ZERO nulls for c; absent records
+        // (pre-evolution column: all null; pre-r14 file: unknown) both
+        // answer true — an all-null column DOES match IS NULL
+        nullsOf(st, c).forall(_ > 0)
+      case IsNotNull(c) =>
+        !knownAllNull(st, c)
       case StringStartsWith(c, prefix) =>
         // strings with prefix p occupy [p, bump(p)); overlap with the
         // file's [mn, mx] envelope needs mx >= p and mn inside/below
-        (strRange(st, c), prefix) match {
+        !knownAllNull(st, c) && ((strRange(st, c), prefix) match {
           case (Some((mn, mx)), p) =>
             mx.forall(_.compareTo(p) >= 0) &&
               (mn.startsWith(p) || mn.compareTo(p) <= 0)
           case _ => true
-        }
+        })
       case And(l, r) => mayMatch(st, l) && mayMatch(st, r)
       case Or(l, r) => mayMatch(st, l) || mayMatch(st, r)
       case _ => true

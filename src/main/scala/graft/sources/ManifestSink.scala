@@ -114,6 +114,23 @@ class ManifestSink extends TableProvider {
   }
 }
 
+/** An OPTIMISTIC-CONCURRENCY conflict (round 14): a copy-on-write
+  * commit (row-level DELETE/UPDATE/MERGE, `compact_data`) tried to
+  * `#remove` files that a commit landing first already removed — two
+  * COW operations raced over shared files, and letting both publish
+  * would resurrect the winner's deleted rows through the loser's
+  * survivor files. The check runs at CLAIM time inside
+  * [[ManifestSink.claimEpoch]], so the losing operation committed
+  * NOTHING (its task files are aborted by Spark's write path): re-plan
+  * against the refreshed snapshot and retry — the Delta
+  * `ConcurrentDeleteDeleteException` shape. */
+class ManifestConflictException(val conflictingFiles: Seq[String], where: String)
+    extends RuntimeException(
+      s"concurrent write conflict on $where: file(s) " +
+        s"${conflictingFiles.mkString(", ")} were removed by a commit that " +
+        "landed first; this operation committed nothing — re-plan against " +
+        "the current snapshot and retry")
+
 object ManifestSink {
   /** Compact once this many LOOSE epoch manifests accumulate (table
     * option `compactInterval`). Keeps every snapshot derivation at
@@ -261,6 +278,30 @@ object ManifestSink {
       }
   }
 
+  /** `#cow <token>` markers of one fragment — the run-unique identity a
+    * remove-carrying (copy-on-write) epoch publishes so a claim that
+    * raced a compaction sweep can tell "my commit was absorbed" from
+    * "my claim was stale" even when the epoch added no survivor files
+    * (a delete-everything epoch has no data lines and no `#txn` to
+    * recognize it by). Compaction carries these forward ONE round (from
+    * the loose epochs it absorbs, never from the prior compact), which
+    * bounds the metadata while covering the claim-to-recheck window. */
+  private def readCowTokens(p: Path): Seq[String] =
+    readHeaders(p).collect {
+      case l if l.startsWith("#cow ") => l.stripPrefix("#cow ") }
+
+  /** Every file name ANY live fragment lists as an add — the
+    * REFERENCED set, removes deliberately NOT applied (round 14): a
+    * `#remove`d file stays referenced while its remove epoch is still
+    * loose, because every retained pre-delete version (`VERSION AS OF`)
+    * still serves it. Once compaction resolves the remove into the
+    * union, the name disappears from every fragment — and time travel
+    * below the horizon is refused anyway — so the file becomes
+    * reclaimable exactly when no servable version can reach it. */
+  private[sources] def referencedFiles(dir: Path): Set[String] = retryVanish() {
+    manifestFragments(dir).flatMap(readData).toSet
+  }
+
   /** The distinct schema DDLs the live fragments record — what the log
     * says it was written under. Order is fragment order (oldest compact
     * record first). */
@@ -269,6 +310,33 @@ object ManifestSink {
       .flatMap(readHeaders)
       .collect { case l if l.startsWith("#schema ") => l.stripPrefix("#schema ") }
       .distinct
+  }
+
+  /** Enforce the additive-evolution CONTAINMENT contract before
+    * trusting a declared (catalog-conf) schema: every field the log's
+    * `#schema` records carry must appear in `declared` with its
+    * recorded type (case-insensitive name; appending NEW nullable
+    * columns is the one supported evolution). One shared check for
+    * every face (advisor r13): the scan refuses to SERVE under a stale
+    * narrow conf, and the copy-on-write rewriters — row-level DELETE,
+    * `compact_data`, MERGE — refuse to REWRITE under one, because a
+    * rewrite that read through a narrow conf would silently drop an
+    * evolved column from the survivor files it commits: permanent data
+    * loss on a destructive path, not just a wrong query answer. */
+  def verifyDeclaredSchema(path: String, what: String,
+      declared: StructType): Unit = {
+    recordedSchemas(path).foreach { ddl =>
+      val recorded = StructType.fromDDL(ddl)
+      val ok = recorded.fields.forall(rf => declared.fields.exists(df =>
+        df.name.equalsIgnoreCase(rf.name) && df.dataType == rf.dataType))
+      if (!ok) throw new IllegalArgumentException(
+        s"$what: declared schema '${declared.toDDL}' does not match the " +
+          s"schema the log records for committed epochs ('$ddl') — every " +
+          "recorded column must appear in the declared schema with its " +
+          "recorded type (appending NEW nullable columns is the one " +
+          "supported evolution); update the catalog schema conf (the log " +
+          "refuses rather than drop or reinterpret committed data)")
+    }
   }
 
   /** Per-file statistics recorded at write time: row count plus min/max
@@ -323,18 +391,35 @@ object ManifestSink {
           } yield name -> (a, b)
         case _ => None
       }.toMap
-      parts(0) -> FileStat(rows, cols, strCols)
+      // null counts: 2-part `name:n<count>` tokens (round 14)
+      val nulls = tokens.flatMap {
+        case Array(name, nv) if nv.startsWith("n") =>
+          nv.tail.toLongOption.map(name -> _)
+        case _ => None
+      }.toMap
+      parts(0) -> FileStat(rows, cols, strCols, nulls)
     }
   }
 
+  /** May `c` carry stats tokens? (The token grammar reserves the
+    * separators.) Shared with the read side: the all-null inference
+    * from an ABSENT record is only sound for names the writer could
+    * have recorded. */
+  private[sources] def statSafeName(c: String): Boolean =
+    !c.exists(ch => ch == ' ' || ch == ':' || ch == ';')
+
   private[sources] def statsLine(m: CommittedFile): String = {
-    def safe(c: String) = !c.exists(ch => ch == ' ' || ch == ':' || ch == ';')
-    val longs = m.stats.filter(s => safe(s.col))
+    val longs = m.stats.filter(s => statSafeName(s.col))
       .map(s => s"${s.col}:${s.min}:${s.max}")
-    val strs = m.strStats.filter(s => safe(s.col))
+    val strs = m.strStats.filter(s => statSafeName(s.col))
       .map(s => s"${s.col}:s${hexOf(s.min)}:" +
         s.max.map("s" + hexOf(_)).getOrElse("-"))
-    val cols = (longs ++ strs).mkString(";")
+    // null counts as 2-part `col:n<count>` tokens — disjoint from the
+    // 3-part bounds grammar, so pre-r14 logs (no such tokens) and new
+    // ones parse under one rule set
+    val ns = m.nullStats.filter(s => statSafeName(s.col))
+      .map(s => s"${s.col}:n${s.nulls}")
+    val cols = (longs ++ strs ++ ns).mkString(";")
     s"#stats ${m.name} ${m.rows}" + (if (cols.isEmpty) "" else s" $cols")
   }
 
@@ -364,26 +449,54 @@ object ManifestSink {
     * reads dedupe by name, but incremental windows would deliver the
     * same files in two epoch deltas. So on a trip the fragment union is
     * consulted first: if it already carries this commit's file names (or
-    * its `#txn` watermark — the empty-streaming-epoch case), the claim
+    * its `#txn` watermark — the empty-streaming-epoch case, or its
+    * `#cow` token — the zero-survivor delete-epoch case), the claim
     * is PUBLISHED and no retry happens. Sound because a genuinely stale
     * claim's epoch sits below the horizon where no compaction ever reads
-    * it, and its run-unique file names exist in no other manifest. */
+    * it, and its run-unique file names exist in no other manifest.
+    *
+    * COMMIT-TIME CONFLICT DETECTION (round 14, the Delta/Iceberg
+    * optimistic-concurrency shape): a remove-carrying epoch (row-level
+    * DELETE/UPDATE/MERGE, compaction) verifies — between reading the
+    * next id and attempting the link — that every file it `#remove`s is
+    * still live in the fragment union, throwing a retryable
+    * [[ManifestConflictException]] otherwise. The pre-link placement is
+    * sound because epoch ids are claimed contiguously: if our link at N
+    * succeeds, no other commit landed between the id read and the link
+    * (it would have taken N first), so the union we validated IS the
+    * exact pre-state our commit applies to; if another commit DID land,
+    * our link fails (or trips the horizon re-check) and the loop
+    * re-validates against the refreshed union. Without this, two
+    * concurrent deletes over one file could both publish survivors and
+    * resurrect each other's deleted rows. */
   private[sources] def claimEpoch(dir: Path, content: Seq[String]): Long = {
     val bytes = content.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val dataNames = content.filterNot(_.startsWith("#"))
     val txn = content.collectFirst { case TxnLine(w, e) => (w, e) }
+    val removes = content.collect {
+      case l if l.startsWith("#remove ") => l.stripPrefix("#remove ") }
+    val cowToken = content.collectFirst {
+      case l if l.startsWith("#cow ") => l.stripPrefix("#cow ") }
     def absorbedByCompact: Boolean =
       (dataNames.nonEmpty && {
         val union = fragmentUnion(dir).toSet
         dataNames.forall(union.contains)
-      }) || txn.exists { case (w, e) => txnWatermark(dir, w) >= e }
+      }) || txn.exists { case (w, e) => txnWatermark(dir, w) >= e } ||
+        cowToken.exists(t =>
+          manifestFragments(dir).flatMap(readCowTokens).contains(t))
     val tmp = Files.createTempFile(dir, ".epoch", ".tmp")
     Files.write(tmp, bytes)
     try {
       var claimed = -1L
       while (claimed < 0) {
         val next = nextEpochId(dir)
+        if (removes.nonEmpty) {
+          val live = fragmentUnion(dir).toSet
+          val gone = removes.filterNot(live.contains)
+          if (gone.nonEmpty)
+            throw new ManifestConflictException(gone.sorted, dir.toString)
+        }
         try {
           Files.createLink(dir.resolve(epochName(next)), tmp)
           if (latestCompact(dir).map(_._1).getOrElse(-1L) >= next
@@ -507,6 +620,13 @@ object ManifestSink {
       .groupMapReduce(_._1)(_._2)(math.max)
       .toSeq.sortBy(_._1).map { case (w, e) => s"#txn $w $e" }
     val schemas = headers.filter(_.startsWith("#schema ")).distinct
+    // `#cow` tokens carry forward ONE round — from the loose epochs this
+    // sweep absorbs, never from the prior compact — so a COW committer
+    // whose epoch was absorbed mid-claim can still recognize its own
+    // publish (claimEpoch's absorbed check), while the token set stays
+    // bounded instead of growing with every COW op the table ever ran
+    val cows = loose.sortBy(_._1).map(_._2).flatMap(readCowTokens)
+      .distinct.map(t => s"#cow $t")
     val nameSet = names.toSet
     val statRecords = headers.flatMap(parseStats)
     // refuse to fold CONFLICTING stats for one name into the compact:
@@ -525,13 +645,14 @@ object ManifestSink {
         statsLine(CommittedFile(f, st.rows,
           st.cols.toSeq.sortBy(_._1).map { case (c, (a, b)) => ColStat(c, a, b) },
           st.strCols.toSeq.sortBy(_._1)
-            .map { case (c, (mn, mx)) => StrColStat(c, mn, mx) })) }
+            .map { case (c, (mn, mx)) => StrColStat(c, mn, mx) },
+          st.nulls.toSeq.sortBy(_._1).map { case (c, n) => NullStat(c, n) })) }
     val upTo = loose.map(_._1).max
     // unique temp per attempt (concurrent committers can both trigger
     // this compaction); the compact-<upTo> content is deterministic —
     // the union through upTo — so when a racer already landed it, the
     // loser's work is simply done
-    val bytes = (txns ++ schemas ++ stats ++ names).mkString("\n")
+    val bytes = (txns ++ schemas ++ cows ++ stats ++ names).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val ctmp = Files.createTempFile(dir, s".${compactName(upTo)}", ".tmp")
     Files.write(ctmp, bytes)
@@ -565,11 +686,21 @@ object ManifestSink {
     * an epoch still committing (task files land before the manifest
     * flips them visible), while crash orphans (a driver that died
     * before abort(), a replaced speculative attempt) only ever age.
-    * Committed files are NEVER candidates regardless of age, and since
-    * time travel serves only epochs the log retains, nothing a
-    * servable version references is reclaimed. Returns the deleted
-    * names. Also operable from pure SQL:
-    * `CALL graft.sys.vacuum(table, older_than_ms)` ([[VacuumProcedure]]). */
+    * The keep set is [[referencedFiles]] — every add ANY live fragment
+    * lists, `#remove`s deliberately NOT applied (round 14, advisor
+    * r13): a row-level DELETE's victim is still served by every
+    * retained pre-delete `VERSION AS OF`, so it stays unreclaimable
+    * until compaction resolves the remove into the union — at which
+    * point time travel below the horizon is refused anyway, so nothing
+    * a SERVABLE version references is ever reclaimed. As a second
+    * fence, the COW commit touches its victims' mtime at remove time
+    * ([[ManifestBatchWrite.commit]]), so even after the sweep the age
+    * gate counts from REMOVAL, not creation — in-flight readers
+    * holding a pre-delete file list get the full retention window (the
+    * Delta convention: reclaim eligibility starts at the remove
+    * timestamp). Returns the deleted names. Also operable from pure
+    * SQL: `CALL graft.sys.vacuum(table, older_than_ms)`
+    * ([[VacuumProcedure]]). */
   def vacuum(path: String, olderThanMs: Long): Seq[String] = {
     require(olderThanMs >= 0, s"olderThanMs must be >= 0, got $olderThanMs")
     val dir = Paths.get(path)
@@ -590,7 +721,7 @@ object ManifestSink {
     val dataDir = dir.resolve("data")
     if (!Files.isDirectory(dataDir))
       return litter.map(_.getFileName.toString).sorted
-    val keep = fragmentUnion(dir).toSet
+    val keep = referencedFiles(dir)
     // the listing STREAMS (no toSeq materialization of the directory):
     // driver memory stays O(committed snapshot) — the keep set — not
     // O(total files in the dir); walltime is one flat-directory pass,
@@ -693,9 +824,20 @@ object ManifestSink {
 /** Row count plus per-column bounds for one committed file: `cols` is
   * the long family's (min, max) — longs, ints, timestamps as UTC
   * micros, dates as epoch days — and `strCols` the string columns'
-  * (min, optional max), truncated per [[StrColStat]]'s contract. */
+  * (min, optional max), truncated per [[StrColStat]]'s contract.
+  * `nulls` (round 14) is the per-column NULL count, recorded for EVERY
+  * stats-safe-named column the writer's schema carried — which is what
+  * lets the skipping index prune `IS NULL` (nulls = 0), `IS NOT NULL`
+  * (nulls = rows), and — because the record is exhaustive over the
+  * written schema — treat a safe-named column with NO record in a
+  * null-accounting file as provably absent from that file's schema
+  * (the pre-evolution file: every row serves null for the appended
+  * column, so `new_col IS NOT NULL` and every value predicate on it
+  * skip the file entirely). Files without null accounting (older logs)
+  * simply never prune on nullness — conservative, the stats contract. */
 case class FileStat(rows: Long, cols: Map[String, (Long, Long)],
-    strCols: Map[String, (String, Option[String])] = Map.empty)
+    strCols: Map[String, (String, Option[String])] = Map.empty,
+    nulls: Map[String, Long] = Map.empty)
 
 case class ManifestTable(path: String, writeSchema: StructType,
     compactInterval: Int = ManifestSink.DefaultCompactInterval,
@@ -765,12 +907,19 @@ case class ManifestTable(path: String, writeSchema: StructType,
   * the long family, `strStats` for string columns. */
 case class CommittedFile(name: String, rows: Long,
     stats: Seq[ColStat] = Seq.empty,
-    strStats: Seq[StrColStat] = Seq.empty) extends WriterCommitMessage
+    strStats: Seq[StrColStat] = Seq.empty,
+    nullStats: Seq[NullStat] = Seq.empty) extends WriterCommitMessage
 
 /** Min/max of one long-family column within one committed file
   * (timestamps as UTC micros, dates as epoch days — the InternalRow
   * payloads, whose numeric order is value order). */
 case class ColStat(col: String, min: Long, max: Long)
+
+/** NULL count of one column within one committed file — recorded for
+  * every stats-safe-named column of the writer's schema (including 0),
+  * so absence of a record in a null-accounting file proves the column
+  * was not in that file's written schema. */
+case class NullStat(col: String, nulls: Long)
 
 /** Bounds of one STRING column within one committed file, recorded
   * only when every observed value is pure ASCII — that is what makes
@@ -828,17 +977,36 @@ case class ManifestBatchWrite(path: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Files.createDirectories(Paths.get(path))
     val files = messages.collect { case m: CommittedFile => m }.sortBy(_.name).toSeq
-    val content = s"#schema ${schema.toDDL}" +:
-      (files.map(ManifestSink.statsLine) ++
-        removeFiles.sorted.map(n => s"#remove $n") ++ files.map(_.name))
+    // a remove-carrying (copy-on-write) epoch publishes a run-unique
+    // `#cow` token so a claim racing a compaction sweep can recognize
+    // its own absorbed commit even with zero survivor files — see
+    // claimEpoch; claimEpoch also runs the remove-liveness CONFLICT
+    // check against this epoch's `#remove` records
+    val cow =
+      if (removeFiles.isEmpty) Seq.empty
+      else Seq(s"#cow ${java.util.UUID.randomUUID.toString}")
+    val content = s"#schema ${schema.toDDL}" +: (cow ++
+      files.map(ManifestSink.statsLine) ++
+      removeFiles.sorted.map(n => s"#remove $n") ++ files.map(_.name))
     ManifestSink.claimEpoch(dir, content)
+    // stamp the victims' mtime with the REMOVE time: vacuum's age gate
+    // then counts retention from removal (the Delta convention), so an
+    // in-flight reader holding the pre-delete file list keeps its files
+    // for the full window even after compaction resolves the remove
+    val now = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis())
+    removeFiles.foreach { n =>
+      try Files.setLastModifiedTime(Paths.get(path, "data", n), now)
+      catch { case _: IOException => } // already reclaimed: nothing to shield
+    }
     ManifestSink.maybeCompact(dir,
       ManifestSink.latestCompact(dir).map(_._1).getOrElse(-1L), compactInterval)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case CommittedFile(n, _, _, _) =>
+      case m: CommittedFile =>
+        val n = m.name
         Files.deleteIfExists(Paths.get(path, "data", n))
       case _ =>
     }
@@ -880,7 +1048,8 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
       // committed-data loss.
       val published = ManifestSink.fragmentUnion(dir).toSet
       messages.foreach {
-        case CommittedFile(n, _, _, _) if !published.contains(n) =>
+        case m: CommittedFile if !published.contains(m.name) =>
+          val n = m.name
           Files.deleteIfExists(Paths.get(path, "data", n))
         case _ =>
       }
@@ -905,7 +1074,8 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
       if (Files.exists(dir)) ManifestSink.fragmentUnion(dir).toSet
       else Set.empty[String]
     messages.foreach {
-      case CommittedFile(n, _, _, _) if !published.contains(n) =>
+      case m: CommittedFile if !published.contains(m.name) =>
+          val n = m.name
         Files.deleteIfExists(Paths.get(path, "data", n))
       case _ =>
     }
@@ -1040,9 +1210,15 @@ private[graft] object ManifestWriters {
         }
       }
 
+      // per-column null counts (round 14): recorded for EVERY
+      // stats-safe-named column, including 0 — exhaustiveness over the
+      // written schema is what makes an ABSENT record in a
+      // null-accounting file prove the column postdates the file
+      private val nullCnt = Array.fill(fieldTypes.length)(0L)
       override def write(row: InternalRow): Unit = {
         val g = groups.newGroup()
         fieldTypes.indices.foreach { i =>
+          if (row.isNullAt(i)) nullCnt(i) += 1
           if (!row.isNullAt(i)) fieldTypes(i) match {
             case "long" | "timestamp" =>
               val v = row.getLong(i); observe(i, v); g.add(i, v)
@@ -1084,7 +1260,11 @@ private[graft] object ManifestWriters {
               val (mn, mx) = StrColStat.bounds(strMin(i), strMax(i))
               StrColStat(fieldNames(i), mn, mx)
           }.toSeq
-        CommittedFile(name, rows, stats, strStats)
+        val nullStats =
+          if (rows == 0) Seq.empty
+          else fieldNames.indices.map(i =>
+            NullStat(fieldNames(i), nullCnt(i))).toSeq
+        CommittedFile(name, rows, stats, strStats, nullStats)
       }
       override def abort(): Unit = {
         try out.close() catch { case _: Exception => }
@@ -1219,14 +1399,41 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
           new org.apache.hadoop.fs.Path(file))
         .build()
       private var cur: org.apache.parquet.example.data.Group = _
+      // requested-to-file column index, resolved CASE-INSENSITIVELY
+      // against the file's embedded schema (advisor r13: the rest of
+      // the stack — schema verification, stats lookup — is
+      // case-insensitive, and a declared schema differing only in case
+      // must serve values, not silently null-fill); exact-case match
+      // wins when the file carries both spellings. -1 = absent
+      // (pre-evolution file). Cached per file schema instance.
+      private var resolvedFor: org.apache.parquet.schema.GroupType = _
+      private var fidx: Array[Int] = _
+      private def resolve(t: org.apache.parquet.schema.GroupType): Array[Int] =
+        fieldNames.map { n =>
+          if (t.containsField(n)) t.getFieldIndex(n)
+          else {
+            val fs = t.getFields
+            var found = -1
+            var j = 0
+            while (found < 0 && j < fs.size()) {
+              if (fs.get(j).getName.equalsIgnoreCase(n)) found = j
+              j += 1
+            }
+            found
+          }
+        }
       override def next(): Boolean = { cur = in.read(); cur != null }
       override def get(): InternalRow = {
         val fileType = cur.getType
+        if (resolvedFor ne fileType) {
+          resolvedFor = fileType
+          fidx = resolve(fileType)
+        }
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           fieldTypes.indices.map[Any] { i =>
-            if (!fileType.containsField(fieldNames(i))) null // pre-evolution file
+            if (fidx(i) < 0) null // pre-evolution file
             else {
-              val fi = fileType.getFieldIndex(fieldNames(i))
+              val fi = fidx(i)
               if (cur.getFieldRepetitionCount(fi) == 0) null
               else fieldTypes(i) match {
                 case "long" | "timestamp" => cur.getLong(fi, 0)

@@ -42,13 +42,38 @@ import org.apache.spark.unsafe.types.UTF8String
   * value-invisible (SnapshotSpec pins row-set equality across the
   * call). Files without stats are left alone (they cannot be sized);
   * fewer than two undersized files is a no-op. Returns one row:
-  * (compacted_files, new_files, n_rows). */
+  * (compacted_files, new_files, n_rows).
+  *
+  * CLUSTERED compaction (round 14, the Delta `OPTIMIZE ... ZORDER BY` /
+  * clustering-columns shape):
+  *
+  * {{{ CALL graft.sys.compact_data('ev', 1000000, 'user_id') }}}
+  *
+  * range-partitions + sorts the rewritten rows by the named columns
+  * before the write, so each combined file covers a DISJOINT key range
+  * and its `#stats` envelope turns point/range predicates into
+  * single-file plans — where the default `repartition(parts)` places
+  * rows randomly and every post-compaction file's envelope spans the
+  * whole key space (compaction would IMPROVE file counts but DESTROY
+  * skipping; SnapshotSpec pins that a point read plans FEWER files
+  * after clustered compaction than before). At 100 TB this is the
+  * difference between maintenance that helps reads and maintenance
+  * that quietly makes every filtered scan a full pass.
+  *
+  * The rewrite reads under the conf-declared schema, VERIFIED against
+  * the log's `#schema` records first (advisor r13): a stale narrow
+  * conf would otherwise silently destroy an evolved column across
+  * every undersized file in the table. Concurrency: the COW commit
+  * carries `#remove`s, so [[ManifestSink.claimEpoch]]'s conflict check
+  * aborts this compaction if a racing DELETE already removed one of
+  * its victims. */
 class CompactProcedure(snapDir: () => String,
     schemaOf: String => StructType) extends UnboundProcedure {
   override def name(): String = "compact_data"
   override def description(): String =
     "bin-pack committed data files smaller than target_rows into " +
-      "combined files, swapped in as one atomic epoch; returns " +
+      "combined files, swapped in as one atomic epoch; optional " +
+      "sort_cols range-clusters the rewrite for data skipping; returns " +
       "(compacted_files, new_files, n_rows)"
 
   override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
@@ -59,17 +84,36 @@ class CompactProcedure(snapDir: () => String,
         .comment("table name under the snap.dir catalog conf").build(),
       ProcedureParameter.in("target_rows", LongType)
         .comment("files below this row count are rewritten; also the " +
-          "packing size of the combined files").build())
+          "packing size of the combined files").build(),
+      ProcedureParameter.in("sort_cols", StringType).defaultValue("''")
+        .comment("optional comma-separated clustering columns: the " +
+          "rewrite is range-partitioned and sorted by them so the " +
+          "combined files' stats envelopes stay disjoint").build())
     override def isDeterministic: Boolean = false // rewrites files
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       require(!input.isNullAt(0) && !input.isNullAt(1),
-        "compact_data(table, target_rows): arguments must not be null")
+        "compact_data(table, target_rows[, sort_cols]): table and " +
+          "target_rows must not be null")
       val table = input.getUTF8String(0).toString
       val target = input.getLong(1)
       require(target >= 1, s"target_rows must be >= 1, got $target")
+      val schema = schemaOf(table)
+      val sortCols =
+        if (input.numFields < 3 || input.isNullAt(2)) Seq.empty[String]
+        else input.getUTF8String(2).toString.split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+      sortCols.foreach(c => require(
+        schema.fields.exists(_.name.equalsIgnoreCase(c)),
+        s"compact_data sort_cols: '$c' is not a column of " +
+          s"graft.snap.$table (${schema.fieldNames.mkString(", ")})"))
       val dir = new java.io.File(snapDir(), table)
       require(dir.isDirectory, s"graft.snap.$table: no manifest table at $dir")
+      // refuse to rewrite under a conf schema narrower than what the
+      // log records — this path is DESTRUCTIVE (advisor r13: a stale
+      // conf would drop an evolved column from every rewritten file)
+      ManifestSink.verifyDeclaredSchema(dir.toString,
+        s"graft.snap.$table compact_data", schema)
       val files = ManifestSink.committedFiles(dir.toString)
       val stats = ManifestSink.fileStats(dir.toString)
       def fname(f: String) = java.nio.file.Paths.get(f).getFileName.toString
@@ -80,8 +124,15 @@ class CompactProcedure(snapDir: () => String,
           val totalRows = small.map(f => stats(fname(f)).rows).sum
           val parts = math.max(1L, (totalRows + target - 1) / target).toInt
           val spark = org.apache.spark.sql.SparkSession.active
-          spark.read.schema(schemaOf(table)).parquet(small: _*)
-            .repartition(parts)
+          val df = spark.read.schema(schema).parquet(small: _*)
+          val packed =
+            if (sortCols.isEmpty) df.repartition(parts)
+            else {
+              val keys = sortCols.map(org.apache.spark.sql.functions.col)
+              df.repartitionByRange(parts, keys: _*)
+                .sortWithinPartitions(keys: _*)
+            }
+          packed
             .write.format("graft.sources.ManifestSink")
             .option("path", dir.toString)
             .option("removeFiles", small.map(fname).mkString(","))

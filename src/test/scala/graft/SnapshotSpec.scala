@@ -670,8 +670,9 @@ class SnapshotSpec extends AnyFunSuite {
   test("row-level DELETE (round 13): copy-on-write over the stats-" +
     "affected files only, committed as ONE atomic adds+removes epoch; " +
     "time travel still serves the pre-delete snapshot; incremental " +
-    "windows crossing the delete refuse; removed files become vacuum " +
-    "candidates; predicate-NULL rows survive") {
+    "windows crossing the delete refuse; removed files stay vacuum-" +
+    "PROTECTED while retained versions reference them (r14); " +
+    "predicate-NULL rows survive") {
     val root = Files.createTempDirectory("graft_snap_delete")
     val log = root.resolve("dt").toString
     // epochs 0..3 with disjoint k ranges; epoch 3 carries a null name
@@ -707,12 +708,20 @@ class SnapshotSpec extends AnyFunSuite {
     assert(crossed.getMessage.contains("row-level DELETE"), crossed.getMessage)
     // windows before the delete still serve
     assert(graft.sources.ManifestSink.committedFilesBetween(log, 2, 3).size == 1)
-    // the removed (pre-rewrite) file is now unlisted -> vacuum reclaims
-    // exactly it, and the snapshot is untouched
+    // the removed (pre-rewrite) file is unlisted from the CURRENT
+    // union but still REFERENCED by the retained pre-delete versions
+    // (round 14): vacuum must reclaim NOTHING while the remove epoch
+    // is loose, and VERSION AS OF keeps serving after the call — the
+    // "nothing a servable version references is reclaimed" contract
+    // the r13 creation-time gate silently broke (advisor r13)
     val before = graft.sources.ManifestSink.committedFiles(log).toSet
     val reclaimed = graft.sources.ManifestSink.vacuum(log, 0L)
-    assert(reclaimed.size == 1, s"vacuum after delete: $reclaimed")
+    assert(reclaimed.isEmpty,
+      s"vacuum reclaimed file(s) a retained VERSION AS OF still serves: $reclaimed")
     assert(graft.sources.ManifestSink.committedFiles(log).toSet == before)
+    assert(s.sql("SELECT count(*) AS n FROM graft.snap.dt VERSION AS OF 3")
+      .collect().head.getLong(0) == 12,
+      "the pre-delete version must survive a vacuum run while its epochs are retained")
     // NULL-predicate rows survive a delete (SQL deletes TRUE rows only)
     s.sql("DELETE FROM graft.snap.dt WHERE name = 'v30'")
     assert(s.sql("SELECT k FROM graft.snap.dt WHERE k >= 300")
@@ -727,8 +736,9 @@ class SnapshotSpec extends AnyFunSuite {
 
   test("compact_data (round 13): small files bin-pack into one atomic " +
     "adds+removes epoch, value-invisibly; pre-compaction snapshots " +
-    "still serve; the dead small files vacuum away; a packed table " +
-    "re-compacts as a no-op") {
+    "still serve; the dead small files vacuum away only after the log " +
+    "sweep AND a retention window counted from REMOVAL time (r14); a " +
+    "packed table re-compacts as a no-op") {
     val root = Files.createTempDirectory("graft_snap_pack")
     val log = root.resolve("ct").toString
     (0 until 4).foreach { i =>
@@ -745,6 +755,12 @@ class SnapshotSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1))).toSet
     val before = content()
     assert(before.size == 12)
+    // back-date the small files' CREATION time: the reclaim gate below
+    // must count from their REMOVAL, not from this ancient mtime
+    val small = graft.sources.ManifestSink.committedFiles(log)
+    small.foreach(f => Files.setLastModifiedTime(
+      java.nio.file.Paths.get(f),
+      java.nio.file.attribute.FileTime.fromMillis(0)))
     val res = s.sql("CALL graft.sys.compact_data('ct', 100)")
       .collect().head
     assert((res.getLong(0), res.getLong(1), res.getLong(2)) == ((4L, 1L, 12L)),
@@ -755,9 +771,30 @@ class SnapshotSpec extends AnyFunSuite {
     // the pre-compaction snapshot still serves through time travel
     assert(s.sql("SELECT count(*) AS n FROM graft.snap.ct VERSION AS OF 3")
       .collect().head.getLong(0) == 12)
-    // dead small files are unlisted now -> vacuum reclaims exactly them
+    // the dead small files stay REFERENCED by the retained
+    // pre-compaction versions (round 14): vacuum reclaims nothing
+    // while the remove epoch is loose
+    assert(graft.sources.ManifestSink.vacuum(log, 0L).isEmpty,
+      "vacuum reclaimed files retained versions still serve")
+    // resolve the remove by sweeping the log: a compactInterval-2
+    // append folds epochs 0..5 into one compact manifest, after which
+    // the dead files are referenced by NO live fragment (the append is
+    // 100 rows — at the packing target, so the no-op pin below still
+    // sees exactly one undersized file)
+    val extra = (1000L until 1100L).map(k => (k, s"z$k"))
+    extra.toDF("k", "name").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", log).option("compactInterval", "2")
+      .mode("append").save()
+    // ...but reclaim eligibility counts from REMOVAL (the COW commit
+    // touched the victims' mtime, advisor r13): a generous retention
+    // window still protects files an in-flight pre-compaction reader
+    // may hold, despite their back-dated creation time
+    assert(graft.sources.ManifestSink.vacuum(log, 86400000L).isEmpty,
+      "retention must count from remove time, not the ancient creation mtime")
+    // an expired window reclaims exactly the four dead files
     assert(graft.sources.ManifestSink.vacuum(log, 0L).size == 4)
-    assert(content() == before, "vacuum after compaction touched data")
+    assert(content() == before ++ extra, "vacuum touched data")
     // idempotence: one packed file is never re-compacted (< 2 small)
     val again = s.sql("CALL graft.sys.compact_data('ct', 100)")
       .collect().head
@@ -844,5 +881,250 @@ class SnapshotSpec extends AnyFunSuite {
     assert(e.getMessage.contains("6") &&
       e.getMessage.contains("re-read the full snapshot"), e)
     graft.util.Fs.deleteRecursively(base)
+  }
+
+  private def rootCauses(t: Throwable): Seq[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+
+  test("COMMIT-TIME CONFLICT DETECTION (round 14): a copy-on-write " +
+    "commit whose #remove targets were already removed by a commit " +
+    "that landed first ABORTS with a retryable error naming the " +
+    "conflicting files — delete-vs-delete and delete-vs-compaction " +
+    "both fenced, no deleted row ever resurrected") {
+    val root = Files.createTempDirectory("graft_snap_conflict")
+    val log = root.resolve("cf").toString
+    // one file holding keys 1..3 plus an unrelated second file
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", log).mode("append").save()
+    Seq((100L, "x")).toDF("k", "name").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", log).mode("append").save()
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.conf.set("spark.sql.catalog.graft.snap.cf.schema", "k LONG, name STRING")
+    import org.apache.spark.sql.functions.col
+    def fname(p: String) = Paths.get(p).getFileName.toString
+    // DELETE A plans against the current snapshot...
+    val sharedFile = graft.sources.ManifestSink.committedFiles(log)
+      .map(fname).find(_ => true).get // both deletes target epoch 0's file
+    val preDelete = s.read.schema("k LONG, name STRING")
+      .parquet(s"$log/data/$sharedFile") // B's stale plan input
+    // ...and commits first (k=1 removed, survivors {2,3} rewritten)
+    s.sql("DELETE FROM graft.snap.cf WHERE k = 1")
+    // DELETE B, planned against the PRE-A snapshot (the race's losing
+    // interleaving, replayed deterministically): it would remove the
+    // same file and publish survivors {1,3} — resurrecting k=1
+    val blocked = intercept[Exception] {
+      preDelete.filter(col("k") =!= 2L)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).option("removeFiles", sharedFile)
+        .mode("append").save()
+    }
+    val conflict = rootCauses(blocked).collectFirst {
+      case c: graft.sources.ManifestConflictException => c }
+    assert(conflict.isDefined, s"expected ManifestConflictException, got $blocked")
+    assert(conflict.get.conflictingFiles == Seq(sharedFile),
+      s"the conflict must NAME the files: ${conflict.get.conflictingFiles}")
+    // the loser committed NOTHING: A's outcome stands, k=1 is NOT back
+    assert(s.sql("SELECT k FROM graft.snap.cf ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 100L),
+      "loser's survivors leaked into the snapshot (row resurrection)")
+    // DELETE vs COMPACTION: compact_data removes the two small files;
+    // a stale delete that planned before it must abort the same way
+    val preCompact = graft.sources.ManifestSink.committedFiles(log).map(fname)
+    assert(s.sql("CALL graft.sys.compact_data('cf', 100)")
+      .collect().head.getLong(0) == 2L)
+    val blocked2 = intercept[Exception] {
+      s.createDataFrame(Seq((3L, "c"))).toDF("k", "name")
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).option("removeFiles", preCompact.head)
+        .mode("append").save()
+    }
+    val conflict2 = rootCauses(blocked2).collectFirst {
+      case c: graft.sources.ManifestConflictException => c }
+    assert(conflict2.isDefined, s"delete-vs-compaction not fenced: $blocked2")
+    assert(s.sql("SELECT count(*) FROM graft.snap.cf")
+      .collect().head.getLong(0) == 3, "post-compaction snapshot corrupted")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("CONFLICT DETECTION under true concurrency (round 14): eight " +
+    "writers race copy-on-write commits removing ONE shared file — " +
+    "exactly one wins, seven abort with the conflict error, and the " +
+    "final snapshot is exactly the winner's") {
+    val root = Files.createTempDirectory("graft_snap_race")
+    val log = root.resolve("rc").toString
+    Seq((0L, "seed")).toDF("k", "name").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", log).mode("append").save()
+    def fname(p: String) = Paths.get(p).getFileName.toString
+    val victim = graft.sources.ManifestSink.committedFiles(log).map(fname).head
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val n = 8
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    val outcomes = (0 until n).map { i =>
+      val task = pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        override def call(): Option[Throwable] = {
+          start.await()
+          try {
+            // each racer publishes its OWN survivor row for the shared
+            // victim — if more than one commits, the snapshot holds >1
+            Seq((1000L + i, s"winner$i")).toDF("k", "name").coalesce(1)
+              .write.format("graft.sources.ManifestSink")
+              .option("path", log).option("removeFiles", victim)
+              .mode("append").save()
+            None
+          } catch { case t: Throwable => Some(t) }
+        }
+      })
+      task
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "race pool hung")
+    val results = outcomes.map(_.get())
+    val losers = results.flatten
+    assert(losers.size == n - 1,
+      s"exactly one racer must win; ${n - results.flatten.size} committed")
+    losers.foreach { t =>
+      val c = rootCauses(t).collectFirst {
+        case c: graft.sources.ManifestConflictException => c }
+      assert(c.isDefined, s"loser failed with the wrong error: $t")
+      assert(c.get.conflictingFiles == Seq(victim), c.get.conflictingFiles)
+    }
+    // final content = seed removed, exactly ONE winner row present
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.conf.set("spark.sql.catalog.graft.snap.rc.schema", "k LONG, name STRING")
+    val ks = s.sql("SELECT k FROM graft.snap.rc").collect().map(_.getLong(0))
+    assert(ks.length == 1 && ks.head >= 1000L,
+      s"snapshot after the race must hold exactly the winner's row: ${ks.toSeq}")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("SCHEMA GUARD on destructive paths (round 14, advisor): a COW " +
+    "DELETE and compact_data both REFUSE under a conf schema narrower " +
+    "than the log's #schema records — a stale conf must not silently " +
+    "drop an evolved column from rewritten files") {
+    val root = Files.createTempDirectory("graft_snap_guard")
+    val log = root.resolve("gd").toString
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "name", "extra").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", log).mode("append").save()
+    Seq((3L, "c", 30L)).toDF("k", "name", "extra").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", log).mode("append").save()
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    // narrow conf: drops the recorded 'extra' column
+    s.conf.set("spark.sql.catalog.graft.snap.gd.schema", "k LONG, name STRING")
+    val delRefused = intercept[Exception](
+      s.sql("DELETE FROM graft.snap.gd WHERE k = 1"))
+    assert(rootCauses(delRefused).exists(c =>
+      Option(c.getMessage).exists(_.contains("recorded column"))), delRefused)
+    val packRefused = intercept[Exception](
+      s.sql("CALL graft.sys.compact_data('gd', 100)").collect())
+    assert(rootCauses(packRefused).exists(c =>
+      Option(c.getMessage).exists(_.contains("recorded column"))), packRefused)
+    // nothing was rewritten: the widened conf still serves ALL columns
+    s.conf.set("spark.sql.catalog.graft.snap.gd.schema",
+      "k LONG, name STRING, extra LONG")
+    assert(s.sql("SELECT sum(extra) FROM graft.snap.gd")
+      .collect().head.getLong(0) == 60L,
+      "a refused destructive op must leave every committed byte intact")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("CLUSTERED compaction (round 14): compact_data(t, rows, " +
+    "'k') range-partitions + sorts the rewrite so point predicates " +
+    "plan FEWER files than before — where unclustered bin-packing " +
+    "would give every combined file a full-range stats envelope") {
+    val root = Files.createTempDirectory("graft_snap_cluster")
+    val log = root.resolve("cl").toString
+    // 8 small files, EACH spanning the whole key range 0..799 (stride
+    // layout): every file's k-envelope admits every point predicate
+    (0 until 8).foreach { i =>
+      (0 until 100).map(j => (j * 8L + i, s"v$i$j")).toDF("k", "name")
+        .coalesce(1).write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.conf.set("spark.sql.catalog.graft.snap.cl.schema", "k LONG, name STRING")
+    def plannedFor(pred: String): (Int, Int) = {
+      s.sql(s"SELECT count(*) FROM graft.snap.cl WHERE $pred").collect()
+      graft.sources.SnapTable.lastPruneOf("cl")
+    }
+    // before: the stride layout defeats skipping — all 8 files planned
+    assert(plannedFor("k = 400") == ((8, 8)),
+      "stride files must all admit the point predicate")
+    // clustered compaction: 4 combined files, range-disjoint on k
+    val res = s.sql("CALL graft.sys.compact_data('cl', 200, 'k')")
+      .collect().head
+    assert((res.getLong(0), res.getLong(1), res.getLong(2)) == ((8L, 4L, 800L)),
+      s"clustered compact_data result: $res")
+    // after: the point predicate plans exactly ONE of the 4 files
+    val (listed, planned) = plannedFor("k = 400")
+    assert(listed == 4 && planned == 1,
+      s"clustered compaction must make the point read single-file: " +
+        s"listed=$listed planned=$planned")
+    // value-invisible: every row still present exactly once
+    assert(s.sql("SELECT count(*), count(DISTINCT k) FROM graft.snap.cl")
+      .collect().head.toSeq == Seq(800L, 800L))
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("NULL-COUNT stats (round 14): #stats carry per-column null " +
+    "counts — IS NULL prunes zero-null files, IS NOT NULL prunes " +
+    "all-null files, and a pre-evolution file (no record for the " +
+    "appended column in a null-accounting file) is skipped by BOTH " +
+    "IS NOT NULL and value predicates on that column") {
+    val root = Files.createTempDirectory("graft_snap_nulls")
+    val log = root.resolve("nl").toString
+    // epoch 0: PRE-EVOLUTION file (no 'v' column at all)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "name").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", log).mode("append").save()
+    // epoch 1: v fully populated (0 nulls)
+    Seq((10L, "c", 100L), (11L, "d", 110L)).toDF("k", "name", "v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", log).mode("append").save()
+    // epoch 2: v all-null (written under the wide schema)
+    Seq((20L, "e"), (21L, "f")).toDF("k", "name")
+      .selectExpr("k", "name", "CAST(NULL AS LONG) AS v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", log).mode("append").save()
+    // epoch 3: v mixed (1 null of 2 rows)
+    Seq((30L, "g", java.lang.Long.valueOf(300L)), (31L, "h", null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "name", "v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", log).mode("append").save()
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.conf.set("spark.sql.catalog.graft.snap.nl.schema",
+      "k LONG, name STRING, v LONG")
+    def run(pred: String): (Seq[Long], (Int, Int)) = {
+      val ks = s.sql(s"SELECT k FROM graft.snap.nl WHERE $pred ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+      (ks, graft.sources.SnapTable.lastPruneOf("nl"))
+    }
+    // IS NULL: the zero-null file (epoch 1) is pruned; pre-evolution,
+    // all-null and mixed files all may hold null v
+    assert(run("v IS NULL") == ((Seq(1L, 2L, 20L, 21L, 31L), (4, 3))))
+    // IS NOT NULL: pre-evolution AND all-null files pruned
+    assert(run("v IS NOT NULL") == ((Seq(10L, 11L, 30L), (4, 2))))
+    // a value predicate on v skips the provably-all-null files too:
+    // bounds prune the populated epoch-1 file ([100,110] excludes 300)
+    // but could never prune the pre-evolution file (it has NO v
+    // bounds) — the null accounting does, leaving the ONE true file
+    assert(run("v = 300") == ((Seq(30L), (4, 1))))
+    graft.util.Fs.deleteRecursively(root)
   }
 }
