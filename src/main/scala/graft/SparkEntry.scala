@@ -220,6 +220,8 @@ object SparkEntry {
     "q_snap_skip_time"   -> Materialize.snapSkipTime _,
     "q_snap_evolution"   -> Materialize.snapEvolution _,
     "q_snap_delete"      -> Materialize.snapDelete _,
+    "q_snap_update"      -> Materialize.snapUpdate _,
+    "q_snap_merge"       -> Materialize.snapMerge _,
     "q_snap_compact"     -> Materialize.snapCompact _,
     "q_vacuum_sql"       -> Materialize.vacuumSql _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
@@ -2375,6 +2377,36 @@ object SparkEntry {
         |  AND n_chars IS NOT NULL
         |  AND NOT (lang = 'es' AND doc_id < 300)
         |GROUP BY lang""".stripMargin,
+    "q_snap_update" -> // post-UPDATE snapshot aggregate: the oracle
+      // CASE-maps the SET clause over the matched slice (runtime group
+      // filtering pins: only the 'de' file was rewritten)
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN lang = 'de' THEN n_chars + 1000
+        |               ELSE n_chars END) AS BIGINT) AS sum_chars,
+        |  CAST(min(CASE WHEN lang = 'de' THEN n_chars + 1000
+        |               ELSE n_chars END) AS BIGINT) AS min_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL
+        |GROUP BY lang""".stripMargin,
+    "q_snap_merge" -> // post-MERGE (upsert) snapshot aggregate: the
+      // oracle CASE-maps the WHEN MATCHED update over the source's
+      // update slice and UNION ALLs the insert slice
+      """WITH merged AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN lang = 'es' AND doc_id < 300 THEN n_chars * 2
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL
+        |  UNION ALL
+        |  SELECT 9000000 + i AS doc_id, 'xx' AS lang, i * 11 AS n_chars
+        |  FROM (SELECT unnest(generate_series(1, 3)) AS i)
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM merged GROUP BY lang""".stripMargin,
     "q_snap_compact" -> // the procedure's result row, derived by the
       // oracle from the source: five undersized language files pack
       // into ceil(rows/5000) files

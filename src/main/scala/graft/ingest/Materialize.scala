@@ -1034,6 +1034,99 @@ object Materialize {
         |GROUP BY lang""".stripMargin)
   }
 
+  /** Row-level UPDATE from pure SQL (`q_snap_update`, round 14): the
+    * documents land as one epoch per language, then
+    * `UPDATE graft.snap.docupd SET n_chars = … WHERE lang = 'de'` runs
+    * the group-based copy-on-write path
+    * ([[graft.sources.SnapRowLevelOperation]]): Spark's runtime group
+    * filter finds the matching `_file`s through the scan's metadata
+    * column, so ONLY the 'de' file is rewritten (SnapshotSpec pins
+    * filesRewritten = 1 of 5), and replacement rows + the `#remove`
+    * land as ONE atomic epoch. The aggregate over the post-update
+    * snapshot oracles against the CASE-mapped source. */
+  def snapUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_upd_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val log = new java.io.File(root, "docupd").toString
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Seq("de", "en", "es", "fr", "zh").foreach { l =>
+      complete.filter(col("lang") === l)
+        .coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    spark.conf.set("spark.sql.catalog.graft.snap.docupd.schema",
+      "doc_id LONG, lang STRING, n_chars LONG")
+    spark.sql(
+      "UPDATE graft.snap.docupd SET n_chars = n_chars + 1000 WHERE lang = 'de'")
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  min(n_chars) AS min_chars
+        |FROM graft.snap.docupd
+        |GROUP BY lang""".stripMargin)
+  }
+
+  /** MERGE INTO from pure SQL (`q_snap_merge`, round 14) — the
+    * reference's own cadence is a monthly UPSERT refresh (reference
+    * `README.md:112`), and this is it on the manifest lake: the
+    * documents land as one epoch per language; the source view carries
+    * an UPDATE slice (every 'es' doc under 300 gets doubled n_chars)
+    * and an INSERT slice (three brand-new doc_ids); then
+    *
+    * {{{ MERGE INTO graft.snap.docmerge t USING … s ON t.doc_id = s.doc_id
+    *     WHEN MATCHED THEN UPDATE SET *
+    *     WHEN NOT MATCHED THEN INSERT * }}}
+    *
+    * runs the group-based COW path: the runtime group filter narrows
+    * the rewrite to the files holding matched keys (SnapshotSpec pins
+    * the scope), replacement rows + inserts + `#remove`s commit as ONE
+    * atomic epoch, and the commit-time conflict check fences racing
+    * rewrites. The post-merge aggregate oracles against the
+    * CASE-mapped + UNION'd source. */
+  def snapMerge(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_mrg_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val log = new java.io.File(root, "docmerge").toString
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Seq("de", "en", "es", "fr", "zh").foreach { l =>
+      complete.filter(col("lang") === l)
+        .coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    spark.conf.set("spark.sql.catalog.graft.snap.docmerge.schema",
+      "doc_id LONG, lang STRING, n_chars LONG")
+    val updates = complete
+      .filter(col("lang") === "es" && col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"), (col("n_chars") * 2).as("n_chars"))
+    val inserts = spark.range(1, 4)
+      .select((col("id") + 9000000L).as("doc_id"), lit("xx").as("lang"),
+        (col("id") * 11).as("n_chars"))
+    updates.unionAll(inserts).createOrReplaceTempView("graft_merge_src")
+    spark.sql(
+      """MERGE INTO graft.snap.docmerge t USING graft_merge_src s
+        |ON t.doc_id = s.doc_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  max(n_chars) AS max_chars
+        |FROM graft.snap.docmerge
+        |GROUP BY lang""".stripMargin)
+  }
+
   /** Small-file COMPACTION from pure SQL (`q_snap_compact`, round 13):
     * the per-language epochs land five small files, then
     * `CALL graft.sys.compact_data('docpack', 5000)` bin-packs them into

@@ -294,10 +294,13 @@ object GraftCatalog {
   }
 }
 
-/** A [[ManifestSink]]-committed table under `<snap.dir>/<name>`, served
-  * read-only with the committed-file list resolved at SCAN-BUILD time —
-  * which is what lets one catalog table serve three read shapes off the
-  * same epoch log:
+/** A [[ManifestSink]]-committed table under `<snap.dir>/<name>` with
+  * the committed-file list resolved at SCAN-BUILD time — which is what
+  * lets one catalog table serve three read shapes off the same epoch
+  * log (round 14 adds the WRITE faces: `INSERT INTO` appends,
+  * `UPDATE`/`MERGE INTO`/subquery-`DELETE` run group-based
+  * copy-on-write through [[SnapRowLevelOperation]], and the `_file`
+  * metadata column names a row's committed file on any batch read):
   *
   *  - current snapshot: plain `SELECT … FROM graft.snap.t`
   *  - time travel: `VERSION AS OF n` (SQL routes through
@@ -330,13 +333,52 @@ object GraftCatalog {
 private[sources] class SnapTable(tname: String, dir: String,
     tschema: org.apache.spark.sql.types.StructType, asOf: Option[Long])
     extends Table with org.apache.spark.sql.connector.catalog.SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   import org.apache.spark.sql.connector.catalog.TableCapability
   import org.apache.spark.sql.sources._
   override def name(): String = s"snap($tname)"
   override def schema(): org.apache.spark.sql.types.StructType = tschema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE).asJava
+
+  /** `_file` rides along on every face (round 14): selectable on batch
+    * reads, and the handle Spark's runtime group filter uses to name
+    * matched groups back to the row-level scan. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(SnapFileColumn)
+
+  /** UPDATE / MERGE INTO / non-metadata DELETE route here (round 14):
+    * a group-based copy-on-write [[SnapRowLevelOperation]]. Historical
+    * snapshots are immutable — a `VERSION AS OF` table refuses. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (asOf.isDefined) throw new UnsupportedOperationException(
+      s"graft.snap.$tname VERSION AS OF ${asOf.get}: historical " +
+        "snapshots are immutable — run the operation on the current table")
+    () => new SnapRowLevelOperation(tname, dir, tschema, info.command())
+  }
+
+  /** `INSERT INTO graft.snap.t` — a plain batch APPEND epoch through
+    * the same manifest commit every other writer uses (round 14; the
+    * catalog face previously read, streamed, deleted and compacted but
+    * could not append). Overwrite/truncate stay unsupported — Spark
+    * refuses them at analysis because this builder offers no truncate
+    * face. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (asOf.isDefined) throw new UnsupportedOperationException(
+      s"graft.snap.$tname VERSION AS OF ${asOf.get}: historical " +
+        "snapshots are immutable — append to the current table")
+    ManifestSink.verifyDeclaredSchema(dir, s"graft.snap.$tname INSERT", tschema)
+    ManifestTable(dir, tschema).newWriteBuilder(info)
+  }
 
   private def hasCol(c: String): Boolean =
     tschema.fields.exists(_.name.equalsIgnoreCase(c))
@@ -525,6 +567,16 @@ private[graft] object SnapTable {
     deletes.put(table, (total, rewritten))
   private[graft] def lastDeleteOf(table: String): (Int, Int) =
     Option(deletes.get(table)).getOrElse((0, 0))
+
+  /** Most recent row-level operation's (snapshotFiles, filesRewritten)
+    * per table — SnapshotSpec pins that runtime group filtering
+    * narrows an UPDATE/MERGE rewrite to the files that hold matches. */
+  private val rewrites =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  private[sources] def recordRewrite(table: String, total: Int, rewritten: Int): Unit =
+    rewrites.put(table, (total, rewritten))
+  private[graft] def lastRewriteOf(table: String): (Int, Int) =
+    Option(rewrites.get(table)).getOrElse((0, 0))
 }
 
 /** Stats-vs-predicate envelope tests shared by the data-skipping scan
@@ -700,6 +752,33 @@ private[sources] class SnapScanBuilder(tname: String, files: Seq[String],
       }
     }
     SnapTable.recordPrune(tname, files.size, kept.size)
+    // a read that references the `_file` metadata column cannot ride
+    // the parquet delegate (the files carry no such field — by-name
+    // null-fill would silently serve nulls where the file NAME
+    // belongs); serve it through the sink's own by-name group reader,
+    // a partition per kept file. Rare metadata queries trade the
+    // vectorized reader for correctness; every other read keeps the
+    // delegate below.
+    val wantsFile = required.exists(_.fields.exists(
+      _.name.equalsIgnoreCase(SnapFileColumn.name)))
+    if (wantsFile) {
+      val rs = required.get
+      return new org.apache.spark.sql.connector.read.Scan
+          with org.apache.spark.sql.connector.read.Batch {
+        override def readSchema(): org.apache.spark.sql.types.StructType = rs
+        override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+        override def description(): String =
+          s"graft.snap.$tname metadata-column scan (${kept.size} files)"
+        override def planInputPartitions()
+            : Array[org.apache.spark.sql.connector.read.InputPartition] =
+          kept.map(f => ManifestFilePartition(f)
+            : org.apache.spark.sql.connector.read.InputPartition).toArray
+        override def createReaderFactory()
+            : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+          ManifestReadFactory(rs.fields.map(_.name),
+            rs.fields.map(_.dataType.typeName))
+      }
+    }
     // JSON-encode the path list ("paths" is the multi-path option every
     // file DSv2 source takes); manifest file names are uuid-safe. The
     // delegate is the builtin PARQUET DSv2 (round 13 — the sink's data

@@ -674,6 +674,40 @@ object ManifestSink {
     finally s.close()
   }
 
+  /** The one BATCH commit path, shared by `mode("append")` writes and
+    * the row-level COW writers (DELETE via removeFiles, UPDATE/MERGE
+    * via [[SnapRowLevelWrite]]): publish task files + optional
+    * `#remove`s as ONE atomic epoch (claimEpoch runs the remove-
+    * liveness CONFLICT check), stamp the victims' mtime with the
+    * REMOVE time (vacuum's age gate counts retention from removal —
+    * the Delta convention — so an in-flight reader holding the
+    * pre-rewrite file list keeps its files for the full window even
+    * after compaction resolves the remove), then maybe compact. A
+    * remove-carrying epoch also publishes a run-unique `#cow` token so
+    * a claim racing a compaction sweep can recognize its own absorbed
+    * commit even with zero survivor files. */
+  private[sources] def commitBatchEpoch(path: String, schemaDdl: String,
+      messages: Array[WriterCommitMessage], removeFiles: Seq[String],
+      compactInterval: Int): Unit = {
+    val dir = Files.createDirectories(Paths.get(path))
+    val files = messages.collect { case m: CommittedFile => m }.sortBy(_.name).toSeq
+    val cow =
+      if (removeFiles.isEmpty) Seq.empty
+      else Seq(s"#cow ${java.util.UUID.randomUUID.toString}")
+    val content = s"#schema $schemaDdl" +: (cow ++
+      files.map(statsLine) ++
+      removeFiles.sorted.map(n => s"#remove $n") ++ files.map(_.name))
+    claimEpoch(dir, content)
+    val now = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis())
+    removeFiles.foreach { n =>
+      try Files.setLastModifiedTime(Paths.get(path, "data", n), now)
+      catch { case _: IOException => } // already reclaimed: nothing to shield
+    }
+    maybeCompact(dir, latestCompact(dir).map(_._1).getOrElse(-1L),
+      compactInterval)
+  }
+
   /** The next unclaimed epoch id (one past the newest committed). */
   private[sources] def nextEpochId(dir: Path): Long =
     (latestCompact(dir).map(_._1).getOrElse(-1L) +:
@@ -974,34 +1008,9 @@ case class ManifestBatchWrite(path: String, schema: StructType,
     * the files its survivors replace — adds and removes flip visibility
     * in the SAME atomic link(2), so no reader ever sees both the old
     * files and their rewritten survivors. */
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = Files.createDirectories(Paths.get(path))
-    val files = messages.collect { case m: CommittedFile => m }.sortBy(_.name).toSeq
-    // a remove-carrying (copy-on-write) epoch publishes a run-unique
-    // `#cow` token so a claim racing a compaction sweep can recognize
-    // its own absorbed commit even with zero survivor files — see
-    // claimEpoch; claimEpoch also runs the remove-liveness CONFLICT
-    // check against this epoch's `#remove` records
-    val cow =
-      if (removeFiles.isEmpty) Seq.empty
-      else Seq(s"#cow ${java.util.UUID.randomUUID.toString}")
-    val content = s"#schema ${schema.toDDL}" +: (cow ++
-      files.map(ManifestSink.statsLine) ++
-      removeFiles.sorted.map(n => s"#remove $n") ++ files.map(_.name))
-    ManifestSink.claimEpoch(dir, content)
-    // stamp the victims' mtime with the REMOVE time: vacuum's age gate
-    // then counts retention from removal (the Delta convention), so an
-    // in-flight reader holding the pre-delete file list keeps its files
-    // for the full window even after compaction resolves the remove
-    val now = java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis())
-    removeFiles.foreach { n =>
-      try Files.setLastModifiedTime(Paths.get(path, "data", n), now)
-      catch { case _: IOException => } // already reclaimed: nothing to shield
-    }
-    ManifestSink.maybeCompact(dir,
-      ManifestSink.latestCompact(dir).map(_._1).getOrElse(-1L), compactInterval)
-  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    ManifestSink.commitBatchEpoch(path, schema.toDDL, messages,
+      removeFiles, compactInterval)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -1431,7 +1440,15 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
         }
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           fieldTypes.indices.map[Any] { i =>
-            if (fidx(i) < 0) null // pre-evolution file
+            if (fidx(i) < 0) {
+              // `_file` metadata column (round 14): the file carries no
+              // such field, so serve the partition's base name — a file
+              // with a REAL _file column resolves above and wins
+              if (fieldNames(i).equalsIgnoreCase("_file"))
+                org.apache.spark.unsafe.types.UTF8String.fromString(
+                  java.nio.file.Paths.get(file).getFileName.toString)
+              else null // pre-evolution file
+            }
             else {
               val fi = fidx(i)
               if (cur.getFieldRepetitionCount(fi) == 0) null

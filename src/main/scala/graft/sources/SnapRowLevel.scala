@@ -1,0 +1,250 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** GROUP-BASED copy-on-write row-level operation on a manifest table —
+  * what turns `UPDATE graft.snap.t SET …` and `MERGE INTO graft.snap.t
+  * USING … WHEN MATCHED …` into plain Spark SQL (round 14, the
+  * Iceberg `SparkCopyOnWriteOperation` shape, built on Spark's
+  * `SupportsRowLevelOperations` planner contract: the reference's own
+  * cadence is a monthly UPSERT refresh, reference `README.md:112`,
+  * not an append):
+  *
+  *  1. the operation pins the COMMITTED SNAPSHOT at construction, so
+  *     every scan it builds — the main replacement-data read and the
+  *     runtime group-filter subquery Spark plans around it — serves
+  *     one consistent file list;
+  *  2. Spark's `RowLevelOperationRuntimeGroupFiltering` runs a
+  *     subquery over the MATCHING rows (the command's condition pushed
+  *     and pruned to the `_file` metadata column this scan exposes),
+  *     then calls [[SnapRowLevelScan.filter]] with `IN (_file, …)` —
+  *     narrowing BOTH the replacement read and the files the commit
+  *     will `#remove` to exactly the groups that contain matches: an
+  *     UPDATE touching one file rewrites one file, not the table
+  *     (at 100 TB, the whole difference);
+  *  3. the write publishes replacement task files + `#remove`s of the
+  *     rewritten groups as ONE atomic epoch through the shared
+  *     [[ManifestSink.commitBatchEpoch]] path — which also runs the
+  *     commit-time CONFLICT check (a racing DELETE/compaction that
+  *     already removed one of this operation's groups aborts it with
+  *     a retryable [[ManifestConflictException]]) and stamps the
+  *     victims' remove-time mtime for vacuum retention.
+  *
+  * When runtime group filtering does not engage (disabled, or a
+  * non-selective condition), `filter` is never called and the rewrite
+  * conservatively spans the pinned snapshot — a full-table COW, which
+  * is correct and exactly what Delta does without file-level stats.
+  * The declared conf schema is verified against the log's `#schema`
+  * records at construction: a REWRITE under a stale narrow conf would
+  * silently drop an evolved column (advisor r13). */
+private[sources] class SnapRowLevelOperation(val tname: String,
+    val dir: String, val tschema: StructType, cmd: Command)
+    extends RowLevelOperation {
+  ManifestSink.verifyDeclaredSchema(dir, s"graft.snap.$tname $cmd", tschema)
+
+  /** The snapshot this operation reads AND replaces — pinned once. */
+  private[sources] val snapshotFiles: Seq[String] = ManifestSink.committedFiles(dir)
+  private[sources] val stats: Map[String, FileStat] = ManifestSink.fileStats(dir)
+
+  private def baseName(f: String): String =
+    Paths.get(f).getFileName.toString
+
+  /** Files the commit will `#remove` — the whole pinned snapshot until
+    * runtime group filtering proves a smaller set contains every
+    * matching row. Written by the ONE scan Spark wraps in the dynamic
+    * group filter; read by the write at commit time. */
+  @volatile private[sources] var rewriteNames: Seq[String] =
+    snapshotFiles.map(baseName)
+
+  private[sources] def narrowRewrite(allowed: Set[String]): Unit =
+    rewriteNames = snapshotFiles.map(baseName).filter(allowed.contains)
+
+  override def command(): Command = cmd
+  override def description(): String = s"graft.snap.$tname $cmd (copy-on-write)"
+
+  /** `_file` is how Spark's group-filter subquery names groups back to
+    * this scan — the one metadata column the COW contract needs. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(SnapFileColumn.name))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapRowLevelScanBuilder(this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SnapRowLevelWrite(this, info)
+}
+
+/** The `_file` metadata column every manifest-table scan can serve:
+  * the base name of the committed data file a row lives in (Delta/
+  * Iceberg expose the same thing) — selectable on normal reads and
+  * REQUIRED by the row-level machinery, whose runtime group filter
+  * names matched groups with it. */
+private[sources] object SnapFileColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def name(): String = "_file"
+  override def dataType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "base name of the committed data file the row lives in"
+}
+
+/** Scan builder for the row-level read faces: static `#stats` pruning
+  * from pushed v1 filters (prunes THIS scan's partitions only — never
+  * the operation's rewrite set, which only the runtime group filter
+  * may narrow) plus column pruning. All filters are reported residual;
+  * skipping stays a strict optimization. */
+private[sources] class SnapRowLevelScanBuilder(op: SnapRowLevelOperation)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: Option[StructType] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // all residual: Spark re-applies, file skipping is bonus
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
+  override def build(): Scan = {
+    val candidates = op.snapshotFiles.filter { f =>
+      op.stats.get(Paths.get(f).getFileName.toString) match {
+        case None => true // no stats recorded: cannot skip
+        case Some(st) => st.rows > 0 && pushed.forall(SnapStats.mayMatch(st, _))
+      }
+    }
+    new SnapRowLevelScan(op, candidates, required.getOrElse(op.tschema))
+  }
+}
+
+/** One scan over the operation's pinned snapshot: a partition per
+  * committed file, read back through the shared by-name parquet group
+  * reader ([[ManifestReadFactory]], which serves `_file` as the
+  * partition's file name). Implements `SupportsRuntimeV2Filtering` on
+  * `_file`: when Spark's group-filter subquery delivers the matched
+  * file set, BOTH this scan's partitions and the operation's
+  * `#remove` set narrow to it — planned partitions and removed files
+  * can never disagree, because they derive from one list in one
+  * method. Unrecognized runtime predicates are ignored (a wider
+  * rewrite is correct, a narrower one would lose rows). */
+private[sources] class SnapRowLevelScan(op: SnapRowLevelOperation,
+    candidates: Seq[String], rs: StructType)
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+  @volatile private var runtimeKept: Option[Set[String]] = None
+
+  override def readSchema(): StructType = rs
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft.snap.${op.tname} row-level scan (${candidates.size} files)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = runtimeKept match {
+      case Some(keep) => candidates.filter(f =>
+        keep.contains(Paths.get(f).getFileName.toString))
+      case None => candidates
+    }
+    files.map(f => ManifestFilePartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ManifestReadFactory(rs.fields.map(_.name),
+      rs.fields.map(_.dataType.typeName))
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(SnapFileColumn.name))
+
+  /** Runtime group filtering: extract the allowed `_file` set from the
+    * delivered predicates (IN / = over `_file` with string literals)
+    * and narrow this scan AND the operation's rewrite set to it. */
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val sets = predicates.flatMap(SnapRowLevelScan.fileNameSet)
+    if (sets.nonEmpty) {
+      val allowed = sets.reduce(_ intersect _)
+      runtimeKept = Some(allowed)
+      op.narrowRewrite(allowed)
+      SnapTable.recordRewrite(op.tname, op.snapshotFiles.size, allowed.size)
+    }
+  }
+}
+
+private[sources] object SnapRowLevelScan {
+  /** The allowed file-name set a runtime predicate encodes, if it is a
+    * recognizable IN/= over the `_file` column. */
+  private[sources] def fileNameSet(p: Predicate): Option[Set[String]] = {
+    def isFileRef(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case r: NamedReference => r.fieldNames().length == 1 &&
+        r.fieldNames()(0).equalsIgnoreCase(SnapFileColumn.name)
+      case _ => false
+    }
+    def lit(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case l: Literal[_] => Option(l.value).map(_.toString)
+      case _ => None
+    }
+    p.name() match {
+      case "IN" if p.children().nonEmpty && isFileRef(p.children()(0)) =>
+        val vals = p.children().drop(1).map(lit)
+        if (vals.forall(_.isDefined)) Some(vals.flatten.toSet) else None
+      case "=" if p.children().length == 2 && isFileRef(p.children()(0)) =>
+        lit(p.children()(1)).map(Set(_))
+      case _ => None
+    }
+  }
+}
+
+/** The replacement-data write: task files through the shared parquet
+  * writer, committed with `#remove`s of the operation's (possibly
+  * runtime-narrowed) rewrite set — adds and removes flip visibility in
+  * ONE atomic epoch, and the shared commit path runs the conflict
+  * check and remove-time mtime stamping. The write schema must carry
+  * every declared column: replacement rows ARE the new content of the
+  * removed files, so a narrower schema would silently drop data. */
+private[sources] class SnapRowLevelWrite(op: SnapRowLevelOperation,
+    info: LogicalWriteInfo) extends WriteBuilder with Write with BatchWrite {
+  private val ws: StructType = {
+    val s = info.schema()
+    val ok = op.tschema.fields.forall(tf => s.fields.exists(wf =>
+      wf.name.equalsIgnoreCase(tf.name) && wf.dataType == tf.dataType))
+    if (!ok) throw new IllegalStateException(
+      s"graft.snap.${op.tname} ${op.command()}: replacement-data schema " +
+        s"'${s.toDDL}' does not carry every declared column " +
+        s"('${op.tschema.toDDL}') — refusing a rewrite that would drop data")
+    s
+  }
+
+  override def build(): Write = this
+  override def toBatch: BatchWrite = this
+  override def description(): String =
+    s"graft.snap.${op.tname} ${op.command()} copy-on-write"
+
+  override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory =
+    ManifestWriterFactory(op.dir, ws.fields.map(_.name),
+      ws.fields.map(_.dataType.typeName),
+      java.util.UUID.randomUUID.toString.take(8))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    SnapTable.recordRewrite(op.tname, op.snapshotFiles.size,
+      op.rewriteNames.size)
+    ManifestSink.commitBatchEpoch(op.dir, ws.toDDL, messages,
+      op.rewriteNames, ManifestSink.DefaultCompactInterval)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: CommittedFile =>
+        Files.deleteIfExists(Paths.get(op.dir, "data", m.name))
+      case _ =>
+    }
+}

@@ -1031,6 +1031,11 @@ class SnapshotSpec extends AnyFunSuite {
       s.sql("CALL graft.sys.compact_data('gd', 100)").collect())
     assert(rootCauses(packRefused).exists(c =>
       Option(c.getMessage).exists(_.contains("recorded column"))), packRefused)
+    // the row-level COW faces refuse at operation construction too
+    val updRefused = intercept[Exception](
+      s.sql("UPDATE graft.snap.gd SET name = 'x' WHERE k = 1"))
+    assert(rootCauses(updRefused).exists(c =>
+      Option(c.getMessage).exists(_.contains("recorded column"))), updRefused)
     // nothing was rewritten: the widened conf still serves ALL columns
     s.conf.set("spark.sql.catalog.graft.snap.gd.schema",
       "k LONG, name STRING, extra LONG")
@@ -1077,6 +1082,82 @@ class SnapshotSpec extends AnyFunSuite {
     // value-invisible: every row still present exactly once
     assert(s.sql("SELECT count(*), count(DISTINCT k) FROM graft.snap.cl")
       .collect().head.toSeq == Seq(800L, 800L))
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("row-level UPDATE + MERGE INTO (round 14): group-based " +
+    "copy-on-write through Spark's SupportsRowLevelOperations — the " +
+    "runtime group filter narrows the rewrite to the files holding " +
+    "matches (pinned), adds+removes land as ONE atomic epoch, time " +
+    "travel serves the pre-op snapshot, incremental windows crossing " +
+    "a rewrite refuse, and _file is selectable on normal reads") {
+    val root = Files.createTempDirectory("graft_snap_rowlevel")
+    val log = root.resolve("rl").toString
+    // epochs 0..3 with disjoint k ranges, one file each
+    (0 until 4).foreach { i =>
+      (0 to 2).map(j => (i * 100L + j, s"v$i$j")).toDF("k", "name")
+        .coalesce(1).write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.conf.set("spark.sql.catalog.graft.snap.rl.schema", "k LONG, name STRING")
+    // UPDATE one row inside ONE file: the runtime group filter must
+    // narrow the rewrite to that file alone
+    s.sql("UPDATE graft.snap.rl SET name = concat(name, '!') WHERE k = 101")
+    assert(graft.sources.SnapTable.lastRewriteOf("rl") == ((4, 1)),
+      "group filtering must rewrite only the file holding the match: " +
+        graft.sources.SnapTable.lastRewriteOf("rl"))
+    assert(s.sql("SELECT name FROM graft.snap.rl WHERE k = 101")
+      .collect().head.getString(0) == "v11!")
+    assert(s.sql("SELECT count(*) FROM graft.snap.rl")
+      .collect().head.getLong(0) == 12, "UPDATE must not change the row count")
+    // ONE atomic epoch: 4 appends (0..3) + update = 4
+    assert(graft.sources.ManifestSink.newestVersion(log) == 4)
+    // the pre-update snapshot still serves the original value
+    assert(s.sql("SELECT name FROM graft.snap.rl VERSION AS OF 3 WHERE k = 101")
+      .collect().head.getString(0) == "v11")
+    // an incremental window crossing the rewrite epoch refuses (a COW
+    // epoch swaps files — its adds duplicate surviving rows)
+    val crossed = intercept[IllegalStateException](
+      graft.sources.ManifestSink.committedFilesBetween(log, 3, 4))
+    assert(crossed.getMessage.contains("DELETE"), crossed.getMessage)
+    // MERGE upsert: one matched update (file 2), one insert
+    s.createDataFrame(Seq((201L, "merged"), (999L, "inserted")))
+      .toDF("k", "name").createOrReplaceTempView("rl_src")
+    s.sql("""MERGE INTO graft.snap.rl t USING rl_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val (snap, rewritten) = graft.sources.SnapTable.lastRewriteOf("rl")
+    assert(rewritten == 1 && snap == 4,
+      s"merge must rewrite only the matched file: ($snap, $rewritten)")
+    assert(s.sql("SELECT name FROM graft.snap.rl WHERE k IN (201, 999) ORDER BY k")
+      .collect().map(_.getString(0)).toSeq == Seq("merged", "inserted"))
+    assert(s.sql("SELECT count(*) FROM graft.snap.rl")
+      .collect().head.getLong(0) == 13)
+    // _file on a NORMAL read: the sink's own by-name reader serves the
+    // base file name (the parquet delegate cannot), one per partition
+    val fileCounts = s.sql(
+      "SELECT _file, count(*) AS n FROM graft.snap.rl GROUP BY _file")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(fileCounts.map(_._2).sum == 13 && fileCounts.length >= 4,
+      s"_file groups: ${fileCounts.toSeq}")
+    assert(fileCounts.forall(_._1.endsWith(".parquet")), fileCounts.toSeq)
+    // INSERT INTO: a plain append epoch through the catalog face
+    s.sql("INSERT INTO graft.snap.rl VALUES (555, 'ins')")
+    assert(s.sql("SELECT name FROM graft.snap.rl WHERE k = 555")
+      .collect().head.getString(0) == "ins")
+    // an UNTRANSLATABLE delete predicate (subquery) routes through the
+    // group-based COW instead of refusing (the r13 SupportsDelete-only
+    // face raised on anything canDeleteWhere could not express)
+    s.createDataFrame(Seq(Tuple1(300L))).toDF("dk")
+      .createOrReplaceTempView("rl_del_src")
+    s.sql("DELETE FROM graft.snap.rl WHERE k IN (SELECT dk FROM rl_del_src)")
+    assert(s.sql("SELECT count(*) FROM graft.snap.rl WHERE k = 300")
+      .collect().head.getLong(0) == 0, "subquery DELETE must remove the row")
+    assert(s.sql("SELECT count(*) FROM graft.snap.rl")
+      .collect().head.getLong(0) == 13, "subquery DELETE removed extra rows")
     graft.util.Fs.deleteRecursively(root)
   }
 
