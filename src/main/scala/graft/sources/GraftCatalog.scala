@@ -343,7 +343,7 @@ private[sources] class SnapTable(tname: String, dir: String,
   override def schema(): org.apache.spark.sql.types.StructType = tschema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE).asJava
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
 
   /** `_file` rides along on every face (round 14): selectable on batch
     * reads, and the handle Spark's runtime group filter uses to name
@@ -367,9 +367,17 @@ private[sources] class SnapTable(tname: String, dir: String,
   /** `INSERT INTO graft.snap.t` — a plain batch APPEND epoch through
     * the same manifest commit every other writer uses (round 14; the
     * catalog face previously read, streamed, deleted and compacted but
-    * could not append). Overwrite/truncate stay unsupported — Spark
-    * refuses them at analysis because this builder offers no truncate
-    * face. */
+    * could not append) — and `df.writeStream.toTable("graft.snap.t")`,
+    * the STREAMING write face with the full per-writer `#txn` replay
+    * protocol (the builder's streaming face keys idempotence off the
+    * query id Spark passes). One catalog name now serves batch
+    * read/write, stream read/write, time travel, incremental windows,
+    * DELETE/UPDATE/MERGE and maintenance. Overwrite/truncate stay
+    * unsupported — Spark refuses them at analysis because this builder
+    * offers no truncate face; the table DIRECTORY must already exist
+    * (the catalog's DDL is read-only by design — layout is owned by
+    * the materialization stage, so first-write table creation is a
+    * `mkdir` by the pipeline, not a CREATE TABLE). */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {

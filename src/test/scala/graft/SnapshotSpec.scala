@@ -1161,6 +1161,41 @@ class SnapshotSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(root)
   }
 
+  test("STREAMING WRITE through the catalog face (round 14): " +
+    "writeStream.toTable('graft.snap.t') commits micro-batch epochs " +
+    "with the per-writer #txn replay protocol, and the SAME catalog " +
+    "name serves the batch read back — one name for every face") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft_snap_stw")
+    Files.createDirectories(root.resolve("stw"))
+    val ckpt = Files.createTempDirectory("graft_snap_stw_ck").toString
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.conf.set("spark.sql.catalog.graft.snap.stw.schema", "k LONG, name STRING")
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    // toTable resolves its catalog through the THREAD-ACTIVE session's
+    // conf (SQLConf.get), not the DataFrame's session — activate s so
+    // the graft catalog registration is visible to the name lookup
+    org.apache.spark.sql.SparkSession.setActiveSession(s)
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("k", "name")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("graft.snap.stw")
+    try {
+      in.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      in.addData((3L, "c")); q.processAllAvailable()
+      assert(s.sql("SELECT k FROM graft.snap.stw ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      // each micro-batch is one committed epoch with a #txn record —
+      // the idempotence protocol the format face pins rides along here
+      val log = root.resolve("stw").toString
+      assert(graft.sources.ManifestSink.newestVersion(log) == 1)
+    } finally q.stop()
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("NULL-COUNT stats (round 14): #stats carry per-column null " +
     "counts — IS NULL prunes zero-null files, IS NOT NULL prunes " +
     "all-null files, and a pre-evolution file (no record for the " +
