@@ -222,6 +222,7 @@ object SparkEntry {
     "q_snap_delete"      -> Materialize.snapDelete _,
     "q_snap_update"      -> Materialize.snapUpdate _,
     "q_snap_merge"       -> Materialize.snapMerge _,
+    "q_snap_overwrite"   -> Materialize.snapOverwrite _,
     "q_snap_compact"     -> Materialize.snapCompact _,
     "q_vacuum_sql"       -> Materialize.vacuumSql _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
@@ -2407,6 +2408,14 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM merged GROUP BY lang""".stripMargin,
+    "q_snap_overwrite" -> // post-INSERT OVERWRITE aggregate: the oracle
+      // reproduces the replacement query over the source
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars + 5) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL AND lang <> 'zh'
+        |GROUP BY lang""".stripMargin,
     "q_snap_compact" -> // the procedure's result row, derived by the
       // oracle from the source: five undersized language files pack
       // into ceil(rows/5000) files

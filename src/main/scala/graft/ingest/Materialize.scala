@@ -1127,6 +1127,44 @@ object Materialize {
         |GROUP BY lang""".stripMargin)
   }
 
+  /** INSERT OVERWRITE on the lake (`q_snap_overwrite`, round 14): the
+    * full-snapshot REPLACE face (`SupportsTruncate` on the manifest
+    * write builder) — new task files + `#remove`s of every committed
+    * file flip in ONE atomic epoch, so readers see the old table or
+    * the new one, never a mix, and time travel keeps serving the
+    * pre-overwrite snapshot. This is the reference's monthly-refresh
+    * shape when the refresh is a rebuild rather than an upsert
+    * (reference `README.md:112`; the upsert form is `q_snap_merge`).
+    * The query overwrites a seeded table with a filtered+mapped slice
+    * of documents and aggregates the result. */
+  def snapOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_ow_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val log = new java.io.File(root, "docover").toString
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    // seed: the full corpus as the "last month's" snapshot
+    complete.coalesce(2)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", log).mode("append").save()
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    spark.conf.set("spark.sql.catalog.graft.snap.docover.schema",
+      "doc_id LONG, lang STRING, n_chars LONG")
+    complete.createOrReplaceTempView("graft_overwrite_src")
+    spark.sql(
+      """INSERT OVERWRITE graft.snap.docover
+        |SELECT doc_id, lang, n_chars + 5 AS n_chars
+        |FROM graft_overwrite_src WHERE lang <> 'zh'""".stripMargin)
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM graft.snap.docover
+        |GROUP BY lang""".stripMargin)
+  }
+
   /** Small-file COMPACTION from pure SQL (`q_snap_compact`, round 13):
     * the per-language epochs land five small files, then
     * `CALL graft.sys.compact_data('docpack', 5000)` bin-packs them into

@@ -343,7 +343,8 @@ private[sources] class SnapTable(tname: String, dir: String,
   override def schema(): org.apache.spark.sql.types.StructType = tschema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   /** `_file` rides along on every face (round 14): selectable on batch
     * reads, and the handle Spark's runtime group filter uses to name

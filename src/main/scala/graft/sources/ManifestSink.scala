@@ -882,7 +882,7 @@ case class ManifestTable(path: String, writeSchema: StructType,
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.MICRO_BATCH_READ).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
 
   /** TABLE-AS-A-STREAM (round 11): `spark.readStream` on the SAME
     * format/path TAILS the epoch log — offsets are epoch ids, each
@@ -910,10 +910,29 @@ case class ManifestTable(path: String, writeSchema: StructType,
     }
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var truncating = false
+      /** `INSERT OVERWRITE` / `mode("overwrite")` (round 14): a full-
+        * snapshot REPLACE — the new task files plus `#remove`s of every
+        * file committed as of plan time, flipped in ONE atomic epoch
+        * (readers see the old table or the new one, never a mix; time
+        * travel keeps serving pre-overwrite versions; the conflict
+        * check aborts this commit if a racing rewrite removed one of
+        * the files first). Filtered overwrite (`SupportsOverwrite`) is
+        * deliberately absent: predicate-scoped replacement is the
+        * row-level operation's job, where stats + runtime group
+        * filtering scope the rewrite — a v1-style overwrite-by-filter
+        * would always rewrite blind. */
+      override def truncate(): WriteBuilder = { truncating = true; this }
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          ManifestBatchWrite(path, info.schema(), compactInterval, removeFiles)
+        override def toBatch: BatchWrite = {
+          val removes =
+            if (!truncating) removeFiles
+            else ManifestSink.committedFiles(path).map(f =>
+              Paths.get(f).getFileName.toString)
+          ManifestBatchWrite(path, info.schema(), compactInterval, removes)
+        }
         // writerId = the STREAMING QUERY's stable id (Spark passes
         // checkpoint-metadata `id`, not the per-run runId, as the
         // streaming LogicalWriteInfo.queryId) — the txn records it keys
@@ -924,13 +943,18 @@ case class ManifestTable(path: String, writeSchema: StructType,
         // delete) a file the original run committed — taskId alone does
         // NOT guarantee that, because taskIds restart from 0 in a new
         // SparkContext.
-        override def toStreaming: StreamingWrite =
+        override def toStreaming: StreamingWrite = {
+          if (truncating) throw new UnsupportedOperationException(
+            "graft manifest sink: streaming truncate (complete/update " +
+              "output) is not supported — the log is an append-of-epochs; " +
+              "use append output mode")
           ManifestStreamingWrite(path, info.schema(), compactInterval,
             Option(info.queryId()).filter(_.nonEmpty).getOrElse(
               throw new IllegalStateException(
                 "streaming write carries no query id; the manifest log " +
                   "needs a stable writer identity for replay detection")),
             java.util.UUID.randomUUID.toString.take(8))
+        }
       }
     }
 }

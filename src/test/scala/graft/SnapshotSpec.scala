@@ -1161,6 +1161,63 @@ class SnapshotSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(root)
   }
 
+  test("INSERT OVERWRITE (round 14): a full-snapshot replace lands as " +
+    "ONE atomic adds+removes epoch — time travel serves the " +
+    "pre-overwrite table, the conflict check fences racing rewrites, " +
+    "and streaming truncate refuses") {
+    val root = Files.createTempDirectory("graft_snap_ow")
+    val log = root.resolve("ow").toString
+    (0 until 2).foreach { i =>
+      (0 to 2).map(j => (i * 100L + j, s"v$i$j")).toDF("k", "name")
+        .coalesce(1).write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.conf.set("spark.sql.catalog.graft.snap.ow.schema", "k LONG, name STRING")
+    def fname(p: String) = Paths.get(p).getFileName.toString
+    val preFiles = graft.sources.ManifestSink.committedFiles(log).map(fname)
+    s.sql("INSERT OVERWRITE graft.snap.ow VALUES (7, 'new'), (8, 'newer')")
+    assert(s.sql("SELECT k FROM graft.snap.ow ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(7L, 8L),
+      "overwrite must replace the whole snapshot")
+    // ONE epoch: 2 appends (0,1) + overwrite = 2
+    assert(graft.sources.ManifestSink.newestVersion(log) == 2)
+    assert(s.sql("SELECT count(*) FROM graft.snap.ow VERSION AS OF 1")
+      .collect().head.getLong(0) == 6,
+      "pre-overwrite version must still serve")
+    // a stale rewrite planned against the pre-overwrite snapshot loses
+    val blocked = intercept[Exception] {
+      s.createDataFrame(Seq((1L, "stale"))).toDF("k", "name")
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).option("removeFiles", preFiles.head)
+        .mode("append").save()
+    }
+    assert(rootCauses(blocked).exists(
+      _.isInstanceOf[graft.sources.ManifestConflictException]), blocked.toString)
+    // streaming truncate (complete output) refuses loudly
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val in = MemoryStream[(Long, String)]
+    val bad = intercept[Exception] {
+      val q = in.toDF().toDF("k", "name")
+        .groupBy("k").count()
+        .selectExpr("k", "CAST(count AS STRING) AS name")
+        .writeStream.outputMode("complete")
+        .format("graft.sources.ManifestSink")
+        .option("path", log)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_ow_ck").toString)
+        .start()
+      try { in.addData((1L, "x")); q.processAllAvailable() } finally q.stop()
+    }
+    assert(rootCauses(bad).exists(c => Option(c.getMessage)
+      .exists(_.contains("append output mode"))), bad.toString)
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("STREAMING WRITE through the catalog face (round 14): " +
     "writeStream.toTable('graft.snap.t') commits micro-batch epochs " +
     "with the per-writer #txn replay protocol, and the SAME catalog " +
