@@ -1161,6 +1161,38 @@ class SnapshotSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(root)
   }
 
+  test("MERGE clause matrix (round 14): WHEN MATCHED DELETE, WHEN NOT " +
+    "MATCHED INSERT and WHEN NOT MATCHED BY SOURCE UPDATE compose on " +
+    "the same copy-on-write path — a by-source clause touches every " +
+    "group, so the rewrite correctly spans the table") {
+    val root = Files.createTempDirectory("graft_snap_mmx")
+    val log = root.resolve("mx").toString
+    (0 until 2).foreach { i =>
+      (0 to 2).map(j => (i * 100L + j, s"v$i$j")).toDF("k", "name")
+        .coalesce(1).write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.conf.set("spark.sql.catalog.graft.snap.mx.schema", "k LONG, name STRING")
+    s.createDataFrame(Seq((1L, "x"), (999L, "ins")))
+      .toDF("k", "name").createOrReplaceTempView("mx_src")
+    s.sql("""MERGE INTO graft.snap.mx t USING mx_src s ON t.k = s.k
+            |WHEN MATCHED THEN DELETE
+            |WHEN NOT MATCHED THEN INSERT *
+            |WHEN NOT MATCHED BY SOURCE THEN
+            |  UPDATE SET name = concat(t.name, '?')""".stripMargin)
+    val got = s.sql("SELECT k, name FROM graft.snap.mx ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = Seq(0L -> "v00?", 2L -> "v02?", 100L -> "v10?",
+      101L -> "v11?", 102L -> "v12?", 999L -> "ins")
+    assert(got == want, s"merge clause matrix: $got")
+    // one atomic epoch for the whole matrix
+    assert(graft.sources.ManifestSink.newestVersion(log) == 2)
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("INSERT OVERWRITE (round 14): a full-snapshot replace lands as " +
     "ONE atomic adds+removes epoch — time travel serves the " +
     "pre-overwrite table, the conflict check fences racing rewrites, " +
