@@ -1072,10 +1072,13 @@ object Materialize {
         |GROUP BY lang""".stripMargin)
   }
 
-  /** MERGE INTO from pure SQL (`q_snap_merge`, round 14) — the
-    * reference's own cadence is a monthly UPSERT refresh (reference
-    * `README.md:112`), and this is it on the manifest lake: the
-    * documents land as one epoch per language; the source view carries
+  /** MERGE INTO from pure SQL (`q_snap_merge`, round 14) — the upsert
+    * refresh shape a real deployment of the reference's monthly cadence
+    * (reference `README.md:112`) would adopt once rebuilding the whole
+    * table stops scaling; the reference's own monthly job is the full
+    * REBUILD (`q_snap_overwrite`'s shape), so MERGE is an additional
+    * capability, not a replication target. The documents land as one
+    * epoch per language; the source view carries
     * an UPDATE slice (every 'es' doc under 300 gets doubled n_chars)
     * and an INSERT slice (three brand-new doc_ids); then
     *

@@ -373,12 +373,10 @@ private[sources] class SnapTable(tname: String, dir: String,
     * protocol (the builder's streaming face keys idempotence off the
     * query id Spark passes). One catalog name now serves batch
     * read/write, stream read/write, time travel, incremental windows,
-    * DELETE/UPDATE/MERGE and maintenance. Overwrite/truncate stay
-    * unsupported — Spark refuses them at analysis because this builder
-    * offers no truncate face; the table DIRECTORY must already exist
-    * (the catalog's DDL is read-only by design — layout is owned by
-    * the materialization stage, so first-write table creation is a
-    * `mkdir` by the pipeline, not a CREATE TABLE). */
+    * DELETE/UPDATE/MERGE, `INSERT OVERWRITE` (the delegated
+    * [[ManifestTable]] builder's `SupportsTruncate` face — a full-
+    * snapshot replace whose remove set is recomputed per claim
+    * attempt, serializable against racing appends) and maintenance. */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {

@@ -285,7 +285,14 @@ object ManifestSink {
     * (a delete-everything epoch has no data lines and no `#txn` to
     * recognize it by). Compaction carries these forward ONE round (from
     * the loose epochs it absorbs, never from the prior compact), which
-    * bounds the metadata while covering the claim-to-recheck window. */
+    * bounds the metadata while covering the claim-to-recheck window.
+    * The bound is TWO SWEEPS (advisor r14): a zero-survivor COW
+    * committer whose claim loop somehow spans two full compaction
+    * sweeps would fail the absorbed check on a commit that actually
+    * published and surface a spurious (retryable) conflict — acceptably
+    * narrow because the claim-to-recheck window is a few metadata
+    * reads, while a sweep needs `compactInterval` further epochs to
+    * land; a retried delete-of-already-deleted rows is also a no-op. */
   private def readCowTokens(p: Path): Seq[String] =
     readHeaders(p).collect {
       case l if l.startsWith("#cow ") => l.stripPrefix("#cow ") }
@@ -468,28 +475,41 @@ object ManifestSink {
     * our link fails (or trips the horizon re-check) and the loop
     * re-validates against the refreshed union. Without this, two
     * concurrent deletes over one file could both publish survivors and
-    * resurrect each other's deleted rows. */
-  private[sources] def claimEpoch(dir: Path, content: Seq[String]): Long = {
-    val bytes = content.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val dataNames = content.filterNot(_.startsWith("#"))
-    val txn = content.collectFirst { case TxnLine(w, e) => (w, e) }
-    val removes = content.collect {
-      case l if l.startsWith("#remove ") => l.stripPrefix("#remove ") }
-    val cowToken = content.collectFirst {
-      case l if l.startsWith("#cow ") => l.stripPrefix("#cow ") }
-    def absorbedByCompact: Boolean =
-      (dataNames.nonEmpty && {
-        val union = fragmentUnion(dir).toSet
-        dataNames.forall(union.contains)
-      }) || txn.exists { case (w, e) => txnWatermark(dir, w) >= e } ||
-        cowToken.exists(t =>
-          manifestFragments(dir).flatMap(readCowTokens).contains(t))
-    val tmp = Files.createTempFile(dir, ".epoch", ".tmp")
-    Files.write(tmp, bytes)
-    try {
-      var claimed = -1L
-      while (claimed < 0) {
+    * resurrect each other's deleted rows.
+    *
+    * `contentGen` is re-evaluated on EVERY claim attempt (advisor r14):
+    * a full-snapshot overwrite computes its `#remove` set from the
+    * union it is about to replace, and a racing append landing between
+    * two attempts must be absorbed into the refreshed remove set — with
+    * a static content snapshot the post-overwrite table could be
+    * replacement rows PLUS the racer's rows (WriteSerializable, not
+    * serializable). A successful link at id N proves no other commit
+    * landed between that attempt's union read and the link (the racer
+    * would have taken N first), so the content each attempt generates
+    * applies to exactly the pre-state it commits against. Static
+    * callers pass a constant thunk and pay nothing. */
+  private[sources] def claimEpoch(dir: Path, contentGen: () => Seq[String]): Long = {
+    var claimed = -1L
+    while (claimed < 0) {
+      val content = contentGen()
+      val bytes = content.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val dataNames = content.filterNot(_.startsWith("#"))
+      val txn = content.collectFirst { case TxnLine(w, e) => (w, e) }
+      val removes = content.collect {
+        case l if l.startsWith("#remove ") => l.stripPrefix("#remove ") }
+      val cowToken = content.collectFirst {
+        case l if l.startsWith("#cow ") => l.stripPrefix("#cow ") }
+      def absorbedByCompact: Boolean =
+        (dataNames.nonEmpty && {
+          val union = fragmentUnion(dir).toSet
+          dataNames.forall(union.contains)
+        }) || txn.exists { case (w, e) => txnWatermark(dir, w) >= e } ||
+          cowToken.exists(t =>
+            manifestFragments(dir).flatMap(readCowTokens).contains(t))
+      val tmp = Files.createTempFile(dir, ".epoch", ".tmp")
+      Files.write(tmp, bytes)
+      try {
         val next = nextEpochId(dir)
         if (removes.nonEmpty) {
           val live = fragmentUnion(dir).toSet
@@ -510,9 +530,9 @@ object ManifestSink {
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => // lost; retry
         }
-      }
-      claimed
-    } finally Files.deleteIfExists(tmp)
+      } finally Files.deleteIfExists(tmp)
+    }
+    claimed
   }
 
   /** TIME TRAVEL: the table's committed file list AS OF epoch
@@ -687,20 +707,28 @@ object ManifestSink {
     * a claim racing a compaction sweep can recognize its own absorbed
     * commit even with zero survivor files. */
   private[sources] def commitBatchEpoch(path: String, schemaDdl: String,
-      messages: Array[WriterCommitMessage], removeFiles: Seq[String],
+      messages: Array[WriterCommitMessage], removeFilesGen: () => Seq[String],
       compactInterval: Int): Unit = {
     val dir = Files.createDirectories(Paths.get(path))
     val files = messages.collect { case m: CommittedFile => m }.sortBy(_.name).toSeq
-    val cow =
-      if (removeFiles.isEmpty) Seq.empty
-      else Seq(s"#cow ${java.util.UUID.randomUUID.toString}")
-    val content = s"#schema $schemaDdl" +: (cow ++
-      files.map(statsLine) ++
-      removeFiles.sorted.map(n => s"#remove $n") ++ files.map(_.name))
-    claimEpoch(dir, content)
+    // one token per OPERATION (stable across claim attempts — the
+    // absorbed check recognizes the op's own publish by it)
+    val cowToken = java.util.UUID.randomUUID.toString
+    // the remove set is re-generated per claim attempt (advisor r14):
+    // a truncate/overwrite derives it from the union it replaces, and a
+    // retry after a lost race must absorb the racer's files
+    var lastRemoves: Seq[String] = Seq.empty
+    def content(): Seq[String] = {
+      lastRemoves = removeFilesGen()
+      val cow = if (lastRemoves.isEmpty) Seq.empty else Seq(s"#cow $cowToken")
+      s"#schema $schemaDdl" +: (cow ++
+        files.map(statsLine) ++
+        lastRemoves.sorted.map(n => s"#remove $n") ++ files.map(_.name))
+    }
+    claimEpoch(dir, content _)
     val now = java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis())
-    removeFiles.foreach { n =>
+    lastRemoves.foreach { n =>
       try Files.setLastModifiedTime(Paths.get(path, "data", n), now)
       catch { case _: IOException => } // already reclaimed: nothing to shield
     }
@@ -915,11 +943,15 @@ case class ManifestTable(path: String, writeSchema: StructType,
       private var truncating = false
       /** `INSERT OVERWRITE` / `mode("overwrite")` (round 14): a full-
         * snapshot REPLACE — the new task files plus `#remove`s of every
-        * file committed as of plan time, flipped in ONE atomic epoch
-        * (readers see the old table or the new one, never a mix; time
-        * travel keeps serving pre-overwrite versions; the conflict
-        * check aborts this commit if a racing rewrite removed one of
-        * the files first). Filtered overwrite (`SupportsOverwrite`) is
+        * committed file, flipped in ONE atomic epoch. The remove set is
+        * computed at COMMIT time, per claim attempt (advisor r14): a
+        * concurrent append landing before the overwrite's claim is
+        * absorbed into the refreshed remove set, so readers see the old
+        * table or the new one, never replacement rows plus a racer's
+        * rows — serializable, not merely WriteSerializable. Time travel
+        * keeps serving pre-overwrite versions; the conflict check
+        * aborts this commit if a racing rewrite removed one of the
+        * files first. Filtered overwrite (`SupportsOverwrite`) is
         * deliberately absent: predicate-scoped replacement is the
         * row-level operation's job, where stats + runtime group
         * filtering scope the rewrite — a v1-style overwrite-by-filter
@@ -927,9 +959,9 @@ case class ManifestTable(path: String, writeSchema: StructType,
       override def truncate(): WriteBuilder = { truncating = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = {
-          val removes =
-            if (!truncating) removeFiles
-            else ManifestSink.committedFiles(path).map(f =>
+          val removes: () => Seq[String] =
+            if (!truncating) () => removeFiles
+            else () => ManifestSink.committedFiles(path).map(f =>
               Paths.get(f).getFileName.toString)
           ManifestBatchWrite(path, info.schema(), compactInterval, removes)
         }
@@ -1016,7 +1048,7 @@ object StrColStat {
 
 case class ManifestBatchWrite(path: String, schema: StructType,
     compactInterval: Int = ManifestSink.DefaultCompactInterval,
-    removeFiles: Seq[String] = Seq.empty) extends BatchWrite {
+    removeFiles: () => Seq[String] = () => Seq.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     ManifestWriterFactory(path, schema.fields.map(_.name),
       schema.fields.map(_.dataType.typeName),
@@ -1091,7 +1123,7 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
     val files = messages.collect { case m: CommittedFile => m }.sortBy(_.name).toSeq
     val content = Seq(s"#txn $writerId $epochId", s"#schema ${schema.toDDL}") ++
       files.map(ManifestSink.statsLine) ++ files.map(_.name)
-    ManifestSink.claimEpoch(dir, content)
+    ManifestSink.claimEpoch(dir, () => content)
     ManifestSink.maybeCompact(dir,
       ManifestSink.latestCompact(dir).map(_._1).getOrElse(-1L), compactInterval)
   }

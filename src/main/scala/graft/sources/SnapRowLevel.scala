@@ -59,14 +59,19 @@ private[sources] class SnapRowLevelOperation(val tname: String,
     Paths.get(f).getFileName.toString
 
   /** Files the commit will `#remove` — the whole pinned snapshot until
-    * runtime group filtering proves a smaller set contains every
-    * matching row. Written by the ONE scan Spark wraps in the dynamic
-    * group filter; read by the write at commit time. */
+    * a scan PLANS a narrower set. The set is (re)derived from the main
+    * replacement scan's actually-planned partition list
+    * ([[SnapRowLevelScan.planInputPartitions]], the Iceberg
+    * SparkCopyOnWriteScan shape — advisor r14): removed ⊆ scanned is
+    * STRUCTURAL, not incidental — a file any pruning step (static
+    * `#stats`, runtime group filter) excluded from the replacement read
+    * provably holds no matching row and is never removed, so no pruned
+    * file's surviving rows can be dropped. */
   @volatile private[sources] var rewriteNames: Seq[String] =
     snapshotFiles.map(baseName)
 
-  private[sources] def narrowRewrite(allowed: Set[String]): Unit =
-    rewriteNames = snapshotFiles.map(baseName).filter(allowed.contains)
+  private[sources] def setRewrite(planned: Seq[String]): Unit =
+    rewriteNames = planned
 
   override def command(): Command = cmd
   override def description(): String = s"graft.snap.$tname $cmd (copy-on-write)"
@@ -154,6 +159,13 @@ private[sources] class SnapRowLevelScan(op: SnapRowLevelOperation,
         keep.contains(Paths.get(f).getFileName.toString))
       case None => candidates
     }
+    // the REMOVE set is this planned list (advisor r14): the group-
+    // filter subquery scan assigns first and the main replacement scan
+    // — planned last, at write execution — assigns the final value, so
+    // the commit's `#remove`s are exactly the files whose rows the
+    // rewrite read. A file pruned here (static stats or runtime group
+    // filter) provably holds no matching row and stays untouched.
+    op.setRewrite(files.map(f => Paths.get(f).getFileName.toString))
     files.map(f => ManifestFilePartition(f): InputPartition).toArray
   }
 
@@ -172,7 +184,6 @@ private[sources] class SnapRowLevelScan(op: SnapRowLevelOperation,
     if (sets.nonEmpty) {
       val allowed = sets.reduce(_ intersect _)
       runtimeKept = Some(allowed)
-      op.narrowRewrite(allowed)
       SnapTable.recordRewrite(op.tname, op.snapshotFiles.size, allowed.size)
     }
   }
@@ -238,7 +249,7 @@ private[sources] class SnapRowLevelWrite(op: SnapRowLevelOperation,
     SnapTable.recordRewrite(op.tname, op.snapshotFiles.size,
       op.rewriteNames.size)
     ManifestSink.commitBatchEpoch(op.dir, ws.toDDL, messages,
-      op.rewriteNames, ManifestSink.DefaultCompactInterval)
+      () => op.rewriteNames, ManifestSink.DefaultCompactInterval)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
