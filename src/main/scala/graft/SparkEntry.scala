@@ -223,6 +223,8 @@ object SparkEntry {
     "q_snap_update"      -> Materialize.snapUpdate _,
     "q_snap_merge"       -> Materialize.snapMerge _,
     "q_snap_overwrite"   -> Materialize.snapOverwrite _,
+    "q_snap_ctas"        -> Materialize.snapCtas _,
+    "q_snap_ddl"         -> Materialize.snapDdl _,
     "q_snap_compact"     -> Materialize.snapCompact _,
     "q_vacuum_sql"       -> Materialize.vacuumSql _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
@@ -2415,6 +2417,27 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
         |  AND n_chars IS NOT NULL AND lang <> 'zh'
+        |GROUP BY lang""".stripMargin,
+    "q_snap_ctas" -> // the CTAS'd table serves exactly the filtered
+      // select (schema resolved from the log's #schema records — no
+      // conf): the oracle reproduces the select over the source
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL AND lang <> 'fr'
+        |GROUP BY lang""".stripMargin,
+    "q_snap_ddl" -> // CREATE + INSERT + ALTER ADD COLUMN + evolved
+      // INSERT: even-doc_id rows landed pre-evolution null-fill
+      // n_chars, odd rows carry it — same union q_snap_evolution
+      // serves, driven by pure DDL
+      """SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_evolved,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+        |    AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
         |GROUP BY lang""".stripMargin,
     "q_snap_compact" -> // the procedure's result row, derived by the
       // oracle from the source: five undersized language files pack

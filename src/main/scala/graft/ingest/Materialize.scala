@@ -1168,6 +1168,77 @@ object Materialize {
         |GROUP BY lang""".stripMargin)
   }
 
+  /** CTAS through the catalog face (`q_snap_ctas`, round 15): `CREATE
+    * TABLE graft.snap.docctas AS SELECT …` is the reference's signature
+    * materialization (reference `etl_kaggle_to_big_query.py:88-110`,
+    * `CREATE OR REPLACE TABLE … AS SELECT` with casts and a filter) on
+    * the manifest lake — epoch 0 records the `#schema` (the create),
+    * Spark's follow-up batch append lands the select through the same
+    * manifest commit every writer uses, and the read back resolves its
+    * schema FROM THE LOG: no session schema conf anywhere, the table is
+    * self-describing ([[graft.sources.GraftCatalog.createTable]]). The
+    * aggregate over the created table oracles against the same
+    * filtered select on the source. */
+  def snapCtas(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_ctas_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("graft_ctas_src")
+    spark.sql(
+      """CREATE TABLE graft.snap.docctas AS
+        |SELECT doc_id, lang, n_chars FROM graft_ctas_src
+        |WHERE lang <> 'fr'""".stripMargin)
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  min(doc_id) AS min_doc
+        |FROM graft.snap.docctas
+        |GROUP BY lang""".stripMargin)
+  }
+
+  /** The full DDL lifecycle from pure SQL (`q_snap_ddl`, round 15):
+    * `CREATE TABLE` with an explicit schema (epoch 0 = the `#schema`
+    * record), `INSERT INTO` under it, `ALTER TABLE … ADD COLUMN` (a
+    * pure-metadata epoch recording the widened DDL — no data
+    * rewritten), a second `INSERT` under the evolved schema, and a
+    * read that serves the union: pre-evolution files null-fill the
+    * appended column by name. This is `q_snap_evolution`'s contract
+    * driven entirely by catalog DDL instead of conf wiring — what
+    * turns the lake into a format a user adopts with plain SQL.
+    * SnapshotSpec pins the refusals (duplicate CREATE, non-additive
+    * ALTER, DROP cleanup, CREATE racing a first append). */
+  def snapDdl(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_ddl_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("graft_ddl_src")
+    spark.sql("CREATE TABLE graft.snap.docddl (doc_id BIGINT, lang STRING)")
+    spark.sql(
+      """INSERT INTO graft.snap.docddl
+        |SELECT doc_id, lang FROM graft_ddl_src WHERE doc_id % 2 = 0""".stripMargin)
+    spark.sql("ALTER TABLE graft.snap.docddl ADD COLUMN n_chars BIGINT")
+    spark.sql(
+      """INSERT INTO graft.snap.docddl
+        |SELECT doc_id, lang, n_chars FROM graft_ddl_src
+        |WHERE doc_id % 2 = 1""".stripMargin)
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, count(n_chars) AS n_evolved,
+        |  sum(n_chars) AS sum_chars
+        |FROM graft.snap.docddl
+        |GROUP BY lang""".stripMargin)
+  }
+
   /** Small-file COMPACTION from pure SQL (`q_snap_compact`, round 13):
     * the per-language epochs land five small files, then
     * `CALL graft.sys.compact_data('docpack', 5000)` bin-packs them into

@@ -319,6 +319,40 @@ object ManifestSink {
       .distinct
   }
 
+  /** Does `outer` contain every field of `inner` (case-insensitive
+    * name, equal type — nullability aside)? The additive-evolution
+    * containment test shared by [[verifyDeclaredSchema]] and the
+    * widest-schema resolution. */
+  private[sources] def containsSchema(outer: StructType, inner: StructType): Boolean =
+    inner.fields.forall(rf => outer.fields.exists(df =>
+      df.name.equalsIgnoreCase(rf.name) && df.dataType == rf.dataType))
+
+  /** The recorded `#schema` DDL that CONTAINS every other recorded one
+    * — the log's self-describing declared schema (round 15): under
+    * additive evolution the newest record is the widest and wins; a
+    * log whose records have no single containing schema (mixed
+    * subset-schema writers through the path face) resolves to None and
+    * the caller falls back to the conf. Unparsable records (hand-built
+    * fixtures) also resolve to None rather than throw. */
+  def widestRecordedSchema(path: String): Option[String] = {
+    val ddls = recordedSchemas(path)
+    val parsed = ddls.flatMap { d =>
+      try Some(d -> StructType.fromDDL(d)) catch { case _: Exception => None }
+    }
+    if (parsed.size != ddls.size) None
+    else parsed.find { case (_, cand) =>
+      parsed.forall { case (_, other) => containsSchema(cand, other) }
+    }.map(_._1)
+  }
+
+  /** Append a pure-metadata DDL epoch carrying `#schema <ddl>` — the
+    * ALTER TABLE ADD COLUMN record (round 15): additive evolution is
+    * exactly what the read path already honors for mixed-schema files,
+    * so declaring it is one log record, no data rewritten. */
+  private[sources] def commitSchemaEpoch(path: String, ddl: String): Long =
+    claimEpoch(Files.createDirectories(Paths.get(path)),
+      () => Seq(s"#schema $ddl"))
+
   /** Enforce the additive-evolution CONTAINMENT contract before
     * trusting a declared (catalog-conf) schema: every field the log's
     * `#schema` records carry must appear in `declared` with its
@@ -334,8 +368,7 @@ object ManifestSink {
       declared: StructType): Unit = {
     recordedSchemas(path).foreach { ddl =>
       val recorded = StructType.fromDDL(ddl)
-      val ok = recorded.fields.forall(rf => declared.fields.exists(df =>
-        df.name.equalsIgnoreCase(rf.name) && df.dataType == rf.dataType))
+      val ok = containsSchema(declared, recorded)
       if (!ok) throw new IllegalArgumentException(
         s"$what: declared schema '${declared.toDDL}' does not match the " +
           s"schema the log records for committed epochs ('$ddl') — every " +
@@ -802,13 +835,17 @@ object ManifestSink {
 
   /** Newest committed epoch id — the current snapshot's version. */
   def newestVersion(path: String): Long = {
-    val dir = Paths.get(path)
-    val newest = (latestCompact(dir).map(_._1).getOrElse(-1L) +:
-      listPrefixed(dir, "epoch-").map(idOf)).max
+    val newest = newestVersion0(Paths.get(path))
     if (newest < 0) throw new IllegalArgumentException(
       s"manifest table $path has no committed epochs")
     newest
   }
+
+  /** Newest committed epoch id, or -1 for an empty/absent log — the
+    * non-throwing form CREATE TABLE's existence check uses. */
+  private[sources] def newestVersion0(dir: Path): Long =
+    (latestCompact(dir).map(_._1).getOrElse(-1L) +:
+      listPrefixed(dir, "epoch-").map(idOf)).max
 
   /** INCREMENTAL READ (the lake-CDC primitive — Delta CDF / Iceberg
     * incremental-scan analog, the "process only what landed since

@@ -1332,4 +1332,77 @@ class SnapshotSpec extends AnyFunSuite {
     assert(run("v = 300") == ((Seq(30L), (4, 1))))
     graft.util.Fs.deleteRecursively(root)
   }
+
+  test("DDL through the catalog face (round 15): CREATE TABLE writes " +
+    "the #schema epoch 0 and the table is self-describing (no conf); " +
+    "a duplicate CREATE and a CREATE racing a first append both " +
+    "refuse; ALTER ADD COLUMN is a pure-metadata epoch with old files " +
+    "null-filling; non-additive ALTERs refuse; DROP removes log+data") {
+    val root = Files.createTempDirectory("graft_snap_ddl")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+
+    // CREATE + INSERT + read back, schema resolved from the log only
+    s.sql("CREATE TABLE graft.snap.t1 (k BIGINT, name STRING)")
+    assert(graft.sources.ManifestSink.newestVersion(
+      root.resolve("t1").toString) == 0, "epoch 0 IS the create record")
+    s.sql("INSERT INTO graft.snap.t1 VALUES (1, 'a'), (2, 'b')")
+    assert(s.sql("SELECT k, name FROM graft.snap.t1 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+
+    // duplicate CREATE refuses; IF NOT EXISTS is a no-op
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException](
+      s.sql("CREATE TABLE graft.snap.t1 (other BIGINT)"))
+    s.sql("CREATE TABLE IF NOT EXISTS graft.snap.t1 (k BIGINT, name STRING)")
+    assert(s.sql("SELECT count(*) FROM graft.snap.t1").head().getLong(0) == 2,
+      "IF NOT EXISTS must not touch the existing table")
+
+    // CREATE racing a path-based FIRST APPEND: the append claimed
+    // epoch 0 first, so CREATE must refuse rather than share the log
+    val raced = root.resolve("t2").toString
+    Seq((7L, "x")).toDF("k", "name").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", raced).mode("append").save()
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException](
+      s.sql("CREATE TABLE graft.snap.t2 (k BIGINT, name STRING)"))
+    assert(s.sql("SELECT count(*) FROM graft.snap.t2").head().getLong(0) == 1,
+      "the raced append's data must survive the refused CREATE")
+
+    // ALTER ADD COLUMN: metadata-only epoch; the pre-evolution file
+    // null-fills; the evolved insert carries values
+    val v1 = graft.sources.ManifestSink.newestVersion(
+      root.resolve("t1").toString)
+    val filesBefore = graft.sources.ManifestSink.committedFiles(
+      root.resolve("t1").toString).sorted
+    s.sql("ALTER TABLE graft.snap.t1 ADD COLUMN v BIGINT")
+    val v2 = graft.sources.ManifestSink.newestVersion(
+      root.resolve("t1").toString)
+    assert(v2 == v1 + 1, "ALTER is ONE pure-metadata epoch")
+    assert(graft.sources.ManifestSink.committedFiles(
+      root.resolve("t1").toString).sorted == filesBefore,
+      "no data rewritten by ALTER")
+    s.sql("INSERT INTO graft.snap.t1 VALUES (3, 'c', 30)")
+    assert(s.sql("SELECT k, v FROM graft.snap.t1 ORDER BY k")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq ==
+      Seq((1L, -1L), (2L, -1L), (3L, 30L)))
+
+    // non-additive ALTERs refuse loudly
+    intercept[Exception](s.sql("ALTER TABLE graft.snap.t1 DROP COLUMN v"))
+    intercept[Exception](s.sql("ALTER TABLE graft.snap.t1 RENAME COLUMN v TO w"))
+    intercept[Exception](
+      s.sql("ALTER TABLE graft.snap.t1 ADD COLUMN name STRING")) // duplicate
+    assert(s.sql("SELECT count(*) FROM graft.snap.t1").head().getLong(0) == 3,
+      "refused ALTERs changed nothing")
+
+    // DROP removes log + data; the name is then creatable again
+    s.sql("DROP TABLE graft.snap.t1")
+    assert(!Files.exists(root.resolve("t1")), "DROP removes the table dir")
+    intercept[Exception](s.sql("SELECT * FROM graft.snap.t1"))
+    s.sql("CREATE TABLE graft.snap.t1 (fresh BIGINT)")
+    assert(s.sql("SELECT count(*) FROM graft.snap.t1").head().getLong(0) == 0)
+    graft.util.Fs.deleteRecursively(root)
+  }
 }
