@@ -225,6 +225,7 @@ object SparkEntry {
     "q_snap_overwrite"   -> Materialize.snapOverwrite _,
     "q_snap_ctas"        -> Materialize.snapCtas _,
     "q_snap_ddl"         -> Materialize.snapDdl _,
+    "q_snap_files"       -> Materialize.snapFiles _,
     "q_snap_compact"     -> Materialize.snapCompact _,
     "q_vacuum_sql"       -> Materialize.vacuumSql _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
@@ -2439,6 +2440,21 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
         |GROUP BY lang""".stripMargin,
+    "q_snap_files" -> // the .files metadata table over per-language
+      // epochs: file count and per-file row counts derive from the
+      // source's language histogram; every committed file has bytes
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL
+        |  GROUP BY lang
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(min(n) AS BIGINT) AS min_rows,
+        |  CAST(max(n) AS BIGINT) AS max_rows,
+        |  CAST(count(*) AS BIGINT) AS n_sized
+        |FROM c""".stripMargin,
     "q_snap_compact" -> // the procedure's result row, derived by the
       // oracle from the source: five undersized language files pack
       // into ceil(rows/5000) files

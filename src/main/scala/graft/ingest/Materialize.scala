@@ -1239,6 +1239,42 @@ object Materialize {
         |GROUP BY lang""".stripMargin)
   }
 
+  /** METADATA TABLES (`q_snap_files`, round 15): the epoch log as a
+    * queryable relation — `graft.snap.docfiles.files` serves one row
+    * per committed data file of the current snapshot (name, `#stats`
+    * row count, on-disk bytes), derived from the O(fragments) metadata
+    * plane and served as a LocalScan (never a distributed read): the
+    * Iceberg `db.t.files` shape, and what makes the lake OPERABLE
+    * (what will vacuum reclaim? did compaction help?). Landing one
+    * epoch per language makes the file count and per-file row counts
+    * oracle-derivable from the source. `.history` is pinned across
+    * append/rewrite/compaction in SnapshotSpec. */
+  def snapFiles(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_files_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val log = new java.io.File(root, "docfiles").toString
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Seq("de", "en", "es", "fr", "zh").foreach { l =>
+      complete.filter(col("lang") === l)
+        .coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    spark.conf.set("spark.sql.catalog.graft.snap.docfiles.schema",
+      "doc_id LONG, lang STRING, n_chars LONG")
+    spark.sql(
+      """SELECT count(*) AS n_files, sum(rows) AS n_rows,
+        |  min(rows) AS min_rows, max(rows) AS max_rows,
+        |  count(bytes) AS n_sized
+        |FROM graft.snap.docfiles.files""".stripMargin)
+  }
+
   /** Small-file COMPACTION from pure SQL (`q_snap_compact`, round 13):
     * the per-language epochs land five small files, then
     * `CALL graft.sys.compact_data('docpack', 5000)` bin-packs them into

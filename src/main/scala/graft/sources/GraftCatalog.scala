@@ -163,6 +163,19 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         option("gen.batchRows").getOrElse("1000").toLong,
         option("gen.columnar").getOrElse("false").toBoolean)
     case Seq(SnapNs) => snapTable(ident, None)
+    case Seq(SnapNs, tname) if SnapMetaTable.Names.contains(ident.name()) =>
+      // METADATA TABLES (round 15): `graft.snap.t.files` /
+      // `graft.snap.t.history` surface the epoch log as queryable
+      // relations — what did compaction do, what will vacuum reclaim,
+      // how many files does the snapshot hold (the Iceberg
+      // `db.table.files`/`.history` shape). Metadata-sized by
+      // construction: rows derive from the O(fragments) log, served as
+      // a LocalScan — never a distributed read.
+      val root = option(s"$SnapNs.dir").getOrElse(
+        throw new NoSuchTableException(ident))
+      val tdir = new java.io.File(root, tname)
+      if (!tdir.isDirectory) throw new NoSuchTableException(ident)
+      new SnapMetaTable(tname, tdir.toString, ident.name())
     case _ => throw new NoSuchTableException(ident)
   }
 
@@ -660,6 +673,82 @@ private[sources] class SnapTable(tname: String, val dir: String,
           readSchema.fields.map(_.name),
           readSchema.fields.map(_.dataType.typeName), maxEpochs)
       }))
+  }
+}
+
+/** A manifest table's epoch log surfaced as a queryable relation
+  * (round 15, the Iceberg metadata-table shape):
+  *
+  *  - `graft.snap.t.files` — one row per committed data file of the
+  *    CURRENT snapshot: (file, rows, bytes). `rows` comes from the
+  *    `#stats` records (null for files without one), `bytes` from the
+  *    filesystem (null if unreadable).
+  *  - `graft.snap.t.history` — one row per LIVE log fragment:
+  *    (version, ts, kind, n_added, n_removed); loose epochs classify
+  *    as append/rewrite/metadata, the compact fragment is one
+  *    `checkpoint` row at the horizon (history below it is collapsed —
+  *    the log retains exactly what time travel can serve).
+  *
+  * Rows are driver-derived from the O(fragments) metadata plane and
+  * served through a [[org.apache.spark.sql.connector.read.LocalScan]]
+  * (→ LocalTableScanExec): operational introspection is never a
+  * distributed read. This is also the stepping stone to distributed
+  * manifest planning — the log already answers these questions without
+  * touching the data plane. */
+private[sources] class SnapMetaTable(tname: String, dir: String, meta: String)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.types._
+  override def name(): String = s"snap($tname).$meta"
+  override def schema(): StructType = meta match {
+    case "files" => new StructType()
+      .add("file", StringType, nullable = false)
+      .add("rows", LongType, nullable = true)
+      .add("bytes", LongType, nullable = true)
+    case "history" => new StructType()
+      .add("version", LongType, nullable = false)
+      .add("ts", TimestampType, nullable = false)
+      .add("kind", StringType, nullable = false)
+      .add("n_added", LongType, nullable = false)
+      .add("n_removed", LongType, nullable = false)
+  }
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    Set(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    val rs = schema()
+    () => new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): org.apache.spark.sql.types.StructType = rs
+      override def description(): String = s"graft.snap.$tname.$meta"
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+        SnapMetaTable.rowsOf(dir, meta)
+    }
+  }
+}
+
+private[sources] object SnapMetaTable {
+  val Names: Set[String] = Set("files", "history")
+
+  private[sources] def rowsOf(dir: String, meta: String)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = meta match {
+    case "files" =>
+      val stats = ManifestSink.fileStats(dir)
+      ManifestSink.committedFiles(dir).map { f =>
+        val p = java.nio.file.Paths.get(f)
+        val name = p.getFileName.toString
+        org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(name),
+          stats.get(name).map(s => java.lang.Long.valueOf(s.rows)).orNull,
+          (try java.lang.Long.valueOf(java.nio.file.Files.size(p))
+           catch { case _: java.io.IOException => null }))
+      }.toArray
+    case "history" =>
+      ManifestSink.logHistory(dir).map { case (v, kind, added, removed, ms) =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          v, ms * 1000L, // millis → micros (TimestampType payload)
+          org.apache.spark.unsafe.types.UTF8String.fromString(kind),
+          added, removed)
+      }.toArray
   }
 }
 

@@ -902,6 +902,35 @@ object ManifestSink {
       .map(f => Paths.get(path, "data", f).toString)
   }
 
+  /** One row per LIVE log fragment, for the `graft.snap.t.history`
+    * metadata table (round 15): (version, kind, nAdded, nRemoved,
+    * mtimeMillis). Loose epochs classify by their records — `append`
+    * (data adds only), `rewrite` (carries `#remove`s: COW delete/
+    * update/merge, compaction, overwrite), `metadata` (schema-only:
+    * CREATE/ALTER) — and the newest compact fragment reports as one
+    * `checkpoint` row at the horizon carrying the resolved union size.
+    * History below the horizon is deliberately collapsed into that row:
+    * the log retains exactly what time travel can still serve. */
+  def logHistory(path: String): Seq[(Long, String, Long, Long, Long)] =
+    retryVanish() {
+      val dir = Paths.get(path)
+      val compactRow = latestCompact(dir).map { case (id, p) =>
+        (id, "checkpoint", readData(p).size.toLong, 0L,
+          Files.getLastModifiedTime(p).toMillis)
+      }
+      val horizon = latestCompact(dir).map(_._1).getOrElse(-1L)
+      val looseRows = looseEpochs(dir, horizon).map { case (id, p) =>
+        val adds = readData(p).size.toLong
+        val removes = readRemoves(p).size.toLong
+        val kind =
+          if (removes > 0) "rewrite"
+          else if (adds > 0) "append"
+          else "metadata"
+        (id, kind, adds, removes, Files.getLastModifiedTime(p).toMillis)
+      }
+      (compactRow.toSeq ++ looseRows).sortBy(_._1)
+    }
+
   /** Loose epoch manifests as (id, fileCount, rowCount-if-known) in
     * epoch order — the admission-control view a rate-limited tailing
     * stream sizes its next batch with. rowCount is None when any listed

@@ -1405,4 +1405,55 @@ class SnapshotSpec extends AnyFunSuite {
     assert(s.sql("SELECT count(*) FROM graft.snap.t1").head().getLong(0) == 0)
     graft.util.Fs.deleteRecursively(root)
   }
+
+  test("METADATA TABLES (round 15): graft.snap.t.files serves the " +
+    "current snapshot's (file, rows, bytes); .history classifies live " +
+    "fragments as metadata/append/rewrite and collapses swept epochs " +
+    "into one checkpoint row at the horizon") {
+    val root = Files.createTempDirectory("graft_snap_meta")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.sql("CREATE TABLE graft.snap.mt (k BIGINT, lang STRING)") // epoch 0
+    s.sql("INSERT INTO graft.snap.mt VALUES (1, 'de'), (2, 'de')") // 1
+    s.sql("INSERT INTO graft.snap.mt VALUES (10, 'es'), (11, 'es'), (12, 'es')") // 2
+    s.sql("DELETE FROM graft.snap.mt WHERE lang = 'de' AND k = 1") // 3: rewrite
+
+    def history(): Seq[(Long, String, Long, Long)] =
+      s.sql("SELECT version, kind, n_added, n_removed FROM " +
+        "graft.snap.mt.history ORDER BY version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    // epoch 1 wrote up to 2 task files, epoch 2 up to 3; pin kinds and
+    // remove counts, and that the rewrite epoch removed exactly the
+    // files it rewrote
+    val h1 = history()
+    assert(h1.map(_._2) == Seq("metadata", "append", "append", "rewrite"), h1)
+    assert(h1.map(_._1) == Seq(0L, 1L, 2L, 3L), h1)
+    assert(h1(3)._4 >= 1, s"the COW delete must report its removes: $h1")
+
+    // .files reflects the post-delete snapshot: total rows = 4 (one
+    // deleted), every file has stats rows and on-disk bytes
+    val fr = s.sql("SELECT count(*), sum(rows), count(bytes) FROM " +
+      "graft.snap.mt.files").head()
+    assert(fr.getLong(1) == 4, s"post-delete row total: $fr")
+    assert(fr.getLong(2) == fr.getLong(0), s"every file sized: $fr")
+
+    // roll the log past a compaction (interval 10): swept history
+    // collapses into ONE checkpoint row; newer epochs stay itemized
+    (0 until 9).foreach { i =>
+      s.sql(s"INSERT INTO graft.snap.mt VALUES (${100 + i}, 'fr')")
+    }
+    val h2 = history()
+    assert(h2.head._2 == "checkpoint",
+      s"horizon row must lead post-compaction history: $h2")
+    assert(h2.count(_._2 == "checkpoint") == 1, h2)
+    assert(h2.tail.forall(_._2 == "append"), h2)
+    // the checkpoint carries the resolved union size at its horizon
+    val expectTotal = s.sql("SELECT count(*) FROM graft.snap.mt.files")
+      .head().getLong(0)
+    assert(h2.head._3 + h2.tail.map(_._3).sum == expectTotal,
+      s"checkpoint union + loose adds must equal the snapshot: $h2")
+    graft.util.Fs.deleteRecursively(root)
+  }
 }
