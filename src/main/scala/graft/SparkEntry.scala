@@ -226,6 +226,7 @@ object SparkEntry {
     "q_snap_ctas"        -> Materialize.snapCtas _,
     "q_snap_ddl"         -> Materialize.snapDdl _,
     "q_snap_files"       -> Materialize.snapFiles _,
+    "q_snap_partitioned" -> Materialize.snapPartitioned _,
     "q_snap_compact"     -> Materialize.snapCompact _,
     "q_vacuum_sql"       -> Materialize.vacuumSql _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
@@ -2455,6 +2456,17 @@ object SparkEntry {
         |  CAST(max(n) AS BIGINT) AS max_rows,
         |  CAST(count(*) AS BIGINT) AS n_sized
         |FROM c""".stripMargin,
+    "q_snap_partitioned" -> // identity-partitioned create + insert +
+      // partition-scoped INSERT OVERWRITE (es gets n_chars+7) + pruned
+      // read: the oracle CASE-maps the overwritten partition
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN lang = 'es' THEN n_chars + 7
+        |               ELSE n_chars END) AS BIGINT) AS sum_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL AND lang IN ('es', 'de')
+        |GROUP BY lang""".stripMargin,
     "q_snap_compact" -> // the procedure's result row, derived by the
       // oracle from the source: five undersized language files pack
       // into ceil(rows/5000) files

@@ -1275,6 +1275,50 @@ object Materialize {
         |FROM graft.snap.docfiles.files""".stripMargin)
   }
 
+  /** PARTITION TRANSFORMS on the lake (`q_snap_partitioned`, round
+    * 15): `CREATE TABLE … PARTITIONED BY (lang)` records the immutable
+    * `#spec` in the create epoch; the insert fans out one file per
+    * partition tuple (each carrying its `#part` record); `INSERT
+    * OVERWRITE … PARTITION (lang='es')` is the partition-scoped
+    * replace (exact tuple decision per file, replacement data
+    * validated against the predicate — the Delta `replaceWhere`
+    * shape); and the filtered read PRUNES partitions before the
+    * per-file stats walk — the reference's own layout is
+    * `PARTITION BY fifa_update_date` (reference
+    * `etl_kaggle_to_big_query.py:89`), and this is that layout on the
+    * manifest lake. SnapshotSpec pins planned-file counts, days/bucket
+    * transforms, dynamic overwrite and the refusals. */
+  def snapPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_part_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    complete.createOrReplaceTempView("graft_part_src")
+    spark.sql(
+      """CREATE TABLE graft.snap.docpart
+        |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+        |PARTITIONED BY (lang)""".stripMargin)
+    // pre-repartition by the partition key so each task fans out to
+    // one tuple — the layout discipline a 100 TB write job follows
+    complete.repartition(col("lang"))
+      .writeTo("graft.snap.docpart").append()
+    spark.sql(
+      """INSERT OVERWRITE graft.snap.docpart PARTITION (lang = 'es')
+        |SELECT doc_id, n_chars + 7 AS n_chars
+        |FROM graft_part_src WHERE lang = 'es'""".stripMargin)
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  min(doc_id) AS min_doc
+        |FROM graft.snap.docpart
+        |WHERE lang IN ('es', 'de')
+        |GROUP BY lang""".stripMargin)
+  }
+
   /** Small-file COMPACTION from pure SQL (`q_snap_compact`, round 13):
     * the per-language epochs land five small files, then
     * `CALL graft.sys.compact_data('docpack', 5000)` bin-packs them into

@@ -314,26 +314,81 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val name = ident.name()
     require(!name.contains("/") && !name.contains("..") && !name.startsWith("."),
       s"illegal snap table name '$name'")
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      s"graft.snap.$name: partition transforms are not supported yet — " +
-        "create unpartitioned (per-file #stats skipping still applies)")
     // fail BEFORE claiming: every column must be sink-encodable
     ManifestWriters.parquetType(schema.fields.map(_.name),
       schema.fields.map(_.dataType.typeName))
+    // PARTITIONED BY (round 15): identity / days / bucket transforms,
+    // recorded once as the immutable `#spec` next to the `#schema`
+    val spec = partitions.toSeq.map(toPartField(name, schema, _))
     val tdir = new java.io.File(snapRoot(ident), name)
     val dir = java.nio.file.Files.createDirectories(tdir.toPath)
     def exists() = throw new org.apache.spark.sql.catalyst.analysis
       .TableAlreadyExistsException(
         Seq(catalogName, SnapNs, name).map(q => s"`$q`").mkString("."))
     if (ManifestSink.newestVersion0(dir) >= 0) exists()
+    val content = s"#schema ${schema.toDDL}" +:
+      (if (spec.isEmpty) Seq.empty
+       else Seq(s"#spec ${PartField.render(spec)}"))
     val tmp = java.nio.file.Files.createTempFile(dir, ".epoch", ".tmp")
-    java.nio.file.Files.write(tmp,
-      s"#schema ${schema.toDDL}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(tmp, content.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     try java.nio.file.Files.createLink(
       dir.resolve(ManifestSink.epochName(0)), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException => exists() }
     finally java.nio.file.Files.deleteIfExists(tmp)
     new SnapTable(name, tdir.toString, schema, None)
+  }
+
+  /** Translate a Spark `Transform` to the log's spec model, validating
+    * the referenced column's existence and type (long family or
+    * string; days needs timestamp/date). */
+  private def toPartField(tname: String,
+      schema: org.apache.spark.sql.types.StructType,
+      t: org.apache.spark.sql.connector.expressions.Transform): PartField = {
+    // dispatch on the PUBLIC Transform API (name/references/arguments)
+    // — the concrete Scala transform classes are private[sql]
+    def oneCol(what: String): String = {
+      val refs = t.references().toSeq
+      require(refs.size == 1 && refs.head.fieldNames().length == 1,
+        s"graft.snap.$tname: $what must reference ONE top-level column")
+      val c = refs.head.fieldNames()(0)
+      require(schema.fields.exists(_.name.equalsIgnoreCase(c)),
+        s"graft.snap.$tname: partition column '$c' is not in the schema")
+      c
+    }
+    def typeOf(c: String): String = schema.fields
+      .find(_.name.equalsIgnoreCase(c)).get.dataType.typeName
+    val longFamily = Set("long", "integer", "short", "byte", "timestamp", "date")
+    t.name() match {
+      case "identity" =>
+        val c = oneCol("identity")
+        require(longFamily.contains(typeOf(c)) || typeOf(c) == "string",
+          s"graft.snap.$tname: identity($c) needs a long-family or " +
+            s"string column, got ${typeOf(c)}")
+        IdentityPart(c)
+      case "days" =>
+        val c = oneCol("days")
+        require(typeOf(c) == "timestamp" || typeOf(c) == "date",
+          s"graft.snap.$tname: days($c) needs a timestamp/date column, " +
+            s"got ${typeOf(c)}")
+        DaysPart(c)
+      case "bucket" =>
+        val c = oneCol("bucket")
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }.getOrElse(throw new IllegalArgumentException(
+          s"graft.snap.$tname: bucket transform carries no bucket count"))
+        require(n > 0, s"graft.snap.$tname: bucket($n, $c): n must be > 0")
+        require(longFamily.contains(typeOf(c)) || typeOf(c) == "string",
+          s"graft.snap.$tname: bucket($c) needs a long-family or string " +
+            s"column, got ${typeOf(c)}")
+        BucketPart(n, c)
+      case other => throw new UnsupportedOperationException(
+        s"graft.snap.$tname: unsupported partition transform $other " +
+          "(identity, days, bucket)")
+    }
   }
 
   /** `ALTER TABLE graft.snap.t ADD COLUMN c T` (round 15): additive
@@ -467,10 +522,18 @@ private[sources] class SnapTable(tname: String, val dir: String,
   import org.apache.spark.sql.sources._
   override def name(): String = s"snap($tname)"
   override def schema(): org.apache.spark.sql.types.StructType = tschema
+  /** The log-recorded partition spec (round 15) — read fresh per call:
+    * CatalogManager caches tables briefly, but the spec is immutable
+    * for a table's lifetime so staleness cannot occur. */
+  private[sources] def spec: Seq[PartField] = ManifestSink.partitionSpec(dir)
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    ManifestTable.transformsOf(spec)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC).asJava
 
   /** `_file` rides along on every face (round 14): selectable on batch
     * reads, and the handle Spark's runtime group filter uses to name
@@ -510,7 +573,8 @@ private[sources] class SnapTable(tname: String, val dir: String,
       s"graft.snap.$tname VERSION AS OF ${asOf.get}: historical " +
         "snapshots are immutable — append to the current table")
     ManifestSink.verifyDeclaredSchema(dir, s"graft.snap.$tname INSERT", tschema)
-    ManifestTable(dir, tschema).newWriteBuilder(info)
+    ManifestTable(dir, tschema,
+      spec = ManifestSink.partitionSpec(dir)).newWriteBuilder(info)
   }
 
   private def hasCol(c: String): Boolean =
@@ -596,11 +660,16 @@ private[sources] class SnapTable(tname: String, val dir: String,
     val files = ManifestSink.committedFiles(dir)
     if (files.isEmpty) return
     val stats = ManifestSink.fileStats(dir)
+    val pspec = spec
+    val parts = ManifestSink.filePartitions(dir)
     val affected = files.filter { f =>
-      stats.get(java.nio.file.Paths.get(f).getFileName.toString) match {
+      val n = java.nio.file.Paths.get(f).getFileName.toString
+      val partOk = parts.get(n).forall(toks =>
+        filters.forall(PartField.mayMatch(pspec, toks, _)))
+      partOk && (stats.get(n) match {
         case None => true // no stats: must assume it may match
         case Some(st) => st.rows > 0 && filters.forall(SnapStats.mayMatch(st, _))
-      }
+      })
     }
     SnapTable.recordDelete(tname, files.size, affected.size)
     if (affected.isEmpty) return
@@ -650,6 +719,7 @@ private[sources] class SnapTable(tname: String, val dir: String,
     // compaction, MERGE) identically.
     ManifestSink.verifyDeclaredSchema(dir, s"graft.snap.$tname", tschema)
     new SnapScanBuilder(tname, files, ManifestSink.fileStats(dir),
+      spec, ManifestSink.filePartitions(dir),
       tschema, options,
       streamSource = Some(readSchema => {
         // STREAMING the catalog table (round 13): `readStream.table
@@ -835,7 +905,8 @@ private[sources] object SnapStats {
   def knownAllNull(st: FileStat, col: String): Boolean =
     nullsOf(st, col) match {
       case Some(n) => n == st.rows
-      case None => st.nulls.nonEmpty && ManifestSink.statSafeName(col)
+      case None => st.exhaustiveNulls && st.nulls.nonEmpty &&
+        ManifestSink.statSafeName(col)
     }
 
   /** May ANY row of a file with stats `st` satisfy `f`? Conservative:
@@ -926,6 +997,8 @@ private[sources] object SnapStats {
   * recorded stats simply cannot be skipped. */
 private[sources] class SnapScanBuilder(tname: String, files: Seq[String],
     stats: Map[String, FileStat],
+    spec: Seq[PartField],
+    parts: Map[String, Seq[String]],
     tschema: org.apache.spark.sql.types.StructType,
     options: CaseInsensitiveStringMap,
     streamSource: Option[org.apache.spark.sql.types.StructType =>
@@ -954,11 +1027,16 @@ private[sources] class SnapScanBuilder(tname: String, files: Seq[String],
     required = Some(requiredSchema)
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
+    // PARTITION pruning first (round 15: exact tuples, cheap), then
+    // the per-file #stats envelope walk — the Iceberg planning order
     val kept = files.filter { f =>
-      stats.get(java.nio.file.Paths.get(f).getFileName.toString) match {
+      val n = java.nio.file.Paths.get(f).getFileName.toString
+      val partOk = parts.get(n).forall(toks =>
+        filters.forall(PartField.mayMatch(spec, toks, _)))
+      partOk && (stats.get(n) match {
         case None => true // no stats recorded: cannot skip
         case Some(st) => st.rows > 0 && filters.forall(SnapStats.mayMatch(st, _))
-      }
+      })
     }
     SnapTable.recordPrune(tname, files.size, kept.size)
     // a read that references the `_file` metadata column cannot ride

@@ -110,7 +110,11 @@ class ManifestSink extends TableProvider {
     removes.foreach(n => require(
       !n.exists(c => c == ' ' || c == '\n' || c == '\r' || c == '/'),
       s"removeFiles entries must be bare data-file names, got '$n'"))
-    ManifestTable(path, schema, interval, removes)
+    // the table's partition spec rides in the log, so even a path-based
+    // append (or a COW rewrite through the DataFrameWriter face) fans
+    // out and records `#part` tuples for the files it lands
+    ManifestTable(path, schema, interval, removes,
+      ManifestSink.partitionSpec(path))
   }
 }
 
@@ -345,6 +349,51 @@ object ManifestSink {
     }.map(_._1)
   }
 
+  /** The table's PARTITION SPEC, parsed from the `#spec` record the
+    * CREATE epoch carries (round 15): empty for unpartitioned tables.
+    * The record grammar is `#spec t1;t2` with t ∈ `identity:<col>` |
+    * `days:<col>` | `bucket:<n>:<col>`. The spec is immutable for a
+    * table's lifetime (partition evolution is not offered); two
+    * distinct records in one log is a corruption and refuses. */
+  def partitionSpec(path: String): Seq[PartField] = retryVanish() {
+    val recs = manifestFragments(Paths.get(path))
+      .flatMap(readHeaders)
+      .collect { case l if l.startsWith("#spec ") => l.stripPrefix("#spec ") }
+      .distinct
+    if (recs.size > 1) throw new IllegalStateException(
+      s"manifest table $path records ${recs.size} distinct partition " +
+        s"specs (${recs.mkString(" | ")}) — the spec is immutable; " +
+        "refusing to guess which layout the data files follow")
+    recs.headOption.map(_.split(";").toSeq.map(PartField.parse)).getOrElse(Seq.empty)
+  }
+
+  /** Encoded partition-value tuples per committed file name, from the
+    * `#part <file> <tok1,tok2>` records (round 15). Files without a
+    * record (pre-partitioning files, COW rewrites from older builds)
+    * simply have no tuple: pruning treats them as unprunable and
+    * partition-scoped overwrite refuses to touch them. Compaction
+    * carries records forward for files still in the union. */
+  def filePartitions(path: String): Map[String, Seq[String]] = retryVanish() {
+    manifestFragments(Paths.get(path))
+      .flatMap(readHeaders)
+      .flatMap(parsePart)
+      .groupBy(_._1)
+      .collect { case (n, recs) if recs.map(_._2).distinct.size == 1 =>
+        n -> recs.head._2 } // conflicting duplicates lose their tuple
+  }
+
+  private def parsePart(line: String): Option[(String, Seq[String])] = {
+    if (!line.startsWith("#part ")) return None
+    line.stripPrefix("#part ").split(" ", 2) match {
+      case Array(f, toks) if toks.nonEmpty =>
+        Some(f -> toks.split(",", -1).toSeq)
+      case _ => None
+    }
+  }
+
+  private[sources] def partLine(file: String, toks: Seq[String]): String =
+    s"#part $file ${toks.mkString(",")}"
+
   /** Append a pure-metadata DDL epoch carrying `#schema <ddl>` — the
     * ALTER TABLE ADD COLUMN record (round 15): additive evolution is
     * exactly what the read path already honors for mixed-schema files,
@@ -397,10 +446,10 @@ object ManifestSink {
         n -> recs.head._2 }
   }
 
-  private def hexOf(s: String): String =
+  private[sources] def hexOf(s: String): String =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       .map(b => f"${b & 0xff}%02x").mkString
-  private def unhex(h: String): Option[String] =
+  private[sources] def unhex(h: String): Option[String] =
     if (h.length % 2 != 0 || !h.forall(c => c.isDigit || (c >= 'a' && c <= 'f')))
       None
     else Some(new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
@@ -673,6 +722,11 @@ object ManifestSink {
       .groupMapReduce(_._1)(_._2)(math.max)
       .toSeq.sortBy(_._1).map { case (w, e) => s"#txn $w $e" }
     val schemas = headers.filter(_.startsWith("#schema ")).distinct
+    // the partition spec (one record, immutable) and the partition
+    // tuples of files still in the union ride through sweeps exactly
+    // like #stats — pruning and partition-scoped overwrite must keep
+    // working on a fully compacted log
+    val specs = headers.filter(_.startsWith("#spec ")).distinct
     // `#cow` tokens carry forward ONE round — from the loose epochs this
     // sweep absorbs, never from the prior compact — so a COW committer
     // whose epoch was absorbed mid-claim can still recognize its own
@@ -700,12 +754,15 @@ object ManifestSink {
           st.strCols.toSeq.sortBy(_._1)
             .map { case (c, (mn, mx)) => StrColStat(c, mn, mx) },
           st.nulls.toSeq.sortBy(_._1).map { case (c, n) => NullStat(c, n) })) }
+    val parts = headers.flatMap(parsePart).distinctBy(_._1)
+      .collect { case (f, toks) if nameSet.contains(f) => partLine(f, toks) }
     val upTo = loose.map(_._1).max
     // unique temp per attempt (concurrent committers can both trigger
     // this compaction); the compact-<upTo> content is deterministic —
     // the union through upTo — so when a racer already landed it, the
     // loser's work is simply done
-    val bytes = (txns ++ schemas ++ cows ++ stats ++ names).mkString("\n")
+    val bytes = (txns ++ schemas ++ specs ++ cows ++ stats ++ parts ++ names)
+      .mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val ctmp = Files.createTempFile(dir, s".${compactName(upTo)}", ".tmp")
     Files.write(ctmp, bytes)
@@ -739,11 +796,21 @@ object ManifestSink {
     * remove-carrying epoch also publishes a run-unique `#cow` token so
     * a claim racing a compaction sweep can recognize its own absorbed
     * commit even with zero survivor files. */
+  /** Flatten commit messages to their [[CommittedFile]]s (fan-out
+    * tasks report a [[CommittedFileSet]]). */
+  private[sources] def committedFilesOf(messages: Array[WriterCommitMessage])
+      : Seq[CommittedFile] =
+    messages.toSeq.flatMap {
+      case m: CommittedFile => Seq(m)
+      case ms: CommittedFileSet => ms.files
+      case _ => Seq.empty
+    }
+
   private[sources] def commitBatchEpoch(path: String, schemaDdl: String,
       messages: Array[WriterCommitMessage], removeFilesGen: () => Seq[String],
       compactInterval: Int): Unit = {
     val dir = Files.createDirectories(Paths.get(path))
-    val files = messages.collect { case m: CommittedFile => m }.sortBy(_.name).toSeq
+    val files = committedFilesOf(messages).sortBy(_.name)
     // one token per OPERATION (stable across claim attempts — the
     // absorbed check recognizes the op's own publish by it)
     val cowToken = java.util.UUID.randomUUID.toString
@@ -754,8 +821,10 @@ object ManifestSink {
     def content(): Seq[String] = {
       lastRemoves = removeFilesGen()
       val cow = if (lastRemoves.isEmpty) Seq.empty else Seq(s"#cow $cowToken")
+      val parts = files.collect {
+        case f if f.part.nonEmpty => partLine(f.name, f.part) }
       s"#schema $schemaDdl" +: (cow ++
-        files.map(statsLine) ++
+        files.map(statsLine) ++ parts ++
         lastRemoves.sorted.map(n => s"#remove $n") ++ files.map(_.name))
     }
     claimEpoch(dir, content _)
@@ -965,18 +1034,31 @@ object ManifestSink {
   * simply never prune on nullness — conservative, the stats contract. */
 case class FileStat(rows: Long, cols: Map[String, (Long, Long)],
     strCols: Map[String, (String, Option[String])] = Map.empty,
-    nulls: Map[String, Long] = Map.empty)
+    nulls: Map[String, Long] = Map.empty,
+    /** Is `nulls` EXHAUSTIVE over the file's written schema? True for
+      * writer-recorded stats (the r14 contract: every stats-safe-named
+      * column gets a record, so an absent record proves the column
+      * postdates the file). False for SYNTHETIC envelopes (partition
+      * tuples, round 15), whose null accounting covers only the spec's
+      * columns — the absent-record inference would mis-prune every
+      * non-partition column. */
+    exhaustiveNulls: Boolean = true)
 
 case class ManifestTable(path: String, writeSchema: StructType,
     compactInterval: Int = ManifestSink.DefaultCompactInterval,
-    removeFiles: Seq[String] = Seq.empty)
+    removeFiles: Seq[String] = Seq.empty,
+    spec: Seq[PartField] = Seq.empty)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String = s"manifest($path)"
   override def schema(): StructType = writeSchema
+  override def partitioning(): Array[Transform] =
+    ManifestTable.transformsOf(spec)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC).asJava
 
   /** TABLE-AS-A-STREAM (round 11): `spark.readStream` on the SAME
     * format/path TAILS the epoch log — offsets are epoch ids, each
@@ -1005,8 +1087,11 @@ case class ManifestTable(path: String, writeSchema: StructType,
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsTruncate {
+        with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       private var truncating = false
+      private var overwriteWhere: Option[Seq[org.apache.spark.sql.sources.Filter]] = None
+      private var dynamic = false
       /** `INSERT OVERWRITE` / `mode("overwrite")` (round 14): a full-
         * snapshot REPLACE — the new task files plus `#remove`s of every
         * committed file, flipped in ONE atomic epoch. The remove set is
@@ -1017,19 +1102,54 @@ case class ManifestTable(path: String, writeSchema: StructType,
         * rows — serializable, not merely WriteSerializable. Time travel
         * keeps serving pre-overwrite versions; the conflict check
         * aborts this commit if a racing rewrite removed one of the
-        * files first. Filtered overwrite (`SupportsOverwrite`) is
-        * deliberately absent: predicate-scoped replacement is the
-        * row-level operation's job, where stats + runtime group
-        * filtering scope the rewrite — a v1-style overwrite-by-filter
-        * would always rewrite blind. */
+        * files first. */
       override def truncate(): WriteBuilder = { truncating = true; this }
+      /** FILTERED overwrite (round 15, the Delta `replaceWhere` /
+        * `INSERT OVERWRITE … PARTITION (k=v)` shape): allowed exactly
+        * when the predicate is decidable PER FILE from identity
+        * partition tuples — `canOverwrite` refuses anything else at
+        * analysis (an undecidable predicate would rewrite blind).
+        * The remove set is the exact matching-partition files,
+        * recomputed per claim attempt like the full replace; the
+        * commit validates every replacement file's own tuple satisfies
+        * the predicate (Delta's replaceWhere constraint). */
+      override def canOverwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+          : Boolean =
+        filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]) || {
+          spec.exists(_.isInstanceOf[IdentityPart]) &&
+            // decidable on a PROBE tuple: every identity field set
+            // non-null — shape-level check; per-file decision re-runs
+            // exactly at commit
+            PartField.evalExact(spec, spec.map {
+              case _: IdentityPart => "0"
+              case _: DaysPart => "0"
+              case b: BucketPart => "0"
+            }, filters.foldLeft[org.apache.spark.sql.sources.Filter](
+              org.apache.spark.sql.sources.AlwaysTrue)(
+              org.apache.spark.sql.sources.And(_, _))).isDefined
+        }
+      override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+          : WriteBuilder = {
+        if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+          truncating = true
+        else overwriteWhere = Some(filters.toSeq)
+        this
+      }
+      /** DYNAMIC partition overwrite (round 15): replace exactly the
+        * partitions the new data lands in — the remove set is derived
+        * from the written tuples at commit time. */
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        dynamic = true; this
+      }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = {
           val removes: () => Seq[String] =
-            if (!truncating) () => removeFiles
-            else () => ManifestSink.committedFiles(path).map(f =>
-              Paths.get(f).getFileName.toString)
-          ManifestBatchWrite(path, info.schema(), compactInterval, removes)
+            if (truncating)
+              () => ManifestSink.committedFiles(path).map(f =>
+                Paths.get(f).getFileName.toString)
+            else () => removeFiles
+          ManifestBatchWrite(path, info.schema(), compactInterval, removes,
+            spec, overwriteWhere, dynamic)
         }
         // writerId = the STREAMING QUERY's stable id (Spark passes
         // checkpoint-metadata `id`, not the per-run runId, as the
@@ -1057,14 +1177,34 @@ case class ManifestTable(path: String, writeSchema: StructType,
     }
 }
 
+object ManifestTable {
+  /** The spec as Spark `Transform`s — what `DESCRIBE`/`SHOW CREATE`
+    * and the SQL `INSERT OVERWRITE … PARTITION` resolution read. */
+  private[sources] def transformsOf(spec: Seq[PartField]): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    spec.map[Transform] {
+      case IdentityPart(c) => Expressions.identity(c)
+      case DaysPart(c) => Expressions.days(c)
+      case BucketPart(n, c) => Expressions.bucket(n, c)
+    }.toArray
+  }
+}
+
 /** One task's contribution: the data file it wrote (name only — the
   * driver owns the directory), its row count, and per-column bounds
   * (the data-skipping stats the epoch manifest records): `stats` for
-  * the long family, `strStats` for string columns. */
+  * the long family, `strStats` for string columns. `part` (round 15)
+  * is the file's encoded partition tuple under the table's `#spec`,
+  * empty for unpartitioned tables. */
 case class CommittedFile(name: String, rows: Long,
     stats: Seq[ColStat] = Seq.empty,
     strStats: Seq[StrColStat] = Seq.empty,
-    nullStats: Seq[NullStat] = Seq.empty) extends WriterCommitMessage
+    nullStats: Seq[NullStat] = Seq.empty,
+    part: Seq[String] = Seq.empty) extends WriterCommitMessage
+
+/** A partition-fan-out task's contribution: one [[CommittedFile]] per
+  * partition tuple the task's rows landed in (round 15). */
+case class CommittedFileSet(files: Seq[CommittedFile]) extends WriterCommitMessage
 
 /** Min/max of one long-family column within one committed file
   * (timestamps as UTC micros, dates as epoch days — the InternalRow
@@ -1114,11 +1254,60 @@ object StrColStat {
 
 case class ManifestBatchWrite(path: String, schema: StructType,
     compactInterval: Int = ManifestSink.DefaultCompactInterval,
-    removeFiles: () => Seq[String] = () => Seq.empty) extends BatchWrite {
+    removeFiles: () => Seq[String] = () => Seq.empty,
+    spec: Seq[PartField] = Seq.empty,
+    overwriteWhere: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
+    dynamicOverwrite: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     ManifestWriterFactory(path, schema.fields.map(_.name),
       schema.fields.map(_.dataType.typeName),
-      java.util.UUID.randomUUID.toString.take(8))
+      java.util.UUID.randomUUID.toString.take(8), spec)
+
+  private def baseName(f: String): String = Paths.get(f).getFileName.toString
+
+  private def andOf(fs: Seq[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.sql.sources.Filter =
+    fs.reduceOption(org.apache.spark.sql.sources.And(_, _))
+      .getOrElse(org.apache.spark.sql.sources.AlwaysTrue)
+
+  /** The exact matching-file set for a partition-scoped overwrite,
+    * re-derived per claim attempt: every committed file must carry a
+    * partition tuple on which the predicate decides EXACTLY — a file
+    * without one (pre-partitioning writer) refuses rather than being
+    * silently kept or blindly replaced. */
+  private def filteredRemoves(fs: Seq[org.apache.spark.sql.sources.Filter])
+      : Seq[String] = {
+    val pred = andOf(fs)
+    val parts = ManifestSink.filePartitions(path)
+    ManifestSink.committedFiles(path).map(baseName).filter { n =>
+      parts.get(n).flatMap(t => PartField.evalExact(spec, t, pred)).getOrElse(
+        throw new UnsupportedOperationException(
+          s"overwrite-by-filter on $path: predicate $pred is not exactly " +
+            s"decidable from file $n's identity partition tuple " +
+            s"(${parts.get(n).map(_.mkString(",")).getOrElse("none recorded")}) " +
+            "— partition-scoped overwrite needs identity-partition " +
+            "predicates over tuple-carrying files; use row-level " +
+            "DELETE/UPDATE for row-scoped replacement"))
+    }
+  }
+
+  /** Dynamic partition overwrite's remove set: committed files whose
+    * tuple equals a tuple the new data wrote. Every committed file
+    * must carry a tuple (else its membership is unknowable). */
+  private def dynamicRemoves(written: Set[Seq[String]]): Seq[String] = {
+    if (spec.isEmpty) throw new UnsupportedOperationException(
+      s"dynamic partition overwrite on $path: the table is unpartitioned")
+    val parts = ManifestSink.filePartitions(path)
+    ManifestSink.committedFiles(path).map(baseName).filter { n =>
+      parts.get(n) match {
+        case Some(t) => written.contains(t)
+        case None => throw new UnsupportedOperationException(
+          s"dynamic partition overwrite on $path: committed file $n " +
+            "carries no partition tuple — its partition membership is " +
+            "unknowable; compact or rewrite the table first")
+      }
+    }
+  }
 
   /** Batch appends are VERSIONED commits on the same epoch log the
     * streaming face writes: the commit claims the next epoch id through
@@ -1130,16 +1319,40 @@ case class ManifestBatchWrite(path: String, schema: StructType,
     * the files its survivors replace — adds and removes flip visibility
     * in the SAME atomic link(2), so no reader ever sees both the old
     * files and their rewritten survivors. */
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val adds = ManifestSink.committedFilesOf(messages)
+    overwriteWhere.foreach { fs =>
+      // Delta's replaceWhere constraint: replacement data must satisfy
+      // the predicate it replaces — validated file-wise on the tuples
+      // the fan-out writer recorded, BEFORE anything publishes
+      val pred = andOf(fs)
+      adds.foreach { f =>
+        val ok = f.part.nonEmpty &&
+          PartField.evalExact(spec, f.part, pred).contains(true)
+        if (!ok) {
+          adds.foreach(a =>
+            Files.deleteIfExists(Paths.get(path, "data", a.name)))
+          throw new IllegalStateException(
+            s"overwrite-by-filter on $path: replacement file ${f.name} " +
+              s"(partition ${f.part.mkString(",")}) does not satisfy the " +
+              s"overwritten predicate $pred — nothing was committed")
+        }
+      }
+    }
+    val removesGen: () => Seq[String] =
+      if (dynamicOverwrite)
+        () => dynamicRemoves(adds.map(_.part).filter(_.nonEmpty).toSet)
+      else overwriteWhere match {
+        case Some(fs) => () => filteredRemoves(fs)
+        case None => removeFiles
+      }
     ManifestSink.commitBatchEpoch(path, schema.toDDL, messages,
-      removeFiles, compactInterval)
+      removesGen, compactInterval)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case m: CommittedFile =>
-        val n = m.name
-        Files.deleteIfExists(Paths.get(path, "data", n))
-      case _ =>
+    ManifestSink.committedFilesOf(messages).foreach { m =>
+      Files.deleteIfExists(Paths.get(path, "data", m.name))
     }
 }
 
@@ -1162,10 +1375,11 @@ case class ManifestBatchWrite(path: String, schema: StructType,
   * StreamingSpec restarts a checkpointed query with the engine commit
   * marker removed and pins that the replayed epoch changes nothing. */
 case class ManifestStreamingWrite(path: String, schema: StructType,
-    compactInterval: Int, writerId: String, runToken: String) extends StreamingWrite {
+    compactInterval: Int, writerId: String, runToken: String,
+    spec: Seq[PartField] = Seq.empty) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     ManifestStreamingWriterFactory(path, schema.fields.map(_.name),
-      schema.fields.map(_.dataType.typeName), runToken)
+      schema.fields.map(_.dataType.typeName), runToken, spec)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = Files.createDirectories(Paths.get(path))
@@ -1178,17 +1392,17 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
       // future naming bug) from turning the replay cleanup into
       // committed-data loss.
       val published = ManifestSink.fragmentUnion(dir).toSet
-      messages.foreach {
-        case m: CommittedFile if !published.contains(m.name) =>
-          val n = m.name
-          Files.deleteIfExists(Paths.get(path, "data", n))
-        case _ =>
+      ManifestSink.committedFilesOf(messages).foreach { m =>
+        if (!published.contains(m.name))
+          Files.deleteIfExists(Paths.get(path, "data", m.name))
       }
       return
     }
-    val files = messages.collect { case m: CommittedFile => m }.sortBy(_.name).toSeq
+    val files = ManifestSink.committedFilesOf(messages).sortBy(_.name)
+    val parts = files.collect {
+      case f if f.part.nonEmpty => ManifestSink.partLine(f.name, f.part) }
     val content = Seq(s"#txn $writerId $epochId", s"#schema ${schema.toDDL}") ++
-      files.map(ManifestSink.statsLine) ++ files.map(_.name)
+      files.map(ManifestSink.statsLine) ++ parts ++ files.map(_.name)
     ManifestSink.claimEpoch(dir, () => content)
     ManifestSink.maybeCompact(dir,
       ManifestSink.latestCompact(dir).map(_._1).getOrElse(-1L), compactInterval)
@@ -1204,30 +1418,35 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
     val published =
       if (Files.exists(dir)) ManifestSink.fragmentUnion(dir).toSet
       else Set.empty[String]
-    messages.foreach {
-      case m: CommittedFile if !published.contains(m.name) =>
-          val n = m.name
-        Files.deleteIfExists(Paths.get(path, "data", n))
-      case _ =>
+    ManifestSink.committedFilesOf(messages).foreach { m =>
+      if (!published.contains(m.name))
+        Files.deleteIfExists(Paths.get(path, "data", m.name))
     }
   }
 }
 
 case class ManifestStreamingWriterFactory(path: String, fieldNames: Array[String],
-    fieldTypes: Array[String], runToken: String) extends StreamingDataWriterFactory {
+    fieldTypes: Array[String], runToken: String,
+    spec: Seq[PartField] = Seq.empty) extends StreamingDataWriterFactory {
   // the epoch is baked into the file name so replayed-epoch files are
   // recognizable on disk; taskId distinguishes attempts within a run,
   // and the run token distinguishes RUNS — a replay in a fresh JVM
   // (taskIds reset to 0) still cannot collide with committed files
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
-    ManifestWriters.create(path, fieldNames, fieldTypes,
-      f"${ManifestSink.epochName(epochId)}-part-$partitionId%05d-$taskId-$runToken.parquet")
+      epochId: Long): DataWriter[InternalRow] = {
+    val base = f"${ManifestSink.epochName(epochId)}-part-$partitionId%05d-$taskId-$runToken"
+    if (spec.isEmpty)
+      ManifestWriters.create(path, fieldNames, fieldTypes, s"$base.parquet")
+    else
+      ManifestWriters.createFanOut(path, fieldNames, fieldTypes, spec,
+        k => s"$base-p$k.parquet")
+  }
 }
 
 case class ManifestWriterFactory(path: String, fieldNames: Array[String],
-    fieldTypes: Array[String], runToken: String) extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    fieldTypes: Array[String], runToken: String,
+    spec: Seq[PartField] = Seq.empty) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // taskId distinguishes attempts WITHIN the application; the run
     // token (advisor r12) distinguishes APPLICATIONS — taskIds restart
     // at 0 in a new SparkContext, so without it a second app appending
@@ -1237,8 +1456,13 @@ case class ManifestWriterFactory(path: String, fieldNames: Array[String],
     // matching rows — silently wrong results). With both, every write
     // lands under a fresh name and superseded files become
     // manifest-invisible orphans for VACUUM
-    ManifestWriters.create(path, fieldNames, fieldTypes,
-      f"part-$partitionId%05d-$taskId-$runToken.parquet")
+    val base = f"part-$partitionId%05d-$taskId-$runToken"
+    if (spec.isEmpty)
+      ManifestWriters.create(path, fieldNames, fieldTypes, s"$base.parquet")
+    else
+      ManifestWriters.createFanOut(path, fieldNames, fieldTypes, spec,
+        k => s"$base-p$k.parquet")
+  }
 }
 
 /** One task-file writer, shared by the batch and streaming factories —
@@ -1299,6 +1523,75 @@ private[graft] object ManifestWriters {
     }
     b.named("graft_manifest_row")
   }
+
+  /** Per-row partition-token evaluator for a table's `#spec` (round
+    * 15): resolves each spec column against the write schema once,
+    * then encodes values in the exact scale the stats plane uses
+    * (micros/days long payloads, UTF-8 strings). Type mismatches
+    * refuse at writer construction — CREATE TABLE validates the same
+    * constraint earlier, this is the defense on the write path. */
+  private[sources] def partitionEval(spec: Seq[PartField],
+      names: Array[String], types: Array[String]): InternalRow => Seq[String] = {
+    val fns: Seq[InternalRow => String] = spec.map { pf =>
+      val i = names.indexWhere(_.equalsIgnoreCase(pf.col))
+      if (i < 0) throw new IOException(
+        s"partition column '${pf.col}' is not in the write schema " +
+          s"(${names.mkString(", ")})")
+      def longTok(get: InternalRow => Long): InternalRow => String =
+        r => if (r.isNullAt(i)) "n" else pf.tokenOfLong(get(r))
+      (pf, types(i)) match {
+        case (_: DaysPart, "timestamp") => longTok(_.getLong(i))
+        case (_: DaysPart, "date") =>
+          r => if (r.isNullAt(i)) "n" else DaysPart.ofDate(r.getInt(i))
+        case (_: DaysPart, other) => throw new IOException(
+          s"days(${pf.col}): needs a timestamp/date column, got $other")
+        case (_, "long") | (_, "timestamp") => longTok(_.getLong(i))
+        case (_, "integer") | (_, "date") => longTok(_.getInt(i).toLong)
+        case (_, "short") => longTok(_.getShort(i).toLong)
+        case (_, "byte") => longTok(_.getByte(i).toLong)
+        case (_, "string") =>
+          r => if (r.isNullAt(i)) "n"
+               else pf.tokenOfString(r.getUTF8String(i).toString)
+        case (_, other) => throw new IOException(
+          s"${pf.render}: unsupported partition column type $other " +
+            "(long family or string)")
+      }
+    }
+    r => fns.map(_(r))
+  }
+
+  /** A PARTITION-FAN-OUT task writer (round 15): routes each row to a
+    * per-partition-tuple delegate file, so one task emits one file per
+    * distinct tuple it sees and the commit records each file's `#part`.
+    * Memory is one open parquet writer per distinct tuple per task —
+    * the classic fan-out shape; a 100 TB pipeline pre-repartitions by
+    * the partition key so each task sees few tuples (exactly what
+    * Spark's builtin dynamic-partition write requires sorting for). */
+  def createFanOut(path: String, fieldNames: Array[String],
+      fieldTypes: Array[String], spec: Seq[PartField],
+      nameFor: Int => String): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val eval = partitionEval(spec, fieldNames, fieldTypes)
+      private val open =
+        scala.collection.mutable.LinkedHashMap[String, DataWriter[InternalRow]]()
+      private val toksOf = scala.collection.mutable.Map[String, Seq[String]]()
+      override def write(row: InternalRow): Unit = {
+        val toks = eval(row)
+        val key = toks.mkString(",")
+        open.getOrElseUpdate(key, {
+          toksOf(key) = toks
+          create(path, fieldNames, fieldTypes, nameFor(open.size))
+        }).write(row)
+      }
+      override def commit(): WriterCommitMessage =
+        CommittedFileSet(open.toSeq.map { case (key, w) =>
+          w.commit().asInstanceOf[CommittedFile].copy(part = toksOf(key))
+        })
+      override def abort(): Unit = open.values.foreach { w =>
+        try w.abort() catch { case _: Exception => }
+      }
+      override def close(): Unit = open.values.foreach(_.close())
+    }
 
   def create(path: String, fieldNames: Array[String], fieldTypes: Array[String],
       fileName: String): DataWriter[InternalRow] =

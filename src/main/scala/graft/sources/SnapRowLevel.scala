@@ -54,6 +54,9 @@ private[sources] class SnapRowLevelOperation(val tname: String,
   /** The snapshot this operation reads AND replaces — pinned once. */
   private[sources] val snapshotFiles: Seq[String] = ManifestSink.committedFiles(dir)
   private[sources] val stats: Map[String, FileStat] = ManifestSink.fileStats(dir)
+  private[sources] val spec: Seq[PartField] = ManifestSink.partitionSpec(dir)
+  private[sources] val parts: Map[String, Seq[String]] =
+    ManifestSink.filePartitions(dir)
 
   private def baseName(f: String): String =
     Paths.get(f).getFileName.toString
@@ -124,10 +127,13 @@ private[sources] class SnapRowLevelScanBuilder(op: SnapRowLevelOperation)
 
   override def build(): Scan = {
     val candidates = op.snapshotFiles.filter { f =>
-      op.stats.get(Paths.get(f).getFileName.toString) match {
+      val n = Paths.get(f).getFileName.toString
+      val partOk = op.parts.get(n).forall(toks =>
+        pushed.forall(PartField.mayMatch(op.spec, toks, _)))
+      partOk && (op.stats.get(n) match {
         case None => true // no stats recorded: cannot skip
         case Some(st) => st.rows > 0 && pushed.forall(SnapStats.mayMatch(st, _))
-      }
+      })
     }
     new SnapRowLevelScan(op, candidates, required.getOrElse(op.tschema))
   }
@@ -241,9 +247,11 @@ private[sources] class SnapRowLevelWrite(op: SnapRowLevelOperation,
     s"graft.snap.${op.tname} ${op.command()} copy-on-write"
 
   override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory =
+    // the rewrite fans out under the table's spec, so COW survivors of
+    // a partitioned table keep carrying their `#part` tuples
     ManifestWriterFactory(op.dir, ws.fields.map(_.name),
       ws.fields.map(_.dataType.typeName),
-      java.util.UUID.randomUUID.toString.take(8))
+      java.util.UUID.randomUUID.toString.take(8), op.spec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     SnapTable.recordRewrite(op.tname, op.snapshotFiles.size,

@@ -850,11 +850,13 @@ class IngestSpec extends AnyFunSuite {
     assert(n == 2000L && sumId == 1999L * 2000 / 2, s"$n, $sumId")
   }
 
-  test("GraftCatalog: read-only — DDL refuses; unknown tables fail " +
-    "resolution cleanly") {
+  test("GraftCatalog: read-only outside snap — DDL on sf refuses; " +
+    "unknown tables fail resolution cleanly") {
     graft.sources.GraftCatalog.register(spark, TestSpark.Sf0001)
+    // round 15: DDL is supported ONLY in the snap namespace — every
+    // other namespace keeps the refusal (layout owned by Materialize)
     val ddl = intercept[Exception](spark.sql("DROP TABLE graft.sf.orders"))
-    assert(ddl.getMessage.contains("read-only"), ddl.getMessage)
+    assert(ddl.getMessage.contains("snap namespace"), ddl.getMessage)
     // an unknown table must be a clean resolution miss, not a crash
     val miss = intercept[org.apache.spark.sql.AnalysisException](
       spark.sql("SELECT * FROM graft.sf.no_such_table"))

@@ -1406,6 +1406,96 @@ class SnapshotSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(root)
   }
 
+  test("PARTITION TRANSFORMS (round 15): identity/days/bucket tuples " +
+    "prune file scans BEFORE stats, dynamic partition overwrite " +
+    "replaces exactly the written partitions, filtered overwrite " +
+    "refuses non-partition predicates, and a COW rewrite keeps #part") {
+    val root = Files.createTempDirectory("graft_snap_part")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    import org.apache.spark.sql.functions.col
+
+    // days(ts) + bucket(4, k): one insert, fan-out by tuple
+    s.sql("""CREATE TABLE graft.snap.ev (k BIGINT, ts TIMESTAMP, v BIGINT)
+            |PARTITIONED BY (days(ts), bucket(4, k))""".stripMargin)
+    // day index = (i/4)%4 and bucket = k%4 = i%4 are DECORRELATED, so
+    // the 40 rows span all 16 (day, bucket) tuples
+    val rows = (0 until 40).map { i =>
+      (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-${1 + (i / 4) % 4}%02d 10:00:00"),
+        i * 10L)
+    }
+    locally { import s.implicits._
+      rows.toDF("k", "ts", "v").repartition(col("ts"), col("k"))
+        .writeTo("graft.snap.ev").append() }
+    def prune(): (Int, Int) = graft.sources.SnapTable.lastPruneOf("ev")
+    // 4 days x 4 buckets = 16 partitions; a one-day predicate plans
+    // exactly the 4 bucket files of that day
+    assert(s.sql("""SELECT sum(v) FROM graft.snap.ev
+                   |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+                   |  AND ts < TIMESTAMP '2024-01-04 00:00:00'"""
+      .stripMargin).head().getLong(0) ==
+      rows.filter(_._2.toString.startsWith("2024-01-03")).map(_._3).sum)
+    assert(prune() == ((16, 4)), s"day predicate should plan 4 of 16: ${prune()}")
+    // a point read on k adds the bucket dimension: 4 days x 1 bucket,
+    // then the day tuple of k=5 (day 2024-01-02) alone — but ts isn't
+    // constrained, so 4 files (one per day) minus days where bucket
+    // file is absent; all 4 days have bucket 1 (k=1,5,...,37 spread)
+    s.sql("SELECT v FROM graft.snap.ev WHERE k = 5").collect()
+    assert(prune()._2 <= 4, s"bucket predicate should plan <= 4: ${prune()}")
+
+    // identity partitioning + DYNAMIC overwrite
+    s.sql("""CREATE TABLE graft.snap.dl (id BIGINT, lang STRING)
+            |PARTITIONED BY (lang)""".stripMargin)
+    locally { import s.implicits._
+      Seq((1L, "de"), (2L, "de"), (3L, "es"), (4L, "fr"))
+        .toDF("id", "lang").repartition(col("lang"))
+        .writeTo("graft.snap.dl").append() }
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      locally { import s.implicits._
+        Seq((30L, "es"), (31L, "es")).toDF("id", "lang")
+          .writeTo("graft.snap.dl").overwritePartitions() }
+    } finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert(s.sql("SELECT id FROM graft.snap.dl ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L).filterNot(_ == 3L) ++ Seq(30L, 31L),
+      "dynamic overwrite replaces ONLY the es partition")
+
+    // filtered overwrite on a NON-partition column refuses at analysis
+    val e = intercept[Exception] {
+      import s.implicits._
+      Seq((99L, "de")).toDF("id", "lang")
+        .writeTo("graft.snap.dl").overwrite(col("id") > 10)
+    }
+    assert(e.getMessage.toLowerCase.contains("overwrite"), e.getMessage)
+
+    // replaceWhere-style validation: replacement rows OUTSIDE the
+    // overwritten partition refuse and publish nothing
+    val before = s.sql("SELECT count(*) FROM graft.snap.dl").head().getLong(0)
+    val e2 = intercept[Exception] {
+      import s.implicits._
+      Seq((50L, "zh")).toDF("id", "lang")
+        .writeTo("graft.snap.dl").overwrite(col("lang") === "fr")
+    }
+    assert(s.sql("SELECT count(*) FROM graft.snap.dl").head().getLong(0)
+      == before, s"refused overwrite must publish nothing ($e2)")
+
+    // COW delete on a partitioned table: the rewritten survivor file
+    // keeps carrying a #part tuple (rewrites preserve the layout)
+    s.sql("DELETE FROM graft.snap.dl WHERE id = 1")
+    val dl = root.resolve("dl").toString
+    val committed = graft.sources.ManifestSink.committedFiles(dl)
+      .map(f => Paths.get(f).getFileName.toString)
+    val parts = graft.sources.ManifestSink.filePartitions(dl)
+    assert(committed.forall(parts.contains),
+      s"every committed file keeps a partition tuple after COW: " +
+        s"$committed vs ${parts.keySet}")
+    assert(s.sql("SELECT id FROM graft.snap.dl ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 4L, 30L, 31L))
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("METADATA TABLES (round 15): graft.snap.t.files serves the " +
     "current snapshot's (file, rows, bytes); .history classifies live " +
     "fragments as metadata/append/rewrite and collapses swept epochs " +
