@@ -227,6 +227,7 @@ object SparkEntry {
     "q_snap_ddl"         -> Materialize.snapDdl _,
     "q_snap_files"       -> Materialize.snapFiles _,
     "q_snap_partitioned" -> Materialize.snapPartitioned _,
+    "q_snap_dv_delete"   -> Materialize.snapDvDelete _,
     "q_snap_compact"     -> Materialize.snapCompact _,
     "q_vacuum_sql"       -> Materialize.vacuumSql _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
@@ -2374,6 +2375,17 @@ object SparkEntry {
         |GROUP BY lang""".stripMargin,
     "q_snap_delete" -> // post-DELETE snapshot aggregate: the oracle
       // applies the complement of the deleted predicate to the source
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL
+        |  AND NOT (lang = 'es' AND doc_id < 300)
+        |GROUP BY lang""".stripMargin,
+    "q_snap_dv_delete" -> // merge-on-read delete: IDENTICAL oracle to
+      // q_snap_delete — the storage strategy (position-delete files vs
+      // copy-on-write rewrite) must be value-invisible
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(min(doc_id) AS BIGINT) AS min_doc

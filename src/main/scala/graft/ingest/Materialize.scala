@@ -1034,6 +1034,46 @@ object Materialize {
         |GROUP BY lang""".stripMargin)
   }
 
+  /** MERGE-ON-READ DELETE (`q_snap_dv_delete`, round 15): the same
+    * delete as `q_snap_delete` under `deleteMode=mor` — instead of
+    * rewriting the touched file, the delete writes the matching ROW
+    * POSITIONS to a small position-delete file (`#dv` epoch,
+    * [[graft.sources.DvOps]]) and the read applies them. The oracle is
+    * IDENTICAL to `q_snap_delete`'s: the storage strategy must be
+    * value-invisible. At 100 TB this is the write-amplification
+    * contract for trickle deletes — O(deleted rows) written, not
+    * O(touched file); SnapshotSpec pins that the snapshot's data files
+    * are untouched, the dv file is O(deleted rows) small, and
+    * compaction resolves it. */
+  def snapDvDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_dv_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val log = new java.io.File(root, "docdv").toString
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Seq("de", "en", "es", "fr", "zh").foreach { l =>
+      complete.filter(col("lang") === l)
+        .coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    spark.conf.set("spark.sql.catalog.graft.snap.docdv.schema",
+      "doc_id LONG, lang STRING, n_chars LONG")
+    spark.conf.set("spark.sql.catalog.graft.snap.docdv.deleteMode", "mor")
+    spark.sql(
+      "DELETE FROM graft.snap.docdv WHERE lang = 'es' AND doc_id < 300")
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  min(doc_id) AS min_doc
+        |FROM graft.snap.docdv
+        |GROUP BY lang""".stripMargin)
+  }
+
   /** Row-level UPDATE from pure SQL (`q_snap_update`, round 14): the
     * documents land as one epoch per language, then
     * `UPDATE graft.snap.docupd SET n_chars = … WHERE lang = 'de'` runs

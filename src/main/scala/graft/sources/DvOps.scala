@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed plumbing for MERGE-ON-READ deletes (round 15 — the
+  * Delta deletion-vector / Iceberg position-delete shape on the
+  * manifest lake).
+  *
+  * A position-delete file (`dv-<token>.txt` in the table's data
+  * plane) lists the ROW ORDINALS deleted from exactly one data file,
+  * ascending, one decimal per line. The ordinal space is the file's
+  * physical row order — Spark's parquet `_metadata.row_index` on the
+  * write side and the sink's sequential group reader on the read side
+  * count it identically, which is the alignment the whole design
+  * rests on.
+  *
+  * Everything here is DISTRIBUTED: matching rows are found by a
+  * filtered scan carrying (`_metadata.file_name`,
+  * `_metadata.row_index`), existing deletes are excluded by an
+  * anti-join against the dv position relation (never a driver-side
+  * set), and dv files are written by per-partition tasks after a
+  * repartition on the data-file name — the only thing that crosses
+  * the driver is the (dataFile, dvFile, count) record list, bounded
+  * by the number of affected FILES, which is exactly what the epoch
+  * manifest must record anyway. */
+private[sources] object DvOps {
+
+  private def dataDir(dir: String): java.io.File =
+    new java.io.File(dir, "data")
+
+  /** The live dv positions of `files` as a relation (_f = data file
+    * base name, _p = deleted ordinal). Empty relation when none. */
+  def dvPositions(spark: SparkSession, dir: String,
+      files: Seq[String]): Option[DataFrame] = {
+    val dvMap = ManifestSink.deleteVectors(dir)
+    val pairs = files.map(f => java.nio.file.Paths.get(f).getFileName.toString)
+      .distinct.flatMap(n => dvMap.getOrElse(n, Seq.empty).map(d => (n, d._1)))
+    if (pairs.isEmpty) None
+    else Some(pairs.map { case (dataName, dvName) =>
+      spark.read.textFile(new java.io.File(dataDir(dir), dvName).toString)
+        .select(col("value").cast("long").as("_p"), lit(dataName).as("_f"))
+    }.reduce(_ unionAll _))
+  }
+
+  /** Read `files` under `schema` with live position deletes EXCLUDED —
+    * the read every COW rewriter (row-level DELETE survivors,
+    * compaction) must use on a table with live dvs, or deleted rows
+    * would resurrect through the rewritten files. */
+  def readExcludingDeleted(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, dir: String,
+      files: Seq[String]): DataFrame = {
+    val base = spark.read.schema(schema).parquet(files: _*)
+    dvPositions(spark, dir, files) match {
+      case None => base
+      case Some(pos) =>
+        val cols = schema.fieldNames.toSeq
+        base.select((col("_metadata.file_name").as("_f") +:
+            col("_metadata.row_index").as("_p") +:
+            cols.map(col)): _*)
+          .join(broadcast(pos), Seq("_f", "_p"), "left_anti")
+          .select(cols.map(col): _*)
+    }
+  }
+
+  /** The MERGE-ON-READ delete job: find predicate-TRUE rows of
+    * `files` (existing deletes excluded — a row already deleted is
+    * never re-marked), write ONE dv file per affected data file
+    * (distributed, sorted positions), and return the records to
+    * commit. Rows where the predicate is NULL survive (SQL DELETE
+    * semantics), matching the COW path. */
+  def writeDeleteVectors(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, dir: String,
+      files: Seq[String],
+      pred: org.apache.spark.sql.Column): Seq[(String, String, Long)] = {
+    val base = spark.read.schema(schema).parquet(files: _*)
+      .select((col("_metadata.file_name").as("_f") +:
+        col("_metadata.row_index").as("_p") +:
+        schema.fieldNames.toSeq.map(col)): _*)
+    val undeleted = dvPositions(spark, dir, files) match {
+      case None => base
+      case Some(pos) => base.join(broadcast(pos), Seq("_f", "_p"), "left_anti")
+    }
+    val matches = undeleted.filter(pred <=> lit(true)).select("_f", "_p")
+    val dd = dataDir(dir)
+    java.nio.file.Files.createDirectories(dd.toPath)
+    val outPath = dd.toString
+    import org.apache.spark.sql.Encoders
+    val inEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    val outEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING,
+      Encoders.scalaLong)
+    matches.repartition(col("_f")).sortWithinPartitions("_f", "_p")
+      .as(inEnc)
+      .mapPartitions { it =>
+        // rows arrive grouped by data file (hash partition) and
+        // sorted; stream one dv writer per file-run. A failed/retried
+        // attempt leaves orphan dv files no manifest references —
+        // vacuum's age gate reclaims them, the task-file convention.
+        val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        var curFile: String = null
+        var writer: java.io.BufferedWriter = null
+        var dvName: String = null
+        var n = 0L
+        def close(): Unit = if (writer != null) {
+          writer.close()
+          out += ((curFile, dvName, n))
+          writer = null
+        }
+        it.foreach { case (f, p) =>
+          if (f != curFile) {
+            close()
+            curFile = f
+            dvName = s"dv-${java.util.UUID.randomUUID.toString.take(16)}.txt"
+            writer = java.nio.file.Files.newBufferedWriter(
+              java.nio.file.Paths.get(outPath, dvName),
+              java.nio.charset.StandardCharsets.UTF_8)
+            n = 0L
+          }
+          writer.write(p.toString); writer.newLine(); n += 1
+        }
+        close()
+        out.iterator
+      }(outEnc)
+      .collect().toSeq
+  }
+}

@@ -226,7 +226,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           s"spark.sql.catalog.$catalogName.$SnapNs.${ident.name()}.schema " +
           s"(or the catalog-wide $SnapNs.schema) to the table's DDL"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-    new SnapTable(ident.name(), tdir.toString, schema, asOf)
+    // DELETE mode (round 15): copy-on-write (default) rewrites the
+    // touched files; merge-on-read writes position-delete files.
+    val mode = option(s"$SnapNs.${ident.name()}.deleteMode")
+      .orElse(option(s"$SnapNs.deleteMode")).getOrElse("cow")
+    require(mode == "cow" || mode == "mor",
+      s"graft.snap.${ident.name()}: deleteMode must be cow|mor, got '$mode'")
+    new SnapTable(ident.name(), tdir.toString, schema, asOf, mode)
   }
 
   private def snapRoot(ident: Identifier): String =
@@ -281,9 +287,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         new CompactProcedure(() => snapDirOrFail("compact_data"),
           table => org.apache.spark.sql.types.StructType.fromDDL(
             option(s"$SnapNs.$table.schema")
-              .orElse(option(s"$SnapNs.schema")).getOrElse(
+              .orElse(option(s"$SnapNs.schema"))
+              // self-describing tables (round 15): the log's own
+              // #schema records serve, same precedence as the reads
+              .orElse(ManifestSink.widestRecordedSchema(
+                new java.io.File(snapDirOrFail("compact_data"), table)
+                  .toString))
+              .getOrElse(
                 throw new IllegalArgumentException(
-                  s"set spark.sql.catalog.$catalogName.$SnapNs.$table.schema " +
+                  s"graft.snap.$table records no servable #schema — set " +
+                    s"spark.sql.catalog.$catalogName.$SnapNs.$table.schema " +
                     s"before CALL $catalogName.$SysNs.compact_data"))))
       case _ => throw new UnsupportedOperationException(
         s"$catalogName has no procedure $ident " +
@@ -512,7 +525,8 @@ object GraftCatalog {
   * contract, and at 100 TB the difference between a pruned scan and a
   * full pass. */
 private[sources] class SnapTable(tname: String, val dir: String,
-    tschema: org.apache.spark.sql.types.StructType, asOf: Option[Long])
+    tschema: org.apache.spark.sql.types.StructType, asOf: Option[Long],
+    deleteMode: String = "cow")
     extends Table with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -675,14 +689,34 @@ private[sources] class SnapTable(tname: String, val dir: String,
     if (affected.isEmpty) return
     val pred = filters.map(toColumn).reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    val survivors = spark.read.schema(tschema).parquet(affected: _*)
+    if (deleteMode == "mor") {
+      // MERGE-ON-READ (round 15): write the matching ROW POSITIONS to
+      // small dv files — O(deleted rows), not O(touched files) — and
+      // publish them as one `#dv` epoch. No data file moves; readers
+      // apply the positions; a later rewrite/compaction resolves them.
+      val records = DvOps.writeDeleteVectors(spark, tschema, dir,
+        affected, pred)
+      if (records.nonEmpty)
+        ManifestSink.commitDvEpoch(dir, tschema.toDDL, records,
+          ManifestSink.DefaultCompactInterval)
+      return
+    }
+    // COPY-ON-WRITE: the survivor read EXCLUDES live dv positions (a
+    // rewrite must not resurrect merge-on-read-deleted rows), and the
+    // commit declares those dvs consumed so the claim-time fence
+    // aborts if a new dv landed on a rewritten file since this pin
+    val affectedNames = affected
+      .map(f => java.nio.file.Paths.get(f).getFileName.toString)
+    val dvMap = ManifestSink.deleteVectors(dir)
+    val consumed = affectedNames.map(n =>
+      n -> dvMap.getOrElse(n, Seq.empty).map(_._1).toSet).toMap
+    val survivors = DvOps.readExcludingDeleted(spark, tschema, dir, affected)
       .filter(org.apache.spark.sql.functions.not(
         pred <=> org.apache.spark.sql.functions.lit(true)))
     survivors.write.format("graft.sources.ManifestSink")
       .option("path", dir)
-      .option("removeFiles", affected
-        .map(f => java.nio.file.Paths.get(f).getFileName.toString)
-        .mkString(","))
+      .option("removeFiles", affectedNames.mkString(","))
+      .option("consumedDvs", ManifestSink.encodeConsumedDvs(consumed))
       .mode("append").save()
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap)
@@ -718,8 +752,17 @@ private[sources] class SnapTable(tname: String, val dir: String,
     // read face and every copy-on-write REWRITE face (DELETE,
     // compaction, MERGE) identically.
     ManifestSink.verifyDeclaredSchema(dir, s"graft.snap.$tname", tschema)
+    // live delete vectors, version-aligned with the file list: a
+    // VERSION AS OF before the dv epoch serves the rows un-deleted
+    val dvs = upTo match {
+      case Some(v) => ManifestSink.deleteVectorsAsOf(dir, v)
+      case None => ManifestSink.deleteVectors(dir)
+    }
     new SnapScanBuilder(tname, files, ManifestSink.fileStats(dir),
       spec, ManifestSink.filePartitions(dir),
+      dvs.map { case (f, list) =>
+        f -> list.map(e => new java.io.File(new java.io.File(dir, "data"),
+          e._1).toString) },
       tschema, options,
       streamSource = Some(readSchema => {
         // STREAMING the catalog table (round 13): `readStream.table
@@ -774,6 +817,8 @@ private[sources] class SnapMetaTable(tname: String, dir: String, meta: String)
       .add("file", StringType, nullable = false)
       .add("rows", LongType, nullable = true)
       .add("bytes", LongType, nullable = true)
+      .add("dvs", LongType, nullable = false)
+      .add("deleted_rows", LongType, nullable = false)
     case "history" => new StructType()
       .add("version", LongType, nullable = false)
       .add("ts", TimestampType, nullable = false)
@@ -803,14 +848,17 @@ private[sources] object SnapMetaTable {
       : Array[org.apache.spark.sql.catalyst.InternalRow] = meta match {
     case "files" =>
       val stats = ManifestSink.fileStats(dir)
+      val dvs = ManifestSink.deleteVectors(dir)
       ManifestSink.committedFiles(dir).map { f =>
         val p = java.nio.file.Paths.get(f)
         val name = p.getFileName.toString
+        val dvList = dvs.getOrElse(name, Seq.empty)
         org.apache.spark.sql.catalyst.InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(name),
           stats.get(name).map(s => java.lang.Long.valueOf(s.rows)).orNull,
           (try java.lang.Long.valueOf(java.nio.file.Files.size(p))
-           catch { case _: java.io.IOException => null }))
+           catch { case _: java.io.IOException => null }),
+          dvList.size.toLong, dvList.map(_._2).sum)
       }.toArray
     case "history" =>
       ManifestSink.logHistory(dir).map { case (v, kind, added, removed, ms) =>
@@ -999,6 +1047,7 @@ private[sources] class SnapScanBuilder(tname: String, files: Seq[String],
     stats: Map[String, FileStat],
     spec: Seq[PartField],
     parts: Map[String, Seq[String]],
+    dvs: Map[String, Seq[String]],
     tschema: org.apache.spark.sql.types.StructType,
     options: CaseInsensitiveStringMap,
     streamSource: Option[org.apache.spark.sql.types.StructType =>
@@ -1048,22 +1097,41 @@ private[sources] class SnapScanBuilder(tname: String, files: Seq[String],
     // delegate below.
     val wantsFile = required.exists(_.fields.exists(
       _.name.equalsIgnoreCase(SnapFileColumn.name)))
-    if (wantsFile) {
-      val rs = required.get
+    // MERGE-ON-READ deletes (round 15): a kept file with live position
+    // deletes cannot ride the parquet delegate (it would serve the
+    // deleted rows) — the sink's own reader applies the dv skip. The
+    // table trades the vectorized reader WHILE dvs are live; a
+    // compaction/rewrite resolves them and the delegate path returns.
+    val dvName = (f: String) =>
+      java.nio.file.Paths.get(f).getFileName.toString
+    val hasDvs = kept.exists(f => dvs.get(dvName(f)).exists(_.nonEmpty))
+    if (wantsFile || hasDvs) {
+      val rs = required.getOrElse(tschema)
       return new org.apache.spark.sql.connector.read.Scan
           with org.apache.spark.sql.connector.read.Batch {
         override def readSchema(): org.apache.spark.sql.types.StructType = rs
         override def toBatch: org.apache.spark.sql.connector.read.Batch = this
         override def description(): String =
-          s"graft.snap.$tname metadata-column scan (${kept.size} files)"
+          s"graft.snap.$tname " +
+            (if (hasDvs) "dv-applying" else "metadata-column") +
+            s" scan (${kept.size} files)"
         override def planInputPartitions()
             : Array[org.apache.spark.sql.connector.read.InputPartition] =
-          kept.map(f => ManifestFilePartition(f)
+          kept.map(f => ManifestFilePartition(f,
+            dvs.getOrElse(dvName(f), Seq.empty))
             : org.apache.spark.sql.connector.read.InputPartition).toArray
         override def createReaderFactory()
             : org.apache.spark.sql.connector.read.PartitionReaderFactory =
           ManifestReadFactory(rs.fields.map(_.name),
             rs.fields.map(_.dataType.typeName))
+        override def toMicroBatchStream(checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+          streamSource match {
+            case Some(mk) => mk(rs) // the tail itself refuses windows
+                                    // crossing dv/remove epochs
+            case None => throw new UnsupportedOperationException(
+              s"graft.snap.$tname: this face does not stream")
+          }
       }
     }
     // JSON-encode the path list ("paths" is the multi-path option every

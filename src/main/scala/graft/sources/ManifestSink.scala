@@ -114,7 +114,8 @@ class ManifestSink extends TableProvider {
     // append (or a COW rewrite through the DataFrameWriter face) fans
     // out and records `#part` tuples for the files it lands
     ManifestTable(path, schema, interval, removes,
-      ManifestSink.partitionSpec(path))
+      ManifestSink.partitionSpec(path),
+      Option(opts.get("consumedDvs")).map(ManifestSink.decodeConsumedDvs))
   }
 }
 
@@ -308,10 +309,83 @@ object ManifestSink {
     * still serves it. Once compaction resolves the remove into the
     * union, the name disappears from every fragment — and time travel
     * below the horizon is refused anyway — so the file becomes
-    * reclaimable exactly when no servable version can reach it. */
+    * reclaimable exactly when no servable version can reach it.
+    * Position-delete files (`#dv` records, round 15) are referenced on
+    * the same terms — they live in the data plane and vacuum must not
+    * reclaim one a servable version still applies. */
   private[sources] def referencedFiles(dir: Path): Set[String] = retryVanish() {
-    manifestFragments(dir).flatMap(readData).toSet
+    manifestFragments(dir).flatMap(p =>
+      readData(p) ++ readDvRecords(p).map(_._2)).toSet
   }
+
+  /** `#dv <dataFile> <dvFile> <nDeleted>` records of one fragment —
+    * a MERGE-ON-READ delete epoch (round 15, the Delta deletion-vector
+    * / Iceberg position-delete shape): instead of rewriting a file to
+    * drop a few rows, the delete writes the ROW POSITIONS to a small
+    * dv file and readers skip them. O(deleted rows) written per
+    * delete, not O(file) — at 100 TB trickle-delete workloads, the
+    * difference between merge-on-read and copy-on-write write
+    * amplification. */
+  private[sources] def readDvRecords(p: Path): Seq[(String, String, Long)] =
+    readHeaders(p).flatMap { l =>
+      if (!l.startsWith("#dv ")) None
+      else l.stripPrefix("#dv ").split(" ") match {
+        case Array(data, dv, n) => n.toLongOption.map((data, dv, _))
+        case _ => None
+      }
+    }
+
+  private[sources] def dvLine(dataFile: String, dvFile: String, n: Long): String =
+    s"#dv $dataFile $dvFile $n"
+
+  /** The LIVE delete vectors per data file: `#dv` records accumulated
+    * in fragment order, cleared when the data file itself is
+    * `#remove`d (a rewrite/compaction RESOLVES the deletes — the
+    * replacement files physically lack the rows, and the dv files age
+    * into vacuum candidates). Values are (dvFile, nDeleted) in record
+    * order. */
+  def deleteVectors(path: String): Map[String, Seq[(String, Long)]] = retryVanish() {
+    val acc = scala.collection.mutable.LinkedHashMap[String, Seq[(String, Long)]]()
+    manifestFragments(Paths.get(path)).foreach { p =>
+      readDvRecords(p).foreach { case (data, dv, n) =>
+        acc(data) = acc.getOrElse(data, Seq.empty) :+ ((dv, n))
+      }
+      readRemoves(p).foreach(acc.remove)
+    }
+    acc.toMap
+  }
+
+  /** [[deleteVectors]] as of epoch `version` — the dv state a
+    * `VERSION AS OF` read applies: versions before a dv epoch serve
+    * the rows un-deleted; versions at/after apply it; versions after
+    * the resolving rewrite have no dv left to apply. Same fragment
+    * selection (and the same below-horizon refusal) as
+    * [[committedFilesAsOf]]. */
+  def deleteVectorsAsOf(path: String, version: Long): Map[String, Seq[(String, Long)]] =
+    retryVanish() {
+      val dir = Paths.get(path)
+      val loose = listPrefixed(dir, "epoch-").map(p => (idOf(p), p))
+      val compact = latestCompact(dir)
+      val horizon = compact.map(_._1).getOrElse(-1L)
+      val fragments: Seq[Path] =
+        if (version >= horizon)
+          compact.map(_._2).toSeq ++
+            loose.filter(e => e._1 > horizon && e._1 <= version)
+              .sortBy(_._1).map(_._2)
+        else
+          // the pre-sweep crash window committedFilesAsOf validates; if
+          // it refused there we never get here (callers resolve files
+          // first), so resolving from the loose prefix is consistent
+          loose.filter(_._1 <= version).sortBy(_._1).map(_._2)
+      val acc = scala.collection.mutable.LinkedHashMap[String, Seq[(String, Long)]]()
+      fragments.foreach { p =>
+        readDvRecords(p).foreach { case (data, dv, n) =>
+          acc(data) = acc.getOrElse(data, Seq.empty) :+ ((dv, n))
+        }
+        readRemoves(p).foreach(acc.remove)
+      }
+      acc.toMap
+    }
 
   /** The distinct schema DDLs the live fragments record — what the log
     * says it was written under. Order is fragment order (oldest compact
@@ -393,6 +467,42 @@ object ManifestSink {
 
   private[sources] def partLine(file: String, toks: Seq[String]): String =
     s"#part $file ${toks.mkString(",")}"
+
+  /** Publish a MERGE-ON-READ delete epoch: `#dv` records only — no
+    * data lines, no removes. O(records) metadata and O(deleted rows)
+    * data written, independent of the touched files' sizes: the
+    * write-amplification contract that makes trickle deletes viable at
+    * 100 TB. The claim verifies the target files are still live (a
+    * racing COW aborts this commit retryably) and carries a `#cow`
+    * token so a claim racing a compaction sweep can recognize its own
+    * absorbed publish. */
+  private[graft] def commitDvEpoch(path: String, schemaDdl: String,
+      records: Seq[(String, String, Long)], compactInterval: Int): Long = {
+    val dir = Files.createDirectories(Paths.get(path))
+    val content = Seq(s"#schema $schemaDdl",
+      s"#cow ${java.util.UUID.randomUUID.toString}") ++
+      records.sortBy(_._1).map { case (data, dv, n) => dvLine(data, dv, n) }
+    val id = claimEpoch(dir, () => content)
+    maybeCompact(dir, latestCompact(dir).map(_._1).getOrElse(-1L),
+      compactInterval)
+    id
+  }
+
+  /** consumedDvs option codec for the DataFrameWriter COW faces
+    * (row-level DELETE survivors, compaction): `f1:dv1|dv2;f2:` —
+    * names are uuid-safe so the separators cannot collide. */
+  private[sources] def encodeConsumedDvs(m: Map[String, Set[String]]): String =
+    m.toSeq.sortBy(_._1).map { case (f, dvs) =>
+      s"$f:${dvs.toSeq.sorted.mkString("|")}" }.mkString(";")
+
+  private[sources] def decodeConsumedDvs(s: String): Map[String, Set[String]] =
+    s.split(";").toSeq.filter(_.nonEmpty).map { e =>
+      val i = e.indexOf(':')
+      require(i > 0, s"bad consumedDvs entry '$e'")
+      val f = e.substring(0, i)
+      val dvs = e.substring(i + 1).split("\\|").toSeq.filter(_.nonEmpty).toSet
+      f -> dvs
+    }.toMap
 
   /** Append a pure-metadata DDL epoch carrying `#schema <ddl>` — the
     * ALTER TABLE ADD COLUMN record (round 15): additive evolution is
@@ -569,8 +679,22 @@ object ManifestSink {
     * landed between that attempt's union read and the link (the racer
     * would have taken N first), so the content each attempt generates
     * applies to exactly the pre-state it commits against. Static
-    * callers pass a constant thunk and pay nothing. */
-  private[sources] def claimEpoch(dir: Path, contentGen: () => Seq[String]): Long = {
+    * callers pass a constant thunk and pay nothing.
+    *
+    * DV conflict fencing (round 15): a `#dv`-carrying epoch verifies
+    * its target data files are still live (a COW/compaction that
+    * removed one first would orphan the positions — and the delete's
+    * rows live on in the rewrite's survivors, a lost update). In the
+    * OTHER direction, a remove-carrying epoch with
+    * `consumedDvs = Some(m)` verifies every CURRENT dv on each removed
+    * file is in the set the rewrite actually applied — a dv landing
+    * between the rewrite's snapshot pin and its claim would otherwise
+    * be silently disposed and its deleted rows resurrected through the
+    * survivor files. `None` means dispose-without-reading semantics
+    * (full/partition overwrite: replacement data is independent of the
+    * old rows, so disposing a racing dv IS the serializable outcome). */
+  private[sources] def claimEpoch(dir: Path, contentGen: () => Seq[String],
+      consumedDvs: Option[Map[String, Set[String]]] = None): Long = {
     var claimed = -1L
     while (claimed < 0) {
       val content = contentGen()
@@ -591,13 +715,28 @@ object ManifestSink {
             manifestFragments(dir).flatMap(readCowTokens).contains(t))
       val tmp = Files.createTempFile(dir, ".epoch", ".tmp")
       Files.write(tmp, bytes)
+      val dvTargets = content.collect {
+        case l if l.startsWith("#dv ") =>
+          l.stripPrefix("#dv ").split(" ")(0) }
       try {
         val next = nextEpochId(dir)
-        if (removes.nonEmpty) {
+        if (removes.nonEmpty || dvTargets.nonEmpty) {
           val live = fragmentUnion(dir).toSet
-          val gone = removes.filterNot(live.contains)
+          val gone = (removes ++ dvTargets).filterNot(live.contains)
           if (gone.nonEmpty)
             throw new ManifestConflictException(gone.sorted, dir.toString)
+          // COW-vs-DV fence: every dv currently attached to a removed
+          // file must have been applied by this rewrite
+          consumedDvs.foreach { m =>
+            val cur = deleteVectors(dir.toString)
+            val stale = removes.flatMap { f =>
+              cur.getOrElse(f, Seq.empty).map(_._1)
+                .filterNot(m.getOrElse(f, Set.empty).contains)
+                .map(dv => s"$f#$dv")
+            }
+            if (stale.nonEmpty)
+              throw new ManifestConflictException(stale.sorted, dir.toString)
+          }
         }
         try {
           Files.createLink(dir.resolve(epochName(next)), tmp)
@@ -756,12 +895,27 @@ object ManifestSink {
           st.nulls.toSeq.sortBy(_._1).map { case (c, n) => NullStat(c, n) })) }
     val parts = headers.flatMap(parsePart).distinctBy(_._1)
       .collect { case (f, toks) if nameSet.contains(f) => partLine(f, toks) }
+    // live delete vectors (dv state resolved in fragment order —
+    // records on files the union dropped die here, which is also what
+    // releases their dv files to vacuum)
+    val dvs = {
+      val acc = scala.collection.mutable.LinkedHashMap[String, Seq[(String, Long)]]()
+      fragments.foreach { p =>
+        readDvRecords(p).foreach { case (data, dv, n) =>
+          acc(data) = acc.getOrElse(data, Seq.empty) :+ ((dv, n))
+        }
+        readRemoves(p).foreach(acc.remove)
+      }
+      acc.toSeq.filter(e => nameSet.contains(e._1)).flatMap {
+        case (data, list) => list.map { case (dv, n) => dvLine(data, dv, n) }
+      }
+    }
     val upTo = loose.map(_._1).max
     // unique temp per attempt (concurrent committers can both trigger
     // this compaction); the compact-<upTo> content is deterministic —
     // the union through upTo — so when a racer already landed it, the
     // loser's work is simply done
-    val bytes = (txns ++ schemas ++ specs ++ cows ++ stats ++ parts ++ names)
+    val bytes = (txns ++ schemas ++ specs ++ cows ++ stats ++ parts ++ dvs ++ names)
       .mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val ctmp = Files.createTempFile(dir, s".${compactName(upTo)}", ".tmp")
@@ -808,7 +962,8 @@ object ManifestSink {
 
   private[sources] def commitBatchEpoch(path: String, schemaDdl: String,
       messages: Array[WriterCommitMessage], removeFilesGen: () => Seq[String],
-      compactInterval: Int): Unit = {
+      compactInterval: Int,
+      consumedDvs: Option[Map[String, Set[String]]] = None): Unit = {
     val dir = Files.createDirectories(Paths.get(path))
     val files = committedFilesOf(messages).sortBy(_.name)
     // one token per OPERATION (stable across claim attempts — the
@@ -827,7 +982,7 @@ object ManifestSink {
         files.map(statsLine) ++ parts ++
         lastRemoves.sorted.map(n => s"#remove $n") ++ files.map(_.name))
     }
-    claimEpoch(dir, content _)
+    claimEpoch(dir, content _, consumedDvs)
     val now = java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis())
     lastRemoves.foreach { n =>
@@ -959,14 +1114,17 @@ object ManifestSink {
     // a row-level DELETE epoch is NOT an append delta — it swaps files
     // (its adds duplicate surviving rows of the files it removes), so
     // an incremental consumer crossing one would double-count; refuse
-    // loudly, the same contract Delta CDF applies to non-CDF rewrites
-    val removing = window.filter(e => readRemoves(e._2).nonEmpty).map(_._1)
+    // loudly, the same contract Delta CDF applies to non-CDF rewrites.
+    // A merge-on-read `#dv` epoch is equally not an append (it
+    // retro-deletes rows from files delivered in EARLIER windows).
+    val removing = window.filter(e =>
+      readRemoves(e._2).nonEmpty || readDvRecords(e._2).nonEmpty).map(_._1)
     if (removing.nonEmpty)
       throw new IllegalStateException(
-        s"incremental read ($since, $asOf] crosses row-level DELETE " +
-          s"epoch(s) ${removing.mkString(", ")} — a delete REWRITES " +
-          "files rather than appending; re-read the full snapshot " +
-          "instead")
+        s"incremental read ($since, $asOf] crosses row-level " +
+          s"DELETE/rewrite epoch(s) ${removing.mkString(", ")} — a " +
+          "delete rewrites or retro-deletes rather than appending; " +
+          "re-read the full snapshot instead")
     window.flatMap(e => readData(e._2)).distinct
       .map(f => Paths.get(path, "data", f).toString)
   }
@@ -1047,7 +1205,8 @@ case class FileStat(rows: Long, cols: Map[String, (Long, Long)],
 case class ManifestTable(path: String, writeSchema: StructType,
     compactInterval: Int = ManifestSink.DefaultCompactInterval,
     removeFiles: Seq[String] = Seq.empty,
-    spec: Seq[PartField] = Seq.empty)
+    spec: Seq[PartField] = Seq.empty,
+    consumedDvs: Option[Map[String, Set[String]]] = None)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String = s"manifest($path)"
@@ -1149,7 +1308,7 @@ case class ManifestTable(path: String, writeSchema: StructType,
                 Paths.get(f).getFileName.toString)
             else () => removeFiles
           ManifestBatchWrite(path, info.schema(), compactInterval, removes,
-            spec, overwriteWhere, dynamic)
+            spec, overwriteWhere, dynamic, consumedDvs)
         }
         // writerId = the STREAMING QUERY's stable id (Spark passes
         // checkpoint-metadata `id`, not the per-run runId, as the
@@ -1257,7 +1416,8 @@ case class ManifestBatchWrite(path: String, schema: StructType,
     removeFiles: () => Seq[String] = () => Seq.empty,
     spec: Seq[PartField] = Seq.empty,
     overwriteWhere: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
-    dynamicOverwrite: Boolean = false) extends BatchWrite {
+    dynamicOverwrite: Boolean = false,
+    consumedDvs: Option[Map[String, Set[String]]] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     ManifestWriterFactory(path, schema.fields.map(_.name),
       schema.fields.map(_.dataType.typeName),
@@ -1347,7 +1507,7 @@ case class ManifestBatchWrite(path: String, schema: StructType,
         case None => removeFiles
       }
     ManifestSink.commitBatchEpoch(path, schema.toDDL, messages,
-      removesGen, compactInterval)
+      removesGen, compactInterval, consumedDvs)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1705,8 +1865,11 @@ case class EpochOffset(id: Long)
   override def json(): String = id.toString
 }
 
-/** One committed data file of the batch's epoch window. */
-case class ManifestFilePartition(file: String)
+/** One committed data file of the batch's epoch window. `dvFiles`
+  * (round 15) are the live position-delete files the reader must
+  * apply — absolute paths, empty for files without deletes. */
+case class ManifestFilePartition(file: String,
+    dvFiles: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.read.InputPartition
 
 /** The epoch log as a micro-batch SOURCE. STATELESS admission (the
@@ -1827,7 +1990,29 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[ManifestFilePartition].file
+    val mp = partition.asInstanceOf[ManifestFilePartition]
+    val file = mp.file
+    // POSITION DELETES (round 15): load the partition's dv files into
+    // a hash set of row ordinals — O(deleted-in-file) executor memory,
+    // read once per partition. The reader skips those ordinals, so a
+    // merge-on-read delete is value-invisible to every face built on
+    // this factory (row-level scans, metadata-column scans, dv-aware
+    // batch reads).
+    val deleted: java.util.HashSet[java.lang.Long] = {
+      val s = new java.util.HashSet[java.lang.Long]()
+      mp.dvFiles.foreach { dv =>
+        val in = Files.newBufferedReader(Paths.get(dv),
+          java.nio.charset.StandardCharsets.UTF_8)
+        try {
+          var line = in.readLine()
+          while (line != null) {
+            if (line.nonEmpty) s.add(java.lang.Long.valueOf(line))
+            line = in.readLine()
+          }
+        } finally in.close()
+      }
+      s
+    }
     // footer-first: the file's schema decides the projection (requested
     // data columns that exist in it, by case-insensitive name) and its
     // row count serves the zero-column fast path
@@ -1846,8 +2031,9 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
     }
     if (projected.isEmpty) {
       // no data column lives in this file (count(*) / _file-only scans,
-      // or a fully pre-evolution file): emit the footer's row count as
-      // constant rows, zero bytes decoded
+      // or a fully pre-evolution file): emit the footer's row count —
+      // minus the deleted positions — as constant rows, zero decoded
+      val live = fileRows - deleted.size()
       return new PartitionReader[InternalRow] {
         private var served = 0L
         private val row = new org.apache.spark.sql.catalyst.expressions
@@ -1857,7 +2043,7 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
                 Paths.get(file).getFileName.toString)
             else null
           }.toArray)
-        override def next(): Boolean = { served += 1; served <= fileRows }
+        override def next(): Boolean = { served += 1; served <= live }
         override def get(): InternalRow = row
         override def close(): Unit = ()
       }
@@ -1898,7 +2084,14 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
             found
           }
         }
-      override def next(): Boolean = { cur = in.read(); cur != null }
+      private var pos = -1L // row ordinal within the file
+      override def next(): Boolean = {
+        cur = in.read(); pos += 1
+        while (cur != null && deleted.contains(pos)) {
+          cur = in.read(); pos += 1
+        }
+        cur != null
+      }
       override def get(): InternalRow = {
         val fileType = cur.getType
         if (resolvedFor ne fileType) {

@@ -57,6 +57,15 @@ private[sources] class SnapRowLevelOperation(val tname: String,
   private[sources] val spec: Seq[PartField] = ManifestSink.partitionSpec(dir)
   private[sources] val parts: Map[String, Seq[String]] =
     ManifestSink.filePartitions(dir)
+  /** Live delete vectors at pin time (round 15): the rewrite's reads
+    * apply them (a COW over a dv'd file must not resurrect its deleted
+    * rows), and the commit declares them CONSUMED — the claim-time
+    * fence aborts if a new dv landed on a rewritten file since. */
+  private[sources] val dvs: Map[String, Seq[(String, Long)]] =
+    ManifestSink.deleteVectors(dir)
+  private[sources] def dvPathsOf(name: String): Seq[String] =
+    dvs.getOrElse(name, Seq.empty).map(e =>
+      new java.io.File(new java.io.File(dir, "data"), e._1).toString)
 
   private def baseName(f: String): String =
     Paths.get(f).getFileName.toString
@@ -172,7 +181,8 @@ private[sources] class SnapRowLevelScan(op: SnapRowLevelOperation,
     // rewrite read. A file pruned here (static stats or runtime group
     // filter) provably holds no matching row and stays untouched.
     op.setRewrite(files.map(f => Paths.get(f).getFileName.toString))
-    files.map(f => ManifestFilePartition(f): InputPartition).toArray
+    files.map(f => ManifestFilePartition(f,
+      op.dvPathsOf(Paths.get(f).getFileName.toString)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -256,8 +266,14 @@ private[sources] class SnapRowLevelWrite(op: SnapRowLevelOperation,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     SnapTable.recordRewrite(op.tname, op.snapshotFiles.size,
       op.rewriteNames.size)
+    // declare the dvs this rewrite READ as consumed: the claim-time
+    // fence aborts (retryably) if a merge-on-read delete landed on a
+    // rewritten file after this operation pinned its snapshot
+    val consumed = op.rewriteNames.map(n =>
+      n -> op.dvs.getOrElse(n, Seq.empty).map(_._1).toSet).toMap
     ManifestSink.commitBatchEpoch(op.dir, ws.toDDL, messages,
-      () => op.rewriteNames, ManifestSink.DefaultCompactInterval)
+      () => op.rewriteNames, ManifestSink.DefaultCompactInterval,
+      Some(consumed))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

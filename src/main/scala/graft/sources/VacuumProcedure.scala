@@ -117,14 +117,26 @@ class CompactProcedure(snapDir: () => String,
       val files = ManifestSink.committedFiles(dir.toString)
       val stats = ManifestSink.fileStats(dir.toString)
       def fname(f: String) = java.nio.file.Paths.get(f).getFileName.toString
-      val small = files.filter(f => stats.get(fname(f)).exists(_.rows < target))
+      // candidates: undersized files, plus any file carrying live
+      // POSITION DELETES (round 15) — compaction is what RESOLVES a
+      // merge-on-read delete into rewritten files, regardless of size
+      val dvMap = ManifestSink.deleteVectors(dir.toString)
+      val small = files.filter(f =>
+        stats.get(fname(f)).exists(_.rows < target) ||
+          dvMap.get(fname(f)).exists(_.nonEmpty))
+      val worthIt = small.size >= 2 ||
+        small.exists(f => dvMap.get(fname(f)).exists(_.nonEmpty))
       val result: (Long, Long, Long) =
-        if (small.size < 2) (0L, 0L, 0L)
+        if (!worthIt) (0L, 0L, 0L)
         else {
-          val totalRows = small.map(f => stats(fname(f)).rows).sum
+          val totalRows = small.map(f =>
+            stats.get(fname(f)).map(_.rows).getOrElse(0L)).sum
           val parts = math.max(1L, (totalRows + target - 1) / target).toInt
           val spark = org.apache.spark.sql.SparkSession.active
-          val df = spark.read.schema(schema).parquet(small: _*)
+          // the rewrite read EXCLUDES live dv positions — this is the
+          // resolution step; the commit declares them consumed
+          val df = DvOps.readExcludingDeleted(spark, schema,
+            dir.toString, small)
           val packed =
             if (sortCols.isEmpty) df.repartition(parts)
             else {
@@ -132,10 +144,13 @@ class CompactProcedure(snapDir: () => String,
               df.repartitionByRange(parts, keys: _*)
                 .sortWithinPartitions(keys: _*)
             }
+          val consumed = small.map(f => fname(f) ->
+            dvMap.getOrElse(fname(f), Seq.empty).map(_._1).toSet).toMap
           packed
             .write.format("graft.sources.ManifestSink")
             .option("path", dir.toString)
             .option("removeFiles", small.map(fname).mkString(","))
+            .option("consumedDvs", ManifestSink.encodeConsumedDvs(consumed))
             .mode("append").save()
           (small.size.toLong, parts.toLong, totalRows)
         }

@@ -147,6 +147,33 @@ object LakeLadder {
     println(f"LAKE sql fullCount=$fullReadWall%.2fs pointRead=$pointWall%.2fs " +
       s"filesPlanned=$planned/$listed (#stats prune at scan build)")
 
+    // ——— MERGE-ON-READ deletes at table age (round 15): a 10-row
+    // delete across a 1,005-file table must cost O(deleted rows) —
+    // one dv epoch, ten tiny dv files, ZERO data files moved — and
+    // the SQL face must serve the post-delete answers at full speed
+    spark.conf.set("spark.sql.catalog.graft.snap.big.deleteMode", "mor")
+    val dvKeys = (0 until 10).map(i => epochs / 2 + i * 7)
+    val preDelete = ManifestSink.committedFiles(log).toSet
+    val t7 = System.nanoTime()
+    spark.sql(s"DELETE FROM graft.snap.big WHERE k IN (${dvKeys.mkString(",")})")
+    val dvWall = nowS(t7)
+    require(ManifestSink.committedFiles(log).toSet == preDelete,
+      "merge-on-read delete moved data files")
+    val dvMap = ManifestSink.deleteVectors(log)
+    require(dvMap.size == dvKeys.size &&
+      dvMap.values.flatten.map(_._2).sum == dvKeys.size,
+      s"ten 1-position dvs expected: $dvMap")
+    val dvBytes = dvMap.values.flatten
+      .map(e => Files.size(dataDir.resolve(e._1))).sum
+    require(dvBytes < 200L, s"dv plane must be O(deleted rows): $dvBytes B")
+    val t8 = System.nanoTime()
+    val n2 = spark.sql("SELECT count(*) FROM graft.snap.big")
+      .collect().head.getLong(0)
+    val dvReadWall = nowS(t8)
+    require(n2 == epochs - dvKeys.size, s"post-dv count $n2")
+    println(f"LAKE dv delete(10 rows of $epochs files)=$dvWall%.2fs " +
+      f"dvBytes=$dvBytes fullCountWithDvs=$dvReadWall%.2fs")
+
     // ——— VACUUM over a big orphan set next to the committed files —
     // 50,000 orphans (judge r12 #6): the listing is a STREAMED
     // single-pass directory walk (never materialized), so driver memory
@@ -165,6 +192,9 @@ object LakeLadder {
     require(ManifestSink.committedFiles(log).size == epochs &&
       Files.exists(dataDir.resolve(f"f${epochs / 2}%06d.parquet")),
       "vacuum touched committed data")
+    require(dvMap.values.flatten.forall(e =>
+      Files.exists(dataDir.resolve(e._1))),
+      "vacuum reclaimed a LIVE position-delete file")
     println(f"LAKE vacuum orphans=$orphanN committedKept=$epochs wall=$vacWall%.2fs " +
       s"loadavg=${scala.io.Source.fromFile("/proc/loadavg").mkString.trim}")
     spark.stop()

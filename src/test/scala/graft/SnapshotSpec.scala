@@ -1496,6 +1496,107 @@ class SnapshotSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(root)
   }
 
+  test("MERGE-ON-READ deletes (round 15): a 1-row delete writes O(1) " +
+    "bytes (data files untouched, dv file tiny), every read face " +
+    "applies the positions, time travel serves pre-dv versions " +
+    "undeleted, re-deletes don't re-mark, incremental windows " +
+    "crossing a dv epoch refuse, COW updates consume dvs, and " +
+    "compaction resolves them") {
+    val root = Files.createTempDirectory("graft_snap_dv")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.conf.set("spark.sql.catalog.graft.snap.mv.deleteMode", "mor")
+    val log = root.resolve("mv").toString
+    // two epochs of 100 rows each
+    locally { import s.implicits._
+      (0L until 100L).map(i => (i, s"v$i")).toDF("k", "name").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+      (100L until 200L).map(i => (i, s"v$i")).toDF("k", "name").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save() }
+    val dataFiles = graft.sources.ManifestSink.committedFiles(log).sorted
+    val preDvVersion = graft.sources.ManifestSink.newestVersion(log)
+
+    // 1-row delete: O(1) — the snapshot's data files are UNTOUCHED
+    // (same names, same bytes) and the dv file is tiny
+    val bytesBefore = dataFiles.map(f => Files.size(Paths.get(f))).sum
+    s.sql("DELETE FROM graft.snap.mv WHERE k = 42")
+    assert(graft.sources.ManifestSink.committedFiles(log).sorted == dataFiles,
+      "a merge-on-read delete must not move data files")
+    assert(dataFiles.map(f => Files.size(Paths.get(f))).sum == bytesBefore,
+      "a merge-on-read delete must not rewrite data bytes")
+    val dvs1 = graft.sources.ManifestSink.deleteVectors(log)
+    assert(dvs1.values.flatten.size == 1 && dvs1.values.flatten.head._2 == 1L,
+      s"one dv file, one position: $dvs1")
+    val dvPath = root.resolve("mv").resolve("data")
+      .resolve(dvs1.values.flatten.head._1)
+    assert(Files.size(dvPath) < 64,
+      s"dv file must be O(deleted rows): ${Files.size(dvPath)} bytes")
+
+    // every read face applies the positions
+    assert(s.sql("SELECT count(*) FROM graft.snap.mv").head().getLong(0) == 199)
+    assert(s.sql("SELECT sum(k) FROM graft.snap.mv").head().getLong(0) ==
+      (0L until 200L).sum - 42L)
+    assert(s.sql("SELECT count(*) FROM graft.snap.mv WHERE k = 42")
+      .head().getLong(0) == 0, "the deleted row is gone under pushdown")
+    assert(s.sql("SELECT count(_file) FROM graft.snap.mv").head().getLong(0)
+      == 199, "the metadata-column face applies dvs too")
+    // .files metadata table accounts the dv
+    val fr = s.sql("SELECT sum(dvs), sum(deleted_rows) FROM " +
+      "graft.snap.mv.files").head()
+    assert((fr.getLong(0), fr.getLong(1)) == ((1L, 1L)), fr)
+    // time travel BEFORE the dv epoch serves the row undeleted
+    assert(s.sql(s"SELECT count(*) FROM graft.snap.mv VERSION AS OF " +
+      s"$preDvVersion").head().getLong(0) == 200)
+
+    // a second delete over an overlapping predicate does NOT re-mark
+    // k=42 (already deleted): positions are disjoint across dv files
+    s.sql("DELETE FROM graft.snap.mv WHERE k >= 40 AND k < 45")
+    val dvs2 = graft.sources.ManifestSink.deleteVectors(log)
+    assert(dvs2.values.flatten.map(_._2).sum == 5L,
+      s"42 once + 40,41,43,44: $dvs2")
+    assert(s.sql("SELECT count(*) FROM graft.snap.mv").head().getLong(0) == 195)
+
+    // incremental windows crossing the dv epoch refuse loudly
+    val inc = intercept[IllegalStateException](
+      graft.sources.ManifestSink.committedFilesBetween(log, 0,
+        graft.sources.ManifestSink.newestVersion(log)))
+    assert(inc.getMessage.contains("retro-deletes") ||
+      inc.getMessage.contains("rewrites"), inc.getMessage)
+
+    // a COW UPDATE over the dv'd file must not resurrect deleted rows
+    // (the rewrite read excludes positions and consumes the dvs)
+    s.sql("UPDATE graft.snap.mv SET name = 'bumped' WHERE k = 50")
+    assert(s.sql("SELECT count(*) FROM graft.snap.mv").head().getLong(0) == 195,
+      "COW rewrite must not resurrect dv-deleted rows")
+    assert(s.sql("SELECT name FROM graft.snap.mv WHERE k = 50")
+      .head().getString(0) == "bumped")
+    // the rewritten file's dvs are resolved (removed with the file)
+    val dvs3 = graft.sources.ManifestSink.deleteVectors(log)
+    assert(dvs3.values.flatten.map(_._2).sum < 5L,
+      s"the rewritten file's dvs must be resolved: $dvs3")
+
+    // compaction resolves the REMAINING dvs: read stays identical,
+    // no dv records survive, and the dv files become vacuumable
+    s.sql("CALL graft.sys.compact_data('mv', 1000000)")
+    assert(graft.sources.ManifestSink.deleteVectors(log).isEmpty,
+      "compaction must resolve every live dv")
+    assert(s.sql("SELECT count(*) FROM graft.snap.mv").head().getLong(0) == 195)
+    assert(s.sql("SELECT sum(k) FROM graft.snap.mv").head().getLong(0) ==
+      (0L until 200L).sum - (40L until 45L).sum)
+
+    // conflict fence: a dv epoch targeting a file a rewrite already
+    // removed aborts with the retryable conflict
+    val gone = dataFiles.head
+    val e = intercept[graft.sources.ManifestConflictException](
+      graft.sources.ManifestSink.commitDvEpoch(log, "k BIGINT,name STRING",
+        Seq((Paths.get(gone).getFileName.toString, "dv-bogus.txt", 1L)), 10))
+    assert(e.conflictingFiles.nonEmpty)
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("METADATA TABLES (round 15): graft.snap.t.files serves the " +
     "current snapshot's (file, rows, bytes); .history classifies live " +
     "fragments as metadata/append/rewrite and collapses swept epochs " +
