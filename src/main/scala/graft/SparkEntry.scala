@@ -228,6 +228,7 @@ object SparkEntry {
     "q_snap_files"       -> Materialize.snapFiles _,
     "q_snap_partitioned" -> Materialize.snapPartitioned _,
     "q_snap_dv_delete"   -> Materialize.snapDvDelete _,
+    "q_snap_history"     -> Materialize.snapHistory _,
     "q_snap_compact"     -> Materialize.snapCompact _,
     "q_vacuum_sql"       -> Materialize.vacuumSql _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
@@ -2394,6 +2395,18 @@ object SparkEntry {
         |  AND n_chars IS NOT NULL
         |  AND NOT (lang = 'es' AND doc_id < 300)
         |GROUP BY lang""".stripMargin,
+    "q_snap_history" -> // the .history lifecycle rows are exact by
+      // construction: CREATE = metadata epoch 0, five 1-file appends,
+      // one merge-on-read delete (#dv epoch, zero files moved)
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'metadata', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'append',   CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'append',   CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'append',   CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), 'append',   CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), 'append',   CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), 'delete',   CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+        |) AS t(version, kind, n_added, n_removed)""".stripMargin,
     "q_snap_update" -> // post-UPDATE snapshot aggregate: the oracle
       // CASE-maps the SET clause over the matched slice (runtime group
       // filtering pins: only the 'de' file was rewritten)

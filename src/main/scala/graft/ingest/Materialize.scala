@@ -1359,6 +1359,40 @@ object Materialize {
         |GROUP BY lang""".stripMargin)
   }
 
+  /** The `.history` metadata table under an oracle (`q_snap_history`,
+    * round 15): a deterministic DDL+DML lifecycle — CREATE (metadata
+    * epoch 0), five single-file appends, one merge-on-read delete (a
+    * `#dv` epoch: kind `delete`, zero files moved) — read back as
+    * (version, kind, n_added, n_removed) rows. Timestamps are
+    * excluded (wall-clock); everything else is exact by construction,
+    * so the oracle is a VALUES literal. The operational story a lake
+    * needs answerable by SQL: what happened to this table, in order. */
+  def snapHistory(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_hist_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    spark.conf.set("spark.sql.catalog.graft.snap.dochist.deleteMode", "mor")
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    complete.createOrReplaceTempView("graft_hist_src")
+    spark.sql(
+      """CREATE TABLE graft.snap.dochist
+        |  (doc_id BIGINT, lang STRING, n_chars BIGINT)""".stripMargin)
+    Seq("de", "en", "es", "fr", "zh").foreach { l =>
+      complete.filter(col("lang") === l).coalesce(1)
+        .writeTo("graft.snap.dochist").append()
+    }
+    spark.sql(
+      "DELETE FROM graft.snap.dochist WHERE lang = 'es' AND doc_id < 300")
+    spark.sql(
+      """SELECT version, kind, n_added, n_removed
+        |FROM graft.snap.dochist.history""".stripMargin)
+  }
+
   /** Small-file COMPACTION from pure SQL (`q_snap_compact`, round 13):
     * the per-language epochs land five small files, then
     * `CALL graft.sys.compact_data('docpack', 5000)` bin-packs them into

@@ -160,9 +160,44 @@ object ManifestSink {
   private def idOf(p: Path): Long =
     p.getFileName.toString.dropWhile(!_.isDigit).toLong
 
-  private def readLines(p: Path): Seq[String] =
-    Files.readAllLines(p, java.nio.charset.StandardCharsets.UTF_8)
-      .asScala.toSeq.filter(_.nonEmpty)
+  /** FRAGMENT PARSE CACHE (round 15): epoch/compact manifests are
+    * IMMUTABLE once linked (the claim publishes fully written content;
+    * nothing ever appends), so their parsed lines are cached keyed by
+    * (absolute path, fileKey, size, mtime) — fileKey is the
+    * device+inode pair, so a table directory deleted and recreated at
+    * the same path (same epoch names, different content) can never
+    * serve stale lines. One scan build walks the fragments ~6 times
+    * (union, stats, partitions, dvs, spec, schema verification) and a
+    * workload re-plans the same table every query — without the cache
+    * the driver's metadata cost is 6×O(fragment bytes) per PLANNING
+    * CYCLE; with it, one parse per fragment per lifetime. Bounded by
+    * entry count (clear-all past the cap — fragments re-read cheaply);
+    * memory is O(one snapshot's listing), the same class as the
+    * planning keep-set. */
+  private val FragmentCacheCap = 256
+  private val fragmentCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Object, Long, java.nio.file.attribute.FileTime, Seq[String])]()
+  /** Parses performed (cache misses) — observability for the spec. */
+  private[graft] val fragmentParses = new java.util.concurrent.atomic.AtomicLong
+
+  private def readLines(p: Path): Seq[String] = {
+    val attrs = Files.readAttributes(p,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val key = p.toAbsolutePath.toString
+    val cached = fragmentCache.get(key)
+    if (cached != null && cached._1 == attrs.fileKey &&
+        cached._2 == attrs.size && cached._3 == attrs.lastModifiedTime)
+      cached._4
+    else {
+      val lines = Files.readAllLines(p, java.nio.charset.StandardCharsets.UTF_8)
+        .asScala.toSeq.filter(_.nonEmpty)
+      fragmentParses.incrementAndGet()
+      if (fragmentCache.size >= FragmentCacheCap) fragmentCache.clear()
+      fragmentCache.put(key,
+        (attrs.fileKey, attrs.size, attrs.lastModifiedTime, lines))
+      lines
+    }
+  }
 
   /** Committed file NAMES in a fragment (header records skipped). */
   private def readData(p: Path): Seq[String] =
@@ -1149,8 +1184,10 @@ object ManifestSink {
       val looseRows = looseEpochs(dir, horizon).map { case (id, p) =>
         val adds = readData(p).size.toLong
         val removes = readRemoves(p).size.toLong
+        val dvs = readDvRecords(p).size.toLong
         val kind =
           if (removes > 0) "rewrite"
+          else if (dvs > 0) "delete" // merge-on-read: #dv records only
           else if (adds > 0) "append"
           else "metadata"
         (id, kind, adds, removes, Files.getLastModifiedTime(p).toMillis)

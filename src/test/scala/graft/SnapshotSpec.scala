@@ -1597,6 +1597,32 @@ class SnapshotSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(root)
   }
 
+  test("FRAGMENT PARSE CACHE (round 15): re-planning an unchanged " +
+    "table parses zero fragment bytes; a table dir recreated at the " +
+    "same path (same epoch names, different content) serves the NEW " +
+    "content — the fileKey guard, never a stale cache hit") {
+    val root = Files.createTempDirectory("graft_snap_cache")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.sql("CREATE TABLE graft.snap.fc (k BIGINT)")
+    s.sql("INSERT INTO graft.snap.fc VALUES (1), (2), (3)")
+    def q(): Long =
+      s.sql("SELECT sum(k) FROM graft.snap.fc").head().getLong(0)
+    assert(q() == 6)
+    val before = graft.sources.ManifestSink.fragmentParses.get()
+    assert(q() == 6) // identical re-plan: every fragment cache-hits
+    assert(graft.sources.ManifestSink.fragmentParses.get() == before,
+      "re-planning an unchanged table must parse no fragments")
+    // recreate the SAME table path with different content: the cache
+    // must not serve the old epochs (fileKey/inode changes on recreate)
+    s.sql("DROP TABLE graft.snap.fc")
+    s.sql("CREATE TABLE graft.snap.fc (k BIGINT)")
+    s.sql("INSERT INTO graft.snap.fc VALUES (10), (20)")
+    assert(q() == 30, "recreated table served stale cached fragments")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("METADATA TABLES (round 15): graft.snap.t.files serves the " +
     "current snapshot's (file, rows, bytes); .history classifies live " +
     "fragments as metadata/append/rewrite and collapses swept epochs " +
