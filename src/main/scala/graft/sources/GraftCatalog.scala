@@ -228,8 +228,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
     // DELETE mode (round 15): copy-on-write (default) rewrites the
     // touched files; merge-on-read writes position-delete files.
+    // Precedence: session conf > the log's `delete.mode` table
+    // property (TBLPROPERTIES at CREATE / ALTER SET) > cow.
     val mode = option(s"$SnapNs.${ident.name()}.deleteMode")
-      .orElse(option(s"$SnapNs.deleteMode")).getOrElse("cow")
+      .orElse(option(s"$SnapNs.deleteMode"))
+      .orElse(ManifestSink.tableProperties(tdir.toString).get("delete.mode"))
+      .getOrElse("cow")
     require(mode == "cow" || mode == "mor",
       s"graft.snap.${ident.name()}: deleteMode must be cow|mor, got '$mode'")
     new SnapTable(ident.name(), tdir.toString, schema, asOf, mode)
@@ -339,9 +343,26 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       .TableAlreadyExistsException(
         Seq(catalogName, SnapNs, name).map(q => s"`$q`").mkString("."))
     if (ManifestSink.newestVersion0(dir) >= 0) exists()
-    val content = s"#schema ${schema.toDDL}" +:
+    // TBLPROPERTIES (round 15): recorded as `#prop` lines in the
+    // create epoch. Spark-injected bookkeeping keys are filtered;
+    // `delete.mode` / `compact.interval` are validated, everything
+    // else token-safe round-trips for the user.
+    val props = properties.asScala.toSeq
+      .filterNot { case (k, _) => GraftCatalog.ReservedProps.contains(k) ||
+        k.startsWith("option.") || k.startsWith("spark.") }
+    props.foreach {
+      case ("delete.mode", v) => require(v == "cow" || v == "mor",
+        s"graft.snap.$name: delete.mode must be cow|mor, got '$v'")
+      case ("compact.interval", v) => require(
+        v.toIntOption.exists(_ >= 2),
+        s"graft.snap.$name: compact.interval must be an int >= 2, got '$v'")
+      case (k, v) => require(ManifestSink.propSafe(k) && ManifestSink.propSafe(v),
+        s"graft.snap.$name: table property '$k'='$v' must be token-safe")
+    }
+    val content = (s"#schema ${schema.toDDL}" +:
       (if (spec.isEmpty) Seq.empty
-       else Seq(s"#spec ${PartField.render(spec)}"))
+       else Seq(s"#spec ${PartField.render(spec)}"))) ++
+      props.map { case (k, v) => ManifestSink.propLine(k, v) }
     val tmp = java.nio.file.Files.createTempFile(dir, ".epoch", ".tmp")
     java.nio.file.Files.write(tmp, content.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -404,18 +425,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     }
   }
 
-  /** `ALTER TABLE graft.snap.t ADD COLUMN c T` (round 15): additive
-    * evolution is the ONE supported alteration — it appends a
-    * pure-metadata epoch recording the widened `#schema`, which the
-    * read path already honors (pre-evolution files null-fill the new
-    * column by name). Drops, renames and type changes refuse: each
-    * would reinterpret or lose committed data. */
+  /** `ALTER TABLE graft.snap.t ADD COLUMN c T` / `SET TBLPROPERTIES`
+    * (round 15): additive evolution and property records are the two
+    * supported alterations — each appends a pure-metadata epoch (the
+    * widened `#schema`, or `#prop` records; the read path honors both
+    * with no data rewritten). Drops, renames and type changes refuse:
+    * each would reinterpret or lose committed data. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (ident.namespace().toSeq != Seq(SnapNs))
       throw new UnsupportedOperationException(
         s"$catalogName: ALTER TABLE is supported only in the $SnapNs namespace")
     val cur = snapTable(ident, None).asInstanceOf[SnapTable]
-    val added = changes.map {
+    val added = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.types.StructField]()
+    val setProps = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           s"graft.snap.${ident.name()}: only top-level ADD COLUMN is " +
@@ -423,11 +447,27 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         require(a.isNullable,
           s"graft.snap.${ident.name()}: an added column must be nullable " +
             "— committed pre-evolution files serve null for it")
-        org.apache.spark.sql.types.StructField(
+        added += org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = true)
+      case p: TableChange.SetProperty =>
+        (p.property(), p.value()) match {
+          case ("delete.mode", v) => require(v == "cow" || v == "mor",
+            s"graft.snap.${ident.name()}: delete.mode must be cow|mor, " +
+              s"got '$v'")
+          case ("compact.interval", v) => require(
+            v.toIntOption.exists(_ >= 2),
+            s"graft.snap.${ident.name()}: compact.interval must be an " +
+              s"int >= 2, got '$v'")
+          case (k, v) => require(
+            ManifestSink.propSafe(k) && ManifestSink.propSafe(v),
+            s"graft.snap.${ident.name()}: table property '$k'='$v' must " +
+              "be token-safe")
+        }
+        setProps += ((p.property(), p.value()))
       case other => throw new UnsupportedOperationException(
         s"graft.snap.${ident.name()}: unsupported ALTER TABLE change " +
-          s"$other — additive ADD COLUMN is the one supported evolution")
+          s"$other — additive ADD COLUMN and SET TBLPROPERTIES are the " +
+          "supported alterations")
     }
     added.foreach { f =>
       require(!cur.schema().fields.exists(_.name.equalsIgnoreCase(f.name)),
@@ -435,9 +475,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     }
     val evolved = org.apache.spark.sql.types.StructType(
       cur.schema().fields ++ added)
-    ManifestWriters.parquetType(evolved.fields.map(_.name),
-      evolved.fields.map(_.dataType.typeName))
-    ManifestSink.commitSchemaEpoch(cur.dir, evolved.toDDL)
+    if (added.nonEmpty) {
+      ManifestWriters.parquetType(evolved.fields.map(_.name),
+        evolved.fields.map(_.dataType.typeName))
+      ManifestSink.commitSchemaEpoch(cur.dir, evolved.toDDL)
+    }
+    if (setProps.nonEmpty)
+      ManifestSink.commitPropsEpoch(cur.dir, setProps.toSeq)
     new SnapTable(ident.name(), cur.dir, evolved, None)
   }
 
@@ -471,6 +515,12 @@ object GraftCatalog {
   val MutNs = "mut"
   val SnapNs = "snap"
   val SysNs = "sys"
+
+  /** Spark-injected bookkeeping keys a CREATE carries that are NOT
+    * user table properties — never recorded in the log. */
+  val ReservedProps: Set[String] = Set(
+    "provider", "owner", "location", "comment", "external",
+    "transient_lastDdlTime")
 
   /** The driver-generated scale-factor tables ([[Tables]]). `events` is
     * served through its own load branch that applies the
@@ -540,6 +590,15 @@ private[sources] class SnapTable(tname: String, val dir: String,
     * CatalogManager caches tables briefly, but the spec is immutable
     * for a table's lifetime so staleness cannot occur. */
   private[sources] def spec: Seq[PartField] = ManifestSink.partitionSpec(dir)
+  /** The log-recorded table properties, surfaced through the catalog
+    * face (DESCRIBE EXTENDED shows them). */
+  override def properties(): util.Map[String, String] =
+    ManifestSink.tableProperties(dir).asJava
+  /** The table's compaction cadence: the `compact.interval` property,
+    * else the default. */
+  private def tblCompactInterval: Int =
+    ManifestSink.tableProperties(dir).get("compact.interval")
+      .flatMap(_.toIntOption).getOrElse(ManifestSink.DefaultCompactInterval)
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] =
     ManifestTable.transformsOf(spec)
@@ -587,7 +646,7 @@ private[sources] class SnapTable(tname: String, val dir: String,
       s"graft.snap.$tname VERSION AS OF ${asOf.get}: historical " +
         "snapshots are immutable — append to the current table")
     ManifestSink.verifyDeclaredSchema(dir, s"graft.snap.$tname INSERT", tschema)
-    ManifestTable(dir, tschema,
+    ManifestTable(dir, tschema, compactInterval = tblCompactInterval,
       spec = ManifestSink.partitionSpec(dir)).newWriteBuilder(info)
   }
 
@@ -698,7 +757,7 @@ private[sources] class SnapTable(tname: String, val dir: String,
         affected, pred)
       if (records.nonEmpty)
         ManifestSink.commitDvEpoch(dir, tschema.toDDL, records,
-          ManifestSink.DefaultCompactInterval)
+          tblCompactInterval)
       return
     }
     // COPY-ON-WRITE: the survivor read EXCLUDES live dv positions (a
@@ -715,6 +774,7 @@ private[sources] class SnapTable(tname: String, val dir: String,
         pred <=> org.apache.spark.sql.functions.lit(true)))
     survivors.write.format("graft.sources.ManifestSink")
       .option("path", dir)
+      .option("compactInterval", tblCompactInterval.toString)
       .option("removeFiles", affectedNames.mkString(","))
       .option("consumedDvs", ManifestSink.encodeConsumedDvs(consumed))
       .mode("append").save()

@@ -539,6 +539,42 @@ object ManifestSink {
       f -> dvs
     }.toMap
 
+  /** TABLE PROPERTIES from `#prop <key> <value>` records (round 15):
+    * last record per key wins in fragment order, so `ALTER TABLE SET
+    * TBLPROPERTIES` is an appended record, not a rewrite. Known keys:
+    * `delete.mode` (cow|mor — the DELETE strategy, overridable by the
+    * session conf) and `compact.interval` (the log's compaction
+    * cadence). Unknown keys round-trip for the user. Keys and values
+    * must be token-safe (`[A-Za-z0-9._/=-]`, no spaces). */
+  def tableProperties(path: String): Map[String, String] = retryVanish() {
+    val acc = scala.collection.mutable.LinkedHashMap[String, String]()
+    manifestFragments(Paths.get(path)).foreach { p =>
+      readHeaders(p).foreach { l =>
+        if (l.startsWith("#prop ")) l.stripPrefix("#prop ").split(" ", 2) match {
+          case Array(k, v) => acc(k) = v
+          case _ =>
+        }
+      }
+    }
+    acc.toMap
+  }
+
+  private[sources] def propSafe(s: String): Boolean =
+    s.nonEmpty && s.forall(c => c.isLetterOrDigit || "._/=-".contains(c))
+
+  private[sources] def propLine(k: String, v: String): String = {
+    require(propSafe(k) && propSafe(v),
+      s"table property '$k'='$v' must be token-safe ([A-Za-z0-9._/=-])")
+    s"#prop $k $v"
+  }
+
+  /** Append a pure-metadata epoch carrying property records — the
+    * `ALTER TABLE SET TBLPROPERTIES` commit. */
+  private[sources] def commitPropsEpoch(path: String,
+      props: Seq[(String, String)]): Long =
+    claimEpoch(Files.createDirectories(Paths.get(path)),
+      () => props.map { case (k, v) => propLine(k, v) })
+
   /** Append a pure-metadata DDL epoch carrying `#schema <ddl>` — the
     * ALTER TABLE ADD COLUMN record (round 15): additive evolution is
     * exactly what the read path already honors for mixed-schema files,
@@ -901,6 +937,18 @@ object ManifestSink {
     // like #stats — pruning and partition-scoped overwrite must keep
     // working on a fully compacted log
     val specs = headers.filter(_.startsWith("#spec ")).distinct
+    // table properties: LAST record per key wins (fragment order), so
+    // the compact carries exactly the effective property set
+    val props = {
+      val acc = scala.collection.mutable.LinkedHashMap[String, String]()
+      headers.foreach { l =>
+        if (l.startsWith("#prop ")) l.stripPrefix("#prop ").split(" ", 2) match {
+          case Array(k, v) => acc(k) = v
+          case _ =>
+        }
+      }
+      acc.toSeq.map { case (k, v) => s"#prop $k $v" }
+    }
     // `#cow` tokens carry forward ONE round — from the loose epochs this
     // sweep absorbs, never from the prior compact — so a COW committer
     // whose epoch was absorbed mid-claim can still recognize its own
@@ -950,8 +998,8 @@ object ManifestSink {
     // this compaction); the compact-<upTo> content is deterministic —
     // the union through upTo — so when a racer already landed it, the
     // loser's work is simply done
-    val bytes = (txns ++ schemas ++ specs ++ cows ++ stats ++ parts ++ dvs ++ names)
-      .mkString("\n")
+    val bytes = (txns ++ schemas ++ specs ++ props ++ cows ++ stats ++
+      parts ++ dvs ++ names).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val ctmp = Files.createTempFile(dir, s".${compactName(upTo)}", ".tmp")
     Files.write(ctmp, bytes)

@@ -272,7 +272,10 @@ private[sources] class SnapRowLevelWrite(op: SnapRowLevelOperation,
     val consumed = op.rewriteNames.map(n =>
       n -> op.dvs.getOrElse(n, Seq.empty).map(_._1).toSet).toMap
     ManifestSink.commitBatchEpoch(op.dir, ws.toDDL, messages,
-      () => op.rewriteNames, ManifestSink.DefaultCompactInterval,
+      () => op.rewriteNames,
+      ManifestSink.tableProperties(op.dir).get("compact.interval")
+        .flatMap(_.toIntOption)
+        .getOrElse(ManifestSink.DefaultCompactInterval),
       Some(consumed))
   }
 

@@ -1597,6 +1597,62 @@ class SnapshotSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(root)
   }
 
+  test("TABLE PROPERTIES (round 15): TBLPROPERTIES at CREATE makes " +
+    "delete.mode/compact.interval table attributes (no session conf); " +
+    "ALTER TABLE SET TBLPROPERTIES appends a metadata epoch; unknown " +
+    "token-safe keys round-trip; the conf still overrides the log") {
+    val root = Files.createTempDirectory("graft_snap_props")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.sql("""CREATE TABLE graft.snap.pt (k BIGINT, name STRING)
+            |TBLPROPERTIES ('delete.mode'='mor', 'team'='graft-lake',
+            |  'compact.interval'='50')""".stripMargin)
+    s.sql("INSERT INTO graft.snap.pt VALUES (1,'a'), (2,'b'), (3,'c')")
+    val log = root.resolve("pt").toString
+    val props = graft.sources.ManifestSink.tableProperties(log)
+    assert(props.get("delete.mode").contains("mor") &&
+      props.get("team").contains("graft-lake") &&
+      props.get("compact.interval").contains("50"), props)
+
+    // DELETE honors the PROPERTY: merge-on-read, zero files moved
+    val filesBefore = graft.sources.ManifestSink.committedFiles(log).sorted
+    s.sql("DELETE FROM graft.snap.pt WHERE k = 2")
+    assert(graft.sources.ManifestSink.committedFiles(log).sorted == filesBefore,
+      "delete.mode=mor property must make DELETE merge-on-read")
+    assert(graft.sources.ManifestSink.deleteVectors(log).nonEmpty)
+    assert(s.sql("SELECT count(*) FROM graft.snap.pt").head().getLong(0) == 2)
+
+    // ALTER SET TBLPROPERTIES flips the mode: the next delete is COW
+    // (resolves the dv'd file too — consumed-dv fence allows it)
+    s.sql("ALTER TABLE graft.snap.pt SET TBLPROPERTIES ('delete.mode'='cow')")
+    assert(graft.sources.ManifestSink.tableProperties(log)
+      .get("delete.mode").contains("cow"))
+    s.sql("DELETE FROM graft.snap.pt WHERE k = 3")
+    assert(graft.sources.ManifestSink.committedFiles(log).sorted != filesBefore,
+      "delete.mode=cow must rewrite files")
+    assert(s.sql("SELECT k FROM graft.snap.pt").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L),
+      "the COW rewrite must keep the dv-deleted row deleted")
+
+    // session conf OVERRIDES the log property
+    s.conf.set("spark.sql.catalog.graft.snap.pt.deleteMode", "mor")
+    try {
+      val fb = graft.sources.ManifestSink.committedFiles(log).sorted
+      s.sql("DELETE FROM graft.snap.pt WHERE k = 1")
+      assert(graft.sources.ManifestSink.committedFiles(log).sorted == fb,
+        "the session conf must override the log's delete.mode")
+    } finally s.conf.unset("spark.sql.catalog.graft.snap.pt.deleteMode")
+
+    // invalid property values refuse at DDL time
+    intercept[Exception](s.sql(
+      "ALTER TABLE graft.snap.pt SET TBLPROPERTIES ('delete.mode'='x')"))
+    intercept[Exception](s.sql(
+      "CREATE TABLE graft.snap.badp (k BIGINT) " +
+        "TBLPROPERTIES ('compact.interval'='1')"))
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("FRAGMENT PARSE CACHE (round 15): re-planning an unchanged " +
     "table parses zero fragment bytes; a table dir recreated at the " +
     "same path (same epoch names, different content) serves the NEW " +
