@@ -1415,7 +1415,7 @@ case class ManifestTable(path: String, writeSchema: StructType,
               throw new IllegalStateException(
                 "streaming write carries no query id; the manifest log " +
                   "needs a stable writer identity for replay detection")),
-            java.util.UUID.randomUUID.toString.take(8))
+            java.util.UUID.randomUUID.toString.take(8), spec)
         }
       }
     }

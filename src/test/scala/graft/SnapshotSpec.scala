@@ -1267,6 +1267,9 @@ class SnapshotSpec extends AnyFunSuite {
     // toTable resolves its catalog through the THREAD-ACTIVE session's
     // conf (SQLConf.get), not the DataFrame's session — activate s so
     // the graft catalog registration is visible to the name lookup
+    // (and RESTORE after: a leaked active session makes later tests'
+    // catalog lookups read THIS test's confs)
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
     org.apache.spark.sql.SparkSession.setActiveSession(s)
     val in = MemoryStream[(Long, String)]
     val q = in.toDF().toDF("k", "name")
@@ -1281,7 +1284,13 @@ class SnapshotSpec extends AnyFunSuite {
       // the idempotence protocol the format face pins rides along here
       val log = root.resolve("stw").toString
       assert(graft.sources.ManifestSink.newestVersion(log) == 1)
-    } finally q.stop()
+    } finally {
+      q.stop()
+      prevActive match {
+        case Some(p) => org.apache.spark.sql.SparkSession.setActiveSession(p)
+        case None => org.apache.spark.sql.SparkSession.clearActiveSession()
+      }
+    }
     graft.util.Fs.deleteRecursively(root)
   }
 
@@ -1594,6 +1603,125 @@ class SnapshotSpec extends AnyFunSuite {
       graft.sources.ManifestSink.commitDvEpoch(log, "k BIGINT,name STRING",
         Seq((Paths.get(gone).getFileName.toString, "dv-bogus.txt", 1L)), 10))
     assert(e.conflictingFiles.nonEmpty)
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("STREAMING INGEST into a partitioned snap table (round 15): " +
+    "writeStream.toTable fans out per micro-batch, #part tuples land, " +
+    "and a day-scoped read prunes the other days' files — the " +
+    "canonical events-lake shape end to end") {
+    val root = Files.createTempDirectory("graft_snap_streampart")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    // toTable resolves its catalog through the THREAD-ACTIVE session
+    // (see the round-14 streaming test) — pin and restore
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.setActiveSession(s)
+    s.sql("""CREATE TABLE graft.snap.evp (k BIGINT, ts TIMESTAMP)
+            |PARTITIONED BY (days(ts))""".stripMargin)
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    def land(day: Int, ks: Seq[Long]): Unit = {
+      import s.implicits._
+      ks.map(k => (k, java.sql.Timestamp.valueOf(f"2024-02-0$day%d 09:00:00")))
+        .toDF("k", "ts").coalesce(1)
+        .write.mode("append").parquet(srcDir.toString)
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, ts TIMESTAMP")
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .writeStream
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode("append").toTable("graft.snap.evp")
+    try {
+      land(1, Seq(1L, 2L)); q.processAllAvailable()
+      land(2, Seq(10L, 11L)); q.processAllAvailable()
+      // one micro-batch spanning TWO days fans out to two files
+      locally { import s.implicits._
+        Seq((20L, java.sql.Timestamp.valueOf("2024-02-03 09:00:00")),
+          (21L, java.sql.Timestamp.valueOf("2024-02-04 09:00:00")))
+          .toDF("k", "ts").coalesce(1)
+          .write.mode("append").parquet(srcDir.toString) }
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prevActive match {
+        case Some(p) => org.apache.spark.sql.SparkSession.setActiveSession(p)
+        case None => org.apache.spark.sql.SparkSession.clearActiveSession()
+      }
+    }
+    val log = root.resolve("evp").toString
+    val parts = graft.sources.ManifestSink.filePartitions(log)
+    val committed = graft.sources.ManifestSink.committedFiles(log)
+      .map(f => Paths.get(f).getFileName.toString)
+    assert(committed.forall(parts.contains),
+      s"every streamed file must carry a #part tuple: $committed vs $parts")
+    assert(parts.values.toSeq.distinct.size == 4,
+      s"four distinct day tuples expected: ${parts.values.toSeq.distinct}")
+    // the day-scoped read prunes the other days' files
+    val got = s.sql("""SELECT k FROM graft.snap.evp
+                      |WHERE ts >= TIMESTAMP '2024-02-02 00:00:00'
+                      |  AND ts < TIMESTAMP '2024-02-03 00:00:00'
+                      |ORDER BY k""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(10L, 11L))
+    val (listed, planned) = graft.sources.SnapTable.lastPruneOf("evp")
+    assert(listed == committed.size && planned == 1,
+      s"day read should plan 1 of $listed: ($listed, $planned)")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("MOR-vs-COMPACTION true race (round 15): concurrent merge-on-" +
+    "read deletes and a compact_data sweep serialize through the " +
+    "claim-time fences — losers retry, nothing double-deletes, " +
+    "nothing resurrects, the final row set is exact") {
+    val root = Files.createTempDirectory("graft_snap_dvrace")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.sql("""CREATE TABLE graft.snap.rc (k BIGINT, v BIGINT)
+            |TBLPROPERTIES ('delete.mode'='mor')""".stripMargin)
+    locally { import s.implicits._
+      (0L until 400L).map(i => (i, i * 3)).toDF("k", "v").repartition(4)
+        .writeTo("graft.snap.rc").append() }
+    def isConflict(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[graft.sources.ManifestConflictException])
+    def retrying(sql: String, tries: Int = 6): Unit = {
+      var attempt = 0
+      var done = false
+      while (!done) {
+        try { s.sql(sql); done = true }
+        catch {
+          case t: Throwable if isConflict(t) && attempt < tries =>
+            attempt += 1
+        }
+      }
+    }
+    // 4 deleter threads over DISJOINT key ranges + 1 compaction thread,
+    // all racing over the same 4 data files
+    val ranges = Seq((0L, 10L), (100L, 110L), (200L, 210L), (300L, 310L))
+    val threads = ranges.map { case (lo, hi) =>
+      new Thread(() => retrying(
+        s"DELETE FROM graft.snap.rc WHERE k >= $lo AND k < $hi"))
+    } :+ new Thread(() => {
+      retrying("CALL graft.sys.compact_data('rc', 1000000)")
+      retrying("CALL graft.sys.compact_data('rc', 1000000)")
+    })
+    val errs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    threads.foreach(_.setUncaughtExceptionHandler((_, e) =>
+      errs.add(e.toString)))
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"unretried failures: $errs")
+    // exact final state: 400 rows minus the 40 deleted, values intact
+    val got = s.sql("SELECT k, v FROM graft.snap.rc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 400L).filterNot(k =>
+      ranges.exists { case (lo, hi) => k >= lo && k < hi })
+      .map(k => (k, k * 3)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     graft.util.Fs.deleteRecursively(root)
   }
 
