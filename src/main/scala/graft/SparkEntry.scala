@@ -229,6 +229,7 @@ object SparkEntry {
     "q_snap_partitioned" -> Materialize.snapPartitioned _,
     "q_snap_dv_delete"   -> Materialize.snapDvDelete _,
     "q_snap_history"     -> Materialize.snapHistory _,
+    "q_snap_cor"         -> Materialize.snapCor _,
     "q_snap_compact"     -> Materialize.snapCompact _,
     "q_vacuum_sql"       -> Materialize.vacuumSql _,
     "q_incr_dedup"       -> DedupOps.incrementalDedup _,
@@ -2394,6 +2395,16 @@ object SparkEntry {
         |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
         |  AND n_chars IS NOT NULL
         |  AND NOT (lang = 'es' AND doc_id < 300)
+        |GROUP BY lang""".stripMargin,
+    "q_snap_cor" -> // CREATE OR REPLACE TABLE AS SELECT, run twice
+      // (the reference's monthly-rebuild DDL): the oracle reproduces
+      // the SECOND run's select — the replace must fully supersede
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_chars // 100) AS BIGINT) AS sum_hundreds
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL AND lang <> 'zh'
         |GROUP BY lang""".stripMargin,
     "q_snap_history" -> // the .history lifecycle rows are exact by
       // construction: CREATE = metadata epoch 0, five 1-file appends,

@@ -1241,6 +1241,45 @@ object Materialize {
         |GROUP BY lang""".stripMargin)
   }
 
+  /** `CREATE OR REPLACE TABLE … AS SELECT` (`q_snap_cor`, round 15) —
+    * the reference's EXACT materialization statement (reference
+    * `etl_kaggle_to_big_query.py:88` is literally `CREATE OR REPLACE
+    * TABLE … AS SELECT <casts> WHERE <filter>`, re-run monthly as a
+    * full rebuild, reference `README.md:112`): run once to seed, run
+    * again with the refreshed select — the second run REPLACES the
+    * table through DROP + CREATE on the catalog face (the epoch log
+    * is reborn; Spark's non-staging replace path — a crash between
+    * drop and create leaves a missing table, never a mixed one; the
+    * single-epoch atomic variant is `INSERT OVERWRITE`,
+    * `q_snap_overwrite`). The oracle reproduces the second select. */
+  def snapCor(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_cor_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("graft_cor_src")
+    // month 1: the full corpus
+    spark.sql(
+      """CREATE OR REPLACE TABLE graft.snap.doccor AS
+        |SELECT doc_id, lang, n_chars FROM graft_cor_src""".stripMargin)
+    // month 2: the rebuild — refreshed slice, evolved derived column
+    spark.sql(
+      """CREATE OR REPLACE TABLE graft.snap.doccor AS
+        |SELECT doc_id, lang, n_chars,
+        |  n_chars DIV 100 AS n_hundreds
+        |FROM graft_cor_src WHERE lang <> 'zh'""".stripMargin)
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  sum(n_hundreds) AS sum_hundreds
+        |FROM graft.snap.doccor
+        |GROUP BY lang""".stripMargin)
+  }
+
   /** The full DDL lifecycle from pure SQL (`q_snap_ddl`, round 15):
     * `CREATE TABLE` with an explicit schema (epoch 0 = the `#schema`
     * record), `INSERT INTO` under it, `ALTER TABLE … ADD COLUMN` (a
