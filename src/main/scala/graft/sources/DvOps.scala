@@ -29,19 +29,53 @@ private[sources] object DvOps {
   private def dataDir(dir: String): java.io.File =
     new java.io.File(dir, "data")
 
-  /** The live dv positions of `files` as a relation (_f = data file
-    * base name, _p = deleted ordinal). Empty relation when none. */
-  def dvPositions(spark: SparkSession, dir: String,
-      files: Seq[String]): Option[DataFrame] = {
-    val dvMap = ManifestSink.deleteVectors(dir)
+  /** The live dv positions of `files` under the dv state `dvMap` as a
+    * relation (_f = data file base name, _p = deleted ordinal), or None
+    * when the files carry no dvs. The dv state is a CALLER-SUPPLIED
+    * snapshot (round 16) so the claim-time dv fences compare against
+    * exactly what the job computed with.
+    *
+    * FAN-IN shape (round 16, advisor r15): ALL dv files are read in
+    * ONE multi-path text scan (plan width O(1), partitions O(dv
+    * files)) instead of a per-file `unionAll` chain, and the dv-file →
+    * data-file naming rides a broadcast-tiny relation — bounded by the
+    * number of dv files, the same class as the epoch manifest. */
+  def dvPositions(spark: SparkSession, dir: String, files: Seq[String],
+      dvMap: Map[String, Seq[(String, Long)]]): Option[DataFrame] = {
     val pairs = files.map(f => java.nio.file.Paths.get(f).getFileName.toString)
       .distinct.flatMap(n => dvMap.getOrElse(n, Seq.empty).map(d => (n, d._1)))
     if (pairs.isEmpty) None
-    else Some(pairs.map { case (dataName, dvName) =>
-      spark.read.textFile(new java.io.File(dataDir(dir), dvName).toString)
-        .select(col("value").cast("long").as("_p"), lit(dataName).as("_f"))
-    }.reduce(_ unionAll _))
+    else {
+      import spark.implicits._
+      val names = pairs.map { case (dataName, dvName) =>
+        (dvName, dataName) }.toDF("_dv", "_f")
+      val lines = spark.read.textFile(pairs.map(p =>
+        new java.io.File(dataDir(dir), p._2).toString): _*)
+        .select(col("value").cast("long").as("_p"),
+          col("_metadata.file_name").as("_dv"))
+      Some(lines.join(broadcast(names), "_dv").select("_p", "_f"))
+    }
   }
+
+  /** Total recorded deleted-position count across `files` under
+    * `dvMap` — what decides broadcast vs shuffled anti-join below. */
+  private def dvCount(files: Seq[String],
+      dvMap: Map[String, Seq[(String, Long)]]): Long =
+    files.map(f => java.nio.file.Paths.get(f).getFileName.toString)
+      .distinct.flatMap(n => dvMap.getOrElse(n, Seq.empty).map(_._2)).sum
+
+  /** Above this many accumulated positions the dv relation stops being
+    * broadcast (an unbounded broadcast is a driver/executor OOM at
+    * scale) and the anti-join shuffles instead — the `#dv` records
+    * carry the counts, so the choice is free. Compaction remains the
+    * real resolution for heavily-dv'd tables. */
+  private[sources] val BroadcastPositionCap = 2000000L
+
+  private def antiJoinDeleted(base: DataFrame, pos: DataFrame,
+      nPositions: Long): DataFrame =
+    if (nPositions <= BroadcastPositionCap)
+      base.join(broadcast(pos), Seq("_f", "_p"), "left_anti")
+    else base.join(pos, Seq("_f", "_p"), "left_anti")
 
   /** Read `files` under `schema` with live position deletes EXCLUDED —
     * the read every COW rewriter (row-level DELETE survivors,
@@ -49,16 +83,19 @@ private[sources] object DvOps {
     * would resurrect through the rewritten files. */
   def readExcludingDeleted(spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType, dir: String,
-      files: Seq[String]): DataFrame = {
+      files: Seq[String],
+      dvMapOpt: Option[Map[String, Seq[(String, Long)]]] = None): DataFrame = {
+    val dvMap = dvMapOpt.getOrElse(ManifestSink.deleteVectors(dir))
     val base = spark.read.schema(schema).parquet(files: _*)
-    dvPositions(spark, dir, files) match {
+    dvPositions(spark, dir, files, dvMap) match {
       case None => base
       case Some(pos) =>
         val cols = schema.fieldNames.toSeq
-        base.select((col("_metadata.file_name").as("_f") +:
+        antiJoinDeleted(
+          base.select((col("_metadata.file_name").as("_f") +:
             col("_metadata.row_index").as("_p") +:
-            cols.map(col)): _*)
-          .join(broadcast(pos), Seq("_f", "_p"), "left_anti")
+            cols.map(col)): _*),
+          pos, dvCount(files, dvMap))
           .select(cols.map(col): _*)
     }
   }
@@ -71,15 +108,15 @@ private[sources] object DvOps {
     * semantics), matching the COW path. */
   def writeDeleteVectors(spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType, dir: String,
-      files: Seq[String],
-      pred: org.apache.spark.sql.Column): Seq[(String, String, Long)] = {
+      files: Seq[String], pred: org.apache.spark.sql.Column,
+      dvMap: Map[String, Seq[(String, Long)]]): Seq[(String, String, Long)] = {
     val base = spark.read.schema(schema).parquet(files: _*)
       .select((col("_metadata.file_name").as("_f") +:
         col("_metadata.row_index").as("_p") +:
         schema.fieldNames.toSeq.map(col)): _*)
-    val undeleted = dvPositions(spark, dir, files) match {
+    val undeleted = dvPositions(spark, dir, files, dvMap) match {
       case None => base
-      case Some(pos) => base.join(broadcast(pos), Seq("_f", "_p"), "left_anti")
+      case Some(pos) => antiJoinDeleted(base, pos, dvCount(files, dvMap))
     }
     val matches = undeleted.filter(pred <=> lit(true)).select("_f", "_p")
     val dd = dataDir(dir)

@@ -150,6 +150,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       // the writable (delete-capable) namespace: hive-partitioned
       // parquet under <mut.dir>/<table>, partition column from
       // <mut.partcol> (default event_type) — see [[MutableTable]]
+      GraftCatalog.requireValidTableName(ident.name())
       val dir = option(s"$MutNs.dir").getOrElse(
         throw new NoSuchTableException(ident))
       val root = new java.io.File(dir, ident.name())
@@ -171,6 +172,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       // `db.table.files`/`.history` shape). Metadata-sized by
       // construction: rows derive from the O(fragments) log, served as
       // a LocalScan — never a distributed read.
+      GraftCatalog.requireValidTableName(tname)
       val root = option(s"$SnapNs.dir").getOrElse(
         throw new NoSuchTableException(ident))
       val tdir = new java.io.File(root, tname)
@@ -214,6 +216,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     * Either way the declared schema is verified against every recorded
     * `#schema` before serving ([[ManifestSink.verifyDeclaredSchema]]). */
   private def snapTable(ident: Identifier, asOf: Option[Long]): Table = {
+    GraftCatalog.requireValidTableName(ident.name())
     val tdir = new java.io.File(snapRoot(ident), ident.name())
     if (!tdir.isDirectory) throw new NoSuchTableException(ident)
     val ddl = option(s"$SnapNs.${ident.name()}.schema")
@@ -329,8 +332,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         s"$catalogName: CREATE TABLE is supported only in the $SnapNs " +
           s"namespace (got ${ident.namespace().mkString(".")})")
     val name = ident.name()
-    require(!name.contains("/") && !name.contains("..") && !name.startsWith("."),
-      s"illegal snap table name '$name'")
+    GraftCatalog.requireValidTableName(name)
     // fail BEFORE claiming: every column must be sink-encodable
     ManifestWriters.parquetType(schema.fields.map(_.name),
       schema.fields.map(_.dataType.typeName))
@@ -494,6 +496,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     if (ident.namespace().toSeq != Seq(SnapNs))
       throw new UnsupportedOperationException(
         s"$catalogName: DROP TABLE is supported only in the $SnapNs namespace")
+    GraftCatalog.requireValidTableName(ident.name())
     val tdir = new java.io.File(snapRoot(ident), ident.name())
     if (!tdir.isDirectory) false
     else { graft.util.Fs.deleteRecursively(tdir.toPath); true }
@@ -507,6 +510,19 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
 }
 
 object GraftCatalog {
+  /** Table names under the writable namespaces must be SINGLE path
+    * segments: a backquoted identifier carrying `/`, `\`, `..` or a
+    * leading `.` would otherwise resolve OUTSIDE the namespace root —
+    * on the read path that serves a foreign directory as a table, and
+    * on `DROP TABLE` it recursively deletes an arbitrary directory
+    * (advisor r15). One validator for every face that turns a name
+    * into a path (create/load/drop/metadata tables, procedures). */
+  private[sources] def requireValidTableName(name: String): Unit =
+    require(name.nonEmpty && !name.contains("/") && !name.contains("\\") &&
+        !name.contains("..") && !name.startsWith("."),
+      s"illegal snap table name '$name' — table names must be a single " +
+        "path segment (no '/', '\\', '..' or leading '.')")
+
   val SfNs = "sf"
   val GenNs = "gen"
   val GenTable = "numbers"
@@ -753,11 +769,57 @@ private[sources] class SnapTable(tname: String, val dir: String,
       // small dv files — O(deleted rows), not O(touched files) — and
       // publish them as one `#dv` epoch. No data file moves; readers
       // apply the positions; a later rewrite/compaction resolves them.
-      val records = DvOps.writeDeleteVectors(spark, tschema, dir,
-        affected, pred)
-      if (records.nonEmpty)
-        ManifestSink.commitDvEpoch(dir, tschema.toDDL, records,
-          tblCompactInterval)
+      // The commit carries the dv state this job computed against
+      // (round 16): a racing dv that landed in between trips the
+      // claim-time dv-vs-dv fence — the loser's positions could
+      // overlap the winner's and overcount — and this loop then
+      // RE-RESOLVES from the fresh log (a racing rewrite may also
+      // have moved rows to new files) and retries: concurrent trickle
+      // deletes serialize instead of failing the statement.
+      var attempt = 0
+      var pending = affected
+      var committed = false
+      while (!committed && pending.nonEmpty) {
+        attempt += 1
+        val dvMap = ManifestSink.deleteVectors(dir)
+        val records = DvOps.writeDeleteVectors(spark, tschema, dir,
+          pending, pred, dvMap)
+        if (records.isEmpty) committed = true
+        else {
+          val observed = records.map(_._1).distinct.map(n =>
+            n -> dvMap.getOrElse(n, Seq.empty).map(_._1).toSet).toMap
+          try {
+            ManifestSink.commitDvEpoch(dir, tschema.toDDL, records,
+              tblCompactInterval, Some(observed))
+            committed = true
+          } catch {
+            case e: ManifestConflictException =>
+              // the losing attempt's dv files are unreferenced — clean
+              // them now rather than waiting out vacuum's age gate
+              records.foreach { case (_, dv, _) =>
+                java.nio.file.Files.deleteIfExists(
+                  java.nio.file.Paths.get(dir, "data", dv))
+              }
+              if (attempt >= 5) throw e
+              // re-resolve against the current snapshot: drop targets
+              // a racing rewrite removed, pick up the files that now
+              // hold their rows
+              val freshFiles = ManifestSink.committedFiles(dir)
+              val freshStats = ManifestSink.fileStats(dir)
+              val freshParts = ManifestSink.filePartitions(dir)
+              pending = freshFiles.filter { f =>
+                val n = java.nio.file.Paths.get(f).getFileName.toString
+                val partOk = freshParts.get(n).forall(toks =>
+                  filters.forall(PartField.mayMatch(pspec, toks, _)))
+                partOk && (freshStats.get(n) match {
+                  case None => true
+                  case Some(st) => st.rows > 0 &&
+                    filters.forall(SnapStats.mayMatch(st, _))
+                })
+              }
+          }
+        }
+      }
       return
     }
     // COPY-ON-WRITE: the survivor read EXCLUDES live dv positions (a
@@ -769,7 +831,8 @@ private[sources] class SnapTable(tname: String, val dir: String,
     val dvMap = ManifestSink.deleteVectors(dir)
     val consumed = affectedNames.map(n =>
       n -> dvMap.getOrElse(n, Seq.empty).map(_._1).toSet).toMap
-    val survivors = DvOps.readExcludingDeleted(spark, tschema, dir, affected)
+    val survivors = DvOps.readExcludingDeleted(spark, tschema, dir, affected,
+      Some(dvMap))
       .filter(org.apache.spark.sql.functions.not(
         pred <=> org.apache.spark.sql.functions.lit(true)))
     survivors.write.format("graft.sources.ManifestSink")

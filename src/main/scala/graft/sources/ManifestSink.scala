@@ -192,9 +192,16 @@ object ManifestSink {
       val lines = Files.readAllLines(p, java.nio.charset.StandardCharsets.UTF_8)
         .asScala.toSeq.filter(_.nonEmpty)
       fragmentParses.incrementAndGet()
-      if (fragmentCache.size >= FragmentCacheCap) fragmentCache.clear()
-      fragmentCache.put(key,
-        (attrs.fileKey, attrs.size, attrs.lastModifiedTime, lines))
+      // a null fileKey (filesystems without stable inode identity)
+      // would make delete-recreate detection null==null — size+mtime
+      // alone cannot tell a recreated same-size fragment within mtime
+      // granularity apart, so such files are simply never cached
+      // (advisor r15); re-reading is the pre-r15 cost, correctness keeps
+      if (attrs.fileKey != null) {
+        if (fragmentCache.size >= FragmentCacheCap) fragmentCache.clear()
+        fragmentCache.put(key,
+          (attrs.fileKey, attrs.size, attrs.lastModifiedTime, lines))
+      }
       lines
     }
   }
@@ -512,12 +519,13 @@ object ManifestSink {
     * token so a claim racing a compaction sweep can recognize its own
     * absorbed publish. */
   private[graft] def commitDvEpoch(path: String, schemaDdl: String,
-      records: Seq[(String, String, Long)], compactInterval: Int): Long = {
+      records: Seq[(String, String, Long)], compactInterval: Int,
+      observedDvs: Option[Map[String, Set[String]]] = None): Long = {
     val dir = Files.createDirectories(Paths.get(path))
     val content = Seq(s"#schema $schemaDdl",
       s"#cow ${java.util.UUID.randomUUID.toString}") ++
       records.sortBy(_._1).map { case (data, dv, n) => dvLine(data, dv, n) }
-    val id = claimEpoch(dir, () => content)
+    val id = claimEpoch(dir, () => content, observedDvs = observedDvs)
     maybeCompact(dir, latestCompact(dir).map(_._1).getOrElse(-1L),
       compactInterval)
     id
@@ -763,9 +771,23 @@ object ManifestSink {
     * be silently disposed and its deleted rows resurrected through the
     * survivor files. `None` means dispose-without-reading semantics
     * (full/partition overwrite: replacement data is independent of the
-    * old rows, so disposing a racing dv IS the serializable outcome). */
+    * old rows, so disposing a racing dv IS the serializable outcome).
+    *
+    * DV-vs-DV fencing (round 16, advisor r15): two concurrent
+    * merge-on-read operations over one data file both compute their
+    * positions against a dv state that lacks the other's records —
+    * reads would stay value-correct (the reader's position set dedupes)
+    * but the `#dv` nDeleted records and everything derived from them
+    * (`.files` deleted_rows, the zero-column fast path's live count)
+    * would overcount the overlap. A `#dv`-carrying commit therefore
+    * passes the dv state it COMPUTED AGAINST as `observedDvs`; the
+    * claim verifies each target file's current dv set is exactly that
+    * set and aborts with a retryable [[ManifestConflictException]]
+    * otherwise — the loser recomputes against the winner's records
+    * (which its anti-join then excludes) and retries. */
   private[sources] def claimEpoch(dir: Path, contentGen: () => Seq[String],
-      consumedDvs: Option[Map[String, Set[String]]] = None): Long = {
+      consumedDvs: Option[Map[String, Set[String]]] = None,
+      observedDvs: Option[Map[String, Set[String]]] = None): Long = {
     var claimed = -1L
     while (claimed < 0) {
       val content = contentGen()
@@ -807,6 +829,21 @@ object ManifestSink {
             }
             if (stale.nonEmpty)
               throw new ManifestConflictException(stale.sorted, dir.toString)
+          }
+          // DV-vs-DV fence: each `#dv` target's CURRENT dv set must be
+          // exactly the set this operation computed its positions
+          // against — a racing dv that landed in between may overlap,
+          // and the loser must recompute (its anti-join then excludes
+          // the winner's positions) rather than publish overcounts
+          observedDvs.foreach { m =>
+            val cur = deleteVectors(dir.toString)
+            val raced = dvTargets.flatMap { f =>
+              val now = cur.getOrElse(f, Seq.empty).map(_._1).toSet
+              (now -- m.getOrElse(f, Set.empty)).toSeq.sorted
+                .map(dv => s"$f#$dv")
+            }
+            if (raced.nonEmpty)
+              throw new ManifestConflictException(raced.sorted, dir.toString)
           }
         }
         try {

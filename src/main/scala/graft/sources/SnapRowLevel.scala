@@ -82,8 +82,29 @@ private[sources] class SnapRowLevelOperation(val tname: String,
   @volatile private[sources] var rewriteNames: Seq[String] =
     snapshotFiles.map(baseName)
 
+  /** The runtime group filter's allowed `_file` set, recorded ON THE
+    * OPERATION when any scan instance receives it (advisor r15): the
+    * commit intersects [[rewriteNames]] with it, so a plan invocation
+    * that happens AFTER the executed replacement read (group-filter
+    * subquery reuse, an EXPLAIN, an AQE re-plan that never sees the
+    * runtime predicate) can no longer widen the remove set beyond the
+    * files the executed, runtime-filtered read actually covered. When
+    * the filter never engaged (None), the executed read itself was
+    * unfiltered and the last-planned list IS the read set. */
+  @volatile private[sources] var runtimeKeep: Option[Set[String]] = None
+
+  private[sources] def recordRuntimeKeep(allowed: Set[String]): Unit =
+    runtimeKeep = Some(runtimeKeep.fold(allowed)(_ intersect allowed))
+
   private[sources] def setRewrite(planned: Seq[String]): Unit =
     rewriteNames = planned
+
+  /** The files the commit removes: the last-planned list, narrowed by
+    * the recorded runtime keep-set when one was delivered. */
+  private[sources] def effectiveRewrite: Seq[String] = runtimeKeep match {
+    case Some(keep) => rewriteNames.filter(keep.contains)
+    case None => rewriteNames
+  }
 
   override def command(): Command = cmd
   override def description(): String = s"graft.snap.$tname $cmd (copy-on-write)"
@@ -200,6 +221,7 @@ private[sources] class SnapRowLevelScan(op: SnapRowLevelOperation,
     if (sets.nonEmpty) {
       val allowed = sets.reduce(_ intersect _)
       runtimeKept = Some(allowed)
+      op.recordRuntimeKeep(allowed)
       SnapTable.recordRewrite(op.tname, op.snapshotFiles.size, allowed.size)
     }
   }
@@ -264,15 +286,15 @@ private[sources] class SnapRowLevelWrite(op: SnapRowLevelOperation,
       java.util.UUID.randomUUID.toString.take(8), op.spec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    SnapTable.recordRewrite(op.tname, op.snapshotFiles.size,
-      op.rewriteNames.size)
+    val removed = op.effectiveRewrite
+    SnapTable.recordRewrite(op.tname, op.snapshotFiles.size, removed.size)
     // declare the dvs this rewrite READ as consumed: the claim-time
     // fence aborts (retryably) if a merge-on-read delete landed on a
     // rewritten file after this operation pinned its snapshot
-    val consumed = op.rewriteNames.map(n =>
+    val consumed = removed.map(n =>
       n -> op.dvs.getOrElse(n, Seq.empty).map(_._1).toSet).toMap
     ManifestSink.commitBatchEpoch(op.dir, ws.toDDL, messages,
-      () => op.rewriteNames,
+      () => op.effectiveRewrite,
       ManifestSink.tableProperties(op.dir).get("compact.interval")
         .flatMap(_.toIntOption)
         .getOrElse(ManifestSink.DefaultCompactInterval),

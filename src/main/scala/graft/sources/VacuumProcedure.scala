@@ -96,6 +96,7 @@ class CompactProcedure(snapDir: () => String,
         "compact_data(table, target_rows[, sort_cols]): table and " +
           "target_rows must not be null")
       val table = input.getUTF8String(0).toString
+      GraftCatalog.requireValidTableName(table)
       val target = input.getLong(1)
       require(target >= 1, s"target_rows must be >= 1, got $target")
       val schema = schemaOf(table)
@@ -129,14 +130,23 @@ class CompactProcedure(snapDir: () => String,
       val result: (Long, Long, Long) =
         if (!worthIt) (0L, 0L, 0L)
         else {
+          // candidates without a #stats record (dv-carrying files from
+          // pre-stats logs) fall back to the parquet footer's row count
+          // (advisor r15: counting them as 0 undersized the repartition
+          // target, so output files could exceed the requested size)
           val totalRows = small.map(f =>
-            stats.get(fname(f)).map(_.rows).getOrElse(0L)).sum
+            stats.get(fname(f)).map(_.rows).getOrElse {
+              val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+                new org.apache.parquet.io.LocalInputFile(
+                  java.nio.file.Paths.get(f)))
+              try fr.getRecordCount finally fr.close()
+            }).sum
           val parts = math.max(1L, (totalRows + target - 1) / target).toInt
           val spark = org.apache.spark.sql.SparkSession.active
           // the rewrite read EXCLUDES live dv positions — this is the
           // resolution step; the commit declares them consumed
           val df = DvOps.readExcludingDeleted(spark, schema,
-            dir.toString, small)
+            dir.toString, small, Some(dvMap))
           val packed =
             if (sortCols.isEmpty) df.repartition(parts)
             else {
@@ -188,6 +198,7 @@ class VacuumProcedure(snapDir: () => String) extends UnboundProcedure {
       require(!input.isNullAt(0) && !input.isNullAt(1),
         "vacuum(table, older_than_ms): arguments must not be null")
       val table = input.getUTF8String(0).toString
+      GraftCatalog.requireValidTableName(table)
       val dir = new java.io.File(snapDir(), table)
       require(dir.isDirectory, s"graft.snap.$table: no manifest table at $dir")
       val deleted = ManifestSink.vacuum(dir.toString, input.getLong(1))
