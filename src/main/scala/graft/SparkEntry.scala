@@ -228,6 +228,8 @@ object SparkEntry {
     "q_snap_files"       -> Materialize.snapFiles _,
     "q_snap_partitioned" -> Materialize.snapPartitioned _,
     "q_snap_dv_delete"   -> Materialize.snapDvDelete _,
+    "q_snap_dv_update"   -> Materialize.snapDvUpdate _,
+    "q_snap_dv_merge"    -> Materialize.snapDvMerge _,
     "q_snap_history"     -> Materialize.snapHistory _,
     "q_snap_cor"         -> Materialize.snapCor _,
     "q_snap_compact"     -> Materialize.snapCompact _,
@@ -2396,6 +2398,36 @@ object SparkEntry {
         |  AND n_chars IS NOT NULL
         |  AND NOT (lang = 'es' AND doc_id < 300)
         |GROUP BY lang""".stripMargin,
+    "q_snap_dv_update" -> // merge-on-read UPDATE (SupportsDelta
+      // position-delta plan): IDENTICAL oracle to q_snap_update — the
+      // storage strategy (dv + appended replacement rows vs group COW
+      // rewrite) must be value-invisible
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN lang = 'de' THEN n_chars + 1000
+        |               ELSE n_chars END) AS BIGINT) AS sum_chars,
+        |  CAST(min(CASE WHEN lang = 'de' THEN n_chars + 1000
+        |               ELSE n_chars END) AS BIGINT) AS min_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL
+        |GROUP BY lang""".stripMargin,
+    "q_snap_dv_merge" -> // merge-on-read MERGE (upsert): IDENTICAL
+      // oracle to q_snap_merge — value-invisible storage strategy
+      """WITH merged AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN lang = 'es' AND doc_id < 300 THEN n_chars * 2
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL
+        |  UNION ALL
+        |  SELECT 9000000 + i AS doc_id, 'xx' AS lang, i * 11 AS n_chars
+        |  FROM (SELECT unnest(generate_series(1, 3)) AS i)
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM merged GROUP BY lang""".stripMargin,
     "q_snap_cor" -> // CREATE OR REPLACE TABLE AS SELECT, run twice
       // (the reference's monthly-rebuild DDL): the oracle reproduces
       // the SECOND run's select — the replace must fully supersede

@@ -1170,6 +1170,93 @@ object Materialize {
         |GROUP BY lang""".stripMargin)
   }
 
+  /** MERGE-ON-READ UPDATE (`q_snap_dv_update`, round 16): the same
+    * update as `q_snap_update` under `deleteMode=mor` — Spark's
+    * `SupportsDelta` position-delta plan ([[graft.sources
+    * .SnapDeltaOperation]]) marks the replaced row POSITIONS in small
+    * dv files and appends the replacement rows, in ONE atomic epoch;
+    * zero data files move. The oracle is IDENTICAL to
+    * `q_snap_update`'s: the storage strategy must be value-invisible.
+    * At 100 TB this is what makes a CDC trickle-update feasible —
+    * O(changed rows) written instead of rewriting every touched file
+    * (SnapshotSpec pins a 1-row update at one tiny dv + a 1-row
+    * replacement file). */
+  def snapDvUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_dvu_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val log = new java.io.File(root, "docdvu").toString
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Seq("de", "en", "es", "fr", "zh").foreach { l =>
+      complete.filter(col("lang") === l)
+        .coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    spark.conf.set("spark.sql.catalog.graft.snap.docdvu.schema",
+      "doc_id LONG, lang STRING, n_chars LONG")
+    spark.conf.set("spark.sql.catalog.graft.snap.docdvu.deleteMode", "mor")
+    spark.sql(
+      "UPDATE graft.snap.docdvu SET n_chars = n_chars + 1000 WHERE lang = 'de'")
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  min(n_chars) AS min_chars
+        |FROM graft.snap.docdvu
+        |GROUP BY lang""".stripMargin)
+  }
+
+  /** MERGE-ON-READ MERGE (`q_snap_dv_merge`, round 16): the same
+    * upsert as `q_snap_merge` under `deleteMode=mor` — matched rows
+    * become dv positions + appended replacements, inserts append, ONE
+    * atomic epoch, zero data files moved. Identical oracle to
+    * `q_snap_merge` (value-invisible storage strategy). This is the
+    * scaled form of the reference's monthly refresh (reference
+    * `README.md:112`) a 100 TB deployment actually runs: a CDC
+    * trickle-upsert whose write cost is O(changed rows). */
+  def snapDvMerge(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_dvm_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val log = new java.io.File(root, "docdvm").toString
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Seq("de", "en", "es", "fr", "zh").foreach { l =>
+      complete.filter(col("lang") === l)
+        .coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    spark.conf.set("spark.sql.catalog.graft.snap.docdvm.schema",
+      "doc_id LONG, lang STRING, n_chars LONG")
+    spark.conf.set("spark.sql.catalog.graft.snap.docdvm.deleteMode", "mor")
+    val updates = complete
+      .filter(col("lang") === "es" && col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"), (col("n_chars") * 2).as("n_chars"))
+    val inserts = spark.range(1, 4)
+      .select((col("id") + 9000000L).as("doc_id"), lit("xx").as("lang"),
+        (col("id") * 11).as("n_chars"))
+    updates.unionAll(inserts).createOrReplaceTempView("graft_dvmerge_src")
+    spark.sql(
+      """MERGE INTO graft.snap.docdvm t USING graft_dvmerge_src s
+        |ON t.doc_id = s.doc_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  max(n_chars) AS max_chars
+        |FROM graft.snap.docdvm
+        |GROUP BY lang""".stripMargin)
+  }
+
   /** INSERT OVERWRITE on the lake (`q_snap_overwrite`, round 14): the
     * full-snapshot REPLACE face (`SupportsTruncate` on the manifest
     * write builder) — new task files + `#remove`s of every committed

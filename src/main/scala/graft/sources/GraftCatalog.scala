@@ -624,23 +624,30 @@ private[sources] class SnapTable(tname: String, val dir: String,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC).asJava
 
-  /** `_file` rides along on every face (round 14): selectable on batch
-    * reads, and the handle Spark's runtime group filter uses to name
-    * matched groups back to the row-level scan. */
+  /** `_file`/`_pos` ride along on every face (rounds 14/16):
+    * selectable on batch reads, the handle Spark's runtime group
+    * filter names matched groups with (COW), and together the rowId
+    * the merge-on-read delta operation keys its dv files on. */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(SnapFileColumn)
+    Array(SnapFileColumn, SnapPosColumn)
 
   /** UPDATE / MERGE INTO / non-metadata DELETE route here (round 14):
-    * a group-based copy-on-write [[SnapRowLevelOperation]]. Historical
-    * snapshots are immutable — a `VERSION AS OF` table refuses. */
+    * group-based copy-on-write ([[SnapRowLevelOperation]]) by default;
+    * under `delete.mode = mor` (round 16) the POSITION-DELTA operation
+    * ([[SnapDeltaOperation]]) instead — dv records + appended rows in
+    * one atomic epoch, zero data files moved. Historical snapshots are
+    * immutable — a `VERSION AS OF` table refuses. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     if (asOf.isDefined) throw new UnsupportedOperationException(
       s"graft.snap.$tname VERSION AS OF ${asOf.get}: historical " +
         "snapshots are immutable — run the operation on the current table")
-    () => new SnapRowLevelOperation(tname, dir, tschema, info.command())
+    if (deleteMode == "mor")
+      () => new SnapDeltaOperation(tname, dir, tschema, info.command())
+    else
+      () => new SnapRowLevelOperation(tname, dir, tschema, info.command())
   }
 
   /** `INSERT INTO graft.snap.t` — a plain batch APPEND epoch through
@@ -1211,15 +1218,16 @@ private[sources] class SnapScanBuilder(tname: String, files: Seq[String],
       })
     }
     SnapTable.recordPrune(tname, files.size, kept.size)
-    // a read that references the `_file` metadata column cannot ride
-    // the parquet delegate (the files carry no such field — by-name
-    // null-fill would silently serve nulls where the file NAME
-    // belongs); serve it through the sink's own by-name group reader,
-    // a partition per kept file. Rare metadata queries trade the
-    // vectorized reader for correctness; every other read keeps the
-    // delegate below.
-    val wantsFile = required.exists(_.fields.exists(
-      _.name.equalsIgnoreCase(SnapFileColumn.name)))
+    // a read that references the `_file`/`_pos` metadata columns
+    // cannot ride the parquet delegate (the files carry no such
+    // fields — by-name null-fill would silently serve nulls where the
+    // file name / row ordinal belong); serve it through the sink's own
+    // by-name group reader, a partition per kept file. Rare metadata
+    // queries trade the vectorized reader for correctness; every other
+    // read keeps the delegate below.
+    val wantsFile = required.exists(_.fields.exists(f =>
+      f.name.equalsIgnoreCase(SnapFileColumn.name) ||
+        f.name.equalsIgnoreCase(SnapPosColumn.name)))
     // MERGE-ON-READ deletes (round 15): a kept file with live position
     // deletes cannot ride the parquet delegate (it would serve the
     // deleted rows) — the sink's own reader applies the dv skip. The

@@ -531,6 +531,36 @@ object ManifestSink {
     id
   }
 
+  /** Publish a MERGE-ON-READ row-level UPDATE/MERGE epoch (round 16):
+    * `#dv` records for the replaced/deleted row positions PLUS the
+    * appended replacement/inserted data files, flipped in ONE atomic
+    * claim — the Iceberg-v2 position-delta commit shape. Write cost is
+    * O(changed rows), independent of the touched files' sizes: the
+    * contract that makes a CDC trickle-upsert feasible at 100 TB where
+    * copy-on-write rewrites whole files per touched row. The claim
+    * runs BOTH dv fences: target-file liveness (a racing COW that
+    * removed a target aborts this commit retryably) and observed-dv
+    * equality (a racing dv that landed after this operation pinned its
+    * snapshot could overlap these positions). */
+  private[graft] def commitDeltaEpoch(path: String, schemaDdl: String,
+      dvRecords: Seq[(String, String, Long)], adds: Seq[CommittedFile],
+      compactInterval: Int,
+      observedDvs: Map[String, Set[String]]): Long = {
+    val dir = Files.createDirectories(Paths.get(path))
+    val token = java.util.UUID.randomUUID.toString
+    val sortedAdds = adds.sortBy(_.name)
+    val parts = sortedAdds.collect {
+      case f if f.part.nonEmpty => partLine(f.name, f.part) }
+    val content = Seq(s"#schema $schemaDdl", s"#cow $token") ++
+      sortedAdds.map(statsLine) ++ parts ++
+      dvRecords.sortBy(_._1).map { case (d, v, n) => dvLine(d, v, n) } ++
+      sortedAdds.map(_.name)
+    val id = claimEpoch(dir, () => content, observedDvs = Some(observedDvs))
+    maybeCompact(dir, latestCompact(dir).map(_._1).getOrElse(-1L),
+      compactInterval)
+    id
+  }
+
   /** consumedDvs option codec for the DataFrameWriter COW faces
     * (row-level DELETE survivors, compaction): `f1:dv1|dv2;f2:` —
     * names are uuid-safe so the separators cannot collide. */
@@ -2145,19 +2175,21 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
         fr.getRecordCount)
       finally fr.close()
     }
-    val wanted = fieldNames.filterNot(_.equalsIgnoreCase("_file"))
+    val wanted = fieldNames.filterNot(n =>
+      n.equalsIgnoreCase("_file") || n.equalsIgnoreCase("_pos"))
     val projected = new java.util.ArrayList[org.apache.parquet.schema.Type]()
     (0 until fileFields.size()).foreach { j =>
       val f = fileFields.get(j)
       if (wanted.exists(_.equalsIgnoreCase(f.getName))) projected.add(f)
     }
     if (projected.isEmpty) {
-      // no data column lives in this file (count(*) / _file-only scans,
-      // or a fully pre-evolution file): emit the footer's row count —
-      // minus the deleted positions — as constant rows, zero decoded
-      val live = fileRows - deleted.size()
+      // no data column lives in this file (count(*) / metadata-only
+      // scans, or a fully pre-evolution file): nothing is decoded — the
+      // footer's row count drives emission, ordinals are enumerated
+      // (skipping deleted positions) only because `_pos` may be asked
+      val posIdx = fieldNames.indexWhere(_.equalsIgnoreCase("_pos"))
       return new PartitionReader[InternalRow] {
-        private var served = 0L
+        private var pos = -1L
         private val row = new org.apache.spark.sql.catalyst.expressions
           .GenericInternalRow(fieldNames.indices.map[Any] { i =>
             if (fieldNames(i).equalsIgnoreCase("_file"))
@@ -2165,8 +2197,15 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
                 Paths.get(file).getFileName.toString)
             else null
           }.toArray)
-        override def next(): Boolean = { served += 1; served <= live }
-        override def get(): InternalRow = row
+        override def next(): Boolean = {
+          pos += 1
+          while (pos < fileRows && deleted.contains(pos)) pos += 1
+          pos < fileRows
+        }
+        override def get(): InternalRow = {
+          if (posIdx >= 0) row.update(posIdx, pos)
+          row
+        }
         override def close(): Unit = ()
       }
     }
@@ -2223,12 +2262,14 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           fieldTypes.indices.map[Any] { i =>
             if (fidx(i) < 0) {
-              // `_file` metadata column (round 14): the file carries no
-              // such field, so serve the partition's base name — a file
-              // with a REAL _file column resolves above and wins
+              // `_file`/`_pos` metadata columns (rounds 14/16): the file
+              // carries no such field, so serve the partition's base
+              // name / the row's physical ordinal — a file with a REAL
+              // column of that name resolves above and wins
               if (fieldNames(i).equalsIgnoreCase("_file"))
                 org.apache.spark.unsafe.types.UTF8String.fromString(
                   java.nio.file.Paths.get(file).getFileName.toString)
+              else if (fieldNames(i).equalsIgnoreCase("_pos")) pos
               else null // pre-evolution file
             }
             else {

@@ -136,6 +136,25 @@ private[sources] object SnapFileColumn
     "base name of the committed data file the row lives in"
 }
 
+/** The `_pos` metadata column (round 16): a row's PHYSICAL ordinal
+  * within its committed data file — the second half of the
+  * (file, position) row identity every position-delete design keys on
+  * (Delta/Iceberg expose the same pair). Ordinals are physical, so a
+  * row's `_pos` is stable across reads and across live dvs (deleted
+  * rows are skipped, survivors keep their original ordinals — exactly
+  * the space dv files record). Together with `_file` this is the
+  * `rowId` of the merge-on-read row-level operation
+  * ([[SnapDeltaOperation]]). */
+private[sources] object SnapPosColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def name(): String = "_pos"
+  override def dataType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "physical row ordinal within the row's committed data file"
+}
+
 /** Scan builder for the row-level read faces: static `#stats` pruning
   * from pushed v1 filters (prunes THIS scan's partitions only — never
   * the operation's rewrite set, which only the runtime group filter

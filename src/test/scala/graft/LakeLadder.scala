@@ -174,6 +174,53 @@ object LakeLadder {
     println(f"LAKE dv delete(10 rows of $epochs files)=$dvWall%.2fs " +
       f"dvBytes=$dvBytes fullCountWithDvs=$dvReadWall%.2fs")
 
+    // ——— MERGE-ON-READ UPSERT at table age (round 16): a 10-row MERGE
+    // (5 updates + 5 inserts) across the 1,005-file table must cost
+    // O(changed rows) — ONE position-delta epoch, five 1-position dvs,
+    // a handful of appended rows, ZERO data files moved — the CDC
+    // trickle-upsert economics the SupportsDelta plan exists for
+    val updKeys = (0 until 5).map(i => epochs / 3 + i * 11)
+    val insKeys = (0 until 5).map(i => 9000000 + i)
+    locally { import spark.implicits._
+      (updKeys.map(k => (k.toLong, "upserted")) ++
+        insKeys.map(k => (k.toLong, "inserted")))
+        .toDF("k", "name").createOrReplaceTempView("ladder_upsert_src") }
+    val preMerge = ManifestSink.committedFiles(log).toSet
+    val preMergeVersion = ManifestSink.newestVersion(log)
+    val preMergeDvs = dvMap.values.flatten.size
+    val t9 = System.nanoTime()
+    spark.sql("""MERGE INTO graft.snap.big t USING ladder_upsert_src s
+                |ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val upsertWall = nowS(t9)
+    val postMerge = ManifestSink.committedFiles(log).toSet
+    require(preMerge.subsetOf(postMerge),
+      "merge-on-read upsert moved original data files")
+    require(ManifestSink.newestVersion(log) == preMergeVersion + 1,
+      "the upsert must land as ONE atomic epoch")
+    val dvMap2 = ManifestSink.deleteVectors(log)
+    val newDvs = dvMap2.values.flatten.size - preMergeDvs
+    require(newDvs == updKeys.size &&
+      dvMap2.values.flatten.map(_._2).sum == (dvKeys.size + updKeys.size).toLong,
+      s"five new 1-position dvs expected: $dvMap2")
+    val upsertDvBytes = dvMap2.values.flatten
+      .map(e => Files.size(dataDir.resolve(e._1))).sum
+    require(upsertDvBytes < 300L,
+      s"dv plane must stay O(changed rows): $upsertDvBytes B")
+    val t10 = System.nanoTime()
+    val n3 = spark.sql("SELECT count(*) FROM graft.snap.big")
+      .collect().head.getLong(0)
+    val upsertReadWall = nowS(t10)
+    require(n3 == epochs - dvKeys.size + insKeys.size, s"post-upsert count $n3")
+    val upd = spark.sql(s"SELECT name FROM graft.snap.big WHERE k IN " +
+      s"(${updKeys.mkString(",")})").collect().map(_.getString(0))
+    require(upd.length == updKeys.size && upd.forall(_ == "upserted"),
+      s"updated rows must serve the new value: ${upd.toSeq}")
+    println(f"LAKE dv upsert(10 rows of $epochs files)=$upsertWall%.2fs " +
+      f"newDvBytes=${upsertDvBytes - dvBytes} filesMoved=0 " +
+      f"fullCountAfter=$upsertReadWall%.2fs")
+
     // ——— VACUUM over a big orphan set next to the committed files —
     // 50,000 orphans (judge r12 #6): the listing is a STREAMED
     // single-pass directory walk (never materialized), so driver memory
@@ -189,13 +236,14 @@ object LakeLadder {
     val reclaimed = ManifestSink.vacuum(log, 60000)
     val vacWall = nowS(t6)
     require(reclaimed.size == orphanN, s"vacuum reclaimed ${reclaimed.size}")
-    require(ManifestSink.committedFiles(log).size == epochs &&
+    require(ManifestSink.committedFiles(log).size == postMerge.size &&
       Files.exists(dataDir.resolve(f"f${epochs / 2}%06d.parquet")),
       "vacuum touched committed data")
-    require(dvMap.values.flatten.forall(e =>
+    require(dvMap2.values.flatten.forall(e =>
       Files.exists(dataDir.resolve(e._1))),
       "vacuum reclaimed a LIVE position-delete file")
-    println(f"LAKE vacuum orphans=$orphanN committedKept=$epochs wall=$vacWall%.2fs " +
+    println(f"LAKE vacuum orphans=$orphanN committedKept=${postMerge.size} " +
+      f"wall=$vacWall%.2fs " +
       s"loadavg=${scala.io.Source.fromFile("/proc/loadavg").mkString.trim}")
     spark.stop()
     graft.util.Fs.deleteRecursively(root)

@@ -1576,8 +1576,13 @@ class SnapshotSpec extends AnyFunSuite {
       inc.getMessage.contains("rewrites"), inc.getMessage)
 
     // a COW UPDATE over the dv'd file must not resurrect deleted rows
-    // (the rewrite read excludes positions and consumes the dvs)
+    // (the rewrite read excludes positions and consumes the dvs).
+    // Round 16: under mor an UPDATE is position-delta, so pin the
+    // mode to cow for this statement — the group COW path is what
+    // this section exercises
+    s.conf.set("spark.sql.catalog.graft.snap.mv.deleteMode", "cow")
     s.sql("UPDATE graft.snap.mv SET name = 'bumped' WHERE k = 50")
+    s.conf.set("spark.sql.catalog.graft.snap.mv.deleteMode", "mor")
     assert(s.sql("SELECT count(*) FROM graft.snap.mv").head().getLong(0) == 195,
       "COW rewrite must not resurrect dv-deleted rows")
     assert(s.sql("SELECT name FROM graft.snap.mv WHERE k = 50")
@@ -1855,6 +1860,256 @@ class SnapshotSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(h2.head._3 + h2.tail.map(_._3).sum == expectTotal,
       s"checkpoint union + loose adds must equal the snapshot: $h2")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("MERGE-ON-READ UPDATE (round 16): a 1-row UPDATE under " +
+    "delete.mode=mor writes O(1) bytes — ZERO data files moved, one " +
+    "tiny dv + one 1-row replacement file in ONE atomic epoch; every " +
+    "read face serves the new value, time travel serves the old one, " +
+    "_pos rides every face, and compaction resolves the dv") {
+    val root = Files.createTempDirectory("graft_snap_dvu")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.conf.set("spark.sql.catalog.graft.snap.mu.deleteMode", "mor")
+    val log = root.resolve("mu").toString
+    locally { import s.implicits._
+      (0L until 100L).map(i => (i, s"v$i")).toDF("k", "name").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+      (100L until 200L).map(i => (i, s"v$i")).toDF("k", "name").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save() }
+    val dataFiles = graft.sources.ManifestSink.committedFiles(log).sorted
+    val bytesBefore = dataFiles.map(f => Files.size(Paths.get(f))).sum
+    val preVersion = graft.sources.ManifestSink.newestVersion(log)
+
+    // _pos metadata column rides batch reads: ordinals are physical
+    val posRow = s.sql(
+      "SELECT _pos, k FROM graft.snap.mu WHERE k = 142").head()
+    assert(posRow.getLong(0) == 42L && posRow.getLong(1) == 142L,
+      s"k=142 is ordinal 42 of its file: $posRow")
+
+    s.sql("UPDATE graft.snap.mu SET name = 'patched' WHERE k = 42")
+
+    // the original data files are untouched — byte-identical
+    val after = graft.sources.ManifestSink.committedFiles(log).sorted
+    assert(dataFiles.forall(after.contains),
+      "a merge-on-read update must keep every original data file")
+    assert(dataFiles.map(f => Files.size(Paths.get(f))).sum == bytesBefore,
+      "a merge-on-read update must not rewrite data bytes")
+    // exactly one appended replacement file, one dv with one position
+    val added = after.filterNot(dataFiles.contains)
+    assert(added.size == 1, s"one replacement file expected: $added")
+    val dvs = graft.sources.ManifestSink.deleteVectors(log)
+    assert(dvs.values.flatten.size == 1 &&
+      dvs.values.flatten.head._2 == 1L, s"one dv, one position: $dvs")
+    val stats = graft.sources.ManifestSink.fileStats(log)
+    assert(stats(Paths.get(added.head).getFileName.toString).rows == 1L,
+      "the replacement file holds exactly the one updated row")
+    // ONE epoch carried both (dv + add): exactly one commit landed
+    assert(graft.sources.ManifestSink.newestVersion(log) == preVersion + 1,
+      "dv + replacement must flip in one atomic epoch")
+
+    // every read face serves the new value, exactly once
+    assert(s.sql("SELECT count(*) FROM graft.snap.mu").head().getLong(0) == 200)
+    assert(s.sql("SELECT name FROM graft.snap.mu WHERE k = 42")
+      .collect().map(_.getString(0)).toSeq == Seq("patched"))
+    assert(s.sql("SELECT count(*) FROM graft.snap.mu WHERE name = 'v42'")
+      .head().getLong(0) == 0)
+    // time travel: the pre-update version serves the old value
+    assert(s.sql(s"SELECT name FROM graft.snap.mu VERSION AS OF $preVersion " +
+      "WHERE k = 42").collect().map(_.getString(0)).toSeq == Seq("v42"))
+
+    // a second update re-targets the REPLACEMENT row (its new file),
+    // never the dv-marked original position
+    s.sql("UPDATE graft.snap.mu SET name = 'patched2' WHERE k = 42")
+    assert(s.sql("SELECT name FROM graft.snap.mu WHERE k = 42")
+      .collect().map(_.getString(0)).toSeq == Seq("patched2"))
+    assert(s.sql("SELECT count(*) FROM graft.snap.mu").head().getLong(0) == 200)
+
+    // compaction resolves dvs; values unchanged, delegate path returns
+    s.sql("CALL graft.sys.compact_data('mu', 1000000)")
+    assert(graft.sources.ManifestSink.deleteVectors(log).isEmpty,
+      "compaction must resolve the dvs")
+    assert(s.sql("SELECT name FROM graft.snap.mu WHERE k = 42")
+      .collect().map(_.getString(0)).toSeq == Seq("patched2"))
+    assert(s.sql("SELECT count(*) FROM graft.snap.mu").head().getLong(0) == 200)
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("MERGE-ON-READ MERGE (round 16): an upsert under " +
+    "delete.mode=mor marks matched positions in dv files and appends " +
+    "replacement + inserted rows in ONE epoch; values match the COW " +
+    "merge exactly; a partitioned mor table fans inserts out with " +
+    "#part tuples") {
+    val root = Files.createTempDirectory("graft_snap_dvm")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.conf.set("spark.sql.catalog.graft.snap.mm.deleteMode", "mor")
+    val log = root.resolve("mm").toString
+    locally { import s.implicits._
+      (0L until 100L).map(i => (i, s"v$i")).toDF("k", "name").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+      (100L until 200L).map(i => (i, s"v$i")).toDF("k", "name").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+      Seq((42L, "up42"), (142L, "up142"), (9000L, "new9000"))
+        .toDF("k", "name").createOrReplaceTempView("mm_src") }
+    val dataFiles = graft.sources.ManifestSink.committedFiles(log).sorted
+    val preVersion = graft.sources.ManifestSink.newestVersion(log)
+
+    s.sql("""MERGE INTO graft.snap.mm t USING mm_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    // original files untouched; both touched files got a 1-position dv
+    val after = graft.sources.ManifestSink.committedFiles(log).sorted
+    assert(dataFiles.forall(after.contains),
+      "a merge-on-read MERGE must keep every original data file")
+    val dvs = graft.sources.ManifestSink.deleteVectors(log)
+    assert(dvs.size == 2 && dvs.values.flatten.map(_._2).sum == 2L,
+      s"each matched file carries one 1-position dv: $dvs")
+    assert(graft.sources.ManifestSink.newestVersion(log) == preVersion + 1,
+      "dvs + appends must flip in one atomic epoch")
+
+    // values: 200 originals with two updated + one inserted
+    assert(s.sql("SELECT count(*) FROM graft.snap.mm").head().getLong(0) == 201)
+    assert(s.sql("SELECT name FROM graft.snap.mm WHERE k IN (42, 142, 9000) " +
+      "ORDER BY k").collect().map(_.getString(0)).toSeq ==
+      Seq("up42", "up142", "new9000"))
+    assert(s.sql("SELECT count(*) FROM graft.snap.mm WHERE name IN " +
+      "('v42', 'v142')").head().getLong(0) == 0)
+
+    // the same merge on a COW twin produces the SAME table values —
+    // storage strategy is value-invisible
+    s.conf.set("spark.sql.catalog.graft.snap.mc.deleteMode", "cow")
+    val clog = root.resolve("mc").toString
+    locally { import s.implicits._
+      (0L until 100L).map(i => (i, s"v$i")).toDF("k", "name").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", clog).mode("append").save()
+      (100L until 200L).map(i => (i, s"v$i")).toDF("k", "name").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", clog).mode("append").save() }
+    s.sql("""MERGE INTO graft.snap.mc t USING mm_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val morRows = s.sql("SELECT k, name FROM graft.snap.mm ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val cowRows = s.sql("SELECT k, name FROM graft.snap.mc ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(morRows == cowRows, "mor and cow merges must agree")
+
+    // PARTITIONED mor table: inserted rows fan out and carry #part
+    s.sql("""CREATE TABLE graft.snap.mp (k BIGINT, lang STRING)
+            |PARTITIONED BY (lang)
+            |TBLPROPERTIES ('delete.mode'='mor')""".stripMargin)
+    s.sql("INSERT INTO graft.snap.mp VALUES (1, 'en'), (2, 'fr')")
+    locally { import s.implicits._
+      Seq((1L, "en"), (3L, "de")).toDF("k", "lang")
+        .createOrReplaceTempView("mp_src") }
+    s.sql("""MERGE INTO graft.snap.mp t USING mp_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val plog = root.resolve("mp").toString
+    val parts = graft.sources.ManifestSink.filePartitions(plog)
+    val committed = graft.sources.ManifestSink.committedFiles(plog)
+      .map(f => Paths.get(f).getFileName.toString)
+    assert(committed.forall(parts.contains),
+      s"every committed file (incl. merge inserts) carries a #part " +
+        s"tuple: $committed vs ${parts.keySet}")
+    assert(s.sql("SELECT k FROM graft.snap.mp WHERE lang = 'de'")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(s.sql("SELECT count(*) FROM graft.snap.mp").head().getLong(0) == 3)
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("MOR UPDATE races (round 16): concurrent delta updates on ONE " +
+    "file are fenced — losers get a retryable conflict, retries land, " +
+    "positions never overlap (deleted_rows exact); an update racing a " +
+    "compaction that removed its target aborts cleanly") {
+    val root = Files.createTempDirectory("graft_snap_dvrace")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.conf.set("spark.sql.catalog.graft.snap.rr.deleteMode", "mor")
+    val log = root.resolve("rr").toString
+    locally { import s.implicits._
+      (0L until 100L).map(i => (i, s"v$i")).toDF("k", "name").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save() }
+
+    // 4 threads, each updates a DIFFERENT key of the SAME file: every
+    // loser must surface ManifestConflictException (retryable), never
+    // publish, and the retry must land against the refreshed dv state
+    val keys = Seq(11L, 23L, 47L, 71L)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = keys.map { k =>
+      new Thread(() => {
+        var attempts = 0
+        var done = false
+        while (!done && attempts < 12) {
+          attempts += 1
+          try {
+            s.sql(s"UPDATE graft.snap.rr SET name = 'u$k' WHERE k = $k")
+            done = true
+          } catch {
+            case e: Throwable =>
+              val conflict = {
+                var c: Throwable = e
+                while (c != null &&
+                  !c.isInstanceOf[graft.sources.ManifestConflictException])
+                  c = c.getCause
+                c != null
+              }
+              if (!conflict) { errors.add(e); done = true }
+          }
+        }
+        if (!done) errors.add(new IllegalStateException(
+          s"update of k=$k never landed in $attempts attempts"))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"non-conflict failures: ${errors}")
+    // all four landed, exactly once each, positions never overlapped
+    assert(s.sql("SELECT count(*) FROM graft.snap.rr").head().getLong(0) == 100)
+    assert(s.sql(s"SELECT name FROM graft.snap.rr WHERE k IN " +
+      s"(${keys.mkString(",")}) ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == keys.map(k => s"u$k"),
+      "every racer's update must be applied")
+    val dvTotal = s.sql(
+      "SELECT sum(deleted_rows) FROM graft.snap.rr.files").head().getLong(0)
+    assert(dvTotal == keys.size.toLong,
+      s"deleted_rows must count each replaced position EXACTLY once " +
+        s"(no overlap overcount): $dvTotal")
+
+    // update-vs-compaction: a delta commit whose target file was
+    // removed by a compaction that landed first must abort (liveness
+    // fence) — exercised at the commit layer for determinism
+    val victim = graft.sources.ManifestSink.committedFiles(log)
+      .map(f => Paths.get(f).getFileName.toString).head
+    s.sql("CALL graft.sys.compact_data('rr', 1000000)") // removes victim
+    val ex = intercept[graft.sources.ManifestConflictException] {
+      graft.sources.ManifestSink.commitDeltaEpoch(log, "k BIGINT, name STRING",
+        Seq((victim, "dv-stale0000000000.txt", 1L)), Seq.empty, 10, Map.empty)
+    }
+    assert(ex.conflictingFiles.contains(victim), ex.getMessage)
+
+    // dv-vs-dv at the commit layer: an epoch computed against a stale
+    // (empty) observed state while a dv already lives on the target
+    s.sql("DELETE FROM graft.snap.rr WHERE k = 5") // mor: lands a dv
+    val target = graft.sources.ManifestSink.deleteVectors(log).keys.head
+    val ex2 = intercept[graft.sources.ManifestConflictException] {
+      graft.sources.ManifestSink.commitDeltaEpoch(log, "k BIGINT, name STRING",
+        Seq((target, "dv-stale0000000001.txt", 1L)), Seq.empty, 10,
+        Map(target -> Set.empty[String]))
+    }
+    assert(ex2.conflictingFiles.exists(_.startsWith(s"$target#")),
+      ex2.getMessage)
     graft.util.Fs.deleteRecursively(root)
   }
 }
