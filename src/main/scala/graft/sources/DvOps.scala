@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * the driver is the (dataFile, dvFile, count) record list, bounded
   * by the number of affected FILES, which is exactly what the epoch
   * manifest must record anyway. */
-private[sources] object DvOps {
+private[graft] object DvOps {
 
   private def dataDir(dir: String): java.io.File =
     new java.io.File(dir, "data")
@@ -68,12 +68,17 @@ private[sources] object DvOps {
     * broadcast (an unbounded broadcast is a driver/executor OOM at
     * scale) and the anti-join shuffles instead — the `#dv` records
     * carry the counts, so the choice is free. Compaction remains the
-    * real resolution for heavily-dv'd tables. */
-  private[sources] val BroadcastPositionCap = 2000000L
+    * real resolution for heavily-dv'd tables. Overridable via
+    * `spark.graft.dv.broadcastPositionCap` (the flip is spec-pinned). */
+  private[graft] val DefaultBroadcastPositionCap = 2000000L
 
-  private def antiJoinDeleted(base: DataFrame, pos: DataFrame,
-      nPositions: Long): DataFrame =
-    if (nPositions <= BroadcastPositionCap)
+  private def broadcastCap(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.dv.broadcastPositionCap")
+      .flatMap(_.toLongOption).getOrElse(DefaultBroadcastPositionCap)
+
+  private def antiJoinDeleted(spark: SparkSession, base: DataFrame,
+      pos: DataFrame, nPositions: Long): DataFrame =
+    if (nPositions <= broadcastCap(spark))
       base.join(broadcast(pos), Seq("_f", "_p"), "left_anti")
     else base.join(pos, Seq("_f", "_p"), "left_anti")
 
@@ -91,7 +96,7 @@ private[sources] object DvOps {
       case None => base
       case Some(pos) =>
         val cols = schema.fieldNames.toSeq
-        antiJoinDeleted(
+        antiJoinDeleted(spark,
           base.select((col("_metadata.file_name").as("_f") +:
             col("_metadata.row_index").as("_p") +:
             cols.map(col)): _*),
@@ -116,7 +121,8 @@ private[sources] object DvOps {
         schema.fieldNames.toSeq.map(col)): _*)
     val undeleted = dvPositions(spark, dir, files, dvMap) match {
       case None => base
-      case Some(pos) => antiJoinDeleted(base, pos, dvCount(files, dvMap))
+      case Some(pos) =>
+        antiJoinDeleted(spark, base, pos, dvCount(files, dvMap))
     }
     val matches = undeleted.filter(pred <=> lit(true)).select("_f", "_p")
     val dd = dataDir(dir)

@@ -2112,4 +2112,76 @@ class SnapshotSpec extends AnyFunSuite {
       ex2.getMessage)
     graft.util.Fs.deleteRecursively(root)
   }
+
+  test("DV FAN-IN guards (round 16): the dv position relation reads " +
+    "through ONE multi-path scan (plan width flat in dv-file count), " +
+    "the anti-join broadcasts under the position cap and SHUFFLES " +
+    "above it (same values either way), and compaction resolves a " +
+    "heavily-dv'd table back to the delegate path") {
+    val root = Files.createTempDirectory("graft_snap_dvfan")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.conf.set("spark.sql.catalog.graft.snap.fan.deleteMode", "mor")
+    val log = root.resolve("fan").toString
+    locally { import s.implicits._
+      (0L until 200L).map(i => (i, s"v$i")).toDF("k", "name").coalesce(2)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save() }
+    // accumulate MANY dv files: 8 single-row deletes → 8+ dv files
+    (0 until 8).foreach(i => s.sql(
+      s"DELETE FROM graft.snap.fan WHERE k = ${i * 13 + 1}"))
+    val dvMap = graft.sources.ManifestSink.deleteVectors(log)
+    val nDvFiles = dvMap.values.flatten.size
+    assert(nDvFiles >= 8, s"expected many dv files: $dvMap")
+    val files = graft.sources.ManifestSink.committedFiles(log)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, name STRING")
+
+    // ONE multi-path scan: the position relation's plan holds exactly
+    // one text file-scan node regardless of dv-file count
+    val pos = graft.sources.DvOps.dvPositions(s, log, files, dvMap).get
+    val posPlan = pos.queryExecution.executedPlan.toString
+    assert("(?i)scan text".r.findAllIn(posPlan).size == 1,
+      s"dv positions must read through ONE multi-path scan:\n$posPlan")
+    assert(pos.count() == 8L)
+
+    // under the cap: an UNCONDITIONAL broadcast hint on the anti-join;
+    // above it: no hint — AQE then sizes the join from runtime stats
+    // (it may still broadcast a genuinely tiny side, which is the
+    // point: the cap removes the unbounded FORCED broadcast, it does
+    // not forbid an informed one). Values identical either way.
+    def survivors(): (String, Seq[Long]) = {
+      val df = graft.sources.DvOps.readExcludingDeleted(s, schema, log,
+        files, Some(dvMap))
+      (df.queryExecution.optimizedPlan.toString,
+        df.select("k").collect().map(_.getLong(0)).sorted.toSeq)
+    }
+    // the dv-name → data-file map join stays broadcast either way
+    // (bounded by dv-FILE count, the manifest class) — the flip under
+    // test is the hint on the POSITION anti-join itself
+    def antiHint(plan: String): Boolean = plan.linesIterator
+      .find(_.toLowerCase.contains("join leftanti"))
+      .exists(_.toLowerCase.contains("broadcast"))
+    val (planB, rowsB) = survivors()
+    assert(antiHint(planB),
+      s"under the cap the anti-join must carry the broadcast hint:\n$planB")
+    s.conf.set("spark.graft.dv.broadcastPositionCap", "0")
+    val (planS, rowsS) = try survivors()
+      finally s.conf.unset("spark.graft.dv.broadcastPositionCap")
+    assert(!antiHint(planS),
+      s"above the cap the anti-join must carry no forced broadcast " +
+        s"hint:\n$planS")
+    val expect = (0L until 200L).filterNot(k =>
+      (0 until 8).exists(i => k == i * 13 + 1))
+    assert(rowsB == expect && rowsS == rowsB,
+      "plan choice must be value-invisible")
+
+    // compaction resolves the dv pile-up
+    s.sql("CALL graft.sys.compact_data('fan', 1000000)")
+    assert(graft.sources.ManifestSink.deleteVectors(log).isEmpty)
+    assert(s.sql("SELECT count(*) FROM graft.snap.fan").head().getLong(0)
+      == 192)
+    graft.util.Fs.deleteRecursively(root)
+  }
 }
