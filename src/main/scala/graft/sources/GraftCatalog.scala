@@ -104,7 +104,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       case Seq(SnapNs) =>
         option(s"$SnapNs.dir").map(new java.io.File(_)) match {
           case Some(d) if d.isDirectory =>
-            d.listFiles().filter(_.isDirectory)
+            d.listFiles().filter(f => f.isDirectory &&
+                !new java.io.File(f, ManifestSink.RenamedMarker).exists())
               .map(f => Identifier.of(namespace, f.getName))
           case _ => Array.empty[Identifier]
         }
@@ -219,6 +220,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     GraftCatalog.requireValidTableName(ident.name())
     val tdir = new java.io.File(snapRoot(ident), ident.name())
     if (!tdir.isDirectory) throw new NoSuchTableException(ident)
+    val marker = tdir.toPath.resolve(ManifestSink.RenamedMarker)
+    if (java.nio.file.Files.exists(marker))
+      // a TOMBSTONE resolves to a stub (not a thrown error) so `DROP
+      // TABLE old` can still resolve and reclaim it; every read or
+      // write against the stub refuses naming the new table
+      return new RenamedTombstoneTable(ident.name(),
+        new String(java.nio.file.Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
     val ddl = option(s"$SnapNs.${ident.name()}.schema")
       .orElse(option(s"$SnapNs.schema"))
       .orElse(ManifestSink.widestRecordedSchema(tdir.toString))
@@ -502,11 +511,83 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     else { graft.util.Fs.deleteRecursively(tdir.toPath); true }
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      s"$catalogName: RENAME TABLE is not supported (a rename under " +
-        "concurrent writers needs a transactional catalog entry the " +
-        "filesystem log deliberately does not model)")
+  /** `ALTER TABLE graft.snap.old RENAME TO new` (round 16) — the
+    * stage→promote pattern (CTAS a staging table, rename it into
+    * place), as an ATOMIC directory move inside the namespace root
+    * with a TOMBSTONE protocol for racing writers:
+    *
+    *  1. the target name must be unbound (the move itself is the
+    *     arbiter: `ATOMIC_MOVE` without replace fails on an existing
+    *     target — exactly one of two racing renames wins);
+    *  2. a `.renamed-to` marker naming the NEW absolute path is
+    *     created in the old directory FIRST — from that instant every
+    *     commit claim on the old path refuses cleanly
+    *     ([[ManifestSink.claimEpoch]] checks the marker before
+    *     linking), so a writer that resolved the old path mid-rename
+    *     aborts loudly instead of splitting the log;
+    *  3. the directory moves atomically (the marker rides along; at
+    *     the new path its content EQUALS the path, which claims treat
+    *     as "I am the rename target" and tidy away);
+    *  4. the old path is recreated as a tombstone holding only the
+    *     marker: reads and writes of the old name refuse with the new
+    *     name spelled out, `SHOW TABLES` skips it, and `DROP TABLE
+    *     old` reclaims it.
+    *
+    * Residual window: a committer whose `createDirectories` lands
+    * between (3) and (4) can strand one epoch inside the tombstone —
+    * it is never served as table data (the marker refuses every later
+    * claim and read), merely orphaned storage for DROP to reclaim. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (oldIdent.namespace().toSeq != Seq(SnapNs) ||
+        newIdent.namespace().toSeq != Seq(SnapNs))
+      throw new UnsupportedOperationException(
+        s"$catalogName: RENAME TABLE is supported only within the " +
+          s"$SnapNs namespace")
+    GraftCatalog.requireValidTableName(oldIdent.name())
+    GraftCatalog.requireValidTableName(newIdent.name())
+    val root = snapRoot(oldIdent)
+    val oldDir = new java.io.File(root, oldIdent.name()).toPath
+    val newDir = new java.io.File(root, newIdent.name()).toPath
+    if (!java.nio.file.Files.isDirectory(oldDir) ||
+        java.nio.file.Files.exists(
+          oldDir.resolve(ManifestSink.RenamedMarker)))
+      throw new NoSuchTableException(oldIdent)
+    if (java.nio.file.Files.exists(newDir))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          Seq(catalogName, SnapNs, newIdent.name()).map(q => s"`$q`")
+            .mkString("."))
+    val marker = oldDir.resolve(ManifestSink.RenamedMarker)
+    try java.nio.file.Files.write(marker,
+      newDir.toAbsolutePath.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"graft.snap.${oldIdent.name()}: a concurrent rename is in " +
+            "flight — retry against the resolved name")
+    }
+    try java.nio.file.Files.move(oldDir, newDir,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(marker) // lost the target race
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(
+            Seq(catalogName, SnapNs, newIdent.name()).map(q => s"`$q`")
+              .mkString("."))
+    }
+    java.nio.file.Files.deleteIfExists(
+      newDir.resolve(ManifestSink.RenamedMarker))
+    // tombstone the old name: refusals with the new name spelled out
+    try {
+      java.nio.file.Files.createDirectories(oldDir)
+      java.nio.file.Files.write(oldDir.resolve(ManifestSink.RenamedMarker),
+        newDir.toAbsolutePath.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: java.io.IOException => } // tombstone is best-effort
+  }
 }
 
 object GraftCatalog {
@@ -859,12 +940,45 @@ private[sources] class SnapTable(tname: String, val dir: String,
         }
       }
     val upTo = longOpt("asOfVersion").orElse(asOf)
-    val files = (longOpt("sinceVersion"), upTo) match {
-      case (Some(s), Some(v)) => ManifestSink.committedFilesBetween(dir, s, v)
-      case (Some(s), None) =>
-        ManifestSink.committedFilesBetween(dir, s, ManifestSink.newestVersion(dir))
-      case (None, Some(v)) => ManifestSink.committedFilesAsOf(dir, v)
-      case (None, None) => ManifestSink.committedFiles(dir)
+    val since = longOpt("sinceVersion")
+    /** Plan-input selection (round 16): a CURRENT-snapshot read of a
+      * table whose checkpoint crosses the distributed threshold plans
+      * through a Spark job over the parquet checkpoint (driver cost
+      * O(tail + kept), the Iceberg distributed-manifest shape);
+      * everything else — versioned reads, small tables, logs without a
+      * checkpoint — keeps the memoized driver walk. Values are
+      * spec-pinned identical across the two planners. */
+    def planInput(): SnapPlanInput = {
+      def eager(fs: Seq[String]): SnapPlanInput = {
+        // live delete vectors, version-aligned with the file list: a
+        // VERSION AS OF before the dv epoch serves the rows un-deleted
+        val dvs = upTo match {
+          case Some(v) => ManifestSink.deleteVectorsAsOf(dir, v)
+          case None => ManifestSink.deleteVectors(dir)
+        }
+        EagerPlanInput(fs, ManifestSink.fileStats(dir), spec,
+          ManifestSink.filePartitions(dir),
+          dvs.map { case (f, list) =>
+            f -> list.map(e => new java.io.File(new java.io.File(dir, "data"),
+              e._1).toString) })
+      }
+      (since, upTo) match {
+        case (Some(s), Some(v)) =>
+          eager(ManifestSink.committedFilesBetween(dir, s, v))
+        case (Some(s), None) => eager(
+          ManifestSink.committedFilesBetween(dir, s,
+            ManifestSink.newestVersion(dir)))
+        case (None, Some(v)) => eager(ManifestSink.committedFilesAsOf(dir, v))
+        case (None, None) =>
+          val threshold = SparkSession.active.conf
+            .getOption("spark.graft.plan.distributedThreshold")
+            .flatMap(_.toLongOption).getOrElse(100000L)
+          ManifestSink.planningCheckpoint(java.nio.file.Paths.get(dir)) match {
+            case Some((h, p, n)) if n >= threshold =>
+              CheckpointPlanInput(dir, h, p.toString, n, spec)
+            case _ => eager(ManifestSink.committedFiles(dir))
+          }
+      }
     }
     // SCHEMA-IN-LOG verification with ADDITIVE EVOLUTION (round 13):
     // every epoch records the DDL it was written under, and the
@@ -882,18 +996,7 @@ private[sources] class SnapTable(tname: String, val dir: String,
     // read face and every copy-on-write REWRITE face (DELETE,
     // compaction, MERGE) identically.
     ManifestSink.verifyDeclaredSchema(dir, s"graft.snap.$tname", tschema)
-    // live delete vectors, version-aligned with the file list: a
-    // VERSION AS OF before the dv epoch serves the rows un-deleted
-    val dvs = upTo match {
-      case Some(v) => ManifestSink.deleteVectorsAsOf(dir, v)
-      case None => ManifestSink.deleteVectors(dir)
-    }
-    new SnapScanBuilder(tname, files, ManifestSink.fileStats(dir),
-      spec, ManifestSink.filePartitions(dir),
-      dvs.map { case (f, list) =>
-        f -> list.map(e => new java.io.File(new java.io.File(dir, "data"),
-          e._1).toString) },
-      tschema, options,
+    new SnapScanBuilder(tname, planInput(), tschema, options,
       streamSource = Some(readSchema => {
         // STREAMING the catalog table (round 13): `readStream.table
         // ("graft.snap.t")` tails the SAME epoch log the path-based
@@ -917,6 +1020,27 @@ private[sources] class SnapTable(tname: String, val dir: String,
           readSchema.fields.map(_.dataType.typeName), maxEpochs)
       }))
   }
+}
+
+/** What a RENAMEd-away table name resolves to (round 16): a stub that
+  * lets `DROP TABLE` reclaim the tombstone while every read or write
+  * path refuses with the new name spelled out. */
+private[sources] class RenamedTombstoneTable(tname: String, target: String)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  private def refuse: Nothing = throw new IllegalArgumentException(
+    s"graft.snap.$tname was renamed to $target — use the new name")
+  override def name(): String = s"snap($tname) [renamed to $target]"
+  override def schema(): org.apache.spark.sql.types.StructType =
+    new org.apache.spark.sql.types.StructType()
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    Set(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ,
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_WRITE).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = refuse
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = refuse
 }
 
 /** A manifest table's epoch log surfaced as a queryable relation
@@ -1173,11 +1297,21 @@ private[sources] object SnapStats {
   * re-applies every predicate post-scan: file skipping is a strict
   * optimization, never a correctness dependency — a file with no
   * recorded stats simply cannot be skipped. */
-private[sources] class SnapScanBuilder(tname: String, files: Seq[String],
-    stats: Map[String, FileStat],
-    spec: Seq[PartField],
+/** How a snap scan resolves its committed-file universe (round 16):
+  * EAGER carries the driver-derived maps (versioned reads, small
+  * tables, logs without a checkpoint); CHECKPOINT defers to the
+  * distributed planner over the compaction-time parquet checkpoint —
+  * pruning runs as a Spark job and the driver handles only the loose
+  * tail and the kept names. */
+private[sources] sealed trait SnapPlanInput
+private[sources] case class EagerPlanInput(files: Seq[String],
+    stats: Map[String, FileStat], spec: Seq[PartField],
     parts: Map[String, Seq[String]],
-    dvs: Map[String, Seq[String]],
+    dvs: Map[String, Seq[String]]) extends SnapPlanInput
+private[sources] case class CheckpointPlanInput(dir: String, horizon: Long,
+    parquet: String, rows: Long, spec: Seq[PartField]) extends SnapPlanInput
+
+private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
     tschema: org.apache.spark.sql.types.StructType,
     options: CaseInsensitiveStringMap,
     streamSource: Option[org.apache.spark.sql.types.StructType =>
@@ -1207,17 +1341,27 @@ private[sources] class SnapScanBuilder(tname: String, files: Seq[String],
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     // PARTITION pruning first (round 15: exact tuples, cheap), then
-    // the per-file #stats envelope walk — the Iceberg planning order
-    val kept = files.filter { f =>
-      val n = java.nio.file.Paths.get(f).getFileName.toString
-      val partOk = parts.get(n).forall(toks =>
-        filters.forall(PartField.mayMatch(spec, toks, _)))
-      partOk && (stats.get(n) match {
-        case None => true // no stats recorded: cannot skip
-        case Some(st) => st.rows > 0 && filters.forall(SnapStats.mayMatch(st, _))
-      })
+    // the per-file #stats envelope test — the Iceberg planning order.
+    // Both planners apply the SAME mayMatch model; only WHERE it runs
+    // differs (driver walk vs a job over the checkpoint).
+    val (kept, dvs, listed) = input match {
+      case e: EagerPlanInput =>
+        val k = e.files.filter { f =>
+          val n = java.nio.file.Paths.get(f).getFileName.toString
+          val partOk = e.parts.get(n).forall(toks =>
+            filters.forall(PartField.mayMatch(e.spec, toks, _)))
+          partOk && (e.stats.get(n) match {
+            case None => true // no stats recorded: cannot skip
+            case Some(st) => st.rows > 0 &&
+              filters.forall(SnapStats.mayMatch(st, _))
+          })
+        }
+        (k, e.dvs, e.files.size)
+      case c: CheckpointPlanInput =>
+        ManifestSink.distributedPlan(SparkSession.active, c.dir, c.horizon,
+          java.nio.file.Paths.get(c.parquet), c.rows, filters.toSeq, c.spec)
     }
-    SnapTable.recordPrune(tname, files.size, kept.size)
+    SnapTable.recordPrune(tname, listed, kept.size)
     // a read that references the `_file`/`_pos` metadata columns
     // cannot ride the parquet delegate (the files carry no such
     // fields — by-name null-fill would silently serve nulls where the

@@ -149,6 +149,29 @@ object ManifestSink {
     * delta), independent of table age). */
   private[graft] val metadataBytes = new java.util.concurrent.atomic.AtomicLong
 
+  /** Tombstone marker a RENAME TABLE leaves at the OLD path (round
+    * 16): its content is the new directory's absolute path. A claim on
+    * a dir whose marker points ELSEWHERE refuses (the table moved); a
+    * marker pointing at the dir itself is the rename's own residue at
+    * the new location and is tidied by the first claim there. */
+  private[sources] val RenamedMarker = ".renamed-to"
+
+  /** Refuse (or tidy) under a rename tombstone — called per claim
+    * attempt so a writer that resolved the old path mid-rename aborts
+    * cleanly instead of splitting the log. */
+  private def checkRenamed(dir: Path): Unit = {
+    val m = dir.resolve(RenamedMarker)
+    if (Files.exists(m)) {
+      val target = new String(Files.readAllBytes(m),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (target == dir.toAbsolutePath.toString)
+        Files.deleteIfExists(m) // we ARE the rename target: tidy
+      else throw new IllegalStateException(
+        s"manifest table $dir was renamed to $target — re-resolve the " +
+          "table by its new name and retry (nothing was committed)")
+    }
+  }
+
   /** Zero-padded so lexicographic directory order IS epoch order. */
   private[sources] def epochName(epochId: Long): String = f"epoch-$epochId%020d"
 
@@ -212,6 +235,97 @@ object ManifestSink {
 
   private def readHeaders(p: Path): Seq[String] =
     readLines(p).filter(_.startsWith("#"))
+
+  /** DERIVED SNAPSHOT STATE, memoized per table on a fragment-set
+    * fingerprint (round 16): every scan build needs the committed
+    * union, the stats/partition/dv maps and the properties, and before
+    * this cache each derivation re-walked every cached line —
+    * O(files) driver CPU per PLANNING CYCLE even with the r15 line
+    * cache, six times over. One walk now builds every map at once and
+    * the result is reused until the fragment set changes; the
+    * fingerprint is the same (path, fileKey, size, mtime) identity the
+    * line cache trusts, so a commit, sweep, or delete-recreate
+    * invalidates it exactly when it invalidates the lines. A fragment
+    * with a null fileKey is never fingerprintable — such tables simply
+    * rebuild per call (the pre-r16 cost, correctness keeps).
+    * Per-plan driver CPU is now O(fragments) stat calls + map reuse —
+    * the "O(tail), not O(files)" planning contract. */
+  private case class PlanState(
+      files: Seq[String], // committed file NAMES, union order
+      stats: Map[String, FileStat],
+      parts: Map[String, Seq[String]],
+      dvs: Map[String, Seq[(String, Long)]],
+      props: Map[String, String],
+      schemas: Seq[String],
+      specs: Seq[String])
+  private val PlanCacheCap = 64
+  private val planCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, Object, Long, java.nio.file.attribute.FileTime)],
+      PlanState)]()
+  /** Full snapshot-state derivations performed — observability: a
+    * re-plan of an unchanged table must not increment this. */
+  private[graft] val planDerivations = new java.util.concurrent.atomic.AtomicLong
+
+  private def planState(dir: Path): PlanState = retryVanish() {
+    val frags = manifestFragments(dir)
+    val fp: Option[Seq[(String, Object, Long, java.nio.file.attribute.FileTime)]] =
+      try {
+        val entries = frags.map { p =>
+          val a = Files.readAttributes(p,
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          (p.toAbsolutePath.toString, a.fileKey, a.size, a.lastModifiedTime)
+        }
+        if (entries.exists(_._2 == null)) None else Some(entries)
+      } catch { case _: IOException => None }
+    val key = dir.toAbsolutePath.toString
+    fp.flatMap { f =>
+      Option(planCache.get(key)).collect { case (k, st) if k == f => st }
+    }.getOrElse {
+      planDerivations.incrementAndGet()
+      val union = scala.collection.mutable.LinkedHashSet[String]()
+      val stats = scala.collection.mutable.ArrayBuffer[(String, FileStat)]()
+      val parts = scala.collection.mutable.ArrayBuffer[(String, Seq[String])]()
+      val dvs = scala.collection.mutable.LinkedHashMap[String, Seq[(String, Long)]]()
+      val props = scala.collection.mutable.LinkedHashMap[String, String]()
+      val schemas = scala.collection.mutable.LinkedHashSet[String]()
+      val specs = scala.collection.mutable.LinkedHashSet[String]()
+      frags.foreach { p =>
+        readLines(p).foreach { l =>
+          if (!l.startsWith("#")) union.add(l)
+          else if (l.startsWith("#remove ")) {
+            val n = l.stripPrefix("#remove ")
+            union.remove(n); dvs.remove(n)
+          }
+          else if (l.startsWith("#stats ")) parseStats(l).foreach(stats += _)
+          else if (l.startsWith("#part ")) parsePart(l).foreach(parts += _)
+          else if (l.startsWith("#dv ")) parseDv(l).foreach {
+            case (data, dv, n) =>
+              dvs(data) = dvs.getOrElse(data, Seq.empty) :+ ((dv, n))
+          }
+          else if (l.startsWith("#prop ")) l.stripPrefix("#prop ")
+            .split(" ", 2) match {
+              case Array(k, v) => props(k) = v
+              case _ =>
+            }
+          else if (l.startsWith("#schema ")) schemas.add(l.stripPrefix("#schema "))
+          else if (l.startsWith("#spec ")) specs.add(l.stripPrefix("#spec "))
+        }
+      }
+      // conflicting duplicate stats/part records lose their entry (the
+      // unpruned-is-slow, mispruned-is-wrong rule — unchanged)
+      val statMap = stats.groupBy(_._1).collect {
+        case (n, recs) if recs.map(_._2).distinct.size == 1 => n -> recs.head._2 }
+      val partMap = parts.groupBy(_._1).collect {
+        case (n, recs) if recs.map(_._2).distinct.size == 1 => n -> recs.head._2 }
+      val st = PlanState(union.toSeq, statMap.toMap, partMap.toMap,
+        dvs.toMap, props.toMap, schemas.toSeq, specs.toSeq)
+      fp.foreach { f =>
+        if (planCache.size >= PlanCacheCap) planCache.clear()
+        planCache.put(key, (f, st))
+      }
+      st
+    }
+  }
 
   /** The committed file list (absolute paths), i.e. the current visible
     * snapshot — empty if no commit ever published. Derived straight from
@@ -279,14 +393,8 @@ object ManifestSink {
     * survives alongside the compact that absorbed it idempotent —
     * re-applying its adds dedupes, re-applying its removes does
     * nothing). */
-  private[sources] def fragmentUnion(dir: Path): Seq[String] = retryVanish() {
-    val acc = scala.collection.mutable.LinkedHashSet[String]()
-    manifestFragments(dir).foreach { p =>
-      readData(p).foreach(acc.add)
-      readRemoves(p).foreach(acc.remove)
-    }
-    acc.toSeq
-  }
+  private[sources] def fragmentUnion(dir: Path): Seq[String] =
+    planState(dir).files
 
   /** This streaming writer's committed ENGINE-epoch watermark: the max
     * `#txn <writerId> <e>` record across the live fragments, -1 if the
@@ -369,12 +477,13 @@ object ManifestSink {
     * difference between merge-on-read and copy-on-write write
     * amplification. */
   private[sources] def readDvRecords(p: Path): Seq[(String, String, Long)] =
-    readHeaders(p).flatMap { l =>
-      if (!l.startsWith("#dv ")) None
-      else l.stripPrefix("#dv ").split(" ") match {
-        case Array(data, dv, n) => n.toLongOption.map((data, dv, _))
-        case _ => None
-      }
+    readHeaders(p).flatMap(parseDv)
+
+  private def parseDv(l: String): Option[(String, String, Long)] =
+    if (!l.startsWith("#dv ")) None
+    else l.stripPrefix("#dv ").split(" ") match {
+      case Array(data, dv, n) => n.toLongOption.map((data, dv, _))
+      case _ => None
     }
 
   private[sources] def dvLine(dataFile: String, dvFile: String, n: Long): String =
@@ -386,16 +495,8 @@ object ManifestSink {
     * replacement files physically lack the rows, and the dv files age
     * into vacuum candidates). Values are (dvFile, nDeleted) in record
     * order. */
-  def deleteVectors(path: String): Map[String, Seq[(String, Long)]] = retryVanish() {
-    val acc = scala.collection.mutable.LinkedHashMap[String, Seq[(String, Long)]]()
-    manifestFragments(Paths.get(path)).foreach { p =>
-      readDvRecords(p).foreach { case (data, dv, n) =>
-        acc(data) = acc.getOrElse(data, Seq.empty) :+ ((dv, n))
-      }
-      readRemoves(p).foreach(acc.remove)
-    }
-    acc.toMap
-  }
+  def deleteVectors(path: String): Map[String, Seq[(String, Long)]] =
+    planState(Paths.get(path)).dvs
 
   /** [[deleteVectors]] as of epoch `version` — the dv state a
     * `VERSION AS OF` read applies: versions before a dv epoch serve
@@ -429,14 +530,43 @@ object ManifestSink {
       acc.toMap
     }
 
+  /** Non-per-file records — (schemas, props, specs) — via the
+    * checkpoint META sidecar plus the loose tail's headers, when a
+    * sidecar matching the current horizon exists (round 16): O(tail)
+    * reads, the O(files) compact text never parsed. None → the caller
+    * falls back to the memoized [[planState]] (identical values, just
+    * derived the expensive way). With no compact at all, the loose log
+    * IS the tail and planState is already O(tail). */
+  private def metaState(dir: Path)
+      : Option[(Seq[String], Map[String, String], Seq[String])] =
+    latestCompact(dir).flatMap { case (h, _) =>
+      val mp = dir.resolve(checkpointMetaName(h))
+      if (!Files.isRegularFile(mp)) None
+      else retryVanish() {
+        val schemas = scala.collection.mutable.LinkedHashSet[String]()
+        val props = scala.collection.mutable.LinkedHashMap[String, String]()
+        val specs = scala.collection.mutable.LinkedHashSet[String]()
+        val lines = readLines(mp) ++
+          looseEpochs(dir, h).sortBy(_._1).flatMap(e => readHeaders(e._2))
+        lines.foreach { l =>
+          if (l.startsWith("#schema ")) schemas.add(l.stripPrefix("#schema "))
+          else if (l.startsWith("#spec ")) specs.add(l.stripPrefix("#spec "))
+          else if (l.startsWith("#prop ")) l.stripPrefix("#prop ")
+            .split(" ", 2) match {
+              case Array(k, v) => props(k) = v
+              case _ =>
+            }
+        }
+        Some((schemas.toSeq, props.toMap, specs.toSeq))
+      }
+    }
+
   /** The distinct schema DDLs the live fragments record — what the log
     * says it was written under. Order is fragment order (oldest compact
     * record first). */
-  def recordedSchemas(path: String): Seq[String] = retryVanish() {
-    manifestFragments(Paths.get(path))
-      .flatMap(readHeaders)
-      .collect { case l if l.startsWith("#schema ") => l.stripPrefix("#schema ") }
-      .distinct
+  def recordedSchemas(path: String): Seq[String] = {
+    val dir = Paths.get(path)
+    metaState(dir).map(_._1).getOrElse(planState(dir).schemas)
   }
 
   /** Does `outer` contain every field of `inner` (case-insensitive
@@ -472,10 +602,8 @@ object ManifestSink {
     * table's lifetime (partition evolution is not offered); two
     * distinct records in one log is a corruption and refuses. */
   def partitionSpec(path: String): Seq[PartField] = retryVanish() {
-    val recs = manifestFragments(Paths.get(path))
-      .flatMap(readHeaders)
-      .collect { case l if l.startsWith("#spec ") => l.stripPrefix("#spec ") }
-      .distinct
+    val dir = Paths.get(path)
+    val recs = metaState(dir).map(_._3).getOrElse(planState(dir).specs)
     if (recs.size > 1) throw new IllegalStateException(
       s"manifest table $path records ${recs.size} distinct partition " +
         s"specs (${recs.mkString(" | ")}) — the spec is immutable; " +
@@ -489,14 +617,8 @@ object ManifestSink {
     * simply have no tuple: pruning treats them as unprunable and
     * partition-scoped overwrite refuses to touch them. Compaction
     * carries records forward for files still in the union. */
-  def filePartitions(path: String): Map[String, Seq[String]] = retryVanish() {
-    manifestFragments(Paths.get(path))
-      .flatMap(readHeaders)
-      .flatMap(parsePart)
-      .groupBy(_._1)
-      .collect { case (n, recs) if recs.map(_._2).distinct.size == 1 =>
-        n -> recs.head._2 } // conflicting duplicates lose their tuple
-  }
+  def filePartitions(path: String): Map[String, Seq[String]] =
+    planState(Paths.get(path)).parts
 
   private def parsePart(line: String): Option[(String, Seq[String])] = {
     if (!line.startsWith("#part ")) return None
@@ -584,17 +706,9 @@ object ManifestSink {
     * session conf) and `compact.interval` (the log's compaction
     * cadence). Unknown keys round-trip for the user. Keys and values
     * must be token-safe (`[A-Za-z0-9._/=-]`, no spaces). */
-  def tableProperties(path: String): Map[String, String] = retryVanish() {
-    val acc = scala.collection.mutable.LinkedHashMap[String, String]()
-    manifestFragments(Paths.get(path)).foreach { p =>
-      readHeaders(p).foreach { l =>
-        if (l.startsWith("#prop ")) l.stripPrefix("#prop ").split(" ", 2) match {
-          case Array(k, v) => acc(k) = v
-          case _ =>
-        }
-      }
-    }
-    acc.toMap
+  def tableProperties(path: String): Map[String, String] = {
+    val dir = Paths.get(path)
+    metaState(dir).map(_._2).getOrElse(planState(dir).props)
   }
 
   private[sources] def propSafe(s: String): Boolean =
@@ -651,19 +765,14 @@ object ManifestSink {
     * per long column — the data-skipping index. Keyed by file NAME
     * (unique for a table's lifetime); files without a record simply
     * cannot be pruned. */
-  def fileStats(path: String): Map[String, FileStat] = retryVanish() {
-    manifestFragments(Paths.get(path))
-      .flatMap(readHeaders)
-      .flatMap(parseStats)
-      .groupBy(_._1)
-      // duplicates across a crash window carry identical content; a
-      // CONFLICTING duplicate (two writers claiming one name — a naming
-      // bug the run tokens are designed out of) must never feed the
-      // skipping index, so its name simply loses its stats: an unpruned
-      // file is a slow read, a mispruned file is a wrong answer
-      .collect { case (n, recs) if recs.map(_._2).distinct.size == 1 =>
-        n -> recs.head._2 }
-  }
+  /** Per-file statistics recorded at write time (see [[PlanState]]):
+    * duplicates across a crash window carry identical content; a
+    * CONFLICTING duplicate (two writers claiming one name — a naming
+    * bug the run tokens are designed out of) must never feed the
+    * skipping index, so its name simply loses its stats: an unpruned
+    * file is a slow read, a mispruned file is a wrong answer. */
+  def fileStats(path: String): Map[String, FileStat] =
+    planState(Paths.get(path)).stats
 
   private[sources] def hexOf(s: String): String =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -820,6 +929,7 @@ object ManifestSink {
       observedDvs: Option[Map[String, Set[String]]] = None): Long = {
     var claimed = -1L
     while (claimed < 0) {
+      checkRenamed(dir)
       val content = contentGen()
       val bytes = content.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -1073,19 +1183,207 @@ object ManifestSink {
     try {
       Files.createLink(dir.resolve(compactName(upTo)), ctmp)
       metadataBytes.addAndGet(bytes.length.toLong)
+      // PLANNING CHECKPOINT (round 16): next to the compact, write the
+      // same resolved state as (a) a PARQUET table of per-file rows —
+      // what the distributed scan planner reads instead of a driver
+      // walk — and (b) a tiny `.meta` sidecar with the non-per-file
+      // records (#txn/#schema/#spec/#prop), so table resolution stays
+      // O(tail) without touching the O(files) compact text. Both are
+      // strict ACCELERATIONS: a missing/failed checkpoint (crash here,
+      // or the pre-r16 log) falls back to the text walk.
+      try writeCheckpoint(dir, upTo, names, txns ++ schemas ++ specs ++ props,
+        stats, parts, dvs)
+      catch { case _: Exception => } // optimization only, never fails a commit
     }
     catch { case _: java.nio.file.FileAlreadyExistsException => }
     finally Files.deleteIfExists(ctmp)
     // superseded fragments: every loose epoch now covered, every older
-    // compact, and any stale leftovers from a previously-crashed sweep
+    // compact (and its checkpoint artifacts), and any stale leftovers
+    // from a previously-crashed sweep
     looseEpochs(dir, -1L).filter(_._1 <= upTo)
       .foreach(p => Files.deleteIfExists(p._2))
     val s = Files.list(dir)
-    try s.iterator().asScala.toSeq
-      .filter(_.getFileName.toString.startsWith("compact-"))
-      .sortBy(_.getFileName.toString).dropRight(1)
-      .foreach(Files.deleteIfExists(_))
-    finally s.close()
+    try {
+      val all = s.iterator().asScala.toSeq
+      val keepCompact = all.filter(_.getFileName.toString.startsWith("compact-"))
+        .sortBy(_.getFileName.toString).lastOption
+        .map(_.getFileName.toString.stripPrefix("compact-"))
+      all.filter { p =>
+        val n = p.getFileName.toString
+        (n.startsWith("compact-") && !keepCompact.contains(n.stripPrefix("compact-"))) ||
+          (n.startsWith("checkpoint-") &&
+            !keepCompact.contains(n.stripPrefix("checkpoint-").takeWhile(_ != '.')))
+      }.foreach(Files.deleteIfExists(_))
+    } finally s.close()
+  }
+
+  private def checkpointParquetName(id: Long): String =
+    f"checkpoint-$id%020d.parquet"
+  private def checkpointMetaName(id: Long): String =
+    f"checkpoint-$id%020d.meta"
+
+  /** Columns of the planning checkpoint: the file name plus its raw
+    * `#stats` / `#part` / `#dv` record LINES (null when absent) — the
+    * executors re-parse with the exact parser the text path uses, so
+    * there is no second grammar to disagree with it. */
+  private val CheckpointFields = Array("file", "stats", "part", "dvs")
+  private val CheckpointTypes = Array("string", "string", "string", "string")
+
+  private def writeCheckpoint(dir: Path, upTo: Long, names: Seq[String],
+      metaLines: Seq[String], statLines: Seq[String], partLines: Seq[String],
+      dvLines: Seq[String]): Unit = {
+    def keyOf(line: String): String = line.split(" ")(1)
+    val statBy = statLines.map(l => keyOf(l) -> l).toMap
+    val partBy = partLines.map(l => keyOf(l) -> l).toMap
+    val dvBy = dvLines.groupBy(keyOf).view.mapValues(_.mkString("\n")).toMap
+    // meta sidecar first (tiny), then the parquet rows; both by
+    // atomic link so readers only ever see complete artifacts
+    val mtmp = Files.createTempFile(dir, ".checkpoint-meta", ".tmp")
+    Files.write(mtmp, metaLines.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try Files.createLink(dir.resolve(checkpointMetaName(upTo)), mtmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => }
+    finally Files.deleteIfExists(mtmp)
+    val tmpName = s".checkpoint-${java.util.UUID.randomUUID.toString.take(8)}.tmp"
+    val w = ManifestWriters.createAt(dir, CheckpointFields, CheckpointTypes,
+      tmpName)
+    def utf8(s: String): Any =
+      if (s == null) null
+      else org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    names.foreach { n =>
+      w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](utf8(n), utf8(statBy.getOrElse(n, null)),
+          utf8(partBy.getOrElse(n, null)), utf8(dvBy.getOrElse(n, null)))))
+    }
+    w.commit()
+    try Files.createLink(dir.resolve(checkpointParquetName(upTo)),
+      dir.resolve(tmpName))
+    catch { case _: java.nio.file.FileAlreadyExistsException => }
+    finally Files.deleteIfExists(dir.resolve(tmpName))
+  }
+
+  /** The planning checkpoint matching the CURRENT compaction horizon —
+    * (horizon, parquetPath, rowCount). None when absent (pre-r16 log,
+    * crashed checkpoint write) or stale (newer compact landed without
+    * one): strictly a fallback decision, never a correctness one. */
+  private[graft] def planningCheckpoint(dir: Path)
+      : Option[(Long, Path, Long)] =
+    latestCompact(dir).map(_._1).flatMap { h =>
+      val p = dir.resolve(checkpointParquetName(h))
+      if (!Files.isRegularFile(p)) None
+      else try {
+        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          new org.apache.parquet.io.LocalInputFile(p))
+        val n = try fr.getRecordCount finally fr.close()
+        Some((h, p, n))
+      } catch { case _: Exception => None }
+    }
+
+  /** DISTRIBUTED PLANNING (round 16, the Iceberg distributed-manifest
+    * shape): prune the CHECKPOINTED portion of the snapshot with a
+    * Spark job over the parquet checkpoint — executors re-parse each
+    * row's `#stats`/`#part` lines with the exact parsers the text path
+    * uses and apply the SAME `mayMatch` predicate model, so the two
+    * planners cannot disagree — while the loose tail (adds, removes,
+    * dvs landed since the horizon) is applied driver-side in epoch
+    * order, O(tail). Driver cost: O(tail) text + O(kept) collected
+    * names, never O(all files) parse/walk; the checkpoint rows it
+    * would have walked stay in executor memory.
+    *
+    * Returns (kept absolute paths in checkpoint-then-tail order, live
+    * dv paths per kept file name, listedCount for the prune record). */
+  private[sources] def distributedPlan(spark: org.apache.spark.sql.SparkSession,
+      path: String, horizon: Long, parquet: Path, ckptRows: Long,
+      filters: Seq[org.apache.spark.sql.sources.Filter], spec: Seq[PartField])
+      : (Seq[String], Map[String, Seq[String]], Int) = retryVanish() {
+    val dir = Paths.get(path)
+    // —— the tail, applied in epoch order
+    val tailAdds = scala.collection.mutable.LinkedHashSet[String]()
+    val tailStatPairs = scala.collection.mutable.ArrayBuffer[(String, FileStat)]()
+    val tailPartPairs = scala.collection.mutable.ArrayBuffer[(String, Seq[String])]()
+    val tailDvs = scala.collection.mutable.LinkedHashMap[String, Seq[(String, Long)]]()
+    val removedCkpt = scala.collection.mutable.HashSet[String]()
+    looseEpochs(dir, horizon).sortBy(_._1).map(_._2).foreach { p =>
+      readLines(p).foreach { l =>
+        if (!l.startsWith("#")) tailAdds.add(l)
+        else if (l.startsWith("#remove ")) {
+          val n = l.stripPrefix("#remove ")
+          tailDvs.remove(n)
+          if (!tailAdds.remove(n)) removedCkpt.add(n)
+        }
+        else if (l.startsWith("#stats ")) parseStats(l).foreach(tailStatPairs += _)
+        else if (l.startsWith("#part ")) parsePart(l).foreach(tailPartPairs += _)
+        else if (l.startsWith("#dv ")) parseDv(l).foreach { case (d, v, n) =>
+          tailDvs(d) = tailDvs.getOrElse(d, Seq.empty) :+ ((v, n))
+        }
+      }
+    }
+    // same conflicting-duplicate drop rule as the full derivation
+    val tailStats = tailStatPairs.groupBy(_._1).collect {
+      case (n, recs) if recs.map(_._2).distinct.size == 1 => n -> recs.head._2 }
+    val tailParts = tailPartPairs.groupBy(_._1).collect {
+      case (n, recs) if recs.map(_._2).distinct.size == 1 => n -> recs.head._2 }
+    // —— the checkpointed portion: one job, collect (kept name, dv lines)
+    val removedB = spark.sparkContext.broadcast(removedCkpt.toSet)
+    val filtersB = filters
+    val specB = spec
+    import org.apache.spark.sql.Encoders
+    val enc4 = Encoders.tuple(Encoders.STRING, Encoders.STRING,
+      Encoders.STRING, Encoders.STRING)
+    val enc2 = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    val keptCkpt = spark.read
+      .schema("file STRING, stats STRING, part STRING, dvs STRING")
+      .parquet(parquet.toString)
+      .as(enc4)
+      .mapPartitions { it =>
+        it.flatMap { case (f, statLine, partLine, dvLines) =>
+          if (removedB.value.contains(f)) None
+          else {
+            val partOk = Option(partLine).flatMap(parsePart)
+              .map(_._2) match {
+                case Some(toks) =>
+                  filtersB.forall(PartField.mayMatch(specB, toks, _))
+                case None => true
+              }
+            val statsOk = Option(statLine).flatMap(parseStats) match {
+              case Some((_, st)) => st.rows > 0 &&
+                filtersB.forall(SnapStats.mayMatch(st, _))
+              case None => true
+            }
+            if (partOk && statsOk) Some((f, Option(dvLines).getOrElse("")))
+            else None
+          }
+        }
+      }(enc2)
+      .collect()
+    // —— tail adds pruned driver-side with the same rule
+    val keptTail = tailAdds.toSeq.filter { n =>
+      val partOk = tailParts.get(n).forall(toks =>
+        filters.forall(PartField.mayMatch(spec, toks, _)))
+      partOk && (tailStats.get(n) match {
+        case None => true
+        case Some(st) => st.rows > 0 && filters.forall(SnapStats.mayMatch(st, _))
+      })
+    }
+    // —— live dvs per kept file: checkpoint rows carry their own, the
+    // tail may have landed more (on checkpointed AND tail files)
+    def dvPaths(names: Seq[String]): Seq[String] =
+      names.map(n => Paths.get(path, "data", n).toString)
+    val dvByName = scala.collection.mutable.HashMap[String, Seq[String]]()
+    keptCkpt.foreach { case (f, dvLines) =>
+      val own = dvLines.split("\n").toSeq.flatMap(parseDv).map(_._2)
+      val tail = tailDvs.getOrElse(f, Seq.empty).map(_._1)
+      val all = own ++ tail
+      if (all.nonEmpty) dvByName(f) = dvPaths(all)
+    }
+    keptTail.foreach { n =>
+      val tail = tailDvs.getOrElse(n, Seq.empty).map(_._1)
+      if (tail.nonEmpty) dvByName(n) = dvPaths(tail)
+    }
+    val listed = (ckptRows - removedCkpt.size + tailAdds.size).toInt
+    val kept = (keptCkpt.map(_._1).toSeq ++ keptTail)
+      .map(n => Paths.get(path, "data", n).toString)
+    (kept, dvByName.toMap, listed)
   }
 
   /** The one BATCH commit path, shared by `mode("append")` writes and
@@ -1183,7 +1481,8 @@ object ManifestSink {
       if (!Files.isDirectory(dir)) Seq.empty[Path]
       else listPrefixed(dir, ".").filter { p =>
         val n = p.getFileName.toString
-        (n.startsWith(".epoch") || n.startsWith(".compact-")) &&
+        (n.startsWith(".epoch") || n.startsWith(".compact-") ||
+          n.startsWith(".checkpoint-")) &&
           n.endsWith(".tmp") && Files.getLastModifiedTime(p).toMillis <= cutoff
       }
     litter.foreach(Files.deleteIfExists(_))
@@ -1907,12 +2206,18 @@ private[graft] object ManifestWriters {
 
   def create(path: String, fieldNames: Array[String], fieldTypes: Array[String],
       fileName: String): DataWriter[InternalRow] =
+    createAt(Files.createDirectories(Paths.get(path, "data")),
+      fieldNames, fieldTypes, fileName)
+
+  /** The same writer against an explicit directory — the planning
+    * CHECKPOINT (round 16) writes parquet into the table ROOT (it is
+    * metadata, not data: vacuum must never see it as a data-plane
+    * orphan). */
+  def createAt(dir: Path, fieldNames: Array[String], fieldTypes: Array[String],
+      fileName: String): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val name = fileName
-      private val file: Path = {
-        val d = Files.createDirectories(Paths.get(path, "data"))
-        d.resolve(name)
-      }
+      private val file: Path = dir.resolve(name)
       private val msgType = parquetType(fieldNames, fieldTypes)
       private val groups = new SimpleGroupFactory(msgType)
       private val out = ExampleParquetWriter.builder(

@@ -245,6 +245,51 @@ object LakeLadder {
     println(f"LAKE vacuum orphans=$orphanN committedKept=${postMerge.size} " +
       f"wall=$vacWall%.2fs " +
       s"loadavg=${scala.io.Source.fromFile("/proc/loadavg").mkString.trim}")
+
+    // ——— DISTRIBUTED PLANNING at 10,000 files (round 16): a table
+    // whose checkpoint crosses the threshold plans through a Spark job
+    // over the parquet checkpoint — the driver never walks the 10k
+    // per-file stats. Both planners must agree exactly (files planned
+    // AND values); the wall of each is printed for the ledger.
+    val wideLog = root.resolve("wide").toString
+    val wideN = 10000
+    val perCommit = 1000
+    val wideBatch = ManifestBatchWrite(wideLog, schema)
+    val tw = System.nanoTime()
+    (0 until wideN / perCommit).foreach { c =>
+      val msgs = (0 until perCommit).map { j =>
+        val i = c * perCommit + j
+        val w = graft.sources.ManifestWriters.create(wideLog,
+          Array("k", "name"), Array("long", "string"), f"w$i%06d.parquet")
+        w.write(org.apache.spark.sql.catalyst.InternalRow(i.toLong,
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"n$i")))
+        w.commit()
+      }
+      wideBatch.commit(msgs.toArray)
+    }
+    val wideBuild = nowS(tw)
+    require(ManifestSink.planningCheckpoint(Paths.get(wideLog))
+      .exists(_._3 == wideN.toLong),
+      "the 10k-file table must carry a full planning checkpoint")
+    spark.conf.set("spark.sql.catalog.graft.snap.wide.schema",
+      "k LONG, name STRING")
+    def widePoint(): (Long, (Int, Int), Double) = {
+      val t = System.nanoTime()
+      val v = spark.sql(s"SELECT k FROM graft.snap.wide WHERE k = ${wideN / 2}")
+        .collect().head.getLong(0)
+      (v, graft.sources.SnapTable.lastPruneOf("wide"), nowS(t))
+    }
+    val (vE, pruneE, wallE) = widePoint() // driver walk (default threshold)
+    spark.conf.set("spark.graft.plan.distributedThreshold", "1")
+    val (vD, pruneD, wallD) =
+      try widePoint()
+      finally spark.conf.unset("spark.graft.plan.distributedThreshold")
+    require(vE == wideN / 2 && vD == vE, s"point values: $vE vs $vD")
+    require(pruneE == ((wideN, 1)) && pruneD == pruneE,
+      s"both planners must plan 1 of $wideN: eager=$pruneE dist=$pruneD")
+    println(f"LAKE distributed planning files=$wideN build=$wideBuild%.1fs " +
+      f"pointRead driverWalk=$wallE%.2fs checkpointJob=$wallD%.2fs " +
+      "plannedFiles=1/10000 both")
     spark.stop()
     graft.util.Fs.deleteRecursively(root)
     println("LAKE-LADDER ALL GREEN")

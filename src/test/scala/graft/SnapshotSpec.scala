@@ -1800,9 +1800,20 @@ class SnapshotSpec extends AnyFunSuite {
       s.sql("SELECT sum(k) FROM graft.snap.fc").head().getLong(0)
     assert(q() == 6)
     val before = graft.sources.ManifestSink.fragmentParses.get()
+    val beforeDeriv = graft.sources.ManifestSink.planDerivations.get()
     assert(q() == 6) // identical re-plan: every fragment cache-hits
     assert(graft.sources.ManifestSink.fragmentParses.get() == before,
       "re-planning an unchanged table must parse no fragments")
+    // round 16: the DERIVED maps (union/stats/parts/dvs/props) are
+    // memoized on the fragment fingerprint too — a re-plan walks no
+    // lines at all, O(fragments) stat calls only
+    assert(graft.sources.ManifestSink.planDerivations.get() == beforeDeriv,
+      "re-planning an unchanged table must re-derive no snapshot state")
+    // a commit changes the fragment set: the state re-derives once
+    s.sql("INSERT INTO graft.snap.fc VALUES (4)")
+    assert(q() == 10)
+    assert(graft.sources.ManifestSink.planDerivations.get() > beforeDeriv,
+      "a new epoch must invalidate the memoized snapshot state")
     // recreate the SAME table path with different content: the cache
     // must not serve the old epochs (fileKey/inode changes on recreate)
     s.sql("DROP TABLE graft.snap.fc")
@@ -2182,6 +2193,157 @@ class SnapshotSpec extends AnyFunSuite {
     assert(graft.sources.ManifestSink.deleteVectors(log).isEmpty)
     assert(s.sql("SELECT count(*) FROM graft.snap.fan").head().getLong(0)
       == 192)
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("PLANNING CHECKPOINT (round 16): compaction writes a parquet " +
+    "checkpoint + meta sidecar; the distributed planner (a Spark job " +
+    "over the checkpoint + the driver-side tail) plans IDENTICAL file " +
+    "sets and values as the driver walk — across stats pruning, " +
+    "partition pruning, tail adds/removes, and dvs both in the tail " +
+    "and folded into the checkpoint; old checkpoints are swept") {
+    val root = Files.createTempDirectory("graft_snap_ckpt")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    val log = root.resolve("ckp").toString
+    s.sql("""CREATE TABLE graft.snap.ckp (k BIGINT, lang STRING)
+            |PARTITIONED BY (lang)
+            |TBLPROPERTIES ('compact.interval'='4',
+            |  'delete.mode'='mor')""".stripMargin)
+    // six 1-partition epochs: interval 4 → a compact (+ checkpoint)
+    // lands mid-stream, the rest stay loose as the tail
+    (1 to 6).foreach { i =>
+      s.sql(s"INSERT INTO graft.snap.ckp VALUES " +
+        s"(${i * 100}, 'l$i'), (${i * 100 + 1}, 'l$i')")
+    }
+    def ckptFiles(): Seq[String] = {
+      val st = Files.list(root.resolve("ckp"))
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("checkpoint-")).toSeq.sorted
+      finally st.close()
+    }
+    assert(ckptFiles().size == 2, s"parquet + meta expected: ${ckptFiles()}")
+    // the meta sidecar serves resolution without the compact text
+    assert(graft.sources.ManifestSink.tableProperties(log)
+      .get("delete.mode").contains("mor"))
+
+    // tail traffic on top of the checkpoint: a mor delete (tail dv on
+    // a CHECKPOINTED file) and a cow delete (tail REMOVE of one)
+    s.sql("DELETE FROM graft.snap.ckp WHERE k = 101") // dv, mor mode
+    s.conf.set("spark.sql.catalog.graft.snap.ckp.deleteMode", "cow")
+    s.sql("DELETE FROM graft.snap.ckp WHERE lang = 'l2'") // remove
+    s.conf.unset("spark.sql.catalog.graft.snap.ckp.deleteMode")
+
+    // both planners, three query shapes, value + prune-count equality
+    def round(): Seq[(Seq[(Long, String)], (Int, Int))] = {
+      def q(sql: String): (Seq[(Long, String)], (Int, Int)) = {
+        val rows = s.sql(sql).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+        (rows, graft.sources.SnapTable.lastPruneOf("ckp"))
+      }
+      Seq(
+        q("SELECT k, lang FROM graft.snap.ckp"),
+        q("SELECT k, lang FROM graft.snap.ckp WHERE k = 300"),
+        q("SELECT k, lang FROM graft.snap.ckp WHERE lang = 'l4'"))
+    }
+    val eager = round()
+    s.conf.set("spark.graft.plan.distributedThreshold", "0")
+    val dist = try round()
+      finally s.conf.unset("spark.graft.plan.distributedThreshold")
+    assert(eager == dist,
+      s"planners must agree exactly:\neager=$eager\ndist =$dist")
+    assert(eager.head._1.map(_._1) ==
+      Seq(100L, 300L, 301L, 400L, 401L, 500L, 501L, 600L, 601L),
+      s"l2 (200, 201) removed, 101 dv-deleted: ${eager.head._1}")
+    assert(eager(1)._2._2 < eager(1)._2._1,
+      s"the point read must prune: ${eager(1)._2}")
+    assert(eager(2)._2._2 < eager(2)._2._1,
+      s"the partition read must prune: ${eager(2)._2}")
+
+    // more epochs → the NEXT compaction folds the dv + remove into a
+    // fresh checkpoint (dv now lives in checkpoint ROWS) and sweeps
+    // the old pair
+    (7 to 11).foreach { i =>
+      s.sql(s"INSERT INTO graft.snap.ckp VALUES (${i * 100}, 'l$i')")
+    }
+    val cf = ckptFiles()
+    assert(cf.size == 2 &&
+      cf.map(_.stripPrefix("checkpoint-").takeWhile(_ != '.')).distinct.size == 1,
+      s"exactly one checkpoint pair survives the sweep: $cf")
+    val eager2 = round()
+    s.conf.set("spark.graft.plan.distributedThreshold", "0")
+    val dist2 = try round()
+      finally s.conf.unset("spark.graft.plan.distributedThreshold")
+    assert(eager2 == dist2,
+      s"planners must agree after the fold:\neager=$eager2\ndist =$dist2")
+    assert(!eager2.head._1.exists(r => r._1 == 101L || r._2 == "l2"),
+      "the folded dv and remove must stay applied")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("RENAME TABLE (round 16): ALTER TABLE … RENAME TO moves the " +
+    "log atomically (stage→promote); the old name is tombstoned — " +
+    "reads/writes refuse naming the new table, SHOW TABLES hides it, " +
+    "DROP reclaims it; a writer racing the rename gets a clean " +
+    "refusal at claim time, never a split log") {
+    val root = Files.createTempDirectory("graft_snap_rename")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.sql("CREATE TABLE graft.snap.rn1 (k BIGINT, name STRING)")
+    s.sql("INSERT INTO graft.snap.rn1 VALUES (1, 'a'), (2, 'b')")
+
+    s.sql("ALTER TABLE graft.snap.rn1 RENAME TO rn2")
+    // the new name serves everything (reads, history, writes)
+    assert(s.sql("SELECT sum(k) FROM graft.snap.rn2").head().getLong(0) == 3)
+    s.sql("INSERT INTO graft.snap.rn2 VALUES (3, 'c')")
+    assert(s.sql("SELECT count(*) FROM graft.snap.rn2").head().getLong(0) == 3)
+    // the old name refuses with the new name spelled out, and is
+    // hidden from the listing
+    val e1 = intercept[Exception](s.sql("SELECT * FROM graft.snap.rn1").collect())
+    assert(e1.getMessage.contains("renamed") || e1.getMessage.contains("rn2"),
+      e1.getMessage)
+    val listed = s.sql("SHOW TABLES IN graft.snap").collect()
+      .map(_.getString(1)).toSet
+    assert(listed.contains("rn2") && !listed.contains("rn1"), listed)
+
+    // claim-time fence: a PATH-based writer that resolved the old
+    // directory before the rename (no catalog load to save it) aborts
+    // cleanly at its commit claim — the log can never split
+    locally { import s.implicits._
+      val stale = Files.createDirectories(root.resolve("rn1")) // tombstone
+      assert(Files.exists(stale.resolve(".renamed-to")))
+      val err = intercept[Exception] {
+        Seq((9L, "z")).toDF("k", "name").coalesce(1)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", stale.toString).mode("append").save()
+      }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).toSeq
+      assert(chain(err).exists(m => m != null && m.contains("was renamed to")),
+        s"claim must refuse under the tombstone: ${chain(err)}")
+    }
+    // nothing leaked into the tombstone's log
+    assert(graft.sources.ManifestSink.committedFiles(
+      root.resolve("rn1").toString).isEmpty)
+
+    // rename onto an EXISTING name refuses; renaming a tombstone
+    // refuses as no-such-table
+    s.sql("CREATE TABLE graft.snap.rn3 (k BIGINT, name STRING)")
+    intercept[Exception](s.sql("ALTER TABLE graft.snap.rn3 RENAME TO rn2"))
+    intercept[Exception](s.sql("ALTER TABLE graft.snap.rn1 RENAME TO rn4"))
+
+    // stage→promote: CTAS a staging table, drop prod, promote
+    s.sql("CREATE TABLE graft.snap.stage AS " +
+      "SELECT k * 10 AS k, name FROM graft.snap.rn2")
+    s.sql("DROP TABLE graft.snap.rn2")
+    s.sql("ALTER TABLE graft.snap.stage RENAME TO rn2")
+    assert(s.sql("SELECT sum(k) FROM graft.snap.rn2").head().getLong(0) == 60)
+    // DROP reclaims the tombstone
+    assert(s.sql("DROP TABLE graft.snap.rn1") != null)
+    assert(!Files.exists(root.resolve("rn1")))
     graft.util.Fs.deleteRecursively(root)
   }
 }
