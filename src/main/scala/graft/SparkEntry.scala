@@ -230,6 +230,8 @@ object SparkEntry {
     "q_snap_dv_delete"   -> Materialize.snapDvDelete _,
     "q_snap_dv_update"   -> Materialize.snapDvUpdate _,
     "q_snap_dv_merge"    -> Materialize.snapDvMerge _,
+    "q_snap_rename"      -> Materialize.snapRename _,
+    "q_snap_checkpoint"  -> Materialize.snapCheckpoint _,
     "q_snap_history"     -> Materialize.snapHistory _,
     "q_snap_cor"         -> Materialize.snapCor _,
     "q_snap_compact"     -> Materialize.snapCompact _,
@@ -2428,6 +2430,24 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM merged GROUP BY lang""".stripMargin,
+    "q_snap_rename" -> // CTAS staging + RENAME TO promote: the rename
+      // is value-invisible, so the oracle is the staging select
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL AND lang <> 'zh'
+        |GROUP BY lang""".stripMargin,
+    "q_snap_checkpoint" -> // distributed planning over the compaction
+      // checkpoint: the planners are value-identical by contract, so
+      // the oracle is the plain filtered aggregate
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL AND doc_id >= 100
+        |GROUP BY lang""".stripMargin,
     "q_snap_cor" -> // CREATE OR REPLACE TABLE AS SELECT, run twice
       // (the reference's monthly-rebuild DDL): the oracle reproduces
       // the SECOND run's select — the replace must fully supersede

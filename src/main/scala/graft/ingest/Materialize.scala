@@ -1257,6 +1257,90 @@ object Materialize {
         |GROUP BY lang""".stripMargin)
   }
 
+  /** RENAME TABLE — the stage→promote pattern (`q_snap_rename`, round
+    * 16): CTAS a STAGING table from the filtered documents, then
+    * `ALTER TABLE … RENAME TO` promotes it to the production name as
+    * one atomic directory move ([[graft.sources.GraftCatalog
+    * .renameTable]]: a `.renamed-to` tombstone makes racing writers
+    * abort cleanly instead of splitting the log). The aggregate over
+    * the PROMOTED name oracles against the staging select — the
+    * rename must be value-invisible. */
+  def snapRename(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_rn_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("graft_rename_src")
+    spark.sql(
+      """CREATE TABLE graft.snap.docstage AS
+        |SELECT doc_id, lang, n_chars FROM graft_rename_src
+        |WHERE lang <> 'zh'""".stripMargin)
+    spark.sql("ALTER TABLE graft.snap.docstage RENAME TO docprod")
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM graft.snap.docprod
+        |GROUP BY lang""".stripMargin)
+  }
+
+  /** DISTRIBUTED PLANNING over the compaction checkpoint
+    * (`q_snap_checkpoint`, round 16): per-language epochs at
+    * `compact.interval = 2` force a compaction — which writes the
+    * parquet planning checkpoint — then the read runs with
+    * `spark.graft.plan.distributedThreshold = 0`, so the scan plans
+    * through a Spark JOB over the checkpoint (plus the loose tail)
+    * instead of the driver walk ([[graft.sources.ManifestSink
+    * .distributedPlan]]). The oracle is the same aggregate the eager
+    * planner would serve: the two planners are value-identical by
+    * contract, and running this under the local-cluster smoke also
+    * proves the planning job's closures serialize across real
+    * executor JVMs. */
+  def snapCheckpoint(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_ck_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    spark.sql(
+      """CREATE TABLE graft.snap.docckpt
+        |(doc_id BIGINT, lang STRING, n_chars BIGINT)
+        |TBLPROPERTIES ('compact.interval'='2')""".stripMargin)
+    val log = new java.io.File(root, "docckpt").toString
+    Seq("de", "en", "es", "fr", "zh").foreach { l =>
+      complete.filter(col("lang") === l)
+        .coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).option("compactInterval", "2")
+        .mode("append").save()
+    }
+    require(graft.sources.ManifestSink
+      .planningCheckpoint(java.nio.file.Paths.get(log)).nonEmpty,
+      s"q_snap_checkpoint: no planning checkpoint landed at $log")
+    spark.conf.set("spark.graft.plan.distributedThreshold", "0")
+    try {
+      val out = spark.sql(
+        """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+          |  min(doc_id) AS min_doc
+          |FROM graft.snap.docckpt
+          |WHERE doc_id >= 100
+          |GROUP BY lang""".stripMargin)
+      // EXECUTE under the forced threshold (a lazily-returned frame
+      // would be re-planned eagerly after the conf resets) — the
+      // values the oracle checks really came through the checkpoint
+      // planning job
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally spark.conf.unset("spark.graft.plan.distributedThreshold")
+  }
+
   /** INSERT OVERWRITE on the lake (`q_snap_overwrite`, round 14): the
     * full-snapshot REPLACE face (`SupportsTruncate` on the manifest
     * write builder) — new task files + `#remove`s of every committed
