@@ -232,6 +232,7 @@ object SparkEntry {
     "q_snap_dv_merge"    -> Materialize.snapDvMerge _,
     "q_snap_rename"      -> Materialize.snapRename _,
     "q_snap_checkpoint"  -> Materialize.snapCheckpoint _,
+    "q_snap_colmap"      -> Materialize.snapColmap _,
     "q_snap_history"     -> Materialize.snapHistory _,
     "q_snap_cor"         -> Materialize.snapCor _,
     "q_snap_compact"     -> Materialize.snapCompact _,
@@ -2430,6 +2431,26 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM merged GROUP BY lang""".stripMargin,
+    "q_snap_colmap" -> // RENAME COLUMN via #colmap: the mapping is
+      // value-invisible, so the oracle reproduces the post-rename DML
+      // (two inserts, the fr bump) over the ORIGINAL column names
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN lang = 'fr' THEN n_chars + 7 ELSE n_chars END
+        |      AS n_chars
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL
+        |  UNION ALL
+        |  SELECT 9100001, 'xx', 11
+        |  UNION ALL
+        |  SELECT 9100002, 'xx', 22
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS min_id
+        |FROM t WHERE doc_id >= 100
+        |GROUP BY lang""".stripMargin,
     "q_snap_rename" -> // CTAS staging + RENAME TO promote: the rename
       // is value-invisible, so the oracle is the staging select
       """SELECT lang, count(*) AS n_docs,

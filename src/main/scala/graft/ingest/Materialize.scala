@@ -1341,6 +1341,50 @@ object Materialize {
     } finally spark.conf.unset("spark.graft.plan.distributedThreshold")
   }
 
+  /** RENAME COLUMN via column mapping (`q_snap_colmap`, round 16):
+    * per-language epochs land under the original names, `ALTER TABLE …
+    * RENAME COLUMN` appends a pure-metadata `#colmap` epoch (physical
+    * names stay in every file/`#stats` key — ZERO bytes rewritten, the
+    * Delta column-mapping shape), a post-rename INSERT and UPDATE
+    * speak the new names, and the aggregate filters on a renamed
+    * column — which still prunes files through the physically-keyed
+    * stats. The oracle reproduces the same arithmetic over the
+    * original column names. */
+  def snapColmap(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_cmq_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    val log = new java.io.File(root, "doccm").toString
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Seq("de", "en", "es", "fr", "zh").foreach { l =>
+      complete.filter(col("lang") === l)
+        .coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", log).mode("append").save()
+    }
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    spark.conf.set("spark.sql.catalog.graft.snap.doccm.schema",
+      "doc_id LONG, lang STRING, n_chars LONG")
+    spark.sql("ALTER TABLE graft.snap.doccm RENAME COLUMN doc_id TO id")
+    spark.sql("ALTER TABLE graft.snap.doccm RENAME COLUMN n_chars TO chars")
+    // post-rename DML speaks the NEW names
+    spark.sql(
+      "INSERT INTO graft.snap.doccm VALUES (9100001, 'xx', 11), " +
+        "(9100002, 'xx', 22)")
+    spark.sql(
+      "UPDATE graft.snap.doccm SET chars = chars + 7 WHERE lang = 'fr'")
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(chars) AS sum_chars,
+        |  min(id) AS min_id
+        |FROM graft.snap.doccm
+        |WHERE id >= 100
+        |GROUP BY lang""".stripMargin)
+  }
+
   /** INSERT OVERWRITE on the lake (`q_snap_overwrite`, round 14): the
     * full-snapshot REPLACE face (`SupportsTruncate` on the manifest
     * write builder) — new task files + `#remove`s of every committed

@@ -248,7 +248,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       .getOrElse("cow")
     require(mode == "cow" || mode == "mor",
       s"graft.snap.${ident.name()}: deleteMode must be cow|mor, got '$mode'")
-    new SnapTable(ident.name(), tdir.toString, schema, asOf, mode)
+    // COLUMN MAPPING (round 16): the declared/conf/log schema is the
+    // PHYSICAL one (what files, #stats and #spec are keyed by); the
+    // log's #colmap renames it to the LOGICAL schema users query
+    new SnapTable(ident.name(), tdir.toString, schema, asOf, mode,
+      ManifestSink.columnMapping(tdir.toString))
   }
 
   private def snapRoot(ident: Identifier): String =
@@ -437,19 +441,24 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   }
 
   /** `ALTER TABLE graft.snap.t ADD COLUMN c T` / `SET TBLPROPERTIES`
-    * (round 15): additive evolution and property records are the two
-    * supported alterations — each appends a pure-metadata epoch (the
-    * widened `#schema`, or `#prop` records; the read path honors both
-    * with no data rewritten). Drops, renames and type changes refuse:
-    * each would reinterpret or lose committed data. */
+    * (round 15) / `RENAME COLUMN a TO b` (round 16): each appends a
+    * pure-metadata epoch — the widened `#schema`, `#prop` records, or
+    * the `#colmap` physical→logical mapping (column-mapping rename:
+    * zero bytes rewritten, files/stats/spec stay keyed by the fixed
+    * physical name). Drops and type changes still refuse: each would
+    * reinterpret or lose committed data. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (ident.namespace().toSeq != Seq(SnapNs))
       throw new UnsupportedOperationException(
         s"$catalogName: ALTER TABLE is supported only in the $SnapNs namespace")
     val cur = snapTable(ident, None).asInstanceOf[SnapTable]
+    val mapping = ManifestSink.columnMapping(cur.dir)
+    def logicalOf(p: String): String = mapping.getOrElse(p, p)
+    val curLogicalNames = cur.physSchema.fields.map(f => logicalOf(f.name))
     val added = scala.collection.mutable.ArrayBuffer[
       org.apache.spark.sql.types.StructField]()
     val setProps = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var renames = mapping
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
@@ -460,6 +469,34 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
             "— committed pre-evolution files serve null for it")
         added += org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = true)
+      case rn: TableChange.RenameColumn =>
+        // RENAME COLUMN (round 16, the Delta column-mapping shape): a
+        // pure-metadata `#colmap` epoch — the PHYSICAL name stays in
+        // every file, #stats key and #spec forever; only the logical
+        // name users query changes. Zero bytes rewritten, the skipping
+        // index and the null-absence inference stay exact.
+        require(rn.fieldNames().length == 1,
+          s"graft.snap.${ident.name()}: only top-level RENAME COLUMN " +
+            s"is supported, got ${rn.fieldNames().mkString(".")}")
+        val from = rn.fieldNames()(0)
+        val to = rn.newName()
+        val phys = cur.physSchema.fields.map(_.name)
+          .find(p => (renames.getOrElse(p, p)).equalsIgnoreCase(from))
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft.snap.${ident.name()}: no column '$from' to rename"))
+        val taken = cur.physSchema.fields.map(_.name).toSeq ++
+          cur.physSchema.fields.map(f => renames.getOrElse(f.name, f.name))
+        val conflicts = taken.filter(_.equalsIgnoreCase(to))
+          .filterNot(n => n.equalsIgnoreCase(from) || n.equalsIgnoreCase(phys))
+        require(conflicts.isEmpty,
+          s"graft.snap.${ident.name()}: column '$to' already exists " +
+            "(as a logical or physical name)")
+        require(ManifestSink.propSafe(to),
+          s"graft.snap.${ident.name()}: renamed column '$to' must be " +
+            "token-safe ([A-Za-z0-9._/=-])")
+        renames =
+          if (to == phys) renames - phys // renamed back: identity again
+          else renames + (phys -> to)
       case p: TableChange.SetProperty =>
         (p.property(), p.value()) match {
           case ("delete.mode", v) => require(v == "cow" || v == "mor",
@@ -481,11 +518,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           "supported alterations")
     }
     added.foreach { f =>
-      require(!cur.schema().fields.exists(_.name.equalsIgnoreCase(f.name)),
+      // an added LOGICAL name must collide with neither the current
+      // logical names nor any physical name (by-name files would bind)
+      require(!curLogicalNames.exists(_.equalsIgnoreCase(f.name)) &&
+          !cur.physSchema.fields.exists(_.name.equalsIgnoreCase(f.name)),
         s"graft.snap.${ident.name()}: column '${f.name}' already exists")
     }
+    // the recorded #schema stays PHYSICAL; an added column's physical
+    // name IS its logical name at birth
     val evolved = org.apache.spark.sql.types.StructType(
-      cur.schema().fields ++ added)
+      cur.physSchema.fields ++ added)
     if (added.nonEmpty) {
       ManifestWriters.parquetType(evolved.fields.map(_.name),
         evolved.fields.map(_.dataType.typeName))
@@ -493,7 +535,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     }
     if (setProps.nonEmpty)
       ManifestSink.commitPropsEpoch(cur.dir, setProps.toSeq)
-    new SnapTable(ident.name(), cur.dir, evolved, None)
+    if (renames != mapping)
+      ManifestSink.commitColmapEpoch(cur.dir, renames)
+    new SnapTable(ident.name(), cur.dir, evolved, None,
+      colmap = renames)
   }
 
   /** `DROP TABLE graft.snap.t` (round 15): deletes the epoch log and
@@ -673,7 +718,8 @@ object GraftCatalog {
   * full pass. */
 private[sources] class SnapTable(tname: String, val dir: String,
     tschema: org.apache.spark.sql.types.StructType, asOf: Option[Long],
-    deleteMode: String = "cow")
+    deleteMode: String = "cow",
+    colmap: Map[String, String] = Map.empty)
     extends Table with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -682,7 +728,37 @@ private[sources] class SnapTable(tname: String, val dir: String,
   import org.apache.spark.sql.connector.catalog.TableCapability
   import org.apache.spark.sql.sources._
   override def name(): String = s"snap($tname)"
-  override def schema(): org.apache.spark.sql.types.StructType = tschema
+
+  /** COLUMN MAPPING boundary (round 16): `tschema` is the PHYSICAL
+    * schema (file/stats/spec names, fixed for a column's lifetime);
+    * users see and query the LOGICAL names below. Translation happens
+    * exactly here — filters/required-columns logical→physical on the
+    * way in, schemas physical→logical on the way out; every writer
+    * writes physical. */
+  private val logicalOfPhys: Map[String, String] =
+    colmap.map { case (p, l) => p.toLowerCase -> l }
+  private val physOfLogical: Map[String, String] =
+    colmap.map { case (p, l) => l.toLowerCase -> p }
+  private[sources] def physName(c: String): String =
+    physOfLogical.getOrElse(c.toLowerCase, c)
+  private def logicalName(c: String): String =
+    logicalOfPhys.getOrElse(c.toLowerCase, c)
+  private def logicalize(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      st.fields.map(f => f.copy(name = logicalName(f.name))))
+  private def physicalize(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      st.fields.map(f => f.copy(name = physName(f.name))))
+
+  /** The physical (declared/recorded) schema — what every file-facing
+    * op reads and writes under. */
+  private[sources] def physSchema: org.apache.spark.sql.types.StructType =
+    tschema
+
+  override def schema(): org.apache.spark.sql.types.StructType =
+    logicalize(tschema)
   /** The log-recorded partition spec (round 15) — read fresh per call:
     * CatalogManager caches tables briefly, but the spec is immutable
     * for a table's lifetime so staleness cannot occur. */
@@ -698,7 +774,13 @@ private[sources] class SnapTable(tname: String, val dir: String,
       .flatMap(_.toIntOption).getOrElse(ManifestSink.DefaultCompactInterval)
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    ManifestTable.transformsOf(spec)
+    // display (and Spark's PARTITION-clause resolution) uses LOGICAL
+    // names; the recorded #spec itself stays physical
+    ManifestTable.transformsOf(spec.map {
+      case IdentityPart(c) => IdentityPart(logicalName(c))
+      case DaysPart(c) => DaysPart(logicalName(c))
+      case BucketPart(n, c) => BucketPart(n, logicalName(c))
+    })
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
@@ -726,9 +808,10 @@ private[sources] class SnapTable(tname: String, val dir: String,
       s"graft.snap.$tname VERSION AS OF ${asOf.get}: historical " +
         "snapshots are immutable — run the operation on the current table")
     if (deleteMode == "mor")
-      () => new SnapDeltaOperation(tname, dir, tschema, info.command())
+      () => new SnapDeltaOperation(tname, dir, tschema, info.command(), colmap)
     else
-      () => new SnapRowLevelOperation(tname, dir, tschema, info.command())
+      () => new SnapRowLevelOperation(tname, dir, tschema, info.command(),
+        colmap)
   }
 
   /** `INSERT INTO graft.snap.t` — a plain batch APPEND epoch through
@@ -751,11 +834,12 @@ private[sources] class SnapTable(tname: String, val dir: String,
         "snapshots are immutable — append to the current table")
     ManifestSink.verifyDeclaredSchema(dir, s"graft.snap.$tname INSERT", tschema)
     ManifestTable(dir, tschema, compactInterval = tblCompactInterval,
-      spec = ManifestSink.partitionSpec(dir)).newWriteBuilder(info)
+      spec = ManifestSink.partitionSpec(dir),
+      renameCols = physOfLogical).newWriteBuilder(info)
   }
 
   private def hasCol(c: String): Boolean =
-    tschema.fields.exists(_.name.equalsIgnoreCase(c))
+    schema().fields.exists(_.name.equalsIgnoreCase(c))
 
   /** Predicate shapes the COW rewrite can evaluate (re-expressed as
     * Columns over the survivor scan); anything else refuses at analysis
@@ -831,8 +915,12 @@ private[sources] class SnapTable(tname: String, val dir: String,
     * log's `#schema` records first (advisor r13): a stale narrow conf
     * on this destructive path would otherwise silently drop an evolved
     * column from the survivor files it commits. */
-  override def deleteWhere(filters: Array[Filter]): Unit = {
+  override def deleteWhere(logicalFilters: Array[Filter]): Unit = {
     val spark = SparkSession.active
+    // the predicate arrives in LOGICAL names; everything below — the
+    // stats/partition walks and the survivor/dv reads — is physical
+    val filters = logicalFilters.map(
+      ManifestSink.renameFilterCols(_, physOfLogical))
     ManifestSink.verifyDeclaredSchema(dir, s"graft.snap.$tname DELETE", tschema)
     val files = ManifestSink.committedFiles(dir)
     if (files.isEmpty) return
@@ -1014,11 +1102,12 @@ private[sources] class SnapTable(tname: String, val dir: String,
         require(maxEpochs >= 1,
           s"maxEpochsPerTrigger must be >= 1, got $maxEpochs")
         // the tail reader resolves columns BY NAME, so a pruned read
-        // schema simply reads fewer columns per file
+        // schema simply reads fewer columns per file (under a column
+        // mapping the lookup names are the PHYSICAL ones)
         new ManifestMicroBatchStream(dir,
-          readSchema.fields.map(_.name),
+          readSchema.fields.map(f => physName(f.name)),
           readSchema.fields.map(_.dataType.typeName), maxEpochs)
-      }))
+      }), colmap = colmap)
   }
 }
 
@@ -1315,11 +1404,33 @@ private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
     tschema: org.apache.spark.sql.types.StructType,
     options: CaseInsensitiveStringMap,
     streamSource: Option[org.apache.spark.sql.types.StructType =>
-      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None,
+    colmap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.graftbridge.GraftCatalystFilterPushdown
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources._
+
+  // logical↔physical boundary (round 16; empty maps = identity, the
+  // pre-rename fast path): pushed predicates and pruned columns arrive
+  // LOGICAL and are translated once here; every pruning face, the
+  // parquet delegate and the by-name reader operate PHYSICAL; the
+  // served readSchema translates back so output attribute names stay
+  // logical while rows pass through positionally
+  private val physOfLogical: Map[String, String] =
+    colmap.map { case (p, l) => l.toLowerCase -> p }
+  private val logicalOfPhys: Map[String, String] =
+    colmap.map { case (p, l) => p.toLowerCase -> l }
+  private def physName(c: String): String =
+    physOfLogical.getOrElse(c.toLowerCase, c)
+  private def logicalize(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(st.fields.map(f =>
+      f.copy(name = logicalOfPhys.getOrElse(f.name.toLowerCase, f.name))))
+  private def physicalize(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      st.fields.map(f => f.copy(name = physName(f.name))))
 
   private var catalystFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
   private var filters: Array[Filter] = Array.empty
@@ -1328,8 +1439,15 @@ private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
   override def pushFilters(
       fs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    catalystFilters = fs
-    filters = fs.flatMap(org.apache.spark.sql.graftbridge.Bridge.translateFilter)
+    catalystFilters =
+      if (physOfLogical.isEmpty) fs
+      else fs.map(_.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if physOfLogical.contains(a.name.toLowerCase) =>
+          a.withName(physOfLogical(a.name.toLowerCase))
+      })
+    filters = catalystFilters
+      .flatMap(org.apache.spark.sql.graftbridge.Bridge.translateFilter)
       .toArray
     fs // all residual: Spark re-applies, skipping is bonus
   }
@@ -1381,7 +1499,9 @@ private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
       java.nio.file.Paths.get(f).getFileName.toString
     val hasDvs = kept.exists(f => dvs.get(dvName(f)).exists(_.nonEmpty))
     if (wantsFile || hasDvs) {
-      val rs = required.getOrElse(tschema)
+      // readSchema stays LOGICAL; the by-name reader looks files up
+      // under the PHYSICAL names (rows are positional)
+      val rs = required.getOrElse(logicalize(tschema))
       return new org.apache.spark.sql.connector.read.Scan
           with org.apache.spark.sql.connector.read.Batch {
         override def readSchema(): org.apache.spark.sql.types.StructType = rs
@@ -1397,7 +1517,7 @@ private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
             : org.apache.spark.sql.connector.read.InputPartition).toArray
         override def createReaderFactory()
             : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-          ManifestReadFactory(rs.fields.map(_.name),
+          ManifestReadFactory(rs.fields.map(f => physName(f.name)),
             rs.fields.map(_.dataType.typeName))
         override def toMicroBatchStream(checkpointLocation: String)
             : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -1426,25 +1546,29 @@ private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
       .pushCatalystFilters(delegate, catalystFilters)
     delegate match {
       case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
-        required.foreach(p.pruneColumns)
+        required.foreach(r => p.pruneColumns(physicalize(r)))
       case _ =>
     }
     val dscan = delegate.build()
-    streamSource match {
-      case None => dscan
-      case Some(mk) =>
-        // batch reads delegate untouched; a streaming read swaps in the
-        // epoch-log tail (the same MicroBatchStream the path face uses)
+    if (streamSource.isEmpty && colmap.isEmpty) dscan
+    else
+        // batch reads delegate untouched (modulo readSchema renamed
+        // physical→logical under a column mapping — rows are
+        // positional); a streaming read swaps in the epoch-log tail
+        // (the same MicroBatchStream the path face uses)
         new org.apache.spark.sql.connector.read.Scan {
           override def readSchema(): org.apache.spark.sql.types.StructType =
-            dscan.readSchema()
+            logicalize(dscan.readSchema())
           override def description(): String = dscan.description()
           override def toBatch: org.apache.spark.sql.connector.read.Batch =
             dscan.toBatch
           override def toMicroBatchStream(checkpointLocation: String)
               : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-            mk(dscan.readSchema())
+            streamSource match {
+              case Some(mk) => mk(logicalize(dscan.readSchema()))
+              case None => throw new UnsupportedOperationException(
+                s"graft.snap.$tname: this face does not stream")
+            }
         }
-    }
   }
 }

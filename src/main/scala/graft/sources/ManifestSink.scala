@@ -257,7 +257,8 @@ object ManifestSink {
       dvs: Map[String, Seq[(String, Long)]],
       props: Map[String, String],
       schemas: Seq[String],
-      specs: Seq[String])
+      specs: Seq[String],
+      colmap: Map[String, String])
   private val PlanCacheCap = 64
   private val planCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(String, Object, Long, java.nio.file.attribute.FileTime)],
@@ -289,6 +290,7 @@ object ManifestSink {
       val props = scala.collection.mutable.LinkedHashMap[String, String]()
       val schemas = scala.collection.mutable.LinkedHashSet[String]()
       val specs = scala.collection.mutable.LinkedHashSet[String]()
+      var colmap = Map.empty[String, String]
       frags.foreach { p =>
         readLines(p).foreach { l =>
           if (!l.startsWith("#")) union.add(l)
@@ -309,6 +311,7 @@ object ManifestSink {
             }
           else if (l.startsWith("#schema ")) schemas.add(l.stripPrefix("#schema "))
           else if (l.startsWith("#spec ")) specs.add(l.stripPrefix("#spec "))
+          else if (l.startsWith("#colmap ")) colmap = parseColmap(l)
         }
       }
       // conflicting duplicate stats/part records lose their entry (the
@@ -318,7 +321,7 @@ object ManifestSink {
       val partMap = parts.groupBy(_._1).collect {
         case (n, recs) if recs.map(_._2).distinct.size == 1 => n -> recs.head._2 }
       val st = PlanState(union.toSeq, statMap.toMap, partMap.toMap,
-        dvs.toMap, props.toMap, schemas.toSeq, specs.toSeq)
+        dvs.toMap, props.toMap, schemas.toSeq, specs.toSeq, colmap)
       fp.foreach { f =>
         if (planCache.size >= PlanCacheCap) planCache.clear()
         planCache.put(key, (f, st))
@@ -530,6 +533,75 @@ object ManifestSink {
       acc.toMap
     }
 
+  /** COLUMN MAPPING (round 16, the Delta column-mapping shape for
+    * RENAME COLUMN without rewriting a byte): the `#colmap
+    * <physical>=<logical>[;…]` record maps the PHYSICAL column names —
+    * which stay fixed forever in data files, `#stats` keys, `#schema`
+    * records and the partition `#spec` — to the LOGICAL names users
+    * query. Last record wins wholesale; columns without an entry are
+    * identity-mapped. Because every persisted artifact stays keyed by
+    * physical name, renames never invalidate the skipping index, the
+    * null-absence inference, partition tuples or old files — the whole
+    * translation lives at the session boundary (filters logical→
+    * physical on the way in, schemas physical→logical on the way out,
+    * writers always write physical). */
+  private def parseColmap(l: String): Map[String, String] =
+    l.stripPrefix("#colmap ").split(";").toSeq.flatMap { e =>
+      e.split("=", 2) match {
+        case Array(p, lg) if p.nonEmpty && lg.nonEmpty => Some(p -> lg)
+        case _ => None
+      }
+    }.toMap
+
+  private[sources] def colmapLine(m: Map[String, String]): String = {
+    m.foreach { case (p, lg) => require(propSafe(p) && propSafe(lg),
+      s"column names in a rename must be token-safe: '$p'='$lg'") }
+    s"#colmap ${m.toSeq.sortBy(_._1).map { case (p, lg) => s"$p=$lg" }
+      .mkString(";")}"
+  }
+
+  /** The live physical→logical column mapping (empty = identity). */
+  def columnMapping(path: String): Map[String, String] = {
+    val dir = Paths.get(path)
+    metaState(dir).map(_._4).getOrElse(planState(dir).colmap)
+  }
+
+  /** Append a pure-metadata epoch carrying the full `#colmap` record —
+    * the ALTER TABLE RENAME COLUMN commit. */
+  private[sources] def commitColmapEpoch(path: String,
+      mapping: Map[String, String]): Long =
+    claimEpoch(Files.createDirectories(Paths.get(path)),
+      () => Seq(colmapLine(mapping)))
+
+  /** Rename v1 filter column references through `m` (case-insensitive
+    * keys) — how a LOGICAL predicate becomes the PHYSICAL one every
+    * stats/partition/pushdown face evaluates. Unmapped names pass
+    * through. */
+  private[sources] def renameFilterCols(
+      f: org.apache.spark.sql.sources.Filter,
+      m: Map[String, String]): org.apache.spark.sql.sources.Filter = {
+    import org.apache.spark.sql.sources._
+    def t(c: String): String = m.getOrElse(c.toLowerCase, c)
+    f match {
+      case EqualTo(c, v) => EqualTo(t(c), v)
+      case EqualNullSafe(c, v) => EqualNullSafe(t(c), v)
+      case GreaterThan(c, v) => GreaterThan(t(c), v)
+      case GreaterThanOrEqual(c, v) => GreaterThanOrEqual(t(c), v)
+      case LessThan(c, v) => LessThan(t(c), v)
+      case LessThanOrEqual(c, v) => LessThanOrEqual(t(c), v)
+      case In(c, vs) => In(t(c), vs)
+      case IsNull(c) => IsNull(t(c))
+      case IsNotNull(c) => IsNotNull(t(c))
+      case StringStartsWith(c, p) => StringStartsWith(t(c), p)
+      case StringEndsWith(c, p) => StringEndsWith(t(c), p)
+      case StringContains(c, p) => StringContains(t(c), p)
+      case And(l, r) => And(renameFilterCols(l, m), renameFilterCols(r, m))
+      case Or(l, r) => Or(renameFilterCols(l, m), renameFilterCols(r, m))
+      case Not(x) => Not(renameFilterCols(x, m))
+      case other => other
+    }
+  }
+
   /** Non-per-file records — (schemas, props, specs) — via the
     * checkpoint META sidecar plus the loose tail's headers, when a
     * sidecar matching the current horizon exists (round 16): O(tail)
@@ -538,7 +610,8 @@ object ManifestSink {
     * derived the expensive way). With no compact at all, the loose log
     * IS the tail and planState is already O(tail). */
   private def metaState(dir: Path)
-      : Option[(Seq[String], Map[String, String], Seq[String])] =
+      : Option[(Seq[String], Map[String, String], Seq[String],
+        Map[String, String])] =
     latestCompact(dir).flatMap { case (h, _) =>
       val mp = dir.resolve(checkpointMetaName(h))
       if (!Files.isRegularFile(mp)) None
@@ -546,18 +619,20 @@ object ManifestSink {
         val schemas = scala.collection.mutable.LinkedHashSet[String]()
         val props = scala.collection.mutable.LinkedHashMap[String, String]()
         val specs = scala.collection.mutable.LinkedHashSet[String]()
+        var colmap = Map.empty[String, String]
         val lines = readLines(mp) ++
           looseEpochs(dir, h).sortBy(_._1).flatMap(e => readHeaders(e._2))
         lines.foreach { l =>
           if (l.startsWith("#schema ")) schemas.add(l.stripPrefix("#schema "))
           else if (l.startsWith("#spec ")) specs.add(l.stripPrefix("#spec "))
+          else if (l.startsWith("#colmap ")) colmap = parseColmap(l)
           else if (l.startsWith("#prop ")) l.stripPrefix("#prop ")
             .split(" ", 2) match {
               case Array(k, v) => props(k) = v
               case _ =>
             }
         }
-        Some((schemas.toSeq, props.toMap, specs.toSeq))
+        Some((schemas.toSeq, props.toMap, specs.toSeq, colmap))
       }
     }
 
@@ -1126,6 +1201,8 @@ object ManifestSink {
       }
       acc.toSeq.map { case (k, v) => s"#prop $k $v" }
     }
+    // column mapping: LAST record wins (fragment order), carried whole
+    val colmaps = headers.filter(_.startsWith("#colmap ")).takeRight(1)
     // `#cow` tokens carry forward ONE round — from the loose epochs this
     // sweep absorbs, never from the prior compact — so a COW committer
     // whose epoch was absorbed mid-claim can still recognize its own
@@ -1175,8 +1252,8 @@ object ManifestSink {
     // this compaction); the compact-<upTo> content is deterministic —
     // the union through upTo — so when a racer already landed it, the
     // loser's work is simply done
-    val bytes = (txns ++ schemas ++ specs ++ props ++ cows ++ stats ++
-      parts ++ dvs ++ names).mkString("\n")
+    val bytes = (txns ++ schemas ++ specs ++ props ++ colmaps ++ cows ++
+      stats ++ parts ++ dvs ++ names).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val ctmp = Files.createTempFile(dir, s".${compactName(upTo)}", ".tmp")
     Files.write(ctmp, bytes)
@@ -1191,8 +1268,8 @@ object ManifestSink {
       // O(tail) without touching the O(files) compact text. Both are
       // strict ACCELERATIONS: a missing/failed checkpoint (crash here,
       // or the pre-r16 log) falls back to the text walk.
-      try writeCheckpoint(dir, upTo, names, txns ++ schemas ++ specs ++ props,
-        stats, parts, dvs)
+      try writeCheckpoint(dir, upTo, names,
+        txns ++ schemas ++ specs ++ props ++ colmaps, stats, parts, dvs)
       catch { case _: Exception => } // optimization only, never fails a commit
     }
     catch { case _: java.nio.file.FileAlreadyExistsException => }
@@ -1657,9 +1734,23 @@ case class ManifestTable(path: String, writeSchema: StructType,
     compactInterval: Int = ManifestSink.DefaultCompactInterval,
     removeFiles: Seq[String] = Seq.empty,
     spec: Seq[PartField] = Seq.empty,
-    consumedDvs: Option[Map[String, Set[String]]] = None)
+    consumedDvs: Option[Map[String, Set[String]]] = None,
+    /** logical(lowercased)→physical column renames (round 16): the
+      * catalog face passes the table's column mapping so writes land
+      * under the PHYSICAL names and overwrite predicates evaluate
+      * against the physical `#spec`/tuples. Empty = identity (every
+      * path-based use). */
+    renameCols: Map[String, String] = Map.empty)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead {
+  private def physicalize(st: StructType): StructType =
+    if (renameCols.isEmpty) st
+    else StructType(st.fields.map(f =>
+      f.copy(name = renameCols.getOrElse(f.name.toLowerCase, f.name))))
+  private def physFilters(fs: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] =
+    if (renameCols.isEmpty) fs
+    else fs.map(ManifestSink.renameFilterCols(_, renameCols))
   override def name(): String = s"manifest($path)"
   override def schema(): StructType = writeSchema
   override def partitioning(): Array[Transform] =
@@ -1723,8 +1814,9 @@ case class ManifestTable(path: String, writeSchema: StructType,
         * recomputed per claim attempt like the full replace; the
         * commit validates every replacement file's own tuple satisfies
         * the predicate (Delta's replaceWhere constraint). */
-      override def canOverwrite(filters: Array[org.apache.spark.sql.sources.Filter])
-          : Boolean =
+      override def canOverwrite(filters0: Array[org.apache.spark.sql.sources.Filter])
+          : Boolean = {
+        val filters = physFilters(filters0)
         filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]) || {
           spec.exists(_.isInstanceOf[IdentityPart]) &&
             // decidable on a PROBE tuple: every identity field set
@@ -1738,8 +1830,10 @@ case class ManifestTable(path: String, writeSchema: StructType,
               org.apache.spark.sql.sources.AlwaysTrue)(
               org.apache.spark.sql.sources.And(_, _))).isDefined
         }
-      override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      }
+      override def overwrite(filters0: Array[org.apache.spark.sql.sources.Filter])
           : WriteBuilder = {
+        val filters = physFilters(filters0)
         if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
           truncating = true
         else overwriteWhere = Some(filters.toSeq)
@@ -1758,8 +1852,9 @@ case class ManifestTable(path: String, writeSchema: StructType,
               () => ManifestSink.committedFiles(path).map(f =>
                 Paths.get(f).getFileName.toString)
             else () => removeFiles
-          ManifestBatchWrite(path, info.schema(), compactInterval, removes,
-            spec, overwriteWhere, dynamic, consumedDvs)
+          ManifestBatchWrite(path, physicalize(info.schema()),
+            compactInterval, removes, spec, overwriteWhere, dynamic,
+            consumedDvs)
         }
         // writerId = the STREAMING QUERY's stable id (Spark passes
         // checkpoint-metadata `id`, not the per-run runId, as the
@@ -1776,7 +1871,8 @@ case class ManifestTable(path: String, writeSchema: StructType,
             "graft manifest sink: streaming truncate (complete/update " +
               "output) is not supported — the log is an append-of-epochs; " +
               "use append output mode")
-          ManifestStreamingWrite(path, info.schema(), compactInterval,
+          ManifestStreamingWrite(path, physicalize(info.schema()),
+            compactInterval,
             Option(info.queryId()).filter(_.nonEmpty).getOrElse(
               throw new IllegalStateException(
                 "streaming write carries no query id; the manifest log " +

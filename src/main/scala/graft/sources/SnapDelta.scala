@@ -42,10 +42,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * folds accumulated dvs back into plain files and the scan's
   * vectorized parquet delegate path returns. */
 private[sources] class SnapDeltaOperation(val tname: String,
-    val dir: String, val tschema: StructType, cmd: Command)
+    val dir: String, val tschema: StructType, cmd: Command,
+    colmap: Map[String, String] = Map.empty)
     extends RowLevelOperation with SupportsDelta {
   ManifestSink.verifyDeclaredSchema(dir,
     s"graft.snap.$tname $cmd (merge-on-read)", tschema)
+
+  // column-mapping boundary (round 16): same contract as the COW op —
+  // `tschema` is PHYSICAL, Spark speaks LOGICAL, translation lives here
+  private[sources] val physOfLogical: Map[String, String] =
+    colmap.map { case (p, l) => l.toLowerCase -> p }
+  private[sources] def physName(c: String): String =
+    physOfLogical.getOrElse(c.toLowerCase, c)
+  private[sources] def logicalSchema: StructType = {
+    val m = colmap.map { case (p, l) => p.toLowerCase -> l }
+    StructType(tschema.fields.map(f =>
+      f.copy(name = m.getOrElse(f.name.toLowerCase, f.name))))
+  }
+  private[sources] def physicalize(st: StructType): StructType =
+    StructType(st.fields.map(f => f.copy(name = physName(f.name))))
 
   /** The snapshot this operation reads and dv-marks — pinned once. */
   private[sources] val snapshotFiles: Seq[String] = ManifestSink.committedFiles(dir)
@@ -97,7 +112,8 @@ private[sources] class SnapDeltaScanBuilder(op: SnapDeltaOperation)
   private var required: Option[StructType] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters
+    // arrive LOGICAL; the pruning faces below are physical
+    pushed = filters.map(ManifestSink.renameFilterCols(_, op.physOfLogical))
     filters // all residual: Spark re-applies, file skipping is bonus
   }
   override def pushedFilters(): Array[Filter] = Array.empty
@@ -115,7 +131,7 @@ private[sources] class SnapDeltaScanBuilder(op: SnapDeltaOperation)
       })
     }
     SnapTable.recordPrune(op.tname, op.snapshotFiles.size, candidates.size)
-    new SnapDeltaScan(op, candidates, required.getOrElse(op.tschema))
+    new SnapDeltaScan(op, candidates, required.getOrElse(op.logicalSchema))
   }
 }
 
@@ -132,7 +148,8 @@ private[sources] class SnapDeltaScan(op: SnapDeltaOperation,
     candidates.map(f => ManifestFilePartition(f,
       op.dvPathsOf(Paths.get(f).getFileName.toString)): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    ManifestReadFactory(rs.fields.map(_.name),
+    // physical lookup names; logical (positional) readSchema
+    ManifestReadFactory(rs.fields.map(f => op.physName(f.name)),
       rs.fields.map(_.dataType.typeName))
 }
 
@@ -150,14 +167,16 @@ private[sources] class SnapDeltaWrite(op: SnapDeltaOperation,
     * column: inserted rows are full table rows, and a narrower schema
     * would silently drop data (same check as the COW write face). */
   private val rowSchema: StructType = {
+    // logical width check; physical form for the writer + #schema
     val s = info.schema()
-    val ok = op.tschema.fields.forall(tf => s.fields.exists(wf =>
+    val logical = op.logicalSchema
+    val ok = logical.fields.forall(tf => s.fields.exists(wf =>
       wf.name.equalsIgnoreCase(tf.name) && wf.dataType == tf.dataType))
     if (!ok) throw new IllegalStateException(
       s"graft.snap.${op.tname} ${op.command()}: delta row schema " +
         s"'${s.toDDL}' does not carry every declared column " +
-        s"('${op.tschema.toDDL}') — refusing a write that would drop data")
-    s
+        s"('${logical.toDDL}') — refusing a write that would drop data")
+    op.physicalize(s)
   }
 
   /** Where `_file`/`_pos` sit in the rowId rows the writer receives —

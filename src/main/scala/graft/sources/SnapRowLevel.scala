@@ -47,9 +47,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * records at construction: a REWRITE under a stale narrow conf would
   * silently drop an evolved column (advisor r13). */
 private[sources] class SnapRowLevelOperation(val tname: String,
-    val dir: String, val tschema: StructType, cmd: Command)
+    val dir: String, val tschema: StructType, cmd: Command,
+    colmap: Map[String, String] = Map.empty)
     extends RowLevelOperation {
   ManifestSink.verifyDeclaredSchema(dir, s"graft.snap.$tname $cmd", tschema)
+
+  // column-mapping boundary (round 16): `tschema` is PHYSICAL; Spark
+  // plans this operation against the table's LOGICAL schema, so pushed
+  // filters translate in, the write's declared-width check compares
+  // logically, and the reader/writer speak physical
+  private[sources] val physOfLogical: Map[String, String] =
+    colmap.map { case (p, l) => l.toLowerCase -> p }
+  private[sources] def physName(c: String): String =
+    physOfLogical.getOrElse(c.toLowerCase, c)
+  private[sources] def logicalSchema: StructType = {
+    val m = colmap.map { case (p, l) => p.toLowerCase -> l }
+    StructType(tschema.fields.map(f =>
+      f.copy(name = m.getOrElse(f.name.toLowerCase, f.name))))
+  }
+  private[sources] def physicalize(st: StructType): StructType =
+    StructType(st.fields.map(f => f.copy(name = physName(f.name))))
 
   /** The snapshot this operation reads AND replaces — pinned once. */
   private[sources] val snapshotFiles: Seq[String] = ManifestSink.committedFiles(dir)
@@ -167,7 +184,8 @@ private[sources] class SnapRowLevelScanBuilder(op: SnapRowLevelOperation)
   private var required: Option[StructType] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters
+    // arrive LOGICAL; every pruning face below is physical
+    pushed = filters.map(ManifestSink.renameFilterCols(_, op.physOfLogical))
     filters // all residual: Spark re-applies, file skipping is bonus
   }
   override def pushedFilters(): Array[Filter] = Array.empty
@@ -184,7 +202,7 @@ private[sources] class SnapRowLevelScanBuilder(op: SnapRowLevelOperation)
         case Some(st) => st.rows > 0 && pushed.forall(SnapStats.mayMatch(st, _))
       })
     }
-    new SnapRowLevelScan(op, candidates, required.getOrElse(op.tschema))
+    new SnapRowLevelScan(op, candidates, required.getOrElse(op.logicalSchema))
   }
 }
 
@@ -226,7 +244,9 @@ private[sources] class SnapRowLevelScan(op: SnapRowLevelOperation,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ManifestReadFactory(rs.fields.map(_.name),
+    // by-name file lookup under the PHYSICAL names; `rs` (and the rows,
+    // positionally) stay logical
+    ManifestReadFactory(rs.fields.map(f => op.physName(f.name)),
       rs.fields.map(_.dataType.typeName))
 
   override def filterAttributes(): Array[NamedReference] =
@@ -282,14 +302,18 @@ private[sources] object SnapRowLevelScan {
 private[sources] class SnapRowLevelWrite(op: SnapRowLevelOperation,
     info: LogicalWriteInfo) extends WriteBuilder with Write with BatchWrite {
   private val ws: StructType = {
+    // the replacement rows arrive under LOGICAL names; the width check
+    // compares logically and the PHYSICAL form feeds the writer + the
+    // recorded #schema
     val s = info.schema()
-    val ok = op.tschema.fields.forall(tf => s.fields.exists(wf =>
+    val logical = op.logicalSchema
+    val ok = logical.fields.forall(tf => s.fields.exists(wf =>
       wf.name.equalsIgnoreCase(tf.name) && wf.dataType == tf.dataType))
     if (!ok) throw new IllegalStateException(
       s"graft.snap.${op.tname} ${op.command()}: replacement-data schema " +
         s"'${s.toDDL}' does not carry every declared column " +
-        s"('${op.tschema.toDDL}') — refusing a rewrite that would drop data")
-    s
+        s"('${logical.toDDL}') — refusing a rewrite that would drop data")
+    op.physicalize(s)
   }
 
   override def build(): Write = this

@@ -100,16 +100,21 @@ class CompactProcedure(snapDir: () => String,
       val target = input.getLong(1)
       require(target >= 1, s"target_rows must be >= 1, got $target")
       val schema = schemaOf(table)
+      val dir = new java.io.File(snapDir(), table)
+      require(dir.isDirectory, s"graft.snap.$table: no manifest table at $dir")
+      // sort_cols arrive in LOGICAL names; the rewrite reads/writes
+      // the physical schema, so translate through the column mapping
+      val toPhys = ManifestSink.columnMapping(dir.toString)
+        .map { case (p, l) => l.toLowerCase -> p }
       val sortCols =
         if (input.numFields < 3 || input.isNullAt(2)) Seq.empty[String]
         else input.getUTF8String(2).toString.split(",").toSeq
           .map(_.trim).filter(_.nonEmpty)
+          .map(c => toPhys.getOrElse(c.toLowerCase, c))
       sortCols.foreach(c => require(
         schema.fields.exists(_.name.equalsIgnoreCase(c)),
         s"compact_data sort_cols: '$c' is not a column of " +
           s"graft.snap.$table (${schema.fieldNames.mkString(", ")})"))
-      val dir = new java.io.File(snapDir(), table)
-      require(dir.isDirectory, s"graft.snap.$table: no manifest table at $dir")
       // refuse to rewrite under a conf schema narrower than what the
       // log records — this path is DESTRUCTIVE (advisor r13: a stale
       // conf would drop an evolved column from every rewritten file)

@@ -1398,9 +1398,13 @@ class SnapshotSpec extends AnyFunSuite {
         if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq ==
       Seq((1L, -1L), (2L, -1L), (3L, 30L)))
 
-    // non-additive ALTERs refuse loudly
+    // non-additive ALTERs refuse loudly (RENAME COLUMN stopped being
+    // one in round 16 — column mapping makes it a metadata epoch; the
+    // round-trip below leaves the table as this test expects)
     intercept[Exception](s.sql("ALTER TABLE graft.snap.t1 DROP COLUMN v"))
-    intercept[Exception](s.sql("ALTER TABLE graft.snap.t1 RENAME COLUMN v TO w"))
+    s.sql("ALTER TABLE graft.snap.t1 RENAME COLUMN v TO w")
+    assert(s.sql("SELECT sum(w) FROM graft.snap.t1").head().getLong(0) == 30)
+    s.sql("ALTER TABLE graft.snap.t1 RENAME COLUMN w TO v")
     intercept[Exception](
       s.sql("ALTER TABLE graft.snap.t1 ADD COLUMN name STRING")) // duplicate
     assert(s.sql("SELECT count(*) FROM graft.snap.t1").head().getLong(0) == 3,
@@ -2344,6 +2348,113 @@ class SnapshotSpec extends AnyFunSuite {
     // DROP reclaims the tombstone
     assert(s.sql("DROP TABLE graft.snap.rn1") != null)
     assert(!Files.exists(root.resolve("rn1")))
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("RENAME COLUMN (round 16, column mapping): a pure-metadata " +
+    "#colmap epoch — zero bytes rewritten, old files serve under the " +
+    "new name, stats AND partition pruning stay exact on renamed " +
+    "columns, inserts/updates/mor-deletes speak the new names, " +
+    "compaction + the checkpoint planner carry the mapping, and " +
+    "collisions refuse") {
+    val root = Files.createTempDirectory("graft_snap_colmap")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    val log = root.resolve("cm").toString
+    s.sql("""CREATE TABLE graft.snap.cm (k BIGINT, lang STRING, n BIGINT)
+            |PARTITIONED BY (lang)""".stripMargin)
+    (1 to 4).foreach { i =>
+      s.sql(s"INSERT INTO graft.snap.cm VALUES " +
+        s"(${i * 100}, 'l$i', ${i * 10}), (${i * 100 + 5}, 'l$i', ${i * 10 + 1})")
+    }
+    val dataFiles = graft.sources.ManifestSink.committedFiles(log).sorted
+    val bytesBefore = dataFiles.map(f => Files.size(Paths.get(f))).sum
+
+    // THE rename: one metadata epoch, nothing rewritten
+    val preVersion = graft.sources.ManifestSink.newestVersion(log)
+    s.sql("ALTER TABLE graft.snap.cm RENAME COLUMN n TO chars")
+    s.sql("ALTER TABLE graft.snap.cm RENAME COLUMN k TO id")
+    assert(graft.sources.ManifestSink.committedFiles(log).sorted == dataFiles
+      && dataFiles.map(f => Files.size(Paths.get(f))).sum == bytesBefore,
+      "a column rename must not touch a data byte")
+    assert(graft.sources.ManifestSink.newestVersion(log) == preVersion + 2)
+
+    // the logical schema serves; the old name is gone
+    assert(s.table("graft.snap.cm").schema.fieldNames.toSeq ==
+      Seq("id", "lang", "chars"))
+    assert(s.sql("SELECT sum(chars) FROM graft.snap.cm").head().getLong(0) ==
+      (1 to 4).map(i => 2 * i * 10 + 1).sum)
+    intercept[Exception](s.sql("SELECT n FROM graft.snap.cm").collect())
+
+    // stats pruning stays EXACT on the renamed long column: the
+    // #stats keys are physical, the filter translates on the way in
+    val one = s.sql("SELECT id FROM graft.snap.cm WHERE id = 305").collect()
+    assert(one.map(_.getLong(0)).toSeq == Seq(305L))
+    val (listed, planned) = graft.sources.SnapTable.lastPruneOf("cm")
+    assert(planned < listed && planned == 1,
+      s"stats pruning must survive the rename: planned $planned of $listed")
+
+    // partition pruning survives renaming the PARTITION column
+    s.sql("ALTER TABLE graft.snap.cm RENAME COLUMN lang TO language")
+    assert(s.sql("SELECT id FROM graft.snap.cm WHERE language = 'l2'")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(200L, 205L))
+    val (l2, p2) = graft.sources.SnapTable.lastPruneOf("cm")
+    assert(p2 < l2 && p2 <= 2, // only the l2 partition's files plan
+      s"partition pruning must survive the rename: planned $p2 of $l2")
+
+    // writes speak the NEW names; the files land under the PHYSICAL
+    // ones (uniform with every pre-rename file) and carry #part
+    s.sql("INSERT INTO graft.snap.cm VALUES (500, 'l5', 50)")
+    val newFile = graft.sources.ManifestSink.committedFiles(log)
+      .filterNot(dataFiles.contains).head
+    val newName = Paths.get(newFile).getFileName.toString
+    assert(graft.sources.ManifestSink.fileStats(log)(newName)
+      .cols.keySet == Set("k", "n"),
+      "new files must keep the PHYSICAL stats keys")
+    assert(graft.sources.ManifestSink.filePartitions(log).contains(newName))
+    assert(s.sql("SELECT chars FROM graft.snap.cm WHERE id = 500")
+      .head().getLong(0) == 50)
+
+    // row-level ops under the new names: COW update, then a MOR delete
+    s.sql("UPDATE graft.snap.cm SET chars = chars + 1000 WHERE id = 100")
+    assert(s.sql("SELECT chars FROM graft.snap.cm WHERE id = 100")
+      .head().getLong(0) == 1010)
+    s.conf.set("spark.sql.catalog.graft.snap.cm.deleteMode", "mor")
+    s.sql("DELETE FROM graft.snap.cm WHERE id = 205")
+    s.conf.unset("spark.sql.catalog.graft.snap.cm.deleteMode")
+    assert(graft.sources.ManifestSink.deleteVectors(log).nonEmpty)
+    assert(s.sql("SELECT count(*) FROM graft.snap.cm").head().getLong(0) == 8)
+
+    // compaction carries the mapping (and resolves the dv); the
+    // checkpoint planner agrees with the driver walk post-rename
+    s.sql("CALL graft.sys.compact_data('cm', 1000000, 'id')")
+    assert(graft.sources.ManifestSink.deleteVectors(log).isEmpty)
+    assert(s.table("graft.snap.cm").schema.fieldNames.toSeq ==
+      Seq("id", "language", "chars"),
+      "the mapping must survive compaction")
+    def agg(): Seq[(String, Long)] =
+      s.sql("SELECT language, sum(chars) AS sc FROM graft.snap.cm " +
+        "WHERE id >= 200 GROUP BY language ORDER BY language").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val eager = agg()
+    s.conf.set("spark.graft.plan.distributedThreshold", "0")
+    val dist = try agg()
+      finally s.conf.unset("spark.graft.plan.distributedThreshold")
+    assert(eager == dist && eager.nonEmpty,
+      s"planners must agree under the mapping: $eager vs $dist")
+
+    // collisions and bad names refuse; rename-back restores identity
+    intercept[Exception](
+      s.sql("ALTER TABLE graft.snap.cm RENAME COLUMN chars TO id"))
+    intercept[Exception](
+      s.sql("ALTER TABLE graft.snap.cm RENAME COLUMN missing TO x"))
+    intercept[Exception](
+      s.sql("ALTER TABLE graft.snap.cm RENAME COLUMN chars TO `bad name`"))
+    s.sql("ALTER TABLE graft.snap.cm RENAME COLUMN chars TO n")
+    assert(graft.sources.ManifestSink.columnMapping(log).get("n").isEmpty,
+      "renaming back to the physical name must restore identity mapping")
+    assert(s.sql("SELECT sum(n) FROM graft.snap.cm").head().getLong(0) > 0)
     graft.util.Fs.deleteRecursively(root)
   }
 }
