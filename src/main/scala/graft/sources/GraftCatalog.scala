@@ -480,8 +480,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
             s"is supported, got ${rn.fieldNames().mkString(".")}")
         val from = rn.fieldNames()(0)
         val to = rn.newName()
+        require(to != ManifestSink.DroppedColumn,
+          s"graft.snap.${ident.name()}: '$to' is not a legal column name")
         val phys = cur.physSchema.fields.map(_.name)
-          .find(p => (renames.getOrElse(p, p)).equalsIgnoreCase(from))
+          .find(p => (renames.getOrElse(p, p)).equalsIgnoreCase(from) &&
+            !renames.get(p).contains(ManifestSink.DroppedColumn))
           .getOrElse(throw new IllegalArgumentException(
             s"graft.snap.${ident.name()}: no column '$from' to rename"))
         val taken = cur.physSchema.fields.map(_.name).toSeq ++
@@ -497,6 +500,33 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         renames =
           if (to == phys) renames - phys // renamed back: identity again
           else renames + (phys -> to)
+      case d: TableChange.DeleteColumn =>
+        // DROP COLUMN (round 16): a `#colmap <phys>=-` tombstone — the
+        // logical schema omits the column, new files simply lack it,
+        // zero bytes rewritten. The physical name stays in the
+        // `#schema` records forever, so ADD COLUMN can never rebind
+        // the old bytes (re-adding the LOGICAL name is safe — it gets
+        // a fresh physical name).
+        require(d.fieldNames().length == 1,
+          s"graft.snap.${ident.name()}: only top-level DROP COLUMN is " +
+            s"supported, got ${d.fieldNames().mkString(".")}")
+        val from = d.fieldNames()(0)
+        val phys = cur.physSchema.fields.map(_.name)
+          .find(p => (renames.getOrElse(p, p)).equalsIgnoreCase(from) &&
+            !renames.get(p).contains(ManifestSink.DroppedColumn))
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft.snap.${ident.name()}: no column '$from' to drop"))
+        require(!ManifestSink.partitionSpec(cur.dir)
+            .exists(_.col.equalsIgnoreCase(phys)),
+          s"graft.snap.${ident.name()}: cannot drop '$from' — it is a " +
+            "partition column (the immutable #spec and every fan-out " +
+            "writer reference it)")
+        val liveLeft = cur.physSchema.fields.count(f =>
+          !renames.get(f.name).contains(ManifestSink.DroppedColumn) &&
+            f.name != phys)
+        require(liveLeft >= 1,
+          s"graft.snap.${ident.name()}: cannot drop the last column")
+        renames = renames + (phys -> ManifestSink.DroppedColumn)
       case p: TableChange.SetProperty =>
         (p.property(), p.value()) match {
           case ("delete.mode", v) => require(v == "cow" || v == "mor",
@@ -514,8 +544,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         setProps += ((p.property(), p.value()))
       case other => throw new UnsupportedOperationException(
         s"graft.snap.${ident.name()}: unsupported ALTER TABLE change " +
-          s"$other — additive ADD COLUMN and SET TBLPROPERTIES are the " +
-          "supported alterations")
+          s"$other — ADD COLUMN, RENAME COLUMN, DROP COLUMN and SET " +
+          "TBLPROPERTIES are the supported alterations (type changes " +
+          "would reinterpret committed data)")
     }
     added.foreach { f =>
       // an added LOGICAL name must collide with neither the current
@@ -738,15 +769,20 @@ private[sources] class SnapTable(tname: String, val dir: String,
   private val logicalOfPhys: Map[String, String] =
     colmap.map { case (p, l) => p.toLowerCase -> l }
   private val physOfLogical: Map[String, String] =
-    colmap.map { case (p, l) => l.toLowerCase -> p }
+    colmap.collect { case (p, l) if l != ManifestSink.DroppedColumn =>
+      l.toLowerCase -> p }
   private[sources] def physName(c: String): String =
     physOfLogical.getOrElse(c.toLowerCase, c)
   private def logicalName(c: String): String =
     logicalOfPhys.getOrElse(c.toLowerCase, c)
+  private def isDropped(phys: String): Boolean =
+    logicalOfPhys.get(phys.toLowerCase)
+      .contains(ManifestSink.DroppedColumn)
   private def logicalize(st: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(
-      st.fields.map(f => f.copy(name = logicalName(f.name))))
+      st.fields.filterNot(f => isDropped(f.name))
+        .map(f => f.copy(name = logicalName(f.name))))
   private def physicalize(st: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(
@@ -1418,19 +1454,31 @@ private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
   // served readSchema translates back so output attribute names stay
   // logical while rows pass through positionally
   private val physOfLogical: Map[String, String] =
-    colmap.map { case (p, l) => l.toLowerCase -> p }
+    colmap.collect { case (p, l) if l != ManifestSink.DroppedColumn =>
+      l.toLowerCase -> p }
   private val logicalOfPhys: Map[String, String] =
     colmap.map { case (p, l) => p.toLowerCase -> l }
   private def physName(c: String): String =
     physOfLogical.getOrElse(c.toLowerCase, c)
+  private def isDropped(phys: String): Boolean =
+    logicalOfPhys.get(phys.toLowerCase)
+      .contains(ManifestSink.DroppedColumn)
   private def logicalize(st: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(st.fields.map(f =>
-      f.copy(name = logicalOfPhys.getOrElse(f.name.toLowerCase, f.name))))
+    org.apache.spark.sql.types.StructType(
+      st.fields.filterNot(f => isDropped(f.name)).map(f =>
+        f.copy(name = logicalOfPhys.getOrElse(f.name.toLowerCase, f.name))))
   private def physicalize(st: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(
       st.fields.map(f => f.copy(name = physName(f.name))))
+  /** The physical schema MINUS dropped columns — what the parquet
+    * delegate (and any full-width read) is built with, so positions
+    * align with the logical schema. */
+  private def servedPhys(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      st.fields.filterNot(f => isDropped(f.name)))
 
   private var catalystFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
   private var filters: Array[Filter] = Array.empty
@@ -1539,7 +1587,7 @@ private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
       .replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
     val delegate = new ParquetDataSourceV2()
       .getTable(new CaseInsensitiveStringMap(
-        Map("paths" -> paths).asJava), tschema)
+        Map("paths" -> paths).asJava), servedPhys(tschema))
       .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
       .newScanBuilder(options)
     org.apache.spark.sql.graftbridge.Bridge

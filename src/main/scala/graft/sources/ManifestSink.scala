@@ -545,6 +545,14 @@ object ManifestSink {
     * translation lives at the session boundary (filters logical→
     * physical on the way in, schemas physical→logical on the way out,
     * writers always write physical). */
+  /** A `#colmap` value of `-` marks the physical column DROPPED
+    * (round 16): the logical schema omits it, reads never request it,
+    * new files simply lack it — zero bytes rewritten — and because the
+    * physical name stays in the `#schema` records forever, ADD COLUMN
+    * can never rebind the old bytes (re-adding the LOGICAL name is
+    * safe: it gets a fresh physical name). */
+  val DroppedColumn = "-"
+
   private def parseColmap(l: String): Map[String, String] =
     l.stripPrefix("#colmap ").split(";").toSeq.flatMap { e =>
       e.split("=", 2) match {

@@ -51,13 +51,16 @@ private[sources] class SnapDeltaOperation(val tname: String,
   // column-mapping boundary (round 16): same contract as the COW op —
   // `tschema` is PHYSICAL, Spark speaks LOGICAL, translation lives here
   private[sources] val physOfLogical: Map[String, String] =
-    colmap.map { case (p, l) => l.toLowerCase -> p }
+    colmap.collect { case (p, l) if l != ManifestSink.DroppedColumn =>
+      l.toLowerCase -> p }
   private[sources] def physName(c: String): String =
     physOfLogical.getOrElse(c.toLowerCase, c)
   private[sources] def logicalSchema: StructType = {
     val m = colmap.map { case (p, l) => p.toLowerCase -> l }
-    StructType(tschema.fields.map(f =>
-      f.copy(name = m.getOrElse(f.name.toLowerCase, f.name))))
+    StructType(tschema.fields
+      .filterNot(f => m.get(f.name.toLowerCase)
+        .contains(ManifestSink.DroppedColumn))
+      .map(f => f.copy(name = m.getOrElse(f.name.toLowerCase, f.name))))
   }
   private[sources] def physicalize(st: StructType): StructType =
     StructType(st.fields.map(f => f.copy(name = physName(f.name))))

@@ -57,13 +57,16 @@ private[sources] class SnapRowLevelOperation(val tname: String,
   // filters translate in, the write's declared-width check compares
   // logically, and the reader/writer speak physical
   private[sources] val physOfLogical: Map[String, String] =
-    colmap.map { case (p, l) => l.toLowerCase -> p }
+    colmap.collect { case (p, l) if l != ManifestSink.DroppedColumn =>
+      l.toLowerCase -> p }
   private[sources] def physName(c: String): String =
     physOfLogical.getOrElse(c.toLowerCase, c)
   private[sources] def logicalSchema: StructType = {
     val m = colmap.map { case (p, l) => p.toLowerCase -> l }
-    StructType(tschema.fields.map(f =>
-      f.copy(name = m.getOrElse(f.name.toLowerCase, f.name))))
+    StructType(tschema.fields
+      .filterNot(f => m.get(f.name.toLowerCase)
+        .contains(ManifestSink.DroppedColumn))
+      .map(f => f.copy(name = m.getOrElse(f.name.toLowerCase, f.name))))
   }
   private[sources] def physicalize(st: StructType): StructType =
     StructType(st.fields.map(f => f.copy(name = physName(f.name))))

@@ -1398,17 +1398,26 @@ class SnapshotSpec extends AnyFunSuite {
         if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq ==
       Seq((1L, -1L), (2L, -1L), (3L, 30L)))
 
-    // non-additive ALTERs refuse loudly (RENAME COLUMN stopped being
-    // one in round 16 — column mapping makes it a metadata epoch; the
-    // round-trip below leaves the table as this test expects)
-    intercept[Exception](s.sql("ALTER TABLE graft.snap.t1 DROP COLUMN v"))
+    // RENAME/DROP COLUMN stopped being refusals in round 16 — column
+    // mapping makes each a metadata epoch; exercise both here
     s.sql("ALTER TABLE graft.snap.t1 RENAME COLUMN v TO w")
     assert(s.sql("SELECT sum(w) FROM graft.snap.t1").head().getLong(0) == 30)
     s.sql("ALTER TABLE graft.snap.t1 RENAME COLUMN w TO v")
     intercept[Exception](
       s.sql("ALTER TABLE graft.snap.t1 ADD COLUMN name STRING")) // duplicate
+    s.sql("ALTER TABLE graft.snap.t1 DROP COLUMN v")
+    assert(s.table("graft.snap.t1").schema.fieldNames.toSeq ==
+      Seq("k", "name"), "DROP COLUMN must omit v from the logical schema")
+    intercept[Exception](s.sql("SELECT v FROM graft.snap.t1").collect())
+    // the dropped PHYSICAL name can never rebind the old bytes
+    intercept[Exception](
+      s.sql("ALTER TABLE graft.snap.t1 ADD COLUMN v BIGINT"))
+    // re-adding the LOGICAL name under a FRESH physical name is safe;
+    // pre-drop files serve null for it, never the old v bytes
+    intercept[Exception](
+      s.sql("ALTER TABLE graft.snap.t1 RENAME COLUMN v TO u")) // gone
     assert(s.sql("SELECT count(*) FROM graft.snap.t1").head().getLong(0) == 3,
-      "refused ALTERs changed nothing")
+      "metadata-only ALTERs changed no data")
 
     // DROP removes log + data; the name is then creatable again
     s.sql("DROP TABLE graft.snap.t1")
@@ -2455,6 +2464,38 @@ class SnapshotSpec extends AnyFunSuite {
     assert(graft.sources.ManifestSink.columnMapping(log).get("n").isEmpty,
       "renaming back to the physical name must restore identity mapping")
     assert(s.sql("SELECT sum(n) FROM graft.snap.cm").head().getLong(0) > 0)
+
+    // DROP COLUMN lifecycle (round 16): a tombstone, zero bytes moved
+    val preDrop = graft.sources.ManifestSink.committedFiles(log).sorted
+    val preDropBytes = preDrop.map(f => Files.size(Paths.get(f))).sum
+    s.sql("ALTER TABLE graft.snap.cm DROP COLUMN n")
+    assert(graft.sources.ManifestSink.committedFiles(log).sorted == preDrop
+      && preDrop.map(f => Files.size(Paths.get(f))).sum == preDropBytes,
+      "a column drop must not touch a data byte")
+    assert(s.table("graft.snap.cm").schema.fieldNames.toSeq ==
+      Seq("id", "language"), "the logical schema omits the dropped column")
+    intercept[Exception](s.sql("SELECT n FROM graft.snap.cm").collect())
+    assert(s.sql("SELECT count(*) FROM graft.snap.cm").head().getLong(0) == 8)
+    // writes post-drop: the new file simply lacks the physical column
+    s.sql("INSERT INTO graft.snap.cm VALUES (600, 'l6')")
+    assert(s.sql("SELECT id FROM graft.snap.cm WHERE language = 'l6'")
+      .head().getLong(0) == 600)
+    // the dropped PHYSICAL name can never rebind old bytes; a FRESH
+    // logical name with the same spelling is refused too (it would
+    // collide with the recorded physical) — and a different name works
+    intercept[Exception](
+      s.sql("ALTER TABLE graft.snap.cm ADD COLUMN n BIGINT"))
+    s.sql("ALTER TABLE graft.snap.cm ADD COLUMN score BIGINT")
+    assert(s.sql("SELECT sum(score) FROM graft.snap.cm").head().isNullAt(0),
+      "pre-add files serve null for the new column, never old bytes")
+    // dropping a partition column, or the last column, refuses
+    intercept[Exception](
+      s.sql("ALTER TABLE graft.snap.cm DROP COLUMN language"))
+    // the mapping (rename + tombstone) survives compaction
+    s.sql("CALL graft.sys.compact_data('cm', 1000000)")
+    assert(s.table("graft.snap.cm").schema.fieldNames.toSeq ==
+      Seq("id", "language", "score"))
+    assert(s.sql("SELECT count(*) FROM graft.snap.cm").head().getLong(0) == 9)
     graft.util.Fs.deleteRecursively(root)
   }
 }
