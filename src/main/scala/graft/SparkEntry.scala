@@ -227,6 +227,8 @@ object SparkEntry {
     "q_snap_ddl"         -> Materialize.snapDdl _,
     "q_snap_files"       -> Materialize.snapFiles _,
     "q_snap_partitioned" -> Materialize.snapPartitioned _,
+    "q_snap_spec_evolve" -> Materialize.snapSpecEvolve _,
+    "q_snap_rollback"    -> Materialize.snapRollback _,
     "q_snap_dv_delete"   -> Materialize.snapDvDelete _,
     "q_snap_dv_update"   -> Materialize.snapDvUpdate _,
     "q_snap_dv_merge"    -> Materialize.snapDvMerge _,
@@ -2575,6 +2577,26 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
         |  AND n_chars IS NOT NULL AND lang IN ('es', 'de')
+        |GROUP BY lang""".stripMargin,
+    "q_snap_spec_evolve" -> // identity(lang) era + bucket(8, doc_id)
+      // era after a set_partition_spec evolution: the read spans both
+      // and the aggregate is value-invisible to the storage layout
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL AND lang IN ('es', 'de', 'en')
+        |GROUP BY lang""".stripMargin,
+    "q_snap_rollback" -> // good load + bad load + bad COW delete,
+      // then CALL graft.sys.rollback restores the good snapshot: the
+      // oracle is the aggregate over the good (even doc_id) half
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL AND doc_id % 2 = 0
+        |  AND lang IN ('es', 'de', 'en')
         |GROUP BY lang""".stripMargin,
     "q_snap_compact" -> // the procedure's result row, derived by the
       // oracle from the source: five undersized language files pack

@@ -1613,6 +1613,85 @@ object Materialize {
         |GROUP BY lang""".stripMargin)
   }
 
+  /** PARTITION-SPEC EVOLUTION under an oracle (`q_snap_spec_evolve`,
+    * round 16): an identity(lang)-partitioned table takes half the
+    * corpus fanned out by language, `CALL graft.sys.set_partition_spec`
+    * evolves the layout to `bucket(8, doc_id)` in ONE metadata epoch
+    * (zero bytes rewritten — [[graft.sources.SetPartitionSpecProcedure]]),
+    * and the other half lands fanned out by bucket. The read then spans
+    * BOTH eras: era-0 files prune under their identity tuples, era-1
+    * files under their bucket tuples (each file is pruned by the spec
+    * it was WRITTEN under — the Iceberg per-file spec-id shape), and
+    * the aggregate is value-invisible to the evolution, which is
+    * exactly what the DuckDB oracle checks. */
+  def snapSpecEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_sevo_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    spark.sql(
+      """CREATE TABLE graft.snap.docevo
+        |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+        |PARTITIONED BY (lang)""".stripMargin)
+    complete.filter(col("doc_id") % 2 === 0)
+      .repartition(col("lang"))
+      .writeTo("graft.snap.docevo").append()
+    spark.sql(
+      "CALL graft.sys.set_partition_spec('docevo', 'bucket(8, doc_id)')")
+      .collect()
+    complete.filter(col("doc_id") % 2 === 1)
+      .repartition(pmod(col("doc_id"), lit(8)))
+      .writeTo("graft.snap.docevo").append()
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(n_chars) AS sum_chars, min(doc_id) AS min_doc
+        |FROM graft.snap.docevo
+        |WHERE lang IN ('es', 'de', 'en')
+        |GROUP BY lang""".stripMargin)
+  }
+
+  /** ROLLBACK under an oracle (`q_snap_rollback`, round 16): a good
+    * load, a bad load, a bad COW delete — then
+    * `CALL graft.sys.rollback` restores the good snapshot as one
+    * metadata-only epoch ([[graft.sources.RollbackProcedure]]): the
+    * bad load's files drop, the delete's rewrite un-happens by
+    * re-adding the original files by reference. The aggregate over the
+    * restored table equals the oracle over the good half of the
+    * corpus — the operational undo a lake needs after a bad pipeline
+    * run, value-checked end to end. */
+  def snapRollback(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_rb_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    spark.sql(
+      """CREATE TABLE graft.snap.docro
+        |  (doc_id BIGINT, lang STRING, n_chars BIGINT)""".stripMargin)
+    complete.filter(col("doc_id") % 2 === 0).coalesce(2)
+      .writeTo("graft.snap.docro").append()
+    val vGood = graft.sources.ManifestSink.newestVersion(
+      java.nio.file.Paths.get(root, "docro").toString)
+    complete.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .writeTo("graft.snap.docro").append() // the bad load
+    spark.sql("DELETE FROM graft.snap.docro WHERE lang = 'es'") // bad delete
+    spark.sql(s"CALL graft.sys.rollback('docro', $vGood)").collect()
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM graft.snap.docro
+        |WHERE lang IN ('es', 'de', 'en')
+        |GROUP BY lang""".stripMargin)
+  }
+
   /** The `.history` metadata table under an oracle (`q_snap_history`,
     * round 15): a deterministic DDL+DML lifecycle — CREATE (metadata
     * epoch 0), five single-file appends, one merge-on-read delete (a

@@ -286,11 +286,29 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     namespace.toSeq match {
       case Seq(SysNs) => Array(
         Identifier.of(namespace, "vacuum"),
-        Identifier.of(namespace, "compact_data"))
+        Identifier.of(namespace, "compact_data"),
+        Identifier.of(namespace, "set_partition_spec"),
+        Identifier.of(namespace, "rollback"))
       case Seq(SfNs) | Seq(GenNs) | Seq(MutNs) | Seq(SnapNs) | Seq(FnNs) =>
         Array.empty
       case _ => throw new NoSuchNamespaceException(namespace)
     }
+
+  /** A procedure's schema resolution for a snap table: the per-table
+    * conf, the namespace conf, else the log's own self-describing
+    * `#schema` records — same precedence as the read path. */
+  private def snapSchemaOf(proc: String): String =>
+      org.apache.spark.sql.types.StructType =
+    table => org.apache.spark.sql.types.StructType.fromDDL(
+      option(s"$SnapNs.$table.schema")
+        .orElse(option(s"$SnapNs.schema"))
+        .orElse(ManifestSink.widestRecordedSchema(
+          new java.io.File(snapDirOrFail(proc), table).toString))
+        .getOrElse(
+          throw new IllegalArgumentException(
+            s"graft.snap.$table records no servable #schema — set " +
+              s"spark.sql.catalog.$catalogName.$SnapNs.$table.schema " +
+              s"before CALL $catalogName.$SysNs.$proc")))
 
   private def snapDirOrFail(proc: String): String =
     option(s"$SnapNs.dir").getOrElse(
@@ -305,19 +323,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         new VacuumProcedure(() => snapDirOrFail("vacuum"))
       case Seq(SysNs) if ident.name() == "compact_data" =>
         new CompactProcedure(() => snapDirOrFail("compact_data"),
-          table => org.apache.spark.sql.types.StructType.fromDDL(
-            option(s"$SnapNs.$table.schema")
-              .orElse(option(s"$SnapNs.schema"))
-              // self-describing tables (round 15): the log's own
-              // #schema records serve, same precedence as the reads
-              .orElse(ManifestSink.widestRecordedSchema(
-                new java.io.File(snapDirOrFail("compact_data"), table)
-                  .toString))
-              .getOrElse(
-                throw new IllegalArgumentException(
-                  s"graft.snap.$table records no servable #schema — set " +
-                    s"spark.sql.catalog.$catalogName.$SnapNs.$table.schema " +
-                    s"before CALL $catalogName.$SysNs.compact_data"))))
+          snapSchemaOf("compact_data"))
+      case Seq(SysNs) if ident.name() == "set_partition_spec" =>
+        new SetPartitionSpecProcedure(
+          () => snapDirOrFail("set_partition_spec"),
+          snapSchemaOf("set_partition_spec"))
+      case Seq(SysNs) if ident.name() == "rollback" =>
+        new RollbackProcedure(() => snapDirOrFail("rollback"),
+          snapSchemaOf("rollback"))
       case _ => throw new UnsupportedOperationException(
         s"$catalogName has no procedure $ident " +
           s"(available: $SysNs.vacuum, $SysNs.compact_data)")
@@ -516,11 +529,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
             !renames.get(p).contains(ManifestSink.DroppedColumn))
           .getOrElse(throw new IllegalArgumentException(
             s"graft.snap.${ident.name()}: no column '$from' to drop"))
-        require(!ManifestSink.partitionSpec(cur.dir)
-            .exists(_.col.equalsIgnoreCase(phys)),
-          s"graft.snap.${ident.name()}: cannot drop '$from' — it is a " +
-            "partition column (the immutable #spec and every fan-out " +
-            "writer reference it)")
+        require(!ManifestSink.partitionSpecs(cur.dir).byId.values
+            .exists(_.exists(_.col.equalsIgnoreCase(phys))),
+          s"graft.snap.${ident.name()}: cannot drop '$from' — a #spec " +
+            "era references it (live files carry tuples keyed by it; " +
+            "evolve the spec away from it and compact first)")
         val liveLeft = cur.physSchema.fields.count(f =>
           !renames.get(f.name).contains(ManifestSink.DroppedColumn) &&
             f.name != phys)
@@ -869,8 +882,9 @@ private[sources] class SnapTable(tname: String, val dir: String,
       s"graft.snap.$tname VERSION AS OF ${asOf.get}: historical " +
         "snapshots are immutable — append to the current table")
     ManifestSink.verifyDeclaredSchema(dir, s"graft.snap.$tname INSERT", tschema)
+    val book = ManifestSink.partitionSpecs(dir)
     ManifestTable(dir, tschema, compactInterval = tblCompactInterval,
-      spec = ManifestSink.partitionSpec(dir),
+      spec = book.current, specId = book.currentId,
       renameCols = physOfLogical).newWriteBuilder(info)
   }
 
@@ -961,12 +975,12 @@ private[sources] class SnapTable(tname: String, val dir: String,
     val files = ManifestSink.committedFiles(dir)
     if (files.isEmpty) return
     val stats = ManifestSink.fileStats(dir)
-    val pspec = spec
+    val book = ManifestSink.partitionSpecs(dir)
     val parts = ManifestSink.filePartitions(dir)
     val affected = files.filter { f =>
       val n = java.nio.file.Paths.get(f).getFileName.toString
-      val partOk = parts.get(n).forall(toks =>
-        filters.forall(PartField.mayMatch(pspec, toks, _)))
+      val partOk = parts.get(n).forall(t =>
+        filters.forall(book.mayMatch(t, _)))
       partOk && (stats.get(n) match {
         case None => true // no stats: must assume it may match
         case Some(st) => st.rows > 0 && filters.forall(SnapStats.mayMatch(st, _))
@@ -1021,8 +1035,8 @@ private[sources] class SnapTable(tname: String, val dir: String,
               val freshParts = ManifestSink.filePartitions(dir)
               pending = freshFiles.filter { f =>
                 val n = java.nio.file.Paths.get(f).getFileName.toString
-                val partOk = freshParts.get(n).forall(toks =>
-                  filters.forall(PartField.mayMatch(pspec, toks, _)))
+                val partOk = freshParts.get(n).forall(t =>
+                  filters.forall(book.mayMatch(t, _)))
                 partOk && (freshStats.get(n) match {
                   case None => true
                   case Some(st) => st.rows > 0 &&
@@ -1080,7 +1094,8 @@ private[sources] class SnapTable(tname: String, val dir: String,
           case Some(v) => ManifestSink.deleteVectorsAsOf(dir, v)
           case None => ManifestSink.deleteVectors(dir)
         }
-        EagerPlanInput(fs, ManifestSink.fileStats(dir), spec,
+        EagerPlanInput(fs, ManifestSink.fileStats(dir),
+          ManifestSink.partitionSpecs(dir),
           ManifestSink.filePartitions(dir),
           dvs.map { case (f, list) =>
             f -> list.map(e => new java.io.File(new java.io.File(dir, "data"),
@@ -1099,7 +1114,8 @@ private[sources] class SnapTable(tname: String, val dir: String,
             .flatMap(_.toLongOption).getOrElse(100000L)
           ManifestSink.planningCheckpoint(java.nio.file.Paths.get(dir)) match {
             case Some((h, p, n)) if n >= threshold =>
-              CheckpointPlanInput(dir, h, p.toString, n, spec)
+              CheckpointPlanInput(dir, h, p.toString, n,
+                ManifestSink.partitionSpecs(dir))
             case _ => eager(ManifestSink.committedFiles(dir))
           }
       }
@@ -1430,11 +1446,11 @@ private[sources] object SnapStats {
   * tail and the kept names. */
 private[sources] sealed trait SnapPlanInput
 private[sources] case class EagerPlanInput(files: Seq[String],
-    stats: Map[String, FileStat], spec: Seq[PartField],
-    parts: Map[String, Seq[String]],
+    stats: Map[String, FileStat], book: SpecBook,
+    parts: Map[String, PartTuple],
     dvs: Map[String, Seq[String]]) extends SnapPlanInput
 private[sources] case class CheckpointPlanInput(dir: String, horizon: Long,
-    parquet: String, rows: Long, spec: Seq[PartField]) extends SnapPlanInput
+    parquet: String, rows: Long, book: SpecBook) extends SnapPlanInput
 
 private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
     tschema: org.apache.spark.sql.types.StructType,
@@ -1514,8 +1530,8 @@ private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
       case e: EagerPlanInput =>
         val k = e.files.filter { f =>
           val n = java.nio.file.Paths.get(f).getFileName.toString
-          val partOk = e.parts.get(n).forall(toks =>
-            filters.forall(PartField.mayMatch(e.spec, toks, _)))
+          val partOk = e.parts.get(n).forall(t =>
+            filters.forall(e.book.mayMatch(t, _)))
           partOk && (e.stats.get(n) match {
             case None => true // no stats recorded: cannot skip
             case Some(st) => st.rows > 0 &&
@@ -1525,7 +1541,7 @@ private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
         (k, e.dvs, e.files.size)
       case c: CheckpointPlanInput =>
         ManifestSink.distributedPlan(SparkSession.active, c.dir, c.horizon,
-          java.nio.file.Paths.get(c.parquet), c.rows, filters.toSeq, c.spec)
+          java.nio.file.Paths.get(c.parquet), c.rows, filters.toSeq, c.book)
     }
     SnapTable.recordPrune(tname, listed, kept.size)
     // a read that references the `_file`/`_pos` metadata columns

@@ -113,9 +113,10 @@ class ManifestSink extends TableProvider {
     // the table's partition spec rides in the log, so even a path-based
     // append (or a COW rewrite through the DataFrameWriter face) fans
     // out and records `#part` tuples for the files it lands
-    ManifestTable(path, schema, interval, removes,
-      ManifestSink.partitionSpec(path),
-      Option(opts.get("consumedDvs")).map(ManifestSink.decodeConsumedDvs))
+    val book = ManifestSink.partitionSpecs(path)
+    ManifestTable(path, schema, interval, removes, book.current,
+      Option(opts.get("consumedDvs")).map(ManifestSink.decodeConsumedDvs),
+      specId = book.currentId)
   }
 }
 
@@ -253,7 +254,7 @@ object ManifestSink {
   private case class PlanState(
       files: Seq[String], // committed file NAMES, union order
       stats: Map[String, FileStat],
-      parts: Map[String, Seq[String]],
+      parts: Map[String, PartTuple],
       dvs: Map[String, Seq[(String, Long)]],
       props: Map[String, String],
       schemas: Seq[String],
@@ -285,7 +286,7 @@ object ManifestSink {
       planDerivations.incrementAndGet()
       val union = scala.collection.mutable.LinkedHashSet[String]()
       val stats = scala.collection.mutable.ArrayBuffer[(String, FileStat)]()
-      val parts = scala.collection.mutable.ArrayBuffer[(String, Seq[String])]()
+      val parts = scala.collection.mutable.ArrayBuffer[(String, PartTuple)]()
       val dvs = scala.collection.mutable.LinkedHashMap[String, Seq[(String, Long)]]()
       val props = scala.collection.mutable.LinkedHashMap[String, String]()
       val schemas = scala.collection.mutable.LinkedHashSet[String]()
@@ -678,42 +679,95 @@ object ManifestSink {
     }.map(_._1)
   }
 
-  /** The table's PARTITION SPEC, parsed from the `#spec` record the
-    * CREATE epoch carries (round 15): empty for unpartitioned tables.
-    * The record grammar is `#spec t1;t2` with t ∈ `identity:<col>` |
-    * `days:<col>` | `bucket:<n>:<col>`. The spec is immutable for a
-    * table's lifetime (partition evolution is not offered); two
-    * distinct records in one log is a corruption and refuses. */
-  def partitionSpec(path: String): Seq[PartField] = retryVanish() {
+  /** The table's CURRENT partition spec — what new writes fan out
+    * under: the highest-id record of [[partitionSpecs]]. Empty for
+    * unpartitioned tables. */
+  def partitionSpec(path: String): Seq[PartField] =
+    partitionSpecs(path).current
+
+  /** The table's full partition-spec HISTORY (round 16, spec
+    * evolution): every `#spec` record the log carries, parsed into a
+    * [[SpecBook]]. Record grammar is `#spec [<id>=]t1;t2` with t ∈
+    * `identity:<col>` | `days:<col>` | `bucket:<n>:<col>`; the CREATE
+    * epoch writes the id-less form (spec 0), each
+    * `CALL graft.sys.set_partition_spec` appends the next id. Two
+    * distinct records claiming ONE id is a corruption and refuses —
+    * files carry that id and pruning must not guess their layout. */
+  def partitionSpecs(path: String): SpecBook = retryVanish() {
     val dir = Paths.get(path)
     val recs = metaState(dir).map(_._3).getOrElse(planState(dir).specs)
-    if (recs.size > 1) throw new IllegalStateException(
-      s"manifest table $path records ${recs.size} distinct partition " +
-        s"specs (${recs.mkString(" | ")}) — the spec is immutable; " +
-        "refusing to guess which layout the data files follow")
-    recs.headOption.map(_.split(";").toSeq.map(PartField.parse)).getOrElse(Seq.empty)
+    val parsed = recs.map(parseSpecRecord)
+    val dup = parsed.groupBy(_._1)
+      .collect { case (id, rs) if rs.map(_._2).distinct.size > 1 => id }
+    if (dup.nonEmpty) throw new IllegalStateException(
+      s"manifest table $path records conflicting partition specs for " +
+        s"id(s) ${dup.toSeq.sorted.mkString(", ")} — files carry these " +
+        "ids; refusing to guess which layout their tuples follow")
+    SpecBook(parsed.map { case (id, s) =>
+      id -> (if (s == "-") Seq.empty[PartField]
+             else s.split(";").toSeq.map(PartField.parse)) }.toMap)
+  }
+
+  /** `#spec` record → (spec id, rendered tokens). The id-less legacy
+    * form is spec 0. */
+  private def parseSpecRecord(rec: String): (Int, String) = {
+    val eq = rec.indexOf('=')
+    if (eq > 0 && rec.substring(0, eq).forall(_.isDigit))
+      (rec.substring(0, eq).toInt, rec.substring(eq + 1))
+    else (0, rec)
+  }
+
+  /** Append a pure-metadata epoch evolving the partition spec — the
+    * `CALL graft.sys.set_partition_spec` commit (round 16). The next
+    * spec id is derived INSIDE the claim's content generator, so two
+    * racing evolutions serialize (the loser's retry sees the winner's
+    * record and takes the following id) and one id can never bind two
+    * layouts. Returns (epoch id, the claimed spec id). */
+  private[sources] def commitSpecEpoch(path: String,
+      spec: Seq[PartField]): (Long, Int) = {
+    val dir = Files.createDirectories(Paths.get(path))
+    val claimedSpecId = new java.util.concurrent.atomic.AtomicInteger(-1)
+    // `-` encodes the EMPTY spec (evolving to unpartitioned): the
+    // record must still occupy its id — files never carry it (no
+    // tuples under an empty spec), but the id sequence stays dense
+    val body = if (spec.isEmpty) "-" else PartField.render(spec)
+    val epoch = claimEpoch(dir, () => {
+      val id = partitionSpecs(path).currentId + 1
+      claimedSpecId.set(id)
+      Seq(s"#spec $id=$body")
+    })
+    (epoch, claimedSpecId.get)
   }
 
   /** Encoded partition-value tuples per committed file name, from the
-    * `#part <file> <tok1,tok2>` records (round 15). Files without a
-    * record (pre-partitioning files, COW rewrites from older builds)
-    * simply have no tuple: pruning treats them as unprunable and
+    * `#part <file> [<specId>@]<tok1,tok2>` records (round 15; the
+    * spec-id prefix is round 16's spec EVOLUTION — absent means spec 0,
+    * so pre-evolution logs parse unchanged). Files without a record
+    * (pre-partitioning files, COW rewrites from older builds) simply
+    * have no tuple: pruning treats them as unprunable and
     * partition-scoped overwrite refuses to touch them. Compaction
     * carries records forward for files still in the union. */
-  def filePartitions(path: String): Map[String, Seq[String]] =
+  def filePartitions(path: String): Map[String, PartTuple] =
     planState(Paths.get(path)).parts
 
-  private def parsePart(line: String): Option[(String, Seq[String])] = {
+  private def parsePart(line: String): Option[(String, PartTuple)] = {
     if (!line.startsWith("#part ")) return None
     line.stripPrefix("#part ").split(" ", 2) match {
-      case Array(f, toks) if toks.nonEmpty =>
-        Some(f -> toks.split(",", -1).toSeq)
+      case Array(f, rest) if rest.nonEmpty =>
+        val at = rest.indexOf('@')
+        val (id, toks) =
+          if (at > 0 && rest.substring(0, at).forall(_.isDigit))
+            (rest.substring(0, at).toInt, rest.substring(at + 1))
+          else (0, rest)
+        if (toks.isEmpty) None
+        else Some(f -> PartTuple(id, toks.split(",", -1).toSeq))
       case _ => None
     }
   }
 
-  private[sources] def partLine(file: String, toks: Seq[String]): String =
-    s"#part $file ${toks.mkString(",")}"
+  private[sources] def partLine(file: String, t: PartTuple): String =
+    if (t.specId == 0) s"#part $file ${t.toks.mkString(",")}"
+    else s"#part $file ${t.specId}@${t.toks.mkString(",")}"
 
   /** Publish a MERGE-ON-READ delete epoch: `#dv` records only — no
     * data lines, no removes. O(records) metadata and O(deleted rows)
@@ -750,12 +804,12 @@ object ManifestSink {
   private[graft] def commitDeltaEpoch(path: String, schemaDdl: String,
       dvRecords: Seq[(String, String, Long)], adds: Seq[CommittedFile],
       compactInterval: Int,
-      observedDvs: Map[String, Set[String]]): Long = {
+      observedDvs: Map[String, Set[String]], specId: Int = 0): Long = {
     val dir = Files.createDirectories(Paths.get(path))
     val token = java.util.UUID.randomUUID.toString
     val sortedAdds = adds.sortBy(_.name)
     val parts = sortedAdds.collect {
-      case f if f.part.nonEmpty => partLine(f.name, f.part) }
+      case f if f.part.nonEmpty => partLine(f.name, PartTuple(specId, f.part)) }
     val content = Seq(s"#schema $schemaDdl", s"#cow $token") ++
       sortedAdds.map(statsLine) ++ parts ++
       dvRecords.sortBy(_._1).map { case (d, v, n) => dvLine(d, v, n) } ++
@@ -764,6 +818,72 @@ object ManifestSink {
     maybeCompact(dir, latestCompact(dir).map(_._1).getOrElse(-1L),
       compactInterval)
     id
+  }
+
+  /** RESTORE the table to snapshot `version` as ONE new epoch (round
+    * 16, the Delta RESTORE / Iceberg rollback-to-snapshot shape): the
+    * epoch `#remove`s every file the target snapshot lacks, re-ADDS
+    * every file it has that the current one dropped — the bytes are
+    * still on disk until vacuum's remove-time age gate passes, which
+    * is exactly what makes a metadata-only restore possible — and
+    * re-declares the re-added files' dv records AS OF the target
+    * version, so merge-on-read state restores with the files. History
+    * is preserved: the restore is a NEW version (time travel keeps
+    * serving every pre-restore snapshot, and a second rollback can
+    * roll FORWARD again). Refusals, all loud: a version past the
+    * retention horizon (committedFilesAsOf's contract), re-added data
+    * or dv files whose bytes vacuum already reclaimed, and a SURVIVING
+    * file whose dv state moved since `version` — resetting it would
+    * need a same-epoch remove+re-add of one name, which the log's
+    * readers interpret ambiguously, so compaction (which resolves dvs
+    * into fresh files) is the named resolution step. Content is
+    * re-derived per claim attempt; a racing rewrite of a removed file
+    * aborts retryably through the standard remove-liveness fence. */
+  private[graft] def rollbackTo(path: String, version: Long,
+      schemaDdl: String, compactInterval: Int): (Int, Int) = {
+    val dir = Files.createDirectories(Paths.get(path))
+    val token = java.util.UUID.randomUUID.toString
+    var nAdd = 0
+    var nRem = 0
+    claimEpoch(dir, () => {
+      val target = committedFilesAsOf(path, version)
+        .map(f => Paths.get(f).getFileName.toString)
+      val targetSet = target.toSet
+      val current = fragmentUnion(dir)
+      val curSet = current.toSet
+      val dvsV = deleteVectorsAsOf(path, version)
+      val dvsC = deleteVectors(path)
+      val removes = current.filterNot(targetSet.contains)
+      val readds = target.filterNot(curSet.contains)
+      val divergent = target.filter(curSet.contains).filter { n =>
+        dvsV.getOrElse(n, Seq.empty).map(_._1) !=
+          dvsC.getOrElse(n, Seq.empty).map(_._1)
+      }
+      if (divergent.nonEmpty) throw new UnsupportedOperationException(
+        s"rollback($path, $version): file(s) " +
+          s"${divergent.sorted.mkString(", ")} survive from that " +
+          "snapshot but their merge-on-read delete state moved since — " +
+          "CALL graft.sys.compact_data to resolve the dvs into fresh " +
+          "files first, then roll back")
+      val missing = (readds ++ readds.flatMap(n =>
+        dvsV.getOrElse(n, Seq.empty).map(_._1)))
+        .filterNot(n => Files.exists(dir.resolve("data").resolve(n)))
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"rollback($path, $version): file(s) " +
+          s"${missing.sorted.mkString(", ")} of that snapshot were " +
+          "already reclaimed by vacuum — the version is past the " +
+          "physical retention boundary")
+      nAdd = readds.size
+      nRem = removes.size
+      val dvLines = readds.sorted.flatMap(n =>
+        dvsV.getOrElse(n, Seq.empty).map { case (dv, cnt) =>
+          dvLine(n, dv, cnt) })
+      Seq(s"#schema $schemaDdl", s"#cow $token") ++
+        removes.sorted.map(n => s"#remove $n") ++ dvLines ++ readds.sorted
+    })
+    maybeCompact(dir, latestCompact(dir).map(_._1).getOrElse(-1L),
+      compactInterval)
+    (nAdd, nRem)
   }
 
   /** consumedDvs option codec for the DataFrameWriter COW faces
@@ -1034,11 +1154,36 @@ object ManifestSink {
       val dvTargets = content.collect {
         case l if l.startsWith("#dv ") =>
           l.stripPrefix("#dv ").split(" ")(0) }
+      // SPEC-ID fence (round 16): a spec-evolution claim computed its
+      // id when the content was GENERATED; a commit landing between
+      // generation and this attempt's epoch-id read does not collide
+      // on the link (the id moved past it), so the claimed spec id
+      // must re-verify as still next-in-sequence — one spec id can
+      // never bind two layouts. Any state change after this check and
+      // before the link necessarily claims THIS epoch id first, so
+      // the link collision re-runs the check.
+      val claimedSpecIds = content.collect {
+        case l if l.startsWith("#spec ") =>
+          val rec = l.stripPrefix("#spec ")
+          val eq = rec.indexOf('=')
+          if (eq > 0 && rec.substring(0, eq).forall(_.isDigit))
+            Some(rec.substring(0, eq).toInt)
+          else None
+      }.flatten
       try {
         val next = nextEpochId(dir)
+        if (claimedSpecIds.nonEmpty && claimedSpecIds.exists(
+            _ != partitionSpecs(dir.toString).currentId + 1)) {
+          // stale id: fall through to the next loop pass, which
+          // regenerates the content against the fresh log
+        } else {
         if (removes.nonEmpty || dvTargets.nonEmpty) {
           val live = fragmentUnion(dir).toSet
-          val gone = (removes ++ dvTargets).filterNot(live.contains)
+          // a dv record may target a file THIS epoch re-adds (rollback
+          // restoring a historical dv state): inherently consistent —
+          // the add and the record flip visibility together
+          val gone = (removes ++ dvTargets)
+            .filterNot(n => live.contains(n) || dataNames.contains(n))
           if (gone.nonEmpty)
             throw new ManifestConflictException(gone.sorted, dir.toString)
           // COW-vs-DV fence: every dv currently attached to a removed
@@ -1081,6 +1226,7 @@ object ManifestSink {
           }
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => // lost; retry
+        }
         }
       } finally Files.deleteIfExists(tmp)
     }
@@ -1379,13 +1525,13 @@ object ManifestSink {
     * dv paths per kept file name, listedCount for the prune record). */
   private[sources] def distributedPlan(spark: org.apache.spark.sql.SparkSession,
       path: String, horizon: Long, parquet: Path, ckptRows: Long,
-      filters: Seq[org.apache.spark.sql.sources.Filter], spec: Seq[PartField])
+      filters: Seq[org.apache.spark.sql.sources.Filter], book: SpecBook)
       : (Seq[String], Map[String, Seq[String]], Int) = retryVanish() {
     val dir = Paths.get(path)
     // —— the tail, applied in epoch order
     val tailAdds = scala.collection.mutable.LinkedHashSet[String]()
     val tailStatPairs = scala.collection.mutable.ArrayBuffer[(String, FileStat)]()
-    val tailPartPairs = scala.collection.mutable.ArrayBuffer[(String, Seq[String])]()
+    val tailPartPairs = scala.collection.mutable.ArrayBuffer[(String, PartTuple)]()
     val tailDvs = scala.collection.mutable.LinkedHashMap[String, Seq[(String, Long)]]()
     val removedCkpt = scala.collection.mutable.HashSet[String]()
     looseEpochs(dir, horizon).sortBy(_._1).map(_._2).foreach { p =>
@@ -1411,7 +1557,7 @@ object ManifestSink {
     // —— the checkpointed portion: one job, collect (kept name, dv lines)
     val removedB = spark.sparkContext.broadcast(removedCkpt.toSet)
     val filtersB = filters
-    val specB = spec
+    val specB = book
     import org.apache.spark.sql.Encoders
     val enc4 = Encoders.tuple(Encoders.STRING, Encoders.STRING,
       Encoders.STRING, Encoders.STRING)
@@ -1426,8 +1572,7 @@ object ManifestSink {
           else {
             val partOk = Option(partLine).flatMap(parsePart)
               .map(_._2) match {
-                case Some(toks) =>
-                  filtersB.forall(PartField.mayMatch(specB, toks, _))
+                case Some(t) => filtersB.forall(specB.mayMatch(t, _))
                 case None => true
               }
             val statsOk = Option(statLine).flatMap(parseStats) match {
@@ -1443,8 +1588,8 @@ object ManifestSink {
       .collect()
     // —— tail adds pruned driver-side with the same rule
     val keptTail = tailAdds.toSeq.filter { n =>
-      val partOk = tailParts.get(n).forall(toks =>
-        filters.forall(PartField.mayMatch(spec, toks, _)))
+      val partOk = tailParts.get(n).forall(t =>
+        filters.forall(book.mayMatch(t, _)))
       partOk && (tailStats.get(n) match {
         case None => true
         case Some(st) => st.rows > 0 && filters.forall(SnapStats.mayMatch(st, _))
@@ -1496,7 +1641,8 @@ object ManifestSink {
   private[sources] def commitBatchEpoch(path: String, schemaDdl: String,
       messages: Array[WriterCommitMessage], removeFilesGen: () => Seq[String],
       compactInterval: Int,
-      consumedDvs: Option[Map[String, Set[String]]] = None): Unit = {
+      consumedDvs: Option[Map[String, Set[String]]] = None,
+      specId: Int = 0): Unit = {
     val dir = Files.createDirectories(Paths.get(path))
     val files = committedFilesOf(messages).sortBy(_.name)
     // one token per OPERATION (stable across claim attempts — the
@@ -1510,7 +1656,7 @@ object ManifestSink {
       lastRemoves = removeFilesGen()
       val cow = if (lastRemoves.isEmpty) Seq.empty else Seq(s"#cow $cowToken")
       val parts = files.collect {
-        case f if f.part.nonEmpty => partLine(f.name, f.part) }
+        case f if f.part.nonEmpty => partLine(f.name, PartTuple(specId, f.part)) }
       s"#schema $schemaDdl" +: (cow ++
         files.map(statsLine) ++ parts ++
         lastRemoves.sorted.map(n => s"#remove $n") ++ files.map(_.name))
@@ -1743,6 +1889,10 @@ case class ManifestTable(path: String, writeSchema: StructType,
     removeFiles: Seq[String] = Seq.empty,
     spec: Seq[PartField] = Seq.empty,
     consumedDvs: Option[Map[String, Set[String]]] = None,
+    /** The id of `spec` in the table's [[SpecBook]] (round 16): new
+      * files' `#part` records carry it, so after a spec evolution each
+      * file remains prunable under the layout it was WRITTEN under. */
+    specId: Int = 0,
     /** logical(lowercased)→physical column renames (round 16): the
       * catalog face passes the table's column mapping so writes land
       * under the PHYSICAL names and overwrite predicates evaluate
@@ -1862,7 +2012,7 @@ case class ManifestTable(path: String, writeSchema: StructType,
             else () => removeFiles
           ManifestBatchWrite(path, physicalize(info.schema()),
             compactInterval, removes, spec, overwriteWhere, dynamic,
-            consumedDvs)
+            consumedDvs, specId)
         }
         // writerId = the STREAMING QUERY's stable id (Spark passes
         // checkpoint-metadata `id`, not the per-run runId, as the
@@ -1885,7 +2035,7 @@ case class ManifestTable(path: String, writeSchema: StructType,
               throw new IllegalStateException(
                 "streaming write carries no query id; the manifest log " +
                   "needs a stable writer identity for replay detection")),
-            java.util.UUID.randomUUID.toString.take(8), spec)
+            java.util.UUID.randomUUID.toString.take(8), spec, specId)
         }
       }
     }
@@ -1972,7 +2122,8 @@ case class ManifestBatchWrite(path: String, schema: StructType,
     spec: Seq[PartField] = Seq.empty,
     overwriteWhere: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
     dynamicOverwrite: Boolean = false,
-    consumedDvs: Option[Map[String, Set[String]]] = None) extends BatchWrite {
+    consumedDvs: Option[Map[String, Set[String]]] = None,
+    specId: Int = 0) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     ManifestWriterFactory(path, schema.fields.map(_.name),
       schema.fields.map(_.dataType.typeName),
@@ -1993,13 +2144,17 @@ case class ManifestBatchWrite(path: String, schema: StructType,
   private def filteredRemoves(fs: Seq[org.apache.spark.sql.sources.Filter])
       : Seq[String] = {
     val pred = andOf(fs)
+    val book = ManifestSink.partitionSpecs(path)
     val parts = ManifestSink.filePartitions(path)
     ManifestSink.committedFiles(path).map(baseName).filter { n =>
-      parts.get(n).flatMap(t => PartField.evalExact(spec, t, pred)).getOrElse(
+      // each file decides under the spec it was WRITTEN under (round
+      // 16) — a predicate on a column that is identity in BOTH eras
+      // stays decidable across an evolution
+      parts.get(n).flatMap(t => book.evalExact(t, pred)).getOrElse(
         throw new UnsupportedOperationException(
           s"overwrite-by-filter on $path: predicate $pred is not exactly " +
             s"decidable from file $n's identity partition tuple " +
-            s"(${parts.get(n).map(_.mkString(",")).getOrElse("none recorded")}) " +
+            s"(${parts.get(n).map(_.toks.mkString(",")).getOrElse("none recorded")}) " +
             "— partition-scoped overwrite needs identity-partition " +
             "predicates over tuple-carrying files; use row-level " +
             "DELETE/UPDATE for row-scoped replacement"))
@@ -2015,7 +2170,13 @@ case class ManifestBatchWrite(path: String, schema: StructType,
     val parts = ManifestSink.filePartitions(path)
     ManifestSink.committedFiles(path).map(baseName).filter { n =>
       parts.get(n) match {
-        case Some(t) => written.contains(t)
+        case Some(t) if t.specId == specId => written.contains(t.toks)
+        case Some(t) => throw new UnsupportedOperationException(
+          s"dynamic partition overwrite on $path: committed file $n " +
+            s"carries a tuple under retired spec id ${t.specId} (current " +
+            s"$specId) — tuples of different specs are not comparable; " +
+            "CALL graft.sys.compact_data to migrate the table to the " +
+            "current spec first")
         case None => throw new UnsupportedOperationException(
           s"dynamic partition overwrite on $path: committed file $n " +
             "carries no partition tuple — its partition membership is " +
@@ -2062,7 +2223,7 @@ case class ManifestBatchWrite(path: String, schema: StructType,
         case None => removeFiles
       }
     ManifestSink.commitBatchEpoch(path, schema.toDDL, messages,
-      removesGen, compactInterval, consumedDvs)
+      removesGen, compactInterval, consumedDvs, specId)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -2091,7 +2252,7 @@ case class ManifestBatchWrite(path: String, schema: StructType,
   * marker removed and pins that the replayed epoch changes nothing. */
 case class ManifestStreamingWrite(path: String, schema: StructType,
     compactInterval: Int, writerId: String, runToken: String,
-    spec: Seq[PartField] = Seq.empty) extends StreamingWrite {
+    spec: Seq[PartField] = Seq.empty, specId: Int = 0) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     ManifestStreamingWriterFactory(path, schema.fields.map(_.name),
       schema.fields.map(_.dataType.typeName), runToken, spec)
@@ -2115,7 +2276,8 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
     }
     val files = ManifestSink.committedFilesOf(messages).sortBy(_.name)
     val parts = files.collect {
-      case f if f.part.nonEmpty => ManifestSink.partLine(f.name, f.part) }
+      case f if f.part.nonEmpty =>
+        ManifestSink.partLine(f.name, PartTuple(specId, f.part)) }
     val content = Seq(s"#txn $writerId $epochId", s"#schema ${schema.toDDL}") ++
       files.map(ManifestSink.statsLine) ++ parts ++ files.map(_.name)
     ManifestSink.claimEpoch(dir, () => content)

@@ -77,6 +77,37 @@ final case class BucketPart(n: Int, col: String) extends PartField {
       .toString
 }
 
+/** A committed file's partition tuple: its encoded tokens plus the id
+  * of the spec they were encoded under (round 16, partition-spec
+  * EVOLUTION — the Iceberg per-file spec-id shape). Files written
+  * before evolution existed carry id 0, the create-time spec. */
+final case class PartTuple(specId: Int, toks: Seq[String])
+
+/** A table's partition-spec HISTORY: every `#spec` record the log
+  * carries, keyed by spec id (round 16). The CURRENT spec — what new
+  * writes fan out under — is the highest id; files keep the tuples of
+  * the spec they were written under and are pruned against THAT spec,
+  * so evolving the layout rewrites zero bytes. A tuple whose spec id
+  * the book does not know (foreign/corrupt log) is conservatively
+  * unprunable and never exactly decidable. */
+final case class SpecBook(byId: Map[Int, Seq[PartField]]) {
+  def currentId: Int = if (byId.isEmpty) 0 else byId.keys.max
+  def current: Seq[PartField] = byId.getOrElse(currentId, Seq.empty)
+  def specOf(t: PartTuple): Option[Seq[PartField]] = byId.get(t.specId)
+  /** May a file carrying tuple `t` hold a row matching `f`? Evaluated
+    * under the file's OWN spec; unknown spec ids answer true. */
+  def mayMatch(t: PartTuple, f: Filter): Boolean =
+    specOf(t).forall(s => PartField.mayMatch(s, t.toks, f))
+  /** Exact per-file decision under the file's OWN spec; unknown spec
+    * ids are undecidable (None). */
+  def evalExact(t: PartTuple, f: Filter): Option[Boolean] =
+    specOf(t).flatMap(s => PartField.evalExact(s, t.toks, f))
+}
+
+object SpecBook {
+  val empty: SpecBook = SpecBook(Map.empty)
+}
+
 object PartField {
   def parse(s: String): PartField = s.split(":", -1) match {
     case Array("identity", c) if c.nonEmpty => IdentityPart(c)

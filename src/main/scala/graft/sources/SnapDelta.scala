@@ -68,8 +68,9 @@ private[sources] class SnapDeltaOperation(val tname: String,
   /** The snapshot this operation reads and dv-marks — pinned once. */
   private[sources] val snapshotFiles: Seq[String] = ManifestSink.committedFiles(dir)
   private[sources] val stats: Map[String, FileStat] = ManifestSink.fileStats(dir)
-  private[sources] val spec: Seq[PartField] = ManifestSink.partitionSpec(dir)
-  private[sources] val parts: Map[String, Seq[String]] =
+  private[sources] val specBook: SpecBook = ManifestSink.partitionSpecs(dir)
+  private[sources] def spec: Seq[PartField] = specBook.current
+  private[sources] val parts: Map[String, PartTuple] =
     ManifestSink.filePartitions(dir)
   /** Live dvs at pin time: the scan applies them (a marked row never
     * re-matches), and the commit passes them as the OBSERVED state the
@@ -126,8 +127,8 @@ private[sources] class SnapDeltaScanBuilder(op: SnapDeltaOperation)
   override def build(): Scan = {
     val candidates = op.snapshotFiles.filter { f =>
       val n = Paths.get(f).getFileName.toString
-      val partOk = op.parts.get(n).forall(toks =>
-        pushed.forall(PartField.mayMatch(op.spec, toks, _)))
+      val partOk = op.parts.get(n).forall(t =>
+        pushed.forall(op.specBook.mayMatch(t, _)))
       partOk && (op.stats.get(n) match {
         case None => true // no stats recorded: cannot skip
         case Some(st) => st.rows > 0 && pushed.forall(SnapStats.mayMatch(st, _))
@@ -231,7 +232,7 @@ private[sources] class SnapDeltaWrite(op: SnapDeltaOperation,
       ManifestSink.tableProperties(op.dir).get("compact.interval")
         .flatMap(_.toIntOption)
         .getOrElse(ManifestSink.DefaultCompactInterval),
-      observed)
+      observed, op.specBook.currentId)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

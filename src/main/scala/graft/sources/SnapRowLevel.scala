@@ -74,8 +74,9 @@ private[sources] class SnapRowLevelOperation(val tname: String,
   /** The snapshot this operation reads AND replaces — pinned once. */
   private[sources] val snapshotFiles: Seq[String] = ManifestSink.committedFiles(dir)
   private[sources] val stats: Map[String, FileStat] = ManifestSink.fileStats(dir)
-  private[sources] val spec: Seq[PartField] = ManifestSink.partitionSpec(dir)
-  private[sources] val parts: Map[String, Seq[String]] =
+  private[sources] val specBook: SpecBook = ManifestSink.partitionSpecs(dir)
+  private[sources] def spec: Seq[PartField] = specBook.current
+  private[sources] val parts: Map[String, PartTuple] =
     ManifestSink.filePartitions(dir)
   /** Live delete vectors at pin time (round 15): the rewrite's reads
     * apply them (a COW over a dv'd file must not resurrect its deleted
@@ -198,8 +199,8 @@ private[sources] class SnapRowLevelScanBuilder(op: SnapRowLevelOperation)
   override def build(): Scan = {
     val candidates = op.snapshotFiles.filter { f =>
       val n = Paths.get(f).getFileName.toString
-      val partOk = op.parts.get(n).forall(toks =>
-        pushed.forall(PartField.mayMatch(op.spec, toks, _)))
+      val partOk = op.parts.get(n).forall(t =>
+        pushed.forall(op.specBook.mayMatch(t, _)))
       partOk && (op.stats.get(n) match {
         case None => true // no stats recorded: cannot skip
         case Some(st) => st.rows > 0 && pushed.forall(SnapStats.mayMatch(st, _))
@@ -344,7 +345,7 @@ private[sources] class SnapRowLevelWrite(op: SnapRowLevelOperation,
       ManifestSink.tableProperties(op.dir).get("compact.interval")
         .flatMap(_.toIntOption)
         .getOrElse(ManifestSink.DefaultCompactInterval),
-      Some(consumed))
+      Some(consumed), op.specBook.currentId)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -127,11 +127,25 @@ class CompactProcedure(snapDir: () => String,
       // POSITION DELETES (round 15) — compaction is what RESOLVES a
       // merge-on-read delete into rewritten files, regardless of size
       val dvMap = ManifestSink.deleteVectors(dir.toString)
+      // ... and any file whose partition tuple is under a RETIRED spec
+      // id (round 16) — compaction is the declared migration step
+      // after a spec evolution: the rewrite fans out (and stamps
+      // tuples) under the CURRENT spec, which is what re-enables
+      // dynamic partition overwrite on the table
+      val book = ManifestSink.partitionSpecs(dir.toString)
+      val parts = ManifestSink.filePartitions(dir.toString)
+      def staleSpec(f: String): Boolean = book.byId.size > 1 && {
+        parts.get(fname(f)) match {
+          case Some(t) => t.specId != book.currentId
+          case None => book.current.nonEmpty
+        }
+      }
       val small = files.filter(f =>
         stats.get(fname(f)).exists(_.rows < target) ||
-          dvMap.get(fname(f)).exists(_.nonEmpty))
+          dvMap.get(fname(f)).exists(_.nonEmpty) || staleSpec(f))
       val worthIt = small.size >= 2 ||
-        small.exists(f => dvMap.get(fname(f)).exists(_.nonEmpty))
+        small.exists(f => dvMap.get(fname(f)).exists(_.nonEmpty) ||
+          staleSpec(f))
       val result: (Long, Long, Long) =
         if (!worthIt) (0L, 0L, 0L)
         else {
@@ -212,6 +226,213 @@ class VacuumProcedure(snapDir: () => String) extends UnboundProcedure {
           new StructType().add("deleted", StringType, nullable = false)
         override def rows(): Array[InternalRow] =
           deleted.map(n => InternalRow(UTF8String.fromString(n))).toArray
+      }
+      java.util.List.of(scan).iterator()
+    }
+  }
+}
+
+/** PARTITION-SPEC EVOLUTION as a catalog STORED PROCEDURE (round 16,
+  * the Iceberg spec-evolution shape — a table that outgrows its layout
+  * no longer has to be rebuilt):
+  *
+  * {{{ CALL graft.sys.set_partition_spec('ev', 'days(ts), bucket(8, user_id)') }}}
+  *
+  * appends ONE pure-metadata `#spec <id>=…` epoch claiming the next
+  * spec id; zero data bytes move. Files written before the evolution
+  * keep the tuples of the spec they were written under (their `#part`
+  * records carry that spec's id) and stay exactly prunable under THAT
+  * spec; files written after fan out — and prune — under the new one.
+  * Tuples of different specs are not comparable, so DYNAMIC partition
+  * overwrite refuses on a mixed-spec table until
+  * `CALL graft.sys.compact_data` migrates it (stale-spec files are
+  * compaction candidates regardless of size — compaction is the
+  * declared resolution step, exactly as it is for merge-on-read dvs).
+  *
+  * Spec grammar: comma-separated `identity(col)` | `days(col)` |
+  * `bucket(n, col)` | bare `col` (= identity); the EMPTY string
+  * evolves to unpartitioned. Column names are LOGICAL (they translate
+  * through the live column mapping to the physical names the log
+  * records); types validate with CREATE TABLE's own rules. Two racing
+  * evolutions serialize on the claimed id — the loser re-derives and
+  * takes the next one — so one id can never bind two layouts. */
+class SetPartitionSpecProcedure(snapDir: () => String,
+    schemaOf: String => StructType) extends UnboundProcedure {
+  override def name(): String = "set_partition_spec"
+  override def description(): String =
+    "evolve a graft.snap table's partition spec (one metadata epoch, " +
+      "zero bytes rewritten); existing files keep pruning under the " +
+      "spec they were written under; returns (spec_id, spec)"
+
+  /** Split at top-level commas only — `bucket(8, id)` is one item. */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1
+        require(depth >= 0, s"unbalanced ')' in partition spec '$s'")
+        sb += ')'
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    require(depth == 0, s"unbalanced '(' in partition spec '$s'")
+    out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val Fn = """([A-Za-z]+)\s*\(\s*([^()]*?)\s*\)""".r
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = SetPartitionSpecProcedure.this.name()
+    override def description(): String =
+      SetPartitionSpecProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under the snap.dir catalog conf").build(),
+      ProcedureParameter.in("spec", StringType)
+        .comment("comma-separated identity(col)|days(col)|bucket(n, col)" +
+          "|col; empty = unpartitioned").build())
+    override def isDeterministic: Boolean = false // appends an epoch
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        "set_partition_spec(table, spec): arguments must not be null")
+      val table = input.getUTF8String(0).toString
+      GraftCatalog.requireValidTableName(table)
+      val specStr = input.getUTF8String(1).toString
+      val dir = new java.io.File(snapDir(), table)
+      require(dir.isDirectory, s"graft.snap.$table: no manifest table at $dir")
+      val schema = schemaOf(table) // PHYSICAL names (the log's own)
+      // the caller names LOGICAL columns; the recorded spec is physical
+      val colmap = ManifestSink.columnMapping(dir.toString)
+      def physOf(logical: String): String = schema.fields.map(_.name)
+        .find { p =>
+          val l = colmap.getOrElse(p, p)
+          l != ManifestSink.DroppedColumn && l.equalsIgnoreCase(logical)
+        }
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft.snap.$table: partition column '$logical' is not in " +
+            s"the schema"))
+      def typeOf(phys: String): String = schema.fields
+        .find(_.name.equalsIgnoreCase(phys)).get.dataType.typeName
+      val longFamily =
+        Set("long", "integer", "short", "byte", "timestamp", "date")
+      val spec: Seq[PartField] = splitTop(specStr).map {
+        case Fn("identity", c) =>
+          val p = physOf(c)
+          require(longFamily.contains(typeOf(p)) || typeOf(p) == "string",
+            s"graft.snap.$table: identity($c) needs a long-family or " +
+              s"string column, got ${typeOf(p)}")
+          IdentityPart(p)
+        case Fn("days", c) =>
+          val p = physOf(c)
+          require(typeOf(p) == "timestamp" || typeOf(p) == "date",
+            s"graft.snap.$table: days($c) needs a timestamp/date " +
+              s"column, got ${typeOf(p)}")
+          DaysPart(p)
+        case Fn("bucket", args) => args.split(",").map(_.trim) match {
+          case Array(nStr, c) if nStr.toIntOption.exists(_ > 0) =>
+            val p = physOf(c)
+            require(longFamily.contains(typeOf(p)) || typeOf(p) == "string",
+              s"graft.snap.$table: bucket($c) needs a long-family or " +
+                s"string column, got ${typeOf(p)}")
+            BucketPart(nStr.toInt, p)
+          case _ => throw new IllegalArgumentException(
+            s"graft.snap.$table: bucket needs (n, col) with n > 0, " +
+              s"got bucket($args)")
+        }
+        case Fn(other, args) => throw new IllegalArgumentException(
+          s"graft.snap.$table: unsupported partition transform " +
+            s"$other($args) (identity, days, bucket)")
+        case bare =>
+          require(bare.matches("[A-Za-z_][A-Za-z0-9_.]*"),
+            s"graft.snap.$table: unparsable partition-spec item '$bare'")
+          val p = physOf(bare)
+          require(longFamily.contains(typeOf(p)) || typeOf(p) == "string",
+            s"graft.snap.$table: identity($bare) needs a long-family " +
+              s"or string column, got ${typeOf(p)}")
+          IdentityPart(p)
+      }
+      val cur = ManifestSink.partitionSpecs(dir.toString)
+      require(PartField.render(spec) != PartField.render(cur.current),
+        s"graft.snap.$table: '${specStr}' is already the current " +
+          s"partition spec (id ${cur.currentId})")
+      val (_, specId) = ManifestSink.commitSpecEpoch(dir.toString, spec)
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType = new StructType()
+          .add("spec_id", LongType, nullable = false)
+          .add("spec", StringType, nullable = false)
+        override def rows(): Array[InternalRow] = Array(InternalRow(
+          specId.toLong,
+          UTF8String.fromString(PartField.render(spec))))
+      }
+      java.util.List.of(scan).iterator()
+    }
+  }
+}
+
+/** ROLLBACK / RESTORE as a catalog STORED PROCEDURE (round 16, the
+  * Delta `RESTORE TABLE … VERSION AS OF` / Iceberg
+  * `rollback_to_snapshot` shape — the operational undo every lake
+  * needs after a bad load):
+  *
+  * {{{ CALL graft.sys.rollback('ev', 42) }}}
+  *
+  * restores the CURRENT snapshot to exactly version 42's content as
+  * ONE new epoch ([[ManifestSink.rollbackTo]]): metadata-only —
+  * removed files come back by reference (their bytes survive until
+  * vacuum's remove-time age gate), newer files are `#remove`d, and
+  * re-added files' merge-on-read dv records restore AS OF the target
+  * version. History is preserved: the restore lands as a NEW version,
+  * pre-restore snapshots stay time-travelable, and a second call can
+  * roll FORWARD again. Returns (restored_version, files_added,
+  * files_removed). */
+class RollbackProcedure(snapDir: () => String,
+    schemaOf: String => StructType) extends UnboundProcedure {
+  override def name(): String = "rollback"
+  override def description(): String =
+    "restore a graft.snap table to a historical version as one new " +
+      "epoch (metadata-only; history preserved); returns " +
+      "(restored_version, files_added, files_removed)"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = RollbackProcedure.this.name()
+    override def description(): String = RollbackProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under the snap.dir catalog conf").build(),
+      ProcedureParameter.in("version", LongType)
+        .comment("the epoch id to restore the table's content to").build())
+    override def isDeterministic: Boolean = false // appends an epoch
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        "rollback(table, version): arguments must not be null")
+      val table = input.getUTF8String(0).toString
+      GraftCatalog.requireValidTableName(table)
+      val version = input.getLong(1)
+      require(version >= 0, s"version must be >= 0, got $version")
+      val dir = new java.io.File(snapDir(), table)
+      require(dir.isDirectory, s"graft.snap.$table: no manifest table at $dir")
+      val schema = schemaOf(table)
+      // the restore is a (metadata-only) rewrite of the snapshot: the
+      // same stale-conf guard every destructive path runs
+      ManifestSink.verifyDeclaredSchema(dir.toString,
+        s"graft.snap.$table rollback", schema)
+      val interval = ManifestSink.tableProperties(dir.toString)
+        .get("compact.interval").flatMap(_.toIntOption)
+        .getOrElse(ManifestSink.DefaultCompactInterval)
+      val (added, removed) = ManifestSink.rollbackTo(dir.toString, version,
+        schema.toDDL, interval)
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType = new StructType()
+          .add("restored_version", LongType, nullable = false)
+          .add("files_added", LongType, nullable = false)
+          .add("files_removed", LongType, nullable = false)
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(version, added.toLong, removed.toLong))
       }
       java.util.List.of(scan).iterator()
     }

@@ -290,6 +290,39 @@ object LakeLadder {
     println(f"LAKE distributed planning files=$wideN build=$wideBuild%.1fs " +
       f"pointRead driverWalk=$wallE%.2fs checkpointJob=$wallD%.2fs " +
       "plannedFiles=1/10000 both")
+
+    // ——— SPEC EVOLUTION at 10,000 files (round 16): evolving the wide
+    // table's layout is ONE tiny metadata epoch, zero files moved; the
+    // next append stamps the new spec's id, and BOTH planners keep
+    // planning 1 file for point reads over the mixed-era table
+    val preEvo = ManifestSink.committedFiles(wideLog).toSet
+    val preEvoBytes = ManifestSink.metadataBytes.get()
+    val tEvo = System.nanoTime()
+    val evoRow = spark.sql(
+      "CALL graft.sys.set_partition_spec('wide', 'k')").collect().head
+    val evoWall = nowS(tEvo)
+    val evoBytes = ManifestSink.metadataBytes.get() - preEvoBytes
+    require(evoRow.getLong(0) == 1L &&
+      ManifestSink.committedFiles(wideLog).toSet == preEvo,
+      "spec evolution must move zero data files")
+    require(evoBytes <= 40L, s"spec evolution wrote $evoBytes B of metadata")
+    spark.sql(s"INSERT INTO graft.snap.wide VALUES ($wideN, 'n$wideN')")
+    require(ManifestSink.filePartitions(wideLog).values
+      .exists(_.specId == 1), "the post-evolution file must stamp spec id 1")
+    val (vE2, pruneE2, _) = widePoint() // an era-0 file: #stats prune
+    spark.conf.set("spark.graft.plan.distributedThreshold", "1")
+    val (vD2, pruneD2, _) =
+      try widePoint()
+      finally spark.conf.unset("spark.graft.plan.distributedThreshold")
+    require(vE2 == wideN / 2 && vD2 == vE2 &&
+      pruneE2 == ((wideN + 1, 1)) && pruneD2 == pruneE2,
+      s"mixed-era point read plans 1: eager=$pruneE2 dist=$pruneD2")
+    // the era-1 file prunes by its identity TUPLE (exact, both planners)
+    spark.sql(s"SELECT k FROM graft.snap.wide WHERE k = $wideN").collect()
+    require(graft.sources.SnapTable.lastPruneOf("wide") == ((wideN + 1, 1)),
+      s"era-1 point read: ${graft.sources.SnapTable.lastPruneOf("wide")}")
+    println(f"LAKE spec evolution files=$wideN epochBytes=$evoBytes " +
+      f"wall=$evoWall%.2fs filesMoved=0 mixedEraPointRead=1/${wideN + 1} both")
     spark.stop()
     graft.util.Fs.deleteRecursively(root)
     println("LAKE-LADDER ALL GREEN")

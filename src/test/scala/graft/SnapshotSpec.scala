@@ -2498,4 +2498,265 @@ class SnapshotSpec extends AnyFunSuite {
     assert(s.sql("SELECT count(*) FROM graft.snap.cm").head().getLong(0) == 9)
     graft.util.Fs.deleteRecursively(root)
   }
+
+  test("PARTITION-SPEC EVOLUTION (round 16): set_partition_spec appends " +
+    "one metadata epoch, files prune under the spec they were written " +
+    "under, dynamic overwrite refuses on mixed specs until compaction " +
+    "migrates, replaceWhere stays decidable on identity-in-both-eras " +
+    "columns, and racing evolutions serialize on distinct ids") {
+    val root = Files.createTempDirectory("graft_spec_evolve")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    import org.apache.spark.sql.functions.col
+
+    // era 0: identity(lang) — two files (de, es), each spanning 2 days
+    s.sql("""CREATE TABLE graft.snap.se (k BIGINT, ts TIMESTAMP, lang STRING)
+            |PARTITIONED BY (lang)""".stripMargin)
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$d%d 10:00:00")
+    locally { import s.implicits._
+      Seq((1L, ts(1), "de"), (2L, ts(2), "de"), (3L, ts(1), "es"),
+        (4L, ts(2), "es")).toDF("k", "ts", "lang")
+        .repartition(col("lang")).writeTo("graft.snap.se").append() }
+    val log = root.resolve("se").toString
+    val preEvolveVersion = graft.sources.ManifestSink.newestVersion(log)
+
+    // evolve: ONE metadata epoch, spec id 1, zero data files moved
+    val filesBefore = graft.sources.ManifestSink.committedFiles(log).toSet
+    val evolved = s.sql(
+      "CALL graft.sys.set_partition_spec('se', 'days(ts)')").collect()
+    assert(evolved.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "days:ts")), "claimed spec id 1")
+    assert(graft.sources.ManifestSink.committedFiles(log).toSet == filesBefore,
+      "spec evolution moves zero data files")
+    val book = graft.sources.ManifestSink.partitionSpecs(log)
+    assert(book.currentId == 1 && book.byId.keySet == Set(0, 1))
+
+    // era 1: days(ts) — two files (day 1, day 2), each spanning langs
+    locally { import s.implicits._
+      Seq((5L, ts(1), "de"), (6L, ts(1), "es"), (7L, ts(2), "de"),
+        (8L, ts(2), "es")).toDF("k", "ts", "lang")
+        .repartition(col("ts")).writeTo("graft.snap.se").append() }
+    val parts = graft.sources.ManifestSink.filePartitions(log)
+    assert(parts.values.map(_.specId).toSet == Set(0, 1),
+      s"both eras' ids on file tuples: $parts")
+    // the log text carries the id-prefixed grammar for era-1 files only
+    val fragText = Files.list(root.resolve("se")).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("epoch-"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .filter(_.startsWith("#part ")).mkString("\n")
+    assert(fragText.contains("1@"), s"era-1 tuples carry the id: $fragText")
+
+    def prune(): (Int, Int) = graft.sources.SnapTable.lastPruneOf("se")
+    // a lang predicate prunes era-0 files by their identity tuple;
+    // era-1 files (days tuples, mixed langs, so string stats can't
+    // prune either) stay — 3 of 4
+    assert(s.sql("SELECT sum(k) FROM graft.snap.se WHERE lang = 'de'")
+      .head().getLong(0) == 1L + 2L + 5L + 7L)
+    assert(prune() == ((4, 3)), s"lang predicate plans 3 of 4: ${prune()}")
+    // a day predicate prunes era-1 files by their days tuple; era-0
+    // files span both days (stats can't prune) and stay — 3 of 4
+    assert(s.sql("""SELECT sum(k) FROM graft.snap.se
+                   |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'"""
+      .stripMargin).head().getLong(0) == 2L + 4L + 7L + 8L)
+    assert(prune() == ((4, 3)), s"day predicate plans 3 of 4: ${prune()}")
+
+    // time travel to the pre-evolution snapshot still serves
+    assert(s.sql(s"SELECT count(*) FROM graft.snap.se " +
+      s"VERSION AS OF $preEvolveVersion").head().getLong(0) == 4)
+
+    // DYNAMIC overwrite refuses on a mixed-spec table, loudly
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val eDyn = intercept[Exception] {
+      import s.implicits._
+      Seq((90L, ts(2), "zh")).toDF("k", "ts", "lang")
+        .writeTo("graft.snap.se").overwritePartitions()
+    }
+    s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert(eDyn.getMessage.contains("retired spec"),
+      s"names the migration path: ${eDyn.getMessage}")
+
+    // compaction MIGRATES: stale-spec files are candidates regardless
+    // of size; afterwards every tuple is on the current spec
+    s.sql("CALL graft.sys.compact_data('se', 1000000)").collect()
+    val liveAfter = graft.sources.ManifestSink.committedFiles(log)
+      .map(f => Paths.get(f).getFileName.toString).toSet
+    val partsAfter = graft.sources.ManifestSink.filePartitions(log)
+      .filter { case (n, _) => liveAfter.contains(n) }
+    assert(partsAfter.keySet == liveAfter &&
+      partsAfter.values.forall(_.specId == 1),
+      s"compaction re-stamps every live file under the current spec: " +
+        s"$partsAfter vs $liveAfter")
+    assert(s.sql("SELECT count(*) FROM graft.snap.se").head().getLong(0) == 8)
+    // ... which re-enables dynamic overwrite (replace day 2 wholesale)
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      locally { import s.implicits._
+        Seq((91L, ts(2), "zh")).toDF("k", "ts", "lang")
+          .writeTo("graft.snap.se").overwritePartitions() }
+    } finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert(s.sql("SELECT k FROM graft.snap.se ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L, 6L, 91L),
+      "dynamic overwrite replaced exactly the day-2 partition")
+
+    // refusals: a no-op spec, an unknown column, a mistyped transform
+    val eSame = intercept[Exception] { s.sql(
+      "CALL graft.sys.set_partition_spec('se', 'days(ts)')").collect() }
+    assert(eSame.getMessage.contains("already the current"))
+    val eCol = intercept[Exception] { s.sql(
+      "CALL graft.sys.set_partition_spec('se', 'nope')").collect() }
+    assert(eCol.getMessage.contains("not in the schema"))
+    val eType = intercept[Exception] { s.sql(
+      "CALL graft.sys.set_partition_spec('se', 'days(lang)')").collect() }
+    assert(eType.getMessage.contains("timestamp/date"))
+
+    // DROP COLUMN refuses columns ANY spec era references: lang is only
+    // in the RETIRED era 0, but its live files carry lang-keyed tuples
+    val eDrop = intercept[Exception] {
+      s.sql("ALTER TABLE graft.snap.se DROP COLUMN lang") }
+    assert(eDrop.getMessage.contains("#spec era references it"),
+      eDrop.getMessage)
+
+    // replaceWhere on a column that is IDENTITY IN BOTH eras stays
+    // exactly decidable across the evolution (per-file own-spec eval)
+    s.sql("""CREATE TABLE graft.snap.rp (id BIGINT, lang STRING)
+            |PARTITIONED BY (lang)""".stripMargin)
+    locally { import s.implicits._
+      Seq((1L, "de"), (2L, "es")).toDF("id", "lang")
+        .repartition(col("lang")).writeTo("graft.snap.rp").append() }
+    s.sql("CALL graft.sys.set_partition_spec('rp', 'lang, bucket(4, id)')")
+      .collect()
+    locally { import s.implicits._
+      Seq((3L, "de"), (4L, "es")).toDF("id", "lang")
+        .repartition(col("lang"), col("id"))
+        .writeTo("graft.snap.rp").append() }
+    locally { import s.implicits._
+      Seq((20L, "es")).toDF("id", "lang")
+        .writeTo("graft.snap.rp").overwrite(col("lang") === "es") }
+    assert(s.sql("SELECT id FROM graft.snap.rp ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L, 20L),
+      "replaceWhere replaced BOTH eras' es files exactly")
+
+    // racing evolutions serialize: distinct ids, both recorded, the
+    // book stays readable (no one-id-two-layouts corruption)
+    s.sql("""CREATE TABLE graft.snap.rc (a BIGINT, b STRING)
+            |PARTITIONED BY (a)""".stripMargin)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val futs = Seq("b", "bucket(8, a)").map { sp =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = {
+          val s2 = spark.newSession()
+          graft.sources.GraftCatalog.register(s2, TestSpark.Sf0001)
+          s2.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+          s2.sql(s"CALL graft.sys.set_partition_spec('rc', '$sp')")
+            .head().getLong(0)
+        }
+      })
+    }
+    val ids = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(ids.toSet.size == 2 && ids.forall(i => i == 1L || i == 2L),
+      s"racing evolutions claimed distinct ids: $ids")
+    val rcBook = graft.sources.ManifestSink.partitionSpecs(
+      root.resolve("rc").toString)
+    assert(rcBook.byId.keySet == Set(0, 1, 2), s"all eras recorded: $rcBook")
+
+    // evolving to UNPARTITIONED: the empty spec takes an id; new files
+    // carry no tuples and plain appends stop fanning out
+    s.sql("CALL graft.sys.set_partition_spec('rc', '')").collect()
+    assert(graft.sources.ManifestSink.partitionSpecs(
+      root.resolve("rc").toString).current.isEmpty)
+    locally { import s.implicits._
+      Seq((1L, "x"), (2L, "y")).toDF("a", "b")
+        .coalesce(1).writeTo("graft.snap.rc").append() }
+    assert(s.sql("SELECT count(*) FROM graft.snap.rc").head().getLong(0) == 2)
+    assert(graft.sources.ManifestSink.filePartitions(
+      root.resolve("rc").toString).isEmpty,
+      "no tuples under the empty spec")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("ROLLBACK (round 16): CALL graft.sys.rollback restores a " +
+    "historical snapshot as ONE metadata-only epoch — removed files " +
+    "come back by reference with their AS-OF dv state, newer files " +
+    "drop, history is preserved (roll forward works), dv-divergent " +
+    "survivors refuse naming compaction, reclaimed targets refuse") {
+    val root = Files.createTempDirectory("graft_snap_rollback")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    val log = root.resolve("rb").toString
+
+    s.sql("""CREATE TABLE graft.snap.rb (k BIGINT, v STRING)
+            |TBLPROPERTIES ('delete.mode'='mor',
+            |  'compact.interval'='100')""".stripMargin)
+    locally { import s.implicits._
+      Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L, 6L)).foreach { ks =>
+        ks.map(k => (k, s"v$k")).toDF("k", "v").coalesce(1)
+          .writeTo("graft.snap.rb").append()
+      } }
+    val vBase = graft.sources.ManifestSink.newestVersion(log) // = 3
+    def ks(): Seq[Long] = s.sql("SELECT k FROM graft.snap.rb ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+
+    s.sql("DELETE FROM graft.snap.rb WHERE k = 2") // MOR dv epoch
+    val vDel = graft.sources.ManifestSink.newestVersion(log)
+    assert(ks() == Seq(1L, 3L, 4L, 5L, 6L))
+
+    // a SURVIVING file whose dv state moved since the target refuses,
+    // naming compaction as the resolution
+    val eDiv = intercept[Exception] {
+      s.sql(s"CALL graft.sys.rollback('rb', $vBase)").collect() }
+    assert(eDiv.getMessage.contains("compact_data"), eDiv.getMessage)
+
+    // compaction resolves the dv into fresh files ...
+    s.sql("CALL graft.sys.compact_data('rb', 1000000)").collect()
+    val vCompact = graft.sources.ManifestSink.newestVersion(log)
+    assert(ks() == Seq(1L, 3L, 4L, 5L, 6L))
+
+    // ... and the rollback to the POST-DELETE snapshot restores the
+    // original files WITH their as-of dv record: k=2 stays deleted
+    val r1 = s.sql(s"CALL graft.sys.rollback('rb', $vDel)").collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == ((vDel, 3L, 1L)),
+      s"restores 3 files, removes the compacted one: $r1")
+    assert(ks() == Seq(1L, 3L, 4L, 5L, 6L),
+      "merge-on-read state restored with the files")
+    assert(graft.sources.ManifestSink.newestVersion(log) == vCompact + 1,
+      "the restore is a NEW version — history is never rewound")
+
+    // rolling back PAST the delete: the surviving restored file is
+    // dv-divergent again — compact, then the full restore serves k=2
+    s.sql("CALL graft.sys.compact_data('rb', 1000000)").collect()
+    s.sql(s"CALL graft.sys.rollback('rb', $vBase)").collect()
+    assert(ks() == Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      "rollback past the delete resurrects the row")
+
+    // roll FORWARD: restore the post-compaction snapshot again
+    s.sql(s"CALL graft.sys.rollback('rb', $vCompact)").collect()
+    assert(ks() == Seq(1L, 3L, 4L, 5L, 6L), "roll forward restores too")
+
+    // pre-restore snapshots stay time-travelable
+    assert(s.sql(s"SELECT count(*) FROM graft.snap.rb VERSION AS OF $vBase")
+      .head().getLong(0) == 6)
+
+    // a version whose bytes are physically GONE refuses loudly and
+    // publishes nothing. (Within the log's own lifecycle this state is
+    // unreachable — historical fragments keep referencing rolled-away
+    // files until a sweep, and vacuum only reclaims unreferenced
+    // bytes, by which point the version already refuses at the
+    // retention horizon — so the check is the defense against
+    // out-of-band loss: hand-cleaned data dirs, partial restores.)
+    val vBaseFile = graft.sources.ManifestSink.committedFilesAsOf(log, vBase)
+      .map(f => Paths.get(f).getFileName.toString)
+      .filterNot(graft.sources.ManifestSink.committedFiles(log)
+        .map(f => Paths.get(f).getFileName.toString).toSet)
+      .head
+    Files.delete(root.resolve("rb").resolve("data").resolve(vBaseFile))
+    val preRefuse = ks()
+    val eVac = intercept[Exception] {
+      s.sql(s"CALL graft.sys.rollback('rb', $vBase)").collect() }
+    assert(eVac.getMessage.contains("reclaimed"), eVac.getMessage)
+    assert(ks() == preRefuse, "a refused rollback publishes nothing")
+    graft.util.Fs.deleteRecursively(root)
+  }
 }
