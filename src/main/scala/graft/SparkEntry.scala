@@ -229,6 +229,9 @@ object SparkEntry {
     "q_snap_partitioned" -> Materialize.snapPartitioned _,
     "q_snap_spec_evolve" -> Materialize.snapSpecEvolve _,
     "q_snap_rollback"    -> Materialize.snapRollback _,
+    "q_snap_widen"       -> Materialize.snapWiden _,
+    "q_snap_tag"         -> Materialize.snapTag _,
+    "q_snap_partitions"  -> Materialize.snapPartitions _,
     "q_snap_dv_delete"   -> Materialize.snapDvDelete _,
     "q_snap_dv_update"   -> Materialize.snapDvUpdate _,
     "q_snap_dv_merge"    -> Materialize.snapDvMerge _,
@@ -2597,6 +2600,38 @@ object SparkEntry {
         |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
         |  AND n_chars IS NOT NULL AND doc_id % 2 = 0
         |  AND lang IN ('es', 'de', 'en')
+        |GROUP BY lang""".stripMargin,
+    "q_snap_widen" -> // INT era + post-ALTER BIGINT era with values
+      // outside the int range: the oracle recomputes the arithmetic
+      // from the source, so a mis-promoted narrow read cannot match
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars * 100000
+        |                ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL AND lang IN ('es', 'de', 'en')
+        |GROUP BY lang""".stripMargin,
+    "q_snap_tag" -> // good load tagged 'blessed', then a bad load and
+      // a bad delete; the read pins the tag BY NAME — oracle = the
+      // aggregate over the good (even doc_id) half
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL AND doc_id % 2 = 0
+        |  AND lang IN ('es', 'de', 'en')
+        |GROUP BY lang""".stripMargin,
+    "q_snap_partitions" -> // the .partitions metadata table over a
+      // one-file-per-language layout: every column recomputed by the
+      // oracle from the source corpus
+      """SELECT 'lang=' || lang AS "partition",
+        |  CAST(0 AS BIGINT) AS spec_id,
+        |  CAST(1 AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(0 AS BIGINT) AS deleted_rows
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL
         |GROUP BY lang""".stripMargin,
     "q_snap_compact" -> // the procedure's result row, derived by the
       // oracle from the source: five undersized language files pack

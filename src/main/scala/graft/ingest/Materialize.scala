@@ -1692,6 +1692,104 @@ object Materialize {
         |GROUP BY lang""".stripMargin)
   }
 
+  /** TYPE WIDENING under an oracle (`q_snap_widen`, round 16): an
+    * INT-column era lands half the corpus, `ALTER TABLE … ALTER COLUMN
+    * n_chars TYPE BIGINT` widens in one metadata epoch (zero bytes
+    * rewritten — the safe-promotion set), and the BIGINT era lands the
+    * other half with values OUTSIDE the int range. The aggregate spans
+    * both eras through the parquet delegate's native narrow-to-wide
+    * promotion; the oracle reproduces the arithmetic from the source
+    * table, so a mis-promoted read cannot hash-match. */
+  def snapWiden(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_wide_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    spark.sql(
+      """CREATE TABLE graft.snap.docwide
+        |  (doc_id BIGINT, lang STRING, n_chars INT)""".stripMargin)
+    complete.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("int"))
+      .coalesce(2).writeTo("graft.snap.docwide").append()
+    spark.sql(
+      "ALTER TABLE graft.snap.docwide ALTER COLUMN n_chars TYPE BIGINT")
+    complete.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") * 100000L).as("n_chars")) // outside the int range
+      .coalesce(2).writeTo("graft.snap.docwide").append()
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM graft.snap.docwide
+        |WHERE lang IN ('es', 'de', 'en')
+        |GROUP BY lang""".stripMargin)
+  }
+
+  /** SNAPSHOT TAGS under an oracle (`q_snap_tag`, round 16): the good
+    * load is tagged (`CALL graft.sys.create_tag` — one metadata epoch,
+    * the Iceberg tag shape), a bad load and a bad delete land after,
+    * and the read goes `VERSION AS OF 'blessed'` BY NAME — no epoch
+    * ids in the query. The aggregate equals the oracle over the good
+    * half: the deployment pattern where jobs pin a blessed snapshot
+    * while the pipeline keeps writing. */
+  def snapTag(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_tag_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    spark.sql(
+      """CREATE TABLE graft.snap.doctag
+        |  (doc_id BIGINT, lang STRING, n_chars BIGINT)""".stripMargin)
+    complete.filter(col("doc_id") % 2 === 0).coalesce(2)
+      .writeTo("graft.snap.doctag").append()
+    spark.sql("CALL graft.sys.create_tag('doctag', 'blessed')").collect()
+    complete.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .writeTo("graft.snap.doctag").append() // the bad load
+    spark.sql("DELETE FROM graft.snap.doctag WHERE lang = 'es'")
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM graft.snap.doctag VERSION AS OF 'blessed'
+        |WHERE lang IN ('es', 'de', 'en')
+        |GROUP BY lang""".stripMargin)
+  }
+
+  /** The `.partitions` metadata table under an oracle
+    * (`q_snap_partitions`, round 16): an identity(lang)-partitioned
+    * load pre-repartitioned by the key lands exactly ONE file per
+    * language, and the metadata table answers the layout question —
+    * decoded partition value, spec id, file and row counts per
+    * partition — from the log alone (no data scan). The oracle
+    * recomputes every column from the source corpus. */
+  def snapPartitions(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_parts_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    spark.sql(
+      """CREATE TABLE graft.snap.docparts
+        |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+        |PARTITIONED BY (lang)""".stripMargin)
+    complete.repartition(col("lang"))
+      .writeTo("graft.snap.docparts").append()
+    spark.sql(
+      """SELECT partition, spec_id, n_files, n_rows, deleted_rows
+        |FROM graft.snap.docparts.partitions""".stripMargin)
+  }
+
   /** The `.history` metadata table under an oracle (`q_snap_history`,
     * round 15): a deterministic DDL+DML lifecycle — CREATE (metadata
     * epoch 0), five single-file appends, one merge-on-read delete (a

@@ -192,9 +192,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   override def loadTable(ident: Identifier, version: String): Table =
     ident.namespace().toSeq match {
       case Seq(SnapNs) =>
-        val v = try version.toLong catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"graft.snap versions are epoch ids (integers), got '$version'")
+        val v = version.toLongOption.getOrElse {
+          // SNAPSHOT TAGS (round 16): a non-numeric version is a tag
+          // name — `VERSION AS OF 'release-1'` reads the epoch the tag
+          // points at (the Iceberg tag shape)
+          val tdir = new java.io.File(snapRoot(ident), ident.name())
+          GraftCatalog.requireValidTableName(ident.name())
+          val tags = ManifestSink.tableTags(tdir.toString)
+          tags.getOrElse(version, throw new IllegalArgumentException(
+            s"graft.snap.${ident.name()}: no tag '$version' " +
+              s"(tags: ${if (tags.isEmpty) "none"
+                else tags.toSeq.sorted.map { case (n, e) => s"$n=$e" }
+                  .mkString(", ")}; integers are epoch ids)"))
         }
         snapTable(ident, Some(v))
       case _ => super.loadTable(ident, version)
@@ -288,7 +297,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         Identifier.of(namespace, "vacuum"),
         Identifier.of(namespace, "compact_data"),
         Identifier.of(namespace, "set_partition_spec"),
-        Identifier.of(namespace, "rollback"))
+        Identifier.of(namespace, "rollback"),
+        Identifier.of(namespace, "create_tag"),
+        Identifier.of(namespace, "drop_tag"))
       case Seq(SfNs) | Seq(GenNs) | Seq(MutNs) | Seq(SnapNs) | Seq(FnNs) =>
         Array.empty
       case _ => throw new NoSuchNamespaceException(namespace)
@@ -331,6 +342,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       case Seq(SysNs) if ident.name() == "rollback" =>
         new RollbackProcedure(() => snapDirOrFail("rollback"),
           snapSchemaOf("rollback"))
+      case Seq(SysNs) if ident.name() == "create_tag" =>
+        new TagProcedure(() => snapDirOrFail("create_tag"), create = true)
+      case Seq(SysNs) if ident.name() == "drop_tag" =>
+        new TagProcedure(() => snapDirOrFail("drop_tag"), create = false)
       case _ => throw new UnsupportedOperationException(
         s"$catalogName has no procedure $ident " +
           s"(available: $SysNs.vacuum, $SysNs.compact_data)")
@@ -470,6 +485,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val curLogicalNames = cur.physSchema.fields.map(f => logicalOf(f.name))
     val added = scala.collection.mutable.ArrayBuffer[
       org.apache.spark.sql.types.StructField]()
+    val widened = scala.collection.mutable.LinkedHashMap[
+      String, org.apache.spark.sql.types.DataType]()
     val setProps = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var renames = mapping
     changes.foreach {
@@ -555,11 +572,38 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
               "be token-safe")
         }
         setProps += ((p.property(), p.value()))
+      case ut: TableChange.UpdateColumnType =>
+        // TYPE WIDENING (round 16): integrals up to long, float to
+        // double — the safe-promotion set BOTH of Spark's parquet
+        // readers and the sink's own group reader serve exactly from
+        // the narrow committed bytes. One pure-metadata `#schema`
+        // epoch; the containment check accepts recorded-narrow under
+        // declared-wide, so old files keep serving. Anything else
+        // (narrowing, string/timestamp changes) still refuses: those
+        // reinterpret committed data.
+        require(ut.fieldNames().length == 1,
+          s"graft.snap.${ident.name()}: only top-level ALTER COLUMN " +
+            s"TYPE is supported, got ${ut.fieldNames().mkString(".")}")
+        val from = ut.fieldNames()(0)
+        val phys = cur.physSchema.fields.map(_.name)
+          .find(p => (renames.getOrElse(p, p)).equalsIgnoreCase(from) &&
+            !renames.get(p).contains(ManifestSink.DroppedColumn))
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft.snap.${ident.name()}: no column '$from' to widen"))
+        val oldT = cur.physSchema.fields
+          .find(_.name.equalsIgnoreCase(phys)).get.dataType
+        require(ManifestSink.widens(oldT, ut.newDataType()),
+          s"graft.snap.${ident.name()}: cannot change '$from' from " +
+            s"${oldT.typeName} to ${ut.newDataType().typeName} — only " +
+            "WIDENING changes are supported (byte/short/int up the " +
+            "integral family to long, float to double); anything else " +
+            "would reinterpret committed data")
+        widened += (phys -> ut.newDataType())
       case other => throw new UnsupportedOperationException(
         s"graft.snap.${ident.name()}: unsupported ALTER TABLE change " +
-          s"$other — ADD COLUMN, RENAME COLUMN, DROP COLUMN and SET " +
-          "TBLPROPERTIES are the supported alterations (type changes " +
-          "would reinterpret committed data)")
+          s"$other — ADD COLUMN, RENAME COLUMN, DROP COLUMN, ALTER " +
+          "COLUMN TYPE (widening) and SET TBLPROPERTIES are the " +
+          "supported alterations")
     }
     added.foreach { f =>
       // an added LOGICAL name must collide with neither the current
@@ -569,10 +613,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         s"graft.snap.${ident.name()}: column '${f.name}' already exists")
     }
     // the recorded #schema stays PHYSICAL; an added column's physical
-    // name IS its logical name at birth
+    // name IS its logical name at birth; widened columns keep their
+    // physical name with the wider type
     val evolved = org.apache.spark.sql.types.StructType(
-      cur.physSchema.fields ++ added)
-    if (added.nonEmpty) {
+      cur.physSchema.fields.map(f =>
+        widened.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f))
+        ++ added)
+    if (added.nonEmpty || widened.nonEmpty) {
       ManifestWriters.parquetType(evolved.fields.map(_.name),
         evolved.fields.map(_.dataType.typeName))
       ManifestSink.commitSchemaEpoch(cur.dir, evolved.toDDL)
@@ -1220,6 +1267,15 @@ private[sources] class SnapMetaTable(tname: String, dir: String, meta: String)
       .add("kind", StringType, nullable = false)
       .add("n_added", LongType, nullable = false)
       .add("n_removed", LongType, nullable = false)
+    case "tags" => new StructType()
+      .add("tag", StringType, nullable = false)
+      .add("version", LongType, nullable = false)
+    case "partitions" => new StructType()
+      .add("partition", StringType, nullable = true)
+      .add("spec_id", LongType, nullable = false)
+      .add("n_files", LongType, nullable = false)
+      .add("n_rows", LongType, nullable = true)
+      .add("deleted_rows", LongType, nullable = false)
   }
   override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
     Set(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ).asJava
@@ -1237,7 +1293,7 @@ private[sources] class SnapMetaTable(tname: String, dir: String, meta: String)
 }
 
 private[sources] object SnapMetaTable {
-  val Names: Set[String] = Set("files", "history")
+  val Names: Set[String] = Set("files", "history", "tags", "partitions")
 
   private[sources] def rowsOf(dir: String, meta: String)
       : Array[org.apache.spark.sql.catalyst.InternalRow] = meta match {
@@ -1262,6 +1318,55 @@ private[sources] object SnapMetaTable {
           org.apache.spark.unsafe.types.UTF8String.fromString(kind),
           added, removed)
       }.toArray
+    case "tags" =>
+      ManifestSink.tableTags(dir).toSeq.sortBy(_._1).map { case (n, v) =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(n), v)
+      }.toArray
+    case "partitions" =>
+      // one row per live (spec id, tuple): how the table is laid out
+      // RIGHT NOW, decoded human-readable (the Iceberg .partitions
+      // shape) — after a spec evolution the era mix is visible here.
+      // Files without a tuple group under a NULL partition.
+      val book = ManifestSink.partitionSpecs(dir)
+      val parts = ManifestSink.filePartitions(dir)
+      val stats = ManifestSink.fileStats(dir)
+      val dvs = ManifestSink.deleteVectors(dir)
+      def render(t: PartTuple): String = book.specOf(t) match {
+        case Some(spec) if spec.size == t.toks.size =>
+          spec.zip(t.toks).map {
+            case (IdentityPart(c), "n") => s"$c=null"
+            case (IdentityPart(c), tok) if tok.startsWith("s") =>
+              s"$c=${ManifestSink.unhex(tok.tail).getOrElse(tok)}"
+            case (IdentityPart(c), tok) => s"$c=$tok"
+            case (DaysPart(c), "n") => s"${c}_day=null"
+            case (DaysPart(c), tok) => s"${c}_day=" + tok.toLongOption
+              .map(d => java.time.LocalDate.ofEpochDay(d).toString)
+              .getOrElse(tok)
+            case (BucketPart(n, c), tok) => s"${c}_bucket[$n]=$tok"
+          }.mkString("/")
+        case _ => s"spec-${t.specId}:${t.toks.mkString(",")}" // unknown era
+      }
+      ManifestSink.committedFiles(dir)
+        .map(f => java.nio.file.Paths.get(f).getFileName.toString)
+        .groupBy(n => parts.get(n))
+        .toSeq
+        .map { case (tup, names) =>
+          val rows = names.foldLeft(Option(0L)) { (acc, n) =>
+            acc.flatMap(a => stats.get(n).map(a + _.rows)) }
+          val del = names.flatMap(n =>
+            dvs.getOrElse(n, Seq.empty).map(_._2)).sum
+          (tup.map(render), tup.map(_.specId.toLong).getOrElse(-1L),
+            names.size.toLong, rows, del)
+        }
+        .sortBy(r => (r._2, r._1.getOrElse("")))
+        .map { case (part, specId, nFiles, nRows, del) =>
+          org.apache.spark.sql.catalyst.InternalRow(
+            part.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+              .orNull,
+            specId, nFiles,
+            nRows.map(java.lang.Long.valueOf).orNull, del)
+        }.toArray
   }
 }
 

@@ -259,7 +259,8 @@ object ManifestSink {
       props: Map[String, String],
       schemas: Seq[String],
       specs: Seq[String],
-      colmap: Map[String, String])
+      colmap: Map[String, String],
+      tags: Map[String, Long])
   private val PlanCacheCap = 64
   private val planCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(String, Object, Long, java.nio.file.attribute.FileTime)],
@@ -291,6 +292,7 @@ object ManifestSink {
       val props = scala.collection.mutable.LinkedHashMap[String, String]()
       val schemas = scala.collection.mutable.LinkedHashSet[String]()
       val specs = scala.collection.mutable.LinkedHashSet[String]()
+      val tags = scala.collection.mutable.LinkedHashMap[String, Long]()
       var colmap = Map.empty[String, String]
       frags.foreach { p =>
         readLines(p).foreach { l =>
@@ -313,6 +315,10 @@ object ManifestSink {
           else if (l.startsWith("#schema ")) schemas.add(l.stripPrefix("#schema "))
           else if (l.startsWith("#spec ")) specs.add(l.stripPrefix("#spec "))
           else if (l.startsWith("#colmap ")) colmap = parseColmap(l)
+          else if (l.startsWith("#tag ")) parseTag(l).foreach {
+            case (n, Some(v)) => tags(n) = v
+            case (n, None) => tags.remove(n)
+          }
         }
       }
       // conflicting duplicate stats/part records lose their entry (the
@@ -322,7 +328,8 @@ object ManifestSink {
       val partMap = parts.groupBy(_._1).collect {
         case (n, recs) if recs.map(_._2).distinct.size == 1 => n -> recs.head._2 }
       val st = PlanState(union.toSeq, statMap.toMap, partMap.toMap,
-        dvs.toMap, props.toMap, schemas.toSeq, specs.toSeq, colmap)
+        dvs.toMap, props.toMap, schemas.toSeq, specs.toSeq, colmap,
+        tags.toMap)
       fp.foreach { f =>
         if (planCache.size >= PlanCacheCap) planCache.clear()
         planCache.put(key, (f, st))
@@ -620,7 +627,7 @@ object ManifestSink {
     * IS the tail and planState is already O(tail). */
   private def metaState(dir: Path)
       : Option[(Seq[String], Map[String, String], Seq[String],
-        Map[String, String])] =
+        Map[String, String], Map[String, Long])] =
     latestCompact(dir).flatMap { case (h, _) =>
       val mp = dir.resolve(checkpointMetaName(h))
       if (!Files.isRegularFile(mp)) None
@@ -628,6 +635,7 @@ object ManifestSink {
         val schemas = scala.collection.mutable.LinkedHashSet[String]()
         val props = scala.collection.mutable.LinkedHashMap[String, String]()
         val specs = scala.collection.mutable.LinkedHashSet[String]()
+        val tags = scala.collection.mutable.LinkedHashMap[String, Long]()
         var colmap = Map.empty[String, String]
         val lines = readLines(mp) ++
           looseEpochs(dir, h).sortBy(_._1).flatMap(e => readHeaders(e._2))
@@ -635,13 +643,17 @@ object ManifestSink {
           if (l.startsWith("#schema ")) schemas.add(l.stripPrefix("#schema "))
           else if (l.startsWith("#spec ")) specs.add(l.stripPrefix("#spec "))
           else if (l.startsWith("#colmap ")) colmap = parseColmap(l)
+          else if (l.startsWith("#tag ")) parseTag(l).foreach {
+            case (n, Some(v)) => tags(n) = v
+            case (n, None) => tags.remove(n)
+          }
           else if (l.startsWith("#prop ")) l.stripPrefix("#prop ")
             .split(" ", 2) match {
               case Array(k, v) => props(k) = v
               case _ =>
             }
         }
-        Some((schemas.toSeq, props.toMap, specs.toSeq, colmap))
+        Some((schemas.toSeq, props.toMap, specs.toSeq, colmap, tags.toMap))
       }
     }
 
@@ -653,13 +665,34 @@ object ManifestSink {
     metaState(dir).map(_._1).getOrElse(planState(dir).schemas)
   }
 
+  /** May a column recorded as `from` be SERVED as `to` without
+    * reinterpreting committed bytes (round 16, type widening — the
+    * Iceberg safe-promotion set restricted to what both of Spark's
+    * parquet readers and this sink's own group reader promote
+    * exactly)? Integrals widen up to long; float widens to double.
+    * Timestamps/dates/strings never change — each would re-scale or
+    * re-encode, not widen. */
+  private[sources] def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
   /** Does `outer` contain every field of `inner` (case-insensitive
-    * name, equal type — nullability aside)? The additive-evolution
-    * containment test shared by [[verifyDeclaredSchema]] and the
-    * widest-schema resolution. */
+    * name; equal type or a recorded-narrow type the declared one
+    * WIDENS — nullability aside)? The additive-evolution containment
+    * test shared by [[verifyDeclaredSchema]] and the widest-schema
+    * resolution. */
   private[sources] def containsSchema(outer: StructType, inner: StructType): Boolean =
     inner.fields.forall(rf => outer.fields.exists(df =>
-      df.name.equalsIgnoreCase(rf.name) && df.dataType == rf.dataType))
+      df.name.equalsIgnoreCase(rf.name) &&
+        (df.dataType == rf.dataType || widens(rf.dataType, df.dataType))))
 
   /** The recorded `#schema` DDL that CONTAINS every other recorded one
     * — the log's self-describing declared schema (round 15): under
@@ -912,6 +945,53 @@ object ManifestSink {
   def tableProperties(path: String): Map[String, String] = {
     val dir = Paths.get(path)
     metaState(dir).map(_._2).getOrElse(planState(dir).props)
+  }
+
+  /** SNAPSHOT TAGS (round 16, the Iceberg tag shape): `#tag <name>
+    * <version>` names an epoch id so `VERSION AS OF 'name'` reads it;
+    * `#tag <name> -` is the drop tombstone. Last record per name wins
+    * in fragment order. Tags are POINTERS, not retention pins: a tag
+    * whose version falls below the compaction horizon refuses at read
+    * with the standard retention message. */
+  def tableTags(path: String): Map[String, Long] = {
+    val dir = Paths.get(path)
+    metaState(dir).map(_._5).getOrElse(planState(dir).tags)
+  }
+
+  private def parseTag(line: String): Option[(String, Option[Long])] =
+    line.stripPrefix("#tag ").split(" ", 2) match {
+      case Array(n, "-") if n.nonEmpty => Some(n -> None)
+      case Array(n, v) if n.nonEmpty && v.toLongOption.isDefined =>
+        Some(n -> v.toLongOption)
+      case _ => None
+    }
+
+  private[sources] def tagLine(name: String, v: Option[Long]): String = {
+    require(propSafe(name) && name.toLongOption.isEmpty,
+      s"tag name '$name' must be token-safe and not a bare integer " +
+        "(integers are epoch ids)")
+    s"#tag $name ${v.map(_.toString).getOrElse("-")}"
+  }
+
+  /** Append a pure-metadata epoch creating or dropping a tag. The
+    * target version is validated against the log INSIDE the claim's
+    * content generator, so a tag can never be born dangling. */
+  private[sources] def commitTagEpoch(path: String, name: String,
+      version: Option[Long]): Long = {
+    val dir = Files.createDirectories(Paths.get(path))
+    claimEpoch(dir, () => {
+      version.foreach { v =>
+        val newest = newestVersion(path)
+        require(v >= 0 && v <= newest,
+          s"tag '$name' on $path: version $v does not exist " +
+            s"(newest committed epoch: $newest)")
+      }
+      if (version.isEmpty) require(tableTags(path).contains(name),
+        s"no tag '$name' on $path to drop " +
+          s"(tags: ${tableTags(path).keys.toSeq.sorted.mkString(", ") match {
+            case "" => "none"; case t => t }})")
+      Seq(tagLine(name, version))
+    })
   }
 
   private[sources] def propSafe(s: String): Boolean =
@@ -1357,6 +1437,17 @@ object ManifestSink {
     }
     // column mapping: LAST record wins (fragment order), carried whole
     val colmaps = headers.filter(_.startsWith("#colmap ")).takeRight(1)
+    // tags: LAST record per name wins; tombstoned names die here
+    val tagLines = {
+      val acc = scala.collection.mutable.LinkedHashMap[String, Long]()
+      headers.foreach { l =>
+        if (l.startsWith("#tag ")) parseTag(l).foreach {
+          case (n, Some(v)) => acc(n) = v
+          case (n, None) => acc.remove(n)
+        }
+      }
+      acc.toSeq.map { case (n, v) => s"#tag $n $v" }
+    }
     // `#cow` tokens carry forward ONE round — from the loose epochs this
     // sweep absorbs, never from the prior compact — so a COW committer
     // whose epoch was absorbed mid-claim can still recognize its own
@@ -1406,8 +1497,8 @@ object ManifestSink {
     // this compaction); the compact-<upTo> content is deterministic —
     // the union through upTo — so when a racer already landed it, the
     // loser's work is simply done
-    val bytes = (txns ++ schemas ++ specs ++ props ++ colmaps ++ cows ++
-      stats ++ parts ++ dvs ++ names).mkString("\n")
+    val bytes = (txns ++ schemas ++ specs ++ props ++ colmaps ++
+      tagLines ++ cows ++ stats ++ parts ++ dvs ++ names).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val ctmp = Files.createTempFile(dir, s".${compactName(upTo)}", ".tmp")
     Files.write(ctmp, bytes)
@@ -1423,7 +1514,8 @@ object ManifestSink {
       // strict ACCELERATIONS: a missing/failed checkpoint (crash here,
       // or the pre-r16 log) falls back to the text walk.
       try writeCheckpoint(dir, upTo, names,
-        txns ++ schemas ++ specs ++ props ++ colmaps, stats, parts, dvs)
+        txns ++ schemas ++ specs ++ props ++ colmaps ++ tagLines,
+        stats, parts, dvs)
       catch { case _: Exception => } // optimization only, never fails a commit
     }
     catch { case _: java.nio.file.FileAlreadyExistsException => }
@@ -2802,6 +2894,7 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
       // (pre-evolution file). Cached per file schema instance.
       private var resolvedFor: org.apache.parquet.schema.GroupType = _
       private var fidx: Array[Int] = _
+      private var fprim: Array[org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] = _
       private def resolve(t: org.apache.parquet.schema.GroupType): Array[Int] =
         fieldNames.map { n =>
           if (t.containsField(n)) t.getFieldIndex(n)
@@ -2829,6 +2922,9 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
         if (resolvedFor ne fileType) {
           resolvedFor = fileType
           fidx = resolve(fileType)
+          fprim = fileType.getFields.asScala.map(f =>
+            if (f.isPrimitive) f.asPrimitiveType().getPrimitiveTypeName
+            else null).toArray
         }
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           fieldTypes.indices.map[Any] { i =>
@@ -2847,11 +2943,23 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
               val fi = fidx(i)
               if (cur.getFieldRepetitionCount(fi) == 0) null
               else fieldTypes(i) match {
-                case "long" | "timestamp" => cur.getLong(fi, 0)
+                // pre-widening files store the NARROW primitive (round
+                // 16, type widening): promote by the file's own
+                // physical type, exactly as the parquet delegate does
+                case "long" =>
+                  if (fprim(fi) == org.apache.parquet.schema
+                      .PrimitiveType.PrimitiveTypeName.INT32)
+                    cur.getInteger(fi, 0).toLong
+                  else cur.getLong(fi, 0)
+                case "timestamp" => cur.getLong(fi, 0)
                 case "integer" | "date" => cur.getInteger(fi, 0)
                 case "short" => cur.getInteger(fi, 0).toShort
                 case "byte" => cur.getInteger(fi, 0).toByte
-                case "double" => cur.getDouble(fi, 0)
+                case "double" =>
+                  if (fprim(fi) == org.apache.parquet.schema
+                      .PrimitiveType.PrimitiveTypeName.FLOAT)
+                    cur.getFloat(fi, 0).toDouble
+                  else cur.getDouble(fi, 0)
                 case "float" => cur.getFloat(fi, 0)
                 case "boolean" => cur.getBoolean(fi, 0)
                 case "string" => org.apache.spark.unsafe.types.UTF8String

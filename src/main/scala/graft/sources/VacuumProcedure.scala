@@ -438,3 +438,76 @@ class RollbackProcedure(snapDir: () => String,
     }
   }
 }
+
+/** SNAPSHOT TAGS as catalog STORED PROCEDURES (round 16, the Iceberg
+  * create_tag/drop_tag shape — deployments name the snapshots they
+  * bless instead of passing epoch ids around):
+  *
+  * {{{
+  * CALL graft.sys.create_tag('ev', 'release-1')       -- tags the newest
+  * CALL graft.sys.create_tag('ev', 'audited', 42)     -- tags version 42
+  * CALL graft.sys.drop_tag('ev', 'audited')
+  * }}}
+  *
+  * Each call appends one pure-metadata `#tag` epoch; reads go through
+  * `SELECT … FROM graft.snap.ev VERSION AS OF 'release-1'`. Tag names
+  * must be token-safe and non-numeric (integers stay epoch ids).
+  * Re-tagging an existing name moves it (last record wins). Tags are
+  * POINTERS, not retention pins: one whose version falls below the
+  * compaction horizon refuses at read with the standard retention
+  * message. The target version is validated inside the claim, so a
+  * tag can never be born dangling. */
+class TagProcedure(snapDir: () => String, create: Boolean)
+    extends UnboundProcedure {
+  override def name(): String = if (create) "create_tag" else "drop_tag"
+  override def description(): String =
+    if (create) "name a snapshot version (default: the newest) so " +
+      "VERSION AS OF '<tag>' reads it; returns (tag, version)"
+    else "drop a snapshot tag; returns (tag, version) of the dropped tag"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = TagProcedure.this.name()
+    override def description(): String = TagProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] =
+      if (create) Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("table name under the snap.dir catalog conf").build(),
+        ProcedureParameter.in("tag", StringType)
+          .comment("token-safe, non-numeric tag name").build(),
+        ProcedureParameter.in("version", LongType).defaultValue("-1")
+          .comment("epoch id to tag; -1 (default) = the newest").build())
+      else Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("table name under the snap.dir catalog conf").build(),
+        ProcedureParameter.in("tag", StringType)
+          .comment("the tag to drop").build())
+    override def isDeterministic: Boolean = false // appends an epoch
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        s"${name()}(table, tag[, version]): arguments must not be null")
+      val table = input.getUTF8String(0).toString
+      GraftCatalog.requireValidTableName(table)
+      val tag = input.getUTF8String(1).toString
+      val dir = new java.io.File(snapDir(), table)
+      require(dir.isDirectory, s"graft.snap.$table: no manifest table at $dir")
+      val version: Long =
+        if (!create) ManifestSink.tableTags(dir.toString).getOrElse(tag, -1L)
+        else {
+          val v = if (input.numFields < 3 || input.isNullAt(2)) -1L
+                  else input.getLong(2)
+          if (v == -1L) ManifestSink.newestVersion(dir.toString) else v
+        }
+      ManifestSink.commitTagEpoch(dir.toString, tag,
+        if (create) Some(version) else None)
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType = new StructType()
+          .add("tag", StringType, nullable = false)
+          .add("version", LongType, nullable = false)
+        override def rows(): Array[InternalRow] = Array(InternalRow(
+          UTF8String.fromString(tag), version))
+      }
+      java.util.List.of(scan).iterator()
+    }
+  }
+}

@@ -165,10 +165,12 @@ class SnapshotSpec extends AnyFunSuite {
     assert(t2 == Set((100L, "x"), (200L, "y")), s"t2 read diverged: $t2")
     // and ev still resolves its OWN schema next to t2's
     assert(s.sql("SELECT event_id FROM graft.snap.ev").count() == 15)
-    // a non-integer version is refused with the documented message
+    // a non-integer version is a TAG name (round 16); an unknown one
+    // refuses naming the tag and spelling the numeric contract
     val bad = intercept[Exception](
       s.sql("SELECT * FROM graft.snap.ev VERSION AS OF 'abc'").collect())
-    assert(bad.toString.contains("epoch ids (integers)"), bad.toString)
+    assert(bad.toString.contains("no tag 'abc'") &&
+      bad.toString.contains("integers are epoch ids"), bad.toString)
 
     // ——— INCREMENTAL read (round 11): sinceVersion/asOfVersion options
     // resolve an epoch window through the same catalog table. With the
@@ -2547,6 +2549,14 @@ class SnapshotSpec extends AnyFunSuite {
       .filter(_.startsWith("#part ")).mkString("\n")
     assert(fragText.contains("1@"), s"era-1 tuples carry the id: $fragText")
 
+    // the .partitions metadata table shows the era mix: identity
+    // tuples under spec 0, day tuples under spec 1
+    assert(s.sql("SELECT spec_id, count(*) FROM graft.snap.se.partitions " +
+      "GROUP BY spec_id ORDER BY spec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 2L), (1L, 2L)),
+      "two identity partitions from era 0, two day partitions from era 1")
+
     def prune(): (Int, Int) = graft.sources.SnapTable.lastPruneOf("se")
     // a lang predicate prunes era-0 files by their identity tuple;
     // era-1 files (days tuples, mixed langs, so string stats can't
@@ -2757,6 +2767,201 @@ class SnapshotSpec extends AnyFunSuite {
       s.sql(s"CALL graft.sys.rollback('rb', $vBase)").collect() }
     assert(eVac.getMessage.contains("reclaimed"), eVac.getMessage)
     assert(ks() == preRefuse, "a refused rollback publishes nothing")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("TYPE WIDENING (round 16): ALTER COLUMN TYPE int->bigint / " +
+    "float->double is one metadata epoch; pre-widening files serve " +
+    "through the parquet delegate AND the sink's own group reader " +
+    "(dv/_pos paths); stats and partition pruning stay exact across " +
+    "eras; narrowing and non-widening changes refuse") {
+    val root = Files.createTempDirectory("graft_snap_widen")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    import org.apache.spark.sql.functions.col
+    val log = root.resolve("tw").toString
+
+    s.sql("""CREATE TABLE graft.snap.tw (k INT, f FLOAT, v STRING)
+            |PARTITIONED BY (bucket(4, k))
+            |TBLPROPERTIES ('delete.mode'='mor')""".stripMargin)
+    locally { import s.implicits._
+      Seq((1, 1.5f, "a"), (2, 2.5f, "b"), (3, 3.5f, "c"))
+        .toDF("k", "f", "v").coalesce(1)
+        .writeTo("graft.snap.tw").append() }
+    val filesBefore = graft.sources.ManifestSink.committedFiles(log).toSet
+    val versBefore = graft.sources.ManifestSink.newestVersion(log)
+
+    s.sql("ALTER TABLE graft.snap.tw ALTER COLUMN k TYPE BIGINT")
+    s.sql("ALTER TABLE graft.snap.tw ALTER COLUMN f TYPE DOUBLE")
+    assert(graft.sources.ManifestSink.committedFiles(log).toSet == filesBefore,
+      "widening moves zero data files")
+    assert(graft.sources.ManifestSink.newestVersion(log) == versBefore + 2,
+      "each widening is one metadata epoch")
+
+    // era-1 values NEED the width (outside int/float exactness)
+    val big = 9000000000L
+    locally { import s.implicits._
+      Seq((big, 1e40, "d"), (big + 1, 2e40, "e"))
+        .toDF("k", "f", "v").coalesce(1)
+        .writeTo("graft.snap.tw").append() }
+
+    // the parquet-delegate read spans both eras
+    assert(s.sql("SELECT sum(k) FROM graft.snap.tw").head().getLong(0) ==
+      1L + 2L + 3L + big + (big + 1))
+    assert(s.sql("SELECT sum(f) FROM graft.snap.tw").head().getDouble(0) ==
+      (1.5 + 2.5 + 3.5 + 1e40 + 2e40))
+
+    // stats pruning stays exact across eras: a point read above the
+    // int range plans only the era-1 file
+    assert(s.sql(s"SELECT v FROM graft.snap.tw WHERE k = $big")
+      .collect().map(_.getString(0)).toSeq == Seq("d"))
+    // (the bucket(4, k) fan-out split each era's insert per tuple:
+    // 3 era-0 files + 2 era-1 files)
+    assert(graft.sources.SnapTable.lastPruneOf("tw") == ((5, 1)),
+      s"wide point read plans 1 of 5: ${graft.sources.SnapTable.lastPruneOf("tw")}")
+
+    // the sink's own group reader must PROMOTE the narrow stored
+    // primitives: _pos reads and dv-carrying files take that path
+    assert(s.sql("SELECT k, _pos FROM graft.snap.tw WHERE v = 'b'")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 0L))) // its own bucket file: one row, ordinal 0
+    s.sql("DELETE FROM graft.snap.tw WHERE v = 'a'") // MOR dv on era-0 file
+    assert(s.sql("SELECT sum(k), sum(f) FROM graft.snap.tw").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((2L + 3L + big + (big + 1), 2.5 + 3.5 + 1e40 + 2e40)),
+      "dv-carrying era-0 file serves widened through the group reader")
+
+    // MERGE under mor: the delta writer reads widened, appends wide
+    locally { import s.implicits._
+      Seq((2L, 9.0, "b2")).toDF("k", "f", "v")
+        .createOrReplaceTempView("tw_src") }
+    s.sql("""MERGE INTO graft.snap.tw t USING tw_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(s.sql("SELECT v FROM graft.snap.tw WHERE k = 2")
+      .collect().map(_.getString(0)).toSeq == Seq("b2"))
+
+    // bucket(4, k) partition pruning: tuples written in the int era
+    // keep pruning under the widened column (same numeric tokens)
+    s.sql("SELECT v FROM graft.snap.tw WHERE k = 3").collect()
+    val (_, kept) = graft.sources.SnapTable.lastPruneOf("tw")
+    assert(kept <= 2, s"bucket pruning survives widening: kept $kept")
+
+    // refusals. NARROWING dies in Spark's own analyzer (canUpCast
+    // gates AlterColumns before the catalog sees it) ...
+    val eNarrow = intercept[Exception] {
+      s.sql("ALTER TABLE graft.snap.tw ALTER COLUMN k TYPE INT") }
+    assert(eNarrow.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      eNarrow.getMessage)
+    // ... while analyzer-admitted up-casts OUTSIDE the exact-promotion
+    // set (long->double re-scales, double->string re-encodes) reach
+    // the catalog guard and refuse there
+    val eLossy = intercept[Exception] {
+      s.sql("ALTER TABLE graft.snap.tw ALTER COLUMN k TYPE DOUBLE") }
+    assert(eLossy.getMessage.contains("WIDENING"), eLossy.getMessage)
+    val eStr = intercept[Exception] {
+      s.sql("ALTER TABLE graft.snap.tw ALTER COLUMN f TYPE STRING") }
+    assert(eStr.getMessage.contains("WIDENING"), eStr.getMessage)
+
+    // a stale NARROW conf refuses to serve (the containment check
+    // accepts only declared-wide over recorded-narrow, never reverse)
+    s.conf.set("spark.sql.catalog.graft.snap.tw.schema",
+      "k INT, f FLOAT, v STRING")
+    val eStale = intercept[Exception] {
+      s.sql("SELECT count(*) FROM graft.snap.tw").collect() }
+    assert(eStale.getMessage.contains("schema"), eStale.getMessage)
+    s.conf.unset("spark.sql.catalog.graft.snap.tw.schema")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("SNAPSHOT TAGS (round 16): create_tag names an epoch so " +
+    "VERSION AS OF '<tag>' reads it, re-tagging moves the pointer, " +
+    "drop_tag tombstones it, tags survive compaction sweeps, and " +
+    "numeric names / dangling versions / unknown tags refuse") {
+    val root = Files.createTempDirectory("graft_snap_tags")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    val log = root.resolve("tg").toString
+
+    s.sql("""CREATE TABLE graft.snap.tg (k BIGINT, v STRING)
+            |TBLPROPERTIES ('compact.interval'='6')""".stripMargin)
+    locally { import s.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+        .writeTo("graft.snap.tg").append() }
+    val vGood = graft.sources.ManifestSink.newestVersion(log)
+    // default version = the newest at call time
+    val r = s.sql("CALL graft.sys.create_tag('tg', 'blessed')").collect().head
+    assert((r.getString(0), r.getLong(1)) == (("blessed", vGood)))
+    locally { import s.implicits._
+      Seq((3L, "c")).toDF("k", "v").coalesce(1)
+        .writeTo("graft.snap.tg").append() }
+    val vAll = graft.sources.ManifestSink.newestVersion(log)
+
+    assert(s.sql("SELECT k FROM graft.snap.tg VERSION AS OF 'blessed' " +
+      "ORDER BY k").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "the tag serves its epoch, not the current snapshot")
+    assert(s.sql("SELECT count(*) FROM graft.snap.tg").head().getLong(0) == 3)
+
+    // explicit version + the .tags metadata table
+    s.sql(s"CALL graft.sys.create_tag('tg', 'audited', $vAll)")
+      .collect()
+    assert(s.sql("SELECT tag, version FROM graft.snap.tg.tags ORDER BY tag")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("audited", vAll), ("blessed", vGood)))
+
+    // re-tagging MOVES the pointer (last record wins)
+    s.sql(s"CALL graft.sys.create_tag('tg', 'blessed', $vAll)")
+      .collect()
+    assert(s.sql("SELECT count(*) FROM graft.snap.tg VERSION AS OF " +
+      "'blessed'").head().getLong(0) == 3)
+
+    // drop: the name refuses afterwards, listing what exists
+    s.sql("CALL graft.sys.drop_tag('tg', 'audited')").collect()
+    val eGone = intercept[Exception] {
+      s.sql("SELECT * FROM graft.snap.tg VERSION AS OF 'audited'")
+        .collect() }
+    assert(eGone.getMessage.contains("no tag 'audited'") &&
+      eGone.getMessage.contains("blessed"), eGone.getMessage)
+    val eDropGone = intercept[Exception] {
+      s.sql("CALL graft.sys.drop_tag('tg', 'audited')").collect() }
+    assert(eDropGone.getMessage.contains("no tag"), eDropGone.getMessage)
+
+    // refusals: numeric names are epoch ids, dangling versions refuse
+    val eNum = intercept[Exception] {
+      s.sql("CALL graft.sys.create_tag('tg', '42')").collect() }
+    assert(eNum.getMessage.contains("not a bare integer"), eNum.getMessage)
+    val eDangle = intercept[Exception] {
+      s.sql("CALL graft.sys.create_tag('tg', 'future', 9999)").collect() }
+    assert(eDangle.getMessage.contains("does not exist"), eDangle.getMessage)
+
+    // tags survive a compaction sweep (the #tag record is carried);
+    // a tag BELOW the new horizon refuses with the retention message
+    (0 until 8).foreach { i =>
+      locally { import s.implicits._
+        Seq((100L + i, "z")).toDF("k", "v").coalesce(1)
+          .writeTo("graft.snap.tg").append() }
+    }
+    val horizon = {
+      val l = java.nio.file.Files.list(root.resolve("tg"))
+      try l.iterator().asScala.map(_.getFileName.toString).toSeq
+        .filter(_.startsWith("compact-")).sorted.lastOption
+        .map(_.stripPrefix("compact-").toLong).getOrElse(-1L)
+      finally l.close()
+    }
+    assert(horizon >= 0, "the interval-6 log must have swept by now")
+    assert(s.sql("SELECT tag FROM graft.snap.tg.tags").collect()
+      .map(_.getString(0)).toSeq == Seq("blessed"),
+      "the tag record rides the sweep")
+    if (vAll < horizon) {
+      val eHorizon = intercept[Exception] {
+        s.sql("SELECT * FROM graft.snap.tg VERSION AS OF 'blessed'")
+          .collect() }
+      assert(eHorizon.getMessage.contains("retention") ||
+        eHorizon.getMessage.contains("horizon") ||
+        eHorizon.getMessage.contains("swept") ||
+        eHorizon.getMessage.contains("compact"), eHorizon.getMessage)
+    }
     graft.util.Fs.deleteRecursively(root)
   }
 }
