@@ -232,6 +232,7 @@ object SparkEntry {
     "q_snap_widen"       -> Materialize.snapWiden _,
     "q_snap_tag"         -> Materialize.snapTag _,
     "q_snap_partitions"  -> Materialize.snapPartitions _,
+    "q_snap_ts_travel"   -> Materialize.snapTsTravel _,
     "q_snap_dv_delete"   -> Materialize.snapDvDelete _,
     "q_snap_dv_update"   -> Materialize.snapDvUpdate _,
     "q_snap_dv_merge"    -> Materialize.snapDvMerge _,
@@ -2632,6 +2633,16 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
         |  AND n_chars IS NOT NULL
+        |GROUP BY lang""".stripMargin,
+    "q_snap_ts_travel" -> // TIMESTAMP AS OF an instant between the
+      // good and bad loads (epoch commit times pinned in the query):
+      // oracle = the aggregate over the good (even doc_id) half
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL AND doc_id % 2 = 0
+        |  AND lang IN ('es', 'de', 'en')
         |GROUP BY lang""".stripMargin,
     "q_snap_compact" -> // the procedure's result row, derived by the
       // oracle from the source: five undersized language files pack

@@ -1790,6 +1790,44 @@ object Materialize {
         |FROM graft.snap.docparts.partitions""".stripMargin)
   }
 
+  /** TIMESTAMP AS OF under an oracle (`q_snap_ts_travel`, round 16):
+    * the good load and a bad load land as two epochs whose commit
+    * times the query PINS explicitly (epoch mtimes are the clock the
+    * resolver reads — pinning them makes the oracle deterministic),
+    * then the read travels to a wall-clock instant between the two:
+    * the newest epoch committed at or before it serves
+    * ([[graft.sources.ManifestSink.versionAtTimestamp]]), so the
+    * aggregate equals the oracle over the good half. */
+  def snapTsTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_tst_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    spark.sql(
+      """CREATE TABLE graft.snap.doctst
+        |  (doc_id BIGINT, lang STRING, n_chars BIGINT)""".stripMargin)
+    complete.filter(col("doc_id") % 2 === 0).coalesce(2)
+      .writeTo("graft.snap.doctst").append()
+    complete.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .writeTo("graft.snap.doctst").append() // the bad load
+    val log = java.nio.file.Paths.get(root, "doctst")
+    Seq(0L -> 1000000L, 1L -> 2000000L, 2L -> 3000000L).foreach {
+      case (id, ms) => java.nio.file.Files.setLastModifiedTime(
+        log.resolve(f"epoch-$id%020d"),
+        java.nio.file.attribute.FileTime.fromMillis(ms))
+    }
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM graft.snap.doctst TIMESTAMP AS OF timestamp_micros(2500000000)
+        |WHERE lang IN ('es', 'de', 'en')
+        |GROUP BY lang""".stripMargin)
+  }
+
   /** The `.history` metadata table under an oracle (`q_snap_history`,
     * round 15): a deterministic DDL+DML lifecycle — CREATE (metadata
     * epoch 0), five single-file appends, one merge-on-read delete (a

@@ -209,6 +209,23 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       case _ => super.loadTable(ident, version)
     }
 
+  /** `TIMESTAMP AS OF` (round 16): Spark passes the literal as UTC
+    * MICROS; resolution picks the newest live epoch committed at or
+    * before it ([[ManifestSink.versionAtTimestamp]]) and serves that
+    * version through the same snapshot machinery VERSION AS OF uses.
+    * Below the sweep horizon the historical commit times are gone
+    * with the swept epochs, so the read refuses with the boundary
+    * spelled out — never a silently-wrong snapshot. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    ident.namespace().toSeq match {
+      case Seq(SnapNs) =>
+        GraftCatalog.requireValidTableName(ident.name())
+        val tdir = new java.io.File(snapRoot(ident), ident.name())
+        snapTable(ident,
+          Some(ManifestSink.versionAtTimestamp(tdir.toString, timestamp)))
+      case _ => super.loadTable(ident, timestamp)
+    }
+
   /** A [[ManifestSink]]-committed table under `<snap.dir>/<name>`,
     * served at its current or an as-of snapshot. The read schema is
     * resolved in precedence order (round 15):

@@ -1910,6 +1910,47 @@ object ManifestSink {
     * `checkpoint` row at the horizon carrying the resolved union size.
     * History below the horizon is deliberately collapsed into that row:
     * the log retains exactly what time travel can still serve. */
+  /** TIMESTAMP AS OF resolution (round 16): the newest epoch whose
+    * commit time (fragment mtime, this host's clock) is <= `micros`.
+    * Resolution covers only the UN-SWEPT tail: a compaction sweep
+    * rewrites absorbed epochs into one compact file whose mtime is the
+    * SWEEP time, not the historical commits' — so a timestamp below
+    * the oldest live epoch's mtime refuses with the retention boundary
+    * spelled out (the same contract version-id travel has, expressed
+    * in time). A timestamp at/after the newest commit serves the
+    * newest snapshot. Ties/ordering: epochs are claimed sequentially
+    * on one host, so mtimes are non-decreasing in id up to filesystem
+    * granularity; the max qualifying id wins. */
+  def versionAtTimestamp(path: String, micros: Long): Long = retryVanish() {
+    val dir = Paths.get(path)
+    val compact = latestCompact(dir)
+    val horizon = compact.map(_._1).getOrElse(-1L)
+    val loose = looseEpochs(dir, horizon).sortBy(_._1).map { case (id, p) =>
+      (id, Files.getLastModifiedTime(p).toMillis * 1000L)
+    }
+    if (loose.isEmpty && horizon < 0) throw new IllegalArgumentException(
+      s"manifest table $path has no committed version")
+    // the compact is itself a candidate at the SWEEP time: every
+    // absorbed commit happened at or before it, so a timestamp at or
+    // after the sweep soundly serves the horizon version even when
+    // the loose tail is empty
+    val compactCand = compact.map { case (id, p) =>
+      (id, Files.getLastModifiedTime(p).toMillis * 1000L) }
+    val qualifying = (compactCand.toSeq ++ loose)
+      .filter(_._2 <= micros).map(_._1)
+    qualifying.maxOption.getOrElse {
+      val boundary = loose.headOption.map(_._2)
+      throw new IllegalArgumentException(
+        s"manifest table $path: no live epoch committed at or before " +
+          s"timestamp $micros us — " +
+          (if (horizon >= 0)
+            s"epochs <= $horizon were compacted (their commit times are " +
+              "gone with them); timestamp travel covers the un-swept " +
+              s"tail${boundary.map(b => s" from $b us").getOrElse("")}"
+          else s"the first commit landed at ${boundary.getOrElse(-1L)} us"))
+    }
+  }
+
   def logHistory(path: String): Seq[(Long, String, Long, Long, Long)] =
     retryVanish() {
       val dir = Paths.get(path)

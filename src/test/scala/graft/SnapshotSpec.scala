@@ -2964,4 +2964,60 @@ class SnapshotSpec extends AnyFunSuite {
     }
     graft.util.Fs.deleteRecursively(root)
   }
+
+  test("TIMESTAMP AS OF (round 16): the newest live epoch committed " +
+    "at or before the literal serves; future timestamps serve the " +
+    "newest snapshot; timestamps below the sweep horizon (or before " +
+    "the first commit) refuse with the boundary spelled out") {
+    val root = Files.createTempDirectory("graft_snap_ts")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    val log = root.resolve("tt")
+
+    s.sql("CREATE TABLE graft.snap.tt (k BIGINT, v STRING)")
+    locally { import s.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+        .writeTo("graft.snap.tt").append() }
+    locally { import s.implicits._
+      Seq((3L, "c")).toDF("k", "v").coalesce(1)
+        .writeTo("graft.snap.tt").append() }
+    // pin the epochs' commit times EXPLICITLY (mtimes are the clock
+    // the resolver reads) — no sleeps, no real-clock flakiness
+    def setMs(id: Long, ms: Long): Unit =
+      Files.setLastModifiedTime(log.resolve(f"epoch-$id%020d"),
+        java.nio.file.attribute.FileTime.fromMillis(ms))
+    setMs(0, 1000000L) // CREATE
+    setMs(1, 2000000L) // (1,2)
+    setMs(2, 3000000L) // (3)
+    def countAt(tsMs: Long): Long = s.sql(
+      "SELECT count(*) FROM graft.snap.tt TIMESTAMP AS OF " +
+        s"timestamp_micros(${tsMs * 1000L})").head().getLong(0)
+    // Spark folds the (foldable) AS OF expression to UTC micros;
+    // timestamp_micros keeps the arithmetic explicit
+    assert(countAt(2500000L) == 2, "between the appends: first snapshot")
+    assert(countAt(2000000L) == 2, "exactly at a commit: that snapshot")
+    assert(countAt(9999999L) == 3, "after the newest: the newest")
+    assert(countAt(1500000L) == 0, "after CREATE, before data: empty")
+    val eEarly = intercept[Exception] { countAt(500L) }
+    assert(eEarly.getMessage.contains("first commit"), eEarly.getMessage)
+
+    // sweep the log: historical commit times go with the swept epochs
+    (0 until 10).foreach { i =>
+      locally { import s.implicits._
+        Seq((100L + i, "z")).toDF("k", "v").coalesce(1)
+          .writeTo("graft.snap.tt").append() }
+    }
+    val horizon = {
+      val l = Files.list(log)
+      try l.iterator().asScala.map(_.getFileName.toString).toSeq
+        .filter(_.startsWith("compact-")).sorted.lastOption
+        .map(_.stripPrefix("compact-").toLong).getOrElse(-1L)
+      finally l.close()
+    }
+    assert(horizon >= 0, "the default interval must have swept by now")
+    val eSwept = intercept[Exception] { countAt(2500000L) }
+    assert(eSwept.getMessage.contains("compacted"), eSwept.getMessage)
+    graft.util.Fs.deleteRecursively(root)
+  }
 }
