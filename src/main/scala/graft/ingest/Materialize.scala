@@ -1815,11 +1815,13 @@ object Materialize {
       .writeTo("graft.snap.doctst").append()
     complete.filter(col("doc_id") % 2 === 1).coalesce(1)
       .writeTo("graft.snap.doctst").append() // the bad load
-    val log = java.nio.file.Paths.get(root, "doctst")
-    Seq(0L -> 1000000L, 1L -> 2000000L, 2L -> 3000000L).foreach {
-      case (id, ms) => java.nio.file.Files.setLastModifiedTime(
-        log.resolve(f"epoch-$id%020d"),
-        java.nio.file.attribute.FileTime.fromMillis(ms))
+    // pin each epoch's PERSISTED commit time (round 17: `#ts` headers
+    // are the clock; the helper stamps mtime too for the pre-r17
+    // fallback) so wall-clock travel is deterministically oracle-able
+    val log = java.nio.file.Paths.get(root, "doctst").toString
+    Seq(0L -> 1000000000L, 1L -> 2000000000L, 2L -> 3000000000L).foreach {
+      case (id, us) =>
+        graft.sources.ManifestSink.stampCommitTime(log, id, us)
     }
     spark.sql(
       """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars

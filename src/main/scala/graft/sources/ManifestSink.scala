@@ -888,9 +888,13 @@ object ManifestSink {
       val dvsC = deleteVectors(path)
       val removes = current.filterNot(targetSet.contains)
       val readds = target.filterNot(curSet.contains)
+      // SET compare (advisor r16): a compaction sweep or fragment-
+      // order difference between the as-of walk and the current plan
+      // state may reorder a file's dv records — identical dv SETS are
+      // not divergence
       val divergent = target.filter(curSet.contains).filter { n =>
-        dvsV.getOrElse(n, Seq.empty).map(_._1) !=
-          dvsC.getOrElse(n, Seq.empty).map(_._1)
+        dvsV.getOrElse(n, Seq.empty).map(_._1).toSet !=
+          dvsC.getOrElse(n, Seq.empty).map(_._1).toSet
       }
       if (divergent.nonEmpty) throw new UnsupportedOperationException(
         s"rollback($path, $version): file(s) " +
@@ -1213,7 +1217,17 @@ object ManifestSink {
     var claimed = -1L
     while (claimed < 0) {
       checkRenamed(dir)
-      val content = contentGen()
+      // COMMIT-TIME header (advisor r16): `#ts <micros>` is stamped at
+      // claim time so TIMESTAMP AS OF reads a PERSISTED clock instead
+      // of fragment mtimes, which any mtime-disturbing copy (cp/rsync
+      // without -a, backup restore, some object-store mounts) silently
+      // shifts. It rides AFTER the leading `#txn` records — their
+      // records-lead contract is what keeps the replay check O(writers)
+      // bytes — and before everything else; every reader ignores
+      // unknown `#` prefixes, and pre-r17 logs fall back to mtime.
+      val (txnLead, restContent) = contentGen().span(_.startsWith("#txn "))
+      val content = txnLead ++
+        (s"#ts ${System.currentTimeMillis() * 1000L}" +: restContent)
       val bytes = content.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val dataNames = content.filterNot(_.startsWith("#"))
@@ -1261,9 +1275,14 @@ object ManifestSink {
           val live = fragmentUnion(dir).toSet
           // a dv record may target a file THIS epoch re-adds (rollback
           // restoring a historical dv state): inherently consistent —
-          // the add and the record flip visibility together
-          val gone = (removes ++ dvTargets)
-            .filterNot(n => live.contains(n) || dataNames.contains(n))
+          // the add and the record flip visibility together. The
+          // exemption is DV-ONLY (advisor r16): a same-epoch
+          // remove+re-add of one name is exactly the ambiguous
+          // construct rollbackTo refuses to emit, so removes stay on
+          // the strict live-set check
+          val gone = removes.filterNot(live.contains) ++
+            dvTargets.filterNot(n =>
+              live.contains(n) || dataNames.contains(n))
           if (gone.nonEmpty)
             throw new ManifestConflictException(gone.sorted, dir.toString)
           // COW-vs-DV fence: every dv currently attached to a removed
@@ -1921,12 +1940,43 @@ object ManifestSink {
     * newest snapshot. Ties/ordering: epochs are claimed sequentially
     * on one host, so mtimes are non-decreasing in id up to filesystem
     * granularity; the max qualifying id wins. */
+  /** The COMMIT TIME of a fragment in micros: the persisted `#ts`
+    * header when present (round 17, advisor r16 — survives
+    * mtime-disturbing copies), the fragment mtime for pre-r17 logs. */
+  private[sources] def commitTimeMicros(p: Path): Long =
+    readHeaders(p).collectFirst {
+      case l if l.startsWith("#ts ") => l.stripPrefix("#ts ").trim
+    }.flatMap(_.toLongOption)
+      .getOrElse(Files.getLastModifiedTime(p).toMillis * 1000L)
+
+  /** Rewrite epoch `version`'s `#ts` header (and mtime, the pre-r17
+    * fallback) to a PINNED instant — the deterministic-clock hook the
+    * wall-clock-travel oracles need (an epoch's commit time is
+    * otherwise this host's clock). Atomic replace; the fragment cache
+    * keys on (fileKey, size, mtime), all of which the replace moves. */
+  private[graft] def stampCommitTime(path: String, version: Long,
+      micros: Long): Unit = {
+    val p = Paths.get(path).resolve(epochName(version))
+    val lines = readLines(p)
+    val stamped =
+      if (lines.exists(_.startsWith("#ts ")))
+        lines.map(l => if (l.startsWith("#ts ")) s"#ts $micros" else l)
+      else s"#ts $micros" +: lines
+    val tmp = Files.createTempFile(p.getParent, ".stamp", ".tmp")
+    Files.write(tmp, stamped.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(micros / 1000L))
+  }
+
   def versionAtTimestamp(path: String, micros: Long): Long = retryVanish() {
     val dir = Paths.get(path)
     val compact = latestCompact(dir)
     val horizon = compact.map(_._1).getOrElse(-1L)
     val loose = looseEpochs(dir, horizon).sortBy(_._1).map { case (id, p) =>
-      (id, Files.getLastModifiedTime(p).toMillis * 1000L)
+      (id, commitTimeMicros(p))
     }
     if (loose.isEmpty && horizon < 0) throw new IllegalArgumentException(
       s"manifest table $path has no committed version")
@@ -1968,7 +2018,7 @@ object ManifestSink {
           else if (dvs > 0) "delete" // merge-on-read: #dv records only
           else if (adds > 0) "append"
           else "metadata"
-        (id, kind, adds, removes, Files.getLastModifiedTime(p).toMillis)
+        (id, kind, adds, removes, commitTimeMicros(p) / 1000L)
       }
       (compactRow.toSeq ++ looseRows).sortBy(_._1)
     }

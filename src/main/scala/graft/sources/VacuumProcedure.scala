@@ -134,7 +134,13 @@ class CompactProcedure(snapDir: () => String,
       // dynamic partition overwrite on the table
       val book = ManifestSink.partitionSpecs(dir.toString)
       val parts = ManifestSink.filePartitions(dir.toString)
-      def staleSpec(f: String): Boolean = book.byId.size > 1 && {
+      // gate on EVOLUTION HAVING HAPPENED (currentId > 0), not record
+      // count (advisor r16): an unpartitioned CREATE writes no #spec
+      // record, so its first evolution leaves byId = {1: spec} — size
+      // 1 — yet its tuple-less pre-evolution files are exactly the
+      // migration candidates dynamic partition overwrite's refusal
+      // names compaction as the fix for
+      def staleSpec(f: String): Boolean = book.currentId > 0 && {
         parts.get(fname(f)) match {
           case Some(t) => t.specId != book.currentId
           case None => book.current.nonEmpty

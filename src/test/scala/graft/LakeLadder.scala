@@ -305,7 +305,8 @@ object LakeLadder {
     require(evoRow.getLong(0) == 1L &&
       ManifestSink.committedFiles(wideLog).toSet == preEvo,
       "spec evolution must move zero data files")
-    require(evoBytes <= 40L, s"spec evolution wrote $evoBytes B of metadata")
+    // one #spec record + the r17 #ts commit-time header
+    require(evoBytes <= 64L, s"spec evolution wrote $evoBytes B of metadata")
     spark.sql(s"INSERT INTO graft.snap.wide VALUES ($wideN, 'n$wideN')")
     require(ManifestSink.filePartitions(wideLog).values
       .exists(_.specId == 1), "the post-evolution file must stamp spec id 1")

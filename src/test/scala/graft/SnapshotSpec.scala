@@ -2686,6 +2686,43 @@ class SnapshotSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(root)
   }
 
+  test("UNPARTITIONED -> PARTITIONED migration (round 17, advisor r16): " +
+    "a table CREATEd without a spec (no #spec record) that evolves to " +
+    "partitioned has byId = {1: spec} — compact_data must still treat " +
+    "the tuple-less pre-evolution files as migration candidates, so " +
+    "the dynamic-overwrite refusal's advertised resolution converges") {
+    val root = Files.createTempDirectory("graft_spec_unpart")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    val log = root.resolve("up").toString
+
+    s.sql("CREATE TABLE graft.snap.up (k BIGINT, lang STRING)")
+    locally { import s.implicits._
+      Seq((1L, "de"), (2L, "es")).toDF("k", "lang")
+        .coalesce(1).writeTo("graft.snap.up").append() }
+    s.sql("CALL graft.sys.set_partition_spec('up', 'lang')").collect()
+    val book = graft.sources.ManifestSink.partitionSpecs(log)
+    assert(book.byId.keySet == Set(1) && book.currentId == 1,
+      s"no spec-0 record was ever written: ${book.byId.keySet}")
+    // the pre-evolution file is tuple-less and LARGE relative to the
+    // target — only the staleSpec gate can make it a candidate
+    val r = s.sql("CALL graft.sys.compact_data('up', 1)").collect().head
+    assert(r.getLong(0) >= 1, s"the tuple-less file must migrate: $r")
+    val parts = graft.sources.ManifestSink.filePartitions(log)
+    assert(parts.nonEmpty && parts.values.forall(_.specId == 1),
+      s"post-migration tuples all under spec 1: $parts")
+    // dynamic partition overwrite now works (the advertised resolution)
+    locally { import s.implicits._
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try Seq((9L, "de")).toDF("k", "lang")
+        .writeTo("graft.snap.up").overwritePartitions()
+      finally s.conf.unset("spark.sql.sources.partitionOverwriteMode") }
+    assert(s.sql("SELECT k FROM graft.snap.up ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 9L))
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("ROLLBACK (round 16): CALL graft.sys.rollback restores a " +
     "historical snapshot as ONE metadata-only epoch — removed files " +
     "come back by reference with their AS-OF dv state, newer files " +
@@ -2982,14 +3019,21 @@ class SnapshotSpec extends AnyFunSuite {
     locally { import s.implicits._
       Seq((3L, "c")).toDF("k", "v").coalesce(1)
         .writeTo("graft.snap.tt").append() }
-    // pin the epochs' commit times EXPLICITLY (mtimes are the clock
-    // the resolver reads) — no sleeps, no real-clock flakiness
+    // pin the epochs' PERSISTED commit times (round 17: the `#ts`
+    // header is the clock, not mtimes) — no sleeps, no real-clock
+    // flakiness
     def setMs(id: Long, ms: Long): Unit =
-      Files.setLastModifiedTime(log.resolve(f"epoch-$id%020d"),
-        java.nio.file.attribute.FileTime.fromMillis(ms))
+      graft.sources.ManifestSink.stampCommitTime(
+        log.toString, id, ms * 1000L)
     setMs(0, 1000000L) // CREATE
     setMs(1, 2000000L) // (1,2)
     setMs(2, 3000000L) // (3)
+    // an mtime-disturbing copy (advisor r16: cp/rsync without -a,
+    // backup restore) must NOT shift the timeline — the persisted
+    // header wins over the disturbed mtime
+    Files.setLastModifiedTime(log.resolve(f"epoch-${1L}%020d"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis()))
     def countAt(tsMs: Long): Long = s.sql(
       "SELECT count(*) FROM graft.snap.tt TIMESTAMP AS OF " +
         s"timestamp_micros(${tsMs * 1000L})").head().getLong(0)
