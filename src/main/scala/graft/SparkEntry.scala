@@ -233,6 +233,8 @@ object SparkEntry {
     "q_snap_tag"         -> Materialize.snapTag _,
     "q_snap_partitions"  -> Materialize.snapPartitions _,
     "q_snap_ts_travel"   -> Materialize.snapTsTravel _,
+    "q_snap_cdf"         -> Materialize.snapCdf _,
+    "q_snap_cdf_incr"    -> Materialize.snapCdfIncr _,
     "q_snap_dv_delete"   -> Materialize.snapDvDelete _,
     "q_snap_dv_update"   -> Materialize.snapDvUpdate _,
     "q_snap_dv_merge"    -> Materialize.snapDvMerge _,
@@ -2407,6 +2409,54 @@ object SparkEntry {
         |  AND n_chars IS NOT NULL
         |  AND NOT (lang = 'es' AND doc_id < 300)
         |GROUP BY lang""".stripMargin,
+    "q_snap_cdf" -> // CDC change feed: every epoch's row-level changes
+      // reconstructed relationally — inserts from the appends, exact
+      // deleted rows from the dv-only epoch, pre+post images from the
+      // MOR update, COW-diff deletes, ZERO rows from the compaction
+      """WITH complete AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL)
+        |SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+        |  lang, count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM complete WHERE lang IN ('de', 'en') GROUP BY lang
+        |UNION ALL
+        |SELECT 2, 'insert', lang, count(*), CAST(sum(n_chars) AS BIGINT)
+        |FROM complete WHERE lang = 'es' GROUP BY lang
+        |UNION ALL
+        |SELECT 3, 'delete', lang, count(*), CAST(sum(n_chars) AS BIGINT)
+        |FROM complete WHERE lang = 'es' AND doc_id % 3 = 0 GROUP BY lang
+        |UNION ALL
+        |SELECT 4, 'update_preimage', lang, count(*),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM complete WHERE lang = 'de' AND doc_id % 5 = 0 GROUP BY lang
+        |UNION ALL
+        |SELECT 4, 'update_postimage', lang, count(*),
+        |  CAST(sum(n_chars + 1000) AS BIGINT)
+        |FROM complete WHERE lang = 'de' AND doc_id % 5 = 0 GROUP BY lang
+        |UNION ALL
+        |SELECT 5, 'delete', lang, count(*), CAST(sum(n_chars) AS BIGINT)
+        |FROM complete WHERE lang = 'en' AND doc_id % 7 = 0
+        |GROUP BY lang""".stripMargin,
+    "q_snap_cdf_incr" -> // incremental materialization from the feed:
+      // signed replay of the change rows must equal the batch
+      // recompute of the lifecycle's final state
+      """WITH complete AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL),
+        |finalstate AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN lang = 'de' AND doc_id % 5 = 0
+        |         THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM complete
+        |  WHERE lang IN ('de', 'en', 'es')
+        |    AND NOT (lang = 'es' AND doc_id % 3 = 0)
+        |    AND NOT (lang = 'en' AND doc_id % 7 = 0))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM finalstate GROUP BY lang""".stripMargin,
     "q_snap_dv_update" -> // merge-on-read UPDATE (SupportsDelta
       // position-delta plan): IDENTICAL oracle to q_snap_update — the
       // storage strategy (dv + appended replacement rows vs group COW

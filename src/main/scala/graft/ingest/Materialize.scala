@@ -2305,4 +2305,87 @@ object Materialize {
         argmax(col("s9")).as("shard_n1"))
       .withColumn("moved", col("shard_n") =!= col("shard_n1"))
   }
+
+  /** One deterministic table LIFECYCLE shared by the CDC-feed queries
+    * (`q_snap_cdf`, `q_snap_cdf_incr`, round 17): CREATE (0), two
+    * appends (1: de+en, 2: es), a merge-on-read DELETE (3: es,
+    * doc_id%3=0 — a dv-only epoch), a merge-on-read UPDATE (4: de,
+    * doc_id%5=0, +1000 chars — dv pre + appended post), a
+    * copy-on-write DELETE (5: en, doc_id%7=0 — remove + survivors),
+    * and a compaction (6: `#op compact`, a pure file rewrite). Every
+    * step's row effect is expressible relationally over `documents`,
+    * which is what makes the change feed DuckDB-oracle-able. */
+  private def cdcLifecycle(spark: SparkSession, dir: String,
+      root: String, tname: String): String = {
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    spark.sql(s"CREATE TABLE graft.snap.$tname " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    complete.filter(col("lang").isin("de", "en")).coalesce(1)
+      .writeTo(s"graft.snap.$tname").append()                    // epoch 1
+    complete.filter(col("lang") === "es").coalesce(1)
+      .writeTo(s"graft.snap.$tname").append()                    // epoch 2
+    spark.conf.set(s"spark.sql.catalog.graft.snap.$tname.deleteMode", "mor")
+    spark.sql(s"DELETE FROM graft.snap.$tname " +
+      "WHERE lang = 'es' AND doc_id % 3 = 0")                    // epoch 3
+    spark.sql(s"UPDATE graft.snap.$tname SET n_chars = n_chars + 1000 " +
+      "WHERE lang = 'de' AND doc_id % 5 = 0")                    // epoch 4
+    spark.conf.set(s"spark.sql.catalog.graft.snap.$tname.deleteMode", "cow")
+    spark.sql(s"DELETE FROM graft.snap.$tname " +
+      "WHERE lang = 'en' AND doc_id % 7 = 0")                    // epoch 5
+    spark.sql(s"CALL graft.sys.compact_data('$tname', 1000000)")
+      .collect()                                                 // epoch 6
+    new java.io.File(root, tname).toString
+  }
+
+  /** CDC CHANGE FEED (`q_snap_cdf`, round 17): the row-level changes
+    * of the whole retained lifecycle window, aggregated per
+    * (_commit_version, _change_type, lang) — inserts from appends,
+    * exact deleted rows from the dv-only epoch, pre+post images from
+    * the merge-on-read update, deleted rows from the copy-on-write
+    * diff, and NOTHING from the compaction (file rewrite != row
+    * change). The DuckDB oracle reconstructs every epoch's change set
+    * relationally from `documents`. */
+  def snapCdf(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_cdf_${java.lang.Integer.toHexString(dir.hashCode)}")
+    val log = cdcLifecycle(spark, dir, root, "doccdf")
+    graft.sources.ChangeFeed.tableChanges(spark, log, 0, Some(6L))
+      .createOrReplaceTempView("graft_cdf_feed")
+    spark.sql(
+      """SELECT _commit_version AS version, _change_type AS change_type,
+        |  lang, count(*) AS n_rows, sum(n_chars) AS sum_chars
+        |FROM graft_cdf_feed
+        |GROUP BY 1, 2, 3""".stripMargin)
+  }
+
+  /** INCREMENTAL MATERIALIZATION from the change feed
+    * (`q_snap_cdf_incr`, round 17): a downstream per-lang aggregate
+    * maintained by SIGNED REPLAY of the change rows (+1 for
+    * insert/update_postimage, -1 for delete/update_preimage) — the
+    * consumer never re-reads the table, the point of CDC at 100 TB.
+    * The oracle computes the same final state directly from
+    * `documents` by applying the lifecycle's ops relationally, so the
+    * feed is verified to carry EXACTLY the information a batch
+    * recompute would. */
+  def snapCdfIncr(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_cdfi_${java.lang.Integer.toHexString(dir.hashCode)}")
+    val log = cdcLifecycle(spark, dir, root, "doccdfi")
+    graft.sources.ChangeFeed.tableChanges(spark, log, 0, Some(6L))
+      .createOrReplaceTempView("graft_cdfi_feed")
+    spark.sql(
+      """SELECT lang, sum(sign) AS n_docs, sum(sign * n_chars) AS sum_chars
+        |FROM (
+        |  SELECT lang, n_chars, CASE WHEN _change_type IN
+        |    ('insert', 'update_postimage') THEN 1 ELSE -1 END AS sign
+        |  FROM graft_cdfi_feed)
+        |GROUP BY lang
+        |HAVING sum(sign) > 0""".stripMargin)
+  }
 }

@@ -1,0 +1,204 @@
+package graft.sources
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
+import org.apache.spark.sql.types.StructType
+
+/** CDC CHANGE FEED over a manifest table's epoch log (round 17, the
+  * Delta `table_changes` / Iceberg changelog shape): serve the
+  * row-level changes of any retained epoch window `(since, until]` as
+  * a DataFrame of the table's (logical) columns plus
+  * `_change_type` ∈ {insert, delete, update_preimage,
+  * update_postimage} and `_commit_version` — derived ENTIRELY from
+  * what the log already records, no extra bytes written per commit:
+  *
+  *  - an `append` epoch's files ARE its inserted rows;
+  *  - a merge-on-read epoch's NEW `#dv` files list exactly the row
+  *    positions it retro-deleted — reading the targeted data files AT
+  *    those positions yields the pre-images (`delete` for a DELETE,
+  *    `update_preimage` for an UPDATE whose appended files are the
+  *    `update_postimage`s);
+  *  - a copy-on-write epoch (removes + survivor adds) is served as
+  *    the MULTISET DIFF of the rows it removed (under the dv state of
+  *    the PREVIOUS version — already-deleted rows are not deleted
+  *    again) against the rows it added: for a DELETE the diff IS the
+  *    deleted rows (survivors ⊆ victims), for an UPDATE the two diff
+  *    sides are the pre/post images, and for a pure file rewrite the
+  *    diff is EMPTY — `#op compact` epochs are skipped without
+  *    reading a byte, and untagged pre-r17 rewrites fall through to
+  *    the diff, which yields zero rows for a compaction by
+  *    construction (file rewrite ≠ row change);
+  *  - an `overwrite` epoch is full replacement: every pre row a
+  *    `delete`, every new row an `insert`;
+  *  - a MERGE (either mode) and a rollback collapse to their NET row
+  *    effect (`delete` + `insert`) — the log does not record which
+  *    source row matched which target row, and inventing pairings
+  *    would be a wrong answer dressed as a right one.
+  *
+  * SCALE SHAPE: the append/MOR paths are ONE multi-path parquet scan
+  * plus ONE multi-path dv text scan joined against broadcast-tiny
+  * (file name → version/label) relations — plan width O(1), work
+  * O(changed bytes), the [[DvOps]] fan-in discipline. Only COW epochs
+  * pay a per-epoch diff (two scans of the files that epoch actually
+  * rewrote — the same bytes the rewrite itself moved, so the feed is
+  * never more expensive than the write it describes). Windows at or
+  * below the compaction horizon refuse loudly with the boundary named
+  * ([[ManifestSink.epochDeltas]]).
+  *
+  * Reference anchor: this is the scaled form of the reference
+  * pipeline's monthly full refresh (README.md:112) consumed
+  * incrementally — downstream aggregates apply the change rows
+  * instead of re-reading the table. */
+object ChangeFeed {
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  /** The change rows of `(since, until]` on the manifest table at
+    * `dir`. `since = -1` starts before the first epoch (refused if the
+    * log was ever swept past it); `until` defaults to the newest
+    * committed version. Columns: the table's LOGICAL schema (column
+    * mapping applied) ++ (_change_type, _commit_version). */
+  def tableChanges(spark: SparkSession, dir: String, since: Long,
+      until: Option[Long] = None): DataFrame = {
+    val asOf = until.getOrElse(ManifestSink.newestVersion(dir))
+    val deltas = ManifestSink.epochDeltas(dir, since, asOf)
+
+    val physSchema = StructType.fromDDL(
+      ManifestSink.widestRecordedSchema(dir).getOrElse(
+        throw new IllegalStateException(
+          s"manifest table $dir records no schema — cannot serve a " +
+            "change feed")))
+    val colmap = ManifestSink.columnMapping(dir)
+    val dropped = colmap.collect {
+      case (p, l) if l == ManifestSink.DroppedColumn => p.toLowerCase }.toSet
+    val served = physSchema.fields
+      .filterNot(f => dropped.contains(f.name.toLowerCase))
+    val physCols = served.map(_.name).toSeq
+    def logicalName(p: String): String =
+      colmap.getOrElse(p.toLowerCase, p)
+
+    def dataPath(n: String): String =
+      Paths.get(dir, "data", n).toString
+
+    // ——— labeled file groups across the whole window ———
+    // inserts: append adds, MOR update/merge adds; (file → version, label)
+    val insertFiles = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
+    // dv pre-images: (dvFile → data file, version, label)
+    val dvFiles = scala.collection.mutable.ArrayBuffer[(String, String, Long, String)]()
+    // COW diffs, one entry per remove-carrying epoch
+    val cowEpochs = scala.collection.mutable.ArrayBuffer[ManifestSink.EpochDelta]()
+
+    deltas.foreach { d =>
+      d.op match {
+        case "compact" => // file rewrite ≠ row change: zero rows, zero read
+        case "metadata" =>
+        case _ if d.removes.nonEmpty => cowEpochs += d
+        case "append" =>
+          d.adds.foreach(n => insertFiles += ((n, d.id, "insert")))
+        case "update" => // merge-on-read UPDATE: dv pre + appended post
+          d.dvs.foreach { case (data, dv, _) =>
+            dvFiles += ((dv, data, d.id, "update_preimage")) }
+          d.adds.foreach(n => insertFiles += ((n, d.id, "update_postimage")))
+        case _ => // MOR delete/merge (net effect for merge)
+          d.dvs.foreach { case (data, dv, _) =>
+            dvFiles += ((dv, data, d.id, "delete")) }
+          d.adds.foreach(n => insertFiles += ((n, d.id, "insert")))
+      }
+    }
+
+    val logicalCols = physCols.map(p => col(p).as(logicalName(p)))
+    def labeled(df: DataFrame): DataFrame =
+      df.select(logicalCols :+ col(ChangeTypeCol) :+ col(CommitVersionCol): _*)
+
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(served.map(f => f.copy(name = logicalName(f.name)))
+        .toArray[org.apache.spark.sql.types.StructField])
+        .add(ChangeTypeCol, "string", nullable = false)
+        .add(CommitVersionCol, "long", nullable = false))
+
+    // ——— inserted/appended rows: ONE multi-path scan + broadcast label
+    val insertDf =
+      if (insertFiles.isEmpty) None
+      else {
+        import spark.implicits._
+        val names = insertFiles.toSeq.map { case (n, v, l) => (n, v, l) }
+          .toDF("_f", CommitVersionCol, ChangeTypeCol)
+        val base = spark.read.schema(physSchema)
+          .parquet(insertFiles.map(e => dataPath(e._1)).toSeq.distinct: _*)
+          .withColumn("_f", col("_metadata.file_name"))
+        Some(labeled(base.join(broadcast(names), "_f")))
+      }
+
+    // ——— MOR pre-images: rows AT the epochs' new dv positions — one
+    // multi-path text scan of the dv files + one parquet scan of the
+    // targeted data files, joined on (file, position)
+    val dvDf =
+      if (dvFiles.isEmpty) None
+      else {
+        import spark.implicits._
+        val dvMeta = dvFiles.toSeq.map { case (dv, data, v, l) => (dv, data, v, l) }
+          .toDF("_dv", "_f", CommitVersionCol, ChangeTypeCol)
+        val pos = spark.read.textFile(
+          dvFiles.map(e => dataPath(e._1)).toSeq.distinct: _*)
+          .select(col("value").cast("long").as("_p"),
+            col("_metadata.file_name").as("_dv"))
+          .join(broadcast(dvMeta), "_dv")
+        val base = spark.read.schema(physSchema)
+          .parquet(dvFiles.map(e => dataPath(e._2)).toSeq.distinct: _*)
+          .select(col("_metadata.file_name").as("_f") +:
+            col("_metadata.row_index").as("_p") +: physCols.map(col): _*)
+        Some(labeled(base.join(pos, Seq("_f", "_p"))))
+      }
+
+    // ——— COW epochs: per-epoch multiset diff of victims vs survivors
+    val cowDfs = cowEpochs.toSeq.map { d =>
+      val preDvs = ManifestSink.deleteVectorsAsOf(dir, d.id - 1)
+      val addSet = d.adds.toSet
+      // dv records THIS epoch declares on its own re-added files
+      // (rollback restoring historical dv state) apply to the POST side
+      val postDvs = d.dvs.filter(r => addSet.contains(r._1))
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3))).toMap
+      def side(files: Seq[String], dvMap: Map[String, Seq[(String, Long)]])
+          : DataFrame =
+        if (files.isEmpty)
+          empty.select(physCols.map(p => col(logicalName(p))): _*)
+        else DvOps.readExcludingDeleted(spark, physSchema, dir,
+          files.map(dataPath), Some(dvMap))
+          .select(physCols.map(p => col(p).as(logicalName(p))): _*)
+      val pre = side(d.removes, preDvs)
+      val post = side(d.adds, postDvs)
+      val (preLabel, postLabel) = d.op match {
+        case "update" => ("update_preimage", "update_postimage")
+        case _ => ("delete", "insert")
+      }
+      val (preSide, postSide) = d.op match {
+        case "overwrite" => (pre, post) // full replacement: every row
+        case _ => (pre.exceptAll(post), post.exceptAll(pre))
+      }
+      val both = preSide
+        .withColumn(ChangeTypeCol, lit(preLabel))
+        .unionAll(postSide.withColumn(ChangeTypeCol, lit(postLabel)))
+      // a COW DELETE adds nothing beyond survivors (post ⊆ pre), but
+      // emitting the computed post-diff keeps the path uniform — it is
+      // empty by construction
+      both.withColumn(CommitVersionCol, lit(d.id))
+    }
+
+    (insertDf.toSeq ++ dvDf.toSeq ++ cowDfs)
+      .reduceOption(_ unionAll _).getOrElse(empty)
+  }
+
+  /** [[tableChanges]] by CATALOG table name — `tname` under the
+    * session's `spark.sql.catalog.graft.snap.dir`. */
+  def tableChangesByName(spark: SparkSession, tname: String, since: Long,
+      until: Option[Long] = None): DataFrame = {
+    GraftCatalog.requireValidTableName(tname)
+    val root = spark.conf.getOption("spark.sql.catalog.graft.snap.dir")
+      .getOrElse(throw new IllegalStateException(
+        "spark.sql.catalog.graft.snap.dir is not set"))
+    tableChanges(spark, new java.io.File(root, tname).toString, since, until)
+  }
+}

@@ -1130,6 +1130,8 @@ private[sources] class SnapTable(tname: String, val dir: String,
       .option("compactInterval", tblCompactInterval.toString)
       .option("removeFiles", affectedNames.mkString(","))
       .option("consumedDvs", ManifestSink.encodeConsumedDvs(consumed))
+      .option("graft.op", "delete") // COW row-level DELETE: the change
+                                    // feed diffs victims vs survivors
       .mode("append").save()
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap)

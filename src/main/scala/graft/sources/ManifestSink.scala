@@ -116,7 +116,8 @@ class ManifestSink extends TableProvider {
     val book = ManifestSink.partitionSpecs(path)
     ManifestTable(path, schema, interval, removes, book.current,
       Option(opts.get("consumedDvs")).map(ManifestSink.decodeConsumedDvs),
-      specId = book.currentId)
+      specId = book.currentId,
+      declaredOp = Option(opts.get("graft.op")))
   }
 }
 
@@ -490,6 +491,24 @@ object ManifestSink {
   private[sources] def readDvRecords(p: Path): Seq[(String, String, Long)] =
     readHeaders(p).flatMap(parseDv)
 
+  /** `#op <kind>` (round 17, the CDC classification header): what the
+    * committing OPERATION was — `append`, `overwrite`, `delete`,
+    * `update`, `merge`, `compact`, `rollback` — so the change feed can
+    * label an epoch's row effects without guessing. Structure alone
+    * cannot tell a compaction from a COW delete (both are
+    * adds+removes); the one-word header is what lets the feed skip a
+    * pure rewrite WITHOUT reading a byte of it. Pre-r17 epochs carry
+    * none and classify structurally (remove-carrying epochs fall back
+    * to the safe diff form). */
+  private[sources] def opLine(op: String): String = {
+    require(propSafe(op), s"epoch op '$op' must be token-safe")
+    s"#op $op"
+  }
+
+  private[sources] def epochOp(p: Path): Option[String] =
+    readHeaders(p).collectFirst {
+      case l if l.startsWith("#op ") => l.stripPrefix("#op ").trim }
+
   private def parseDv(l: String): Option[(String, String, Long)] =
     if (!l.startsWith("#dv ")) None
     else l.stripPrefix("#dv ").split(" ") match {
@@ -814,7 +833,7 @@ object ManifestSink {
       records: Seq[(String, String, Long)], compactInterval: Int,
       observedDvs: Option[Map[String, Set[String]]] = None): Long = {
     val dir = Files.createDirectories(Paths.get(path))
-    val content = Seq(s"#schema $schemaDdl",
+    val content = Seq(s"#schema $schemaDdl", opLine("delete"),
       s"#cow ${java.util.UUID.randomUUID.toString}") ++
       records.sortBy(_._1).map { case (data, dv, n) => dvLine(data, dv, n) }
     val id = claimEpoch(dir, () => content, observedDvs = observedDvs)
@@ -837,13 +856,14 @@ object ManifestSink {
   private[graft] def commitDeltaEpoch(path: String, schemaDdl: String,
       dvRecords: Seq[(String, String, Long)], adds: Seq[CommittedFile],
       compactInterval: Int,
-      observedDvs: Map[String, Set[String]], specId: Int = 0): Long = {
+      observedDvs: Map[String, Set[String]], specId: Int = 0,
+      op: String = "update"): Long = {
     val dir = Files.createDirectories(Paths.get(path))
     val token = java.util.UUID.randomUUID.toString
     val sortedAdds = adds.sortBy(_.name)
     val parts = sortedAdds.collect {
       case f if f.part.nonEmpty => partLine(f.name, PartTuple(specId, f.part)) }
-    val content = Seq(s"#schema $schemaDdl", s"#cow $token") ++
+    val content = Seq(s"#schema $schemaDdl", opLine(op), s"#cow $token") ++
       sortedAdds.map(statsLine) ++ parts ++
       dvRecords.sortBy(_._1).map { case (d, v, n) => dvLine(d, v, n) } ++
       sortedAdds.map(_.name)
@@ -915,7 +935,7 @@ object ManifestSink {
       val dvLines = readds.sorted.flatMap(n =>
         dvsV.getOrElse(n, Seq.empty).map { case (dv, cnt) =>
           dvLine(n, dv, cnt) })
-      Seq(s"#schema $schemaDdl", s"#cow $token") ++
+      Seq(s"#schema $schemaDdl", opLine("rollback"), s"#cow $token") ++
         removes.sorted.map(n => s"#remove $n") ++ dvLines ++ readds.sorted
     })
     maybeCompact(dir, latestCompact(dir).map(_._1).getOrElse(-1L),
@@ -1753,7 +1773,7 @@ object ManifestSink {
       messages: Array[WriterCommitMessage], removeFilesGen: () => Seq[String],
       compactInterval: Int,
       consumedDvs: Option[Map[String, Set[String]]] = None,
-      specId: Int = 0): Unit = {
+      specId: Int = 0, op: String = "append"): Unit = {
     val dir = Files.createDirectories(Paths.get(path))
     val files = committedFilesOf(messages).sortBy(_.name)
     // one token per OPERATION (stable across claim attempts — the
@@ -1768,7 +1788,11 @@ object ManifestSink {
       val cow = if (lastRemoves.isEmpty) Seq.empty else Seq(s"#cow $cowToken")
       val parts = files.collect {
         case f if f.part.nonEmpty => partLine(f.name, PartTuple(specId, f.part)) }
-      s"#schema $schemaDdl" +: (cow ++
+      // a plain append whose remove set came back empty stays an
+      // append no matter what op the face declared (e.g. an
+      // overwrite-by-filter matching no files replaces nothing)
+      val effOp = if (lastRemoves.isEmpty && op != "append") "append" else op
+      Seq(s"#schema $schemaDdl", opLine(effOp)) ++ (cow ++
         files.map(statsLine) ++ parts ++
         lastRemoves.sorted.map(n => s"#remove $n") ++ files.map(_.name))
     }
@@ -2001,6 +2025,64 @@ object ManifestSink {
     }
   }
 
+  /** Per-epoch CHANGE DELTAS of the window `(since, asOf]` (round 17,
+    * the CDC read): each live epoch's adds, `#remove`s and `#dv`
+    * records plus its `#op` classification — the raw material
+    * [[ChangeFeed]] turns into labeled change rows. Same retention
+    * contract as [[committedFilesBetween]]: a window reaching at or
+    * below the compaction horizon refuses loudly (per-epoch deltas are
+    * unrecoverable from the compact union), as does a gap in the
+    * loose tail that ever existed. Unlike the incremental APPEND read,
+    * remove/dv-carrying epochs are the POINT here — classification,
+    * not refusal. Pre-r17 epochs without `#op` classify structurally:
+    * remove-carrying → `rewrite` (served in the safe diff form),
+    * dv-carrying → `delete`, adds-only → `append`, else `metadata`. */
+  private[graft] case class EpochDelta(id: Long, op: String,
+      adds: Seq[String], removes: Seq[String],
+      dvs: Seq[(String, String, Long)])
+
+  private[graft] def epochDeltas(path: String, since: Long,
+      asOf: Long): Seq[EpochDelta] = retryVanish() {
+    require(since >= -1, s"since must be >= -1 (exclusive lower bound), got $since")
+    require(since <= asOf, s"empty window: since $since > asOf $asOf")
+    val dir = Paths.get(path)
+    val loose = listPrefixed(dir, "epoch-").map(p => (idOf(p), p))
+    val horizon = latestCompact(dir).map(_._1).getOrElse(-1L)
+    val newest = (horizon +: loose.map(_._1)).max
+    if (newest < 0 || asOf > newest)
+      throw new IllegalArgumentException(
+        s"manifest table $path has no version $asOf " +
+          s"(newest committed epoch: ${if (newest < 0) "none" else newest})")
+    if (since < horizon)
+      throw new IllegalStateException(
+        s"change feed ($since, $asOf] reaches below the compaction " +
+          s"horizon $horizon — per-epoch changes are unrecoverable " +
+          "from the compact union; start the feed at or after the " +
+          "horizon (or re-read the full snapshot)")
+    val window = loose.filter(e => e._1 > since && e._1 <= asOf).sortBy(_._1)
+    val firstLoose = loose.map(_._1).minOption.getOrElse(Long.MaxValue)
+    val missing = ((since + 1) to asOf)
+      .filterNot(window.map(_._1).toSet)
+      .filterNot(id => id > horizon && id < firstLoose)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"change feed ($since, $asOf] needs epoch manifests " +
+          s"${missing.mkString(", ")} which are gone " +
+          s"(compaction horizon $horizon)")
+    window.map { case (id, p) =>
+      val removes = readRemoves(p)
+      val dvs = readDvRecords(p)
+      val adds = readData(p)
+      val op = epochOp(p).getOrElse {
+        if (removes.nonEmpty) "rewrite"
+        else if (dvs.nonEmpty) "delete"
+        else if (adds.nonEmpty) "append"
+        else "metadata"
+      }
+      EpochDelta(id, op, adds, removes, dvs)
+    }
+  }
+
   def logHistory(path: String): Seq[(Long, String, Long, Long, Long)] =
     retryVanish() {
       val dir = Paths.get(path)
@@ -2081,7 +2163,13 @@ case class ManifestTable(path: String, writeSchema: StructType,
       * under the PHYSICAL names and overwrite predicates evaluate
       * against the physical `#spec`/tuples. Empty = identity (every
       * path-based use). */
-    renameCols: Map[String, String] = Map.empty)
+    renameCols: Map[String, String] = Map.empty,
+    /** The `graft.op` write option (round 17): what OPERATION this
+      * write face is part of — the epoch's `#op` CDC header. The COW
+      * faces pass `delete`/`update`/`merge`/`compact`; absent means
+      * the write's own shape decides (overwrite forms → `overwrite`,
+      * a bare removeFiles rewrite → `rewrite`, else `append`). */
+    declaredOp: Option[String] = None)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead {
   private def physicalize(st: StructType): StructType =
@@ -2193,9 +2281,15 @@ case class ManifestTable(path: String, writeSchema: StructType,
               () => ManifestSink.committedFiles(path).map(f =>
                 Paths.get(f).getFileName.toString)
             else () => removeFiles
+          val op = declaredOp.getOrElse {
+            if (truncating || overwriteWhere.isDefined || dynamic)
+              "overwrite"
+            else if (removeFiles.nonEmpty) "rewrite"
+            else "append"
+          }
           ManifestBatchWrite(path, physicalize(info.schema()),
             compactInterval, removes, spec, overwriteWhere, dynamic,
-            consumedDvs, specId)
+            consumedDvs, specId, op)
         }
         // writerId = the STREAMING QUERY's stable id (Spark passes
         // checkpoint-metadata `id`, not the per-run runId, as the
@@ -2306,7 +2400,7 @@ case class ManifestBatchWrite(path: String, schema: StructType,
     overwriteWhere: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
     dynamicOverwrite: Boolean = false,
     consumedDvs: Option[Map[String, Set[String]]] = None,
-    specId: Int = 0) extends BatchWrite {
+    specId: Int = 0, op: String = "append") extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     ManifestWriterFactory(path, schema.fields.map(_.name),
       schema.fields.map(_.dataType.typeName),
@@ -2406,7 +2500,7 @@ case class ManifestBatchWrite(path: String, schema: StructType,
         case None => removeFiles
       }
     ManifestSink.commitBatchEpoch(path, schema.toDDL, messages,
-      removesGen, compactInterval, consumedDvs, specId)
+      removesGen, compactInterval, consumedDvs, specId, op)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -2461,7 +2555,8 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
     val parts = files.collect {
       case f if f.part.nonEmpty =>
         ManifestSink.partLine(f.name, PartTuple(specId, f.part)) }
-    val content = Seq(s"#txn $writerId $epochId", s"#schema ${schema.toDDL}") ++
+    val content = Seq(s"#txn $writerId $epochId",
+      s"#schema ${schema.toDDL}", ManifestSink.opLine("append")) ++
       files.map(ManifestSink.statsLine) ++ parts ++ files.map(_.name)
     ManifestSink.claimEpoch(dir, () => content)
     ManifestSink.maybeCompact(dir,

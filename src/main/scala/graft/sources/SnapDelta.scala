@@ -171,11 +171,19 @@ private[sources] class SnapDeltaWrite(op: SnapDeltaOperation,
     * column: inserted rows are full table rows, and a narrower schema
     * would silently drop data (same check as the COW write face). */
   private val rowSchema: StructType = {
-    // logical width check; physical form for the writer + #schema
+    // logical width check; physical form for the writer + #schema.
+    // A pure DELETE writes NO rows (positions only), and Spark hands
+    // it an EMPTY row schema — a predicate the filter-pushdown face
+    // cannot express (round 17: `doc_id % 3 = 0`) plans this delta
+    // DELETE instead of [[SnapTable.deleteWhere]], so empty is legal
+    // exactly for DELETE; the insert-carrying commands keep the strict
+    // full-width check (a narrower schema would silently drop data).
     val s = info.schema()
     val logical = op.logicalSchema
-    val ok = logical.fields.forall(tf => s.fields.exists(wf =>
-      wf.name.equalsIgnoreCase(tf.name) && wf.dataType == tf.dataType))
+    val deleteOnly = op.command() == Command.DELETE && s.fields.isEmpty
+    val ok = deleteOnly ||
+      logical.fields.forall(tf => s.fields.exists(wf =>
+        wf.name.equalsIgnoreCase(tf.name) && wf.dataType == tf.dataType))
     if (!ok) throw new IllegalStateException(
       s"graft.snap.${op.tname} ${op.command()}: delta row schema " +
         s"'${s.toDDL}' does not carry every declared column " +
@@ -227,12 +235,21 @@ private[sources] class SnapDeltaWrite(op: SnapDeltaOperation,
     SnapTable.recordRewrite(op.tname, op.snapshotFiles.size, 0)
     val observed = dvRecords.map(_._1).distinct.map(n =>
       n -> op.dvs.getOrElse(n, Seq.empty).map(_._1).toSet).toMap
-    ManifestSink.commitDeltaEpoch(op.dir, rowSchema.toDDL,
+    // a delete-only plan has an empty row schema — the epoch records
+    // the TABLE's schema (an empty `#schema` would poison the log's
+    // recorded-schema containment set)
+    ManifestSink.commitDeltaEpoch(op.dir,
+      (if (rowSchema.fields.isEmpty) op.tschema else rowSchema).toDDL,
       dvRecords.toSeq, adds.toSeq,
       ManifestSink.tableProperties(op.dir).get("compact.interval")
         .flatMap(_.toIntOption)
         .getOrElse(ManifestSink.DefaultCompactInterval),
-      observed, op.specBook.currentId)
+      observed, op.specBook.currentId,
+      op.command() match {
+        case Command.UPDATE => "update"
+        case Command.MERGE => "merge"
+        case _ => "delete"
+      })
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -313,7 +330,14 @@ private[sources] case class SnapDeltaWriterFactory(path: String,
         nDel += 1; lastPos = p
       }
 
-      override def insert(row: InternalRow): Unit = insertWriter().write(row)
+      override def insert(row: InternalRow): Unit = {
+        // a delete-only plan (empty row schema) must never insert —
+        // writing zero-column rows would be silent data loss
+        require(fieldNames.nonEmpty,
+          s"delta write on $path: insert row arrived under an empty " +
+            "row schema (delete-only plan)")
+        insertWriter().write(row)
+      }
 
       /** Unused under representUpdateAsDeleteAndInsert — kept correct
         * anyway: a positioned update IS delete + insert. */

@@ -345,7 +345,14 @@ private[sources] class SnapRowLevelWrite(op: SnapRowLevelOperation,
       ManifestSink.tableProperties(op.dir).get("compact.interval")
         .flatMap(_.toIntOption)
         .getOrElse(ManifestSink.DefaultCompactInterval),
-      Some(consumed), op.specBook.currentId)
+      Some(consumed), op.specBook.currentId,
+      op.command() match {
+        case org.apache.spark.sql.connector.write.RowLevelOperation
+          .Command.UPDATE => "update"
+        case org.apache.spark.sql.connector.write.RowLevelOperation
+          .Command.MERGE => "merge"
+        case _ => "delete"
+      })
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

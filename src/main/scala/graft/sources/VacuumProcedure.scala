@@ -186,6 +186,8 @@ class CompactProcedure(snapDir: () => String,
             .option("path", dir.toString)
             .option("removeFiles", small.map(fname).mkString(","))
             .option("consumedDvs", ManifestSink.encodeConsumedDvs(consumed))
+            .option("graft.op", "compact") // file rewrite ≠ row change:
+                                           // the change feed skips it
             .mode("append").save()
           (small.size.toLong, parts.toLong, totalRows)
         }

@@ -3064,4 +3064,94 @@ class SnapshotSpec extends AnyFunSuite {
     assert(eSwept.getMessage.contains("compacted"), eSwept.getMessage)
     graft.util.Fs.deleteRecursively(root)
   }
+
+  test("CDC CHANGE FEED (round 17): appends serve as inserts, a " +
+    "dv-only epoch yields EXACTLY its deleted rows, a MOR update " +
+    "yields pre+post images, a COW delete yields the deleted rows " +
+    "via the diff, a compaction yields ZERO rows without reading a " +
+    "byte, an overwrite is full delete+insert, and windows below the " +
+    "horizon refuse") {
+    val root = Files.createTempDirectory("graft_snap_cdf")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    val log = root.resolve("cdc").toString
+
+    s.sql("CREATE TABLE graft.snap.cdc (k BIGINT, lang STRING, v BIGINT)")
+    locally { import s.implicits._
+      Seq((1L, "de", 10L), (2L, "es", 20L), (3L, "de", 30L))
+        .toDF("k", "lang", "v").coalesce(1)
+        .writeTo("graft.snap.cdc").append() }                     // epoch 1
+    locally { import s.implicits._
+      Seq((4L, "fr", 40L)).toDF("k", "lang", "v").coalesce(1)
+        .writeTo("graft.snap.cdc").append() }                     // epoch 2
+    s.conf.set("spark.sql.catalog.graft.snap.cdc.deleteMode", "mor")
+    s.sql("DELETE FROM graft.snap.cdc WHERE k = 2")               // epoch 3
+    s.sql("UPDATE graft.snap.cdc SET v = 31 WHERE k = 3")         // epoch 4
+    s.conf.set("spark.sql.catalog.graft.snap.cdc.deleteMode", "cow")
+    s.sql("DELETE FROM graft.snap.cdc WHERE k = 1")               // epoch 5
+    s.sql("CALL graft.sys.compact_data('cdc', 1000000)").collect() // epoch 6
+    s.sql("INSERT OVERWRITE graft.snap.cdc VALUES " +
+      "(9, 'zz', 90)")                                            // epoch 7
+    assert(graft.sources.ManifestSink.newestVersion(log) == 7L,
+      "the lifecycle must land on the expected epoch ids")
+
+    def changes(since: Long, until: Long): Set[(Long, String, Long, String, Long)] =
+      graft.sources.ChangeFeed.tableChanges(s, log, since, Some(until))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3), r.getLong(4))).toSet
+
+    // appends are inserts
+    assert(changes(0, 2) == Set(
+      (1L, "de", 10L, "insert", 1L), (2L, "es", 20L, "insert", 1L),
+      (3L, "de", 30L, "insert", 1L), (4L, "fr", 40L, "insert", 2L)))
+    // a dv-only epoch yields EXACTLY its deleted rows (the verdict pin)
+    assert(changes(2, 3) == Set((2L, "es", 20L, "delete", 3L)))
+    // MOR update: pre-image at the dv position, post-image from the add
+    assert(changes(3, 4) == Set(
+      (3L, "de", 30L, "update_preimage", 4L),
+      (3L, "de", 31L, "update_postimage", 4L)))
+    // COW delete: the diff is the deleted rows, nothing else
+    assert(changes(4, 5) == Set((1L, "de", 10L, "delete", 5L)))
+    // compaction: ZERO rows AND zero data read (no parquet scan planned)
+    val compactDf = graft.sources.ChangeFeed.tableChanges(s, log, 5, Some(6))
+    assert(compactDf.isEmpty, "file rewrite is not row change")
+    val plan = compactDf.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"a compact epoch must not be read at all:\n$plan")
+    // overwrite: full replacement — every pre row deleted, new inserted
+    assert(changes(6, 7) == Set(
+      (3L, "de", 31L, "delete", 7L), (4L, "fr", 40L, "delete", 7L),
+      (9L, "zz", 90L, "insert", 7L)))
+    // the whole retained window composes all of the above
+    assert(changes(0, 7).size == 4 + 1 + 2 + 1 + 3)
+
+    // an incremental consumer of the feed matches its batch recompute:
+    // signed replay of (insert/post = +1, delete/pre = -1) reproduces
+    // the final per-lang aggregate exactly
+    val feed = graft.sources.ChangeFeed.tableChanges(s, log, 0, Some(7))
+    feed.createOrReplaceTempView("cdc_feed")
+    val replayed = s.sql(
+      """SELECT lang, sum(sign * v) AS sum_v, sum(sign) AS n FROM (
+        |  SELECT lang, v, CASE WHEN _change_type IN
+        |    ('insert', 'update_postimage') THEN 1 ELSE -1 END AS sign
+        |  FROM cdc_feed) GROUP BY lang HAVING sum(sign) > 0
+        |ORDER BY lang""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val direct = s.sql(
+      """SELECT lang, sum(v) AS sum_v, count(*) AS n
+        |FROM graft.snap.cdc GROUP BY lang ORDER BY lang""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(replayed == direct, s"incremental $replayed vs batch $direct")
+
+    // sweep the log past the early epochs: the window refuses loudly
+    (0 until 10).foreach { i =>
+      locally { import s.implicits._
+        Seq((100L + i, "z", 0L)).toDF("k", "lang", "v").coalesce(1)
+          .writeTo("graft.snap.cdc").append() }
+    }
+    val eSwept = intercept[Exception] { changes(0, 7) }
+    assert(eSwept.getMessage.contains("horizon"), eSwept.getMessage)
+    graft.util.Fs.deleteRecursively(root)
+  }
 }
