@@ -235,6 +235,7 @@ object SparkEntry {
     "q_snap_ts_travel"   -> Materialize.snapTsTravel _,
     "q_snap_cdf"         -> Materialize.snapCdf _,
     "q_snap_cdf_incr"    -> Materialize.snapCdfIncr _,
+    "q_snap_cdf_stream"  -> Materialize.snapCdfStream _,
     "q_snap_dv_delete"   -> Materialize.snapDvDelete _,
     "q_snap_dv_update"   -> Materialize.snapDvUpdate _,
     "q_snap_dv_merge"    -> Materialize.snapDvMerge _,
@@ -2438,6 +2439,33 @@ object SparkEntry {
         |UNION ALL
         |SELECT 5, 'delete', lang, count(*), CAST(sum(n_chars) AS BIGINT)
         |FROM complete WHERE lang = 'en' AND doc_id % 7 = 0
+        |GROUP BY lang""".stripMargin,
+    "q_snap_cdf_stream" -> // the .changes face TAILED as a stream: the
+      // same change set as q_snap_cdf minus the COW epoch (the
+      // streaming face serves per-file reads; a COW diff is a join,
+      // served exactly by the batch API)
+      """WITH complete AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL)
+        |SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+        |  lang, count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM complete WHERE lang IN ('de', 'en') GROUP BY lang
+        |UNION ALL
+        |SELECT 2, 'insert', lang, count(*), CAST(sum(n_chars) AS BIGINT)
+        |FROM complete WHERE lang = 'es' GROUP BY lang
+        |UNION ALL
+        |SELECT 3, 'delete', lang, count(*), CAST(sum(n_chars) AS BIGINT)
+        |FROM complete WHERE lang = 'es' AND doc_id % 3 = 0 GROUP BY lang
+        |UNION ALL
+        |SELECT 4, 'update_preimage', lang, count(*),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM complete WHERE lang = 'de' AND doc_id % 5 = 0 GROUP BY lang
+        |UNION ALL
+        |SELECT 4, 'update_postimage', lang, count(*),
+        |  CAST(sum(n_chars + 1000) AS BIGINT)
+        |FROM complete WHERE lang = 'de' AND doc_id % 5 = 0
         |GROUP BY lang""".stripMargin,
     "q_snap_cdf_incr" -> // incremental materialization from the feed:
       // signed replay of the change rows must equal the batch

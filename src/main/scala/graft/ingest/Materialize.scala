@@ -2316,7 +2316,7 @@ object Materialize {
     * step's row effect is expressible relationally over `documents`,
     * which is what makes the change feed DuckDB-oracle-able. */
   private def cdcLifecycle(spark: SparkSession, dir: String,
-      root: String, tname: String): String = {
+      root: String, tname: String, includeCow: Boolean = true): String = {
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     graft.sources.GraftCatalog.register(spark, dir)
     spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
@@ -2335,11 +2335,13 @@ object Materialize {
       "WHERE lang = 'es' AND doc_id % 3 = 0")                    // epoch 3
     spark.sql(s"UPDATE graft.snap.$tname SET n_chars = n_chars + 1000 " +
       "WHERE lang = 'de' AND doc_id % 5 = 0")                    // epoch 4
-    spark.conf.set(s"spark.sql.catalog.graft.snap.$tname.deleteMode", "cow")
-    spark.sql(s"DELETE FROM graft.snap.$tname " +
-      "WHERE lang = 'en' AND doc_id % 7 = 0")                    // epoch 5
+    if (includeCow) {
+      spark.conf.set(s"spark.sql.catalog.graft.snap.$tname.deleteMode", "cow")
+      spark.sql(s"DELETE FROM graft.snap.$tname " +
+        "WHERE lang = 'en' AND doc_id % 7 = 0")                  // epoch 5
+    }
     spark.sql(s"CALL graft.sys.compact_data('$tname', 1000000)")
-      .collect()                                                 // epoch 6
+      .collect()                                                 // epoch 6 (5)
     new java.io.File(root, tname).toString
   }
 
@@ -2387,5 +2389,42 @@ object Materialize {
         |  FROM graft_cdfi_feed)
         |GROUP BY lang
         |HAVING sum(sign) > 0""".stripMargin)
+  }
+
+  /** STREAMING CDF (`q_snap_cdf_stream`, round 17): `readStream` on
+    * the `.changes` face TAILS the feed — one micro-batch per epoch
+    * (`maxEpochsPerTrigger=1`, trigger-count pinned in StreamingSpec),
+    * labeled change rows landing in a parquet relay. The lifecycle is
+    * the CDC one WITHOUT the copy-on-write step (a COW change set is
+    * a multiset diff, which the per-file streaming face refuses by
+    * contract — [[graft.sources.ChangeFeed.tableChanges]] serves it
+    * exactly); the `#op compact` epoch flows through as zero rows.
+    * Oracle: the same relational reconstruction as `q_snap_cdf`
+    * minus the COW epoch. */
+  def snapCdfStream(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_cdfs_${java.lang.Integer.toHexString(dir.hashCode)}")
+    val log = cdcLifecycle(spark, dir, root, "doccdfs", includeCow = false)
+    val s = graft.streaming.StreamOps.streamSession(spark)
+    graft.sources.GraftCatalog.register(s, dir)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val outDir = new java.io.File(root, "cdf_out").toString
+    val q = s.readStream
+      .option("maxEpochsPerTrigger", "1")
+      .table("graft.snap.doccdfs.changes")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", new java.io.File(root, "cdf_ckpt").toString)
+      .queryName("graft_snap_cdf_sink")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // `log` is read by the stream above; keep the val referenced
+    require(log.nonEmpty)
+    spark.read.parquet(outDir).createOrReplaceTempView("graft_cdfs_feed")
+    spark.sql(
+      """SELECT _commit_version AS version, _change_type AS change_type,
+        |  lang, count(*) AS n_rows, sum(n_chars) AS sum_chars
+        |FROM graft_cdfs_feed
+        |GROUP BY 1, 2, 3""".stripMargin)
   }
 }

@@ -191,6 +191,23 @@ object ChangeFeed {
       .reduceOption(_ unionAll _).getOrElse(empty)
   }
 
+  /** The (logical schema ++ change columns) a CDC face serves. */
+  private[sources] def changeSchema(dir: String): (StructType, StructType) = {
+    val phys = StructType.fromDDL(
+      ManifestSink.widestRecordedSchema(dir).getOrElse(
+        throw new IllegalStateException(
+          s"manifest table $dir records no schema — cannot serve a " +
+            "change feed")))
+    val colmap = ManifestSink.columnMapping(dir)
+    val served = StructType(phys.fields.filterNot(f =>
+      colmap.get(f.name.toLowerCase).contains(ManifestSink.DroppedColumn)))
+    val logical = StructType(served.fields.map(f =>
+      f.copy(name = colmap.getOrElse(f.name.toLowerCase, f.name))))
+    (served, // physical
+      logical.add(ChangeTypeCol, "string", nullable = false)
+        .add(CommitVersionCol, "long", nullable = false))
+  }
+
   /** [[tableChanges]] by CATALOG table name — `tname` under the
     * session's `spark.sql.catalog.graft.snap.dir`. */
   def tableChangesByName(spark: SparkSession, tname: String, since: Long,
@@ -200,5 +217,76 @@ object ChangeFeed {
       .getOrElse(throw new IllegalStateException(
         "spark.sql.catalog.graft.snap.dir is not set"))
     tableChanges(spark, new java.io.File(root, tname).toString, since, until)
+  }
+}
+
+/** `graft.snap.t.changes` (round 17) — the CDC feed as a CATALOG
+  * TABLE: the table's logical columns plus `_change_type` /
+  * `_commit_version`, served as a real DISTRIBUTED scan planned from
+  * [[ManifestSink.changePartitions]] — append adds read whole-file,
+  * merge-on-read pre-images read the targeted files AT their new dv
+  * positions (KEEP mode), `#op compact` epochs cost nothing.
+  *
+  * Batch reads serve the whole RETAINED window by default (the
+  * compaction horizon exclusive → newest), narrowed by the
+  * `sinceVersion`/`asOfVersion` reader options; `readStream` TAILS
+  * the feed with the same per-epoch offsets as the plain table tail
+  * (restart-safe: offsets are epoch ids, partitions are a pure
+  * function of the immutable log). Copy-on-write epochs REFUSE in
+  * this face — their change set is a multiset diff (a join), which
+  * [[ChangeFeed.tableChanges]] serves exactly — unless
+  * `ignoreChanges=true` re-delivers their adds as inserts (the Delta
+  * opt-out, duplicates possible). */
+private[sources] class SnapChangesTable(tname: String, dir: String)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import scala.jdk.CollectionConverters._
+
+  private val (physSchema, servedSchema) = ChangeFeed.changeSchema(dir)
+  private def fieldNames: Array[String] =
+    physSchema.fields.map(_.name) ++
+      Array(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitVersionCol)
+  private def fieldTypes: Array[String] =
+    physSchema.fields.map(_.dataType.typeName) ++ Array("string", "long")
+
+  override def name(): String = s"snap($tname).changes"
+  override def schema(): StructType = servedSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    val onChange = ManifestSink.onChangeOf(options)
+    val maxEpochs = options.getInt("maxEpochsPerTrigger", Int.MaxValue)
+    require(maxEpochs >= 1,
+      s"maxEpochsPerTrigger must be >= 1, got $maxEpochs")
+    val horizon = ManifestSink.compactionHorizon(dir)
+    val since = Option(options.get("sinceVersion")).map(_.toLong)
+      .getOrElse(horizon)
+    () => new org.apache.spark.sql.connector.read.Scan
+        with org.apache.spark.sql.connector.read.Batch {
+      override def readSchema(): StructType = servedSchema
+      override def description(): String =
+        s"graft.snap.$tname.changes ($since, …]"
+      override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+        val until = Option(options.get("asOfVersion")).map(_.toLong)
+          .getOrElse(ManifestSink.newestVersion(dir))
+        ManifestSink.changePartitions(dir, since, until, cdf = true,
+          onChange)
+          .map(p => p: org.apache.spark.sql.connector.read.InputPartition)
+          .toArray
+      }
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        ManifestReadFactory(fieldNames, fieldTypes)
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new ManifestMicroBatchStream(dir, fieldNames, fieldTypes,
+          maxEpochs, onChange, cdf = true, startAt = since)
+    }
   }
 }

@@ -178,7 +178,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         throw new NoSuchTableException(ident))
       val tdir = new java.io.File(root, tname)
       if (!tdir.isDirectory) throw new NoSuchTableException(ident)
-      new SnapMetaTable(tname, tdir.toString, ident.name())
+      if (ident.name() == "changes")
+        // the CDC face (round 17): a real distributed table, not a
+        // driver-derived LocalScan like the other metadata tables
+        new SnapChangesTable(tname, tdir.toString)
+      else new SnapMetaTable(tname, tdir.toString, ident.name())
     case _ => throw new NoSuchTableException(ident)
   }
 
@@ -1224,7 +1228,8 @@ private[sources] class SnapTable(tname: String, val dir: String,
         // mapping the lookup names are the PHYSICAL ones)
         new ManifestMicroBatchStream(dir,
           readSchema.fields.map(f => physName(f.name)),
-          readSchema.fields.map(_.dataType.typeName), maxEpochs)
+          readSchema.fields.map(_.dataType.typeName), maxEpochs,
+          ManifestSink.onChangeOf(options))
       }), colmap = colmap)
   }
 }
@@ -1312,7 +1317,8 @@ private[sources] class SnapMetaTable(tname: String, dir: String, meta: String)
 }
 
 private[sources] object SnapMetaTable {
-  val Names: Set[String] = Set("files", "history", "tags", "partitions")
+  val Names: Set[String] = Set("files", "history", "tags", "partitions",
+    "changes")
 
   private[sources] def rowsOf(dir: String, meta: String)
       : Array[org.apache.spark.sql.catalyst.InternalRow] = meta match {

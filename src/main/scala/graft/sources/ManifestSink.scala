@@ -362,6 +362,12 @@ object ManifestSink {
   private[sources] def latestCompact(dir: Path): Option[(Long, Path)] =
     listPrefixed(dir, "compact-").lastOption.map(p => (idOf(p), p))
 
+  /** The compaction horizon as a VERSION (-1 if never swept) — the
+    * default exclusive lower bound of a `.changes` read: epochs at or
+    * below it are unrecoverable per-epoch (round 17). */
+  private[sources] def compactionHorizon(path: String): Long =
+    latestCompact(Paths.get(path)).map(_._1).getOrElse(-1L)
+
   /** Loose (not-yet-compacted) epoch manifests NEWER than the compaction
     * horizon, in epoch order. Stale loose files at or below the horizon
     * (a crash mid-compaction) are subsets of the compact file and are
@@ -1807,6 +1813,14 @@ object ManifestSink {
       compactInterval)
   }
 
+  /** `ignoreDeletes`/`ignoreChanges` reader options → the tail's
+    * non-append policy (round 17, the Delta names): `ignoreChanges`
+    * subsumes `ignoreDeletes`. */
+  private[sources] def onChangeOf(options: CaseInsensitiveStringMap): String =
+    if (options.getBoolean("ignoreChanges", false)) "ignoreChanges"
+    else if (options.getBoolean("ignoreDeletes", false)) "ignoreDeletes"
+    else "refuse"
+
   /** The next unclaimed epoch id (one past the newest committed). */
   private[sources] def nextEpochId(dir: Path): Long =
     (latestCompact(dir).map(_._1).getOrElse(-1L) +:
@@ -2083,6 +2097,70 @@ object ManifestSink {
     }
   }
 
+  /** The window `(since, asOf]` as CHANGE PARTITIONS (round 17) — the
+    * per-file read specs both the `.changes` batch face and the
+    * streaming faces plan from, so batch CDF, streaming CDF and the
+    * rate-limited tail agree on semantics by construction:
+    *
+    *  - `cdf = true`: append adds → `insert` partitions; a
+    *    merge-on-read epoch's new dv files → KEEP-position partitions
+    *    over the targeted data files (`delete` / `update_preimage` by
+    *    `#op`) plus its adds (`insert` / `update_postimage`);
+    *    `#op compact` epochs → nothing (file rewrite ≠ row change);
+    *    copy-on-write epochs REFUSE — their change set is a multiset
+    *    diff (a join), not a per-file read; [[ChangeFeed.tableChanges]]
+    *    serves it exactly — unless `onChange = ignoreChanges`
+    *    re-delivers their adds as `insert`s (the Delta opt-out).
+    *  - `cdf = false` (the plain tail): append adds pass through;
+    *    remove/dv-carrying epochs REFUSE with the options named —
+    *    `ignoreDeletes` skips DELETE-ONLY epochs (no adds), and
+    *    `ignoreChanges` additionally re-delivers rewrite epochs' adds
+    *    (consumers must tolerate duplicates, exactly Delta's
+    *    contract). */
+  private[sources] def changePartitions(path: String, since: Long,
+      asOf: Long, cdf: Boolean, onChange: String)
+      : Seq[ManifestFilePartition] = {
+    def dataPath(n: String): String = Paths.get(path, "data", n).toString
+    def adds(d: EpochDelta, label: String): Seq[ManifestFilePartition] =
+      d.adds.map(n => ManifestFilePartition(dataPath(n),
+        changeType = if (cdf) label else null,
+        commitVersion = if (cdf) d.id else -1L))
+    def refuse(d: EpochDelta): Nothing = throw new IllegalStateException(
+      s"${if (cdf) "change-feed" else "incremental"} read ($since, " +
+        s"$asOf] on $path crosses a non-append epoch ${d.id} " +
+        s"(#op ${d.op}: ${d.removes.size} removes, ${d.dvs.size} dv " +
+        "records)" + (if (cdf)
+          " whose change set is a multiset diff — serve it exactly " +
+            "with ChangeFeed.tableChanges, or set ignoreChanges=true " +
+            "to re-deliver its added files as inserts"
+        else
+          " — set ignoreDeletes=true to skip delete-only epochs, or " +
+            "ignoreChanges=true to also re-deliver rewrite epochs' " +
+            "added files (duplicates possible); for exact row-level " +
+            "changes read the change feed"))
+    epochDeltas(path, since, asOf).flatMap { d =>
+      val deleteOnly = d.adds.isEmpty && (d.removes.nonEmpty || d.dvs.nonEmpty)
+      d.op match {
+        case "compact" | "metadata" => Seq.empty
+        case "append" => adds(d, "insert")
+        case _ if d.removes.nonEmpty || (!cdf && d.dvs.nonEmpty) =>
+          if (onChange == "ignoreChanges") adds(d, "insert")
+          else if (onChange == "ignoreDeletes" && deleteOnly) Seq.empty
+          else refuse(d)
+        case op => // merge-on-read epoch under cdf: exact per-file reads
+          val (preLabel, postLabel) =
+            if (op == "update") ("update_preimage", "update_postimage")
+            else ("delete", "insert")
+          val pre = d.dvs.groupBy(_._1).toSeq.sortBy(_._1).map {
+            case (data, recs) => ManifestFilePartition(dataPath(data),
+              recs.map(r => dataPath(r._2)), keepPositions = true,
+              changeType = preLabel, commitVersion = d.id)
+          }
+          pre ++ adds(d, postLabel)
+      }
+    }
+  }
+
   def logHistory(path: String): Seq[(Long, String, Long, Long, Long)] =
     retryVanish() {
       val dir = Paths.get(path)
@@ -2203,6 +2281,7 @@ case class ManifestTable(path: String, writeSchema: StructType,
       : org.apache.spark.sql.connector.read.ScanBuilder = {
     val maxEpochs = options.getInt("maxEpochsPerTrigger", Int.MaxValue)
     require(maxEpochs >= 1, s"maxEpochsPerTrigger must be >= 1, got $maxEpochs")
+    val onChange = ManifestSink.onChangeOf(options)
     new org.apache.spark.sql.connector.read.ScanBuilder {
       override def build(): org.apache.spark.sql.connector.read.Scan =
         new org.apache.spark.sql.connector.read.Scan {
@@ -2211,7 +2290,8 @@ case class ManifestTable(path: String, writeSchema: StructType,
               : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
             new ManifestMicroBatchStream(path,
               writeSchema.fields.map(_.name),
-              writeSchema.fields.map(_.dataType.typeName), maxEpochs)
+              writeSchema.fields.map(_.dataType.typeName), maxEpochs,
+              onChange)
         }
     }
   }
@@ -2868,9 +2948,19 @@ case class EpochOffset(id: Long)
 
 /** One committed data file of the batch's epoch window. `dvFiles`
   * (round 15) are the live position-delete files the reader must
-  * apply — absolute paths, empty for files without deletes. */
+  * apply — absolute paths, empty for files without deletes.
+  *
+  * CHANGE-FEED fields (round 17): `keepPositions` flips the dv set
+  * from a SKIP set to a KEEP set — the reader emits ONLY the rows at
+  * those positions (a merge-on-read epoch's pre-images ARE the rows
+  * its new dv files point at). `changeType`/`commitVersion` are
+  * served as the `_change_type`/`_commit_version` pseudo-columns —
+  * per-partition constants, zero bytes read for them. */
 case class ManifestFilePartition(file: String,
-    dvFiles: Seq[String] = Seq.empty)
+    dvFiles: Seq[String] = Seq.empty,
+    keepPositions: Boolean = false,
+    changeType: String = null,
+    commitVersion: Long = -1L)
     extends org.apache.spark.sql.connector.read.InputPartition
 
 /** The epoch log as a micro-batch SOURCE. STATELESS admission (the
@@ -2892,7 +2982,18 @@ case class ManifestFilePartition(file: String,
   * or an unknown ReadLimit subclass) admits everything available rather
   * than silently stalling. */
 class ManifestMicroBatchStream(path: String, fieldNames: Array[String],
-    fieldTypes: Array[String], maxEpochs: Int)
+    fieldTypes: Array[String], maxEpochs: Int,
+    /** `refuse` (default) | `ignoreDeletes` | `ignoreChanges` — what a
+      * non-append epoch in the tail does (round 17; the Delta option
+      * names and semantics). */
+    onChange: String = "refuse",
+    /** CDF mode (round 17): emit labeled change rows (the `.changes`
+      * streaming face) instead of plain appended rows. */
+    cdf: Boolean = false,
+    /** First epoch NOT served (exclusive lower bound) — the `.changes`
+      * face starts at the retention horizon by default rather than -1,
+      * because epochs at or below it are unrecoverable per-epoch. */
+    startAt: Long = -1L)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows}
@@ -2902,7 +3003,7 @@ class ManifestMicroBatchStream(path: String, fieldNames: Array[String],
     try ManifestSink.newestVersion(path)
     catch { case _: IllegalArgumentException => -1L } // no commits yet
 
-  override def initialOffset(): Offset = EpochOffset(-1L)
+  override def initialOffset(): Offset = EpochOffset(startAt)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   /** Epochs after `start` admitted by `limit`, capped at `end`. */
@@ -2958,8 +3059,8 @@ class ManifestMicroBatchStream(path: String, fieldNames: Array[String],
     val s = start.asInstanceOf[EpochOffset].id
     val e = end.asInstanceOf[EpochOffset].id
     if (e <= s) Array.empty
-    else ManifestSink.committedFilesBetween(path, s, e)
-      .map(f => ManifestFilePartition(f): InputPartition).toArray
+    else ManifestSink.changePartitions(path, s, e, cdf, onChange)
+      .map(p => p: InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     ManifestReadFactory(fieldNames, fieldTypes)
@@ -3024,8 +3125,14 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
         fr.getRecordCount)
       finally fr.close()
     }
+    // change-feed KEEP mode (round 17): the dv positions are the rows
+    // to EMIT, not to skip
+    def skipPos(p: Long): Boolean =
+      if (mp.keepPositions) !deleted.contains(p) else deleted.contains(p)
     val wanted = fieldNames.filterNot(n =>
-      n.equalsIgnoreCase("_file") || n.equalsIgnoreCase("_pos"))
+      n.equalsIgnoreCase("_file") || n.equalsIgnoreCase("_pos") ||
+        n.equalsIgnoreCase("_change_type") ||
+        n.equalsIgnoreCase("_commit_version"))
     val projected = new java.util.ArrayList[org.apache.parquet.schema.Type]()
     (0 until fileFields.size()).foreach { j =>
       val f = fileFields.get(j)
@@ -3044,11 +3151,16 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
             if (fieldNames(i).equalsIgnoreCase("_file"))
               org.apache.spark.unsafe.types.UTF8String.fromString(
                 Paths.get(file).getFileName.toString)
+            else if (fieldNames(i).equalsIgnoreCase("_change_type") &&
+                mp.changeType != null)
+              org.apache.spark.unsafe.types.UTF8String.fromString(mp.changeType)
+            else if (fieldNames(i).equalsIgnoreCase("_commit_version") &&
+                mp.changeType != null) mp.commitVersion
             else null
           }.toArray)
         override def next(): Boolean = {
           pos += 1
-          while (pos < fileRows && deleted.contains(pos)) pos += 1
+          while (pos < fileRows && skipPos(pos)) pos += 1
           pos < fileRows
         }
         override def get(): InternalRow = {
@@ -3098,7 +3210,7 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
       private var pos = -1L // row ordinal within the file
       override def next(): Boolean = {
         cur = in.read(); pos += 1
-        while (cur != null && deleted.contains(pos)) {
+        while (cur != null && skipPos(pos)) {
           cur = in.read(); pos += 1
         }
         cur != null
@@ -3123,6 +3235,12 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
                 org.apache.spark.unsafe.types.UTF8String.fromString(
                   java.nio.file.Paths.get(file).getFileName.toString)
               else if (fieldNames(i).equalsIgnoreCase("_pos")) pos
+              else if (fieldNames(i).equalsIgnoreCase("_change_type") &&
+                  mp.changeType != null)
+                org.apache.spark.unsafe.types.UTF8String.fromString(
+                  mp.changeType)
+              else if (fieldNames(i).equalsIgnoreCase("_commit_version") &&
+                  mp.changeType != null) mp.commitVersion
               else null // pre-evolution file
             }
             else {

@@ -751,7 +751,12 @@ class StreamingSpec extends AnyFunSuite {
         // the tail query runs TWO streaming queries: the 4-epoch writer
         // and the log-tailing reader (maxEpochsPerTrigger=1 ⇒ exactly
         // one micro-batch per committed epoch)
-        "q_stream_tail" -> ("graft_snap_tail", 4))
+        "q_stream_tail" -> ("graft_snap_tail", 4),
+        // the .changes CDF tail: 6 epochs (CREATE, 2 appends, dv
+        // delete, dv update, compact), maxEpochsPerTrigger=1 ⇒ one
+        // trigger per epoch — the metadata and compact epochs cost a
+        // trigger but read zero bytes
+        "q_snap_cdf_stream" -> ("graft_snap_cdf_sink", 6))
       for ((q, _) <- expect) SparkEntry.queries(q)(spark, TestSpark.Sf0001).count()
       // listener delivery is async — wait for the bus to drain
       var waited = 0
@@ -764,5 +769,131 @@ class StreamingSpec extends AnyFunSuite {
             "an extra trigger is wasted fixed cost, a missing one is " +
             "missing semantics")
     } finally children.foreach(_.streams.removeListener(listener))
+  }
+
+  test("NON-APPEND EPOCHS in a streaming tail (round 17): strict mode " +
+    "refuses loudly naming the opt-outs; ignoreDeletes skips a dv-only " +
+    "epoch and resumes at the next offset across restarts (nothing " +
+    "skipped, nothing duplicated); ignoreChanges re-delivers a COW " +
+    "rewrite's adds; and the .changes face streams labeled change rows " +
+    "with one trigger per epoch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tail_change")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.sql("CREATE TABLE graft.snap.st (k BIGINT, v STRING)")   // epoch 0
+    def append(rows: (Long, String)*): Unit = locally {
+      import s.implicits._
+      rows.toDF("k", "v").coalesce(1).writeTo("graft.snap.st").append()
+    }
+    val ckpt = root.resolve("ckpt").toString
+    // foreachBatch (checkpoint-recoverable, unlike the memory sink):
+    // each phase drains into its own buffer, so what a RESTART serves
+    // is observable in isolation
+    val phase = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def start(opts: Map[String, String]) = {
+      phase.clear()
+      var r = s.readStream
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.table("graft.snap.st")
+        .writeStream.foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.collect().foreach(r =>
+              phase.add((r.getLong(0), r.getString(1)))); ()
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+    def rows(): Seq[(Long, String)] = {
+      import scala.jdk.CollectionConverters._
+      phase.asScala.toSeq.sorted
+    }
+
+    append((1L, "a"), (2L, "b"))                               // epoch 1
+    val q1 = start(Map.empty)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(rows() == Seq((1L, "a"), (2L, "b")))
+
+    s.conf.set("spark.sql.catalog.graft.snap.st.deleteMode", "mor")
+    s.sql("DELETE FROM graft.snap.st WHERE k = 1")             // epoch 2
+    append((3L, "c"))                                          // epoch 3
+
+    // strict: the dv epoch refuses LOUDLY, naming both opt-outs
+    val q2 = start(Map.empty)
+    val eStrict = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable(); q2.awaitTermination(30000)
+    }
+    q2.stop()
+    val msg = Option(eStrict.getCause).map(_.toString).getOrElse(eStrict.toString)
+    assert(msg.contains("ignoreDeletes") && msg.contains("ignoreChanges") &&
+      msg.contains("change feed"), msg)
+
+    // ignoreDeletes: the dv-only epoch is skipped, epoch 3 serves, and
+    // the offset survived BOTH the stop and the failed strict run —
+    // exactly {(3,c)} lands, nothing re-read, nothing skipped
+    val q3 = start(Map("ignoreDeletes" -> "true"))
+    try q3.processAllAvailable() finally q3.stop()
+    assert(rows() == Seq((3L, "c")),
+      s"restart must resume past the skipped epoch: ${rows()}")
+
+    append((4L, "d"), (5L, "e"))                               // epoch 4
+    s.conf.set("spark.sql.catalog.graft.snap.st.deleteMode", "cow")
+    s.sql("DELETE FROM graft.snap.st WHERE k = 4")             // epoch 5
+    // a COW rewrite carries adds: ignoreDeletes is NOT enough
+    // one epoch per trigger: epoch 4 serves in its own batch, THEN
+    // the rewrite epoch refuses
+    val q4 = start(Map("ignoreDeletes" -> "true",
+      "maxEpochsPerTrigger" -> "1"))
+    val eRewrite = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q4.processAllAvailable(); q4.awaitTermination(30000)
+    }
+    q4.stop()
+    assert(eRewrite.toString.contains("ignoreChanges"), eRewrite.toString)
+    assert(rows() == Seq((4L, "d"), (5L, "e")),
+      "epoch 4 serves before the refusal")
+    // ignoreChanges: the rewrite's adds re-deliver (documented dup)
+    val q5 = start(Map("ignoreChanges" -> "true"))
+    try q5.processAllAvailable() finally q5.stop()
+    assert(rows() == Seq((5L, "e")),
+      s"the survivor file re-delivers, once: ${rows()}")
+
+    // ——— the .changes face streams LABELED rows, one trigger per epoch
+    val cdf = s.readStream
+      .option("maxEpochsPerTrigger", "1")
+      .option("ignoreChanges", "true") // epoch 5 is a COW rewrite
+      .table("graft.snap.st.changes")
+      .writeStream.format("memory").queryName("tail_cdf")
+      .option("checkpointLocation", root.resolve("ckpt_cdf").toString)
+      .start()
+    try cdf.processAllAvailable() finally cdf.stop()
+    val changes = s.table("tail_cdf").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(t => (t._4, t._3, t._1))
+    assert(changes == Seq(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (1L, "a", "delete", 2L),
+      (3L, "c", "insert", 3L),
+      (4L, "d", "insert", 4L), (5L, "e", "insert", 4L),
+      (5L, "e", "insert", 5L)), s"labeled change rows: $changes")
+    val dataTriggers = cdf.recentProgress.count(_.numInputRows > 0)
+    assert(dataTriggers == 5,
+      s"one data trigger per non-empty epoch (1..5): $dataTriggers")
+
+    // ——— the .changes face answers BATCH SQL over the retained window
+    val batchChanges = s.sql(
+      """SELECT _commit_version, _change_type, count(*) AS n
+        |FROM graft.snap.st.changes
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    val eBatch = intercept[Exception] { batchChanges.collect() }
+    assert(eBatch.getMessage.contains("ignoreChanges"), eBatch.getMessage)
+    val bounded = s.read.option("sinceVersion", "0").option("asOfVersion", "4")
+      .table("graft.snap.st.changes").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(bounded == Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (1L, "a", "delete", 2L), (3L, "c", "insert", 3L),
+      (4L, "d", "insert", 4L), (5L, "e", "insert", 4L)),
+      s"bounded batch window: $bounded")
+    graft.util.Fs.deleteRecursively(root)
   }
 }
