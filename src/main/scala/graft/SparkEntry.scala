@@ -236,6 +236,7 @@ object SparkEntry {
     "q_snap_cdf"         -> Materialize.snapCdf _,
     "q_snap_cdf_incr"    -> Materialize.snapCdfIncr _,
     "q_snap_cdf_stream"  -> Materialize.snapCdfStream _,
+    "q_snap_nested_evolve" -> Materialize.snapNestedEvolve _,
     "q_snap_dv_delete"   -> Materialize.snapDvDelete _,
     "q_snap_dv_update"   -> Materialize.snapDvUpdate _,
     "q_snap_dv_merge"    -> Materialize.snapDvMerge _,
@@ -2467,6 +2468,22 @@ object SparkEntry {
         |  CAST(sum(n_chars + 1000) AS BIGINT)
         |FROM complete WHERE lang = 'de' AND doc_id % 5 = 0
         |GROUP BY lang""".stripMargin,
+    "q_snap_nested_evolve" -> // struct-field rename/drop/widen/add as
+      // pure metadata: pre-evolution files promote the narrow inner
+      // int and null-fill the added field; both eras aggregate under
+      // the renamed inner name
+      """WITH complete AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_score,
+        |  CAST(NULL AS BIGINT) AS sum_bonus
+        |FROM complete WHERE lang IN ('de', 'es') GROUP BY lang
+        |UNION ALL
+        |SELECT lang, count(*), CAST(sum(n_chars + 3000000000) AS BIGINT),
+        |  CAST(sum(doc_id) AS BIGINT)
+        |FROM complete WHERE lang = 'en' GROUP BY lang""".stripMargin,
     "q_snap_cdf_incr" -> // incremental materialization from the feed:
       // signed replay of the change rows must equal the batch
       // recompute of the lifecycle's final state

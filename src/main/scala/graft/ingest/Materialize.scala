@@ -2427,4 +2427,50 @@ object Materialize {
         |FROM graft_cdfs_feed
         |GROUP BY 1, 2, 3""".stripMargin)
   }
+
+  /** NESTED-FIELD EVOLUTION (`q_snap_nested_evolve`, round 17):
+    * rename + drop via dotted `#colmap` entries and inner widening +
+    * inner add via one `#schema` epoch, all zero-bytes-rewritten —
+    * then a post-evolution append under the NEW names and wide type,
+    * and one aggregate over BOTH eras: pre-evolution files serve the
+    * renamed field by its physical name, null-fill the added field
+    * and promote the narrow inner int; the dropped field is gone from
+    * the face. The oracle reconstructs both eras from `documents`. */
+  def snapNestedEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_ne_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    complete.createOrReplaceTempView("graft_ne_src")
+    spark.sql(
+      """CREATE TABLE graft.snap.docne (doc_id BIGINT,
+        |  meta STRUCT<lang: STRING, score: INT, junk: STRING>)
+        |""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.snap.docne
+        |SELECT doc_id, named_struct('lang', lang,
+        |  'score', CAST(n_chars AS INT), 'junk', 'x')
+        |FROM graft_ne_src WHERE lang IN ('de', 'es')""".stripMargin)
+    spark.sql("ALTER TABLE graft.snap.docne RENAME COLUMN meta.lang " +
+      "TO language")
+    spark.sql("ALTER TABLE graft.snap.docne DROP COLUMN meta.junk")
+    spark.sql("ALTER TABLE graft.snap.docne ALTER COLUMN meta.score " +
+      "TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.snap.docne ADD COLUMN meta.bonus BIGINT")
+    spark.sql(
+      """INSERT INTO graft.snap.docne
+        |SELECT doc_id, named_struct('language', lang,
+        |  'score', n_chars + 3000000000, 'bonus', doc_id)
+        |FROM graft_ne_src WHERE lang = 'en'""".stripMargin)
+    spark.sql(
+      """SELECT meta.language AS lang, count(*) AS n_docs,
+        |  sum(meta.score) AS sum_score, sum(meta.bonus) AS sum_bonus
+        |FROM graft.snap.docne
+        |GROUP BY meta.language""".stripMargin)
+  }
 }

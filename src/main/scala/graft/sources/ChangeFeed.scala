@@ -248,7 +248,7 @@ private[sources] class SnapChangesTable(tname: String, dir: String)
     physSchema.fields.map(_.name) ++
       Array(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitVersionCol)
   private def fieldTypes: Array[String] =
-    physSchema.fields.map(_.dataType.typeName) ++ Array("string", "long")
+    physSchema.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)) ++ Array("string", "long")
 
   override def name(): String = s"snap($tname).changes"
   override def schema(): StructType = servedSchema

@@ -196,20 +196,26 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   override def loadTable(ident: Identifier, version: String): Table =
     ident.namespace().toSeq match {
       case Seq(SnapNs) =>
-        val v = version.toLongOption.getOrElse {
-          // SNAPSHOT TAGS (round 16): a non-numeric version is a tag
-          // name — `VERSION AS OF 'release-1'` reads the epoch the tag
-          // points at (the Iceberg tag shape)
-          val tdir = new java.io.File(snapRoot(ident), ident.name())
-          GraftCatalog.requireValidTableName(ident.name())
-          val tags = ManifestSink.tableTags(tdir.toString)
-          tags.getOrElse(version, throw new IllegalArgumentException(
-            s"graft.snap.${ident.name()}: no tag '$version' " +
-              s"(tags: ${if (tags.isEmpty) "none"
-                else tags.toSeq.sorted.map { case (n, e) => s"$n=$e" }
-                  .mkString(", ")}; integers are epoch ids)"))
+        version.toLongOption match {
+          case Some(v) => snapTable(ident, Some(v))
+          case None =>
+            // a non-numeric version is a BRANCH (round 17: main + the
+            // staged adds) or a TAG (round 16: a pinned epoch id)
+            val tdir = new java.io.File(snapRoot(ident), ident.name())
+            GraftCatalog.requireValidTableName(ident.name())
+            if (ManifestSink.tableBranches(tdir.toString).contains(version))
+              snapTable(ident, None, branch = Some(version))
+            else {
+              val tags = ManifestSink.tableTags(tdir.toString)
+              val v = tags.getOrElse(version,
+                throw new IllegalArgumentException(
+                  s"graft.snap.${ident.name()}: no tag or branch " +
+                    s"'$version' (tags: ${if (tags.isEmpty) "none"
+                      else tags.toSeq.sorted.map { case (n, e) => s"$n=$e" }
+                        .mkString(", ")}; integers are epoch ids)"))
+              snapTable(ident, Some(v))
+            }
         }
-        snapTable(ident, Some(v))
       case _ => super.loadTable(ident, version)
     }
 
@@ -246,7 +252,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     *
     * Either way the declared schema is verified against every recorded
     * `#schema` before serving ([[ManifestSink.verifyDeclaredSchema]]). */
-  private def snapTable(ident: Identifier, asOf: Option[Long]): Table = {
+  private def snapTable(ident: Identifier, asOf: Option[Long],
+      branch: Option[String] = None): Table = {
     GraftCatalog.requireValidTableName(ident.name())
     val tdir = new java.io.File(snapRoot(ident), ident.name())
     if (!tdir.isDirectory) throw new NoSuchTableException(ident)
@@ -282,7 +289,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     // PHYSICAL one (what files, #stats and #spec are keyed by); the
     // log's #colmap renames it to the LOGICAL schema users query
     new SnapTable(ident.name(), tdir.toString, schema, asOf, mode,
-      ManifestSink.columnMapping(tdir.toString))
+      ManifestSink.columnMapping(tdir.toString), branch)
   }
 
   private def snapRoot(ident: Identifier): String =
@@ -367,6 +374,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         new TagProcedure(() => snapDirOrFail("create_tag"), create = true)
       case Seq(SysNs) if ident.name() == "drop_tag" =>
         new TagProcedure(() => snapDirOrFail("drop_tag"), create = false)
+      case Seq(SysNs) if ident.name() == "create_branch" =>
+        new BranchProcedure(() => snapDirOrFail("create_branch"),
+          create = true)
+      case Seq(SysNs) if ident.name() == "drop_branch" =>
+        new BranchProcedure(() => snapDirOrFail("drop_branch"),
+          create = false)
+      case Seq(SysNs) if ident.name() == "fast_forward" =>
+        new FastForwardProcedure(() => snapDirOrFail("fast_forward"))
       case _ => throw new UnsupportedOperationException(
         s"$catalogName has no procedure $ident " +
           s"(available: $SysNs.vacuum, $SysNs.compact_data)")
@@ -397,7 +412,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     GraftCatalog.requireValidTableName(name)
     // fail BEFORE claiming: every column must be sink-encodable
     ManifestWriters.parquetType(schema.fields.map(_.name),
-      schema.fields.map(_.dataType.typeName))
+      schema.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)))
     // PARTITIONED BY (round 15): identity / days / bucket transforms,
     // recorded once as the immutable `#spec` next to the `#schema`
     val spec = partitions.toSeq.map(toPartField(name, schema, _))
@@ -509,8 +524,64 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val widened = scala.collection.mutable.LinkedHashMap[
       String, org.apache.spark.sql.types.DataType]()
     val setProps = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    // nested ADDs: physical top name -> appended inner fields (r17)
+    val addedNested = scala.collection.mutable.ArrayBuffer[
+      (String, org.apache.spark.sql.types.StructField)]()
     var renames = mapping
+    // NESTED-FIELD EVOLUTION (round 17): resolve a (logical top,
+    // logical inner) reference to physical names — the parent must be
+    // a live STRUCT column (array/map element evolution refuses, one
+    // level of nesting is the supported depth), the inner field
+    // resolves through the dotted `#colmap` entries exactly like a
+    // top-level name does through the flat ones.
+    def resolveNestedTop(names: Array[String], what: String)
+        : (String, org.apache.spark.sql.types.StructType) = {
+      require(names.length == 2,
+        s"graft.snap.${ident.name()}: $what supports top-level columns " +
+          s"and ONE level of struct nesting, got ${names.mkString(".")}")
+      val top = names(0)
+      val physTop = cur.physSchema.fields.map(_.name)
+        .find(p => renames.getOrElse(p, p).equalsIgnoreCase(top) &&
+          !renames.get(p).contains(ManifestSink.DroppedColumn))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft.snap.${ident.name()}: no column '$top'"))
+      cur.physSchema.fields.find(_.name.equalsIgnoreCase(physTop))
+        .get.dataType match {
+        case s: org.apache.spark.sql.types.StructType => (physTop, s)
+        case other => throw new UnsupportedOperationException(
+          s"graft.snap.${ident.name()}: $what inside '$top' " +
+            s"(${other.typeName}) is not supported — nested evolution " +
+            "covers STRUCT fields only; array/map element evolution " +
+            "would reinterpret committed repetition levels")
+      }
+    }
+    def resolveNested(names: Array[String], what: String)
+        : (String, String, org.apache.spark.sql.types.StructType) = {
+      val (physTop, st) = resolveNestedTop(names, what)
+      val physInner = st.fields.map(_.name)
+        .find(pi => renames.getOrElse(s"$physTop.$pi", pi)
+            .equalsIgnoreCase(names(1)) &&
+          !renames.get(s"$physTop.$pi")
+            .contains(ManifestSink.DroppedColumn))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft.snap.${ident.name()}: no field " +
+            s"'${names(0)}.${names(1)}'"))
+      (physTop, physInner, st)
+    }
     changes.foreach {
+      case a: TableChange.AddColumn if a.fieldNames().length > 1 =>
+        val (physTop, st) = resolveNestedTop(a.fieldNames(), "ADD COLUMN")
+        val nm = a.fieldNames().last
+        require(a.isNullable,
+          s"graft.snap.${ident.name()}: an added struct field must be " +
+            "nullable — committed pre-evolution files serve null for it")
+        val taken = st.fields.map(_.name).toSeq ++
+          st.fields.map(f => renames.getOrElse(s"$physTop.${f.name}", f.name))
+        require(!taken.exists(_.equalsIgnoreCase(nm)),
+          s"graft.snap.${ident.name()}: field '${a.fieldNames()(0)}.$nm' " +
+            "already exists (as a logical or physical name)")
+        addedNested += ((physTop, org.apache.spark.sql.types.StructField(
+          nm, a.dataType(), nullable = true)))
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           s"graft.snap.${ident.name()}: only top-level ADD COLUMN is " +
@@ -520,6 +591,27 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
             "— committed pre-evolution files serve null for it")
         added += org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = true)
+      case rn: TableChange.RenameColumn if rn.fieldNames().length > 1 =>
+        // nested RENAME (round 17): a dotted `#colmap` entry keyed by
+        // the PHYSICAL path — zero bytes rewritten, same contract as
+        // the top-level rename applied one level down
+        val (pt, pi, st) = resolveNested(rn.fieldNames(), "RENAME COLUMN")
+        val to = rn.newName()
+        require(to != ManifestSink.DroppedColumn &&
+            ManifestSink.propSafe(to) && !to.contains("."),
+          s"graft.snap.${ident.name()}: '$to' is not a legal field name")
+        val taken = st.fields.map(_.name).toSeq ++
+          st.fields.map(f => renames.getOrElse(s"$pt.${f.name}", f.name))
+        val conflicts = taken.filter(_.equalsIgnoreCase(to))
+          .filterNot(n => n.equalsIgnoreCase(rn.fieldNames()(1)) ||
+            n.equalsIgnoreCase(pi))
+        require(conflicts.isEmpty,
+          s"graft.snap.${ident.name()}: field " +
+            s"'${rn.fieldNames()(0)}.$to' already exists " +
+            "(as a logical or physical name)")
+        renames =
+          if (to == pi) renames - s"$pt.$pi"
+          else renames + (s"$pt.$pi" -> to)
       case rn: TableChange.RenameColumn =>
         // RENAME COLUMN (round 16, the Delta column-mapping shape): a
         // pure-metadata `#colmap` epoch — the PHYSICAL name stays in
@@ -551,6 +643,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         renames =
           if (to == phys) renames - phys // renamed back: identity again
           else renames + (phys -> to)
+      case d: TableChange.DeleteColumn if d.fieldNames().length > 1 =>
+        // nested DROP (round 17): `#colmap s.a=-` — the logical struct
+        // omits the field, new files lack it, zero bytes rewritten
+        val (pt, pi, st) = resolveNested(d.fieldNames(), "DROP COLUMN")
+        val liveLeft = st.fields.count(f =>
+          !renames.get(s"$pt.${f.name}")
+            .contains(ManifestSink.DroppedColumn) && f.name != pi)
+        require(liveLeft >= 1,
+          s"graft.snap.${ident.name()}: cannot drop the last field of " +
+            s"struct '${d.fieldNames()(0)}' — drop the column itself")
+        renames = renames + (s"$pt.$pi" -> ManifestSink.DroppedColumn)
       case d: TableChange.DeleteColumn =>
         // DROP COLUMN (round 16): a `#colmap <phys>=-` tombstone — the
         // logical schema omits the column, new files simply lack it,
@@ -593,6 +696,19 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
               "be token-safe")
         }
         setProps += ((p.property(), p.value()))
+      case ut: TableChange.UpdateColumnType if ut.fieldNames().length > 1 =>
+        // nested WIDENING (round 17): one pure-metadata `#schema`
+        // epoch with the inner field widened; pre-evolution files
+        // serve through promotion exactly like top-level widening
+        val (pt, pi, st) = resolveNested(ut.fieldNames(),
+          "ALTER COLUMN TYPE")
+        val oldT = st.fields.find(_.name.equalsIgnoreCase(pi)).get.dataType
+        require(ManifestSink.widens(oldT, ut.newDataType()),
+          s"graft.snap.${ident.name()}: cannot change " +
+            s"'${ut.fieldNames().mkString(".")}' from ${oldT.typeName} " +
+            s"to ${ut.newDataType().typeName} — only WIDENING changes " +
+            "are supported")
+        widened += (s"$pt.$pi" -> ut.newDataType())
       case ut: TableChange.UpdateColumnType =>
         // TYPE WIDENING (round 16): integrals up to long, float to
         // double — the safe-promotion set BOTH of Spark's parquet
@@ -635,14 +751,27 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     }
     // the recorded #schema stays PHYSICAL; an added column's physical
     // name IS its logical name at birth; widened columns keep their
-    // physical name with the wider type
+    // physical name with the wider type. Nested widens/adds (round 17)
+    // rebuild the struct field under its dotted keys.
     val evolved = org.apache.spark.sql.types.StructType(
-      cur.physSchema.fields.map(f =>
-        widened.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f))
-        ++ added)
-    if (added.nonEmpty || widened.nonEmpty) {
+      cur.physSchema.fields.map { f0 =>
+        val f = widened.get(f0.name).map(t => f0.copy(dataType = t))
+          .getOrElse(f0)
+        f.dataType match {
+          case s: org.apache.spark.sql.types.StructType =>
+            val innerWidened = s.fields.map(g =>
+              widened.get(s"${f.name}.${g.name}")
+                .map(t => g.copy(dataType = t)).getOrElse(g))
+            val innerAdded = addedNested.collect {
+              case (top, fld) if top.equalsIgnoreCase(f.name) => fld }
+            f.copy(dataType = org.apache.spark.sql.types.StructType(
+              innerWidened ++ innerAdded))
+          case _ => f
+        }
+      } ++ added)
+    if (added.nonEmpty || widened.nonEmpty || addedNested.nonEmpty) {
       ManifestWriters.parquetType(evolved.fields.map(_.name),
-        evolved.fields.map(_.dataType.typeName))
+        evolved.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)))
       ManifestSink.commitSchemaEpoch(cur.dir, evolved.toDDL)
     }
     if (setProps.nonEmpty)
@@ -831,7 +960,10 @@ object GraftCatalog {
 private[sources] class SnapTable(tname: String, val dir: String,
     tschema: org.apache.spark.sql.types.StructType, asOf: Option[Long],
     deleteMode: String = "cow",
-    colmap: Map[String, String] = Map.empty)
+    colmap: Map[String, String] = Map.empty,
+    /** Branch READ face (round 17): `VERSION AS OF '<branch>'` serves
+      * main + the branch's staged adds; read-only like `asOf`. */
+    branch: Option[String] = None)
     extends Table with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -861,13 +993,10 @@ private[sources] class SnapTable(tname: String, val dir: String,
       .contains(ManifestSink.DroppedColumn)
   private def logicalize(st: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(
-      st.fields.filterNot(f => isDropped(f.name))
-        .map(f => f.copy(name = logicalName(f.name))))
+    ManifestSink.logicalizeStruct(st, logicalOfPhys)
   private def physicalize(st: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(
-      st.fields.map(f => f.copy(name = physName(f.name))))
+    ManifestSink.physicalizeStruct(st, tschema, logicalOfPhys)
 
   /** The physical (declared/recorded) schema — what every file-facing
     * op reads and writes under. */
@@ -924,6 +1053,10 @@ private[sources] class SnapTable(tname: String, val dir: String,
     if (asOf.isDefined) throw new UnsupportedOperationException(
       s"graft.snap.$tname VERSION AS OF ${asOf.get}: historical " +
         "snapshots are immutable — run the operation on the current table")
+    if (branch.isDefined || wapBranch.isDefined)
+      throw new UnsupportedOperationException(
+        s"graft.snap.$tname: row-level operations cannot target a " +
+          "branch — appends are the stageable writes; publish first")
     if (deleteMode == "mor")
       () => new SnapDeltaOperation(tname, dir, tschema, info.command(), colmap)
     else
@@ -949,12 +1082,25 @@ private[sources] class SnapTable(tname: String, val dir: String,
     if (asOf.isDefined) throw new UnsupportedOperationException(
       s"graft.snap.$tname VERSION AS OF ${asOf.get}: historical " +
         "snapshots are immutable — append to the current table")
+    if (branch.isDefined) throw new UnsupportedOperationException(
+      s"graft.snap.$tname VERSION AS OF '${branch.get}': the branch " +
+        "READ face is immutable — stage writes by setting " +
+        "spark.graft.wap.branch and writing to the main table name")
     ManifestSink.verifyDeclaredSchema(dir, s"graft.snap.$tname INSERT", tschema)
     val book = ManifestSink.partitionSpecs(dir)
     ManifestTable(dir, tschema, compactInterval = tblCompactInterval,
       spec = book.current, specId = book.currentId,
-      renameCols = physOfLogical).newWriteBuilder(info)
+      renameCols = physOfLogical,
+      colmapAll = logicalOfPhys,
+      forBranch = wapBranch).newWriteBuilder(info)
   }
+
+  /** The session's write-audit-publish target (round 17, the Iceberg
+    * `spark.wap.branch` shape): when set, every batch APPEND to this
+    * table stages on that branch instead of publishing to main. */
+  private def wapBranch: Option[String] =
+    SparkSession.active.conf.getOption("spark.graft.wap.branch")
+      .map(_.trim).filter(_.nonEmpty)
 
   private def hasCol(c: String): Boolean =
     schema().fields.exists(_.name.equalsIgnoreCase(c))
@@ -1034,6 +1180,10 @@ private[sources] class SnapTable(tname: String, val dir: String,
     * on this destructive path would otherwise silently drop an evolved
     * column from the survivor files it commits. */
   override def deleteWhere(logicalFilters: Array[Filter]): Unit = {
+    if (branch.isDefined || wapBranch.isDefined)
+      throw new UnsupportedOperationException(
+        s"graft.snap.$tname: DELETE cannot target a branch — appends " +
+          "are the stageable writes; publish first")
     val spark = SparkSession.active
     // the predicate arrives in LOGICAL names; everything below — the
     // stats/partition walks and the survivor/dv reads — is physical
@@ -1171,6 +1321,8 @@ private[sources] class SnapTable(tname: String, val dir: String,
             f -> list.map(e => new java.io.File(new java.io.File(dir, "data"),
               e._1).toString) })
       }
+      if (branch.isDefined)
+        return eager(ManifestSink.branchFiles(dir, branch.get))
       (since, upTo) match {
         case (Some(s), Some(v)) =>
           eager(ManifestSink.committedFilesBetween(dir, s, v))
@@ -1214,11 +1366,13 @@ private[sources] class SnapTable(tname: String, val dir: String,
         // snapshot, time travel, incremental windows AND the stream.
         // A pinned historical window cannot be tailed (the stream's
         // offsets are live epoch ids), so version options refuse.
-        if (asOf.isDefined || options.containsKey("asOfVersion") ||
+        if (asOf.isDefined || branch.isDefined ||
+            options.containsKey("asOfVersion") ||
             options.containsKey("sinceVersion"))
           throw new IllegalArgumentException(
             s"graft.snap.$tname: streaming reads tail the LIVE log — " +
-              "asOfVersion/sinceVersion/VERSION AS OF do not apply " +
+              "asOfVersion/sinceVersion/VERSION AS OF (and branch " +
+              "reads) do not apply " +
               "(use maxEpochsPerTrigger to rate-limit admission)")
         val maxEpochs = options.getInt("maxEpochsPerTrigger", Int.MaxValue)
         require(maxEpochs >= 1,
@@ -1227,8 +1381,17 @@ private[sources] class SnapTable(tname: String, val dir: String,
         // schema simply reads fewer columns per file (under a column
         // mapping the lookup names are the PHYSICAL ones)
         new ManifestMicroBatchStream(dir,
-          readSchema.fields.map(f => physName(f.name)),
-          readSchema.fields.map(_.dataType.typeName), maxEpochs,
+          {
+            val prs = ManifestSink.physicalizeStruct(readSchema, tschema,
+              colmap.map { case (p, l) => p.toLowerCase -> l })
+            prs.fields.map(_.name)
+          },
+          {
+            val prs = ManifestSink.physicalizeStruct(readSchema, tschema,
+              colmap.map { case (p, l) => p.toLowerCase -> l })
+            prs.fields.map(f =>
+              graft.sources.ManifestSink.typeTokOf(f.dataType))
+          }, maxEpochs,
           ManifestSink.onChangeOf(options))
       }), colmap = colmap)
   }
@@ -1611,20 +1774,29 @@ private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
       .contains(ManifestSink.DroppedColumn)
   private def logicalize(st: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(
-      st.fields.filterNot(f => isDropped(f.name)).map(f =>
-        f.copy(name = logicalOfPhys.getOrElse(f.name.toLowerCase, f.name))))
+    ManifestSink.logicalizeStruct(st, logicalOfPhys)
   private def physicalize(st: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(
-      st.fields.map(f => f.copy(name = physName(f.name))))
-  /** The physical schema MINUS dropped columns — what the parquet
-    * delegate (and any full-width read) is built with, so positions
-    * align with the logical schema. */
+    ManifestSink.physicalizeStruct(st, tschema, logicalOfPhys)
+  /** The physical schema MINUS dropped columns (top-level AND nested,
+    * round 17) — what the parquet delegate (and any full-width read)
+    * is built with, so positions align with the logical schema. */
   private def servedPhys(st: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType =
+    dropDropped(st, "")
+  private def dropDropped(st: org.apache.spark.sql.types.StructType,
+      prefix: String): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(
-      st.fields.filterNot(f => isDropped(f.name)))
+      st.fields.filterNot(f => logicalOfPhys
+          .get((prefix + f.name).toLowerCase)
+          .contains(ManifestSink.DroppedColumn))
+        .map { f =>
+          f.dataType match {
+            case s: org.apache.spark.sql.types.StructType =>
+              f.copy(dataType = dropDropped(s, prefix + f.name + "."))
+            case _ => f
+          }
+        })
 
   private var catalystFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
   private var filters: Array[Filter] = Array.empty
@@ -1711,8 +1883,15 @@ private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
             : org.apache.spark.sql.connector.read.InputPartition).toArray
         override def createReaderFactory()
             : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-          ManifestReadFactory(rs.fields.map(f => physName(f.name)),
-            rs.fields.map(_.dataType.typeName))
+          {
+            // physical lookup names AND physical inner struct names
+            // (round 17) — the by-name group reader resolves nested
+            // fields against the file's physical layout
+            val prs = physicalize(rs)
+            ManifestReadFactory(prs.fields.map(_.name),
+              prs.fields.map(f =>
+                graft.sources.ManifestSink.typeTokOf(f.dataType)))
+          }
         override def toMicroBatchStream(checkpointLocation: String)
             : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
           streamSource match {

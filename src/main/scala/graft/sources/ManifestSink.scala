@@ -174,6 +174,12 @@ object ManifestSink {
     }
   }
 
+  /** [[ManifestWriters.typeTok]], the type token a field travels the
+    * writer/reader plumbing as (round 17: structs ride as JSON). */
+  private[sources] def typeTokOf(
+      dt: org.apache.spark.sql.types.DataType): String =
+    ManifestWriters.typeTok(dt)
+
   /** Zero-padded so lexicographic directory order IS epoch order. */
   private[sources] def epochName(epochId: Long): String = f"epoch-$epochId%020d"
 
@@ -261,7 +267,8 @@ object ManifestSink {
       schemas: Seq[String],
       specs: Seq[String],
       colmap: Map[String, String],
-      tags: Map[String, Long])
+      tags: Map[String, Long],
+      branches: Map[String, Long])
   private val PlanCacheCap = 64
   private val planCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(String, Object, Long, java.nio.file.attribute.FileTime)],
@@ -294,8 +301,11 @@ object ManifestSink {
       val schemas = scala.collection.mutable.LinkedHashSet[String]()
       val specs = scala.collection.mutable.LinkedHashSet[String]()
       val tags = scala.collection.mutable.LinkedHashMap[String, Long]()
+      val branches = scala.collection.mutable.LinkedHashMap[String, Long]()
       var colmap = Map.empty[String, String]
-      frags.foreach { p =>
+      // BRANCH-STAGED epochs (round 17) are invisible to the main
+      // snapshot: their whole content is skipped until published
+      frags.filter(branchOf(_).isEmpty).foreach { p =>
         readLines(p).foreach { l =>
           if (!l.startsWith("#")) union.add(l)
           else if (l.startsWith("#remove ")) {
@@ -320,6 +330,10 @@ object ManifestSink {
             case (n, Some(v)) => tags(n) = v
             case (n, None) => tags.remove(n)
           }
+          else if (l.startsWith("#branch ")) parseBranch(l).foreach {
+            case (n, Some(v)) => branches(n) = v
+            case (n, None) => branches.remove(n)
+          }
         }
       }
       // conflicting duplicate stats/part records lose their entry (the
@@ -330,7 +344,7 @@ object ManifestSink {
         case (n, recs) if recs.map(_._2).distinct.size == 1 => n -> recs.head._2 }
       val st = PlanState(union.toSeq, statMap.toMap, partMap.toMap,
         dvs.toMap, props.toMap, schemas.toSeq, specs.toSeq, colmap,
-        tags.toMap)
+        tags.toMap, branches.toMap)
       fp.foreach { f =>
         if (planCache.size >= PlanCacheCap) planCache.clear()
         planCache.put(key, (f, st))
@@ -497,6 +511,132 @@ object ManifestSink {
   private[sources] def readDvRecords(p: Path): Seq[(String, String, Long)] =
     readHeaders(p).flatMap(parseDv)
 
+  /** `#forbranch <name>` (round 17, WRITE-AUDIT-PUBLISH): the header a
+    * BRANCH-STAGED epoch carries — invisible to every main-table face
+    * (union, time travel, incremental windows, the change feed, the
+    * checkpoint) until `CALL graft.sys.fast_forward` republishes its
+    * content as one ordinary epoch. Branch epochs stay LOOSE (the
+    * sweep's horizon stops below the oldest live one), so their adds
+    * remain vacuum-referenced and the publish can re-list them by
+    * name; a DROPPED branch's epochs absorb into the next sweep as
+    * nothing — the staged files age out through vacuum. */
+  private[sources] def branchOf(p: Path): Option[String] =
+    readHeaders(p).collectFirst {
+      case l if l.startsWith("#forbranch ") =>
+        l.stripPrefix("#forbranch ").trim }
+
+  /** `#branch <name> <baseVersion>` / `#branch <name> -` — the branch
+    * REFS (last record per name wins), carried through sweeps like
+    * tags. `baseVersion` is the main version the branch forked from:
+    * fast_forward refuses if main's DATA state moved past it. */
+  private def parseBranch(line: String): Option[(String, Option[Long])] =
+    line.stripPrefix("#branch ").split(" ", 2) match {
+      case Array(n, "-") if n.nonEmpty => Some(n -> None)
+      case Array(n, v) if n.nonEmpty && v.toLongOption.isDefined =>
+        Some(n -> v.toLongOption)
+      case _ => None
+    }
+
+  private[sources] def branchLine(name: String, base: Option[Long]): String = {
+    require(propSafe(name) && name.toLongOption.isEmpty,
+      s"branch name '$name' must be token-safe and not a bare integer")
+    s"#branch $name ${base.map(_.toString).getOrElse("-")}"
+  }
+
+  /** Live branch refs: name → base version. */
+  def tableBranches(path: String): Map[String, Long] =
+    planState(Paths.get(path)).branches
+
+  private[sources] def commitBranchEpoch(path: String, name: String,
+      create: Boolean): Long = {
+    val dir = Files.createDirectories(Paths.get(path))
+    claimEpoch(dir, () => {
+      val branches = tableBranches(path)
+      if (create) {
+        require(!branches.contains(name),
+          s"branch '$name' already exists on $path")
+        require(!tableTags(path).contains(name),
+          s"'$name' names a TAG on $path — branches and tags share " +
+            "the VERSION AS OF namespace")
+        Seq(branchLine(name, Some(newestVersion0(dir))))
+      } else {
+        require(branches.contains(name),
+          s"no branch '$name' on $path to drop " +
+            s"(branches: ${branches.keys.toSeq.sorted.mkString(", ") match {
+              case "" => "none"; case b => b }})")
+        Seq(branchLine(name, None))
+      }
+    })
+  }
+
+  /** PUBLISH a branch (round 17, the Iceberg `fast_forward` shape):
+    * re-list every staged epoch's adds (with their `#stats`/`#part`
+    * records, verbatim) as ONE ordinary append epoch and drop the
+    * branch ref in the same atomic claim — main sees the audited rows
+    * exactly once, at the publish version (which is also where the
+    * change feed serves them as inserts). REFUSES, re-checked per
+    * claim attempt, when main's DATA state moved past the branch base
+    * (a data epoch landed, or a sweep advanced the horizon past it):
+    * the branch no longer fast-forwards — nothing is published.
+    * Returns (publish version, staged epochs, published files). */
+  private[graft] def fastForward(path: String, name: String,
+      compactInterval: Int): (Long, Int, Int) = {
+    val dir = Paths.get(path)
+    var nEpochs = 0
+    var nFiles = 0
+    val id = claimEpoch(dir, () => {
+      val base = tableBranches(path).getOrElse(name,
+        throw new IllegalArgumentException(
+          s"no branch '$name' on $path to publish"))
+      val horizon = latestCompact(dir).map(_._1).getOrElse(-1L)
+      if (horizon > base) throw new IllegalStateException(
+        s"fast_forward('$name') on $path: the compaction horizon " +
+          s"($horizon) moved past the branch base ($base) — main's " +
+          "state changed since the fork; nothing was published")
+      val tail = listPrefixed(dir, "epoch-").map(p => (idOf(p), p))
+        .filter(_._1 > base).sortBy(_._1)
+      val moved = tail.filter { e =>
+        branchOf(e._2).isEmpty &&
+          (readData(e._2).nonEmpty || readRemoves(e._2).nonEmpty ||
+            readDvRecords(e._2).nonEmpty)
+      }
+      if (moved.nonEmpty) throw new IllegalStateException(
+        s"fast_forward('$name') on $path: main data epoch(s) " +
+          s"${moved.map(_._1).mkString(", ")} landed after the branch " +
+          s"base $base — the branch no longer fast-forwards; re-stage " +
+          "against the current snapshot (nothing was published)")
+      val mine = tail.filter(e => branchOf(e._2).contains(name))
+      nEpochs = mine.size
+      val adds = mine.flatMap(e => readData(e._2))
+      nFiles = adds.size
+      val carried = mine.flatMap(e => readHeaders(e._2).filter(l =>
+        l.startsWith("#stats ") || l.startsWith("#part ")))
+      val ddl = widestRecordedSchema(path).getOrElse(
+        throw new IllegalStateException(
+          s"manifest table $path records no #schema"))
+      Seq(s"#schema $ddl", opLine("append")) ++ carried ++
+        Seq(branchLine(name, None)) ++ adds
+    })
+    maybeCompact(dir, latestCompact(dir).map(_._1).getOrElse(-1L),
+      compactInterval)
+    (id, nEpochs, nFiles)
+  }
+
+  /** The files a BRANCH read serves: the main union plus the branch's
+    * staged adds in epoch order (branch epochs are append-only by
+    * contract, so union + adds is exact). Absolute paths. */
+  def branchFiles(path: String, name: String): Seq[String] = retryVanish() {
+    val dir = Paths.get(path)
+    require(tableBranches(path).contains(name),
+      s"no branch '$name' on $path")
+    val horizon = latestCompact(dir).map(_._1).getOrElse(-1L)
+    val staged = looseEpochs(dir, horizon)
+      .filter(e => branchOf(e._2).contains(name))
+      .sortBy(_._1).map(_._2).flatMap(readData)
+    (fragmentUnion(dir) ++ staged).map(f =>
+      Paths.get(path, "data", f).toString)
+  }
+
   /** `#op <kind>` (round 17, the CDC classification header): what the
     * committing OPERATION was — `append`, `overwrite`, `delete`,
     * `update`, `merge`, `compact`, `rollback` — so the change feed can
@@ -557,7 +697,7 @@ object ManifestSink {
           // first), so resolving from the loose prefix is consistent
           loose.filter(_._1 <= version).sortBy(_._1).map(_._2)
       val acc = scala.collection.mutable.LinkedHashMap[String, Seq[(String, Long)]]()
-      fragments.foreach { p =>
+      fragments.filter(branchOf(_).isEmpty).foreach { p =>
         readDvRecords(p).foreach { case (data, dv, n) =>
           acc(data) = acc.getOrElse(data, Seq.empty) :+ ((dv, n))
         }
@@ -663,7 +803,9 @@ object ManifestSink {
         val tags = scala.collection.mutable.LinkedHashMap[String, Long]()
         var colmap = Map.empty[String, String]
         val lines = readLines(mp) ++
-          looseEpochs(dir, h).sortBy(_._1).flatMap(e => readHeaders(e._2))
+          looseEpochs(dir, h).sortBy(_._1)
+            .filter(e => branchOf(e._2).isEmpty)
+            .flatMap(e => readHeaders(e._2))
         lines.foreach { l =>
           if (l.startsWith("#schema ")) schemas.add(l.stripPrefix("#schema "))
           else if (l.startsWith("#spec ")) specs.add(l.stripPrefix("#spec "))
@@ -705,9 +847,67 @@ object ManifestSink {
       case (ShortType, IntegerType | LongType) => true
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
+      // NESTED evolution (round 17): a struct widens to one that
+      // CONTAINS it — inner fields widened and/or appended; removed
+      // inner fields never widen (that would drop data)
+      case (f: StructType, t: StructType) => f != t && containsSchema(t, f)
       case _ => false
     }
   }
+
+  /** NESTED column mapping (round 17): `#colmap` keys may be DOTTED
+    * physical paths (`s.a=b` renames struct field, `s.a=-` drops it) —
+    * the same zero-bytes-rewritten contract as top-level, applied
+    * recursively. These two are the single translation pair every
+    * face uses: physical schema → logical (serving) and a
+    * logical-named schema → physical (writes), resolved per level by
+    * the mapping so files/stats/spec stay keyed by fixed physical
+    * names forever. */
+  private[sources] def logicalizeStruct(
+      phys: org.apache.spark.sql.types.StructType,
+      colmap: Map[String, String], prefix: String = "")
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(phys.fields.flatMap { f =>
+      val key = (prefix + f.name).toLowerCase
+      colmap.get(key) match {
+        case Some(DroppedColumn) => None
+        case mapped =>
+          val dt = f.dataType match {
+            case s: org.apache.spark.sql.types.StructType =>
+              logicalizeStruct(s, colmap, prefix + f.name + ".")
+            case other => other
+          }
+          Some(f.copy(name = mapped.getOrElse(f.name), dataType = dt))
+      }
+    })
+
+  /** Inverse of [[logicalizeStruct]] for a (possibly pruned)
+    * LOGICAL-named schema: each field resolves to the physical field
+    * whose logical name matches at this level; unmatched fields (a
+    * just-added column) keep their name — logical IS physical at
+    * birth. */
+  private[sources] def physicalizeStruct(
+      logical: org.apache.spark.sql.types.StructType,
+      phys: org.apache.spark.sql.types.StructType,
+      colmap: Map[String, String], prefix: String = "")
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(logical.fields.map { lf =>
+      phys.fields.find { pf =>
+        val key = (prefix + pf.name).toLowerCase
+        !colmap.get(key).contains(DroppedColumn) &&
+          colmap.get(key).getOrElse(pf.name).equalsIgnoreCase(lf.name)
+      } match {
+        case Some(pf) =>
+          val dt = (lf.dataType, pf.dataType) match {
+            case (ls: org.apache.spark.sql.types.StructType,
+                ps: org.apache.spark.sql.types.StructType) =>
+              physicalizeStruct(ls, ps, colmap, prefix + pf.name + ".")
+            case _ => lf.dataType
+          }
+          lf.copy(name = pf.name, dataType = dt)
+        case None => lf
+      }
+    })
 
   /** Does `outer` contain every field of `inner` (case-insensitive
     * name; equal type or a recorded-narrow type the declared one
@@ -1383,7 +1583,8 @@ object ManifestSink {
           s"(newest committed epoch: ${if (newest < 0) "none" else newest})")
     def applyInOrder(fragments: Seq[Path]): Seq[String] = {
       val acc = scala.collection.mutable.LinkedHashSet[String]()
-      fragments.foreach { p =>
+      // branch-staged epochs are invisible to main time travel too
+      fragments.filter(branchOf(_).isEmpty).foreach { p =>
         readData(p).foreach(acc.add)
         readRemoves(p).foreach(acc.remove)
       }
@@ -1442,10 +1643,23 @@ object ManifestSink {
     // retryVanish: a concurrent committer's sweep can delete a listed
     // fragment mid-read here; re-running from a fresh listing is always
     // consistent (and usually a no-op — the racer compacted for us)
-    val loose = looseEpochs(dir, priorHorizon)
+    val looseAll = looseEpochs(dir, priorHorizon)
+    // LIVE branch refs CAP the sweep (round 17): a staged epoch must
+    // stay loose — the publish re-lists its adds by name, and vacuum
+    // keeps the staged files referenced — so the horizon stops below
+    // the oldest live-branch epoch. DROPPED branches' epochs absorb
+    // as NOTHING (published content was re-listed by the publish
+    // epoch; abandoned content ages into vacuum).
+    val liveBranches = planState(dir).branches.keySet
+    val cap = looseAll
+      .filter(e => branchOf(e._2).exists(liveBranches.contains))
+      .map(_._1 - 1).minOption.getOrElse(Long.MaxValue)
+    val loose = looseAll.filter(_._1 <= cap)
     if (loose.size < compactInterval) return
     val prior = latestCompact(dir)
-    val fragments = prior.map(_._2).toSeq ++ loose.sortBy(_._1).map(_._2)
+    val absorbed = loose.sortBy(_._1).map(_._2)
+    val fragments = prior.map(_._2).toSeq ++
+      absorbed.filter(branchOf(_).isEmpty)
     // resolve adds and `#remove`s in epoch order: the compact carries
     // the RESOLVED union (and no remove records — a removed file below
     // the horizon is simply gone from the log, which is also what lets
@@ -1492,6 +1706,17 @@ object ManifestSink {
         }
       }
       acc.toSeq.map { case (n, v) => s"#tag $n $v" }
+    }
+    // branch refs: LAST record per name wins, tombstoned names die
+    val branchLines = {
+      val acc = scala.collection.mutable.LinkedHashMap[String, Long]()
+      headers.foreach { l =>
+        if (l.startsWith("#branch ")) parseBranch(l).foreach {
+          case (n, Some(v)) => acc(n) = v
+          case (n, None) => acc.remove(n)
+        }
+      }
+      acc.toSeq.map { case (n, v) => s"#branch $n $v" }
     }
     // `#cow` tokens carry forward ONE round — from the loose epochs this
     // sweep absorbs, never from the prior compact — so a COW committer
@@ -1543,7 +1768,8 @@ object ManifestSink {
     // the union through upTo — so when a racer already landed it, the
     // loser's work is simply done
     val bytes = (txns ++ schemas ++ specs ++ props ++ colmaps ++
-      tagLines ++ cows ++ stats ++ parts ++ dvs ++ names).mkString("\n")
+      tagLines ++ branchLines ++ cows ++ stats ++ parts ++ dvs ++ names)
+      .mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val ctmp = Files.createTempFile(dir, s".${compactName(upTo)}", ".tmp")
     Files.write(ctmp, bytes)
@@ -1559,7 +1785,8 @@ object ManifestSink {
       // strict ACCELERATIONS: a missing/failed checkpoint (crash here,
       // or the pre-r16 log) falls back to the text walk.
       try writeCheckpoint(dir, upTo, names,
-        txns ++ schemas ++ specs ++ props ++ colmaps ++ tagLines,
+        txns ++ schemas ++ specs ++ props ++ colmaps ++ tagLines ++
+          branchLines,
         stats, parts, dvs)
       catch { case _: Exception => } // optimization only, never fails a commit
     }
@@ -1671,7 +1898,8 @@ object ManifestSink {
     val tailPartPairs = scala.collection.mutable.ArrayBuffer[(String, PartTuple)]()
     val tailDvs = scala.collection.mutable.LinkedHashMap[String, Seq[(String, Long)]]()
     val removedCkpt = scala.collection.mutable.HashSet[String]()
-    looseEpochs(dir, horizon).sortBy(_._1).map(_._2).foreach { p =>
+    looseEpochs(dir, horizon).sortBy(_._1).map(_._2)
+      .filter(branchOf(_).isEmpty).foreach { p =>
       readLines(p).foreach { l =>
         if (!l.startsWith("#")) tailAdds.add(l)
         else if (l.startsWith("#remove ")) {
@@ -1779,7 +2007,8 @@ object ManifestSink {
       messages: Array[WriterCommitMessage], removeFilesGen: () => Seq[String],
       compactInterval: Int,
       consumedDvs: Option[Map[String, Set[String]]] = None,
-      specId: Int = 0, op: String = "append"): Unit = {
+      specId: Int = 0, op: String = "append",
+      forBranch: Option[String] = None): Unit = {
     val dir = Files.createDirectories(Paths.get(path))
     val files = committedFilesOf(messages).sortBy(_.name)
     // one token per OPERATION (stable across claim attempts — the
@@ -1798,7 +2027,15 @@ object ManifestSink {
       // append no matter what op the face declared (e.g. an
       // overwrite-by-filter matching no files replaces nothing)
       val effOp = if (lastRemoves.isEmpty && op != "append") "append" else op
-      Seq(s"#schema $schemaDdl", opLine(effOp)) ++ (cow ++
+      // a BRANCH-STAGED epoch (round 17): validated against the live
+      // refs per claim attempt — writing to a dropped branch refuses
+      val branchHdr = forBranch.map { b =>
+        require(tableBranches(path).contains(b),
+          s"no branch '$b' on $path — create it with " +
+            "CALL graft.sys.create_branch first")
+        s"#forbranch $b"
+      }.toSeq
+      Seq(s"#schema $schemaDdl", opLine(effOp)) ++ branchHdr ++ (cow ++
         files.map(statsLine) ++ parts ++
         lastRemoves.sorted.map(n => s"#remove $n") ++ files.map(_.name))
     }
@@ -1946,15 +2183,16 @@ object ManifestSink {
     // loudly, the same contract Delta CDF applies to non-CDF rewrites.
     // A merge-on-read `#dv` epoch is equally not an append (it
     // retro-deletes rows from files delivered in EARLIER windows).
-    val removing = window.filter(e =>
-      readRemoves(e._2).nonEmpty || readDvRecords(e._2).nonEmpty).map(_._1)
+    val removing = window.filter(e => branchOf(e._2).isEmpty &&
+      (readRemoves(e._2).nonEmpty || readDvRecords(e._2).nonEmpty)).map(_._1)
     if (removing.nonEmpty)
       throw new IllegalStateException(
         s"incremental read ($since, $asOf] crosses row-level " +
           s"DELETE/rewrite epoch(s) ${removing.mkString(", ")} — a " +
           "delete rewrites or retro-deletes rather than appending; " +
           "re-read the full snapshot instead")
-    window.flatMap(e => readData(e._2)).distinct
+    window.filter(e => branchOf(e._2).isEmpty)
+      .flatMap(e => readData(e._2)).distinct
       .map(f => Paths.get(path, "data", f).toString)
   }
 
@@ -2084,16 +2322,24 @@ object ManifestSink {
           s"${missing.mkString(", ")} which are gone " +
           s"(compaction horizon $horizon)")
     window.map { case (id, p) =>
-      val removes = readRemoves(p)
-      val dvs = readDvRecords(p)
-      val adds = readData(p)
-      val op = epochOp(p).getOrElse {
-        if (removes.nonEmpty) "rewrite"
-        else if (dvs.nonEmpty) "delete"
-        else if (adds.nonEmpty) "append"
-        else "metadata"
+      if (branchOf(p).isDefined)
+        // staged on a branch: invisible to the main feed until the
+        // publish epoch re-lists the rows (which then serve as inserts
+        // at the PUBLISH version — the WAP contract: nothing is a
+        // change until it is audited and published)
+        EpochDelta(id, "metadata", Seq.empty, Seq.empty, Seq.empty)
+      else {
+        val removes = readRemoves(p)
+        val dvs = readDvRecords(p)
+        val adds = readData(p)
+        val op = epochOp(p).getOrElse {
+          if (removes.nonEmpty) "rewrite"
+          else if (dvs.nonEmpty) "delete"
+          else if (adds.nonEmpty) "append"
+          else "metadata"
+        }
+        EpochDelta(id, op, adds, removes, dvs)
       }
-      EpochDelta(id, op, adds, removes, dvs)
     }
   }
 
@@ -2174,7 +2420,8 @@ object ManifestSink {
         val removes = readRemoves(p).size.toLong
         val dvs = readDvRecords(p).size.toLong
         val kind =
-          if (removes > 0) "rewrite"
+          if (branchOf(p).isDefined) "branch" // staged, not yet visible
+          else if (removes > 0) "rewrite"
           else if (dvs > 0) "delete" // merge-on-read: #dv records only
           else if (adds > 0) "append"
           else "metadata"
@@ -2190,13 +2437,16 @@ object ManifestSink {
   private[sources] def epochSizes(dir: Path): Seq[(Long, Int, Option[Long])] =
     retryVanish() {
       looseEpochs(dir, -1L).map { case (id, p) =>
-        val data = readData(p)
-        val stats = readHeaders(p).flatMap(parseStats).toMap
-        val rows =
-          if (data.forall(stats.contains))
-            Some(data.map(stats(_).rows).sum)
-          else None
-        (id, data.size, rows)
+        if (branchOf(p).isDefined) (id, 0, Some(0L)) // staged: invisible
+        else {
+          val data = readData(p)
+          val stats = readHeaders(p).flatMap(parseStats).toMap
+          val rows =
+            if (data.forall(stats.contains))
+              Some(data.map(stats(_).rows).sum)
+            else None
+          (id, data.size, rows)
+        }
       }
     }
 }
@@ -2247,11 +2497,25 @@ case class ManifestTable(path: String, writeSchema: StructType,
       * faces pass `delete`/`update`/`merge`/`compact`; absent means
       * the write's own shape decides (overwrite forms → `overwrite`,
       * a bare removeFiles rewrite → `rewrite`, else `append`). */
-    declaredOp: Option[String] = None)
+    declaredOp: Option[String] = None,
+    /** The FULL physical→logical mapping (round 17, lowercased dotted
+      * keys) — when present, write-schema translation recurses into
+      * struct fields; `renameCols` stays the flat top-level map the
+      * overwrite-predicate translation uses. */
+    colmapAll: Map[String, String] = Map.empty,
+    /** Write-audit-publish (round 17): stage this write's epochs on a
+      * BRANCH (the `spark.graft.wap.branch` session conf) — invisible
+      * to every main face until `CALL graft.sys.fast_forward`
+      * publishes them. APPENDS ONLY: overwrite/truncate/COW forms
+      * refuse under a branch (their remove semantics against a moving
+      * main are undefined until publish). */
+    forBranch: Option[String] = None)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead {
   private def physicalize(st: StructType): StructType =
-    if (renameCols.isEmpty) st
+    if (colmapAll.nonEmpty)
+      ManifestSink.physicalizeStruct(st, writeSchema, colmapAll)
+    else if (renameCols.isEmpty) st
     else StructType(st.fields.map(f =>
       f.copy(name = renameCols.getOrElse(f.name.toLowerCase, f.name))))
   private def physFilters(fs: Array[org.apache.spark.sql.sources.Filter])
@@ -2290,7 +2554,7 @@ case class ManifestTable(path: String, writeSchema: StructType,
               : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
             new ManifestMicroBatchStream(path,
               writeSchema.fields.map(_.name),
-              writeSchema.fields.map(_.dataType.typeName), maxEpochs,
+              writeSchema.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)), maxEpochs,
               onChange)
         }
     }
@@ -2367,9 +2631,14 @@ case class ManifestTable(path: String, writeSchema: StructType,
             else if (removeFiles.nonEmpty) "rewrite"
             else "append"
           }
+          if (forBranch.isDefined && op != "append")
+            throw new UnsupportedOperationException(
+              s"graft wap.branch ${forBranch.get}: only APPENDS can be " +
+                s"staged on a branch (this write is $op) — run the " +
+                "operation on main, or publish the branch first")
           ManifestBatchWrite(path, physicalize(info.schema()),
             compactInterval, removes, spec, overwriteWhere, dynamic,
-            consumedDvs, specId, op)
+            consumedDvs, specId, op, forBranch)
         }
         // writerId = the STREAMING QUERY's stable id (Spark passes
         // checkpoint-metadata `id`, not the per-run runId, as the
@@ -2382,6 +2651,10 @@ case class ManifestTable(path: String, writeSchema: StructType,
         // NOT guarantee that, because taskIds restart from 0 in a new
         // SparkContext.
         override def toStreaming: StreamingWrite = {
+          if (forBranch.isDefined) throw new UnsupportedOperationException(
+            s"graft wap.branch ${forBranch.get}: streaming writes " +
+              "cannot stage on a branch — unset spark.graft.wap.branch " +
+              "for the stream, or relay the branch through a batch append")
           if (truncating) throw new UnsupportedOperationException(
             "graft manifest sink: streaming truncate (complete/update " +
               "output) is not supported — the log is an append-of-epochs; " +
@@ -2480,10 +2753,11 @@ case class ManifestBatchWrite(path: String, schema: StructType,
     overwriteWhere: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
     dynamicOverwrite: Boolean = false,
     consumedDvs: Option[Map[String, Set[String]]] = None,
-    specId: Int = 0, op: String = "append") extends BatchWrite {
+    specId: Int = 0, op: String = "append",
+    forBranch: Option[String] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     ManifestWriterFactory(path, schema.fields.map(_.name),
-      schema.fields.map(_.dataType.typeName),
+      schema.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)),
       java.util.UUID.randomUUID.toString.take(8), spec)
 
   private def baseName(f: String): String = Paths.get(f).getFileName.toString
@@ -2580,7 +2854,7 @@ case class ManifestBatchWrite(path: String, schema: StructType,
         case None => removeFiles
       }
     ManifestSink.commitBatchEpoch(path, schema.toDDL, messages,
-      removesGen, compactInterval, consumedDvs, specId, op)
+      removesGen, compactInterval, consumedDvs, specId, op, forBranch)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -2612,7 +2886,7 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
     spec: Seq[PartField] = Seq.empty, specId: Int = 0) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     ManifestStreamingWriterFactory(path, schema.fields.map(_.name),
-      schema.fields.map(_.dataType.typeName), runToken, spec)
+      schema.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)), runToken, spec)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = Files.createDirectories(Paths.get(path))
@@ -2729,31 +3003,70 @@ private[graft] object ManifestWriters {
   private val LongFamily = Set("long", "integer", "short", "byte",
     "timestamp", "date")
 
+  /** The TYPE TOKEN a field travels the writer/reader plumbing as:
+    * `typeName` for primitives, the compact JSON form for STRUCTs
+    * (round 17 — `typeName` alone loses the inner shape). Arrays and
+    * maps refuse at [[parquetType]] (the CREATE TABLE gate). */
+  private[sources] def typeTok(dt: org.apache.spark.sql.types.DataType): String =
+    dt match {
+      case s: org.apache.spark.sql.types.StructType => s.json
+      case other => other.typeName
+    }
+
+  private[sources] def structOf(tok: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    if (!tok.startsWith("{")) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(tok)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  private def primitiveField(n: String, tok: String)
+      : org.apache.parquet.schema.Type = tok match {
+    case "long" => Types.optional(INT64).named(n)
+    case "integer" => Types.optional(INT32).named(n)
+    case "short" => Types.optional(INT32)
+      .as(LogicalTypeAnnotation.intType(16, true)).named(n)
+    case "byte" => Types.optional(INT32)
+      .as(LogicalTypeAnnotation.intType(8, true)).named(n)
+    case "double" => Types.optional(DOUBLE).named(n)
+    case "float" => Types.optional(FLOAT).named(n)
+    case "boolean" => Types.optional(BOOLEAN).named(n)
+    case "string" => Types.optional(BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named(n)
+    case "timestamp" => Types.optional(INT64)
+      .as(LogicalTypeAnnotation.timestampType(true,
+        LogicalTypeAnnotation.TimeUnit.MICROS)).named(n)
+    case "date" => Types.optional(INT32)
+      .as(LogicalTypeAnnotation.dateType()).named(n)
+    case other => throw new IOException(
+      "manifest sink supports long/integer/short/byte/double/float/" +
+        "boolean/string/timestamp/date and STRUCT-of-those columns, " +
+        s"got $other (arrays and maps are not supported)")
+  }
+
+  /** A STRUCT column as an optional parquet GROUP (round 17) —
+    * nested structs recurse; anything else inside refuses loudly. */
+  private def groupField(n: String,
+      st: org.apache.spark.sql.types.StructType)
+      : org.apache.parquet.schema.Type = {
+    val g = Types.optionalGroup()
+    st.fields.foreach { f =>
+      f.dataType match {
+        case inner: org.apache.spark.sql.types.StructType =>
+          g.addField(groupField(f.name, inner))
+        case other => g.addField(primitiveField(f.name, typeTok(other)))
+      }
+    }
+    g.named(n)
+  }
+
   private[sources] def parquetType(fieldNames: Array[String],
       fieldTypes: Array[String]): MessageType = {
     val b = Types.buildMessage()
     fieldTypes.indices.foreach { i =>
       val n = fieldNames(i)
-      fieldTypes(i) match {
-        case "long" => b.addField(Types.optional(INT64).named(n))
-        case "integer" => b.addField(Types.optional(INT32).named(n))
-        case "short" => b.addField(Types.optional(INT32)
-          .as(LogicalTypeAnnotation.intType(16, true)).named(n))
-        case "byte" => b.addField(Types.optional(INT32)
-          .as(LogicalTypeAnnotation.intType(8, true)).named(n))
-        case "double" => b.addField(Types.optional(DOUBLE).named(n))
-        case "float" => b.addField(Types.optional(FLOAT).named(n))
-        case "boolean" => b.addField(Types.optional(BOOLEAN).named(n))
-        case "string" => b.addField(Types.optional(BINARY)
-          .as(LogicalTypeAnnotation.stringType()).named(n))
-        case "timestamp" => b.addField(Types.optional(INT64)
-          .as(LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS)).named(n))
-        case "date" => b.addField(Types.optional(INT32)
-          .as(LogicalTypeAnnotation.dateType()).named(n))
-        case other => throw new IOException(
-          "manifest sink supports long/integer/short/byte/double/float/" +
-            s"boolean/string/timestamp/date columns, got $other")
+      structOf(fieldTypes(i)) match {
+        case Some(st) => b.addField(groupField(n, st))
+        case None => b.addField(primitiveField(n, fieldTypes(i)))
       }
     }
     b.named("graft_manifest_row")
@@ -2837,6 +3150,33 @@ private[graft] object ManifestWriters {
     * CHECKPOINT (round 16) writes parquet into the table ROOT (it is
     * metadata, not data: vacuum must never see it as a data-plane
     * orphan). */
+  /** Write one struct VALUE into a parquet group — field order is
+    * declaration order on both sides (the group type was built from
+    * this same StructType). Nested structs recurse. */
+  private def fillGroup(g: org.apache.parquet.example.data.Group,
+      row: InternalRow,
+      st: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types._
+    st.fields.indices.foreach { j =>
+      if (!row.isNullAt(j)) st.fields(j).dataType match {
+        case inner: StructType =>
+          fillGroup(g.addGroup(j), row.getStruct(j, inner.fields.length),
+            inner)
+        case LongType | TimestampType => g.add(j, row.getLong(j))
+        case IntegerType | DateType => g.add(j, row.getInt(j))
+        case ShortType => g.add(j, row.getShort(j).toInt)
+        case ByteType => g.add(j, row.getByte(j).toInt)
+        case DoubleType => g.add(j, row.getDouble(j))
+        case FloatType => g.add(j, row.getFloat(j))
+        case BooleanType => g.add(j, row.getBoolean(j))
+        case StringType =>
+          g.add(j, Binary.fromString(row.getUTF8String(j).toString))
+        case other => throw new IOException(
+          s"manifest sink cannot encode a struct field of type $other")
+      }
+    }
+  }
+
   def createAt(dir: Path, fieldNames: Array[String], fieldTypes: Array[String],
       fileName: String): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -2880,11 +3220,19 @@ private[graft] object ManifestWriters {
       // written schema is what makes an ABSENT record in a
       // null-accounting file prove the column postdates the file
       private val nullCnt = Array.fill(fieldTypes.length)(0L)
+      // STRUCT columns (round 17): parsed once; value writes recurse.
+      // No stats (bounds over composites never prune), top-level null
+      // counts still recorded.
+      private val structTypes: Array[org.apache.spark.sql.types.StructType] =
+        fieldTypes.map(t => structOf(t).orNull)
       override def write(row: InternalRow): Unit = {
         val g = groups.newGroup()
         fieldTypes.indices.foreach { i =>
           if (row.isNullAt(i)) nullCnt(i) += 1
-          if (!row.isNullAt(i)) fieldTypes(i) match {
+          else if (structTypes(i) != null)
+            fillGroup(g.addGroup(i),
+              row.getStruct(i, structTypes(i).fields.length), structTypes(i))
+          if (!row.isNullAt(i) && structTypes(i) == null) fieldTypes(i) match {
             case "long" | "timestamp" =>
               val v = row.getLong(i); observe(i, v); g.add(i, v)
             case "integer" | "date" =>
@@ -3129,6 +3477,9 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
     // to EMIT, not to skip
     def skipPos(p: Long): Boolean =
       if (mp.keepPositions) !deleted.contains(p) else deleted.contains(p)
+    // STRUCT columns ride as JSON type tokens (round 17)
+    val structTypes: Array[org.apache.spark.sql.types.StructType] =
+      fieldTypes.map(t => ManifestWriters.structOf(t).orNull)
     val wanted = fieldNames.filterNot(n =>
       n.equalsIgnoreCase("_file") || n.equalsIgnoreCase("_pos") ||
         n.equalsIgnoreCase("_change_type") ||
@@ -3246,6 +3597,14 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
             else {
               val fi = fidx(i)
               if (cur.getFieldRepetitionCount(fi) == 0) null
+              else if (structTypes(i) != null)
+                // STRUCT column (round 17): inner fields resolve BY
+                // NAME against the file's group — a pre-evolution file
+                // missing an added inner field serves null, a
+                // pre-widening narrow inner primitive promotes, both
+                // exactly the top-level contracts applied recursively
+                ManifestReadFactory.groupToRow(cur.getGroup(fi, 0),
+                  structTypes(i))
               else fieldTypes(i) match {
                 // pre-widening files store the NARROW primitive (round
                 // 16, type widening): promote by the file's own
@@ -3277,5 +3636,59 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
       }
       override def close(): Unit = in.close()
     }
+  }
+}
+
+object ManifestReadFactory {
+  /** One parquet GROUP value as an `InternalRow` of `want` — inner
+    * fields resolve by case-insensitive NAME against the file's own
+    * group type (absent → null: a pre-evolution file simply lacks an
+    * added inner field) and narrow committed primitives PROMOTE
+    * (int-family → long, float → double: nested type widening). */
+  private[sources] def groupToRow(g: org.apache.parquet.example.data.Group,
+      want: org.apache.spark.sql.types.StructType): InternalRow = {
+    import org.apache.spark.sql.types._
+    val t = g.getType
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      want.fields.map[Any] { f =>
+        val fi = {
+          if (t.containsField(f.name)) t.getFieldIndex(f.name)
+          else {
+            val fs = t.getFields
+            var found = -1
+            var j = 0
+            while (found < 0 && j < fs.size()) {
+              if (fs.get(j).getName.equalsIgnoreCase(f.name)) found = j
+              j += 1
+            }
+            found
+          }
+        }
+        if (fi < 0 || g.getFieldRepetitionCount(fi) == 0) null
+        else {
+          def prim = t.getType(fi).asPrimitiveType().getPrimitiveTypeName
+          f.dataType match {
+            case inner: StructType => groupToRow(g.getGroup(fi, 0), inner)
+            case LongType =>
+              if (prim == org.apache.parquet.schema.PrimitiveType
+                  .PrimitiveTypeName.INT32) g.getInteger(fi, 0).toLong
+              else g.getLong(fi, 0)
+            case TimestampType => g.getLong(fi, 0)
+            case IntegerType | DateType => g.getInteger(fi, 0)
+            case ShortType => g.getInteger(fi, 0).toShort
+            case ByteType => g.getInteger(fi, 0).toByte
+            case DoubleType =>
+              if (prim == org.apache.parquet.schema.PrimitiveType
+                  .PrimitiveTypeName.FLOAT) g.getFloat(fi, 0).toDouble
+              else g.getDouble(fi, 0)
+            case FloatType => g.getFloat(fi, 0)
+            case BooleanType => g.getBoolean(fi, 0)
+            case StringType => org.apache.spark.unsafe.types.UTF8String
+              .fromBytes(g.getBinary(fi, 0).getBytes)
+            case other => throw new IllegalArgumentException(
+              s"manifest reader cannot decode a struct field of type $other")
+          }
+        }
+      })
   }
 }

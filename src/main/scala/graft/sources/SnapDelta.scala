@@ -55,15 +55,12 @@ private[sources] class SnapDeltaOperation(val tname: String,
       l.toLowerCase -> p }
   private[sources] def physName(c: String): String =
     physOfLogical.getOrElse(c.toLowerCase, c)
-  private[sources] def logicalSchema: StructType = {
-    val m = colmap.map { case (p, l) => p.toLowerCase -> l }
-    StructType(tschema.fields
-      .filterNot(f => m.get(f.name.toLowerCase)
-        .contains(ManifestSink.DroppedColumn))
-      .map(f => f.copy(name = m.getOrElse(f.name.toLowerCase, f.name))))
-  }
+  private[sources] def logicalSchema: StructType =
+    ManifestSink.logicalizeStruct(tschema,
+      colmap.map { case (p, l) => p.toLowerCase -> l })
   private[sources] def physicalize(st: StructType): StructType =
-    StructType(st.fields.map(f => f.copy(name = physName(f.name))))
+    ManifestSink.physicalizeStruct(st, tschema,
+      colmap.map { case (p, l) => p.toLowerCase -> l })
 
   /** The snapshot this operation reads and dv-marks — pinned once. */
   private[sources] val snapshotFiles: Seq[String] = ManifestSink.committedFiles(dir)
@@ -152,9 +149,13 @@ private[sources] class SnapDeltaScan(op: SnapDeltaOperation,
     candidates.map(f => ManifestFilePartition(f,
       op.dvPathsOf(Paths.get(f).getFileName.toString)): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    // physical lookup names; logical (positional) readSchema
-    ManifestReadFactory(rs.fields.map(f => op.physName(f.name)),
-      rs.fields.map(_.dataType.typeName))
+    // physical lookup names (incl. struct inner names, round 17);
+    // logical (positional) readSchema
+    locally {
+      val prs = op.physicalize(rs)
+      ManifestReadFactory(prs.fields.map(_.name),
+        prs.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)))
+    }
 }
 
 /** The position-delta write: dv files for deleted/replaced positions,
@@ -224,7 +225,7 @@ private[sources] class SnapDeltaWrite(op: SnapDeltaOperation,
 
   override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DeltaWriterFactory =
     SnapDeltaWriterFactory(op.dir, rowSchema.fields.map(_.name),
-      rowSchema.fields.map(_.dataType.typeName), fileIdx, posIdx,
+      rowSchema.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)), fileIdx, posIdx,
       java.util.UUID.randomUUID.toString.take(8), op.spec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

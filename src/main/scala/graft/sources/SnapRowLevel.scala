@@ -61,15 +61,12 @@ private[sources] class SnapRowLevelOperation(val tname: String,
       l.toLowerCase -> p }
   private[sources] def physName(c: String): String =
     physOfLogical.getOrElse(c.toLowerCase, c)
-  private[sources] def logicalSchema: StructType = {
-    val m = colmap.map { case (p, l) => p.toLowerCase -> l }
-    StructType(tschema.fields
-      .filterNot(f => m.get(f.name.toLowerCase)
-        .contains(ManifestSink.DroppedColumn))
-      .map(f => f.copy(name = m.getOrElse(f.name.toLowerCase, f.name))))
-  }
+  private[sources] def logicalSchema: StructType =
+    ManifestSink.logicalizeStruct(tschema,
+      colmap.map { case (p, l) => p.toLowerCase -> l })
   private[sources] def physicalize(st: StructType): StructType =
-    StructType(st.fields.map(f => f.copy(name = physName(f.name))))
+    ManifestSink.physicalizeStruct(st, tschema,
+      colmap.map { case (p, l) => p.toLowerCase -> l })
 
   /** The snapshot this operation reads AND replaces — pinned once. */
   private[sources] val snapshotFiles: Seq[String] = ManifestSink.committedFiles(dir)
@@ -250,8 +247,11 @@ private[sources] class SnapRowLevelScan(op: SnapRowLevelOperation,
   override def createReaderFactory(): PartitionReaderFactory =
     // by-name file lookup under the PHYSICAL names; `rs` (and the rows,
     // positionally) stay logical
-    ManifestReadFactory(rs.fields.map(f => op.physName(f.name)),
-      rs.fields.map(_.dataType.typeName))
+    locally {
+      val prs = op.physicalize(rs)
+      ManifestReadFactory(prs.fields.map(_.name),
+        prs.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)))
+    }
 
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column(SnapFileColumn.name))
@@ -329,7 +329,7 @@ private[sources] class SnapRowLevelWrite(op: SnapRowLevelOperation,
     // the rewrite fans out under the table's spec, so COW survivors of
     // a partitioned table keep carrying their `#part` tuples
     ManifestWriterFactory(op.dir, ws.fields.map(_.name),
-      ws.fields.map(_.dataType.typeName),
+      ws.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)),
       java.util.UUID.randomUUID.toString.take(8), op.spec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

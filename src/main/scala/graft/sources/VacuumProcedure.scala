@@ -519,3 +519,103 @@ class TagProcedure(snapDir: () => String, create: Boolean)
     }
   }
 }
+
+/** `CALL graft.sys.create_branch(table, name)` / `drop_branch` (round
+  * 17, write-audit-publish): a branch is a `#branch <name> <base>` ref
+  * — writes staged under `spark.graft.wap.branch` land as
+  * `#forbranch` epochs invisible to main, `VERSION AS OF '<name>'`
+  * reads main + the staged adds for auditing, and
+  * [[FastForwardProcedure]] publishes. Dropping an unpublished branch
+  * abandons its staged epochs (the next sweep absorbs them as
+  * nothing; vacuum ages the files out). */
+class BranchProcedure(snapDir: () => String, create: Boolean)
+    extends UnboundProcedure {
+  override def name(): String = if (create) "create_branch" else "drop_branch"
+  override def description(): String =
+    if (create) "fork a write-audit-publish branch at the current " +
+      "version; returns (branch, base_version)"
+    else "drop a branch ref, abandoning unpublished staged epochs; " +
+      "returns (branch, base_version)"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = BranchProcedure.this.name()
+    override def description(): String = BranchProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under the snap.dir catalog conf").build(),
+      ProcedureParameter.in("branch", StringType)
+        .comment("token-safe, non-numeric branch name").build())
+    override def isDeterministic: Boolean = false // appends an epoch
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        s"${name()}(table, branch): arguments must not be null")
+      val table = input.getUTF8String(0).toString
+      GraftCatalog.requireValidTableName(table)
+      val branch = input.getUTF8String(1).toString
+      val dir = new java.io.File(snapDir(), table)
+      require(dir.isDirectory, s"graft.snap.$table: no manifest table at $dir")
+      val base: Long =
+        if (create) -1L // recorded inside the claim; reported below
+        else ManifestSink.tableBranches(dir.toString).getOrElse(branch, -1L)
+      ManifestSink.commitBranchEpoch(dir.toString, branch, create)
+      val reported =
+        if (create) ManifestSink.tableBranches(dir.toString)(branch)
+        else base
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType = new StructType()
+          .add("branch", StringType, nullable = false)
+          .add("base_version", LongType, nullable = false)
+        override def rows(): Array[InternalRow] = Array(InternalRow(
+          UTF8String.fromString(branch), reported))
+      }
+      java.util.List.of(scan).iterator()
+    }
+  }
+}
+
+/** `CALL graft.sys.fast_forward(table, branch)` — publish: the staged
+  * epochs' files re-list as ONE ordinary append epoch, the ref drops
+  * atomically with it, and main sees the audited rows exactly once.
+  * Refuses when main's data state moved past the branch base. */
+class FastForwardProcedure(snapDir: () => String) extends UnboundProcedure {
+  override def name(): String = "fast_forward"
+  override def description(): String =
+    "publish a branch: staged adds become one main epoch, the ref " +
+      "drops; returns (published_version, staged_epochs, published_files)"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = FastForwardProcedure.this.name()
+    override def description(): String = FastForwardProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under the snap.dir catalog conf").build(),
+      ProcedureParameter.in("branch", StringType)
+        .comment("the branch to publish").build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        "fast_forward(table, branch): arguments must not be null")
+      val table = input.getUTF8String(0).toString
+      GraftCatalog.requireValidTableName(table)
+      val branch = input.getUTF8String(1).toString
+      val dir = new java.io.File(snapDir(), table)
+      require(dir.isDirectory, s"graft.snap.$table: no manifest table at $dir")
+      val interval = ManifestSink.tableProperties(dir.toString)
+        .get("compact.interval").flatMap(_.toIntOption)
+        .getOrElse(ManifestSink.DefaultCompactInterval)
+      val (v, nEpochs, nFiles) =
+        ManifestSink.fastForward(dir.toString, branch, interval)
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType = new StructType()
+          .add("published_version", LongType, nullable = false)
+          .add("staged_epochs", LongType, nullable = false)
+          .add("published_files", LongType, nullable = false)
+        override def rows(): Array[InternalRow] = Array(InternalRow(
+          v, nEpochs.toLong, nFiles.toLong))
+      }
+      java.util.List.of(scan).iterator()
+    }
+  }
+}

@@ -169,7 +169,7 @@ class SnapshotSpec extends AnyFunSuite {
     // refuses naming the tag and spelling the numeric contract
     val bad = intercept[Exception](
       s.sql("SELECT * FROM graft.snap.ev VERSION AS OF 'abc'").collect())
-    assert(bad.toString.contains("no tag 'abc'") &&
+    assert(bad.toString.contains("no tag or branch 'abc'") &&
       bad.toString.contains("integers are epoch ids"), bad.toString)
 
     // ——— INCREMENTAL read (round 11): sinceVersion/asOfVersion options
@@ -2958,7 +2958,7 @@ class SnapshotSpec extends AnyFunSuite {
     val eGone = intercept[Exception] {
       s.sql("SELECT * FROM graft.snap.tg VERSION AS OF 'audited'")
         .collect() }
-    assert(eGone.getMessage.contains("no tag 'audited'") &&
+    assert(eGone.getMessage.contains("no tag or branch 'audited'") &&
       eGone.getMessage.contains("blessed"), eGone.getMessage)
     val eDropGone = intercept[Exception] {
       s.sql("CALL graft.sys.drop_tag('tg', 'audited')").collect() }
@@ -3152,6 +3152,208 @@ class SnapshotSpec extends AnyFunSuite {
     }
     val eSwept = intercept[Exception] { changes(0, 7) }
     assert(eSwept.getMessage.contains("horizon"), eSwept.getMessage)
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("NESTED-FIELD EVOLUTION (round 17): RENAME/DROP of struct fields " +
+    "via dotted #colmap entries (zero bytes rewritten), inner type " +
+    "WIDENING and inner ADD via one #schema epoch, pre-evolution files " +
+    "still served (missing inner -> null, narrow inner promotes), the " +
+    "sink's own reader agrees, and array/map/deep/narrowing refuse") {
+    val root = Files.createTempDirectory("graft_nested_evolve")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.sql("""CREATE TABLE graft.snap.ne (doc_id BIGINT,
+            |  meta STRUCT<lang: STRING, score: INT, junk: STRING>)
+            |""".stripMargin)
+    s.sql("INSERT INTO graft.snap.ne VALUES " +
+      "(1, named_struct('lang', 'de', 'score', 10, 'junk', 'x')), " +
+      "(2, named_struct('lang', 'es', 'score', 20, 'junk', 'y'))")
+    val filesBefore = graft.sources.ManifestSink
+      .committedFiles(root.resolve("ne").toString).toSet
+
+    s.sql("ALTER TABLE graft.snap.ne RENAME COLUMN meta.lang TO language")
+    s.sql("ALTER TABLE graft.snap.ne DROP COLUMN meta.junk")
+    s.sql("ALTER TABLE graft.snap.ne ALTER COLUMN meta.score TYPE BIGINT")
+    s.sql("ALTER TABLE graft.snap.ne ADD COLUMN meta.extra BIGINT")
+    assert(graft.sources.ManifestSink
+      .committedFiles(root.resolve("ne").toString).toSet == filesBefore,
+      "nested evolution moves zero data files")
+
+    // the served schema: renamed + dropped + widened + added
+    val served = s.table("graft.snap.ne").schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(served.fieldNames.toSeq == Seq("language", "score", "extra") &&
+      served("score").dataType.typeName == "long", served.toDDL)
+
+    // post-evolution write under the NEW logical names (score wide,
+    // out-of-int-range value proves the widened leaf)
+    s.sql("INSERT INTO graft.snap.ne VALUES " +
+      "(3, named_struct('language', 'fr', 'score', 9000000000L, " +
+      "'extra', 7L))")
+    val all = s.sql(
+      """SELECT doc_id, meta.language, meta.score, meta.extra
+        |FROM graft.snap.ne ORDER BY doc_id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(all.toSeq == Seq(
+      (1L, "de", 10L, -1L), (2L, "es", 20L, -1L),
+      (3L, "fr", 9000000000L, 7L)),
+      s"old files promote+null-fill, new files serve: ${all.toSeq}")
+    // the dropped field is gone from the face entirely
+    val eDropped = intercept[Exception] {
+      s.sql("SELECT meta.junk FROM graft.snap.ne").collect() }
+    assert(eDropped.getMessage.contains("junk"), eDropped.getMessage)
+
+    // the SINK'S OWN reader (dv/row-level/tail paths) agrees with the
+    // delegate: a merge-on-read DELETE forces it through the dv-scan,
+    // and the surviving rows keep their struct values intact
+    s.conf.set("spark.sql.catalog.graft.snap.ne.deleteMode", "mor")
+    s.sql("DELETE FROM graft.snap.ne WHERE doc_id = 2")
+    val after = s.sql(
+      """SELECT doc_id, meta.language, meta.score FROM graft.snap.ne
+        |ORDER BY doc_id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(after == Seq((1L, "de", 10L), (3L, "fr", 9000000000L)), after)
+    // ... and the sink reader serves the struct through the streaming
+    // tail face as well (epoch 1 only: pre-evolution bytes)
+    val tailRows = s.read.option("sinceVersion", "0")
+      .option("asOfVersion", "1").table("graft.snap.ne.changes")
+      .collect().map(r => (r.getLong(0),
+        r.getStruct(1).getString(0), r.getStruct(1).getLong(1))).toSet
+    assert(tailRows == Set((1L, "de", 10L), (2L, "es", 20L)),
+      s"the by-name group reader promotes + renames: $tailRows")
+
+    // refusals: arrays/maps refuse as COLUMNS at the sink gate (even
+    // stronger than refusing their evolution), non-struct parents and
+    // depth > 2 refuse, narrowing refuses, unknown fields refuse
+    val eArr = intercept[Exception] {
+      s.sql("ALTER TABLE graft.snap.ne ADD COLUMN tags ARRAY<STRING>") }
+    assert(eArr.getMessage.contains("arrays and maps are not supported"),
+      eArr.getMessage)
+    val ePrim = intercept[Exception] {
+      s.sql("ALTER TABLE graft.snap.ne RENAME COLUMN doc_id.x TO y") }
+    assert(ePrim.getMessage.contains("STRUCT fields only") ||
+      ePrim.getMessage.contains("is not a struct"), ePrim.getMessage)
+    val eDeep = intercept[Exception] {
+      s.sql("ALTER TABLE graft.snap.ne RENAME COLUMN meta.score.x TO y") }
+    assert(eDeep.getMessage.contains("ONE level") ||
+      eDeep.getMessage.contains("is not a struct"), eDeep.getMessage)
+    val eNarrow = intercept[Exception] {
+      s.sql("ALTER TABLE graft.snap.ne ALTER COLUMN meta.score TYPE INT") }
+    assert(eNarrow.getMessage.contains("WIDENING") ||
+      eNarrow.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      eNarrow.getMessage) // Spark's own analyzer refuses the narrowing
+                          // before the catalog even sees it
+    val eMissing = intercept[Exception] {
+      s.sql("ALTER TABLE graft.snap.ne DROP COLUMN meta.nope") }
+    assert(eMissing.getMessage.contains("no field") ||
+      eMissing.getMessage.contains("cannot be resolved"),
+      eMissing.getMessage) // Spark resolves struct fields at analysis
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("BRANCH REFS + WRITE-AUDIT-PUBLISH (round 17): staged appends " +
+    "are invisible to main (reads, tail, change feed), VERSION AS OF " +
+    "'<branch>' audits main+staged, fast_forward publishes exactly " +
+    "once at the publish version, a main write after the fork refuses " +
+    "the publish, sweeps stop below live staged epochs, and dropping " +
+    "a branch abandons its files to vacuum") {
+    val root = Files.createTempDirectory("graft_wap")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    val log = root.resolve("wap").toString
+    s.sql("CREATE TABLE graft.snap.wap (k BIGINT, v STRING)")
+    s.sql("INSERT INTO graft.snap.wap VALUES (1, 'a')")        // epoch 1
+    val fork = s.sql("CALL graft.sys.create_branch('wap', 'audit')")
+      .collect().head
+    assert(fork.getString(0) == "audit" && fork.getLong(1) == 1L)
+
+    // stage TWO appends on the branch
+    s.conf.set("spark.graft.wap.branch", "audit")
+    s.sql("INSERT INTO graft.snap.wap VALUES (2, 'b')")        // epoch 3
+    s.sql("INSERT INTO graft.snap.wap VALUES (3, 'c')")        // epoch 4
+    // non-append forms refuse under the wap conf
+    val eOw = intercept[Exception] {
+      s.sql("INSERT OVERWRITE graft.snap.wap VALUES (9, 'z')") }
+    assert(eOw.getMessage.contains("staged on a branch"), eOw.getMessage)
+    val eDel = intercept[Exception] {
+      s.sql("DELETE FROM graft.snap.wap WHERE k = 1") }
+    assert(eDel.getMessage.contains("branch"), eDel.getMessage)
+    s.conf.unset("spark.graft.wap.branch")
+
+    // main sees NOTHING staged — batch, history kinds, change feed
+    assert(s.sql("SELECT k FROM graft.snap.wap").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L), "staged rows invisible to main")
+    assert(s.sql("SELECT count(*) FROM graft.snap.wap.changes")
+      .head().getLong(0) == 1L, "the feed serves only the main insert")
+    // the branch READ face audits main + staged
+    assert(s.sql("SELECT k FROM graft.snap.wap VERSION AS OF 'audit' " +
+      "ORDER BY k").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // ... and is read-only
+    val eWrite = intercept[Exception] { locally { import s.implicits._
+      Seq((7L, "x")).toDF("k", "v")
+        .writeTo("graft.snap.wap VERSION AS OF `audit`").append() } }
+
+    // PUBLISH: one epoch, rows visible exactly once, feed labels them
+    // inserts at the publish version
+    val pub = s.sql("CALL graft.sys.fast_forward('wap', 'audit')")
+      .collect().head
+    assert(pub.getLong(1) == 2L && pub.getLong(2) == 2L,
+      s"two staged epochs, two files: $pub")
+    val pubV = pub.getLong(0)
+    assert(s.sql("SELECT k FROM graft.snap.wap ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), "published exactly once")
+    val feed = s.read.option("sinceVersion", (pubV - 1).toString)
+      .option("asOfVersion", pubV.toString)
+      .table("graft.snap.wap.changes").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    assert(feed == Set((2L, "insert", pubV), (3L, "insert", pubV)),
+      s"the feed serves the audited rows AT the publish version: $feed")
+    assert(graft.sources.ManifestSink.tableBranches(log).isEmpty,
+      "the ref dropped atomically with the publish")
+
+    // RACE PIN: main moves after the fork -> publish refuses
+    s.sql("CALL graft.sys.create_branch('wap', 'race')").collect()
+    s.conf.set("spark.graft.wap.branch", "race")
+    s.sql("INSERT INTO graft.snap.wap VALUES (10, 'r')")
+    s.conf.unset("spark.graft.wap.branch")
+    s.sql("INSERT INTO graft.snap.wap VALUES (11, 'm')") // main moved
+    val eRace = intercept[Exception] {
+      s.sql("CALL graft.sys.fast_forward('wap', 'race')").collect() }
+    assert(eRace.getMessage.contains("no longer fast-forwards") ||
+      eRace.getMessage.contains("landed after"), eRace.getMessage)
+    // the staged row is still invisible; main's own append serves
+    assert(s.sql("SELECT k FROM graft.snap.wap ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 11L))
+
+    // SWEEPS stop below the live staged epoch: push past the interval
+    (0 until 12).foreach(i =>
+      s.sql(s"INSERT INTO graft.snap.wap VALUES (${100 + i}, 'f')"))
+    assert(s.sql("SELECT k FROM graft.snap.wap VERSION AS OF 'race' " +
+      "ORDER BY k").collect().map(_.getLong(0))
+      .count(k => k == 10L) == 1, "staged epoch survives the sweeps")
+
+    // DROP abandons: the ref dies, the next sweep absorbs the staged
+    // epoch as nothing, vacuum reclaims its file
+    val stagedFiles = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(root.resolve("wap").resolve("data"))
+        .iterator().asScala.map(_.getFileName.toString).toSet
+    }
+    s.sql("CALL graft.sys.drop_branch('wap', 'race')").collect()
+    val eGone = intercept[Exception] {
+      s.sql("SELECT * FROM graft.snap.wap VERSION AS OF 'race'").collect() }
+    assert(eGone.getMessage.contains("race"), eGone.getMessage)
+    (0 until 12).foreach(i =>
+      s.sql(s"INSERT INTO graft.snap.wap VALUES (${200 + i}, 'g')"))
+    val reclaimed = graft.sources.ManifestSink.vacuum(log, 0L)
+    assert(reclaimed.nonEmpty,
+      "the abandoned staged file ages out through vacuum")
+    assert(s.sql("SELECT count(*) FROM graft.snap.wap").head().getLong(0)
+      == 3 + 1 + 12 + 12, "main rows intact after the reclaim")
     graft.util.Fs.deleteRecursively(root)
   }
 }
