@@ -2473,4 +2473,54 @@ object Materialize {
         |FROM graft.snap.docne
         |GROUP BY meta.language""".stripMargin)
   }
+
+  /** WRITE-AUDIT-PUBLISH (`q_snap_branch`, round 17): stage loads on
+    * branches, audit via `VERSION AS OF '<branch>'`, publish the
+    * validated one with `fast_forward`, drop the failed one — main
+    * serves exactly the published rows, NEVER the unvalidated ones.
+    * This is the reference pipeline's load-then-validate step run the
+    * way a 100 TB lake must run it: staged data is real committed
+    * files, invisible until audited, published as one atomic epoch. */
+  def snapBranch(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_wap_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    complete.createOrReplaceTempView("graft_wap_src")
+    spark.sql(
+      """CREATE TABLE graft.snap.docwap
+        |  (doc_id BIGINT, lang STRING, n_chars BIGINT)""".stripMargin)
+    spark.sql("INSERT INTO graft.snap.docwap " +
+      "SELECT * FROM graft_wap_src WHERE lang = 'de'")
+    spark.sql("CALL graft.sys.create_branch('docwap', 'stage')").collect()
+    spark.sql("CALL graft.sys.create_branch('docwap', 'bad')").collect()
+    try {
+      spark.conf.set("spark.graft.wap.branch", "stage")
+      spark.sql("INSERT INTO graft.snap.docwap " +
+        "SELECT * FROM graft_wap_src WHERE lang = 'es'")
+      spark.conf.set("spark.graft.wap.branch", "bad")
+      spark.sql("INSERT INTO graft.snap.docwap " +
+        "SELECT * FROM graft_wap_src WHERE lang = 'zh'")
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    // AUDIT: the branch face sees main + its staged rows; main sees
+    // only the published state — both asserted here so a regression
+    // fails the query, not just a spec
+    val auditEs = spark.sql("SELECT count(*) FROM graft.snap.docwap " +
+      "VERSION AS OF 'stage' WHERE lang = 'es'").head().getLong(0)
+    val mainEs = spark.sql("SELECT count(*) FROM graft.snap.docwap " +
+      "WHERE lang <> 'de'").head().getLong(0)
+    require(auditEs > 0 && mainEs == 0,
+      s"staging invariant broken: audit=$auditEs mainNonDe=$mainEs")
+    spark.sql("CALL graft.sys.fast_forward('docwap', 'stage')").collect()
+    spark.sql("CALL graft.sys.drop_branch('docwap', 'bad')").collect()
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM graft.snap.docwap
+        |GROUP BY lang""".stripMargin)
+  }
 }
