@@ -238,6 +238,7 @@ object SparkEntry {
     "q_snap_cdf_stream"  -> Materialize.snapCdfStream _,
     "q_snap_nested_evolve" -> Materialize.snapNestedEvolve _,
     "q_snap_branch"      -> Materialize.snapBranch _,
+    "q_snap_expire"      -> Materialize.snapExpire _,
     "q_snap_dv_delete"   -> Materialize.snapDvDelete _,
     "q_snap_dv_update"   -> Materialize.snapDvUpdate _,
     "q_snap_dv_merge"    -> Materialize.snapDvMerge _,
@@ -2468,6 +2469,14 @@ object SparkEntry {
         |SELECT 4, 'update_postimage', lang, count(*),
         |  CAST(sum(n_chars + 1000) AS BIGINT)
         |FROM complete WHERE lang = 'de' AND doc_id % 5 = 0
+        |GROUP BY lang""".stripMargin,
+    "q_snap_expire" -> // history retirement is value-invisible to the
+      // current table; the clamp/survival/refusal pins run in-query
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL
         |GROUP BY lang""".stripMargin,
     "q_snap_branch" -> // write-audit-publish: main serves exactly the
       // de load plus the PUBLISHED es branch; the dropped zh branch's

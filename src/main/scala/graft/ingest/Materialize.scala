@@ -2523,4 +2523,54 @@ object Materialize {
         |FROM graft.snap.docwap
         |GROUP BY lang""".stripMargin)
   }
+
+  /** EXPIRE SNAPSHOTS (`q_snap_expire`, round 17): five per-lang
+    * loads, a tag at version 3, then count-based expiry — the sweep
+    * CLAMPS at the tag (tagged snapshots survive expiry by contract),
+    * travel below the new horizon refuses, and the CURRENT table is
+    * value-invisible to the whole operation (the oracle is the plain
+    * per-lang aggregate). In-query requires pin the clamp, the
+    * surviving tag read, and the below-horizon refusal — a regression
+    * fails the query, not just a spec. */
+  def snapExpire(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_exp_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    complete.createOrReplaceTempView("graft_exp_src")
+    spark.sql(
+      """CREATE TABLE graft.snap.docexp
+        |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+        |TBLPROPERTIES ('compact.interval'='100')""".stripMargin)
+    Seq("de", "en", "es", "fr", "zh").foreach { l =>
+      spark.sql("INSERT INTO graft.snap.docexp " +
+        s"SELECT * FROM graft_exp_src WHERE lang = '$l'")
+    }                                                   // epochs 1..5
+    spark.sql("CALL graft.sys.create_tag('docexp', 'audit', 3)").collect()
+    val r = spark.sql("CALL graft.sys.expire_snapshots('docexp', 1)")
+      .collect().head
+    require(r.getLong(0) == 3L && r.getString(2) == "tag:audit",
+      s"the tag must clamp the sweep: $r")
+    val tagged = spark.sql("SELECT count(*) FROM graft.snap.docexp " +
+      "VERSION AS OF 'audit'").head().getLong(0)
+    val first3 = spark.sql("SELECT count(*) FROM graft_exp_src " +
+      "WHERE lang IN ('de', 'en', 'es')").head().getLong(0)
+    require(tagged == first3,
+      s"the tagged snapshot must survive expiry: $tagged vs $first3")
+    val refused = try {
+      spark.sql("SELECT count(*) FROM graft.snap.docexp VERSION AS OF 1")
+        .collect(); false
+    } catch { case e: Exception => e.getMessage.contains("3") }
+    require(refused, "travel below the new horizon must refuse " +
+      "with the boundary named")
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM graft.snap.docexp
+        |GROUP BY lang""".stripMargin)
+  }
 }

@@ -382,6 +382,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           create = false)
       case Seq(SysNs) if ident.name() == "fast_forward" =>
         new FastForwardProcedure(() => snapDirOrFail("fast_forward"))
+      case Seq(SysNs) if ident.name() == "expire_snapshots" =>
+        new ExpireSnapshotsProcedure(
+          () => snapDirOrFail("expire_snapshots"))
       case _ => throw new UnsupportedOperationException(
         s"$catalogName has no procedure $ident " +
           s"(available: $SysNs.vacuum, $SysNs.compact_data)")

@@ -1639,7 +1639,12 @@ object ManifestSink {
     * `#txn` watermark per writer, the distinct `#schema` set, and the
     * `#stats` of every file still in the union. */
   private[sources] def maybeCompact(dir: Path, priorHorizon: Long,
-      compactInterval: Int): Unit = retryVanish() {
+      compactInterval: Int,
+      /** EXPIRY mode (round 17): absorb only epochs <= `through` and
+        * ignore the interval — `expire_snapshots` forces a bounded
+        * sweep; the live-branch cap still applies on top. */
+      through: Long = Long.MaxValue,
+      force: Boolean = false): Unit = retryVanish() {
     // retryVanish: a concurrent committer's sweep can delete a listed
     // fragment mid-read here; re-running from a fresh listing is always
     // consistent (and usually a no-op — the racer compacted for us)
@@ -1654,8 +1659,8 @@ object ManifestSink {
     val cap = looseAll
       .filter(e => branchOf(e._2).exists(liveBranches.contains))
       .map(_._1 - 1).minOption.getOrElse(Long.MaxValue)
-    val loose = looseAll.filter(_._1 <= cap)
-    if (loose.size < compactInterval) return
+    val loose = looseAll.filter(e => e._1 <= cap && e._1 <= through)
+    if (loose.isEmpty || (!force && loose.size < compactInterval)) return
     val prior = latestCompact(dir)
     val absorbed = loose.sortBy(_._1).map(_._2)
     val fragments = prior.map(_._2).toSeq ++
@@ -2085,6 +2090,49 @@ object ManifestSink {
     * timestamp). Returns the deleted names. Also operable from pure
     * SQL: `CALL graft.sys.vacuum(table, older_than_ms)`
     * ([[VacuumProcedure]]). */
+  /** EXPIRE SNAPSHOTS (round 17, the Iceberg `expire_snapshots`
+    * shape): retire history by COUNT (`keep_last` versions stay
+    * travel-servable) or AGE (epochs committed at or before the
+    * cutoff retire, measured by the persisted `#ts` commit clock) by
+    * forcing a bounded compaction sweep — travel below the new
+    * horizon then refuses with the boundary named (the standing
+    * retention contract), and the newly-unreferenced bytes become
+    * vacuum candidates. REF-PROTECTED: the sweep clamps at the oldest
+    * TAG target and the oldest BRANCH base (a horizon at the tag's
+    * version keeps it servable — `committedFilesAsOf` serves any
+    * version at or above the horizon), and live branches' staged
+    * epochs keep their own cap inside the sweep. Returns (new
+    * horizon, epochs retired, what clamped — "none" if nothing). */
+  private[graft] def expireSnapshots(path: String,
+      keepLast: Option[Long], olderThanMicros: Option[Long])
+      : (Long, Long, String) = {
+    require(keepLast.isDefined != olderThanMicros.isDefined,
+      "expire_snapshots: give exactly one of keep_last / older_than_ms")
+    keepLast.foreach(k => require(k >= 1,
+      s"expire_snapshots: keep_last must be >= 1, got $k"))
+    val dir = Paths.get(path)
+    val prior = latestCompact(dir).map(_._1).getOrElse(-1L)
+    val newest = newestVersion0(dir)
+    require(newest >= 0, s"manifest table $path has no committed version")
+    val requested = keepLast.map(k => newest - k).getOrElse {
+      val cut = olderThanMicros.get
+      (prior +: looseEpochs(dir, prior)
+        .filter(e => commitTimeMicros(e._2) <= cut).map(_._1)).max
+    }
+    val tags = tableTags(path)
+    val branches = tableBranches(path)
+    val caps: Seq[(Long, String)] =
+      tags.toSeq.map { case (n, v) => (v, s"tag:$n") } ++
+        branches.toSeq.map { case (n, v) => (v, s"branch:$n") }
+    val binding = caps.filter(_._1 < requested).minByOption(_._1)
+    val effective = binding.map(_._1).getOrElse(requested)
+    val protectedBy = binding.map(_._2).getOrElse("none")
+    if (effective <= prior) return (prior, 0L, protectedBy)
+    maybeCompact(dir, prior, 1, through = effective, force = true)
+    val now = latestCompact(dir).map(_._1).getOrElse(-1L)
+    (now, math.max(0L, now - prior), protectedBy)
+  }
+
   def vacuum(path: String, olderThanMs: Long): Seq[String] = {
     require(olderThanMs >= 0, s"olderThanMs must be >= 0, got $olderThanMs")
     val dir = Paths.get(path)

@@ -619,3 +619,62 @@ class FastForwardProcedure(snapDir: () => String) extends UnboundProcedure {
     }
   }
 }
+
+/** `CALL graft.sys.expire_snapshots(table, keep_last := N)` /
+  * `(table, older_than_ms := T)` (round 17): retire history by count
+  * or age via a forced bounded sweep — travel below the new horizon
+  * refuses with the boundary named, the retired epochs' unreferenced
+  * bytes become vacuum candidates, and TAG targets / BRANCH bases
+  * clamp the sweep (a tagged snapshot survives expiry by contract).
+  * Returns (horizon, expired_epochs, protected_by). */
+class ExpireSnapshotsProcedure(snapDir: () => String)
+    extends UnboundProcedure {
+  override def name(): String = "expire_snapshots"
+  override def description(): String =
+    "retire snapshot history by count (keep_last) or age " +
+      "(older_than_ms, by the persisted commit clock); tag/branch " +
+      "refs clamp the sweep; returns (horizon, expired_epochs, " +
+      "protected_by)"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = ExpireSnapshotsProcedure.this.name()
+    override def description(): String =
+      ExpireSnapshotsProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name under the snap.dir catalog conf").build(),
+      ProcedureParameter.in("keep_last", LongType).defaultValue("-1")
+        .comment("keep this many newest versions travel-servable").build(),
+      ProcedureParameter.in("older_than_ms", LongType).defaultValue("-1")
+        .comment("retire epochs committed at or before now - this " +
+          "(persisted #ts commit clock)").build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      require(!input.isNullAt(0),
+        "expire_snapshots(table, ...): table must not be null")
+      val table = input.getUTF8String(0).toString
+      GraftCatalog.requireValidTableName(table)
+      val dir = new java.io.File(snapDir(), table)
+      require(dir.isDirectory, s"graft.snap.$table: no manifest table at $dir")
+      val keepLast =
+        if (input.numFields < 2 || input.isNullAt(1)) -1L else input.getLong(1)
+      val olderMs =
+        if (input.numFields < 3 || input.isNullAt(2)) -1L else input.getLong(2)
+      val (horizon, expired, protectedBy) = ManifestSink.expireSnapshots(
+        dir.toString,
+        Some(keepLast).filter(_ >= 0),
+        Some(olderMs).filter(_ >= 0)
+          .map(ms => (System.currentTimeMillis() - ms) * 1000L))
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType = new StructType()
+          .add("horizon", LongType, nullable = false)
+          .add("expired_epochs", LongType, nullable = false)
+          .add("protected_by", StringType, nullable = false)
+        override def rows(): Array[InternalRow] = Array(InternalRow(
+          horizon, expired, UTF8String.fromString(protectedBy)))
+      }
+      java.util.List.of(scan).iterator()
+    }
+  }
+}

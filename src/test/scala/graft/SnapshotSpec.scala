@@ -3356,4 +3356,89 @@ class SnapshotSpec extends AnyFunSuite {
       == 3 + 1 + 12 + 12, "main rows intact after the reclaim")
     graft.util.Fs.deleteRecursively(root)
   }
+
+  test("EXPIRE SNAPSHOTS (round 17): count- and age-based retirement " +
+    "via a forced bounded sweep — tag targets clamp it (tagged " +
+    "snapshots survive expiry), travel below the new horizon refuses " +
+    "with the boundary named, vacuum reclaims the newly-unreferenced " +
+    "bytes, and the loose history stays bounded under commits") {
+    val root = Files.createTempDirectory("graft_expire")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    val log = root.resolve("ex").toString
+    // interval 100: nothing sweeps on its own — expiry is the actor
+    s.sql("""CREATE TABLE graft.snap.ex (k BIGINT, v STRING)
+            |TBLPROPERTIES ('compact.interval'='100')""".stripMargin)
+    (1 to 8).foreach(i =>
+      s.sql(s"INSERT INTO graft.snap.ex VALUES ($i, 'v$i')")) // epochs 1-8
+    s.sql("CALL graft.sys.create_tag('ex', 'keep', 5)").collect()
+
+    // count-based, clamped by the tag: requested 8-2=6, tag at 5 wins
+    val r1 = s.sql("CALL graft.sys.expire_snapshots('ex', 2)")
+      .collect().head
+    assert((r1.getLong(0), r1.getString(2)) == ((5L, "tag:keep")), r1)
+    // the tagged snapshot SURVIVES expiry (horizon == tag target)
+    assert(s.sql("SELECT count(*) FROM graft.snap.ex VERSION AS OF 'keep'")
+      .head().getLong(0) == 5L, "tagged snapshot must stay servable")
+    // travel below the new horizon refuses, boundary named
+    val eBelow = intercept[Exception] {
+      s.sql("SELECT * FROM graft.snap.ex VERSION AS OF 3").collect() }
+    assert(eBelow.getMessage.contains("5") &&
+      (eBelow.getMessage.contains("horizon") ||
+        eBelow.getMessage.contains("retained")), eBelow.getMessage)
+
+    // drop the tag: the same request now retires freely. keep_last
+    // counts VERSIONS (epoch ids) — the tag epochs (9, 10) count, so
+    // newest(10) - 2 = 8
+    s.sql("CALL graft.sys.drop_tag('ex', 'keep')").collect()
+    val r2 = s.sql("CALL graft.sys.expire_snapshots('ex', 2)")
+      .collect().head
+    assert((r2.getLong(0), r2.getString(2)) == ((8L, "none")), r2)
+
+    // an overwrite's victims become vacuum-reclaimable once the
+    // remove epoch retires into the compact
+    val before = graft.sources.ManifestSink.committedFiles(log)
+      .map(f => java.nio.file.Paths.get(f).getFileName.toString).toSet
+    s.sql("INSERT OVERWRITE graft.snap.ex VALUES (99, 'z')")   // epoch 11
+    s.sql("INSERT INTO graft.snap.ex VALUES (100, 'y')")       // epoch 12
+    assert(graft.sources.ManifestSink.vacuum(log, 0L).isEmpty,
+      "victims stay referenced while the remove epoch is loose")
+    val r3 = s.sql("CALL graft.sys.expire_snapshots('ex', 1)")
+      .collect().head
+    assert(r3.getLong(0) == 11L, r3)
+    val reclaimed = graft.sources.ManifestSink.vacuum(log, 0L).toSet
+    assert(reclaimed == before,
+      s"the retired overwrite's victims reclaim: $reclaimed vs $before")
+    assert(s.sql("SELECT k FROM graft.snap.ex ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(99L, 100L), "live rows intact")
+    // bounded history: one compact + the un-expired tail
+    locally {
+      import scala.jdk.CollectionConverters._
+      val frags = java.nio.file.Files.list(root.resolve("ex"))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("epoch-") || n.startsWith("compact-"))
+        .toSeq
+      assert(frags.count(_.startsWith("compact-")) == 1 &&
+        frags.count(_.startsWith("epoch-")) <= 1,
+        s"history bounded by expiry: $frags")
+    }
+
+    // AGE-based: stamp the next epochs' commit times ANCIENT, expire
+    // by age — only the stamped ones retire (the #ts clock decides)
+    s.sql("INSERT INTO graft.snap.ex VALUES (101, 'a')")       // epoch 13
+    s.sql("INSERT INTO graft.snap.ex VALUES (102, 'b')")       // epoch 14
+    graft.sources.ManifestSink.stampCommitTime(log, 13L, 1000000000L)
+    val r4 = s.sql(
+      "CALL graft.sys.expire_snapshots('ex', older_than_ms => 86400000)")
+      .collect().head
+    // the horizon is contiguous: retiring the ancient epoch 13 also
+    // absorbs the younger epoch 12 below it — age expiry retires
+    // THROUGH the newest old-enough epoch
+    assert(r4.getLong(0) == 13L,
+      s"age expiry retires through the ancient-stamped epoch: $r4")
+    assert(s.sql("SELECT count(*) FROM graft.snap.ex").head().getLong(0)
+      == 4L)
+    graft.util.Fs.deleteRecursively(root)
+  }
 }
