@@ -236,6 +236,7 @@ object SparkEntry {
     "q_snap_cdf"         -> Materialize.snapCdf _,
     "q_snap_cdf_incr"    -> Materialize.snapCdfIncr _,
     "q_snap_cdf_stream"  -> Materialize.snapCdfStream _,
+    "q_snap_cdf_ts"      -> Materialize.snapCdfTs _,
     "q_snap_nested_evolve" -> Materialize.snapNestedEvolve _,
     "q_snap_branch"      -> Materialize.snapBranch _,
     "q_snap_expire"      -> Materialize.snapExpire _,
@@ -2503,6 +2504,18 @@ object SparkEntry {
         |SELECT lang, count(*), CAST(sum(n_chars + 3000000000) AS BIGINT),
         |  CAST(sum(doc_id) AS BIGINT)
         |FROM complete WHERE lang = 'en' GROUP BY lang""".stripMargin,
+    "q_snap_cdf_ts" -> // the _commit_timestamp CDC column carries the
+      // persisted #ts clock, pinned deterministic
+      """WITH complete AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL)
+        |SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+        |  CAST(2000000000 AS BIGINT) AS ts_us, count(*) AS n_rows
+        |FROM complete WHERE lang = 'de'
+        |UNION ALL
+        |SELECT 2, 'delete', 3000000000, count(*)
+        |FROM complete WHERE lang = 'de' AND doc_id % 4 = 0""".stripMargin,
     "q_snap_cdf_incr" -> // incremental materialization from the feed:
       // signed replay of the change rows must equal the batch
       // recompute of the lifecycle's final state

@@ -2573,4 +2573,43 @@ object Materialize {
         |FROM graft.snap.docexp
         |GROUP BY lang""".stripMargin)
   }
+
+  /** CDC `_commit_timestamp` (`q_snap_cdf_ts`, round 17): the change
+    * rows carry the epoch's PERSISTED `#ts` commit clock — pinned
+    * here via [[graft.sources.ManifestSink.stampCommitTime]] so the
+    * wall-clock column is deterministically oracle-able (the same
+    * discipline as `q_snap_ts_travel`). Served through the `.changes`
+    * SQL face, so the pseudo-column reader path is what's verified. */
+  def snapCdfTs(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_cdft_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    complete.createOrReplaceTempView("graft_cdft_src")
+    spark.sql(
+      """CREATE TABLE graft.snap.doccdft
+        |  (doc_id BIGINT, lang STRING, n_chars BIGINT)""".stripMargin)
+    spark.sql("INSERT INTO graft.snap.doccdft " +
+      "SELECT * FROM graft_cdft_src WHERE lang = 'de'")          // epoch 1
+    spark.conf.set("spark.sql.catalog.graft.snap.doccdft.deleteMode", "mor")
+    spark.sql("DELETE FROM graft.snap.doccdft " +
+      "WHERE lang = 'de' AND doc_id % 4 = 0")                    // epoch 2
+    val log = new java.io.File(root, "doccdft").toString
+    Seq(0L -> 1000000000L, 1L -> 2000000000L, 2L -> 3000000000L)
+      .foreach { case (id, us) =>
+        graft.sources.ManifestSink.stampCommitTime(log, id, us) }
+    spark.read.option("sinceVersion", "0")
+      .table("graft.snap.doccdft.changes")
+      .createOrReplaceTempView("graft_cdft_feed")
+    spark.sql(
+      """SELECT _commit_version AS version, _change_type AS change_type,
+        |  unix_micros(_commit_timestamp) AS ts_us, count(*) AS n_rows
+        |FROM graft_cdft_feed
+        |GROUP BY 1, 2, 3""".stripMargin)
+  }
 }

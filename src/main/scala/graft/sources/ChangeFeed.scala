@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit}
+import org.apache.spark.sql.functions.{broadcast, col, lit, struct, when}
 import org.apache.spark.sql.types.StructType
 
 /** CDC CHANGE FEED over a manifest table's epoch log (round 17, the
@@ -54,6 +54,7 @@ import org.apache.spark.sql.types.StructType
 object ChangeFeed {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
+  val CommitTsCol = "_commit_timestamp"
 
   /** The change rows of `(since, until]` on the manifest table at
     * `dir`. `since = -1` starts before the first epoch (refused if the
@@ -108,24 +109,35 @@ object ChangeFeed {
       }
     }
 
-    val logicalCols = physCols.map(p => col(p).as(logicalName(p)))
+    val logicalCols = served.toSeq.map(f => logicalTopCol(f, colmap))
     def labeled(df: DataFrame): DataFrame =
-      df.select(logicalCols :+ col(ChangeTypeCol) :+ col(CommitVersionCol): _*)
+      df.select(logicalCols :+ col(ChangeTypeCol) :+
+        col(CommitVersionCol) :+ col(CommitTsCol): _*)
 
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
-      StructType(served.map(f => f.copy(name = logicalName(f.name)))
-        .toArray[org.apache.spark.sql.types.StructField])
+      ManifestSink.logicalizeStruct(StructType(
+        served.toArray[org.apache.spark.sql.types.StructField]), colmap)
         .add(ChangeTypeCol, "string", nullable = false)
-        .add(CommitVersionCol, "long", nullable = false))
+        .add(CommitVersionCol, "long", nullable = false)
+        .add(CommitTsCol, "timestamp", nullable = false))
+    // version -> persisted commit time (micros), for the constant col
+    val tsOf: Map[Long, Long] = deltas.map(d => d.id -> d.tsMicros).toMap
+    def tsCol(v: Long): org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.timestamp_micros(
+        lit(tsOf.getOrElse(v, -1L)))
 
     // ——— inserted/appended rows: ONE multi-path scan + broadcast label
     val insertDf =
       if (insertFiles.isEmpty) None
       else {
         import spark.implicits._
-        val names = insertFiles.toSeq.map { case (n, v, l) => (n, v, l) }
-          .toDF("_f", CommitVersionCol, ChangeTypeCol)
+        val names = insertFiles.toSeq.map { case (n, v, l) =>
+          (n, v, l, tsOf.getOrElse(v, -1L)) }
+          .toDF("_f", CommitVersionCol, ChangeTypeCol, "_ts_us")
+          .withColumn(CommitTsCol,
+            org.apache.spark.sql.functions.timestamp_micros(col("_ts_us")))
+          .drop("_ts_us")
         val base = spark.read.schema(physSchema)
           .parquet(insertFiles.map(e => dataPath(e._1)).toSeq.distinct: _*)
           .withColumn("_f", col("_metadata.file_name"))
@@ -139,8 +151,12 @@ object ChangeFeed {
       if (dvFiles.isEmpty) None
       else {
         import spark.implicits._
-        val dvMeta = dvFiles.toSeq.map { case (dv, data, v, l) => (dv, data, v, l) }
-          .toDF("_dv", "_f", CommitVersionCol, ChangeTypeCol)
+        val dvMeta = dvFiles.toSeq.map { case (dv, data, v, l) =>
+          (dv, data, v, l, tsOf.getOrElse(v, -1L)) }
+          .toDF("_dv", "_f", CommitVersionCol, ChangeTypeCol, "_ts_us")
+          .withColumn(CommitTsCol,
+            org.apache.spark.sql.functions.timestamp_micros(col("_ts_us")))
+          .drop("_ts_us")
         val pos = spark.read.textFile(
           dvFiles.map(e => dataPath(e._1)).toSeq.distinct: _*)
           .select(col("value").cast("long").as("_p"),
@@ -164,10 +180,11 @@ object ChangeFeed {
       def side(files: Seq[String], dvMap: Map[String, Seq[(String, Long)]])
           : DataFrame =
         if (files.isEmpty)
-          empty.select(physCols.map(p => col(logicalName(p))): _*)
+          empty.select(served.toSeq.map(f =>
+            col(logicalName(f.name))): _*)
         else DvOps.readExcludingDeleted(spark, physSchema, dir,
           files.map(dataPath), Some(dvMap))
-          .select(physCols.map(p => col(p).as(logicalName(p))): _*)
+          .select(served.toSeq.map(f => logicalTopCol(f, colmap)): _*)
       val pre = side(d.removes, preDvs)
       val post = side(d.adds, postDvs)
       val (preLabel, postLabel) = d.op match {
@@ -185,10 +202,45 @@ object ChangeFeed {
       // emitting the computed post-diff keeps the path uniform — it is
       // empty by construction
       both.withColumn(CommitVersionCol, lit(d.id))
+        .withColumn(CommitTsCol, tsCol(d.id))
     }
 
     (insertDf.toSeq ++ dvDf.toSeq ++ cowDfs)
       .reduceOption(_ unionAll _).getOrElse(empty)
+  }
+
+  /** One top-level column projected to its LOGICAL form: renamed by
+    * the flat entry, and — when dotted `#colmap` entries exist under
+    * it (round 17, nested evolution) — its struct VALUE rebuilt with
+    * inner fields renamed/dropped recursively (outer nulls
+    * preserved). */
+  private def logicalTopCol(f: org.apache.spark.sql.types.StructField,
+      colmap: Map[String, String]): org.apache.spark.sql.Column = {
+    def logicalName(p: String): String = colmap.getOrElse(p.toLowerCase, p)
+    def hasNested(prefix: String): Boolean =
+      colmap.keys.exists(_.toLowerCase.startsWith(prefix.toLowerCase))
+    def rebuild(base: org.apache.spark.sql.Column, st: StructType,
+        prefix: String): org.apache.spark.sql.Column = {
+      val kids = st.fields.flatMap { g =>
+        val key = (prefix + g.name).toLowerCase
+        if (colmap.get(key).contains(ManifestSink.DroppedColumn)) None
+        else {
+          val child = g.dataType match {
+            case s: StructType if hasNested(key + ".") =>
+              rebuild(base.getField(g.name), s, prefix + g.name + ".")
+            case _ => base.getField(g.name)
+          }
+          Some(child.as(colmap.getOrElse(key, g.name)))
+        }
+      }
+      when(base.isNotNull, struct(kids.toSeq: _*))
+    }
+    val c = f.dataType match {
+      case st: StructType if hasNested(f.name + ".") =>
+        rebuild(col(f.name), st, f.name + ".")
+      case _ => col(f.name)
+    }
+    c.as(logicalName(f.name))
   }
 
   /** The (logical schema ++ change columns) a CDC face serves. */
@@ -205,7 +257,8 @@ object ChangeFeed {
       f.copy(name = colmap.getOrElse(f.name.toLowerCase, f.name))))
     (served, // physical
       logical.add(ChangeTypeCol, "string", nullable = false)
-        .add(CommitVersionCol, "long", nullable = false))
+        .add(CommitVersionCol, "long", nullable = false)
+        .add(CommitTsCol, "timestamp", nullable = false))
   }
 
   /** [[tableChanges]] by CATALOG table name — `tname` under the
@@ -246,9 +299,12 @@ private[sources] class SnapChangesTable(tname: String, dir: String)
   private val (physSchema, servedSchema) = ChangeFeed.changeSchema(dir)
   private def fieldNames: Array[String] =
     physSchema.fields.map(_.name) ++
-      Array(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitVersionCol)
+      Array(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitVersionCol,
+        ChangeFeed.CommitTsCol)
   private def fieldTypes: Array[String] =
-    physSchema.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)) ++ Array("string", "long")
+    physSchema.fields.map(f =>
+      graft.sources.ManifestSink.typeTokOf(f.dataType)) ++
+      Array("string", "long", "timestamp")
 
   override def name(): String = s"snap($tname).changes"
   override def schema(): StructType = servedSchema

@@ -1460,6 +1460,11 @@ private[sources] class SnapMetaTable(tname: String, dir: String, meta: String)
     case "tags" => new StructType()
       .add("tag", StringType, nullable = false)
       .add("version", LongType, nullable = false)
+    case "branches" => new StructType()
+      .add("branch", StringType, nullable = false)
+      .add("base_version", LongType, nullable = false)
+      .add("staged_epochs", LongType, nullable = false)
+      .add("staged_files", LongType, nullable = false)
     case "partitions" => new StructType()
       .add("partition", StringType, nullable = true)
       .add("spec_id", LongType, nullable = false)
@@ -1484,7 +1489,7 @@ private[sources] class SnapMetaTable(tname: String, dir: String, meta: String)
 
 private[sources] object SnapMetaTable {
   val Names: Set[String] = Set("files", "history", "tags", "partitions",
-    "changes")
+    "changes", "branches")
 
   private[sources] def rowsOf(dir: String, meta: String)
       : Array[org.apache.spark.sql.catalyst.InternalRow] = meta match {
@@ -1513,6 +1518,15 @@ private[sources] object SnapMetaTable {
       ManifestSink.tableTags(dir).toSeq.sortBy(_._1).map { case (n, v) =>
         org.apache.spark.sql.catalyst.InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(n), v)
+      }.toArray
+    case "branches" =>
+      // one row per live WAP ref with its staged footprint — what an
+      // operator audits before deciding to publish or abandon
+      val staged = ManifestSink.stagedFootprint(dir)
+      ManifestSink.tableBranches(dir).toSeq.sortBy(_._1).map { case (n, v) =>
+        val (ne, nf) = staged.getOrElse(n, (0L, 0L))
+        org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(n), v, ne, nf)
       }.toArray
     case "partitions" =>
       // one row per live (spec id, tuple): how the table is laid out

@@ -569,6 +569,18 @@ object ManifestSink {
     })
   }
 
+  /** Per-branch (staged epoch count, staged file count) of the loose
+    * tail — the `.branches` metadata table's footprint columns. */
+  private[sources] def stagedFootprint(path: String)
+      : Map[String, (Long, Long)] = retryVanish() {
+    val dir = Paths.get(path)
+    val horizon = latestCompact(dir).map(_._1).getOrElse(-1L)
+    looseEpochs(dir, horizon)
+      .flatMap(e => branchOf(e._2).map(b => (b, readData(e._2).size)))
+      .groupBy(_._1).view
+      .mapValues(es => (es.size.toLong, es.map(_._2).sum.toLong)).toMap
+  }
+
   /** PUBLISH a branch (round 17, the Iceberg `fast_forward` shape):
     * re-list every staged epoch's adds (with their `#stats`/`#part`
     * records, verbatim) as ONE ordinary append epoch and drop the
@@ -2339,7 +2351,10 @@ object ManifestSink {
     * dv-carrying → `delete`, adds-only → `append`, else `metadata`. */
   private[graft] case class EpochDelta(id: Long, op: String,
       adds: Seq[String], removes: Seq[String],
-      dvs: Seq[(String, String, Long)])
+      dvs: Seq[(String, String, Long)],
+      /** The epoch's persisted commit time (round 17: `#ts`, mtime
+        * fallback) — the `_commit_timestamp` CDC column. */
+      tsMicros: Long = -1L)
 
   private[graft] def epochDeltas(path: String, since: Long,
       asOf: Long): Seq[EpochDelta] = retryVanish() {
@@ -2386,7 +2401,7 @@ object ManifestSink {
           else if (adds.nonEmpty) "append"
           else "metadata"
         }
-        EpochDelta(id, op, adds, removes, dvs)
+        EpochDelta(id, op, adds, removes, dvs, commitTimeMicros(p))
       }
     }
   }
@@ -2418,7 +2433,8 @@ object ManifestSink {
     def adds(d: EpochDelta, label: String): Seq[ManifestFilePartition] =
       d.adds.map(n => ManifestFilePartition(dataPath(n),
         changeType = if (cdf) label else null,
-        commitVersion = if (cdf) d.id else -1L))
+        commitVersion = if (cdf) d.id else -1L,
+        commitTsMicros = if (cdf) d.tsMicros else -1L))
     def refuse(d: EpochDelta): Nothing = throw new IllegalStateException(
       s"${if (cdf) "change-feed" else "incremental"} read ($since, " +
         s"$asOf] on $path crosses a non-append epoch ${d.id} " +
@@ -2448,7 +2464,8 @@ object ManifestSink {
           val pre = d.dvs.groupBy(_._1).toSeq.sortBy(_._1).map {
             case (data, recs) => ManifestFilePartition(dataPath(data),
               recs.map(r => dataPath(r._2)), keepPositions = true,
-              changeType = preLabel, commitVersion = d.id)
+              changeType = preLabel, commitVersion = d.id,
+              commitTsMicros = d.tsMicros)
           }
           pre ++ adds(d, postLabel)
       }
@@ -3356,7 +3373,8 @@ case class ManifestFilePartition(file: String,
     dvFiles: Seq[String] = Seq.empty,
     keepPositions: Boolean = false,
     changeType: String = null,
-    commitVersion: Long = -1L)
+    commitVersion: Long = -1L,
+    commitTsMicros: Long = -1L)
     extends org.apache.spark.sql.connector.read.InputPartition
 
 /** The epoch log as a micro-batch SOURCE. STATELESS admission (the
@@ -3531,7 +3549,8 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
     val wanted = fieldNames.filterNot(n =>
       n.equalsIgnoreCase("_file") || n.equalsIgnoreCase("_pos") ||
         n.equalsIgnoreCase("_change_type") ||
-        n.equalsIgnoreCase("_commit_version"))
+        n.equalsIgnoreCase("_commit_version") ||
+        n.equalsIgnoreCase("_commit_timestamp"))
     val projected = new java.util.ArrayList[org.apache.parquet.schema.Type]()
     (0 until fileFields.size()).foreach { j =>
       val f = fileFields.get(j)
@@ -3555,6 +3574,8 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
               org.apache.spark.unsafe.types.UTF8String.fromString(mp.changeType)
             else if (fieldNames(i).equalsIgnoreCase("_commit_version") &&
                 mp.changeType != null) mp.commitVersion
+            else if (fieldNames(i).equalsIgnoreCase("_commit_timestamp") &&
+                mp.changeType != null) mp.commitTsMicros
             else null
           }.toArray)
         override def next(): Boolean = {
@@ -3640,6 +3661,8 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
                   mp.changeType)
               else if (fieldNames(i).equalsIgnoreCase("_commit_version") &&
                   mp.changeType != null) mp.commitVersion
+              else if (fieldNames(i).equalsIgnoreCase("_commit_timestamp")
+                  && mp.changeType != null) mp.commitTsMicros
               else null // pre-evolution file
             }
             else {

@@ -3225,6 +3225,19 @@ class SnapshotSpec extends AnyFunSuite {
     assert(tailRows == Set((1L, "de", 10L), (2L, "es", 20L)),
       s"the by-name group reader promotes + renames: $tailRows")
 
+    // the ChangeFeed API serves the LOGICAL nested names too (the
+    // renamed inner field, the dropped one gone), with commit
+    // timestamps attached
+    val apiRows = graft.sources.ChangeFeed.tableChanges(s,
+      root.resolve("ne").toString, 0, Some(1L))
+    assert(apiRows.schema("meta").dataType.asInstanceOf[
+        org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Seq("language", "score", "extra"), apiRows.schema.toDDL)
+    assert(apiRows.schema.fieldNames.contains("_commit_timestamp"))
+    assert(apiRows.collect().map(r =>
+      (r.getLong(0), r.getStruct(1).getString(0))).toSet ==
+      Set((1L, "de"), (2L, "es")), "epoch-1 inserts under logical names")
+
     // refusals: arrays/maps refuse as COLUMNS at the sink gate (even
     // stronger than refusing their evolution), non-struct parents and
     // depth > 2 refuse, narrowing refuses, unknown fields refuse
@@ -3283,6 +3296,13 @@ class SnapshotSpec extends AnyFunSuite {
       s.sql("DELETE FROM graft.snap.wap WHERE k = 1") }
     assert(eDel.getMessage.contains("branch"), eDel.getMessage)
     s.conf.unset("spark.graft.wap.branch")
+
+    // the .branches metadata table audits the staged footprint
+    assert(s.sql("SELECT branch, base_version, staged_epochs, " +
+      "staged_files FROM graft.snap.wap.branches").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq == Seq(("audit", 1L, 2L, 2L)),
+      "one live ref, two staged epochs/files")
 
     // main sees NOTHING staged — batch, history kinds, change feed
     assert(s.sql("SELECT k FROM graft.snap.wap").collect()
