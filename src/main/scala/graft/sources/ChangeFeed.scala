@@ -321,28 +321,72 @@ private[sources] class SnapChangesTable(tname: String, dir: String)
     val horizon = ManifestSink.compactionHorizon(dir)
     val since = Option(options.get("sinceVersion")).map(_.toLong)
       .getOrElse(horizon)
-    () => new org.apache.spark.sql.connector.read.Scan
-        with org.apache.spark.sql.connector.read.Batch {
-      override def readSchema(): StructType = servedSchema
-      override def description(): String =
-        s"graft.snap.$tname.changes ($since, …]"
-      override def toBatch: org.apache.spark.sql.connector.read.Batch = this
-      override def planInputPartitions()
-          : Array[org.apache.spark.sql.connector.read.InputPartition] = {
-        val until = Option(options.get("asOfVersion")).map(_.toLong)
-          .getOrElse(ManifestSink.newestVersion(dir))
-        ManifestSink.changePartitions(dir, since, until, cdf = true,
-          onChange)
-          .map(p => p: org.apache.spark.sql.connector.read.InputPartition)
-          .toArray
+    new org.apache.spark.sql.connector.read.ScanBuilder
+        with org.apache.spark.sql.connector.read
+          .SupportsPushDownRequiredColumns {
+      // COLUMN PRUNING (round 17): a CDC consumer typically reads a
+      // key or two plus the change columns — decoding the full row
+      // width for that is exactly the cost this face must not pay at
+      // 100 TB. The group reader already projects by requested name,
+      // so pruning is just narrowing what it is asked for; the change
+      // pseudo-columns cost zero bytes either way.
+      private var pruned: Option[StructType] = None
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        pruned = Some(requiredSchema)
+      private def servedPruned: StructType =
+        pruned.getOrElse(servedSchema)
+      private def prunedPhys: (Array[String], Array[String]) = {
+        // logical (possibly pruned) -> physical lookup names, change
+        // pseudo-columns passing through by their own names. A pruned
+        // STRUCT type physicalizes its (possibly inner-pruned) shape —
+        // the reader emits exactly the readSchema layout.
+        val colmapLower = ManifestSink.columnMapping(dir)
+          .map { case (p, l) => p.toLowerCase -> l }
+        val byLogical = physSchema.fields.zip(servedSchema.fields)
+          .map { case (p, l) => l.name.toLowerCase -> p }.toMap
+        val fs = servedPruned.fields.map { f =>
+          byLogical.get(f.name.toLowerCase) match {
+            case Some(pf) =>
+              val dt = (f.dataType, pf.dataType) match {
+                case (ls: StructType, ps: StructType) =>
+                  ManifestSink.physicalizeStruct(ls, ps, colmapLower,
+                    pf.name + ".")
+                case _ => pf.dataType
+              }
+              pf.copy(dataType = dt)
+            case None => f // _change_type/_commit_version/_commit_timestamp
+          }
+        }
+        (fs.map(_.name),
+          fs.map(f => ManifestSink.typeTokOf(f.dataType)))
       }
-      override def createReaderFactory()
-          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-        ManifestReadFactory(fieldNames, fieldTypes)
-      override def toMicroBatchStream(checkpointLocation: String)
-          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-        new ManifestMicroBatchStream(dir, fieldNames, fieldTypes,
-          maxEpochs, onChange, cdf = true, startAt = since)
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan
+            with org.apache.spark.sql.connector.read.Batch {
+          private val (names, types) = prunedPhys
+          override def readSchema(): StructType = servedPruned
+          override def description(): String =
+            s"graft.snap.$tname.changes ($since, …] " +
+              s"cols=${names.length}/${fieldNames.length}"
+          override def toBatch
+              : org.apache.spark.sql.connector.read.Batch = this
+          override def planInputPartitions()
+              : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+            val until = Option(options.get("asOfVersion")).map(_.toLong)
+              .getOrElse(ManifestSink.newestVersion(dir))
+            ManifestSink.changePartitions(dir, since, until, cdf = true,
+              onChange)
+              .map(p => p: org.apache.spark.sql.connector.read.InputPartition)
+              .toArray
+          }
+          override def createReaderFactory()
+              : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+            ManifestReadFactory(names, types)
+          override def toMicroBatchStream(checkpointLocation: String)
+              : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+            new ManifestMicroBatchStream(dir, names, types,
+              maxEpochs, onChange, cdf = true, startAt = since)
+        }
     }
   }
 }

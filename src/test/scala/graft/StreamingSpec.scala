@@ -894,6 +894,16 @@ class StreamingSpec extends AnyFunSuite {
       (1L, "a", "delete", 2L), (3L, "c", "insert", 3L),
       (4L, "d", "insert", 4L), (5L, "e", "insert", 4L)),
       s"bounded batch window: $bounded")
+    // COLUMN PRUNING on the face: a key+label read decodes 2 columns,
+    // not the full width (the scan description records the pruned set)
+    val prunedDf = s.read.option("sinceVersion", "0")
+      .option("asOfVersion", "1").table("graft.snap.st.changes")
+      .select("k", "_change_type")
+    assert(prunedDf.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet == Set((1L, "insert"), (2L, "insert")))
+    val planStr = prunedDf.queryExecution.executedPlan.toString
+    assert(planStr.contains("cols=2/5"),
+      s"the pruned scan must plan 2 of 5 columns:\n$planStr")
     graft.util.Fs.deleteRecursively(root)
   }
 }
