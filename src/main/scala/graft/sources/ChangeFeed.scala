@@ -251,11 +251,15 @@ object ChangeFeed {
           s"manifest table $dir records no schema — cannot serve a " +
             "change feed")))
     val colmap = ManifestSink.columnMapping(dir)
+      .map { case (p, l) => p.toLowerCase -> l }
     val served = StructType(phys.fields.filterNot(f =>
       colmap.get(f.name.toLowerCase).contains(ManifestSink.DroppedColumn)))
-    val logical = StructType(served.fields.map(f =>
-      f.copy(name = colmap.getOrElse(f.name.toLowerCase, f.name))))
-    (served, // physical
+    // the logical side recurses (advisor r17): dotted #colmap entries
+    // rename/drop STRUCT INNER fields on this face exactly as on the
+    // main table face — the unpruned read then physicalizes per level,
+    // so nested-dropped data never resurfaces through the group reader
+    val logical = ManifestSink.logicalizeStruct(phys, colmap)
+    (served, // physical (top-level drops applied; inner names physical)
       logical.add(ChangeTypeCol, "string", nullable = false)
         .add(CommitVersionCol, "long", nullable = false)
         .add(CommitTsCol, "timestamp", nullable = false))

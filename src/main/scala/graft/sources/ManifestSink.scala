@@ -379,7 +379,7 @@ object ManifestSink {
   /** The compaction horizon as a VERSION (-1 if never swept) — the
     * default exclusive lower bound of a `.changes` read: epochs at or
     * below it are unrecoverable per-epoch (round 17). */
-  private[sources] def compactionHorizon(path: String): Long =
+  private[graft] def compactionHorizon(path: String): Long =
     latestCompact(Paths.get(path)).map(_._1).getOrElse(-1L)
 
   /** Loose (not-yet-compacted) epoch manifests NEWER than the compaction
@@ -1227,6 +1227,12 @@ object ManifestSink {
         require(v >= 0 && v <= newest,
           s"tag '$name' on $path: version $v does not exist " +
             s"(newest committed epoch: $newest)")
+        // symmetric with commitBranchEpoch's tag check (advisor r17):
+        // a tag shadowed by a live branch would silently change what
+        // `VERSION AS OF '<name>'` means once the branch drops
+        require(!tableBranches(path).contains(name),
+          s"'$name' names a BRANCH on $path — branches and tags share " +
+            "the VERSION AS OF namespace")
       }
       if (version.isEmpty) require(tableTags(path).contains(name),
         s"no tag '$name' on $path to drop " +
@@ -1664,13 +1670,20 @@ object ManifestSink {
     // LIVE branch refs CAP the sweep (round 17): a staged epoch must
     // stay loose — the publish re-lists its adds by name, and vacuum
     // keeps the staged files referenced — so the horizon stops below
-    // the oldest live-branch epoch. DROPPED branches' epochs absorb
-    // as NOTHING (published content was re-listed by the publish
-    // epoch; abandoned content ages into vacuum).
-    val liveBranches = planState(dir).branches.keySet
-    val cap = looseAll
-      .filter(e => branchOf(e._2).exists(liveBranches.contains))
+    // the oldest live-branch epoch. The branch BASE caps too (advisor
+    // r17): fastForward refuses once the horizon passes the base, so
+    // a routine sweep absorbing past a freshly-created branch's base
+    // (no staged epochs yet) would make it permanently unpublishable —
+    // the base clamp here mirrors [[expireSnapshots]]'s. DROPPED
+    // branches' epochs absorb as NOTHING (published content was
+    // re-listed by the publish epoch; abandoned content ages into
+    // vacuum).
+    val liveBranches = planState(dir).branches
+    val stagedCap = looseAll
+      .filter(e => branchOf(e._2).exists(liveBranches.keySet.contains))
       .map(_._1 - 1).minOption.getOrElse(Long.MaxValue)
+    val baseCap = liveBranches.values.minOption.getOrElse(Long.MaxValue)
+    val cap = math.min(stagedCap, baseCap)
     val loose = looseAll.filter(e => e._1 <= cap && e._1 <= through)
     if (loose.isEmpty || (!force && loose.size < compactInterval)) return
     val prior = latestCompact(dir)
@@ -2375,15 +2388,22 @@ object ManifestSink {
           "from the compact union; start the feed at or after the " +
           "horizon (or re-read the full snapshot)")
     val window = loose.filter(e => e._1 > since && e._1 <= asOf).sortBy(_._1)
-    val firstLoose = loose.map(_._1).minOption.getOrElse(Long.MaxValue)
-    val missing = ((since + 1) to asOf)
-      .filterNot(window.map(_._1).toSet)
-      .filterNot(id => id > horizon && id < firstLoose)
-    if (missing.nonEmpty)
+    val missing = ((since + 1) to asOf).filterNot(window.map(_._1).toSet)
+    if (missing.nonEmpty) {
+      // NO silent excuse for gaps (advisor r17): a missing id usually
+      // means a concurrent sweep deleted the manifest after our listing
+      // but before its compact file was observed — re-read the horizon;
+      // if it advanced, re-derive from a fresh listing (which then
+      // refuses loudly at the new horizon when `since` predates it).
+      // Only a gap under a STABLE horizon is unrecoverable, and a CDC
+      // feed must refuse rather than silently omit an epoch's changes.
+      val fresh = latestCompact(dir).map(_._1).getOrElse(-1L)
+      if (fresh > horizon) return epochDeltas(path, since, asOf)
       throw new IllegalStateException(
         s"change feed ($since, $asOf] needs epoch manifests " +
           s"${missing.mkString(", ")} which are gone " +
           s"(compaction horizon $horizon)")
+    }
     window.map { case (id, p) =>
       if (branchOf(p).isDefined)
         // staged on a branch: invisible to the main feed until the

@@ -3218,12 +3218,23 @@ class SnapshotSpec extends AnyFunSuite {
     assert(after == Seq((1L, "de", 10L), (3L, "fr", 9000000000L)), after)
     // ... and the sink reader serves the struct through the streaming
     // tail face as well (epoch 1 only: pre-evolution bytes)
+    // the .changes FACE serves the logical nested shape too (advisor
+    // r18): renamed inner names in the schema, the dropped inner
+    // field's bytes never resurfacing through the group reader
+    val cfStruct = s.table("graft.snap.ne.changes").schema("meta")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(cfStruct.fieldNames.toSeq == Seq("language", "score", "extra"),
+      s"the .changes face logicalizes nested names: ${cfStruct.toDDL}")
     val tailRows = s.read.option("sinceVersion", "0")
       .option("asOfVersion", "1").table("graft.snap.ne.changes")
       .collect().map(r => (r.getLong(0),
         r.getStruct(1).getString(0), r.getStruct(1).getLong(1))).toSet
     assert(tailRows == Set((1L, "de", 10L), (2L, "es", 20L)),
       s"the by-name group reader promotes + renames: $tailRows")
+    assert(s.sql("SELECT meta.language FROM graft.snap.ne.changes " +
+      "WHERE _commit_version = 1").collect()
+      .map(_.getString(0)).toSet == Set("de", "es"),
+      "renamed inner field resolves by its LOGICAL name on .changes")
 
     // the ChangeFeed API serves the LOGICAL nested names too (the
     // renamed inner field, the dropped one gone), with commit
@@ -3374,6 +3385,96 @@ class SnapshotSpec extends AnyFunSuite {
       "the abandoned staged file ages out through vacuum")
     assert(s.sql("SELECT count(*) FROM graft.snap.wap").head().getLong(0)
       == 3 + 1 + 12 + 12, "main rows intact after the reclaim")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("ROUTINE SWEEPS clamp at live branch BASES (advisor r18): a " +
+    "staged write whose commit triggers the interval sweep cannot " +
+    "absorb epochs past the branch base — the branch stays " +
+    "publishable when main's data never moved; once published, the " +
+    "next sweep proceeds past the old base") {
+    val root = Files.createTempDirectory("graft_basecap")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    val log = root.resolve("bc").toString
+    s.sql("""CREATE TABLE graft.snap.bc (k BIGINT, v STRING)
+            |TBLPROPERTIES ('compact.interval'='4')""".stripMargin)
+    (1 to 3).foreach(i =>
+      s.sql(s"INSERT INTO graft.snap.bc VALUES ($i, 'v$i')")) // epochs 1-3
+    s.sql("CALL graft.sys.create_branch('bc', 'fresh')").collect() // epoch 4, base 3
+    // the staged commit is the 5th loose epoch: without the base
+    // clamp the sweep absorbs 1..4 (staged cap) -> horizon 4 > base 3
+    // -> fast_forward refuses FOREVER though main's data never moved
+    s.conf.set("spark.graft.wap.branch", "fresh")
+    s.sql("INSERT INTO graft.snap.bc VALUES (10, 's')")          // epoch 5
+    s.conf.unset("spark.graft.wap.branch")
+    val horizon = graft.sources.ManifestSink.compactionHorizon(log)
+    assert(horizon <= 3L,
+      s"the sweep must clamp at the branch base 3, horizon: $horizon")
+    val pub = s.sql("CALL graft.sys.fast_forward('bc', 'fresh')")
+      .collect().head
+    assert(pub.getLong(1) == 1L && pub.getLong(2) == 1L, pub)
+    assert(s.sql("SELECT k FROM graft.snap.bc ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 10L),
+      "published exactly once after the clamped sweep")
+    // ref dropped with the publish: the next commits sweep freely
+    (1 to 4).foreach(i =>
+      s.sql(s"INSERT INTO graft.snap.bc VALUES (${20 + i}, 'm')"))
+    assert(graft.sources.ManifestSink.compactionHorizon(log) > 3L,
+      "sweeps proceed past the old base once the ref is gone")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("TAG/BRANCH NAMESPACE symmetry (advisor r18): a tag cannot be " +
+    "created with a live branch's name — the branch would shadow it " +
+    "in VERSION AS OF and the tag would silently change meaning when " +
+    "the branch drops") {
+    val root = Files.createTempDirectory("graft_tagbranch")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.sql("CREATE TABLE graft.snap.tb (k BIGINT)")
+    s.sql("INSERT INTO graft.snap.tb VALUES (1)")
+    s.sql("CALL graft.sys.create_branch('tb', 'ref')").collect()
+    val eTag = intercept[Exception] {
+      s.sql("CALL graft.sys.create_tag('tb', 'ref', 1)").collect() }
+    assert(eTag.getMessage.contains("names a BRANCH"), eTag.getMessage)
+    // the reverse direction was already refused (r17): branch over tag
+    s.sql("CALL graft.sys.create_tag('tb', 'pin', 1)").collect()
+    val eBr = intercept[Exception] {
+      s.sql("CALL graft.sys.create_branch('tb', 'pin')").collect() }
+    assert(eBr.getMessage.contains("names a TAG"), eBr.getMessage)
+    // dropping the branch frees the name for a tag
+    s.sql("CALL graft.sys.drop_branch('tb', 'ref')").collect()
+    s.sql("CALL graft.sys.create_tag('tb', 'ref', 1)").collect()
+    assert(s.sql("SELECT count(*) FROM graft.snap.tb VERSION AS OF 'ref'")
+      .head().getLong(0) == 1L)
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("CHANGE-FEED GAP refusal is strict (advisor r18): a loose " +
+    "epoch manifest missing under a STABLE horizon refuses loudly " +
+    "instead of silently omitting its changes") {
+    val root = Files.createTempDirectory("graft_cdfgap")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.sql("CREATE TABLE graft.snap.gap (k BIGINT)")
+    (1 to 3).foreach(i =>
+      s.sql(s"INSERT INTO graft.snap.gap VALUES ($i)")) // epochs 1-3
+    val log = root.resolve("gap")
+    // simulate the stale-horizon race's residue: the OLDEST loose
+    // epoch manifest is gone while no compact ever landed — the old
+    // code's (horizon, firstLoose) excuse would silently skip epoch 1
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(log).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("epoch-"))
+      .toSeq.sortBy(_.getFileName.toString).take(2)
+      .foreach(java.nio.file.Files.delete(_))
+    val e = intercept[IllegalStateException] {
+      graft.sources.ChangeFeed.tableChanges(s, log.toString, -1).collect() }
+    assert(e.getMessage.contains("gone"), e.getMessage)
     graft.util.Fs.deleteRecursively(root)
   }
 
