@@ -217,6 +217,7 @@ object SparkEntry {
     "q_dsv2_sink"        -> Materialize.dsv2SinkRoundTrip _,
     "q_snap_skipping"    -> Materialize.snapSkippingRead _,
     "q_snap_skip_str"    -> Materialize.snapSkipString _,
+    "q_snap_bloom_skip"  -> Materialize.snapBloomSkip _,
     "q_snap_skip_time"   -> Materialize.snapSkipTime _,
     "q_snap_evolution"   -> Materialize.snapEvolution _,
     "q_snap_delete"      -> Materialize.snapDelete _,
@@ -2372,6 +2373,14 @@ object SparkEntry {
         |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
         |  AND n_chars IS NOT NULL AND lang = 'de'
         |GROUP BY lang""".stripMargin,
+    "q_snap_bloom_skip" -> // doc_id%4 slices: every file's min/max
+      // envelope spans near the full key range (stats-only planning
+      // keeps all four), the per-file #bloom records resolve the IN
+      // probe to the two files holding the keys (SnapshotSpec pins
+      // strict-subset planning + zero false negatives)
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL AND doc_id IN (17, 23)""".stripMargin,
     "q_snap_skip_time" -> // per-week epochs: the micros ts #stats prune
       // the three earlier weeks for ts >= Jan 22 (SnapshotSpec pins the
       // planned count); values match the source time window

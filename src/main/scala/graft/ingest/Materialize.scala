@@ -924,6 +924,41 @@ object Materialize {
         |GROUP BY lang""".stripMargin)
   }
 
+  /** BLOOM-filter data skipping (`q_snap_bloom_skip`, round 18): four
+    * appends sliced by `doc_id % 4` give every committed file a
+    * near-full-range min/max envelope — the worst case for stats-only
+    * pruning, and exactly the point-read shape the reference clusters
+    * for (`CLUSTER BY team_id, nationality_id`,
+    * etl_kaggle_to_big_query.py:89-90). With `bloom.columns` set, each
+    * file's `#bloom` record ([[graft.sources.BloomSkip]]) resolves
+    * `doc_id IN (17, 23)` to exactly the two files holding those keys
+    * at scan build. SnapshotSpec pins strict-subset planning, zero
+    * false negatives, compaction carry and both-planners parity. */
+  def snapBloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_bloom_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    spark.sql(
+      """CREATE TABLE graft.snap.bloomskip
+        |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+        |TBLPROPERTIES ('bloom.columns'='doc_id', 'bloom.bits'='16384')
+        |""".stripMargin)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    (0 until 4).foreach { k =>
+      complete.filter(col("doc_id") % 4 === k)
+        .coalesce(1)
+        .writeTo("graft.snap.bloomskip").append()
+    }
+    spark.sql(
+      """SELECT doc_id, lang, n_chars FROM graft.snap.bloomskip
+        |WHERE doc_id IN (17, 23)""".stripMargin)
+  }
+
   /** TIMESTAMP-stats data skipping (`q_snap_skip_time`, round 13): the
     * events land as four epochs sliced by contiguous January weeks, so
     * each file's `#stats` carry a disjoint ts envelope (UTC micros) and

@@ -438,7 +438,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       case ("compact.interval", v) => require(
         v.toIntOption.exists(_ >= 2),
         s"graft.snap.$name: compact.interval must be an int >= 2, got '$v'")
-      case (k, v) => require(ManifestSink.propSafe(k) && ManifestSink.propSafe(v),
+      case ("bloom.bits", v) => require(v.toIntOption.exists(b =>
+          b >= BloomSkip.MinBits && b <= BloomSkip.MaxBits),
+        s"graft.snap.$name: bloom.bits must be an int in " +
+          s"[${BloomSkip.MinBits}, ${BloomSkip.MaxBits}], got '$v'")
+      case ("bloom.columns", v) => v.split(",").map(_.trim).foreach { c =>
+        val t = schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        require(t.exists(dt => SnapStats.bloomable(dt)),
+          s"graft.snap.$name: bloom.columns entry '$c' must name a " +
+            "long-family or string column of the table")
+      }
+      case (k, v) => require(ManifestSink.propSafe(k) &&
+          v.split(",", -1).forall(s => s.nonEmpty && ManifestSink.propSafe(s)),
         s"graft.snap.$name: table property '$k'='$v' must be token-safe")
     }
     val content = (s"#schema ${schema.toDDL}" +:
@@ -693,8 +704,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
             v.toIntOption.exists(_ >= 2),
             s"graft.snap.${ident.name()}: compact.interval must be an " +
               s"int >= 2, got '$v'")
-          case (k, v) => require(
-            ManifestSink.propSafe(k) && ManifestSink.propSafe(v),
+          case ("bloom.bits", v) => require(v.toIntOption.exists(b =>
+              b >= BloomSkip.MinBits && b <= BloomSkip.MaxBits),
+            s"graft.snap.${ident.name()}: bloom.bits must be an int in " +
+              s"[${BloomSkip.MinBits}, ${BloomSkip.MaxBits}], got '$v'")
+          case (k, v) => require(ManifestSink.propSafe(k) &&
+              v.split(",", -1).forall(s =>
+                s.nonEmpty && ManifestSink.propSafe(s)),
             s"graft.snap.${ident.name()}: table property '$k'='$v' must " +
               "be token-safe")
         }
@@ -1646,6 +1662,41 @@ private[sources] object SnapStats {
   def nullsOf(st: FileStat, col: String): Option[Long] =
     st.nulls.collectFirst { case (c, n) if c.equalsIgnoreCase(col) => n }
 
+  /** May this type carry a `#bloom` filter? The long-stat family plus
+    * strings — exactly the types whose normalized insert/probe
+    * encodings [[longLit]] and the writer share. */
+  def bloomable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt.typeName match {
+      case "long" | "integer" | "short" | "byte" | "timestamp" | "date" |
+           "string" => true
+      case _ => false
+    }
+
+  /** May a file whose `#bloom` filter for `col` exist contain value
+    * `v`? No recorded filter (or an unmodeled comparand) answers true;
+    * false positives only — a bloom can only FAIL to prune. Probes use
+    * the exact insert encodings: normalized longs for the long family,
+    * UTF-8 bytes for strings. */
+  def bloomMayContain(st: FileStat, col: String, v: Any): Boolean =
+    st.blooms.collectFirst {
+      case (c, b64) if c.equalsIgnoreCase(col) => b64
+    } match {
+      case None => true
+      case Some(b64) => BloomSkip.fromB64(b64) match {
+        case None => true // undecodable payload: never prune on it
+        case Some(bf) => longLit(v) match {
+          case Some(x) => bf.mightContainLong(x)
+          case None => v match {
+            case s: String => bf.mightContainBinary(
+              s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            case u: org.apache.spark.unsafe.types.UTF8String =>
+              bf.mightContainBinary(u.getBytes)
+            case _ => true
+          }
+        }
+      }
+    }
+
   /** Is `col` PROVABLY all-null in this file? Either its recorded null
     * count equals the row count, or — in a file whose stats carry null
     * accounting at all (the records are exhaustive over the written
@@ -1693,14 +1744,19 @@ private[sources] object SnapStats {
     // safe-equals-null form) match only NON-NULL values, so a column
     // provably all-null in this file admits no row regardless of bounds
     f match {
+      // equality/IN additionally probe the file's `#bloom` filter
+      // (round 18) once the min/max envelope passes — the point-read
+      // shape min/max cannot prune under near-uniform per-file ranges
       case EqualTo(c, v) => !knownAllNull(st, c) &&
-        cmp(c, v)((mn, mx, x) => x >= mn && x <= mx)(sEq)
+        cmp(c, v)((mn, mx, x) => x >= mn && x <= mx)(sEq) &&
+        bloomMayContain(st, c, v)
       case EqualNullSafe(c, null) =>
         // `c <=> NULL` matches exactly the null rows: prune iff the
         // file records zero nulls for c
         nullsOf(st, c).forall(_ > 0)
       case EqualNullSafe(c, v) => !knownAllNull(st, c) &&
-        cmp(c, v)((mn, mx, x) => x >= mn && x <= mx)(sEq)
+        cmp(c, v)((mn, mx, x) => x >= mn && x <= mx)(sEq) &&
+        bloomMayContain(st, c, v)
       case GreaterThan(c, v) => !knownAllNull(st, c) &&
         cmp(c, v)((_, mx, x) => mx > x)((_, mx, x) => mx.forall(_.compareTo(x) > 0))
       case GreaterThanOrEqual(c, v) => !knownAllNull(st, c) &&
@@ -1710,7 +1766,8 @@ private[sources] object SnapStats {
       case LessThanOrEqual(c, v) => !knownAllNull(st, c) &&
         cmp(c, v)((mn, _, x) => mn <= x)((mn, _, x) => mn.compareTo(x) <= 0)
       case In(c, vs) => !knownAllNull(st, c) &&
-        vs.exists(v => cmp(c, v)((mn, mx, x) => x >= mn && x <= mx)(sEq))
+        vs.exists(v => cmp(c, v)((mn, mx, x) => x >= mn && x <= mx)(sEq) &&
+          bloomMayContain(st, c, v))
       case IsNull(c) =>
         // prune iff the file records ZERO nulls for c; absent records
         // (pre-evolution column: all null; pre-r14 file: unknown) both

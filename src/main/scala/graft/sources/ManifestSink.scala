@@ -302,6 +302,7 @@ object ManifestSink {
       val specs = scala.collection.mutable.LinkedHashSet[String]()
       val tags = scala.collection.mutable.LinkedHashMap[String, Long]()
       val branches = scala.collection.mutable.LinkedHashMap[String, Long]()
+      val blooms = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
       var colmap = Map.empty[String, String]
       // BRANCH-STAGED epochs (round 17) are invisible to the main
       // snapshot: their whole content is skipped until published
@@ -313,6 +314,8 @@ object ManifestSink {
             union.remove(n); dvs.remove(n)
           }
           else if (l.startsWith("#stats ")) parseStats(l).foreach(stats += _)
+          else if (l.startsWith("#bloom ")) parseBloom(l).foreach {
+            case (f, m) => blooms(f) = m }
           else if (l.startsWith("#part ")) parsePart(l).foreach(parts += _)
           else if (l.startsWith("#dv ")) parseDv(l).foreach {
             case (data, dv, n) =>
@@ -337,9 +340,13 @@ object ManifestSink {
         }
       }
       // conflicting duplicate stats/part records lose their entry (the
-      // unpruned-is-slow, mispruned-is-wrong rule — unchanged)
+      // unpruned-is-slow, mispruned-is-wrong rule — unchanged); a
+      // file's `#bloom` payloads attach AFTER the conflict check
+      // (blooms never participate in record equality)
       val statMap = stats.groupBy(_._1).collect {
-        case (n, recs) if recs.map(_._2).distinct.size == 1 => n -> recs.head._2 }
+        case (n, recs) if recs.map(_._2).distinct.size == 1 =>
+          n -> blooms.get(n).fold(recs.head._2)(b =>
+            recs.head._2.copy(blooms = b)) }
       val partMap = parts.groupBy(_._1).collect {
         case (n, recs) if recs.map(_._2).distinct.size == 1 => n -> recs.head._2 }
       val st = PlanState(union.toSeq, statMap.toMap, partMap.toMap,
@@ -622,7 +629,8 @@ object ManifestSink {
       val adds = mine.flatMap(e => readData(e._2))
       nFiles = adds.size
       val carried = mine.flatMap(e => readHeaders(e._2).filter(l =>
-        l.startsWith("#stats ") || l.startsWith("#part ")))
+        l.startsWith("#stats ") || l.startsWith("#part ") ||
+          l.startsWith("#bloom ")))
       val ddl = widestRecordedSchema(path).getOrElse(
         throw new IllegalStateException(
           s"manifest table $path records no #schema"))
@@ -1082,7 +1090,7 @@ object ManifestSink {
     val parts = sortedAdds.collect {
       case f if f.part.nonEmpty => partLine(f.name, PartTuple(specId, f.part)) }
     val content = Seq(s"#schema $schemaDdl", opLine(op), s"#cow $token") ++
-      sortedAdds.map(statsLine) ++ parts ++
+      sortedAdds.map(statsLine) ++ sortedAdds.flatMap(bloomLine) ++ parts ++
       dvRecords.sortBy(_._1).map { case (d, v, n) => dvLine(d, v, n) } ++
       sortedAdds.map(_.name)
     val id = claimEpoch(dir, () => content, observedDvs = Some(observedDvs))
@@ -1246,8 +1254,13 @@ object ManifestSink {
     s.nonEmpty && s.forall(c => c.isLetterOrDigit || "._/=-".contains(c))
 
   private[sources] def propLine(k: String, v: String): String = {
-    require(propSafe(k) && propSafe(v),
-      s"table property '$k'='$v' must be token-safe ([A-Za-z0-9._/=-])")
+    // values may be COMMA-JOINED token-safe segments (round 18:
+    // `bloom.columns` is a column list) — commas never collide with
+    // the line grammar; keys stay strictly token-safe
+    require(propSafe(k) &&
+        v.split(",", -1).forall(s => s.nonEmpty && propSafe(s)),
+      s"table property '$k'='$v' must be token-safe ([A-Za-z0-9._/=-] " +
+        "segments, comma-joined)")
     s"#prop $k $v"
   }
 
@@ -1369,6 +1382,30 @@ object ManifestSink {
       .map(s => s"${s.col}:n${s.nulls}")
     val cols = (longs ++ strs ++ ns).mkString(";")
     s"#stats ${m.name} ${m.rows}" + (if (cols.isEmpty) "" else s" $cols")
+  }
+
+  /** The file's `#bloom` record (round 18, [[BloomSkip]]): `#bloom
+    * <file> <col>:<b64>[;…]` — same token grammar as `#stats` (base64
+    * never collides with the separators), absent when the write
+    * recorded no filters. */
+  private[sources] def bloomLine(m: CommittedFile): Option[String] = {
+    val toks = m.blooms.filter(b => statSafeName(b._1))
+      .map { case (c, b64) => s"$c:$b64" }
+    if (toks.isEmpty) None else Some(s"#bloom ${m.name} ${toks.mkString(";")}")
+  }
+
+  private[sources] def parseBloom(line: String)
+      : Option[(String, Map[String, String])] = {
+    if (!line.startsWith("#bloom ")) return None
+    line.stripPrefix("#bloom ").split(" ", 2) match {
+      case Array(f, rest) if f.nonEmpty && rest.nonEmpty =>
+        val cols = rest.split(";").toSeq.flatMap(_.split(":", 2) match {
+          case Array(c, b64) if c.nonEmpty && b64.nonEmpty => Some(c -> b64)
+          case _ => None
+        })
+        if (cols.isEmpty) None else Some(f -> cols.toMap)
+      case _ => None
+    }
   }
 
   /** CLAIM the next epoch id on the log and publish `content` under it —
@@ -1775,6 +1812,13 @@ object ManifestSink {
           st.strCols.toSeq.sortBy(_._1)
             .map { case (c, (mn, mx)) => StrColStat(c, mn, mx) },
           st.nulls.toSeq.sortBy(_._1).map { case (c, n) => NullStat(c, n) })) }
+    // `#bloom` records ride like `#stats` (round 18): kept for files
+    // still in the union. A genuine same-name conflict already trips
+    // the stats refusal above, so first-seen here is safe.
+    val bloomLines = headers.flatMap(parseBloom).distinctBy(_._1)
+      .collect { case (f, m) if nameSet.contains(f) =>
+        s"#bloom $f ${m.toSeq.sortBy(_._1)
+          .map { case (c, b) => s"$c:$b" }.mkString(";")}" }
     val parts = headers.flatMap(parsePart).distinctBy(_._1)
       .collect { case (f, toks) if nameSet.contains(f) => partLine(f, toks) }
     // live delete vectors (dv state resolved in fragment order —
@@ -1798,7 +1842,8 @@ object ManifestSink {
     // the union through upTo — so when a racer already landed it, the
     // loser's work is simply done
     val bytes = (txns ++ schemas ++ specs ++ props ++ colmaps ++
-      tagLines ++ branchLines ++ cows ++ stats ++ parts ++ dvs ++ names)
+      tagLines ++ branchLines ++ cows ++ stats ++ bloomLines ++ parts ++
+      dvs ++ names)
       .mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val ctmp = Files.createTempFile(dir, s".${compactName(upTo)}", ".tmp")
@@ -1817,7 +1862,7 @@ object ManifestSink {
       try writeCheckpoint(dir, upTo, names,
         txns ++ schemas ++ specs ++ props ++ colmaps ++ tagLines ++
           branchLines,
-        stats, parts, dvs)
+        stats, parts, dvs, bloomLines)
       catch { case _: Exception => } // optimization only, never fails a commit
     }
     catch { case _: java.nio.file.FileAlreadyExistsException => }
@@ -1848,19 +1893,23 @@ object ManifestSink {
     f"checkpoint-$id%020d.meta"
 
   /** Columns of the planning checkpoint: the file name plus its raw
-    * `#stats` / `#part` / `#dv` record LINES (null when absent) — the
-    * executors re-parse with the exact parser the text path uses, so
-    * there is no second grammar to disagree with it. */
-  private val CheckpointFields = Array("file", "stats", "part", "dvs")
-  private val CheckpointTypes = Array("string", "string", "string", "string")
+    * `#stats` / `#part` / `#dv` / `#bloom` record LINES (null when
+    * absent) — the executors re-parse with the exact parser the text
+    * path uses, so there is no second grammar to disagree with it.
+    * Pre-r18 checkpoints lack the `bloom` column: the by-name parquet
+    * read serves null there, which is exactly "no filter recorded". */
+  private val CheckpointFields = Array("file", "stats", "part", "dvs", "bloom")
+  private val CheckpointTypes =
+    Array("string", "string", "string", "string", "string")
 
   private def writeCheckpoint(dir: Path, upTo: Long, names: Seq[String],
       metaLines: Seq[String], statLines: Seq[String], partLines: Seq[String],
-      dvLines: Seq[String]): Unit = {
+      dvLines: Seq[String], bloomLines: Seq[String] = Seq.empty): Unit = {
     def keyOf(line: String): String = line.split(" ")(1)
     val statBy = statLines.map(l => keyOf(l) -> l).toMap
     val partBy = partLines.map(l => keyOf(l) -> l).toMap
     val dvBy = dvLines.groupBy(keyOf).view.mapValues(_.mkString("\n")).toMap
+    val bloomBy = bloomLines.map(l => keyOf(l) -> l).toMap
     // meta sidecar first (tiny), then the parquet rows; both by
     // atomic link so readers only ever see complete artifacts
     val mtmp = Files.createTempFile(dir, ".checkpoint-meta", ".tmp")
@@ -1878,7 +1927,8 @@ object ManifestSink {
     names.foreach { n =>
       w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](utf8(n), utf8(statBy.getOrElse(n, null)),
-          utf8(partBy.getOrElse(n, null)), utf8(dvBy.getOrElse(n, null)))))
+          utf8(partBy.getOrElse(n, null)), utf8(dvBy.getOrElse(n, null)),
+          utf8(bloomBy.getOrElse(n, null)))))
     }
     w.commit()
     try Files.createLink(dir.resolve(checkpointParquetName(upTo)),
@@ -1927,6 +1977,7 @@ object ManifestSink {
     val tailStatPairs = scala.collection.mutable.ArrayBuffer[(String, FileStat)]()
     val tailPartPairs = scala.collection.mutable.ArrayBuffer[(String, PartTuple)]()
     val tailDvs = scala.collection.mutable.LinkedHashMap[String, Seq[(String, Long)]]()
+    val tailBlooms = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
     val removedCkpt = scala.collection.mutable.HashSet[String]()
     looseEpochs(dir, horizon).sortBy(_._1).map(_._2)
       .filter(branchOf(_).isEmpty).foreach { p =>
@@ -1938,6 +1989,8 @@ object ManifestSink {
           if (!tailAdds.remove(n)) removedCkpt.add(n)
         }
         else if (l.startsWith("#stats ")) parseStats(l).foreach(tailStatPairs += _)
+        else if (l.startsWith("#bloom ")) parseBloom(l).foreach {
+          case (f, m) => tailBlooms(f) = m }
         else if (l.startsWith("#part ")) parsePart(l).foreach(tailPartPairs += _)
         else if (l.startsWith("#dv ")) parseDv(l).foreach { case (d, v, n) =>
           tailDvs(d) = tailDvs.getOrElse(d, Seq.empty) :+ ((v, n))
@@ -1946,7 +1999,9 @@ object ManifestSink {
     }
     // same conflicting-duplicate drop rule as the full derivation
     val tailStats = tailStatPairs.groupBy(_._1).collect {
-      case (n, recs) if recs.map(_._2).distinct.size == 1 => n -> recs.head._2 }
+      case (n, recs) if recs.map(_._2).distinct.size == 1 =>
+        n -> tailBlooms.get(n).fold(recs.head._2)(b =>
+          recs.head._2.copy(blooms = b)) }
     val tailParts = tailPartPairs.groupBy(_._1).collect {
       case (n, recs) if recs.map(_._2).distinct.size == 1 => n -> recs.head._2 }
     // —— the checkpointed portion: one job, collect (kept name, dv lines)
@@ -1954,15 +2009,16 @@ object ManifestSink {
     val filtersB = filters
     val specB = book
     import org.apache.spark.sql.Encoders
-    val enc4 = Encoders.tuple(Encoders.STRING, Encoders.STRING,
-      Encoders.STRING, Encoders.STRING)
+    val enc5 = Encoders.tuple(Encoders.STRING, Encoders.STRING,
+      Encoders.STRING, Encoders.STRING, Encoders.STRING)
     val enc2 = Encoders.tuple(Encoders.STRING, Encoders.STRING)
     val keptCkpt = spark.read
-      .schema("file STRING, stats STRING, part STRING, dvs STRING")
+      .schema("file STRING, stats STRING, part STRING, dvs STRING, " +
+        "bloom STRING") // pre-r18 checkpoints: by-name null = no filter
       .parquet(parquet.toString)
-      .as(enc4)
+      .as(enc5)
       .mapPartitions { it =>
-        it.flatMap { case (f, statLine, partLine, dvLines) =>
+        it.flatMap { case (f, statLine, partLine, dvLines, bloomLine) =>
           if (removedB.value.contains(f)) None
           else {
             val partOk = Option(partLine).flatMap(parsePart)
@@ -1971,8 +2027,10 @@ object ManifestSink {
                 case None => true
               }
             val statsOk = Option(statLine).flatMap(parseStats) match {
-              case Some((_, st)) => st.rows > 0 &&
-                filtersB.forall(SnapStats.mayMatch(st, _))
+              case Some((_, st0)) =>
+                val st = Option(bloomLine).flatMap(parseBloom)
+                  .fold(st0)(b => st0.copy(blooms = b._2))
+                st.rows > 0 && filtersB.forall(SnapStats.mayMatch(st, _))
               case None => true
             }
             if (partOk && statsOk) Some((f, Option(dvLines).getOrElse("")))
@@ -2066,7 +2124,7 @@ object ManifestSink {
         s"#forbranch $b"
       }.toSeq
       Seq(s"#schema $schemaDdl", opLine(effOp)) ++ branchHdr ++ (cow ++
-        files.map(statsLine) ++ parts ++
+        files.map(statsLine) ++ files.flatMap(bloomLine) ++ parts ++
         lastRemoves.sorted.map(n => s"#remove $n") ++ files.map(_.name))
     }
     claimEpoch(dir, content _, consumedDvs)
@@ -2560,7 +2618,13 @@ case class FileStat(rows: Long, cols: Map[String, (Long, Long)],
       * tuples, round 15), whose null accounting covers only the spec's
       * columns — the absent-record inference would mis-prune every
       * non-partition column. */
-    exhaustiveNulls: Boolean = true)
+    exhaustiveNulls: Boolean = true,
+    /** Per-column base64 bloom payloads (round 18, [[BloomSkip]]) —
+      * attached from the file's `#bloom` record AFTER stat parsing
+      * (never part of record equality), consulted by equality/IN
+      * pruning once the min/max envelope passes. Empty = no filter
+      * recorded = never prune on it. */
+    blooms: Map[String, String] = Map.empty)
 
 case class ManifestTable(path: String, writeSchema: StructType,
     compactInterval: Int = ManifestSink.DefaultCompactInterval,
@@ -2779,7 +2843,11 @@ case class CommittedFile(name: String, rows: Long,
     stats: Seq[ColStat] = Seq.empty,
     strStats: Seq[StrColStat] = Seq.empty,
     nullStats: Seq[NullStat] = Seq.empty,
-    part: Seq[String] = Seq.empty) extends WriterCommitMessage
+    part: Seq[String] = Seq.empty,
+    /** (physical col, base64 bloom payload) pairs (round 18) — the
+      * file's `#bloom` record, present only for `bloom.columns`
+      * tables ([[BloomSkip]]). */
+    blooms: Seq[(String, String)] = Seq.empty) extends WriterCommitMessage
 
 /** A partition-fan-out task's contribution: one [[CommittedFile]] per
   * partition tuple the task's rows landed in (round 15). */
@@ -2840,10 +2908,12 @@ case class ManifestBatchWrite(path: String, schema: StructType,
     consumedDvs: Option[Map[String, Set[String]]] = None,
     specId: Int = 0, op: String = "append",
     forBranch: Option[String] = None) extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val (bloomCols, bloomBits) = BloomSkip.configOf(path)
     ManifestWriterFactory(path, schema.fields.map(_.name),
       schema.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)),
-      java.util.UUID.randomUUID.toString.take(8), spec)
+      java.util.UUID.randomUUID.toString.take(8), spec, bloomCols, bloomBits)
+  }
 
   private def baseName(f: String): String = Paths.get(f).getFileName.toString
 
@@ -2969,9 +3039,12 @@ case class ManifestBatchWrite(path: String, schema: StructType,
 case class ManifestStreamingWrite(path: String, schema: StructType,
     compactInterval: Int, writerId: String, runToken: String,
     spec: Seq[PartField] = Seq.empty, specId: Int = 0) extends StreamingWrite {
-  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val (bloomCols, bloomBits) = BloomSkip.configOf(path)
     ManifestStreamingWriterFactory(path, schema.fields.map(_.name),
-      schema.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)), runToken, spec)
+      schema.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)),
+      runToken, spec, bloomCols, bloomBits)
+  }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = Files.createDirectories(Paths.get(path))
@@ -2996,7 +3069,8 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
         ManifestSink.partLine(f.name, PartTuple(specId, f.part)) }
     val content = Seq(s"#txn $writerId $epochId",
       s"#schema ${schema.toDDL}", ManifestSink.opLine("append")) ++
-      files.map(ManifestSink.statsLine) ++ parts ++ files.map(_.name)
+      files.map(ManifestSink.statsLine) ++
+      files.flatMap(ManifestSink.bloomLine) ++ parts ++ files.map(_.name)
     ManifestSink.claimEpoch(dir, () => content)
     ManifestSink.maybeCompact(dir,
       ManifestSink.latestCompact(dir).map(_._1).getOrElse(-1L), compactInterval)
@@ -3021,7 +3095,9 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
 
 case class ManifestStreamingWriterFactory(path: String, fieldNames: Array[String],
     fieldTypes: Array[String], runToken: String,
-    spec: Seq[PartField] = Seq.empty) extends StreamingDataWriterFactory {
+    spec: Seq[PartField] = Seq.empty,
+    bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = BloomSkip.DefaultBits) extends StreamingDataWriterFactory {
   // the epoch is baked into the file name so replayed-epoch files are
   // recognizable on disk; taskId distinguishes attempts within a run,
   // and the run token distinguishes RUNS — a replay in a fresh JVM
@@ -3030,16 +3106,19 @@ case class ManifestStreamingWriterFactory(path: String, fieldNames: Array[String
       epochId: Long): DataWriter[InternalRow] = {
     val base = f"${ManifestSink.epochName(epochId)}-part-$partitionId%05d-$taskId-$runToken"
     if (spec.isEmpty)
-      ManifestWriters.create(path, fieldNames, fieldTypes, s"$base.parquet")
+      ManifestWriters.create(path, fieldNames, fieldTypes, s"$base.parquet",
+        bloomCols, bloomBits)
     else
       ManifestWriters.createFanOut(path, fieldNames, fieldTypes, spec,
-        k => s"$base-p$k.parquet")
+        k => s"$base-p$k.parquet", bloomCols, bloomBits)
   }
 }
 
 case class ManifestWriterFactory(path: String, fieldNames: Array[String],
     fieldTypes: Array[String], runToken: String,
-    spec: Seq[PartField] = Seq.empty) extends DataWriterFactory {
+    spec: Seq[PartField] = Seq.empty,
+    bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = BloomSkip.DefaultBits) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // taskId distinguishes attempts WITHIN the application; the run
     // token (advisor r12) distinguishes APPLICATIONS — taskIds restart
@@ -3052,10 +3131,11 @@ case class ManifestWriterFactory(path: String, fieldNames: Array[String],
     // manifest-invisible orphans for VACUUM
     val base = f"part-$partitionId%05d-$taskId-$runToken"
     if (spec.isEmpty)
-      ManifestWriters.create(path, fieldNames, fieldTypes, s"$base.parquet")
+      ManifestWriters.create(path, fieldNames, fieldTypes, s"$base.parquet",
+        bloomCols, bloomBits)
     else
       ManifestWriters.createFanOut(path, fieldNames, fieldTypes, spec,
-        k => s"$base-p$k.parquet")
+        k => s"$base-p$k.parquet", bloomCols, bloomBits)
   }
 }
 
@@ -3202,7 +3282,9 @@ private[graft] object ManifestWriters {
     * Spark's builtin dynamic-partition write requires sorting for). */
   def createFanOut(path: String, fieldNames: Array[String],
       fieldTypes: Array[String], spec: Seq[PartField],
-      nameFor: Int => String): DataWriter[InternalRow] =
+      nameFor: Int => String,
+      bloomCols: Seq[String] = Seq.empty,
+      bloomBits: Int = BloomSkip.DefaultBits): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val eval = partitionEval(spec, fieldNames, fieldTypes)
       private val open =
@@ -3213,7 +3295,8 @@ private[graft] object ManifestWriters {
         val key = toks.mkString(",")
         open.getOrElseUpdate(key, {
           toksOf(key) = toks
-          create(path, fieldNames, fieldTypes, nameFor(open.size))
+          create(path, fieldNames, fieldTypes, nameFor(open.size),
+            bloomCols, bloomBits)
         }).write(row)
       }
       override def commit(): WriterCommitMessage =
@@ -3227,9 +3310,10 @@ private[graft] object ManifestWriters {
     }
 
   def create(path: String, fieldNames: Array[String], fieldTypes: Array[String],
-      fileName: String): DataWriter[InternalRow] =
+      fileName: String, bloomCols: Seq[String] = Seq.empty,
+      bloomBits: Int = BloomSkip.DefaultBits): DataWriter[InternalRow] =
     createAt(Files.createDirectories(Paths.get(path, "data")),
-      fieldNames, fieldTypes, fileName)
+      fieldNames, fieldTypes, fileName, bloomCols, bloomBits)
 
   /** The same writer against an explicit directory — the planning
     * CHECKPOINT (round 16) writes parquet into the table ROOT (it is
@@ -3263,7 +3347,8 @@ private[graft] object ManifestWriters {
   }
 
   def createAt(dir: Path, fieldNames: Array[String], fieldTypes: Array[String],
-      fileName: String): DataWriter[InternalRow] =
+      fileName: String, bloomCols: Seq[String] = Seq.empty,
+      bloomBits: Int = BloomSkip.DefaultBits): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val name = fileName
       private val file: Path = dir.resolve(name)
@@ -3310,6 +3395,20 @@ private[graft] object ManifestWriters {
       // counts still recorded.
       private val structTypes: Array[org.apache.spark.sql.types.StructType] =
         fieldTypes.map(t => structOf(t).orNull)
+      // BLOOM filters (round 18, [[BloomSkip]]): one per configured
+      // long-family/string column — values insert at the SAME
+      // normalized scale the stats plane records (micros/days longs,
+      // UTF-8 string bytes), so read-side probes can never disagree.
+      // Unknown/unsupported configured names simply never bloom.
+      private val bloomOf: Array[org.apache.spark.util.sketch.BloomFilter] =
+        fieldTypes.indices.map { i =>
+          if (bloomCols.exists(_.equalsIgnoreCase(fieldNames(i))) &&
+              (LongFamily.contains(fieldTypes(i)) || fieldTypes(i) == "string"))
+            BloomSkip.create(bloomBits)
+          else null
+        }.toArray
+      @inline private def bloomLong(i: Int, v: Long): Unit =
+        if (bloomOf(i) != null) bloomOf(i).putLong(v)
       override def write(row: InternalRow): Unit = {
         val g = groups.newGroup()
         fieldTypes.indices.foreach { i =>
@@ -3319,13 +3418,16 @@ private[graft] object ManifestWriters {
               row.getStruct(i, structTypes(i).fields.length), structTypes(i))
           if (!row.isNullAt(i) && structTypes(i) == null) fieldTypes(i) match {
             case "long" | "timestamp" =>
-              val v = row.getLong(i); observe(i, v); g.add(i, v)
+              val v = row.getLong(i); observe(i, v); bloomLong(i, v); g.add(i, v)
             case "integer" | "date" =>
-              val v = row.getInt(i); observe(i, v.toLong); g.add(i, v)
+              val v = row.getInt(i); observe(i, v.toLong); bloomLong(i, v.toLong)
+              g.add(i, v)
             case "short" =>
-              val v = row.getShort(i); observe(i, v.toLong); g.add(i, v.toInt)
+              val v = row.getShort(i); observe(i, v.toLong)
+              bloomLong(i, v.toLong); g.add(i, v.toInt)
             case "byte" =>
-              val v = row.getByte(i); observe(i, v.toLong); g.add(i, v.toInt)
+              val v = row.getByte(i); observe(i, v.toLong)
+              bloomLong(i, v.toLong); g.add(i, v.toInt)
             // floating/boolean columns carry no stats (IEEE NaN breaks
             // total-order bounds; boolean envelopes never prune) —
             // unpruned files are merely slower, never wrong
@@ -3333,7 +3435,9 @@ private[graft] object ManifestWriters {
             case "float" => g.add(i, row.getFloat(i))
             case "boolean" => g.add(i, row.getBoolean(i))
             case "string" =>
-              val s = row.getUTF8String(i).toString
+              val u = row.getUTF8String(i)
+              if (bloomOf(i) != null) bloomOf(i).putBinary(u.getBytes)
+              val s = u.toString
               observeStr(i, s)
               g.add(i, Binary.fromString(s))
             case other => throw new IOException(
@@ -3362,7 +3466,15 @@ private[graft] object ManifestWriters {
           if (rows == 0) Seq.empty
           else fieldNames.indices.map(i =>
             NullStat(fieldNames(i), nullCnt(i))).toSeq
-        CommittedFile(name, rows, stats, strStats, nullStats)
+        val blooms =
+          if (rows == 0) Seq.empty
+          else fieldTypes.indices.collect {
+            // an all-null column observed nothing: no filter (the null
+            // stats already prune its value predicates)
+            case i if bloomOf(i) != null && nullCnt(i) < rows =>
+              fieldNames(i) -> BloomSkip.toB64(bloomOf(i))
+          }.toSeq
+        CommittedFile(name, rows, stats, strStats, nullStats, blooms = blooms)
       }
       override def abort(): Unit = {
         try out.close() catch { case _: Exception => }

@@ -223,10 +223,13 @@ private[sources] class SnapDeltaWrite(op: SnapDeltaOperation,
     Expressions.sort(Expressions.column(SnapPosColumn.name),
       SortDirection.ASCENDING))
 
-  override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DeltaWriterFactory =
+  override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DeltaWriterFactory = {
+    val (bloomCols, bloomBits) = BloomSkip.configOf(op.dir)
     SnapDeltaWriterFactory(op.dir, rowSchema.fields.map(_.name),
       rowSchema.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)), fileIdx, posIdx,
-      java.util.UUID.randomUUID.toString.take(8), op.spec)
+      java.util.UUID.randomUUID.toString.take(8), op.spec,
+      bloomCols, bloomBits)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val results = messages.collect { case m: SnapDeltaCommit => m }
@@ -270,7 +273,9 @@ private[sources] case class SnapDeltaCommit(adds: Seq[CommittedFile],
 private[sources] case class SnapDeltaWriterFactory(path: String,
     fieldNames: Array[String], fieldTypes: Array[String],
     fileIdx: Int, posIdx: Int, runToken: String,
-    spec: Seq[PartField]) extends DeltaWriterFactory {
+    spec: Seq[PartField],
+    bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = BloomSkip.DefaultBits) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
       private val base = f"part-$partitionId%05d-$taskId-$runToken"
@@ -284,10 +289,10 @@ private[sources] case class SnapDeltaWriterFactory(path: String,
           inserts =
             if (spec.isEmpty)
               ManifestWriters.create(path, fieldNames, fieldTypes,
-                s"$base.parquet")
+                s"$base.parquet", bloomCols, bloomBits)
             else
               ManifestWriters.createFanOut(path, fieldNames, fieldTypes,
-                spec, k => s"$base-p$k.parquet")
+                spec, k => s"$base-p$k.parquet", bloomCols, bloomBits)
         inserts
       }
 

@@ -325,12 +325,16 @@ private[sources] class SnapRowLevelWrite(op: SnapRowLevelOperation,
   override def description(): String =
     s"graft.snap.${op.tname} ${op.command()} copy-on-write"
 
-  override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory =
+  override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
     // the rewrite fans out under the table's spec, so COW survivors of
-    // a partitioned table keep carrying their `#part` tuples
+    // a partitioned table keep carrying their `#part` tuples (and
+    // their `#bloom` filters, round 18)
+    val (bloomCols, bloomBits) = BloomSkip.configOf(op.dir)
     ManifestWriterFactory(op.dir, ws.fields.map(_.name),
       ws.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)),
-      java.util.UUID.randomUUID.toString.take(8), op.spec)
+      java.util.UUID.randomUUID.toString.take(8), op.spec,
+      bloomCols, bloomBits)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val removed = op.effectiveRewrite

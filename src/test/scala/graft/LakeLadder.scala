@@ -324,6 +324,73 @@ object LakeLadder {
       s"era-1 point read: ${graft.sources.SnapTable.lastPruneOf("wide")}")
     println(f"LAKE spec evolution files=$wideN epochBytes=$evoBytes " +
       f"wall=$evoWall%.2fs filesMoved=0 mixedEraPointRead=1/${wideN + 1} both")
+
+    // ——— BLOOM SKIPPING at 400 interleaved files (round 18): every
+    // file i holds {i, 2N-i}, so file envelopes NEST — a point read on
+    // k=37 admits 38 files by min/max alone but exactly ONE by its
+    // `#bloom` record. The twin table without filters pins the
+    // min/max-only baseline; the record-size bound and both-planners
+    // parity are asserted.
+    val blN = 400
+    val blBits = 16384
+    def buildInterleaved(name: String, bloomed: Boolean): String = {
+      val blog = root.resolve(name).toString
+      val bw = ManifestBatchWrite(blog, schema)
+      (0 until blN).foreach { i =>
+        val w = graft.sources.ManifestWriters.create(blog,
+          Array("k", "name"), Array("long", "string"), f"b$i%06d.parquet",
+          if (bloomed) Seq("k") else Seq.empty, blBits)
+        w.write(org.apache.spark.sql.catalyst.InternalRow(i.toLong,
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"n$i")))
+        w.write(org.apache.spark.sql.catalyst.InternalRow((2L * blN - i),
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"m$i")))
+        bw.commit(Array(w.commit()))
+      }
+      spark.conf.set(s"spark.sql.catalog.graft.snap.$name.schema",
+        "k LONG, name STRING")
+      blog
+    }
+    val tBl = System.nanoTime()
+    val blLog = buildInterleaved("blwide", bloomed = true)
+    buildInterleaved("blctl", bloomed = false)
+    val blBuild = nowS(tBl)
+    def blPoint(t: String): ((Int, Int), Double) = {
+      val w = System.nanoTime()
+      val v = spark.sql(s"SELECT k FROM graft.snap.$t WHERE k = 37")
+        .collect().map(_.getLong(0)).toSeq
+      require(v == Seq(37L), s"zero false negatives on $t: $v")
+      (graft.sources.SnapTable.lastPruneOf(t), nowS(w))
+    }
+    val (blPrune, blWall) = blPoint("blwide")
+    val (ctlPrune, ctlWall) = blPoint("blctl")
+    require(blPrune == ((blN, 1)),
+      s"bloom plans exactly the holding file: $blPrune")
+    require(ctlPrune == ((blN, 38)),
+      s"min/max-only baseline (nested envelopes): $ctlPrune")
+    // both planners agree through the checkpoint's bloom column
+    spark.conf.set("spark.graft.plan.distributedThreshold", "1")
+    val (blPruneD, blWallD) =
+      try blPoint("blwide")
+      finally spark.conf.unset("spark.graft.plan.distributedThreshold")
+    require(blPruneD == blPrune,
+      s"checkpoint planner parity: eager=$blPrune dist=$blPruneD")
+    // record-size bound: 16384 bits = 2 KiB payload -> < 3.5 KB b64 line
+    val blLines = {
+      val s0 = Files.list(Paths.get(blLog))
+      try s0.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("epoch-") ||
+          p.getFileName.toString.startsWith("compact-"))
+        .flatMap(p => Files.readAllLines(p).asScala)
+        .filter(_.startsWith("#bloom ")).toSeq
+      finally s0.close()
+    }
+    require(blLines.size == blN && blLines.forall(_.length < 3500),
+      s"bloom record bound: n=${blLines.size} " +
+        s"maxLen=${if (blLines.isEmpty) 0 else blLines.map(_.length).max}")
+    println(f"LAKE bloom skipping files=$blN build=$blBuild%.1fs " +
+      f"pointRead bloom=1/$blN ($blWall%.2fs eager, $blWallD%.2fs ckpt) " +
+      f"minmaxOnly=38/$blN ($ctlWall%.2fs) " +
+      s"maxRecordBytes=${blLines.map(_.length).max}")
     spark.stop()
     graft.util.Fs.deleteRecursively(root)
     println("LAKE-LADDER ALL GREEN")

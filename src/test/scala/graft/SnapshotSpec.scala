@@ -3478,6 +3478,96 @@ class SnapshotSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(root)
   }
 
+  test("BLOOM SKIPPING (round 18): #bloom records prune equality/IN " +
+    "point reads strictly below the min/max-only plan on interleaved " +
+    "key ranges, with zero false negatives; records ride compaction " +
+    "and COW rewrites; both planners agree; the record size is " +
+    "bounded by bloom.bits; a table without the property never " +
+    "bloom-prunes") {
+    val root = Files.createTempDirectory("graft_bloom")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    // bits at the floor: records stay tiny, fpp still ~0 at 3 values
+    s.sql("""CREATE TABLE graft.snap.bl (k BIGINT, v STRING)
+            |TBLPROPERTIES ('bloom.columns'='k,v', 'bloom.bits'='1024',
+            |  'compact.interval'='100')""".stripMargin)
+    // two files (one coalesced task file per append) with OVERLAPPING
+    // envelopes: min/max alone cannot tell them apart for any probe
+    // inside [2, 99] / ["aaa", "zzz"]
+    locally { import s.implicits._
+      Seq((1L, "alpha"), (50L, "mid"), (100L, "zeta")).toDF("k", "v")
+        .coalesce(1).writeTo("graft.snap.bl").append()
+      Seq((2L, "aaa"), (99L, "zzz")).toDF("k", "v")
+        .coalesce(1).writeTo("graft.snap.bl").append()
+    }
+    def prune(): (Int, Int) = graft.sources.SnapTable.lastPruneOf("bl")
+
+    // long probe: k=50 lives only in file 1; both envelopes admit it
+    assert(s.sql("SELECT k FROM graft.snap.bl WHERE k = 50").collect()
+      .map(_.getLong(0)).toSeq == Seq(50L), "zero false negatives")
+    assert(prune() == ((2, 1)), s"bloom prunes the 50-free file: ${prune()}")
+    // string probe: 'alpha' inside both string envelopes
+    assert(s.sql("SELECT k FROM graft.snap.bl WHERE v = 'alpha'").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    assert(prune() == ((2, 1)), s"string bloom prunes too: ${prune()}")
+    // IN probe spanning both files keeps both
+    assert(s.sql("SELECT k FROM graft.snap.bl WHERE k IN (50, 2) " +
+      "ORDER BY k").collect().map(_.getLong(0)).toSeq == Seq(2L, 50L))
+    assert(prune() == ((2, 2)), s"IN spanning both keeps both: ${prune()}")
+    // a probe NO file holds prunes everything (records are exhaustive)
+    assert(s.sql("SELECT k FROM graft.snap.bl WHERE k = 60").collect()
+      .isEmpty)
+    assert(prune() == ((2, 0)), s"absent key prunes all: ${prune()}")
+
+    // record-size bound: b64 of (1024 bits = 128 B + header) per col
+    import scala.jdk.CollectionConverters._
+    val bloomLines = java.nio.file.Files.list(root.resolve("bl"))
+      .iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("epoch-") ||
+        p.getFileName.toString.startsWith("compact-"))
+      .flatMap(p => java.nio.file.Files.readAllLines(p).asScala)
+      .filter(_.startsWith("#bloom ")).toSeq
+    assert(bloomLines.nonEmpty, "the writes recorded #bloom lines")
+    assert(bloomLines.forall(_.length < 600),
+      s"record size bounded by bloom.bits: ${bloomLines.map(_.length)}")
+
+    // COW rewrite: the survivor file records fresh blooms
+    s.sql("UPDATE graft.snap.bl SET v = 'upd' WHERE k = 2")
+    assert(s.sql("SELECT k FROM graft.snap.bl WHERE v = 'upd'").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    assert(prune() == ((2, 1)), s"rewritten file blooms again: ${prune()}")
+
+    // compaction carries the records; the distributed checkpoint
+    // planner consults them and agrees with the driver walk
+    val r = s.sql("CALL graft.sys.expire_snapshots('bl', 1)").collect().head
+    assert(r.getLong(1) > 0, s"the sweep absorbed epochs: $r")
+    assert(s.sql("SELECT k FROM graft.snap.bl WHERE k = 50").collect()
+      .map(_.getLong(0)).toSeq == Seq(50L), "post-compaction correctness")
+    assert(prune() == ((2, 1)), s"compact carries #bloom: ${prune()}")
+    s.conf.set("spark.graft.plan.distributedThreshold", "0")
+    try {
+      assert(s.sql("SELECT k FROM graft.snap.bl WHERE k = 50").collect()
+        .map(_.getLong(0)).toSeq == Seq(50L))
+      assert(prune() == ((2, 1)),
+        s"the checkpoint planner probes blooms identically: ${prune()}")
+    } finally s.conf.unset("spark.graft.plan.distributedThreshold")
+
+    // control: same data, NO bloom property -> min/max keeps both
+    s.sql("CREATE TABLE graft.snap.blc (k BIGINT, v STRING)")
+    locally { import s.implicits._
+      Seq((1L, "alpha"), (50L, "mid"), (100L, "zeta")).toDF("k", "v")
+        .coalesce(1).writeTo("graft.snap.blc").append()
+      Seq((2L, "aaa"), (99L, "zzz")).toDF("k", "v")
+        .coalesce(1).writeTo("graft.snap.blc").append()
+    }
+    assert(s.sql("SELECT k FROM graft.snap.blc WHERE k = 50").collect()
+      .map(_.getLong(0)).toSeq == Seq(50L))
+    assert(graft.sources.SnapTable.lastPruneOf("blc") == ((2, 2)),
+      "without the property min/max alone cannot prune overlapping files")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("EXPIRE SNAPSHOTS (round 17): count- and age-based retirement " +
     "via a forced bounded sweep — tag targets clamp it (tagged " +
     "snapshots survive expiry), travel below the new horizon refuses " +
