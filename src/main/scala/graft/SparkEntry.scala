@@ -240,6 +240,7 @@ object SparkEntry {
     "q_snap_cdf_ts"      -> Materialize.snapCdfTs _,
     "q_snap_nested_evolve" -> Materialize.snapNestedEvolve _,
     "q_snap_branch"      -> Materialize.snapBranch _,
+    "q_snap_branch_mor"  -> Materialize.snapBranchMor _,
     "q_snap_expire"      -> Materialize.snapExpire _,
     "q_snap_dv_delete"   -> Materialize.snapDvDelete _,
     "q_snap_dv_update"   -> Materialize.snapDvUpdate _,
@@ -2496,6 +2497,26 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
         |  AND n_chars IS NOT NULL AND lang IN ('de', 'es')
+        |GROUP BY lang""".stripMargin,
+    "q_snap_branch_mor" -> // staged MOR delete/update + append on a WAP
+      // branch, published by fast_forward as one merge epoch: main's
+      // final state = de intact, es minus the even ids, fr with the
+      // staged +1000 update applied exactly once
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'de'
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'es' AND doc_id % 2 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'fr'
+        |)
         |GROUP BY lang""".stripMargin,
     "q_snap_nested_evolve" -> // struct-field rename/drop/widen/add as
       // pure metadata: pre-evolution files promote the narrow inner

@@ -2559,6 +2559,75 @@ object Materialize {
         |GROUP BY lang""".stripMargin)
   }
 
+  /** STAGED ROW-LEVEL WRITES on a WAP branch (`q_snap_branch_mor`,
+    * round 18): main loads de+es, then a branch stages a merge-on-read
+    * DELETE of the even-id es docs (dv epochs on MAIN files), an fr
+    * append, and an UPDATE of those fr rows (a dv on the branch's OWN
+    * staged file). The audit face serves the post-change state while
+    * main is untouched; `fast_forward` replays dvs + adds as ONE
+    * 'merge' epoch whose change feed serves the es pre-images as
+    * deletes and the UPDATED fr rows as inserts — the never-visible
+    * pre-update fr rows cancel (same-epoch self-dv). The oracle
+    * recomputes the final state relationally from `documents`. */
+  def snapBranchMor(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_wapmor_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    complete.createOrReplaceTempView("graft_wapmor_src")
+    spark.sql(
+      """CREATE TABLE graft.snap.docwapmor
+        |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+        |TBLPROPERTIES ('delete.mode'='mor')""".stripMargin)
+    spark.sql("INSERT INTO graft.snap.docwapmor " +
+      "SELECT * FROM graft_wapmor_src WHERE lang IN ('de', 'es')")
+    spark.sql("CALL graft.sys.create_branch('docwapmor', 'fix')").collect()
+    try {
+      spark.conf.set("spark.graft.wap.branch", "fix")
+      spark.sql("DELETE FROM graft.snap.docwapmor " +
+        "WHERE lang = 'es' AND doc_id % 2 = 0")
+      spark.sql("INSERT INTO graft.snap.docwapmor " +
+        "SELECT * FROM graft_wapmor_src WHERE lang = 'fr'")
+      spark.sql("UPDATE graft.snap.docwapmor " +
+        "SET n_chars = n_chars + 1000 WHERE lang = 'fr'")
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    // AUDIT invariants: the branch face serves the staged changes,
+    // main serves none of them — asserted here so a regression fails
+    // the query itself, not just a spec
+    val auditEsEven = spark.sql(
+      """SELECT count(*) FROM graft.snap.docwapmor VERSION AS OF 'fix'
+        |WHERE lang = 'es' AND doc_id % 2 = 0""".stripMargin)
+      .head().getLong(0)
+    val mainChanged = spark.sql(
+      """SELECT count(*) FROM graft.snap.docwapmor
+        |WHERE lang = 'fr' OR n_chars > 100000""".stripMargin)
+      .head().getLong(0)
+    require(auditEsEven == 0 && mainChanged == 0,
+      s"staging invariant broken: auditEsEven=$auditEsEven " +
+        s"mainChanged=$mainChanged")
+    val pub = spark.sql("CALL graft.sys.fast_forward('docwapmor', 'fix')")
+      .collect().head
+    // the publish's change feed: es pre-images as deletes, UPDATED fr
+    // rows as inserts, never-visible pre-update fr rows cancel
+    val feed = graft.sources.ChangeFeed.tableChanges(spark,
+      new java.io.File(root, "docwapmor").toString,
+      pub.getLong(0) - 1, Some(pub.getLong(0)))
+    val inserts = feed.filter(col("_change_type") === "insert")
+    require(inserts.filter(col("lang") =!= "fr").count() == 0 &&
+      feed.filter(col("_change_type") === "delete")
+        .filter(col("lang") =!= "es").count() == 0,
+      "the publish feed must serve fr inserts and es deletes only")
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM graft.snap.docwapmor
+        |GROUP BY lang""".stripMargin)
+  }
+
   /** EXPIRE SNAPSHOTS (`q_snap_expire`, round 17): five per-lang
     * loads, a tag at version 3, then count-based expiry — the sweep
     * CLAMPS at the tag (tagged snapshots survive expiry by contract),

@@ -91,6 +91,27 @@ object ChangeFeed {
     // COW diffs, one entry per remove-carrying epoch
     val cowEpochs = scala.collection.mutable.ArrayBuffer[ManifestSink.EpochDelta]()
 
+    // adds whose rows are partially dv'd BY THE SAME EPOCH (a
+    // published branch's staged update of its own staged append): the
+    // marked positions were never visible to main — they serve neither
+    // as inserts nor as pre-images; the add reads EXCLUDING them
+    // (file, skip-dv names, version, label)
+    val selfDvAdds = scala.collection.mutable
+      .ArrayBuffer[(String, Seq[(String, Long)], Long, String)]()
+    def morEpoch(d: ManifestSink.EpochDelta,
+        preLabel: String, postLabel: String): Unit = {
+      val addSet = d.adds.toSet
+      d.dvs.foreach { case (data, dv, _) =>
+        if (!addSet.contains(data)) dvFiles += ((dv, data, d.id, preLabel)) }
+      val selfDvd = d.dvs.filter(r => addSet.contains(r._1))
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3))).toMap
+      d.adds.foreach { n =>
+        selfDvd.get(n) match {
+          case Some(dvs) => selfDvAdds += ((n, dvs, d.id, postLabel))
+          case None => insertFiles += ((n, d.id, postLabel))
+        }
+      }
+    }
     deltas.foreach { d =>
       d.op match {
         case "compact" => // file rewrite ≠ row change: zero rows, zero read
@@ -99,13 +120,9 @@ object ChangeFeed {
         case "append" =>
           d.adds.foreach(n => insertFiles += ((n, d.id, "insert")))
         case "update" => // merge-on-read UPDATE: dv pre + appended post
-          d.dvs.foreach { case (data, dv, _) =>
-            dvFiles += ((dv, data, d.id, "update_preimage")) }
-          d.adds.foreach(n => insertFiles += ((n, d.id, "update_postimage")))
+          morEpoch(d, "update_preimage", "update_postimage")
         case _ => // MOR delete/merge (net effect for merge)
-          d.dvs.foreach { case (data, dv, _) =>
-            dvFiles += ((dv, data, d.id, "delete")) }
-          d.adds.foreach(n => insertFiles += ((n, d.id, "insert")))
+          morEpoch(d, "delete", "insert")
       }
     }
 
@@ -169,6 +186,17 @@ object ChangeFeed {
         Some(labeled(base.join(pos, Seq("_f", "_p"))))
       }
 
+    // ——— self-dv'd adds: read each file EXCLUDING the positions its
+    // own epoch marked (never-visible rows), labeled like plain adds
+    val selfDvDfs = selfDvAdds.toSeq.map { case (n, dvs, v, label) =>
+      DvOps.readExcludingDeleted(spark, physSchema, dir, Seq(dataPath(n)),
+        Some(Map(n -> dvs)))
+        .select(logicalCols: _*)
+        .withColumn(ChangeTypeCol, lit(label))
+        .withColumn(CommitVersionCol, lit(v))
+        .withColumn(CommitTsCol, tsCol(v))
+    }
+
     // ——— COW epochs: per-epoch multiset diff of victims vs survivors
     val cowDfs = cowEpochs.toSeq.map { d =>
       val preDvs = ManifestSink.deleteVectorsAsOf(dir, d.id - 1)
@@ -205,7 +233,7 @@ object ChangeFeed {
         .withColumn(CommitTsCol, tsCol(d.id))
     }
 
-    (insertDf.toSeq ++ dvDf.toSeq ++ cowDfs)
+    (insertDf.toSeq ++ dvDf.toSeq ++ selfDvDfs ++ cowDfs)
       .reduceOption(_ unionAll _).getOrElse(empty)
   }
 

@@ -1072,12 +1072,24 @@ private[sources] class SnapTable(tname: String, val dir: String,
     if (asOf.isDefined) throw new UnsupportedOperationException(
       s"graft.snap.$tname VERSION AS OF ${asOf.get}: historical " +
         "snapshots are immutable — run the operation on the current table")
-    if (branch.isDefined || wapBranch.isDefined)
+    if (branch.isDefined) throw new UnsupportedOperationException(
+      s"graft.snap.$tname VERSION AS OF '${branch.get}': the branch " +
+        "READ face is immutable — stage writes by setting " +
+        "spark.graft.wap.branch and writing to the main table name")
+    // STAGED ROW-LEVEL writes (round 18): merge-on-read DELETE/UPDATE/
+    // MERGE may stage on a WAP branch (`#dv` epochs tagged #forbranch,
+    // replayed by fast_forward under the base fence). Copy-on-write
+    // still refuses: its `#remove`s against a moving main are
+    // undefined until publish.
+    if (wapBranch.isDefined && deleteMode != "mor")
       throw new UnsupportedOperationException(
-        s"graft.snap.$tname: row-level operations cannot target a " +
-          "branch — appends are the stageable writes; publish first")
+        s"graft.snap.$tname: copy-on-write row-level operations cannot " +
+          "stage on a branch (their #remove set is undefined against a " +
+          "moving main) — set delete.mode=mor to stage merge-on-read " +
+          "deltas, or publish first")
     if (deleteMode == "mor")
-      () => new SnapDeltaOperation(tname, dir, tschema, info.command(), colmap)
+      () => new SnapDeltaOperation(tname, dir, tschema, info.command(),
+        colmap, forBranch = wapBranch)
     else
       () => new SnapRowLevelOperation(tname, dir, tschema, info.command(),
         colmap)
@@ -1199,17 +1211,31 @@ private[sources] class SnapTable(tname: String, val dir: String,
     * on this destructive path would otherwise silently drop an evolved
     * column from the survivor files it commits. */
   override def deleteWhere(logicalFilters: Array[Filter]): Unit = {
-    if (branch.isDefined || wapBranch.isDefined)
+    if (branch.isDefined) throw new UnsupportedOperationException(
+      s"graft.snap.$tname VERSION AS OF '${branch.get}': the branch " +
+        "READ face is immutable — stage writes by setting " +
+        "spark.graft.wap.branch and writing to the main table name")
+    // STAGED merge-on-read DELETE (round 18): under a WAP branch the
+    // dv epoch tags #forbranch (invisible to main, applied by the
+    // audit face, replayed by fast_forward); copy-on-write refuses
+    if (wapBranch.isDefined && deleteMode != "mor")
       throw new UnsupportedOperationException(
-        s"graft.snap.$tname: DELETE cannot target a branch — appends " +
-          "are the stageable writes; publish first")
+        s"graft.snap.$tname: copy-on-write DELETE cannot stage on a " +
+          "branch (its #remove set is undefined against a moving main) " +
+          "— set delete.mode=mor to stage merge-on-read deletes, or " +
+          "publish first")
     val spark = SparkSession.active
     // the predicate arrives in LOGICAL names; everything below — the
     // stats/partition walks and the survivor/dv reads — is physical
     val filters = logicalFilters.map(
       ManifestSink.renameFilterCols(_, physOfLogical))
     ManifestSink.verifyDeclaredSchema(dir, s"graft.snap.$tname DELETE", tschema)
-    val files = ManifestSink.committedFiles(dir)
+    // a staged delete targets the BRANCH's visible state (main +
+    // staged adds) — deleting a row appended on the same branch works
+    val files = wapBranch match {
+      case Some(b) => ManifestSink.branchFiles(dir, b)
+      case None => ManifestSink.committedFiles(dir)
+    }
     if (files.isEmpty) return
     val stats = ManifestSink.fileStats(dir)
     val book = ManifestSink.partitionSpecs(dir)
@@ -1242,9 +1268,13 @@ private[sources] class SnapTable(tname: String, val dir: String,
       var attempt = 0
       var pending = affected
       var committed = false
+      def liveDvs(): Map[String, Seq[(String, Long)]] = wapBranch match {
+        case Some(b) => ManifestSink.branchDeleteVectors(dir, b)
+        case None => ManifestSink.deleteVectors(dir)
+      }
       while (!committed && pending.nonEmpty) {
         attempt += 1
-        val dvMap = ManifestSink.deleteVectors(dir)
+        val dvMap = liveDvs()
         val records = DvOps.writeDeleteVectors(spark, tschema, dir,
           pending, pred, dvMap)
         if (records.isEmpty) committed = true
@@ -1253,7 +1283,7 @@ private[sources] class SnapTable(tname: String, val dir: String,
             n -> dvMap.getOrElse(n, Seq.empty).map(_._1).toSet).toMap
           try {
             ManifestSink.commitDvEpoch(dir, tschema.toDDL, records,
-              tblCompactInterval, Some(observed))
+              tblCompactInterval, Some(observed), forBranch = wapBranch)
             committed = true
           } catch {
             case e: ManifestConflictException =>
@@ -1267,7 +1297,10 @@ private[sources] class SnapTable(tname: String, val dir: String,
               // re-resolve against the current snapshot: drop targets
               // a racing rewrite removed, pick up the files that now
               // hold their rows
-              val freshFiles = ManifestSink.committedFiles(dir)
+              val freshFiles = wapBranch match {
+                case Some(b) => ManifestSink.branchFiles(dir, b)
+                case None => ManifestSink.committedFiles(dir)
+              }
               val freshStats = ManifestSink.fileStats(dir)
               val freshParts = ManifestSink.filePartitions(dir)
               pending = freshFiles.filter { f =>
@@ -1328,10 +1361,13 @@ private[sources] class SnapTable(tname: String, val dir: String,
     def planInput(): SnapPlanInput = {
       def eager(fs: Seq[String]): SnapPlanInput = {
         // live delete vectors, version-aligned with the file list: a
-        // VERSION AS OF before the dv epoch serves the rows un-deleted
-        val dvs = upTo match {
-          case Some(v) => ManifestSink.deleteVectorsAsOf(dir, v)
-          case None => ManifestSink.deleteVectors(dir)
+        // VERSION AS OF before the dv epoch serves the rows un-deleted;
+        // a BRANCH read applies main's vectors PLUS the staged ones
+        // (round 18: staged row-level writes audit on the branch face)
+        val dvs = (upTo, branch) match {
+          case (Some(v), _) => ManifestSink.deleteVectorsAsOf(dir, v)
+          case (None, Some(b)) => ManifestSink.branchDeleteVectors(dir, b)
+          case _ => ManifestSink.deleteVectors(dir)
         }
         EagerPlanInput(fs, ManifestSink.fileStats(dir),
           ManifestSink.partitionSpecs(dir),

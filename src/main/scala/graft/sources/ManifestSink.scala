@@ -603,6 +603,11 @@ object ManifestSink {
     val dir = Paths.get(path)
     var nEpochs = 0
     var nFiles = 0
+    // one token per publish OPERATION (stable across claim attempts):
+    // lets a dv-only publish racing a compaction sweep recognize its
+    // own absorbed commit (the claimEpoch absorbed-check) even with
+    // zero published file names
+    val pubToken = java.util.UUID.randomUUID.toString
     val id = claimEpoch(dir, () => {
       val base = tableBranches(path).getOrElse(name,
         throw new IllegalArgumentException(
@@ -631,11 +636,23 @@ object ManifestSink {
       val carried = mine.flatMap(e => readHeaders(e._2).filter(l =>
         l.startsWith("#stats ") || l.startsWith("#part ") ||
           l.startsWith("#bloom ")))
+      // STAGED ROW-LEVEL writes (round 18): the branch's `#dv` records
+      // replay verbatim in epoch order. Safe by the fences above: no
+      // main data/dv epoch landed past the base and the horizon never
+      // crossed it, so every main-file target is live with exactly the
+      // dv state the staged op computed against; targets on staged
+      // adds flip visibility WITH their files in this one claim. A
+      // dv-carrying publish classifies `merge` (net delete+insert at
+      // the publish version — the change feed's exact contract for it).
+      val dvLines = mine.flatMap(e => readDvRecords(e._2))
+        .map { case (d, v, n) => dvLine(d, v, n) }
       val ddl = widestRecordedSchema(path).getOrElse(
         throw new IllegalStateException(
           s"manifest table $path records no #schema"))
-      Seq(s"#schema $ddl", opLine("append")) ++ carried ++
-        Seq(branchLine(name, None)) ++ adds
+      Seq(s"#schema $ddl",
+        opLine(if (dvLines.isEmpty) "append" else "merge")) ++
+        (if (dvLines.isEmpty) Seq.empty else Seq(s"#cow $pubToken")) ++
+        carried ++ Seq(branchLine(name, None)) ++ dvLines ++ adds
     })
     maybeCompact(dir, latestCompact(dir).map(_._1).getOrElse(-1L),
       compactInterval)
@@ -643,7 +660,7 @@ object ManifestSink {
   }
 
   /** The files a BRANCH read serves: the main union plus the branch's
-    * staged adds in epoch order (branch epochs are append-only by
+    * staged adds in epoch order (branch epochs are append/dv-only by
     * contract, so union + adds is exact). Absolute paths. */
   def branchFiles(path: String, name: String): Seq[String] = retryVanish() {
     val dir = Paths.get(path)
@@ -655,6 +672,25 @@ object ManifestSink {
       .sortBy(_._1).map(_._2).flatMap(readData)
     (fragmentUnion(dir) ++ staged).map(f =>
       Paths.get(path, "data", f).toString)
+  }
+
+  /** The dv state a BRANCH read applies (round 18, staged row-level
+    * writes): main's live vectors plus the branch's staged `#dv`
+    * records in epoch order — a staged MOR DELETE/UPDATE is visible on
+    * the audit face and invisible to main, exactly like a staged
+    * append. */
+  def branchDeleteVectors(path: String, name: String)
+      : Map[String, Seq[(String, Long)]] = retryVanish() {
+    val dir = Paths.get(path)
+    val horizon = latestCompact(dir).map(_._1).getOrElse(-1L)
+    val acc = scala.collection.mutable.LinkedHashMap[String, Seq[(String, Long)]]()
+    deleteVectors(path).foreach { case (d, l) => acc(d) = l }
+    looseEpochs(dir, horizon)
+      .filter(e => branchOf(e._2).contains(name)).sortBy(_._1)
+      .flatMap(e => readDvRecords(e._2)).foreach { case (d, v, n) =>
+        acc(d) = acc.getOrElse(d, Seq.empty) :+ ((v, n))
+      }
+    acc.toMap
   }
 
   /** `#op <kind>` (round 17, the CDC classification header): what the
@@ -1057,12 +1093,23 @@ object ManifestSink {
     * absorbed publish. */
   private[graft] def commitDvEpoch(path: String, schemaDdl: String,
       records: Seq[(String, String, Long)], compactInterval: Int,
-      observedDvs: Option[Map[String, Set[String]]] = None): Long = {
+      observedDvs: Option[Map[String, Set[String]]] = None,
+      /** Stage on a WAP branch (round 18) — see [[commitDeltaEpoch]]. */
+      forBranch: Option[String] = None): Long = {
     val dir = Files.createDirectories(Paths.get(path))
-    val content = Seq(s"#schema $schemaDdl", opLine("delete"),
-      s"#cow ${java.util.UUID.randomUUID.toString}") ++
-      records.sortBy(_._1).map { case (data, dv, n) => dvLine(data, dv, n) }
-    val id = claimEpoch(dir, () => content, observedDvs = observedDvs)
+    val token = java.util.UUID.randomUUID.toString
+    def content(): Seq[String] = {
+      val branchHdr = forBranch.map { b =>
+        require(tableBranches(path).contains(b),
+          s"no branch '$b' on $path — create it with " +
+            "CALL graft.sys.create_branch first")
+        s"#forbranch $b"
+      }.toSeq
+      Seq(s"#schema $schemaDdl", opLine("delete"), s"#cow $token") ++
+        branchHdr ++
+        records.sortBy(_._1).map { case (data, dv, n) => dvLine(data, dv, n) }
+    }
+    val id = claimEpoch(dir, content _, observedDvs = observedDvs)
     maybeCompact(dir, latestCompact(dir).map(_._1).getOrElse(-1L),
       compactInterval)
     id
@@ -1083,17 +1130,29 @@ object ManifestSink {
       dvRecords: Seq[(String, String, Long)], adds: Seq[CommittedFile],
       compactInterval: Int,
       observedDvs: Map[String, Set[String]], specId: Int = 0,
-      op: String = "update"): Long = {
+      op: String = "update",
+      /** Write-audit-publish (round 18): stage this MOR epoch on a
+        * branch — `#forbranch` next to its `#dv` records, invisible to
+        * every main face until `fast_forward` replays it. */
+      forBranch: Option[String] = None): Long = {
     val dir = Files.createDirectories(Paths.get(path))
     val token = java.util.UUID.randomUUID.toString
     val sortedAdds = adds.sortBy(_.name)
     val parts = sortedAdds.collect {
       case f if f.part.nonEmpty => partLine(f.name, PartTuple(specId, f.part)) }
-    val content = Seq(s"#schema $schemaDdl", opLine(op), s"#cow $token") ++
-      sortedAdds.map(statsLine) ++ sortedAdds.flatMap(bloomLine) ++ parts ++
-      dvRecords.sortBy(_._1).map { case (d, v, n) => dvLine(d, v, n) } ++
-      sortedAdds.map(_.name)
-    val id = claimEpoch(dir, () => content, observedDvs = Some(observedDvs))
+    def content(): Seq[String] = {
+      val branchHdr = forBranch.map { b =>
+        require(tableBranches(path).contains(b),
+          s"no branch '$b' on $path — create it with " +
+            "CALL graft.sys.create_branch first")
+        s"#forbranch $b"
+      }.toSeq
+      Seq(s"#schema $schemaDdl", opLine(op), s"#cow $token") ++ branchHdr ++
+        sortedAdds.map(statsLine) ++ sortedAdds.flatMap(bloomLine) ++ parts ++
+        dvRecords.sortBy(_._1).map { case (d, v, n) => dvLine(d, v, n) } ++
+        sortedAdds.map(_.name)
+    }
+    val id = claimEpoch(dir, content _, observedDvs = Some(observedDvs))
     maybeCompact(dir, latestCompact(dir).map(_._1).getOrElse(-1L),
       compactInterval)
     id
@@ -1553,7 +1612,24 @@ object ManifestSink {
           // regenerates the content against the fresh log
         } else {
         if (removes.nonEmpty || dvTargets.nonEmpty) {
-          val live = fragmentUnion(dir).toSet
+          // a BRANCH-STAGED dv epoch (round 18) fences against the
+          // BRANCH's visible state: its targets may be staged adds
+          // (invisible to main) and its observed dv set includes
+          // earlier staged records — main-state fencing would refuse
+          // valid staged writes and miss same-branch races
+          val stagingBranch = content.collectFirst {
+            case l if l.startsWith("#forbranch ") =>
+              l.stripPrefix("#forbranch ").trim }
+          val live = stagingBranch match {
+            case Some(b) => branchFiles(dir.toString, b)
+              .map(p => Paths.get(p).getFileName.toString).toSet
+            case None => fragmentUnion(dir).toSet
+          }
+          def curDvState: Map[String, Seq[(String, Long)]] =
+            stagingBranch match {
+              case Some(b) => branchDeleteVectors(dir.toString, b)
+              case None => deleteVectors(dir.toString)
+            }
           // a dv record may target a file THIS epoch re-adds (rollback
           // restoring a historical dv state): inherently consistent —
           // the add and the record flip visibility together. The
@@ -1569,7 +1645,7 @@ object ManifestSink {
           // COW-vs-DV fence: every dv currently attached to a removed
           // file must have been applied by this rewrite
           consumedDvs.foreach { m =>
-            val cur = deleteVectors(dir.toString)
+            val cur = curDvState
             val stale = removes.flatMap { f =>
               cur.getOrElse(f, Seq.empty).map(_._1)
                 .filterNot(m.getOrElse(f, Set.empty).contains)
@@ -1584,7 +1660,7 @@ object ManifestSink {
           // and the loser must recompute (its anti-join then excludes
           // the winner's positions) rather than publish overcounts
           observedDvs.foreach { m =>
-            val cur = deleteVectors(dir.toString)
+            val cur = curDvState
             val raced = dvTargets.flatMap { f =>
               val now = cur.getOrElse(f, Seq.empty).map(_._1).toSet
               (now -- m.getOrElse(f, Set.empty)).toSeq.sorted
@@ -2539,13 +2615,26 @@ object ManifestSink {
           val (preLabel, postLabel) =
             if (op == "update") ("update_preimage", "update_postimage")
             else ("delete", "insert")
-          val pre = d.dvs.groupBy(_._1).toSeq.sortBy(_._1).map {
+          // dvs targeting THE EPOCH'S OWN adds (round 18: a published
+          // branch's staged update of its own staged append) mark rows
+          // that were never visible — no pre-image partition, and the
+          // add reads with those positions as a SKIP set
+          val addSet = d.adds.toSet
+          val pre = d.dvs.filterNot(r => addSet.contains(r._1))
+            .groupBy(_._1).toSeq.sortBy(_._1).map {
             case (data, recs) => ManifestFilePartition(dataPath(data),
               recs.map(r => dataPath(r._2)), keepPositions = true,
               changeType = preLabel, commitVersion = d.id,
               commitTsMicros = d.tsMicros)
           }
-          pre ++ adds(d, postLabel)
+          val selfDvd = d.dvs.filter(r => addSet.contains(r._1))
+            .groupBy(_._1).view.mapValues(_.map(r => dataPath(r._2))).toMap
+          val post = d.adds.map(n => ManifestFilePartition(dataPath(n),
+            selfDvd.getOrElse(n, Seq.empty),
+            changeType = if (cdf) postLabel else null,
+            commitVersion = if (cdf) d.id else -1L,
+            commitTsMicros = if (cdf) d.tsMicros else -1L))
+          pre ++ post
       }
     }
   }
@@ -2655,9 +2744,10 @@ case class ManifestTable(path: String, writeSchema: StructType,
     /** Write-audit-publish (round 17): stage this write's epochs on a
       * BRANCH (the `spark.graft.wap.branch` session conf) — invisible
       * to every main face until `CALL graft.sys.fast_forward`
-      * publishes them. APPENDS ONLY: overwrite/truncate/COW forms
-      * refuse under a branch (their remove semantics against a moving
-      * main are undefined until publish). */
+      * publishes them. APPENDS and (round 18, via the catalog's MOR
+      * faces) `#dv` deltas stage; overwrite/truncate/COW forms refuse
+      * under a branch (their remove semantics against a moving main
+      * are undefined until publish). */
     forBranch: Option[String] = None)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead {

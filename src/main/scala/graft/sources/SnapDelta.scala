@@ -43,7 +43,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * vectorized parquet delegate path returns. */
 private[sources] class SnapDeltaOperation(val tname: String,
     val dir: String, val tschema: StructType, cmd: Command,
-    colmap: Map[String, String] = Map.empty)
+    colmap: Map[String, String] = Map.empty,
+    /** Write-audit-publish (round 18): stage this operation on a
+      * BRANCH — the scan targets the branch's visible state (main +
+      * staged adds, staged dvs applied) and the dv epoch carries
+      * `#forbranch`, invisible to main until `fast_forward`. */
+    val forBranch: Option[String] = None)
     extends RowLevelOperation with SupportsDelta {
   ManifestSink.verifyDeclaredSchema(dir,
     s"graft.snap.$tname $cmd (merge-on-read)", tschema)
@@ -62,8 +67,12 @@ private[sources] class SnapDeltaOperation(val tname: String,
     ManifestSink.physicalizeStruct(st, tschema,
       colmap.map { case (p, l) => p.toLowerCase -> l })
 
-  /** The snapshot this operation reads and dv-marks — pinned once. */
-  private[sources] val snapshotFiles: Seq[String] = ManifestSink.committedFiles(dir)
+  /** The snapshot this operation reads and dv-marks — pinned once;
+    * under a WAP branch, the branch's VISIBLE state. */
+  private[sources] val snapshotFiles: Seq[String] = forBranch match {
+    case Some(b) => ManifestSink.branchFiles(dir, b)
+    case None => ManifestSink.committedFiles(dir)
+  }
   private[sources] val stats: Map[String, FileStat] = ManifestSink.fileStats(dir)
   private[sources] val specBook: SpecBook = ManifestSink.partitionSpecs(dir)
   private[sources] def spec: Seq[PartField] = specBook.current
@@ -72,8 +81,10 @@ private[sources] class SnapDeltaOperation(val tname: String,
   /** Live dvs at pin time: the scan applies them (a marked row never
     * re-matches), and the commit passes them as the OBSERVED state the
     * dv-vs-dv fence compares against. */
-  private[sources] val dvs: Map[String, Seq[(String, Long)]] =
-    ManifestSink.deleteVectors(dir)
+  private[sources] val dvs: Map[String, Seq[(String, Long)]] = forBranch match {
+    case Some(b) => ManifestSink.branchDeleteVectors(dir, b)
+    case None => ManifestSink.deleteVectors(dir)
+  }
   private[sources] def dvPathsOf(name: String): Seq[String] =
     dvs.getOrElse(name, Seq.empty).map(e =>
       new java.io.File(new java.io.File(dir, "data"), e._1).toString)
@@ -253,7 +264,8 @@ private[sources] class SnapDeltaWrite(op: SnapDeltaOperation,
         case Command.UPDATE => "update"
         case Command.MERGE => "merge"
         case _ => "delete"
-      })
+      },
+      forBranch = op.forBranch)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

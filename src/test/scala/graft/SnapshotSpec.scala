@@ -3478,6 +3478,111 @@ class SnapshotSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(root)
   }
 
+  test("STAGED ROW-LEVEL WRITES on WAP branches (round 18): a " +
+    "merge-on-read DELETE and an UPDATE stage as #forbranch dv " +
+    "epochs — applied by the audit face, invisible to main — " +
+    "fast_forward replays them with the staged appends in ONE 'merge' " +
+    "epoch (the feed serves delete pre-images + inserts at the " +
+    "publish version), a main write between stage and publish " +
+    "refuses, COW staging refuses with the mor hint, and a dropped " +
+    "branch's dv files vacuum out") {
+    val root = Files.createTempDirectory("graft_wapmor")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    val log = root.resolve("bm").toString
+    s.sql("""CREATE TABLE graft.snap.bm (k BIGINT, v STRING)
+            |TBLPROPERTIES ('delete.mode'='mor')""".stripMargin)
+    locally { import s.implicits._
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+        .coalesce(1).writeTo("graft.snap.bm").append()     // epoch 1
+    }
+    s.sql("CALL graft.sys.create_branch('bm', 'fix')").collect() // epoch 2
+    s.conf.set("spark.graft.wap.branch", "fix")
+    s.sql("DELETE FROM graft.snap.bm WHERE k = 2")         // staged dv
+    locally { import s.implicits._
+      Seq((10L, "x")).toDF("k", "v")
+        .coalesce(1).writeTo("graft.snap.bm").append()     // staged add
+    }
+    // staged UPDATE of a row appended ON THE BRANCH (dv + add epoch)
+    s.sql("UPDATE graft.snap.bm SET v = 'y' WHERE k = 10")
+    // ... and a staged delete of a staged row's OLD image must not
+    // resurrect: k=10 now serves 'y' on the audit face
+    s.conf.unset("spark.graft.wap.branch")
+
+    // audit face applies staged dvs + adds; main is untouched
+    assert(s.sql("SELECT k, v FROM graft.snap.bm VERSION AS OF 'fix' " +
+      "ORDER BY k").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq == Seq((1L, "a"), (3L, "c"), (10L, "y")),
+      "the audit face serves the staged delete + update")
+    assert(s.sql("SELECT k FROM graft.snap.bm ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L),
+      "main serves the pre-stage rows until publish")
+    assert(s.sql("SELECT count(*) FROM graft.snap.bm.changes")
+      .head().getLong(0) == 3L, "the feed serves only main's epoch-1 rows")
+
+    // COW staging refuses with the mor hint
+    s.conf.set("spark.sql.catalog.graft.snap.bm.deleteMode", "cow")
+    s.conf.set("spark.graft.wap.branch", "fix")
+    val eCow = intercept[Exception] {
+      s.sql("DELETE FROM graft.snap.bm WHERE k = 1") }
+    assert(eCow.getMessage.contains("delete.mode=mor"), eCow.getMessage)
+    s.conf.unset("spark.sql.catalog.graft.snap.bm.deleteMode")
+    s.conf.unset("spark.graft.wap.branch")
+
+    // PUBLISH: one 'merge' epoch carrying the staged dvs + adds
+    val pub = s.sql("CALL graft.sys.fast_forward('bm', 'fix')")
+      .collect().head
+    val pubV = pub.getLong(0)
+    assert(s.sql("SELECT k, v FROM graft.snap.bm ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (3L, "c"), (10L, "y")),
+      "main shows the audited state exactly once after publish")
+    // the feed labels the publish 'merge': net delete + insert at pubV
+    val feed = graft.sources.ChangeFeed.tableChanges(s, log,
+      pubV - 1, Some(pubV)).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(feed == Set((2L, "delete"), (10L, "insert")),
+      s"publish serves net change rows at the publish version: $feed")
+
+    // RACE PIN: a main MOR delete between stage and publish refuses
+    s.sql("CALL graft.sys.create_branch('bm', 'race')").collect()
+    s.conf.set("spark.graft.wap.branch", "race")
+    s.sql("DELETE FROM graft.snap.bm WHERE k = 3")   // staged dv
+    s.conf.unset("spark.graft.wap.branch")
+    s.conf.set("spark.sql.catalog.graft.snap.bm.deleteMode", "mor")
+    s.sql("DELETE FROM graft.snap.bm WHERE k = 1")   // main dv moved
+    s.conf.unset("spark.sql.catalog.graft.snap.bm.deleteMode")
+    val eRace = intercept[Exception] {
+      s.sql("CALL graft.sys.fast_forward('bm', 'race')").collect() }
+    assert(eRace.getMessage.contains("landed after") ||
+      eRace.getMessage.contains("no longer fast-forwards"),
+      eRace.getMessage)
+    assert(s.sql("SELECT k FROM graft.snap.bm ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L, 10L),
+      "main: its own delete applied, the staged one still invisible")
+
+    // DROP the branch: its dv files become unreferenced and vacuum out
+    val dataDir = root.resolve("bm").resolve("data")
+    import scala.jdk.CollectionConverters._
+    def files(): Set[String] = {
+      val l = java.nio.file.Files.list(dataDir)
+      try l.iterator().asScala.map(_.getFileName.toString).toSet
+      finally l.close()
+    }
+    val beforeDrop = files()
+    s.sql("CALL graft.sys.drop_branch('bm', 'race')").collect()
+    (1 to 12).foreach(i =>  // sweeps absorb the dropped branch's epochs
+      s.sql(s"INSERT INTO graft.snap.bm VALUES (${100 + i}, 'f')"))
+    val reclaimed = graft.sources.ManifestSink.vacuum(log, 0L)
+    assert(reclaimed.nonEmpty &&
+      reclaimed.toSet.subsetOf(beforeDrop),
+      s"the dropped branch's staged dv file ages out: $reclaimed")
+    assert(s.sql("SELECT count(*) FROM graft.snap.bm").head().getLong(0)
+      == 2 + 12, "main rows intact after the reclaim")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("BLOOM SKIPPING (round 18): #bloom records prune equality/IN " +
     "point reads strictly below the min/max-only plan on interleaved " +
     "key ranges, with zero false negatives; records ride compaction " +
