@@ -235,6 +235,7 @@ object SparkEntry {
     "q_snap_partitions"  -> Materialize.snapPartitions _,
     "q_snap_ts_travel"   -> Materialize.snapTsTravel _,
     "q_snap_cdf"         -> Materialize.snapCdf _,
+    "q_snap_cdf_merge"   -> Materialize.snapCdfMerge _,
     "q_snap_cdf_incr"    -> Materialize.snapCdfIncr _,
     "q_snap_cdf_stream"  -> Materialize.snapCdfStream _,
     "q_snap_cdf_ts"      -> Materialize.snapCdfTs _,
@@ -2424,6 +2425,29 @@ object SparkEntry {
         |  AND n_chars IS NOT NULL
         |  AND NOT (lang = 'es' AND doc_id < 300)
         |GROUP BY lang""".stripMargin,
+    "q_snap_cdf_merge" -> // one MERGE, three clauses, each under its
+      // own CDC label via the #cdc role tags: matched de docs update
+      // (pre/postimage) or delete (every 4th), unmatched fr docs insert
+      """SELECT change_type, lang, count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT 'delete' AS change_type, lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'de' AND doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'de' AND doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', lang, n_chars + 5000 FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'de' AND doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT 'insert', lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'fr'
+        |)
+        |GROUP BY 1, 2""".stripMargin,
     "q_snap_cdf" -> // CDC change feed: every epoch's row-level changes
       // reconstructed relationally — inserts from the appends, exact
       // deleted rows from the dv-only epoch, pre+post images from the

@@ -2401,6 +2401,50 @@ object Materialize {
         |GROUP BY 1, 2, 3""".stripMargin)
   }
 
+  /** CDC MERGE PAIRING (`q_snap_cdf_merge`, round 18): one MERGE with
+    * all three clauses — matched de docs update (+5000 chars) or
+    * delete (every 4th), unmatched fr docs insert — and the feed
+    * serves each clause under its OWN label: the `#cdc pre/post` role
+    * tags the delta writer records (update halves arrive WHOLE,
+    * `representUpdateAsDeleteAndInsert = false`) are what
+    * distinguishes a matched update's pre/postimages from the merge's
+    * pure deletes and inserts; pre-r18 role-less epochs keep the
+    * documented net delete+insert fallback (SnapshotSpec pins it).
+    * The oracle reconstructs every clause's change set relationally
+    * from `documents`. */
+  def snapCdfMerge(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_cdfm_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    spark.sql("CREATE TABLE graft.snap.docmerge " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+      "TBLPROPERTIES ('delete.mode'='mor')")
+    complete.filter(col("lang").isin("de", "es")).coalesce(1)
+      .writeTo("graft.snap.docmerge").append()                   // epoch 1
+    complete.filter(col("lang").isin("de", "fr"))
+      .createOrReplaceTempView("graft_merge_src")
+    spark.sql(
+      """MERGE INTO graft.snap.docmerge t
+        |USING graft_merge_src s ON t.doc_id = s.doc_id
+        |WHEN MATCHED AND s.doc_id % 4 = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 5000
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)          // epoch 2
+    graft.sources.ChangeFeed.tableChanges(spark,
+      new java.io.File(root, "docmerge").toString, 1, Some(2L))
+      .createOrReplaceTempView("graft_cdfm_feed")
+    spark.sql(
+      """SELECT _change_type AS change_type, lang,
+        |  count(*) AS n_rows, sum(n_chars) AS sum_chars
+        |FROM graft_cdfm_feed
+        |GROUP BY 1, 2""".stripMargin)
+  }
+
   /** INCREMENTAL MATERIALIZATION from the change feed
     * (`q_snap_cdf_incr`, round 17): a downstream per-lang aggregate
     * maintained by SIGNED REPLAY of the change rows (+1 for

@@ -98,17 +98,28 @@ object ChangeFeed {
     // (file, skip-dv names, version, label)
     val selfDvAdds = scala.collection.mutable
       .ArrayBuffer[(String, Seq[(String, Long)], Long, String)]()
+    // round 18: `#cdc` role tags override the epoch defaults — a
+    // MERGE's matched-update halves serve update_pre/postimage while
+    // its pure deletes/inserts keep the net labels; role-less (pre-r18)
+    // merge epochs fall back to net delete+insert, documented
     def morEpoch(d: ManifestSink.EpochDelta,
         preLabel: String, postLabel: String): Unit = {
       val addSet = d.adds.toSet
+      def dvLabel(dv: String): String =
+        if (d.cdcRoles.get(dv).contains("pre")) "update_preimage"
+        else preLabel
+      def addLabel(n: String): String =
+        if (d.cdcRoles.get(n).contains("post")) "update_postimage"
+        else postLabel
       d.dvs.foreach { case (data, dv, _) =>
-        if (!addSet.contains(data)) dvFiles += ((dv, data, d.id, preLabel)) }
+        if (!addSet.contains(data))
+          dvFiles += ((dv, data, d.id, dvLabel(dv))) }
       val selfDvd = d.dvs.filter(r => addSet.contains(r._1))
         .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3))).toMap
       d.adds.foreach { n =>
         selfDvd.get(n) match {
-          case Some(dvs) => selfDvAdds += ((n, dvs, d.id, postLabel))
-          case None => insertFiles += ((n, d.id, postLabel))
+          case Some(dvs) => selfDvAdds += ((n, dvs, d.id, addLabel(n)))
+          case None => insertFiles += ((n, d.id, addLabel(n)))
         }
       }
     }

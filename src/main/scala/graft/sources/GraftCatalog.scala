@@ -385,6 +385,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       case Seq(SysNs) if ident.name() == "expire_snapshots" =>
         new ExpireSnapshotsProcedure(
           () => snapDirOrFail("expire_snapshots"))
+      case Seq(SysNs) if ident.name() == "register_feed" =>
+        new FeedProcedure(() => snapDirOrFail("register_feed"),
+          register = true)
+      case Seq(SysNs) if ident.name() == "unregister_feed" =>
+        new FeedProcedure(() => snapDirOrFail("unregister_feed"),
+          register = false)
       case _ => throw new UnsupportedOperationException(
         s"$catalogName has no procedure $ident " +
           s"(available: $SysNs.vacuum, $SysNs.compact_data)")

@@ -633,9 +633,26 @@ object ManifestSink {
       nEpochs = mine.size
       val adds = mine.flatMap(e => readData(e._2))
       nFiles = adds.size
-      val carried = mine.flatMap(e => readHeaders(e._2).filter(l =>
-        l.startsWith("#stats ") || l.startsWith("#part ") ||
-          l.startsWith("#bloom ")))
+      // `#cdc` role tags (round 18) carry per staged epoch — EXCEPT
+      // when that epoch's update pre-images target the branch's OWN
+      // staged adds: those rows were never visible to main, so the
+      // update halves collapse to the documented net-effect labels
+      // (the pre side cancels via self-dv, the post side serves as a
+      // plain insert). Tags are file-level, so a mixed epoch (one
+      // UPDATE touching main rows AND staged rows) drops its tags
+      // whole rather than mislabel either side.
+      val branchAdds = adds.toSet
+      val carried = mine.flatMap { e =>
+        val hs = readHeaders(e._2)
+        val selfUpdating = hs.flatMap(parseCdc).exists { case (f, r) =>
+          r == "pre" && readDvRecords(e._2)
+            .exists(d => d._2 == f && branchAdds.contains(d._1))
+        }
+        hs.filter(l =>
+          l.startsWith("#stats ") || l.startsWith("#part ") ||
+            l.startsWith("#bloom ") ||
+            (l.startsWith("#cdc ") && !selfUpdating))
+      }
       // STAGED ROW-LEVEL writes (round 18): the branch's `#dv` records
       // replay verbatim in epoch order. Safe by the fences above: no
       // main data/dv epoch landed past the base and the horizon never
@@ -720,6 +737,26 @@ object ManifestSink {
 
   private[sources] def dvLine(dataFile: String, dvFile: String, n: Long): String =
     s"#dv $dataFile $dvFile $n"
+
+  /** `#cdc <file> <pre|post>` (round 18): marks a dv file as UPDATE
+    * pre-image positions or an add file as UPDATE postimages, so the
+    * change feed labels a MERGE's matched rows update_pre/postimage
+    * instead of the net delete+insert fallback. Pure CDC annotation —
+    * every data-plane reader ignores it, and it only ever matters on
+    * LOOSE epochs (the feed refuses below the horizon), so compaction
+    * need not carry it. */
+  private[sources] def cdcLine(file: String, role: String): String = {
+    require(role == "pre" || role == "post",
+      s"cdc role must be pre|post, got '$role'")
+    s"#cdc $file $role"
+  }
+
+  private def parseCdc(l: String): Option[(String, String)] =
+    if (!l.startsWith("#cdc ")) None
+    else l.stripPrefix("#cdc ").split(" ") match {
+      case Array(f, r) if r == "pre" || r == "post" => Some((f, r))
+      case _ => None
+    }
 
   /** The LIVE delete vectors per data file: `#dv` records accumulated
     * in fragment order, cleared when the data file itself is
@@ -1134,7 +1171,12 @@ object ManifestSink {
       /** Write-audit-publish (round 18): stage this MOR epoch on a
         * branch — `#forbranch` next to its `#dv` records, invisible to
         * every main face until `fast_forward` replays it. */
-      forBranch: Option[String] = None): Long = {
+      forBranch: Option[String] = None,
+      /** CDC role tags (round 18): (file → pre|post) — the UPDATE
+        * halves of a MERGE, so the feed serves update_pre/postimage
+        * for them instead of the net delete+insert fallback. Pure
+        * annotation: readers ignore it, pre-r18 epochs lack it. */
+      cdcRoles: Seq[(String, String)] = Seq.empty): Long = {
     val dir = Files.createDirectories(Paths.get(path))
     val token = java.util.UUID.randomUUID.toString
     val sortedAdds = adds.sortBy(_.name)
@@ -1149,6 +1191,7 @@ object ManifestSink {
       }.toSeq
       Seq(s"#schema $schemaDdl", opLine(op), s"#cow $token") ++ branchHdr ++
         sortedAdds.map(statsLine) ++ sortedAdds.flatMap(bloomLine) ++ parts ++
+        cdcRoles.sortBy(_._1).map { case (f, r) => cdcLine(f, r) } ++
         dvRecords.sortBy(_._1).map { case (d, v, n) => dvLine(d, v, n) } ++
         sortedAdds.map(_.name)
     }
@@ -1329,6 +1372,22 @@ object ManifestSink {
       props: Seq[(String, String)]): Long =
     claimEpoch(Files.createDirectories(Paths.get(path)),
       () => props.map { case (k, v) => propLine(k, v) })
+
+  /** CDC RETENTION RESERVATIONS (round 18): `feed.reserve.<consumer>`
+    * properties, committed by `CALL graft.sys.register_feed` — each
+    * names a change-feed consumer and the MINIMUM epoch window that
+    * must stay loose for it: every sweep (routine compaction AND
+    * `expire_snapshots`) clamps its horizon at `newest - window`, so a
+    * consumer lagging at most `window` epochs can never hit the
+    * below-horizon retention refusal. Unregistering tombstones the
+    * value to `-` (properties are last-wins); non-numeric values never
+    * reserve. Returns consumer → minimum window. */
+  def registeredFeeds(path: String): Map[String, Long] =
+    tableProperties(path).collect {
+      case (k, v) if k.startsWith("feed.reserve.") &&
+          v.toLongOption.exists(_ >= 1) =>
+        k.stripPrefix("feed.reserve.") -> v.toLong
+    }
 
   /** Append a pure-metadata DDL epoch carrying `#schema <ddl>` — the
     * ALTER TABLE ADD COLUMN record (round 15): additive evolution is
@@ -1796,7 +1855,12 @@ object ManifestSink {
       .filter(e => branchOf(e._2).exists(liveBranches.keySet.contains))
       .map(_._1 - 1).minOption.getOrElse(Long.MaxValue)
     val baseCap = liveBranches.values.minOption.getOrElse(Long.MaxValue)
-    val cap = math.min(stagedCap, baseCap)
+    // REGISTERED FEED consumers clamp every sweep (round 18): the last
+    // `window` epochs stay loose so a consumer lagging at most that
+    // many epochs never hits the below-horizon CDC refusal
+    val feedCap = registeredFeeds(dir.toString).values.minOption
+      .map(w => newestVersion0(dir) - w).getOrElse(Long.MaxValue)
+    val cap = math.min(math.min(stagedCap, baseCap), feedCap)
     val loose = looseAll.filter(e => e._1 <= cap && e._1 <= through)
     if (loose.isEmpty || (!force && loose.size < compactInterval)) return
     val prior = latestCompact(dir)
@@ -2282,7 +2346,9 @@ object ManifestSink {
     val branches = tableBranches(path)
     val caps: Seq[(Long, String)] =
       tags.toSeq.map { case (n, v) => (v, s"tag:$n") } ++
-        branches.toSeq.map { case (n, v) => (v, s"branch:$n") }
+        branches.toSeq.map { case (n, v) => (v, s"branch:$n") } ++
+        registeredFeeds(path).toSeq.map { case (c, w) =>
+          (newest - w, s"feed:$c") } // round 18: reserved CDC windows
     val binding = caps.filter(_._1 < requested).minByOption(_._1)
     val effective = binding.map(_._1).getOrElse(requested)
     val protectedBy = binding.map(_._2).getOrElse("none")
@@ -2501,7 +2567,11 @@ object ManifestSink {
       dvs: Seq[(String, String, Long)],
       /** The epoch's persisted commit time (round 17: `#ts`, mtime
         * fallback) — the `_commit_timestamp` CDC column. */
-      tsMicros: Long = -1L)
+      tsMicros: Long = -1L,
+      /** `#cdc` role tags (round 18): dv file → "pre" / add file →
+        * "post" for the UPDATE halves of a MERGE; empty on pre-r18
+        * epochs → the net delete+insert fallback. */
+      cdcRoles: Map[String, String] = Map.empty)
 
   private[graft] def epochDeltas(path: String, since: Long,
       asOf: Long): Seq[EpochDelta] = retryVanish() {
@@ -2555,7 +2625,8 @@ object ManifestSink {
           else if (adds.nonEmpty) "append"
           else "metadata"
         }
-        EpochDelta(id, op, adds, removes, dvs, commitTimeMicros(p))
+        EpochDelta(id, op, adds, removes, dvs, commitTimeMicros(p),
+          readHeaders(p).flatMap(parseCdc).toMap)
       }
     }
   }
@@ -2618,20 +2689,31 @@ object ManifestSink {
           // dvs targeting THE EPOCH'S OWN adds (round 18: a published
           // branch's staged update of its own staged append) mark rows
           // that were never visible — no pre-image partition, and the
-          // add reads with those positions as a SKIP set
+          // add reads with those positions as a SKIP set. `#cdc` role
+          // tags override the defaults (a merge's update halves serve
+          // update_pre/postimage); one data file's delete-dvs and
+          // pre-dvs split into separately-labeled partitions.
           val addSet = d.adds.toSet
+          def dvLabel(dv: String): String =
+            if (d.cdcRoles.get(dv).contains("pre")) "update_preimage"
+            else preLabel
+          def addLabel(n: String): String =
+            if (d.cdcRoles.get(n).contains("post")) "update_postimage"
+            else postLabel
           val pre = d.dvs.filterNot(r => addSet.contains(r._1))
-            .groupBy(_._1).toSeq.sortBy(_._1).map {
-            case (data, recs) => ManifestFilePartition(dataPath(data),
+            .groupBy(r => (r._1, dvLabel(r._2))).toSeq
+            .sortBy { case ((data, label), _) => (data, label) }.map {
+            case ((data, label), recs) => ManifestFilePartition(
+              dataPath(data),
               recs.map(r => dataPath(r._2)), keepPositions = true,
-              changeType = preLabel, commitVersion = d.id,
+              changeType = label, commitVersion = d.id,
               commitTsMicros = d.tsMicros)
           }
           val selfDvd = d.dvs.filter(r => addSet.contains(r._1))
             .groupBy(_._1).view.mapValues(_.map(r => dataPath(r._2))).toMap
           val post = d.adds.map(n => ManifestFilePartition(dataPath(n),
             selfDvd.getOrElse(n, Seq.empty),
-            changeType = if (cdf) postLabel else null,
+            changeType = if (cdf) addLabel(n) else null,
             commitVersion = if (cdf) d.id else -1L,
             commitTsMicros = if (cdf) d.tsMicros else -1L))
           pre ++ post

@@ -98,10 +98,12 @@ private[sources] class SnapDeltaOperation(val tname: String,
     Array(Expressions.column(SnapFileColumn.name),
       Expressions.column(SnapPosColumn.name))
 
-  /** UPDATE rows arrive pre-split as DELETE + INSERT, so the writer
-    * needs no update() path of its own — a position mark plus an
-    * appended row IS the merge-on-read update. */
-  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  /** UPDATE rows arrive WHOLE (round 18): the writer's update() gets
+    * the pre-image position and the replacement row together, which is
+    * what lets the commit tag the two halves (`#cdc pre`/`#cdc post`)
+    * so a MERGE's change feed serves update_pre/postimage instead of
+    * collapsing every match to net delete + insert. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapDeltaScanBuilder(this)
@@ -244,9 +246,14 @@ private[sources] class SnapDeltaWrite(op: SnapDeltaOperation,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val results = messages.collect { case m: SnapDeltaCommit => m }
-    val adds = results.flatMap(_.adds)
-    val dvRecords = results.flatMap(_.dvs)
+    val adds = results.flatMap(_.adds) ++ results.flatMap(_.postAdds)
+    val dvRecords = results.flatMap(_.dvs) ++ results.flatMap(_.preDvs)
     if (adds.isEmpty && dvRecords.isEmpty) return // nothing matched
+    // CDC role tags (round 18): update halves label as
+    // update_pre/postimage in the feed; everything untagged keeps the
+    // epoch op's default labels (delete / insert)
+    val roles = results.flatMap(_.preDvs).map(r => r._2 -> "pre") ++
+      results.flatMap(_.postAdds).map(f => f.name -> "post")
     SnapTable.recordRewrite(op.tname, op.snapshotFiles.size, 0)
     val observed = dvRecords.map(_._1).distinct.map(n =>
       n -> op.dvs.getOrElse(n, Seq.empty).map(_._1).toSet).toMap
@@ -265,22 +272,30 @@ private[sources] class SnapDeltaWrite(op: SnapDeltaOperation,
         case Command.MERGE => "merge"
         case _ => "delete"
       },
-      forBranch = op.forBranch)
+      forBranch = op.forBranch,
+      cdcRoles = roles)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case m: SnapDeltaCommit =>
-        (m.adds.map(_.name) ++ m.dvs.map(_._2)).foreach(n =>
+        (m.adds.map(_.name) ++ m.dvs.map(_._2) ++
+          m.postAdds.map(_.name) ++ m.preDvs.map(_._2)).foreach(n =>
           Files.deleteIfExists(Paths.get(op.dir, "data", n)))
       case _ =>
     }
 }
 
 /** One delta task's contribution: the dv records it wrote (one or more
-  * per touched data file) plus the inserted/replacement task files. */
+  * per touched data file) plus the inserted/replacement task files.
+  * Round 18 splits UPDATE halves out — `postAdds` carry the update
+  * postimages, `preDvs` the replaced positions — so the commit can tag
+  * them `#cdc post`/`#cdc pre` for the change feed's update labels. */
 private[sources] case class SnapDeltaCommit(adds: Seq[CommittedFile],
-    dvs: Seq[(String, String, Long)]) extends WriterCommitMessage
+    dvs: Seq[(String, String, Long)],
+    postAdds: Seq[CommittedFile] = Seq.empty,
+    preDvs: Seq[(String, String, Long)] = Seq.empty)
+    extends WriterCommitMessage
 
 private[sources] case class SnapDeltaWriterFactory(path: String,
     fieldNames: Array[String], fieldTypes: Array[String],
@@ -293,60 +308,83 @@ private[sources] case class SnapDeltaWriterFactory(path: String,
       private val base = f"part-$partitionId%05d-$taskId-$runToken"
       private val dataDir = Files.createDirectories(Paths.get(path, "data"))
 
-      // inserted rows: the ordinary stats-carrying task writer (spec
-      // fan-out for partitioned tables), opened on first insert
+      // inserted/updated rows: ordinary stats-carrying task writers
+      // (spec fan-out for partitioned tables), opened on first row.
+      // UPDATE postimages land in SEPARATE files from NOT-MATCHED
+      // inserts (round 18): the commit tags them `#cdc <file> post` so
+      // the change feed serves update_postimage instead of insert.
       private var inserts: DataWriter[InternalRow] = _
+      private var updates: DataWriter[InternalRow] = _
+      private def rowWriter(suffix: String): DataWriter[InternalRow] =
+        if (spec.isEmpty)
+          ManifestWriters.create(path, fieldNames, fieldTypes,
+            s"$base$suffix.parquet", bloomCols, bloomBits)
+        else
+          ManifestWriters.createFanOut(path, fieldNames, fieldTypes,
+            spec, k => s"$base$suffix-p$k.parquet", bloomCols, bloomBits)
       private def insertWriter(): DataWriter[InternalRow] = {
-        if (inserts == null)
-          inserts =
-            if (spec.isEmpty)
-              ManifestWriters.create(path, fieldNames, fieldTypes,
-                s"$base.parquet", bloomCols, bloomBits)
-            else
-              ManifestWriters.createFanOut(path, fieldNames, fieldTypes,
-                spec, k => s"$base-p$k.parquet", bloomCols, bloomBits)
+        if (inserts == null) inserts = rowWriter("")
         inserts
       }
+      private def updateWriter(): DataWriter[InternalRow] = {
+        if (updates == null) updates = rowWriter("-u")
+        updates
+      }
 
-      // deleted positions: rows arrive clustered by data file and
-      // sorted by (_file, _pos) — stream one ascending dv file per
+      // deleted/replaced positions: rows arrive clustered by data file
+      // and sorted by (_file, _pos) — stream one ascending dv file per
       // file run (a file reappearing after a run break simply opens a
-      // SECOND dv file, which the format supports). A failed/retried
-      // attempt leaves orphan dv files no manifest references —
+      // SECOND dv file, which the format supports). DELETE positions
+      // and UPDATE pre-image positions stream as SEPARATE dv files
+      // (round 18): the commit tags the latter `#cdc <file> pre` so
+      // the feed serves update_preimage instead of delete. A failed/
+      // retried attempt leaves orphan dv files no manifest references —
       // vacuum's age gate reclaims them, the task-file convention.
-      private val dvOut =
-        scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
-      private var curFile: String = _
-      private var dvWriter: java.io.BufferedWriter = _
-      private var dvName: String = _
-      private var nDel = 0L
-      private var lastPos = -1L
-      private def closeDv(): Unit = if (dvWriter != null) {
-        dvWriter.close()
-        dvOut += ((curFile, dvName, nDel))
-        dvWriter = null
-        curFile = null
-      }
-
-      override def delete(meta: InternalRow, id: InternalRow): Unit = {
-        val f = id.getUTF8String(fileIdx).toString
-        val p = id.getLong(posIdx)
-        if (f != curFile) {
-          closeDv()
-          curFile = f
-          dvName = s"dv-${java.util.UUID.randomUUID.toString.take(16)}.txt"
-          dvWriter = Files.newBufferedWriter(dataDir.resolve(dvName),
-            java.nio.charset.StandardCharsets.UTF_8)
-          nDel = 0L
-          lastPos = -1L
-        } else if (p == lastPos) {
-          // a MERGE source with duplicate keys can target one row twice
-          // in a single operation; mark it once so counts stay exact
-          return
+      private class DvStream(role: String) {
+        val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        private var curFile: String = _
+        private var w: java.io.BufferedWriter = _
+        private var name: String = _
+        private var n = 0L
+        private var lastPos = -1L
+        def mark(id: InternalRow): Boolean = {
+          val f = id.getUTF8String(fileIdx).toString
+          val p = id.getLong(posIdx)
+          if (f != curFile) {
+            close()
+            curFile = f
+            name = s"dv-${java.util.UUID.randomUUID.toString.take(16)}.txt"
+            w = Files.newBufferedWriter(dataDir.resolve(name),
+              java.nio.charset.StandardCharsets.UTF_8)
+            n = 0L
+            lastPos = -1L
+          } else if (p == lastPos) {
+            // a MERGE source with duplicate keys can target one row
+            // twice in a single operation; mark it once so counts stay
+            // exact
+            return false
+          }
+          w.write(p.toString); w.newLine()
+          n += 1; lastPos = p
+          true
         }
-        dvWriter.write(p.toString); dvWriter.newLine()
-        nDel += 1; lastPos = p
+        def close(): Unit = if (w != null) {
+          w.close()
+          out += ((curFile, name, n))
+          w = null
+          curFile = null
+        }
+        def abort(): Unit = {
+          try { if (w != null) w.close() } catch { case _: Exception => }
+          (Option(name).toSeq ++ out.map(_._2)).foreach(nm =>
+            Files.deleteIfExists(dataDir.resolve(nm)))
+        }
       }
+      private val delDvs = new DvStream("delete")
+      private val updDvs = new DvStream("pre")
+
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        delDvs.mark(id)
 
       override def insert(row: InternalRow): Unit = {
         // a delete-only plan (empty row schema) must never insert —
@@ -357,34 +395,47 @@ private[sources] case class SnapDeltaWriterFactory(path: String,
         insertWriter().write(row)
       }
 
-      /** Unused under representUpdateAsDeleteAndInsert — kept correct
-        * anyway: a positioned update IS delete + insert. */
+      /** UPDATE arrives WHOLE (round 18,
+        * `representUpdateAsDeleteAndInsert = false`): the pre-image
+        * position and the replacement row in one call — which is what
+        * lets the commit tag both sides for the change feed's
+        * update_pre/postimage labels. A duplicate-key source updating
+        * one row twice marks the position once and keeps only the
+        * first postimage (counts stay exact). */
       override def update(meta: InternalRow, id: InternalRow,
           row: InternalRow): Unit = {
-        delete(meta, id)
-        insert(row)
+        require(fieldNames.nonEmpty,
+          s"delta write on $path: update row arrived under an empty " +
+            "row schema")
+        if (updDvs.mark(id)) updateWriter().write(row)
       }
 
+      private def committedOf(w: DataWriter[InternalRow]): Seq[CommittedFile] =
+        if (w == null) Seq.empty
+        else w.commit() match {
+          case f: CommittedFile => Seq(f)
+          case s: CommittedFileSet => s.files
+          case other => throw new IllegalStateException(
+            s"unexpected row-writer commit message $other")
+        }
+
       override def commit(): WriterCommitMessage = {
-        closeDv()
-        val adds = if (inserts == null) Seq.empty[CommittedFile]
-          else inserts.commit() match {
-            case f: CommittedFile => Seq(f)
-            case s: CommittedFileSet => s.files
-            case other => throw new IllegalStateException(
-              s"unexpected insert-writer commit message $other")
-          }
-        SnapDeltaCommit(adds, dvOut.toSeq)
+        delDvs.close()
+        updDvs.close()
+        SnapDeltaCommit(committedOf(inserts), delDvs.out.toSeq,
+          committedOf(updates), updDvs.out.toSeq)
       }
 
       override def abort(): Unit = {
-        try { if (dvWriter != null) dvWriter.close() }
-        catch { case _: Exception => }
-        (Option(dvName).toSeq ++ dvOut.map(_._2)).foreach(n =>
-          Files.deleteIfExists(dataDir.resolve(n)))
+        delDvs.abort()
+        updDvs.abort()
         if (inserts != null) inserts.abort()
+        if (updates != null) updates.abort()
       }
 
-      override def close(): Unit = if (inserts != null) inserts.close()
+      override def close(): Unit = {
+        if (inserts != null) inserts.close()
+        if (updates != null) updates.close()
+      }
     }
 }

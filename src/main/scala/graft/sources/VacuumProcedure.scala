@@ -620,6 +620,84 @@ class FastForwardProcedure(snapDir: () => String) extends UnboundProcedure {
   }
 }
 
+/** `CALL graft.sys.register_feed(table, consumer, min_window)` /
+  * `unregister_feed(table, consumer)` (round 18): RESERVE a minimum
+  * retained epoch window for a named change-feed consumer. Every sweep
+  * — routine compaction and `expire_snapshots` — then clamps its
+  * horizon at `newest - min_window` (result names `feed:<consumer>`
+  * as the binding ref, like tags and branches), so a consumer lagging
+  * at most `min_window` epochs can never hit the below-horizon CDC
+  * retention refusal; at 100 TB this replaces hand-coordinating
+  * retention sweeps against consumer lag. The reservation is a
+  * `feed.reserve.<consumer>` table property (one metadata epoch;
+  * unregister tombstones it), so it survives compaction and serves
+  * from the plan-state cache. */
+class FeedProcedure(snapDir: () => String, register: Boolean)
+    extends UnboundProcedure {
+  override def name(): String =
+    if (register) "register_feed" else "unregister_feed"
+  override def description(): String =
+    if (register) "reserve a minimum retained epoch window for a " +
+      "change-feed consumer; sweeps clamp at newest - min_window"
+    else "drop a change-feed consumer's retention reservation; sweeps " +
+      "proceed unclamped by it"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = FeedProcedure.this.name()
+    override def description(): String = FeedProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] =
+      if (register) Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("table name under the snap.dir catalog conf").build(),
+        ProcedureParameter.in("consumer", StringType)
+          .comment("token-safe consumer name").build(),
+        ProcedureParameter.in("min_window", LongType)
+          .comment("minimum epoch count kept loose for this consumer " +
+            "(>= 1)").build())
+      else Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("table name under the snap.dir catalog conf").build(),
+        ProcedureParameter.in("consumer", StringType)
+          .comment("the consumer to unregister").build())
+    override def isDeterministic: Boolean = false // appends an epoch
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      require(!input.isNullAt(0) && !input.isNullAt(1),
+        s"${name()}(table, consumer[, min_window]): arguments must " +
+          "not be null")
+      val table = input.getUTF8String(0).toString
+      GraftCatalog.requireValidTableName(table)
+      val consumer = input.getUTF8String(1).toString
+      val dir = new java.io.File(snapDir(), table)
+      require(dir.isDirectory, s"graft.snap.$table: no manifest table at $dir")
+      val window: Long =
+        if (register) {
+          require(!input.isNullAt(2) && input.getLong(2) >= 1,
+            "register_feed: min_window must be >= 1")
+          input.getLong(2)
+        } else {
+          val cur = ManifestSink.registeredFeeds(dir.toString)
+          require(cur.contains(consumer),
+            s"no registered feed consumer '$consumer' on graft.snap." +
+              s"$table (registered: ${cur.keys.toSeq.sorted.mkString(", ")
+                match { case "" => "none"; case r => r }})")
+          -1L
+        }
+      ManifestSink.commitPropsEpoch(dir.toString, Seq(
+        s"feed.reserve.$consumer" ->
+          (if (register) window.toString else "-")))
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType = new StructType()
+          .add("consumer", StringType, nullable = false)
+          .add("min_window", LongType, nullable = false)
+        override def rows(): Array[InternalRow] = Array(InternalRow(
+          UTF8String.fromString(consumer), window))
+      }
+      java.util.List.of(scan).iterator()
+    }
+  }
+}
+
 /** `CALL graft.sys.expire_snapshots(table, keep_last := N)` /
   * `(table, older_than_ms := T)` (round 17): retire history by count
   * or age via a forced bounded sweep — travel below the new horizon

@@ -3583,6 +3583,115 @@ class SnapshotSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(root)
   }
 
+  test("CDC MERGE PAIRING (round 18): a MOR MERGE's matched updates " +
+    "serve update_pre/postimage via #cdc role tags while its pure " +
+    "deletes/inserts keep net labels; stripping the tags (the pre-r18 " +
+    "epoch shape) falls back to the documented net delete+insert") {
+    val root = Files.createTempDirectory("graft_cdcmerge")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    val log = root.resolve("cm").toString
+    s.sql("""CREATE TABLE graft.snap.cm (k BIGINT, v STRING)
+            |TBLPROPERTIES ('delete.mode'='mor')""".stripMargin)
+    locally { import s.implicits._
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+        .coalesce(1).writeTo("graft.snap.cm").append()           // epoch 1
+      Seq((2L, "B"), (4L, "D"), (9L, "i")).toDF("k", "v")
+        .createOrReplaceTempView("cm_src")
+    }
+    s.sql(
+      """MERGE INTO graft.snap.cm t USING cm_src s ON t.k = s.k
+        |WHEN MATCHED AND s.k = 4 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)          // epoch 2
+    def feed(): Set[(Long, String, String)] =
+      graft.sources.ChangeFeed.tableChanges(s, log, 1, Some(2L))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2))).toSet
+    assert(feed() == Set(
+      (2L, "b", "update_preimage"), (2L, "B", "update_postimage"),
+      (4L, "d", "delete"), (9L, "i", "insert")),
+      s"each MERGE clause under its own label: ${feed()}")
+    // the .changes face agrees (roles applied per planned partition)
+    val face = s.read.option("sinceVersion", "1")
+      .option("asOfVersion", "2").table("graft.snap.cm.changes")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2))).toSet
+    assert(face == feed(), s"face/API parity: $face")
+    // the table itself reads correctly after the merge
+    assert(s.sql("SELECT k, v FROM graft.snap.cm ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "i")))
+
+    // PRE-r18 FALLBACK: strip the #cdc tags from the merge epoch (the
+    // exact shape an old log carries) -> net delete+insert, documented
+    import scala.jdk.CollectionConverters._
+    val e2 = java.nio.file.Files.list(root.resolve("cm"))
+      .iterator().asScala.filter(_.getFileName.toString.startsWith("epoch-"))
+      .toSeq.sortBy(_.getFileName.toString).last
+    val stripped = java.nio.file.Files.readAllLines(e2).asScala
+      .filterNot(_.startsWith("#cdc "))
+    java.nio.file.Files.write(e2, stripped.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(feed() == Set(
+      (2L, "b", "delete"), (2L, "B", "insert"),
+      (4L, "d", "delete"), (9L, "i", "insert")),
+      s"role-less merge epochs keep the net-effect fallback: ${feed()}")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("CDC RETENTION RESERVATION (round 18): a registered feed " +
+    "consumer's min_window clamps BOTH routine sweeps and " +
+    "expire_snapshots (binding ref named 'feed:<consumer>'), the " +
+    "reserved window stays feed-servable under heavy commits, and " +
+    "unregistering lets the next sweep retire freely") {
+    val root = Files.createTempDirectory("graft_feedres")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    val log = root.resolve("fr").toString
+    s.sql("""CREATE TABLE graft.snap.fr (k BIGINT)
+            |TBLPROPERTIES ('compact.interval'='4')""".stripMargin)
+    val reg = s.sql("CALL graft.sys.register_feed('fr', 'etl', 6)")
+      .collect().head
+    assert((reg.getString(0), reg.getLong(1)) == (("etl", 6L)))
+
+    // 14 inserts: routine sweeps fire every 4 loose epochs but must
+    // clamp at newest - 6 — the consumer's window stays loose
+    (1 to 14).foreach(i => s.sql(s"INSERT INTO graft.snap.fr VALUES ($i)"))
+    val newest = graft.sources.ManifestSink.newestVersion(log)
+    val horizon = graft.sources.ManifestSink.compactionHorizon(log)
+    assert(horizon <= newest - 6,
+      s"routine sweeps clamp at newest-6: horizon=$horizon newest=$newest")
+    // a consumer lagging exactly min_window epochs still reads its feed
+    val lagged = graft.sources.ChangeFeed.tableChanges(s, log, newest - 6)
+      .collect()
+    assert(lagged.length == 6, s"the reserved window serves: ${lagged.length}")
+
+    // expire_snapshots: the reservation clamps and is NAMED
+    val r1 = s.sql("CALL graft.sys.expire_snapshots('fr', 1)")
+      .collect().head
+    assert(r1.getString(2) == "feed:etl" && r1.getLong(0) == newest - 6,
+      s"expiry clamps at the reservation: $r1")
+    assert(graft.sources.ChangeFeed.tableChanges(s, log, newest - 6)
+      .collect().length == 6, "still servable after the clamped expiry")
+
+    // unregister: the same request now retires freely (the two
+    // metadata epochs moved `newest` by 2)
+    s.sql("CALL graft.sys.unregister_feed('fr', 'etl')").collect()
+    val r2 = s.sql("CALL graft.sys.expire_snapshots('fr', 1)")
+      .collect().head
+    assert(r2.getString(2) == "none" &&
+      r2.getLong(0) == graft.sources.ManifestSink.newestVersion(log) - 1,
+      s"unregistered: expiry retires freely: $r2")
+    val eGone = intercept[Exception] {
+      s.sql("CALL graft.sys.unregister_feed('fr', 'etl')").collect() }
+    assert(eGone.getMessage.contains("no registered feed consumer"),
+      eGone.getMessage)
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("BLOOM SKIPPING (round 18): #bloom records prune equality/IN " +
     "point reads strictly below the min/max-only plan on interleaved " +
     "key ranges, with zero false negatives; records ride compaction " +
