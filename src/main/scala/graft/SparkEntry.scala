@@ -218,6 +218,7 @@ object SparkEntry {
     "q_snap_skipping"    -> Materialize.snapSkippingRead _,
     "q_snap_skip_str"    -> Materialize.snapSkipString _,
     "q_snap_bloom_skip"  -> Materialize.snapBloomSkip _,
+    "q_snap_array_evolve" -> Materialize.snapArrayEvolve _,
     "q_snap_skip_time"   -> Materialize.snapSkipTime _,
     "q_snap_evolution"   -> Materialize.snapEvolution _,
     "q_snap_delete"      -> Materialize.snapDelete _,
@@ -2375,6 +2376,29 @@ object SparkEntry {
         |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
         |  AND n_chars IS NOT NULL AND lang = 'de'
         |GROUP BY lang""".stripMargin,
+    "q_snap_array_evolve" -> // array<struct> element rename/drop/widen/
+      // add as pure metadata: pre-evolution files promote the narrow
+      // element score and null-fill the added field inside every
+      // element; the oracle reconstructs the exploded rows relationally
+      """SELECT token, count(*) AS n_spans,
+        |  CAST(sum(score) AS BIGINT) AS sum_score,
+        |  CAST(sum(extra) AS BIGINT) AS sum_extra
+        |FROM (
+        |  SELECT lang AS token, CAST(n_chars AS BIGINT) AS score,
+        |    CAST(-1 AS BIGINT) AS extra FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'de'
+        |  UNION ALL
+        |  SELECT lang || '2', CAST(n_chars * 2 AS BIGINT), -1
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'de'
+        |  UNION ALL
+        |  SELECT lang, n_chars + 9000000000, doc_id FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'fr'
+        |)
+        |GROUP BY token""".stripMargin,
     "q_snap_bloom_skip" -> // doc_id%4 slices: every file's min/max
       // envelope spans near the full key range (stats-only planning
       // keeps all four), the per-file #bloom records resolve the IN

@@ -924,6 +924,61 @@ object Materialize {
         |GROUP BY lang""".stripMargin)
   }
 
+  /** ARRAY-ELEMENT EVOLUTION (`q_snap_array_evolve`, round 18): an
+    * `array<struct<…>>` column — the training-data schema shape
+    * (token spans, annotations) — evolves by pure metadata: element
+    * field RENAME + DROP via dotted `#colmap` keys
+    * (`spans.element.tok`), element WIDENING + ADD via one `#schema`
+    * epoch, zero bytes rewritten. Pre-evolution files serve with the
+    * narrow element promoted and the added field null inside every
+    * element; post-evolution rows write under the new names. The
+    * oracle reconstructs the exploded rows relationally from
+    * `documents` (no array machinery on the DuckDB side). */
+  def snapArrayEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_arr_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    complete.createOrReplaceTempView("graft_arr_src")
+    spark.sql(
+      """CREATE TABLE graft.snap.docarr (doc_id BIGINT,
+        |  spans ARRAY<STRUCT<tok: STRING, score: INT, junk: STRING>>)
+        |""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.snap.docarr
+        |SELECT doc_id, array(
+        |  named_struct('tok', lang, 'score', CAST(n_chars AS INT),
+        |    'junk', 'j'),
+        |  named_struct('tok', concat(lang, '2'),
+        |    'score', CAST(n_chars * 2 AS INT), 'junk', 'k'))
+        |FROM graft_arr_src WHERE lang = 'de'""".stripMargin)
+    spark.sql("ALTER TABLE graft.snap.docarr " +
+      "RENAME COLUMN spans.element.tok TO token")
+    spark.sql("ALTER TABLE graft.snap.docarr " +
+      "DROP COLUMN spans.element.junk")
+    spark.sql("ALTER TABLE graft.snap.docarr " +
+      "ALTER COLUMN spans.element.score TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.snap.docarr " +
+      "ADD COLUMN spans.element.extra BIGINT")
+    spark.sql(
+      """INSERT INTO graft.snap.docarr
+        |SELECT doc_id, array(named_struct('token', lang,
+        |  'score', n_chars + 9000000000, 'extra', doc_id))
+        |FROM graft_arr_src WHERE lang = 'fr'""".stripMargin)
+    spark.sql(
+      """SELECT s.token, count(*) AS n_spans,
+        |  sum(s.score) AS sum_score,
+        |  sum(coalesce(s.extra, -1)) AS sum_extra
+        |FROM graft.snap.docarr
+        |LATERAL VIEW explode(spans) AS s
+        |GROUP BY s.token""".stripMargin)
+  }
+
   /** BLOOM-filter data skipping (`q_snap_bloom_skip`, round 18): four
     * appends sliced by `doc_id % 4` give every committed file a
     * near-full-range min/max envelope — the worst case for stats-only

@@ -250,8 +250,9 @@ object ChangeFeed {
 
   /** One top-level column projected to its LOGICAL form: renamed by
     * the flat entry, and — when dotted `#colmap` entries exist under
-    * it (round 17, nested evolution) — its struct VALUE rebuilt with
-    * inner fields renamed/dropped recursively (outer nulls
+    * it (rounds 17/18, nested evolution) — its struct VALUE (or its
+    * array's STRUCT ELEMENTS, via `transform`) rebuilt with inner
+    * fields renamed/dropped recursively (outer and element nulls
     * preserved). */
   private def logicalTopCol(f: org.apache.spark.sql.types.StructField,
       colmap: Map[String, String]): org.apache.spark.sql.Column = {
@@ -267,6 +268,9 @@ object ChangeFeed {
           val child = g.dataType match {
             case s: StructType if hasNested(key + ".") =>
               rebuild(base.getField(g.name), s, prefix + g.name + ".")
+            case a: org.apache.spark.sql.types.ArrayType
+                if hasNested(key + ".element.") =>
+              rebuildArray(base.getField(g.name), a, key)
             case _ => base.getField(g.name)
           }
           Some(child.as(colmap.getOrElse(key, g.name)))
@@ -274,9 +278,20 @@ object ChangeFeed {
       }
       when(base.isNotNull, struct(kids.toSeq: _*))
     }
+    def rebuildArray(base: org.apache.spark.sql.Column,
+        a: org.apache.spark.sql.types.ArrayType, key: String)
+        : org.apache.spark.sql.Column = a.elementType match {
+      case es: StructType =>
+        org.apache.spark.sql.functions.transform(base,
+          x => rebuild(x, es, key + ".element."))
+      case _ => base
+    }
     val c = f.dataType match {
       case st: StructType if hasNested(f.name + ".") =>
         rebuild(col(f.name), st, f.name + ".")
+      case a: org.apache.spark.sql.types.ArrayType
+          if hasNested(f.name + ".element.") =>
+        rebuildArray(col(f.name), a, f.name)
       case _ => col(f.name)
     }
     c.as(logicalName(f.name))
@@ -394,6 +409,15 @@ private[sources] class SnapChangesTable(tname: String, dir: String)
                 case (ls: StructType, ps: StructType) =>
                   ManifestSink.physicalizeStruct(ls, ps, colmapLower,
                     pf.name + ".")
+                case (la: org.apache.spark.sql.types.ArrayType,
+                    pa: org.apache.spark.sql.types.ArrayType) =>
+                  (la.elementType, pa.elementType) match {
+                    case (ls: StructType, ps: StructType) =>
+                      la.copy(elementType = ManifestSink
+                        .physicalizeStruct(ls, ps, colmapLower,
+                          pf.name + ".element."))
+                    case _ => pf.dataType
+                  }
                 case _ => pf.dataType
               }
               pf.copy(dataType = dt)

@@ -548,45 +548,66 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val addedNested = scala.collection.mutable.ArrayBuffer[
       (String, org.apache.spark.sql.types.StructField)]()
     var renames = mapping
-    // NESTED-FIELD EVOLUTION (round 17): resolve a (logical top,
+    // NESTED-FIELD EVOLUTION (rounds 17/18): resolve a (logical top,
     // logical inner) reference to physical names — the parent must be
-    // a live STRUCT column (array/map element evolution refuses, one
-    // level of nesting is the supported depth), the inner field
-    // resolves through the dotted `#colmap` entries exactly like a
-    // top-level name does through the flat ones.
-    def resolveNestedTop(names: Array[String], what: String)
-        : (String, org.apache.spark.sql.types.StructType) = {
-      require(names.length == 2,
-        s"graft.snap.${ident.name()}: $what supports top-level columns " +
-          s"and ONE level of struct nesting, got ${names.mkString(".")}")
-      val top = names(0)
-      val physTop = cur.physSchema.fields.map(_.name)
+    // a live STRUCT column, or (round 18) the STRUCT ELEMENT of a live
+    // ARRAY column addressed as `col.element.field` (the Spark
+    // field-path convention; dotted `#colmap` keys carry the same
+    // shape). Map evolution still refuses; one parent level is the
+    // supported depth. The returned parent key is what the dotted
+    // `#colmap`/`#schema` entries are keyed under (`top` or
+    // `top.element`).
+    def physTopOf(top: String): String =
+      cur.physSchema.fields.map(_.name)
         .find(p => renames.getOrElse(p, p).equalsIgnoreCase(top) &&
           !renames.get(p).contains(ManifestSink.DroppedColumn))
         .getOrElse(throw new IllegalArgumentException(
           s"graft.snap.${ident.name()}: no column '$top'"))
+    def topTypeOf(physTop: String): org.apache.spark.sql.types.DataType =
       cur.physSchema.fields.find(_.name.equalsIgnoreCase(physTop))
-        .get.dataType match {
-        case s: org.apache.spark.sql.types.StructType => (physTop, s)
-        case other => throw new UnsupportedOperationException(
-          s"graft.snap.${ident.name()}: $what inside '$top' " +
+        .get.dataType
+    def resolveNestedTop(names: Array[String], what: String)
+        : (String, org.apache.spark.sql.types.StructType) = {
+      val isElem = names.length == 3 &&
+        names(1).equalsIgnoreCase("element")
+      require(names.length == 2 || isElem,
+        s"graft.snap.${ident.name()}: $what supports top-level columns, " +
+          "ONE level of struct nesting, and array STRUCT elements " +
+          s"(col.element.field), got ${names.mkString(".")}")
+      val physTop = physTopOf(names(0))
+      (topTypeOf(physTop), isElem) match {
+        case (s: org.apache.spark.sql.types.StructType, false) =>
+          (physTop, s)
+        case (a: org.apache.spark.sql.types.ArrayType, true) =>
+          a.elementType match {
+            case es: org.apache.spark.sql.types.StructType =>
+              (s"$physTop.element", es)
+            case other => throw new UnsupportedOperationException(
+              s"graft.snap.${ident.name()}: $what inside " +
+                s"'${names(0)}.element' (${other.typeName}) needs a " +
+                "STRUCT element; primitive elements evolve only via " +
+                s"ALTER COLUMN ${names(0)}.element TYPE (widening)")
+          }
+        case (other, _) => throw new UnsupportedOperationException(
+          s"graft.snap.${ident.name()}: $what inside '${names(0)}' " +
             s"(${other.typeName}) is not supported — nested evolution " +
-            "covers STRUCT fields only; array/map element evolution " +
-            "would reinterpret committed repetition levels")
+            "covers STRUCT fields and array STRUCT elements; map " +
+            "evolution would reinterpret committed repetition levels")
       }
     }
     def resolveNested(names: Array[String], what: String)
         : (String, String, org.apache.spark.sql.types.StructType) = {
-      val (physTop, st) = resolveNestedTop(names, what)
+      val (parentKey, st) = resolveNestedTop(names, what)
+      val inner = names.last
       val physInner = st.fields.map(_.name)
-        .find(pi => renames.getOrElse(s"$physTop.$pi", pi)
-            .equalsIgnoreCase(names(1)) &&
-          !renames.get(s"$physTop.$pi")
+        .find(pi => renames.getOrElse(s"$parentKey.$pi", pi)
+            .equalsIgnoreCase(inner) &&
+          !renames.get(s"$parentKey.$pi")
             .contains(ManifestSink.DroppedColumn))
         .getOrElse(throw new IllegalArgumentException(
           s"graft.snap.${ident.name()}: no field " +
-            s"'${names(0)}.${names(1)}'"))
-      (physTop, physInner, st)
+            s"'${names.init.mkString(".")}.$inner'"))
+      (parentKey, physInner, st)
     }
     changes.foreach {
       case a: TableChange.AddColumn if a.fieldNames().length > 1 =>
@@ -721,6 +742,24 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
               "be token-safe")
         }
         setProps += ((p.property(), p.value()))
+      case ut: TableChange.UpdateColumnType
+          if ut.fieldNames().length == 2 &&
+            ut.fieldNames()(1).equalsIgnoreCase("element") &&
+            topTypeOf(physTopOf(ut.fieldNames()(0)))
+              .isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+        // PRIMITIVE array-element WIDENING (round 18): `ALTER COLUMN
+        // arr.element TYPE T` — one `#schema` epoch with the element
+        // widened; pre-evolution files promote per element exactly
+        // like top-level widening
+        val physTop = physTopOf(ut.fieldNames()(0))
+        val a = topTypeOf(physTop)
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        require(ManifestSink.widens(a.elementType, ut.newDataType()),
+          s"graft.snap.${ident.name()}: cannot change " +
+            s"'${ut.fieldNames()(0)}.element' from " +
+            s"${a.elementType.typeName} to ${ut.newDataType().typeName} " +
+            "— only WIDENING changes are supported")
+        widened += (physTop -> a.copy(elementType = ut.newDataType()))
       case ut: TableChange.UpdateColumnType if ut.fieldNames().length > 1 =>
         // nested WIDENING (round 17): one pure-metadata `#schema`
         // epoch with the inner field widened; pre-evolution files
@@ -778,19 +817,31 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     // name IS its logical name at birth; widened columns keep their
     // physical name with the wider type. Nested widens/adds (round 17)
     // rebuild the struct field under its dotted keys.
+    def evolveStruct(s: org.apache.spark.sql.types.StructType,
+        parentKey: String): org.apache.spark.sql.types.StructType = {
+      val innerWidened = s.fields.map(g =>
+        widened.get(s"$parentKey.${g.name}")
+          .map(t => g.copy(dataType = t)).getOrElse(g))
+      val innerAdded = addedNested.collect {
+        case (top, fld) if top.equalsIgnoreCase(parentKey) => fld }
+      org.apache.spark.sql.types.StructType(innerWidened ++ innerAdded)
+    }
     val evolved = org.apache.spark.sql.types.StructType(
       cur.physSchema.fields.map { f0 =>
         val f = widened.get(f0.name).map(t => f0.copy(dataType = t))
           .getOrElse(f0)
         f.dataType match {
           case s: org.apache.spark.sql.types.StructType =>
-            val innerWidened = s.fields.map(g =>
-              widened.get(s"${f.name}.${g.name}")
-                .map(t => g.copy(dataType = t)).getOrElse(g))
-            val innerAdded = addedNested.collect {
-              case (top, fld) if top.equalsIgnoreCase(f.name) => fld }
-            f.copy(dataType = org.apache.spark.sql.types.StructType(
-              innerWidened ++ innerAdded))
+            f.copy(dataType = evolveStruct(s, f.name))
+          case a: org.apache.spark.sql.types.ArrayType =>
+            // ARRAY STRUCT elements (round 18): dotted keys under
+            // `<col>.element`
+            a.elementType match {
+              case es: org.apache.spark.sql.types.StructType =>
+                f.copy(dataType = a.copy(elementType =
+                  evolveStruct(es, s"${f.name}.element")))
+              case _ => f
+            }
           case _ => f
         }
       } ++ added)
@@ -1910,6 +1961,13 @@ private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
           f.dataType match {
             case s: org.apache.spark.sql.types.StructType =>
               f.copy(dataType = dropDropped(s, prefix + f.name + "."))
+            case a: org.apache.spark.sql.types.ArrayType =>
+              a.elementType match {
+                case es: org.apache.spark.sql.types.StructType =>
+                  f.copy(dataType = a.copy(elementType =
+                    dropDropped(es, prefix + f.name + ".element.")))
+                case _ => f
+              }
             case _ => f
           }
         })

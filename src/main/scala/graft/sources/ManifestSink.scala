@@ -944,6 +944,10 @@ object ManifestSink {
       // CONTAINS it — inner fields widened and/or appended; removed
       // inner fields never widen (that would drop data)
       case (f: StructType, t: StructType) => f != t && containsSchema(t, f)
+      // ARRAY element evolution (round 18): an array widens when its
+      // element type does (primitive widening or struct containment)
+      case (f: ArrayType, t: ArrayType) =>
+        f != t && widens(f.elementType, t.elementType)
       case _ => false
     }
   }
@@ -951,11 +955,13 @@ object ManifestSink {
   /** NESTED column mapping (round 17): `#colmap` keys may be DOTTED
     * physical paths (`s.a=b` renames struct field, `s.a=-` drops it) —
     * the same zero-bytes-rewritten contract as top-level, applied
-    * recursively. These two are the single translation pair every
-    * face uses: physical schema → logical (serving) and a
-    * logical-named schema → physical (writes), resolved per level by
-    * the mapping so files/stats/spec stay keyed by fixed physical
-    * names forever. */
+    * recursively. Round 18 extends the recursion through ARRAY
+    * elements: an `array<struct<…>>` column's inner fields key as
+    * `col.element.field` (the Spark field-path convention). These two
+    * are the single translation pair every face uses: physical schema
+    * → logical (serving) and a logical-named schema → physical
+    * (writes), resolved per level by the mapping so files/stats/spec
+    * stay keyed by fixed physical names forever. */
   private[sources] def logicalizeStruct(
       phys: org.apache.spark.sql.types.StructType,
       colmap: Map[String, String], prefix: String = "")
@@ -968,6 +974,13 @@ object ManifestSink {
           val dt = f.dataType match {
             case s: org.apache.spark.sql.types.StructType =>
               logicalizeStruct(s, colmap, prefix + f.name + ".")
+            case a: org.apache.spark.sql.types.ArrayType =>
+              a.elementType match {
+                case es: org.apache.spark.sql.types.StructType =>
+                  a.copy(elementType = logicalizeStruct(es, colmap,
+                    prefix + f.name + ".element."))
+                case _ => a
+              }
             case other => other
           }
           Some(f.copy(name = mapped.getOrElse(f.name), dataType = dt))
@@ -995,6 +1008,15 @@ object ManifestSink {
             case (ls: org.apache.spark.sql.types.StructType,
                 ps: org.apache.spark.sql.types.StructType) =>
               physicalizeStruct(ls, ps, colmap, prefix + pf.name + ".")
+            case (la: org.apache.spark.sql.types.ArrayType,
+                pa: org.apache.spark.sql.types.ArrayType) =>
+              (la.elementType, pa.elementType) match {
+                case (ls: org.apache.spark.sql.types.StructType,
+                    ps: org.apache.spark.sql.types.StructType) =>
+                  la.copy(elementType = physicalizeStruct(ls, ps, colmap,
+                    prefix + pf.name + ".element."))
+                case _ => la
+              }
             case _ => lf.dataType
           }
           lf.copy(name = pf.name, dataType = dt)
@@ -3341,20 +3363,28 @@ private[graft] object ManifestWriters {
     "timestamp", "date")
 
   /** The TYPE TOKEN a field travels the writer/reader plumbing as:
-    * `typeName` for primitives, the compact JSON form for STRUCTs
-    * (round 17 — `typeName` alone loses the inner shape). Arrays and
-    * maps refuse at [[parquetType]] (the CREATE TABLE gate). */
+    * `typeName` for primitives, the compact JSON form for STRUCTs and
+    * ARRAYs (rounds 17/18 — `typeName` alone loses the inner shape).
+    * Maps refuse at [[parquetType]] (the CREATE TABLE gate). */
   private[sources] def typeTok(dt: org.apache.spark.sql.types.DataType): String =
     dt match {
       case s: org.apache.spark.sql.types.StructType => s.json
+      case a: org.apache.spark.sql.types.ArrayType => a.json
       case other => other.typeName
     }
 
+  /** A composite (struct/array) type token parsed back, None for
+    * primitive tokens. Unparsable `{…}` tokens refuse loudly — a
+    * malformed token here is a plumbing bug, not evolvable data. */
+  private[sources] def compositeOf(tok: String)
+      : Option[org.apache.spark.sql.types.DataType] =
+    if (!tok.startsWith("{")) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(tok))
+
   private[sources] def structOf(tok: String)
       : Option[org.apache.spark.sql.types.StructType] =
-    if (!tok.startsWith("{")) None
-    else Some(org.apache.spark.sql.types.DataType.fromJson(tok)
-      .asInstanceOf[org.apache.spark.sql.types.StructType])
+    compositeOf(tok).collect {
+      case s: org.apache.spark.sql.types.StructType => s }
 
   private def primitiveField(n: String, tok: String)
       : org.apache.parquet.schema.Type = tok match {
@@ -3376,24 +3406,42 @@ private[graft] object ManifestWriters {
       .as(LogicalTypeAnnotation.dateType()).named(n)
     case other => throw new IOException(
       "manifest sink supports long/integer/short/byte/double/float/" +
-        "boolean/string/timestamp/date and STRUCT-of-those columns, " +
-        s"got $other (arrays and maps are not supported)")
+        "boolean/string/timestamp/date and STRUCT/ARRAY-of-those " +
+        s"columns, got $other (maps are not supported)")
   }
 
   /** A STRUCT column as an optional parquet GROUP (round 17) —
-    * nested structs recurse; anything else inside refuses loudly. */
+    * nested structs and arrays recurse; anything else inside refuses
+    * loudly. */
   private def groupField(n: String,
       st: org.apache.spark.sql.types.StructType)
       : org.apache.parquet.schema.Type = {
     val g = Types.optionalGroup()
-    st.fields.foreach { f =>
-      f.dataType match {
-        case inner: org.apache.spark.sql.types.StructType =>
-          g.addField(groupField(f.name, inner))
-        case other => g.addField(primitiveField(f.name, typeTok(other)))
-      }
-    }
+    st.fields.foreach(f => g.addField(fieldOf(f.name, f.dataType)))
     g.named(n)
+  }
+
+  /** An ARRAY column as the STANDARD 3-level parquet LIST (round 18):
+    * `optional group <n> (LIST) { repeated group list { optional
+    * <element> element } }` — what every parquet reader (including
+    * Spark's vectorized delegate) decodes natively; element types
+    * recurse (struct-of / array-of the supported set). */
+  private def listField(n: String,
+      at: org.apache.spark.sql.types.ArrayType)
+      : org.apache.parquet.schema.Type =
+    Types.optionalGroup()
+      .as(LogicalTypeAnnotation.listType())
+      .addField(Types.repeatedGroup()
+        .addField(fieldOf("element", at.elementType))
+        .named("list"))
+      .named(n)
+
+  private def fieldOf(n: String,
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.parquet.schema.Type = dt match {
+    case st: org.apache.spark.sql.types.StructType => groupField(n, st)
+    case at: org.apache.spark.sql.types.ArrayType => listField(n, at)
+    case other => primitiveField(n, typeTok(other))
   }
 
   private[sources] def parquetType(fieldNames: Array[String],
@@ -3401,8 +3449,8 @@ private[graft] object ManifestWriters {
     val b = Types.buildMessage()
     fieldTypes.indices.foreach { i =>
       val n = fieldNames(i)
-      structOf(fieldTypes(i)) match {
-        case Some(st) => b.addField(groupField(n, st))
+      compositeOf(fieldTypes(i)) match {
+        case Some(dt) => b.addField(fieldOf(n, dt))
         case None => b.addField(primitiveField(n, fieldTypes(i)))
       }
     }
@@ -3493,7 +3541,7 @@ private[graft] object ManifestWriters {
     * orphan). */
   /** Write one struct VALUE into a parquet group — field order is
     * declaration order on both sides (the group type was built from
-    * this same StructType). Nested structs recurse. */
+    * this same StructType). Nested structs and arrays recurse. */
   private def fillGroup(g: org.apache.parquet.example.data.Group,
       row: InternalRow,
       st: org.apache.spark.sql.types.StructType): Unit = {
@@ -3503,6 +3551,8 @@ private[graft] object ManifestWriters {
         case inner: StructType =>
           fillGroup(g.addGroup(j), row.getStruct(j, inner.fields.length),
             inner)
+        case inner: ArrayType =>
+          fillList(g.addGroup(j), row.getArray(j), inner)
         case LongType | TimestampType => g.add(j, row.getLong(j))
         case IntegerType | DateType => g.add(j, row.getInt(j))
         case ShortType => g.add(j, row.getShort(j).toInt)
@@ -3515,6 +3565,37 @@ private[graft] object ManifestWriters {
         case other => throw new IOException(
           s"manifest sink cannot encode a struct field of type $other")
       }
+    }
+  }
+
+  /** Write one array VALUE into a parquet LIST group (round 18): one
+    * `list` entry per element, a null element as an entry whose
+    * `element` field stays unset — the standard 3-level encoding. */
+  private def fillList(g: org.apache.parquet.example.data.Group,
+      arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      at: org.apache.spark.sql.types.ArrayType): Unit = {
+    import org.apache.spark.sql.types._
+    var k = 0
+    while (k < arr.numElements()) {
+      val entry = g.addGroup(0) // the repeated `list` group
+      if (!arr.isNullAt(k)) at.elementType match {
+        case st: StructType =>
+          fillGroup(entry.addGroup(0), arr.getStruct(k, st.fields.length), st)
+        case inner: ArrayType =>
+          fillList(entry.addGroup(0), arr.getArray(k), inner)
+        case LongType | TimestampType => entry.add(0, arr.getLong(k))
+        case IntegerType | DateType => entry.add(0, arr.getInt(k))
+        case ShortType => entry.add(0, arr.getShort(k).toInt)
+        case ByteType => entry.add(0, arr.getByte(k).toInt)
+        case DoubleType => entry.add(0, arr.getDouble(k))
+        case FloatType => entry.add(0, arr.getFloat(k))
+        case BooleanType => entry.add(0, arr.getBoolean(k))
+        case StringType =>
+          entry.add(0, Binary.fromString(arr.getUTF8String(k).toString))
+        case other => throw new IOException(
+          s"manifest sink cannot encode an array element of type $other")
+      }
+      k += 1
     }
   }
 
@@ -3562,11 +3643,11 @@ private[graft] object ManifestWriters {
       // written schema is what makes an ABSENT record in a
       // null-accounting file prove the column postdates the file
       private val nullCnt = Array.fill(fieldTypes.length)(0L)
-      // STRUCT columns (round 17): parsed once; value writes recurse.
-      // No stats (bounds over composites never prune), top-level null
-      // counts still recorded.
-      private val structTypes: Array[org.apache.spark.sql.types.StructType] =
-        fieldTypes.map(t => structOf(t).orNull)
+      // COMPOSITE (struct/array) columns (rounds 17/18): parsed once;
+      // value writes recurse. No stats (bounds over composites never
+      // prune), top-level null counts still recorded.
+      private val compositeTypes: Array[org.apache.spark.sql.types.DataType] =
+        fieldTypes.map(t => compositeOf(t).orNull)
       // BLOOM filters (round 18, [[BloomSkip]]): one per configured
       // long-family/string column — values insert at the SAME
       // normalized scale the stats plane records (micros/days longs,
@@ -3585,10 +3666,16 @@ private[graft] object ManifestWriters {
         val g = groups.newGroup()
         fieldTypes.indices.foreach { i =>
           if (row.isNullAt(i)) nullCnt(i) += 1
-          else if (structTypes(i) != null)
-            fillGroup(g.addGroup(i),
-              row.getStruct(i, structTypes(i).fields.length), structTypes(i))
-          if (!row.isNullAt(i) && structTypes(i) == null) fieldTypes(i) match {
+          else if (compositeTypes(i) != null) compositeTypes(i) match {
+            case st: org.apache.spark.sql.types.StructType =>
+              fillGroup(g.addGroup(i),
+                row.getStruct(i, st.fields.length), st)
+            case at: org.apache.spark.sql.types.ArrayType =>
+              fillList(g.addGroup(i), row.getArray(i), at)
+            case other => throw new IOException(
+              s"manifest sink cannot encode a $other column")
+          }
+          if (!row.isNullAt(i) && compositeTypes(i) == null) fieldTypes(i) match {
             case "long" | "timestamp" =>
               val v = row.getLong(i); observe(i, v); bloomLong(i, v); g.add(i, v)
             case "integer" | "date" =>
@@ -3847,9 +3934,9 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
     // to EMIT, not to skip
     def skipPos(p: Long): Boolean =
       if (mp.keepPositions) !deleted.contains(p) else deleted.contains(p)
-    // STRUCT columns ride as JSON type tokens (round 17)
-    val structTypes: Array[org.apache.spark.sql.types.StructType] =
-      fieldTypes.map(t => ManifestWriters.structOf(t).orNull)
+    // STRUCT/ARRAY columns ride as JSON type tokens (rounds 17/18)
+    val compositeTypes: Array[org.apache.spark.sql.types.DataType] =
+      fieldTypes.map(t => ManifestWriters.compositeOf(t).orNull)
     val wanted = fieldNames.filterNot(n =>
       n.equalsIgnoreCase("_file") || n.equalsIgnoreCase("_pos") ||
         n.equalsIgnoreCase("_change_type") ||
@@ -3972,14 +4059,20 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
             else {
               val fi = fidx(i)
               if (cur.getFieldRepetitionCount(fi) == 0) null
-              else if (structTypes(i) != null)
-                // STRUCT column (round 17): inner fields resolve BY
-                // NAME against the file's group — a pre-evolution file
-                // missing an added inner field serves null, a
-                // pre-widening narrow inner primitive promotes, both
-                // exactly the top-level contracts applied recursively
-                ManifestReadFactory.groupToRow(cur.getGroup(fi, 0),
-                  structTypes(i))
+              else if (compositeTypes(i) != null) compositeTypes(i) match {
+                // STRUCT/ARRAY column (rounds 17/18): inner fields
+                // resolve BY NAME against the file's group — a
+                // pre-evolution file missing an added inner field
+                // serves null, a pre-widening narrow inner primitive
+                // promotes, both exactly the top-level contracts
+                // applied recursively (array elements included)
+                case st: org.apache.spark.sql.types.StructType =>
+                  ManifestReadFactory.groupToRow(cur.getGroup(fi, 0), st)
+                case at: org.apache.spark.sql.types.ArrayType =>
+                  ManifestReadFactory.groupToArray(cur.getGroup(fi, 0), at)
+                case other => throw new IllegalArgumentException(
+                  s"manifest reader cannot decode a $other column")
+              }
               else fieldTypes(i) match {
                 // pre-widening files store the NARROW primitive (round
                 // 16, type widening): promote by the file's own
@@ -4040,30 +4133,59 @@ object ManifestReadFactory {
           }
         }
         if (fi < 0 || g.getFieldRepetitionCount(fi) == 0) null
-        else {
-          def prim = t.getType(fi).asPrimitiveType().getPrimitiveTypeName
-          f.dataType match {
-            case inner: StructType => groupToRow(g.getGroup(fi, 0), inner)
-            case LongType =>
-              if (prim == org.apache.parquet.schema.PrimitiveType
-                  .PrimitiveTypeName.INT32) g.getInteger(fi, 0).toLong
-              else g.getLong(fi, 0)
-            case TimestampType => g.getLong(fi, 0)
-            case IntegerType | DateType => g.getInteger(fi, 0)
-            case ShortType => g.getInteger(fi, 0).toShort
-            case ByteType => g.getInteger(fi, 0).toByte
-            case DoubleType =>
-              if (prim == org.apache.parquet.schema.PrimitiveType
-                  .PrimitiveTypeName.FLOAT) g.getFloat(fi, 0).toDouble
-              else g.getDouble(fi, 0)
-            case FloatType => g.getFloat(fi, 0)
-            case BooleanType => g.getBoolean(fi, 0)
-            case StringType => org.apache.spark.unsafe.types.UTF8String
-              .fromBytes(g.getBinary(fi, 0).getBytes)
-            case other => throw new IllegalArgumentException(
-              s"manifest reader cannot decode a struct field of type $other")
-          }
-        }
+        else decodeValue(g, fi, f.dataType)
       })
+  }
+
+  /** One parquet LIST group as Catalyst [[ArrayData]] (round 18): one
+    * element per repeated `list` entry, an entry with its `element`
+    * unset decoding to a null element. Element evolution rides the
+    * same by-name/promoting recursion as struct fields. */
+  private[sources] def groupToArray(g: org.apache.parquet.example.data.Group,
+      want: org.apache.spark.sql.types.ArrayType)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = g.getFieldRepetitionCount(0)
+    val vals = new Array[Any](n)
+    var k = 0
+    while (k < n) {
+      val entry = g.getGroup(0, k)
+      vals(k) =
+        if (entry.getFieldRepetitionCount(0) == 0) null
+        else decodeValue(entry, 0, want.elementType)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
+  }
+
+  /** Decode field `fi` of `g` as `want` — the shared scalar/composite
+    * decode with narrow-committed-primitive PROMOTION (int family →
+    * long, float → double) by the file's own physical type. */
+  private def decodeValue(g: org.apache.parquet.example.data.Group,
+      fi: Int, want: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    val t = g.getType
+    def prim = t.getType(fi).asPrimitiveType().getPrimitiveTypeName
+    want match {
+      case inner: StructType => groupToRow(g.getGroup(fi, 0), inner)
+      case inner: ArrayType => groupToArray(g.getGroup(fi, 0), inner)
+      case LongType =>
+        if (prim == org.apache.parquet.schema.PrimitiveType
+            .PrimitiveTypeName.INT32) g.getInteger(fi, 0).toLong
+        else g.getLong(fi, 0)
+      case TimestampType => g.getLong(fi, 0)
+      case IntegerType | DateType => g.getInteger(fi, 0)
+      case ShortType => g.getInteger(fi, 0).toShort
+      case ByteType => g.getInteger(fi, 0).toByte
+      case DoubleType =>
+        if (prim == org.apache.parquet.schema.PrimitiveType
+            .PrimitiveTypeName.FLOAT) g.getFloat(fi, 0).toDouble
+        else g.getDouble(fi, 0)
+      case FloatType => g.getFloat(fi, 0)
+      case BooleanType => g.getBoolean(fi, 0)
+      case StringType => org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(g.getBinary(fi, 0).getBytes)
+      case other => throw new IllegalArgumentException(
+        s"manifest reader cannot decode a value of type $other")
+    }
   }
 }

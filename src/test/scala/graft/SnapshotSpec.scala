@@ -3249,13 +3249,14 @@ class SnapshotSpec extends AnyFunSuite {
       (r.getLong(0), r.getStruct(1).getString(0))).toSet ==
       Set((1L, "de"), (2L, "es")), "epoch-1 inserts under logical names")
 
-    // refusals: arrays/maps refuse as COLUMNS at the sink gate (even
-    // stronger than refusing their evolution), non-struct parents and
-    // depth > 2 refuse, narrowing refuses, unknown fields refuse
-    val eArr = intercept[Exception] {
-      s.sql("ALTER TABLE graft.snap.ne ADD COLUMN tags ARRAY<STRING>") }
-    assert(eArr.getMessage.contains("arrays and maps are not supported"),
-      eArr.getMessage)
+    // refusals: maps refuse as COLUMNS at the sink gate (arrays are
+    // first-class since round 18 — ArrayEvolve covers them), non-struct
+    // parents and depth > 2 refuse, narrowing refuses, unknown fields
+    // refuse
+    val eMap = intercept[Exception] {
+      s.sql("ALTER TABLE graft.snap.ne ADD COLUMN m MAP<STRING, STRING>") }
+    assert(eMap.getMessage.contains("maps are not supported"),
+      eMap.getMessage)
     val ePrim = intercept[Exception] {
       s.sql("ALTER TABLE graft.snap.ne RENAME COLUMN doc_id.x TO y") }
     assert(ePrim.getMessage.contains("STRUCT fields only") ||
@@ -3580,6 +3581,132 @@ class SnapshotSpec extends AnyFunSuite {
       s"the dropped branch's staged dv file ages out: $reclaimed")
     assert(s.sql("SELECT count(*) FROM graft.snap.bm").head().getLong(0)
       == 2 + 12, "main rows intact after the reclaim")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("ARRAY COLUMNS + ELEMENT EVOLUTION (round 18): array<struct> " +
+    "and array<primitive> columns write/read through both paths " +
+    "(parquet delegate + the sink's group reader); RENAME/DROP of " +
+    "element struct fields via dotted #colmap (zero bytes moved), " +
+    "element WIDENING and element ADD via one #schema epoch, " +
+    "pre-evolution files served (missing element field -> null, " +
+    "narrow element promotes), map columns and map evolution refuse") {
+    val root = Files.createTempDirectory("graft_arr_evolve")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.sql("""CREATE TABLE graft.snap.ae (doc_id BIGINT,
+            |  spans ARRAY<STRUCT<tok: STRING, score: INT, junk: STRING>>,
+            |  weights ARRAY<INT>)""".stripMargin)
+    s.sql("INSERT INTO graft.snap.ae VALUES " +
+      "(1, array(named_struct('tok', 'a', 'score', 10, 'junk', 'x'), " +
+      "named_struct('tok', 'b', 'score', 20, 'junk', 'y')), " +
+      "array(1, 2)), " +
+      "(2, array(named_struct('tok', 'c', 'score', 30, 'junk', 'z')), " +
+      "array(3))")
+    val filesBefore = graft.sources.ManifestSink
+      .committedFiles(root.resolve("ae").toString).toSet
+
+    // plain round-trip through the delegate first
+    assert(s.sql("SELECT doc_id, spans[0].tok, weights[0] " +
+      "FROM graft.snap.ae ORDER BY doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1L, "a", 1), (2L, "c", 3)))
+
+    // ELEMENT evolution: rename + drop + widen + add, zero bytes moved
+    s.sql("ALTER TABLE graft.snap.ae RENAME COLUMN spans.element.tok " +
+      "TO token")
+    s.sql("ALTER TABLE graft.snap.ae DROP COLUMN spans.element.junk")
+    s.sql("ALTER TABLE graft.snap.ae ALTER COLUMN spans.element.score " +
+      "TYPE BIGINT")
+    s.sql("ALTER TABLE graft.snap.ae ADD COLUMN spans.element.extra BIGINT")
+    // primitive element widening too
+    s.sql("ALTER TABLE graft.snap.ae ALTER COLUMN weights.element " +
+      "TYPE BIGINT")
+    assert(graft.sources.ManifestSink
+      .committedFiles(root.resolve("ae").toString).toSet == filesBefore,
+      "array element evolution moves zero data files")
+    val served = s.table("graft.snap.ae").schema("spans").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(served.fieldNames.toSeq == Seq("token", "score", "extra") &&
+      served("score").dataType.typeName == "long", served.toDDL)
+    assert(s.table("graft.snap.ae").schema("weights").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.typeName == "long")
+
+    // post-evolution write under the NEW logical names; out-of-int
+    // values prove both widened leaves
+    s.sql("INSERT INTO graft.snap.ae VALUES " +
+      "(3, array(named_struct('token', 'd', 'score', 9000000000, " +
+      "'extra', 7)), array(8000000000))")
+    val all = s.sql(
+      """SELECT doc_id, s.token, s.score,
+        |  coalesce(s.extra, -1) AS extra, w
+        |FROM graft.snap.ae
+        |LATERAL VIEW explode(spans) AS s
+        |LATERAL VIEW explode(weights) AS w
+        |ORDER BY doc_id, s.token, w""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(all.toSeq == Seq(
+      (1L, "a", 10L, -1L, 1L), (1L, "a", 10L, -1L, 2L),
+      (1L, "b", 20L, -1L, 1L), (1L, "b", 20L, -1L, 2L),
+      (2L, "c", 30L, -1L, 3L),
+      (3L, "d", 9000000000L, 7L, 8000000000L)),
+      s"old files promote+null-fill inside elements: ${all.toSeq}")
+    // the dropped element field is gone from the face entirely
+    val eDropped = intercept[Exception] {
+      s.sql("SELECT spans[0].junk FROM graft.snap.ae").collect() }
+    assert(eDropped.getMessage.contains("junk"), eDropped.getMessage)
+
+    // the SINK'S OWN group reader agrees: a MOR delete forces the
+    // dv-scan path, arrays served with the same evolution contracts
+    s.conf.set("spark.sql.catalog.graft.snap.ae.deleteMode", "mor")
+    s.sql("DELETE FROM graft.snap.ae WHERE doc_id = 2")
+    val after = s.sql(
+      """SELECT doc_id, spans[0].token, spans[0].score, weights[0]
+        |FROM graft.snap.ae ORDER BY doc_id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(after.toSeq == Seq((1L, "a", 10L, 1L),
+      (3L, "d", 9000000000L, 8000000000L)), after.toSeq)
+    // ... and through the .changes face (epoch 1: pre-evolution bytes)
+    val cf = s.read.option("sinceVersion", "0").option("asOfVersion", "1")
+      .table("graft.snap.ae.changes")
+    val cfElem = cf.schema("spans").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(cfElem.fieldNames.toSeq == Seq("token", "score", "extra"),
+      s"the .changes face logicalizes element names: ${cfElem.toDDL}")
+    val cfRows = cf.selectExpr("doc_id", "spans[0].token",
+      "spans[0].score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(cfRows == Set((1L, "a", 10L), (2L, "c", 30L)), cfRows)
+    // the ChangeFeed API path logicalizes + transforms elements too
+    val api = graft.sources.ChangeFeed.tableChanges(s,
+      root.resolve("ae").toString, 0, Some(1L))
+      .selectExpr("doc_id", "spans[1].token", "size(spans)").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getInt(2))).toSet
+    assert(api == Set((1L, "b", 2), (2L, null, 1)), api)
+
+    // refusals: maps as columns, map-ish evolution depth, narrowing
+    val eMap = intercept[Exception] {
+      s.sql("CREATE TABLE graft.snap.aem (k BIGINT, m MAP<STRING, INT>)") }
+    assert(eMap.getMessage.contains("maps are not supported"),
+      eMap.getMessage)
+    val eNarrow = intercept[Exception] {
+      s.sql("ALTER TABLE graft.snap.ae ALTER COLUMN weights.element " +
+        "TYPE INT") }
+    assert(eNarrow.getMessage.contains("WIDENING") ||
+      eNarrow.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      eNarrow.getMessage)
+    val eDeep = intercept[Exception] {
+      s.sql("ALTER TABLE graft.snap.ae RENAME COLUMN " +
+        "spans.element.score.x TO y") }
+    assert(eDeep.getMessage.contains("ONE level") ||
+      eDeep.getMessage.contains("element") ||
+      eDeep.getMessage.contains("struct"), eDeep.getMessage)
     graft.util.Fs.deleteRecursively(root)
   }
 
