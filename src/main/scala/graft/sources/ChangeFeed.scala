@@ -88,8 +88,31 @@ object ChangeFeed {
     val insertFiles = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
     // dv pre-images: (dvFile → data file, version, label)
     val dvFiles = scala.collection.mutable.ArrayBuffer[(String, String, Long, String)]()
-    // COW diffs, one entry per remove-carrying epoch
-    val cowEpochs = scala.collection.mutable.ArrayBuffer[ManifestSink.EpochDelta]()
+    // COW diffs, one entry per remove-carrying epoch, captured WITH the
+    // dv state its victims were visible under (the PREVIOUS version)
+    val cowEpochs = scala.collection.mutable.ArrayBuffer[
+      (ManifestSink.EpochDelta, Map[String, Seq[(String, Long)]])]()
+
+    // RUNNING dv state across the window (round 18, the r17 watch
+    // item): ONE `deleteVectorsAsOf` walk at the window start, then
+    // each epoch's own records evolve it in order — a COW-heavy window
+    // of E epochs costs O(window records), not O(E × log-walk)
+    val anyCow = deltas.exists(d =>
+      d.removes.nonEmpty && d.op != "compact" && d.op != "metadata")
+    var dvState: Map[String, Seq[(String, Long)]] =
+      if (anyCow) ManifestSink.deleteVectorsAsOf(dir, math.max(since, 0L))
+      else Map.empty
+    def evolveState(d: ManifestSink.EpochDelta): Unit =
+      if (anyCow && (d.dvs.nonEmpty || d.removes.nonEmpty)) {
+        val m = scala.collection.mutable.LinkedHashMap[String, Seq[(String, Long)]]()
+        dvState.foreach { case (k, v) => m(k) = v }
+        // removes FIRST, then dv records: a rollback epoch re-adds a
+        // file and re-declares its historical dv state in that order
+        d.removes.foreach(m.remove)
+        d.dvs.foreach { case (data, dv, n) =>
+          m(data) = m.getOrElse(data, Seq.empty) :+ ((dv, n)) }
+        dvState = m.toMap
+      }
 
     // adds whose rows are partially dv'd BY THE SAME EPOCH (a
     // published branch's staged update of its own staged append): the
@@ -127,7 +150,7 @@ object ChangeFeed {
       d.op match {
         case "compact" => // file rewrite ≠ row change: zero rows, zero read
         case "metadata" =>
-        case _ if d.removes.nonEmpty => cowEpochs += d
+        case _ if d.removes.nonEmpty => cowEpochs += ((d, dvState))
         case "append" =>
           d.adds.foreach(n => insertFiles += ((n, d.id, "insert")))
         case "update" => // merge-on-read UPDATE: dv pre + appended post
@@ -135,6 +158,7 @@ object ChangeFeed {
         case _ => // MOR delete/merge (net effect for merge)
           morEpoch(d, "delete", "insert")
       }
+      evolveState(d)
     }
 
     val logicalCols = served.toSeq.map(f => logicalTopCol(f, colmap))
@@ -209,8 +233,7 @@ object ChangeFeed {
     }
 
     // ——— COW epochs: per-epoch multiset diff of victims vs survivors
-    val cowDfs = cowEpochs.toSeq.map { d =>
-      val preDvs = ManifestSink.deleteVectorsAsOf(dir, d.id - 1)
+    val cowDfs = cowEpochs.toSeq.map { case (d, preDvs) =>
       val addSet = d.adds.toSet
       // dv records THIS epoch declares on its own re-added files
       // (rollback restoring historical dv state) apply to the POST side
