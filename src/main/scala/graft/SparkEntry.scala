@@ -219,6 +219,7 @@ object SparkEntry {
     "q_snap_skip_str"    -> Materialize.snapSkipString _,
     "q_snap_bloom_skip"  -> Materialize.snapBloomSkip _,
     "q_snap_array_evolve" -> Materialize.snapArrayEvolve _,
+    "q_snap_map_evolve"  -> Materialize.snapMapEvolve _,
     "q_snap_skip_time"   -> Materialize.snapSkipTime _,
     "q_snap_evolution"   -> Materialize.snapEvolution _,
     "q_snap_delete"      -> Materialize.snapDelete _,
@@ -2376,6 +2377,29 @@ object SparkEntry {
         |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
         |  AND n_chars IS NOT NULL AND lang = 'de'
         |GROUP BY lang""".stripMargin,
+    "q_snap_map_evolve" -> // map<string,struct> value rename/drop/widen/
+      // add as pure metadata: pre-evolution files promote the narrow
+      // value points and null-fill the added field inside every value;
+      // keys ('de'/'len' for the de era, 'fr' for the fr era) group the
+      // relational reconstruction
+      """SELECT k, count(*) AS n_keys,
+        |  CAST(sum(points) AS BIGINT) AS sum_points,
+        |  CAST(sum(extra) AS BIGINT) AS sum_extra
+        |FROM (
+        |  SELECT lang AS k, CAST(n_chars AS BIGINT) AS points,
+        |    CAST(-1 AS BIGINT) AS extra FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'de'
+        |  UNION ALL
+        |  SELECT 'len', CAST(n_chars * 2 AS BIGINT), -1 FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'de'
+        |  UNION ALL
+        |  SELECT lang, n_chars + 9000000000, doc_id FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'fr'
+        |)
+        |GROUP BY k""".stripMargin,
     "q_snap_array_evolve" -> // array<struct> element rename/drop/widen/
       // add as pure metadata: pre-evolution files promote the narrow
       // element score and null-fill the added field inside every

@@ -979,6 +979,57 @@ object Materialize {
         |GROUP BY s.token""".stripMargin)
   }
 
+  /** MAP-VALUE EVOLUTION (`q_snap_map_evolve`, round 18): a
+    * `map<string, struct<…>>` column — per-key annotations, the other
+    * ubiquitous training-data shape — evolves by pure metadata: value
+    * field RENAME + DROP via dotted `#colmap` keys
+    * (`attrs.value.score`), value WIDENING + ADD via one `#schema`
+    * epoch, zero bytes rewritten; map KEYS stay identity. The oracle
+    * reconstructs the exploded (key, value) rows relationally from
+    * `documents`. */
+  def snapMapEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_map_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    complete.createOrReplaceTempView("graft_map_src")
+    spark.sql(
+      """CREATE TABLE graft.snap.docmap (doc_id BIGINT,
+        |  attrs MAP<STRING, STRUCT<score: INT, junk: STRING>>)
+        |""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.snap.docmap
+        |SELECT doc_id, map(
+        |  lang, named_struct('score', CAST(n_chars AS INT), 'junk', 'j'),
+        |  'len', named_struct('score', CAST(n_chars * 2 AS INT),
+        |    'junk', 'k'))
+        |FROM graft_map_src WHERE lang = 'de'""".stripMargin)
+    spark.sql("ALTER TABLE graft.snap.docmap " +
+      "RENAME COLUMN attrs.value.score TO points")
+    spark.sql("ALTER TABLE graft.snap.docmap " +
+      "DROP COLUMN attrs.value.junk")
+    spark.sql("ALTER TABLE graft.snap.docmap " +
+      "ALTER COLUMN attrs.value.points TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.snap.docmap " +
+      "ADD COLUMN attrs.value.extra BIGINT")
+    spark.sql(
+      """INSERT INTO graft.snap.docmap
+        |SELECT doc_id, map(lang, named_struct(
+        |  'points', n_chars + 9000000000, 'extra', doc_id))
+        |FROM graft_map_src WHERE lang = 'fr'""".stripMargin)
+    spark.sql(
+      """SELECT k, count(*) AS n_keys, sum(v.points) AS sum_points,
+        |  sum(coalesce(v.extra, -1)) AS sum_extra
+        |FROM graft.snap.docmap
+        |LATERAL VIEW explode(attrs) AS k, v
+        |GROUP BY k""".stripMargin)
+  }
+
   /** BLOOM-filter data skipping (`q_snap_bloom_skip`, round 18): four
     * appends sliced by `doc_id % 4` give every committed file a
     * near-full-range min/max envelope — the worst case for stats-only

@@ -294,6 +294,9 @@ object ChangeFeed {
             case a: org.apache.spark.sql.types.ArrayType
                 if hasNested(key + ".element.") =>
               rebuildArray(base.getField(g.name), a, key)
+            case m: org.apache.spark.sql.types.MapType
+                if hasNested(key + ".value.") =>
+              rebuildMap(base.getField(g.name), m, key)
             case _ => base.getField(g.name)
           }
           Some(child.as(colmap.getOrElse(key, g.name)))
@@ -309,12 +312,23 @@ object ChangeFeed {
           x => rebuild(x, es, key + ".element."))
       case _ => base
     }
+    def rebuildMap(base: org.apache.spark.sql.Column,
+        m: org.apache.spark.sql.types.MapType, key: String)
+        : org.apache.spark.sql.Column = m.valueType match {
+      case vs: StructType =>
+        org.apache.spark.sql.functions.transform_values(base,
+          (_, v) => rebuild(v, vs, key + ".value."))
+      case _ => base
+    }
     val c = f.dataType match {
       case st: StructType if hasNested(f.name + ".") =>
         rebuild(col(f.name), st, f.name + ".")
       case a: org.apache.spark.sql.types.ArrayType
           if hasNested(f.name + ".element.") =>
         rebuildArray(col(f.name), a, f.name)
+      case m: org.apache.spark.sql.types.MapType
+          if hasNested(f.name + ".value.") =>
+        rebuildMap(col(f.name), m, f.name)
       case _ => col(f.name)
     }
     c.as(logicalName(f.name))
@@ -439,6 +453,15 @@ private[sources] class SnapChangesTable(tname: String, dir: String)
                       la.copy(elementType = ManifestSink
                         .physicalizeStruct(ls, ps, colmapLower,
                           pf.name + ".element."))
+                    case _ => pf.dataType
+                  }
+                case (lm: org.apache.spark.sql.types.MapType,
+                    pm: org.apache.spark.sql.types.MapType) =>
+                  (lm.valueType, pm.valueType) match {
+                    case (ls: StructType, ps: StructType) =>
+                      lm.copy(valueType = ManifestSink
+                        .physicalizeStruct(ls, ps, colmapLower,
+                          pf.name + ".value."))
                     case _ => pf.dataType
                   }
                 case _ => pf.dataType

@@ -570,15 +570,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         : (String, org.apache.spark.sql.types.StructType) = {
       val isElem = names.length == 3 &&
         names(1).equalsIgnoreCase("element")
-      require(names.length == 2 || isElem,
+      val isValue = names.length == 3 && names(1).equalsIgnoreCase("value")
+      require(names.length == 2 || isElem || isValue,
         s"graft.snap.${ident.name()}: $what supports top-level columns, " +
-          "ONE level of struct nesting, and array STRUCT elements " +
-          s"(col.element.field), got ${names.mkString(".")}")
+          "ONE level of struct nesting, array STRUCT elements " +
+          "(col.element.field) and map STRUCT values (col.value.field), " +
+          s"got ${names.mkString(".")}")
       val physTop = physTopOf(names(0))
-      (topTypeOf(physTop), isElem) match {
-        case (s: org.apache.spark.sql.types.StructType, false) =>
+      (topTypeOf(physTop), isElem, isValue) match {
+        case (s: org.apache.spark.sql.types.StructType, false, false) =>
           (physTop, s)
-        case (a: org.apache.spark.sql.types.ArrayType, true) =>
+        case (a: org.apache.spark.sql.types.ArrayType, true, _) =>
           a.elementType match {
             case es: org.apache.spark.sql.types.StructType =>
               (s"$physTop.element", es)
@@ -588,11 +590,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
                 "STRUCT element; primitive elements evolve only via " +
                 s"ALTER COLUMN ${names(0)}.element TYPE (widening)")
           }
-        case (other, _) => throw new UnsupportedOperationException(
+        case (m: org.apache.spark.sql.types.MapType, _, true) =>
+          m.valueType match {
+            case vs: org.apache.spark.sql.types.StructType =>
+              (s"$physTop.value", vs)
+            case other => throw new UnsupportedOperationException(
+              s"graft.snap.${ident.name()}: $what inside " +
+                s"'${names(0)}.value' (${other.typeName}) needs a " +
+                "STRUCT value; primitive values evolve only via " +
+                s"ALTER COLUMN ${names(0)}.value TYPE (widening)")
+          }
+        case (other, _, _) => throw new UnsupportedOperationException(
           s"graft.snap.${ident.name()}: $what inside '${names(0)}' " +
             s"(${other.typeName}) is not supported — nested evolution " +
-            "covers STRUCT fields and array STRUCT elements; map " +
-            "evolution would reinterpret committed repetition levels")
+            "covers STRUCT fields, array STRUCT elements and map STRUCT " +
+            "values; map KEYS are identity (key reinterpretation would " +
+            "re-bucket committed lookups)")
       }
     }
     def resolveNested(names: Array[String], what: String)
@@ -760,6 +773,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
             s"${a.elementType.typeName} to ${ut.newDataType().typeName} " +
             "— only WIDENING changes are supported")
         widened += (physTop -> a.copy(elementType = ut.newDataType()))
+      case ut: TableChange.UpdateColumnType
+          if ut.fieldNames().length == 2 &&
+            ut.fieldNames()(1).equalsIgnoreCase("value") &&
+            topTypeOf(physTopOf(ut.fieldNames()(0)))
+              .isInstanceOf[org.apache.spark.sql.types.MapType] =>
+        // PRIMITIVE map-value WIDENING (round 18); map KEYS refuse —
+        // key reinterpretation would re-bucket committed lookups
+        val physTop = physTopOf(ut.fieldNames()(0))
+        val m = topTypeOf(physTop)
+          .asInstanceOf[org.apache.spark.sql.types.MapType]
+        require(ManifestSink.widens(m.valueType, ut.newDataType()),
+          s"graft.snap.${ident.name()}: cannot change " +
+            s"'${ut.fieldNames()(0)}.value' from " +
+            s"${m.valueType.typeName} to ${ut.newDataType().typeName} " +
+            "— only WIDENING changes are supported")
+        widened += (physTop -> m.copy(valueType = ut.newDataType()))
       case ut: TableChange.UpdateColumnType if ut.fieldNames().length > 1 =>
         // nested WIDENING (round 17): one pure-metadata `#schema`
         // epoch with the inner field widened; pre-evolution files
@@ -840,6 +869,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
               case es: org.apache.spark.sql.types.StructType =>
                 f.copy(dataType = a.copy(elementType =
                   evolveStruct(es, s"${f.name}.element")))
+              case _ => f
+            }
+          case m: org.apache.spark.sql.types.MapType =>
+            // MAP STRUCT values (round 18): dotted keys under
+            // `<col>.value`
+            m.valueType match {
+              case vs: org.apache.spark.sql.types.StructType =>
+                f.copy(dataType = m.copy(valueType =
+                  evolveStruct(vs, s"${f.name}.value")))
               case _ => f
             }
           case _ => f
@@ -1966,6 +2004,13 @@ private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
                 case es: org.apache.spark.sql.types.StructType =>
                   f.copy(dataType = a.copy(elementType =
                     dropDropped(es, prefix + f.name + ".element.")))
+                case _ => f
+              }
+            case m: org.apache.spark.sql.types.MapType =>
+              m.valueType match {
+                case vs: org.apache.spark.sql.types.StructType =>
+                  f.copy(dataType = m.copy(valueType =
+                    dropDropped(vs, prefix + f.name + ".value.")))
                 case _ => f
               }
             case _ => f

@@ -948,6 +948,12 @@ object ManifestSink {
       // element type does (primitive widening or struct containment)
       case (f: ArrayType, t: ArrayType) =>
         f != t && widens(f.elementType, t.elementType)
+      // MAP value evolution (round 18): keys are identity (key
+      // reinterpretation would re-bucket committed lookups), values
+      // widen like array elements
+      case (f: MapType, t: MapType) =>
+        f != t && f.keyType == t.keyType &&
+          widens(f.valueType, t.valueType)
       case _ => false
     }
   }
@@ -980,6 +986,13 @@ object ManifestSink {
                   a.copy(elementType = logicalizeStruct(es, colmap,
                     prefix + f.name + ".element."))
                 case _ => a
+              }
+            case m: org.apache.spark.sql.types.MapType =>
+              m.valueType match {
+                case vs: org.apache.spark.sql.types.StructType =>
+                  m.copy(valueType = logicalizeStruct(vs, colmap,
+                    prefix + f.name + ".value."))
+                case _ => m
               }
             case other => other
           }
@@ -1016,6 +1029,15 @@ object ManifestSink {
                   la.copy(elementType = physicalizeStruct(ls, ps, colmap,
                     prefix + pf.name + ".element."))
                 case _ => la
+              }
+            case (lm: org.apache.spark.sql.types.MapType,
+                pm: org.apache.spark.sql.types.MapType) =>
+              (lm.valueType, pm.valueType) match {
+                case (ls: org.apache.spark.sql.types.StructType,
+                    ps: org.apache.spark.sql.types.StructType) =>
+                  lm.copy(valueType = physicalizeStruct(ls, ps, colmap,
+                    prefix + pf.name + ".value."))
+                case _ => lm
               }
             case _ => lf.dataType
           }
@@ -3363,13 +3385,14 @@ private[graft] object ManifestWriters {
     "timestamp", "date")
 
   /** The TYPE TOKEN a field travels the writer/reader plumbing as:
-    * `typeName` for primitives, the compact JSON form for STRUCTs and
-    * ARRAYs (rounds 17/18 — `typeName` alone loses the inner shape).
-    * Maps refuse at [[parquetType]] (the CREATE TABLE gate). */
+    * `typeName` for primitives, the compact JSON form for STRUCTs,
+    * ARRAYs and MAPs (rounds 17/18 — `typeName` alone loses the inner
+    * shape). */
   private[sources] def typeTok(dt: org.apache.spark.sql.types.DataType): String =
     dt match {
       case s: org.apache.spark.sql.types.StructType => s.json
       case a: org.apache.spark.sql.types.ArrayType => a.json
+      case m: org.apache.spark.sql.types.MapType => m.json
       case other => other.typeName
     }
 
@@ -3406,8 +3429,8 @@ private[graft] object ManifestWriters {
       .as(LogicalTypeAnnotation.dateType()).named(n)
     case other => throw new IOException(
       "manifest sink supports long/integer/short/byte/double/float/" +
-        "boolean/string/timestamp/date and STRUCT/ARRAY-of-those " +
-        s"columns, got $other (maps are not supported)")
+        "boolean/string/timestamp/date and STRUCT/ARRAY/MAP-of-those " +
+        s"columns, got $other")
   }
 
   /** A STRUCT column as an optional parquet GROUP (round 17) —
@@ -3436,11 +3459,42 @@ private[graft] object ManifestWriters {
         .named("list"))
       .named(n)
 
+  /** A MAP column as the STANDARD parquet MAP (round 18): `optional
+    * group <n> (MAP) { repeated group key_value { required <key> key;
+    * optional <value> value } }` — keys are primitives (required,
+    * Spark's map-key contract), values recurse like array elements. */
+  private def mapField(n: String,
+      mt: org.apache.spark.sql.types.MapType)
+      : org.apache.parquet.schema.Type = {
+    val key = mt.keyType match {
+      case _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType => throw new IOException(
+        s"manifest sink supports PRIMITIVE map keys, got " +
+          s"${mt.keyType.typeName}")
+      case kt => org.apache.parquet.schema.Types
+        .primitive(primitiveField("key", typeTok(kt)).asPrimitiveType()
+          .getPrimitiveTypeName,
+          org.apache.parquet.schema.Type.Repetition.REQUIRED)
+        .as(primitiveField("key", typeTok(kt)).asPrimitiveType()
+          .getLogicalTypeAnnotation)
+        .named("key")
+    }
+    Types.optionalGroup()
+      .as(LogicalTypeAnnotation.mapType())
+      .addField(Types.repeatedGroup()
+        .addField(key)
+        .addField(fieldOf("value", mt.valueType))
+        .named("key_value"))
+      .named(n)
+  }
+
   private def fieldOf(n: String,
       dt: org.apache.spark.sql.types.DataType)
       : org.apache.parquet.schema.Type = dt match {
     case st: org.apache.spark.sql.types.StructType => groupField(n, st)
     case at: org.apache.spark.sql.types.ArrayType => listField(n, at)
+    case mt: org.apache.spark.sql.types.MapType => mapField(n, mt)
     case other => primitiveField(n, typeTok(other))
   }
 
@@ -3553,6 +3607,8 @@ private[graft] object ManifestWriters {
             inner)
         case inner: ArrayType =>
           fillList(g.addGroup(j), row.getArray(j), inner)
+        case inner: MapType =>
+          fillMap(g.addGroup(j), row.getMap(j), inner)
         case LongType | TimestampType => g.add(j, row.getLong(j))
         case IntegerType | DateType => g.add(j, row.getInt(j))
         case ShortType => g.add(j, row.getShort(j).toInt)
@@ -3578,23 +3634,51 @@ private[graft] object ManifestWriters {
     var k = 0
     while (k < arr.numElements()) {
       val entry = g.addGroup(0) // the repeated `list` group
-      if (!arr.isNullAt(k)) at.elementType match {
-        case st: StructType =>
-          fillGroup(entry.addGroup(0), arr.getStruct(k, st.fields.length), st)
-        case inner: ArrayType =>
-          fillList(entry.addGroup(0), arr.getArray(k), inner)
-        case LongType | TimestampType => entry.add(0, arr.getLong(k))
-        case IntegerType | DateType => entry.add(0, arr.getInt(k))
-        case ShortType => entry.add(0, arr.getShort(k).toInt)
-        case ByteType => entry.add(0, arr.getByte(k).toInt)
-        case DoubleType => entry.add(0, arr.getDouble(k))
-        case FloatType => entry.add(0, arr.getFloat(k))
-        case BooleanType => entry.add(0, arr.getBoolean(k))
-        case StringType =>
-          entry.add(0, Binary.fromString(arr.getUTF8String(k).toString))
-        case other => throw new IOException(
-          s"manifest sink cannot encode an array element of type $other")
-      }
+      if (!arr.isNullAt(k)) fillValue(entry, 0, arr, k, at.elementType)
+      k += 1
+    }
+  }
+
+  /** Write element `k` of `arr` into field `fi` of `g` — the shared
+    * array-element / map-side value encoder. */
+  private def fillValue(g: org.apache.parquet.example.data.Group, fi: Int,
+      arr: org.apache.spark.sql.catalyst.util.ArrayData, k: Int,
+      dt: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType =>
+        fillGroup(g.addGroup(fi), arr.getStruct(k, st.fields.length), st)
+      case inner: ArrayType =>
+        fillList(g.addGroup(fi), arr.getArray(k), inner)
+      case inner: MapType =>
+        fillMap(g.addGroup(fi), arr.getMap(k), inner)
+      case LongType | TimestampType => g.add(fi, arr.getLong(k))
+      case IntegerType | DateType => g.add(fi, arr.getInt(k))
+      case ShortType => g.add(fi, arr.getShort(k).toInt)
+      case ByteType => g.add(fi, arr.getByte(k).toInt)
+      case DoubleType => g.add(fi, arr.getDouble(k))
+      case FloatType => g.add(fi, arr.getFloat(k))
+      case BooleanType => g.add(fi, arr.getBoolean(k))
+      case StringType =>
+        g.add(fi, Binary.fromString(arr.getUTF8String(k).toString))
+      case other => throw new IOException(
+        s"manifest sink cannot encode an element of type $other")
+    }
+  }
+
+  /** Write one map VALUE into a parquet MAP group (round 18): one
+    * `key_value` entry per pair — keys required (Spark's map-key
+    * contract), a null value as an entry whose `value` stays unset. */
+  private def fillMap(g: org.apache.parquet.example.data.Group,
+      map: org.apache.spark.sql.catalyst.util.MapData,
+      mt: org.apache.spark.sql.types.MapType): Unit = {
+    val keys = map.keyArray()
+    val vals = map.valueArray()
+    var k = 0
+    while (k < map.numElements()) {
+      val entry = g.addGroup(0) // the repeated `key_value` group
+      fillValue(entry, 0, keys, k, mt.keyType)
+      if (!vals.isNullAt(k)) fillValue(entry, 1, vals, k, mt.valueType)
       k += 1
     }
   }
@@ -3672,6 +3756,8 @@ private[graft] object ManifestWriters {
                 row.getStruct(i, st.fields.length), st)
             case at: org.apache.spark.sql.types.ArrayType =>
               fillList(g.addGroup(i), row.getArray(i), at)
+            case mt: org.apache.spark.sql.types.MapType =>
+              fillMap(g.addGroup(i), row.getMap(i), mt)
             case other => throw new IOException(
               s"manifest sink cannot encode a $other column")
           }
@@ -4060,16 +4146,19 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
               val fi = fidx(i)
               if (cur.getFieldRepetitionCount(fi) == 0) null
               else if (compositeTypes(i) != null) compositeTypes(i) match {
-                // STRUCT/ARRAY column (rounds 17/18): inner fields
+                // STRUCT/ARRAY/MAP column (rounds 17/18): inner fields
                 // resolve BY NAME against the file's group — a
                 // pre-evolution file missing an added inner field
                 // serves null, a pre-widening narrow inner primitive
                 // promotes, both exactly the top-level contracts
-                // applied recursively (array elements included)
+                // applied recursively (array elements and map values
+                // included)
                 case st: org.apache.spark.sql.types.StructType =>
                   ManifestReadFactory.groupToRow(cur.getGroup(fi, 0), st)
                 case at: org.apache.spark.sql.types.ArrayType =>
                   ManifestReadFactory.groupToArray(cur.getGroup(fi, 0), at)
+                case mt: org.apache.spark.sql.types.MapType =>
+                  ManifestReadFactory.groupToMap(cur.getGroup(fi, 0), mt)
                 case other => throw new IllegalArgumentException(
                   s"manifest reader cannot decode a $other column")
               }
@@ -4157,6 +4246,28 @@ object ManifestReadFactory {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
   }
 
+  /** One parquet MAP group as Catalyst [[ArrayBasedMapData]] (round
+    * 18): one pair per repeated `key_value` entry; an entry with its
+    * `value` unset decodes to a null value. Value evolution rides the
+    * same by-name/promoting recursion as array elements. */
+  private[sources] def groupToMap(g: org.apache.parquet.example.data.Group,
+      want: org.apache.spark.sql.types.MapType)
+      : org.apache.spark.sql.catalyst.util.MapData = {
+    val n = g.getFieldRepetitionCount(0)
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    var k = 0
+    while (k < n) {
+      val entry = g.getGroup(0, k)
+      keys(k) = decodeValue(entry, 0, want.keyType)
+      vals(k) =
+        if (entry.getFieldRepetitionCount(1) == 0) null
+        else decodeValue(entry, 1, want.valueType)
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(keys, vals)
+  }
+
   /** Decode field `fi` of `g` as `want` — the shared scalar/composite
     * decode with narrow-committed-primitive PROMOTION (int family →
     * long, float → double) by the file's own physical type. */
@@ -4168,6 +4279,7 @@ object ManifestReadFactory {
     want match {
       case inner: StructType => groupToRow(g.getGroup(fi, 0), inner)
       case inner: ArrayType => groupToArray(g.getGroup(fi, 0), inner)
+      case inner: MapType => groupToMap(g.getGroup(fi, 0), inner)
       case LongType =>
         if (prim == org.apache.parquet.schema.PrimitiveType
             .PrimitiveTypeName.INT32) g.getInteger(fi, 0).toLong

@@ -3249,14 +3249,15 @@ class SnapshotSpec extends AnyFunSuite {
       (r.getLong(0), r.getStruct(1).getString(0))).toSet ==
       Set((1L, "de"), (2L, "es")), "epoch-1 inserts under logical names")
 
-    // refusals: maps refuse as COLUMNS at the sink gate (arrays are
-    // first-class since round 18 — ArrayEvolve covers them), non-struct
-    // parents and depth > 2 refuse, narrowing refuses, unknown fields
-    // refuse
-    val eMap = intercept[Exception] {
-      s.sql("ALTER TABLE graft.snap.ne ADD COLUMN m MAP<STRING, STRING>") }
-    assert(eMap.getMessage.contains("maps are not supported"),
-      eMap.getMessage)
+    // refusals: composite MAP KEYS refuse at the sink gate (arrays and
+    // maps are first-class since round 18 — ArrayEvolve/MapEvolve
+    // cover them), non-struct parents and depth > 2 refuse, narrowing
+    // refuses, unknown fields refuse
+    val eMapKey = intercept[Exception] {
+      s.sql("ALTER TABLE graft.snap.ne ADD COLUMN m " +
+        "MAP<STRUCT<a: INT>, STRING>") }
+    assert(eMapKey.getMessage.contains("PRIMITIVE map keys"),
+      eMapKey.getMessage)
     val ePrim = intercept[Exception] {
       s.sql("ALTER TABLE graft.snap.ne RENAME COLUMN doc_id.x TO y") }
     assert(ePrim.getMessage.contains("STRUCT fields only") ||
@@ -3690,11 +3691,12 @@ class SnapshotSpec extends AnyFunSuite {
         if (r.isNullAt(1)) null else r.getString(1), r.getInt(2))).toSet
     assert(api == Set((1L, "b", 2), (2L, null, 1)), api)
 
-    // refusals: maps as columns, map-ish evolution depth, narrowing
-    val eMap = intercept[Exception] {
-      s.sql("CREATE TABLE graft.snap.aem (k BIGINT, m MAP<STRING, INT>)") }
-    assert(eMap.getMessage.contains("maps are not supported"),
-      eMap.getMessage)
+    // refusals: composite map keys, narrowing, depth
+    val eMapKey = intercept[Exception] {
+      s.sql("CREATE TABLE graft.snap.aem " +
+        "(k BIGINT, m MAP<ARRAY<INT>, INT>)") }
+    assert(eMapKey.getMessage.contains("PRIMITIVE map keys"),
+      eMapKey.getMessage)
     val eNarrow = intercept[Exception] {
       s.sql("ALTER TABLE graft.snap.ae ALTER COLUMN weights.element " +
         "TYPE INT") }
@@ -3707,6 +3709,113 @@ class SnapshotSpec extends AnyFunSuite {
     assert(eDeep.getMessage.contains("ONE level") ||
       eDeep.getMessage.contains("element") ||
       eDeep.getMessage.contains("struct"), eDeep.getMessage)
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("MAP COLUMNS + VALUE EVOLUTION (round 18): map<primitive, " +
+    "primitive|struct> columns write/read through both paths; " +
+    "RENAME/DROP of value struct fields via dotted #colmap " +
+    "(col.value.field, zero bytes moved), value WIDENING (struct " +
+    "fields and primitive values) and value ADD via one #schema " +
+    "epoch, pre-evolution files promoted + null-filled inside " +
+    "values; map KEYS are identity (composite keys and key evolution " +
+    "refuse)") {
+    val root = Files.createTempDirectory("graft_map_evolve")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    s.sql("""CREATE TABLE graft.snap.me (doc_id BIGINT,
+            |  attrs MAP<STRING, STRUCT<score: INT, junk: STRING>>,
+            |  counts MAP<STRING, INT>)""".stripMargin)
+    s.sql("INSERT INTO graft.snap.me VALUES " +
+      "(1, map('a', named_struct('score', 10, 'junk', 'x'), " +
+      "'b', named_struct('score', 20, 'junk', 'y')), map('k', 5)), " +
+      "(2, map('c', named_struct('score', 30, 'junk', 'z')), " +
+      "map('k', 7, 'm', 9))")
+    val filesBefore = graft.sources.ManifestSink
+      .committedFiles(root.resolve("me").toString).toSet
+
+    // plain round-trip through the delegate
+    assert(s.sql("SELECT doc_id, attrs['a'].score, counts['k'] " +
+      "FROM graft.snap.me ORDER BY doc_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((1L, 10, 5), (2L, -1, 7)))
+
+    // VALUE evolution: rename + drop + widen + add, zero bytes moved
+    s.sql("ALTER TABLE graft.snap.me RENAME COLUMN attrs.value.score " +
+      "TO points")
+    s.sql("ALTER TABLE graft.snap.me DROP COLUMN attrs.value.junk")
+    s.sql("ALTER TABLE graft.snap.me ALTER COLUMN attrs.value.points " +
+      "TYPE BIGINT")
+    s.sql("ALTER TABLE graft.snap.me ADD COLUMN attrs.value.extra BIGINT")
+    s.sql("ALTER TABLE graft.snap.me ALTER COLUMN counts.value TYPE BIGINT")
+    assert(graft.sources.ManifestSink
+      .committedFiles(root.resolve("me").toString).toSet == filesBefore,
+      "map value evolution moves zero data files")
+    val served = s.table("graft.snap.me").schema("attrs").dataType
+      .asInstanceOf[org.apache.spark.sql.types.MapType].valueType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(served.fieldNames.toSeq == Seq("points", "extra") &&
+      served("points").dataType.typeName == "long", served.toDDL)
+
+    // post-evolution write under the new names; wide values prove both
+    s.sql("INSERT INTO graft.snap.me VALUES " +
+      "(3, map('d', named_struct('points', 9000000000, 'extra', 7)), " +
+      "map('k', 8000000000))")
+    val all = s.sql(
+      """SELECT doc_id, k, v.points, coalesce(v.extra, -1) AS extra
+        |FROM graft.snap.me
+        |LATERAL VIEW explode(attrs) AS k, v
+        |ORDER BY doc_id, k""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(all.toSeq == Seq(
+      (1L, "a", 10L, -1L), (1L, "b", 20L, -1L), (2L, "c", 30L, -1L),
+      (3L, "d", 9000000000L, 7L)),
+      s"old files promote+null-fill inside map values: ${all.toSeq}")
+    assert(s.sql("SELECT sum(counts['k']) FROM graft.snap.me")
+      .head().getLong(0) == 5L + 7L + 8000000000L,
+      "primitive map values promote")
+    // the dropped value field is gone from the face
+    val eDropped = intercept[Exception] {
+      s.sql("SELECT attrs['a'].junk FROM graft.snap.me").collect() }
+    assert(eDropped.getMessage.contains("junk"), eDropped.getMessage)
+
+    // the SINK'S OWN group reader agrees (MOR delete -> dv-scan path)
+    s.conf.set("spark.sql.catalog.graft.snap.me.deleteMode", "mor")
+    s.sql("DELETE FROM graft.snap.me WHERE doc_id = 2")
+    assert(s.sql(
+      """SELECT doc_id, attrs['a'].points, counts['k']
+        |FROM graft.snap.me WHERE doc_id = 1""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 10L, 5L)))
+    // ... and the .changes face serves the LOGICAL value shape
+    val cfVal = s.table("graft.snap.me.changes").schema("attrs")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.MapType]
+      .valueType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(cfVal.fieldNames.toSeq == Seq("points", "extra"),
+      s"the .changes face logicalizes map value names: ${cfVal.toDDL}")
+    val cfRows = s.read.option("sinceVersion", "0")
+      .option("asOfVersion", "1").table("graft.snap.me.changes")
+      .selectExpr("doc_id", "attrs['a'].points").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(cfRows == Set((1L, 10L), (2L, -1L)), cfRows)
+    // the ChangeFeed API path rebuilds values via transform_values
+    val api = graft.sources.ChangeFeed.tableChanges(s,
+      root.resolve("me").toString, 0, Some(1L))
+      .selectExpr("doc_id", "attrs['b'].points").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(api == Set((1L, 20L), (2L, -1L)), api)
+
+    // refusals: KEY evolution, key widening, composite keys
+    val eKey = intercept[Exception] {
+      s.sql("ALTER TABLE graft.snap.me ALTER COLUMN counts.key " +
+        "TYPE BIGINT") }
+    assert(eKey.getMessage.contains("map STRUCT values") ||
+      eKey.getMessage.contains("identity") ||
+      eKey.getMessage.contains("not supported"), eKey.getMessage)
     graft.util.Fs.deleteRecursively(root)
   }
 
