@@ -79,6 +79,24 @@ object BloomSkip {
     } catch { case _: Exception => None }
   }
 
+  /** The writer's PARQUET ROW-GROUP size for `path` (round 18): the
+    * `rowgroup.bytes` table property, 0 = the parquet default
+    * (128 MiB). Smaller groups trade a little compression for
+    * position-skipping granularity — the KEEP-mode CDC read and any
+    * row-group-pruned scan decode only the groups that hold marked
+    * positions, so a 3-row pre-image read of a wide file stops being
+    * a whole-file decode. */
+  val MinRowGroupBytes: Int = 64 * 1024
+  val MaxRowGroupBytes: Int = 512 * 1024 * 1024
+  def rowGroupBytesOf(path: String): Int =
+    ManifestSink.tableProperties(path).get("rowgroup.bytes")
+      .flatMap(_.toIntOption).map { b =>
+        require(b >= MinRowGroupBytes && b <= MaxRowGroupBytes,
+          s"rowgroup.bytes must be in [$MinRowGroupBytes, " +
+            s"$MaxRowGroupBytes], got $b")
+        b
+      }.getOrElse(0)
+
   /** The bloom config of writes against `path`: (PHYSICAL column
     * names, numBits). Configured names are LOGICAL (the user-facing
     * face) and resolve through the column mapping, so a renamed

@@ -448,6 +448,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           b >= BloomSkip.MinBits && b <= BloomSkip.MaxBits),
         s"graft.snap.$name: bloom.bits must be an int in " +
           s"[${BloomSkip.MinBits}, ${BloomSkip.MaxBits}], got '$v'")
+      case ("rowgroup.bytes", v) => require(v.toIntOption.exists(b =>
+          b >= BloomSkip.MinRowGroupBytes && b <= BloomSkip.MaxRowGroupBytes),
+        s"graft.snap.$name: rowgroup.bytes must be an int in " +
+          s"[${BloomSkip.MinRowGroupBytes}, ${BloomSkip.MaxRowGroupBytes}], " +
+          s"got '$v'")
       case ("bloom.columns", v) => v.split(",").map(_.trim).foreach { c =>
         val t = schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
         require(t.exists(dt => SnapStats.bloomable(dt)),
@@ -748,6 +753,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
               b >= BloomSkip.MinBits && b <= BloomSkip.MaxBits),
             s"graft.snap.${ident.name()}: bloom.bits must be an int in " +
               s"[${BloomSkip.MinBits}, ${BloomSkip.MaxBits}], got '$v'")
+          case ("rowgroup.bytes", v) => require(v.toIntOption.exists(b =>
+              b >= BloomSkip.MinRowGroupBytes &&
+                b <= BloomSkip.MaxRowGroupBytes),
+            s"graft.snap.${ident.name()}: rowgroup.bytes must be an int " +
+              s"in [${BloomSkip.MinRowGroupBytes}, " +
+              s"${BloomSkip.MaxRowGroupBytes}], got '$v'")
           case (k, v) => require(ManifestSink.propSafe(k) &&
               v.split(",", -1).forall(s =>
                 s.nonEmpty && ManifestSink.propSafe(s)),

@@ -3128,7 +3128,8 @@ case class ManifestBatchWrite(path: String, schema: StructType,
     val (bloomCols, bloomBits) = BloomSkip.configOf(path)
     ManifestWriterFactory(path, schema.fields.map(_.name),
       schema.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)),
-      java.util.UUID.randomUUID.toString.take(8), spec, bloomCols, bloomBits)
+      java.util.UUID.randomUUID.toString.take(8), spec, bloomCols, bloomBits,
+      BloomSkip.rowGroupBytesOf(path))
   }
 
   private def baseName(f: String): String = Paths.get(f).getFileName.toString
@@ -3259,7 +3260,8 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
     val (bloomCols, bloomBits) = BloomSkip.configOf(path)
     ManifestStreamingWriterFactory(path, schema.fields.map(_.name),
       schema.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)),
-      runToken, spec, bloomCols, bloomBits)
+      runToken, spec, bloomCols, bloomBits,
+      BloomSkip.rowGroupBytesOf(path))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -3313,7 +3315,8 @@ case class ManifestStreamingWriterFactory(path: String, fieldNames: Array[String
     fieldTypes: Array[String], runToken: String,
     spec: Seq[PartField] = Seq.empty,
     bloomCols: Seq[String] = Seq.empty,
-    bloomBits: Int = BloomSkip.DefaultBits) extends StreamingDataWriterFactory {
+    bloomBits: Int = BloomSkip.DefaultBits,
+    rowGroupBytes: Int = 0) extends StreamingDataWriterFactory {
   // the epoch is baked into the file name so replayed-epoch files are
   // recognizable on disk; taskId distinguishes attempts within a run,
   // and the run token distinguishes RUNS — a replay in a fresh JVM
@@ -3323,10 +3326,10 @@ case class ManifestStreamingWriterFactory(path: String, fieldNames: Array[String
     val base = f"${ManifestSink.epochName(epochId)}-part-$partitionId%05d-$taskId-$runToken"
     if (spec.isEmpty)
       ManifestWriters.create(path, fieldNames, fieldTypes, s"$base.parquet",
-        bloomCols, bloomBits)
+        bloomCols, bloomBits, rowGroupBytes)
     else
       ManifestWriters.createFanOut(path, fieldNames, fieldTypes, spec,
-        k => s"$base-p$k.parquet", bloomCols, bloomBits)
+        k => s"$base-p$k.parquet", bloomCols, bloomBits, rowGroupBytes)
   }
 }
 
@@ -3334,7 +3337,8 @@ case class ManifestWriterFactory(path: String, fieldNames: Array[String],
     fieldTypes: Array[String], runToken: String,
     spec: Seq[PartField] = Seq.empty,
     bloomCols: Seq[String] = Seq.empty,
-    bloomBits: Int = BloomSkip.DefaultBits) extends DataWriterFactory {
+    bloomBits: Int = BloomSkip.DefaultBits,
+    rowGroupBytes: Int = 0) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // taskId distinguishes attempts WITHIN the application; the run
     // token (advisor r12) distinguishes APPLICATIONS — taskIds restart
@@ -3348,10 +3352,10 @@ case class ManifestWriterFactory(path: String, fieldNames: Array[String],
     val base = f"part-$partitionId%05d-$taskId-$runToken"
     if (spec.isEmpty)
       ManifestWriters.create(path, fieldNames, fieldTypes, s"$base.parquet",
-        bloomCols, bloomBits)
+        bloomCols, bloomBits, rowGroupBytes)
     else
       ManifestWriters.createFanOut(path, fieldNames, fieldTypes, spec,
-        k => s"$base-p$k.parquet", bloomCols, bloomBits)
+        k => s"$base-p$k.parquet", bloomCols, bloomBits, rowGroupBytes)
   }
 }
 
@@ -3558,7 +3562,8 @@ private[graft] object ManifestWriters {
       fieldTypes: Array[String], spec: Seq[PartField],
       nameFor: Int => String,
       bloomCols: Seq[String] = Seq.empty,
-      bloomBits: Int = BloomSkip.DefaultBits): DataWriter[InternalRow] =
+      bloomBits: Int = BloomSkip.DefaultBits,
+      rowGroupBytes: Int = 0): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val eval = partitionEval(spec, fieldNames, fieldTypes)
       private val open =
@@ -3570,7 +3575,7 @@ private[graft] object ManifestWriters {
         open.getOrElseUpdate(key, {
           toksOf(key) = toks
           create(path, fieldNames, fieldTypes, nameFor(open.size),
-            bloomCols, bloomBits)
+            bloomCols, bloomBits, rowGroupBytes)
         }).write(row)
       }
       override def commit(): WriterCommitMessage =
@@ -3585,9 +3590,11 @@ private[graft] object ManifestWriters {
 
   def create(path: String, fieldNames: Array[String], fieldTypes: Array[String],
       fileName: String, bloomCols: Seq[String] = Seq.empty,
-      bloomBits: Int = BloomSkip.DefaultBits): DataWriter[InternalRow] =
+      bloomBits: Int = BloomSkip.DefaultBits,
+      rowGroupBytes: Int = 0): DataWriter[InternalRow] =
     createAt(Files.createDirectories(Paths.get(path, "data")),
-      fieldNames, fieldTypes, fileName, bloomCols, bloomBits)
+      fieldNames, fieldTypes, fileName, bloomCols, bloomBits,
+      rowGroupBytes)
 
   /** The same writer against an explicit directory — the planning
     * CHECKPOINT (round 16) writes parquet into the table ROOT (it is
@@ -3685,17 +3692,24 @@ private[graft] object ManifestWriters {
 
   def createAt(dir: Path, fieldNames: Array[String], fieldTypes: Array[String],
       fileName: String, bloomCols: Seq[String] = Seq.empty,
-      bloomBits: Int = BloomSkip.DefaultBits): DataWriter[InternalRow] =
+      bloomBits: Int = BloomSkip.DefaultBits,
+      /** > 0: explicit parquet row-group size (round 18,
+        * `rowgroup.bytes`) — smaller groups buy position-skipping
+        * granularity for the KEEP-mode reads. 0 = parquet default. */
+      rowGroupBytes: Int = 0): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val name = fileName
       private val file: Path = dir.resolve(name)
       private val msgType = parquetType(fieldNames, fieldTypes)
       private val groups = new SimpleGroupFactory(msgType)
-      private val out = ExampleParquetWriter.builder(
-          new org.apache.parquet.io.LocalOutputFile(file))
-        .withType(msgType)
-        .withCompressionCodec(CompressionCodecName.SNAPPY)
-        .build()
+      private val out = {
+        val b = ExampleParquetWriter.builder(
+            new org.apache.parquet.io.LocalOutputFile(file))
+          .withType(msgType)
+          .withCompressionCodec(CompressionCodecName.SNAPPY)
+        if (rowGroupBytes > 0) b.withRowGroupSize(rowGroupBytes.toLong)
+        b.build()
+      }
       private var rows = 0L
       private val longCols =
         fieldTypes.indices.filter(i => LongFamily.contains(fieldTypes(i)))
@@ -4007,13 +4021,15 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
       s
     }
     // footer-first: the file's schema decides the projection (requested
-    // data columns that exist in it, by case-insensitive name) and its
-    // row count serves the zero-column fast path
-    val (fileFields, fileRows) = {
+    // data columns that exist in it, by case-insensitive name), its
+    // row count serves the zero-column fast path, and its row-group
+    // layout serves KEEP-mode group skipping
+    val (fileFields, fileRows, fileBlocks) = {
       val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
         new org.apache.parquet.io.LocalInputFile(Paths.get(file)))
       try (fr.getFooter.getFileMetaData.getSchema.getFields,
-        fr.getRecordCount)
+        fr.getRecordCount,
+        fr.getFooter.getBlocks.asScala.toSeq)
       finally fr.close()
     }
     // change-feed KEEP mode (round 17): the dv positions are the rows
@@ -4067,8 +4083,50 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
         override def close(): Unit = ()
       }
     }
+    // KEEP-mode ROW-GROUP SKIPPING (round 18): a change-feed pre-image
+    // read targets a handful of positions in a possibly-wide file —
+    // decoding every row group for that is O(file), not O(changed
+    // rows). With a KEEP set, only the groups whose row ranges hold
+    // kept ordinals are decoded: contiguous needed groups read through
+    // one `withFileRange` reader each (the parquet midpoint contract),
+    // and the row ordinal tracks each run's true starting row. Skip
+    // mode (dv-applying reads) must emit every surviving row and
+    // cannot group-skip.
+    case class RgRun(startRow: Long, rangeStart: Long, rangeEnd: Long)
+    val runs: Seq[RgRun] =
+      if (!mp.keepPositions || deleted.isEmpty || fileBlocks.isEmpty)
+        Seq(RgRun(0L, 0L, Long.MaxValue))
+      else {
+        val starts = fileBlocks.scanLeft(0L)(_ + _.getRowCount)
+        val needed = fileBlocks.indices.filter { i =>
+          val it = deleted.iterator()
+          var hit = false
+          while (!hit && it.hasNext) {
+            val p = it.next().longValue()
+            hit = p >= starts(i) && p < starts(i + 1)
+          }
+          hit
+        }
+        // contiguous ordinals collapse into one ranged reader
+        val runBuf = scala.collection.mutable.ArrayBuffer[RgRun]()
+        var k = 0
+        while (k < needed.size) {
+          val first = needed(k)
+          var last = first
+          while (k + 1 < needed.size && needed(k + 1) == last + 1) {
+            k += 1; last = needed(k)
+          }
+          runBuf += RgRun(starts(first),
+            fileBlocks(first).getStartingPos,
+            fileBlocks(last).getStartingPos +
+              fileBlocks(last).getCompressedSize)
+          k += 1
+        }
+        runBuf.toSeq
+      }
     new PartitionReader[InternalRow] {
-      private val in = {
+      private def openRun(r: RgRun)
+          : org.apache.parquet.hadoop.ParquetReader[org.apache.parquet.example.data.Group] = {
         val conf = new org.apache.hadoop.conf.Configuration()
         conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
           new org.apache.parquet.schema.MessageType(
@@ -4077,8 +4135,12 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
           .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
             new org.apache.hadoop.fs.Path(file))
           .withConf(conf)
+          .withFileRange(r.rangeStart, r.rangeEnd)
           .build()
       }
+      private var runIdx = -1
+      private var in: org.apache.parquet.hadoop.ParquetReader[
+        org.apache.parquet.example.data.Group] = _
       private var cur: org.apache.parquet.example.data.Group = _
       // requested-to-file column index, resolved CASE-INSENSITIVELY
       // against the file's embedded schema (advisor r13: the rest of
@@ -4105,12 +4167,27 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
           }
         }
       private var pos = -1L // row ordinal within the file
-      override def next(): Boolean = {
-        cur = in.read(); pos += 1
-        while (cur != null && skipPos(pos)) {
-          cur = in.read(); pos += 1
+      private def nextRun(): Boolean = {
+        if (in != null) { in.close(); in = null }
+        runIdx += 1
+        if (runIdx >= runs.size) false
+        else {
+          in = openRun(runs(runIdx))
+          pos = runs(runIdx).startRow - 1
+          true
         }
-        cur != null
+      }
+      override def next(): Boolean = {
+        while (true) {
+          if (in == null && !nextRun()) return false
+          cur = in.read(); pos += 1
+          if (cur == null) { in.close(); in = null }
+          else {
+            ManifestReadFactory.rowsDecoded.incrementAndGet()
+            if (!skipPos(pos)) return true
+          }
+        }
+        false
       }
       override def get(): InternalRow = {
         val fileType = cur.getType
@@ -4191,12 +4268,17 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
             }
           }.toArray)
       }
-      override def close(): Unit = in.close()
+      override def close(): Unit = if (in != null) in.close()
     }
   }
 }
 
 object ManifestReadFactory {
+  /** Parquet rows DECODED by the group reader — observability for the
+    * KEEP-mode row-group skipping pin: a pre-image read of K positions
+    * in a multi-group file must decode O(groups holding K), not
+    * O(file). */
+  private[graft] val rowsDecoded = new java.util.concurrent.atomic.AtomicLong
   /** One parquet GROUP value as an `InternalRow` of `want` — inner
     * fields resolve by case-insensitive NAME against the file's own
     * group type (absent → null: a pre-evolution file simply lacks an

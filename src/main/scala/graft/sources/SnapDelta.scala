@@ -241,7 +241,7 @@ private[sources] class SnapDeltaWrite(op: SnapDeltaOperation,
     SnapDeltaWriterFactory(op.dir, rowSchema.fields.map(_.name),
       rowSchema.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)), fileIdx, posIdx,
       java.util.UUID.randomUUID.toString.take(8), op.spec,
-      bloomCols, bloomBits)
+      bloomCols, bloomBits, BloomSkip.rowGroupBytesOf(op.dir))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -302,7 +302,8 @@ private[sources] case class SnapDeltaWriterFactory(path: String,
     fileIdx: Int, posIdx: Int, runToken: String,
     spec: Seq[PartField],
     bloomCols: Seq[String] = Seq.empty,
-    bloomBits: Int = BloomSkip.DefaultBits) extends DeltaWriterFactory {
+    bloomBits: Int = BloomSkip.DefaultBits,
+    rowGroupBytes: Int = 0) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
       private val base = f"part-$partitionId%05d-$taskId-$runToken"
@@ -318,10 +319,11 @@ private[sources] case class SnapDeltaWriterFactory(path: String,
       private def rowWriter(suffix: String): DataWriter[InternalRow] =
         if (spec.isEmpty)
           ManifestWriters.create(path, fieldNames, fieldTypes,
-            s"$base$suffix.parquet", bloomCols, bloomBits)
+            s"$base$suffix.parquet", bloomCols, bloomBits, rowGroupBytes)
         else
           ManifestWriters.createFanOut(path, fieldNames, fieldTypes,
-            spec, k => s"$base$suffix-p$k.parquet", bloomCols, bloomBits)
+            spec, k => s"$base$suffix-p$k.parquet", bloomCols, bloomBits,
+            rowGroupBytes)
       private def insertWriter(): DataWriter[InternalRow] = {
         if (inserts == null) inserts = rowWriter("")
         inserts

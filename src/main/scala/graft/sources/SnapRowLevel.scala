@@ -333,7 +333,7 @@ private[sources] class SnapRowLevelWrite(op: SnapRowLevelOperation,
     ManifestWriterFactory(op.dir, ws.fields.map(_.name),
       ws.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)),
       java.util.UUID.randomUUID.toString.take(8), op.spec,
-      bloomCols, bloomBits)
+      bloomCols, bloomBits, BloomSkip.rowGroupBytesOf(op.dir))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

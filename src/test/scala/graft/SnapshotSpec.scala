@@ -3712,6 +3712,73 @@ class SnapshotSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(root)
   }
 
+  test("KEEP-MODE ROW-GROUP SKIPPING (round 18): a change-feed " +
+    "pre-image read of a few positions in a multi-row-group file " +
+    "decodes only the groups holding them (O(changed rows), not " +
+    "O(file)); skip-mode dv reads still decode every group; values " +
+    "stay exact; rowgroup.bytes is validated") {
+    val root = Files.createTempDirectory("graft_rgskip")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    // tiny row groups: 10k rows land in MANY groups (64 KiB floor)
+    s.sql("""CREATE TABLE graft.snap.rg (k BIGINT, v STRING)
+            |TBLPROPERTIES ('rowgroup.bytes'='65536',
+            |  'delete.mode'='mor')""".stripMargin)
+    locally { import s.implicits._
+      (0L until 10000L).map(i => (i, s"val-$i-" + "x" * 64)).toDF("k", "v")
+        .coalesce(1).writeTo("graft.snap.rg").append()           // epoch 1
+    }
+    val dataDir = root.resolve("rg").resolve("data")
+    import scala.jdk.CollectionConverters._
+    val dataFile = {
+      val l = java.nio.file.Files.list(dataDir)
+      try l.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.head
+      finally l.close()
+    }
+    val nGroups = {
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        new org.apache.parquet.io.LocalInputFile(
+          java.nio.file.Paths.get(dataFile)))
+      try fr.getFooter.getBlocks.size finally fr.close()
+    }
+    assert(nGroups >= 5, s"need many row groups for the pin: $nGroups")
+    val rowsPerGroup = 10000.0 / nGroups
+
+    // MOR-delete TWO adjacent rows -> the pre-image read targets one
+    // (or two) group's worth of ordinals
+    s.sql("DELETE FROM graft.snap.rg WHERE k IN (7001, 7002)") // epoch 2
+    val before = graft.sources.ManifestReadFactory.rowsDecoded.get()
+    // the .changes FACE plans KEEP-mode partitions through the sink's
+    // own group reader — the path the skipping serves
+    val pre = s.read.option("sinceVersion", "1")
+      .option("asOfVersion", "2").table("graft.snap.rg.changes")
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val decoded = graft.sources.ManifestReadFactory.rowsDecoded.get() - before
+    assert(pre == Set((7001L, "delete"), (7002L, "delete")), pre)
+    assert(decoded > 0 && decoded <= 3 * rowsPerGroup.toLong + 64,
+      s"pre-image read decodes O(holding groups), not O(file): " +
+        s"$decoded of 10000 rows ($nGroups groups)")
+
+    // skip-mode (the dv-applying table read) still serves EVERY
+    // surviving row — no group can be skipped there (count(*) rides
+    // the zero-column fast path, so probe with a value column)
+    val b2 = graft.sources.ManifestReadFactory.rowsDecoded.get()
+    assert(s.sql("SELECT sum(k) FROM graft.snap.rg").head().getLong(0)
+      == (0L until 10000L).sum - 7001L - 7002L)
+    assert(graft.sources.ManifestReadFactory.rowsDecoded.get() - b2 >= 9998L,
+      "the dv-applying read decodes the full file (skip mode)")
+
+    // property validation
+    val eRg = intercept[Exception] {
+      s.sql("CREATE TABLE graft.snap.rgbad (k BIGINT) " +
+        "TBLPROPERTIES ('rowgroup.bytes'='7')") }
+    assert(eRg.getMessage.contains("rowgroup.bytes"), eRg.getMessage)
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("MAP COLUMNS + VALUE EVOLUTION (round 18): map<primitive, " +
     "primitive|struct> columns write/read through both paths; " +
     "RENAME/DROP of value struct fields via dotted #colmap " +
