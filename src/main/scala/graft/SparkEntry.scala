@@ -244,6 +244,7 @@ object SparkEntry {
     "q_snap_nested_evolve" -> Materialize.snapNestedEvolve _,
     "q_snap_branch"      -> Materialize.snapBranch _,
     "q_snap_branch_mor"  -> Materialize.snapBranchMor _,
+    "q_snap_branch_stream" -> Materialize.snapBranchStream _,
     "q_snap_expire"      -> Materialize.snapExpire _,
     "q_snap_dv_delete"   -> Materialize.snapDvDelete _,
     "q_snap_dv_update"   -> Materialize.snapDvUpdate _,
@@ -2564,6 +2565,16 @@ object SparkEntry {
     "q_snap_branch" -> // write-audit-publish: main serves exactly the
       // de load plus the PUBLISHED es branch; the dropped zh branch's
       // staged rows never surface
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL AND lang IN ('de', 'es')
+        |GROUP BY lang""".stripMargin,
+    "q_snap_branch_stream" -> // a STREAM stages its micro-batch epochs
+      // on a WAP branch (#forbranch next to the #txn replay records);
+      // fast_forward publishes the adds and carries the watermarks —
+      // main's final state is the de batch load + the streamed es rows
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents

@@ -2778,6 +2778,65 @@ object Materialize {
         |GROUP BY lang""".stripMargin)
   }
 
+  /** STREAMING WRITE-AUDIT-PUBLISH (`q_snap_branch_stream`,
+    * round 18): a STREAM stages its micro-batch epochs on a WAP
+    * branch — `#forbranch` next to the `#txn` replay records,
+    * invisible to main until `fast_forward` publishes the adds AND
+    * carries the per-writer watermarks (a post-publish replayed
+    * engine epoch still detects, spec-pinned). The in-query requires
+    * pin staging invisibility; the oracle is main's final state:
+    * the de batch load plus the es rows the stream staged. */
+  def snapBranchStream(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_wstr_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    complete.createOrReplaceTempView("graft_wstr_src")
+    spark.sql(
+      """CREATE TABLE graft.snap.docwstr
+        |  (doc_id BIGINT, lang STRING, n_chars BIGINT)""".stripMargin)
+    spark.sql("INSERT INTO graft.snap.docwstr " +
+      "SELECT * FROM graft_wstr_src WHERE lang = 'de'")
+    spark.sql("CALL graft.sys.create_branch('docwstr', 'ingest')")
+      .collect()
+    val srcDir = new java.io.File(root, "src").toString
+    complete.filter(col("lang") === "es").coalesce(1)
+      .write.parquet(srcDir)
+    val q = try {
+      spark.conf.set("spark.graft.wap.branch", "ingest")
+      spark.readStream
+        .schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+        .parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation", new java.io.File(root, "ck").toString)
+        .toTable("graft.snap.docwstr")
+    } catch { case e: Throwable =>
+      spark.conf.unset("spark.graft.wap.branch"); throw e
+    }
+    try { q.processAllAvailable(); q.stop() }
+    finally {
+      try q.stop() catch { case _: Exception => }
+      spark.conf.unset("spark.graft.wap.branch")
+    }
+    // staging invariants: a regression fails the query, not just a spec
+    val mainEs = spark.sql("SELECT count(*) FROM graft.snap.docwstr " +
+      "WHERE lang = 'es'").head().getLong(0)
+    val auditEs = spark.sql("SELECT count(*) FROM graft.snap.docwstr " +
+      "VERSION AS OF 'ingest' WHERE lang = 'es'").head().getLong(0)
+    require(mainEs == 0 && auditEs > 0,
+      s"streamed staging invariant broken: main=$mainEs audit=$auditEs")
+    spark.sql("CALL graft.sys.fast_forward('docwstr', 'ingest')").collect()
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM graft.snap.docwstr
+        |GROUP BY lang""".stripMargin)
+  }
+
   /** EXPIRE SNAPSHOTS (`q_snap_expire`, round 17): five per-lang
     * loads, a tag at version 3, then count-based expiry — the sweep
     * CLAMPS at the tag (tagged snapshots survive expiry by contract),

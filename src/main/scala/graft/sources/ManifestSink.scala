@@ -663,12 +663,26 @@ object ManifestSink {
       // the publish version — the change feed's exact contract for it).
       val dvLines = mine.flatMap(e => readDvRecords(e._2))
         .map { case (d, v, n) => dvLine(d, v, n) }
+      // STAGED STREAMING epochs (round 18) carry per-writer `#txn`
+      // replay records; the publish re-declares the MAX watermark per
+      // writer (leading the content — the records-lead contract), so a
+      // post-publish restart's replayed engine epochs still detect
+      // even after the sweep absorbs the dropped branch epochs.
+      val txnLines = mine.flatMap(e => readHeaders(e._2))
+        .collect { case TxnLine(w, e) => (w, e) }
+        .groupMapReduce(_._1)(_._2)(math.max)
+        .toSeq.sortBy(_._1).map { case (w, e) => s"#txn $w $e" }
       val ddl = widestRecordedSchema(path).getOrElse(
         throw new IllegalStateException(
           s"manifest table $path records no #schema"))
-      Seq(s"#schema $ddl",
-        opLine(if (dvLines.isEmpty) "append" else "merge")) ++
-        (if (dvLines.isEmpty) Seq.empty else Seq(s"#cow $pubToken")) ++
+      // the #cow token rides UNCONDITIONALLY (round 18): with carried
+      // #txn lines, the claim's absorbed-check txn arm could in
+      // principle match the still-loose STAGED epoch's watermark — the
+      // sweep cap below live staged epochs makes that race unreachable,
+      // and the op-unique token keeps detection exact regardless
+      txnLines ++ Seq(s"#schema $ddl",
+        opLine(if (dvLines.isEmpty) "append" else "merge"),
+        s"#cow $pubToken") ++
         carried ++ Seq(branchLine(name, None)) ++ dvLines ++ adds
     })
     maybeCompact(dir, latestCompact(dir).map(_._1).getOrElse(-1L),
@@ -3016,21 +3030,21 @@ case class ManifestTable(path: String, writeSchema: StructType,
         // NOT guarantee that, because taskIds restart from 0 in a new
         // SparkContext.
         override def toStreaming: StreamingWrite = {
-          if (forBranch.isDefined) throw new UnsupportedOperationException(
-            s"graft wap.branch ${forBranch.get}: streaming writes " +
-              "cannot stage on a branch — unset spark.graft.wap.branch " +
-              "for the stream, or relay the branch through a batch append")
           if (truncating) throw new UnsupportedOperationException(
             "graft manifest sink: streaming truncate (complete/update " +
               "output) is not supported — the log is an append-of-epochs; " +
               "use append output mode")
+          // round 18: streaming APPENDS stage on a branch like batch
+          // appends — #forbranch epochs with their #txn replay records,
+          // published by fast_forward (which carries the watermarks)
           ManifestStreamingWrite(path, physicalize(info.schema()),
             compactInterval,
             Option(info.queryId()).filter(_.nonEmpty).getOrElse(
               throw new IllegalStateException(
                 "streaming write carries no query id; the manifest log " +
                   "needs a stable writer identity for replay detection")),
-            java.util.UUID.randomUUID.toString.take(8), spec, specId)
+            java.util.UUID.randomUUID.toString.take(8), spec, specId,
+            forBranch)
         }
       }
     }
@@ -3255,7 +3269,13 @@ case class ManifestBatchWrite(path: String, schema: StructType,
   * marker removed and pins that the replayed epoch changes nothing. */
 case class ManifestStreamingWrite(path: String, schema: StructType,
     compactInterval: Int, writerId: String, runToken: String,
-    spec: Seq[PartField] = Seq.empty, specId: Int = 0) extends StreamingWrite {
+    spec: Seq[PartField] = Seq.empty, specId: Int = 0,
+    /** Write-audit-publish (round 18): stage this stream's epochs on
+      * a BRANCH — `#forbranch` next to the `#txn` replay records,
+      * invisible to main until `fast_forward` replays the adds AND
+      * carries the per-writer `#txn` watermarks (so a post-publish
+      * restart's replayed engine epochs still detect). */
+    forBranch: Option[String] = None) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val (bloomCols, bloomBits) = BloomSkip.configOf(path)
     ManifestStreamingWriterFactory(path, schema.fields.map(_.name),
@@ -3269,12 +3289,14 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
     if (epochId <= ManifestSink.txnWatermark(dir, writerId)) {
       // replayed engine epoch: the first commit already published this
       // epoch's files under a claimed log id; discard the replay's
-      // output (idempotence). NEVER delete a name the committed union
-      // lists: run-unique tokens make a collision impossible among this
-      // sink's own files, and the guard keeps a foreign file (or a
-      // future naming bug) from turning the replay cleanup into
-      // committed-data loss.
-      val published = ManifestSink.fragmentUnion(dir).toSet
+      // output (idempotence). NEVER delete a name ANY fragment
+      // references (round 18: referencedFiles, not the main union —
+      // a BRANCH-STAGED epoch's adds are invisible to the union but
+      // just as committed): run-unique tokens make a collision
+      // impossible among this sink's own files, and the guard keeps a
+      // foreign file (or a future naming bug) from turning the replay
+      // cleanup into committed-data loss.
+      val published = ManifestSink.referencedFiles(dir)
       ManifestSink.committedFilesOf(messages).foreach { m =>
         if (!published.contains(m.name))
           Files.deleteIfExists(Paths.get(path, "data", m.name))
@@ -3285,11 +3307,19 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
     val parts = files.collect {
       case f if f.part.nonEmpty =>
         ManifestSink.partLine(f.name, PartTuple(specId, f.part)) }
-    val content = Seq(s"#txn $writerId $epochId",
-      s"#schema ${schema.toDDL}", ManifestSink.opLine("append")) ++
-      files.map(ManifestSink.statsLine) ++
-      files.flatMap(ManifestSink.bloomLine) ++ parts ++ files.map(_.name)
-    ManifestSink.claimEpoch(dir, () => content)
+    def content(): Seq[String] = {
+      val branchHdr = forBranch.map { b =>
+        require(ManifestSink.tableBranches(path).contains(b),
+          s"no branch '$b' on $path — create it with " +
+            "CALL graft.sys.create_branch first")
+        s"#forbranch $b"
+      }.toSeq
+      Seq(s"#txn $writerId $epochId",
+        s"#schema ${schema.toDDL}", ManifestSink.opLine("append")) ++
+        branchHdr ++ files.map(ManifestSink.statsLine) ++
+        files.flatMap(ManifestSink.bloomLine) ++ parts ++ files.map(_.name)
+    }
+    ManifestSink.claimEpoch(dir, content _)
     ManifestSink.maybeCompact(dir,
       ManifestSink.latestCompact(dir).map(_._1).getOrElse(-1L), compactInterval)
   }
@@ -3301,8 +3331,10 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
     * leave the manifest pointing at nothing. */
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
+    // referencedFiles, not the main union (round 18): a BRANCH-STAGED
+    // epoch's adds are committed but union-invisible
     val published =
-      if (Files.exists(dir)) ManifestSink.fragmentUnion(dir).toSet
+      if (Files.exists(dir)) ManifestSink.referencedFiles(dir)
       else Set.empty[String]
     ManifestSink.committedFilesOf(messages).foreach { m =>
       if (!published.contains(m.name))

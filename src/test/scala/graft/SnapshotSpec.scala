@@ -3712,6 +3712,98 @@ class SnapshotSpec extends AnyFunSuite {
     graft.util.Fs.deleteRecursively(root)
   }
 
+  test("STREAMING WRITES stage on WAP branches (round 18): a stream's " +
+    "#forbranch epochs are invisible to main and audit on the branch " +
+    "face, fast_forward publishes them exactly once AND carries the " +
+    "per-writer #txn watermarks — a post-publish engine-epoch replay " +
+    "is discarded (its file cleaned) even after sweeps absorb the " +
+    "dropped branch epochs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft_swap")
+    val ckpt = Files.createTempDirectory("graft_swap_ck").toString
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    val log = root.resolve("sw").toString
+    s.sql("CREATE TABLE graft.snap.sw (k BIGINT, name STRING)")
+    s.sql("INSERT INTO graft.snap.sw VALUES (1, 'm')")           // epoch 1
+    s.sql("CALL graft.sys.create_branch('sw', 'live')").collect() // epoch 2
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.setActiveSession(s)
+    s.conf.set("spark.graft.wap.branch", "live")
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("k", "name")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("graft.snap.sw")
+    try {
+      in.addData((2L, "a")); q.processAllAvailable()
+      in.addData((3L, "b")); q.processAllAvailable()
+      q.stop()
+    } finally {
+      try q.stop() catch { case _: Exception => }
+      s.conf.unset("spark.graft.wap.branch")
+      prevActive match {
+        case Some(p) => org.apache.spark.sql.SparkSession.setActiveSession(p)
+        case None => org.apache.spark.sql.SparkSession.clearActiveSession()
+      }
+    }
+    // staged: invisible to main, audited on the branch face
+    assert(s.sql("SELECT k FROM graft.snap.sw ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L),
+      "streamed staged rows invisible to main")
+    assert(s.sql("SELECT k FROM graft.snap.sw VERSION AS OF 'live' " +
+      "ORDER BY k").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+
+    // PUBLISH: exactly once, and the watermark rides along
+    val pub = s.sql("CALL graft.sys.fast_forward('sw', 'live')")
+      .collect().head
+    assert(pub.getLong(1) == 2L && pub.getLong(2) == 2L, pub)
+    assert(s.sql("SELECT k FROM graft.snap.sw ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), "published exactly once")
+
+    // REPLAY after publish: a restarted run (same stable writer id,
+    // fresh run token) re-commits engine epoch 1 — the carried #txn
+    // watermark discards it and cleans its task file
+    val writerId = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(root.resolve("sw")).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("epoch-"))
+        .flatMap(p => java.nio.file.Files.readAllLines(p).asScala)
+        .collectFirst { case l if l.startsWith("#txn ") =>
+          l.split(" ")(1) }.get
+    }
+    // force sweeps so the DROPPED branch epochs (and their #txn
+    // records) are absorbed — only the publish-carried watermark
+    // protects the replay now
+    (1 to 12).foreach(i =>
+      s.sql(s"INSERT INTO graft.snap.sw VALUES (${100 + i}, 'f')"))
+    assert(graft.sources.ManifestSink.compactionHorizon(log) > pub.getLong(0),
+      "the sweep absorbed the staged epochs")
+    val vBefore = graft.sources.ManifestSink.newestVersion(log)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType)))
+    val replay = graft.sources.ManifestStreamingWrite(log, schema,
+      1000, writerId, "rerun")
+    val w = graft.sources.ManifestWriters.create(log,
+      Array("k", "name"), Array("long", "string"), "replay-rerun.parquet")
+    w.write(org.apache.spark.sql.catalyst.InternalRow(99L,
+      org.apache.spark.unsafe.types.UTF8String.fromString("dup")))
+    replay.commit(1L, Array(w.commit()))
+    assert(graft.sources.ManifestSink.newestVersion(log) == vBefore,
+      "the replayed engine epoch publishes nothing")
+    assert(!java.nio.file.Files.exists(
+      root.resolve("sw").resolve("data").resolve("replay-rerun.parquet")),
+      "the replay's task file is cleaned")
+    assert(s.sql("SELECT count(*) FROM graft.snap.sw").head().getLong(0)
+      == 3 + 12, "no duplicate rows after the replay")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("KEEP-MODE ROW-GROUP SKIPPING (round 18): a change-feed " +
     "pre-image read of a few positions in a multi-row-group file " +
     "decodes only the groups holding them (O(changed rows), not " +
