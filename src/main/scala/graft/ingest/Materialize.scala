@@ -2813,6 +2813,7 @@ object Materialize {
         .schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
         .parquet(srcDir)
         .writeStream
+        .queryName("graft_snap_wstr_sink")
         .option("checkpointLocation", new java.io.File(root, "ck").toString)
         .toTable("graft.snap.docwstr")
     } catch { case e: Throwable =>

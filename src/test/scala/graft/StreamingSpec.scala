@@ -731,7 +731,9 @@ class StreamingSpec extends AnyFunSuite {
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
-    val children = Seq(
+    // the branch-staged stream runs on the ROOT session (it writes
+    // through the catalog conf set there), so listen on it too
+    val children = Seq(spark,
       graft.streaming.StreamOps.streamSession(spark),
       graft.streaming.StreamOps.noFlushSession(spark))
     children.foreach(_.streams.addListener(listener))
@@ -756,7 +758,11 @@ class StreamingSpec extends AnyFunSuite {
         // delete, dv update, compact), maxEpochsPerTrigger=1 ⇒ one
         // trigger per epoch — the metadata and compact epochs cost a
         // trigger but read zero bytes
-        "q_snap_cdf_stream" -> ("graft_snap_cdf_sink", 6))
+        "q_snap_cdf_stream" -> ("graft_snap_cdf_sink", 6),
+        // the branch-staged stream drains ONE source file in one data
+        // trigger; staging on the WAP branch must not cost extra
+        // micro-batches over a plain append stream
+        "q_snap_branch_stream" -> ("graft_snap_wstr_sink", 1))
       for ((q, _) <- expect) SparkEntry.queries(q)(spark, TestSpark.Sf0001).count()
       // listener delivery is async — wait for the bus to drain
       var waited = 0
