@@ -123,6 +123,7 @@ object SparkEntry {
     "q_incr_read"        -> graft.streaming.StreamOps.incrementalRead _,
     "q_stream_tail"      -> graft.streaming.StreamOps.streamTail _,
     "q_stream_upsert"    -> graft.streaming.StreamOps.upsertStreamed _,
+    "q_stream_eq_upsert" -> graft.streaming.StreamOps.eqUpsertStreamed _,
     "q_stream_sliding"   -> graft.streaming.StreamOps.slidingStreamed _,
     "q_json_source"      -> Materialize.eventsFromJsonl _,
     "q_sample_stratified" -> TextOps.stratifiedSample _,
@@ -238,12 +239,14 @@ object SparkEntry {
     "q_snap_ts_travel"   -> Materialize.snapTsTravel _,
     "q_snap_cdf"         -> Materialize.snapCdf _,
     "q_snap_cdf_merge"   -> Materialize.snapCdfMerge _,
+    "q_snap_cdf_cow_pair" -> Materialize.snapCdfCowPair _,
     "q_snap_cdf_incr"    -> Materialize.snapCdfIncr _,
     "q_snap_cdf_stream"  -> Materialize.snapCdfStream _,
     "q_snap_cdf_ts"      -> Materialize.snapCdfTs _,
     "q_snap_nested_evolve" -> Materialize.snapNestedEvolve _,
     "q_snap_branch"      -> Materialize.snapBranch _,
     "q_snap_branch_mor"  -> Materialize.snapBranchMor _,
+    "q_snap_branch_overwrite" -> Materialize.snapBranchOverwrite _,
     "q_snap_branch_stream" -> Materialize.snapBranchStream _,
     "q_snap_expire"      -> Materialize.snapExpire _,
     "q_snap_dv_delete"   -> Materialize.snapDvDelete _,
@@ -745,6 +748,16 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "q_stream_upsert" -> // the final upsert-table version == the batch
       // per-user totals (the exactly-once MERGE guarantee)
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    "q_stream_eq_upsert" -> // IDENTICAL oracle to q_stream_upsert: the
+      // equality-delete sink (delete-by-key + append per micro-batch,
+      // target never read) must be value-invisible vs the foreachBatch
+      // MERGE — and the post-compaction resolution too (pinned in-query)
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events
@@ -2497,6 +2510,48 @@ object SparkEntry {
         |    AND n_chars IS NOT NULL AND lang = 'fr'
         |)
         |GROUP BY 1, 2""".stripMargin,
+    "q_snap_cdf_cow_pair" -> // ROW TRACKING (round 19): the same
+      // three-clause MERGE as q_snap_cdf_merge but COPY-ON-WRITE —
+      // per-row ids pair the rewrite's pre/post sides, so each clause
+      // serves its own label (storage-strategy-invisible vs the MOR
+      // twin) — plus a ROLLBACK served as a per-row paired revert
+      """SELECT version, change_type, lang, count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT CAST(2 AS BIGINT) AS version, 'delete' AS change_type,
+        |    lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'de' AND doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT 2, 'update_preimage', lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'de' AND doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT 2, 'update_postimage', lang, n_chars + 5000 FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'de' AND doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT 2, 'insert', lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'fr'
+        |  UNION ALL
+        |  SELECT 3, 'update_preimage', lang, n_chars + 5000 FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'de' AND doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT 3, 'update_postimage', lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'de' AND doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT 3, 'insert', lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'de' AND doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT 3, 'delete', lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'fr'
+        |)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q_snap_cdf" -> // CDC change feed: every epoch's row-level changes
       // reconstructed relationally — inserts from the appends, exact
       // deleted rows from the dv-only epoch, pre+post images from the
@@ -2580,6 +2635,23 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
         |  AND n_chars IS NOT NULL AND lang IN ('de', 'es')
+        |GROUP BY lang""".stripMargin,
+    "q_snap_branch_overwrite" -> // staged partition BACKFILL: a branch
+      // stages INSERT OVERWRITE PARTITION(lang='es') with +1000 chars
+      // against the branch's own visible state; fast_forward replays
+      // removes+adds as ONE overwrite epoch — published state = de
+      // original + es corrected
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'de'
+        |  UNION ALL
+        |  SELECT lang, n_chars + 1000 AS n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang = 'es'
+        |)
         |GROUP BY lang""".stripMargin,
     "q_snap_branch_mor" -> // staged MOR delete/update + append on a WAP
       // branch, published by fast_forward as one merge epoch: main's

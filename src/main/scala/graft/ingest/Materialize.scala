@@ -1754,6 +1754,72 @@ object Materialize {
         |GROUP BY lang""".stripMargin)
   }
 
+  /** STAGED OVERWRITE on a WAP branch (`q_snap_branch_overwrite`,
+    * round 19): the classic audit-then-publish partition BACKFILL.
+    * Main loads de+es fanned by lang; a branch stages `INSERT
+    * OVERWRITE PARTITION (lang='es')` with corrected rows (+1000
+    * chars) — the staged epoch's `#remove`s derive from (and fence
+    * against) the BRANCH's visible state, so the audit face serves
+    * the corrected partition while main still serves the original;
+    * `fast_forward` replays removes+adds as ONE `overwrite` epoch
+    * under the base fence. The oracle recomputes the published state
+    * relationally. */
+  def snapBranchOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_wov_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    complete.createOrReplaceTempView("graft_wov_src")
+    spark.sql(
+      """CREATE TABLE graft.snap.docwov
+        |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+        |PARTITIONED BY (lang)""".stripMargin)
+    complete.filter(col("lang").isin("de", "es"))
+      .repartition(col("lang"))
+      .writeTo("graft.snap.docwov").append()                   // epoch 1
+    spark.sql("CALL graft.sys.create_branch('docwov', 'backfill')")
+      .collect()                                               // epoch 2
+    val origEs = spark.sql("SELECT sum(n_chars) FROM graft.snap.docwov " +
+      "WHERE lang = 'es'").head().getLong(0)
+    try {
+      spark.conf.set("spark.graft.wap.branch", "backfill")
+      spark.sql(
+        """INSERT OVERWRITE graft.snap.docwov PARTITION (lang = 'es')
+          |SELECT doc_id, n_chars + 1000 AS n_chars
+          |FROM graft_wov_src WHERE lang = 'es'""".stripMargin) // staged
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    // AUDIT invariants in-query: the branch face serves the corrected
+    // partition; main still serves the original bytes
+    val auditEs = spark.sql("SELECT sum(n_chars) FROM graft.snap.docwov " +
+      "VERSION AS OF 'backfill' WHERE lang = 'es'").head().getLong(0)
+    val mainEs = spark.sql("SELECT sum(n_chars) FROM graft.snap.docwov " +
+      "WHERE lang = 'es'").head().getLong(0)
+    val nEs = spark.sql("SELECT count(*) FROM graft.snap.docwov " +
+      "WHERE lang = 'es'").head().getLong(0)
+    require(mainEs == origEs && auditEs == origEs + 1000L * nEs,
+      s"staging invariant broken: main=$mainEs orig=$origEs " +
+        s"audit=$auditEs n=$nEs")
+    spark.sql("CALL graft.sys.fast_forward('docwov', 'backfill')")
+      .collect()
+    // the publish really was ONE overwrite epoch with removes
+    val log = new java.io.File(root, "docwov").toString
+    val pubV = graft.sources.ManifestSink.newestVersion(log)
+    val pub = graft.sources.ManifestSink.epochDeltas(log, pubV - 1, pubV).head
+    require(pub.op == "overwrite" && pub.removes.nonEmpty &&
+      pub.adds.nonEmpty,
+      s"publish epoch shape: op=${pub.op} removes=${pub.removes.size} " +
+        s"adds=${pub.adds.size}")
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM graft.snap.docwov
+        |GROUP BY lang""".stripMargin)
+  }
+
   /** PARTITION-SPEC EVOLUTION under an oracle (`q_snap_spec_evolve`,
     * round 16): an identity(lang)-partitioned table takes half the
     * corpus fanned out by language, `CALL graft.sys.set_partition_spec`
@@ -2549,6 +2615,60 @@ object Materialize {
         |  count(*) AS n_rows, sum(n_chars) AS sum_chars
         |FROM graft_cdfm_feed
         |GROUP BY 1, 2""".stripMargin)
+  }
+
+  /** CDC COW PAIRING (`q_snap_cdf_cow_pair`, round 19, ROW TRACKING):
+    * the same three-clause MERGE as `q_snap_cdf_merge` — but COPY-ON-
+    * WRITE, where the log records no per-row pairing at all — followed
+    * by a ROLLBACK. Every add carries a `#rowid` base and the rewrite
+    * MATERIALIZES carried rows' ids (`_graft_rowid`), so the feed
+    * joins a `#cdcpair` epoch's pre/post sides on row IDENTITY:
+    * matched updates serve `update_pre/postimage`, pure deletes and
+    * inserts keep their own labels, carried-identical rows serve
+    * NOTHING — per-clause labels now STORAGE-STRATEGY-INVISIBLE
+    * (the MOR twin proves value equality), and the rollback serves a
+    * per-row paired REVERT instead of net delete+insert. The oracle
+    * reconstructs both epochs' change sets relationally. */
+  def snapCdfCowPair(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_cowp_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    spark.sql("CREATE TABLE graft.snap.doccowp " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")          // epoch 0
+    complete.filter(col("lang").isin("de", "es")).coalesce(1)
+      .writeTo("graft.snap.doccowp").append()                  // epoch 1
+    complete.filter(col("lang").isin("de", "fr"))
+      .createOrReplaceTempView("graft_cowp_src")
+    spark.sql(
+      """MERGE INTO graft.snap.doccowp t
+        |USING graft_cowp_src s ON t.doc_id = s.doc_id
+        |WHEN MATCHED AND s.doc_id % 4 = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 5000
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)        // epoch 2
+    spark.sql("CALL graft.sys.rollback('doccowp', 1)").collect() // epoch 3
+    val log = new java.io.File(root, "doccowp").toString
+    // in-query pins: the COW merge epoch and the rollback epoch both
+    // declare per-row pairability, and every live file is id-tracked
+    val deltas = graft.sources.ManifestSink.epochDeltas(log, 1, 3)
+    require(deltas.forall(d => d.removes.isEmpty || d.paired),
+      s"COW merge + rollback epochs must declare #cdcpair")
+    val bases = graft.sources.ManifestSink.rowIdBases(log)
+    require(graft.sources.ManifestSink.committedFiles(log).forall(f =>
+      bases.contains(new java.io.File(f).getName)),
+      "every live file carries a #rowid base")
+    graft.sources.ChangeFeed.tableChanges(spark, log, 1, Some(3L))
+      .createOrReplaceTempView("graft_cowp_feed")
+    spark.sql(
+      """SELECT _commit_version AS version, _change_type AS change_type,
+        |  lang, count(*) AS n_rows, sum(n_chars) AS sum_chars
+        |FROM graft_cowp_feed
+        |GROUP BY 1, 2, 3""".stripMargin)
   }
 
   /** INCREMENTAL MATERIALIZATION from the change feed

@@ -98,20 +98,24 @@ object ChangeFeed {
     // each epoch's own records evolve it in order — a COW-heavy window
     // of E epochs costs O(window records), not O(E × log-walk)
     val anyCow = deltas.exists(d =>
-      d.removes.nonEmpty && d.op != "compact" && d.op != "metadata")
-    var dvState: Map[String, Seq[(String, Long)]] =
-      if (anyCow) ManifestSink.deleteVectorsAsOf(dir, math.max(since, 0L))
-      else Map.empty
+      (d.removes.nonEmpty || d.eqdels.nonEmpty) &&
+        d.op != "compact" && d.op != "metadata")
+    // ONE mutable map across the window (round 19, the r18 efficiency
+    // nit): epochs mutate it in place — O(window + records) — and only
+    // a COW epoch's capture pays an O(state) immutable snapshot (it
+    // must: each COW's victims read under the state of the PREVIOUS
+    // version, frozen at capture time)
+    val dvState = scala.collection.mutable.LinkedHashMap[String, Seq[(String, Long)]]()
+    if (anyCow)
+      ManifestSink.deleteVectorsAsOf(dir, math.max(since, 0L))
+        .foreach { case (k, v) => dvState(k) = v }
     def evolveState(d: ManifestSink.EpochDelta): Unit =
       if (anyCow && (d.dvs.nonEmpty || d.removes.nonEmpty)) {
-        val m = scala.collection.mutable.LinkedHashMap[String, Seq[(String, Long)]]()
-        dvState.foreach { case (k, v) => m(k) = v }
         // removes FIRST, then dv records: a rollback epoch re-adds a
         // file and re-declares its historical dv state in that order
-        d.removes.foreach(m.remove)
+        d.removes.foreach(dvState.remove)
         d.dvs.foreach { case (data, dv, n) =>
-          m(data) = m.getOrElse(data, Seq.empty) :+ ((dv, n)) }
-        dvState = m.toMap
+          dvState(data) = dvState.getOrElse(data, Seq.empty) :+ ((dv, n)) }
       }
 
     // adds whose rows are partially dv'd BY THE SAME EPOCH (a
@@ -146,11 +150,20 @@ object ChangeFeed {
         }
       }
     }
+    // KEYED-UPSERT epochs (round 19, equality deletes): the epoch's
+    // adds are plain inserts (exempt by the sequence rule); its
+    // deleted rows are the PRE-state rows matching the key files —
+    // captured with the dv state of the previous version
+    val eqEpochs = scala.collection.mutable.ArrayBuffer[
+      (ManifestSink.EpochDelta, Map[String, Seq[(String, Long)]])]()
     deltas.foreach { d =>
       d.op match {
         case "compact" => // file rewrite ≠ row change: zero rows, zero read
         case "metadata" =>
-        case _ if d.removes.nonEmpty => cowEpochs += ((d, dvState))
+        case _ if d.eqdels.nonEmpty =>
+          eqEpochs += ((d, dvState.toMap))
+          d.adds.foreach(n => insertFiles += ((n, d.id, "insert")))
+        case _ if d.removes.nonEmpty => cowEpochs += ((d, dvState.toMap))
         case "append" =>
           d.adds.foreach(n => insertFiles += ((n, d.id, "insert")))
         case "update" => // merge-on-read UPDATE: dv pre + appended post
@@ -232,7 +245,11 @@ object ChangeFeed {
         .withColumn(CommitTsCol, tsCol(v))
     }
 
-    // ——— COW epochs: per-epoch multiset diff of victims vs survivors
+    // ——— COW epochs: per-row PAIRING by row id when the epoch
+    // declares it (round 19, `#cdcpair` + full `#rowid` coverage),
+    // else the multiset diff (pre-r19 epochs, untracked files)
+    lazy val rowIdBases = ManifestSink.rowIdBases(dir)
+    val logicalNames = served.toSeq.map(f => logicalName(f.name))
     val cowDfs = cowEpochs.toSeq.map { case (d, preDvs) =>
       val addSet = d.adds.toSet
       // dv records THIS epoch declares on its own re-added files
@@ -247,27 +264,94 @@ object ChangeFeed {
         else DvOps.readExcludingDeleted(spark, physSchema, dir,
           files.map(dataPath), Some(dvMap))
           .select(served.toSeq.map(f => logicalTopCol(f, colmap)): _*)
-      val pre = side(d.removes, preDvs)
-      val post = side(d.adds, postDvs)
-      val (preLabel, postLabel) = d.op match {
-        case "update" => ("update_preimage", "update_postimage")
-        case _ => ("delete", "insert")
-      }
-      val (preSide, postSide) = d.op match {
-        case "overwrite" => (pre, post) // full replacement: every row
-        case _ => (pre.exceptAll(post), post.exceptAll(pre))
-      }
-      val both = preSide
-        .withColumn(ChangeTypeCol, lit(preLabel))
-        .unionAll(postSide.withColumn(ChangeTypeCol, lit(postLabel)))
-      // a COW DELETE adds nothing beyond survivors (post ⊆ pre), but
-      // emitting the computed post-diff keeps the path uniform — it is
-      // empty by construction
+      val pairable = d.paired && d.adds.nonEmpty &&
+        (d.removes ++ d.adds).forall(rowIdBases.contains)
+      val both =
+        if (pairable) {
+          // PAIRED (round 19): one full-outer join on row IDENTITY —
+          // pre-only ids are deletes, post-only inserts, changed pairs
+          // serve update_pre/postimage, identical pairs (carried
+          // untouched) serve NOTHING. Work is O(rewritten bytes) like
+          // the diff, but labels are per-row truth, not net effect.
+          def sideRid(files: Seq[String],
+              dvMap: Map[String, Seq[(String, Long)]], tag: String)
+              : DataFrame =
+            DvOps.readWithRowIds(spark, physSchema, dir,
+              files.map(dataPath), Some(dvMap), rowIdBases)
+              .select(served.toSeq.map(f => logicalTopCol(f, colmap)) :+
+                col("_rid"): _*)
+              .select(struct(logicalNames.map(col): _*).as(tag), col("_rid"))
+          val j = sideRid(d.removes, preDvs, "_pre")
+            .join(sideRid(d.adds, postDvs, "_post"), Seq("_rid"),
+              "full_outer")
+          def entry(side: String, label: String) =
+            struct(col(side).as("d"), lit(label).as("l"))
+          val e = org.apache.spark.sql.functions.explode(
+            when(col("_pre").isNull,
+              org.apache.spark.sql.functions.array(entry("_post", "insert")))
+            .when(col("_post").isNull,
+              org.apache.spark.sql.functions.array(entry("_pre", "delete")))
+            .when(!(col("_pre") <=> col("_post")),
+              org.apache.spark.sql.functions.array(
+                entry("_pre", "update_preimage"),
+                entry("_post", "update_postimage")))
+            .otherwise(lit(null))) // explode(null) = no rows
+          j.select(e.as("_e")).select(
+            logicalNames.map(n => col(s"_e.d.$n").as(n)) :+
+              col("_e.l").as(ChangeTypeCol): _*)
+        } else {
+          val pre = side(d.removes, preDvs)
+          val post = side(d.adds, postDvs)
+          val (preLabel, postLabel) = d.op match {
+            case "update" => ("update_preimage", "update_postimage")
+            case _ => ("delete", "insert")
+          }
+          val (preSide, postSide) = d.op match {
+            case "overwrite" => (pre, post) // full replacement: every row
+            case _ => (pre.exceptAll(post), post.exceptAll(pre))
+          }
+          // a COW DELETE adds nothing beyond survivors (post ⊆ pre),
+          // but emitting the computed post-diff keeps the path uniform
+          // — it is empty by construction
+          preSide
+            .withColumn(ChangeTypeCol, lit(preLabel))
+            .unionAll(postSide.withColumn(ChangeTypeCol, lit(postLabel)))
+        }
       both.withColumn(CommitVersionCol, lit(d.id))
         .withColumn(CommitTsCol, tsCol(d.id))
     }
 
-    (insertDf.toSeq ++ dvDf.toSeq ++ selfDvDfs ++ cowDfs)
+    // ——— keyed-upsert epochs: the deleted rows are the PRE-state rows
+    // matching the epoch's key files — one scan of the files live as
+    // of (epoch − 1) semi-joined on the key columns (all of them were
+    // committed before the epoch, so every one is applicable). This
+    // is the one feed path that reads beyond the changed bytes — the
+    // delete-by-key half never recorded positions, by design (the
+    // sink never read the target); window upsert feeds accordingly.
+    val eqDfs = eqEpochs.toSeq.map { case (d, preDvs) =>
+      val colsets = d.eqdels.map(_._2).distinct
+      require(colsets.size == 1,
+        s"upsert epoch ${d.id} carries ${colsets.size} distinct key " +
+          "column sets — the keyed sink writes exactly one per epoch")
+      val keyCols = colsets.head
+      val preFiles = ManifestSink.committedFilesAsOf(dir, d.id - 1)
+      val keys = spark.read.parquet(d.eqdels.map(e => dataPath(e._1)): _*)
+        .select(keyCols.map(col): _*)
+      val deletedRows =
+        if (preFiles.isEmpty)
+          empty.select(served.toSeq.map(f =>
+            col(logicalName(f.name))): _*)
+        else DvOps.readExcludingDeleted(spark, physSchema, dir,
+          preFiles, Some(preDvs))
+          .join(broadcast(keys), keyCols.toSeq, "left_semi")
+          .select(served.toSeq.map(f => logicalTopCol(f, colmap)): _*)
+      deletedRows
+        .withColumn(ChangeTypeCol, lit("delete"))
+        .withColumn(CommitVersionCol, lit(d.id))
+        .withColumn(CommitTsCol, tsCol(d.id))
+    }
+
+    (insertDf.toSeq ++ dvDf.toSeq ++ selfDvDfs ++ cowDfs ++ eqDfs)
       .reduceOption(_ unionAll _).getOrElse(empty)
   }
 

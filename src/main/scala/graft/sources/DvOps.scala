@@ -105,6 +105,41 @@ private[graft] object DvOps {
     }
   }
 
+  /** [[readExcludingDeleted]] plus a `_rid` ROW-IDENTITY column
+    * (round 19, row tracking): `coalesce(materialized _graft_rowid,
+    * file base + row_index)` — the file→base relation rides a
+    * broadcast (bounded by file count, the epoch-manifest class), the
+    * materialized column reads by name (files without one serve null).
+    * `_rid` is null only for untracked pre-r19 files, which callers
+    * gate out before pairing. */
+  def readWithRowIds(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, dir: String,
+      files: Seq[String],
+      dvMapOpt: Option[Map[String, Seq[(String, Long)]]],
+      bases: Map[String, Long]): DataFrame = {
+    import spark.implicits._
+    val dvMap = dvMapOpt.getOrElse(ManifestSink.deleteVectors(dir))
+    val withRid = schema.add(ManifestSink.RowIdColumnName, "long")
+    val base = spark.read.schema(withRid).parquet(files: _*)
+    val baseRel = broadcast(files.map(f =>
+      java.nio.file.Paths.get(f).getFileName.toString).distinct
+      .map(n => (n, bases.get(n).map(java.lang.Long.valueOf).orNull))
+      .toDF("_f", "_b"))
+    val cols = schema.fieldNames.toSeq
+    val keyed = base.select((col("_metadata.file_name").as("_f") +:
+      col("_metadata.row_index").as("_p") +:
+      col(ManifestSink.RowIdColumnName) +: cols.map(col)): _*)
+      .join(baseRel, "_f")
+      .withColumn("_rid", coalesce(col(ManifestSink.RowIdColumnName),
+        col("_b") + col("_p")))
+    val undeleted = dvPositions(spark, dir, files, dvMap) match {
+      case None => keyed
+      case Some(pos) =>
+        antiJoinDeleted(spark, keyed, pos, dvCount(files, dvMap))
+    }
+    undeleted.select((cols.map(col) :+ col("_rid")): _*)
+  }
+
   /** The MERGE-ON-READ delete job: find predicate-TRUE rows of
     * `files` (existing deletes excluded — a row already deleted is
     * never re-marked), write ONE dv file per affected data file

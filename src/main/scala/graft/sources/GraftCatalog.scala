@@ -453,6 +453,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         s"graft.snap.$name: rowgroup.bytes must be an int in " +
           s"[${BloomSkip.MinRowGroupBytes}, ${BloomSkip.MaxRowGroupBytes}], " +
           s"got '$v'")
+      case ("bloom.resident.bytes", v) => require(
+        v.toLongOption.exists(_ >= 0L),
+        s"graft.snap.$name: bloom.resident.bytes must be a long >= 0, " +
+          s"got '$v'")
       case ("bloom.columns", v) => v.split(",").map(_.trim).foreach { c =>
         val t = schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
         require(t.exists(dt => SnapStats.bloomable(dt)),
@@ -759,6 +763,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
             s"graft.snap.${ident.name()}: rowgroup.bytes must be an int " +
               s"in [${BloomSkip.MinRowGroupBytes}, " +
               s"${BloomSkip.MaxRowGroupBytes}], got '$v'")
+          case ("bloom.resident.bytes", v) => require(
+            v.toLongOption.exists(_ >= 0L),
+            s"graft.snap.${ident.name()}: bloom.resident.bytes must be " +
+              s"a long >= 0, got '$v'")
           case (k, v) => require(ManifestSink.propSafe(k) &&
               v.split(",", -1).forall(s =>
                 s.nonEmpty && ManifestSink.propSafe(s)),
@@ -1161,10 +1169,12 @@ private[sources] class SnapTable(tname: String, val dir: String,
   /** `_file`/`_pos` ride along on every face (rounds 14/16):
     * selectable on batch reads, the handle Spark's runtime group
     * filter names matched groups with (COW), and together the rowId
-    * the merge-on-read delta operation keys its dv files on. */
+    * the merge-on-read delta operation keys its dv files on.
+    * `_row_id` (round 19) is the STABLE row identity row tracking
+    * maintains across copy-on-write moves. */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(SnapFileColumn, SnapPosColumn)
+    Array(SnapFileColumn, SnapPosColumn, SnapRowIdColumn)
 
   /** UPDATE / MERGE INTO / non-metadata DELETE route here (round 14):
     * group-based copy-on-write ([[SnapRowLevelOperation]]) by default;
@@ -1336,6 +1346,10 @@ private[sources] class SnapTable(tname: String, val dir: String,
     val filters = logicalFilters.map(
       ManifestSink.renameFilterCols(_, physOfLogical))
     ManifestSink.verifyDeclaredSchema(dir, s"graft.snap.$tname DELETE", tschema)
+    require(ManifestSink.equalityDeletes(dir).isEmpty,
+      s"graft.snap.$tname DELETE: the table carries live equality " +
+        "deletes (a keyed streaming upsert is active) — CALL " +
+        "graft.sys.compact_data to resolve them first")
     // a staged delete targets the BRANCH's visible state (main +
     // staged adds) — deleting a row appended on the same branch works
     val files = wapBranch match {
@@ -1520,6 +1534,22 @@ private[sources] class SnapTable(tname: String, val dir: String,
     // compaction, MERGE) identically.
     ManifestSink.verifyDeclaredSchema(dir, s"graft.snap.$tname", tschema)
     new SnapScanBuilder(tname, planInput(), tschema, options,
+      rowIdBases = () => ManifestSink.rowIdBases(dir),
+      eqState = () => {
+        // incremental windows never need application: the window
+        // refuses to cross an upsert epoch, and files of a window
+        // AFTER one are exempt by the sequence rule
+        val eq =
+          if (since.isDefined) Seq.empty
+          else upTo match {
+            case Some(v) => ManifestSink.eqDeletesAsOf(dir, v)
+            case None => ManifestSink.equalityDeletes(dir)
+          }
+        if (eq.isEmpty) (Seq.empty, Map.empty)
+        else (eq.map(e => (e.epoch,
+          new java.io.File(new java.io.File(dir, "data"), e.file).toString,
+          e.cols)), ManifestSink.looseAddEpochs(dir))
+      },
       streamSource = Some(readSchema => {
         // STREAMING the catalog table (round 13): `readStream.table
         // ("graft.snap.t")` tails the SAME epoch log the path-based
@@ -1966,7 +1996,18 @@ private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
     options: CaseInsensitiveStringMap,
     streamSource: Option[org.apache.spark.sql.types.StructType =>
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None,
-    colmap: Map[String, String] = Map.empty)
+    colmap: Map[String, String] = Map.empty,
+    /** file → `#rowid` base (round 19), consulted only by the
+      * metadata-column scan path when `_row_id` is requested. */
+    rowIdBases: () => Map[String, Long] = () => Map.empty,
+    /** LIVE equality deletes (round 19): ((epoch, ABSOLUTE key-file
+      * path, physical key cols)…, looseAddEpochs) — when non-empty,
+      * the scan routes through the group reader and each planned file
+      * carries its APPLICABLE key files (add-epoch < delete-epoch;
+      * files absent from the add-epoch map predate the horizon and
+      * take every delete). */
+    eqState: () => (Seq[(Long, String, Seq[String])], Map[String, Long]) =
+      () => (Seq.empty, Map.empty))
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.graftbridge.GraftCatalystFilterPushdown
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -2085,7 +2126,8 @@ private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
     // read keeps the delegate below.
     val wantsFile = required.exists(_.fields.exists(f =>
       f.name.equalsIgnoreCase(SnapFileColumn.name) ||
-        f.name.equalsIgnoreCase(SnapPosColumn.name)))
+        f.name.equalsIgnoreCase(SnapPosColumn.name) ||
+        f.name.equalsIgnoreCase(SnapRowIdColumn.name)))
     // MERGE-ON-READ deletes (round 15): a kept file with live position
     // deletes cannot ride the parquet delegate (it would serve the
     // deleted rows) — the sink's own reader applies the dv skip. The
@@ -2094,7 +2136,13 @@ private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
     val dvName = (f: String) =>
       java.nio.file.Paths.get(f).getFileName.toString
     val hasDvs = kept.exists(f => dvs.get(dvName(f)).exists(_.nonEmpty))
-    if (wantsFile || hasDvs) {
+    // EQUALITY DELETES (round 19): live `#eqdel` records force the
+    // group-reader path — the parquet delegate would serve the
+    // deleted keys. compact_data is the resolution that returns the
+    // table to the vectorized delegate.
+    val (eqdels, eqAddEpochs) = eqState()
+    val hasEq = eqdels.nonEmpty
+    if (wantsFile || hasDvs || hasEq) {
       // readSchema stays LOGICAL; the by-name reader looks files up
       // under the PHYSICAL names (rows are positional)
       val rs = required.getOrElse(logicalize(tschema))
@@ -2104,13 +2152,25 @@ private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
         override def toBatch: org.apache.spark.sql.connector.read.Batch = this
         override def description(): String =
           s"graft.snap.$tname " +
-            (if (hasDvs) "dv-applying" else "metadata-column") +
+            (if (hasEq) "eq-delete-applying"
+             else if (hasDvs) "dv-applying" else "metadata-column") +
             s" scan (${kept.size} files)"
         override def planInputPartitions()
-            : Array[org.apache.spark.sql.connector.read.InputPartition] =
-          kept.map(f => ManifestFilePartition(f,
-            dvs.getOrElse(dvName(f), Seq.empty))
-            : org.apache.spark.sql.connector.read.InputPartition).toArray
+            : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+          val bases = rowIdBases()
+          kept.map { f =>
+            val n = dvName(f)
+            // a delete applies to files committed STRICTLY BEFORE it
+            val eqApplicable = eqdels.filter { case (epoch, _, _) =>
+              eqAddEpochs.get(n).forall(_ < epoch) }
+              .map { case (_, p, cols) => (p, cols) }
+            ManifestFilePartition(f,
+              dvs.getOrElse(n, Seq.empty),
+              rowIdBase = bases.getOrElse(n, -1L),
+              eqFiles = eqApplicable)
+            : org.apache.spark.sql.connector.read.InputPartition
+          }.toArray
+        }
         override def createReaderFactory()
             : org.apache.spark.sql.connector.read.PartitionReaderFactory =
           {

@@ -117,7 +117,14 @@ class ManifestSink extends TableProvider {
     ManifestTable(path, schema, interval, removes, book.current,
       Option(opts.get("consumedDvs")).map(ManifestSink.decodeConsumedDvs),
       specId = book.currentId,
-      declaredOp = Option(opts.get("graft.op")))
+      declaredOp = Option(opts.get("graft.op")),
+      eqDrops = Option(opts.get("eqDrops"))
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq.empty),
+      // path-based face: streaming writer options arrive as TABLE
+      // properties (round 19, keyed upsert)
+      upsertKeysOpt = Option(opts.get("upsertKeys")).toSeq
+        .flatMap(_.split(",").toSeq).map(_.trim).filter(_.nonEmpty))
   }
 }
 
@@ -268,11 +275,28 @@ object ManifestSink {
       specs: Seq[String],
       colmap: Map[String, String],
       tags: Map[String, Long],
-      branches: Map[String, Long])
+      branches: Map[String, Long],
+      /** file → base row id (round 19): collected WITHOUT remove-drops
+        * — bases are immutable and names never reused, and a CDC
+        * window's removed files need their bases after the remove.
+        * Records die only at compaction, below every readable window. */
+      rowids: Map[String, Long])
   private val PlanCacheCap = 64
   private val planCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(String, Object, Long, java.nio.file.attribute.FileTime)],
       PlanState)]()
+
+  /** Default cap on driver-RESIDENT bloom payload bytes per table
+    * (round 19): ~1500 default-size (44 KiB b64) filters. Overridable
+    * via the `bloom.resident.bytes` table property. */
+  private[graft] val DefaultResidentBloomBytes: Long = 64L << 20
+
+  /** Total base64 bloom payload bytes the table's cached plan state
+    * holds — observability for the residency cap (LakeLadder pins it
+    * flat as the bloomed-file count grows). */
+  private[graft] def residentBloomBytes(path: String): Long =
+    planState(Paths.get(path)).stats.valuesIterator
+      .flatMap(_.blooms.valuesIterator).map(_.length.toLong).sum
   /** Full snapshot-state derivations performed — observability: a
     * re-plan of an unchanged table must not increment this. */
   private[graft] val planDerivations = new java.util.concurrent.atomic.AtomicLong
@@ -303,6 +327,7 @@ object ManifestSink {
       val tags = scala.collection.mutable.LinkedHashMap[String, Long]()
       val branches = scala.collection.mutable.LinkedHashMap[String, Long]()
       val blooms = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
+      val rowids = scala.collection.mutable.LinkedHashMap[String, Long]()
       var colmap = Map.empty[String, String]
       // BRANCH-STAGED epochs (round 17) are invisible to the main
       // snapshot: their whole content is skipped until published
@@ -337,7 +362,36 @@ object ManifestSink {
             case (n, Some(v)) => branches(n) = v
             case (n, None) => branches.remove(n)
           }
+          else if (l.startsWith("#rowid ")) parseRowId(l).foreach {
+            case (f, b) => rowids(f) = b }
         }
+      }
+      // BLOOM RESIDENCY CAP (round 19, the r18 watch item): the cached
+      // planState would otherwise hold every file's base64 payload —
+      // at the default 2^18 bits (~44 KiB b64) × 10⁵–10⁶ files, GBs of
+      // driver heap for a table that still plans via the driver walk.
+      // `bloom.resident.bytes` (table property; default 64 MiB) bounds
+      // it: the NEWEST files' payloads stay resident up to the cap —
+      // the hot probe set of an append-mostly lake — and older files
+      // fall back to min/max-only pruning (blooms are false-positives-
+      // only, so eviction costs pruning, never correctness). The
+      // distributed checkpoint planner is unaffected: it probes each
+      // file's record from the checkpoint's own bloom column in tasks,
+      // never through this resident map.
+      val bloomCap = props.get("bloom.resident.bytes")
+        .flatMap(_.toLongOption).getOrElse(DefaultResidentBloomBytes)
+      val residentBlooms: scala.collection.Map[String, Map[String, String]] = {
+        val keep = scala.collection.mutable.HashMap[String, Map[String, String]]()
+        var budget = bloomCap
+        val it = blooms.toSeq.reverseIterator // newest fragment order last
+        var full = false
+        while (it.hasNext && !full) {
+          val (f, m) = it.next()
+          val sz = m.valuesIterator.map(_.length.toLong).sum
+          if (sz <= budget) { budget -= sz; keep(f) = m }
+          else full = true // strict newest-suffix: predictable residency
+        }
+        keep
       }
       // conflicting duplicate stats/part records lose their entry (the
       // unpruned-is-slow, mispruned-is-wrong rule — unchanged); a
@@ -345,13 +399,13 @@ object ManifestSink {
       // (blooms never participate in record equality)
       val statMap = stats.groupBy(_._1).collect {
         case (n, recs) if recs.map(_._2).distinct.size == 1 =>
-          n -> blooms.get(n).fold(recs.head._2)(b =>
+          n -> residentBlooms.get(n).fold(recs.head._2)(b =>
             recs.head._2.copy(blooms = b)) }
       val partMap = parts.groupBy(_._1).collect {
         case (n, recs) if recs.map(_._2).distinct.size == 1 => n -> recs.head._2 }
       val st = PlanState(union.toSeq, statMap.toMap, partMap.toMap,
         dvs.toMap, props.toMap, schemas.toSeq, specs.toSeq, colmap,
-        tags.toMap, branches.toMap)
+        tags.toMap, branches.toMap, rowids.toMap)
       fp.foreach { f =>
         if (planCache.size >= PlanCacheCap) planCache.clear()
         planCache.put(key, (f, st))
@@ -504,7 +558,11 @@ object ManifestSink {
     * reclaim one a servable version still applies. */
   private[sources] def referencedFiles(dir: Path): Set[String] = retryVanish() {
     manifestFragments(dir).flatMap(p =>
-      readData(p) ++ readDvRecords(p).map(_._2)).toSet
+      readData(p) ++ readDvRecords(p).map(_._2) ++
+        // equality-delete KEY files (round 19): referenced while their
+        // `#eqdel` epochs are loose — dropped records' files age out
+        // once the sweep absorbs the epochs that mention them
+        readHeaders(p).flatMap(parseEqDel).map(_._1)).toSet
   }
 
   /** `#dv <dataFile> <dvFile> <nDeleted>` records of one fragment —
@@ -608,6 +666,7 @@ object ManifestSink {
     // own absorbed commit (the claimEpoch absorbed-check) even with
     // zero published file names
     val pubToken = java.util.UUID.randomUUID.toString
+    var lastPublishedRemoves: Seq[String] = Seq.empty
     val id = claimEpoch(dir, () => {
       val base = tableBranches(path).getOrElse(name,
         throw new IllegalArgumentException(
@@ -631,8 +690,38 @@ object ManifestSink {
           "against the current snapshot (nothing was published)")
       val mine = tail.filter(e => branchOf(e._2).contains(name))
       nEpochs = mine.size
-      val adds = mine.flatMap(e => readData(e._2))
+      // RESOLVE staged epochs in order (round 19, staged OVERWRITE):
+      // a staged remove of a MAIN file publishes as a `#remove`; a
+      // staged remove of an EARLIER STAGED add cancels it (the add
+      // never reaches main — its rows were audited away). Staged dv
+      // records on a later-removed file die with it.
+      val addAcc = scala.collection.mutable.LinkedHashSet[String]()
+      val removesOfMain = scala.collection.mutable.LinkedHashSet[String]()
+      val dvAcc = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      mine.foreach { e =>
+        readRemoves(e._2).foreach { r =>
+          if (addAcc.contains(r)) addAcc.remove(r)
+          else removesOfMain.add(r)
+          dvAcc.filterInPlace(_._1 != r)
+        }
+        readDvRecords(e._2).foreach(dvAcc += _)
+        readData(e._2).foreach(addAcc.add)
+      }
+      val adds = addAcc.toSeq
       nFiles = adds.size
+      // A publish carrying BOTH overwrite removes and dv records on
+      // SURVIVING MAIN files cannot classify exactly for the change
+      // feed (the remove-carrying serving would drop the dv deletes) —
+      // refuse loudly; the audit face showed both, so re-stage them as
+      // separate branches.
+      if (removesOfMain.nonEmpty &&
+          dvAcc.exists(d => !addAcc.contains(d._1)))
+        throw new UnsupportedOperationException(
+          s"fast_forward('$name') on $path: the branch stages both an " +
+            "overwrite's #remove of main files and row-level #dv " +
+            "records on surviving main files — one epoch cannot serve " +
+            "both exactly to the change feed; stage and publish these " +
+            "operations on separate branches (nothing was published)")
       // `#cdc` role tags (round 18) carry per staged epoch — EXCEPT
       // when that epoch's update pre-images target the branch's OWN
       // staged adds: those rows were never visible to main, so the
@@ -652,6 +741,20 @@ object ManifestSink {
           l.startsWith("#stats ") || l.startsWith("#part ") ||
             l.startsWith("#bloom ") ||
             (l.startsWith("#cdc ") && !selfUpdating))
+      }.filter { l =>
+        // records of a staged-then-overwritten add die with it
+        // (round 19): only PUBLISHED files' records replay. `#cdc`
+        // tags name adds (post) OR dv files (pre) — a pre-tag
+        // survives with its dv record.
+        val surviveDvNames = dvAcc.map(_._2).toSet
+        l.split(" ", 3) match {
+          case Array(_, f, _*) if l.startsWith("#stats ") ||
+              l.startsWith("#part ") || l.startsWith("#bloom ") =>
+            branchAdds.contains(f)
+          case Array(_, f, _*) if l.startsWith("#cdc ") =>
+            branchAdds.contains(f) || surviveDvNames.contains(f)
+          case _ => true
+        }
       }
       // STAGED ROW-LEVEL writes (round 18): the branch's `#dv` records
       // replay verbatim in epoch order. Safe by the fences above: no
@@ -661,8 +764,8 @@ object ManifestSink {
       // adds flip visibility WITH their files in this one claim. A
       // dv-carrying publish classifies `merge` (net delete+insert at
       // the publish version — the change feed's exact contract for it).
-      val dvLines = mine.flatMap(e => readDvRecords(e._2))
-        .map { case (d, v, n) => dvLine(d, v, n) }
+      val dvLines = dvAcc.toSeq.map { case (d, v, n) => dvLine(d, v, n) }
+      lastPublishedRemoves = removesOfMain.toSeq
       // STAGED STREAMING epochs (round 18) carry per-writer `#txn`
       // replay records; the publish re-declares the MAX watermark per
       // writer (leading the content — the records-lead contract), so a
@@ -680,29 +783,68 @@ object ManifestSink {
       // principle match the still-loose STAGED epoch's watermark — the
       // sweep cap below live staged epochs makes that race unreachable,
       // and the op-unique token keeps detection exact regardless
-      txnLines ++ Seq(s"#schema $ddl",
-        opLine(if (dvLines.isEmpty) "append" else "merge"),
-        s"#cow $pubToken") ++
-        carried ++ Seq(branchLine(name, None)) ++ dvLines ++ adds
+      // classification (round 19): a remove-carrying publish is the
+      // staged overwrite's full replacement of exactly those files —
+      // the feed serves every pre row a delete, every published row an
+      // insert (self-dv'd positions excluded), which IS the net truth
+      // of an audited backfill; dv-only stays `merge`, adds-only stays
+      // `append`.
+      val op =
+        if (removesOfMain.nonEmpty) "overwrite"
+        else if (dvLines.nonEmpty) "merge"
+        else "append"
+      txnLines ++ Seq(s"#schema $ddl", opLine(op), s"#cow $pubToken") ++
+        carried ++ Seq(branchLine(name, None)) ++
+        removesOfMain.toSeq.sorted.map(n => s"#remove $n") ++
+        dvLines ++ adds
     })
+    // remove-time mtime stamp (the main overwrite path's vacuum-grace
+    // contract) for files the publish replaced
+    val now = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis())
+    lastPublishedRemoves.foreach { n =>
+      try Files.setLastModifiedTime(Paths.get(path, "data", n), now)
+      catch { case _: IOException => } // already reclaimed
+    }
     maybeCompact(dir, latestCompact(dir).map(_._1).getOrElse(-1L),
       compactInterval)
     (id, nEpochs, nFiles)
   }
 
-  /** The files a BRANCH read serves: the main union plus the branch's
-    * staged adds in epoch order (branch epochs are append/dv-only by
-    * contract, so union + adds is exact). Absolute paths. */
+  /** The files a BRANCH read serves: the main union FOLDED with the
+    * branch's staged epochs in order — adds join, staged `#remove`s
+    * (round 19, staged OVERWRITE) leave. Absolute paths. */
   def branchFiles(path: String, name: String): Seq[String] = retryVanish() {
     val dir = Paths.get(path)
     require(tableBranches(path).contains(name),
       s"no branch '$name' on $path")
     val horizon = latestCompact(dir).map(_._1).getOrElse(-1L)
-    val staged = looseEpochs(dir, horizon)
+    val acc = scala.collection.mutable.LinkedHashSet[String]()
+    fragmentUnion(dir).foreach(acc.add)
+    looseEpochs(dir, horizon)
       .filter(e => branchOf(e._2).contains(name))
-      .sortBy(_._1).map(_._2).flatMap(readData)
-    (fragmentUnion(dir) ++ staged).map(f =>
-      Paths.get(path, "data", f).toString)
+      .sortBy(_._1).map(_._2).foreach { p =>
+        readRemoves(p).foreach(acc.remove)
+        readData(p).foreach(acc.add)
+      }
+    acc.toSeq.map(f => Paths.get(path, "data", f).toString)
+  }
+
+  /** The partition tuples a BRANCH-staged overwrite decides on
+    * (round 19): main's recorded tuples plus the staged epochs' own
+    * `#part` records — a staged add is overwritable by a later staged
+    * dynamic/filtered overwrite exactly like a main file. */
+  private[sources] def branchFilePartitions(path: String, name: String)
+      : Map[String, PartTuple] = retryVanish() {
+    val dir = Paths.get(path)
+    val horizon = latestCompact(dir).map(_._1).getOrElse(-1L)
+    val acc = scala.collection.mutable.LinkedHashMap[String, PartTuple]()
+    filePartitions(path).foreach { case (f, t) => acc(f) = t }
+    looseEpochs(dir, horizon)
+      .filter(e => branchOf(e._2).contains(name)).sortBy(_._1)
+      .flatMap(e => readHeaders(e._2).flatMap(parsePart))
+      .foreach { case (f, t) => acc(f) = t }
+    acc.toMap
   }
 
   /** The dv state a BRANCH read applies (round 18, staged row-level
@@ -718,11 +860,118 @@ object ManifestSink {
     deleteVectors(path).foreach { case (d, l) => acc(d) = l }
     looseEpochs(dir, horizon)
       .filter(e => branchOf(e._2).contains(name)).sortBy(_._1)
-      .flatMap(e => readDvRecords(e._2)).foreach { case (d, v, n) =>
-        acc(d) = acc.getOrElse(d, Seq.empty) :+ ((v, n))
+      .foreach { e =>
+        // a staged overwrite's removes clear the victims' dv state
+        // (round 19) — their rows are gone from the branch face whole
+        readRemoves(e._2).foreach(acc.remove)
+        readDvRecords(e._2).foreach { case (d, v, n) =>
+          acc(d) = acc.getOrElse(d, Seq.empty) :+ ((v, n))
+        }
       }
     acc.toMap
   }
+
+  /** EQUALITY DELETES (round 19, the Iceberg-v2 equality-delete /
+    * Flink-CDC-sink shape): `#eqdel <file> <col1[,col2…]> <n>` names a
+    * small parquet KEY file — rows matching any of its key tuples are
+    * deleted from every data file committed in an EARLIER epoch (the
+    * sequence-number contract: the committing epoch's own appends are
+    * exempt, which is exactly what lets a keyed streaming UPSERT
+    * commit delete-by-key + append per micro-batch WITHOUT reading
+    * the target). Readers apply them as key anti-sets in the group
+    * reader; `compact_data` is the RESOLUTION step — it rewrites
+    * every applicable file with the keys anti-joined out and marks
+    * the key files consumed with `#eqdrop <file>`. While any eqdel is
+    * LIVE (recorded, not dropped): metadata sweeps clamp below its
+    * epoch (per-epoch applicability must stay derivable), and
+    * remove/dv-carrying commits that do not resolve them refuse at
+    * claim time (a rewrite would carry old rows into exempt new
+    * files — resurrecting deleted keys). */
+  private[graft] case class EqDelete(epoch: Long, file: String,
+      cols: Seq[String], rows: Long)
+
+  private[sources] def eqDelLine(file: String, cols: Seq[String],
+      n: Long): String = {
+    require(cols.nonEmpty && cols.forall(statSafeName),
+      s"equality-delete key columns must be stat-safe names: $cols")
+    s"#eqdel $file ${cols.mkString(",")} $n"
+  }
+
+  private[sources] def parseEqDel(l: String)
+      : Option[(String, Seq[String], Long)] =
+    if (!l.startsWith("#eqdel ")) None
+    else l.stripPrefix("#eqdel ").split(" ") match {
+      case Array(f, cols, n) =>
+        n.toLongOption.map((f, cols.split(",").toSeq, _))
+      case _ => None
+    }
+
+  /** LIVE equality deletes: records in loose (non-branch) epochs minus
+    * the `#eqdrop`-consumed set, with their epoch ids — O(tail). Live
+    * records exist only in the loose tail by construction (sweeps
+    * clamp below them). */
+  private[graft] def equalityDeletes(path: String): Seq[EqDelete] =
+    eqDeletesThrough(path, Long.MaxValue)
+
+  /** Equality deletes visible AS OF `version` (time travel): records
+    * at or below it, minus drops at or below it. */
+  private[graft] def eqDeletesAsOf(path: String, version: Long)
+      : Seq[EqDelete] = eqDeletesThrough(path, version)
+
+  private def eqDeletesThrough(path: String, version: Long)
+      : Seq[EqDelete] = retryVanish() {
+    val dir = Paths.get(path)
+    val horizon = latestCompact(dir).map(_._1).getOrElse(-1L)
+    val recs = scala.collection.mutable.ArrayBuffer[EqDelete]()
+    val dropped = scala.collection.mutable.HashSet[String]()
+    looseEpochs(dir, horizon).filter(_._1 <= version)
+      .filter(e => branchOf(e._2).isEmpty).sortBy(_._1).foreach {
+        case (id, p) =>
+          readHeaders(p).foreach { l =>
+            parseEqDel(l).foreach { case (f, cols, n) =>
+              recs += EqDelete(id, f, cols, n) }
+            if (l.startsWith("#eqdrop "))
+              dropped += l.stripPrefix("#eqdrop ").trim
+          }
+      }
+    recs.toSeq.filterNot(e => dropped.contains(e.file))
+  }
+
+  /** Drop every live equality-delete record in ONE metadata epoch
+    * (round 19) — the no-applicable-files resolution arm of
+    * `compact_data` (every row the records could delete is already
+    * gone or rewritten): releases the sweep clamp and the COW/MOR
+    * refusals without moving a byte. Re-derived per claim attempt;
+    * the claim fence verifies coverage. */
+  private[graft] def commitEqDropEpoch(path: String,
+      compactInterval: Int): Unit = {
+    val dir = Paths.get(path)
+    claimEpoch(dir, () =>
+      opLine("metadata") +: equalityDeletes(path).map(e =>
+        s"#eqdrop ${e.file}"))
+    maybeCompact(dir, latestCompact(dir).map(_._1).getOrElse(-1L),
+      compactInterval)
+  }
+
+  /** Add-epoch of every LOOSE-added (non-branch) data file — the
+    * sequence info equality-delete applicability needs. A file absent
+    * here was added at or below the horizon (every live eqdel applies
+    * to it; sweeps clamp below live eqdels, so the distinction is
+    * always derivable). */
+  private[sources] def looseAddEpochs(path: String): Map[String, Long] =
+    retryVanish() {
+      val dir = Paths.get(path)
+      val horizon = latestCompact(dir).map(_._1).getOrElse(-1L)
+      val acc = scala.collection.mutable.LinkedHashMap[String, Long]()
+      // branch-staged adds included: main reads never plan them, and
+      // the branch AUDIT face needs their (staged) epochs so a main
+      // eqdel landing after a staged add cannot mis-apply to it
+      looseEpochs(dir, horizon)
+        .sortBy(_._1).foreach { case (id, p) =>
+          readData(p).foreach(n => acc.getOrElseUpdate(n, id))
+        }
+      acc.toMap
+    }
 
   /** `#op <kind>` (round 17, the CDC classification header): what the
     * committing OPERATION was — `append`, `overwrite`, `delete`,
@@ -759,6 +1008,53 @@ object ManifestSink {
     * every data-plane reader ignores it, and it only ever matters on
     * LOOSE epochs (the feed refuses below the horizon), so compaction
     * need not carry it. */
+  /** ROW TRACKING (round 19, the Delta row-tracking / Iceberg-v3
+    * row-lineage shape): every data-carrying commit assigns each added
+    * file a fresh BASE ROW ID — `#rowid <file> <base>` — from a
+    * monotone per-table watermark (`#rowidhwm <next>`), reserving
+    * `rows` ids per file. A row's id is then
+    * `coalesce(materialized _graft_rowid, base + row_index)`: fresh
+    * appends never store ids (zero data-plane cost — the id IS the
+    * position), and a COW rewrite/compaction MATERIALIZES each carried
+    * row's id into a hidden `_graft_rowid` parquet column so identity
+    * survives the move. That per-row identity is what lets the CDC
+    * feed serve a COW UPDATE/MERGE — and a rollback — as per-row
+    * PAIRED `update_pre/postimage` labels (`#cdcpair` epochs,
+    * [[ChangeFeed]]) instead of a multiset diff's net effect.
+    * Metadata cost: O(1) per add record; ids of removed files die at
+    * compaction (the records ride like `#stats`), the watermark rides
+    * as one line. */
+  private[sources] val RowIdColumnName = "_graft_rowid"
+
+  private[sources] def rowIdLine(file: String, base: Long): String =
+    s"#rowid $file $base"
+
+  private[sources] def parseRowId(l: String): Option[(String, Long)] =
+    if (!l.startsWith("#rowid ")) None
+    else l.stripPrefix("#rowid ").split(" ") match {
+      case Array(f, b) => b.toLongOption.map((f, _))
+      case _ => None
+    }
+
+  /** The table's row-id HIGH WATERMARK: the max `#rowidhwm` across ALL
+    * fragments — including branch-staged epochs, whose reserved ids
+    * must never be reissued even though their rows are not yet (or
+    * never) visible. 0 on a log that never assigned. */
+  private[sources] def rowIdWatermark(dir: Path): Long = retryVanish() {
+    // manifestFragments includes branch-staged loose epochs — exactly
+    // right here: staged reservations must hold even before publish
+    manifestFragments(dir).flatMap(p => readLines(p).collect {
+      case l if l.startsWith("#rowidhwm ") =>
+        l.stripPrefix("#rowidhwm ").trim.toLongOption
+    }.flatten).maxOption.getOrElse(0L)
+  }
+
+  /** Every live file's base row id (immutable once assigned; records
+    * of removed files survive until a compaction drops them, which is
+    * at or below every CDC-readable window by construction). */
+  def rowIdBases(path: String): Map[String, Long] =
+    planState(Paths.get(path)).rowids
+
   private[sources] def cdcLine(file: String, role: String): String = {
     require(role == "pre" || role == "post",
       s"cdc role must be pre|post, got '$role'")
@@ -1281,6 +1577,14 @@ object ManifestSink {
   private[graft] def rollbackTo(path: String, version: Long,
       schemaDdl: String, compactInterval: Int): (Int, Int) = {
     val dir = Files.createDirectories(Paths.get(path))
+    // EQUALITY DELETES (round 19): a rollback across (or under) live
+    // `#eqdel` records re-adds files whose re-add epoch postdates the
+    // deletes — old rows would escape them; resolve first.
+    if (equalityDeletes(path).nonEmpty)
+      throw new UnsupportedOperationException(
+        s"rollback($path, $version): the table carries live equality " +
+          "deletes (a keyed streaming upsert is active) — CALL " +
+          "graft.sys.compact_data to resolve them first, then roll back")
     val token = java.util.UUID.randomUUID.toString
     var nAdd = 0
     var nRem = 0
@@ -1321,8 +1625,22 @@ object ManifestSink {
       val dvLines = readds.sorted.flatMap(n =>
         dvsV.getOrElse(n, Seq.empty).map { case (dv, cnt) =>
           dvLine(n, dv, cnt) })
+      // ROW TRACKING (round 19): re-adds RE-DECLARE their original
+      // bases (identity is the file's for life), and when every file
+      // on both sides carries tracked ids the epoch marks itself
+      // pairable — the feed then serves the rollback as per-row
+      // update_pre/postimage + insert/delete instead of net effect.
+      // Any pre-r19 file in the flip keeps the diff fallback.
+      val bases = rowIdBases(path)
+      val rowidLines = readds.sorted.flatMap(n =>
+        bases.get(n).map(b => rowIdLine(n, b)))
+      val pairHdr =
+        if (removes.nonEmpty && (removes ++ readds).forall(bases.contains))
+          Seq("#cdcpair")
+        else Seq.empty
       Seq(s"#schema $schemaDdl", opLine("rollback"), s"#cow $token") ++
-        removes.sorted.map(n => s"#remove $n") ++ dvLines ++ readds.sorted
+        pairHdr ++ removes.sorted.map(n => s"#remove $n") ++ dvLines ++
+        rowidLines ++ readds.sorted
     })
     maybeCompact(dir, latestCompact(dir).map(_._1).getOrElse(-1L),
       compactInterval)
@@ -1683,8 +2001,34 @@ object ManifestSink {
       // bytes — and before everything else; every reader ignores
       // unknown `#` prefixes, and pre-r17 logs fall back to mtime.
       val (txnLead, restContent) = contentGen().span(_.startsWith("#txn "))
-      val content = txnLead ++
+      val content0 = txnLead ++
         (s"#ts ${System.currentTimeMillis() * 1000L}" +: restContent)
+      // ROW-ID ASSIGNMENT (round 19): every data line with an
+      // in-content `#stats` record (i.e. a freshly written file) and no
+      // caller-declared `#rowid` gets a base from the table watermark,
+      // reserving its row count. Re-adds (rollback — no in-content
+      // stats) keep their original bases; BRANCH-STAGED epochs skip
+      // (invisible rows need no identity yet — the publish re-lists and
+      // assigns). `hwmRead` is fence-verified before the link below.
+      val staging = content0.exists(_.startsWith("#forbranch "))
+      val assignable =
+        if (staging) Seq.empty
+        else {
+          val statRows = content0.flatMap(parseStats).toMap
+          val declared = content0.flatMap(parseRowId).map(_._1).toSet
+          content0.filterNot(_.startsWith("#"))
+            .filter(n => statRows.contains(n) && !declared.contains(n))
+            .map(n => (n, statRows(n).rows))
+        }
+      val hwmRead = if (assignable.isEmpty) -1L else rowIdWatermark(dir)
+      val content =
+        if (assignable.isEmpty) content0
+        else {
+          var next = hwmRead
+          val lines = assignable.map { case (n, rows) =>
+            val b = next; next += rows; rowIdLine(n, b) }
+          content0 ++ lines :+ s"#rowidhwm $next"
+        }
       val bytes = content.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val dataNames = content.filterNot(_.startsWith("#"))
@@ -1727,6 +2071,13 @@ object ManifestSink {
             _ != partitionSpecs(dir.toString).currentId + 1)) {
           // stale id: fall through to the next loop pass, which
           // regenerates the content against the fresh log
+        } else if (hwmRead >= 0 && rowIdWatermark(dir) != hwmRead) {
+          // ROW-ID fence (round 19, the spec-id fence reasoning): a
+          // commit that landed between our watermark read and this
+          // attempt may have reserved the same id range. Any state
+          // change after THIS check and before the link necessarily
+          // claims our epoch id first, so the link collision re-runs
+          // the check — one id range can never be issued twice.
         } else {
         if (removes.nonEmpty || dvTargets.nonEmpty) {
           // a BRANCH-STAGED dv epoch (round 18) fences against the
@@ -1786,6 +2137,25 @@ object ManifestSink {
             if (raced.nonEmpty)
               throw new ManifestConflictException(raced.sorted, dir.toString)
           }
+        }
+        // EQUALITY-DELETE fence (round 19): a remove- or dv-carrying
+        // commit under LIVE equality deletes would move or replace
+        // rows into files EXEMPT from them (add-epoch past the
+        // delete) — resurrecting deleted keys. Only a commit that
+        // RESOLVES every live record (`#eqdrop` lines covering the
+        // set — compact_data) may proceed; everything else aborts
+        // retryably, and the race window between an operation's pin
+        // and its claim closes here.
+        if (removes.nonEmpty || dvTargets.nonEmpty ||
+            content.exists(_.startsWith("#eqdrop "))) {
+          val eqDrops = content.collect {
+            case l if l.startsWith("#eqdrop ") =>
+              l.stripPrefix("#eqdrop ").trim }.toSet
+          val unresolved = equalityDeletes(dir.toString).map(_.file)
+            .filterNot(eqDrops.contains)
+          if (unresolved.nonEmpty)
+            throw new ManifestConflictException(
+              unresolved.sorted.map(f => s"eqdel:$f"), dir.toString)
         }
         try {
           Files.createLink(dir.resolve(epochName(next)), tmp)
@@ -1918,7 +2288,14 @@ object ManifestSink {
     // many epochs never hits the below-horizon CDC refusal
     val feedCap = registeredFeeds(dir.toString).values.minOption
       .map(w => newestVersion0(dir) - w).getOrElse(Long.MaxValue)
-    val cap = math.min(math.min(stagedCap, baseCap), feedCap)
+    // LIVE equality deletes clamp too (round 19): their per-epoch
+    // applicability (add-epoch < delete-epoch) is derivable only
+    // while the loose tail holds them; compact_data's `#eqdrop`
+    // resolution is what releases the sweep
+    val eqCap = equalityDeletes(dir.toString).map(_.epoch - 1)
+      .minOption.getOrElse(Long.MaxValue)
+    val cap = math.min(math.min(stagedCap, baseCap),
+      math.min(feedCap, eqCap))
     val loose = looseAll.filter(e => e._1 <= cap && e._1 <= through)
     if (loose.isEmpty || (!force && loose.size < compactInterval)) return
     val prior = latestCompact(dir)
@@ -2019,6 +2396,16 @@ object ManifestSink {
           .map { case (c, b) => s"$c:$b" }.mkString(";")}" }
     val parts = headers.flatMap(parsePart).distinctBy(_._1)
       .collect { case (f, toks) if nameSet.contains(f) => partLine(f, toks) }
+    // `#rowid` records ride like `#stats`: kept for files still in the
+    // union (a removed file's identity is gone with its rows — exactly
+    // at the horizon below which no CDC window reads). The WATERMARK
+    // rides as one max line so reserved id ranges are never reissued.
+    val rowidLines = headers.flatMap(parseRowId).distinctBy(_._1)
+      .collect { case (f, b) if nameSet.contains(f) => rowIdLine(f, b) }
+    val rowIdHwmLine = headers.collect {
+      case l if l.startsWith("#rowidhwm ") =>
+        l.stripPrefix("#rowidhwm ").trim.toLongOption
+    }.flatten.maxOption.map(h => s"#rowidhwm $h").toSeq
     // live delete vectors (dv state resolved in fragment order —
     // records on files the union dropped die here, which is also what
     // releases their dv files to vacuum)
@@ -2041,7 +2428,7 @@ object ManifestSink {
     // loser's work is simply done
     val bytes = (txns ++ schemas ++ specs ++ props ++ colmaps ++
       tagLines ++ branchLines ++ cows ++ stats ++ bloomLines ++ parts ++
-      dvs ++ names)
+      rowidLines ++ rowIdHwmLine ++ dvs ++ names)
       .mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val ctmp = Files.createTempFile(dir, s".${compactName(upTo)}", ".tmp")
@@ -2286,16 +2673,41 @@ object ManifestSink {
     messages.toSeq.flatMap {
       case m: CommittedFile => Seq(m)
       case ms: CommittedFileSet => ms.files
+      case u: EqUpsertCommit => committedFilesOf(Array(u.data))
       case _ => Seq.empty
     }
 
-  private[sources] def commitBatchEpoch(path: String, schemaDdl: String,
+  /** The equality-delete KEY files of a keyed-upsert commit (round
+    * 19): (file name, key rows) per task that saw data. */
+  private[sources] def eqFilesOf(messages: Array[WriterCommitMessage])
+      : Seq[(String, Long)] =
+    messages.toSeq.flatMap {
+      case u: EqUpsertCommit => u.eqFile.toSeq
+      case _ => Seq.empty
+    }
+
+  private[sources] def commitBatchEpoch(path: String, schemaDdl0: String,
       messages: Array[WriterCommitMessage], removeFilesGen: () => Seq[String],
       compactInterval: Int,
       consumedDvs: Option[Map[String, Set[String]]] = None,
       specId: Int = 0, op: String = "append",
-      forBranch: Option[String] = None): Unit = {
+      forBranch: Option[String] = None,
+      /** Round 19: this rewrite MATERIALIZED every carried row's id —
+        * the epoch may serve paired CDC labels ([[EpochDelta.paired]]).
+        * Recorded only when the epoch actually removes files. */
+      cdcPair: Boolean = false,
+      /** Round 19: equality-delete key files this rewrite resolved —
+        * published as `#eqdrop` records (fence-verified to cover the
+        * live set). */
+      eqDrops: Seq[String] = Seq.empty): Unit = {
     val dir = Files.createDirectories(Paths.get(path))
+    // the hidden row-id column never reaches the recorded `#schema`
+    // (it is identity plumbing, not data — a declared-schema reader
+    // must never see it)
+    val schemaDdl =
+      if (!schemaDdl0.toLowerCase.contains(RowIdColumnName)) schemaDdl0
+      else StructType(StructType.fromDDL(schemaDdl0).fields.filterNot(
+        _.name.equalsIgnoreCase(RowIdColumnName))).toDDL
     val files = committedFilesOf(messages).sortBy(_.name)
     // one token per OPERATION (stable across claim attempts — the
     // absorbed check recognizes the op's own publish by it)
@@ -2321,8 +2733,12 @@ object ManifestSink {
             "CALL graft.sys.create_branch first")
         s"#forbranch $b"
       }.toSeq
-      Seq(s"#schema $schemaDdl", opLine(effOp)) ++ branchHdr ++ (cow ++
+      val pairHdr =
+        if (cdcPair && lastRemoves.nonEmpty) Seq("#cdcpair") else Seq.empty
+      Seq(s"#schema $schemaDdl", opLine(effOp)) ++ branchHdr ++ pairHdr ++
+        (cow ++
         files.map(statsLine) ++ files.flatMap(bloomLine) ++ parts ++
+        eqDrops.sorted.map(n => s"#eqdrop $n") ++
         lastRemoves.sorted.map(n => s"#remove $n") ++ files.map(_.name))
     }
     claimEpoch(dir, content _, consumedDvs)
@@ -2515,12 +2931,13 @@ object ManifestSink {
     // A merge-on-read `#dv` epoch is equally not an append (it
     // retro-deletes rows from files delivered in EARLIER windows).
     val removing = window.filter(e => branchOf(e._2).isEmpty &&
-      (readRemoves(e._2).nonEmpty || readDvRecords(e._2).nonEmpty)).map(_._1)
+      (readRemoves(e._2).nonEmpty || readDvRecords(e._2).nonEmpty ||
+        readHeaders(e._2).exists(_.startsWith("#eqdel ")))).map(_._1)
     if (removing.nonEmpty)
       throw new IllegalStateException(
         s"incremental read ($since, $asOf] crosses row-level " +
-          s"DELETE/rewrite epoch(s) ${removing.mkString(", ")} — a " +
-          "delete rewrites or retro-deletes rather than appending; " +
+          s"DELETE/rewrite/upsert epoch(s) ${removing.mkString(", ")} — " +
+          "a delete rewrites or retro-deletes rather than appending; " +
           "re-read the full snapshot instead")
     window.filter(e => branchOf(e._2).isEmpty)
       .flatMap(e => readData(e._2)).distinct
@@ -2629,7 +3046,15 @@ object ManifestSink {
       /** `#cdc` role tags (round 18): dv file → "pre" / add file →
         * "post" for the UPDATE halves of a MERGE; empty on pre-r18
         * epochs → the net delete+insert fallback. */
-      cdcRoles: Map[String, String] = Map.empty)
+      cdcRoles: Map[String, String] = Map.empty,
+      /** `#cdcpair` (round 19): the committer materialized every
+        * carried row's id, so the feed may serve this COW epoch as
+        * per-row PAIRED changes (id join) instead of a multiset diff.
+        * False on pre-r19 epochs → the documented diff fallback. */
+      paired: Boolean = false,
+      /** `#eqdel` records (round 19): (key file, key cols, rows) — a
+        * keyed upsert epoch's delete-by-key half. */
+      eqdels: Seq[(String, Seq[String], Long)] = Seq.empty)
 
   private[graft] def epochDeltas(path: String, since: Long,
       asOf: Long): Seq[EpochDelta] = retryVanish() {
@@ -2684,7 +3109,9 @@ object ManifestSink {
           else "metadata"
         }
         EpochDelta(id, op, adds, removes, dvs, commitTimeMicros(p),
-          readHeaders(p).flatMap(parseCdc).toMap)
+          readHeaders(p).flatMap(parseCdc).toMap,
+          paired = readHeaders(p).exists(_.startsWith("#cdcpair")),
+          eqdels = readHeaders(p).flatMap(parseEqDel))
       }
     }
   }
@@ -2722,7 +3149,7 @@ object ManifestSink {
       s"${if (cdf) "change-feed" else "incremental"} read ($since, " +
         s"$asOf] on $path crosses a non-append epoch ${d.id} " +
         s"(#op ${d.op}: ${d.removes.size} removes, ${d.dvs.size} dv " +
-        "records)" + (if (cdf)
+        s"records, ${d.eqdels.size} equality-delete records)" + (if (cdf)
           " whose change set is a multiset diff — serve it exactly " +
             "with ChangeFeed.tableChanges, or set ignoreChanges=true " +
             "to re-deliver its added files as inserts"
@@ -2735,6 +3162,12 @@ object ManifestSink {
       val deleteOnly = d.adds.isEmpty && (d.removes.nonEmpty || d.dvs.nonEmpty)
       d.op match {
         case "compact" | "metadata" => Seq.empty
+        case _ if d.eqdels.nonEmpty =>
+          // a keyed-upsert epoch's delete half is a key anti-join —
+          // not a per-file read; ChangeFeed.tableChanges serves it
+          // exactly (round 19)
+          if (onChange == "ignoreChanges") adds(d, "insert")
+          else refuse(d)
         case "append" => adds(d, "insert")
         case _ if d.removes.nonEmpty || (!cdf && d.dvs.nonEmpty) =>
           if (onChange == "ignoreChanges") adds(d, "insert")
@@ -2791,9 +3224,11 @@ object ManifestSink {
         val adds = readData(p).size.toLong
         val removes = readRemoves(p).size.toLong
         val dvs = readDvRecords(p).size.toLong
+        val eqdels = readHeaders(p).count(_.startsWith("#eqdel "))
         val kind =
           if (branchOf(p).isDefined) "branch" // staged, not yet visible
           else if (removes > 0) "rewrite"
+          else if (eqdels > 0) "upsert" // keyed delete-by-key + appends
           else if (dvs > 0) "delete" // merge-on-read: #dv records only
           else if (adds > 0) "append"
           else "metadata"
@@ -2884,11 +3319,18 @@ case class ManifestTable(path: String, writeSchema: StructType,
     /** Write-audit-publish (round 17): stage this write's epochs on a
       * BRANCH (the `spark.graft.wap.branch` session conf) — invisible
       * to every main face until `CALL graft.sys.fast_forward`
-      * publishes them. APPENDS and (round 18, via the catalog's MOR
-      * faces) `#dv` deltas stage; overwrite/truncate/COW forms refuse
-      * under a branch (their remove semantics against a moving main
-      * are undefined until publish). */
-    forBranch: Option[String] = None)
+      * publishes them. APPENDS, (round 18, via the catalog's MOR
+      * faces) `#dv` deltas and (round 19) OVERWRITE forms stage; COW
+      * rewrites refuse under a branch. */
+    forBranch: Option[String] = None,
+    /** Equality-delete key files this rewrite RESOLVED (round 19,
+      * `eqDrops` option): the commit publishes `#eqdrop` records and
+      * the claim fence verifies they cover the live set. */
+    eqDrops: Seq[String] = Seq.empty,
+    /** KEYED-UPSERT key columns from the path face's table options
+      * (round 19) — the catalog face passes them per-write through
+      * `LogicalWriteInfo.options` instead. */
+    upsertKeysOpt: Seq[String] = Seq.empty)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead {
   private def physicalize(st: StructType): StructType =
@@ -2938,10 +3380,43 @@ case class ManifestTable(path: String, writeSchema: StructType,
         }
     }
   }
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsOverwrite
-        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // KEYED UPSERT option (round 19, equality deletes): `upsertKeys`
+    // names LOGICAL key columns; the streaming face then commits
+    // delete-by-key + appends per micro-batch. The builder variant
+    // carries `SupportsStreamingUpdateAsAppend` ONLY in this mode —
+    // an Update-output aggregate without keys must keep refusing
+    // (treating its updates as plain appends would serve duplicates).
+    val upsertKeys: Seq[String] =
+      (Option(info.options.get("upsertKeys")).toSeq
+        .flatMap(_.split(",").toSeq).map(_.trim).filter(_.nonEmpty)
+        match {
+          case Seq() => upsertKeysOpt
+          case fromInfo => fromInfo
+        }).map(c => renameCols.getOrElse(c.toLowerCase, c))
+    if (upsertKeys.nonEmpty) {
+      val phys = physicalize(info.schema())
+      upsertKeys.foreach { c =>
+        val f = phys.fields.find(_.name.equalsIgnoreCase(c))
+        require(f.isDefined,
+          s"upsertKeys column '$c' is not in the write schema " +
+            s"'${phys.toDDL}'")
+        val tok = ManifestSink.typeTokOf(f.get.dataType)
+        require(Set("long", "integer", "short", "byte", "timestamp",
+          "date", "string").contains(tok),
+          s"upsertKeys column '$c' must be long-family or string, " +
+            s"got $tok")
+      }
+      new MTWriteBuilder(info, upsertKeys)
+        with org.apache.spark.sql.internal.connector
+          .SupportsStreamingUpdateAsAppend
+    } else new MTWriteBuilder(info, Seq.empty)
+  }
+
+  private class MTWriteBuilder(info: LogicalWriteInfo,
+      upsertKeys: Seq[String]) extends WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsOverwrite
+      with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       private var truncating = false
       private var overwriteWhere: Option[Seq[org.apache.spark.sql.sources.Filter]] = None
       private var dynamic = false
@@ -2999,10 +3474,15 @@ case class ManifestTable(path: String, writeSchema: StructType,
       }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = {
+          if (upsertKeys.nonEmpty) throw new UnsupportedOperationException(
+            "upsertKeys is a STREAMING sink option (keyed micro-batch " +
+              "upsert); for batch row-level changes use MERGE INTO")
           val removes: () => Seq[String] =
             if (truncating)
-              () => ManifestSink.committedFiles(path).map(f =>
-                Paths.get(f).getFileName.toString)
+              () => (forBranch match {
+                case Some(b) => ManifestSink.branchFiles(path, b)
+                case None => ManifestSink.committedFiles(path)
+              }).map(f => Paths.get(f).getFileName.toString)
             else () => removeFiles
           val op = declaredOp.getOrElse {
             if (truncating || overwriteWhere.isDefined || dynamic)
@@ -3010,14 +3490,23 @@ case class ManifestTable(path: String, writeSchema: StructType,
             else if (removeFiles.nonEmpty) "rewrite"
             else "append"
           }
-          if (forBranch.isDefined && op != "append")
+          // APPENDS and (round 19) OVERWRITE forms stage on a branch:
+          // a staged overwrite's remove set derives from the BRANCH's
+          // visible state per claim attempt, fences against it, and
+          // fast_forward replays removes+adds as ONE epoch under the
+          // base fence — the audit-then-publish partition backfill.
+          // COW rewrites (delete/update/merge/compact) still refuse:
+          // their survivors are computed against a snapshot the
+          // publish cannot re-verify row-wise.
+          if (forBranch.isDefined && op != "append" && op != "overwrite")
             throw new UnsupportedOperationException(
-              s"graft wap.branch ${forBranch.get}: only APPENDS can be " +
-                s"staged on a branch (this write is $op) — run the " +
-                "operation on main, or publish the branch first")
+              s"graft wap.branch ${forBranch.get}: only APPENDS and " +
+                s"OVERWRITES can be staged on a branch (this write is " +
+                s"$op) — run the operation on main, or publish the " +
+                "branch first")
           ManifestBatchWrite(path, physicalize(info.schema()),
             compactInterval, removes, spec, overwriteWhere, dynamic,
-            consumedDvs, specId, op, forBranch)
+            consumedDvs, specId, op, forBranch, eqDrops)
         }
         // writerId = the STREAMING QUERY's stable id (Spark passes
         // checkpoint-metadata `id`, not the per-run runId, as the
@@ -3044,7 +3533,7 @@ case class ManifestTable(path: String, writeSchema: StructType,
                 "streaming write carries no query id; the manifest log " +
                   "needs a stable writer identity for replay detection")),
             java.util.UUID.randomUUID.toString.take(8), spec, specId,
-            forBranch)
+            forBranch, upsertKeys)
         }
       }
     }
@@ -3082,6 +3571,12 @@ case class CommittedFile(name: String, rows: Long,
 /** A partition-fan-out task's contribution: one [[CommittedFile]] per
   * partition tuple the task's rows landed in (round 15). */
 case class CommittedFileSet(files: Seq[CommittedFile]) extends WriterCommitMessage
+
+/** A keyed-upsert task's commit (round 19, equality deletes): the
+  * ordinary data message plus the task's key file — (name, rows),
+  * absent when the task saw no rows. */
+case class EqUpsertCommit(data: WriterCommitMessage,
+    eqFile: Option[(String, Long)]) extends WriterCommitMessage
 
 /** Min/max of one long-family column within one committed file
   * (timestamps as UTC micros, dates as epoch days — the InternalRow
@@ -3137,7 +3632,8 @@ case class ManifestBatchWrite(path: String, schema: StructType,
     dynamicOverwrite: Boolean = false,
     consumedDvs: Option[Map[String, Set[String]]] = None,
     specId: Int = 0, op: String = "append",
-    forBranch: Option[String] = None) extends BatchWrite {
+    forBranch: Option[String] = None,
+    eqDrops: Seq[String] = Seq.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val (bloomCols, bloomBits) = BloomSkip.configOf(path)
     ManifestWriterFactory(path, schema.fields.map(_.name),
@@ -3158,12 +3654,24 @@ case class ManifestBatchWrite(path: String, schema: StructType,
     * partition tuple on which the predicate decides EXACTLY — a file
     * without one (pre-partitioning writer) refuses rather than being
     * silently kept or blindly replaced. */
+  /** The write's VISIBLE state (round 19): a branch-staged overwrite
+    * sees — and removes from — the branch's files and tuples, exactly
+    * as its reads do. */
+  private def liveFiles: Seq[String] = forBranch match {
+    case Some(b) => ManifestSink.branchFiles(path, b)
+    case None => ManifestSink.committedFiles(path)
+  }
+  private def livePartitions: Map[String, PartTuple] = forBranch match {
+    case Some(b) => ManifestSink.branchFilePartitions(path, b)
+    case None => ManifestSink.filePartitions(path)
+  }
+
   private def filteredRemoves(fs: Seq[org.apache.spark.sql.sources.Filter])
       : Seq[String] = {
     val pred = andOf(fs)
     val book = ManifestSink.partitionSpecs(path)
-    val parts = ManifestSink.filePartitions(path)
-    ManifestSink.committedFiles(path).map(baseName).filter { n =>
+    val parts = livePartitions
+    liveFiles.map(baseName).filter { n =>
       // each file decides under the spec it was WRITTEN under (round
       // 16) — a predicate on a column that is identity in BOTH eras
       // stays decidable across an evolution
@@ -3184,8 +3692,8 @@ case class ManifestBatchWrite(path: String, schema: StructType,
   private def dynamicRemoves(written: Set[Seq[String]]): Seq[String] = {
     if (spec.isEmpty) throw new UnsupportedOperationException(
       s"dynamic partition overwrite on $path: the table is unpartitioned")
-    val parts = ManifestSink.filePartitions(path)
-    ManifestSink.committedFiles(path).map(baseName).filter { n =>
+    val parts = livePartitions
+    liveFiles.map(baseName).filter { n =>
       parts.get(n) match {
         case Some(t) if t.specId == specId => written.contains(t.toks)
         case Some(t) => throw new UnsupportedOperationException(
@@ -3240,7 +3748,8 @@ case class ManifestBatchWrite(path: String, schema: StructType,
         case None => removeFiles
       }
     ManifestSink.commitBatchEpoch(path, schema.toDDL, messages,
-      removesGen, compactInterval, consumedDvs, specId, op, forBranch)
+      removesGen, compactInterval, consumedDvs, specId, op, forBranch,
+      eqDrops = eqDrops)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -3275,13 +3784,19 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
       * invisible to main until `fast_forward` replays the adds AND
       * carries the per-writer `#txn` watermarks (so a post-publish
       * restart's replayed engine epochs still detect). */
-    forBranch: Option[String] = None) extends StreamingWrite {
+    forBranch: Option[String] = None,
+    /** KEYED UPSERT mode (round 19, equality deletes): PHYSICAL key
+      * columns — each micro-batch commits `#eqdel` (delete-by-key of
+      * every earlier epoch's rows) + its appends in ONE epoch,
+      * WITHOUT reading the target. The Update-output rows of a
+      * streaming aggregate become a keyed table upsert. */
+    upsertKeys: Seq[String] = Seq.empty) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val (bloomCols, bloomBits) = BloomSkip.configOf(path)
     ManifestStreamingWriterFactory(path, schema.fields.map(_.name),
       schema.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)),
       runToken, spec, bloomCols, bloomBits,
-      BloomSkip.rowGroupBytesOf(path))
+      BloomSkip.rowGroupBytesOf(path), upsertKeys)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -3297,13 +3812,21 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
       // foreign file (or a future naming bug) from turning the replay
       // cleanup into committed-data loss.
       val published = ManifestSink.referencedFiles(dir)
-      ManifestSink.committedFilesOf(messages).foreach { m =>
-        if (!published.contains(m.name))
-          Files.deleteIfExists(Paths.get(path, "data", m.name))
+      (ManifestSink.committedFilesOf(messages).map(_.name) ++
+        ManifestSink.eqFilesOf(messages).map(_._1)).foreach { n =>
+        if (!published.contains(n))
+          Files.deleteIfExists(Paths.get(path, "data", n))
       }
       return
     }
     val files = ManifestSink.committedFilesOf(messages).sortBy(_.name)
+    val eqFiles = ManifestSink.eqFilesOf(messages).sortBy(_._1)
+    if (upsertKeys.nonEmpty && forBranch.isDefined)
+      throw new UnsupportedOperationException(
+        s"graft wap.branch ${forBranch.get}: a keyed-upsert stream " +
+          "(upsertKeys) cannot stage on a branch — its delete-by-key " +
+          "half retro-applies against a moving main; publish first or " +
+          "stream to main")
     val parts = files.collect {
       case f if f.part.nonEmpty =>
         ManifestSink.partLine(f.name, PartTuple(specId, f.part)) }
@@ -3314,9 +3837,13 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
             "CALL graft.sys.create_branch first")
         s"#forbranch $b"
       }.toSeq
+      val eqLines = eqFiles.map { case (n, rows) =>
+        ManifestSink.eqDelLine(n, upsertKeys, rows) }
       Seq(s"#txn $writerId $epochId",
-        s"#schema ${schema.toDDL}", ManifestSink.opLine("append")) ++
-        branchHdr ++ files.map(ManifestSink.statsLine) ++
+        s"#schema ${schema.toDDL}",
+        ManifestSink.opLine(
+          if (eqFiles.nonEmpty) "upsert" else "append")) ++
+        branchHdr ++ eqLines ++ files.map(ManifestSink.statsLine) ++
         files.flatMap(ManifestSink.bloomLine) ++ parts ++ files.map(_.name)
     }
     ManifestSink.claimEpoch(dir, content _)
@@ -3336,9 +3863,10 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
     val published =
       if (Files.exists(dir)) ManifestSink.referencedFiles(dir)
       else Set.empty[String]
-    ManifestSink.committedFilesOf(messages).foreach { m =>
-      if (!published.contains(m.name))
-        Files.deleteIfExists(Paths.get(path, "data", m.name))
+    (ManifestSink.committedFilesOf(messages).map(_.name) ++
+      ManifestSink.eqFilesOf(messages).map(_._1)).foreach { n =>
+      if (!published.contains(n))
+        Files.deleteIfExists(Paths.get(path, "data", n))
     }
   }
 }
@@ -3348,7 +3876,13 @@ case class ManifestStreamingWriterFactory(path: String, fieldNames: Array[String
     spec: Seq[PartField] = Seq.empty,
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = BloomSkip.DefaultBits,
-    rowGroupBytes: Int = 0) extends StreamingDataWriterFactory {
+    rowGroupBytes: Int = 0,
+    /** PHYSICAL key columns of a keyed-upsert stream (round 19,
+      * equality deletes): each task ALSO writes its rows' key tuples
+      * to a small `eq-…` parquet file — the delete-by-key half the
+      * commit publishes as an `#eqdel` record, without ever reading
+      * the target. Empty = ordinary append. */
+    upsertKeys: Seq[String] = Seq.empty) extends StreamingDataWriterFactory {
   // the epoch is baked into the file name so replayed-epoch files are
   // recognizable on disk; taskId distinguishes attempts within a run,
   // and the run token distinguishes RUNS — a replay in a fresh JVM
@@ -3356,12 +3890,60 @@ case class ManifestStreamingWriterFactory(path: String, fieldNames: Array[String
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
     val base = f"${ManifestSink.epochName(epochId)}-part-$partitionId%05d-$taskId-$runToken"
-    if (spec.isEmpty)
-      ManifestWriters.create(path, fieldNames, fieldTypes, s"$base.parquet",
-        bloomCols, bloomBits, rowGroupBytes)
-    else
-      ManifestWriters.createFanOut(path, fieldNames, fieldTypes, spec,
-        k => s"$base-p$k.parquet", bloomCols, bloomBits, rowGroupBytes)
+    val inner: DataWriter[InternalRow] =
+      if (spec.isEmpty)
+        ManifestWriters.create(path, fieldNames, fieldTypes, s"$base.parquet",
+          bloomCols, bloomBits, rowGroupBytes)
+      else
+        ManifestWriters.createFanOut(path, fieldNames, fieldTypes, spec,
+          k => s"$base-p$k.parquet", bloomCols, bloomBits, rowGroupBytes)
+    if (upsertKeys.isEmpty) inner
+    else {
+      val keyIdx = upsertKeys.map(c =>
+        fieldNames.indexWhere(_.equalsIgnoreCase(c))).toArray
+      val keyToks = keyIdx.map(fieldTypes)
+      val eqW = ManifestWriters.create(path, upsertKeys.toArray, keyToks,
+        s"eq-$base.parquet")
+      new DataWriter[InternalRow] {
+        private var keyRows = 0L
+        override def write(row: InternalRow): Unit = {
+          inner.write(row)
+          // the key projection writes SYNCHRONOUSLY, so values may
+          // reference the (reused) incoming row safely
+          val vals = keyIdx.indices.map[Any] { j =>
+            val i = keyIdx(j)
+            if (row.isNullAt(i)) null
+            else keyToks(j) match {
+              case "long" | "timestamp" => row.getLong(i)
+              case "integer" | "date" => row.getInt(i)
+              case "short" => row.getShort(i)
+              case "byte" => row.getByte(i)
+              case "string" => row.getUTF8String(i)
+              case other => throw new IOException(
+                s"upsertKeys column type $other is not a " +
+                  "long-family/string key")
+            }
+          }.toArray
+          eqW.write(new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(vals))
+          keyRows += 1
+        }
+        override def commit(): WriterCommitMessage = {
+          val dataMsg = inner.commit()
+          val eqMsg = eqW.commit().asInstanceOf[CommittedFile]
+          if (keyRows == 0L) {
+            // empty task: no keys, no eq file on disk
+            Files.deleteIfExists(Paths.get(path, "data", eqMsg.name))
+            EqUpsertCommit(dataMsg, None)
+          } else EqUpsertCommit(dataMsg, Some((eqMsg.name, keyRows)))
+        }
+        override def abort(): Unit = {
+          try inner.abort() catch { case _: Exception => }
+          try eqW.abort() catch { case _: Exception => }
+        }
+        override def close(): Unit = { inner.close(); eqW.close() }
+      }
+    }
   }
 }
 
@@ -3840,23 +4422,32 @@ private[graft] object ManifestWriters {
       }
       override def commit(): WriterCommitMessage = {
         out.close()
+        // the hidden row-id column (round 19) stays OFF the stats
+        // plane: it is identity plumbing, never predicated on, and a
+        // record for it would pollute the null-accounting
+        // exhaustiveness contract over the DECLARED schema
+        def statable(i: Int): Boolean =
+          !fieldNames(i).equalsIgnoreCase(ManifestSink.RowIdColumnName)
         val stats =
           if (rows == 0) Seq.empty
           else longCols.collect {
             // an all-null column observed nothing — no stats for it
-            case i if mins(i) <= maxs(i) => ColStat(fieldNames(i), mins(i), maxs(i))
+            case i if mins(i) <= maxs(i) && statable(i) =>
+              ColStat(fieldNames(i), mins(i), maxs(i))
           }.toSeq
         val strStats =
           if (rows == 0) Seq.empty
           else fieldTypes.indices.collect {
-            case i if fieldTypes(i) == "string" && strMin(i) != null =>
+            case i if fieldTypes(i) == "string" && strMin(i) != null &&
+                statable(i) =>
               val (mn, mx) = StrColStat.bounds(strMin(i), strMax(i))
               StrColStat(fieldNames(i), mn, mx)
           }.toSeq
         val nullStats =
           if (rows == 0) Seq.empty
-          else fieldNames.indices.map(i =>
-            NullStat(fieldNames(i), nullCnt(i))).toSeq
+          else fieldNames.indices.collect {
+            case i if statable(i) => NullStat(fieldNames(i), nullCnt(i))
+          }.toSeq
         val blooms =
           if (rows == 0) Seq.empty
           else fieldTypes.indices.collect {
@@ -3897,7 +4488,17 @@ case class ManifestFilePartition(file: String,
     keepPositions: Boolean = false,
     changeType: String = null,
     commitVersion: Long = -1L,
-    commitTsMicros: Long = -1L)
+    commitTsMicros: Long = -1L,
+    /** The file's `#rowid` base (round 19, row tracking) — what the
+      * `_row_id` pseudo-column adds to the row ordinal when the file
+      * carries no materialized `_graft_rowid` value. -1 = untracked
+      * (pre-r19 file): `_row_id` serves null. */
+    rowIdBase: Long = -1L,
+    /** APPLICABLE equality-delete key files (round 19): (absolute
+      * path, PHYSICAL key column names) — rows of THIS file matching
+      * any key tuple are skipped (the file was committed before the
+      * delete; exempt files never list it here). */
+    eqFiles: Seq[(String, Seq[String])] = Seq.empty)
     extends org.apache.spark.sql.connector.read.InputPartition
 
 /** The epoch log as a micro-batch SOURCE. STATELESS admission (the
@@ -4068,18 +4669,41 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
     // to EMIT, not to skip
     def skipPos(p: Long): Boolean =
       if (mp.keepPositions) !deleted.contains(p) else deleted.contains(p)
+    // EQUALITY DELETES (round 19): the partition's applicable key
+    // files load into per-colset anti-sets (cached per immutable file
+    // — O(deleted keys) executor memory, the Iceberg eq-delete
+    // caveat; compaction is the resolution). Rows whose normalized
+    // key tuple matches any set are skipped; a null key never matches
+    // (SQL delete-where semantics).
+    val eqKeySets: Seq[(Seq[String], java.util.HashSet[Seq[Any]])] =
+      mp.eqFiles.map { case (p, cols) =>
+        (cols, ManifestReadFactory.eqKeySet(p, cols)) }
+    val eqColsNeeded: Seq[String] = mp.eqFiles.flatMap(_._2).distinct
     // STRUCT/ARRAY columns ride as JSON type tokens (rounds 17/18)
     val compositeTypes: Array[org.apache.spark.sql.types.DataType] =
       fieldTypes.map(t => ManifestWriters.compositeOf(t).orNull)
     val wanted = fieldNames.filterNot(n =>
       n.equalsIgnoreCase("_file") || n.equalsIgnoreCase("_pos") ||
+        n.equalsIgnoreCase("_row_id") ||
         n.equalsIgnoreCase("_change_type") ||
         n.equalsIgnoreCase("_commit_version") ||
         n.equalsIgnoreCase("_commit_timestamp"))
+    // `_row_id` (round 19): a requested row id decodes the file's
+    // MATERIALIZED `_graft_rowid` column when one exists (a COW
+    // rewrite/compaction carried these rows), else computes base+pos
+    val wantRowId = fieldNames.exists(_.equalsIgnoreCase("_row_id"))
     val projected = new java.util.ArrayList[org.apache.parquet.schema.Type]()
     (0 until fileFields.size()).foreach { j =>
       val f = fileFields.get(j)
-      if (wanted.exists(_.equalsIgnoreCase(f.getName))) projected.add(f)
+      if (wanted.exists(_.equalsIgnoreCase(f.getName)) ||
+          (wantRowId && f.getName.equalsIgnoreCase(
+            ManifestSink.RowIdColumnName)) ||
+          // eq-delete key columns decode even when unrequested (the
+          // skip test needs them); a file LACKING a key column serves
+          // null for it — those rows survive, so the zero-projection
+          // fast path below stays valid for such files
+          eqColsNeeded.exists(_.equalsIgnoreCase(f.getName)))
+        projected.add(f)
     }
     if (projected.isEmpty) {
       // no data column lives in this file (count(*) / metadata-only
@@ -4087,6 +4711,9 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
       // footer's row count drives emission, ordinals are enumerated
       // (skipping deleted positions) only because `_pos` may be asked
       val posIdx = fieldNames.indexWhere(_.equalsIgnoreCase("_pos"))
+      // an un-materialized file's `_row_id` is base+pos (a file WITH a
+      // materialized column never takes this path — it was projected)
+      val ridIdx = fieldNames.indexWhere(_.equalsIgnoreCase("_row_id"))
       return new PartitionReader[InternalRow] {
         private var pos = -1L
         private val row = new org.apache.spark.sql.catalyst.expressions
@@ -4110,6 +4737,8 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
         }
         override def get(): InternalRow = {
           if (posIdx >= 0) row.update(posIdx, pos)
+          if (ridIdx >= 0) row.update(ridIdx,
+            if (mp.rowIdBase >= 0) mp.rowIdBase + pos else null)
           row
         }
         override def close(): Unit = ()
@@ -4185,7 +4814,10 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
       private var fidx: Array[Int] = _
       private var fprim: Array[org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] = _
       private def resolve(t: org.apache.parquet.schema.GroupType): Array[Int] =
-        fieldNames.map { n =>
+        fieldNames.map { n0 =>
+          // `_row_id` looks up the file's MATERIALIZED id column
+          val n = if (n0.equalsIgnoreCase("_row_id"))
+            ManifestSink.RowIdColumnName else n0
           if (t.containsField(n)) t.getFieldIndex(n)
           else {
             val fs = t.getFields
@@ -4209,6 +4841,44 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
           true
         }
       }
+      // eq-delete key indices resolved against the file's schema,
+      // cached per group-type instance (round 19)
+      private var eqResolvedFor: org.apache.parquet.schema.GroupType = _
+      private var eqIdx: Array[Array[Int]] = _
+      private def eqDeleted(g: org.apache.parquet.example.data.Group): Boolean = {
+        if (eqKeySets.isEmpty) return false
+        val t = g.getType
+        if (eqResolvedFor ne t) {
+          eqResolvedFor = t
+          eqIdx = eqKeySets.map(_._1.map { c =>
+            val fs = t.getFields
+            var found = -1
+            var j = 0
+            while (found < 0 && j < fs.size()) {
+              if (fs.get(j).getName.equalsIgnoreCase(c)) found = j
+              j += 1
+            }
+            found
+          }.toArray).toArray
+        }
+        var k = 0
+        while (k < eqKeySets.length) {
+          val idx = eqIdx(k)
+          val tuple = new Array[Any](idx.length)
+          var ok = true
+          var j = 0
+          while (ok && j < idx.length) {
+            val v =
+              if (idx(j) < 0 || g.getFieldRepetitionCount(idx(j)) == 0) null
+              else ManifestReadFactory.normalizedValue(g, idx(j))
+            if (v == null) ok = false else tuple(j) = v
+            j += 1
+          }
+          if (ok && eqKeySets(k)._2.contains(tuple.toSeq)) return true
+          k += 1
+        }
+        false
+      }
       override def next(): Boolean = {
         while (true) {
           if (in == null && !nextRun()) return false
@@ -4216,7 +4886,7 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
           if (cur == null) { in.close(); in = null }
           else {
             ManifestReadFactory.rowsDecoded.incrementAndGet()
-            if (!skipPos(pos)) return true
+            if (!skipPos(pos) && !eqDeleted(cur)) return true
           }
         }
         false
@@ -4232,7 +4902,18 @@ case class ManifestReadFactory(fieldNames: Array[String], fieldTypes: Array[Stri
         }
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           fieldTypes.indices.map[Any] { i =>
-            if (fidx(i) < 0) {
+            if (fieldNames(i).equalsIgnoreCase("_row_id")) {
+              // row tracking (round 19): materialized id wins (a
+              // carried row keeps its identity across the move); a
+              // null/absent materialized value is a FRESH row — its id
+              // is the file's base + ordinal; an untracked file serves
+              // null (pre-r19: no identity to invent)
+              if (fidx(i) >= 0 && cur.getFieldRepetitionCount(fidx(i)) > 0)
+                cur.getLong(fidx(i), 0)
+              else if (mp.rowIdBase >= 0) mp.rowIdBase + pos
+              else null
+            }
+            else if (fidx(i) < 0) {
               // `_file`/`_pos` metadata columns (rounds 14/16): the file
               // carries no such field, so serve the partition's base
               // name / the row's physical ordinal — a file with a REAL
@@ -4311,6 +4992,82 @@ object ManifestReadFactory {
     * in a multi-group file must decode O(groups holding K), not
     * O(file). */
   private[graft] val rowsDecoded = new java.util.concurrent.atomic.AtomicLong
+
+  /** One field of a parquet group NORMALIZED for equality-delete key
+    * comparison (round 19): the long family as Long, strings as
+    * String — the same scale on the data and key sides (both written
+    * by this sink's writer), so a tuple match can never disagree on
+    * encoding. Unsupported types answer null = never matches. */
+  private[sources] def normalizedValue(
+      g: org.apache.parquet.example.data.Group, fi: Int): Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val f = g.getType.getType(fi)
+    if (!f.isPrimitive) null
+    else f.asPrimitiveType().getPrimitiveTypeName match {
+      case INT64 => g.getLong(fi, 0)
+      case INT32 => g.getInteger(fi, 0).toLong
+      case BINARY => g.getBinary(fi, 0).toStringUsingUTF8
+      case _ => null
+    }
+  }
+
+  /** An equality-delete key file as a tuple anti-set, cached per
+    * immutable file identity (committed files never rewrite) — one
+    * decode per executor per file, shared by every partition that
+    * applies it. Tuples with null keys drop (null never matches). */
+  private val EqCacheCap = 64
+  private val eqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.HashSet[Seq[Any]]]()
+  private[sources] def eqKeySet(path: String, cols: Seq[String])
+      : java.util.HashSet[Seq[Any]] = {
+    val attrs = Files.readAttributes(Paths.get(path),
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val key = s"$path|${attrs.size}|${attrs.lastModifiedTime.toMillis}|" +
+      cols.mkString(",")
+    val hit = eqCache.get(key)
+    if (hit != null) return hit
+    val set = new java.util.HashSet[Seq[Any]]()
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(path))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .build()
+    try {
+      var g = reader.read()
+      var idx: Array[Int] = null
+      var resolvedFor: org.apache.parquet.schema.GroupType = null
+      while (g != null) {
+        val t = g.getType
+        if (resolvedFor ne t) {
+          resolvedFor = t
+          idx = cols.map { c =>
+            val fs = t.getFields
+            var found = -1
+            var j = 0
+            while (found < 0 && j < fs.size()) {
+              if (fs.get(j).getName.equalsIgnoreCase(c)) found = j
+              j += 1
+            }
+            found
+          }.toArray
+        }
+        val tuple = new Array[Any](idx.length)
+        var ok = true
+        var j = 0
+        while (ok && j < idx.length) {
+          val v = if (idx(j) < 0 || g.getFieldRepetitionCount(idx(j)) == 0)
+            null else normalizedValue(g, idx(j))
+          if (v == null) ok = false else tuple(j) = v
+          j += 1
+        }
+        if (ok) set.add(tuple.toSeq)
+        g = reader.read()
+      }
+    } finally reader.close()
+    if (eqCache.size >= EqCacheCap) eqCache.clear()
+    eqCache.put(key, set)
+    set
+  }
   /** One parquet GROUP value as an `InternalRow` of `want` — inner
     * fields resolve by case-insensitive NAME against the file's own
     * group type (absent → null: a pre-evolution file simply lacks an

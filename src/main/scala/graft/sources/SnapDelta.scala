@@ -52,6 +52,13 @@ private[sources] class SnapDeltaOperation(val tname: String,
     extends RowLevelOperation with SupportsDelta {
   ManifestSink.verifyDeclaredSchema(dir,
     s"graft.snap.$tname $cmd (merge-on-read)", tschema)
+  // EQUALITY DELETES (round 19): a MOR delta's replacement rows land
+  // in files EXEMPT from live `#eqdel` records — racing a keyed
+  // upsert would resurrect deleted keys (claim fence backstops).
+  require(ManifestSink.equalityDeletes(dir).isEmpty,
+    s"graft.snap.$tname $cmd: the table carries live equality " +
+      "deletes (a keyed streaming upsert is active) — CALL " +
+      "graft.sys.compact_data to resolve them first")
 
   // column-mapping boundary (round 16): same contract as the COW op —
   // `tschema` is PHYSICAL, Spark speaks LOGICAL, translation lives here

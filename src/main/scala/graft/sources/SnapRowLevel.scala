@@ -5,7 +5,8 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
@@ -51,6 +52,14 @@ private[sources] class SnapRowLevelOperation(val tname: String,
     colmap: Map[String, String] = Map.empty)
     extends RowLevelOperation {
   ManifestSink.verifyDeclaredSchema(dir, s"graft.snap.$tname $cmd", tschema)
+  // EQUALITY DELETES (round 19): a COW rewrite under live `#eqdel`
+  // records would carry old rows into files EXEMPT from them
+  // (add-epoch past the delete) — resurrecting deleted keys. The
+  // claim-time fence backstops the race; this refusal names the fix.
+  require(ManifestSink.equalityDeletes(dir).isEmpty,
+    s"graft.snap.$tname $cmd: the table carries live equality " +
+      "deletes (a keyed streaming upsert is active) — CALL " +
+      "graft.sys.compact_data to resolve them first")
 
   // column-mapping boundary (round 16): `tschema` is PHYSICAL; Spark
   // plans this operation against the table's LOGICAL schema, so pushed
@@ -127,10 +136,19 @@ private[sources] class SnapRowLevelOperation(val tname: String,
   override def command(): Command = cmd
   override def description(): String = s"graft.snap.$tname $cmd (copy-on-write)"
 
+  /** Live `#rowid` bases at pin time (round 19): the scan serves
+    * `_row_id` from them and the writer materializes it back. */
+  private[sources] val rowIdBases: Map[String, Long] =
+    ManifestSink.rowIdBases(dir)
+
   /** `_file` is how Spark's group-filter subquery names groups back to
-    * this scan — the one metadata column the COW contract needs. */
+    * this scan; `_row_id` (round 19) rides with every row through the
+    * rewrite — Spark's ReplaceData delivers both to the writer via the
+    * metadata projection (`DataWriter.write(meta, row)`), which is how
+    * a carried row's identity survives the copy-on-write move. */
   override def requiredMetadataAttributes(): Array[NamedReference] =
-    Array(Expressions.column(SnapFileColumn.name))
+    Array(Expressions.column(SnapFileColumn.name),
+      Expressions.column(SnapRowIdColumn.name))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapRowLevelScanBuilder(this)
@@ -171,6 +189,25 @@ private[sources] object SnapPosColumn
   override def isNullable: Boolean = false
   override def comment(): String =
     "physical row ordinal within the row's committed data file"
+}
+
+/** The `_row_id` metadata column (round 19, ROW TRACKING — the Delta
+  * row-tracking / Iceberg-v3 row-lineage shape): a row's STABLE
+  * identity — `coalesce(materialized _graft_rowid, file base + _pos)`.
+  * Fresh appends store nothing (the id IS the position under the
+  * file's `#rowid` base); a copy-on-write rewrite reads it through
+  * this column and MATERIALIZES it into the replacement files, so an
+  * updated/carried row keeps its id across the move — which is what
+  * lets the CDC feed pair a COW epoch's pre/post rows per ROW.
+  * Nullable: files committed before row tracking serve null. */
+private[sources] object SnapRowIdColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def name(): String = "_row_id"
+  override def dataType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+  override def isNullable: Boolean = true
+  override def comment(): String =
+    "stable row identity: materialized _graft_rowid, else #rowid base + _pos"
 }
 
 /** Scan builder for the row-level read faces: static `#stats` pruning
@@ -240,8 +277,11 @@ private[sources] class SnapRowLevelScan(op: SnapRowLevelOperation,
     // rewrite read. A file pruned here (static stats or runtime group
     // filter) provably holds no matching row and stays untouched.
     op.setRewrite(files.map(f => Paths.get(f).getFileName.toString))
-    files.map(f => ManifestFilePartition(f,
-      op.dvPathsOf(Paths.get(f).getFileName.toString)): InputPartition).toArray
+    files.map { f =>
+      val n = Paths.get(f).getFileName.toString
+      ManifestFilePartition(f, op.dvPathsOf(n),
+        rowIdBase = op.rowIdBases.getOrElse(n, -1L)): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -328,12 +368,17 @@ private[sources] class SnapRowLevelWrite(op: SnapRowLevelOperation,
   override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
     // the rewrite fans out under the table's spec, so COW survivors of
     // a partitioned table keep carrying their `#part` tuples (and
-    // their `#bloom` filters, round 18)
+    // their `#bloom` filters, round 18). ROW TRACKING (round 19): the
+    // inner writers carry one extra hidden long column — the
+    // materialized `_graft_rowid` the wrapper fills from each row's
+    // delivered metadata, preserving carried rows' identity.
     val (bloomCols, bloomBits) = BloomSkip.configOf(op.dir)
-    ManifestWriterFactory(op.dir, ws.fields.map(_.name),
-      ws.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)),
+    RowIdMaterializingFactory(ManifestWriterFactory(op.dir,
+      ws.fields.map(_.name) :+ ManifestSink.RowIdColumnName,
+      ws.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType))
+        :+ "long",
       java.util.UUID.randomUUID.toString.take(8), op.spec,
-      bloomCols, bloomBits, BloomSkip.rowGroupBytesOf(op.dir))
+      bloomCols, bloomBits, BloomSkip.rowGroupBytesOf(op.dir)))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -356,7 +401,10 @@ private[sources] class SnapRowLevelWrite(op: SnapRowLevelOperation,
         case org.apache.spark.sql.connector.write.RowLevelOperation
           .Command.MERGE => "merge"
         case _ => "delete"
-      })
+      },
+      // every carried row's id was materialized above → the feed may
+      // serve this epoch as per-row PAIRED changes (round 19)
+      cdcPair = true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -365,4 +413,41 @@ private[sources] class SnapRowLevelWrite(op: SnapRowLevelOperation,
         Files.deleteIfExists(Paths.get(op.dir, "data", m.name))
       case _ =>
     }
+}
+
+/** ROW-ID MATERIALIZING writer (round 19): wraps the shared parquet
+  * task writer (created with one extra trailing `_graft_rowid` long
+  * column) and fills that column from each row's DELIVERED metadata —
+  * Spark's ReplaceData tags carried/updated rows
+  * `WRITE_WITH_METADATA_OPERATION` and routes them through
+  * `DataWriter.write(metadata, record)` with the metadata projection
+  * in [[SnapRowLevelOperation.requiredMetadataAttributes]] order
+  * (`_file`, `_row_id`); MERGE-inserted rows arrive through the 1-arg
+  * `write` and materialize null — fresh rows take fresh ids from the
+  * commit's `#rowid` base instead. */
+private[sources] case class RowIdMaterializingFactory(
+    inner: ManifestWriterFactory) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] = {
+    val w = inner.createWriter(partitionId, taskId)
+    new DataWriter[InternalRow] {
+      private val suffix =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      private val joined =
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      override def write(record: InternalRow): Unit = {
+        suffix.update(0, null) // fresh row: id assigned at commit
+        w.write(joined(record, suffix))
+      }
+      override def write(meta: InternalRow, record: InternalRow): Unit = {
+        suffix.update(0,
+          if (meta.numFields < 2 || meta.isNullAt(1)) null
+          else java.lang.Long.valueOf(meta.getLong(1)))
+        w.write(joined(record, suffix))
+      }
+      override def commit(): WriterCommitMessage = w.commit()
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
+    }
+  }
 }

@@ -146,12 +146,34 @@ class CompactProcedure(snapDir: () => String,
           case None => book.current.nonEmpty
         }
       }
+      // EQUALITY DELETES (round 19): compaction is the RESOLUTION —
+      // every file a live `#eqdel` applies to is a rewrite candidate
+      // (the keys anti-join out during the read), and the commit
+      // publishes `#eqdrop` records releasing the sweep clamp and the
+      // COW/MOR refusals. Files exempt from every record (added after
+      // the newest delete) stay put.
+      val eqLive = ManifestSink.equalityDeletes(dir.toString)
+      val eqAddEp: Map[String, Long] =
+        if (eqLive.isEmpty) Map.empty
+        else ManifestSink.looseAddEpochs(dir.toString)
+      def applEq(n: String): Seq[ManifestSink.EqDelete] =
+        eqLive.filter(e => eqAddEp.get(n).forall(_ < e.epoch))
       val small = files.filter(f =>
         stats.get(fname(f)).exists(_.rows < target) ||
-          dvMap.get(fname(f)).exists(_.nonEmpty) || staleSpec(f))
+          dvMap.get(fname(f)).exists(_.nonEmpty) || staleSpec(f) ||
+          applEq(fname(f)).nonEmpty)
       val worthIt = small.size >= 2 ||
         small.exists(f => dvMap.get(fname(f)).exists(_.nonEmpty) ||
-          staleSpec(f))
+          staleSpec(f) || applEq(fname(f)).nonEmpty)
+      if (!worthIt && eqLive.nonEmpty) {
+        // no applicable file left (all rewritten or exempt): the
+        // records are dead weight — drop them in one metadata epoch
+        // (the claim fence verifies coverage per attempt)
+        ManifestSink.commitEqDropEpoch(dir.toString,
+          ManifestSink.tableProperties(dir.toString)
+            .get("compact.interval").flatMap(_.toIntOption)
+            .getOrElse(ManifestSink.DefaultCompactInterval))
+      }
       val result: (Long, Long, Long) =
         if (!worthIt) (0L, 0L, 0L)
         else {
@@ -169,9 +191,35 @@ class CompactProcedure(snapDir: () => String,
           val parts = math.max(1L, (totalRows + target - 1) / target).toInt
           val spark = org.apache.spark.sql.SparkSession.active
           // the rewrite read EXCLUDES live dv positions — this is the
-          // resolution step; the commit declares them consumed
-          val df = DvOps.readExcludingDeleted(spark, schema,
-            dir.toString, small, Some(dvMap))
+          // resolution step; the commit declares them consumed. ROW
+          // TRACKING (round 19): each carried row's id rides the
+          // rewrite as the hidden materialized column, so identity
+          // survives compaction — a later CDC pairing or rollback
+          // still recognizes the row. Untracked (pre-r19) rows carry
+          // null and take fresh ids from the commit's `#rowid` base.
+          // per APPLICABILITY class (files between two eqdel epochs
+          // take different record subsets): read each class with its
+          // own key anti-joins, then union — classes are bounded by
+          // the (small) live record count
+          def antiEq(d0: org.apache.spark.sql.DataFrame,
+              eqs: Seq[ManifestSink.EqDelete])
+              : org.apache.spark.sql.DataFrame =
+            eqs.groupBy(_.cols).foldLeft(d0) { case (d, (cols, group)) =>
+              val keys = spark.read.parquet(group.map(e =>
+                new java.io.File(new java.io.File(dir, "data"),
+                  e.file).toString): _*)
+                .select(cols.map(org.apache.spark.sql.functions.col): _*)
+              d.join(keys, cols, "left_anti")
+            }
+          val bases = ManifestSink.rowIdBases(dir.toString)
+          val df = small.groupBy(f => applEq(fname(f)).map(_.file).sorted)
+            .toSeq.sortBy(_._1.mkString(","))
+            .map { case (_, fs) =>
+              antiEq(DvOps.readWithRowIds(spark, schema,
+                dir.toString, fs, Some(dvMap), bases),
+                applEq(fname(fs.head)))
+            }.reduce(_ unionAll _)
+            .withColumnRenamed("_rid", ManifestSink.RowIdColumnName)
           val packed =
             if (sortCols.isEmpty) df.repartition(parts)
             else {
@@ -181,13 +229,15 @@ class CompactProcedure(snapDir: () => String,
             }
           val consumed = small.map(f => fname(f) ->
             dvMap.getOrElse(fname(f), Seq.empty).map(_._1).toSet).toMap
-          packed
+          val w = packed
             .write.format("graft.sources.ManifestSink")
             .option("path", dir.toString)
             .option("removeFiles", small.map(fname).mkString(","))
             .option("consumedDvs", ManifestSink.encodeConsumedDvs(consumed))
             .option("graft.op", "compact") // file rewrite ≠ row change:
                                            // the change feed skips it
+          (if (eqLive.isEmpty) w
+           else w.option("eqDrops", eqLive.map(_.file).mkString(",")))
             .mode("append").save()
           (small.size.toLong, parts.toLong, totalRows)
         }

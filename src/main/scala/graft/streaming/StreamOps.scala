@@ -1033,6 +1033,77 @@ object StreamOps {
     } finally batch.unpersist()
   }
 
+  /** EQUALITY-DELETE keyed upsert sink (round 19,
+    * `q_stream_eq_upsert` — the Iceberg-v2 equality-delete / Flink
+    * CDC-sink shape): [[runningUserTotals]] runs in Update mode
+    * straight INTO the manifest sink with `upsertKeys=user_id` — each
+    * micro-batch commits `#eqdel` (delete-by-key of every earlier
+    * epoch's rows) + its appended rows in ONE atomic epoch, WITHOUT
+    * READING THE TARGET (the foreachBatch MERGE in [[upsertStreamed]]
+    * re-reads touched buckets per trigger; this sink writes O(batch)
+    * bytes and nothing else — the shape a 100 TB keyed CDC ingest
+    * needs). Reads apply the key anti-sets in the group reader;
+    * `compact_data` resolves them back to plain files. In-query pins:
+    * the sink really never read the target (the group-reader decode
+    * counter is unmoved by the streaming phase), every data batch
+    * committed an `upsert` epoch, and the post-compaction state is
+    * value-identical with zero live records. Oracle: identical to
+    * q_stream_upsert — the final table IS the batch per-user totals. */
+  def eqUpsertStreamed(parent: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(parent)
+    val schema = completeEvents(spark, dir).schema
+    val root = scratchTmp("graft_stream_equp")
+    val feed = new FileFeed(Files.createDirectories(root.resolve("src")))
+    val table = root.resolve("totals").toString
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed.watch.toString)
+    import spark.implicits._
+    val decoded0 = graft.sources.ManifestReadFactory.rowsDecoded.get()
+    val query = runningUserTotals(src.as[Ev]).toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .queryName("graft_stream_equp_sink")
+      .format("graft.sources.ManifestSink")
+      .option("path", table)
+      .option("upsertKeys", "user_id")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    try Seq(stagedHalf(spark, dir, 1), stagedHalf(spark, dir, 2))
+      .foreach { b => feed.landStaged(b); query.processAllAvailable() }
+    finally { query.stop(); feed.close() }
+    if (!Files.exists(Path.of(table)))
+      return spark.emptyDataset[UserAgg].toDF() // empty corpus: no batches
+    require(graft.sources.ManifestReadFactory.rowsDecoded.get() == decoded0,
+      "the keyed upsert sink must never read the target table")
+    val live = graft.sources.ManifestSink.equalityDeletes(table)
+    val upserts = graft.sources.ManifestSink.logHistory(table)
+      .count(_._2 == "upsert")
+    require(upserts >= 1 && live.size >= upserts,
+      s"every data batch commits an upsert epoch: epochs=$upserts " +
+        s"liveRecords=${live.size}")
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    spark.conf.set("spark.sql.catalog.graft.snap.totals.schema",
+      "user_id LONG, n_events LONG, total_cents LONG")
+    def state() = spark.sql(
+      "SELECT user_id, n_events, total_cents FROM graft.snap.totals")
+    // 1-row distributed fingerprint, MATERIALIZED before the
+    // compaction (a lazy plan would re-read the post state)
+    def fingerprint(): (Long, Long) = {
+      val r = spark.sql("SELECT count(*), sum(hash(user_id, n_events, " +
+        "total_cents)) FROM graft.snap.totals").collect().head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val pre = fingerprint()
+    // resolution: compaction rewrites the applicable files with the
+    // keys anti-joined out and drops the records — value-invisible
+    spark.sql("CALL graft.sys.compact_data('totals', 1000000)").collect()
+    require(graft.sources.ManifestSink.equalityDeletes(table).isEmpty,
+      "compact_data resolves every live equality delete")
+    require(fingerprint() == pre,
+      "eq-applying read == resolved read (value-invisible resolution)")
+    state()
+  }
+
   /** FOREACHBATCH upsert sink: [[runningUserTotals]] runs in Update
     * mode and each micro-batch's updated per-user rows [[upsertMerge]]
     * into the bucket-partitioned totals table — per trigger, only the

@@ -88,8 +88,24 @@ object LakeLadder {
       f"${flat.min}/${flat.sorted.apply(flat.length / 2)}/${flat.max} " +
       f"compactBytes[first/last]=${compacting.head}/${compacting.last} " +
       s"fragments=${1 + epochs % 10}")
-    require(flat.max <= flat.min + 24,
+    // bound allows digit growth of monotone counters only (epoch id,
+    // row-id base/watermark: O(log n) bytes, round 19) — NEVER O(files)
+    require(flat.max <= flat.min + 32,
       s"non-compacting commit metadata grew with age: ${flat.min}..${flat.max}")
+
+    // ——— ROW TRACKING (round 19): O(1) log cost per add — the
+    // `#rowid`/`#rowidhwm` lines are covered by the flat-commit pin
+    // above. Every live file carries a distinct base, and the id
+    // space is exactly the reserved row count (1 row per file here):
+    // bases 0..epochs-1 with no range ever issued twice, across THREE
+    // interleaved writers racing the same log.
+    val rtBases = ManifestSink.rowIdBases(log)
+    require(rtBases.size == epochs,
+      s"every live file has a #rowid base: ${rtBases.size}/$epochs")
+    require(rtBases.values.toSet == (0L until epochs.toLong).toSet,
+      "bases are the exact dense reservation 0..n-1 (no reuse, no gap)")
+    println(s"LAKE row tracking files=$epochs distinctBases=${rtBases.size} " +
+      s"idSpace=[0,$epochs) linesPerCommit=2")
 
     // ——— reads at table age: AS-OF, incremental window, replay check
     val t1 = System.nanoTime()
@@ -391,6 +407,49 @@ object LakeLadder {
       f"pointRead bloom=1/$blN ($blWall%.2fs eager, $blWallD%.2fs ckpt) " +
       f"minmaxOnly=38/$blN ($ctlWall%.2fs) " +
       s"maxRecordBytes=${blLines.map(_.length).max}")
+
+    // ——— BLOOM RESIDENCY CAP (round 19): driver-resident payload
+    // bytes must stay FLAT as the bloomed-file count grows past the
+    // cap — here 400 files' payloads (~1.1 MB) against a cap sized
+    // for ~40, a 10× overrun. The newest files stay resident (still
+    // bloom-prune to exactly 1); evicted older files fall back to the
+    // min/max envelope (38 planned, the ctl baseline) with values
+    // still exact — eviction costs pruning, never correctness.
+    val uncappedResident = ManifestSink.residentBloomBytes(blLog)
+    val blCap = 100000L // ~36 of the ~2.8 KB b64 payloads
+    require(uncappedResident > 10L * blCap,
+      s"rung needs a 10× overrun: uncapped=$uncappedResident cap=$blCap")
+    spark.sql("ALTER TABLE graft.snap.blwide " +
+      s"SET TBLPROPERTIES ('bloom.resident.bytes'='$blCap')")
+    val cappedResident = ManifestSink.residentBloomBytes(blLog)
+    require(cappedResident <= blCap && cappedResident > 0L,
+      s"resident bloom bytes under cap: $cappedResident <= $blCap")
+    // the NEWEST ~36 files' payloads fit under the cap
+    val nResident = ManifestSink.fileStats(blLog)
+      .count(_._2.blooms.nonEmpty)
+    require(nResident > 20 && nResident < 60,
+      s"cap keeps a newest-suffix of ~36 filters: $nResident")
+    // k=401 admits ALL 400 envelopes by min/max; only RESIDENT blooms
+    // can prune, and the holder (newest file b000399, {399, 401}) is
+    // resident — so exactly the other resident filters prune
+    val v401 = spark.sql("SELECT k FROM graft.snap.blwide WHERE k = 401")
+      .collect().map(_.getLong(0)).toSeq
+    require(v401 == Seq(401L), s"capped newest-file point read: $v401")
+    require(graft.sources.SnapTable.lastPruneOf("blwide") ==
+      ((blN, blN - nResident + 1)),
+      s"resident blooms prune, evicted ones cannot (resident=" +
+        s"$nResident): ${graft.sources.SnapTable.lastPruneOf("blwide")}")
+    // old file (b000037) evicted: k=37 falls back to the 38-file
+    // min/max envelope, values exact
+    val v37 = spark.sql("SELECT k FROM graft.snap.blwide WHERE k = 37")
+      .collect().map(_.getLong(0)).toSeq
+    require(v37 == Seq(37L), s"capped evicted-file point read: $v37")
+    require(graft.sources.SnapTable.lastPruneOf("blwide") == ((blN, 38)),
+      "evicted file falls back to min/max: " +
+        s"${graft.sources.SnapTable.lastPruneOf("blwide")}")
+    println(f"LAKE bloom residency files=$blN uncapped=$uncappedResident " +
+      s"cap=$blCap resident=$cappedResident residentFilters=$nResident " +
+      s"newestPrune=${blN - nResident + 1}/$blN evictedPrune=38/$blN")
     spark.stop()
     graft.util.Fs.deleteRecursively(root)
     println("LAKE-LADDER ALL GREEN")

@@ -3301,10 +3301,9 @@ class SnapshotSpec extends AnyFunSuite {
     s.conf.set("spark.graft.wap.branch", "audit")
     s.sql("INSERT INTO graft.snap.wap VALUES (2, 'b')")        // epoch 3
     s.sql("INSERT INTO graft.snap.wap VALUES (3, 'c')")        // epoch 4
-    // non-append forms refuse under the wap conf
-    val eOw = intercept[Exception] {
-      s.sql("INSERT OVERWRITE graft.snap.wap VALUES (9, 'z')") }
-    assert(eOw.getMessage.contains("staged on a branch"), eOw.getMessage)
+    // COPY-ON-WRITE forms still refuse under the wap conf (round 19
+    // lifted the refusal for OVERWRITE forms — staged-overwrite
+    // semantics are pinned in their own test below)
     val eDel = intercept[Exception] {
       s.sql("DELETE FROM graft.snap.wap WHERE k = 1") }
     assert(eDel.getMessage.contains("branch"), eDel.getMessage)
@@ -4033,6 +4032,279 @@ class SnapshotSpec extends AnyFunSuite {
       (2L, "b", "delete"), (2L, "B", "insert"),
       (4L, "d", "delete"), (9L, "i", "insert")),
       s"role-less merge epochs keep the net-effect fallback: ${feed()}")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("STAGED OVERWRITE on a WAP branch (round 19): overwrites stage " +
+    "against the BRANCH's visible state (a staged overwrite cancels an " +
+    "earlier staged add), the audit face serves the replaced state " +
+    "while main is untouched, fast_forward replays removes+adds as ONE " +
+    "overwrite epoch (feed = full replacement of the removed files), " +
+    "a main write after the fork still refuses the publish, and a " +
+    "dropped branch's staged overwrite never touches main") {
+    val root = Files.createTempDirectory("graft_wapow")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    val log = root.resolve("wov").toString
+    s.sql("""CREATE TABLE graft.snap.wov (k BIGINT, lang STRING)
+            |PARTITIONED BY (lang)""".stripMargin)
+    s.sql("INSERT INTO graft.snap.wov VALUES (1, 'de'), (2, 'es')") // ep 1
+    s.sql("CALL graft.sys.create_branch('wov', 'bf')").collect()    // ep 2
+    s.conf.set("spark.graft.wap.branch", "bf")
+    s.sql("INSERT INTO graft.snap.wov VALUES (3, 'es')")     // staged ep 3
+    // the staged filtered overwrite removes BOTH the main es file and
+    // the branch's own staged es add — derived from BRANCH state
+    s.sql("INSERT OVERWRITE graft.snap.wov PARTITION (lang = 'es') " +
+      "VALUES (20)")                                         // staged ep 4
+    s.conf.unset("spark.graft.wap.branch")
+    // audit face: the replaced partition; main: untouched
+    assert(s.sql("SELECT k FROM graft.snap.wov VERSION AS OF 'bf' " +
+      "ORDER BY k").collect().map(_.getLong(0)).toSeq == Seq(1L, 20L),
+      "the branch face serves the staged replacement")
+    assert(s.sql("SELECT k FROM graft.snap.wov ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "main is untouched while the overwrite is staged")
+
+    val pub = s.sql("CALL graft.sys.fast_forward('wov', 'bf')")
+      .collect().head
+    assert(s.sql("SELECT k FROM graft.snap.wov ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 20L),
+      "the publish flips the backfill into main atomically")
+    val pubV = graft.sources.ManifestSink.newestVersion(log)
+    val pubDelta = graft.sources.ManifestSink
+      .epochDeltas(log, pubV - 1, pubV).head
+    assert(pubDelta.op == "overwrite" && pubDelta.removes.size == 1 &&
+      pubDelta.adds.size == 1,
+      s"ONE overwrite epoch: op=${pubDelta.op} " +
+        s"removes=${pubDelta.removes.size} adds=${pubDelta.adds.size} " +
+        s"(the cancelled staged add published nothing)")
+    // the change feed serves the publish as full replacement of the
+    // removed file: (2, es) deleted, (20, es) inserted — the cancelled
+    // staged add's row (3, es) appears NOWHERE (never visible to main)
+    val feed = graft.sources.ChangeFeed
+      .tableChanges(s, log, pubV - 1, Some(pubV)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed == Set((2L, "es", "delete"), (20L, "es", "insert")),
+      s"publish feed = full replacement of the removed files: $feed")
+
+    // MAIN-WRITE RACE: a main data epoch after the fork refuses the
+    // publish of a staged overwrite, same as staged appends
+    s.sql("CALL graft.sys.create_branch('wov', 'race')").collect()
+    s.conf.set("spark.graft.wap.branch", "race")
+    s.sql("INSERT OVERWRITE graft.snap.wov PARTITION (lang = 'de') " +
+      "VALUES (30)")
+    s.conf.unset("spark.graft.wap.branch")
+    s.sql("INSERT INTO graft.snap.wov VALUES (5, 'fr')") // main moved
+    val eRace = intercept[Exception] {
+      s.sql("CALL graft.sys.fast_forward('wov', 'race')").collect() }
+    assert(eRace.getMessage.contains("no longer fast-forwards"),
+      eRace.getMessage)
+    // ... and dropping the branch abandons the staged overwrite whole:
+    // main keeps both the de row it would have replaced and the fr row
+    s.sql("CALL graft.sys.drop_branch('wov', 'race')").collect()
+    assert(s.sql("SELECT k FROM graft.snap.wov ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 5L, 20L),
+      "a dropped staged overwrite never touches main")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("EQUALITY DELETES (round 19): an #eqdel epoch deletes by key " +
+    "from every EARLIER epoch only (its own appends are exempt — the " +
+    "sequence rule), reads apply the key anti-sets on the current and " +
+    "time-travel faces, sweeps clamp below live records, COW/MOR/" +
+    "rollback refuse until compact_data resolves them (#eqdrop), " +
+    "resolution is value-invisible, and the feed serves upsert epochs " +
+    "as exact deletes + inserts") {
+    val root = Files.createTempDirectory("graft_eqdel")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    val log = root.resolve("eq").toString
+    s.sql("""CREATE TABLE graft.snap.eq (k BIGINT, v STRING)
+            |TBLPROPERTIES ('compact.interval'='4')""".stripMargin)
+    s.sql("INSERT INTO graft.snap.eq VALUES (1, 'a'), (2, 'b')") // ep 1
+    // keyed-upsert epochs through the streaming sink face (the same
+    // path q_stream_eq_upsert drives through the engine), no target
+    // read anywhere
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING")
+    def upsert(engineEpoch: Long, rows: (Long, String)*): Unit = {
+      val w = graft.sources.ManifestStreamingWrite(log, schema, 4,
+        "eqwriter", s"run$engineEpoch", upsertKeys = Seq("k"))
+      val dw = w.createStreamingWriterFactory(null)
+        .createWriter(0, 0L, engineEpoch)
+      rows.foreach { case (k, v) =>
+        dw.write(org.apache.spark.sql.catalyst.InternalRow(k,
+          org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+      }
+      w.commit(engineEpoch, Array(dw.commit()))
+    }
+    upsert(0L, (2L, "B"), (9L, "i"))                             // ep 2
+    def state(suffix: String = ""): Set[(Long, String)] =
+      s.sql(s"SELECT k, v FROM graft.snap.eq $suffix").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state() == Set((1L, "a"), (2L, "B"), (9L, "i")),
+      s"key 2's old row deleted, the epoch's own rows exempt: ${state()}")
+    upsert(1L, (9L, "I"))                                        // ep 3
+    assert(state() == Set((1L, "a"), (2L, "B"), (9L, "I")),
+      s"the second upsert re-keys 9 (sequence rule): ${state()}")
+    // TIME TRAVEL applies the records as of the version
+    assert(state("VERSION AS OF 2") == Set((1L, "a"), (2L, "B"), (9L, "i")))
+    assert(state("VERSION AS OF 1") == Set((1L, "a"), (2L, "b")))
+    // history classifies the epochs
+    assert(s.sql("SELECT version FROM graft.snap.eq.history " +
+      "WHERE kind = 'upsert'").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L))
+    // the CDC feed serves exact deletes + inserts per upsert epoch
+    def feed(since: Long, until: Long): Set[(Long, Long, String, String)] =
+      graft.sources.ChangeFeed.tableChanges(s, log, since, Some(until))
+        .selectExpr("_commit_version", "k", "v", "_change_type")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3))).toSet
+    assert(feed(1, 3) == Set(
+      (2L, 2L, "b", "delete"), (2L, 2L, "B", "insert"),
+      (2L, 9L, "i", "insert"),
+      (3L, 9L, "i", "delete"), (3L, 9L, "I", "insert")),
+      s"upsert epochs serve delete-by-key + insert: ${feed(1, 3)}")
+    // the per-file .changes face refuses (a key anti-join is not a
+    // per-file read) unless ignoreChanges re-delivers adds
+    val eFace = intercept[Exception] {
+      s.read.option("sinceVersion", "1").option("asOfVersion", "2")
+        .table("graft.snap.eq.changes").collect() }
+    assert(eFace.getMessage.contains("equality-delete"), eFace.getMessage)
+    // COW/MOR row-level ops and rollback refuse while records are live
+    val eUpd = intercept[Exception] {
+      s.sql("UPDATE graft.snap.eq SET v = 'x' WHERE k = 1") }
+    assert(eUpd.getMessage.contains("equality deletes"), eUpd.getMessage)
+    val eDel = intercept[Exception] {
+      s.sql("DELETE FROM graft.snap.eq WHERE k = 1") }
+    assert(eDel.getMessage.contains("equality deletes"), eDel.getMessage)
+    val eRb = intercept[Exception] {
+      s.sql("CALL graft.sys.rollback('eq', 1)").collect() }
+    assert(eRb.getMessage.contains("equality deletes"), eRb.getMessage)
+    // SWEEPS CLAMP below the oldest live record (interval 4): five
+    // more appends would normally compact, but the horizon must stay
+    // below epoch 2
+    (1 to 5).foreach(i =>
+      s.sql(s"INSERT INTO graft.snap.eq VALUES (${100 + i}, 'z')"))
+    assert(graft.sources.ManifestSink.compactionHorizon(log) < 2L,
+      s"sweeps clamp below live eqdels: " +
+        s"${graft.sources.ManifestSink.compactionHorizon(log)}")
+    // RESOLUTION: compact_data anti-joins the keys out, publishes
+    // #eqdrop, and the table returns to plain files — value-invisible
+    val before = state()
+    s.sql("CALL graft.sys.compact_data('eq', 1000000)").collect()
+    assert(graft.sources.ManifestSink.equalityDeletes(log).isEmpty,
+      "compact_data resolves every live record")
+    assert(state() == before, "resolution is value-invisible")
+    // ... the refusals lift ...
+    s.sql("UPDATE graft.snap.eq SET v = 'x' WHERE k = 1")
+    assert(state().contains((1L, "x")))
+    // ... and the sweep is free again (the update + appends push the
+    // horizon past the old clamp)
+    assert(graft.sources.ManifestSink.compactionHorizon(log) >= 2L,
+      s"resolution releases the sweep clamp: " +
+        s"${graft.sources.ManifestSink.compactionHorizon(log)}")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("ROW TRACKING (round 19): _row_id is stable across COW UPDATE " +
+    "and compaction (materialized _graft_rowid), the CDC feed serves " +
+    "COW MERGE and rollback as per-row PAIRED labels (#cdcpair), and " +
+    "stripping the pair header (the pre-r19 epoch shape) falls back " +
+    "to the documented multiset-diff net effect") {
+    val root = Files.createTempDirectory("graft_rowtrack")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    val log = root.resolve("rt").toString
+    s.sql("CREATE TABLE graft.snap.rt (k BIGINT, v STRING)")   // epoch 0
+    locally { import s.implicits._
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+        .coalesce(1).writeTo("graft.snap.rt").append()         // epoch 1
+    }
+    def ids(): Map[Long, Long] =
+      s.sql("SELECT k, _row_id FROM graft.snap.rt").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids1 = ids()
+    assert(ids1.keySet == Set(1L, 2L, 3L, 4L) &&
+      ids1.values.toSet.size == 4,
+      s"a fresh append serves distinct non-null row ids: $ids1")
+    // the append epoch assigned a base and bumped the watermark
+    val e1 = Files.readAllLines(root.resolve("rt").resolve(epochName(1)))
+      .asScala
+    assert(e1.exists(_.startsWith("#rowid ")) &&
+      e1.exists(_.startsWith("#rowidhwm ")),
+      s"append epoch records #rowid + #rowidhwm: $e1")
+
+    s.sql("UPDATE graft.snap.rt SET v = upper(v) WHERE k % 2 = 0") // ep 2
+    assert(ids() == ids1,
+      s"COW UPDATE preserves every row's identity: ${ids()} vs $ids1")
+    def feed(since: Long, until: Long): Set[(Long, String, String)] =
+      graft.sources.ChangeFeed.tableChanges(s, log, since, Some(until))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2))).toSet
+    assert(feed(1, 2) == Set(
+      (2L, "b", "update_preimage"), (2L, "B", "update_postimage"),
+      (4L, "d", "update_preimage"), (4L, "D", "update_postimage")),
+      s"paired COW UPDATE: only touched rows serve, per-row: ${feed(1, 2)}")
+
+    // COW MERGE: each clause under its OWN label — the r18 MOR-merge
+    // contract, now storage-strategy-invisible (ids pair the halves)
+    locally { import s.implicits._
+      Seq((2L, "x"), (4L, "nope"), (9L, "i")).toDF("k", "v")
+        .createOrReplaceTempView("rt_src")
+    }
+    s.sql(
+      """MERGE INTO graft.snap.rt t USING rt_src s ON t.k = s.k
+        |WHEN MATCHED AND s.k = 4 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)        // epoch 3
+    assert(feed(2, 3) == Set(
+      (2L, "B", "update_preimage"), (2L, "x", "update_postimage"),
+      (4L, "D", "delete"), (9L, "i", "insert")),
+      s"paired COW MERGE serves per-clause labels: ${feed(2, 3)}")
+
+    // ROLLBACK to the pre-merge snapshot: per-row paired REVERT —
+    // the updated row serves update_pre/postimage (merged -> original),
+    // the merge-deleted row comes back as insert, the merge-inserted
+    // row leaves as delete; untouched rows serve nothing
+    s.sql("CALL graft.sys.rollback('rt', 2)").collect()        // epoch 4
+    assert(ids() == ids1, s"rollback restores the original identities")
+    assert(feed(3, 4) == Set(
+      (2L, "x", "update_preimage"), (2L, "B", "update_postimage"),
+      (4L, "D", "insert"), (9L, "i", "delete")),
+      s"paired rollback: ${feed(3, 4)}")
+
+    // COMPACTION carries identity (materialized ids ride the rewrite):
+    // a second small file makes the bin-pack worth it, then both files
+    // rewrite into one — with every row's id intact
+    locally { import s.implicits._
+      Seq((7L, "g")).toDF("k", "v").coalesce(1)
+        .writeTo("graft.snap.rt").append()                     // epoch 5
+    }
+    val ids5 = ids()
+    assert(ids5.view.filterKeys(_ != 7L).toMap == ids1 &&
+      ids5.contains(7L) && !ids1.values.toSet.contains(ids5(7L)),
+      s"the new append takes a FRESH id: $ids5")
+    s.sql("CALL graft.sys.compact_data('rt', 1000000)").collect() // ep 6
+    assert(graft.sources.ManifestSink.committedFiles(log).size == 1,
+      "the bin-pack really rewrote both files")
+    assert(ids() == ids5, "compaction preserves every row's identity")
+    assert(feed(5, 6).isEmpty, "a compact epoch is no row change")
+
+    // PRE-r19 FALLBACK: strip #cdcpair from the merge epoch (exactly
+    // what an old log carries) -> the multiset-diff net effect
+    val e3 = root.resolve("rt").resolve(epochName(3))
+    val stripped = Files.readAllLines(e3).asScala
+      .filterNot(_.startsWith("#cdcpair"))
+    Files.write(e3, stripped.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    assert(feed(2, 3) == Set(
+      (2L, "B", "delete"), (2L, "x", "insert"),
+      (4L, "D", "delete"), (9L, "i", "insert")),
+      s"pair-less COW merge keeps the diff fallback: ${feed(2, 3)}")
     graft.util.Fs.deleteRecursively(root)
   }
 

@@ -762,7 +762,11 @@ class StreamingSpec extends AnyFunSuite {
         // the branch-staged stream drains ONE source file in one data
         // trigger; staging on the WAP branch must not cost extra
         // micro-batches over a plain append stream
-        "q_snap_branch_stream" -> ("graft_snap_wstr_sink", 1))
+        "q_snap_branch_stream" -> ("graft_snap_wstr_sink", 1),
+        // the equality-delete upsert sink drains two feed batches in
+        // two data triggers — delete-by-key + append per micro-batch
+        // costs no extra trigger over a plain append stream
+        "q_stream_eq_upsert" -> ("graft_stream_equp_sink", 2))
       for ((q, _) <- expect) SparkEntry.queries(q)(spark, TestSpark.Sf0001).count()
       // listener delivery is async — wait for the bus to drain
       var waited = 0
