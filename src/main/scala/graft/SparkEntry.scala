@@ -247,6 +247,7 @@ object SparkEntry {
     "q_snap_branch"      -> Materialize.snapBranch _,
     "q_snap_branch_mor"  -> Materialize.snapBranchMor _,
     "q_snap_branch_overwrite" -> Materialize.snapBranchOverwrite _,
+    "q_snap_ndv"         -> Materialize.snapNdv _,
     "q_snap_branch_stream" -> Materialize.snapBranchStream _,
     "q_snap_expire"      -> Materialize.snapExpire _,
     "q_snap_dv_delete"   -> Materialize.snapDvDelete _,
@@ -2636,6 +2637,20 @@ object SparkEntry {
         |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
         |  AND n_chars IS NOT NULL AND lang IN ('de', 'es')
         |GROUP BY lang""".stripMargin,
+    "q_snap_ndv" -> // per-file HLL NDV records, merged on the .stats
+      // face: exact distinct counts per column plus the deterministic
+      // 5%-accuracy bit (lgK=12 is exact below ~512, ~1.6% RSE above)
+      """SELECT 'doc_id' AS col_name,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_ndv,
+        |  TRUE AS est_ok
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL
+        |UNION ALL
+        |SELECT 'lang', CAST(count(DISTINCT lang) AS BIGINT), TRUE
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL""".stripMargin,
     "q_snap_branch_overwrite" -> // staged partition BACKFILL: a branch
       // stages INSERT OVERWRITE PARTITION(lang='es') with +1000 chars
       // against the branch's own visible state; fast_forward replays

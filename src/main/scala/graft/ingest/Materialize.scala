@@ -1754,6 +1754,73 @@ object Materialize {
         |GROUP BY lang""".stripMargin)
   }
 
+  /** PER-FILE NDV RECORDS (`q_snap_ndv`, round 19, the Iceberg-Puffin
+    * sketch shape via the DataSketches HLL Spark bundles): a table
+    * with `ndv.columns='doc_id,lang'` writes one HLL per configured
+    * column per file as rows stream; the `.stats` face serves the
+    * live files' sketches UNIONED (lossless merge) as per-column
+    * distinct estimates, and the snap scan's `estimateStatistics`
+    * consults them for broadcast decisions (PlanSpec pins the join
+    * flip). The records ride `compact_data` (the rewrite re-sketches
+    * its output). Oracle: exact distinct counts per column plus an
+    * accuracy bit — the lgK=12 sketch is EXACT below ~512 distincts
+    * and ~1.6% RSE above, so a 5% gate is deterministic at every SF
+    * this harness runs. */
+  def snapNdv(spark: SparkSession, dir: String): DataFrame = {
+    val root = processScratchDir(
+      s"graft_snap_ndv_${java.lang.Integer.toHexString(dir.hashCode)}")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
+    graft.sources.GraftCatalog.register(spark, dir)
+    spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    val complete = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    spark.sql(
+      """CREATE TABLE graft.snap.docndv
+        |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+        |TBLPROPERTIES ('ndv.columns'='doc_id,lang')""".stripMargin)
+    // several files so the face really MERGES sketches
+    complete.repartition(4).writeTo("graft.snap.docndv").append()
+    val log = new java.io.File(root, "docndv").toString
+    def face(): Map[String, (Long, Long)] =
+      spark.sql("SELECT column, files_sketched, ndv " +
+        "FROM graft.snap.docndv.stats").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val before = face()
+    val nFiles = graft.sources.ManifestSink.committedFiles(log).size
+    require(before.keySet == Set("doc_id", "lang") &&
+      before.values.forall(_._1 == nFiles.toLong),
+      s"every live file sketches both columns: $before files=$nFiles")
+    // records ride compaction: the rewrite re-sketches its output
+    spark.sql("CALL graft.sys.compact_data('docndv', 1000000000)")
+      .collect()
+    val after = face()
+    require(after.keySet == Set("doc_id", "lang") &&
+      after.values.forall(_._1 >= 1L),
+      s"records survive compaction (re-sketched): $after")
+    val est = after.view.mapValues(_._2).toMap
+    complete.createOrReplaceTempView("graft_ndv_src")
+    spark.sql(
+      """SELECT 'doc_id' AS col_name,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_ndv
+        |FROM graft_ndv_src
+        |UNION ALL
+        |SELECT 'lang', CAST(count(DISTINCT lang) AS BIGINT)
+        |FROM graft_ndv_src""".stripMargin)
+      .createOrReplaceTempView("graft_ndv_exact")
+    import org.apache.spark.sql.functions.{abs => fabs, udf => _}
+    spark.table("graft_ndv_exact")
+      .withColumn("est", org.apache.spark.sql.functions
+        .element_at(org.apache.spark.sql.functions.map(
+          est.toSeq.flatMap { case (c, v) =>
+            Seq(lit(c), lit(v)) }: _*), col("col_name")))
+      .select(col("col_name"), col("exact_ndv"),
+        (fabs(col("est") - col("exact_ndv")) <=
+          greatest(lit(1L), (col("exact_ndv") * 0.05).cast("long")))
+          .as("est_ok"))
+  }
+
   /** STAGED OVERWRITE on a WAP branch (`q_snap_branch_overwrite`,
     * round 19): the classic audit-then-publish partition BACKFILL.
     * Main loads de+es fanned by lang; a branch stages `INSERT

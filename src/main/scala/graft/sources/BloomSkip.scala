@@ -97,6 +97,18 @@ object BloomSkip {
         b
       }.getOrElse(0)
 
+  /** Shared logical→physical resolution for record-column configs. */
+  private[sources] def physCols(path: String, prop: String): Seq[String] = {
+    val cols = ManifestSink.tableProperties(path).get(prop).toSeq
+      .flatMap(_.split(",").toSeq).map(_.trim).filter(_.nonEmpty)
+    if (cols.isEmpty) Seq.empty
+    else {
+      val physOfLogical = ManifestSink.columnMapping(path).collect {
+        case (p, l) if l != ManifestSink.DroppedColumn => l.toLowerCase -> p }
+      cols.map(c => physOfLogical.getOrElse(c.toLowerCase, c))
+    }
+  }
+
   /** The bloom config of writes against `path`: (PHYSICAL column
     * names, numBits). Configured names are LOGICAL (the user-facing
     * face) and resolve through the column mapping, so a renamed
@@ -117,4 +129,38 @@ object BloomSkip {
       (cols.map(c => physOfLogical.getOrElse(c.toLowerCase, c)), bits)
     }
   }
+}
+
+/** PER-FILE NDV SKETCHES (round 19, the Iceberg-Puffin theta-sketch
+  * shape via Apache DataSketches HLL, which Spark itself bundles for
+  * `hll_sketch_agg`): opt-in `#ndv <file> <col>:<b64>[;…]` records —
+  * the writer updates one HLL per configured column as rows stream
+  * (free at write, like min/max and blooms), and the PLANNER merges
+  * the live files' sketches (HLL union is lossless) into per-column
+  * distinct counts the scan's `estimateStatistics` uses: an equality
+  * predicate on a high-NDV column scales the size estimate by 1/ndv,
+  * which is what lets Spark BROADCAST the filtered side of a join
+  * that min/max-only metadata would sort-merge. Records ride
+  * compaction, COW rewrites and fast_forward like `#stats`; absence
+  * only costs plan quality, never correctness. */
+object NdvSketch {
+  /** lgK = 12: ≤ ~2.5 KiB compact bytes per sketch, ~1.6% RSE —
+    * exact below ~512 distincts (the HLL sparse mode). */
+  val LgK: Int = 12
+
+  def create(): org.apache.datasketches.hll.HllSketch =
+    new org.apache.datasketches.hll.HllSketch(LgK)
+
+  def toB64(sk: org.apache.datasketches.hll.HllSketch): String =
+    Base64.getEncoder.encodeToString(sk.toCompactByteArray)
+
+  def fromB64(b64: String)
+      : Option[org.apache.datasketches.hll.HllSketch] =
+    try Some(org.apache.datasketches.hll.HllSketch.heapify(
+      Base64.getDecoder.decode(b64)))
+    catch { case _: Exception => None } // undecodable: no estimate
+
+  /** PHYSICAL columns of the `ndv.columns` table property. */
+  def configOf(path: String): Seq[String] =
+    BloomSkip.physCols(path, "ndv.columns")
 }

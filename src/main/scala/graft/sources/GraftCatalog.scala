@@ -463,6 +463,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           s"graft.snap.$name: bloom.columns entry '$c' must name a " +
             "long-family or string column of the table")
       }
+      case ("ndv.columns", v) => v.split(",").map(_.trim).foreach { c =>
+        val t = schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        require(t.exists(dt => SnapStats.bloomable(dt)),
+          s"graft.snap.$name: ndv.columns entry '$c' must name a " +
+            "long-family or string column of the table")
+      }
       case (k, v) => require(ManifestSink.propSafe(k) &&
           v.split(",", -1).forall(s => s.nonEmpty && ManifestSink.propSafe(s)),
         s"graft.snap.$name: table property '$k'='$v' must be token-safe")
@@ -1535,6 +1541,12 @@ private[sources] class SnapTable(tname: String, val dir: String,
     ManifestSink.verifyDeclaredSchema(dir, s"graft.snap.$tname", tschema)
     new SnapScanBuilder(tname, planInput(), tschema, options,
       rowIdBases = () => ManifestSink.rowIdBases(dir),
+      // ndv estimates describe the CURRENT snapshot — versioned and
+      // windowed reads keep default sizing
+      ndvState = () =>
+        if (since.isDefined || upTo.isDefined || branch.isDefined)
+          Map.empty
+        else ManifestSink.mergedNdv(dir),
       eqState = () => {
         // incremental windows never need application: the window
         // refuses to cross an upsert epoch, and files of a window
@@ -1659,6 +1671,10 @@ private[sources] class SnapMetaTable(tname: String, dir: String, meta: String)
       .add("n_files", LongType, nullable = false)
       .add("n_rows", LongType, nullable = true)
       .add("deleted_rows", LongType, nullable = false)
+    case "stats" => new StructType()
+      .add("column", StringType, nullable = false)
+      .add("files_sketched", LongType, nullable = false)
+      .add("ndv", LongType, nullable = false)
   }
   override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
     Set(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ).asJava
@@ -1677,10 +1693,24 @@ private[sources] class SnapMetaTable(tname: String, dir: String, meta: String)
 
 private[sources] object SnapMetaTable {
   val Names: Set[String] = Set("files", "history", "tags", "partitions",
-    "changes", "branches")
+    "changes", "branches", "stats")
 
   private[sources] def rowsOf(dir: String, meta: String)
       : Array[org.apache.spark.sql.catalyst.InternalRow] = meta match {
+    case "stats" =>
+      // the merged `#ndv` face (round 19): per-column distinct-count
+      // estimates of the LIVE snapshot, served under LOGICAL names
+      val colmap = ManifestSink.columnMapping(dir)
+        .map { case (pk, l) => pk.toLowerCase -> l }
+      ManifestSink.mergedNdv(dir).toSeq
+        .filterNot { case (c, _) =>
+          colmap.get(c.toLowerCase).contains(ManifestSink.DroppedColumn) }
+        .map { case (c, nv) => (colmap.getOrElse(c.toLowerCase, c), nv) }
+        .sortBy(_._1)
+        .map { case (c, (n, ndv)) =>
+          org.apache.spark.sql.catalyst.InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(c), n, ndv)
+        }.toArray
     case "files" =>
       val stats = ManifestSink.fileStats(dir)
       val dvs = ManifestSink.deleteVectors(dir)
@@ -2007,7 +2037,12 @@ private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
       * files absent from the add-epoch map predate the horizon and
       * take every delete). */
     eqState: () => (Seq[(Long, String, Seq[String])], Map[String, Long]) =
-      () => (Seq.empty, Map.empty))
+      () => (Seq.empty, Map.empty),
+    /** Merged `#ndv` estimates (round 19): physical column → (files
+      * sketched, distinct estimate) — when non-empty, the scan
+      * reports manifest statistics with equality predicates scaled by
+      * 1/ndv. Empty for ndv-less tables (zero plan change). */
+    ndvState: () => Map[String, (Long, Long)] = () => Map.empty)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.graftbridge.GraftCatalystFilterPushdown
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -2213,13 +2248,20 @@ private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
       case _ =>
     }
     val dscan = delegate.build()
-    if (streamSource.isEmpty && colmap.isEmpty) dscan
+    val ndv = ndvState()
+    if (ndv.isEmpty && streamSource.isEmpty && colmap.isEmpty) dscan
     else
         // batch reads delegate untouched (modulo readSchema renamed
         // physical→logical under a column mapping — rows are
         // positional); a streaming read swaps in the epoch-log tail
-        // (the same MicroBatchStream the path face uses)
-        new org.apache.spark.sql.connector.read.Scan {
+        // (the same MicroBatchStream the path face uses). With `#ndv`
+        // records (round 19) the scan additionally REPORTS manifest
+        // statistics: row count from `#stats`, equality/IN predicates
+        // scaled by 1/ndv — which is what lets Spark broadcast the
+        // filtered side of a join that byte-size-only metadata would
+        // sort-merge at 100 TB.
+        new org.apache.spark.sql.connector.read.Scan
+            with org.apache.spark.sql.connector.read.SupportsReportStatistics {
           override def readSchema(): org.apache.spark.sql.types.StructType =
             logicalize(dscan.readSchema())
           override def description(): String = dscan.description()
@@ -2232,6 +2274,83 @@ private[sources] class SnapScanBuilder(tname: String, input: SnapPlanInput,
               case None => throw new UnsupportedOperationException(
                 s"graft.snap.$tname: this face does not stream")
             }
+          override def estimateStatistics()
+              : org.apache.spark.sql.connector.read.Statistics = {
+            // ndv-less wrappers (colmap/streaming faces) keep the
+            // pre-r19 default sizing: empty optionals ≡ the conf
+            // default Spark used when no trait was present
+            if (ndv.isEmpty)
+              return new org.apache.spark.sql.connector.read.Statistics {
+                override def sizeInBytes(): java.util.OptionalLong =
+                  java.util.OptionalLong.empty()
+                override def numRows(): java.util.OptionalLong =
+                  java.util.OptionalLong.empty()
+              }
+            def ndvOf(c: String): Option[Long] = ndv.collectFirst {
+              case (k, (_, est)) if k.equalsIgnoreCase(c) =>
+                math.max(1L, est) }
+            val sel = filters.foldLeft(1.0) { (acc, f) =>
+              acc * (f match {
+                case EqualTo(c, _) =>
+                  ndvOf(c).map(n => math.min(1.0, 1.0 / n)).getOrElse(1.0)
+                case EqualNullSafe(c, _) =>
+                  ndvOf(c).map(n => math.min(1.0, 1.0 / n)).getOrElse(1.0)
+                case In(c, vs) =>
+                  ndvOf(c).map(n =>
+                    math.min(1.0, vs.length.toDouble / n)).getOrElse(1.0)
+                case _ => 1.0
+              })
+            }
+            val statsMap = input match {
+              case e: EagerPlanInput => e.stats
+              case _ => Map.empty[String, FileStat]
+            }
+            val names = kept.map(f =>
+              java.nio.file.Paths.get(f).getFileName.toString)
+            val rowsOpt =
+              if (names.forall(statsMap.contains))
+                Some(names.map(statsMap(_).rows).sum)
+              else None
+            val width = math.max(1, readSchema().defaultSize)
+            rowsOpt match {
+              case Some(r) =>
+                val rows =
+                  if (r == 0L) 0L
+                  else math.max(1L, math.round(r * sel))
+                new org.apache.spark.sql.connector.read.Statistics {
+                  override def sizeInBytes(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(math.max(1L, rows * width))
+                  override def numRows(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(rows)
+                }
+              case None => dscan match {
+                // no manifest row counts (checkpoint-planned table):
+                // scale the parquet delegate's own byte estimate
+                case s: org.apache.spark.sql.connector.read
+                    .SupportsReportStatistics =>
+                  val d = s.estimateStatistics()
+                  new org.apache.spark.sql.connector.read.Statistics {
+                    override def sizeInBytes(): java.util.OptionalLong =
+                      if (d.sizeInBytes().isPresent)
+                        java.util.OptionalLong.of(math.max(1L,
+                          math.round(d.sizeInBytes().getAsLong * sel)))
+                      else d.sizeInBytes()
+                    override def numRows(): java.util.OptionalLong =
+                      if (d.numRows().isPresent)
+                        java.util.OptionalLong.of(math.max(1L,
+                          math.round(d.numRows().getAsLong * sel)))
+                      else d.numRows()
+                  }
+                case _ =>
+                  new org.apache.spark.sql.connector.read.Statistics {
+                    override def sizeInBytes(): java.util.OptionalLong =
+                      java.util.OptionalLong.empty()
+                    override def numRows(): java.util.OptionalLong =
+                      java.util.OptionalLong.empty()
+                  }
+              }
+            }
+          }
         }
   }
 }

@@ -739,7 +739,7 @@ object ManifestSink {
         }
         hs.filter(l =>
           l.startsWith("#stats ") || l.startsWith("#part ") ||
-            l.startsWith("#bloom ") ||
+            l.startsWith("#bloom ") || l.startsWith("#ndv ") ||
             (l.startsWith("#cdc ") && !selfUpdating))
       }.filter { l =>
         // records of a staged-then-overwritten add die with it
@@ -749,7 +749,8 @@ object ManifestSink {
         val surviveDvNames = dvAcc.map(_._2).toSet
         l.split(" ", 3) match {
           case Array(_, f, _*) if l.startsWith("#stats ") ||
-              l.startsWith("#part ") || l.startsWith("#bloom ") =>
+              l.startsWith("#part ") || l.startsWith("#bloom ") ||
+              l.startsWith("#ndv ") =>
             branchAdds.contains(f)
           case Array(_, f, _*) if l.startsWith("#cdc ") =>
             branchAdds.contains(f) || surviveDvNames.contains(f)
@@ -972,6 +973,46 @@ object ManifestSink {
         }
       acc.toMap
     }
+
+  /** MERGED per-column NDV of the LIVE snapshot (round 19,
+    * [[NdvSketch]]): the live files' HLL sketches unioned (HLL union
+    * is lossless) — physical column → (files sketched, estimate).
+    * Cached per newest version; a rebuild heapifies each payload
+    * TRANSIENTLY (never retained — the bloom-residency lesson applied
+    * from day one) at O(live sketched files) CPU. */
+  private val ndvCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Map[String, (Long, Long)])]()
+  def mergedNdv(path: String): Map[String, (Long, Long)] = retryVanish() {
+    val dir = Paths.get(path)
+    val v = try newestVersion0(dir) catch { case _: Exception => -1L }
+    val key = dir.toAbsolutePath.toString
+    val hit = ndvCache.get(key)
+    if (hit != null && hit._1 == v) hit._2
+    else {
+      val live = fragmentUnion(dir).toSet
+      val seen = scala.collection.mutable.HashSet[(String, String)]()
+      val unions = scala.collection.mutable.LinkedHashMap[String,
+        (Long, org.apache.datasketches.hll.Union)]()
+      manifestFragments(dir).filter(branchOf(_).isEmpty).foreach { p =>
+        readHeaders(p).flatMap(parseNdv).foreach { case (f, m) =>
+          if (live.contains(f)) m.foreach { case (c, b64) =>
+            if (seen.add((c, f)))
+              NdvSketch.fromB64(b64).foreach { sk =>
+                val (n, u) = unions.getOrElseUpdate(c,
+                  (0L, new org.apache.datasketches.hll.Union(NdvSketch.LgK)))
+                u.update(sk)
+                unions(c) = (n + 1, u)
+              }
+          }
+        }
+      }
+      val res = unions.map { case (c, (n, u)) =>
+        c -> ((n, math.round(u.getEstimate))) }.toMap
+      if (ndvCache.size >= 64) ndvCache.clear()
+      ndvCache.put(key, (v, res))
+      res
+    }
+  }
 
   /** `#op <kind>` (round 17, the CDC classification header): what the
     * committing OPERATION was — `append`, `overwrite`, `delete`,
@@ -1544,7 +1585,8 @@ object ManifestSink {
         s"#forbranch $b"
       }.toSeq
       Seq(s"#schema $schemaDdl", opLine(op), s"#cow $token") ++ branchHdr ++
-        sortedAdds.map(statsLine) ++ sortedAdds.flatMap(bloomLine) ++ parts ++
+        sortedAdds.map(statsLine) ++ sortedAdds.flatMap(bloomLine) ++
+        sortedAdds.flatMap(ndvLine) ++ parts ++
         cdcRoles.sortBy(_._1).map { case (f, r) => cdcLine(f, r) } ++
         dvRecords.sortBy(_._1).map { case (d, v, n) => dvLine(d, v, n) } ++
         sortedAdds.map(_.name)
@@ -1887,6 +1929,26 @@ object ManifestSink {
       .map { case (c, b64) => s"$c:$b64" }
     if (toks.isEmpty) None else Some(s"#bloom ${m.name} ${toks.mkString(";")}")
   }
+
+  /** The file's `#ndv` record (round 19, [[NdvSketch]]): `#ndv
+    * <file> <col>:<b64>[;…]` — same token grammar as `#bloom`. */
+  private[sources] def ndvLine(m: CommittedFile): Option[String] = {
+    val toks = m.ndvs.filter(b => statSafeName(b._1))
+      .map { case (c, b64) => s"$c:$b64" }
+    if (toks.isEmpty) None else Some(s"#ndv ${m.name} ${toks.mkString(";")}")
+  }
+
+  private[sources] def parseNdv(line: String)
+      : Option[(String, Map[String, String])] =
+    if (!line.startsWith("#ndv ")) None
+    else line.stripPrefix("#ndv ").split(" ", 2) match {
+      case Array(f, toks) =>
+        Some(f -> toks.split(";").toSeq.flatMap(_.split(":", 2) match {
+          case Array(c, b) => Seq(c -> b)
+          case _ => Seq.empty
+        }).toMap)
+      case _ => None
+    }
 
   private[sources] def parseBloom(line: String)
       : Option[(String, Map[String, String])] = {
@@ -2394,6 +2456,11 @@ object ManifestSink {
       .collect { case (f, m) if nameSet.contains(f) =>
         s"#bloom $f ${m.toSeq.sortBy(_._1)
           .map { case (c, b) => s"$c:$b" }.mkString(";")}" }
+    // `#ndv` records ride like `#stats`/`#bloom` (round 19)
+    val ndvLines = headers.flatMap(parseNdv).distinctBy(_._1)
+      .collect { case (f, m) if nameSet.contains(f) =>
+        s"#ndv $f ${m.toSeq.sortBy(_._1)
+          .map { case (c, b) => s"$c:$b" }.mkString(";")}" }
     val parts = headers.flatMap(parsePart).distinctBy(_._1)
       .collect { case (f, toks) if nameSet.contains(f) => partLine(f, toks) }
     // `#rowid` records ride like `#stats`: kept for files still in the
@@ -2427,7 +2494,8 @@ object ManifestSink {
     // the union through upTo — so when a racer already landed it, the
     // loser's work is simply done
     val bytes = (txns ++ schemas ++ specs ++ props ++ colmaps ++
-      tagLines ++ branchLines ++ cows ++ stats ++ bloomLines ++ parts ++
+      tagLines ++ branchLines ++ cows ++ stats ++ bloomLines ++
+      ndvLines ++ parts ++
       rowidLines ++ rowIdHwmLine ++ dvs ++ names)
       .mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -2737,7 +2805,8 @@ object ManifestSink {
         if (cdcPair && lastRemoves.nonEmpty) Seq("#cdcpair") else Seq.empty
       Seq(s"#schema $schemaDdl", opLine(effOp)) ++ branchHdr ++ pairHdr ++
         (cow ++
-        files.map(statsLine) ++ files.flatMap(bloomLine) ++ parts ++
+        files.map(statsLine) ++ files.flatMap(bloomLine) ++
+        files.flatMap(ndvLine) ++ parts ++
         eqDrops.sorted.map(n => s"#eqdrop $n") ++
         lastRemoves.sorted.map(n => s"#remove $n") ++ files.map(_.name))
     }
@@ -3566,7 +3635,11 @@ case class CommittedFile(name: String, rows: Long,
     /** (physical col, base64 bloom payload) pairs (round 18) — the
       * file's `#bloom` record, present only for `bloom.columns`
       * tables ([[BloomSkip]]). */
-    blooms: Seq[(String, String)] = Seq.empty) extends WriterCommitMessage
+    blooms: Seq[(String, String)] = Seq.empty,
+    /** (physical col, base64 HLL payload) pairs (round 19) — the
+      * file's `#ndv` record, present only for `ndv.columns` tables
+      * ([[NdvSketch]]). */
+    ndvs: Seq[(String, String)] = Seq.empty) extends WriterCommitMessage
 
 /** A partition-fan-out task's contribution: one [[CommittedFile]] per
   * partition tuple the task's rows landed in (round 15). */
@@ -3639,7 +3712,7 @@ case class ManifestBatchWrite(path: String, schema: StructType,
     ManifestWriterFactory(path, schema.fields.map(_.name),
       schema.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)),
       java.util.UUID.randomUUID.toString.take(8), spec, bloomCols, bloomBits,
-      BloomSkip.rowGroupBytesOf(path))
+      BloomSkip.rowGroupBytesOf(path), NdvSketch.configOf(path))
   }
 
   private def baseName(f: String): String = Paths.get(f).getFileName.toString
@@ -3796,7 +3869,8 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
     ManifestStreamingWriterFactory(path, schema.fields.map(_.name),
       schema.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)),
       runToken, spec, bloomCols, bloomBits,
-      BloomSkip.rowGroupBytesOf(path), upsertKeys)
+      BloomSkip.rowGroupBytesOf(path), upsertKeys,
+      NdvSketch.configOf(path))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -3844,7 +3918,8 @@ case class ManifestStreamingWrite(path: String, schema: StructType,
         ManifestSink.opLine(
           if (eqFiles.nonEmpty) "upsert" else "append")) ++
         branchHdr ++ eqLines ++ files.map(ManifestSink.statsLine) ++
-        files.flatMap(ManifestSink.bloomLine) ++ parts ++ files.map(_.name)
+        files.flatMap(ManifestSink.bloomLine) ++
+        files.flatMap(ManifestSink.ndvLine) ++ parts ++ files.map(_.name)
     }
     ManifestSink.claimEpoch(dir, content _)
     ManifestSink.maybeCompact(dir,
@@ -3882,7 +3957,8 @@ case class ManifestStreamingWriterFactory(path: String, fieldNames: Array[String
       * to a small `eq-…` parquet file — the delete-by-key half the
       * commit publishes as an `#eqdel` record, without ever reading
       * the target. Empty = ordinary append. */
-    upsertKeys: Seq[String] = Seq.empty) extends StreamingDataWriterFactory {
+    upsertKeys: Seq[String] = Seq.empty,
+    ndvCols: Seq[String] = Seq.empty) extends StreamingDataWriterFactory {
   // the epoch is baked into the file name so replayed-epoch files are
   // recognizable on disk; taskId distinguishes attempts within a run,
   // and the run token distinguishes RUNS — a replay in a fresh JVM
@@ -3893,10 +3969,11 @@ case class ManifestStreamingWriterFactory(path: String, fieldNames: Array[String
     val inner: DataWriter[InternalRow] =
       if (spec.isEmpty)
         ManifestWriters.create(path, fieldNames, fieldTypes, s"$base.parquet",
-          bloomCols, bloomBits, rowGroupBytes)
+          bloomCols, bloomBits, rowGroupBytes, ndvCols)
       else
         ManifestWriters.createFanOut(path, fieldNames, fieldTypes, spec,
-          k => s"$base-p$k.parquet", bloomCols, bloomBits, rowGroupBytes)
+          k => s"$base-p$k.parquet", bloomCols, bloomBits, rowGroupBytes,
+          ndvCols)
     if (upsertKeys.isEmpty) inner
     else {
       val keyIdx = upsertKeys.map(c =>
@@ -3952,7 +4029,8 @@ case class ManifestWriterFactory(path: String, fieldNames: Array[String],
     spec: Seq[PartField] = Seq.empty,
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = BloomSkip.DefaultBits,
-    rowGroupBytes: Int = 0) extends DataWriterFactory {
+    rowGroupBytes: Int = 0,
+    ndvCols: Seq[String] = Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // taskId distinguishes attempts WITHIN the application; the run
     // token (advisor r12) distinguishes APPLICATIONS — taskIds restart
@@ -3966,10 +4044,11 @@ case class ManifestWriterFactory(path: String, fieldNames: Array[String],
     val base = f"part-$partitionId%05d-$taskId-$runToken"
     if (spec.isEmpty)
       ManifestWriters.create(path, fieldNames, fieldTypes, s"$base.parquet",
-        bloomCols, bloomBits, rowGroupBytes)
+        bloomCols, bloomBits, rowGroupBytes, ndvCols)
     else
       ManifestWriters.createFanOut(path, fieldNames, fieldTypes, spec,
-        k => s"$base-p$k.parquet", bloomCols, bloomBits, rowGroupBytes)
+        k => s"$base-p$k.parquet", bloomCols, bloomBits, rowGroupBytes,
+        ndvCols)
   }
 }
 
@@ -4177,7 +4256,8 @@ private[graft] object ManifestWriters {
       nameFor: Int => String,
       bloomCols: Seq[String] = Seq.empty,
       bloomBits: Int = BloomSkip.DefaultBits,
-      rowGroupBytes: Int = 0): DataWriter[InternalRow] =
+      rowGroupBytes: Int = 0,
+      ndvCols: Seq[String] = Seq.empty): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val eval = partitionEval(spec, fieldNames, fieldTypes)
       private val open =
@@ -4189,7 +4269,7 @@ private[graft] object ManifestWriters {
         open.getOrElseUpdate(key, {
           toksOf(key) = toks
           create(path, fieldNames, fieldTypes, nameFor(open.size),
-            bloomCols, bloomBits, rowGroupBytes)
+            bloomCols, bloomBits, rowGroupBytes, ndvCols)
         }).write(row)
       }
       override def commit(): WriterCommitMessage =
@@ -4205,10 +4285,11 @@ private[graft] object ManifestWriters {
   def create(path: String, fieldNames: Array[String], fieldTypes: Array[String],
       fileName: String, bloomCols: Seq[String] = Seq.empty,
       bloomBits: Int = BloomSkip.DefaultBits,
-      rowGroupBytes: Int = 0): DataWriter[InternalRow] =
+      rowGroupBytes: Int = 0,
+      ndvCols: Seq[String] = Seq.empty): DataWriter[InternalRow] =
     createAt(Files.createDirectories(Paths.get(path, "data")),
       fieldNames, fieldTypes, fileName, bloomCols, bloomBits,
-      rowGroupBytes)
+      rowGroupBytes, ndvCols)
 
   /** The same writer against an explicit directory — the planning
     * CHECKPOINT (round 16) writes parquet into the table ROOT (it is
@@ -4310,7 +4391,10 @@ private[graft] object ManifestWriters {
       /** > 0: explicit parquet row-group size (round 18,
         * `rowgroup.bytes`) — smaller groups buy position-skipping
         * granularity for the KEEP-mode reads. 0 = parquet default. */
-      rowGroupBytes: Int = 0): DataWriter[InternalRow] =
+      rowGroupBytes: Int = 0,
+      /** PHYSICAL columns carrying a per-file `#ndv` HLL (round 19,
+        * [[NdvSketch]]) — long-family/string only, mirroring blooms. */
+      ndvCols: Seq[String] = Seq.empty): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val name = fileName
       private val file: Path = dir.resolve(name)
@@ -4374,6 +4458,18 @@ private[graft] object ManifestWriters {
         }.toArray
       @inline private def bloomLong(i: Int, v: Long): Unit =
         if (bloomOf(i) != null) bloomOf(i).putLong(v)
+      // NDV sketches (round 19, [[NdvSketch]]): one HLL per configured
+      // long-family/string column, updated at the SAME normalized
+      // scale as stats/blooms
+      private val ndvOf: Array[org.apache.datasketches.hll.HllSketch] =
+        fieldTypes.indices.map { i =>
+          if (ndvCols.exists(_.equalsIgnoreCase(fieldNames(i))) &&
+              (LongFamily.contains(fieldTypes(i)) || fieldTypes(i) == "string"))
+            NdvSketch.create()
+          else null
+        }.toArray
+      @inline private def ndvLong(i: Int, v: Long): Unit =
+        if (ndvOf(i) != null) ndvOf(i).update(v)
       override def write(row: InternalRow): Unit = {
         val g = groups.newGroup()
         fieldTypes.indices.foreach { i =>
@@ -4391,16 +4487,17 @@ private[graft] object ManifestWriters {
           }
           if (!row.isNullAt(i) && compositeTypes(i) == null) fieldTypes(i) match {
             case "long" | "timestamp" =>
-              val v = row.getLong(i); observe(i, v); bloomLong(i, v); g.add(i, v)
+              val v = row.getLong(i); observe(i, v); bloomLong(i, v)
+              ndvLong(i, v); g.add(i, v)
             case "integer" | "date" =>
               val v = row.getInt(i); observe(i, v.toLong); bloomLong(i, v.toLong)
-              g.add(i, v)
+              ndvLong(i, v.toLong); g.add(i, v)
             case "short" =>
               val v = row.getShort(i); observe(i, v.toLong)
-              bloomLong(i, v.toLong); g.add(i, v.toInt)
+              bloomLong(i, v.toLong); ndvLong(i, v.toLong); g.add(i, v.toInt)
             case "byte" =>
               val v = row.getByte(i); observe(i, v.toLong)
-              bloomLong(i, v.toLong); g.add(i, v.toInt)
+              bloomLong(i, v.toLong); ndvLong(i, v.toLong); g.add(i, v.toInt)
             // floating/boolean columns carry no stats (IEEE NaN breaks
             // total-order bounds; boolean envelopes never prune) —
             // unpruned files are merely slower, never wrong
@@ -4410,6 +4507,7 @@ private[graft] object ManifestWriters {
             case "string" =>
               val u = row.getUTF8String(i)
               if (bloomOf(i) != null) bloomOf(i).putBinary(u.getBytes)
+              if (ndvOf(i) != null) ndvOf(i).update(u.getBytes)
               val s = u.toString
               observeStr(i, s)
               g.add(i, Binary.fromString(s))
@@ -4456,7 +4554,14 @@ private[graft] object ManifestWriters {
             case i if bloomOf(i) != null && nullCnt(i) < rows =>
               fieldNames(i) -> BloomSkip.toB64(bloomOf(i))
           }.toSeq
-        CommittedFile(name, rows, stats, strStats, nullStats, blooms = blooms)
+        val ndvs =
+          if (rows == 0) Seq.empty
+          else fieldTypes.indices.collect {
+            case i if ndvOf(i) != null && nullCnt(i) < rows =>
+              fieldNames(i) -> NdvSketch.toB64(ndvOf(i))
+          }.toSeq
+        CommittedFile(name, rows, stats, strStats, nullStats,
+          blooms = blooms, ndvs = ndvs)
       }
       override def abort(): Unit = {
         try out.close() catch { case _: Exception => }

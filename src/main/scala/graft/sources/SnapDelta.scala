@@ -248,7 +248,8 @@ private[sources] class SnapDeltaWrite(op: SnapDeltaOperation,
     SnapDeltaWriterFactory(op.dir, rowSchema.fields.map(_.name),
       rowSchema.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType)), fileIdx, posIdx,
       java.util.UUID.randomUUID.toString.take(8), op.spec,
-      bloomCols, bloomBits, BloomSkip.rowGroupBytesOf(op.dir))
+      bloomCols, bloomBits, BloomSkip.rowGroupBytesOf(op.dir),
+      NdvSketch.configOf(op.dir))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -310,7 +311,8 @@ private[sources] case class SnapDeltaWriterFactory(path: String,
     spec: Seq[PartField],
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = BloomSkip.DefaultBits,
-    rowGroupBytes: Int = 0) extends DeltaWriterFactory {
+    rowGroupBytes: Int = 0,
+    ndvCols: Seq[String] = Seq.empty) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
       private val base = f"part-$partitionId%05d-$taskId-$runToken"
@@ -326,11 +328,12 @@ private[sources] case class SnapDeltaWriterFactory(path: String,
       private def rowWriter(suffix: String): DataWriter[InternalRow] =
         if (spec.isEmpty)
           ManifestWriters.create(path, fieldNames, fieldTypes,
-            s"$base$suffix.parquet", bloomCols, bloomBits, rowGroupBytes)
+            s"$base$suffix.parquet", bloomCols, bloomBits, rowGroupBytes,
+            ndvCols)
         else
           ManifestWriters.createFanOut(path, fieldNames, fieldTypes,
             spec, k => s"$base$suffix-p$k.parquet", bloomCols, bloomBits,
-            rowGroupBytes)
+            rowGroupBytes, ndvCols)
       private def insertWriter(): DataWriter[InternalRow] = {
         if (inserts == null) inserts = rowWriter("")
         inserts

@@ -378,7 +378,8 @@ private[sources] class SnapRowLevelWrite(op: SnapRowLevelOperation,
       ws.fields.map(f => graft.sources.ManifestSink.typeTokOf(f.dataType))
         :+ "long",
       java.util.UUID.randomUUID.toString.take(8), op.spec,
-      bloomCols, bloomBits, BloomSkip.rowGroupBytesOf(op.dir)))
+      bloomCols, bloomBits, BloomSkip.rowGroupBytesOf(op.dir),
+      NdvSketch.configOf(op.dir)))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -43,6 +43,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Sort ["), s"SHJ plan sorted a side:\n$plan")
   }
 
+  test("NDV-DRIVEN BROADCAST (round 19): a snap scan with #ndv records " +
+    "reports manifest statistics — an equality filter on a sketched " +
+    "column scales the size estimate by 1/ndv and the filtered side " +
+    "BROADCASTS; the ndv-less twin keeps default sizing and " +
+    "sort-merges the same join") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ndvplan")
+    val s = spark.newSession()
+    graft.sources.GraftCatalog.register(s, TestSpark.Sf0001)
+    s.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    // the ESTIMATE must drive the plan (AQE would replan from runtime
+    // sizes and hide the manifest statistics under test)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    def mk(name: String, props: String): Unit = {
+      s.sql(s"CREATE TABLE graft.snap.$name (k BIGINT, v STRING)$props")
+      import s.implicits._
+      (0L until 2000L).map(i => (i, f"v$i%04d")).toDF("k", "v")
+        .coalesce(1).writeTo(s"graft.snap.$name").append()
+    }
+    mk("ndvt", " TBLPROPERTIES ('ndv.columns'='k,v')")
+    mk("ndvc", "")
+    def planFor(t: String): String = {
+      val df = s.sql(s"SELECT a.k, b.v FROM graft.snap.$t a " +
+        s"JOIN graft.snap.$t b ON a.k = b.k WHERE a.v = 'v0007'")
+      val rows = df.collect()
+      assert(rows.toSeq.map(r => (r.getLong(0), r.getString(1))) ==
+        Seq((7L, "v0007")), s"join values exact on $t: ${rows.toSeq}")
+      df.queryExecution.executedPlan.toString
+    }
+    val withNdv = planFor("ndvt")
+    assert(withNdv.contains("BroadcastHashJoin") &&
+      !withNdv.contains("SortMergeJoin"),
+      s"manifest ndv lets the filtered side broadcast:\n$withNdv")
+    val control = planFor("ndvc")
+    assert(control.contains("SortMergeJoin") &&
+      !control.contains("BroadcastHashJoin"),
+      s"the ndv-less twin keeps default sizing (no broadcast):\n$control")
+    graft.util.Fs.deleteRecursively(root)
+  }
+
   test("q_promo_share: AQE picks a broadcast join for the part dim") {
     val plan = finalPlan(Relational.promoShare(spark, TestSpark.Sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)
