@@ -2979,6 +2979,13 @@ object Materialize {
     graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root))
     graft.sources.GraftCatalog.register(spark, dir)
     spark.conf.set("spark.sql.catalog.graft.snap.dir", root)
+    // DataStreamWriter.toTable probes TableCatalog.tableExists on the
+    // CALLING thread without withActive(df.sparkSession) — the catalog
+    // resolves snap.dir from the thread-local active session, so a
+    // stale active left by an earlier streaming query makes the probe
+    // look at the WRONG root, conclude "missing", and re-CREATE into
+    // the right one (TableAlreadyExists). Pin the active session here.
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
     val complete = graft.sources.Tables.documents(spark, dir)
       .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
         col("n_chars").isNotNull)

@@ -1080,23 +1080,29 @@ object StreamOps {
     require(upserts >= 1 && live.size >= upserts,
       s"every data batch commits an upsert epoch: epochs=$upserts " +
         s"liveRecords=${live.size}")
-    graft.sources.GraftCatalog.register(spark, dir)
-    spark.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
-    spark.conf.set("spark.sql.catalog.graft.snap.totals.schema",
+    // the catalog tail runs on its OWN child session: setting snap.dir /
+    // snap.totals.schema on the SHARED streamSession child would break
+    // its no-conf-mutation contract and leak this query's root into
+    // every later streaming query's catalog resolution
+    val cat = parent.newSession()
+    cat.conf.set("spark.sql.shuffle.partitions", "2")
+    graft.sources.GraftCatalog.register(cat, dir)
+    cat.conf.set("spark.sql.catalog.graft.snap.dir", root.toString)
+    cat.conf.set("spark.sql.catalog.graft.snap.totals.schema",
       "user_id LONG, n_events LONG, total_cents LONG")
-    def state() = spark.sql(
+    def state() = cat.sql(
       "SELECT user_id, n_events, total_cents FROM graft.snap.totals")
     // 1-row distributed fingerprint, MATERIALIZED before the
     // compaction (a lazy plan would re-read the post state)
     def fingerprint(): (Long, Long) = {
-      val r = spark.sql("SELECT count(*), sum(hash(user_id, n_events, " +
+      val r = cat.sql("SELECT count(*), sum(hash(user_id, n_events, " +
         "total_cents)) FROM graft.snap.totals").collect().head
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     val pre = fingerprint()
     // resolution: compaction rewrites the applicable files with the
     // keys anti-joined out and drops the records — value-invisible
-    spark.sql("CALL graft.sys.compact_data('totals', 1000000)").collect()
+    cat.sql("CALL graft.sys.compact_data('totals', 1000000)").collect()
     require(graft.sources.ManifestSink.equalityDeletes(table).isEmpty,
       "compact_data resolves every live equality delete")
     require(fingerprint() == pre,
