@@ -326,6 +326,16 @@ object DedupOps {
     // pay a 2×|pairs| shuffle to co-locate exactly one of them. After
     // contraction the loop touches only the sliver and the cache is
     // dropped.
+    // Callers persist `pairs` LAZILY; the union's two branches (32+32
+    // partitions in ONE stage) both read it, and a partition's FIRST
+    // computation racing itself in two concurrent tasks caches only one
+    // result — the whole candidate-verify pipeline (the heaviest stage
+    // of the dedup family) executed twice in parallel (probe: two
+    // equal-duration 32-task stages, ~1.4 s each at sf0.1; at 100 TB,
+    // 2× the CPU of the largest join). One count() materializes the
+    // cache before anything branches; the count itself IS the single
+    // run of the pipeline, so no extra pass is paid.
+    pairs.count()
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
@@ -392,10 +402,20 @@ object DedupOps {
           )
           .groupBy(col("doc_b"))
           .agg(min(col("label")).as("nbr_min"))
-        val stepped = lbl
+        val stepped0 = lbl
           .join(nbrMin, col("doc_id") === col("doc_b"), "left")
           .select(col("doc_id") +: keep :+
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"): _*)
+        // The jump self-join below references `stepped` on BOTH sides,
+        // and AQE submits the two branches as CONCURRENT query-stage
+        // futures — concurrent first computation of a shared subtree is
+        // a cache-race, so round 0's full-edge-list neighbor-min ran
+        // TWICE (probe: equal-duration 64-task stage pairs, ~1 s each
+        // at sf0.1; at scale it doubles the heaviest pre-contraction
+        // shuffle). Materialize the round-0 step once, eagerly, before
+        // the self-join; post-contraction steps stay pure lineage — the
+        // sliver recompute is cheaper than an extra job barrier.
+        val stepped = if (identity) ckpt(stepped0) else stepped0
         val byId = stepped.select(col("doc_id").as("pid"), col("label").as("plabel"))
         stepped
           .join(byId, col("label") === col("pid"))
