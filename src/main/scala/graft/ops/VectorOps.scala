@@ -128,8 +128,17 @@ object VectorOps {
       val wv = array(weights(t * NearDupPlanes + j).map(lit): _*)
       when(dot(col("qv"), wv) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // the bucketed self-join below derives BOTH sides from this frame,
+    // so the T·P hyperplane projections (the expensive map work) ran
+    // once per side. Persist + materialize the corpus-sized projection
+    // (vector + T bucket longs per row — input-sized, not pair-sized)
+    // so each side's shuffle-map stage reads the one cached copy; the
+    // exploded per-table rows stay lineage (cheap re-explode beats
+    // caching corpus×T vector copies at 100 TB).
     val e = emb(spark, dir)
       .withColumn("bks", array((0 until NearDupTables).map(tableBucket): _*))
+      .persist()
+    e.count()
     val rows = e.select(col("vec_id"), col("qv"), col("nrm"),
       posexplode(col("bks")).as(Seq("tbl", "bucket")), col("bks"))
     val a = rows.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"),
