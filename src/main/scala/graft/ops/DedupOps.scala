@@ -233,7 +233,15 @@ object DedupOps {
           .otherwise(col("bb"))).as("db"))
       .filter(firstMatchingBand(col("da.sig"), col("db.sig")) === col("band"))
       .select(col("da.doc_id").as("doc_a"), col("db.doc_id").as("doc_b"))
-    val docSets = sets.withColumn("sz", size(col("s")).cast("long"))
+    // the verify join reads the hashed token sets on BOTH sides, and the
+    // two sides' map stages run concurrently — without a materialization
+    // each re-runs the per-token md5 pass over the whole corpus.
+    // materializeOnce = unpersist-stale + persist + eager count: one md5
+    // pass per invocation, both sides read the columnar cache, and a
+    // later identical invocation recomputes instead of silently reusing
+    // this run's result.
+    val docSets = graft.ingest.Materialize.materializeOnce(
+      sets.withColumn("sz", size(col("s")).cast("long")))
     val setsA = docSets.select(col("doc_id").as("doc_a"),
       col("s").as("s_a"), col("sz").as("sz_a"))
     val setsB = docSets.select(col("doc_id").as("doc_b"),
@@ -581,7 +589,14 @@ object DedupOps {
   private[graft] def simhashNearDupBanded(spark: SparkSession, dir: String,
       bandBits: Int): DataFrame = {
     val mask = (1L << bandBits) - 1
-    val sh = simhashBits(spark, dir, SimhashBands * bandBits)
+    // the banded self-join below reads the simhash frame on BOTH sides,
+    // whose map stages run concurrently — without a materialization each
+    // side re-runs the token-explode + corpus-wide vote aggregate (this
+    // query's one big shuffle) from the raw scan. materializeOnce the
+    // (doc_id, simhash) projection — two longs per doc (see its scaladoc
+    // for the per-invocation honesty contract).
+    val sh = graft.ingest.Materialize.materializeOnce(
+      simhashBits(spark, dir, SimhashBands * bandBits))
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until SimhashBands).map(b =>
         shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*))
@@ -654,15 +669,23 @@ object DedupOps {
       // bit length of the shingle count: integer-exact in both engines
       // (length(bin(x)) — no float log2 at band boundaries)
       .withColumn("band", length(bin(col("sz"))).cast("long"))
+    // the block self-join below reads this frame on BOTH sides, whose
+    // map stages run concurrently — without a materialization each side
+    // re-runs the shingle + per-shingle-md5 pass over the whole corpus
+    // (the heaviest map work here). materializeOnce (unpersist-stale +
+    // persist + eager count — see its scaladoc for the honesty contract)
+    // runs the shingle+md5 pass once per invocation; both sides read the
+    // columnar cache.
+    val shM = graft.ingest.Materialize.materializeOnce(sh)
     // Left rows probe their own band and the one above; the right side
     // sits in its own band only, so a same-band pair matches exactly
     // once (doc_a < doc_b) and an adjacent-band pair exactly once (the
     // lower-band row probes up; bands differ, so no doc_id tie exists).
-    val a = sh.select(col("lang"), col("source"),
+    val a = shM.select(col("lang"), col("source"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sz").as("sz_a"),
       col("band").as("band_a"))
       .withColumn("pband", explode(array(col("band_a"), col("band_a") + lit(1L))))
-    val b = sh.select(col("lang"), col("source"),
+    val b = shM.select(col("lang"), col("source"),
       col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sz").as("sz_b"),
       col("band").as("pband"))
     a.join(b, Seq("lang", "source", "pband"))
@@ -844,10 +867,14 @@ object DedupOps {
     val docs = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .repartition(spark.sparkContext.defaultParallelism)
-    val sigs = docs
+    // both the probe-band and index-band sides derive from this frame
+    // (disjoint filters, but each re-runs the full per-token-md5
+    // signature scan); materializeOnce the 17-longs-per-doc projection
+    // so the corpus's heaviest map pass runs once per invocation
+    val sigs = graft.ingest.Materialize.materializeOnce(docs
       .select(col("doc_id"), col("source"),
         graft.functions.MinHashSigs.minhashSigs(tokenSet).as("sig"))
-      .where(col("sig").isNotNull)
+      .where(col("sig").isNotNull))
     def bands(df: DataFrame, tag: String): DataFrame = df
       .select(col("doc_id").as(s"${tag}_doc"), col("sig").as(s"${tag}_sig"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"))
@@ -870,8 +897,11 @@ object DedupOps {
       .join(index, Seq("band") ++ (0 until RowsPerBand).map(k => s"bk$k"))
       .filter(firstBand === col("band"))
       .select(col("p_doc"), col("i_doc"))
-    val hashed = docs.select(col("doc_id"), hashedTokenSet(tokenSet).as("s"))
-      .withColumn("sz", size(col("s")).cast("long"))
+    // same treatment for the verify join's two sides (the minhashLsh
+    // docSets lesson): one eager token-set-hash pass, not two
+    val hashed = graft.ingest.Materialize.materializeOnce(docs
+      .select(col("doc_id"), hashedTokenSet(tokenSet).as("s"))
+      .withColumn("sz", size(col("s")).cast("long")))
     val verified = pairs
       .join(hashed.select(col("doc_id").as("p_doc"), col("s").as("s_p"),
         col("sz").as("sz_p")), Seq("p_doc"))

@@ -428,13 +428,20 @@ object MultimodalOps {
     * oracle is the plain all-pairs Hamming filter. */
   def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hashed = payloads(spark, dir)
+    // the banded self-join below reads this frame on BOTH sides, whose
+    // map stages run concurrently — without a materialization each side
+    // re-runs the ImageIO decode + aHash64 over every image (by far the
+    // heaviest per-row work here). materializeOnce the two-longs-per-
+    // image projection (unpersist-stale + persist + eager count): one
+    // decode pass per invocation.
+    val hashed = graft.ingest.Materialize.materializeOnce(
+      payloads(spark, dir)
       .mapPartitions(_.map { case (id, payload) =>
         val img = ImageIO.read(new ByteArrayInputStream(payload))
         require(img != null, s"doc $id: ImageIO failed to decode payload")
         (id, aHash64(img))
       })
-      .toDF("doc_id", "phash")
+      .toDF("doc_id", "phash"))
     val bandBits = array((0 until PhashBands).map(b =>
       shiftright(col("phash"), b * 8).bitwiseAND(lit(255L))): _*)
     val k = hashed.withColumn("bb", bandBits)

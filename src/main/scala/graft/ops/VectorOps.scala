@@ -130,15 +130,15 @@ object VectorOps {
     }.reduce(_ + _)
     // the bucketed self-join below derives BOTH sides from this frame,
     // so the T·P hyperplane projections (the expensive map work) ran
-    // once per side. Persist + materialize the corpus-sized projection
-    // (vector + T bucket longs per row — input-sized, not pair-sized)
-    // so each side's shuffle-map stage reads the one cached copy; the
-    // exploded per-table rows stay lineage (cheap re-explode beats
-    // caching corpus×T vector copies at 100 TB).
-    val e = emb(spark, dir)
-      .withColumn("bks", array((0 until NearDupTables).map(tableBucket): _*))
-      .persist()
-    e.count()
+    // once per side. materializeOnce the corpus-sized projection (vector
+    // + T bucket longs per row — input-sized, not pair-sized) so each
+    // side's shuffle-map stage reads the one materialized copy (the
+    // unpersist-stale step keeps a later identical run recomputing
+    // instead of silently reusing this run's cache); the exploded
+    // per-table rows stay lineage (cheap re-explode beats materializing
+    // corpus×T vector copies at 100 TB).
+    val e = graft.ingest.Materialize.materializeOnce(emb(spark, dir)
+      .withColumn("bks", array((0 until NearDupTables).map(tableBucket): _*)))
     val rows = e.select(col("vec_id"), col("qv"), col("nrm"),
       posexplode(col("bks")).as(Seq("tbl", "bucket")), col("bks"))
     val a = rows.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"),
@@ -506,8 +506,13 @@ object VectorOps {
     // manifest); persist so the training+argmax subtree runs once. At
     // 100 TB this materialization is the checkpoint any multi-pass
     // dedup stage pays; rows are (cid, id, vec) — no pair blowup.
-    val a = assignToLists(e, cents)
-      .select(col("list_id"), col("vec_id"), col("qv"), col("nrm")).persist()
+    // materialize BEFORE the self-join branches read it: a lazy persist's
+    // first computation races itself across the join's two concurrent map
+    // stages, running the training+argmax subtree twice in parallel (the
+    // dedupClusters pairs lesson); materializeOnce also drops a previous
+    // identical invocation's cache entry first (honesty contract)
+    val a = graft.ingest.Materialize.materializeOnce(assignToLists(e, cents)
+      .select(col("list_id"), col("vec_id"), col("qv"), col("nrm")))
     val x = a.select(col("list_id"), col("vec_id").as("ia"),
       col("qv").as("va"), col("nrm").as("na"))
     val y = a.select(col("list_id"), col("vec_id").as("ib"),
