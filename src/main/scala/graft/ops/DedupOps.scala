@@ -729,20 +729,20 @@ object DedupOps {
   def substringDedup(spark: SparkSession, dir: String): DataFrame = {
     val K = SubstrWindow
     val terms = (0 until K).map(j => s"element_at(t, i + $j)").mkString(", ")
-    val winOut = graft.ingest.Materialize.processScratchDir(
-      s"graft_substr_win_${java.lang.Integer.toHexString(dir.hashCode)}")
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // spread shingling
-      .withColumn("t", split(col("text"), " "))
-      // <K-token docs have no windows (empty list, not a 0/0 row); the
-      // oracle's generate_series(1, len-K+1) is empty the same way
-      .select(col("doc_id"), explode(expr(
-        s"CASE WHEN size(t) >= $K THEN array_distinct(transform(" +
-          s"sequence(1, size(t) - ${K - 1}), " +
-          s"i -> cast(conv(substring(md5(concat_ws(' ', $terms)), 1, 15), 16, 10) AS BIGINT))) " +
-          "ELSE array() END")).as("wh"))
-      .write.mode("overwrite").parquet(winOut)
-    val windows = spark.read.parquet(winOut)
+    // in-memory columnar materialization instead of the former scratch-
+    // parquet round-trip (two consumers: cross-doc counts + join-back);
+    // see the lmScore note
+    val windows = graft.ingest.Materialize.materializeOnce(
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism) // spread shingling
+        .withColumn("t", split(col("text"), " "))
+        // <K-token docs have no windows (empty list, not a 0/0 row); the
+        // oracle's generate_series(1, len-K+1) is empty the same way
+        .select(col("doc_id"), explode(expr(
+          s"CASE WHEN size(t) >= $K THEN array_distinct(transform(" +
+            s"sequence(1, size(t) - ${K - 1}), " +
+            s"i -> cast(conv(substring(md5(concat_ws(' ', $terms)), 1, 15), 16, 10) AS BIGINT))) " +
+            "ELSE array() END")).as("wh")))
     val byWindow = windows.groupBy("wh")
       .agg(countDistinct(col("doc_id")).as("nd"))
     windows.join(byWindow, "wh")

@@ -537,17 +537,19 @@ object TextOps {
     * identity is the md5 prefix in BOTH engines, so hash collisions
     * (if any) collide identically in the oracle. */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
-    val pairOut = graft.ingest.Materialize.processScratchDir(
-      s"graft_lmscore_${java.lang.Integer.toHexString(dir.hashCode)}")
-    Tables.documents(spark, dir)
-      .filter(col("text").isNotNull)
-      .withColumn("t", toks)
-      .select(col("doc_id"), explode(expr(
-        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t)-1), i -> " +
-          "cast(conv(substring(md5(concat(element_at(t,i), ' ', element_at(t,i+1))), 1, 15), 16, 10) AS BIGINT)) " +
-          "ELSE CAST(array() AS ARRAY<BIGINT>) END")).as("ph"))
-      .write.mode("overwrite").parquet(pairOut)
-    val pairs = spark.read.parquet(pairOut)
+    // in-memory columnar materialization instead of the former scratch-
+    // parquet round-trip: the exploded pair hashes feed two consumers
+    // (the cross-doc counts and the join-back probe); materializeOnce
+    // keeps the one computed copy in executor storage (spilling at
+    // scale) and skips the parquet encode+decode
+    val pairs = graft.ingest.Materialize.materializeOnce(
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .withColumn("t", toks)
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t)-1), i -> " +
+            "cast(conv(substring(md5(concat(element_at(t,i), ' ', element_at(t,i+1))), 1, 15), 16, 10) AS BIGINT)) " +
+            "ELSE CAST(array() AS ARRAY<BIGINT>) END")).as("ph")))
     val byPair = pairs.groupBy("ph").agg(count(lit(1)).as("cnt"))
     pairs.join(byPair, "ph")
       .groupBy("doc_id")
