@@ -162,9 +162,15 @@ object DedupOps {
     // fan-out work; at real scale the source already has many splits)
     val docs = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
-    val sets = docs.select(col("doc_id"), hashedTokenSet(tokenSet).as("s"))
-    val tokDocs = docs.select(col("doc_id"), tokenSet.as("toks"))
-
+    // ONE scan+tokenize pass computes BOTH per-doc hash forms — the 16
+    // minhash minima (signature stage) and the sorted hashed token set
+    // (verify stage) — materialized once (materializeOnce: unpersist-
+    // stale + persist + eager count). Previously the two forms were two
+    // independent subtrees, each re-scanning and re-tokenizing the
+    // corpus, and the verify join's two sides re-ran the token-set pass
+    // a third time. The md5 work itself is pinned by the oracle (16
+    // salted digests + 1 unsalted per token) and unchanged.
+    //
     // Numeric minhash: the first 15 hex chars of md5 as a 60-bit long
     // (order-isomorphic to the oracle's string minima). All 16 minima
     // come from ONE custom codegen Expression pass over the token array
@@ -174,9 +180,12 @@ object DedupOps {
     // scale, deleted outright; ExpressionSpec proves value-equality to
     // the grouped form). Null-token-set docs yield a null sig, exactly
     // the docs the grouped form never emitted a row for.
-    val signatures = tokDocs
-      .select(col("doc_id"),
-        graft.functions.MinHashSigs.minhashSigs(col("toks")).as("sig"))
+    val base = graft.ingest.Materialize.materializeOnce(docs.select(
+      col("doc_id"),
+      graft.functions.MinHashSigs.minhashSigs(tokenSet).as("sig"),
+      hashedTokenSet(tokenSet).as("s")))
+    val signatures = base
+      .select(col("doc_id"), col("sig"))
       .where(col("sig").isNotNull)
 
     val numBands = NumHashes / RowsPerBand
@@ -233,15 +242,9 @@ object DedupOps {
           .otherwise(col("bb"))).as("db"))
       .filter(firstMatchingBand(col("da.sig"), col("db.sig")) === col("band"))
       .select(col("da.doc_id").as("doc_a"), col("db.doc_id").as("doc_b"))
-    // the verify join reads the hashed token sets on BOTH sides, and the
-    // two sides' map stages run concurrently — without a materialization
-    // each re-runs the per-token md5 pass over the whole corpus.
-    // materializeOnce = unpersist-stale + persist + eager count: one md5
-    // pass per invocation, both sides read the columnar cache, and a
-    // later identical invocation recomputes instead of silently reusing
-    // this run's result.
-    val docSets = graft.ingest.Materialize.materializeOnce(
-      sets.withColumn("sz", size(col("s")).cast("long")))
+    // both verify-join sides read the one materialized base
+    val docSets = base.select(col("doc_id"), col("s"))
+      .withColumn("sz", size(col("s")).cast("long"))
     val setsA = docSets.select(col("doc_id").as("doc_a"),
       col("s").as("s_a"), col("sz").as("sz_a"))
     val setsB = docSets.select(col("doc_id").as("doc_b"),
@@ -867,14 +870,19 @@ object DedupOps {
     val docs = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .repartition(spark.sparkContext.defaultParallelism)
-    // both the probe-band and index-band sides derive from this frame
-    // (disjoint filters, but each re-runs the full per-token-md5
-    // signature scan); materializeOnce the 17-longs-per-doc projection
-    // so the corpus's heaviest map pass runs once per invocation
-    val sigs = graft.ingest.Materialize.materializeOnce(docs
+    // ONE scan+tokenize pass computes BOTH per-doc hash forms (the 16
+    // minhash minima for the band sides and the hashed token set for
+    // the verify join), materialized once — previously two independent
+    // subtrees each re-scanned and re-tokenized the corpus, and each
+    // was then consumed by two join sides (4 corpus-hash passes total;
+    // now 1)
+    val base = graft.ingest.Materialize.materializeOnce(docs
       .select(col("doc_id"), col("source"),
-        graft.functions.MinHashSigs.minhashSigs(tokenSet).as("sig"))
-      .where(col("sig").isNotNull))
+        graft.functions.MinHashSigs.minhashSigs(tokenSet).as("sig"),
+        hashedTokenSet(tokenSet).as("s"))
+      .withColumn("sz", size(col("s")).cast("long")))
+    val sigs = base.select(col("doc_id"), col("source"), col("sig"))
+      .where(col("sig").isNotNull)
     def bands(df: DataFrame, tag: String): DataFrame = df
       .select(col("doc_id").as(s"${tag}_doc"), col("sig").as(s"${tag}_sig"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"))
@@ -897,11 +905,7 @@ object DedupOps {
       .join(index, Seq("band") ++ (0 until RowsPerBand).map(k => s"bk$k"))
       .filter(firstBand === col("band"))
       .select(col("p_doc"), col("i_doc"))
-    // same treatment for the verify join's two sides (the minhashLsh
-    // docSets lesson): one eager token-set-hash pass, not two
-    val hashed = graft.ingest.Materialize.materializeOnce(docs
-      .select(col("doc_id"), hashedTokenSet(tokenSet).as("s"))
-      .withColumn("sz", size(col("s")).cast("long")))
+    val hashed = base.select(col("doc_id"), col("s"), col("sz"))
     val verified = pairs
       .join(hashed.select(col("doc_id").as("p_doc"), col("s").as("s_p"),
         col("sz").as("sz_p")), Seq("p_doc"))

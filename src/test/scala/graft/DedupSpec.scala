@@ -636,13 +636,14 @@ class DedupSpec extends AnyFunSuite {
     // step before its jump self-join REMOVED the concurrent duplicate
     // computation of both subtrees — jobs/stages/tasks all strictly
     // DOWN vs the r18 pins (25/36/21/146, 26/48/32/228, 27/49/34/232);
-    // then the minhashLsh docSets materializeOnce (one verify-side
-    // token-set md5 pass instead of two) costs +1 shuffle and the
-    // count's query-stage jobs.
+    // then the minhashLsh base materializeOnce (signature + token-set
+    // hashing folded into ONE scan+tokenize pass, consumed by the band
+    // stage and both verify-join sides) costs the count's query-stage
+    // jobs and nets the duplicated md5 passes away.
     val expected = Map(
-      TestSpark.Sf0001 -> ((26, 37, 20, 142)),
-      "/root/testdata/sf0.01" -> ((27, 49, 31, 224)),
-      "/root/testdata/sf0.1" -> ((30, 52, 35, 230)))
+      TestSpark.Sf0001 -> ((25, 36, 19, 141)),
+      "/root/testdata/sf0.01" -> ((26, 48, 30, 223)),
+      "/root/testdata/sf0.1" -> ((29, 51, 34, 229)))
     for ((dir, want) <- expected.toSeq.sortBy(_._1)) {
       val got = CcStructure.measure(spark, dir)
       assert(got == want,

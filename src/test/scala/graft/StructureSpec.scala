@@ -32,11 +32,12 @@ class StructureSpec extends AnyFunSuite {
   // minhash and simhash each gained the materializeOnce of the frame
   // their self-join reads on both sides — the eager count job (plus its
   // AQE query-stage sub-jobs) that REMOVED the duplicated md5/vote-
-  // aggregate pass: +1 shuffle (the materialization's own exchange now
-  // runs once up front) against one fewer full corpus-hash pass per
-  // run; bfs and pagerank are untouched.
+  // aggregate pass; minhash then folded the signature and token-set
+  // hash passes into ONE materialized base (one scan+tokenize instead
+  // of two, -1 job/stage/shuffle vs the intermediate shape); bfs and
+  // pagerank are untouched.
   private val pins = Seq(
-    ("minhash", (12, 12, 6, 30), (12, 12, 6, 30)),
+    ("minhash", (11, 11, 5, 29), (11, 11, 5, 29)),
     ("simhash", (12, 12, 5, 27), (12, 12, 5, 27)),
     ("bfs", (29, 29, 12, 38), (35, 35, 15, 49)),
     ("pagerank", (23, 23, 9, 28), (23, 23, 9, 28)))
