@@ -26,6 +26,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("IsNotNull(c_name)"), s"null-rejection not pushed:\n$plan")
   }
 
+  test("q_sketch_intersect: the two-level aggregate keeps Expand out of " +
+    "the plan (the r19 rewrite of the triple-countDistinct — Expand x4 " +
+    "on the widest exchange — into per-(pair,user) flags + a final agg)") {
+    val plan = finalPlan(graft.ops.EventOps.sketchIntersect(spark, TestSpark.Sf0001))
+    assert(!plan.contains("Expand"), s"multi-distinct Expand is back:\n$plan")
+  }
+
   test("q_broadcast_join: dim chain broadcasts, never sort-merges") {
     val plan = finalPlan(Relational.broadcastDimJoin(spark, TestSpark.Sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan)
