@@ -46,7 +46,13 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val t = (System.nanoTime() - t0) / 1e9
+      // per-rep visibility on STDERR only (variance diagnosis on a noisy
+      // box); the stdout JSON contract and the median methodology are
+      // untouched
+      if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE"))
+        System.err.println(f"[bench-rep] $name $t%.3f")
+      (t, ok)
     }
     // sorted order: deterministic timings comparable across rounds;
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b narrows the set for iteration

@@ -70,6 +70,31 @@ object Materialize {
     df
   }
 
+  /** Live handle per tag: the previous invocation's frame is released BY
+    * HANDLE, not by plan equality. Plan-matched unpersist (step 1 above)
+    * silently no-ops on plans that never canonicalize equal — e.g. a
+    * mapPartitions whose lambda is fresh per invocation (phashNearDup) —
+    * leaving one dead, unreferencable cache entry per invocation for the
+    * session's lifetime. The registry caps that at ONE live frame per
+    * tag however often a query re-runs in a JVM. */
+  private val matRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
+  /** Tagged [[materializeOnce]]: same eager-materialization contract,
+    * plus handle-based release of the previous frame under this tag. */
+  private[graft] def materializeOnce(tag: String,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    Option(matRegistry.put(tag, df)).foreach(_.unpersist(blocking = true))
+    materializeOnce(df)
+  }
+
+  /** Release a tagged frame EARLY — iterative trainers drop iteration
+    * k−1's cache once iteration k is materialized (nothing reads k−1
+    * afterwards; on eviction the lineage recomputes), so a K-round loop
+    * holds one round's model in storage, not K. */
+  private[graft] def release(tag: String): Unit =
+    Option(matRegistry.remove(tag)).foreach(_.unpersist(blocking = true))
+
   /** FIFA teams source columns (from the reference's cast list,
     * `etl_kaggle_to_big_query.py:91-107`) → target types. */
   val TeamCasts: Seq[(String, DataType)] = Seq(

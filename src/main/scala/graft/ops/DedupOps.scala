@@ -180,7 +180,7 @@ object DedupOps {
     // scale, deleted outright; ExpressionSpec proves value-equality to
     // the grouped form). Null-token-set docs yield a null sig, exactly
     // the docs the grouped form never emitted a row for.
-    val base = graft.ingest.Materialize.materializeOnce(docs.select(
+    val base = graft.ingest.Materialize.materializeOnce("minhashLsh.base", docs.select(
       col("doc_id"),
       graft.functions.MinHashSigs.minhashSigs(tokenSet).as("sig"),
       hashedTokenSet(tokenSet).as("s")))
@@ -598,7 +598,7 @@ object DedupOps {
     // query's one big shuffle) from the raw scan. materializeOnce the
     // (doc_id, simhash) projection — two longs per doc (see its scaladoc
     // for the per-invocation honesty contract).
-    val sh = graft.ingest.Materialize.materializeOnce(
+    val sh = graft.ingest.Materialize.materializeOnce("simhashNearDup.bits",
       simhashBits(spark, dir, SimhashBands * bandBits))
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until SimhashBands).map(b =>
@@ -679,7 +679,7 @@ object DedupOps {
     // persist + eager count — see its scaladoc for the honesty contract)
     // runs the shingle+md5 pass once per invocation; both sides read the
     // columnar cache.
-    val shM = graft.ingest.Materialize.materializeOnce(sh)
+    val shM = graft.ingest.Materialize.materializeOnce("ngramJaccard.shingles", sh)
     // Left rows probe their own band and the one above; the right side
     // sits in its own band only, so a same-band pair matches exactly
     // once (doc_a < doc_b) and an adjacent-band pair exactly once (the
@@ -735,7 +735,7 @@ object DedupOps {
     // in-memory columnar materialization instead of the former scratch-
     // parquet round-trip (two consumers: cross-doc counts + join-back);
     // see the lmScore note
-    val windows = graft.ingest.Materialize.materializeOnce(
+    val windows = graft.ingest.Materialize.materializeOnce("substringDedup.windows",
       Tables.documents(spark, dir)
         .repartition(spark.sparkContext.defaultParallelism) // spread shingling
         .withColumn("t", split(col("text"), " "))
@@ -876,7 +876,7 @@ object DedupOps {
     // subtrees each re-scanned and re-tokenized the corpus, and each
     // was then consumed by two join sides (4 corpus-hash passes total;
     // now 1)
-    val base = graft.ingest.Materialize.materializeOnce(docs
+    val base = graft.ingest.Materialize.materializeOnce("incrementalDedup.base", docs
       .select(col("doc_id"), col("source"),
         graft.functions.MinHashSigs.minhashSigs(tokenSet).as("sig"),
         hashedTokenSet(tokenSet).as("s"))

@@ -507,7 +507,7 @@ object EventOps {
     // materializeOnce: the pair crossJoin reads the bounded type domain
     // on both sides — one distinct scan of events, not two (the
     // unpersist-stale step keeps later identical invocations honest)
-    val types = graft.ingest.Materialize.materializeOnce(
+    val types = graft.ingest.Materialize.materializeOnce("sketchIntersect.types",
       evs.select(col("event_type")).distinct())
     val pairs = types.select(col("event_type").as("type_a"))
       .crossJoin(types.select(col("event_type").as("type_b")))

@@ -434,7 +434,7 @@ object MultimodalOps {
     // heaviest per-row work here). materializeOnce the two-longs-per-
     // image projection (unpersist-stale + persist + eager count): one
     // decode pass per invocation.
-    val hashed = graft.ingest.Materialize.materializeOnce(
+    val hashed = graft.ingest.Materialize.materializeOnce("phashNearDup.hashes",
       payloads(spark, dir)
       .mapPartitions(_.map { case (id, payload) =>
         val img = ImageIO.read(new ByteArrayInputStream(payload))

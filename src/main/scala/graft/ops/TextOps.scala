@@ -542,7 +542,7 @@ object TextOps {
     // (the cross-doc counts and the join-back probe); materializeOnce
     // keeps the one computed copy in executor storage (spilling at
     // scale) and skips the parquet encode+decode
-    val pairs = graft.ingest.Materialize.materializeOnce(
+    val pairs = graft.ingest.Materialize.materializeOnce("lmScore.pairs",
       Tables.documents(spark, dir)
         .filter(col("text").isNotNull)
         .withColumn("t", toks)

@@ -137,7 +137,7 @@ object VectorOps {
     // instead of silently reusing this run's cache); the exploded
     // per-table rows stay lineage (cheap re-explode beats materializing
     // corpus×T vector copies at 100 TB).
-    val e = graft.ingest.Materialize.materializeOnce(emb(spark, dir)
+    val e = graft.ingest.Materialize.materializeOnce("embNearDupLsh.proj", emb(spark, dir)
       .withColumn("bks", array((0 until NearDupTables).map(tableBucket): _*)))
     val rows = e.select(col("vec_id"), col("qv"), col("nrm"),
       posexplode(col("bks")).as(Seq("tbl", "bucket")), col("bks"))
@@ -257,7 +257,11 @@ object VectorOps {
     * at 100 TB this is exactly how IVF indexes are built (train on the
     * corpus, K·dim model stays bounded). A list that captures no
     * vectors drops out of the next round (its seeds' vectors re-home);
-    * cid labels are stable across rounds, so list ids stay meaningful. */
+    * cid labels are stable across rounds, so list ids stay meaningful.
+    * The rounds stay ONE lazily-unrolled plan (pipelined in a single
+    * job; a per-round eager barrier was measured 2–3× slower at sf0.1
+    * — five extra job round-trips on model-sized data); callers
+    * truncate ONCE at the trained model via [[DedupOps.ckpt]]. */
   private def trainedCentroids(e: DataFrame): DataFrame = {
     val seeds = e.filter(col("vec_id") % IvfStride === 0)
       .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nrm").as("cnrm"))
@@ -289,11 +293,20 @@ object VectorOps {
     * oracle-checked. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    // K·dim model metadata, persisted so the two consumers below
-    // (corpus assignment + query probing) train ONCE, not once per
-    // branch — the round-3 branch-from-derived-DF lesson applied to
-    // the training subtree. A few KB per call; evicted LRU.
-    val cents = trainedCentroids(e).persist()
+    // K·dim model metadata, CHECKPOINTED once at the trained model
+    // ([[DedupOps.ckpt]] — eager, master-aware reliable truncation):
+    // the two consumers below (corpus assignment + query probing) read
+    // one COMPUTED model instead of racing a lazy persist's first
+    // computation across their concurrent stages, the unrolled
+    // training lineage stops re-appearing wholesale inside every
+    // consumer's broadcast subtree (hundreds of Exchange nodes of
+    // explain text → one Scan ExistingRDD), and — unlike the bare
+    // persist() this replaces — a later identical invocation (a bench
+    // rep) can never silently plan-match this run's cache: a
+    // checkpoint is a fresh RDD per invocation. LogicalRDD's stats
+    // loss is harmless: every model consumer joins via an explicit
+    // broadcast/collect_list, never a planner-estimated join.
+    val cents = DedupOps.ckpt(trainedCentroids(e))
     val assigned = assignToLists(e, cents)
     // probe lists per query: tiny (queries × centroids), window is fine.
     // Probes come from `e`, NOT `assigned` — a query's own list
@@ -373,28 +386,45 @@ object VectorOps {
     * grouped by `keys`, rebuilt into an ordered array with its norm.
     * ONE site for the arithmetic both quantizer trainings (IVF's
     * cosine k-means and PQ's per-subspace L2 k-means) must keep
-    * bit-aligned with the oracle's CTEs. */
+    * bit-aligned with the oracle's CTEs.
+    * Shape (r20): ONE hash aggregate over the custom
+    * [[graft.functions.LongVecStats]] elementwise-stats aggregate —
+    * the previous `posexplode → groupBy(key, pos) → groupBy(key)`
+    * pushed dims× the corpus through two aggregates and a dims×-wider
+    * exchange; vec_stats folds map-side into K buffers of 3·dims longs,
+    * so the agg map is touched once per ROW and the exchange carries
+    * O(groups) structs (ExpressionSpec pins bit-equality to the
+    * exploded form, ragged/null/empty corners included). The `size > 0`
+    * filter reproduces posexplode's row-dropping: a NULL or empty
+    * vector contributed no row, so a group of only such rows emitted
+    * NO row — identical here. Per-position semantics are unchanged:
+    * `sums div rows` over non-null elements, NULL where a position has
+    * none (the oracle's s div n on its NULL sum). */
   private def lloydMean(assigned: DataFrame, keys: Seq[String], vecCol: String): DataFrame =
     assigned
-      .select(keys.map(col) :+ posexplode(col(vecCol)).as(Seq("pos", "x")): _*)
-      .groupBy((keys :+ "pos").map(col): _*)
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-      .withColumn("v", expr("s div n"))
+      .where(size(col(vecCol)) > 0)
       .groupBy(keys.map(col): _*)
-      .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
-        x => x.getField("v")).as("cv"))
+      .agg(graft.functions.LongVecStats.vecStats(col(vecCol)).as("st"))
+      .withColumn("cv", expr(
+        "transform(sequence(1, size(st.rows)), p -> " +
+          "CASE WHEN element_at(st.nn, p) > 0 " +
+          "THEN element_at(st.sums, p) div element_at(st.rows, p) END)"))
+      .select(keys.map(col) :+ col("cv"): _*)
       .withColumn("cnrm", dot(col("cv"), col("cv")))
 
   /** Per-subspace codebooks: seeded by the first [[PqK]] vectors'
     * subvectors, then [[PqIters]] Lloyd rounds (L2 assignment +
     * [[lloydMean]]) — the same distributed training loop as the IVF
-    * quantizer, once per subspace, all subspaces in one pass. */
+    * quantizer, once per subspace, all subspaces in one pass. Rounds
+    * stay one lazily-unrolled plan ([[trainedCentroids]] rationale);
+    * the caller truncates once at the trained codebook. */
   private def pqCodebooks(sub: DataFrame): DataFrame = {
     val seeds = sub.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"),
         col("snrm").as("cnrm"))
     (1 to PqIters).foldLeft(seeds) { (cb, _) =>
-      lloydMean(pqAssign(sub, cb).select("m", "cid", "sv"), Seq("m", "cid"), "sv")
+      lloydMean(pqAssign(sub, cb).select("m", "cid", "sv"),
+        Seq("m", "cid"), "sv")
     }
   }
 
@@ -426,13 +456,20 @@ object VectorOps {
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     // the subspace split feeds every training round PLUS encode and the
-    // distance table — persist it once instead of re-scanning the corpus
+    // distance table — materialized once, EAGERLY, instead of re-scanned
     // per consumer (corpus × M rows of subDim ints: safely cacheable at
-    // any SF where the raw vectors already fit the executors)
-    val sub = pqSub(e).persist()
-    // K·M·dim model metadata, persisted: encode + distance-table both
-    // derive from it (the annIvf branch-sharing lesson)
-    val cb = pqCodebooks(sub).persist()
+    // any SF where the raw vectors already fit the executors). Eager,
+    // because a lazy persist's first computation races itself across the
+    // training round's and the encode/distance branches' concurrent
+    // stages — the 32-thread variance pathology this query had.
+    val sub = graft.ingest.Materialize.materializeOnce("annPq.sub", pqSub(e))
+    // K·M·dim model metadata, CHECKPOINTED once at the trained
+    // codebook (the annIvf rationale: computed model for both
+    // consumers, bounded plan, no cross-invocation cache reuse);
+    // training executes inside this one eager job, which also
+    // populates sub's cache BEFORE the encode/distance branches read
+    // it — the first computation never races concurrent stages
+    val cb = DedupOps.ckpt(pqCodebooks(sub))
     val codes = pqAssign(sub, cb).select(col("vec_id"), col("m"), col("cid"))
     val dt = sub.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("m"), col("sv"), col("snrm"))
@@ -501,7 +538,7 @@ object VectorOps {
     * bounded by K, never corpus-sized. */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val cents = trainedCentroids(e).persist()
+    val cents = DedupOps.ckpt(trainedCentroids(e)) // the annIvf rationale
     // the assignment feeds three consumers (both self-join sides + the
     // manifest); persist so the training+argmax subtree runs once. At
     // 100 TB this materialization is the checkpoint any multi-pass
@@ -511,7 +548,7 @@ object VectorOps {
     // stages, running the training+argmax subtree twice in parallel (the
     // dedupClusters pairs lesson); materializeOnce also drops a previous
     // identical invocation's cache entry first (honesty contract)
-    val a = graft.ingest.Materialize.materializeOnce(assignToLists(e, cents)
+    val a = graft.ingest.Materialize.materializeOnce("semDedup.assign", assignToLists(e, cents)
       .select(col("list_id"), col("vec_id"), col("qv"), col("nrm")))
     val x = a.select(col("list_id"), col("vec_id").as("ia"),
       col("qv").as("va"), col("nrm").as("na"))

@@ -76,6 +76,44 @@ class ExpressionSpec extends AnyFunSuite {
     assert(graft.functions.SortedIntersectSize(lit1, lit2).eval(null) == 1L)
   }
 
+  test("LongVecStats-based lloydMean ≡ the posexplode two-aggregate form, " +
+      "ragged/null/empty corners included") {
+    import graft.functions.LongVecStats
+    // random grouped vectors: mixed lengths (ragged), null elements,
+    // empty arrays, null arrays, and one group that is ONLY null/empty
+    def randVec(): Option[Seq[Option[Long]]] = rnd.nextInt(10) match {
+      case 0 => None                      // null array
+      case 1 => Some(Seq.empty)           // empty array
+      case _ => Some(Seq.fill(rnd.nextInt(5) + 1)(
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(2001) - 1000L)))
+    }
+    val rows = Seq.tabulate(400)(i => ((i % 7).toLong, randVec())) ++
+      Seq((99L, None), (99L, Some(Seq.empty[Option[Long]]))) // only-degenerate group
+    val df = rows.toDF("cid", "qv")
+    def refMean(in: org.apache.spark.sql.DataFrame) = in
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("v", expr("s div n"))
+      .groupBy(col("cid"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
+        x => x.getField("v")).as("cv"))
+    def fastMean(in: org.apache.spark.sql.DataFrame) = in
+      .where(size(col("qv")) > 0)
+      .groupBy(col("cid"))
+      .agg(LongVecStats.vecStats(col("qv")).as("st"))
+      .withColumn("cv", expr(
+        "transform(sequence(1, size(st.rows)), p -> " +
+          "CASE WHEN element_at(st.nn, p) > 0 " +
+          "THEN element_at(st.sums, p) div element_at(st.rows, p) END)"))
+      .select(col("cid"), col("cv"))
+    val ref = refMean(df).collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val fast = fastMean(df).collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(fast.keySet == ref.keySet) // the only-degenerate group emits NO row in both
+    assert(!fast.contains(99L))
+    for ((k, v) <- ref) assert(fast(k) == v, s"group $k: ${fast(k)} != $v")
+  }
+
   test("TopKPairs ≡ the row_number window it replaces, on random grouped data") {
     import graft.functions.TopKPairs.topkPairs
     import org.apache.spark.sql.expressions.Window
