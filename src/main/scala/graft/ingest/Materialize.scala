@@ -733,8 +733,8 @@ object Materialize {
       !spark.catalog.tableExists(t) && new java.io.File(wh, t).exists())
   }
 
-  /** CTAS the three CBO demo tables and `ANALYZE .. FOR ALL COLUMNS`
-    * them, once per JVM: catalog stats live with the table entry (the
+  /** CTAS the three CBO demo tables and `ANALYZE .. FOR COLUMNS`
+    * them (join/filter columns only), once per JVM: catalog stats live with the table entry (the
     * SharedState external catalog), so a same-JVM re-run reuses both
     * the data and the statistics instead of rewriting per call. */
   private[graft] def ensureCboTables(spark: SparkSession, dir: String): Unit = {
@@ -750,7 +750,20 @@ object Materialize {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")), oT)
     ctas(graft.sources.Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment")), cT)
-    all.foreach(t => spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+    // Column stats only where the DEMO'd flip reads them (guide §6 —
+    // don't compute stats you throw away): FilterEstimation needs
+    // o_totalprice min/max, the broadcast-size collapse and
+    // CostBasedJoinReorder read the JOIN keys' NDV/counts; the purely
+    // aggregated columns (l_extendedprice, c_mktsegment) never feed an
+    // estimate, and on the 100 TB lineitem an all-columns ANALYZE scans
+    // and sketches twice the bytes for nothing. (ANALYZE itself still
+    // computes basic stats — row count/size — for every table.)
+    val statCols = Map(
+      liT -> "l_orderkey",
+      oT -> "o_orderkey, o_custkey, o_totalprice",
+      cT -> "c_custkey")
+    all.foreach(t =>
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS ${statCols(t)}"))
   }
 
   /** Selectivity knob for [[cboJoin]]'s order filter: only the top

@@ -192,28 +192,48 @@ object DedupOps {
     // b-th band of a signature (1-based element_at)
     def bandKey(sig: Column, band: Column, k: Int): Column =
       element_at(sig, band * RowsPerBand + k + 1)
-    // does band b of the two signatures fully match?
-    def bandMatches(a: Column, b: Column, band: Int): Column =
+    // Did any band BEFORE this row's own fully match? `p` carries
+    // exactly the earlier bands (band·RowsPerBand leading minima), so
+    // band b is present iff size(p) ≥ (b+1)·RowsPerBand; band-0 rows
+    // have an empty p and no earlier band. A pair is kept only where
+    // this is false — i.e. in its FIRST matching band (its own band
+    // matches by construction: the bucket grouped on those 4 minima).
+    // STATICALLY UNROLLED over the ≤ numBands−1 possible earlier bands:
+    // an exists()-style higher-order function here is CodegenFallback —
+    // interpreted per CANDIDATE PAIR, the hottest row count of the
+    // whole pipeline (guide §4: no non-codegen expressions in the hot
+    // path; measured as multi-second GC-heavy swings before the
+    // unroll). element_at past the prefix length is NULL under the
+    // size guard's short-circuit, never an error.
+    def pBandMatches(b: Int): Column =
       (0 until RowsPerBand).map(k =>
-        element_at(a, band * RowsPerBand + k + 1) ===
-          element_at(b, band * RowsPerBand + k + 1)).reduce(_ && _)
-    val firstMatchingBand = (a: Column, b: Column) =>
-      (0 until numBands - 1).foldRight(lit(numBands - 1): Column) {
-        (band, rest) => when(bandMatches(a, b, band), lit(band)).otherwise(rest)
-      }
+        element_at(col("da.p"), b * RowsPerBand + k + 1) ===
+          element_at(col("db.p"), b * RowsPerBand + k + 1)).reduce(_ && _)
+    val earlierBandMatches: Column =
+      (0 until numBands - 1).map(b =>
+        size(col("da.p")) >= (b + 1) * RowsPerBand && pBandMatches(b))
+        .reduce(_ || _)
 
-    // Buckets carry ONLY (doc_id, sig) — 17 longs per doc — never the
-    // token sets, so a hot bucket's aggregation row stays small even when
-    // millions of near-identical docs collide in one bucket at 100 TB.
-    // Pairs are unique by construction: a pair is kept only in the FIRST
-    // band whose 4 minhashes match (the full 16-hash signature rides
-    // along), so there is no distinct shuffle. The exact-jaccard verify
-    // joins the hashed token sets back onto surviving candidate pairs
-    // afterwards — an auto-broadcast hash join at this scale, a plain
-    // shuffle join on doc_id at 100 TB.
+    // Buckets carry ONLY (doc_id, p) — doc id + the EARLIER-bands
+    // prefix of the signature (0/4/8/12 minima: 6 avg, not all 16) —
+    // never the token sets, so a hot bucket's aggregation row stays
+    // small even when millions of near-identical docs collide in one
+    // bucket at 100 TB. The prefix is all the first-matching-band
+    // dedup below ever reads (the row's OWN band is equal within its
+    // bucket by construction), so shipping the full signature was ~10
+    // dead longs per band row through BOTH pair-stage exchanges (the
+    // bucket groupBy and the fragment-block rebalance) — guide §2.3,
+    // shuffle fewer bytes. Pairs stay unique by construction: a pair
+    // is kept only in the FIRST band whose 4 minhashes match, so
+    // there is no distinct shuffle. The exact-jaccard verify joins the
+    // hashed token sets back onto surviving candidate pairs afterwards
+    // — an auto-broadcast hash join at this scale, a plain shuffle
+    // join on doc_id at 100 TB.
     val bandRows = signatures
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"))
+      .select(col("doc_id"), col("sig"), col("band"),
+        slice(col("sig"), lit(1), col("band") * RowsPerBand).as("p"))
     // Skew guard: a hot bucket (data-dependent; 2.7k docs → 3.6M pairs at
     // sf0.1) would generate and verify all its pairs inside ONE task.
     // Split each bucket's sorted doc list into ≤FragSize fragments and
@@ -226,7 +246,7 @@ object DedupOps {
       .groupBy(col("band") +:
         (0 until RowsPerBand).map(k => bandKey(col("sig"), col("band"), k).as(s"bk$k")): _*)
       .agg(sort_array(collect_list(
-        struct(col("doc_id"), col("sig")))).as("ds"))
+        struct(col("doc_id"), col("p")))).as("ds"))
       .filter(size(col("ds")) > 1)
       .withColumn("frags", expr(
         s"transform(sequence(0, cast(ceil(size(ds) / $FragSize.0) AS INT) - 1), " +
@@ -240,7 +260,7 @@ object DedupOps {
       .select(col("band"), col("da"),
         explode(when(col("diag"), slice(col("bb"), col("i") + 2, size(col("bb"))))
           .otherwise(col("bb"))).as("db"))
-      .filter(firstMatchingBand(col("da.sig"), col("db.sig")) === col("band"))
+      .filter(!earlierBandMatches)
       .select(col("da.doc_id").as("doc_a"), col("db.doc_id").as("doc_b"))
     // both verify-join sides read the one materialized base
     val docSets = base.select(col("doc_id"), col("s"))
