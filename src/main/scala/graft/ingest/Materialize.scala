@@ -95,6 +95,26 @@ object Materialize {
   private[graft] def release(tag: String): Unit =
     Option(matRegistry.remove(tag)).foreach(_.unpersist(blocking = true))
 
+  /** Run independent Spark ACTIONS concurrently (guide §2.6 — the
+    * scheduler happily runs several jobs at once; they are only
+    * sequential because driver code calls them sequentially): one
+    * job's task tail back-fills cores the other's stages free. Only
+    * for actions with NO data or ordering dependency (separate output
+    * tables/dirs); exceptions propagate unwrapped so callers fail the
+    * same way they would sequentially. */
+  private[graft] def inParallel(fs: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
+    try {
+      val futs = fs.map(f => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = f()
+      }))
+      futs.foreach { fut =>
+        try fut.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+
   /** FIFA teams source columns (from the reference's cast list,
     * `etl_kaggle_to_big_query.py:91-107`) → target types. */
   val TeamCasts: Seq[(String, DataType)] = Seq(
@@ -478,13 +498,15 @@ object Materialize {
       s"graft_schemaevo_${java.lang.Integer.toHexString(dir.hashCode)}")
     val orders = graft.sources.Tables.orders(spark, dir)
       .filter(col("o_orderkey").isNotNull)
-    orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      .write.mode("overwrite").parquet(s"$out/gen1")
-    orders.filter(pmod(col("o_orderkey"), lit(2)) =!= 0)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        col("o_orderpriority"))
-      .write.mode("overwrite").parquet(s"$out/gen2")
+    // the two generation writes target disjoint dirs — concurrent (§2.6)
+    inParallel(
+      () => orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$out/gen1"),
+      () => orders.filter(pmod(col("o_orderkey"), lit(2)) =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$out/gen2"))
     spark.read.option("mergeSchema", "true")
       .parquet(s"$out/gen1", s"$out/gen2")
       .groupBy("o_orderstatus")
@@ -508,14 +530,18 @@ object Materialize {
       s"graft_retention_${java.lang.Integer.toHexString(dir.hashCode)}")
     val evs = graft.sources.Tables.events(spark, dir)
     val dayed = evs.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-    dayed.write.mode("overwrite").partitionBy("day").parquet(out)
     // cutoff day from the same (min+max) div 2 midpoint discipline as
     // the drift/stream splits — a 1-row bounds aggregate; collecting ONE
-    // date literal to plan a metadata delete is bounded driver work
-    val cutoff = Option(evs
-      .agg(expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").as("m"))
-      .select(date_format(timestamp_micros(col("m")), "yyyy-MM-dd"))
-      .collect().head.getString(0)) // None ⇔ no timestamped rows: keep all
+    // date literal to plan a metadata delete is bounded driver work.
+    // The aggregate reads the SOURCE, not the partitioned copy, so it
+    // runs concurrently with the write (§2.6)
+    var cutoff: Option[String] = None
+    inParallel(
+      () => dayed.write.mode("overwrite").partitionBy("day").parquet(out),
+      () => cutoff = Option(evs
+        .agg(expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").as("m"))
+        .select(date_format(timestamp_micros(col("m")), "yyyy-MM-dd"))
+        .collect().head.getString(0))) // None ⇔ no timestamped rows: keep all
     cutoff.foreach(retentionPrune(out, _))
     // explicit schema: an EMPTY partitioned write creates no part files
     // (only _SUCCESS), and a schema-less read of that dir would throw
@@ -694,10 +720,14 @@ object Materialize {
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val (ot, ct) = bucketTableNames(dir)
     if (orphanedBucketTables(spark, dir)) resetBucketTables(spark, dir)
-    writeBucketed(graft.sources.Tables.orders(spark, dir)
-      .select(col("o_custkey"), col("o_totalprice")), ot, "o_custkey", 8)
-    writeBucketed(graft.sources.Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_nationkey")), ct, "c_custkey", 8)
+    // the two bucketed CTAS target different tables — run them as
+    // concurrent jobs so the small customer write back-fills the
+    // orders write's task tail (§2.6)
+    inParallel(
+      () => writeBucketed(graft.sources.Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_totalprice")), ot, "o_custkey", 8),
+      () => writeBucketed(graft.sources.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")), ct, "c_custkey", 8))
     spark.table(ot)
       .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
       .groupBy("c_nationkey")
@@ -744,12 +774,15 @@ object Materialize {
     if (all.forall(spark.catalog.tableExists)) return
     def ctas(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").format("parquet").saveAsTable(t)
-    ctas(graft.sources.Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_extendedprice")), liT)
-    ctas(graft.sources.Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")), oT)
-    ctas(graft.sources.Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_mktsegment")), cT)
+    // three independent tables: run the CTAS writes as concurrent jobs
+    // (§2.6) — the orders/customer slivers back-fill lineitem's tail
+    inParallel(
+      () => ctas(graft.sources.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice")), liT),
+      () => ctas(graft.sources.Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")), oT),
+      () => ctas(graft.sources.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")), cT))
     // Column stats only where the DEMO'd flip reads them (guide §6 —
     // don't compute stats you throw away): FilterEstimation needs
     // o_totalprice min/max, the broadcast-size collapse and
@@ -762,8 +795,9 @@ object Materialize {
       liT -> "l_orderkey",
       oT -> "o_orderkey, o_custkey, o_totalprice",
       cT -> "c_custkey")
-    all.foreach(t =>
-      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS ${statCols(t)}"))
+    inParallel(all.map(t => () => {
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS ${statCols(t)}"): Unit
+    }): _*)
   }
 
   /** Selectivity knob for [[cboJoin]]'s order filter: only the top

@@ -30,5 +30,7 @@ object PlanAudit {
     out.close()
     println(s"PLAN-AUDIT wrote $outPath failed=$failed")
     spark.stop()
+    // a smoke gate must fail MECHANICALLY, not only in the printed count
+    if (failed > 0) sys.exit(1)
   }
 }

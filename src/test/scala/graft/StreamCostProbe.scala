@@ -14,6 +14,10 @@ class ProbeListener extends StreamingQueryListener {
     val p = e.progress
     println(s"PROBE ${p.name} batch=${p.batchId} rows=${p.numInputRows} " +
       s"durations=${p.durationMs}")
+    p.stateOperators.foreach(so =>
+      println(s"PROBE-STATE ${p.name} batch=${p.batchId} op=${so.operatorName} " +
+        s"updT=${so.allUpdatesTimeMs} rmT=${so.allRemovalsTimeMs} " +
+        s"commitT=${so.commitTimeMs} rows=${so.numRowsTotal} mem=${so.memoryUsedBytes}"))
   }
   override def onQueryTerminated(
       e: StreamingQueryListener.QueryTerminatedEvent): Unit =
