@@ -226,25 +226,22 @@ object VectorOps {
 
   /** Nearest-centroid assignment (the IVF coarse quantizer): the
     * centroid set rides along as ONE broadcast sorted array row and
-    * each vector picks its argmax-cosine centroid with a higher-order
-    * `aggregate` fold — ZERO shuffle of the corpus, pure scan
-    * throughput at 100 TB. Ties keep the LOWEST cid (strict-> fold
-    * over the cid-ascending array ≡ the oracle's `cos DESC, cid ASC`). */
+    * each vector picks its argmax-cosine centroid with the compiled
+    * [[graft.functions.ArgAssign.argmaxCosineCid]] loop — ZERO shuffle
+    * of the corpus, pure scan throughput at 100 TB. Ties keep the
+    * LOWEST cid (strict-> scan over the cid-ascending array ≡ the
+    * oracle's `cos DESC, cid ASC`). The previous higher-order
+    * `aggregate` fold interpreted its lambda per (row × centroid) —
+    * CodegenFallback, guide §4 — on the hottest per-row loop of the
+    * ANN family; ExpressionSpec pins bit-equality to the fold. */
   private def assignToLists(e: DataFrame, cents: DataFrame): DataFrame = {
     val centArr = cents.agg(
       sort_array(collect_list(struct(col("cid"), col("cv"), col("cnrm")))).as("cents"))
-    def cosTo(c: Column): Column =
-      dot(col("qv"), c.getField("cv")) /
-        sqrt((col("nrm") * c.getField("cnrm")).cast("double"))
     e.crossJoin(broadcast(centArr))
-      .withColumn("best", aggregate(col("cents"),
-        struct(lit(-2.0).as("cos"), lit(-1L).as("cid")),
-        (acc, c) => {
-          val cs = cosTo(c)
-          when(cs > acc.getField("cos"),
-            struct(cs.as("cos"), c.getField("cid").as("cid"))).otherwise(acc)
-        }))
-      .select(col("best.cid").as("list_id"), col("vec_id"), col("qv"), col("nrm"))
+      .select(
+        graft.functions.ArgAssign.argmaxCosineCid(
+          col("qv"), col("nrm"), col("cents")).as("list_id"),
+        col("vec_id"), col("qv"), col("nrm"))
   }
 
   /** TRAINED coarse quantizer: the strided seed set refined by
@@ -360,25 +357,20 @@ object VectorOps {
   /** Nearest-codeword assignment under EXACT integer L2
     * (‖a−b‖² = ‖a‖² + ‖b‖² − 2a·b — three integer terms, no doubles
     * anywhere in the PQ path): all M codebooks ride along as ONE
-    * broadcast (m, cid)-sorted array row; the fold skips other
+    * broadcast (m, cid)-sorted array row; the scan skips other
     * subspaces' codewords and keeps the lowest cid on a tie (strict <
     * over the sorted array ≡ the oracle's `d ASC, cid ASC`). Zero
     * shuffle of the corpus — the same scan-side shape as the IVF
-    * coarse quantizer. */
+    * coarse quantizer, and the same compiled-loop replacement of the
+    * interpreted fold ([[graft.functions.ArgAssign.argminL2Cid]],
+    * guide §4; ExpressionSpec pins bit-equality). */
   private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
     val cbArr = cb.agg(sort_array(collect_list(
       struct(col("m"), col("cid"), col("cv"), col("cnrm")))).as("cbs"))
     sub.crossJoin(broadcast(cbArr))
-      .withColumn("best", aggregate(col("cbs"),
-        struct(lit(Long.MaxValue).as("d"), lit(-1L).as("cid")),
-        (acc, c) => {
-          val d = col("snrm") + c.getField("cnrm") -
-            dot(col("sv"), c.getField("cv")) * 2
-          when(c.getField("m") === col("m") && d < acc.getField("d"),
-            struct(d.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
-        }))
       .select(col("vec_id"), col("m"), col("sv"), col("snrm"),
-        col("best.cid").as("cid"))
+        graft.functions.ArgAssign.argminL2Cid(
+          col("sv"), col("snrm"), col("m"), col("cbs")).as("cid"))
   }
 
   /** The shared Lloyd UPDATE step: elementwise truncating integer mean

@@ -114,6 +114,76 @@ class ExpressionSpec extends AnyFunSuite {
     for ((k, v) <- ref) assert(fast(k) == v, s"group $k: ${fast(k)} != $v")
   }
 
+  test("ArgAssign expressions ≡ the interpreted aggregate folds they replace, " +
+      "null/NaN/empty/tie corners included") {
+    import graft.functions.ArgAssign
+    import org.apache.spark.sql.Column
+    // random vectors incl. null elements, null arrays, zero vectors
+    // (NaN cosine), duplicate centroids (ties -> lowest cid)
+    def vec(dim: Int): Seq[Option[Long]] = Seq.fill(dim)(
+      if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(21) - 10L))
+    val dupCv = vec(8) // shared by two cids: the tie must keep the lower
+    val cents = ((0L until 10L).map(c => (c, vec(8))) :+
+      (10L, Seq.fill(8)(Option(0L))) :+ // zero centroid: NaN cosine
+      (11L, dupCv) :+ (12L, dupCv)).toDF("cid", "cv")
+      .withColumn("cnrm", aggregate(zip_with(col("cv"), col("cv"), (x, y) => x * y),
+        lit(0L), (a, x) => a + coalesce(x, lit(0L))))
+    val centArr = cents.agg(
+      sort_array(collect_list(struct(col("cid"), col("cv"), col("cnrm")))).as("cents"))
+    val rows: Seq[(Long, Option[Seq[Option[Long]]])] =
+      Seq.tabulate(300)(i => (i.toLong, if (i % 37 == 0) None else Some(vec(8)))) :+
+        (1000L, Some(Seq.fill(8)(Option(0L)))) // zero vector: NaN everywhere
+    val base = rows.toDF("vec_id", "qv")
+      .withColumn("nrm", aggregate(zip_with(col("qv"), col("qv"), (x, y) => x * y),
+        lit(0L), (a, x) => a + coalesce(x, lit(0L))))
+      .withColumn("nrm", when(col("qv").isNotNull, col("nrm")))
+      .crossJoin(broadcast(centArr))
+    def cosTo(c: Column): Column =
+      graft.functions.LongDotProduct.longDot(col("qv"), c.getField("cv")) /
+        sqrt((col("nrm") * c.getField("cnrm")).cast("double"))
+    val ref = base.withColumn("best", aggregate(col("cents"),
+        struct(lit(-2.0).as("cos"), lit(-1L).as("cid")),
+        (acc, c) => {
+          val cs = cosTo(c)
+          when(cs > acc.getField("cos"),
+            struct(cs.as("cos"), c.getField("cid").as("cid"))).otherwise(acc)
+        }))
+      .select(col("vec_id"), col("best.cid").as("cid"))
+    val fast = base.select(col("vec_id"),
+      ArgAssign.argmaxCosineCid(col("qv"), col("nrm"), col("cents")).as("cid"))
+    val refM = ref.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val fastM = fast.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(refM == fastM)
+    // some -1 (null qv) and some real assignments must both occur
+    assert(refM.values.exists(_ == -1L) && refM.values.exists(v => v != null && v.asInstanceOf[Long] >= 0L))
+
+    // PQ argmin: subspace-tagged codebooks, exact long L2, ties
+    val cbs = (for (m <- 0 until 3; c <- 0 until 6)
+      yield (m, (c + 100).toLong, vec(4))).toDF("m", "cid", "cv")
+      .withColumn("cnrm", aggregate(zip_with(col("cv"), col("cv"), (x, y) => x * y),
+        lit(0L), (a, x) => a + coalesce(x, lit(0L))))
+    val cbArr = cbs.agg(sort_array(collect_list(
+      struct(col("m"), col("cid"), col("cv"), col("cnrm")))).as("cbs"))
+    val subs = (for (i <- 0 until 200) yield (i.toLong, i % 3, vec(4)))
+      .toDF("vec_id", "m", "sv")
+      .withColumn("snrm", aggregate(zip_with(col("sv"), col("sv"), (x, y) => x * y),
+        lit(0L), (a, x) => a + coalesce(x, lit(0L))))
+      .crossJoin(broadcast(cbArr))
+    val refPq = subs.withColumn("best", aggregate(col("cbs"),
+        struct(lit(Long.MaxValue).as("d"), lit(-1L).as("cid")),
+        (acc, c) => {
+          val d = col("snrm") + c.getField("cnrm") -
+            graft.functions.LongDotProduct.longDot(col("sv"), c.getField("cv")) * 2
+          when(c.getField("m") === col("m") && d < acc.getField("d"),
+            struct(d.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
+        }))
+      .select(col("vec_id"), col("best.cid").as("cid"))
+    val fastPq = subs.select(col("vec_id"),
+      ArgAssign.argminL2Cid(col("sv"), col("snrm"), col("m"), col("cbs")).as("cid"))
+    assert(refPq.collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long].toString) ==
+      fastPq.collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long].toString))
+  }
+
   test("TopKPairs ≡ the row_number window it replaces, on random grouped data") {
     import graft.functions.TopKPairs.topkPairs
     import org.apache.spark.sql.expressions.Window
