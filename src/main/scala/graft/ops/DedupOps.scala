@@ -903,27 +903,34 @@ object DedupOps {
       .withColumn("sz", size(col("s")).cast("long")))
     val sigs = base.select(col("doc_id"), col("source"), col("sig"))
       .where(col("sig").isNotNull)
+    // Band rows carry the EARLIER-bands prefix, not the full 16-minima
+    // signature — the first-matching-band dedup below reads nothing
+    // else (this row's own band is equal across the join by its keys),
+    // so the full signature was ~10 dead longs per band row through
+    // both join sides' exchanges (the minhashLsh r20 change, §2.3).
     def bands(df: DataFrame, tag: String): DataFrame = df
-      .select(col("doc_id").as(s"${tag}_doc"), col("sig").as(s"${tag}_sig"),
+      .select(col("doc_id").as(s"${tag}_doc"), col("sig"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"))
-      .select(Seq(col(s"${tag}_doc"), col(s"${tag}_sig"), col("band")) ++
+      .select(Seq(col(s"${tag}_doc"), col("band"),
+        slice(col("sig"), lit(1), col("band") * RowsPerBand).as(s"${tag}_p")) ++
         (0 until RowsPerBand).map(k =>
-          element_at(col(s"${tag}_sig"),
+          element_at(col("sig"),
             col("band") * RowsPerBand + k + 1).as(s"bk$k")): _*)
     val probe = bands(sigs.filter(col("source") === IncomingSource), "p")
     val index = bands(sigs.filter(col("source") =!= IncomingSource), "i")
-    def bandMatches(a: Column, b: Column, band: Int): Column =
+    // any band BEFORE this row's own fully matches? statically unrolled
+    // (a HOF here is CodegenFallback on the candidate-pair hot path)
+    def pBandMatches(b: Int): Column =
       (0 until RowsPerBand).map(k =>
-        element_at(a, band * RowsPerBand + k + 1) ===
-          element_at(b, band * RowsPerBand + k + 1)).reduce(_ && _)
-    val firstBand = (0 until numBands - 1)
-      .foldRight(lit(numBands - 1): Column) { (band, rest) =>
-        when(bandMatches(col("p_sig"), col("i_sig"), band), lit(band))
-          .otherwise(rest)
-      }
+        element_at(col("p_p"), b * RowsPerBand + k + 1) ===
+          element_at(col("i_p"), b * RowsPerBand + k + 1)).reduce(_ && _)
+    val earlierBandMatches: Column =
+      (0 until numBands - 1).map(b =>
+        size(col("p_p")) >= (b + 1) * RowsPerBand && pBandMatches(b))
+        .reduce(_ || _)
     val pairs = probe
       .join(index, Seq("band") ++ (0 until RowsPerBand).map(k => s"bk$k"))
-      .filter(firstBand === col("band"))
+      .filter(!earlierBandMatches)
       .select(col("p_doc"), col("i_doc"))
     val hashed = base.select(col("doc_id"), col("s"), col("sz"))
     val verified = pairs
