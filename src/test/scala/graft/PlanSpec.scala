@@ -201,6 +201,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for a join:\n$plan")
   }
 
+  test("ANN/SemDeDup consumer plans are BOUNDED at the checkpointed model " +
+      "(r20: the unrolled Lloyd lineage must not re-enter consumer subtrees)") {
+    // before r20 the training lineage re-appeared wholesale inside every
+    // consumer's broadcast subtree — q_semdedup's explain held 396
+    // Exchange nodes; the eager model checkpoint truncates it to a Scan
+    // ExistingRDD. Pin the bound loosely (3× headroom over the observed
+    // 16/28/32) so legitimate small plan changes don't flap the test.
+    for ((name, df) <- Seq(
+        "q_ann_ivf" -> VectorOps.annIvf(spark, TestSpark.Sf0001),
+        "q_ann_pq" -> VectorOps.annPq(spark, TestSpark.Sf0001),
+        "q_semdedup" -> VectorOps.semDedup(spark, TestSpark.Sf0001))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 90,
+        s"$name consumer plan grew to $exchanges Exchange nodes — the " +
+          s"training lineage is unrolling into consumers again:\n${plan.take(4000)}")
+      assert(plan.contains("ExistingRDD"),
+        s"$name no longer reads a checkpointed model:\n${plan.take(4000)}")
+    }
+  }
+
+  test("q_minhash_lsh: the band shuffle carries the earlier-bands prefix, " +
+      "never the full signature (r20 §2.3 pin)") {
+    val plan = finalPlan(DedupOps.minhashLsh(spark, TestSpark.Sf0001))
+    // the bucket aggregate's payload is struct(doc_id, p); a struct that
+    // mentions sig would mean the 16-minima signature is riding the
+    // pair-stage exchanges again
+    assert(!"collect_list\\(struct\\(doc_id, [^)]*sig".r
+      .findFirstIn(plan).isDefined,
+      s"full signature back in the band shuffle:\n${plan.take(4000)}")
+    assert(plan.contains("collect_list(struct(doc_id"), plan.take(2000))
+  }
+
   test("q_simhash_neardup: pair stage is an equality join, no cartesian fallback") {
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // scale shape
